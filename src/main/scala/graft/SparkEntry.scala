@@ -1,13 +1,678 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.catalog.CatalogOps
+import graft.functions.{text, vectors}
+import graft.operators.{Dedup, Relational, Similarity}
+
+/** Driver contract: the full query surface of the engine, one entry
+  * per operator from SURVEY.md §2, each with a DuckDB oracle where
+  * SQL-expressible. Column names are aliased identically on both
+  * sides; aggregates accumulate in DECIMAL and surface as DOUBLE so
+  * results are bit-stable under any partitioning (see
+  * Relational.exactSum).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Derived topic catalog: a deterministic topic name per event so
+    * catalog operators (SURVEY §2.1 S5/U1, §2.5 A2, §2.7 L2) run over
+    * fixture data. Mirrored verbatim in SQL by [[topicsCte]]. */
+  private def topicsFromEvents(ev: DataFrame): DataFrame =
+    ev.select(concat(
+      lit("persistent://tn"), (col("user_id") % 3).cast("string"),
+      lit("/ns"), (col("user_id") % 5).cast("string"),
+      lit("/"), col("event_type"),
+      when(col("event_id") % 3 === 0,
+        concat(lit("-partition-"), (col("event_id") % 4).cast("string")))
+        .otherwise(lit(""))).as("topic"))
+      .distinct()
+
+  // NOTE: single physical line per concat chain — this fragment is
+  // interpolated into stripMargin'd strings, where a line-leading
+  // "||" would lose its first '|' to the margin stripper.
+  private val topicsCte: String =
+    "WITH topics AS (SELECT DISTINCT 'persistent://tn' || " +
+      "CAST(user_id % 3 AS VARCHAR) || '/ns' || " +
+      "CAST(user_id % 5 AS VARCHAR) || '/' || event_type || " +
+      "CASE WHEN event_id % 3 = 0 THEN '-partition-' || " +
+      "CAST(event_id % 4 AS VARCHAR) ELSE '' END AS topic FROM events)"
+
+  /** DuckDB token expression mirroring graft.functions.text.tokens. */
+  private val sqlTokens =
+    "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0)"
+
+  import Relational.{exactSum, exactAvg}
+
+  /** Flagship query (driver smoke-checks rows > 0 on sf0.001):
+    * revenue per nation — scan→join(broadcast dims)→agg→sort. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q02_revenue_by_nation")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── A5: partial+final hash aggregation (TPC-H Q1 shape) ──
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          exactSum(col("l_quantity")).as("sum_qty"),
+          exactSum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(20,4)") *
+            (lit(1) - col("l_discount").cast("decimal(20,4)")))
+            .cast("double").as("sum_disc_price"),
+          exactAvg(col("l_quantity")).as("avg_qty"),
+          exactAvg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // ── J4: multi-way join, broadcast dimensions ──
+    "q02_revenue_by_nation" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(20,4)") *
+            (lit(1) - col("l_discount").cast("decimal(20,4)")))
+            .cast("double").as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+    }),
+
+    // ── L2+U3: top-k with deterministic tie-break (TakeOrdered) ──
+    "q03_top_orders" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(20,4)") *
+          (lit(1) - col("l_discount").cast("decimal(20,4)"))).as("rev_dec"))
+        .orderBy(col("rev_dec").desc, col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), col("rev_dec").cast("double").as("revenue"))
+    }),
+
+    // ── J3/J4: left-semi join (EXISTS) ──
+    "q04_semi_join_priority" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1995-06-01").cast("timestamp"))
+      o.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
+    // ── J3: left-anti join (NOT EXISTS) ──
+    "q05_anti_join_segments" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          exactSum(col("c_acctbal")).as("sum_acctbal"))
+    }),
+
+    // ── A6/§2.9: top-k per group via ranking window ──
+    "q06_topk_per_customer" -> ((s, dir) => {
+      Relational.topKPerGroup(
+        t(s, dir, "orders"),
+        Seq(col("o_custkey")),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice"), col("rnk"))
+    }),
+
+    // ── §2.9: running-frame window aggregation ──
+    "q07_running_total" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_quantity").cast("decimal(20,4)")).over(w)
+            .cast("double").as("running_qty"))
+    }),
+
+    // ── A5: grouping sets / rollup ──
+    "q08_rollup_returns" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), exactSum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("sum_qty"))
+    }),
+
+    // ── A5: distinct aggregates ──
+    "q09_distinct_priority" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"),
+          exactSum(col("o_totalprice")).as("sum_price"))
+    }),
+
+    // ── U4: intersect ──
+    "q10_set_intersect" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.filter(col("event_type") === "view").select(col("user_id"))
+        .intersect(
+          ev.filter(col("event_type") === "purchase").select(col("user_id")))
+    }),
+
+    // ── U4: except ──
+    "q11_set_except" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.filter(col("event_type") === "click").select(col("user_id"))
+        .except(
+          ev.filter(col("event_type") === "error").select(col("user_id")))
+    }),
+
+    // ── A2: partition→parent rollup on the derived topic catalog ──
+    "q12_catalog_rollup" -> ((s, dir) =>
+      CatalogOps.rollupPartitions(topicsFromEvents(t(s, dir, "events")))),
+
+    // ── P2: partition-shard filter ──
+    "q13_partition_filter" -> ((s, dir) =>
+      CatalogOps.dropPartitionShards(topicsFromEvents(t(s, dir, "events")))),
+
+    // ── P5+L2: priority patterns first, then lexical, capped ──
+    "q14_priority_limit" -> ((s, dir) =>
+      CatalogOps.priorityLimit(
+        topicsFromEvents(t(s, dir, "events")),
+        Seq("ns1", "dlq", "global"), 40)),
+
+    // ── U1: 3-source union with first-occurrence dedup ──
+    "q15_union_dedup" -> ((s, dir) => {
+      val topics = topicsFromEvents(t(s, dir, "events"))
+      val base = CatalogOps.dropPartitionShards(topics)
+      val part = topics.filter(col("topic").rlike(CatalogOps.partitionSuffix))
+      val sys = t(s, dir, "events").select(
+        concat(lit("persistent://system/ns/"), col("event_type")).as("topic"))
+        .distinct()
+      CatalogOps.unionDedupTopics(base, part, sys)
+    }),
+
+    // ── L1: per-key cap (max_messages_per_topic shape) ──
+    "q16_per_key_cap" -> ((s, dir) =>
+      CatalogOps.capPerGroup(
+        t(s, dir, "events"),
+        col("user_id"), Seq(col("ts"), col("event_id")), 5)
+        .select(col("user_id"), col("event_id"))),
+
+    // ── S5 shape: positional head/tail trim per group ──
+    "q17_trim_head_tail" -> ((s, dir) =>
+      CatalogOps.trimHeadTail(
+        t(s, dir, "events"),
+        col("event_type"), col("event_id"), 3, 1)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))),
+
+    // ── F14: JSON body projection (get_json_object) ──
+    "q18_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(
+          sum(col("k")).as("sum_k"),
+          (sum(col("k")).cast("double") / count(col("k"))).as("avg_k"),
+          count(lit(1)).as("n"))),
+
+    // ── T7 batch analog: tumbling time buckets ──
+    "q19_hourly_buckets" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(
+          unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))),
+
+    // ── §2.9: lag/lead inter-event gaps ──
+    "q20_event_gaps" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("gap_ms",
+          unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(w)))
+        .groupBy(col("user_id"))
+        .agg(
+          count(col("gap_ms")).as("n_gaps"),
+          sum(col("gap_ms")).as("sum_gap_ms"),
+          (sum(col("gap_ms")).cast("double") / count(col("gap_ms")))
+            .as("avg_gap_ms"))
+        .filter(col("n_gaps") > 0)
+    }),
+
+    // ── T7: gap-based sessionization ──
+    "q21_sessionize" -> ((s, dir) =>
+      Relational.sessionize(
+        t(s, dir, "events"),
+        col("user_id"), col("ts"), 1800L, Seq(col("event_id")))
+        .groupBy(col("user_id"))
+        .agg((max(col("session_id")) + 1).as("n_sessions"),
+          count(lit(1)).as("n_events"))),
+
+    // ── J5: as-of join (latest click at or before each purchase) ──
+    "q22_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+      Relational.asOfJoin(purchases, clicks, "user_id", "ts", "ts",
+        "event_id", "click_event_id")
+        .select(col("event_id"), col("user_id"), col("click_event_id"))
+    }),
+
+    // ── NS dedup: exact (hash-groupBy, deterministic keeper) ──
+    "q23_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(t(s, dir, "documents"), Seq("text"), "doc_id")
+        .select(col("keeper_id"), col("n_copies"))),
+
+    // ── NS text: token counting ──
+    "q24_token_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("n_tokens", text.tokenCount(col("text")).cast("long"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          (sum(col("n_tokens")).cast("double") / count(lit(1)))
+            .as("avg_tokens"),
+          max(col("n_tokens")).as("max_tokens"))),
+
+    // ── NS text: quality scoring ──
+    "q25_quality_scores" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("q", text.qualityScore(col("text")))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("q").cast("decimal(20,6)")).cast("double").as("sum_quality"),
+          min(col("q")).as("min_quality"),
+          max(col("q")).as("max_quality"))),
+
+    // ── NS text: language identification (marker-word argmax) ──
+    "q26_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("predicted", text.predictedLang(col("text")))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))),
+
+    // ── NS dedup: exact n-gram Jaccard pairs via inverted index ──
+    "q27_jaccard_pairs" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(
+        t(s, dir, "documents"), "doc_id", "text", n = 2, threshold = 0.18)
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          col("sz_a"), col("sz_b"), round(col("jaccard"), 6).as("jaccard"))),
+
+    // ── NS similarity: exact brute-force cosine top-k ──
+    "q28_ann_bruteforce" -> ((s, dir) =>
+      Similarity.bruteForceTopK(t(s, dir, "embeddings"), queryVecId = 0, k = 10)),
+
+    // ── NS dedup: embedding-cosine near-dup pairs (exact baseline) ──
+    "q29_neardup_embeddings" -> ((s, dir) =>
+      Similarity.nearDupPairsExact(t(s, dir, "embeddings"), threshold = 0.8)),
+
+    // ── NS dedup: MinHash + LSH banding (approximate; rows-only) ──
+    "q30_minhash_lsh" -> ((s, dir) => {
+      val sigs = Dedup.minhashSignatures(
+        t(s, dir, "documents"), "doc_id", "text", shingleN = 1, k = 32)
+      Dedup.minhashCandidatePairs(sigs, bands = 16)
+    }),
+
+    // ── NS dedup: SimHash fingerprint buckets (rows-only) ──
+    "q31_simhash_buckets" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("simhash", Dedup.simhash(col("text")))
+        .select(col("doc_id"), col("simhash"))),
+
+    // ── NS similarity: LSH-bucketed approximate top-k (rows-only) ──
+    "q32_ann_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(t(s, dir, "embeddings"), nPlanes = 4, k = 5)),
+
+    // ── NS text: rolling-hash document fingerprint (rows-only) ──
+    "q33_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), text.docFingerprint(col("text")).as("fp"))),
+
+    // ── S8/F7-F15: deterministic synthetic emailSend generator ──
+    "q34_generator" -> ((s, dir) => {
+      val base = lit(1704067200L) // 2024-01-01T00:00:00Z
+      s.range(0, 1000).select(
+        col("id"),
+        md5(concat(lit("evt-"), col("id").cast("string"))).as("event_id"),
+        md5(concat(lit("corr-"), col("id").cast("string")))
+          .as("correlation_id"),
+        (lit(100) + (col("id") * 1103515245L + 12345L) % 7).as("project_id"),
+        concat(lit("user+"), ((col("id") * 69069L + 1L) % 1000).cast("string"),
+          lit("@example.com")).as("user_key"),
+        (lit(7000) + (col("id") * 40014L + 3L) % 25).as("campaign_id"),
+        (lit(5000) + (col("id") * 48271L + 7L) % 10).as("template_id"),
+        date_format(timestamp_seconds(base + col("id")),
+          "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("created_at"),
+        date_format(timestamp_seconds(base + col("id")),
+          "yyyy-MM-dd HH:mm:ss.SSS'Z'").as("ingest_start_time"),
+        date_format(timestamp_seconds(base + col("id")),
+          "yyyy-MM-dd HH:mm:ss +00:00").as("es_created_at"))
+    }),
+
+    // ── P1/P6/F5-F6: envelope projection with binary round-trip ──
+    "q35_envelope_encode" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(
+          col("event_id"),
+          base64(encode(col("props"), "UTF-8")).as("props_b64"),
+          octet_length(encode(col("props"), "UTF-8")).as("props_bytes"),
+          unix_millis(col("ts")).as("publish_ms")))
+  )
+
+  def oracleSql: Map[String, String] = {
+    def dec(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(20,4))) AS DOUBLE)"
+    Map(
+      "q01_pricing_summary" ->
+        s"""SELECT l_returnflag, l_linestatus,
+           |  ${dec("l_quantity")} AS sum_qty,
+           |  ${dec("l_extendedprice")} AS sum_base_price,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) * (1 - CAST(l_discount AS DECIMAL(20,4)))) AS DOUBLE) AS sum_disc_price,
+           |  ${dec("l_quantity")} / COUNT(*) AS avg_qty,
+           |  ${dec("l_discount")} / COUNT(*) AS avg_disc,
+           |  COUNT(*) AS count_order
+           |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+      "q02_revenue_by_nation" ->
+        """SELECT r_name, n_name,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) * (1 - CAST(l_discount AS DECIMAL(20,4)))) AS DOUBLE) AS revenue,
+          |  COUNT(DISTINCT o_orderkey) AS n_orders
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY r_name, n_name""".stripMargin,
+
+      "q03_top_orders" ->
+        """SELECT l_orderkey, CAST(rev_dec AS DOUBLE) AS revenue FROM (
+          |  SELECT l_orderkey,
+          |    SUM(CAST(l_extendedprice AS DECIMAL(20,4)) * (1 - CAST(l_discount AS DECIMAL(20,4)))) AS rev_dec
+          |  FROM lineitem GROUP BY l_orderkey
+          |  ORDER BY rev_dec DESC, l_orderkey LIMIT 10)""".stripMargin,
+
+      "q04_semi_join_priority" ->
+        """SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders
+          |WHERE o_orderkey IN (
+          |  SELECT l_orderkey FROM lineitem
+          |  WHERE l_shipdate > TIMESTAMP '1995-06-01 00:00:00')
+          |GROUP BY o_orderpriority""".stripMargin,
+
+      "q05_anti_join_segments" ->
+        s"""SELECT c_mktsegment, COUNT(*) AS n_customers,
+           |  ${dec("c_acctbal")} AS sum_acctbal
+           |FROM customer
+           |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+           |GROUP BY c_mktsegment""".stripMargin,
+
+      "q06_topk_per_customer" ->
+        """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+          |  SELECT o_custkey, o_orderkey, o_totalprice,
+          |    row_number() OVER (PARTITION BY o_custkey
+          |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+          |  FROM orders) WHERE rnk <= 3""".stripMargin,
+
+      "q07_running_total" ->
+        """SELECT l_suppkey, l_orderkey, l_linenumber,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) OVER (
+          |    PARTITION BY l_suppkey
+          |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+          |    AS running_qty
+          |FROM lineitem""".stripMargin,
+
+      "q08_rollup_returns" ->
+        s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+           |  COUNT(*) AS n, ${dec("l_quantity")} AS sum_qty
+           |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+      "q09_distinct_priority" ->
+        s"""SELECT o_orderpriority,
+           |  COUNT(DISTINCT o_custkey) AS n_customers,
+           |  COUNT(*) AS n_orders,
+           |  ${dec("o_totalprice")} AS sum_price
+           |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+      "q10_set_intersect" ->
+        """SELECT user_id FROM events WHERE event_type = 'view'
+          |INTERSECT
+          |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin,
+
+      "q11_set_except" ->
+        """SELECT user_id FROM events WHERE event_type = 'click'
+          |EXCEPT
+          |SELECT user_id FROM events WHERE event_type = 'error'""".stripMargin,
+
+      "q12_catalog_rollup" ->
+        s"""$topicsCte
+           |SELECT regexp_replace(topic, '-partition-\\d+$$', '') AS parent_topic,
+           |  COUNT(*) AS n_entries,
+           |  CAST(SUM(CASE WHEN regexp_matches(topic, '-partition-\\d+$$')
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_partitions,
+           |  MAX(regexp_matches(topic, '-partition-\\d+$$')) AS partitioned
+           |FROM topics GROUP BY 1""".stripMargin,
+
+      "q13_partition_filter" ->
+        s"""$topicsCte
+           |SELECT topic FROM topics
+           |WHERE NOT regexp_matches(topic, '-partition-\\d+$$')""".stripMargin,
+
+      "q14_priority_limit" ->
+        s"""$topicsCte
+           |SELECT topic, priority FROM (
+           |  SELECT topic,
+           |    CASE WHEN topic LIKE '%ns1%' OR topic LIKE '%dlq%'
+           |      OR topic LIKE '%global%' THEN 0 ELSE 1 END AS priority
+           |  FROM topics)
+           |ORDER BY priority, topic LIMIT 40""".stripMargin,
+
+      "q15_union_dedup" ->
+        s"""$topicsCte
+           |SELECT topic, MIN(src_rank) AS src_rank FROM (
+           |  SELECT topic, 1 AS src_rank FROM topics
+           |    WHERE NOT regexp_matches(topic, '-partition-\\d+$$')
+           |  UNION ALL
+           |  SELECT topic, 2 AS src_rank FROM topics
+           |    WHERE regexp_matches(topic, '-partition-\\d+$$')
+           |  UNION ALL
+           |  SELECT DISTINCT 'persistent://system/ns/' || event_type AS topic,
+           |    3 AS src_rank FROM events
+           |) GROUP BY topic""".stripMargin,
+
+      "q16_per_key_cap" ->
+        """SELECT user_id, event_id FROM (
+          |  SELECT user_id, event_id,
+          |    row_number() OVER (PARTITION BY user_id
+          |      ORDER BY ts, event_id) AS rn
+          |  FROM events) WHERE rn <= 5""".stripMargin,
+
+      "q17_trim_head_tail" ->
+        """SELECT event_type, COUNT(*) AS n,
+          |  CAST(SUM(event_id) AS BIGINT) AS sum_id FROM (
+          |  SELECT event_type, event_id,
+          |    row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn,
+          |    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+          |  FROM events) WHERE rn > 3 AND rn <= cnt - 1
+          |GROUP BY event_type""".stripMargin,
+
+      "q18_json_extract" ->
+        """SELECT event_type,
+          |  CAST(SUM(k) AS BIGINT) AS sum_k,
+          |  CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k,
+          |  COUNT(*) AS n
+          |FROM (SELECT event_type,
+          |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+          |GROUP BY event_type""".stripMargin,
+
+      "q19_hourly_buckets" ->
+        s"""SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+           |  COUNT(*) AS n, ${dec("value")} AS sum_value
+           |FROM events GROUP BY 1, 2""".stripMargin,
+
+      "q20_event_gaps" ->
+        """SELECT user_id, COUNT(gap_ms) AS n_gaps,
+          |  CAST(SUM(gap_ms) AS BIGINT) AS sum_gap_ms,
+          |  CAST(SUM(gap_ms) AS DOUBLE) / COUNT(gap_ms) AS avg_gap_ms
+          |FROM (
+          |  SELECT user_id,
+          |    epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id
+          |      ORDER BY ts, event_id)) AS gap_ms
+          |  FROM events)
+          |GROUP BY user_id HAVING COUNT(gap_ms) > 0""".stripMargin,
+
+      "q21_sessionize" ->
+        """SELECT user_id,
+          |  CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+          |  COUNT(*) AS n_events
+          |FROM (
+          |  SELECT user_id,
+          |    CASE WHEN lag(ts) OVER w IS NULL
+          |      OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+          |      THEN 1 ELSE 0 END AS is_new
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          |GROUP BY user_id""".stripMargin,
+
+      "q22_asof_join" ->
+        """SELECT p.event_id, p.user_id, c.event_id AS click_event_id
+          |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+      "q23_dedup_exact" ->
+        """SELECT CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+          |  COUNT(*) AS n_copies
+          |FROM documents GROUP BY text""".stripMargin,
+
+      "q24_token_stats" ->
+        s"""SELECT lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           |  CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           |  CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+           |FROM (SELECT lang, len($sqlTokens) AS n_tokens FROM documents)
+           |GROUP BY lang""".stripMargin,
+
+      "q25_quality_scores" ->
+        s"""WITH scored AS (
+           |  SELECT source,
+           |    round((
+           |      least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) +
+           |      least(stop_ratio * 10.0, 1.0) +
+           |      greatest(1.0 - punct_ratio * 10.0, 0.0)) / 3.0, 6) AS q
+           |  FROM (
+           |    SELECT source,
+           |      len(toks) AS n_tok,
+           |      CASE WHEN len(toks) = 0 THEN 0.0
+           |        ELSE CAST(len(list_filter(toks, x -> x IN
+           |          ('the','a','an','and','of','to','in','is','it','that')))
+           |          AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS stop_ratio,
+           |      CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+           |        / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio
+           |    FROM (SELECT source, text, $sqlTokens AS toks FROM documents)))
+           |SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(CAST(q AS DECIMAL(20,6))) AS DOUBLE) AS sum_quality,
+           |  MIN(q) AS min_quality, MAX(q) AS max_quality
+           |FROM scored GROUP BY source""".stripMargin,
+
+      "q26_lang_id" -> {
+        val markers = text.langMarkers
+        def score(m: Seq[String]) =
+          s"len(list_filter(toks, x -> x IN (${m.map(w => s"'$w'").mkString(",")})))"
+        val scores = markers.map { case (l, m) => s"${score(m)} AS s_$l" }
+        val langs = markers.map(_._1)
+        val whens = langs.map { l =>
+          val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o")
+            .mkString(" AND ")
+          s"WHEN $conds THEN '$l'"
+        }
+        s"""SELECT lang, predicted, COUNT(*) AS n FROM (
+           |  SELECT lang,
+           |    CASE ${whens.mkString(" ")} ELSE '${langs.last}' END AS predicted
+           |  FROM (
+           |    SELECT lang, ${scores.mkString(", ")}
+           |    FROM (SELECT lang, $sqlTokens AS toks FROM documents)))
+           |GROUP BY lang, predicted""".stripMargin
+      },
+
+      "q27_jaccard_pairs" ->
+        s"""WITH sh AS (
+           |  SELECT doc_id,
+           |    list_distinct(list_transform(
+           |      range(1, greatest(len(toks) - 0, 1)),
+           |      i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS s
+           |  FROM (SELECT doc_id, $sqlTokens AS toks FROM documents))
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+           |  CAST(len(a.s) AS BIGINT) AS sz_a,
+           |  CAST(len(b.s) AS BIGINT) AS sz_b,
+           |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+           |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+           |      AS DOUBLE), 6) AS jaccard
+           |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+           |  CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+           |    AS DOUBLE) >= 0.18""".stripMargin,
+
+      "q28_ann_bruteforce" ->
+        """SELECT vec_id, round(cos_exact, 6) AS cos FROM (
+          |  SELECT e.vec_id,
+          |    list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) /
+          |    (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+          |     sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[])))) AS cos_exact
+          |  FROM embeddings e,
+          |    (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+          |  WHERE e.vec_id <> 0
+          |  ORDER BY cos_exact DESC, e.vec_id LIMIT 10)""".stripMargin,
+
+      "q29_neardup_embeddings" ->
+        """SELECT id_a, id_b, round(cos_exact, 6) AS cos FROM (
+          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |    list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+          |    (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+          |     sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cos_exact
+          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+          |WHERE cos_exact >= 0.8""".stripMargin,
+
+      "q34_generator" ->
+        """SELECT id,
+          |  md5('evt-' || CAST(id AS VARCHAR)) AS event_id,
+          |  md5('corr-' || CAST(id AS VARCHAR)) AS correlation_id,
+          |  100 + (id * 1103515245 + 12345) % 7 AS project_id,
+          |  'user+' || CAST((id * 69069 + 1) % 1000 AS VARCHAR)
+          |    || '@example.com' AS user_key,
+          |  7000 + (id * 40014 + 3) % 25 AS campaign_id,
+          |  5000 + (id * 48271 + 7) % 10 AS template_id,
+          |  strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') AS created_at,
+          |  strftime(ts, '%Y-%m-%d %H:%M:%S.%gZ') AS ingest_start_time,
+          |  strftime(ts, '%Y-%m-%d %H:%M:%S +00:00') AS es_created_at
+          |FROM (
+          |  SELECT range AS id,
+          |    TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (range) SECOND AS ts
+          |  FROM range(0, 1000))""".stripMargin,
+
+      "q35_envelope_encode" ->
+        """SELECT event_id,
+          |  base64(encode(props)) AS props_b64,
+          |  octet_length(encode(props)) AS props_bytes,
+          |  epoch_ms(ts) AS publish_ms
+          |FROM events""".stripMargin
+    )
+  }
 }

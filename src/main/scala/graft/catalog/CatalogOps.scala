@@ -1,0 +1,121 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Catalog-shaped dataflow operators: everything the reference does to
+  * tenant/namespace/topic lists, re-expressed as declarative plans.
+  *
+  * The reference walks these hierarchies with nested Python loops and
+  * O(n²) membership scans (pulsar_remote_inspector.py:400-427); here
+  * each step is a DataFrame transform so Catalyst fuses the filters,
+  * turns dedup into a hash aggregate, and `orderBy+limit` into a
+  * TakeOrderedAndProject (top-k without a global sort) — the shapes
+  * that survive a 100 TB catalog.
+  */
+object CatalogOps {
+
+  val partitionSuffix = "-partition-\\d+$"
+
+  /** P2: drop partition-shard topics (`…-partition-N`).
+    * (pulsar_backup_restore.py:44-46,87) */
+  def dropPartitionShards(topics: DataFrame, col0: String = "topic"): DataFrame =
+    topics.filter(!col(col0).rlike(partitionSuffix))
+
+  /** P3/P4: keep rows whose `name` is not in a (tiny) system list —
+    * broadcast anti-join shape; for literal lists an isin filter is
+    * pushed all the way into the scan. (config.json:12-13) */
+  def excludeSystem(df: DataFrame, nameCol: String, system: Seq[String]): DataFrame =
+    df.filter(!col(nameCol).isin(system: _*))
+
+  /** A2: roll partition shards up under their parent topic, counting
+    * shards and flagging partitioned parents.
+    * (pulsar_remote_inspector.py:431-457) */
+  def rollupPartitions(topics: DataFrame, col0: String = "topic"): DataFrame = {
+    val parent = regexp_replace(col(col0), partitionSuffix, "")
+    topics
+      .groupBy(parent.as("parent_topic"))
+      .agg(
+        count(lit(1)).as("n_entries"),
+        sum(when(col(col0).rlike(partitionSuffix), 1L).otherwise(0L))
+          .as("n_partitions"),
+        max(col(col0).rlike(partitionSuffix)).as("partitioned"))
+  }
+
+  /** U1: 3-source topic union with order-preserving dedup — in plan
+    * terms union + hash-dedup keeping the highest-priority source
+    * (base < partitioned < system appended in that order in the
+    * reference, first occurrence wins).
+    * (pulsar_remote_inspector.py:400-427) */
+  def unionDedupTopics(
+      base: DataFrame, partitioned: DataFrame, system: DataFrame,
+      col0: String = "topic"): DataFrame = {
+    val tagged = base.select(col(col0), lit(1).as("src_rank"))
+      .unionAll(partitioned.select(col(col0), lit(2).as("src_rank")))
+      .unionAll(system.select(col(col0), lit(3).as("src_rank")))
+    tagged.groupBy(col(col0)).agg(min("src_rank").as("src_rank"))
+  }
+
+  /** P5+L2: priority listing — namespaces matching any priority
+    * pattern scan first, then everything else, capped at `limit`.
+    * The reference does two passes with manual count checks
+    * (pulsar_remote_inspector.py:477-553); declaratively it is one
+    * orderBy(priority, name) + limit, which Spark executes as top-k.
+    */
+  def priorityLimit(
+      topics: DataFrame, patterns: Seq[String], limit: Int,
+      col0: String = "topic"): DataFrame = {
+    val isPriority = patterns.map(p => col(col0).contains(p))
+      .reduce(_ || _)
+    topics
+      .withColumn("priority", when(isPriority, 0).otherwise(1))
+      .orderBy(col("priority"), col(col0))
+      .limit(limit)
+  }
+
+  /** S5: parse a `pulsarctl`-style fixed-width table already loaded as
+    * (line, line_no): drop `headerLines` from the head and
+    * `footerLines` from the tail, split on whitespace, take column
+    * `fieldIdx`. (pulsar_backup_restore.py:54-57)
+    *
+    * Driver-scale data (CLI output) — the window over a constant
+    * partition is fine; for large files carry a real line number from
+    * the source instead. */
+  def parseCliTable(
+      lines: DataFrame, lineCol: String = "value",
+      headerLines: Int = 3, footerLines: Int = 1,
+      fieldIdx: Int = 1): DataFrame = {
+    val w = Window.orderBy(col("line_no"))
+    val n = lines.count()
+    lines
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > headerLines && col("rn") <= n - footerLines)
+      .select(split(trim(col(lineCol)), "\\s+").getItem(fieldIdx).as("name"))
+      .filter(col("name").isNotNull && col("name") =!= "")
+  }
+
+  /** L1: per-group row cap (the reference's max_messages_per_topic) —
+    * row_number over (group, order) ≤ n. At scale this is one shuffle
+    * on the group key; rank-based, so it spills instead of OOMing on
+    * skewed groups. */
+  def capPerGroup(df: DataFrame, groupCol: Column, orderCols: Seq[Column],
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(orderCols: _*)
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .drop("rn")
+  }
+
+  /** Head/tail trim per group, window form of S5's positional slicing:
+    * keeps rows with dropHead < rn ≤ count - dropTail. */
+  def trimHeadTail(df: DataFrame, groupCol: Column, orderCol: Column,
+      dropHead: Int, dropTail: Int): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(orderCol)
+    val wAll = Window.partitionBy(groupCol)
+    df.withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .filter(col("rn") > dropHead && col("rn") <= col("cnt") - dropTail)
+      .drop("rn", "cnt")
+  }
+}

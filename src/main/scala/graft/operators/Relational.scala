@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General relational building blocks used by the query surface:
+  * top-k per group, as-of joins, gap-based sessionization. All are
+  * single-shuffle window/join plans designed to survive scale-up —
+  * no driver-side collection, no cartesian products.
+  */
+object Relational {
+
+  /** Exact-sum helper for oracle-parity aggregation: accumulate in
+    * DECIMAL (associative & exact, so partial/final aggregation order
+    * can't change the result) and surface as double. The DuckDB
+    * mirror is CAST(SUM(CAST(x AS DECIMAL(20,4))) AS DOUBLE). */
+  def exactSum(c: Column): Column =
+    sum(c.cast("decimal(20,4)")).cast("double")
+
+  /** Mean via exact sum / count — deterministic under any partitioning
+    * (a plain avg(double) is order-sensitive in the last ulp). */
+  def exactAvg(c: Column): Column =
+    exactSum(c) / count(lit(1))
+
+  /** Top-k rows per group by `order` (must be a total order — append a
+    * unique tie-break column). One shuffle on the group key; rank
+    * filter happens streamingly inside the window operator. */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[Column],
+      orderCols: Seq[Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(groupCols: _*).orderBy(orderCols: _*)
+    df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** As-of join: for each left row, attach the latest right value
+    * (`rightValCol`, surfaced as `outCol`) with the same key and
+    * rightTs <= leftTs; null when no such right row exists.
+    *
+    * Implemented as the union + last(ignoreNulls) window trick — one
+    * shuffle on the key, a per-key sort, no range explosion: the
+    * classic way to do 100 TB-scale point-in-time joins without an
+    * interval join or a per-row subquery.
+    *
+    * Ordering within equal timestamps: right rows sort BEFORE left
+    * rows at the same ts (side 0 < side 1), i.e. a right row at
+    * exactly leftTs is visible to that left row — the `rightTs <=
+    * leftTs` ASOF semantics, matching DuckDB's ASOF JOIN.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      rightValCol: String, outCol: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("_ts", col(leftTs))
+      .withColumn("_side", lit(1))
+    val r = right.select(
+      col(key), col(rightTs).as("_ts"), lit(0).as("_side"),
+      col(rightValCol).as(outCol))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    unioned
+      .withColumn(outCol, last(col(outCol), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select((leftCols :+ outCol).map(col): _*)
+  }
+
+  /** Gap-based sessionization: a new session starts when the gap to
+    * the previous event of the same key exceeds `gapSeconds`. Returns
+    * the input plus a `session_id` (0-based per key). One shuffle. */
+  def sessionize(df: DataFrame, keyCol: Column, tsCol: Column,
+      gapSeconds: Long, tieBreak: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(tsCol +: tieBreak: _*)
+    val prevTs = lag(tsCol, 1).over(w)
+    val isNew = when(prevTs.isNull, 1L)
+      .when(unix_millis(tsCol) - unix_millis(prevTs) > gapSeconds * 1000L, 1L)
+      .otherwise(0L)
+    df.withColumn("_new_session", isNew)
+      .withColumn("session_id",
+        sum(col("_new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+      .drop("_new_session")
+  }
+}

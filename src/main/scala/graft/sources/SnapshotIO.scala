@@ -1,0 +1,127 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.codec
+import graft.model.Schemas
+
+/** Reader/writer for the reference's on-disk snapshot format
+  * (README.md:52-75; writer pulsar_backup_restore.py:59-96,142-143):
+  *
+  * {{{
+  * <dir>/tenants.txt        one tenant per line
+  * <dir>/namespaces.txt     one "tenant/ns" per line
+  * <dir>/topics.txt         non-partition topics
+  * <dir>/all_topics.txt     unfiltered topic list
+  * <dir>/messages/<sanitized-topic>.json   JSON ARRAY per topic
+  * }}}
+  *
+  * The engine's native at-rest format is Parquet partitioned by
+  * topic; this module is the interchange boundary with the reference
+  * tooling. Reads fan out one task per topic file; the per-topic
+  * message order of the reference (array position) is preserved in an
+  * explicit `seq` column, which is what replay sorts on — relying on
+  * physical row order would not survive a shuffle on a cluster.
+  */
+object SnapshotIO {
+
+  /** Read all per-topic message files into the envelope frame.
+    * Topic name is recovered from the file name (reversible escaping
+    * by default, the reference's lossy "_"→"/" under `compatLossy`).
+    */
+  def readMessages(spark: SparkSession, dir: String,
+      compatLossy: Boolean = false): DataFrame = {
+    val raw = spark.read
+      .schema(Schemas.snapshotMessage)
+      .option("multiLine", true)   // reference writes a JSON ARRAY per file
+      .json(s"$dir/messages/*.json")
+      .withColumn("_file", input_file_name())
+    val stem = regexp_replace(
+      regexp_extract(col("_file"), "([^/]+)\\.json$", 1), "%20", " ")
+    val topic =
+      if (compatLossy) codec.desanitizeTopicLossy(stem)
+      else codec.desanitizeTopic(stem)
+    // per-topic arrival order := position in the file. For the local
+    // multiLine array source row order within one file is the array
+    // order within one partition; stamp it while it is still true.
+    val w = Window.partitionBy(col("_file")).orderBy(monotonically_increasing_id())
+    raw
+      .withColumn("topic", topic)
+      .withColumn("seq", row_number().over(w).cast("long") - 1L)
+      .withColumn("publish_ts", timestamp_millis(col("publish_timestamp")))
+      .withColumn("event_ts", codec.eventTsOrNull(col("event_timestamp")))
+      .select("topic", "content", "binary_encoded", "properties",
+        "publish_ts", "event_ts", "partition_key", "seq")
+  }
+
+  def readTenants(spark: SparkSession, dir: String): DataFrame =
+    spark.read.text(s"$dir/tenants.txt").select(col("value").as("tenant"))
+
+  def readNamespaces(spark: SparkSession, dir: String): DataFrame =
+    spark.read.text(s"$dir/namespaces.txt")
+      .select(
+        split(col("value"), "/").getItem(0).as("tenant"),
+        col("value").as("namespace"))
+
+  def readTopics(spark: SparkSession, dir: String, all: Boolean = false): DataFrame =
+    spark.read.text(s"$dir/${if (all) "all_topics" else "topics"}.txt")
+      .select(col("value").as("topic"))
+
+  /** Write the envelope frame back out in the engine's native layout:
+    * parquet partitioned by topic, ordered by seq within each file —
+    * scales to any number of topics, preserves replay order, and
+    * prunes on topic at read time. */
+  def writeNative(env: DataFrame, dir: String): Unit =
+    env
+      .repartition(col("topic"))
+      .sortWithinPartitions(col("topic"), col("seq"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("topic")
+      .parquet(s"$dir/messages_parquet")
+
+  /** Write messages in the reference's interchange format: one JSON
+    * ARRAY per topic, wire-format fields. collect_list is bounded by
+    * the reference's own per-topic cap semantics (10k msgs/topic) —
+    * this writer exists for compatibility, not for 100 TB paths. */
+  def writeCompat(env: DataFrame, dir: String,
+      compatLossy: Boolean = false): Unit = {
+    val wire = struct(
+      col("content"), col("binary_encoded"), col("properties"),
+      coalesce(unix_millis(col("publish_ts")), lit(0L))
+        .as("publish_timestamp"),
+      codec.eventTsToWire(col("event_ts")).as("event_timestamp"),
+      col("partition_key"))
+    val fileName =
+      if (compatLossy) codec.sanitizeTopicLossy(col("topic"))
+      else codec.sanitizeTopic(col("topic"))
+    val perTopic = env
+      .repartition(col("topic"))
+      .sortWithinPartitions(col("topic"), col("seq"))
+      .select(fileName.as("file"), wire.as("msg"))
+      .groupBy(col("file"))
+      .agg(to_json(collect_list(col("msg"))).as("body"))
+    // one file per topic, written from the executors (scales with the
+    // number of topics; no driver collect)
+    perTopic.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      rows.foreach { r =>
+        val p = java.nio.file.Paths.get(dir, "messages", r.getString(0) + ".json")
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, r.getString(1))
+      }
+    }
+  }
+
+  /** Catalog text files (K2): newline-joined single files. */
+  def writeCatalog(tenants: DataFrame, namespaces: DataFrame,
+      topics: DataFrame, allTopics: DataFrame, dir: String): Unit = {
+    def writeLines(df: DataFrame, colName: String, file: String): Unit =
+      df.select(col(colName)).coalesce(1).write.mode(SaveMode.Overwrite)
+        .text(s"$dir/$file")
+    writeLines(tenants, "tenant", "tenants.txt")
+    writeLines(namespaces, "namespace", "namespaces.txt")
+    writeLines(topics, "topic", "topics.txt")
+    writeLines(allTopics, "topic", "all_topics.txt")
+  }
+}
