@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.catalog.CatalogOps
-import graft.functions.{text, vectors}
+import graft.functions.{codec, hashes, text, vectors}
 import graft.operators.{Dedup, Relational, Similarity}
 
 /** Driver contract: the full query surface of the engine, one entry
@@ -46,6 +46,38 @@ object SparkEntry {
   /** DuckDB token expression mirroring graft.functions.text.tokens. */
   private val sqlTokens =
     "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0)"
+
+  // ── LSH plane matrices: driver-side literal constants, shared by the
+  // Spark plan AND the DuckDB oracle SQL (vectors.planeMatrix scaladoc
+  // explains why this makes approximate queries exactly verifiable) ──
+  private val embDim = 64
+  private val q32Planes: Seq[Array[Double]] =
+    vectors.planeMatrix(seed = 42L, nPlanes = 8, dim = embDim)
+  private val q29Tables: Seq[Seq[Array[Double]]] =
+    (0 until 16).map(tbl => vectors.planeMatrix(1000L + tbl, 8, embDim))
+
+  /** Render a Double so DuckDB parses back the identical IEEE value
+    * (Double.toString is the shortest round-tripping decimal). */
+  private def sqlDouble(d: Double): String = d.toString
+
+  private def sqlPlaneList(p: Array[Double]): String =
+    "[" + p.map(sqlDouble).mkString(",") + "]::DOUBLE[]"
+
+  /** DuckDB mirror of vectors.dotLit: identical strict left fold. */
+  private def sqlDotLit(vec: String, p: Array[Double]): String =
+    s"list_reduce(list_transform(range(1, ${embDim + 1}), " +
+      s"i -> CAST($vec[i] AS DOUBLE) * (${sqlPlaneList(p)})[i]), (a,b) -> a+b)"
+
+  /** DuckDB mirror of vectors.dotProduct (vector × vector). */
+  private def sqlDotVec(x: String, y: String): String =
+    s"list_reduce(list_transform(range(1, ${embDim + 1}), " +
+      s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (a,b) -> a+b)"
+
+  /** DuckDB mirror of vectors.hyperplaneBucketLit. */
+  private def sqlBucket(vec: String, planes: Seq[Array[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      s"CASE WHEN ${sqlDotLit(vec, p)} >= 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString("(", " + ", ")")
 
   import Relational.{exactSum, exactAvg}
 
@@ -308,10 +340,13 @@ object SparkEntry {
         .groupBy(col("lang"), col("predicted"))
         .agg(count(lit(1)).as("n"))),
 
-    // ── NS dedup: exact n-gram Jaccard pairs via inverted index ──
+    // ── NS dedup: exact n-gram Jaccard pairs via inverted index with
+    // the stop-shingle skew guard on (inert at fixture scale — max
+    // shingle df is 46 at sf0.01 — but load-bearing at 100 TB) ──
     "q27_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(
-        t(s, dir, "documents"), "doc_id", "text", n = 2, threshold = 0.18)
+        t(s, dir, "documents"), "doc_id", "text", n = 2, threshold = 0.18,
+        maxShingleDf = Some(500))
         .select(col("doc_a"), col("doc_b"), col("inter"),
           col("sz_a"), col("sz_b"), round(col("jaccard"), 6).as("jaccard"))),
 
@@ -319,31 +354,43 @@ object SparkEntry {
     "q28_ann_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), queryVecId = 0, k = 10)),
 
-    // ── NS dedup: embedding-cosine near-dup pairs (exact baseline) ──
+    // ── NS dedup: embedding near-dup pairs — multi-table hyperplane
+    // LSH candidates + exact cosine re-score (subset-exact, so the
+    // exact all-pairs oracle still applies; no O(n²) join anywhere) ──
     "q29_neardup_embeddings" -> ((s, dir) =>
-      Similarity.nearDupPairsExact(t(s, dir, "embeddings"), threshold = 0.8)),
+      Similarity.lshNearDupPairs(
+        t(s, dir, "embeddings"), threshold = 0.8, tables = q29Tables)),
 
-    // ── NS dedup: MinHash + LSH banding (approximate; rows-only) ──
-    "q30_minhash_lsh" -> ((s, dir) => {
-      val sigs = Dedup.minhashSignatures(
-        t(s, dir, "documents"), "doc_id", "text", shingleN = 1, k = 32)
-      Dedup.minhashCandidatePairs(sigs, bands = 16)
-    }),
+    // ── NS dedup: MinHash signatures + LSH banding + exact Jaccard
+    // re-score (S-curve at k=64/r=2 makes misses ~impossible above
+    // the 0.5 threshold, so the exact-pairs oracle verifies it) ──
+    "q30_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashNearDupPairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 2, k = 64, bands = 32, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          col("sz_a"), col("sz_b"), round(col("jaccard"), 6).as("jaccard"))),
 
-    // ── NS dedup: SimHash fingerprint buckets (rows-only) ──
+    // ── NS dedup: SimHash fingerprints (60-bit md5-derived hash so
+    // the oracle mirrors the bit arithmetic verbatim) ──
     "q31_simhash_buckets" -> ((s, dir) =>
       t(s, dir, "documents")
-        .withColumn("simhash", Dedup.simhash(col("text")))
-        .select(col("doc_id"), col("simhash"))),
+        .select(col("doc_id"),
+          Dedup.simhash(col("text"), width = 60,
+            hashFn = hashes.md5Hash60).as("simhash"))),
 
-    // ── NS similarity: LSH-bucketed approximate top-k (rows-only) ──
+    // ── NS similarity: LSH-bucketed approximate top-k; the literal
+    // plane matrix is inlined into the oracle, which reproduces the
+    // same approximate result exactly ──
     "q32_ann_lsh" -> ((s, dir) =>
-      Similarity.lshTopK(t(s, dir, "embeddings"), nPlanes = 4, k = 5)),
+      Similarity.lshTopK(t(s, dir, "embeddings"), planes = q32Planes, k = 5)),
 
-    // ── NS text: rolling-hash document fingerprint (rows-only) ──
+    // ── NS text: rolling-hash document fingerprint (order-sensitive
+    // chained md5-60 fold, mirrored by DuckDB list_reduce) ──
     "q33_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
-        .select(col("doc_id"), text.docFingerprint(col("text")).as("fp"))),
+        .select(col("doc_id"),
+          hashes.rollingFingerprint(text.tokens(col("text"))).as("fp"))),
 
     // ── S8/F7-F15: deterministic synthetic emailSend generator ──
     "q34_generator" -> ((s, dir) => {
@@ -373,8 +420,111 @@ object SparkEntry {
           col("event_id"),
           base64(encode(col("props"), "UTF-8")).as("props_b64"),
           octet_length(encode(col("props"), "UTF-8")).as("props_bytes"),
-          unix_millis(col("ts")).as("publish_ms")))
+          unix_millis(col("ts")).as("publish_ms"))),
+
+    // ── J1/J2: tenant→namespace→topic hierarchy expansion as real
+    // joins over catalog DataFrames ──
+    "q36_catalog_join" -> ((s, dir) => {
+      val re = "persistent://([^/]+)/([^/]+)/(.+)"
+      val parsed = topicsFromEvents(t(s, dir, "events")).select(
+        regexp_extract(col("topic"), re, 1).as("tenant"),
+        regexp_extract(col("topic"), re, 2).as("namespace"),
+        col("topic"))
+      val tenants = parsed.select("tenant").distinct()
+      val namespaces = parsed.select("tenant", "namespace").distinct()
+      tenants
+        .join(namespaces, Seq("tenant"))                 // J1
+        .join(parsed, Seq("tenant", "namespace"))        // J2
+        .groupBy(col("tenant"))
+        .agg(countDistinct(col("namespace")).as("n_namespaces"),
+          count(lit(1)).as("n_topics"))
+    }),
+
+    // ── P3/P4: system-tenant/namespace anti-filter (config.json:12-13
+    // semantics: drop public/pulsar/system resources) ──
+    "q37_exclude_system" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val user = topicsFromEvents(ev)
+      val sys = ev.select(concat(lit("persistent://pulsar/ns/"),
+          col("event_type")).as("topic")).distinct()
+        .unionAll(ev.select(concat(lit("persistent://public/default/"),
+          col("event_type")).as("topic")).distinct())
+      val all = user.unionAll(sys).withColumn("tenant",
+        regexp_extract(col("topic"), "persistent://([^/]+)/", 1))
+      CatalogOps.excludeSystem(all, "tenant", Seq("public", "pulsar", "system"))
+        .select(col("topic"), col("tenant"))
+    }),
+
+    // ── P6: binary/text payload discrimination with round-trip proof.
+    // Every third payload gets an 0xFF prefix (never valid UTF-8), so
+    // both branches of encodeContent/decodeContent are exercised ──
+    "q38_binary_codec" -> ((s, dir) => {
+      val payload = when(col("event_id") % 3 === 0,
+          concat(unhex(lit("FF")), encode(col("props"), "UTF-8")))
+        .otherwise(encode(col("props"), "UTF-8"))
+      val enc = codec.encodeContent(payload)
+      t(s, dir, "events").select(
+        col("event_id"),
+        enc.getField("content").as("content"),
+        enc.getField("binary_encoded").as("binary_encoded"),
+        (codec.decodeContent(enc.getField("content"),
+          enc.getField("binary_encoded")) === payload).as("roundtrip_ok"))
+    }),
+
+    // ── S5: CLI fixed-width table parse (head/tail trim + column
+    // extraction) over deterministically synthesized numbered lines ──
+    "q39_cli_parse" -> ((s, dir) => {
+      val lines = t(s, dir, "events").filter(col("event_id") < 30)
+        .select(
+          format_string("%d topic-%d active", col("event_id"), col("user_id"))
+            .as("line"),
+          row_number().over(Window.orderBy(col("event_id")))
+            .cast("long").as("line_no"))
+      CatalogOps.parseCliTable(lines, "line", "line_no",
+        headerLines = 3, footerLines = 1, fieldIdx = 1)
+    }),
+
+    // ── F2: reversible topic↔file-name codec (the fix for the
+    // reference's lossy "_"↔"/" mapping), plus the lossy compat
+    // mapping shown corrupting underscore topics ──
+    "q40_topic_codec" -> ((s, dir) => {
+      val topics = t(s, dir, "events").select(
+        concat(lit("persistent://t_"), col("event_type"),
+          lit("/ns_"), (col("user_id") % 5).cast("string"),
+          lit("/topic_"), (col("event_id") % 7).cast("string")).as("topic"))
+        .distinct()
+      topics.select(
+        col("topic"),
+        codec.sanitizeTopic(col("topic")).as("file_name"),
+        (codec.desanitizeTopic(codec.sanitizeTopic(col("topic"))) ===
+          col("topic")).as("roundtrip_ok"),
+        codec.desanitizeTopicLossy(codec.sanitizeTopicLossy(col("topic")))
+          .as("lossy_roundtrip"))
+    })
   )
+
+  /** DuckDB mirror of Dedup.ngramJaccardPairs (bigrams) at the given
+    * threshold — also the oracle for the MinHash+rescore path, whose
+    * output equals the exact pairs at any threshold past the S-curve
+    * knee (Dedup.minhashNearDupPairs scaladoc). */
+  private def jaccardPairsSql(threshold: Double): String =
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      range(1, greatest(len(toks) - 0, 1)),
+       |      i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS s
+       |  FROM (SELECT doc_id, $sqlTokens AS toks FROM documents))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+       |  CAST(len(a.s) AS BIGINT) AS sz_a,
+       |  CAST(len(b.s) AS BIGINT) AS sz_b,
+       |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+       |      AS DOUBLE), 6) AS jaccard
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |  CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+       |    AS DOUBLE) >= $threshold""".stripMargin
 
   def oracleSql: Map[String, String] = {
     def dec(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(20,4))) AS DOUBLE)"
@@ -611,24 +761,47 @@ object SparkEntry {
            |GROUP BY lang, predicted""".stripMargin
       },
 
-      "q27_jaccard_pairs" ->
-        s"""WITH sh AS (
-           |  SELECT doc_id,
-           |    list_distinct(list_transform(
-           |      range(1, greatest(len(toks) - 0, 1)),
-           |      i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS s
-           |  FROM (SELECT doc_id, $sqlTokens AS toks FROM documents))
-           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
-           |  CAST(len(a.s) AS BIGINT) AS sz_a,
-           |  CAST(len(b.s) AS BIGINT) AS sz_b,
-           |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-           |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
-           |      AS DOUBLE), 6) AS jaccard
-           |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-           |  CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
-           |    AS DOUBLE) >= 0.18""".stripMargin,
+      "q27_jaccard_pairs" -> jaccardPairsSql(0.18),
+
+      "q30_minhash_lsh" -> jaccardPairsSql(0.5),
+
+      "q31_simhash_buckets" -> {
+        val h = hashes.md5Hash60Sql("t")
+        val sums = (0 until 60).map(j =>
+          s"SUM(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b$j")
+          .mkString(", ")
+        val bits = (0 until 60).map(j =>
+          s"CASE WHEN COALESCE(v.b$j, 0) >= 0 THEN ${1L << j} ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest($sqlTokens) AS t FROM documents),
+           |hv AS (SELECT doc_id, $h AS h FROM tok),
+           |v AS (SELECT doc_id, $sums FROM hv GROUP BY doc_id)
+           |SELECT d.doc_id, $bits AS simhash
+           |FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id""".stripMargin
+      },
+
+      "q32_ann_lsh" -> {
+        val cos = s"${sqlDotVec("a.embedding", "c.embedding")} / " +
+          s"(sqrt(${sqlDotVec("a.embedding", "a.embedding")}) * " +
+          s"sqrt(${sqlDotVec("c.embedding", "c.embedding")}))"
+        s"""WITH b AS (
+           |  SELECT vec_id, embedding,
+           |    ${sqlBucket("embedding", q32Planes)} AS bucket
+           |  FROM embeddings),
+           |p AS (
+           |  SELECT a.vec_id AS vec_id, c.vec_id AS nb_id, $cos AS cos
+           |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id)
+           |SELECT vec_id, nb_id, round(cos, 6) AS cos, rnk FROM (
+           |  SELECT vec_id, nb_id, cos,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY cos DESC, nb_id) AS rnk
+           |  FROM p) WHERE rnk <= 5""".stripMargin
+      },
+
+      "q33_fingerprint" ->
+        s"""SELECT doc_id, ${hashes.rollingFingerprintSql(sqlTokens)} AS fp
+           |FROM documents""".stripMargin,
 
       "q28_ann_bruteforce" ->
         """SELECT vec_id, round(cos_exact, 6) AS cos FROM (
@@ -672,7 +845,62 @@ object SparkEntry {
           |  base64(encode(props)) AS props_b64,
           |  octet_length(encode(props)) AS props_bytes,
           |  epoch_ms(ts) AS publish_ms
-          |FROM events""".stripMargin
+          |FROM events""".stripMargin,
+
+      "q36_catalog_join" ->
+        s"""$topicsCte,
+           |parsed AS (
+           |  SELECT regexp_extract(topic, 'persistent://([^/]+)/([^/]+)/(.+)', 1) AS tenant,
+           |    regexp_extract(topic, 'persistent://([^/]+)/([^/]+)/(.+)', 2) AS namespace,
+           |    topic
+           |  FROM topics)
+           |SELECT tenant, COUNT(DISTINCT namespace) AS n_namespaces,
+           |  COUNT(*) AS n_topics
+           |FROM parsed GROUP BY tenant""".stripMargin,
+
+      "q37_exclude_system" ->
+        s"""$topicsCte,
+           |allt AS (
+           |  SELECT topic FROM topics
+           |  UNION ALL
+           |  SELECT DISTINCT 'persistent://pulsar/ns/' || event_type FROM events
+           |  UNION ALL
+           |  SELECT DISTINCT 'persistent://public/default/' || event_type FROM events)
+           |SELECT topic,
+           |  regexp_extract(topic, 'persistent://([^/]+)/', 1) AS tenant
+           |FROM allt
+           |WHERE regexp_extract(topic, 'persistent://([^/]+)/', 1)
+           |  NOT IN ('public', 'pulsar', 'system')""".stripMargin,
+
+      "q38_binary_codec" ->
+        """SELECT event_id,
+          |  CASE WHEN event_id % 3 = 0
+          |    THEN base64(from_hex('FF') || encode(props)) ELSE props
+          |  END AS content,
+          |  (event_id % 3 = 0) AS binary_encoded,
+          |  true AS roundtrip_ok
+          |FROM events""".stripMargin,
+
+      "q39_cli_parse" ->
+        """SELECT 'topic-' || CAST(user_id AS VARCHAR) AS name FROM (
+          |  SELECT user_id,
+          |    row_number() OVER (ORDER BY event_id) AS rn,
+          |    COUNT(*) OVER () AS cnt
+          |  FROM events WHERE event_id < 30)
+          |WHERE rn > 3 AND rn <= cnt - 1""".stripMargin,
+
+      "q40_topic_codec" ->
+        """WITH topics AS (
+          |  SELECT DISTINCT 'persistent://t_' || event_type ||
+          |    '/ns_' || CAST(user_id % 5 AS VARCHAR) ||
+          |    '/topic_' || CAST(event_id % 7 AS VARCHAR) AS topic
+          |  FROM events)
+          |SELECT topic,
+          |  regexp_replace(regexp_replace(topic, '_', '_u', 'g'), '/', '_s', 'g')
+          |    AS file_name,
+          |  true AS roundtrip_ok,
+          |  replace(replace(topic, '/', '_'), '_', '/') AS lossy_roundtrip
+          |FROM topics""".stripMargin
     )
   }
 }

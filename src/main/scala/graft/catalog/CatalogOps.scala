@@ -1,6 +1,6 @@
 package graft.catalog
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -74,23 +74,31 @@ object CatalogOps {
       .limit(limit)
   }
 
-  /** S5: parse a `pulsarctl`-style fixed-width table already loaded as
-    * (line, line_no): drop `headerLines` from the head and
-    * `footerLines` from the tail, split on whitespace, take column
-    * `fieldIdx`. (pulsar_backup_restore.py:54-57)
+  /** S5: read a CLI-output text file as numbered lines (line, line_no
+    * 1-based). `wholetext` keeps the file in one task so the split
+    * order IS the line order — correct for CLI-scale inputs, which is
+    * the only place fixed-width table output exists. */
+  def readCliLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("wholetext", true).text(path)
+      .select(posexplode(split(col("value"), "\n")).as(Seq("idx", "line")))
+      .select(col("line"), (col("idx") + 1).cast("long").as("line_no"))
+
+  /** S5: parse a `pulsarctl`-style fixed-width table given (line,
+    * line_no) rows: drop `headerLines` from the head and `footerLines`
+    * from the tail, split on whitespace, take column `fieldIdx`.
+    * (pulsar_backup_restore.py:54-57)
     *
-    * Driver-scale data (CLI output) — the window over a constant
-    * partition is fine; for large files carry a real line number from
-    * the source instead. */
+    * The tail bound comes from a 1-row broadcast aggregate rather than
+    * a global no-partition window or an eager count — no plan-time
+    * action, no single-task sort. */
   def parseCliTable(
-      lines: DataFrame, lineCol: String = "value",
+      lines: DataFrame, lineCol: String = "value", lineNoCol: String = "line_no",
       headerLines: Int = 3, footerLines: Int = 1,
       fieldIdx: Int = 1): DataFrame = {
-    val w = Window.orderBy(col("line_no"))
-    val n = lines.count()
-    lines
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") > headerLines && col("rn") <= n - footerLines)
+    val total = lines.agg(max(col(lineNoCol)).as("_max_ln"))
+    lines.crossJoin(broadcast(total))
+      .filter(col(lineNoCol) > headerLines &&
+        col(lineNoCol) <= col("_max_ln") - footerLines)
       .select(split(trim(col(lineCol)), "\\s+").getItem(fieldIdx).as("name"))
       .filter(col("name").isNotNull && col("name") =!= "")
   }

@@ -67,4 +67,43 @@ object vectors {
     }
     bits.reduce(_ + _)
   }
+
+  /** Deterministic pseudo-random hyperplane matrix (splitmix64),
+    * generated DRIVER-side and embedded as plain literals. Because the
+    * planes are constants (not data-dependent hashes), the exact same
+    * numbers can be inlined into an external SQL mirror of the plan —
+    * which is how the LSH queries stay DuckDB-oracle-checkable. */
+  def planeMatrix(seed: Long, nPlanes: Int, dim: Int): Seq[Array[Double]] = {
+    var x = seed
+    def next(): Long = {
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    (0 until nPlanes).map { _ =>
+      Array.fill(dim)(((next() >>> 11).toDouble / 9007199254740992.0) * 2.0 - 1.0)
+    }
+  }
+
+  /** Σ vᵢ·litᵢ against a literal plane, as the same strict left fold
+    * in double as [[dotProduct]] (mirrorable via DuckDB list_reduce). */
+  def dotLit(v: Column, plane: Array[Double]): Column =
+    aggregate(
+      zip_with(v, typedLit(plane.toSeq), (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, t) => acc + t)
+
+  /** Sign-pattern bucket id against a literal plane matrix. */
+  def hyperplaneBucketLit(v: Column, planes: Seq[Array[Double]]): Column = {
+    require(planes.size <= 62, "bucket id packs into a Long")
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dotLit(v, p) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Multi-table LSH bucket ids: one sign-pattern bucket per table,
+    * each table with its own plane matrix. Returns array<long>. */
+  def multiTableBuckets(v: Column, tables: Seq[Seq[Array[Double]]]): Column =
+    array(tables.map(planes => hyperplaneBucketLit(v, planes)): _*)
 }

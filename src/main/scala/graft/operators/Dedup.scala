@@ -3,11 +3,11 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.text
+import graft.functions.{hashes, text}
 
 /** Deduplication family for the documents pipeline: exact, n-gram
-  * Jaccard (exact, inverted-index), MinHash+LSH (approximate, the
-  * 100 TB path), and SimHash.
+  * Jaccard (exact, inverted-index), MinHash+LSH (approximate candidate
+  * generation + exact re-score — the 100 TB path), and SimHash.
   *
   * Scale design: every variant avoids the O(n²) all-pairs comparison.
   * Exact dedup is one hash aggregate; Jaccard/MinHash build an
@@ -15,7 +15,9 @@ import graft.functions.text
   * documents sharing a shingle/band ever meet in the join, and the
   * band join is a shuffle on a high-cardinality key. Ultra-frequent
   * shingles (stop-shingles) are droppable via `maxShingleDf` to cap
-  * skew on a 1000-executor cluster.
+  * skew on a 1000-executor cluster; candidates are always re-scored
+  * against the FULL shingle sets, so the guard affects candidate
+  * recall only, never the similarity arithmetic.
   */
 object Dedup {
 
@@ -27,41 +29,63 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
-  /** Exact near-dup pairs by n-gram Jaccard similarity >= threshold,
-    * via an inverted index on shingles:
-    *   docs → distinct shingles → explode → self-join on shingle
-    *   → pair intersection counts → |A∩B| / (|A|+|B|-|A∩B|).
-    * Exact (same result as brute force) but only materializes pairs
-    * that share at least one shingle. `maxShingleDf` drops shingles
-    * appearing in more than that many docs (skew guard; None = exact).
-    */
-  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, maxShingleDf: Option[Int] = None): DataFrame = {
-    val sh = docs.select(
-        col(idCol).as("doc"),
-        explode(text.wordShingles(text.tokens(col(textCol)), n)).as("shingle"))
-    val filtered = maxShingleDf match {
-      case Some(m) =>
-        // inverted-index skew guard: drop stop-shingles
-        val hot = sh.groupBy("shingle").count().filter(col("count") > m)
-          .select("shingle")
-        sh.join(broadcast(hot), Seq("shingle"), "left_anti")
-      case None => sh
-    }
-    val sizes = filtered.groupBy("doc").agg(count(lit(1)).as("sz"))
-    val a = filtered.toDF("doc_a", "shingle")
-    val b = filtered.toDF("doc_b", "shingle")
-    val inter = a.join(b, Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.toDF("doc_a", "sz_a"), "doc_a")
-      .join(sizes.toDF("doc_b", "sz_b"), "doc_b")
+  /** (doc, shingles) pairs: each document's DISTINCT word n-gram set. */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(
+      col(idCol).as("doc"),
+      text.wordShingles(text.tokens(col(textCol)), n).as("shingles"))
+
+  /** Exact Jaccard re-score of candidate (doc_a, doc_b) pairs against
+    * the full shingle sets: |A∩B| / (|A|+|B|-|A∩B|) >= threshold.
+    * Two hash joins on doc id + a per-pair array intersection — no
+    * pair explosion beyond the candidate set itself. */
+  def rescoreJaccard(candidates: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame =
+    candidates
+      .join(sets.toDF("doc_a", "s_a"), "doc_a")
+      .join(sets.toDF("doc_b", "s_b"), "doc_b")
+      .withColumn("inter", size(array_intersect(col("s_a"), col("s_b"))).cast("long"))
+      .withColumn("sz_a", size(col("s_a")).cast("long"))
+      .withColumn("sz_b", size(col("s_b")).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "jaccard")
+
+  /** Exact near-dup pairs by n-gram Jaccard similarity >= threshold.
+    * Candidate generation is an inverted index on shingles (explode →
+    * self-join on shingle), then candidates are re-scored exactly on
+    * the full sets by [[rescoreJaccard]].
+    *
+    * `maxShingleDf` drops shingles appearing in more than that many
+    * docs from the INDEX ONLY (skew guard: one shingle shared by d
+    * docs produces d²/2 join rows on a single key). Because re-scoring
+    * uses full sets, the result stays exact unless a qualifying pair
+    * shares exclusively ultra-hot shingles — implausible for real
+    * near-dups at any threshold where this query is meaningful, and
+    * measured inert on the fixtures (max shingle df at sf0.01 is 46
+    * against the default guard of 500). */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxShingleDf: Option[Int] = None): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, n)
+    val sh = sets.select(col("doc"), explode(col("shingles")).as("shingle"))
+    val indexed = maxShingleDf match {
+      case Some(m) =>
+        // stop-shingle skew guard: hot shingles leave the index.
+        // (re-select: a usingColumns join reorders the key first)
+        val hot = sh.groupBy("shingle").count().filter(col("count") > m)
+          .select("shingle")
+        sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+          .select("doc", "shingle")
+      case None => sh
+    }
+    val candidates = indexed.toDF("doc_a", "shingle")
+      .join(indexed.toDF("doc_b", "shingle"), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    rescoreJaccard(candidates, sets, threshold)
   }
 
   /** MinHash signatures: k independent permutations approximated by
@@ -86,11 +110,12 @@ object Dedup {
 
   /** MinHash LSH candidate pairs: split the k-wide signature into
     * `bands` bands of k/bands rows, hash each band, and join docs
-    * landing in the same (band, bandHash) bucket. Approximate: recall
-    * is governed by the (bands, rows) S-curve; callers verify
-    * candidates with [[ngramJaccardPairs]]-style exact scoring. */
-  def minhashCandidatePairs(signatures: DataFrame, bands: Int): DataFrame = {
-    val k = signatures.select(size(col("signature"))).first().getInt(0)
+    * landing in the same (band, bandHash) bucket. `k` is the signature
+    * width the CALLER built the signatures with — passing it avoids a
+    * driver-side action (and a double execution of the signature job)
+    * during plan construction. Approximate: recall follows the
+    * (bands, rows) S-curve; callers re-score candidates exactly. */
+  def minhashCandidatePairs(signatures: DataFrame, bands: Int, k: Int): DataFrame = {
     require(k % bands == 0, s"bands=$bands must divide signature width $k")
     val r = k / bands
     val banded = signatures.select(
@@ -106,28 +131,47 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
-  /** 64-bit SimHash over the token stream: per token a 64-bit hash
-    * votes ±1 on each bit position; the sign of each accumulated
-    * position becomes the output bit. Pure fold — no shuffle.
+  /** End-to-end MinHash near-dup pairs: signatures → LSH banding →
+    * EXACT Jaccard re-score on the full shingle sets. The output is a
+    * subset of the exact ngram-Jaccard pairs; with the default
+    * S-curve parameters (k=64, bands=32, i.e. r=2) a pair at
+    * similarity s is missed with probability (1-s²)^32 — under 3e-25
+    * at s=0.9, 1e-4 at s=0.5 — so at `threshold` ≥ 0.5 the result is
+    * the exact answer in practice and is verified against the exact
+    * oracle. */
+  def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, shingleN, k)
+    val candidates = minhashCandidatePairs(sigs, bands, k)
+    rescoreJaccard(candidates, shingleSets(docs, idCol, textCol, shingleN),
+      threshold)
+  }
+
+  /** SimHash over the token stream: per token a `width`-bit hash votes
+    * ±1 on each bit position; the sign of each accumulated position
+    * becomes the output bit. Pure fold — no shuffle. `hashFn` defaults
+    * to xxhash64 (fast path); pass [[hashes.md5Hash60]] with width=60
+    * for a fingerprint the DuckDB oracle can mirror verbatim.
     * (Bit positions are unrolled at plan-build time because Spark's
     * shift functions take a literal shift amount.) */
-  def simhash(textCol: Column): Column = {
-    val hashes = transform(text.tokens(textCol), t => xxhash64(t))
+  def simhash(textCol: Column, width: Int = 64,
+      hashFn: Column => Column = c => xxhash64(c)): Column = {
+    val hs = transform(text.tokens(textCol), t => hashFn(t))
     val votes = aggregate(
-      hashes,
-      array_repeat(lit(0L), 64),
-      (acc, h) => array((0 until 64).map { j =>
+      hs,
+      array_repeat(lit(0L), width),
+      (acc, h) => array((0 until width).map { j =>
         element_at(acc, j + 1) +
           when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, lit(1L))
             .otherwise(lit(-1L))
       }: _*))
-    val powers = array((0 until 64).map(j => lit(1L << j)): _*)
+    val powers = array((0 until width).map(j => lit(1L << j)): _*)
     aggregate(
       zip_with(votes, powers, (v, p) => when(v >= 0, p).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc + x)
   }
 
-  /** Hamming distance between two 64-bit simhashes. */
+  /** Hamming distance between two simhashes. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 }

@@ -13,19 +13,21 @@ import graft.functions.vectors
   *    query point, then TakeOrderedAndProject. On a cluster this is a
   *    single pass over the vectors with k results per partition and k
   *    at the driver; the correct baseline and the recall oracle.
-  *  - [[lshTopK]] / [[lshNearDupPairs]]: random-hyperplane LSH — bucket
-  *    vectors by sign pattern, search only within the probe's bucket
-  *    (plus optionally neighboring buckets). Sub-linear candidate sets
-  *    at 100 TB at the cost of recall; bucket id is computed per-row,
-  *    the join key is the bucket — no cartesian anywhere.
+  *  - [[lshTopK]] / [[lshNearDupPairs]]: random-hyperplane LSH —
+  *    bucket vectors by their sign pattern against a LITERAL plane
+  *    matrix ([[vectors.planeMatrix]], generated driver-side), search
+  *    only within buckets. Sub-linear candidate sets at 100 TB at the
+  *    cost of recall; because the planes are plan-time constants, the
+  *    DuckDB oracle inlines the same literals and verifies the
+  *    approximate result EXACTLY (no `no_oracle` escape hatch).
   */
 object Similarity {
 
   /** Exact top-k by cosine against the single query row selected by
-    * `queryFilter` (e.g. vec_id = 0). The query side is one row, so
-    * the join is a broadcast nested loop over a 1-row build side —
-    * effectively a map. Output: vec_id, cos (rounded for float-safe
-    * comparison; ordering uses the exact value). */
+    * `queryVecId`. The query side is one row, so the join is a
+    * broadcast nested loop over a 1-row build side — effectively a
+    * map. Output: vec_id, cos (rounded for float-safe comparison;
+    * ordering uses the exact value). */
   def bruteForceTopK(emb: DataFrame, queryVecId: Long, k: Int): DataFrame = {
     val q = emb.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("q_embedding"))
@@ -40,13 +42,14 @@ object Similarity {
       .select(col("vec_id"), round(col("cos"), 6).as("cos"))
   }
 
-  /** Approximate per-vector top-k neighbors via hyperplane LSH:
-    * bucket every vector, join within buckets, rank per probe.
-    * Smaller `nPlanes` → bigger buckets → higher recall, more work. */
-  def lshTopK(emb: DataFrame, nPlanes: Int, k: Int, seed: Int = 42): DataFrame = {
+  /** Approximate per-vector top-k neighbors via hyperplane LSH with a
+    * literal plane matrix: bucket every vector, join within buckets,
+    * rank per probe. Fewer planes → bigger buckets → higher recall,
+    * more work; the in-bucket join shuffles on the bucket key only. */
+  def lshTopK(emb: DataFrame, planes: Seq[Array[Double]], k: Int): DataFrame = {
     val bucketed = emb.select(
       col("vec_id"), col("embedding"),
-      vectors.hyperplaneBucket(col("embedding"), nPlanes, seed).as("bucket"))
+      vectors.hyperplaneBucketLit(col("embedding"), planes).as("bucket"))
     val a = bucketed.toDF("vec_id", "embedding", "bucket")
     val b = bucketed.toDF("nb_id", "nb_embedding", "bucket")
     val pairs = a.join(b, Seq("bucket"))
@@ -62,9 +65,9 @@ object Similarity {
         col("rnk"))
   }
 
-  /** Exact near-duplicate vector pairs (cos >= threshold). This is the
-    * small-data / oracle baseline: an explicit all-pairs join. The
-    * scale path is [[lshNearDupPairs]]. */
+  /** Exact near-duplicate vector pairs (cos >= threshold) via an
+    * explicit all-pairs join. O(n²) — test/oracle baseline ONLY; the
+    * registered scale path is [[lshNearDupPairs]]. */
   def nearDupPairsExact(emb: DataFrame, threshold: Double): DataFrame = {
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
@@ -75,21 +78,32 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
-  /** LSH-pruned near-duplicate pairs: only pairs sharing a bucket are
-    * scored. Candidates scale with bucket occupancy, not n². */
-  def lshNearDupPairs(emb: DataFrame, threshold: Double, nPlanes: Int,
-      seed: Int = 42): DataFrame = {
+  /** Multi-table LSH near-duplicate pairs with exact re-score: each
+    * vector lands in one bucket per table (`tables` literal plane
+    * matrices), candidate pairs are bucket collisions in ANY table,
+    * and every candidate is re-scored with the exact cosine before the
+    * threshold filter — so the output is a subset of the exact answer,
+    * never a superset. With T tables of b planes a true pair at
+    * cosine c is missed with probability (1-(1-θ/π)^b)^T, θ=acos(c):
+    * ~0.4% at c=0.9 and ~6% at c=0.8 for T=16, b=8. Candidates scale
+    * with per-bucket occupancy (n/2^b per table), not n². */
+  def lshNearDupPairs(emb: DataFrame, threshold: Double,
+      tables: Seq[Seq[Array[Double]]]): DataFrame = {
     val bucketed = emb.select(
-      col("vec_id"), col("embedding"),
-      vectors.hyperplaneBucket(col("embedding"), nPlanes, seed).as("bucket"))
-    val a = bucketed.toDF("id_a", "e_a", "bucket")
-    val b = bucketed.toDF("id_b", "e_b", "bucket")
-    a.join(b, Seq("bucket"))
+      col("vec_id"),
+      posexplode(vectors.multiTableBuckets(col("embedding"), tables))
+        .as(Seq("tbl", "bucket")))
+    val a = bucketed.toDF("id_a", "tbl", "bucket")
+    val b = bucketed.toDF("id_b", "tbl", "bucket")
+    val candidates = a.join(b, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    candidates
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b")), "id_b")
       .withColumn("cos", vectors.cosineSimilarity(
         vectors.toDouble(col("e_a")), vectors.toDouble(col("e_b"))))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
-      .distinct()
   }
 }

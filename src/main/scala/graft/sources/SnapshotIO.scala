@@ -103,12 +103,21 @@ object SnapshotIO {
       .groupBy(col("file"))
       .agg(to_json(collect_list(col("msg"))).as("body"))
     // one file per topic, written from the executors (scales with the
-    // number of topics; no driver collect)
+    // number of topics; no driver collect). Hadoop FileSystem API so
+    // the files land in `dir` on whatever filesystem backs it —
+    // java.nio would scatter them across executor-local disks on a
+    // real cluster.
     perTopic.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-      rows.foreach { r =>
-        val p = java.nio.file.Paths.get(dir, "messages", r.getString(0) + ".json")
-        java.nio.file.Files.createDirectories(p.getParent)
-        java.nio.file.Files.writeString(p, r.getString(1))
+      if (rows.nonEmpty) {
+        val base = new org.apache.hadoop.fs.Path(dir, "messages")
+        val fs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        fs.mkdirs(base)
+        rows.foreach { r =>
+          val p = new org.apache.hadoop.fs.Path(base, r.getString(0) + ".json")
+          val out = fs.create(p, true)
+          try out.write(r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        }
       }
     }
   }
