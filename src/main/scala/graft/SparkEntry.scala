@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.catalog.CatalogOps
 import graft.functions.{codec, hashes, text, vectors}
+import graft.gen.Generator
 import graft.operators.{Dedup, Relational, Similarity}
 
 /** Driver contract: the full query surface of the engine, one entry
@@ -392,25 +393,12 @@ object SparkEntry {
         .select(col("doc_id"),
           hashes.rollingFingerprint(text.tokens(col("text"))).as("fp"))),
 
-    // ── S8/F7-F15: deterministic synthetic emailSend generator ──
+    // ── S8/F7-F15: deterministic synthetic emailSend generator
+    // (shared with the streaming publish pipeline via gen.Generator) ──
     "q34_generator" -> ((s, dir) => {
       val base = lit(1704067200L) // 2024-01-01T00:00:00Z
-      s.range(0, 1000).select(
-        col("id"),
-        md5(concat(lit("evt-"), col("id").cast("string"))).as("event_id"),
-        md5(concat(lit("corr-"), col("id").cast("string")))
-          .as("correlation_id"),
-        (lit(100) + (col("id") * 1103515245L + 12345L) % 7).as("project_id"),
-        concat(lit("user+"), ((col("id") * 69069L + 1L) % 1000).cast("string"),
-          lit("@example.com")).as("user_key"),
-        (lit(7000) + (col("id") * 40014L + 3L) % 25).as("campaign_id"),
-        (lit(5000) + (col("id") * 48271L + 7L) % 10).as("template_id"),
-        date_format(timestamp_seconds(base + col("id")),
-          "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("created_at"),
-        date_format(timestamp_seconds(base + col("id")),
-          "yyyy-MM-dd HH:mm:ss.SSS'Z'").as("ingest_start_time"),
-        date_format(timestamp_seconds(base + col("id")),
-          "yyyy-MM-dd HH:mm:ss +00:00").as("es_created_at"))
+      s.range(0, 1000).select(Generator.emailSendColumns(
+        col("id"), timestamp_seconds(base + col("id"))): _*)
     }),
 
     // ── P1/P6/F5-F6: envelope projection with binary round-trip ──
@@ -896,7 +884,8 @@ object SparkEntry {
           |    '/topic_' || CAST(event_id % 7 AS VARCHAR) AS topic
           |  FROM events)
           |SELECT topic,
-          |  regexp_replace(regexp_replace(topic, '_', '_u', 'g'), '/', '_s', 'g')
+          |  regexp_replace(regexp_replace(regexp_replace(
+          |    topic, '_', '_u', 'g'), '/', '_s', 'g'), ':', '_c', 'g')
           |    AS file_name,
           |  true AS roundtrip_ok,
           |  replace(replace(topic, '/', '_'), '_', '/') AS lossy_roundtrip

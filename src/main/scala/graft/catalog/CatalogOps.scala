@@ -99,7 +99,10 @@ object CatalogOps {
     lines.crossJoin(broadcast(total))
       .filter(col(lineNoCol) > headerLines &&
         col(lineNoCol) <= col("_max_ln") - footerLines)
-      .select(split(trim(col(lineCol)), "\\s+").getItem(fieldIdx).as("name"))
+      // get() (not getItem): null on short rows instead of an ANSI
+      // out-of-bounds error — the optimizer may evaluate this
+      // projection on rows the line-number filter will drop
+      .select(get(split(trim(col(lineCol)), "\\s+"), lit(fieldIdx)).as("name"))
       .filter(col("name").isNotNull && col("name") =!= "")
   }
 

@@ -40,19 +40,30 @@ object codec {
     when(binaryEncoded, unbase64(content))
       .otherwise(encode(content, "UTF-8"))
 
-  /** Reversible topic→file-name escaping: '_'→"_u" first, then
-    * '/'→"_s". Bijective for all topic names. */
+  /** Reversible topic→file-name escaping: '_'→"_u" first (so marker
+    * underscores introduced below are never re-escaped), then
+    * '/'→"_s" and ':'→"_c". Bijective for all topic names, and the
+    * output contains no '/' or ':' — ':' matters because Hadoop Path
+    * cannot represent a relative file name with a colon in its first
+    * segment, so the reference's literal layout ("persistent:__…")
+    * is unrepresentable on HDFS (see SnapshotIO.importReferenceSnapshot
+    * for the local-disk interchange shim). */
   def sanitizeTopic(topic: Column): Column =
-    regexp_replace(regexp_replace(topic, "_", "_u"), "/", "_s")
+    regexp_replace(
+      regexp_replace(regexp_replace(topic, "_", "_u"), "/", "_s"),
+      ":", "_c")
 
-  /** Inverse of [[sanitizeTopic]]: "_s"→'/' then "_u"→'_'.
-    * (Single pass over markers so "_us" round-trips correctly.) */
-  def desanitizeTopic(fileName: Column): Column = {
-    // Replace marker pairs left-to-right: _s → /, _u → _.
-    // A simple two-step chain is safe because the forward map never
-    // produces a bare '_' (every '_' in the output heads a marker).
-    regexp_replace(regexp_replace(fileName, "_s", "/"), "_u", "_")
-  }
+  /** Scala-string twin of [[sanitizeTopic]] for driver-side file ops. */
+  def sanitizeTopicStr(topic: String): String =
+    topic.replace("_", "_u").replace("/", "_s").replace(":", "_c")
+
+  /** Inverse of [[sanitizeTopic]]: "_s"→'/', "_c"→':', then "_u"→'_'
+    * LAST (a forward output's every '_' heads a marker, so resolving
+    * the two-char markers before collapsing "_u" is unambiguous). */
+  def desanitizeTopic(fileName: Column): Column =
+    regexp_replace(
+      regexp_replace(regexp_replace(fileName, "_s", "/"), "_c", ":"),
+      "_u", "_")
 
   /** The reference's lossy mapping, for interchange compatibility. */
   def sanitizeTopicLossy(topic: Column): Column =

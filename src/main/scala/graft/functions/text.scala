@@ -24,12 +24,17 @@ object text {
   def tokenCount(c: Column): Column = size(tokens(c))
 
   /** Word n-gram shingles, space-joined, DISTINCT (set semantics for
-    * Jaccard). slice() is 1-based with (start, length). */
-  def wordShingles(toks: Column, n: Int): Column =
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    * Jaccard). slice() is 1-based with (start, length). Documents with
+    * fewer than n tokens yield an EMPTY set — without the guard,
+    * sequence(1, 0) descends and slice(toks, 0, n) throws. */
+  def wordShingles(toks: Column, n: Int): Column = {
+    val k = size(toks) - (n - 1) // number of shingles
+    when(k <= 0, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(
+          sequence(lit(1), greatest(k, lit(1))),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
+  }
 
   /** Punctuation count over an explicit class (kept narrow so the
     * regex semantics are identical in Spark and DuckDB/RE2). */

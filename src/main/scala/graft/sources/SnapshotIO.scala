@@ -56,6 +56,43 @@ object SnapshotIO {
         "publish_ts", "event_ts", "partition_key", "seq")
   }
 
+  /** Driver-side interchange shim: copy a snapshot written by the
+    * REFERENCE tooling (file names like "persistent:__tenant_ns_topic
+    * .json", which Hadoop Path cannot represent because of the colon)
+    * into `destDir` under our reversible colon-free names, recovering
+    * each topic with the reference's own lossy "_"→"/" rule first.
+    * Local filesystem only — which is the only place the reference's
+    * layout can exist anyway. Catalog text files copy verbatim.
+    * After importing, read with `readMessages(spark, destDir)`
+    * (compatLossy = false: the lossy recovery already happened here,
+    * faithfully including the reference's underscore corruption). */
+  def importReferenceSnapshot(srcDir: String, destDir: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dst = Paths.get(destDir)
+    Files.createDirectories(dst.resolve("messages"))
+    Seq("tenants.txt", "namespaces.txt", "topics.txt", "all_topics.txt")
+      .foreach { f =>
+        val s = Paths.get(srcDir, f)
+        if (Files.exists(s))
+          Files.copy(s, dst.resolve(f), StandardCopyOption.REPLACE_EXISTING)
+      }
+    val msgs = Paths.get(srcDir, "messages")
+    if (Files.exists(msgs)) {
+      val it = Files.list(msgs).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val name = p.getFileName.toString
+        if (name.endsWith(".json")) {
+          val stem = name.stripSuffix(".json")
+          val topicLossy = stem.replace("_", "/") // the reference's rule
+          val safe = codec.sanitizeTopicStr(topicLossy) + ".json"
+          Files.copy(p, dst.resolve("messages").resolve(safe),
+            StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    }
+  }
+
   def readTenants(spark: SparkSession, dir: String): DataFrame =
     spark.read.text(s"$dir/tenants.txt").select(col("value").as("tenant"))
 

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, StreamingQueryListener, Trigger}
+
+import graft.gen.Generator
+
+/** Structured Streaming surface of the engine (SURVEY §2.10 T1-T8,
+  * §3.3). The reference's asyncio rate loop, sleep-based throttling
+  * and manual progress counters (pulsar_remote_inspector.py:258-332)
+  * all disappear into declarative pieces: the rate source provides
+  * the msgs/sec contract, triggers provide batching, watermarks
+  * provide late-data semantics, and the listener provides throughput
+  * metering. Every transform here is also applicable to a `readStream`
+  * from a real broker source — the logical plan does not change.
+  */
+object Streams {
+
+  /** T3+S8: rate-limited synthetic emailSend stream. One wire-format
+    * JSON message per rate tick; `rowsPerSecond` IS the reference's
+    * `--rate` contract (pulsar_remote_inspector.py:291-319), enforced
+    * by the source instead of a sleep loop. */
+  def syntheticPublishStream(spark: SparkSession, rowsPerSecond: Int): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toLong)
+      .load() // (timestamp, value)
+      .select(
+        col("value").as("id"),
+        Generator.emailSendJson(col("value"), col("timestamp")).as("value"))
+
+  /** T1: bounded ingestion — drain everything available, then stop
+    * (the declarative form of the reference's poll-until-5s-silence
+    * loop, pulsar_backup_restore.py:115-117). File sink keeps the
+    * run replayable; checkpoint gives exactly-once into the dir. */
+  def runBounded(df: DataFrame, outDir: String, checkpointDir: String): StreamingQuery =
+    df.writeStream.format("json")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** T8: streaming dedup bounded by a watermark — state for `idCols`
+    * is kept only `delay` past the event-time frontier, so the state
+    * store cannot grow unboundedly at 100 TB/day ingest. */
+  def dedupWithinWatermark(df: DataFrame, tsCol: String, idCols: Seq[String],
+      delay: String): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
+  /** T7: tumbling event-time windows (streaming analog of q19). */
+  def tumblingCounts(df: DataFrame, tsCol: String, delay: String,
+      windowDur: String, keyCols: Column*): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), windowDur) +: keyCols: _*)
+      .agg(count(lit(1)).as("n"))
+
+  /** T7: gap-based session windows (streaming analog of q21). */
+  def sessionCounts(df: DataFrame, tsCol: String, delay: String,
+      gap: String, keyCols: Column*): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .groupBy(session_window(col(tsCol), gap) +: keyCols: _*)
+      .agg(count(lit(1)).as("n"))
+
+  /** T7: arbitrary keyed state — running per-key totals that survive
+    * across micro-batches (mapGroupsWithState). */
+  def runningCounts(ds: Dataset[(String, Long)]): Dataset[(String, Long)] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
+          val c = state.getOption.getOrElse(0L) + rows.size
+          state.update(c)
+          (key, c)
+      }
+  }
+
+  /** A4/T5: throughput metering — the reference's every-500-messages
+    * progress print (pulsar_remote_inspector.py:311-314) becomes a
+    * listener fed by the engine's own per-batch progress events. */
+  final class ThroughputListener extends StreamingQueryListener {
+    val totalRows = new AtomicLong(0L)
+    @volatile var lastRowsPerSecond: Double = 0.0
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      totalRows.addAndGet(e.progress.numInputRows)
+      lastRowsPerSecond = e.progress.processedRowsPerSecond
+    }
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+  }
+}

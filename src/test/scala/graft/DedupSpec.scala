@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.functions.{hashes, text}
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  private lazy val corpus = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+      (3L, "completely different content about spark engines"),
+      (4L, "spark engines process completely different content"), // same tokens, other order
+      (5L, "")).toDF("doc_id", "text")
+  }
+
+  /** brute-force bigram Jaccard in Scala for the oracle side */
+  private def bruteJaccard(a: String, b: String): Double = {
+    def sh(s: String) = s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      .sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet
+    val (sa, sb) = (sh(a), sh(b))
+    if (sa.isEmpty || sb.isEmpty) 0.0
+    else sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
+  }
+
+  test("exactGroups keeps the minimum id as keeper") {
+    import spark.implicits._
+    val out = Dedup.exactGroups(corpus, Seq("text"), "doc_id")
+      .select("keeper_id", "n_copies").as[(Long, Long)].collect()
+    out.toSet should contain((0L, 2L)) // docs 0 and 2 collapse, keeper = 0
+    out.map(_._2).sum shouldBe 6L // every source row accounted for
+  }
+
+  test("ngramJaccardPairs matches brute force (exact, inverted index)") {
+    val texts = corpus.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = (for {
+      a <- texts.keys; b <- texts.keys if a < b
+      j = bruteJaccard(texts(a), texts(b)) if j >= 0.3
+    } yield (a, b, BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP))).toSet
+    import spark.implicits._
+    val got = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 2, 0.3)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2, BigDecimal(r._3).setScale(4, BigDecimal.RoundingMode.HALF_UP)))
+      .toSet
+    got shouldBe expected
+  }
+
+  test("skew guard only prunes candidates; surviving pairs stay exact") {
+    import spark.implicits._
+    val unguarded = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 2, 0.3)
+      .select("doc_a", "doc_b", "inter").as[(Long, Long, Long)].collect().toSet
+    val guarded = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 2, 0.3,
+      maxShingleDf = Some(2))
+      .select("doc_a", "doc_b", "inter").as[(Long, Long, Long)].collect().toSet
+    guarded.subsetOf(unguarded) shouldBe true
+    // intersection counts (from full sets) agree wherever pairs survive
+    guarded.foreach(p => unguarded should contain(p))
+  }
+
+  test("minhashNearDupPairs equals the exact pairs at a high threshold") {
+    import spark.implicits._
+    val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 2, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
+      shingleN = 2, k = 64, bands = 32, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    lsh shouldBe exact
+  }
+
+  test("simhash: deterministic, equal for identical token streams, order-sensitive fingerprint") {
+    import spark.implicits._
+    val out = corpus.select(col("doc_id"),
+      Dedup.simhash(col("text"), width = 60, hashFn = hashes.md5Hash60).as("sh"),
+      hashes.rollingFingerprint(text.tokens(col("text"))).as("fp"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    out(0L) shouldBe out(2L)                 // identical docs agree on both
+    out(0L)._1 should not be out(3L)._1      // different docs differ
+    // near-dups are close in Hamming space, far docs are not
+    val h01 = java.lang.Long.bitCount(out(0L)._1 ^ out(1L)._1)
+    val h03 = java.lang.Long.bitCount(out(0L)._1 ^ out(3L)._1)
+    h01 should be < h03
+    // rolling fingerprint is ORDER-sensitive: same tokens, other order
+    out(3L)._2 should not be out(4L)._2
+  }
+
+  test("hamming64 counts differing bits") {
+    import spark.implicits._
+    Seq((0xFFL, 0x0FL)).toDF("a", "b")
+      .select(Dedup.hamming64(col("a"), col("b")))
+      .as[Int].head() shouldBe 4
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.catalog.CatalogOps
+import graft.operators.Relational
+
+class RelationalSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("asOfJoin attaches the latest right value at or before each left ts") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "k1", ts(10)), (2L, "k1", ts(20)), (3L, "k2", ts(10)),
+      (4L, "k3", ts(10))) // k3 has no right rows at all
+      .toDF("event_id", "key", "ts")
+    val right = Seq(
+      ("k1", ts(5), 100L), ("k1", ts(15), 101L), ("k1", ts(20), 102L),
+      ("k2", ts(11), 200L)) // k2's only right row is AFTER the left ts
+      .toDF("key", "ts", "val")
+    val out = Relational.asOfJoin(left, right, "key", "ts", "ts", "val", "asof")
+      .select("event_id", "asof").as[(Long, Option[Long])].collect().toMap
+    out(1L) shouldBe Some(100L) // 5 <= 10 wins
+    out(2L) shouldBe Some(102L) // right at exactly leftTs is visible
+    out(3L) shouldBe None       // nothing at or before
+    out(4L) shouldBe None       // no right rows for the key
+  }
+
+  test("sessionize opens a new session exactly past the gap") {
+    import spark.implicits._
+    val df = Seq(
+      ("u1", ts(0)), ("u1", ts(100)), ("u1", ts(100 + 1800)), // gap == limit: same session
+      ("u1", ts(100 + 1800 + 1801)),                          // gap > limit: new session
+      ("u2", ts(50))).toDF("user", "ts")
+    val out = Relational.sessionize(df, col("user"), col("ts"), 1800L)
+      .select("user", "ts", "session_id").as[(String, Timestamp, Long)]
+      .collect().sortBy(r => (r._1, r._2.getTime))
+    out.map(_._3).toList shouldBe List(0L, 0L, 0L, 1L, 0L)
+  }
+
+  test("topKPerGroup keeps exactly k with deterministic tie-break") {
+    import spark.implicits._
+    val df = Seq(("g", 5, 1), ("g", 5, 2), ("g", 3, 3), ("g", 9, 4), ("h", 1, 5))
+      .toDF("grp", "score", "id")
+    val out = Relational.topKPerGroup(df, Seq(col("grp")),
+      Seq(col("score").desc, col("id")), 2)
+      .select("grp", "id").as[(String, Int)].collect().toSet
+    out shouldBe Set(("g", 4), ("g", 1), ("h", 5))
+  }
+
+  test("capPerGroup caps per key, not globally") {
+    import spark.implicits._
+    val df = (1 to 10).flatMap(i => Seq(("a", i), ("b", i))).toDF("k", "v")
+    val out = CatalogOps.capPerGroup(df, col("k"), Seq(col("v")), 4)
+    out.groupBy("k").count().as[(String, Long)].collect().toMap shouldBe
+      Map("a" -> 4L, "b" -> 4L)
+    // and keeps the FIRST n in order
+    out.filter(col("k") === "a").select("v").as[Int].collect().sorted shouldBe
+      Array(1, 2, 3, 4)
+  }
+
+  test("trimHeadTail drops positional head and tail rows per group") {
+    import spark.implicits._
+    val df = (1 to 6).map(("g", _)).toDF("k", "v") // 6 rows
+    val out = CatalogOps.trimHeadTail(df, col("k"), col("v"), 3, 1)
+      .select("v").as[Int].collect().sorted
+    out shouldBe Array(4, 5) // drop rn<=3 and the last
+  }
+
+  test("parseCliTable trims header/footer and extracts the field") {
+    import spark.implicits._
+    val lines = Seq(
+      (1L, "+--------+"), (2L, "| ID | NAME |"), (3L, "+--------+"),
+      (4L, " 0 tenant-a active"), (5L, " 1 tenant-b active"),
+      (6L, "+--------+"))
+      .toDF("line_no", "line")
+    CatalogOps.parseCliTable(lines, "line", "line_no", 3, 1, 1)
+      .as[String].collect().sorted shouldBe Array("tenant-a", "tenant-b")
+  }
+}

@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.model.Schemas
+import graft.streaming.Streams
+
+/** Structured Streaming semantics (SURVEY §2.10): bounded ingestion,
+  * watermark dedup, event-time windows, keyed state, throughput
+  * metering — driven through MemoryStream / the rate source. */
+class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("T1: generator → file sink with Trigger.AvailableNow drains and stops") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    input.addData(0L until 100L)
+    val df = input.toDF()
+      .select(graft.gen.Generator.emailSendJson(
+        col("value"), timestamp_seconds(lit(1704067200L) + col("value"))).as("value"))
+    val out = Files.createTempDirectory("graft_stream_out").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val q = Streams.runBounded(df, out, ckpt)
+    q.awaitTermination(60000) shouldBe true // AvailableNow self-terminates
+    val written = spark.read.json(out)
+    written.count() shouldBe 100
+    // wire JSON parses against the pinned 5-level envelope schema
+    val parsed = written
+      .select(from_json(col("value"), Schemas.emailSend).as("m"))
+      .select("m.eventId", "m.payload.projectId",
+        "m.payload.data.diff.campaignId", "m.payload.metadata.source.action")
+    parsed.filter(col("eventId").isNull).count() shouldBe 0
+    parsed.filter(col("action") =!= "send").count() shouldBe 0
+    parsed.select(countDistinct(col("eventId"))).as[Long].head() shouldBe 100L
+  }
+
+  test("T8: dropDuplicatesWithinWatermark dedups replayed ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    val df = Streams.dedupWithinWatermark(
+      input.toDF().toDF("id", "ts"), "ts", Seq("id"), "10 minutes")
+    val q = df.writeStream.format("memory").queryName("dedup_t8")
+      .outputMode("append").start()
+    try {
+      input.addData(("a", ts(100)), ("a", ts(101)), ("b", ts(102)))
+      q.processAllAvailable()
+      input.addData(("a", ts(103)), ("c", ts(104))) // "a" is a replay dup
+      q.processAllAvailable()
+      val ids = spark.table("dedup_t8").select("id").as[String].collect().sorted
+      ids shouldBe Array("a", "b", "c")
+    } finally q.stop()
+  }
+
+  test("T7: tumbling event-time window closes once the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    val df = Streams.tumblingCounts(
+      input.toDF().toDF("k", "ts"), "ts", "5 seconds", "1 minute", col("k"))
+    val q = df.writeStream.format("memory").queryName("win_t7")
+      .outputMode("append").start()
+    try {
+      input.addData(("x", ts(10)), ("x", ts(20)), ("y", ts(30)))
+      q.processAllAvailable()
+      input.addData(("x", ts(200))) // advances watermark past the first window
+      q.processAllAvailable()
+      val rows = spark.table("win_t7")
+        .select(col("window.start").cast("long"), col("k"), col("n"))
+        .as[(Long, String, Long)].collect().toSet
+      rows shouldBe Set((0L, "x", 2L), (0L, "y", 1L))
+    } finally q.stop()
+  }
+
+  test("T7: session windows split on the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    val df = Streams.sessionCounts(
+      input.toDF().toDF("k", "ts"), "ts", "5 seconds", "30 seconds", col("k"))
+    val q = df.writeStream.format("memory").queryName("sess_t7")
+      .outputMode("append").start()
+    try {
+      input.addData(("u", ts(0)), ("u", ts(10)), ("u", ts(100)))
+      q.processAllAvailable()
+      input.addData(("u", ts(500))) // advance watermark, close both sessions
+      q.processAllAvailable()
+      val ns = spark.table("sess_t7").select("n").as[Long].collect().sorted
+      ns shouldBe Array(1L, 2L) // session {0,10} and session {100}
+    } finally q.stop()
+  }
+
+  test("T7: mapGroupsWithState keeps running totals across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val q = Streams.runningCounts(input.toDS())
+      .toDF("k", "total")
+      .writeStream.format("memory").queryName("state_t7")
+      .outputMode("update").start()
+    try {
+      input.addData(("a", 1L), ("a", 2L), ("b", 3L))
+      q.processAllAvailable()
+      input.addData(("a", 4L))
+      q.processAllAvailable()
+      // latest update per key reflects cumulative counts: a=3 rows, b=1
+      val last = spark.table("state_t7").groupBy("k")
+        .agg(max("total").as("total"))
+        .as[(String, Long)].collect().toMap
+      last shouldBe Map("a" -> 3L, "b" -> 1L)
+    } finally q.stop()
+  }
+
+  test("T3/A4/T5: rate source holds the msgs/sec contract; listener meters throughput") {
+    val listener = new Streams.ThroughputListener
+    spark.streams.addListener(listener)
+    val ckpt = Files.createTempDirectory("graft_rate_ckpt").toString
+    val q = Streams.syntheticPublishStream(spark, rowsPerSecond = 500)
+      .writeStream.format("noop")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("250 milliseconds"))
+      .start()
+    try {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (listener.totalRows.get() == 0 && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      listener.totalRows.get() should be > 0L
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+}
