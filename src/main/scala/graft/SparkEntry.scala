@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.catalog.CatalogOps
 import graft.functions.{codec, hashes, text, vectors}
 import graft.gen.Generator
-import graft.operators.{Dedup, Relational, Similarity}
+import graft.operators.{Dedup, Multimodal, Relational, Similarity}
 
 /** Driver contract: the full query surface of the engine, one entry
   * per operator from SURVEY.md §2, each with a DuckDB oracle where
@@ -488,6 +488,26 @@ object SparkEntry {
           col("topic")).as("roundtrip_ok"),
         codec.desanitizeTopicLossy(codec.sanitizeTopicLossy(col("topic")))
           .as("lossy_roundtrip"))
+    }),
+
+    // ── Multimodal: binary media column with magic-byte sniffing,
+    // frame sampling, and the (stubbed, deterministic) batched decode
+    // producing a feature vector — the 100 TB media-pipeline shape ──
+    "q41_multimodal" -> ((s, dir) => {
+      val payload = when(col("event_id") % 3 === 0,
+          concat(unhex(lit("FFD8")), encode(col("props"), "UTF-8")))
+        .when(col("event_id") % 3 === 1,
+          concat(unhex(lit("89504E47")), encode(col("props"), "UTF-8")))
+        .otherwise(encode(col("props"), "UTF-8"))
+      val meta = Multimodal.mediaMetadata(payload)
+      t(s, dir, "events").select(
+        col("event_id"),
+        meta.getField("mime").as("mime"),
+        meta.getField("n_bytes").as("n_bytes"),
+        size(Multimodal.frameSample(payload, frameSize = 16, maxFrames = 4))
+          .as("n_frames"),
+        round(element_at(Multimodal.featuresStub(payload, k = 4), 1), 6)
+          .as("f0"))
     })
   )
 
@@ -889,7 +909,25 @@ object SparkEntry {
           |    AS file_name,
           |  true AS roundtrip_ok,
           |  replace(replace(topic, '/', '_'), '_', '/') AS lossy_roundtrip
-          |FROM topics""".stripMargin
+          |FROM topics""".stripMargin,
+
+      "q41_multimodal" ->
+        s"""WITH m AS (
+           |  SELECT event_id,
+           |    CASE WHEN event_id % 3 = 0 THEN from_hex('FFD8') || encode(props)
+           |         WHEN event_id % 3 = 1 THEN from_hex('89504E47') || encode(props)
+           |         ELSE encode(props) END AS payload
+           |  FROM events)
+           |SELECT event_id,
+           |  CASE WHEN event_id % 3 = 0 THEN 'image/jpeg'
+           |       WHEN event_id % 3 = 1 THEN 'image/png'
+           |       ELSE 'application/octet-stream' END AS mime,
+           |  octet_length(payload) AS n_bytes,
+           |  least(CAST(ceil(CAST(octet_length(payload) AS DOUBLE) / 16) AS INT), 4)
+           |    AS n_frames,
+           |  round(CAST(${hashes.md5Hash60Sql("base64(payload) || '#0'")} % 1000
+           |    AS DOUBLE) / 1000.0, 6) AS f0
+           |FROM m""".stripMargin
     )
   }
 }

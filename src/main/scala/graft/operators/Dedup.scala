@@ -81,10 +81,23 @@ object Dedup {
           .select("doc", "shingle")
       case None => sh
     }
+    // per-pair shared-shingle counts from the index: one shuffle
+    // aggregate over the join rows — far cheaper than materializing a
+    // distinct pair set and intersecting arrays for every pair. With
+    // the guard inert this count IS |A∩B|, so the threshold filter is
+    // exact; with the guard active it is a lower bound (the documented
+    // recall caveat). The survivors — a tiny set — are then re-scored
+    // on the full sets so the OUTPUT columns are always exact.
+    val sizes = sets.select(col("doc"), size(col("shingles")).as("sz"))
     val candidates = indexed.toDF("doc_a", "shingle")
       .join(indexed.toDF("doc_b", "shingle"), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter_g"))
+      .join(sizes.toDF("doc_a", "sz_a"), "doc_a")
+      .join(sizes.toDF("doc_b", "sz_b"), "doc_b")
+      .filter(col("inter_g").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter_g")).cast("double") >= threshold)
+      .select("doc_a", "doc_b")
     rescoreJaccard(candidates, sets, threshold)
   }
 

@@ -77,6 +77,31 @@ object Streams {
       }
   }
 
+  /** K3/K4: producer sink seam — each micro-batch is handed to the
+    * injected `send` function partition-by-partition, one producer
+    * per task in production (the batching/linger knobs of the
+    * reference's client, pulsar_remote_inspector.py:174-179, live in
+    * the injected client). Combined with [[syntheticPublishStream]]'s
+    * rate source and a ProcessingTime trigger this reproduces the
+    * rate-limited async publish loop declaratively. */
+  def toProducerSink(df: DataFrame, checkpointDir: String,
+      send: Iterator[org.apache.spark.sql.Row] => Unit,
+      trigger: Trigger = Trigger.ProcessingTime("100 milliseconds")): StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.foreachPartition(send)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /** K5: console sink (streaming show). */
+  def toConsole(df: DataFrame, numRows: Int = 20): StreamingQuery =
+    df.writeStream.format("console")
+      .option("numRows", numRows.toLong)
+      .option("truncate", false)
+      .start()
+
   /** A4/T5: throughput metering — the reference's every-500-messages
     * progress print (pulsar_remote_inspector.py:311-314) becomes a
     * listener fed by the engine's own per-batch progress events. */

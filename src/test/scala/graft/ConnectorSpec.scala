@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.catalog.{AdminCatalog, CatalogOps, DdlSink}
+import graft.operators.Multimodal
+import graft.sources.ConfigIO
+
+/** Connector-side seams (S6/S7/K6) and the multimodal plumbing:
+  * injected fetchers/clients against fixture data. */
+class ConnectorSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  private val fixtureNs = Map(
+    "acme" -> Seq("acme/prod", "acme/stage"),
+    "globex" -> Seq("globex/dev"),
+    "empty-tenant" -> Seq.empty) // 404 → empty contract (P7)
+
+  test("S6: REST catalog fan-out builds the 3-way deduped topic frame") {
+    val tenants = AdminCatalog.tenantsDF(spark, () => fixtureNs.keys.toSeq)
+    tenants.count() shouldBe 3
+    val ns = AdminCatalog.namespacesDF(spark, fixtureNs.keys.toSeq, fixtureNs)
+    ns.count() shouldBe 3
+    val topics = AdminCatalog.topicsDF(spark,
+      Seq("acme/prod", "globex/dev"),
+      fetchPlain = n => Seq(s"persistent://$n/orders"),
+      fetchPartitioned = n =>
+        if (n == "acme/prod")
+          Seq(s"persistent://$n/orders", // dup of plain: first wins
+            s"persistent://$n/feed-partition-0")
+        else Seq.empty,
+      fetchSystem = n => Seq(s"persistent://$n/__change_events"))
+    val rows = topics.collect().map(r => (r.getAs[String]("topic"),
+      r.getAs[Int]("src_rank"), r.getAs[Boolean]("partitioned"),
+      r.getAs[Boolean]("is_system"))).toSet
+    rows should contain(("persistent://acme/prod/orders", 1, false, false))
+    rows should contain(("persistent://acme/prod/feed-partition-0", 2, true, false))
+    rows should contain(("persistent://acme/prod/__change_events", 3, false, true))
+    topics.count() shouldBe 5 // dup collapsed
+  }
+
+  test("K6: DDL ordering — create parents first, delete children first") {
+    import spark.implicits._
+    val tenants = Seq("t1").toDF("tenant")
+    val namespaces = Seq("t1/ns").toDF("namespace")
+    val topics = Seq("persistent://t1/ns/a").toDF("topic")
+    val applied = scala.collection.mutable.ArrayBuffer.empty[String]
+    DdlSink.restore(tenants, namespaces, topics,
+      t => applied += s"ct:$t", n => applied += s"cn:$n", p => applied += s"cp:$p")
+    applied.toList shouldBe List("ct:t1", "cn:t1/ns", "cp:persistent://t1/ns/a")
+    applied.clear()
+    DdlSink.deleteAll(tenants, namespaces, topics,
+      p => applied += s"dp:$p", n => applied += s"dn:$n", t => applied += s"dt:$t")
+    applied.toList shouldBe List("dp:persistent://t1/ns/a", "dn:t1/ns", "dt:t1")
+  }
+
+  test("S7: config context parsing (reference's client config shape)") {
+    val text =
+      """# pulsar client config
+        |contexts:
+        |  prod-cluster:
+        |    admin-service-url: https://admin.example:8443
+        |    bootstrap-service-url: pulsar+ssl://broker.example:6651
+        |  dev:
+        |    admin-service-url: http://localhost:8080
+        |
+        |auth-info:
+        |  prod-cluster:
+        |    token: secret-token
+        |""".stripMargin
+    val cfg = ConfigIO.parseContexts(text)
+    cfg("contexts")("prod-cluster")("admin-service-url") shouldBe
+      "https://admin.example:8443"
+    cfg("contexts")("dev")("admin-service-url") shouldBe "http://localhost:8080"
+    cfg("auth-info")("prod-cluster")("token") shouldBe "secret-token"
+    cfg("contexts").keySet shouldBe Set("prod-cluster", "dev")
+  }
+
+  test("multimodal: mime sniffing, frame sampling, batched decode seam") {
+    import spark.implicits._
+    val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte) ++ Array.fill[Byte](40)(1)
+    val png = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47) ++ Array.fill[Byte](7)(2)
+    val txt = "hello world".getBytes("UTF-8")
+    val df = Seq((1L, jpeg), (2L, png), (3L, txt)).toDF("id", "payload")
+    val out = df.select(
+      col("id"),
+      Multimodal.sniffMime(col("payload")).as("mime"),
+      org.apache.spark.sql.functions.size(
+        Multimodal.frameSample(col("payload"), 16, 4)).as("n_frames"),
+      Multimodal.featuresStub(col("payload"), 4).as("f"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getSeq[Double](3))).toMap
+    out(1L)._1 shouldBe "image/jpeg"
+    out(2L)._1 shouldBe "image/png"
+    out(3L)._1 shouldBe "application/octet-stream"
+    out(1L)._2 shouldBe 3 // 42 bytes / 16 → 3 frames
+    out(2L)._2 shouldBe 1
+    out.values.foreach { case (_, _, f) =>
+      f.length shouldBe 4
+      f.foreach(x => x should (be >= 0.0 and be < 1.0))
+    }
+    // the per-partition decode seam: one decoder "init" per partition
+    val decoded = Multimodal.decodePartitions[(Long, Int)](
+      df.repartition(2), { it =>
+        val decoderInit = 1 // a real codec would init here, once
+        it.map(r => (r.getAs[Long]("id"),
+          r.getAs[Array[Byte]]("payload").length * decoderInit))
+      })
+    decoded.collect().toMap shouldBe Map(1L -> 42, 2L -> 11, 3L -> 11)
+  }
+
+  test("K4: rate stream → producer sink seam delivers generated messages") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_prod_ckpt").toString
+    ConnectorSpec.sent.clear()
+    val q = graft.streaming.Streams.toProducerSink(
+      graft.streaming.Streams.syntheticPublishStream(spark, rowsPerSecond = 200),
+      ckpt,
+      { it: Iterator[Row] =>
+        it.foreach(r => ConnectorSpec.sent.add(r.getAs[String]("value")))
+      })
+    try {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (ConnectorSpec.sent.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      ConnectorSpec.sent.isEmpty shouldBe false
+      ConnectorSpec.sent.peek() should include("\"eventId\"")
+    } finally q.stop()
+  }
+}
+
+object ConnectorSpec {
+  val sent = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}
