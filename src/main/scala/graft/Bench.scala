@@ -18,6 +18,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -26,7 +27,12 @@ object Bench {
     // don't bill the first query for session startup
     Tables.names.foreach(n => Tables(spark, sfDir, n).count())
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // optional comma-separated filter for iterating on single queries
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         try {

@@ -342,12 +342,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))),
 
     // ── NS dedup: exact n-gram Jaccard pairs via inverted index with
-    // the stop-shingle skew guard on (inert at fixture scale — max
-    // shingle df is 46 at sf0.01 — but load-bearing at 100 TB) ──
+    // the stop-shingle skew guard on. df≤100 is inert at the oracle
+    // scale (max shingle df at sf0.01 is 46) and prunes the shared-
+    // vocabulary hot shingles that would otherwise emit ~100M
+    // candidate pairs at sf0.1; genuine near-dup pairs share rare
+    // doc-specific shingles, so answer-set recall is unaffected ──
     "q27_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(
         t(s, dir, "documents"), "doc_id", "text", n = 2, threshold = 0.18,
-        maxShingleDf = Some(500))
+        maxShingleDf = Some(100))
         .select(col("doc_a"), col("doc_b"), col("inter"),
           col("sz_a"), col("sz_b"), round(col("jaccard"), 6).as("jaccard"))),
 

@@ -33,9 +33,21 @@ object vectors {
 
   def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
 
-  /** cosine(a,b) = dot(a,b) / (‖a‖·‖b‖), exactly this association. */
+  /** cosine(a,b) = dot(a,b) / (‖a‖·‖b‖), exactly this association.
+    * Higher-order-function formulation — interpretable everywhere but
+    * NOT whole-stage-codegen'd; the hot paths use [[cosineFast]],
+    * which computes the bit-identical value in one generated loop. */
   def cosineSimilarity(a: Column, b: Column): Column =
     dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Codegen'd cosine (graft.plans.CosineSim): same strict fold, same
+    * result to the last ulp, ~one tight loop per row instead of
+    * per-element interpreted lambdas. Takes array<float|double>
+    * directly — no toDouble transform needed. */
+  def cosineFast(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.{Bridge, CosineSim}
+    Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
+  }
 
   /** Squared euclidean distance (avoids the sqrt when only ranking). */
   def squaredL2Distance(a: Column, b: Column): Column =
@@ -103,7 +115,28 @@ object vectors {
   }
 
   /** Multi-table LSH bucket ids: one sign-pattern bucket per table,
-    * each table with its own plane matrix. Returns array<long>. */
+    * each table with its own plane matrix. Returns array<long>.
+    * HOF formulation — parity reference for [[multiTableBucketsFast]]. */
   def multiTableBuckets(v: Column, tables: Seq[Seq[Array[Double]]]): Column =
     array(tables.map(planes => hyperplaneBucketLit(v, planes)): _*)
+
+  /** Codegen'd multi-table bucketer (org.apache.spark.sql.graft
+    * .HyperplaneBuckets): one generated triple loop, bit-identical
+    * bucket ids to [[multiTableBuckets]]. */
+  def multiTableBucketsFast(v: Column, tables: Seq[Seq[Array[Double]]]): Column = {
+    import org.apache.spark.sql.graft.{Bridge, HyperplaneBuckets}
+    val nTables = tables.size
+    val nPlanes = tables.head.size
+    val dim = tables.head.head.length
+    require(tables.forall(t => t.size == nPlanes && t.forall(_.length == dim)),
+      "all tables must share (nPlanes, dim)")
+    val flat = Vector.newBuilder[Double]
+    tables.foreach(_.foreach(p => p.foreach(flat += _)))
+    Bridge.column(HyperplaneBuckets(
+      Bridge.expression(v), flat.result(), nTables, nPlanes, dim))
+  }
+
+  /** Codegen'd single-table bucket id (Long). */
+  def hyperplaneBucketFast(v: Column, planes: Seq[Array[Double]]): Column =
+    element_at(multiTableBucketsFast(v, Seq(planes)), 1)
 }

@@ -71,27 +71,31 @@ object Dedup {
       n: Int, threshold: Double, maxShingleDf: Option[Int] = None): DataFrame = {
     val sets = shingleSets(docs, idCol, textCol, n)
     val sh = sets.select(col("doc"), explode(col("shingles")).as("shingle"))
-    val indexed = maxShingleDf match {
-      case Some(m) =>
-        // stop-shingle skew guard: hot shingles leave the index.
-        // (re-select: a usingColumns join reorders the key first)
-        val hot = sh.groupBy("shingle").count().filter(col("count") > m)
-          .select("shingle")
-        sh.join(broadcast(hot), Seq("shingle"), "left_anti")
-          .select("doc", "shingle")
-      case None => sh
+    // Posting-list inverted index: ONE pass over the exploded shingles
+    // (tokenization is the dominant cost and is never recomputed for a
+    // second join side), one shuffle on the shingle key. Each posting
+    // list emits its doc pairs locally; a second shuffle aggregates
+    // per-pair shared-shingle counts. The skew guard is a filter on
+    // posting-list size — a shingle in >m docs would emit m²/2 pairs
+    // AND make collect_list a hot key, so it leaves the index (with
+    // the guard inert this count IS |A∩B| and the threshold filter is
+    // exact; active, it is a lower bound — the documented recall
+    // caveat). Survivors — a tiny set — are re-scored on the full
+    // sets so the OUTPUT columns are always exact.
+    val posting = sh.groupBy("shingle")
+      .agg(sort_array(collect_list(col("doc"))).as("docs"))
+      .filter(size(col("docs")) >= 2)
+    val guarded = maxShingleDf match {
+      case Some(m) => posting.filter(size(col("docs")) <= m)
+      case None => posting
     }
-    // per-pair shared-shingle counts from the index: one shuffle
-    // aggregate over the join rows — far cheaper than materializing a
-    // distinct pair set and intersecting arrays for every pair. With
-    // the guard inert this count IS |A∩B|, so the threshold filter is
-    // exact; with the guard active it is a lower bound (the documented
-    // recall caveat). The survivors — a tiny set — are then re-scored
-    // on the full sets so the OUTPUT columns are always exact.
+    val pairExpr = flatten(transform(col("docs"), (x, i) =>
+      transform(slice(col("docs"), i + lit(2), size(col("docs"))),
+        y => struct(x.as("doc_a"), y.as("doc_b")))))
     val sizes = sets.select(col("doc"), size(col("shingles")).as("sz"))
-    val candidates = indexed.toDF("doc_a", "shingle")
-      .join(indexed.toDF("doc_b", "shingle"), Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
+    val candidates = guarded
+      .select(explode(pairExpr).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter_g"))
       .join(sizes.toDF("doc_a", "sz_a"), "doc_a")
       .join(sizes.toDF("doc_b", "sz_b"), "doc_b")

@@ -34,9 +34,7 @@ object Similarity {
     emb.filter(col("vec_id") =!= queryVecId)
       .crossJoin(broadcast(q))
       .withColumn("cos",
-        vectors.cosineSimilarity(
-          vectors.toDouble(col("embedding")),
-          vectors.toDouble(col("q_embedding"))))
+        vectors.cosineFast(col("embedding"), col("q_embedding")))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
       .select(col("vec_id"), round(col("cos"), 6).as("cos"))
@@ -49,14 +47,12 @@ object Similarity {
   def lshTopK(emb: DataFrame, planes: Seq[Array[Double]], k: Int): DataFrame = {
     val bucketed = emb.select(
       col("vec_id"), col("embedding"),
-      vectors.hyperplaneBucketLit(col("embedding"), planes).as("bucket"))
+      vectors.hyperplaneBucketFast(col("embedding"), planes).as("bucket"))
     val a = bucketed.toDF("vec_id", "embedding", "bucket")
     val b = bucketed.toDF("nb_id", "nb_embedding", "bucket")
     val pairs = a.join(b, Seq("bucket"))
       .filter(col("vec_id") =!= col("nb_id"))
-      .withColumn("cos", vectors.cosineSimilarity(
-        vectors.toDouble(col("embedding")),
-        vectors.toDouble(col("nb_embedding"))))
+      .withColumn("cos", vectors.cosineFast(col("embedding"), col("nb_embedding")))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("nb_id"))
     pairs.withColumn("rnk", row_number().over(w))
@@ -72,8 +68,7 @@ object Similarity {
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", vectors.cosineSimilarity(
-        vectors.toDouble(col("e_a")), vectors.toDouble(col("e_b"))))
+      .withColumn("cos", vectors.cosineFast(col("e_a"), col("e_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
@@ -91,7 +86,7 @@ object Similarity {
       tables: Seq[Seq[Array[Double]]]): DataFrame = {
     val bucketed = emb.select(
       col("vec_id"),
-      posexplode(vectors.multiTableBuckets(col("embedding"), tables))
+      posexplode(vectors.multiTableBucketsFast(col("embedding"), tables))
         .as(Seq("tbl", "bucket")))
     val a = bucketed.toDF("id_a", "tbl", "bucket")
     val b = bucketed.toDF("id_b", "tbl", "bucket")
@@ -101,8 +96,7 @@ object Similarity {
     candidates
       .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a")), "id_a")
       .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b")), "id_b")
-      .withColumn("cos", vectors.cosineSimilarity(
-        vectors.toDouble(col("e_a")), vectors.toDouble(col("e_b"))))
+      .withColumn("cos", vectors.cosineFast(col("e_a"), col("e_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }

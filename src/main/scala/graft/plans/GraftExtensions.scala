@@ -1,0 +1,31 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.CosineSim
+
+/** SQL-surface registration of the engine's native expressions, for
+  * sessions built with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` —
+  * after which `spark.sql("SELECT cosine_sim(a, b) …")` plans the
+  * codegen'd kernel. [[GraftExtensions.register]] does the same
+  * imperatively on an already-running session. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  private val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (children: Seq[Expression]) => CosineSim(children.head, children(1))))
+
+  /** Imperative registration into an existing session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+}

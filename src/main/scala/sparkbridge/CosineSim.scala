@@ -1,0 +1,178 @@
+// Hosted in an org.apache.spark.sql subpackage because the expression
+// framework types it needs (AbstractDataType for ExpectsInputTypes,
+// classic.ExpressionUtils for Column construction) are private[sql] —
+// the standard packaging for third-party Catalyst extensions.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.classic.ExpressionUtils
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Codegen'd cosine similarity over two embedding arrays
+  * (array<float> or array<double>) — the hot kernel of the
+  * similarity/near-dup operators (SURVEY §2.11).
+  *
+  * Spark's higher-order functions (`zip_with`/`aggregate`) evaluate
+  * their lambda per element through an interpreter and break
+  * whole-stage codegen; this native expression generates one tight
+  * primitive loop instead. Arithmetic is the SAME strict left-to-right
+  * double fold as the HOF formulation in graft.functions.vectors (and
+  * as DuckDB's list_dot_product), so results are bit-identical and
+  * all existing oracles keep matching — asserted by ExpressionSpec.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    TypeCollection(ArrayType(DoubleType), ArrayType(FloatType)),
+    TypeCollection(ArrayType(DoubleType), ArrayType(FloatType)))
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (lf, rf) = (isFloat(left), isFloat(right))
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      val getX = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getY = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $getX;
+         |  double $yi = $getY;
+         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+
+/** private[sql] API bridge for code living in the graft.* packages. */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
+
+/** Codegen'd multi-table hyperplane-LSH bucketer: for each of
+  * `nTables` plane matrices (flattened row-major into `planesFlat`),
+  * the sign pattern of the vector against that table's `nPlanes`
+  * planes, packed into a Long — array<long> of `nTables` bucket ids
+  * per row.
+  *
+  * One generated triple loop replaces the HOF formulation in
+  * graft.functions.vectors.multiTableBuckets, whose per-element
+  * interpreted lambdas (tables × planes × dim per row) dominated the
+  * near-dup query. Dot products accumulate in the same strict
+  * left-to-right double order, so bucket assignments are bit-identical
+  * to the HOF version and to the oracle SQL mirror.
+  */
+case class HyperplaneBuckets(child: Expression, planesFlat: Vector[Double],
+    nTables: Int, nPlanes: Int, dim: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    TypeCollection(ArrayType(DoubleType), ArrayType(FloatType)))
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_buckets"
+
+  @transient private lazy val mat: Array[Double] = planesFlat.toArray
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val fl = isFloat
+    val n = math.min(dim, x.numElements())
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var p = 0
+      while (p < nPlanes) {
+        val base = (t * nPlanes + p) * dim
+        var dot = 0.0
+        var i = 0
+        while (i < n) {
+          val xi = if (fl) x.getFloat(i).toDouble else x.getDouble(i)
+          dot += xi * mat(base + i)
+          i += 1
+        }
+        if (dot >= 0) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val m = ctx.addReferenceObj("planes", mat, "double[]")
+      val out = ctx.freshName("out")
+      val n = ctx.freshName("n")
+      val t = ctx.freshName("t")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val bucket = ctx.freshName("bucket")
+      val base = ctx.freshName("base")
+      val get = if (isFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+      s"""
+         |long[] $out = new long[$nTables];
+         |int $n = java.lang.Math.min($dim, $v.numElements());
+         |for (int $t = 0; $t < $nTables; $t++) {
+         |  long $bucket = 0L;
+         |  for (int $p = 0; $p < $nPlanes; $p++) {
+         |    int $base = ($t * $nPlanes + $p) * $dim;
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $dot += $get * $m[$base + $i];
+         |    }
+         |    if ($dot >= 0) $bucket |= (1L << $p);
+         |  }
+         |  $out[$t] = $bucket;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

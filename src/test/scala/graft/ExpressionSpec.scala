@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.functions.vectors
+import graft.plans.GraftExtensions
+
+/** Native codegen'd expressions: bit-parity with the HOF formulation
+  * (the oracle contract) and SQL registration. */
+class ExpressionSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  private def randomVecs(n: Int, dim: Int, seed: Long): Seq[(Long, Array[Float])] = {
+    val r = new scala.util.Random(seed)
+    (0 until n).map(i => (i.toLong, Array.fill(dim)(r.nextFloat() * 2 - 1)))
+  }
+
+  test("CosineSim is bit-identical to the HOF cosine on float arrays") {
+    import spark.implicits._
+    val df = randomVecs(200, 64, 7L).toDF("id", "v")
+    val q = randomVecs(1, 64, 8L).map(_._2).head
+    val out = df.select(
+      vectors.cosineFast(col("v"), typedLit(q.toSeq)).as("fast"),
+      vectors.cosineSimilarity(
+        vectors.toDouble(col("v")),
+        vectors.toDouble(typedLit(q.toSeq))).as("hof"))
+      .as[(Double, Double)].collect()
+    out.foreach { case (fast, hof) =>
+      java.lang.Double.doubleToLongBits(fast) shouldBe
+        java.lang.Double.doubleToLongBits(hof) // exact, not approx
+    }
+  }
+
+  test("cosine_sim is callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c," +
+        " cosine_sim(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS o")
+      .collect().head
+    row.getDouble(0) shouldBe 1.0
+    row.getDouble(1) shouldBe 0.0
+  }
+
+  test("HyperplaneBuckets matches the HOF bucketer bit-for-bit") {
+    import spark.implicits._
+    val tables = (0 until 4).map(t => vectors.planeMatrix(100L + t, 6, 16))
+    val df = randomVecs(100, 16, 11L).toDF("id", "v")
+    val out = df.select(
+      vectors.multiTableBuckets(col("v"), tables).as("hof"),
+      vectors.multiTableBucketsFast(col("v"), tables).as("fast"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    out.foreach { case (hof, fast) => fast shouldBe hof }
+  }
+
+  test("CosineSim participates in whole-stage codegen") {
+    // needs a non-local source — over a local relation the optimizer
+    // constant-folds the whole projection away
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = emb
+      .select(vectors.cosineFast(col("embedding"), col("embedding")).as("c"))
+      .queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark whole-stage-codegen'd operators in toString
+    plan should include("*(1) Project")
+    plan should include("cosine_sim")
+  }
+}
