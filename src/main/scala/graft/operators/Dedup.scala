@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.{hashes, text}
 
@@ -69,7 +70,13 @@ object Dedup {
     * against the default guard of 500). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxShingleDf: Option[Int] = None): DataFrame = {
+    // tokenize+shingle is the dominant per-pass cost and this plan
+    // references the sets four times (posting index, sizes, and both
+    // re-score sides) — persist so it computes once. MEMORY_AND_DISK:
+    // spills rather than OOMs at scale, and the shingle table is the
+    // thing a 100 TB dedup pipeline would checkpoint anyway.
     val sets = shingleSets(docs, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sh = sets.select(col("doc"), explode(col("shingles")).as("shingle"))
     // Posting-list inverted index: ONE pass over the exploded shingles
     // (tokenization is the dominant cost and is never recomputed for a
@@ -106,23 +113,24 @@ object Dedup {
   }
 
   /** MinHash signatures: k independent permutations approximated by
-    * xxhash64(shingle, seed=i); signature[i] = min over the doc's
-    * shingles. Computed with one explode + one hash aggregate (the
-    * k mins fold into an array column, no k-fold shuffle). */
+    * re-hashing ONE base hash of the shingle — the variable-length
+    * string is hashed once per row, and the k family members are
+    * xxhash64(i, h0) over the fixed 8-byte value (64 string hashes
+    * per row were the dominant cost of the signature job). Computed
+    * with one explode + one hash aggregate whose partial (map-side)
+    * combine folds the k mins before the shuffle. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, k: Int): DataFrame = {
     val sh = docs.select(
-      col(idCol).as("doc"),
-      explode(text.wordShingles(text.tokens(col(textCol)), shingleN))
-        .as("shingle"))
-    val hashed = sh.withColumn("hashes",
-      array((0 until k).map(i => xxhash64(lit(i), col("shingle"))): _*))
-    // element-wise min across the doc's shingle hash arrays
-    hashed.groupBy("doc")
-      .agg((0 until k).map(i => min(col("hashes")(i)).as(s"h$i")).head,
-        (1 until k).map(i => min(col("hashes")(i)).as(s"h$i")): _*)
+        col(idCol).as("doc"),
+        explode(text.wordShingles(text.tokens(col(textCol)), shingleN))
+          .as("shingle"))
+      .select(col("doc"), xxhash64(col("shingle")).as("h0"))
+    sh.groupBy("doc")
+      .agg(min(xxhash64(lit(0), col("h0"))).as("h0_"),
+        (1 until k).map(i => min(xxhash64(lit(i), col("h0"))).as(s"h${i}_")): _*)
       .select(col("doc"),
-        array((0 until k).map(i => col(s"h$i")): _*).as("signature"))
+        array((0 until k).map(i => col(s"h${i}_")): _*).as("signature"))
   }
 
   /** MinHash LSH candidate pairs: split the k-wide signature into
@@ -158,10 +166,19 @@ object Dedup {
     * oracle. */
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, textCol, shingleN, k)
+    // single tokenize pass shared by the signature job and both
+    // re-score sides (see ngramJaccardPairs for the persist rationale)
+    val sets = shingleSets(docs, idCol, textCol, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = sets.select(col("doc"), explode(col("shingles")).as("shingle"))
+      .select(col("doc"), xxhash64(col("shingle")).as("h0"))
+    val sigs = sh.groupBy("doc")
+      .agg(min(xxhash64(lit(0), col("h0"))).as("h0_"),
+        (1 until k).map(i => min(xxhash64(lit(i), col("h0"))).as(s"h${i}_")): _*)
+      .select(col("doc"),
+        array((0 until k).map(i => col(s"h${i}_")): _*).as("signature"))
     val candidates = minhashCandidatePairs(sigs, bands, k)
-    rescoreJaccard(candidates, shingleSets(docs, idCol, textCol, shingleN),
-      threshold)
+    rescoreJaccard(candidates, sets, threshold)
   }
 
   /** SimHash over the token stream: per token a `width`-bit hash votes
