@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.functions.{text, vectors}
+
+class FunctionsSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  test("tokens: lowercase, trim, drop empties") {
+    import spark.implicits._
+    Seq("  Hello   WORLD  ", "", "one").toDF("text")
+      .select(text.tokens(col("text")))
+      .as[Seq[String]].collect().toList shouldBe
+      List(Seq("hello", "world"), Seq.empty, Seq("one"))
+  }
+
+  test("wordShingles: n-grams with set semantics; short docs empty") {
+    import spark.implicits._
+    Seq("a b c b a b", "a", "").toDF("text")
+      .select(text.wordShingles(text.tokens(col("text")), 2))
+      .as[Seq[String]].collect().toList shouldBe
+      List(Seq("a b", "b c", "c b", "b a"), Seq.empty, Seq.empty)
+  }
+
+  test("quality score components behave at the boundaries") {
+    import spark.implicits._
+    val rows = Seq(
+      "the cat sat on the mat with a hat and more stopwords of it",
+      "!!!! .... ;;;; ????",
+      "").toDF("text")
+      .select(
+        text.qualityScore(col("text")).as("q"),
+        text.stopwordRatio(col("text")).as("stop"),
+        text.meanTokenLen(col("text")).as("mtl"))
+      .collect()
+    val good = rows(0); val junk = rows(1); val empty = rows(2)
+    good.getDouble(0) should be > junk.getDouble(0)
+    empty.getDouble(1) shouldBe 0.0 // stopwordRatio safe on empty
+    empty.getDouble(2) shouldBe 0.0 // meanTokenLen safe on empty
+    junk.getDouble(0) should (be >= 0.0 and be <= 1.0)
+  }
+
+  test("predictedLang picks the marker-word argmax deterministically") {
+    import spark.implicits._
+    Seq("the cat and the dog of it", "der hund ist und das",
+      "el que la de los").toDF("text")
+      .select(text.predictedLang(col("text")))
+      .as[String].collect().toList shouldBe List("en", "de", "es")
+  }
+
+  test("vector math: dot, norms, distances agree with Scala") {
+    import spark.implicits._
+    val a = Seq(1.0, 2.0, 3.0)
+    val b = Seq(-1.0, 0.5, 2.0)
+    val row = Seq((a, b)).toDF("a", "b")
+      .select(
+        vectors.dotProduct(col("a"), col("b")).as("dot"),
+        vectors.l2Norm(col("a")).as("na"),
+        vectors.squaredL2Distance(col("a"), col("b")).as("d2"),
+        vectors.cosineSimilarity(col("a"), col("b")).as("cos"))
+      .collect().head
+    row.getDouble(0) shouldBe (1.0 * -1 + 2 * 0.5 + 3 * 2)
+    row.getDouble(1) shouldBe math.sqrt(14.0)
+    row.getDouble(2) shouldBe (4.0 + 2.25 + 1.0)
+    row.getDouble(3) shouldBe row.getDouble(0) /
+      (row.getDouble(1) * math.sqrt(1 + 0.25 + 4))
+  }
+
+  test("docFingerprint is order-sensitive and deterministic") {
+    import spark.implicits._
+    val fps = Seq("alpha beta", "beta alpha", "alpha beta").toDF("text")
+      .select(text.docFingerprint(col("text")))
+      .as[Long].collect()
+    fps(0) shouldBe fps(2)
+    fps(0) should not be fps(1)
+  }
+}

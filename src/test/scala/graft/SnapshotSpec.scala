@@ -91,6 +91,24 @@ class SnapshotSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("writeNative: parquet partitioned by topic, pruned on read, ordered by seq") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_native").toString
+    val env = (for (t <- Seq("ta", "tb"); s <- 0 until 20) yield
+      (t, s"m$s", false, Map.empty[String, String],
+        new Timestamp(1704067200000L + s), Option.empty[Timestamp],
+        Option.empty[String], s.toLong))
+      .toDF("topic", "content", "binary_encoded", "properties",
+        "publish_ts", "event_ts", "partition_key", "seq")
+    SnapshotIO.writeNative(env, tmp)
+    val back = spark.read.parquet(s"$tmp/messages_parquet")
+    back.count() shouldBe 40
+    // partition pruning: a topic filter reads only that partition
+    val pruned = back.filter(col("topic") === "ta")
+    pruned.count() shouldBe 20
+    pruned.queryExecution.executedPlan.toString should include("PartitionFilters: [isnotnull(topic")
+  }
+
   test("orderedReplay hands rows to the sink in per-topic seq order") {
     import spark.implicits._
     // shuffled input: seqs deliberately out of order across partitions
