@@ -56,6 +56,11 @@ object SparkEntry {
     vectors.planeMatrix(seed = 42L, nPlanes = 8, dim = embDim)
   private val q29Tables: Seq[Seq[Array[Double]]] =
     (0 until 16).map(tbl => vectors.planeMatrix(1000L + tbl, 8, embDim))
+  /** IVF coarse-quantizer centroids: seeded literals (same oracle
+    * trick as the planes); production trains real centroids via
+    * Similarity.trainIvfCentroids without changing the plan. */
+  private val ivfCentroids: Seq[Array[Double]] =
+    vectors.planeMatrix(seed = 7L, nPlanes = 16, dim = embDim)
 
   /** Render a Double so DuckDB parses back the identical IEEE value
     * (Double.toString is the shortest round-tripping decimal). */
@@ -511,7 +516,14 @@ object SparkEntry {
           .as("n_frames"),
         round(element_at(Multimodal.featuresStub(payload, k = 4), 1), 6)
           .as("f0"))
-    })
+    }),
+
+    // ── NS similarity: IVF approximate top-k — cell assignment via a
+    // codegen'd nearest-centroid kernel, nProbe-cell search, exact
+    // cosine re-rank; centroid literals shared with the oracle ──
+    "q42_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(t(s, dir, "embeddings"), ivfCentroids,
+        queryVecId = 0, nProbe = 4, k = 10))
   )
 
   /** DuckDB mirror of Dedup.ngramJaccardPairs (bigrams) at the given
@@ -930,7 +942,43 @@ object SparkEntry {
            |    AS n_frames,
            |  round(CAST(${hashes.md5Hash60Sql("base64(payload) || '#0'")} % 1000
            |    AS DOUBLE) / 1000.0, 6) AS f0
-           |FROM m""".stripMargin
+           |FROM m""".stripMargin,
+
+      "q42_ann_ivf" -> {
+        // centroid literals as a DOUBLE[][] CTE; squared-L2 folds
+        // mirror the codegen kernel's (x-c)*(x-c) left-to-right order
+        val cents = "[" + ivfCentroids.map(c =>
+          "[" + c.map(sqlDouble).mkString(",") + "]").mkString(",") +
+          "]::DOUBLE[][]"
+        def sqDist(vec: String, cent: String) =
+          s"list_reduce(list_transform(range(1, ${embDim + 1}), " +
+            s"i -> (CAST($vec[i] AS DOUBLE) - $cent[i]) * " +
+            s"(CAST($vec[i] AS DOUBLE) - $cent[i])), (a,b) -> a+b)"
+        val cos = s"${sqlDotVec("c.embedding", "q.qe")} / " +
+          s"(sqrt(${sqlDotVec("c.embedding", "c.embedding")}) * " +
+          s"sqrt(${sqlDotVec("q.qe", "q.qe")}))"
+        s"""WITH cents AS (SELECT $cents AS m),
+           |cells AS (SELECT unnest(range(0, ${ivfCentroids.size})) AS cell),
+           |dists AS (
+           |  SELECT e.vec_id, e.embedding, c.cell,
+           |    ${sqDist("e.embedding", "ct.m[c.cell+1]")} AS dist
+           |  FROM embeddings e CROSS JOIN cells c CROSS JOIN cents ct),
+           |assigned AS (
+           |  SELECT vec_id, embedding, CAST(cell AS INT) AS cell FROM (
+           |    SELECT vec_id, embedding, cell,
+           |      row_number() OVER (PARTITION BY vec_id
+           |        ORDER BY dist, cell) AS rn
+           |    FROM dists) WHERE rn = 1),
+           |probes AS (
+           |  SELECT cell FROM dists WHERE vec_id = 0
+           |  ORDER BY dist, cell LIMIT 4)
+           |SELECT vec_id, cell, round(cos, 6) AS cos FROM (
+           |  SELECT c.vec_id, c.cell, $cos AS cos
+           |  FROM assigned c,
+           |    (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+           |  WHERE c.vec_id <> 0 AND c.cell IN (SELECT cell FROM probes)
+           |  ORDER BY cos DESC, c.vec_id LIMIT 10)""".stripMargin
+      }
     )
   }
 }

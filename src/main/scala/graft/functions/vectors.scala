@@ -139,4 +139,21 @@ object vectors {
   /** Codegen'd single-table bucket id (Long). */
   def hyperplaneBucketFast(v: Column, planes: Seq[Array[Double]]): Column =
     element_at(multiTableBucketsFast(v, Seq(planes)), 1)
+
+  /** Codegen'd IVF probe list: ids of the nProbe nearest centroids
+    * (ascending squared-L2, ties to the lower id), array<int>. */
+  def nearestCentroidsFast(v: Column, centroids: Seq[Array[Double]],
+      nProbe: Int): Column = {
+    import org.apache.spark.sql.graft.{Bridge, NearestCentroids}
+    val dim = centroids.head.length
+    require(centroids.forall(_.length == dim), "centroids must share dim")
+    val flat = Vector.newBuilder[Double]
+    centroids.foreach(c => c.foreach(flat += _))
+    Bridge.column(NearestCentroids(
+      Bridge.expression(v), flat.result(), centroids.size, dim, nProbe))
+  }
+
+  /** Codegen'd IVF cell assignment (nearest centroid id). */
+  def assignCellFast(v: Column, centroids: Seq[Array[Double]]): Column =
+    element_at(nearestCentroidsFast(v, centroids, 1), 1)
 }

@@ -73,6 +73,67 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
+  /** IVF (inverted-file) approximate top-k: coarse-quantize every
+    * vector to its nearest centroid cell, search only the query's
+    * `nProbe` nearest cells, exact-cosine re-rank the candidates.
+    * The registered query uses DETERMINISTIC seeded centroids
+    * ([[graft.functions.vectors.planeMatrix]]) so the DuckDB oracle
+    * reproduces the identical cell assignment from the same literals;
+    * production swaps in trained centroids ([[trainIvfCentroids]]) —
+    * the plan does not change. At scale the assignment is one
+    * codegen'd map pass and the probe filter prunes the scan to
+    * nProbe/nCells of the corpus. */
+  def ivfTopK(emb: DataFrame, centroids: Seq[Array[Double]],
+      queryVecId: Long, nProbe: Int, k: Int): DataFrame = {
+    import graft.functions.vectors.{assignCellFast, cosineFast, nearestCentroidsFast}
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      assignCellFast(col("embedding"), centroids).as("cell"))
+    val q = emb.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_embedding"),
+        nearestCentroidsFast(col("embedding"), centroids, nProbe).as("probes"))
+    assigned.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .filter(array_contains(col("probes"), col("cell")))
+      .withColumn("cos", cosineFast(col("embedding"), col("q_embedding")))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("cell"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Production IVF training hook: one deterministic bounded sample +
+    * a few Lloyd iterations, driver-side — an explicit TRAINING step
+    * (like fitting any model), not part of a query plan. The returned
+    * centroids drop into [[ivfTopK]] unchanged. */
+  def trainIvfCentroids(emb: DataFrame, k: Int, iters: Int = 3,
+      sampleN: Int = 2048): Seq[Array[Double]] = {
+    val sample = emb.orderBy("vec_id").limit(sampleN)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.length >= k, s"need at least $k sample vectors")
+    val dim = sample.head.length
+    var centroids = sample.take(k).map(_.clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        for (c <- 0 until k) {
+          var d = 0.0
+          var i = 0
+          while (i < dim) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(k)(c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c)))
+    }
+    centroids.toSeq
+  }
+
   /** Multi-table LSH near-duplicate pairs with exact re-score: each
     * vector lands in one bucket per table (`tables` literal plane
     * matrices), candidate pairs are bucket collisions in ANY table,

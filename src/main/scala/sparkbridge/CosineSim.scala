@@ -176,3 +176,111 @@ case class HyperplaneBuckets(child: Expression, planesFlat: Vector[Double],
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Codegen'd IVF coarse-quantizer probe: the ids of the `nProbe`
+  * centroids nearest to the vector (ascending squared-L2 distance,
+  * ties to the lower id), as array<int>. `nProbe = 1` is cell
+  * assignment; larger values give the multi-probe search list.
+  *
+  * Distances accumulate (xᵢ-cᵢ)² in strict left-to-right double
+  * order so the DuckDB oracle mirrors the values exactly from the
+  * same centroid literals; selection is repeated strict-< min scans,
+  * which matches SQL `ORDER BY dist, cell` tie-breaking.
+  */
+case class NearestCentroids(child: Expression, centroidsFlat: Vector[Double],
+    nCentroids: Int, dim: Int, nProbe: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(nProbe >= 1 && nProbe <= nCentroids)
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    TypeCollection(ArrayType(DoubleType), ArrayType(FloatType)))
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+
+  @transient private lazy val mat: Array[Double] = centroidsFlat.toArray
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val fl = isFloat
+    val n = math.min(dim, x.numElements())
+    val d = new Array[Double](nCentroids)
+    var c = 0
+    while (c < nCentroids) {
+      val base = c * dim
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = if (fl) x.getFloat(i).toDouble else x.getDouble(i)
+        val diff = xi - mat(base + i)
+        acc += diff * diff
+        i += 1
+      }
+      d(c) = acc
+      c += 1
+    }
+    val out = new Array[Int](nProbe)
+    val taken = new Array[Boolean](nCentroids)
+    var p = 0
+    while (p < nProbe) {
+      var best = -1
+      var cc = 0
+      while (cc < nCentroids) {
+        if (!taken(cc) && (best == -1 || d(cc) < d(best))) best = cc
+        cc += 1
+      }
+      taken(best) = true
+      out(p) = best
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val m = ctx.addReferenceObj("centroids", mat, "double[]")
+      val d = ctx.freshName("d")
+      val out = ctx.freshName("out")
+      val taken = ctx.freshName("taken")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val cc = ctx.freshName("cc")
+      val acc = ctx.freshName("acc")
+      val diff = ctx.freshName("diff")
+      val base = ctx.freshName("base")
+      val best = ctx.freshName("best")
+      val get = if (isFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+      s"""
+         |double[] $d = new double[$nCentroids];
+         |int $n = java.lang.Math.min($dim, $v.numElements());
+         |for (int $c = 0; $c < $nCentroids; $c++) {
+         |  int $base = $c * $dim;
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $diff = $get - $m[$base + $i];
+         |    $acc += $diff * $diff;
+         |  }
+         |  $d[$c] = $acc;
+         |}
+         |int[] $out = new int[$nProbe];
+         |boolean[] $taken = new boolean[$nCentroids];
+         |for (int $p = 0; $p < $nProbe; $p++) {
+         |  int $best = -1;
+         |  for (int $cc = 0; $cc < $nCentroids; $cc++) {
+         |    if (!$taken[$cc] && ($best == -1 || $d[$cc] < $d[$best])) $best = $cc;
+         |  }
+         |  $taken[$best] = true;
+         |  $out[$p] = $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -53,6 +53,37 @@ class ExpressionSpec extends AnyFunSuite with SparkSpec with Matchers {
     out.foreach { case (hof, fast) => fast shouldBe hof }
   }
 
+  test("NearestCentroids matches a Scala argmin with the same tie-breaks") {
+    import spark.implicits._
+    val cents = vectors.planeMatrix(3L, 8, 16)
+    val vecs = randomVecs(100, 16, 13L)
+    val got = vecs.toDF("id", "v")
+      .select(col("id"), vectors.nearestCentroidsFast(col("v"), cents, 3).as("p"))
+      .as[(Long, Seq[Int])].collect().toMap
+    vecs.foreach { case (id, v) =>
+      val d = cents.map(c =>
+        v.zip(c).foldLeft(0.0) { case (acc, (x, y)) =>
+          val t = x.toDouble - y; acc + t * t
+        })
+      val expected = d.zipWithIndex.sortBy { case (dist, i) => (dist, i) }
+        .take(3).map(_._2)
+      got(id).toList shouldBe expected.toList
+    }
+  }
+
+  test("ivfTopK: probe filter prunes cells; results are exact cosines") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = vectors.planeMatrix(7L, 16, 64)
+    val out = graft.operators.Similarity
+      .ivfTopK(emb, cents, queryVecId = 0, nProbe = 4, k = 5).collect()
+    out.length shouldBe 5
+    // every hit's cell is one of the query's probe cells
+    val probes = emb.filter(col("vec_id") === 0)
+      .select(vectors.nearestCentroidsFast(col("embedding"), cents, 4))
+      .collect().head.getSeq[Int](0).toSet
+    out.foreach(r => probes should contain(r.getAs[Int]("cell")))
+  }
+
   test("CosineSim participates in whole-stage codegen") {
     // needs a non-local source — over a local relation the optimizer
     // constant-folds the whole projection away
