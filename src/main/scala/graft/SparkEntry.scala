@@ -381,12 +381,12 @@ object SparkEntry {
           col("sz_a"), col("sz_b"), round(col("jaccard"), 6).as("jaccard"))),
 
     // ── NS dedup: SimHash fingerprints (60-bit md5-derived hash so
-    // the oracle mirrors the bit arithmetic verbatim) ──
+    // the oracle mirrors the bit arithmetic verbatim; codegen'd
+    // kernel, bit-identical to the HOF form) ──
     "q31_simhash_buckets" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
-          Dedup.simhash(col("text"), width = 60,
-            hashFn = hashes.md5Hash60).as("simhash"))),
+          Dedup.simhashFast(text.tokens(col("text"))).as("simhash"))),
 
     // ── NS similarity: LSH-bucketed approximate top-k; the literal
     // plane matrix is inlined into the oracle, which reproduces the

@@ -205,6 +205,14 @@ object Dedup {
       lit(0L), (acc, x) => acc + x)
   }
 
+  /** Codegen'd md5-60 SimHash over a token array column — the fast
+    * form of `simhash(c, 60, hashes.md5Hash60)` (bit-identical;
+    * asserted by ExpressionSpec). */
+  def simhashFast(tokens: Column, width: Int = 60): Column = {
+    import org.apache.spark.sql.graft.{Bridge, SimHashMd5}
+    Bridge.column(SimHashMd5(Bridge.expression(tokens), width))
+  }
+
   /** Hamming distance between two simhashes. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))

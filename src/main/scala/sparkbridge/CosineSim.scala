@@ -81,6 +81,108 @@ case class CosineSim(left: Expression, right: Expression)
 }
 
 
+/** Codegen'd md5-based SimHash over a token array: per token, the
+  * 60-bit md5-prefix hash (the oracle-mirrorable family — see
+  * graft.functions.hashes) votes ±1 on each bit position; sign of the
+  * accumulated vote becomes the output bit. Replaces a width-unrolled
+  * interpreted `aggregate` lambda (width × tokens interpreted steps
+  * per row) with one generated loop + a per-task MessageDigest.
+  *
+  * Bit-compatible with Dedup.simhash(width=60, hashFn=md5Hash60):
+  * the 60-bit value equals CAST(('0x' || substr(md5(t),1,15)) AS
+  * BIGINT) — i.e. the big-endian first 8 digest bytes >>> 4. Empty
+  * token arrays yield all-bits-set (votes 0 ≥ 0), same as the HOF
+  * form and the oracle's COALESCE.
+  */
+case class SimHashMd5(child: Expression, width: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(width > 0 && width <= 60, "md5-prefix hash provides 60 bits")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_md5"
+
+  @transient private lazy val localDigest =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    val md = localDigest.get()
+    val votes = new Array[Int](width)
+    var t = 0
+    val n = toks.numElements()
+    while (t < n) {
+      md.reset()
+      val digest = md.digest(toks.getUTF8String(t).getBytes)
+      val h = SimHashMd5.prefix60(digest)
+      var j = 0
+      while (j < width) {
+        votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < width) {
+      if (votes(j) >= 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mdClass = "java.security.MessageDigest"
+    val md = ctx.addMutableState(mdClass, "simhashMd",
+      v => s"""try { $v = $mdClass.getInstance("MD5"); }
+              |catch (java.security.NoSuchAlgorithmException e) {
+              |  throw new RuntimeException(e); }""".stripMargin)
+    nullSafeCodeGen(ctx, ev, v => {
+      val votes = ctx.freshName("votes")
+      val t = ctx.freshName("t")
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val dg = ctx.freshName("dg")
+      val h = ctx.freshName("h")
+      val out = ctx.freshName("out")
+      s"""
+         |int[] $votes = new int[$width];
+         |int $n = $v.numElements();
+         |for (int $t = 0; $t < $n; $t++) {
+         |  $md.reset();
+         |  byte[] $dg = $md.digest($v.getUTF8String($t).getBytes());
+         |  long $h = org.apache.spark.sql.graft.SimHashMd5.prefix60($dg);
+         |  for (int $j = 0; $j < $width; $j++) {
+         |    $votes[$j] += ((($h >>> $j) & 1L) == 1L) ? 1 : -1;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $j = 0; $j < $width; $j++) {
+         |  if ($votes[$j] >= 0) $out |= (1L << $j);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHashMd5 {
+  /** First 15 hex digits of the digest as a long: big-endian first 8
+    * bytes >>> 4 — exactly CAST(('0x'||substr(md5(s),1,15)) AS BIGINT). */
+  def prefix60(d: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h >>> 4
+  }
+}
+
 /** private[sql] API bridge for code living in the graft.* packages. */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)

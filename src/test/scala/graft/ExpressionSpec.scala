@@ -84,6 +84,19 @@ class ExpressionSpec extends AnyFunSuite with SparkSpec with Matchers {
     out.foreach(r => probes should contain(r.getAs[Int]("cell")))
   }
 
+  test("SimHashMd5 kernel is bit-identical to the HOF simhash") {
+    import spark.implicits._
+    import graft.functions.{hashes, text}
+    import graft.operators.Dedup
+    val texts = Seq("the quick brown fox", "", "a", "x y z x y z",
+      "Ünïcode towér ✓ tokens")
+    val out = texts.toDF("text").select(
+      Dedup.simhash(col("text"), 60, hashes.md5Hash60).as("hof"),
+      Dedup.simhashFast(text.tokens(col("text"))).as("fast"))
+      .as[(Long, Long)].collect()
+    out.foreach { case (hof, fast) => fast shouldBe hof }
+  }
+
   test("CosineSim participates in whole-stage codegen") {
     // needs a non-local source — over a local relation the optimizer
     // constant-folds the whole projection away

@@ -120,6 +120,29 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("stream-batch unification: windowed counts over a bounded file stream equal the batch query") {
+    val sfDir = "/root/testdata/sf0.001"
+    val batchEv = Tables(spark, sfDir, "events") // sets the nanos conf
+    val streamEv = spark.readStream
+      .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = streamEv
+      .groupBy(window(col("ts"), "1 hour"), col("event_type")).count()
+    val q = agg.writeStream.format("memory").queryName("sb_check")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000) shouldBe true
+    val streamed = spark.table("sb_check")
+      .select(col("window.start").cast("long"), col("event_type"), col("count"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = batchEv
+      .groupBy(window(col("ts"), "1 hour"), col("event_type")).count()
+      .select(col("window.start").cast("long"), col("event_type"), col("count"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    streamed shouldBe batch
+  }
+
   test("T3/A4/T5: rate source holds the msgs/sec contract; listener meters throughput") {
     val listener = new Streams.ThroughputListener
     spark.streams.addListener(listener)
