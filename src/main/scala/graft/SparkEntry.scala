@@ -109,23 +109,29 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
     }),
 
-    // ── J4: multi-way join, broadcast dimensions ──
+    // ── J4: multi-way join, broadcast dimensions. Lineitem is
+    // pre-aggregated to one row per order BELOW the join (a rewrite
+    // Catalyst does not do), so the fact-fact shuffle carries order
+    // grain instead of lineitem grain — DECIMAL partials keep the
+    // re-aggregated revenue exact, and the per-order grain makes
+    // countDistinct(o_orderkey) a plain count ──
     "q02_revenue_by_nation" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      val liAgg = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(20,4)") *
+          (lit(1) - col("l_discount").cast("decimal(20,4)"))).as("rev_dec"))
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
       val n = t(s, dir, "nation")
       val r = t(s, dir, "region")
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
+      liAgg.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(
-          sum(col("l_extendedprice").cast("decimal(20,4)") *
-            (lit(1) - col("l_discount").cast("decimal(20,4)")))
-            .cast("double").as("revenue"),
-          countDistinct(col("o_orderkey")).as("n_orders"))
+          sum(col("rev_dec")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
     }),
 
     // ── L2+U3: top-k with deterministic tie-break (TakeOrdered) ──

@@ -66,6 +66,22 @@ object Relational {
       .select((leftCols :+ outCol).map(col): _*)
   }
 
+  /** Exact count-distinct with value-salting for skewed keys: phase 1
+    * groups by (key, hash(value) % salt) and counts distinct within
+    * each salt cell; phase 2 sums the cells. Every distinct value
+    * lands in exactly one cell, so the sum is EXACT — but no single
+    * reducer ever holds a hot key's full distinct set, which is what
+    * OOMs a plain countDistinct at 100 TB when one key dominates.
+    * (SURVEY §7.5.7 — salting for skew.) */
+  def saltedCountDistinct(df: DataFrame, keyCols: Seq[Column],
+      valueCol: Column, salt: Int, outCol: String): DataFrame = {
+    val cell = pmod(xxhash64(valueCol), lit(salt))
+    df.groupBy(keyCols :+ cell.as("_salt"): _*)
+      .agg(countDistinct(valueCol).as("_partial"))
+      .groupBy(keyCols: _*)
+      .agg(sum(col("_partial")).as(outCol))
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to
     * the previous event of the same key exceeds `gapSeconds`. Returns
     * the input plus a `session_id` (0-based per key). One shuffle. */

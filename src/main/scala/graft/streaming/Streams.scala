@@ -77,6 +77,29 @@ object Streams {
       }
   }
 
+  /** T6/T7: streaming per-key order monitor via flatMapGroupsWithState
+    * — keeps each key's highest seen `seq` across micro-batches and
+    * emits one row per OUT-OF-ORDER arrival (seq ≤ the watermark seen
+    * so far). Empty output stream == the replay ordering contract
+    * holds end to end. */
+  def orderViolations(ds: Dataset[(String, Long)]): Dataset[(String, Long, Long)] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
+          var maxSeen = state.getOption.getOrElse(Long.MinValue)
+          val bad = scala.collection.mutable.ListBuffer.empty[(String, Long, Long)]
+          rows.foreach { case (_, seq) =>
+            if (seq <= maxSeen) bad += ((key, seq, maxSeen))
+            else maxSeen = seq
+          }
+          state.update(maxSeen)
+          bad.iterator
+      }
+  }
+
   /** K3/K4: producer sink seam — each micro-batch is handed to the
     * injected `send` function partition-by-partition, one producer
     * per task in production (the batching/linger knobs of the

@@ -72,6 +72,19 @@ class RelationalSpec extends AnyFunSuite with SparkSpec with Matchers {
     out shouldBe Array(4, 5) // drop rn<=3 and the last
   }
 
+  test("saltedCountDistinct is exact and matches plain countDistinct") {
+    import spark.implicits._
+    val r = new scala.util.Random(3L)
+    val df = (1 to 2000).map(_ => ("hot", r.nextInt(300).toLong))
+      .++((1 to 50).map(i => ("cold", i.toLong))).toDF("k", "v")
+    val plain = df.groupBy("k").agg(countDistinct(col("v")).as("n"))
+      .as[(String, Long)].collect().toMap
+    val salted = Relational.saltedCountDistinct(
+      df, Seq(col("k")), col("v"), salt = 16, outCol = "n")
+      .as[(String, Long)].collect().toMap
+    salted shouldBe plain
+  }
+
   test("parseCliTable trims header/footer and extracts the field") {
     import spark.implicits._
     val lines = Seq(

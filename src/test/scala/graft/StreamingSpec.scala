@@ -120,6 +120,25 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("T6: flatMapGroupsWithState order monitor flags only true violations") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val q = Streams.orderViolations(input.toDS())
+      .toDF("topic", "seq", "max_seen")
+      .writeStream.format("memory").queryName("ord_t6")
+      .outputMode("append").start()
+    try {
+      input.addData(("tA", 0L), ("tA", 1L), ("tB", 0L))
+      q.processAllAvailable()
+      input.addData(("tA", 1L), ("tA", 2L), ("tB", 5L)) // tA seq=1 replays
+      q.processAllAvailable()
+      val rows = spark.table("ord_t6")
+        .as[(String, Long, Long)].collect().toSet
+      rows shouldBe Set(("tA", 1L, 1L)) // exactly the replayed row
+    } finally q.stop()
+  }
+
   test("stream-batch unification: windowed counts over a bounded file stream equal the batch query") {
     val sfDir = "/root/testdata/sf0.001"
     val batchEv = Tables(spark, sfDir, "events") // sets the nanos conf
