@@ -36,6 +36,15 @@ object text {
           i => concat_ws(" ", slice(toks, i, lit(n))))))
   }
 
+  /** Codegen'd tokenize+shingle in one row kernel
+    * (org.apache.spark.sql.graft.WordShingles) — element-identical to
+    * `wordShingles(tokens(c), n)` (spec-asserted), one static call per
+    * row instead of interpreted lambdas per token. */
+  def wordShinglesFast(textCol: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.{Bridge, WordShingles}
+    Bridge.column(WordShingles(Bridge.expression(textCol), n))
+  }
+
   /** Punctuation count over an explicit class (kept narrow so the
     * regex semantics are identical in Spark and DuckDB/RE2). */
   def punctCount(c: Column): Column =

@@ -30,12 +30,13 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
-  /** (doc, shingles) pairs: each document's DISTINCT word n-gram set. */
+  /** (doc, shingles) pairs: each document's DISTINCT word n-gram set
+    * (codegen'd row kernel — see text.wordShinglesFast). */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     docs.select(
       col(idCol).as("doc"),
-      text.wordShingles(text.tokens(col(textCol)), n).as("shingles"))
+      text.wordShinglesFast(col(textCol), n).as("shingles"))
 
   /** Exact Jaccard re-score of candidate (doc_a, doc_b) pairs against
     * the full shingle sets: |A∩B| / (|A|+|B|-|A∩B|) >= threshold.

@@ -183,6 +183,72 @@ object SimHashMd5 {
   }
 }
 
+/** Row kernel for [[WordShingles]] — one static call per row instead
+  * of interpreted lambdas per token. Tokenization matches the HOF
+  * pipeline exactly: lowercase (UTF8String.toLowerCase, the same
+  * collation Spark's lower() uses), split on the Java `\s` class,
+  * drop empties; n-grams space-joined, first-occurrence-distinct
+  * (array_distinct semantics). */
+object TextKernels {
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  def shingles(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val lowered = text.toLowerCase.toString
+    val toks = new java.util.ArrayList[String]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    val len = lowered.length
+    while (i < len) {
+      val c = lowered.charAt(i)
+      if (isWs(c)) {
+        if (sb.length > 0) { toks.add(sb.toString); sb.setLength(0) }
+      } else sb.append(c)
+      i += 1
+    }
+    if (sb.length > 0) toks.add(sb.toString)
+    val m = toks.size - (n - 1)
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var j = 0
+    while (j < m) {
+      val s = new java.lang.StringBuilder
+      var k = 0
+      while (k < n) {
+        if (k > 0) s.append(' ')
+        s.append(toks.get(j + k))
+        k += 1
+      }
+      seen.add(org.apache.spark.unsafe.types.UTF8String.fromString(s.toString))
+      j += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+}
+
+/** Codegen'd word n-gram shingle set (see [[TextKernels.shingles]]):
+  * element-for-element identical to the HOF formulation in
+  * graft.functions.text.wordShingles (spec-asserted), so the dedup
+  * oracles are unchanged. */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1)
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.shingles(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = org.apache.spark.sql.graft.TextKernels.shingles($v, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** private[sql] API bridge for code living in the graft.* packages. */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)

@@ -97,6 +97,21 @@ class ExpressionSpec extends AnyFunSuite with SparkSpec with Matchers {
     out.foreach { case (hof, fast) => fast shouldBe hof }
   }
 
+  test("WordShingles kernel is element-identical to the HOF pipeline on fixture docs") {
+    import spark.implicits._
+    import graft.functions.text
+    val edge = Seq("", "one", "a  b\t c \n d", "  leading and trailing  ",
+      "Ünïcode TOKENS here", "x x x x x", "tabvt\ffeed\rcr")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text")).limit(200)
+      .union(edge.toDF("text"))
+    val out = docs.select(
+      text.wordShingles(text.tokens(col("text")), 2).as("hof"),
+      text.wordShinglesFast(col("text"), 2).as("fast"))
+      .as[(Seq[String], Seq[String])].collect()
+    out.foreach { case (hof, fast) => fast shouldBe hof }
+  }
+
   test("CosineSim participates in whole-stage codegen") {
     // needs a non-local source — over a local relation the optimizer
     // constant-folds the whole projection away
