@@ -58,28 +58,6 @@ object vectors {
       lit(0.0),
       (acc, v) => acc + v)
 
-  /** Random-hyperplane signature (SimHash for vectors): sign pattern
-    * of the vector against `nPlanes` pseudo-random hyperplanes derived
-    * deterministically from `seed` — packs to a Long bucket id.
-    * Hyperplane component h(p,i) is a hash-derived value in [-1,1).
-    * Used as the LSH bucketer for approximate nearest neighbors.
-    */
-  def hyperplaneBucket(v: Column, nPlanes: Int, seed: Int): Column = {
-    require(nPlanes <= 30, "bucket id packs into an Int range")
-    // deterministic pseudo-random component: xxhash64 of (seed, plane, idx)
-    def comp(plane: Int, idx: Column): Column =
-      (pmod(xxhash64(lit(seed), lit(plane), idx), lit(2000001L)).cast("double")
-        / 1000000.0) - 1.0
-    val bits = (0 until nPlanes).map { p =>
-      val dot = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x.cast("double") * comp(p, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
-
   /** Deterministic pseudo-random hyperplane matrix (splitmix64),
     * generated DRIVER-side and embedded as plain literals. Because the
     * planes are constants (not data-dependent hashes), the exact same
