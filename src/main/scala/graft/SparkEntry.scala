@@ -529,7 +529,21 @@ object SparkEntry {
     // cosine re-rank; centroid literals shared with the oracle ──
     "q42_ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings"), ivfCentroids,
-        queryVecId = 0, nProbe = 4, k = 10))
+        queryVecId = 0, nProbe = 4, k = 10)),
+
+    // ── NS text: BPE-style subword-unit token counting (the LLM
+    // token-budget estimator, vs q24's whitespace words) ──
+    "q43_bpe_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("n_bpe", text.bpeTokenCount(col("text")).cast("long"))
+        .withColumn("n_ws", text.tokenCount(col("text")).cast("long"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_bpe")).as("total_bpe"),
+          sum(col("n_ws")).as("total_ws"),
+          (sum(col("n_bpe")).cast("double") / sum(col("n_ws")))
+            .as("bpe_per_word")))
   )
 
   /** DuckDB mirror of Dedup.ngramJaccardPairs (bigrams) at the given
@@ -984,7 +998,20 @@ object SparkEntry {
            |    (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
            |  WHERE c.vec_id <> 0 AND c.cell IN (SELECT cell FROM probes)
            |  ORDER BY cos DESC, c.vec_id LIMIT 10)""".stripMargin
-      }
+      },
+
+      "q43_bpe_tokens" ->
+        s"""SELECT lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_bpe) AS BIGINT) AS total_bpe,
+           |  CAST(SUM(n_ws) AS BIGINT) AS total_ws,
+           |  CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws) AS bpe_per_word
+           |FROM (
+           |  SELECT lang,
+           |    len(regexp_extract_all(lower(text),
+           |      '${text.bpePattern.replace("'", "''")}')) AS n_bpe,
+           |    len($sqlTokens) AS n_ws
+           |  FROM documents)
+           |GROUP BY lang""".stripMargin
     )
   }
 }

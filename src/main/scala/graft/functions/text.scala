@@ -45,6 +45,20 @@ object text {
     Bridge.column(WordShingles(Bridge.expression(textCol), n))
   }
 
+  /** BPE-style pre-tokenization regex (GPT-2 shape, ASCII-restricted
+    * so java.util.regex and RE2/DuckDB agree): contraction suffixes,
+    * space-prefixed letter runs, digit runs, punctuation runs. */
+  val bpePattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+"
+
+  /** BPE-ish token list of lower-cased text (the unit a subword
+    * tokenizer would then merge; counting these approximates LLM
+    * token counts far better than whitespace words). */
+  def bpeTokens(c: Column): Column =
+    regexp_extract_all(lower(c), lit(bpePattern), lit(0))
+
+  def bpeTokenCount(c: Column): Column = size(bpeTokens(c))
+
   /** Punctuation count over an explicit class (kept narrow so the
     * regex semantics are identical in Spark and DuckDB/RE2). */
   def punctCount(c: Column): Column =
