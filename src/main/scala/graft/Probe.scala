@@ -43,7 +43,7 @@ object Probe {
     time("posting_lists") { posting.count() }
     time("posting_pair_volume") {
       posting.select((size(col("docs")) * (size(col("docs")) - 1) / 2).as("p"))
-        .agg(sum("p")).head().getLong(0)
+        .agg(sum("p")).head().getAs[Number](0).longValue()
     }
     val pairExpr = flatten(transform(col("docs"), (x, i) =>
       transform(slice(col("docs"), i + lit(2), size(col("docs"))),
@@ -53,7 +53,24 @@ object Probe {
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter_g"))
     time("pair_agg") { inter.count() }
     time("full_q27") {
-      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.18, Some(500)).count()
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.18, Some(100)).count()
+    }
+    // q30 stage breakdown
+    val sets30 = Dedup.shingleSets(docs, "doc_id", "text", 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("q30_sets_materialize") { sets30.count() }
+    val sh30 = sets30.select(col("doc"), explode(col("shingles")).as("shingle"))
+      .select(col("doc"), xxhash64(col("shingle")).as("h0"))
+    val sigs = sh30.groupBy("doc")
+      .agg(min(xxhash64(lit(0), col("h0"))).as("h0_"),
+        (1 until 64).map(i => min(xxhash64(lit(i), col("h0"))).as(s"h${i}_")): _*)
+      .select(col("doc"),
+        array((0 until 64).map(i => col(s"h${i}_")): _*).as("signature"))
+    time("q30_signatures") { sigs.count() }
+    val cand = Dedup.minhashCandidatePairs(sigs, 32, 64)
+    time("q30_candidates") { cand.count() }
+    time("q30_full") {
+      Dedup.minhashNearDupPairs(docs, "doc_id", "text", 2, 64, 32, 0.5).count()
     }
     spark.stop()
   }
