@@ -531,6 +531,22 @@ object SparkEntry {
       Similarity.ivfTopK(t(s, dir, "embeddings"), ivfCentroids,
         queryVecId = 0, nProbe = 4, k = 10)),
 
+    // ── NS dedup: near-dup GROUP resolution — connected components
+    // over the pair graph, min-id keeper per component (what a corpus
+    // pipeline actually applies after pair generation) ──
+    "q44_neardup_groups" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(
+        docs, "doc_id", "text", n = 2, threshold = 0.5,
+        maxShingleDf = Some(100))
+      val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .toDF("doc_id", "keeper")
+      docs.select(col("doc_id"))
+        .join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("keeper"), col("doc_id")).as("group_keeper"))
+    }),
+
     // ── NS text: BPE-style subword-unit token counting (the LLM
     // token-budget estimator, vs q24's whitespace words) ──
     "q43_bpe_tokens" -> ((s, dir) =>
@@ -999,6 +1015,30 @@ object SparkEntry {
            |  WHERE c.vec_id <> 0 AND c.cell IN (SELECT cell FROM probes)
            |  ORDER BY cos DESC, c.vec_id LIMIT 10)""".stripMargin
       },
+
+      "q44_neardup_groups" ->
+        s"""WITH RECURSIVE sh AS (
+           |  SELECT doc_id,
+           |    list_distinct(list_transform(
+           |      range(1, greatest(len(toks) - 0, 1)),
+           |      i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS s
+           |  FROM (SELECT doc_id, $sqlTokens AS toks FROM documents)),
+           |p AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+           |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+           |      AS DOUBLE) >= 0.5),
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+           |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p),
+           |reach AS (
+           |  SELECT src AS node, src AS r FROM edges
+           |  UNION
+           |  SELECT e.src AS node, re.r AS r
+           |  FROM edges e JOIN reach re ON e.dst = re.node),
+           |lbl AS (SELECT node, MIN(r) AS label FROM reach GROUP BY node)
+           |SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS group_keeper
+           |FROM documents d LEFT JOIN lbl l ON d.doc_id = l.node""".stripMargin,
 
       "q43_bpe_tokens" ->
         s"""SELECT lang, COUNT(*) AS n_docs,

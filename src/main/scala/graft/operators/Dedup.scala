@@ -217,6 +217,42 @@ object Dedup {
       lit(0L), (acc, x) => acc + x)
   }
 
+  /** Connected components over an undirected pair graph by iterative
+    * min-label propagation: every node's label converges to the
+    * smallest id in its component — which IS the deterministic dedup
+    * keeper. Each iteration is one join + one aggregate;
+    * `localCheckpoint` truncates the growing lineage (the classic
+    * iterative-DataFrame failure mode) and the loop stops as soon as
+    * an iteration changes nothing. Diameters of near-dup graphs are
+    * tiny (dup clusters are cliques-ish), so iterations ≈ 2-3; the
+    * 100 TB upgrade path is large-star/small-star, same interface. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val sym = edges
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (iter < maxIter && changed > 0) {
+      val nbrMin = sym.join(labels, col("dst") === col("node"))
+        .groupBy(col("src"))
+        .agg(min(col("label")).as("nbr"))
+        .select(col("src").as("n2"), col("nbr"))
+      val stepped = labels.join(nbrMin, col("node") === col("n2"), "left")
+        .select(col("node"), col("label").as("old_label"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = stepped.filter(col("label") =!= col("old_label")).count()
+      labels = stepped.select("node", "label")
+      iter += 1
+    }
+    labels
+  }
+
   /** Codegen'd md5-60 SimHash over a token array column — the fast
     * form of `simhash(c, 60, hashes.md5Hash60)` (bit-identical;
     * asserted by ExpressionSpec). */

@@ -90,6 +90,17 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
     out(3L)._2 should not be out(4L)._2
   }
 
+  test("connectedComponents labels every node with its component minimum") {
+    import spark.implicits._
+    // two chains + an isolated pair: {1,2,3,4}, {10,11}, {20,21}
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (21L, 20L))
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    cc shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L)
+  }
+
   test("hamming64 counts differing bits") {
     import spark.implicits._
     Seq((0xFFL, 0x0FL)).toDF("a", "b")
