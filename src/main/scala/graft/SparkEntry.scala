@@ -547,6 +547,30 @@ object SparkEntry {
           coalesce(col("keeper"), col("doc_id")).as("group_keeper"))
     }),
 
+    // ── T7 for real: a STRUCTURED STREAMING execution verified by the
+    // DuckDB oracle — the events file read as a bounded stream
+    // (Trigger.AvailableNow), hourly buckets aggregated in complete
+    // mode into a memory sink, the sink table returned as the result.
+    // Same oracle SQL as the batch analog q19 ──
+    "q45_streaming_buckets" -> ((s, dir) => {
+      Tables(s, dir, "events") // sets the nanos-as-long reader conf
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$dir/events.parquet").schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = stream.groupBy(
+          unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
+      val q = agg.writeStream.format("memory").queryName("q45_mem")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      s.table("q45_mem")
+    }),
+
     // ── NS text: BPE-style subword-unit token counting (the LLM
     // token-budget estimator, vs q24's whitespace words) ──
     "q43_bpe_tokens" -> ((s, dir) =>
@@ -1039,6 +1063,11 @@ object SparkEntry {
            |lbl AS (SELECT node, MIN(r) AS label FROM reach GROUP BY node)
            |SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS group_keeper
            |FROM documents d LEFT JOIN lbl l ON d.doc_id = l.node""".stripMargin,
+
+      "q45_streaming_buckets" ->
+        s"""SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+           |  COUNT(*) AS n, ${dec("value")} AS sum_value
+           |FROM events GROUP BY 1, 2""".stripMargin,
 
       "q43_bpe_tokens" ->
         s"""SELECT lang, COUNT(*) AS n_docs,
