@@ -547,6 +547,13 @@ object SparkEntry {
           coalesce(col("keeper"), col("doc_id")).as("group_keeper"))
     }),
 
+    // ── NS dedup: SimHash near-dup pairs — pigeonhole blocking makes
+    // the bucketed join EXACT for the radius (recall 1 by
+    // construction), verified against the all-pairs oracle ──
+    "q46_simhash_neardup" -> ((s, dir) =>
+      Dedup.simhashNearDupPairs(
+        t(s, dir, "documents"), "doc_id", "text", radius = 5)),
+
     // ── T7 for real: a STRUCTURED STREAMING execution verified by the
     // DuckDB oracle — the events file read as a bounded stream
     // (Trigger.AvailableNow), hourly buckets aggregated in complete
@@ -608,6 +615,24 @@ object SparkEntry {
        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
        |  CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
        |    AS DOUBLE) >= $threshold""".stripMargin
+
+  /** DuckDB mirror of the md5-60 SimHash per document (q31 and the
+    * q46 pair join both build on it). */
+  private def simhash60Sql: String = {
+    val h = hashes.md5Hash60Sql("t")
+    val sums = (0 until 60).map(j =>
+      s"SUM(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(", ")
+    val bits = (0 until 60).map(j =>
+      s"CASE WHEN COALESCE(v.b$j, 0) >= 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""SELECT d.doc_id, $bits AS simhash
+       |FROM documents d LEFT JOIN (
+       |  SELECT doc_id, $sums FROM (
+       |    SELECT doc_id, $h AS h FROM (
+       |      SELECT doc_id, unnest($sqlTokens) AS t FROM documents))
+       |  GROUP BY doc_id) v ON d.doc_id = v.doc_id""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = {
     def dec(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(20,4))) AS DOUBLE)"
@@ -848,21 +873,14 @@ object SparkEntry {
 
       "q30_minhash_lsh" -> jaccardPairsSql(0.5),
 
-      "q31_simhash_buckets" -> {
-        val h = hashes.md5Hash60Sql("t")
-        val sums = (0 until 60).map(j =>
-          s"SUM(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b$j")
-          .mkString(", ")
-        val bits = (0 until 60).map(j =>
-          s"CASE WHEN COALESCE(v.b$j, 0) >= 0 THEN ${1L << j} ELSE 0 END")
-          .mkString(" + ")
-        s"""WITH tok AS (
-           |  SELECT doc_id, unnest($sqlTokens) AS t FROM documents),
-           |hv AS (SELECT doc_id, $h AS h FROM tok),
-           |v AS (SELECT doc_id, $sums FROM hv GROUP BY doc_id)
-           |SELECT d.doc_id, $bits AS simhash
-           |FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id""".stripMargin
-      },
+      "q31_simhash_buckets" -> simhash60Sql,
+
+      "q46_simhash_neardup" ->
+        s"""WITH sq AS ($simhash60Sql)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+           |FROM sq a JOIN sq b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 5""".stripMargin,
 
       "q32_ann_lsh" -> {
         val cos = s"${sqlDotVec("a.embedding", "c.embedding")} / " +

@@ -264,4 +264,33 @@ object Dedup {
   /** Hamming distance between two simhashes. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-duplicate pairs, EXACT for the given radius: the
+    * w-bit fingerprint splits into radius+1 disjoint blocks; by
+    * pigeonhole, any pair within `radius` bit flips agrees EXACTLY on
+    * at least one block, so joining on (block, block-value) buckets
+    * has recall 1 — and the Hamming filter afterwards gives precision
+    * 1. The LSH shape (shuffle on a high-cardinality bucket key, no
+    * all-pairs join) with none of the approximation: the
+    * Charikar/Manku-style dedup used at web scale. */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      radius: Int = 5, width: Int = 60): DataFrame = {
+    val blocks = radius + 1
+    require(width % blocks == 0, s"radius+1=$blocks must divide width $width")
+    val blockBits = width / blocks
+    val mask = (1L << blockBits) - 1
+    val fp = docs.select(col(idCol).as("doc"),
+      simhashFast(text.tokens(col(textCol)), width).as("fp"))
+    val blocked = fp.select(col("doc"), col("fp"),
+      posexplode(array((0 until blocks).map(b =>
+        shiftrightunsigned(col("fp"), b * blockBits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("blk", "bval")))
+    blocked.toDF("doc_a", "fp_a", "blk", "bval")
+      .join(blocked.toDF("doc_b", "fp_b", "blk", "bval"), Seq("blk", "bval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", hamming64(col("fp_a"), col("fp_b")))
+      .filter(col("hamming") <= radius)
+      .select("doc_a", "doc_b", "hamming")
+      .distinct()
+  }
 }

@@ -101,6 +101,21 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L)
   }
 
+  test("simhashNearDupPairs (pigeonhole blocking) equals the all-pairs answer") {
+    import spark.implicits._
+    val fp = corpus.select(col("doc_id"),
+      Dedup.simhashFast(graft.functions.text.tokens(col("text"))).as("fp"))
+    val exact = fp.toDF("a", "fa").crossJoin(fp.toDF("b", "fb"))
+      .filter(col("a") < col("b"))
+      .withColumn("h", Dedup.hamming64(col("fa"), col("fb")))
+      .filter(col("h") <= 5)
+      .select("a", "b", "h").as[(Long, Long, Int)].collect().toSet
+    val blocked = Dedup.simhashNearDupPairs(corpus, "doc_id", "text", radius = 5)
+      .as[(Long, Long, Int)].collect().toSet
+    blocked shouldBe exact
+    blocked should not be empty // docs 0 and 2 are identical (hamming 0)
+  }
+
   test("hamming64 counts differing bits") {
     import spark.implicits._
     Seq((0xFFL, 0x0FL)).toDF("a", "b")
