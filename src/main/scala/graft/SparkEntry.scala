@@ -547,6 +547,37 @@ object SparkEntry {
           coalesce(col("keeper"), col("doc_id")).as("group_keeper"))
     }),
 
+    // ── T7/§2.9: SLIDING event-time windows (2h size, 1h slide —
+    // every event lands in two windows) ──
+    "q47_sliding_windows" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
+        .select(unix_millis(col("window.start")).as("win_start"),
+          col("event_type"), col("n"), col("sum_value"))),
+
+    // ── §2.9: RANGE window frame — per-user rolling 1-hour sum keyed
+    // on event time (vs q07's ROWS frame) ──
+    "q48_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_millis(col("ts")))
+        .rangeBetween(-3600000L, 0L)
+      t(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        sum(col("value").cast("decimal(20,4)")).over(w)
+          .cast("double").as("rolling_1h"))
+    }),
+
+    // ── A5: CUBE grouping sets (all 4 combinations, vs q08's rollup) ──
+    "q49_cube_returns" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), exactSum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("sum_qty"))),
+
     // ── NS dedup: SimHash near-dup pairs — pigeonhole blocking makes
     // the bucketed join EXACT for the radius (recall 1 by
     // construction), verified against the all-pairs oracle ──
@@ -1081,6 +1112,31 @@ object SparkEntry {
            |lbl AS (SELECT node, MIN(r) AS label FROM reach GROUP BY node)
            |SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS group_keeper
            |FROM documents d LEFT JOIN lbl l ON d.doc_id = l.node""".stripMargin,
+
+      "q47_sliding_windows" ->
+        s"""WITH e AS (
+           |  SELECT event_type, value,
+           |    epoch_ms(date_trunc('hour', ts)) AS h FROM events),
+           |x AS (
+           |  SELECT event_type, value,
+           |    unnest([h, h - 3600000]) AS win_start FROM e)
+           |SELECT win_start, event_type, COUNT(*) AS n,
+           |  ${dec("value")} AS sum_value
+           |FROM x GROUP BY 1, 2""".stripMargin,
+
+      "q48_range_frame" ->
+        """SELECT user_id, event_id,
+          |  CAST(SUM(CAST(value AS DECIMAL(20,4))) OVER (
+          |    PARTITION BY user_id ORDER BY epoch_ms(ts)
+          |    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+          |    AS rolling_1h
+          |FROM events""".stripMargin,
+
+      "q49_cube_returns" ->
+        s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+           |  COUNT(*) AS n, ${dec("l_quantity")} AS sum_qty
+           |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
 
       "q45_streaming_buckets" ->
         s"""SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
