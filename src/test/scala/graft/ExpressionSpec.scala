@@ -71,6 +71,24 @@ class ExpressionSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("lshNearDupPairs is a subset of the exact all-pairs baseline") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val tables = (0 until 8).map(t => vectors.planeMatrix(1000L + t, 6, 64))
+    val threshold = 0.3 // low enough that pairs exist at sf0.001
+    val exact = graft.operators.Similarity
+      .nearDupPairsExact(emb, threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = graft.operators.Similarity
+      .lshNearDupPairs(emb, threshold, tables)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    lsh.subsetOf(exact) shouldBe true // never a false positive
+    exact should not be empty
+    // S-curve at cos=0.3 (θ≈72.5°, 6 planes, 8 tables) predicts
+    // recall ≈ 1-(1-0.597^6)^8 ≈ 0.31 — low-cosine pairs are exactly
+    // what LSH is NOT supposed to retrieve well; assert the ballpark
+    lsh.size.toDouble / exact.size.toDouble should be > 0.15
+  }
+
   test("ivfTopK: probe filter prunes cells; results are exact cosines") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cents = vectors.planeMatrix(7L, 16, 64)

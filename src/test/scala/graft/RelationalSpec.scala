@@ -85,6 +85,17 @@ class RelationalSpec extends AnyFunSuite with SparkSpec with Matchers {
     salted shouldBe plain
   }
 
+  test("readCliLines numbers a CLI output file and feeds parseCliTable") {
+    import spark.implicits._
+    val f = java.nio.file.Files.createTempFile("graft_cli", ".txt")
+    java.nio.file.Files.writeString(f,
+      "+----+\n| ID | NAME |\n+----+\n 0 tenant-x ok\n 1 tenant-y ok\n+----+")
+    val lines = CatalogOps.readCliLines(spark, f.toString)
+    lines.count() shouldBe 6
+    CatalogOps.parseCliTable(lines, "line", "line_no", 3, 1, 1)
+      .as[String].collect().sorted shouldBe Array("tenant-x", "tenant-y")
+  }
+
   test("parseCliTable trims header/footer and extracts the field") {
     import spark.implicits._
     val lines = Seq(

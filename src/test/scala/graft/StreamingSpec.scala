@@ -120,6 +120,18 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("K5: console sink starts and drains a micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    input.addData(1L, 2L, 3L)
+    val q = Streams.toConsole(input.toDF(), numRows = 3)
+    try {
+      q.processAllAvailable()
+      q.lastProgress.numInputRows shouldBe 3
+    } finally q.stop()
+  }
+
   test("T6: flatMapGroupsWithState order monitor flags only true violations") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
