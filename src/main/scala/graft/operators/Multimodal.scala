@@ -60,6 +60,22 @@ object Multimodal {
         % 1000L).cast("double") / 1000.0)
   }
 
+  /** ======= STUB =======
+    * Deterministic fake "resize": byte-stride downsampling to at most
+    * `targetBytes` (byte i·k for k = ceil(n/target)) — binary in,
+    * smaller binary out, preserving the column shape a real pixel
+    * resize would have. Positions past the payload produce empty
+    * slices, so short payloads pass through unchanged. Real
+    * implementation swaps the kernel, not the plumbing (same as
+    * [[featuresStub]]). */
+  def resizeStub(payload: Column, targetBytes: Int): Column = {
+    val stride = greatest(
+      ceil(octet_length(payload).cast("double") / targetBytes).cast("int"),
+      lit(1))
+    concat((0 until targetBytes).map(i =>
+      substring(payload, lit(i) * stride + 1, lit(1))): _*)
+  }
+
   /** The per-partition batching seam a REAL codec plugs into: one
     * `decode` call per partition, iterator-to-iterator (no
     * materialization), so codec/library init happens once per task —

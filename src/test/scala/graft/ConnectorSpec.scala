@@ -101,6 +101,14 @@ class ConnectorSpec extends AnyFunSuite with SparkSpec with Matchers {
       f.length shouldBe 4
       f.foreach(x => x should (be >= 0.0 and be < 1.0))
     }
+    // resize stub: short payloads pass through; long ones downsample
+    val resized = df.select(col("id"),
+      Multimodal.resizeStub(col("payload"), 16).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("r")).toMap
+    resized(3L).toList shouldBe txt.toList  // 11 bytes <= 16: unchanged
+    resized(1L).length should be <= 16      // 42 bytes: downsampled
+    resized(1L)(0) shouldBe jpeg(0)         // stride sampling keeps byte 0
+
     // the per-partition decode seam: one decoder "init" per partition
     val decoded = Multimodal.decodePartitions[(Long, Int)](
       df.repartition(2), { it =>
