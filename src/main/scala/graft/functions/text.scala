@@ -15,10 +15,20 @@ import org.apache.spark.sql.functions._
   */
 object text {
 
-  /** Whitespace tokenization of lower-cased trimmed text.
-    * Empty input yields an empty array (split of "" returns [""]
-    * in both Spark and DuckDB; we filter the empty token). */
-  def tokens(c: Column): Column =
+  /** Whitespace tokenization of lower-cased trimmed text, as the
+    * codegen'd row kernel (org.apache.spark.sql.graft.Tokenize).
+    * Element-identical to the HOF chain [[tokensHof]] — spec-asserted;
+    * the DuckDB oracle mirror is unchanged
+    * (list_filter(string_split_regex(trim(lower(text)), '\s+'), …)).
+    * Empty input yields an empty array. */
+  def tokens(c: Column): Column = {
+    import org.apache.spark.sql.graft.{Bridge, Tokenize}
+    Bridge.column(Tokenize(Bridge.expression(c)))
+  }
+
+  /** The higher-order-function formulation of [[tokens]] (parity
+    * reference; kept in lockstep with the oracle SQL). */
+  def tokensHof(c: Column): Column =
     filter(split(trim(lower(c)), "\\s+"), t => length(t) > 0)
 
   def tokenCount(c: Column): Column = size(tokens(c))

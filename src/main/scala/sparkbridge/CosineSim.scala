@@ -193,7 +193,7 @@ object TextKernels {
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
-  def shingles(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+  private def tokenize(text: org.apache.spark.unsafe.types.UTF8String): java.util.ArrayList[String] = {
     val lowered = text.toLowerCase.toString
     val toks = new java.util.ArrayList[String]()
     val sb = new java.lang.StringBuilder
@@ -207,6 +207,24 @@ object TextKernels {
       i += 1
     }
     if (sb.length > 0) toks.add(sb.toString)
+    toks
+  }
+
+  /** Token array (repeats kept, document order) — the kernel form of
+    * the lower/split/filter HOF chain. */
+  def tokens(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val toks = tokenize(text)
+    val out = new Array[AnyRef](toks.size)
+    var i = 0
+    while (i < toks.size) {
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(toks.get(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def shingles(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val toks = tokenize(text)
     val m = toks.size - (n - 1)
     if (m <= 0) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
@@ -224,6 +242,25 @@ object TextKernels {
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
   }
+}
+
+/** Codegen'd whitespace tokenizer (see [[TextKernels.tokens]]):
+  * element-identical to filter(split(trim(lower(c)),"\\s+"), len>0). */
+case class Tokenize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "tokenize"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.tokens(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = org.apache.spark.sql.graft.TextKernels.tokens($v);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Codegen'd word n-gram shingle set (see [[TextKernels.shingles]]):

@@ -115,7 +115,7 @@ class ExpressionSpec extends AnyFunSuite with SparkSpec with Matchers {
     out.foreach { case (hof, fast) => fast shouldBe hof }
   }
 
-  test("WordShingles kernel is element-identical to the HOF pipeline on fixture docs") {
+  test("Tokenize and WordShingles kernels are element-identical to the HOF pipeline") {
     import spark.implicits._
     import graft.functions.text
     val edge = Seq("", "one", "a  b\t c \n d", "  leading and trailing  ",
@@ -124,10 +124,15 @@ class ExpressionSpec extends AnyFunSuite with SparkSpec with Matchers {
       .select(col("text")).limit(200)
       .union(edge.toDF("text"))
     val out = docs.select(
-      text.wordShingles(text.tokens(col("text")), 2).as("hof"),
-      text.wordShinglesFast(col("text"), 2).as("fast"))
-      .as[(Seq[String], Seq[String])].collect()
-    out.foreach { case (hof, fast) => fast shouldBe hof }
+      text.tokensHof(col("text")).as("tok_hof"),
+      text.tokens(col("text")).as("tok_fast"),
+      text.wordShingles(text.tokensHof(col("text")), 2).as("sh_hof"),
+      text.wordShinglesFast(col("text"), 2).as("sh_fast"))
+      .as[(Seq[String], Seq[String], Seq[String], Seq[String])].collect()
+    out.foreach { case (th, tf, sh, sf) =>
+      tf shouldBe th
+      sf shouldBe sh
+    }
   }
 
   test("CosineSim participates in whole-stage codegen") {
