@@ -605,7 +605,9 @@ object SparkEntry {
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(300000)
+      // fail loudly on timeout rather than returning a partial table
+      require(q.awaitTermination(300000),
+        "q45 streaming query did not drain within 300s")
       s.table("q45_mem")
     }),
 
