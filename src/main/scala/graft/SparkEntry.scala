@@ -352,16 +352,17 @@ object SparkEntry {
         .groupBy(col("lang"), col("predicted"))
         .agg(count(lit(1)).as("n"))),
 
-    // ── NS dedup: exact n-gram Jaccard pairs via inverted index with
-    // the stop-shingle skew guard on. df≤100 is inert at the oracle
-    // scale (max shingle df at sf0.01 is 46) and prunes the shared-
-    // vocabulary hot shingles that would otherwise emit ~100M
-    // candidate pairs at sf0.1; genuine near-dup pairs share rare
-    // doc-specific shingles, so answer-set recall is unaffected ──
+    // ── NS dedup: exact n-gram Jaccard pairs. This corpus is DENSE
+    // (fixed ~931-bigram vocabulary shared by every doc), so the
+    // inverted index emits MORE candidate rows than the total pair
+    // count (36.5M vs 12.5M at sf0.1) — the dense-path broadcast join
+    // with a codegen'd sorted-merge intersection is strictly less
+    // work and shuffle-free. The inverted-index exact path is
+    // registered on a sparse slice as q53; the recall-controlled
+    // scale path for near-dup detection is q30's MinHash ──
     "q27_jaccard_pairs" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(
-        t(s, dir, "documents"), "doc_id", "text", n = 2, threshold = 0.18,
-        maxShingleDf = Some(100))
+      Dedup.jaccardPairsDense(
+        t(s, dir, "documents"), "doc_id", "text", n = 2, threshold = 0.18)
         .select(col("doc_a"), col("doc_b"), col("inter"),
           col("sz_a"), col("sz_b"), round(col("jaccard"), 6).as("jaccard"))),
 
@@ -533,12 +534,16 @@ object SparkEntry {
 
     // ── NS dedup: near-dup GROUP resolution — connected components
     // over the pair graph, min-id keeper per component (what a corpus
-    // pipeline actually applies after pair generation) ──
+    // pipeline actually applies after pair generation). Pair
+    // generation is the MinHash+exact-rescore SCALE path (bucketed
+    // candidates, no guard-inertness requirement at any corpus size);
+    // at threshold 0.5 its output equals the exact pair set the
+    // oracle computes (q30's verified property) ──
     "q44_neardup_groups" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.ngramJaccardPairs(
-        docs, "doc_id", "text", n = 2, threshold = 0.5,
-        maxShingleDf = Some(100))
+      val pairs = Dedup.minhashNearDupPairs(
+        docs, "doc_id", "text", shingleN = 2, k = 64, bands = 32,
+        threshold = 0.5)
       val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
         .toDF("doc_id", "keeper")
       docs.select(col("doc_id"))
@@ -623,20 +628,97 @@ object SparkEntry {
           sum(col("n_bpe")).as("total_bpe"),
           sum(col("n_ws")).as("total_ws"),
           (sum(col("n_bpe")).cast("double") / sum(col("n_ws")))
-            .as("bpe_per_word")))
+            .as("bpe_per_word"))),
+
+    // ── THE FLAGSHIP COMPOSED CATALOG PIPELINE (SURVEY §3.3
+    // list_topics, pulsar_remote_inspector.py:394-597): 3-source
+    // union → first-occurrence dedup → partition rollup → priority
+    // sort → limit, as ONE declarative plan. Each stage is verified
+    // individually by q15/q12/q14; this registers the composition ──
+    "q50_list_topics" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val topics = topicsFromEvents(ev)
+      val base = CatalogOps.dropPartitionShards(topics)
+      val part = topics.filter(col("topic").rlike(CatalogOps.partitionSuffix))
+      val sys = ev.select(
+        concat(lit("persistent://system/ns/"), col("event_type")).as("topic"))
+        .distinct()
+      val merged = CatalogOps.unionDedupTopics(base, part, sys)
+        .select("topic")
+      val rolled = CatalogOps.rollupPartitions(merged, "topic")
+      CatalogOps.priorityLimit(
+        rolled, Seq("ns1", "dlq", "global"), 40, "parent_topic")
+    }),
+
+    // ── T7/T8 for real: APPEND-mode streaming with a watermark — the
+    // production shape for unbounded 100 TB/day ingest (q45 proves
+    // complete mode; complete mode cannot scale because it re-emits
+    // all state every trigger). Only windows the final watermark has
+    // closed are emitted, which the oracle reproduces by filtering
+    // hourly buckets to window_end <= max(ts) - delay ──
+    "q51_streaming_append" -> ((s, dir) => {
+      Tables(s, dir, "events") // sets the nanos-as-long reader conf
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$dir/events.parquet").schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
+        .select(unix_millis(col("window.start")).as("win_start"),
+          col("event_type"), col("n"), col("sum_value"))
+      val q = agg.writeStream.format("memory").queryName("q51_mem")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      // fail loudly on timeout rather than returning a partial table
+      require(q.awaitTermination(300000),
+        "q51 streaming query did not drain within 300s")
+      s.table("q51_mem")
+    }),
+
+    // ── Skew-safe EXACT count-distinct: value-salted two-phase
+    // aggregation — no reducer ever holds a hot key's full distinct
+    // set (the thing that OOMs a plain countDistinct at 100 TB when
+    // one key dominates). Result is exact: each distinct value lands
+    // in exactly one salt cell ──
+    "q52_salted_distinct" -> ((s, dir) =>
+      Relational.saltedCountDistinct(
+        t(s, dir, "events"),
+        Seq(col("event_type")), col("user_id"), salt = 16,
+        outCol = "n_users")),
+
+    // ── NS dedup: the INVERTED-INDEX exact Jaccard path with its
+    // guard contract — requireInertGuard PROVES the skew guard inert
+    // before claiming the exact answer, failing loudly at a scale
+    // where it would silently lose recall (ADVICE r2). Registered on
+    // the doc_id%5 slice, where shingle dfs stay small relative to n
+    // and the index emits fewer rows than all-pairs — the regime this
+    // path is FOR (q27's dense corpus is the opposite regime) ──
+    "q53_jaccard_posting" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", n = 2, threshold = 0.18,
+        maxShingleDf = Some(2000), requireInertGuard = true)
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          col("sz_a"), col("sz_b"), round(col("jaccard"), 6).as("jaccard")))
   )
 
   /** DuckDB mirror of Dedup.ngramJaccardPairs (bigrams) at the given
     * threshold — also the oracle for the MinHash+rescore path, whose
     * output equals the exact pairs at any threshold past the S-curve
     * knee (Dedup.minhashNearDupPairs scaladoc). */
-  private def jaccardPairsSql(threshold: Double): String =
+  private def jaccardPairsSql(threshold: Double,
+      docFilter: String = "TRUE"): String =
     s"""WITH sh AS (
        |  SELECT doc_id,
        |    list_distinct(list_transform(
        |      range(1, greatest(len(toks) - 0, 1)),
        |      i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS s
-       |  FROM (SELECT doc_id, $sqlTokens AS toks FROM documents))
+       |  FROM (SELECT doc_id, $sqlTokens AS toks FROM documents
+       |        WHERE $docFilter))
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
        |  CAST(len(a.s) AS BIGINT) AS sz_a,
@@ -1156,7 +1238,49 @@ object SparkEntry {
            |      '${text.bpePattern.replace("'", "''")}')) AS n_bpe,
            |    len($sqlTokens) AS n_ws
            |  FROM documents)
-           |GROUP BY lang""".stripMargin
+           |GROUP BY lang""".stripMargin,
+
+      "q50_list_topics" ->
+        s"""$topicsCte,
+           |u AS (
+           |  SELECT topic, MIN(src_rank) AS src_rank FROM (
+           |    SELECT topic, 1 AS src_rank FROM topics
+           |      WHERE NOT regexp_matches(topic, '-partition-\\d+$$')
+           |    UNION ALL
+           |    SELECT topic, 2 AS src_rank FROM topics
+           |      WHERE regexp_matches(topic, '-partition-\\d+$$')
+           |    UNION ALL
+           |    SELECT DISTINCT 'persistent://system/ns/' || event_type AS topic,
+           |      3 AS src_rank FROM events
+           |  ) GROUP BY topic),
+           |r AS (
+           |  SELECT regexp_replace(topic, '-partition-\\d+$$', '') AS parent_topic,
+           |    COUNT(*) AS n_entries,
+           |    CAST(SUM(CASE WHEN regexp_matches(topic, '-partition-\\d+$$')
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_partitions,
+           |    MAX(regexp_matches(topic, '-partition-\\d+$$')) AS partitioned
+           |  FROM u GROUP BY 1)
+           |SELECT parent_topic, n_entries, n_partitions, partitioned, priority
+           |FROM (
+           |  SELECT r.*, CASE WHEN parent_topic LIKE '%ns1%'
+           |    OR parent_topic LIKE '%dlq%' OR parent_topic LIKE '%global%'
+           |    THEN 0 ELSE 1 END AS priority FROM r)
+           |ORDER BY priority, parent_topic LIMIT 40""".stripMargin,
+
+      "q51_streaming_append" ->
+        s"""WITH wm AS (SELECT epoch_ms(MAX(ts)) - 3600000 AS w FROM events),
+           |agg AS (
+           |  SELECT epoch_ms(date_trunc('hour', ts)) AS win_start, event_type,
+           |    COUNT(*) AS n, ${dec("value")} AS sum_value
+           |  FROM events GROUP BY 1, 2)
+           |SELECT win_start, event_type, n, sum_value
+           |FROM agg, wm WHERE win_start + 3600000 <= wm.w""".stripMargin,
+
+      "q52_salted_distinct" ->
+        """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+          |FROM events GROUP BY event_type""".stripMargin,
+
+      "q53_jaccard_posting" -> jaccardPairsSql(0.18, "doc_id % 5 = 0")
     )
   }
 }

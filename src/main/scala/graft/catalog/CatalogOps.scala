@@ -77,10 +77,15 @@ object CatalogOps {
   /** S5: read a CLI-output text file as numbered lines (line, line_no
     * 1-based). `wholetext` keeps the file in one task so the split
     * order IS the line order — correct for CLI-scale inputs, which is
-    * the only place fixed-width table output exists. */
+    * the only place fixed-width table output exists. A single trailing
+    * newline (the normal way such files end) is stripped BEFORE the
+    * split — otherwise the phantom empty last line would absorb
+    * [[parseCliTable]]'s footer trim and leak the real footer into the
+    * parsed names. */
   def readCliLines(spark: SparkSession, path: String): DataFrame =
     spark.read.option("wholetext", true).text(path)
-      .select(posexplode(split(col("value"), "\n")).as(Seq("idx", "line")))
+      .select(posexplode(split(regexp_replace(col("value"), "\n$", ""), "\n"))
+        .as(Seq("idx", "line")))
       .select(col("line"), (col("idx") + 1).cast("long").as("line_no"))
 
   /** S5: parse a `pulsarctl`-style fixed-width table given (line,

@@ -63,33 +63,60 @@ object Dedup {
     *
     * `maxShingleDf` drops shingles appearing in more than that many
     * docs from the INDEX ONLY (skew guard: one shingle shared by d
-    * docs produces d²/2 join rows on a single key). Because re-scoring
-    * uses full sets, the result stays exact unless a qualifying pair
-    * shares exclusively ultra-hot shingles — implausible for real
-    * near-dups at any threshold where this query is meaningful, and
-    * measured inert on the fixtures (max shingle df at sf0.01 is 46
-    * against the default guard of 500). */
+    * docs produces d²/2 join rows on a single key). The guard's
+    * exactness contract is explicit:
+    *  - `requireInertGuard = true` (the registered-query mode): the
+    *    operator CHECKS that no posting list exceeds the guard and
+    *    fails loudly when one does — the result is then provably the
+    *    unguarded exact answer, never silently missing recall.
+    *  - `requireInertGuard = false` with an active guard: approximate
+    *    candidate recall. The pre-filter then tests an UPPER bound on
+    *    |A∩B| — inter_g + min(hot_a, hot_b), where hot_x counts doc
+    *    x's shingles the guard dropped — so a pair sharing at least
+    *    one indexed shingle is never wrongly pruned; only pairs whose
+    *    overlap is 100% guard-dropped shingles can be missed (pure
+    *    boilerplate overlap — the pairs a dedup pipeline drops the
+    *    guard precisely to avoid paying for). Re-scoring always uses
+    *    full sets, so OUTPUT columns are exact either way.
+    * On a fixed-vocabulary corpus every shingle's df grows linearly
+    * with the corpus, so exact threshold joins are inherently
+    * candidate-bound; the recall-controlled scale path for near-dup
+    * detection is [[minhashNearDupPairs]]. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, maxShingleDf: Option[Int] = None): DataFrame = {
+      n: Int, threshold: Double, maxShingleDf: Option[Int] = None,
+      requireInertGuard: Boolean = false): DataFrame = {
     // tokenize+shingle is the dominant per-pass cost and this plan
     // references the sets four times (posting index, sizes, and both
-    // re-score sides) — persist so it computes once. MEMORY_AND_DISK:
-    // spills rather than OOMs at scale, and the shingle table is the
-    // thing a 100 TB dedup pipeline would checkpoint anyway.
+    // re-score sides) — persist so it computes once, unpersist before
+    // returning (the result is eagerly materialized first).
+    // MEMORY_AND_DISK: spills rather than OOMs at scale.
     val sets = shingleSets(docs, idCol, textCol, n)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sh = sets.select(col("doc"), explode(col("shingles")).as("shingle"))
+    // Exactness contract (see scaladoc): when the caller claims the
+    // unguarded exact answer, prove the guard inert — one light
+    // aggregate over the cached sets — rather than silently losing
+    // recall at a scale where the guard goes active (ADVICE r2).
+    maxShingleDf.foreach { m =>
+      if (requireInertGuard) {
+        val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > m).limit(1).count()
+        require(hot == 0L,
+          s"maxShingleDf=$m guard is ACTIVE (some shingle has df > $m): " +
+            "the result would lose recall vs the exact answer. Raise the " +
+            "guard, drop the exactness claim (requireInertGuard=false), " +
+            "or use minhashNearDupPairs as the scale path.")
+      }
+    }
     // Posting-list inverted index: ONE pass over the exploded shingles
     // (tokenization is the dominant cost and is never recomputed for a
     // second join side), one shuffle on the shingle key. Each posting
     // list emits its doc pairs locally; a second shuffle aggregates
     // per-pair shared-shingle counts. The skew guard is a filter on
     // posting-list size — a shingle in >m docs would emit m²/2 pairs
-    // AND make collect_list a hot key, so it leaves the index (with
-    // the guard inert this count IS |A∩B| and the threshold filter is
-    // exact; active, it is a lower bound — the documented recall
-    // caveat). Survivors — a tiny set — are re-scored on the full
-    // sets so the OUTPUT columns are always exact.
+    // AND make collect_list a hot key, so it leaves the index.
+    // Survivors — a tiny set — are re-scored on the full sets so the
+    // OUTPUT columns are always exact.
     val posting = sh.groupBy("shingle")
       .agg(sort_array(collect_list(col("doc"))).as("docs"))
       .filter(size(col("docs")) >= 2)
@@ -100,17 +127,85 @@ object Dedup {
     val pairExpr = flatten(transform(col("docs"), (x, i) =>
       transform(slice(col("docs"), i + lit(2), size(col("docs"))),
         y => struct(x.as("doc_a"), y.as("doc_b")))))
-    val sizes = sets.select(col("doc"), size(col("shingles")).as("sz"))
+    val sizes = sets.select(col("doc"),
+      size(col("shingles")).cast("long").as("sz"))
+    // hot_x = shingles of doc x dropped from the index — only needed
+    // when the guard may be active (approximate mode); inert/absent
+    // guards skip the extra join entirely.
+    val sized =
+      if (maxShingleDf.isEmpty || requireInertGuard)
+        sizes.withColumn("hot", lit(0L))
+      else {
+        val hotPerDoc = posting.filter(size(col("docs")) > maxShingleDf.get)
+          .select(explode(col("docs")).as("doc"))
+          .groupBy("doc").agg(count(lit(1)).as("hot0"))
+        sizes.join(hotPerDoc, Seq("doc"), "left")
+          .select(col("doc"), col("sz"),
+            coalesce(col("hot0"), lit(0L)).as("hot"))
+      }
+    // Candidate pre-filter on the UPPER bound of |A∩B|: inter_g
+    // (shared indexed shingles) + min(hot_a, hot_b). Since Jaccard is
+    // increasing in the intersection, ub/(sz_a+sz_b-ub) >= J for every
+    // true pair sharing >= 1 indexed shingle — no false pruning.
     val candidates = guarded
       .select(explode(pairExpr).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter_g"))
-      .join(sizes.toDF("doc_a", "sz_a"), "doc_a")
-      .join(sizes.toDF("doc_b", "sz_b"), "doc_b")
-      .filter(col("inter_g").cast("double") /
-        (col("sz_a") + col("sz_b") - col("inter_g")).cast("double") >= threshold)
+      .join(sized.toDF("doc_a", "sz_a", "hot_a"), "doc_a")
+      .join(sized.toDF("doc_b", "sz_b", "hot_b"), "doc_b")
+      .withColumn("ub", col("inter_g") + least(col("hot_a"), col("hot_b")))
+      .filter(col("ub").cast("double") /
+        (col("sz_a") + col("sz_b") - col("ub")).cast("double") >= threshold)
       .select("doc_a", "doc_b")
-    rescoreJaccard(candidates, sets, threshold)
+    // Materialize the (small) result while `sets` is still cached,
+    // then release the cache — the r2 bench showed leaked blocks from
+    // 40+ sequential queries compounding into a 10x slowdown on later
+    // entries. localCheckpoint blocks are ContextCleaner-managed:
+    // freed when the returned frame is GC'd, not leaked for the
+    // session's lifetime like CacheManager entries.
+    val out = rescoreJaccard(candidates, sets, threshold)
+      .localCheckpoint(eager = true)
+    sets.unpersist(blocking = false)
+    out
+  }
+
+  /** Exact near-dup pairs by n-gram Jaccard for DENSE-similarity
+    * corpora: a broadcast all-pairs join with a codegen'd sorted-merge
+    * intersection count per pair.
+    *
+    * Why it exists alongside [[ngramJaccardPairs]]: the inverted-index
+    * path emits Σ_s C(df_s, 2) candidate rows. On a shared-vocabulary
+    * corpus dfs grow linearly with the corpus, so that sum OVERTAKES
+    * the n²/2 all-pairs count (measured on the fixtures at sf0.1:
+    * 36.5M index emissions vs 12.5M total pairs) — the index is then
+    * strictly more work than brute force, and brute force needs no
+    * shuffle at all: one broadcast of the (doc, sorted shingles) frame
+    * and one codegen'd merge per pair. Pick the index when shingle dfs
+    * are small relative to n (sparse overlap), this when they are not.
+    * Both produce the identical exact output. */
+  def jaccardPairsDense(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.graft.{Bridge, SortedIntersectCount}
+    def interCount(a: Column, b: Column): Column =
+      Bridge.column(SortedIntersectCount(
+        Bridge.expression(a), Bridge.expression(b)))
+    val sets = shingleSets(docs, idCol, textCol, n).select(
+      col("doc"), sort_array(col("shingles")).as("sh"),
+      size(col("shingles")).cast("long").as("sz"))
+    val a = sets.toDF("doc_a", "sh_a", "sz_a")
+    val b = sets.toDF("doc_b", "sh_b", "sz_b")
+    a.join(broadcast(b), col("doc_a") < col("doc_b"))
+      .withColumn("inter", interCount(col("sh_a"), col("sh_b")))
+      // two-empty-docs pairs have union 0; guard the division (ANSI
+      // divide-by-zero throws even for doubles, and the optimizer may
+      // evaluate this predicate before the doc_a < doc_b condition)
+      .withColumn("jaccard",
+        when(col("sz_a") + col("sz_b") - col("inter") > 0,
+          col("inter").cast("double") /
+            (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+          .otherwise(lit(0.0)))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "jaccard")
   }
 
   /** MinHash signatures: k independent permutations approximated by
@@ -170,12 +265,14 @@ object Dedup {
 
   /** End-to-end MinHash near-dup pairs: signatures → LSH banding →
     * EXACT Jaccard re-score on the full shingle sets. The output is a
-    * subset of the exact ngram-Jaccard pairs; with the default
-    * S-curve parameters (k=64, bands=32, i.e. r=2) a pair at
-    * similarity s is missed with probability (1-s²)^32 — under 3e-25
-    * at s=0.9, 1e-4 at s=0.5 — so at `threshold` ≥ 0.5 the result is
-    * the exact answer in practice and is verified against the exact
-    * oracle. */
+    * subset of the exact ngram-Jaccard pairs; candidate generation
+    * passes `minBandMatches = 2` to [[minhashCandidatePairs]], so with
+    * the default parameters (k=64, bands=32, i.e. r=2) a pair at
+    * similarity s is missed with probability P(X < 2), X ~
+    * Binomial(32, s²): (1-s²)³² + 32·s²·(1-s²)³¹ ≈ 1.2e-3 at s=0.5
+    * and < 1e-20 at s=0.9 — so at `threshold` ≥ 0.5 the result equals
+    * the exact answer unless a fixture pair sits at the S-curve knee,
+    * and is verified against the exact oracle. */
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
     // single tokenize pass shared by the signature job and both
@@ -190,7 +287,12 @@ object Dedup {
       .select(col("doc"),
         array((0 until k).map(i => col(s"h${i}_")): _*).as("signature"))
     val candidates = minhashCandidatePairs(sigs, bands, k, minBandMatches = 2)
-    rescoreJaccard(candidates, sets, threshold)
+    // materialize before releasing the shared shingle cache (see
+    // ngramJaccardPairs for the leak rationale)
+    val out = rescoreJaccard(candidates, sets, threshold)
+      .localCheckpoint(eager = true)
+    sets.unpersist(blocking = false)
+    out
   }
 
   /** SimHash over the token stream: per token a `width`-bit hash votes
@@ -228,13 +330,18 @@ object Dedup {
     * 100 TB upgrade path is large-star/small-star, same interface. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val sym = edges
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("src").as("node")).distinct()
+    // `ckpt` is the iteration's materialized frame; each new iteration
+    // frees the superseded one's blocks (Bridge.freeLocalCheckpoint)
+    // instead of leaking every iteration's copy for the session.
+    var ckpt = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
+    var labels = ckpt
     var iter = 0
     var changed = 1L
     while (iter < maxIter && changed > 0) {
@@ -247,9 +354,18 @@ object Dedup {
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
         .localCheckpoint(true)
       changed = stepped.filter(col("label") =!= col("old_label")).count()
+      Bridge.freeLocalCheckpoint(ckpt)
+      ckpt = stepped
       labels = stepped.select("node", "label")
       iter += 1
     }
+    // min-label propagation needs ~diameter iterations; a silent
+    // partial result would assign wrong keepers — fail loudly instead
+    // (same policy as the q45 streaming timeout guard).
+    require(changed == 0L,
+      s"connectedComponents did not converge within $maxIter iterations " +
+        "(graph diameter exceeds maxIter); raise maxIter")
+    sym.unpersist(blocking = false)
     labels
   }
 

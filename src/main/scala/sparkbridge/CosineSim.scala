@@ -286,10 +286,83 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Codegen'd intersection size of two SORTED string arrays (ascending
+  * binary/UTF8 order, distinct elements — what sort_array over a
+  * shingle set produces): one merge pass, O(|a|+|b|) comparisons, no
+  * per-element interpreted lambda and no intermediate array (vs
+  * size(array_intersect(a,b)), which builds a hash set per row).
+  * The hot kernel of the dense-corpus exact Jaccard join, where every
+  * pair of a broadcast nested-loop join evaluates one intersection. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var cnt = 0L
+    val n = x.numElements(); val m = y.numElements()
+    while (i < n && j < m) {
+      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (c == 0) { cnt += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    cnt
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val c = ctx.freshName("c")
+      val cnt = ctx.freshName("cnt")
+      s"""
+         |int $i = 0; int $j = 0; long $cnt = 0L;
+         |int $n = $a.numElements(); int $m = $b.numElements();
+         |while ($i < $n && $j < $m) {
+         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($c == 0) { $cnt++; $i++; $j++; }
+         |  else if ($c < 0) $i++;
+         |  else $j++;
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** private[sql] API bridge for code living in the graft.* packages. */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Release the cached blocks behind a locally-checkpointed Dataset.
+    * `Dataset.unpersist` only covers CacheManager entries; a local
+    * checkpoint's blocks are owned by its underlying RDD (reachable
+    * through the LogicalRDD the checkpoint produced). Iterative
+    * operators use this to free superseded iterations immediately
+    * instead of leaking executor memory until driver GC +
+    * ContextCleaner get around to it. No-op on non-checkpoint plans. */
+  def freeLocalCheckpoint(ds: org.apache.spark.sql.Dataset[_]): Unit = ds match {
+    case c: org.apache.spark.sql.classic.Dataset[_] =>
+      c.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    case _ => ()
+  }
 }
 
 /** Codegen'd multi-table hyperplane-LSH bucketer: for each of

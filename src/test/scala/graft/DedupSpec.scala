@@ -52,6 +52,29 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
     got shouldBe expected
   }
 
+  test("jaccardPairsDense equals the inverted-index exact pairs (all columns)") {
+    import spark.implicits._
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("sz_a"),
+        col("sz_b"), round(col("jaccard"), 6))
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    val index = key(Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 2, 0.3))
+    val dense = key(Dedup.jaccardPairsDense(corpus, "doc_id", "text", 2, 0.3))
+    dense shouldBe index
+    dense should not be empty
+  }
+
+  test("requireInertGuard fails loudly when a shingle exceeds the guard") {
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 2, 0.3,
+        maxShingleDf = Some(1), requireInertGuard = true).collect()
+    }
+    e.getMessage should include("guard is ACTIVE")
+    // and an inert guard passes the same check
+    Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 2, 0.3,
+      maxShingleDf = Some(100), requireInertGuard = true).count() should be > 0L
+  }
+
   test("skew guard only prunes candidates; surviving pairs stay exact") {
     import spark.implicits._
     val unguarded = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 2, 0.3)

@@ -96,6 +96,19 @@ class RelationalSpec extends AnyFunSuite with SparkSpec with Matchers {
       .as[String].collect().sorted shouldBe Array("tenant-x", "tenant-y")
   }
 
+  test("readCliLines with a trailing newline drops the phantom empty line") {
+    import spark.implicits._
+    val f = java.nio.file.Files.createTempFile("graft_cli_nl", ".txt")
+    // ends with \n (the normal case) AND has a real footer line: the
+    // footer must be trimmed, not the phantom empty line after the \n
+    java.nio.file.Files.writeString(f,
+      "+----+\n| ID | NAME |\n+----+\n 0 tenant-x ok\n 1 tenant-y ok\nTotal: 2\n")
+    val lines = CatalogOps.readCliLines(spark, f.toString)
+    lines.count() shouldBe 6
+    CatalogOps.parseCliTable(lines, "line", "line_no", 3, 1, 1)
+      .as[String].collect().sorted shouldBe Array("tenant-x", "tenant-y")
+  }
+
   test("parseCliTable trims header/footer and extracts the field") {
     import spark.implicits._
     val lines = Seq(
