@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{CatalogOps, DdlSink}
+import graft.functions.codec
+import graft.gen.Generator
+import graft.replay.Replay
+import graft.sources.SnapshotIO
+
+/** User-facing CLI over the engine's pipelines — the counterpart of
+  * the reference's argparse / interactive menu entry points
+  * (pulsar_backup_restore.py:384-409, pulsar_remote_inspector.py:
+  * 619-726), re-expressed over the injected seams. Broker IO does not
+  * exist in this environment, so every command grounds in files: the
+  * snapshot interchange layout (SnapshotIO), the native parquet
+  * layout, and per-topic replay output files. Production swaps the
+  * injected send/DDL functions for a real client without touching any
+  * plan.
+  *
+  * {{{
+  * graft.Main list-topics <snapshotDir> [limit]
+  * graft.Main capture <nativeParquetDir> <snapshotDir>
+  * graft.Main replay <snapshotDir> <outDir>
+  * graft.Main restore <snapshotDir>        # dry-run: ordered DDL
+  * graft.Main publish <outDir> <count>
+  * }}}
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args.toSeq).foreach(println)
+    finally spark.stop()
+  }
+
+  /** Command dispatch, returning the lines `main` prints — directly
+    * testable without capturing stdout. */
+  def run(spark: SparkSession, args: Seq[String]): Seq[String] = args match {
+    case Seq("list-topics", dir, rest @ _*) =>
+      listTopics(spark, dir, rest.headOption.map(_.toInt).getOrElse(100))
+    case Seq("capture", nativeDir, snapDir) => capture(spark, nativeDir, snapDir)
+    case Seq("replay", snapDir, outDir) => replay(spark, snapDir, outDir)
+    case Seq("restore", snapDir) => restore(spark, snapDir)
+    case Seq("publish", outDir, count) => publish(spark, outDir, count.toLong)
+    case _ => Seq(
+      "usage: graft.Main <command> ...",
+      "  list-topics <snapshotDir> [limit]   composed catalog listing",
+      "  capture <nativeParquetDir> <snapshotDir>   parquet -> snapshot",
+      "  replay <snapshotDir> <outDir>       ordered per-topic replay",
+      "  restore <snapshotDir>               dry-run DDL (parents first)",
+      "  publish <outDir> <count>            synthetic emailSend messages")
+  }
+
+  /** §3.3 list_topics over a snapshot's catalog files: the same
+    * composed pipeline as the registered q50 (3-source union →
+    * first-wins dedup → partition rollup → priority sort → limit). */
+  private def listTopics(spark: SparkSession, dir: String,
+      limit: Int): Seq[String] = {
+    val base = SnapshotIO.readTopics(spark, dir)
+    val all = SnapshotIO.readTopics(spark, dir, all = true)
+    val part = all.filter(col("topic").rlike(CatalogOps.partitionSuffix))
+    val sys = all.filter(
+      regexp_extract(col("topic"), "persistent://([^/]+)/", 1)
+        .isin("system", "pulsar"))
+    val merged = CatalogOps
+      .unionDedupTopics(base, part, sys)
+      .select("topic")
+    val rolled = CatalogOps.rollupPartitions(merged, "topic")
+    val listed = CatalogOps.priorityLimit(
+      rolled, Seq("dlq", "global"), limit, "parent_topic")
+    val rows = listed.collect() // bounded by `limit`
+    val header = f"${"TOPIC"}%-60s ${"ENTRIES"}%8s ${"PARTS"}%6s"
+    header +: rows.toSeq.map { r =>
+      f"${r.getAs[String]("parent_topic")}%-60s ${r.getAs[Long]("n_entries")}%8d " +
+        f"${r.getAs[Long]("n_partitions")}%6d"
+    }
+  }
+
+  /** §3.1 capture: native parquet layout → reference snapshot layout
+    * (catalog text files + per-topic JSON arrays). */
+  private def capture(spark: SparkSession, nativeDir: String,
+      snapDir: String): Seq[String] = {
+    val src = {
+      val nested = new java.io.File(nativeDir, "messages_parquet")
+      if (nested.isDirectory) nested.toString else nativeDir
+    }
+    val env = spark.read.parquet(src)
+    Replay.capture(env, snapDir)
+    val n = spark.read.option("multiLine", true)
+      .json(s"$snapDir/messages/*.json").count()
+    Seq(s"captured $n messages to $snapDir")
+  }
+
+  /** §3.2 replay: snapshot → decoded payloads → ordered per-topic
+    * send. The injected sink writes one file per topic with one
+    * base64 payload line per message, in seq order — the file-grounded
+    * stand-in for a producer. */
+  private def replay(spark: SparkSession, snapDir: String,
+      outDir: String): Seq[String] = {
+    Replay.replaySnapshot(spark, snapDir, { it: Iterator[Row] =>
+      if (it.hasNext) {
+        val basePath = new org.apache.hadoop.fs.Path(outDir)
+        val fs = basePath.getFileSystem(
+          new org.apache.hadoop.conf.Configuration())
+        fs.mkdirs(basePath)
+        var cur: String = null
+        var out: org.apache.hadoop.fs.FSDataOutputStream = null
+        it.foreach { r =>
+          val topic = r.getAs[String]("topic")
+          if (topic != cur) { // partition is sorted by topic, then seq
+            if (out != null) out.close()
+            cur = topic
+            out = fs.create(new org.apache.hadoop.fs.Path(
+              basePath, codec.sanitizeTopicStr(topic) + ".txt"), true)
+          }
+          val b64 = java.util.Base64.getEncoder
+            .encodeToString(r.getAs[Array[Byte]]("payload"))
+          out.write((b64 + "\n").getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+        }
+        if (out != null) out.close()
+      }
+    })
+    val files = new java.io.File(outDir).listFiles()
+    val n = if (files == null) 0
+      else files.count(f => f.getName.endsWith(".txt") && !f.getName.startsWith("."))
+    Seq(s"replayed $n topics to $outDir")
+  }
+
+  /** K6 restore dry-run: the ordered DDL (tenants → namespaces →
+    * topics) the reference would apply, printed instead of sent. */
+  private def restore(spark: SparkSession, snapDir: String): Seq[String] = {
+    val applied = DdlSink.restore(
+      SnapshotIO.readTenants(spark, snapDir),
+      SnapshotIO.readNamespaces(spark, snapDir),
+      SnapshotIO.readTopics(spark, snapDir),
+      _ => (), _ => (), _ => ())
+    applied.map { case (kind, name) => s"CREATE $kind $name" }
+  }
+
+  /** S8 publish (bounded form): deterministic synthetic emailSend
+    * wire-format messages to text files. The rate-limited streaming
+    * form is Streams.syntheticPublishStream + toProducerSink. */
+  private def publish(spark: SparkSession, outDir: String,
+      count: Long): Seq[String] = {
+    val base = lit(1704067200L) // 2024-01-01T00:00:00Z
+    spark.range(0, count)
+      .select(Generator.emailSendJson(
+        col("id"), timestamp_seconds(base + col("id"))).as("value"))
+      .coalesce(1)
+      .write.mode("overwrite").text(outDir)
+    Seq(s"published $count messages to $outDir")
+  }
+}

@@ -61,6 +61,14 @@ object SparkEntry {
     * Similarity.trainIvfCentroids without changing the plan. */
   private val ivfCentroids: Seq[Array[Double]] =
     vectors.planeMatrix(seed = 7L, nPlanes = 16, dim = embDim)
+  /** q54's oracle mirror of the SCALE-AWARE plane derivation: the
+    * sizing rule applied to the verify-scale corpus (sf0.01 has 500
+    * embeddings → planesForSize(500, 32) = 4 planes). The Spark side
+    * derives the same count from a live count() at any scale; the
+    * oracle is pinned to the scale the driver verifies at. */
+  private val q54Planes: Seq[Array[Double]] =
+    vectors.planeMatrix(seed = 77L,
+      nPlanes = Similarity.planesForSize(500), dim = embDim)
 
   /** Render a Double so DuckDB parses back the identical IEEE value
     * (Double.toString is the shortest round-tripping decimal). */
@@ -544,7 +552,7 @@ object SparkEntry {
       val pairs = Dedup.minhashNearDupPairs(
         docs, "doc_id", "text", shingleN = 2, k = 64, bands = 32,
         threshold = 0.5)
-      val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      val cc = Dedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
         .toDF("doc_id", "keeper")
       docs.select(col("doc_id"))
         .join(cc, Seq("doc_id"), "left")
@@ -703,7 +711,17 @@ object SparkEntry {
         "doc_id", "text", n = 2, threshold = 0.18,
         maxShingleDf = Some(2000), requireInertGuard = true)
         .select(col("doc_a"), col("doc_b"), col("inter"),
-          col("sz_a"), col("sz_b"), round(col("jaccard"), 6).as("jaccard")))
+          col("sz_a"), col("sz_b"), round(col("jaccard"), 6).as("jaccard"))),
+
+    // ── NS similarity: SCALE-AWARE LSH top-k — the plane count is
+    // derived from the corpus size (one explicit count() planning
+    // statistic) so bucket occupancy stays ~constant as data grows:
+    // the r2 verdict's fix for q32's forever-fixed 256 buckets. At
+    // the verify scale the rule picks 4 planes; the oracle inlines
+    // exactly that matrix ──
+    "q54_ann_lsh_auto" -> ((s, dir) =>
+      Similarity.lshTopKAuto(
+        t(s, dir, "embeddings"), seed = 77L, dim = embDim, k = 5))
   )
 
   /** DuckDB mirror of Dedup.ngramJaccardPairs (bigrams) at the given
@@ -1280,7 +1298,25 @@ object SparkEntry {
         """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
           |FROM events GROUP BY event_type""".stripMargin,
 
-      "q53_jaccard_posting" -> jaccardPairsSql(0.18, "doc_id % 5 = 0")
+      "q53_jaccard_posting" -> jaccardPairsSql(0.18, "doc_id % 5 = 0"),
+
+      "q54_ann_lsh_auto" -> {
+        val cos = s"${sqlDotVec("a.embedding", "c.embedding")} / " +
+          s"(sqrt(${sqlDotVec("a.embedding", "a.embedding")}) * " +
+          s"sqrt(${sqlDotVec("c.embedding", "c.embedding")}))"
+        s"""WITH b AS (
+           |  SELECT vec_id, embedding,
+           |    ${sqlBucket("embedding", q54Planes)} AS bucket
+           |  FROM embeddings),
+           |p AS (
+           |  SELECT a.vec_id AS vec_id, c.vec_id AS nb_id, $cos AS cos
+           |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id)
+           |SELECT vec_id, nb_id, round(cos, 6) AS cos, rnk FROM (
+           |  SELECT vec_id, nb_id, cos,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY cos DESC, nb_id) AS rnk
+           |  FROM p) WHERE rnk <= 5""".stripMargin
+      }
     )
   }
 }

@@ -170,42 +170,63 @@ object Dedup {
   }
 
   /** Exact near-dup pairs by n-gram Jaccard for DENSE-similarity
-    * corpora: a broadcast all-pairs join with a codegen'd sorted-merge
-    * intersection count per pair.
+    * corpora: a broadcast all-pairs join whose per-pair work is one
+    * codegen'd merge over sorted shingle-HASH arrays, followed by an
+    * exact re-score of the surviving candidates on the string sets.
     *
     * Why it exists alongside [[ngramJaccardPairs]]: the inverted-index
     * path emits Σ_s C(df_s, 2) candidate rows. On a shared-vocabulary
     * corpus dfs grow linearly with the corpus, so that sum OVERTAKES
     * the n²/2 all-pairs count (measured on the fixtures at sf0.1:
     * 36.5M index emissions vs 12.5M total pairs) — the index is then
-    * strictly more work than brute force, and brute force needs no
-    * shuffle at all: one broadcast of the (doc, sorted shingles) frame
-    * and one codegen'd merge per pair. Pick the index when shingle dfs
-    * are small relative to n (sparse overlap), this when they are not.
-    * Both produce the identical exact output. */
+    * strictly MORE work than brute force, and brute force needs no
+    * shuffle beyond one n-row broadcast. Pick the index when shingle
+    * dfs are small relative to n (sparse overlap), this when not.
+    *
+    * Exactness: equal strings hash equal, so the hash-merge count is
+    * an upper bound on the true intersection (a collision can only
+    * inflate it) — the threshold filter on it passes a SUPERSET of
+    * the true answer, and [[rescoreJaccard]] on the full string sets
+    * reduces that to exactly the true pairs. Both paths produce the
+    * identical exact output (spec-asserted). */
   def jaccardPairsDense(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.graft.{Bridge, SortedIntersectCount}
-    def interCount(a: Column, b: Column): Column =
-      Bridge.column(SortedIntersectCount(
+    import org.apache.spark.sql.graft.{Bridge, SortedLongIntersectCount}
+    def interUpperBound(a: Column, b: Column): Column =
+      Bridge.column(SortedLongIntersectCount(
         Bridge.expression(a), Bridge.expression(b)))
-    val sets = shingleSets(docs, idCol, textCol, n).select(
-      col("doc"), sort_array(col("shingles")).as("sh"),
+    // persisted: the hash-array build and the final re-score both
+    // read it; released after the result materializes (r2 leak fix)
+    val sets = shingleSets(docs, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hashed = sets.select(
+      col("doc"),
+      sort_array(transform(col("shingles"), s => xxhash64(s))).as("hs"),
       size(col("shingles")).cast("long").as("sz"))
-    val a = sets.toDF("doc_a", "sh_a", "sz_a")
-    val b = sets.toDF("doc_b", "sh_b", "sz_b")
-    a.join(broadcast(b), col("doc_a") < col("doc_b"))
-      .withColumn("inter", interCount(col("sh_a"), col("sh_b")))
+    // the streamed side must be SPREAD: a small parquet input arrives
+    // as one partition, which would serialize the whole O(n²) merge
+    // onto one core (measured: 506s single-task vs 24s spread at
+    // sf0.1, before the hash-merge cut per-pair cost further). One
+    // tiny round-robin shuffle of n rows buys full parallelism.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val a = hashed.repartition(par).toDF("doc_a", "hs_a", "sz_a")
+    val b = hashed.toDF("doc_b", "hs_b", "sz_b")
+    val candidates = a.join(broadcast(b), col("doc_a") < col("doc_b"))
+      .withColumn("iub", interUpperBound(col("hs_a"), col("hs_b")))
       // two-empty-docs pairs have union 0; guard the division (ANSI
       // divide-by-zero throws even for doubles, and the optimizer may
       // evaluate this predicate before the doc_a < doc_b condition)
-      .withColumn("jaccard",
-        when(col("sz_a") + col("sz_b") - col("inter") > 0,
-          col("inter").cast("double") /
-            (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .withColumn("jub",
+        when(col("sz_a") + col("sz_b") - col("iub") > 0,
+          col("iub").cast("double") /
+            (col("sz_a") + col("sz_b") - col("iub")).cast("double"))
           .otherwise(lit(0.0)))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "jaccard")
+      .filter(col("jub") >= threshold)
+      .select("doc_a", "doc_b")
+    val out = rescoreJaccard(candidates, sets, threshold)
+      .localCheckpoint(eager = true)
+    sets.unpersist(blocking = false)
+    out
   }
 
   /** MinHash signatures: k independent permutations approximated by
@@ -369,6 +390,86 @@ object Dedup {
     labels
   }
 
+  /** Connected components by alternating large-star / small-star
+    * contraction (the Kiveris et al. SOCC'14 two-phase algorithm —
+    * the published MapReduce/Spark method for web-scale graphs):
+    * large-star hangs every node's larger neighbors off its
+    * neighborhood minimum, small-star does the same for smaller
+    * neighbors, and the edge set converges to per-component stars
+    * centered at the component minimum in O(log n) rounds on ANY
+    * graph — vs ~diameter rounds for [[connectedComponents]]'s
+    * min-label propagation, which a chain-shaped dup graph can push
+    * to hundreds of rounds. Same output contract: (node, label =
+    * component minimum id). Each round is two aggregate+join shuffles
+    * on node keys; superseded iterations' checkpoints are freed as
+    * the loop advances. */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 30): DataFrame =
+    starComponents(pairs, aCol, bCol, maxIter)._1
+
+  /** [[connectedComponentsStar]] plus the round count (spec asserts
+    * the O(log n) behavior against label propagation on a chain). */
+  private[graft] def starComponents(pairs: DataFrame, aCol: String,
+      bCol: String, maxIter: Int): (DataFrame, Int) = {
+    import org.apache.spark.sql.graft.Bridge
+    // canonical working edge set: (u, v) with v < u, no self-loops
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("u"),
+        least(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    // fixed-point detection on (count, order-independent hash sum) —
+    // one tiny aggregate per round instead of a full except() diff.
+    // DECIMAL accumulation: a long sum of 64-bit hashes overflows
+    // (and ANSI mode makes that an error, not a wraparound).
+    def sig(e: DataFrame): (Long, String) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1).toBigInteger.toString)
+    }
+    var cur = sig(edges)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // large-star: every undirected edge is processed at its SMALLER
+      // endpoint u; larger neighbors v re-attach to m = min(Γ(u)∪{u})
+      val sym = edges.select(col("u"), col("v"))
+        .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(lsMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")) // m <= u < v: canonical
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star: each edge processed at its LARGER endpoint u;
+      // smaller neighbors (and u itself) re-attach to m = min(Γ(u))
+      val ssMin = large.groupBy("u").agg(min(col("v")).as("m"))
+      val small = large.join(ssMin, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v")) // m < v: canonical
+        .unionAll(ssMin.select(col("u"), col("m").as("v"))) // (u, m), m < u
+        .distinct()
+      val next = small.localCheckpoint(true)
+      val nxt = sig(next)
+      converged = nxt == cur
+      Bridge.freeLocalCheckpoint(edges)
+      edges = next
+      cur = nxt
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponentsStar did not converge within $maxIter rounds")
+    // at the fixed point every edge is (member, component minimum)
+    val labels = edges.select(col("u").as("node"), col("v").as("label"))
+      .unionAll(edges.select(col("v").as("node"), col("v").as("label"))
+        .distinct())
+      .distinct()
+    (labels, iter)
+  }
+
   /** Codegen'd md5-60 SimHash over a token array column — the fast
     * form of `simhash(c, 60, hashes.md5Hash60)` (bit-identical;
     * asserted by ExpressionSpec). */
@@ -381,28 +482,51 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-duplicate pairs, EXACT for the given radius: the
-    * w-bit fingerprint splits into radius+1 disjoint blocks; by
-    * pigeonhole, any pair within `radius` bit flips agrees EXACTLY on
-    * at least one block, so joining on (block, block-value) buckets
-    * has recall 1 — and the Hamming filter afterwards gives precision
-    * 1. The LSH shape (shuffle on a high-cardinality bucket key, no
-    * all-pairs join) with none of the approximation: the
-    * Charikar/Manku-style dedup used at web scale. */
+  /** SimHash near-duplicate pairs, EXACT for the given radius — the
+    * Charikar/Manku construction used at web scale. The w-bit
+    * fingerprint splits into `nBlocks` disjoint blocks; a pair within
+    * `radius` bit flips agrees exactly on ≥ nBlocks − radius of them,
+    * so joining on every `keyBlocks`-combination of block values
+    * (C(nBlocks, keyBlocks) tables) finds every such pair as long as
+    * keyBlocks ≤ nBlocks − radius — recall 1 by pigeonhole, and the
+    * Hamming post-filter gives precision 1. No all-pairs join: the
+    * shuffle key is (table, packed block values).
+    *
+    * SCALING THE KEY WIDTH (r2 verdict): with the minimal
+    * nBlocks = radius+1, keyBlocks = 1, buckets hold n/2^(w/(r+1))
+    * docs — fixed forever, so in-bucket candidate pairs grow
+    * quadratically. Raising nBlocks and keyBlocks widens the join key
+    * to keyBlocks·w/nBlocks bits at C(nBlocks, keyBlocks) tables:
+    * candidates ≈ T·n²/2^keyBits shrink EXPONENTIALLY in the key
+    * width for a polynomial table cost — e.g. w=60, r=5: (6,1) = 6
+    * tables/10-bit keys; (10,3) = 120 tables/18-bit keys, 256× fewer
+    * per-bucket collisions at 20× the rows; (12,7) = 792 tables/35-bit
+    * keys for web scale. Same output for ANY valid parameters. */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      radius: Int = 5, width: Int = 60): DataFrame = {
-    val blocks = radius + 1
-    require(width % blocks == 0, s"radius+1=$blocks must divide width $width")
-    val blockBits = width / blocks
+      radius: Int = 5, width: Int = 60, blocks: Option[Int] = None,
+      keyBlocks: Int = 1): DataFrame = {
+    val nBlocks = blocks.getOrElse(radius + 1)
+    require(width % nBlocks == 0, s"blocks=$nBlocks must divide width $width")
+    require(keyBlocks >= 1 && keyBlocks <= nBlocks - radius,
+      s"pigeonhole needs keyBlocks <= blocks - radius " +
+        s"($keyBlocks > $nBlocks - $radius would lose recall)")
+    val blockBits = width / nBlocks
+    require(keyBlocks * blockBits <= 63,
+      s"packed key is ${keyBlocks * blockBits} bits; must fit a long")
     val mask = (1L << blockBits) - 1
     val fp = docs.select(col(idCol).as("doc"),
       simhashFast(text.tokens(col(textCol)), width).as("fp"))
+    def blockVal(b: Int): Column =
+      shiftrightunsigned(col("fp"), b * blockBits).bitwiseAND(lit(mask))
+    // one packed key per keyBlocks-combination of blocks
+    val keys = (0 until nBlocks).combinations(keyBlocks).toSeq.map { combo =>
+      combo.foldLeft(lit(0L))((acc, b) =>
+        shiftleft(acc, blockBits).bitwiseOR(blockVal(b)))
+    }
     val blocked = fp.select(col("doc"), col("fp"),
-      posexplode(array((0 until blocks).map(b =>
-        shiftrightunsigned(col("fp"), b * blockBits).bitwiseAND(lit(mask))): _*))
-        .as(Seq("blk", "bval")))
-    blocked.toDF("doc_a", "fp_a", "blk", "bval")
-      .join(blocked.toDF("doc_b", "fp_b", "blk", "bval"), Seq("blk", "bval"))
+      posexplode(array(keys: _*)).as(Seq("tbl", "bkey")))
+    blocked.toDF("doc_a", "fp_a", "tbl", "bkey")
+      .join(blocked.toDF("doc_b", "fp_b", "tbl", "bkey"), Seq("tbl", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming", hamming64(col("fp_a"), col("fp_b")))
       .filter(col("hamming") <= radius)

@@ -64,4 +64,17 @@ object TopK {
       .mapValues { case (_, s, id) => (s, id) }
       .agg(new TopKAggregator(k).toColumn.name("top"))
   }
+
+  /** The production form: a native TypedImperativeAggregate whose
+    * buffer serializes as a flat primitive ByteBuffer instead of a
+    * Kryo blob (see org.apache.spark.sql.graft.TopKAgg). Usable as a
+    * Column in any groupBy().agg(), and as SQL `top_k(score, id, k)`
+    * via GraftExtensions. Output: array<struct<score,id>> best-first. */
+  def topKFast(score: org.apache.spark.sql.Column,
+      id: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.{Bridge, TopKAgg}
+    Bridge.column(TopKAgg(
+      Bridge.expression(score), Bridge.expression(id), k)
+      .toAggregateExpression())
+  }
 }

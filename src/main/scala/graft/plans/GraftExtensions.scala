@@ -2,8 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.CosineSim
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graft.{CosineSim, TopKAgg}
+import org.apache.spark.sql.types.IntegerType
 
 /** SQL-surface registration of the engine's native expressions, for
   * sessions built with
@@ -21,7 +22,17 @@ object GraftExtensions {
       Seq[Expression] => Expression)] = Seq(
     (new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
-      (children: Seq[Expression]) => CosineSim(children.head, children(1))))
+      (children: Seq[Expression]) => CosineSim(children.head, children(1))),
+    (new FunctionIdentifier("top_k"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "top_k"),
+      (children: Seq[Expression]) => {
+        val k = children(2) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"top_k(score, id, k): k must be an integer literal, got $other")
+        }
+        TopKAgg(children.head, children(1), k)
+      }))
 
   /** Imperative registration into an existing session. */
   def register(spark: SparkSession): Unit =

@@ -42,6 +42,22 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** T4: source-side backpressure for bounded file ingestion —
+    * `maxFilesPerTrigger` caps each micro-batch's intake (the
+    * receiver-queue-size backpressure knob of the reference's client,
+    * config.json:5, declaratively). Trigger.AvailableNow still drains
+    * the WHOLE backlog, but in bounded batches instead of one
+    * unbounded gulp — constant memory per trigger at any backlog
+    * size, which is what keeps a 100 TB catch-up read from OOMing. */
+  def boundedFileStream(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      format: String = "json", maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toLong)
+      .format(format)
+      .load(dir)
+
   /** T8: streaming dedup bounded by a watermark — state for `idCols`
     * is kept only `delay` past the event-time frontier, so the state
     * store cannot grow unboundedly at 100 TB/day ingest. */

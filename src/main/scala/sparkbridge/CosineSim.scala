@@ -286,21 +286,27 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
-/** Codegen'd intersection size of two SORTED string arrays (ascending
-  * binary/UTF8 order, distinct elements — what sort_array over a
-  * shingle set produces): one merge pass, O(|a|+|b|) comparisons, no
-  * per-element interpreted lambda and no intermediate array (vs
-  * size(array_intersect(a,b)), which builds a hash set per row).
-  * The hot kernel of the dense-corpus exact Jaccard join, where every
-  * pair of a broadcast nested-loop join evaluates one intersection. */
-case class SortedIntersectCount(left: Expression, right: Expression)
+/** Codegen'd matched-element count of two SORTED long arrays (what
+  * sort_array over per-shingle hashes produces): one merge pass,
+  * O(|a|+|b|) primitive comparisons — no object allocation, no
+  * per-element interpreted lambda, no intermediate array.
+  *
+  * The hot kernel of the dense-corpus exact Jaccard join: every pair
+  * of a broadcast nested-loop join evaluates one merge over the two
+  * documents' sorted shingle-hash arrays. Because equal strings always
+  * hash equal, the matched count is a PROVABLE UPPER BOUND on the true
+  * string-set intersection (collisions can only inflate it), so a
+  * threshold filter on it yields a candidate superset that exact
+  * re-scoring reduces to the exact answer. Duplicated values match
+  * pairwise (multiset semantics). */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] =
-    Seq(ArrayType(StringType), ArrayType(StringType))
+    Seq(ArrayType(LongType), ArrayType(LongType))
 
   override def dataType: DataType = LongType
-  override def prettyName: String = "sorted_intersect_count"
+  override def prettyName: String = "sorted_long_intersect_count"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -308,9 +314,9 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     var i = 0; var j = 0; var cnt = 0L
     val n = x.numElements(); val m = y.numElements()
     while (i < n && j < m) {
-      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
-      if (c == 0) { cnt += 1; i += 1; j += 1 }
-      else if (c < 0) i += 1
+      val xi = x.getLong(i); val yj = y.getLong(j)
+      if (xi == yj) { cnt += 1; i += 1; j += 1 }
+      else if (xi < yj) i += 1
       else j += 1
     }
     cnt
@@ -322,15 +328,16 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val j = ctx.freshName("j")
       val n = ctx.freshName("n")
       val m = ctx.freshName("m")
-      val c = ctx.freshName("c")
+      val xi = ctx.freshName("xi")
+      val yj = ctx.freshName("yj")
       val cnt = ctx.freshName("cnt")
       s"""
          |int $i = 0; int $j = 0; long $cnt = 0L;
          |int $n = $a.numElements(); int $m = $b.numElements();
          |while ($i < $n && $j < $m) {
-         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
-         |  if ($c == 0) { $cnt++; $i++; $j++; }
-         |  else if ($c < 0) $i++;
+         |  long $xi = $a.getLong($i); long $yj = $b.getLong($j);
+         |  if ($xi == $yj) { $cnt++; $i++; $j++; }
+         |  else if ($xi < $yj) $i++;
          |  else $j++;
          |}
          |${ev.value} = $cnt;

@@ -124,6 +124,28 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L)
   }
 
+  test("connectedComponentsStar matches label propagation and converges in O(log n) on a chain") {
+    import spark.implicits._
+    // 41-node chain: diameter 40 — the worst case for label propagation
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, iters) = Dedup.starComponents(chain, "doc_a", "doc_b", 30)
+    val got = labels.as[(Long, Long)].collect().toMap
+    got.keySet shouldBe (0L to 40L).toSet
+    got.values.toSet shouldBe Set(0L) // one component, min = 0
+    iters should be <= 10 // O(log n), not O(diameter)
+    // min-label propagation needs ~diameter rounds on the same graph
+    // and now fails loudly instead of returning partial labels
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.connectedComponents(chain, "doc_a", "doc_b", maxIter = 10)
+    // and the two algorithms agree when label propagation CAN converge
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val a = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    val b = Dedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    b shouldBe a
+  }
+
   test("simhashNearDupPairs (pigeonhole blocking) equals the all-pairs answer") {
     import spark.implicits._
     val fp = corpus.select(col("doc_id"),
@@ -137,6 +159,27 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
       .as[(Long, Long, Int)].collect().toSet
     blocked shouldBe exact
     blocked should not be empty // docs 0 and 2 are identical (hamming 0)
+  }
+
+  test("simhash pigeonhole: wider-key Manku parameterizations give identical pairs") {
+    import spark.implicits._
+    val minimal = Dedup.simhashNearDupPairs(corpus, "doc_id", "text", radius = 5)
+      .as[(Long, Long, Int)].collect().toSet
+    // 10 blocks of 6 bits, keys = every 2-combination (45 tables, 12-bit keys)
+    val wide = Dedup.simhashNearDupPairs(corpus, "doc_id", "text", radius = 5,
+      blocks = Some(10), keyBlocks = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    // 12 blocks of 5 bits, keys = every 3-combination (220 tables, 15-bit keys)
+    val wider = Dedup.simhashNearDupPairs(corpus, "doc_id", "text", radius = 5,
+      blocks = Some(12), keyBlocks = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    wide shouldBe minimal
+    wider shouldBe minimal
+    minimal should not be empty
+    // recall-losing parameterizations are rejected loudly
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.simhashNearDupPairs(corpus, "doc_id", "text", radius = 5,
+        blocks = Some(6), keyBlocks = 2)
   }
 
   test("hamming64 counts differing bits") {

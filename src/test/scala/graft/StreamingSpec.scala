@@ -43,6 +43,30 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     parsed.select(countDistinct(col("eventId"))).as[Long].head() shouldBe 100L
   }
 
+  test("T4: maxFilesPerTrigger backpressure splits the drain into multiple micro-batches") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_bp_in").toString
+    // three separate source files == three capped micro-batches
+    (0 until 3).foreach { i =>
+      Seq(i.toLong * 10, i.toLong * 10 + 1).toDF("v")
+        .coalesce(1).write.mode("append").json(in)
+    }
+    val nFiles = new java.io.File(in).listFiles()
+      .count(_.getName.endsWith(".json"))
+    nFiles should be >= 3
+    val stream = Streams.boundedFileStream(
+      spark, in, new org.apache.spark.sql.types.StructType()
+        .add("v", "long"), maxFilesPerTrigger = 1)
+    val out = Files.createTempDirectory("graft_bp_out").toString
+    val ckpt = Files.createTempDirectory("graft_bp_ckpt").toString
+    val q = Streams.runBounded(stream, out, ckpt)
+    q.awaitTermination(60000) shouldBe true
+    // every row arrived, and the intake was split across >1 batch
+    spark.read.json(out).count() shouldBe 6
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    dataBatches should be >= 3
+  }
+
   test("T8: dropDuplicatesWithinWatermark dedups replayed ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

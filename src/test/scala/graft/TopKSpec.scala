@@ -31,4 +31,36 @@ class TopKSpec extends AnyFunSuite with SparkSpec with Matchers {
     top.length shouldBe 1
     top.head._2.map(_._1).toList shouldBe List(996.0, 996.0, 996.0)
   }
+
+  test("native top_k aggregate matches the window form and the typed Aggregator") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val r = new scala.util.Random(11L)
+    val df = (for {
+      g <- Seq("a", "b", "c"); i <- 0 until 400
+    } yield (g, r.nextInt(50).toDouble, i.toLong)) // many score ties
+      .toDF("g", "score", "id").repartition(8)
+    val k = 4
+    val native = df.groupBy("g")
+      .agg(TopK.topKFast(col("score"), col("id"), k).as("top"))
+      .select(col("g"), explode(col("top")).as("e"))
+      .select(col("g"), col("e.score"), col("e.id"))
+      .as[(String, Double, Long)].collect().toSet
+    val window = graft.operators.Relational.topKPerGroup(
+      df, Seq(col("g")), Seq(col("score").desc, col("id")), k)
+      .select(col("g"), col("score"), col("id"))
+      .as[(String, Double, Long)].collect().toSet
+    native shouldBe window
+  }
+
+  test("top_k is registered as a SQL function via GraftExtensions") {
+    import spark.implicits._
+    Seq(("g", 1.0, 10L), ("g", 3.0, 11L), ("g", 2.0, 12L))
+      .toDF("g", "score", "id").createOrReplaceTempView("topk_sql_in")
+    val out = spark.sql(
+      "SELECT g, top_k(score, id, 2) AS top FROM topk_sql_in GROUP BY g")
+      .selectExpr("g", "top[0].id", "top[1].id")
+      .as[(String, Long, Long)].head()
+    out shouldBe ("g", 11L, 12L)
+  }
 }
