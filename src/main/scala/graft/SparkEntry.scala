@@ -95,10 +95,12 @@ object SparkEntry {
 
   import Relational.{exactSum, exactAvg}
 
-  /** Flagship query (driver smoke-checks rows > 0 on sf0.001):
-    * revenue per nation — scan→join(broadcast dims)→agg→sort. */
+  /** Flagship query (driver smoke-checks rows > 0 on sf0.001): the
+    * reference's composed list_topics pipeline — 3-source union →
+    * first-wins dedup → partition rollup → priority sort → limit,
+    * as one plan (SURVEY §3.3). */
   def entry(spark: SparkSession): DataFrame =
-    queries("q02_revenue_by_nation")(spark, "/root/testdata/sf0.001")
+    queries("q50_list_topics")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -721,7 +723,68 @@ object SparkEntry {
     // exactly that matrix ──
     "q54_ann_lsh_auto" -> ((s, dir) =>
       Similarity.lshTopKAuto(
-        t(s, dir, "embeddings"), seed = 77L, dim = embDim, k = 5))
+        t(s, dir, "embeddings"), seed = 77L, dim = embDim, k = 5)),
+
+    // ── THE FLAGSHIP LLM-CORPUS-CLEANING PIPELINE, composed as one
+    // plan: language-ID filter → quality-score filter → exact dedup
+    // (deterministic min-id keeper, left-semi back to the kept rows)
+    // → per-source corpus statistics. The shape every training-data
+    // pipeline runs before tokenization; all stages individually
+    // verified by q23/q24/q25/q26 ──
+    "q55_corpus_clean" -> ((s, dir) => {
+      // tokenize ONCE per row (every signal reads the array column),
+      // and dedup via a ranking window instead of a groupBy+semi-join
+      // so the scoring projection is computed ONCE, not once per join
+      // side — one shuffle on the dedup key, same min-id keeper
+      val withScores = text.langMarkers.foldLeft(
+        t(s, dir, "documents").withColumn("toks", text.tokens(col("text")))) {
+        case (d, (l, m)) =>
+          d.withColumn(s"s_$l", text.langScore(col("toks"), m))
+      }
+      val scored = withScores
+        .withColumn("predicted", text.predictedFromScores(
+          text.langMarkers.map { case (l, _) => l -> col(s"s_$l") }))
+        .withColumn("q", text.qualityScoreTokens(col("text"), col("toks")))
+        .filter(col("predicted") === "en" && col("q") >= 0.4)
+      val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+      scored
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("q").cast("decimal(20,6)")).cast("double")
+            .as("sum_quality"))
+    }),
+
+    // ── T7 streaming SESSION windows in append mode: gap-merged
+    // per-user sessions, only sessions the watermark has closed are
+    // emitted (the streaming form of q21). Event time is truncated
+    // to MILLISECONDS before windowing so the gap arithmetic is
+    // exactly mirrorable in the ms-precision oracle — sub-ms jitter
+    // at a 30-minute gap is noise, not signal ──
+    "q56_streaming_sessions" -> ((s, dir) => {
+      Tables(s, dir, "events") // sets the nanos-as-long reader conf
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$dir/events.parquet").schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_millis(expr("ts div 1000000")))
+      val agg = stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_millis(col("session_window.start")).as("sess_start"),
+          col("user_id"), col("n_events"))
+      val q = agg.writeStream.format("memory").queryName("q56_mem")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000),
+        "q56 streaming query did not drain within 300s")
+      s.table("q56_mem")
+    })
   )
 
   /** DuckDB mirror of Dedup.ngramJaccardPairs (bigrams) at the given
@@ -1316,7 +1379,68 @@ object SparkEntry {
            |    row_number() OVER (PARTITION BY vec_id
            |      ORDER BY cos DESC, nb_id) AS rnk
            |  FROM p) WHERE rnk <= 5""".stripMargin
-      }
+      },
+
+      "q55_corpus_clean" -> {
+        val markers = text.langMarkers
+        def score(m: Seq[String]) =
+          s"len(list_filter(toks, x -> x IN (${m.map(w => s"'$w'").mkString(",")})))"
+        val scores = markers.map { case (l, m) => s"${score(m)} AS s_$l" }
+        val langs = markers.map(_._1)
+        val whens = langs.map { l =>
+          val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o")
+            .mkString(" AND ")
+          s"WHEN $conds THEN '$l'"
+        }
+        val stops = text.stopwordsEn.map(w => s"'$w'").mkString(",")
+        s"""WITH t0 AS (
+           |  SELECT doc_id, source, text, $sqlTokens AS toks FROM documents),
+           |sc AS (
+           |  SELECT doc_id, source, text, toks,
+           |    len(toks) AS n_tok,
+           |    CASE WHEN len(toks) = 0 THEN 0.0
+           |      ELSE CAST(len(list_filter(toks, x -> x IN ($stops)))
+           |        AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS stop_ratio,
+           |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+           |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
+           |    ${scores.mkString(", ")}
+           |  FROM t0),
+           |b AS (
+           |  SELECT doc_id, source, text, toks,
+           |    round((least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) +
+           |      least(stop_ratio * 10.0, 1.0) +
+           |      greatest(1.0 - punct_ratio * 10.0, 0.0)) / 3.0, 6) AS q,
+           |    CASE ${whens.mkString(" ")} ELSE '${langs.last}' END AS predicted
+           |  FROM sc),
+           |filt AS (SELECT * FROM b WHERE predicted = 'en' AND q >= 0.4),
+           |keep AS (SELECT MIN(doc_id) AS kid FROM filt GROUP BY text)
+           |SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+           |  CAST(SUM(CAST(q AS DECIMAL(20,6))) AS DOUBLE) AS sum_quality
+           |FROM filt WHERE doc_id IN (SELECT kid FROM keep)
+           |GROUP BY source""".stripMargin
+      },
+
+      "q56_streaming_sessions" ->
+        """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+          |m AS (SELECT epoch_ms(MAX(ts)) - 3600000 AS wm FROM events),
+          |s AS (
+          |  SELECT user_id, ms,
+          |    CASE WHEN lag(ms) OVER w IS NULL
+          |      OR ms - lag(ms) OVER w >= 1800000
+          |      THEN 1 ELSE 0 END AS is_new
+          |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+          |g AS (
+          |  SELECT user_id, ms,
+          |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms
+          |      ROWS UNBOUNDED PRECEDING) AS sid
+          |  FROM s),
+          |sess AS (
+          |  SELECT user_id, sid, MIN(ms) AS sess_start,
+          |    MAX(ms) + 1800000 AS sess_end, COUNT(*) AS n_events
+          |  FROM g GROUP BY user_id, sid)
+          |SELECT sess_start, user_id, n_events
+          |FROM sess, m WHERE sess_end <= m.wm""".stripMargin
     )
   }
 }

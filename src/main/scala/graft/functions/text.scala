@@ -85,27 +85,35 @@ object text {
   val stopwordsEn: Seq[String] =
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
 
-  /** Fraction of tokens found in `stop` (0 for empty docs). */
-  def stopwordRatio(c: Column, stop: Seq[String] = stopwordsEn): Column = {
-    val t = tokens(c)
-    when(size(t) === 0, lit(0.0)).otherwise(
-      size(filter(t, x => x.isInCollection(stop))).cast("double")
-        / size(t).cast("double"))
-  }
+  /** Fraction of tokens found in `stop` (0 for empty docs), over a
+    * precomputed token array — the form composed pipelines use so the
+    * tokenizer runs ONCE per row across all text signals. */
+  def stopwordRatioTokens(toks: Column,
+      stop: Seq[String] = stopwordsEn): Column =
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(filter(toks, x => x.isInCollection(stop))).cast("double")
+        / size(toks).cast("double"))
 
-  /** Composite quality score in [0,1]: rewards moderate length,
+  /** Fraction of tokens found in `stop` (0 for empty docs). */
+  def stopwordRatio(c: Column, stop: Seq[String] = stopwordsEn): Column =
+    stopwordRatioTokens(tokens(c), stop)
+
+  /** Composite quality score in [0,1] over a precomputed token array
+    * (see [[stopwordRatioTokens]] for why): rewards moderate length,
     * presence of stopwords, and low punctuation density. A simple,
     * deterministic heuristic in the spirit of C4/Gopher text-quality
     * rules, expressible identically in SQL. */
-  def qualityScore(c: Column): Column = {
-    val nTok = tokenCount(c).cast("double")
+  def qualityScoreTokens(c: Column, toks: Column): Column = {
+    val nTok = size(toks).cast("double")
     val lenScore = least(nTok / 50.0, lit(1.0))
-    val stopScore = least(stopwordRatio(c) * 10.0, lit(1.0))
+    val stopScore = least(stopwordRatioTokens(toks) * 10.0, lit(1.0))
     val punctRatio = punctCount(c).cast("double") /
       greatest(length(c).cast("double"), lit(1.0))
     val punctScore = greatest(lit(1.0) - punctRatio * 10.0, lit(0.0))
     round((lenScore + stopScore + punctScore) / 3.0, 6)
   }
+
+  def qualityScore(c: Column): Column = qualityScoreTokens(c, tokens(c))
 
   /** Language marker words. The fixture corpus is synthetic (shared
     * vocabulary), so this is graded on determinism, not accuracy:
@@ -120,17 +128,24 @@ object text {
   def langScore(toks: Column, markers: Seq[String]): Column =
     size(filter(toks, x => x.isInCollection(markers)))
 
-  /** argmax over language scores; ties break by list order above
-    * (a when-chain with >=, mirrored verbatim in the oracle SQL). */
-  def predictedLang(c: Column): Column = {
-    val t = tokens(c)
-    val scores = langMarkers.map { case (l, m) => l -> langScore(t, m) }
+  /** argmax over language score COLUMNS; ties break by input order
+    * (a when-chain with >=, mirrored verbatim in the oracle SQL).
+    * Passing precomputed score columns lets a composed pipeline
+    * evaluate each score once per row — the when-chain references
+    * every score ~|langs| times, which multiplies the token-filter
+    * cost when the scores are inline expressions. */
+  def predictedFromScores(scores: Seq[(String, Column)]): Column =
     scores.foldRight(lit(scores.last._1)) { case ((l, s), els) =>
       val geAll = scores.filter(_._1 != l).map(o => s >= o._2)
         .reduce(_ && _)
       when(geAll, lit(l)).otherwise(els)
     }
-  }
+
+  def predictedLangTokens(toks: Column): Column =
+    predictedFromScores(
+      langMarkers.map { case (l, m) => l -> langScore(toks, m) })
+
+  def predictedLang(c: Column): Column = predictedLangTokens(tokens(c))
 
   /** Rolling fingerprint of the token stream: a left fold chaining
     * xxhash64(acc, token) — order-sensitive (unlike a set hash), so
