@@ -784,6 +784,27 @@ object SparkEntry {
       require(q.awaitTermination(300000),
         "q56 streaming query did not drain within 300s")
       s.table("q56_mem")
+    }),
+
+    // ── NS: token-budget SHARD PACKING — the sequence-packing step of
+    // training-data prep: documents are assigned greedily (in stable
+    // doc_id order per source) to fixed-token-budget shards; a shard
+    // is the unit a trainer streams. One window cumsum shuffle on the
+    // pack key; shard_id = the shard containing the doc's start
+    // offset, so assignment is deterministic and order-stable ──
+    "q57_token_shards" -> ((s, dir) => {
+      val budget = 4096L
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      t(s, dir, "documents")
+        .withColumn("n_tokens", text.tokenCount(col("text")).cast("long"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("shard_id",
+          floor((col("cum") - col("n_tokens")).cast("double") / budget)
+            .cast("long"))
+        .groupBy(col("source"), col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("shard_tokens"))
     })
   )
 
@@ -1440,7 +1461,23 @@ object SparkEntry {
           |    MAX(ms) + 1800000 AS sess_end, COUNT(*) AS n_events
           |  FROM g GROUP BY user_id, sid)
           |SELECT sess_start, user_id, n_events
-          |FROM sess, m WHERE sess_end <= m.wm""".stripMargin
+          |FROM sess, m WHERE sess_end <= m.wm""".stripMargin,
+
+      "q57_token_shards" ->
+        s"""WITH d AS (
+           |  SELECT source, doc_id, len($sqlTokens) AS n_tokens
+           |  FROM documents),
+           |c AS (
+           |  SELECT source, doc_id, n_tokens,
+           |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           |      ROWS UNBOUNDED PRECEDING) AS cum
+           |  FROM d)
+           |SELECT source,
+           |  CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / 4096) AS BIGINT)
+           |    AS shard_id,
+           |  COUNT(*) AS n_docs,
+           |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+           |FROM c GROUP BY 1, 2""".stripMargin
     )
   }
 }

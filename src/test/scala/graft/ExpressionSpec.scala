@@ -146,4 +146,25 @@ class ExpressionSpec extends AnyFunSuite with SparkSpec with Matchers {
     plan should include("*(1) Project")
     plan should include("cosine_sim")
   }
+
+  test("SortedLongIntersectCount matches size(array_intersect) on distinct sorted arrays") {
+    import org.apache.spark.sql.graft.{Bridge, SortedLongIntersectCount}
+    import spark.implicits._
+    val r = new scala.util.Random(13L)
+    // distinct sorted arrays (the shingle-set shape the operator feeds)
+    val rows = (0 until 300).map { _ =>
+      (r.shuffle((0L until 200L).toList).take(r.nextInt(50) + 1).sorted,
+        r.shuffle((0L until 200L).toList).take(r.nextInt(50) + 1).sorted)
+    }
+    val df = rows.toDF("a", "b")
+    def merge(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      Bridge.column(SortedLongIntersectCount(
+        Bridge.expression(x), Bridge.expression(y)))
+    val out = df.select(
+      merge(col("a"), col("b")).as("kernel"),
+      org.apache.spark.sql.functions.size(
+        array_intersect(col("a"), col("b"))).cast("long").as("builtin"))
+      .as[(Long, Long)].collect()
+    out.foreach { case (k, b) => k shouldBe b }
+  }
 }
