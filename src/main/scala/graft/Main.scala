@@ -52,13 +52,21 @@ object Main {
     case Seq("replay", snapDir, outDir) => replay(spark, snapDir, outDir)
     case Seq("restore", snapDir) => restore(spark, snapDir)
     case Seq("publish", outDir, count) => publish(spark, outDir, count.toLong)
+    case Seq("import", refDir, destDir) =>
+      // a migrating user's snapshots are in the REFERENCE's literal
+      // layout (colon file names Hadoop paths cannot carry) — rewrite
+      // them into the engine's reversible names, then any other
+      // command works on destDir
+      SnapshotIO.importReferenceSnapshot(refDir, destDir)
+      Seq(s"imported reference snapshot $refDir into $destDir")
     case _ => Seq(
       "usage: graft.Main <command> ...",
       "  list-topics <snapshotDir> [limit]   composed catalog listing",
       "  capture <nativeParquetDir> <snapshotDir>   parquet -> snapshot",
       "  replay <snapshotDir> <outDir>       ordered per-topic replay",
       "  restore <snapshotDir>               dry-run DDL (parents first)",
-      "  publish <outDir> <count>            synthetic emailSend messages")
+      "  publish <outDir> <count>            synthetic emailSend messages",
+      "  import <referenceSnapshotDir> <destDir>   rewrite reference layout")
   }
 
   /** §3.3 list_topics over a snapshot's catalog files: the same

@@ -80,6 +80,15 @@ class MainSpec extends AnyFunSuite with SparkSpec with Matchers {
       .map(_.getString(0)) shouldBe Array("t")
   }
 
+  test("import rewrites a reference-layout snapshot that other commands can read") {
+    val dest = Files.createTempDirectory("graft_main_import").toString
+    Main.run(spark, Seq("import", "src/test/resources/golden_snapshot", dest))
+      .head should include("imported")
+    SnapshotIO.readMessages(spark, dest).count() shouldBe 5
+    Main.run(spark, Seq("list-topics", dest, "10"))
+      .tail.mkString("\n") should include("persistent://acme/prod/orders")
+  }
+
   test("unknown command prints usage") {
     Main.run(spark, Seq("frobnicate")).head should include("usage")
   }
