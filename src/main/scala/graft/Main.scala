@@ -123,25 +123,27 @@ object Main {
         fs.mkdirs(basePath)
         var cur: String = null
         var out: org.apache.hadoop.fs.FSDataOutputStream = null
-        it.foreach { r =>
-          val topic = r.getAs[String]("topic")
-          if (topic != cur) { // partition is sorted by topic, then seq
-            if (out != null) out.close()
-            cur = topic
-            out = fs.create(new org.apache.hadoop.fs.Path(
-              basePath, codec.sanitizeTopicStr(topic) + ".txt"), true)
+        try {
+          it.foreach { r =>
+            val topic = r.getAs[String]("topic")
+            if (topic != cur) { // partition is sorted by topic, then seq
+              if (out != null) out.close()
+              cur = topic
+              out = fs.create(new org.apache.hadoop.fs.Path(
+                basePath, codec.sanitizeTopicStr(topic) + ".txt"), true)
+            }
+            val b64 = java.util.Base64.getEncoder
+              .encodeToString(r.getAs[Array[Byte]]("payload"))
+            out.write((b64 + "\n").getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
           }
-          val b64 = java.util.Base64.getEncoder
-            .encodeToString(r.getAs[Array[Byte]]("payload"))
-          out.write((b64 + "\n").getBytes(
-            java.nio.charset.StandardCharsets.UTF_8))
-        }
-        if (out != null) out.close()
+        } finally if (out != null) out.close()
       }
     })
-    val files = new java.io.File(outDir).listFiles()
-    val n = if (files == null) 0
-      else files.count(f => f.getName.endsWith(".txt") && !f.getName.startsWith("."))
+    // count from the snapshot, not from a directory listing a
+    // previous run may have left stale files in
+    val n = SnapshotIO.readMessages(spark, snapDir)
+      .select("topic").distinct().count()
     Seq(s"replayed $n topics to $outDir")
   }
 

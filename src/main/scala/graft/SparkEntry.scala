@@ -548,7 +548,10 @@ object SparkEntry {
     // generation is the MinHash+exact-rescore SCALE path (bucketed
     // candidates, no guard-inertness requirement at any corpus size);
     // at threshold 0.5 its output equals the exact pair set the
-    // oracle computes (q30's verified property) ──
+    // oracle computes (q30's verified property). Like q30, oracle
+    // equality depends on no fixture pair sitting at the S-curve knee
+    // (P(miss) ≈ 1.2e-3 at s=0.5, <1e-20 at s=0.9 — and this corpus
+    // is bimodal: pairs sit at J≥0.9 or ≤0.15, never near 0.5) ──
     "q44_neardup_groups" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val pairs = Dedup.minhashNearDupPairs(
@@ -620,9 +623,14 @@ object SparkEntry {
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      // fail loudly on timeout rather than returning a partial table
-      require(q.awaitTermination(300000),
-        "q45 streaming query did not drain within 300s")
+      // fail loudly on timeout rather than returning a partial table —
+      // and STOP the query first, or it would keep running micro-batches
+      // in the background and skew every subsequent query
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException(
+          "q45 streaming query did not drain within 300s")
+      }
       s.table("q45_mem")
     }),
 
@@ -683,9 +691,14 @@ object SparkEntry {
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      // fail loudly on timeout rather than returning a partial table
-      require(q.awaitTermination(300000),
-        "q51 streaming query did not drain within 300s")
+      // fail loudly on timeout rather than returning a partial table —
+      // and STOP the query first, or it would keep running micro-batches
+      // in the background and skew every subsequent query
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException(
+          "q51 streaming query did not drain within 300s")
+      }
       s.table("q51_mem")
     }),
 
@@ -781,8 +794,14 @@ object SparkEntry {
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      require(q.awaitTermination(300000),
-        "q56 streaming query did not drain within 300s")
+      // fail loudly on timeout rather than returning a partial table —
+      // and STOP the query first, or it would keep running micro-batches
+      // in the background and skew every subsequent query
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException(
+          "q56 streaming query did not drain within 300s")
+      }
       s.table("q56_mem")
     }),
 

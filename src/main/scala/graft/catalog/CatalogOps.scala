@@ -83,8 +83,11 @@ object CatalogOps {
     * [[parseCliTable]]'s footer trim and leak the real footer into the
     * parsed names. */
   def readCliLines(spark: SparkSession, path: String): DataFrame =
+    // \n\z, not \n$: Java's $ ALSO matches before a final line
+    // terminator, so "x\n\n" would lose both newlines; \z anchors at
+    // true end-of-input and strips exactly one
     spark.read.option("wholetext", true).text(path)
-      .select(posexplode(split(regexp_replace(col("value"), "\n$", ""), "\n"))
+      .select(posexplode(split(regexp_replace(col("value"), "\n\\z", ""), "\n"))
         .as(Seq("idx", "line")))
       .select(col("line"), (col("idx") + 1).cast("long").as("line_no"))
 

@@ -382,10 +382,17 @@ object Dedup {
     }
     // min-label propagation needs ~diameter iterations; a silent
     // partial result would assign wrong keepers — fail loudly instead
-    // (same policy as the q45 streaming timeout guard).
-    require(changed == 0L,
-      s"connectedComponents did not converge within $maxIter iterations " +
-        "(graph diameter exceeds maxIter); raise maxIter")
+    // (same policy as the streaming timeout guards). Release the
+    // cached frames BEFORE throwing: a bench harness that catches
+    // per-query failures and continues must not inherit the leak.
+    if (changed != 0L) {
+      sym.unpersist(blocking = false)
+      Bridge.freeLocalCheckpoint(ckpt)
+      throw new IllegalArgumentException(
+        s"connectedComponents did not converge within $maxIter iterations " +
+          "(graph diameter exceeds maxIter); raise maxIter or use " +
+          "connectedComponentsStar")
+    }
     sym.unpersist(blocking = false)
     labels
   }
@@ -460,8 +467,11 @@ object Dedup {
       cur = nxt
       iter += 1
     }
-    require(converged,
-      s"connectedComponentsStar did not converge within $maxIter rounds")
+    if (!converged) { // free the working set before failing loudly
+      Bridge.freeLocalCheckpoint(edges)
+      throw new IllegalArgumentException(
+        s"connectedComponentsStar did not converge within $maxIter rounds")
+    }
     // at the fixed point every edge is (member, component minimum)
     val labels = edges.select(col("u").as("node"), col("v").as("label"))
       .unionAll(edges.select(col("v").as("node"), col("v").as("label"))

@@ -32,7 +32,10 @@ object Auth {
       "audience" -> cfg.audience))
 
   private val accessTokenRe = """"access_token"\s*:\s*"([^"]+)"""".r
-  private val expiresInRe = """"expires_in"\s*:\s*(\d+)""".r
+  // number OR quoted number: OAuth issuers serialize expires_in both
+  // ways, and silently defaulting on the quoted form would cache a
+  // short-lived token for an hour
+  private val expiresInRe = """"expires_in"\s*:\s*"?(\d+)"?""".r
 
   /** Parse the issuer's JSON response. Only the two fields the
     * reference reads are modeled; a missing access_token is an error

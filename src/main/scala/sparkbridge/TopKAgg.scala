@@ -108,9 +108,14 @@ object TopKAgg {
     val ids = new Array[Long](k)
     var size: Int = 0
 
-    // entry a is worse than entry b (lower score, tie: higher id)
-    private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
-      sa < sb || (sa == sb && ia > ib)
+    // entry a is worse than entry b (lower score, tie: higher id).
+    // Double.compare, not <, so NaN orders GREATEST — matching Spark's
+    // SQL ordering (score.desc puts NaN first); a raw < would make
+    // every comparison against a NaN root false and freeze the heap.
+    private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean = {
+      val c = java.lang.Double.compare(sa, sb)
+      c < 0 || (c == 0 && ia > ib)
+    }
 
     def add(s: Double, i: Long): Unit =
       if (size < k) {
@@ -143,8 +148,16 @@ object TopKAgg {
       }
     }
 
-    def sortedBestFirst: Array[(Double, Long)] =
-      (0 until size).map(i => (scores(i), ids(i))).toArray
-        .sortBy { case (s, i) => (-s, i) }
+    def sortedBestFirst: Array[(Double, Long)] = {
+      val out = (0 until size).map(i => (scores(i), ids(i))).toArray
+      // explicit comparator: score desc with NaN greatest (Spark's
+      // desc order), ties by id asc — sortBy(-s) would flip NaN to
+      // the wrong end
+      java.util.Arrays.sort(out, (a: (Double, Long), b: (Double, Long)) => {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      })
+      out
+    }
   }
 }

@@ -28,6 +28,13 @@ class AuthSpec extends AnyFunSuite with Matchers {
     Auth.parseTokenResponse("""{"error":"denied"}""", 0L).isLeft shouldBe true
   }
 
+  test("parseTokenResponse accepts a QUOTED expires_in (common issuer quirk)") {
+    // silently defaulting to 3600 here would cache a 120s token for an hour
+    Auth.parseTokenResponse(
+      """{"access_token":"t","expires_in":"120"}""", nowMs = 0L) shouldBe
+      Right(Auth.Token("t", 120000L))
+  }
+
   test("TokenProvider caches until the skew window and then refreshes") {
     var now = 0L
     var served = 0

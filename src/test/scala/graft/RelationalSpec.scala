@@ -109,6 +109,17 @@ class RelationalSpec extends AnyFunSuite with SparkSpec with Matchers {
       .as[String].collect().sorted shouldBe Array("tenant-x", "tenant-y")
   }
 
+  test("readCliLines strips exactly ONE trailing newline (blank last line survives)") {
+    // "row2\n\n" ends with a deliberate blank line + newline: Java's $
+    // would match before the final terminator too and eat both — the
+    // \z anchor must keep the blank line as a real (empty) line
+    val f = java.nio.file.Files.createTempFile("graft_cli_nl2", ".txt")
+    java.nio.file.Files.writeString(f, "row1\nrow2\n\n")
+    val got = CatalogOps.readCliLines(spark, f.toString)
+      .orderBy("line_no").collect().map(_.getString(0))
+    got shouldBe Array("row1", "row2", "")
+  }
+
   test("parseCliTable trims header/footer and extracts the field") {
     import spark.implicits._
     val lines = Seq(

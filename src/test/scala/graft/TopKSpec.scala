@@ -53,6 +53,19 @@ class TopKSpec extends AnyFunSuite with SparkSpec with Matchers {
     native shouldBe window
   }
 
+  test("native top_k orders NaN scores like Spark's desc sort (NaN greatest)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(("g", Double.NaN, 0L), ("g", 5.0, 1L), ("g", 3.0, 2L),
+      ("g", 7.0, 3L)).toDF("g", "score", "id").repartition(3)
+    val native = df.groupBy("g")
+      .agg(TopK.topKFast(col("score"), col("id"), 2).as("top"))
+      .selectExpr("top[0].id", "top[1].id").as[(Long, Long)].head()
+    // Spark's score.desc puts NaN first, then 7.0 — a naive < heap
+    // would freeze on the NaN root and return {NaN, 5.0}
+    native shouldBe (0L, 3L)
+  }
+
   test("top_k is registered as a SQL function via GraftExtensions") {
     import spark.implicits._
     Seq(("g", 1.0, 10L), ("g", 3.0, 11L), ("g", 2.0, 12L))
