@@ -8,6 +8,8 @@ import graft.catalog.CatalogOps
 import graft.functions.{codec, hashes, text, vectors}
 import graft.gen.Generator
 import graft.operators.{Dedup, Multimodal, Relational, Similarity}
+import graft.replay.Replay
+import graft.sources.SnapshotIO
 
 /** Driver contract: the full query surface of the engine, one entry
   * per operator from SURVEY.md §2, each with a DuckDB oracle where
@@ -805,6 +807,49 @@ object SparkEntry {
       s.table("q56_mem")
     }),
 
+    // ── K1/K2/S3 + L4 IN THE CORRECTNESS GATE: a full snapshot
+    // ROUND-TRIP — events become wire envelopes (binary-discriminated
+    // content, q38's encoding), Replay.capture writes the reference's
+    // snapshot layout, SnapshotIO.readMessages reads it back, and the
+    // result aggregates per topic with an ORDER-SENSITIVE checksum
+    // (sum of seq × payload bytes) the DuckDB oracle reproduces from
+    // the raw events — so payload fidelity AND per-topic replay order
+    // are both oracle-verified, not just spec-verified ──
+    "q58_snapshot_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q58_snap").toString
+      val ev = t(s, dir, "events")
+      val topicExpr = concat(
+        lit("persistent://tn"), (col("user_id") % 3).cast("string"),
+        lit("/ns"), (col("user_id") % 5).cast("string"),
+        lit("/"), col("event_type"))
+      val payload = when(col("event_id") % 3 === 0,
+          concat(unhex(lit("FF")), encode(col("props"), "UTF-8")))
+        .otherwise(encode(col("props"), "UTF-8"))
+      val enc = codec.encodeContent(payload)
+      val w = Window.partitionBy(topicExpr).orderBy(col("event_id"))
+      val env = ev.select(
+        topicExpr.as("topic"),
+        enc.getField("content").as("content"),
+        enc.getField("binary_encoded").as("binary_encoded"),
+        map(lit("eid"), col("event_id").cast("string")).as("properties"),
+        col("ts").as("publish_ts"),
+        lit(null).cast("timestamp").as("event_ts"),
+        lit(null).cast("string").as("partition_key"),
+        (row_number().over(w) - 1).cast("long").as("seq"))
+      Replay.capture(env, tmp)
+      SnapshotIO.readMessages(s, tmp)
+        .select(col("topic"), col("seq"),
+          octet_length(codec.decodeContent(
+            col("content"), col("binary_encoded"))).cast("long")
+            .as("payload_bytes"))
+        .groupBy(col("topic"))
+        .agg(count(lit(1)).as("n"),
+          max(col("seq")).as("max_seq"),
+          sum(col("payload_bytes")).as("total_bytes"),
+          sum(col("seq") * col("payload_bytes")).as("order_sum"))
+    }),
+
     // ── NS: token-budget SHARD PACKING — the sequence-packing step of
     // training-data prep: documents are assigned greedily (in stable
     // doc_id order per source) to fixed-token-budget shards; a shard
@@ -1481,6 +1526,26 @@ object SparkEntry {
           |  FROM g GROUP BY user_id, sid)
           |SELECT sess_start, user_id, n_events
           |FROM sess, m WHERE sess_end <= m.wm""".stripMargin,
+
+      "q58_snapshot_roundtrip" ->
+        """WITH e AS (
+          |  SELECT 'persistent://tn' || CAST(user_id % 3 AS VARCHAR) ||
+          |    '/ns' || CAST(user_id % 5 AS VARCHAR) || '/' || event_type
+          |    AS topic,
+          |    event_id,
+          |    octet_length(encode(props)) +
+          |      CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS pb
+          |  FROM events),
+          |r AS (
+          |  SELECT topic, pb,
+          |    ROW_NUMBER() OVER (PARTITION BY topic ORDER BY event_id) - 1
+          |      AS seq
+          |  FROM e)
+          |SELECT topic, COUNT(*) AS n,
+          |  CAST(MAX(seq) AS BIGINT) AS max_seq,
+          |  CAST(SUM(pb) AS BIGINT) AS total_bytes,
+          |  CAST(SUM(seq * pb) AS BIGINT) AS order_sum
+          |FROM r GROUP BY topic""".stripMargin,
 
       "q57_token_shards" ->
         s"""WITH d AS (
