@@ -97,6 +97,33 @@ object SparkEntry {
 
   import Relational.{exactSum, exactAvg}
 
+  /** Shared scaffold for the REGISTERED streaming queries: the events
+    * fixture as a bounded stream (Trigger.AvailableNow) → `build`'s
+    * aggregation → a memory sink, drained to completion. One
+    * definition of the safety-critical drain logic: on timeout the
+    * query is STOPPED before failing, so an orphaned stream cannot
+    * keep running micro-batches under later queries. */
+  private def runEventsStream(s: SparkSession, dir: String, name: String,
+      mode: String, tsExpr: Column,
+      build: DataFrame => DataFrame): DataFrame = {
+    Tables(s, dir, "events") // sets the nanos-as-long reader conf
+    val stream = s.readStream
+      .schema(s.read.parquet(s"$dir/events.parquet").schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", tsExpr)
+    val q = build(stream).writeStream.format("memory").queryName(name)
+      .outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(300000)) {
+      q.stop()
+      throw new IllegalStateException(
+        s"$name streaming query did not drain within 300s")
+    }
+    s.table(name)
+  }
+
   /** Flagship query (driver smoke-checks rows > 0 on sf0.001): the
     * reference's composed list_topics pipeline — 3-source union →
     * first-wins dedup → partition rollup → priority sort → limit,
@@ -610,31 +637,14 @@ object SparkEntry {
     // (Trigger.AvailableNow), hourly buckets aggregated in complete
     // mode into a memory sink, the sink table returned as the result.
     // Same oracle SQL as the batch analog q19 ──
-    "q45_streaming_buckets" -> ((s, dir) => {
-      Tables(s, dir, "events") // sets the nanos-as-long reader conf
-      val stream = s.readStream
-        .schema(s.read.parquet(s"$dir/events.parquet").schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val agg = stream.groupBy(
-          unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"),
-          col("event_type"))
-        .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
-      val q = agg.writeStream.format("memory").queryName("q45_mem")
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      // fail loudly on timeout rather than returning a partial table —
-      // and STOP the query first, or it would keep running micro-batches
-      // in the background and skew every subsequent query
-      if (!q.awaitTermination(300000)) {
-        q.stop()
-        throw new IllegalStateException(
-          "q45 streaming query did not drain within 300s")
-      }
-      s.table("q45_mem")
-    }),
+    "q45_streaming_buckets" -> ((s, dir) =>
+      runEventsStream(s, dir, "q45_mem", "complete",
+        timestamp_micros(expr("ts div 1000")),
+        _.groupBy(
+            unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            exactSum(col("value")).as("sum_value")))),
 
     // ── NS text: BPE-style subword-unit token counting (the LLM
     // token-budget estimator, vs q24's whitespace words) ──
@@ -676,33 +686,15 @@ object SparkEntry {
     // all state every trigger). Only windows the final watermark has
     // closed are emitted, which the oracle reproduces by filtering
     // hourly buckets to window_end <= max(ts) - delay ──
-    "q51_streaming_append" -> ((s, dir) => {
-      Tables(s, dir, "events") // sets the nanos-as-long reader conf
-      val stream = s.readStream
-        .schema(s.read.parquet(s"$dir/events.parquet").schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val agg = stream
-        .withWatermark("ts", "1 hour")
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
-        .select(unix_millis(col("window.start")).as("win_start"),
-          col("event_type"), col("n"), col("sum_value"))
-      val q = agg.writeStream.format("memory").queryName("q51_mem")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      // fail loudly on timeout rather than returning a partial table —
-      // and STOP the query first, or it would keep running micro-batches
-      // in the background and skew every subsequent query
-      if (!q.awaitTermination(300000)) {
-        q.stop()
-        throw new IllegalStateException(
-          "q51 streaming query did not drain within 300s")
-      }
-      s.table("q51_mem")
-    }),
+    "q51_streaming_append" -> ((s, dir) =>
+      runEventsStream(s, dir, "q51_mem", "append",
+        timestamp_micros(expr("ts div 1000")),
+        _.withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            exactSum(col("value")).as("sum_value"))
+          .select(unix_millis(col("window.start")).as("win_start"),
+            col("event_type"), col("n"), col("sum_value")))),
 
     // ── Skew-safe EXACT count-distinct: value-salted two-phase
     // aggregation — no reducer ever holds a hot key's full distinct
@@ -779,33 +771,14 @@ object SparkEntry {
     // to MILLISECONDS before windowing so the gap arithmetic is
     // exactly mirrorable in the ms-precision oracle — sub-ms jitter
     // at a 30-minute gap is noise, not signal ──
-    "q56_streaming_sessions" -> ((s, dir) => {
-      Tables(s, dir, "events") // sets the nanos-as-long reader conf
-      val stream = s.readStream
-        .schema(s.read.parquet(s"$dir/events.parquet").schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", timestamp_millis(expr("ts div 1000000")))
-      val agg = stream
-        .withWatermark("ts", "1 hour")
-        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-        .agg(count(lit(1)).as("n_events"))
-        .select(unix_millis(col("session_window.start")).as("sess_start"),
-          col("user_id"), col("n_events"))
-      val q = agg.writeStream.format("memory").queryName("q56_mem")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      // fail loudly on timeout rather than returning a partial table —
-      // and STOP the query first, or it would keep running micro-batches
-      // in the background and skew every subsequent query
-      if (!q.awaitTermination(300000)) {
-        q.stop()
-        throw new IllegalStateException(
-          "q56 streaming query did not drain within 300s")
-      }
-      s.table("q56_mem")
-    }),
+    "q56_streaming_sessions" -> ((s, dir) =>
+      runEventsStream(s, dir, "q56_mem", "append",
+        timestamp_millis(expr("ts div 1000000")),
+        _.withWatermark("ts", "1 hour")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(unix_millis(col("session_window.start")).as("sess_start"),
+            col("user_id"), col("n_events")))),
 
     // ── K1/K2/S3 + L4 IN THE CORRECTNESS GATE: a full snapshot
     // ROUND-TRIP — events become wire envelopes (binary-discriminated
@@ -838,7 +811,7 @@ object SparkEntry {
         lit(null).cast("string").as("partition_key"),
         (row_number().over(w) - 1).cast("long").as("seq"))
       Replay.capture(env, tmp)
-      SnapshotIO.readMessages(s, tmp)
+      val agg = SnapshotIO.readMessages(s, tmp)
         .select(col("topic"), col("seq"),
           octet_length(codec.decodeContent(
             col("content"), col("binary_encoded"))).cast("long")
@@ -848,6 +821,17 @@ object SparkEntry {
           max(col("seq")).as("max_seq"),
           sum(col("payload_bytes")).as("total_bytes"),
           sum(col("seq") * col("payload_bytes")).as("order_sum"))
+        // materialize the (tiny) aggregate, then delete the scratch
+        // snapshot — each invocation would otherwise leak a
+        // dataset-sized directory into /tmp
+        .localCheckpoint(true)
+      def rm(f: java.io.File): Unit = {
+        val children = f.listFiles()
+        if (children != null) children.foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(tmp))
+      agg
     }),
 
     // ── NS: token-budget SHARD PACKING — the sequence-packing step of
@@ -1092,7 +1076,10 @@ object SparkEntry {
       "q22_asof_join" ->
         """SELECT p.event_id, p.user_id, c.event_id AS click_event_id
           |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-          |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          |ASOF LEFT JOIN (
+          |  SELECT user_id, ts, MAX(event_id) AS event_id
+          |  FROM events WHERE event_type = 'click'
+          |  GROUP BY user_id, ts) c
           |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
 
       "q23_dedup_exact" ->

@@ -237,18 +237,26 @@ object Dedup {
     * with one explode + one hash aggregate whose partial (map-side)
     * combine folds the k mins before the shuffle. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, k: Int): DataFrame = {
-    val sh = docs.select(
-        col(idCol).as("doc"),
-        explode(text.wordShingles(text.tokens(col(textCol)), shingleN))
-          .as("shingle"))
-      .select(col("doc"), xxhash64(col("shingle")).as("h0"))
+      shingleN: Int, k: Int): DataFrame =
+    signaturesFromBaseHashes(
+      docs.select(
+          col(idCol).as("doc"),
+          explode(text.wordShingles(text.tokens(col(textCol)), shingleN))
+            .as("shingle"))
+        .select(col("doc"), xxhash64(col("shingle")).as("h0")),
+      k)
+
+  /** Shared signature aggregation over an exploded (doc, h0)
+    * base-hash frame — ONE definition of the k-member hash family, so
+    * [[minhashSignatures]] and [[minhashNearDupPairs]] cannot drift
+    * apart (the q30/q44 oracle story depends on them being
+    * bit-identical). */
+  private def signaturesFromBaseHashes(sh: DataFrame, k: Int): DataFrame =
     sh.groupBy("doc")
       .agg(min(xxhash64(lit(0), col("h0"))).as("h0_"),
         (1 until k).map(i => min(xxhash64(lit(i), col("h0"))).as(s"h${i}_")): _*)
       .select(col("doc"),
         array((0 until k).map(i => col(s"h${i}_")): _*).as("signature"))
-  }
 
   /** MinHash LSH candidate pairs: split the k-wide signature into
     * `bands` bands of k/bands rows, hash each band, and join docs
@@ -300,13 +308,10 @@ object Dedup {
     // re-score sides (see ngramJaccardPairs for the persist rationale)
     val sets = shingleSets(docs, idCol, textCol, shingleN)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val sh = sets.select(col("doc"), explode(col("shingles")).as("shingle"))
-      .select(col("doc"), xxhash64(col("shingle")).as("h0"))
-    val sigs = sh.groupBy("doc")
-      .agg(min(xxhash64(lit(0), col("h0"))).as("h0_"),
-        (1 until k).map(i => min(xxhash64(lit(i), col("h0"))).as(s"h${i}_")): _*)
-      .select(col("doc"),
-        array((0 until k).map(i => col(s"h${i}_")): _*).as("signature"))
+    val sigs = signaturesFromBaseHashes(
+      sets.select(col("doc"), explode(col("shingles")).as("shingle"))
+        .select(col("doc"), xxhash64(col("shingle")).as("h0")),
+      k)
     val candidates = minhashCandidatePairs(sigs, bands, k, minBandMatches = 2)
     // materialize before releasing the shared shingle cache (see
     // ngramJaccardPairs for the leak rationale)

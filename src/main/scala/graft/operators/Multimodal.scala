@@ -72,8 +72,14 @@ object Multimodal {
     val stride = greatest(
       ceil(octet_length(payload).cast("double") / targetBytes).cast("int"),
       lit(1))
-    concat((0 until targetBytes).map(i =>
-      substring(payload, lit(i) * stride + 1, lit(1))): _*)
+    // transform + fold, NOT a targetBytes-wide literal concat: the
+    // expression tree stays constant-depth, so a realistic target
+    // (64 KiB) cannot blow up analysis time or generated-method size
+    aggregate(
+      transform(sequence(lit(0), lit(targetBytes - 1)),
+        i => substring(payload, (i * stride + 1).cast("int"), lit(1))),
+      lit(Array.emptyByteArray),
+      (acc, b) => concat(acc, b))
   }
 
   /** The per-partition batching seam a REAL codec plugs into: one

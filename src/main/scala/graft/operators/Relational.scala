@@ -44,7 +44,10 @@ object Relational {
     * Ordering within equal timestamps: right rows sort BEFORE left
     * rows at the same ts (side 0 < side 1), i.e. a right row at
     * exactly leftTs is visible to that left row — the `rightTs <=
-    * leftTs` ASOF semantics, matching DuckDB's ASOF JOIN.
+    * leftTs` ASOF semantics, matching DuckDB's ASOF JOIN. When
+    * SEVERAL right rows share (key, ts), the LARGEST value wins —
+    * an explicit total order, so the result cannot depend on
+    * partitioning (a bare last() would pick a shuffle-order row).
     */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String,
@@ -57,8 +60,10 @@ object Relational {
       col(key), col(rightTs).as("_ts"), lit(0).as("_side"),
       col(rightValCol).as(outCol))
     val unioned = l.unionByName(r, allowMissingColumns = true)
+    // third sort key = the value itself: among right rows tied on ts,
+    // last(ignoreNulls) then deterministically takes the maximum
     val w = Window.partitionBy(col(key))
-      .orderBy(col("_ts"), col("_side"))
+      .orderBy(col("_ts"), col("_side"), col(outCol))
       .rowsBetween(Window.unboundedPreceding, 0)
     unioned
       .withColumn(outCol, last(col(outCol), ignoreNulls = true).over(w))

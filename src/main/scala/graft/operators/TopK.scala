@@ -17,9 +17,17 @@ import org.apache.spark.sql.expressions.Aggregator
 object TopK {
 
   /** min-heap entry ordering: worst (lowest score, then HIGHEST id)
-    * at the head so it is evicted first. */
+    * first. Explicit comparator, for two reasons a tuple Ordering.by
+    * gets wrong: scores compare under Spark's SQL double order
+    * (-0.0 == 0.0, NaN greatest — scala's TotalOrdering splits ±0.0),
+    * and a `-id` negation would corrupt Long.MinValue. */
   private val entryOrd: Ordering[(Double, Long)] =
-    Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (s, -id) }
+    new Ordering[(Double, Long)] {
+      override def compare(x: (Double, Long), y: (Double, Long)): Int = {
+        val c = org.apache.spark.sql.graft.TopKAgg.cmpScore(x._1, y._1)
+        if (c != 0) c else java.lang.Long.compare(y._2, x._2)
+      }
+    }
 
   final class TopKAggregator(k: Int)
       extends Aggregator[(Double, Long), mutable.PriorityQueue[(Double, Long)],

@@ -23,6 +23,14 @@ import org.apache.spark.sql.types._
   * double fold as the HOF formulation in graft.functions.vectors (and
   * as DuckDB's list_dot_product), so results are bit-identical and
   * all existing oracles keep matching — asserted by ExpressionSpec.
+  *
+  * Length contract (applies to every fixed-dim kernel here: this one,
+  * [[HyperplaneBuckets]], [[NearestCentroids]]): inputs are assumed
+  * FIXED-DIMENSION embedding columns; a shorter array folds over its
+  * prefix (min length), where the HOF/zip_with form would produce
+  * NULL from the padded elements. The engine's embedding tables are
+  * schema-enforced fixed-dim, so the cases never diverge in practice
+  * — but a ragged-array corpus must validate lengths upstream.
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {

@@ -18,11 +18,11 @@ import org.apache.spark.sql.types._
   * shuffle — the shape that wins when k ≪ rows-per-group.
   *
   * This is the production form of graft.operators.TopK's typed
-  * Aggregator: the buffer serializes as a flat 12-byte-per-entry
-  * ByteBuffer instead of a Kryo blob of a Scala PriorityQueue (the r2
-  * verdict's remaining TopK cost — every partial merge round-tripped
-  * Kryo). Deterministic: ties break on the smaller id. Output:
-  * array<struct<score,id>> best-first.
+  * Aggregator: the buffer serializes as a flat 16-byte-per-entry
+  * ByteBuffer (8-byte score + 8-byte id) instead of a Kryo blob of a
+  * Scala PriorityQueue (the r2 verdict's remaining TopK cost — every
+  * partial merge round-tripped Kryo). Deterministic: ties break on
+  * the smaller id. Output: array<struct<score,id>> best-first.
   */
 case class TopKAgg(score: Expression, id: Expression, k: Int,
     mutableAggBufferOffset: Int = 0,
@@ -109,11 +109,13 @@ object TopKAgg {
     var size: Int = 0
 
     // entry a is worse than entry b (lower score, tie: higher id).
-    // Double.compare, not <, so NaN orders GREATEST — matching Spark's
-    // SQL ordering (score.desc puts NaN first); a raw < would make
-    // every comparison against a NaN root false and freeze the heap.
+    // Score comparison matches Spark's SQL double ordering exactly:
+    // NaN greatest (a raw < would make every comparison against a NaN
+    // root false and freeze the heap) AND -0.0 == 0.0 (a bare
+    // Double.compare would treat them as distinct and break ties
+    // differently from the window form).
     private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean = {
-      val c = java.lang.Double.compare(sa, sb)
+      val c = TopKAgg.cmpScore(sa, sb)
       c < 0 || (c == 0 && ia > ib)
     }
 
@@ -150,14 +152,24 @@ object TopKAgg {
 
     def sortedBestFirst: Array[(Double, Long)] = {
       val out = (0 until size).map(i => (scores(i), ids(i))).toArray
-      // explicit comparator: score desc with NaN greatest (Spark's
-      // desc order), ties by id asc — sortBy(-s) would flip NaN to
-      // the wrong end
+      // explicit comparator: score desc under Spark's SQL double
+      // ordering (NaN greatest, -0.0 == 0.0), ties by id asc —
+      // sortBy(-s) would flip NaN to the wrong end
       java.util.Arrays.sort(out, (a: (Double, Long), b: (Double, Long)) => {
-        val c = java.lang.Double.compare(b._1, a._1)
+        val c = TopKAgg.cmpScore(b._1, a._1)
         if (c != 0) c else java.lang.Long.compare(a._2, b._2)
       })
       out
     }
   }
+
+  /** Spark SQL's total order on doubles: -0.0 == 0.0, NaN greatest,
+    * NaN == NaN (the semantics of nan-safe comparison used by sorts
+    * and windows — what the `top_k` ↔ window-form parity contract
+    * requires). */
+  def cmpScore(a: Double, b: Double): Int =
+    if (a == b || (a.isNaN && b.isNaN)) 0
+    else if (a.isNaN) 1
+    else if (b.isNaN) -1
+    else java.lang.Double.compare(a, b)
 }
