@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -65,7 +66,8 @@ private class BrokerTable extends Table with SupportsRead {
   override def name(): String = "graft_broker"
   override def schema(): StructType = BrokerSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new BrokerScan
@@ -78,26 +80,80 @@ private class BrokerScan extends Scan with Batch {
   // one partition per topic: ingestion parallelism = topic count,
   // and per-topic order is free because one reader owns one topic
   override def planInputPartitions(): Array[InputPartition] =
-    BrokerRegistry.topics.map(t => BrokerTopicPartition(t): InputPartition)
+    BrokerRegistry.topics
+      .map(t => BrokerRangePartition(t, 0L, BrokerRegistry.fetch(t).length)
+        : InputPartition)
       .toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionReaderFactory {
-      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-        new BrokerPartitionReader(p.asInstanceOf[BrokerTopicPartition].topic)
-    }
+    BrokerReaderFactory
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new BrokerMicroBatchStream
 }
 
-private case class BrokerTopicPartition(topic: String) extends InputPartition
+/** The streaming form (T1/T3): per-topic log lengths ARE the offsets
+  * — each micro-batch reads every topic's [start, end) delta, one
+  * partition per advanced topic, so exactly-once recovery falls out
+  * of the offset log like any production broker connector. */
+private class BrokerMicroBatchStream extends MicroBatchStream {
+  private def snapshot(): BrokerOffset = BrokerOffset(
+    BrokerRegistry.topics
+      .map(t => t -> BrokerRegistry.fetch(t).length.toLong).toMap)
+  override def initialOffset(): Offset = BrokerOffset(Map.empty)
+  override def latestOffset(): Offset = snapshot()
+  override def deserializeOffset(json: String): Offset =
+    BrokerOffset.fromJson(json)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[BrokerOffset].lens
+    val e = end.asInstanceOf[BrokerOffset].lens
+    e.toSeq.sortBy(_._1).flatMap { case (t, until) =>
+      val from = s.getOrElse(t, 0L)
+      if (until > from) Some(BrokerRangePartition(t, from, until): InputPartition)
+      else None
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    BrokerReaderFactory
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
-/** One task's reader: drains one topic in publish (seq) order. A
-  * production implementation replaces the registry fetch with a
-  * subscriber client; the row contract is unchanged. */
-private class BrokerPartitionReader(topic: String)
+/** Offsets as a line-oriented "<len> <topic>" document — topics never
+  * contain newlines, so no JSON machinery is needed for the offset
+  * log. */
+private case class BrokerOffset(lens: Map[String, Long]) extends Offset {
+  override def json(): String =
+    lens.toSeq.sortBy(_._1).map { case (t, n) => s"$n $t" }.mkString("\n")
+}
+
+private object BrokerOffset {
+  def fromJson(s: String): BrokerOffset = BrokerOffset(
+    s.split("\n").iterator.filter(_.nonEmpty).map { line =>
+      val sp = line.indexOf(' ')
+      line.substring(sp + 1) -> line.substring(0, sp).toLong
+    }.toMap)
+}
+
+private case class BrokerRangePartition(topic: String, from: Long,
+    until: Long) extends InputPartition
+
+private object BrokerReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val bp = p.asInstanceOf[BrokerRangePartition]
+    new BrokerPartitionReader(bp.topic, bp.from, bp.until)
+  }
+}
+
+/** One task's reader: drains one topic's [from, until) slice in
+  * publish (seq) order. A production implementation replaces the
+  * registry fetch with a subscriber client; the row contract is
+  * unchanged. */
+private class BrokerPartitionReader(topic: String, from: Long, until: Long)
     extends PartitionReader[InternalRow] {
   private val msgs = BrokerRegistry.fetch(topic)
+    .slice(from.toInt, until.toInt)
   private var i = -1
   override def next(): Boolean = { i += 1; i < msgs.length }
   override def get(): InternalRow =
-    InternalRow(UTF8String.fromString(topic), i.toLong, msgs(i))
+    InternalRow(UTF8String.fromString(topic), from + i, msgs(i))
   override def close(): Unit = ()
 }

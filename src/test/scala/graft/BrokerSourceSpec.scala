@@ -35,6 +35,32 @@ class BrokerSourceSpec extends AnyFunSuite with SparkSpec with Matchers {
     a.map(_._2).toSeq shouldBe (0 until 40).map(i => s"a-$i")
   }
 
+  test("streaming read: each micro-batch drains only the per-topic delta, exactly once") {
+    import spark.implicits._
+    BrokerRegistry.clear()
+    for (i <- 0 until 6) BrokerRegistry.publish(
+      "persistent://t/ns/s", s"m-$i".getBytes("UTF-8"))
+    val q = spark.readStream.format(fmt).load()
+      .writeStream.format("memory").queryName("broker_stream")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_broker_ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      spark.table("broker_stream").count() shouldBe 6
+      // publish a delta — the next batch must read ONLY the new rows
+      for (i <- 6 until 9) BrokerRegistry.publish(
+        "persistent://t/ns/s", s"m-$i".getBytes("UTF-8"))
+      BrokerRegistry.publish("persistent://t/ns/s2", "x".getBytes("UTF-8"))
+      q.processAllAvailable()
+      val rows = spark.table("broker_stream")
+        .select(col("topic"), col("seq")).as[(String, Long)].collect()
+      rows.length shouldBe 10 // 6 + 3 delta + 1 new topic, no dups
+      rows.filter(_._1.endsWith("/s")).map(_._2).sorted shouldBe (0L until 9L)
+    } finally q.stop()
+  }
+
   test("connector rows flow into the catalog/capture operators unchanged") {
     BrokerRegistry.clear()
     for (t <- Seq("persistent://acme/prod/x", "persistent://acme/prod/x-partition-0",
