@@ -451,11 +451,13 @@ object Dedup {
         .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
       val lsMin = sym.groupBy("u").agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // duplicates are harmless here (min and the next join tolerate
+      // them; small-star dedups at round end) — a distinct would cost
+      // an extra shuffle per round for nothing
       val large = sym.join(lsMin, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v")) // m <= u < v: canonical
         .filter(col("u") =!= col("v"))
-        .distinct()
       // small-star: each edge processed at its LARGER endpoint u;
       // smaller neighbors (and u itself) re-attach to m = min(Γ(u))
       val ssMin = large.groupBy("u").agg(min(col("v")).as("m"))
