@@ -100,7 +100,7 @@ object CatalogOps {
     * a global no-partition window or an eager count — no plan-time
     * action, no single-task sort. */
   def parseCliTable(
-      lines: DataFrame, lineCol: String = "value", lineNoCol: String = "line_no",
+      lines: DataFrame, lineCol: String = "line", lineNoCol: String = "line_no",
       headerLines: Int = 3, footerLines: Int = 1,
       fieldIdx: Int = 1): DataFrame = {
     val total = lines.agg(max(col(lineNoCol)).as("_max_ln"))

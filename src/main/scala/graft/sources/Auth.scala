@@ -68,11 +68,11 @@ object Auth {
         case Some(t) if t.expiresAtMs - skewMs > now => t.accessToken
         case _ =>
           val (url, params) = tokenRequest(cfg)
-          val parsed = parseTokenResponse(post(url, params), now)
-          val t = parsed.fold(
+          val response = post(url, params)
+          fetches += 1 // the round-trip happened whether or not it parses
+          val t = parseTokenResponse(response, now).fold(
             err => throw new IllegalStateException(s"OAuth refresh failed: $err"),
             identity)
-          fetches += 1
           cached = Some(t)
           t.accessToken
       }

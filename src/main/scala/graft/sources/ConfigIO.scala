@@ -27,7 +27,12 @@ object ConfigIO {
     var section: String = null
     var name: String = null
     text.linesIterator.foreach { raw =>
-      val noComment = raw.takeWhile(_ != '#')
+      // YAML comment rule: '#' opens a comment only at line start or
+      // after whitespace — a '#' INSIDE a value (URL fragment, token)
+      // is data, and truncating it would silently corrupt the value
+      val commentIdx = raw.indices.find(i => raw(i) == '#' &&
+        (i == 0 || raw(i - 1) == ' ' || raw(i - 1) == '\t'))
+      val noComment = commentIdx.map(raw.substring(0, _)).getOrElse(raw)
       val line = noComment.trim
       if (line.nonEmpty) {
         val indent = noComment.takeWhile(_ == ' ').length

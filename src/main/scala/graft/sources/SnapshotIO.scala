@@ -38,8 +38,12 @@ object SnapshotIO {
       .option("multiLine", true)   // reference writes a JSON ARRAY per file
       .json(s"$dir/messages/*.json")
       .withColumn("_file", input_file_name())
-    val stem = regexp_replace(
-      regexp_extract(col("_file"), "([^/]+)\\.json$", 1), "%20", " ")
+    // input_file_name() returns a URI: fully url-decode the stem (so
+    // non-ASCII and literal-% topics round-trip, not just spaces) —
+    // protecting literal '+' first, which URL decoding would
+    // otherwise turn into a space it never was
+    val stem = url_decode(regexp_replace(
+      regexp_extract(col("_file"), "([^/]+)\\.json$", 1), "\\+", "%2B"))
     val topic =
       if (compatLossy) codec.desanitizeTopicLossy(stem)
       else codec.desanitizeTopic(stem)
@@ -78,18 +82,21 @@ object SnapshotIO {
       }
     val msgs = Paths.get(srcDir, "messages")
     if (Files.exists(msgs)) {
-      val it = Files.list(msgs).iterator()
-      while (it.hasNext) {
-        val p = it.next()
-        val name = p.getFileName.toString
-        if (name.endsWith(".json")) {
-          val stem = name.stripSuffix(".json")
-          val topicLossy = stem.replace("_", "/") // the reference's rule
-          val safe = codec.sanitizeTopicStr(topicLossy) + ".json"
-          Files.copy(p, dst.resolve("messages").resolve(safe),
-            StandardCopyOption.REPLACE_EXISTING)
+      val stream = Files.list(msgs) // directory handle: must be closed
+      try {
+        val it = stream.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val name = p.getFileName.toString
+          if (name.endsWith(".json")) {
+            val stem = name.stripSuffix(".json")
+            val topicLossy = stem.replace("_", "/") // the reference's rule
+            val safe = codec.sanitizeTopicStr(topicLossy) + ".json"
+            Files.copy(p, dst.resolve("messages").resolve(safe),
+              StandardCopyOption.REPLACE_EXISTING)
+          }
         }
-      }
+      } finally stream.close()
     }
   }
 
@@ -139,6 +146,12 @@ object SnapshotIO {
       .select(fileName.as("file"), wire.as("msg"))
       .groupBy(col("file"))
       .agg(to_json(collect_list(col("msg"))).as("body"))
+    // a SNAPSHOT is a replacement, not a merge: clear the destination
+    // first, or per-topic files from a previous capture of different
+    // data survive and resurrect dead topics on restore
+    val destBase = new org.apache.hadoop.fs.Path(dir, "messages")
+    destBase.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      .delete(destBase, true)
     // one file per topic, written from the executors (scales with the
     // number of topics; no driver collect). Hadoop FileSystem API so
     // the files land in `dir` on whatever filesystem backs it —
@@ -159,12 +172,25 @@ object SnapshotIO {
     }
   }
 
-  /** Catalog text files (K2): newline-joined single files. */
+  /** Catalog text files (K2): newline-joined PLAIN single files —
+    * the reference's tooling opens `<dir>/tenants.txt` directly, so a
+    * Spark output DIRECTORY of part-files would break the interchange
+    * contract. The catalog is control-plane-tiny by definition (the
+    * reference keeps it in text files), so collecting it to write one
+    * real file is the correct move, same as DdlSink. Lines are sorted
+    * for determinism. */
   def writeCatalog(tenants: DataFrame, namespaces: DataFrame,
       topics: DataFrame, allTopics: DataFrame, dir: String): Unit = {
-    def writeLines(df: DataFrame, colName: String, file: String): Unit =
-      df.select(col(colName)).coalesce(1).write.mode(SaveMode.Overwrite)
-        .text(s"$dir/$file")
+    def writeLines(df: DataFrame, colName: String, file: String): Unit = {
+      val lines = df.select(col(colName)).collect()
+        .map(_.getString(0)).sorted
+      val p = new org.apache.hadoop.fs.Path(dir, file)
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val out = fs.create(p, true)
+      try out.write((lines.mkString("\n") + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     writeLines(tenants, "tenant", "tenants.txt")
     writeLines(namespaces, "namespace", "namespaces.txt")
     writeLines(topics, "topic", "topics.txt")

@@ -2,8 +2,6 @@ package graft.sources.connector
 
 import java.util
 
-import scala.collection.concurrent.TrieMap
-
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -46,18 +44,21 @@ object BrokerSource {
     .add("payload", BinaryType, nullable = false)
 }
 
-/** The injected in-process broker: per-topic append-ordered logs. */
+/** The injected in-process broker: per-topic append-ordered logs.
+  * One concurrency mechanism — every access holds the object lock
+  * (the map is read-modify-written on publish, so a lock-free map
+  * alone would not protect it anyway). */
 object BrokerRegistry {
-  private val log = TrieMap.empty[String, Vector[Array[Byte]]]
+  private val log = scala.collection.mutable.Map.empty[String, Vector[Array[Byte]]]
 
   def publish(topic: String, payload: Array[Byte]): Unit = synchronized {
     log.put(topic, log.getOrElse(topic, Vector.empty) :+ payload)
   }
 
-  def topics: Seq[String] = log.keys.toSeq.sorted
+  def topics: Seq[String] = synchronized(log.keys.toSeq.sorted)
 
   def fetch(topic: String): Vector[Array[Byte]] =
-    log.getOrElse(topic, Vector.empty)
+    synchronized(log.getOrElse(topic, Vector.empty))
 
   def clear(): Unit = synchronized(log.clear())
 }
@@ -117,19 +118,28 @@ private class BrokerMicroBatchStream extends MicroBatchStream {
   override def stop(): Unit = ()
 }
 
-/** Offsets as a line-oriented "<len> <topic>" document — topics never
-  * contain newlines, so no JSON machinery is needed for the offset
-  * log. */
+/** Offsets serialized on ONE line: Spark's OffsetSeqLog writes one
+  * offset json per line per source, so an embedded newline would
+  * corrupt the checkpoint and break restart. Topic names are base64-
+  * encoded so no topic character can collide with the separators:
+  * "<len>:<base64(topic)>" joined by ",". */
 private case class BrokerOffset(lens: Map[String, Long]) extends Offset {
   override def json(): String =
-    lens.toSeq.sortBy(_._1).map { case (t, n) => s"$n $t" }.mkString("\n")
+    lens.toSeq.sortBy(_._1).map { case (t, n) =>
+      s"$n:" + java.util.Base64.getEncoder
+        .encodeToString(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }.mkString(",")
 }
 
 private object BrokerOffset {
   def fromJson(s: String): BrokerOffset = BrokerOffset(
-    s.split("\n").iterator.filter(_.nonEmpty).map { line =>
-      val sp = line.indexOf(' ')
-      line.substring(sp + 1) -> line.substring(0, sp).toLong
+    s.split(",").iterator.filter(_.nonEmpty).map { entry =>
+      val sp = entry.indexOf(':')
+      require(sp > 0, s"malformed broker offset entry: $entry")
+      val topic = new String(
+        java.util.Base64.getDecoder.decode(entry.substring(sp + 1)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      topic -> entry.substring(0, sp).toLong
     }.toMap)
 }
 

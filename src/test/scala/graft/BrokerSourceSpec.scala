@@ -61,6 +61,41 @@ class BrokerSourceSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("streaming restart from a multi-topic checkpoint resumes exactly-once") {
+    import spark.implicits._
+    BrokerRegistry.clear()
+    // TWO topics before the first checkpoint: the offset json must
+    // stay single-line or Spark's line-oriented OffsetSeqLog corrupts
+    // and the restart below can never get past offset recovery
+    for (i <- 0 until 4) BrokerRegistry.publish(
+      "persistent://t/ns/r1", s"a-$i".getBytes("UTF-8"))
+    for (i <- 0 until 3) BrokerRegistry.publish(
+      "persistent://t/ns/r2", s"b-$i".getBytes("UTF-8"))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_broker_restart").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_broker_restart_out").toString
+    // file sink: the memory sink refuses checkpoint recovery, and
+    // recovery is exactly what this test exercises
+    def start() = spark.readStream.format(fmt).load()
+      .selectExpr("topic", "seq", "CAST(payload AS STRING) AS body")
+      .writeStream.format("json").option("path", out)
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    spark.read.json(out).count() shouldBe 7
+    // delta published while the stream is DOWN; the restarted query
+    // must resume from the checkpointed offsets, reading only this
+    for (i <- 4 until 6) BrokerRegistry.publish(
+      "persistent://t/ns/r1", s"a-$i".getBytes("UTF-8"))
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val all = spark.read.json(out)
+      .select(col("topic"), col("seq")).as[(String, Long)].collect()
+    all.length shouldBe 9 // 7 + the 2-row delta, each exactly once
+    all.filter(_._1.endsWith("/r1")).map(_._2).sorted shouldBe (0L until 6L)
+  }
+
   test("connector rows flow into the catalog/capture operators unchanged") {
     BrokerRegistry.clear()
     for (t <- Seq("persistent://acme/prod/x", "persistent://acme/prod/x-partition-0",
