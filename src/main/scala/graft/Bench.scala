@@ -32,6 +32,7 @@ object Bench {
       .map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = selected.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
@@ -39,16 +40,25 @@ object Bench {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         } catch {
           case e: Throwable =>
+            failed += name
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         name -> (System.nanoTime() - t0) / 1e9
     }
+    // Locale.ROOT: a comma-decimal default locale would render 0,123
+    // and make the JSON line unparseable
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results
-      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // a fast-failing query must not read as a speedup: failures are
+    // carried in the JSON, not just buried in stderr
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
+        s""""queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // also write the bare JSON line to a file: the stdout copy drowns
     // in sbt/log4j decoration and the driver failed to parse it (r01)

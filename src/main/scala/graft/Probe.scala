@@ -42,7 +42,9 @@ object Probe {
       .filter(size(col("docs")) >= 2)
     time("posting_lists") { posting.count() }
     time("posting_pair_volume") {
-      posting.select((size(col("docs")) * (size(col("docs")) - 1) / 2).as("p"))
+      // long arithmetic: a >65k-doc posting list would overflow Int
+      posting.select((size(col("docs")).cast("long") *
+          (size(col("docs")).cast("long") - 1) / 2).as("p"))
         .agg(sum("p")).head().getAs[Number](0).longValue()
     }
     val pairExpr = flatten(transform(col("docs"), (x, i) =>
@@ -61,13 +63,14 @@ object Probe {
     time("q30_sets_materialize") { sets30.count() }
     val sh30 = sets30.select(col("doc"), explode(col("shingles")).as("shingle"))
       .select(col("doc"), xxhash64(col("shingle")).as("h0"))
-    val sigs = sh30.groupBy("doc")
-      .agg(min(xxhash64(lit(0), col("h0"))).as("h0_"),
-        (1 until 64).map(i => min(xxhash64(lit(i), col("h0"))).as(s"h${i}_")): _*)
-      .select(col("doc"),
-        array((0 until 64).map(i => col(s"h${i}_")): _*).as("signature"))
+    // the ONE shared signature definition — a re-implementation here
+    // could silently drift from what q30 actually runs
+    val sigs = Dedup.signaturesFromBaseHashes(sh30, 64)
     time("q30_signatures") { sigs.count() }
-    val cand = Dedup.minhashCandidatePairs(sigs, 32, 64)
+    // minBandMatches = 2, matching minhashNearDupPairs' real call —
+    // the default 1 would time a candidate set orders of magnitude
+    // larger than the stage q30 executes
+    val cand = Dedup.minhashCandidatePairs(sigs, 32, 64, minBandMatches = 2)
     time("q30_candidates") { cand.count() }
     time("q30_full") {
       Dedup.minhashNearDupPairs(docs, "doc_id", "text", 2, 64, 32, 0.5).count()

@@ -15,9 +15,20 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // start from an EMPTY outDir: a failed query must leave no output
+    // at all, not a previous run's stale parquet that the driver's
+    // compare would silently read as a pass (and renamed/removed
+    // queries must not leave ghosts either)
+    def rm(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
+    }
+    rm(new java.io.File(outDir))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), not coalesce(1): coalesce would collapse every
+      // narrow stage upstream onto one task; repartition keeps the
+      // computation parallel and only the write single-file
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

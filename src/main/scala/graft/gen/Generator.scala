@@ -15,16 +15,24 @@ import org.apache.spark.sql.functions._
   */
 object Generator {
 
+  /** LCG choice step, overflow-free: (id·a + c) mod m computed with
+    * id reduced mod m FIRST — identical value for every id (modular
+    * arithmetic), but `id * a` on the raw id overflows Long at
+    * id ≈ 8.4e9, which under ANSI mode would kill an unbounded rate
+    * stream after a few hours of publishing. */
+  private def lcgMod(id: Column, a: Long, c: Long, m: Long): Column =
+    ((id % m) * (a % m) + c % m) % m
+
   /** Flat projection of the generator fields from (id, ts). */
   def emailSendColumns(id: Column, ts: Column): Seq[Column] = Seq(
     id.as("id"),
     md5(concat(lit("evt-"), id.cast("string"))).as("event_id"),
     md5(concat(lit("corr-"), id.cast("string"))).as("correlation_id"),
-    (lit(100) + (id * 1103515245L + 12345L) % 7).as("project_id"),
-    concat(lit("user+"), ((id * 69069L + 1L) % 1000).cast("string"),
+    (lit(100) + lcgMod(id, 1103515245L, 12345L, 7L)).as("project_id"),
+    concat(lit("user+"), lcgMod(id, 69069L, 1L, 1000L).cast("string"),
       lit("@example.com")).as("user_key"),
-    (lit(7000) + (id * 40014L + 3L) % 25).as("campaign_id"),
-    (lit(5000) + (id * 48271L + 7L) % 10).as("template_id"),
+    (lit(7000) + lcgMod(id, 40014L, 3L, 25L)).as("campaign_id"),
+    (lit(5000) + lcgMod(id, 48271L, 7L, 10L)).as("template_id"),
     // the reference's three distinct timestamp string formats
     // (pulsar_remote_inspector.py:218,228,234)
     date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("created_at"),

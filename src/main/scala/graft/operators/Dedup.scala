@@ -251,7 +251,7 @@ object Dedup {
     * [[minhashSignatures]] and [[minhashNearDupPairs]] cannot drift
     * apart (the q30/q44 oracle story depends on them being
     * bit-identical). */
-  private def signaturesFromBaseHashes(sh: DataFrame, k: Int): DataFrame =
+  private[graft] def signaturesFromBaseHashes(sh: DataFrame, k: Int): DataFrame =
     sh.groupBy("doc")
       .agg(min(xxhash64(lit(0), col("h0"))).as("h0_"),
         (1 until k).map(i => min(xxhash64(lit(i), col("h0"))).as(s"h${i}_")): _*)

@@ -22,10 +22,16 @@ object GraftExtensions {
       Seq[Expression] => Expression)] = Seq(
     (new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
-      (children: Seq[Expression]) => CosineSim(children.head, children(1))),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"cosine_sim(a, b) takes 2 arguments, got ${children.size}")
+        CosineSim(children.head, children(1))
+      }),
     (new FunctionIdentifier("top_k"),
       new ExpressionInfo(classOf[TopKAgg].getName, "top_k"),
       (children: Seq[Expression]) => {
+        require(children.size == 3,
+          s"top_k(score, id, k) takes 3 arguments, got ${children.size}")
         val k = children(2) match {
           case Literal(v: Int, IntegerType) => v
           case other => throw new IllegalArgumentException(
