@@ -37,7 +37,13 @@ object Bench {
       case (name, fn) =>
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          val df = fn(spark, sfDir)
+          df.write.format("noop").mode("overwrite").save()
+          // drain this query's localCheckpoint blocks NOW: leaving
+          // them to GC + ContextCleaner let earlier dedup state stay
+          // resident when later queries needed the memory (r3: q49
+          // 7.6 s in the 58-query session vs 2.5 s isolated)
+          org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(df)
         } catch {
           case e: Throwable =>
             failed += name

@@ -821,17 +821,20 @@ object SparkEntry {
           max(col("seq")).as("max_seq"),
           sum(col("payload_bytes")).as("total_bytes"),
           sum(col("seq") * col("payload_bytes")).as("order_sum"))
-        // materialize the (tiny) aggregate, then delete the scratch
-        // snapshot — each invocation would otherwise leak a
-        // dataset-sized directory into /tmp
-        .localCheckpoint(true)
+      // collect the aggregate (bounded: one row per topic — the same
+      // cardinality as the query's result) BEFORE deleting the scratch
+      // snapshot: a checkpoint whose source files are gone turns any
+      // block loss into an unrecoverable failure, and the local rows
+      // need no executor blocks at all
+      val rows = agg.collect()
       def rm(f: java.io.File): Unit = {
         val children = f.listFiles()
         if (children != null) children.foreach(rm)
         f.delete()
       }
       rm(new java.io.File(tmp))
-      agg
+      s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), agg.schema)
     }),
 
     // ── NS: token-budget SHARD PACKING — the sequence-packing step of

@@ -28,9 +28,14 @@ object Verify {
       // repartition(1), not coalesce(1): coalesce would collapse every
       // narrow stage upstream onto one task; repartition keeps the
       // computation parallel and only the write single-file
-      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        df.repartition(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // release any localCheckpoint blocks the query materialized —
+        // same session-hygiene drain as Bench
+        org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(df)
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

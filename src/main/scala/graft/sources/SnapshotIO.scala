@@ -33,10 +33,20 @@ object SnapshotIO {
     */
   def readMessages(spark: SparkSession, dir: String,
       compatLossy: Boolean = false): DataFrame = {
+    // resolve the glob driver-side: handing the literal "*.json" path
+    // to the reader makes every analysis run FileStreamSink's
+    // metadata probe on it, which logs a FileNotFoundException stack
+    // at WARN (benign, but it reads as a crash in the bench stderr);
+    // concrete file paths probe cleanly. One RPC on a control-plane
+    // path — not a per-row cost.
+    val glob = new org.apache.hadoop.fs.Path(s"$dir/messages/*.json")
+    val fs = glob.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = Option(fs.globStatus(glob)).getOrElse(Array.empty)
+      .map(_.getPath.toString).toSeq
     val raw = spark.read
       .schema(Schemas.snapshotMessage)
       .option("multiLine", true)   // reference writes a JSON ARRAY per file
-      .json(s"$dir/messages/*.json")
+      .json(files: _*)
       .withColumn("_file", input_file_name())
     // input_file_name() returns a URI: fully url-decode the stem (so
     // non-ASCII and literal-% topics round-trip, not just spaces) —
@@ -187,8 +197,11 @@ object SnapshotIO {
       val p = new org.apache.hadoop.fs.Path(dir, file)
       val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
       val out = fs.create(p, true)
-      try out.write((lines.mkString("\n") + "\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // zero lines → empty file: a lone "\n" would read back as one
+      // empty-string catalog entry (restore would emit `CREATE tenant `
+      // with an empty name)
+      val body = if (lines.isEmpty) "" else lines.mkString("\n") + "\n"
+      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }
     writeLines(tenants, "tenant", "tenants.txt")

@@ -362,16 +362,23 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
-  /** Release the cached blocks behind a locally-checkpointed Dataset.
-    * `Dataset.unpersist` only covers CacheManager entries; a local
-    * checkpoint's blocks are owned by its underlying RDD (reachable
-    * through the LogicalRDD the checkpoint produced). Iterative
-    * operators use this to free superseded iterations immediately
-    * instead of leaking executor memory until driver GC +
-    * ContextCleaner get around to it. No-op on non-checkpoint plans. */
+  /** Release the cached blocks behind every locally-checkpointed
+    * Dataset reachable in this plan. `Dataset.unpersist` only covers
+    * CacheManager entries; a local checkpoint's blocks are owned by
+    * its underlying RDD (reachable through the LogicalRDD nodes the
+    * checkpoint produced). Iterative operators use this to free
+    * superseded iterations immediately, and Bench/Verify drain each
+    * query's result after consuming it — otherwise the blocks live
+    * until driver GC + ContextCleaner get around to them, which in a
+    * 58-query session left earlier queries' dedup state resident when
+    * later queries needed the memory (q49: 7.6 s driver vs 2.5 s
+    * isolated in round 3). Traverses the whole analyzed plan, so it
+    * also catches checkpoints composed under further transforms.
+    * No-op on plans with no checkpoint. The freed Dataset must not be
+    * recomputed afterwards (checkpoint lineage is truncated). */
   def freeLocalCheckpoint(ds: org.apache.spark.sql.Dataset[_]): Unit = ds match {
     case c: org.apache.spark.sql.classic.Dataset[_] =>
-      c.queryExecution.analyzed match {
+      c.queryExecution.analyzed.foreach {
         case l: org.apache.spark.sql.execution.LogicalRDD =>
           l.rdd.unpersist(blocking = false)
         case _ => ()
