@@ -856,6 +856,41 @@ object SparkEntry {
         .groupBy(col("source"), col("shard_id"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("shard_tokens"))
+    }),
+
+    // ── F1: project-ID auto-detection + campaign-range derivation
+    // (pulsar_remote_inspector.py:188-199, the publish flow's
+    // auto-detect at :264-281, probed by the `ranges` CLI verb at
+    // :701-716). Topics synthesized with positive cases (both the
+    // "ingestion-N" and "post-ingestion-N" spellings) AND the
+    // reference's negative cases (no ingestion segment; an ingestion
+    // segment with no digits) → null project id, publish-default 1.
+    // The campaign range is derived per effective project the way the
+    // reference's example invocation does with --campaign-start/count ──
+    "q59_project_ranges" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val topic = concat(
+        lit("persistent://eventbus/org-"),
+        (col("user_id") % 3).cast("string"), lit("/"),
+        when(col("event_id") % 4 === 0,
+          concat(lit("post-ingestion-"), (col("user_id") % 500).cast("string")))
+          .when(col("event_id") % 4 === 1,
+            concat(lit("ingestion-"), (col("user_id") % 200).cast("string")))
+          .when(col("event_id") % 4 === 2, col("event_type"))
+          .otherwise(lit("post-ingestion-x")))
+      val campaigns = Generator.campaignRange(
+        lit(1000) + col("project_id_effective") * 20, lit(20))
+      ev.select(topic.as("topic")).distinct()
+        .withColumn("project_id",
+          Generator.projectIdFromTopic(col("topic")))
+        .withColumn("project_id_effective",
+          coalesce(col("project_id"), lit(1)))
+        .withColumn("campaigns", campaigns)
+        .select(col("topic"), col("project_id"),
+          col("project_id_effective"),
+          element_at(col("campaigns"), 1).as("campaign_start"),
+          element_at(col("campaigns"), -1).as("campaign_end"),
+          size(col("campaigns")).cast("long").as("n_campaigns"))
     })
   )
 
@@ -1551,7 +1586,37 @@ object SparkEntry {
            |    AS shard_id,
            |  COUNT(*) AS n_docs,
            |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
-           |FROM c GROUP BY 1, 2""".stripMargin
+           |FROM c GROUP BY 1, 2""".stripMargin,
+
+      "q59_project_ranges" ->
+        """WITH topics AS (
+          |  SELECT DISTINCT 'persistent://eventbus/org-' ||
+          |    CAST(user_id % 3 AS VARCHAR) || '/' ||
+          |    CASE WHEN event_id % 4 = 0
+          |           THEN 'post-ingestion-' || CAST(user_id % 500 AS VARCHAR)
+          |         WHEN event_id % 4 = 1
+          |           THEN 'ingestion-' || CAST(user_id % 200 AS VARCHAR)
+          |         WHEN event_id % 4 = 2 THEN event_type
+          |         ELSE 'post-ingestion-x' END AS topic
+          |  FROM events),
+          |p AS (
+          |  SELECT topic,
+          |    CAST(NULLIF(regexp_extract(topic,
+          |      '(?:post-)?ingestion-(\d+)', 1), '') AS INT) AS project_id
+          |  FROM topics),
+          |e AS (
+          |  SELECT topic, project_id,
+          |    COALESCE(project_id, 1) AS project_id_effective
+          |  FROM p),
+          |r AS (
+          |  SELECT *, range(1000 + project_id_effective * 20,
+          |    1000 + project_id_effective * 20 + 20) AS campaigns
+          |  FROM e)
+          |SELECT topic, project_id, project_id_effective,
+          |  CAST(campaigns[1] AS INT) AS campaign_start,
+          |  CAST(campaigns[-1] AS INT) AS campaign_end,
+          |  CAST(len(campaigns) AS BIGINT) AS n_campaigns
+          |FROM r""".stripMargin
     )
   }
 }

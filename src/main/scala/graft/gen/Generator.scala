@@ -84,4 +84,29 @@ object Generator {
   /** The envelope serialized as the wire JSON string. */
   def emailSendJson(id: Column, ts: Column): Column =
     to_json(emailSendEnvelope(id, ts))
+
+  /** F1: project-ID auto-detection from a topic name — the publish
+    * flow's unanchored search for "(?:post-)?ingestion-<digits>"
+    * anywhere in the topic (pulsar_remote_inspector.py:188-195).
+    * No match → null (Spark's regexp_extract returns an empty string
+    * there; the reference returns None). The publish flow then falls
+    * back to project 1 (`:270-275`) — that default is the caller's
+    * policy, kept out of the extractor itself. */
+  def projectIdFromTopic(topic: Column): Column =
+    nullif(
+      regexp_extract(topic, "(?:post-)?ingestion-(\\d+)", 1), lit(""))
+      .cast("int")
+
+  /** Campaign-range derivation (generate_campaign_range,
+    * pulsar_remote_inspector.py:197-199): [start, start+count) as an
+    * array column. */
+  def campaignRange(start: Column, count: Column): Column =
+    sequence(start, start + count - lit(1))
+
+  /** The generator's built-in ID ranges, printed by the `ranges` CLI
+    * verb (pulsar_remote_inspector.py:701-706). Derived from the LCG
+    * fields above so the CLI and the generator can never disagree. */
+  val campaignIdRange: Range = 7000 until 7025
+  val templateIdRange: Range = 5000 until 5010
+  val userKeyPattern: String = "user+<0..999>@example.com"
 }

@@ -50,6 +50,32 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec with Matchers {
       .as[String].collect().toList shouldBe List("en", "de", "es")
   }
 
+  test("projectIdFromTopic: both spellings match, negatives are null") {
+    import spark.implicits._
+    // the reference's own probe cases (pulsar_remote_inspector.py:
+    // 188-195, ranges --test-topic at :709-716): unanchored search,
+    // digits required, no-match → null (publish then defaults to 1)
+    Seq(
+      "persistent://eventbus/org-1/post-ingestion-495",
+      "persistent://eventbus/org-1/ingestion-7",
+      "post-ingestion-00123-suffix",
+      "persistent://eventbus/org-1/email-send", // no ingestion segment
+      "persistent://eventbus/org-1/post-ingestion-x", // no digits
+      "ingestion-" // digits missing entirely
+    ).toDF("topic")
+      .select(graft.gen.Generator.projectIdFromTopic(col("topic")))
+      .as[Option[Int]].collect().toList shouldBe
+      List(Some(495), Some(7), Some(123), None, None, None)
+  }
+
+  test("campaignRange matches generate_campaign_range semantics") {
+    import spark.implicits._
+    Seq((1000, 20), (5, 1)).toDF("start", "count")
+      .select(graft.gen.Generator.campaignRange(col("start"), col("count")))
+      .as[Seq[Int]].collect().toList shouldBe
+      List((1000 until 1020).toList, List(5))
+  }
+
   test("vector math: dot, norms, distances agree with Scala") {
     import spark.implicits._
     val a = Seq(1.0, 2.0, 3.0)
