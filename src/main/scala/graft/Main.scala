@@ -59,12 +59,29 @@ object Main {
       // command works on destDir
       SnapshotIO.importReferenceSnapshot(refDir, destDir)
       Seq(s"imported reference snapshot $refDir into $destDir")
+    case Seq("delete", snapDir, rest @ _*) =>
+      delete(spark, snapDir, force = rest.contains("--force"))
+    case Seq("print", snapDir, rest @ _*) =>
+      printMessages(spark, snapDir,
+        rest.headOption.map(_.toInt).getOrElse(20))
+    case Seq("sample") =>
+      // one deterministic emailSend envelope, the inspector's `sample`
+      // verb (pulsar_remote_inspector.py:650,697-700)
+      Seq(spark.range(1)
+        .select(Generator.emailSendJson(
+          col("id"), timestamp_seconds(lit(1704067200L))))
+        .collect()(0).getString(0))
+    case Seq("ranges", rest @ _*) => ranges(rest)
     case _ => Seq(
       "usage: graft.Main <command> ...",
       "  list-topics <snapshotDir> [limit]   composed catalog listing",
       "  capture <nativeParquetDir> <snapshotDir>   parquet -> snapshot",
       "  replay <snapshotDir> <outDir>       ordered per-topic replay",
       "  restore <snapshotDir>               dry-run DDL (parents first)",
+      "  delete <snapshotDir> [--force]      DDL children-first; gated",
+      "  print <snapshotDir> [limit]         decoded messages in order",
+      "  sample                              one emailSend wire message",
+      "  ranges [--test-topic <topic>]       ID ranges + extraction test",
       "  publish <outDir> <count>            synthetic emailSend messages",
       "  import <referenceSnapshotDir> <destDir>   rewrite reference layout")
   }
@@ -85,7 +102,7 @@ object Main {
       .select("topic")
     val rolled = CatalogOps.rollupPartitions(merged, "topic")
     val listed = CatalogOps.priorityLimit(
-      rolled, Seq("dlq", "global"), limit, "parent_topic")
+      rolled, CatalogOps.defaultPriorityPatterns, limit, "parent_topic")
     val rows = listed.collect() // bounded by `limit`
     val header = f"${"TOPIC"}%-60s ${"ENTRIES"}%8s ${"PARTS"}%6s"
     header +: rows.toSeq.map { r =>
@@ -156,6 +173,80 @@ object Main {
       SnapshotIO.readTopics(spark, snapDir),
       _ => (), _ => (), _ => ())
     applied.map { case (kind, name) => s"CREATE $kind $name" }
+  }
+
+  /** Menu option 4 (pulsar_backup_restore.py:274-291): delete
+    * everything EXCEPT system resources, children first (topics →
+    * namespaces → tenants — the reverse of restore). Gated the way the
+    * reference gates on a typed confirmation: without --force this
+    * refuses and shows what WOULD go; with --force it emits the
+    * ordered DDL through the injected (here: no-op) admin client. */
+  private def delete(spark: SparkSession, snapDir: String,
+      force: Boolean): Seq[String] = {
+    val tenants = CatalogOps.excludeSystem(
+      SnapshotIO.readTenants(spark, snapDir), "tenant",
+      CatalogOps.systemTenants)
+    val namespaces = CatalogOps.excludeSystem(
+      SnapshotIO.readNamespaces(spark, snapDir), "namespace",
+      CatalogOps.systemNamespaces)
+    val topics = SnapshotIO.readTopics(spark, snapDir, all = true)
+    if (!force) {
+      val counts = Seq(
+        "topic" -> topics.count(), "namespace" -> namespaces.count(),
+        "tenant" -> tenants.count())
+      counts.map { case (k, n) => s"would delete $n ${k}s" } :+
+        "refusing to delete without --force (system resources are always preserved)"
+    } else {
+      val applied = DdlSink.deleteAll(tenants, namespaces, topics,
+        _ => (), _ => (), _ => ())
+      applied.map { case (kind, name) => s"DELETE $kind $name" } :+
+        "deletion completed; system resources preserved"
+    }
+  }
+
+  /** Menu option 5 (pulsar_backup_restore.py:295-382): decoded
+    * messages in replay order (topic, then seq), capped at `limit` —
+    * the cap bounds the driver-side collect the same way the
+    * reference's print loop is humanly bounded. */
+  private def printMessages(spark: SparkSession, snapDir: String,
+      limit: Int): Seq[String] = {
+    val rows = SnapshotIO.readMessages(spark, snapDir)
+      .select(col("topic"), col("seq"),
+        codec.decodeContent(col("content"), col("binary_encoded"))
+          .cast("string").as("payload"),
+        col("binary_encoded"))
+      .orderBy(col("topic"), col("seq"))
+      .limit(limit)
+      .collect()
+    rows.toSeq.map { r =>
+      val tag = if (r.getAs[Boolean]("binary_encoded")) " [binary]" else ""
+      val p = r.getAs[String]("payload")
+      val preview = if (p.length > 120) p.take(117) + "..." else p
+      s"${r.getAs[String]("topic")}[${r.getAs[Long]("seq")}]$tag: $preview"
+    }
+  }
+
+  /** Inspector `ranges` verb (pulsar_remote_inspector.py:701-716):
+    * the generator's built-in ID ranges plus an optional extraction
+    * probe of a topic name. */
+  private def ranges(rest: Seq[String]): Seq[String] = {
+    val base = Seq(
+      s"campaign ids: ${Generator.campaignIdRange.mkString("[", ",", "]")} " +
+        s"(${Generator.campaignIdRange.size} campaigns)",
+      s"template ids: ${Generator.templateIdRange.mkString("[", ",", "]")} " +
+        s"(${Generator.templateIdRange.size} templates)",
+      s"user keys: ${Generator.userKeyPattern}")
+    val probe = rest match {
+      case Seq("--test-topic", topic, _*) =>
+        // driver-side twin of projectIdFromTopic — same regex source
+        val m = "(?:post-)?ingestion-(\\d+)".r.findFirstMatchIn(topic)
+        Seq(m match {
+          case Some(g) => s"test topic $topic -> project id ${g.group(1).toInt}"
+          case None => s"test topic $topic -> no project id (publish defaults to 1)"
+        })
+      case _ => Seq.empty
+    }
+    base ++ probe
   }
 
   /** S8 publish (bounded form): deterministic synthetic emailSend

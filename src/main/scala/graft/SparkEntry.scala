@@ -274,7 +274,7 @@ object SparkEntry {
     "q14_priority_limit" -> ((s, dir) =>
       CatalogOps.priorityLimit(
         topicsFromEvents(t(s, dir, "events")),
-        Seq("ns1", "dlq", "global"), 40)),
+        CatalogOps.defaultPriorityPatterns, 40)),
 
     // ── U1: 3-source union with first-occurrence dedup ──
     "q15_union_dedup" -> ((s, dir) => {
@@ -493,7 +493,7 @@ object SparkEntry {
           col("event_type")).as("topic")).distinct())
       val all = user.unionAll(sys).withColumn("tenant",
         regexp_extract(col("topic"), "persistent://([^/]+)/", 1))
-      CatalogOps.excludeSystem(all, "tenant", Seq("public", "pulsar", "system"))
+      CatalogOps.excludeSystem(all, "tenant", CatalogOps.systemTenants)
         .select(col("topic"), col("tenant"))
     }),
 
@@ -677,7 +677,7 @@ object SparkEntry {
         .select("topic")
       val rolled = CatalogOps.rollupPartitions(merged, "topic")
       CatalogOps.priorityLimit(
-        rolled, Seq("ns1", "dlq", "global"), 40, "parent_topic")
+        rolled, CatalogOps.defaultPriorityPatterns, 40, "parent_topic")
     }),
 
     // ── T7/T8 for real: APPEND-mode streaming with a watermark — the

@@ -18,6 +18,19 @@ object CatalogOps {
 
   val partitionSuffix = "-partition-\\d+$"
 
+  /** P5 default priority patterns — the fixtures' namespace analog of
+    * the reference's ['org-1', 'global', 'dlq'] priority list
+    * (pulsar_remote_inspector.py:477). One shared constant so the
+    * registered q50 pipeline and the CLI listing can never order
+    * topics differently. */
+  val defaultPriorityPatterns: Seq[String] = Seq("ns1", "dlq", "global")
+
+  /** P3/P4: the system resources every destructive operation must
+    * preserve (config.json:11-13). */
+  val systemTenants: Seq[String] = Seq("public", "pulsar", "system")
+  val systemNamespaces: Seq[String] =
+    Seq("public/default", "public/functions", "pulsar/system")
+
   /** P2: drop partition-shard topics (`…-partition-N`).
     * (pulsar_backup_restore.py:44-46,87) */
   def dropPartitionShards(topics: DataFrame, col0: String = "topic"): DataFrame =

@@ -89,6 +89,59 @@ class MainSpec extends AnyFunSuite with SparkSpec with Matchers {
       .tail.mkString("\n") should include("persistent://acme/prod/orders")
   }
 
+  test("delete refuses without --force, emits DDL children-first with it") {
+    // copy of the golden catalog WITH system resources appended, so
+    // the preservation contract is actually exercised
+    val dir = Files.createTempDirectory("graft_main_del").toString
+    SnapshotIO.importReferenceSnapshot(imported, dir)
+    def append(f: String, line: String): Unit =
+      Files.writeString(java.nio.file.Paths.get(dir, f),
+        line + "\n", java.nio.file.StandardOpenOption.APPEND)
+    append("tenants.txt", "pulsar")
+    append("namespaces.txt", "pulsar/system")
+    val gated = Main.run(spark, Seq("delete", dir))
+    gated.last should include("--force")
+    gated.exists(_.startsWith("DELETE")) shouldBe false
+    val lines = Main.run(spark, Seq("delete", dir, "--force"))
+    lines should contain("DELETE tenant acme")
+    val kinds = lines.filter(_.startsWith("DELETE")).map(_.split(" ")(1))
+    // the reverse of restore: every topic precedes every namespace
+    // precedes every tenant (pulsar_backup_restore.py:274-291)
+    kinds.lastIndexOf("topic") should be < kinds.indexOf("namespace")
+    kinds.lastIndexOf("namespace") should be < kinds.indexOf("tenant")
+    // system resources never reach the DDL even under --force
+    lines.exists(_.contains("pulsar")) shouldBe false
+  }
+
+  test("print shows decoded messages in replay order, capped") {
+    val lines = Main.run(spark, Seq("print", imported, "3"))
+    lines.size shouldBe 3
+    lines.head should startWith("persistent://acme/prod/orders[0]")
+    lines.head should include("order one")
+    // the binary payload is tagged rather than dumped raw
+    Main.run(spark, Seq("print", imported, "5"))
+      .exists(_.contains("[binary]")) shouldBe true
+  }
+
+  test("sample emits one parseable emailSend wire message") {
+    val lines = Main.run(spark, Seq("sample"))
+    lines.size shouldBe 1
+    val parsed = spark.read.json(
+      spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING))
+    parsed.select("payloadType").collect()(0).getString(0) shouldBe "emailSend"
+  }
+
+  test("ranges prints ID ranges and probes a test topic") {
+    val base = Main.run(spark, Seq("ranges"))
+    base.exists(_.contains("25 campaigns")) shouldBe true
+    base.exists(_.contains("10 templates")) shouldBe true
+    Main.run(spark, Seq("ranges", "--test-topic",
+      "persistent://eventbus/org-1/post-ingestion-495"))
+      .last should include("project id 495")
+    Main.run(spark, Seq("ranges", "--test-topic", "no-match"))
+      .last should include("defaults to 1")
+  }
+
   test("unknown command prints usage") {
     Main.run(spark, Seq("frobnicate")).head should include("usage")
   }
