@@ -28,7 +28,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * and touches nothing else.
   *
   * Usage: `spark.read.format("graft.sources.connector.BrokerSource")
-  * .load()` → (topic string, seq long, payload binary).
+  * .load()` → (topic string, seq long, payload binary). Options
+  * (SURVEY §4.2 topic scoping — pushdown into PARTITION PLANNING, so
+  * a capture of one namespace out of thousands never plans, fetches,
+  * or post-filters the others):
+  *  - `topics`: comma-separated explicit topic list
+  *  - `topicsPattern`: whole-name regex (the Pulsar consumer's
+  *    pattern-subscribe semantics); both given → intersection
   */
 class BrokerSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -63,41 +69,66 @@ object BrokerRegistry {
   def clear(): Unit = synchronized(log.clear())
 }
 
+/** Topic scoping parsed from the read options; admits(t) decides at
+  * PLANNING time which topics get partitions at all. */
+private[connector] case class TopicSelector(
+    explicit: Option[Set[String]],
+    pattern: Option[java.util.regex.Pattern]) {
+  def admits(t: String): Boolean =
+    explicit.forall(_.contains(t)) &&
+      pattern.forall(_.matcher(t).matches())
+}
+
+private[connector] object TopicSelector {
+  def fromOptions(options: CaseInsensitiveStringMap): TopicSelector =
+    TopicSelector(
+      Option(options.get("topics")).map(
+        _.split(",").map(_.trim).filter(_.nonEmpty).toSet),
+      Option(options.get("topicsPattern"))
+        .map(java.util.regex.Pattern.compile))
+}
+
 private class BrokerTable extends Table with SupportsRead {
   override def name(): String = "graft_broker"
   override def schema(): StructType = BrokerSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val selector = TopicSelector.fromOptions(options)
     new ScanBuilder {
-      override def build(): Scan = new BrokerScan
+      override def build(): Scan = new BrokerScan(selector)
     }
+  }
 }
 
-private class BrokerScan extends Scan with Batch {
+private class BrokerScan(selector: TopicSelector) extends Scan with Batch {
   override def readSchema(): StructType = BrokerSource.schema
   override def toBatch: Batch = this
-  // one partition per topic: ingestion parallelism = topic count,
-  // and per-topic order is free because one reader owns one topic
+  // one partition per ADMITTED topic: ingestion parallelism = topic
+  // count, per-topic order is free because one reader owns one topic,
+  // and out-of-scope topics are never planned at all
   override def planInputPartitions(): Array[InputPartition] =
     BrokerRegistry.topics
+      .filter(selector.admits)
       .map(t => BrokerRangePartition(t, 0L, BrokerRegistry.fetch(t).length)
         : InputPartition)
       .toArray
   override def createReaderFactory(): PartitionReaderFactory =
     BrokerReaderFactory
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new BrokerMicroBatchStream
+    new BrokerMicroBatchStream(selector)
 }
 
 /** The streaming form (T1/T3): per-topic log lengths ARE the offsets
   * — each micro-batch reads every topic's [start, end) delta, one
   * partition per advanced topic, so exactly-once recovery falls out
   * of the offset log like any production broker connector. */
-private class BrokerMicroBatchStream extends MicroBatchStream {
+private class BrokerMicroBatchStream(selector: TopicSelector)
+    extends MicroBatchStream {
   private def snapshot(): BrokerOffset = BrokerOffset(
     BrokerRegistry.topics
+      .filter(selector.admits)
       .map(t => t -> BrokerRegistry.fetch(t).length.toLong).toMap)
   override def initialOffset(): Offset = BrokerOffset(Map.empty)
   override def latestOffset(): Offset = snapshot()
@@ -161,6 +192,14 @@ private class BrokerPartitionReader(topic: String, from: Long, until: Long)
     extends PartitionReader[InternalRow] {
   private val msgs = BrokerRegistry.fetch(topic)
     .slice(from.toInt, until.toInt)
+  // the in-process registry only exists in the planning JVM: on a
+  // non-local master an executor-side fetch would silently return
+  // empty and the scan would "succeed" with missing data — fail
+  // loudly instead (a production subscriber client replaces this)
+  require(msgs.length == (until - from).toInt,
+    s"broker registry for '$topic' holds ${msgs.length} of the " +
+      s"planned [$from,$until) slice — reader is running in a JVM " +
+      "without the in-process registry (non-local master?)")
   private var i = -1
   override def next(): Boolean = { i += 1; i < msgs.length }
   override def get(): InternalRow =

@@ -96,6 +96,42 @@ class BrokerSourceSpec extends AnyFunSuite with SparkSpec with Matchers {
     all.filter(_._1.endsWith("/r1")).map(_._2).sorted shouldBe (0L until 6L)
   }
 
+  test("topicsPattern scopes partition PLANNING, batch and streaming") {
+    import spark.implicits._
+    BrokerRegistry.clear()
+    for (t <- Seq("persistent://acme/prod/a", "persistent://acme/prod/b",
+        "persistent://globex/dev/c"); i <- 0 until 4)
+      BrokerRegistry.publish(t, s"$t#$i".getBytes("UTF-8"))
+    // batch: only matching topics are PLANNED — partition count shows
+    // the pruning happened before the scan, not as a post-filter
+    val scoped = spark.read.format(fmt)
+      .option("topicsPattern", "persistent://acme/prod/.*").load()
+    scoped.rdd.getNumPartitions shouldBe 2
+    scoped.select("topic").distinct().as[String].collect().sorted shouldBe
+      Array("persistent://acme/prod/a", "persistent://acme/prod/b")
+    // explicit list composes as an intersection
+    val both = spark.read.format(fmt)
+      .option("topicsPattern", "persistent://acme/.*")
+      .option("topics", "persistent://acme/prod/a, persistent://globex/dev/c")
+      .load()
+    both.rdd.getNumPartitions shouldBe 1
+    // streaming: the offset snapshot itself is scoped, so out-of-scope
+    // topics never enter the checkpoint either
+    val q = spark.readStream.format(fmt)
+      .option("topicsPattern", ".*globex.*").load()
+      .writeStream.format("memory").queryName("broker_scoped")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_broker_scope").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      spark.table("broker_scoped").select("topic").distinct()
+        .as[String].collect() shouldBe Array("persistent://globex/dev/c")
+      spark.table("broker_scoped").count() shouldBe 4
+    } finally q.stop()
+  }
+
   test("connector rows flow into the catalog/capture operators unchanged") {
     BrokerRegistry.clear()
     for (t <- Seq("persistent://acme/prod/x", "persistent://acme/prod/x-partition-0",
