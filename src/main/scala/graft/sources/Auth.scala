@@ -39,10 +39,17 @@ object Auth {
 
   /** Parse the issuer's JSON response. Only the two fields the
     * reference reads are modeled; a missing access_token is an error
-    * (fail loudly, never return an unauthenticated client). */
+    * (fail loudly, never return an unauthenticated client).
+    *
+    * Contract: the regex parse is sound for real issuers' base64url
+    * tokens. A token containing a JSON escape (backslash) would be
+    * TRUNCATED at the escape — rejected loudly instead of handing the
+    * caller a token that will fail auth downstream. */
   def parseTokenResponse(json: String, nowMs: Long): Either[String, Token] =
     accessTokenRe.findFirstMatchIn(json) match {
       case None => Left("token response has no access_token")
+      case Some(m) if m.group(1).contains("\\") =>
+        Left("access_token contains JSON escapes; regex parse would mangle it")
       case Some(m) =>
         val expiresIn = expiresInRe.findFirstMatchIn(json)
           .map(_.group(1).toLong).getOrElse(3600L)

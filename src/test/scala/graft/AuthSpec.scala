@@ -35,6 +35,18 @@ class AuthSpec extends AnyFunSuite with Matchers {
       Right(Auth.Token("t", 120000L))
   }
 
+  test("parseTokenResponse rejects tokens the regex parse would mangle") {
+    // an escaped quote truncates the [^\"]+ match at the escape; an
+    // escaped backslash survives un-unescaped — both must fail loudly
+    // rather than hand back a token that will fail auth downstream
+    Auth.parseTokenResponse(
+      """{"access_token":"abc\"def","expires_in":60}""", 0L)
+      .isLeft shouldBe true
+    Auth.parseTokenResponse(
+      """{"access_token":"abc\\def","expires_in":60}""", 0L)
+      .isLeft shouldBe true
+  }
+
   test("TokenProvider caches until the skew window and then refreshes") {
     var now = 0L
     var served = 0
