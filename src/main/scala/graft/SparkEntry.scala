@@ -9,7 +9,7 @@ import graft.functions.{codec, hashes, text, vectors}
 import graft.gen.Generator
 import graft.operators.{Dedup, Multimodal, Relational, Similarity}
 import graft.replay.Replay
-import graft.sources.SnapshotIO
+import graft.sources.{Bucketing, SnapshotIO}
 
 /** Driver contract: the full query surface of the engine, one entry
   * per operator from SURVEY.md §2, each with a DuckDB oracle where
@@ -891,6 +891,32 @@ object SparkEntry {
           element_at(col("campaigns"), 1).as("campaign_start"),
           element_at(col("campaigns"), -1).as("campaign_end"),
           size(col("campaigns")).cast("long").as("n_campaigns"))
+    }),
+
+    // ── §7.5 co-located bucketed join through the ORACLE gate
+    // (BucketingSpec asserts the zero-Exchange plan property; this
+    // registers the RESULT): both fact tables written bucketed+sorted
+    // on the join key, then joined with no shuffle on either side —
+    // the one-time layout decision that removes the recurring
+    // fact-fact Exchange from a daily 100 TB pipeline ──
+    "q60_bucketed_join" -> ((s, dir) => {
+      Bucketing.writeBucketed(
+        t(s, dir, "lineitem").select(
+          col("l_orderkey").as("okey"),
+          col("l_extendedprice"), col("l_discount")),
+        "graft_q60_lineitem", Seq("okey"), 8)
+      Bucketing.writeBucketed(
+        t(s, dir, "orders").select(
+          col("o_orderkey").as("okey"), col("o_orderpriority")),
+        "graft_q60_orders", Seq("okey"), 8)
+      Bucketing.cotableJoin(
+          s, "graft_q60_lineitem", "graft_q60_orders", Seq("okey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(20,4)") *
+            (lit(1) - col("l_discount").cast("decimal(20,4)")))
+            .cast("double").as("revenue"))
     })
   )
 
@@ -1616,7 +1642,13 @@ object SparkEntry {
           |  CAST(campaigns[1] AS INT) AS campaign_start,
           |  CAST(campaigns[-1] AS INT) AS campaign_end,
           |  CAST(len(campaigns) AS BIGINT) AS n_campaigns
-          |FROM r""".stripMargin
+          |FROM r""".stripMargin,
+
+      "q60_bucketed_join" ->
+        """SELECT o_orderpriority, COUNT(*) AS n_items,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) * (1 - CAST(l_discount AS DECIMAL(20,4)))) AS DOUBLE) AS revenue
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY o_orderpriority""".stripMargin
     )
   }
 }
