@@ -917,7 +917,17 @@ object SparkEntry {
           sum(col("l_extendedprice").cast("decimal(20,4)") *
             (lit(1) - col("l_discount").cast("decimal(20,4)")))
             .cast("double").as("revenue"))
-    })
+    }),
+
+    // ── NS dedup: q46's SimHash pigeonhole with the key width AUTO-
+    // SIZED from the corpus (Dedup.simhashParamsForSize) — ProbeScale
+    // measured fixed keys saturating superlinearly past ~10k docs;
+    // this is the parameterization a 100 TB run would use. Output is
+    // identical to q46's (exactness is parameter-independent), so the
+    // same all-pairs oracle verifies both ──
+    "q61_simhash_auto" -> ((s, dir) =>
+      Dedup.simhashNearDupPairsAuto(
+        t(s, dir, "documents"), "doc_id", "text", radius = 5))
   )
 
   /** DuckDB mirror of Dedup.ngramJaccardPairs (bigrams) at the given
@@ -962,6 +972,16 @@ object SparkEntry {
        |      SELECT doc_id, unnest($sqlTokens) AS t FROM documents))
        |  GROUP BY doc_id) v ON d.doc_id = v.doc_id""".stripMargin
   }
+
+  /** DuckDB all-pairs SimHash near-dup mirror, shared by q46 (fixed
+    * pigeonhole params) and q61 (auto-sized): both must produce this
+    * identical exact output. */
+  private def simhashPairsSql: String =
+    s"""WITH sq AS ($simhash60Sql)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |FROM sq a JOIN sq b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 5""".stripMargin
 
   def oracleSql: Map[String, String] = {
     def dec(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(20,4))) AS DOUBLE)"
@@ -1207,12 +1227,11 @@ object SparkEntry {
 
       "q31_simhash_buckets" -> simhash60Sql,
 
-      "q46_simhash_neardup" ->
-        s"""WITH sq AS ($simhash60Sql)
-           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |  bit_count(xor(a.simhash, b.simhash)) AS hamming
-           |FROM sq a JOIN sq b ON a.doc_id < b.doc_id
-           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 5""".stripMargin,
+      "q46_simhash_neardup" -> simhashPairsSql,
+
+      // same oracle: the auto-sized parameterization must produce the
+      // identical exact output
+      "q61_simhash_auto" -> simhashPairsSql,
 
       "q32_ann_lsh" -> {
         val cos = s"${sqlDotVec("a.embedding", "c.embedding")} / " +

@@ -519,6 +519,52 @@ object Dedup {
     * tables/10-bit keys; (10,3) = 120 tables/18-bit keys, 256× fewer
     * per-bucket collisions at 20× the rows; (12,7) = 792 tables/35-bit
     * keys for web scale. Same output for ANY valid parameters. */
+  /** Scale-aware pigeonhole parameterization: the cheapest valid
+    * (blocks, keyBlocks) whose packed key is wide enough to keep
+    * expected bucket occupancy ≈ `targetOccupancy`. Occupancy is
+    * n / 2^keyBits for ANY table count, so the key width must grow
+    * with log2 n — ProbeScale measured the fixed minimal (6,1)
+    * 10-bit keys going superlinear past ~10k docs, exactly the
+    * saturation this rule moves out of reach. Valid configs: blocks
+    * divides width, keyBlocks ≤ blocks − radius (the recall-1
+    * pigeonhole constraint), packed key ≤ 63 bits. Among configs wide
+    * enough, the fewest tables wins (tables multiply the shuffle
+    * rows); if none is wide enough the widest valid key is used.
+    * Derived picks at radius 5, width 60: n=500 → (6,1);
+    * n=50k → (10,2); n=5M → (10,3); n=3G → (10,5). */
+  def simhashParamsForSize(n: Long, radius: Int = 5, width: Int = 60,
+      targetOccupancy: Int = 32): (Int, Int) = {
+    val needed = math.max(1, math.ceil(
+      math.log(math.max(n, 1L).toDouble / targetOccupancy) /
+        math.log(2.0)).toInt)
+    def tables(b: Int, k: Int): Long = // C(b, k), stepwise-exact
+      (1 to k).foldLeft(1L)((acc, i) => acc * (b - i + 1) / i)
+    val configs = for {
+      b <- (radius + 1) to width if width % b == 0
+      k <- 1 to (b - radius)
+      bits = k * (width / b) if bits <= 63
+    } yield (b, k, bits)
+    val wide = configs.filter(_._3 >= needed)
+    val (b, k, _) =
+      if (wide.nonEmpty) wide.minBy { case (b, k, bits) => (tables(b, k), bits) }
+      else configs.maxBy { case (b, k, bits) => (bits, -tables(b, k)) }
+    (b, k)
+  }
+
+  /** [[simhashNearDupPairs]] with (blocks, keyBlocks) derived from the
+    * corpus size — one `count()` planning statistic (an explicit
+    * model-sizing step, like Similarity.lshTopKAuto; not a hidden
+    * mid-plan action). Output is identical to any fixed valid
+    * parameterization (exactness is parameter-independent); only the
+    * candidate volume changes. */
+  def simhashNearDupPairsAuto(docs: DataFrame, idCol: String,
+      textCol: String, radius: Int = 5, width: Int = 60,
+      targetOccupancy: Int = 32): DataFrame = {
+    val (b, k) = simhashParamsForSize(
+      docs.count(), radius, width, targetOccupancy)
+    simhashNearDupPairs(docs, idCol, textCol, radius, width, Some(b), k)
+  }
+
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       radius: Int = 5, width: Int = 60, blocks: Option[Int] = None,
       keyBlocks: Int = 1): DataFrame = {

@@ -21,14 +21,26 @@ object Bucketing {
 
   /** Write `df` as a bucketed+sorted catalog table. Sorting by the
     * bucket key additionally removes the per-task Sort from
-    * SortMergeJoin reads. */
+    * SortMergeJoin reads.
+    *
+    * The table is dropped first and a STALE warehouse location from a
+    * previous session is deleted: a fresh session's catalog does not
+    * know the old table, so Overwrite alone fails with
+    * LOCATION_ALREADY_EXISTS on the orphaned directory. */
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
+  }
 
   /** Join two same-bucketed tables on their bucket keys — the plan
     * this produces is the point: no Exchange on either side. */

@@ -182,6 +182,28 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
         blocks = Some(6), keyBlocks = 2)
   }
 
+  test("simhashParamsForSize widens the key with the corpus, and auto ≡ fixed") {
+    import spark.implicits._
+    // occupancy = n / 2^keyBits regardless of table count, so the
+    // key width must track log2 n (ProbeScale measured fixed 10-bit
+    // keys going superlinear past ~10k docs)
+    Dedup.simhashParamsForSize(500) shouldBe (6, 1) // 10-bit keys, 6 tables
+    Dedup.simhashParamsForSize(50000) shouldBe (10, 2) // 12-bit, 45 tables
+    Dedup.simhashParamsForSize(5000000) shouldBe (10, 3) // 18-bit, 120 tables
+    Dedup.simhashParamsForSize(3000000000L) shouldBe (10, 5) // 30-bit, 252
+    // every derived config satisfies the recall-1 pigeonhole constraint
+    for (n <- Seq(1L, 100L, 10000L, 1000000L, Long.MaxValue / 2)) {
+      val (b, k) = Dedup.simhashParamsForSize(n)
+      (60 % b) shouldBe 0
+      k should be <= (b - 5)
+      (k * (60 / b)) should be <= 63
+    }
+    val auto = Dedup.simhashNearDupPairsAuto(corpus, "doc_id", "text")
+      .as[(Long, Long, Int)].collect().toSet
+    auto shouldBe Dedup.simhashNearDupPairs(corpus, "doc_id", "text")
+      .as[(Long, Long, Int)].collect().toSet
+  }
+
   test("hamming64 counts differing bits") {
     import spark.implicits._
     Seq((0xFFL, 0x0FL)).toDF("a", "b")

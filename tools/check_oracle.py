@@ -33,6 +33,10 @@ def main(sf_dir, out_dir):
     results = {}
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
+    # a query that FAILED in Verify leaves no output dir at all — that
+    # must read as a failure here, not silently shrink the denominator
+    for missing in sorted(set(oracle) - set(names)):
+        results[missing] = "NO_OUTPUT_DIR (query failed in Verify?)"
     for name in names:
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not files:
