@@ -30,6 +30,15 @@ import graft.sources.SnapshotIO
 object Main {
 
   def main(args: Array[String]): Unit = {
+    // contract passthroughs so the whole surface drives from one CLI;
+    // dispatched BEFORE building a session (each main owns its own
+    // session config — getOrCreate here would silently override theirs)
+    args.toSeq match {
+      case Seq("bench", rest @ _*) => Bench.main(rest.toArray); return
+      case Seq("verify", sfDir, outDir) =>
+        Verify.main(Array(sfDir, outDir)); return
+      case _ => ()
+    }
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .config("spark.sql.shuffle.partitions",
@@ -83,7 +92,9 @@ object Main {
       "  sample                              one emailSend wire message",
       "  ranges [--test-topic <topic>]       ID ranges + extraction test",
       "  publish <outDir> <count>            synthetic emailSend messages",
-      "  import <referenceSnapshotDir> <destDir>   rewrite reference layout")
+      "  import <referenceSnapshotDir> <destDir>   rewrite reference layout",
+      "  verify <sfDir> <outDir>             correctness dump (graft.Verify)",
+      "  bench                               timing run (graft.Bench)")
   }
 
   /** §3.3 list_topics over a snapshot's catalog files: the same

@@ -57,6 +57,22 @@ class SnapshotSpec extends AnyFunSuite with SparkSpec with Matchers {
     SnapshotIO.readTopics(spark, imported).count() shouldBe 2
   }
 
+  test("an EMPTY catalog writes empty files, not one phantom empty-string entry") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_snap_empty").toString
+    val none = Seq.empty[String].toDF("tenant")
+    SnapshotIO.writeCatalog(
+      none,
+      Seq.empty[String].toDF("namespace"),
+      Seq.empty[String].toDF("topic"),
+      Seq.empty[String].toDF("topic"), tmp)
+    // a lone "\n" would read back as one empty-string tenant, and a
+    // restore would then emit `CREATE tenant ` with an empty name
+    SnapshotIO.readTenants(spark, tmp).count() shouldBe 0
+    SnapshotIO.readNamespaces(spark, tmp).count() shouldBe 0
+    SnapshotIO.readTopics(spark, tmp).count() shouldBe 0
+  }
+
   test("capture → read round-trip is a fixed point (incl. underscore topics and binary payloads)") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft_snap").toString
