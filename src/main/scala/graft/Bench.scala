@@ -22,6 +22,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Logs.quietBenignWarns()
 
     // one warm-up pass over the inputs so JIT + file-footer caches
     // don't bill the first query for session startup
@@ -36,19 +37,22 @@ object Bench {
     val results = selected.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
+        // drain this query's localCheckpoint blocks in ALL exits —
+        // including a failed write, whose plan may already have
+        // materialized checkpoints during construction. Leaving them
+        // to GC + ContextCleaner let earlier dedup state stay
+        // resident when later queries needed the memory (r3: q49
+        // 7.6 s in the 58-query session vs 2.5 s isolated).
+        var df: org.apache.spark.sql.DataFrame = null
         try {
-          val df = fn(spark, sfDir)
+          df = fn(spark, sfDir)
           df.write.format("noop").mode("overwrite").save()
-          // drain this query's localCheckpoint blocks NOW: leaving
-          // them to GC + ContextCleaner let earlier dedup state stay
-          // resident when later queries needed the memory (r3: q49
-          // 7.6 s in the 58-query session vs 2.5 s isolated)
-          org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(df)
         } catch {
           case e: Throwable =>
             failed += name
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
+        } finally if (df != null)
+          org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(df)
         name -> (System.nanoTime() - t0) / 1e9
     }
     // Locale.ROOT: a comma-decimal default locale would render 0,123

@@ -48,6 +48,7 @@ object Main {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Logs.quietBenignWarns()
     try run(spark, args.toSeq).foreach(println)
     finally spark.stop()
   }
@@ -200,7 +201,12 @@ object Main {
     val namespaces = CatalogOps.excludeSystem(
       SnapshotIO.readNamespaces(spark, snapDir), "namespace",
       CatalogOps.systemNamespaces)
+    // topics filter on their OWNING TENANT: the reference derives its
+    // delete list from non-system namespaces only, so a system topic
+    // in all_topics.txt must never reach the DDL (or the preview count)
     val topics = SnapshotIO.readTopics(spark, snapDir, all = true)
+      .filter(!regexp_extract(col("topic"), "persistent://([^/]+)/", 1)
+        .isin(CatalogOps.systemTenants: _*))
     if (!force) {
       val counts = Seq(
         "topic" -> topics.count(), "namespace" -> namespaces.count(),

@@ -120,9 +120,11 @@ object ProbeScale {
 
     def measureDocs(tag: String, docs: DataFrame): Unit = {
       val n = docs.count()
-      // q30: band-bucket emissions + surviving >=2-band candidates
+      // q30: band-bucket emissions + surviving >=2-band candidates.
+      // sets is consumed exactly once (while sigs materializes), so
+      // persisting it would only add memory pressure to the very
+      // occupancy measurement being taken.
       val sets = Dedup.shingleSets(docs, "doc_id", "text", 2)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sh = sets.select(col("doc"), explode(col("shingles")).as("s"))
         .select(col("doc"), xxhash64(col("s")).as("h0"))
       val sigs = Dedup.signaturesFromBaseHashes(sh, 64)
@@ -156,7 +158,6 @@ object ProbeScale {
       }
       val (q46e61, q46m61) = simhashEmissions(6, 1)
       val (q46e103, q46m103) = simhashEmissions(10, 3)
-      sets.unpersist(blocking = false)
       println(s"PROBE_SCALE docs $tag n=$n " +
         s"q30_emissions=$q30emit q30_max_bucket=$q30max q30_candidates=$q30cand " +
         s"q46_61_emissions=$q46e61 q46_61_max=$q46m61 " +

@@ -15,6 +15,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Logs.quietBenignWarns()
     // start from an EMPTY outDir: a failed query must leave no output
     // at all, not a previous run's stale parquet that the driver's
     // compare would silently read as a pass (and renamed/removed
@@ -28,16 +29,18 @@ object Verify {
       // repartition(1), not coalesce(1): coalesce would collapse every
       // narrow stage upstream onto one task; repartition keeps the
       // computation parallel and only the write single-file
+      // release any localCheckpoint blocks the query materialized —
+      // same session-hygiene drain as Bench, in ALL exits (a failed
+      // write may already hold checkpoint blocks from plan build)
+      var df: org.apache.spark.sql.DataFrame = null
       try {
-        val df = fn(spark, sfDir)
+        df = fn(spark, sfDir)
         df.repartition(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        // release any localCheckpoint blocks the query materialized —
-        // same session-hygiene drain as Bench
-        org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(df)
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      } finally if (df != null)
+        org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(df)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -99,9 +99,12 @@ object Generator {
 
   /** Campaign-range derivation (generate_campaign_range,
     * pulsar_remote_inspector.py:197-199): [start, start+count) as an
-    * array column. */
+    * array column. count ≤ 0 → empty, like Python's range — an
+    * unguarded sequence(start, start-1) would DESCEND and invent two
+    * campaigns that don't exist. */
   def campaignRange(start: Column, count: Column): Column =
-    sequence(start, start + count - lit(1))
+    when(count > 0, sequence(start, start + count - lit(1)))
+      .otherwise(filter(sequence(start, start), _ => lit(false)))
 
   /** The generator's built-in ID ranges, printed by the `ranges` CLI
     * verb (pulsar_remote_inspector.py:701-706). Derived from the LCG

@@ -519,6 +519,38 @@ object Dedup {
     * tables/10-bit keys; (10,3) = 120 tables/18-bit keys, 256× fewer
     * per-bucket collisions at 20× the rows; (12,7) = 792 tables/35-bit
     * keys for web scale. Same output for ANY valid parameters. */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      radius: Int = 5, width: Int = 60, blocks: Option[Int] = None,
+      keyBlocks: Int = 1): DataFrame = {
+    val nBlocks = blocks.getOrElse(radius + 1)
+    require(width % nBlocks == 0, s"blocks=$nBlocks must divide width $width")
+    require(keyBlocks >= 1 && keyBlocks <= nBlocks - radius,
+      s"pigeonhole needs keyBlocks <= blocks - radius " +
+        s"($keyBlocks > $nBlocks - $radius would lose recall)")
+    val blockBits = width / nBlocks
+    require(keyBlocks * blockBits <= 63,
+      s"packed key is ${keyBlocks * blockBits} bits; must fit a long")
+    val mask = (1L << blockBits) - 1
+    val fp = docs.select(col(idCol).as("doc"),
+      simhashFast(text.tokens(col(textCol)), width).as("fp"))
+    def blockVal(b: Int): Column =
+      shiftrightunsigned(col("fp"), b * blockBits).bitwiseAND(lit(mask))
+    // one packed key per keyBlocks-combination of blocks
+    val keys = (0 until nBlocks).combinations(keyBlocks).toSeq.map { combo =>
+      combo.foldLeft(lit(0L))((acc, b) =>
+        shiftleft(acc, blockBits).bitwiseOR(blockVal(b)))
+    }
+    val blocked = fp.select(col("doc"), col("fp"),
+      posexplode(array(keys: _*)).as(Seq("tbl", "bkey")))
+    blocked.toDF("doc_a", "fp_a", "tbl", "bkey")
+      .join(blocked.toDF("doc_b", "fp_b", "tbl", "bkey"), Seq("tbl", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", hamming64(col("fp_a"), col("fp_b")))
+      .filter(col("hamming") <= radius)
+      .select("doc_a", "doc_b", "hamming")
+      .distinct()
+  }
+
   /** Scale-aware pigeonhole parameterization: the cheapest valid
     * (blocks, keyBlocks) whose packed key is wide enough to keep
     * expected bucket occupancy ≈ `targetOccupancy`. Occupancy is
@@ -563,37 +595,5 @@ object Dedup {
     val (b, k) = simhashParamsForSize(
       docs.count(), radius, width, targetOccupancy)
     simhashNearDupPairs(docs, idCol, textCol, radius, width, Some(b), k)
-  }
-
-  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      radius: Int = 5, width: Int = 60, blocks: Option[Int] = None,
-      keyBlocks: Int = 1): DataFrame = {
-    val nBlocks = blocks.getOrElse(radius + 1)
-    require(width % nBlocks == 0, s"blocks=$nBlocks must divide width $width")
-    require(keyBlocks >= 1 && keyBlocks <= nBlocks - radius,
-      s"pigeonhole needs keyBlocks <= blocks - radius " +
-        s"($keyBlocks > $nBlocks - $radius would lose recall)")
-    val blockBits = width / nBlocks
-    require(keyBlocks * blockBits <= 63,
-      s"packed key is ${keyBlocks * blockBits} bits; must fit a long")
-    val mask = (1L << blockBits) - 1
-    val fp = docs.select(col(idCol).as("doc"),
-      simhashFast(text.tokens(col(textCol)), width).as("fp"))
-    def blockVal(b: Int): Column =
-      shiftrightunsigned(col("fp"), b * blockBits).bitwiseAND(lit(mask))
-    // one packed key per keyBlocks-combination of blocks
-    val keys = (0 until nBlocks).combinations(keyBlocks).toSeq.map { combo =>
-      combo.foldLeft(lit(0L))((acc, b) =>
-        shiftleft(acc, blockBits).bitwiseOR(blockVal(b)))
-    }
-    val blocked = fp.select(col("doc"), col("fp"),
-      posexplode(array(keys: _*)).as(Seq("tbl", "bkey")))
-    blocked.toDF("doc_a", "fp_a", "tbl", "bkey")
-      .join(blocked.toDF("doc_b", "fp_b", "tbl", "bkey"), Seq("tbl", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
-      .withColumn("hamming", hamming64(col("fp_a"), col("fp_b")))
-      .filter(col("hamming") <= radius)
-      .select("doc_a", "doc_b", "hamming")
-      .distinct()
   }
 }

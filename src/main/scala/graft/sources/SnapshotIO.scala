@@ -33,20 +33,17 @@ object SnapshotIO {
     */
   def readMessages(spark: SparkSession, dir: String,
       compatLossy: Boolean = false): DataFrame = {
-    // resolve the glob driver-side: handing the literal "*.json" path
-    // to the reader makes every analysis run FileStreamSink's
-    // metadata probe on it, which logs a FileNotFoundException stack
-    // at WARN (benign, but it reads as a crash in the bench stderr);
-    // concrete file paths probe cleanly. One RPC on a control-plane
-    // path — not a per-row cost.
-    val glob = new org.apache.hadoop.fs.Path(s"$dir/messages/*.json")
-    val fs = glob.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = Option(fs.globStatus(glob)).getOrElse(Array.empty)
-      .map(_.getPath.toString).toSeq
+    // the single glob is deliberate: Spark expands it itself, so
+    // sanitized file names containing glob metacharacters (e.g. a
+    // topic named "data[1]") are never re-globbed the way concrete
+    // user-supplied paths would be, and a missing/typo'd snapshot dir
+    // fails loudly instead of reading as an empty success. The benign
+    // FileStreamSink metadata-probe WARN this path triggers is
+    // silenced at the logger level by Logs.quietBenignWarns.
     val raw = spark.read
       .schema(Schemas.snapshotMessage)
       .option("multiLine", true)   // reference writes a JSON ARRAY per file
-      .json(files: _*)
+      .json(s"$dir/messages/*.json")
       .withColumn("_file", input_file_name())
     // input_file_name() returns a URI: fully url-decode the stem (so
     // non-ASCII and literal-% topics round-trip, not just spaces) —

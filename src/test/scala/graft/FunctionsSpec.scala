@@ -70,10 +70,10 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec with Matchers {
 
   test("campaignRange matches generate_campaign_range semantics") {
     import spark.implicits._
-    Seq((1000, 20), (5, 1)).toDF("start", "count")
+    Seq((1000, 20), (5, 1), (7, 0), (9, -3)).toDF("start", "count")
       .select(graft.gen.Generator.campaignRange(col("start"), col("count")))
       .as[Seq[Int]].collect().toList shouldBe
-      List((1000 until 1020).toList, List(5))
+      List((1000 until 1020).toList, List(5), Nil, Nil)
   }
 
   test("vector math: dot, norms, distances agree with Scala") {

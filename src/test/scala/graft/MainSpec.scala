@@ -99,6 +99,7 @@ class MainSpec extends AnyFunSuite with SparkSpec with Matchers {
         line + "\n", java.nio.file.StandardOpenOption.APPEND)
     append("tenants.txt", "pulsar")
     append("namespaces.txt", "pulsar/system")
+    append("all_topics.txt", "persistent://pulsar/system/transaction-log")
     val gated = Main.run(spark, Seq("delete", dir))
     gated.last should include("--force")
     gated.exists(_.startsWith("DELETE")) shouldBe false
