@@ -927,7 +927,19 @@ object SparkEntry {
     // same all-pairs oracle verifies both ──
     "q61_simhash_auto" -> ((s, dir) =>
       Dedup.simhashNearDupPairsAuto(
-        t(s, dir, "documents"), "doc_id", "text", radius = 5))
+        t(s, dir, "documents"), "doc_id", "text", radius = 5)),
+
+    // ── NS ANN: q29's multi-table hyperplane near-dup with BOTH knobs
+    // derived from the corpus — planes per table from planesForSize
+    // (occupancy ≈ constant) and table count from lshTablesForRecall
+    // (1% miss at the threshold). Total candidate work ≈ n^1.2 at any
+    // scale with recall HELD instead of drifting as n grows. Output is
+    // subset-exact (every candidate exact-cosine re-scored), so the
+    // exact all-pairs oracle verifies it like q29 ──
+    "q62_neardup_auto" -> ((s, dir) =>
+      Similarity.lshNearDupPairsAuto(
+        t(s, dir, "embeddings"), threshold = 0.8, seed = 2000L,
+        dim = embDim))
   )
 
   /** DuckDB mirror of Dedup.ngramJaccardPairs (bigrams) at the given
@@ -972,6 +984,19 @@ object SparkEntry {
        |      SELECT doc_id, unnest($sqlTokens) AS t FROM documents))
        |  GROUP BY doc_id) v ON d.doc_id = v.doc_id""".stripMargin
   }
+
+  /** DuckDB exact all-pairs cosine near-dup mirror, shared by q29
+    * (fixed 16-table LSH) and q62 (auto-sized): both are subset-exact
+    * and complete at the verify scale, so the exact answer verifies
+    * them. */
+  private def embNearDupExactSql: String =
+    """SELECT id_a, id_b, round(cos_exact, 6) AS cos FROM (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+      |    (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+      |     sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cos_exact
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      |WHERE cos_exact >= 0.8""".stripMargin
 
   /** DuckDB all-pairs SimHash near-dup mirror, shared by q46 (fixed
     * pigeonhole params) and q61 (auto-sized): both must produce this
@@ -1266,14 +1291,11 @@ object SparkEntry {
           |  WHERE e.vec_id <> 0
           |  ORDER BY cos_exact DESC, e.vec_id LIMIT 10)""".stripMargin,
 
-      "q29_neardup_embeddings" ->
-        """SELECT id_a, id_b, round(cos_exact, 6) AS cos FROM (
-          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-          |    list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
-          |    (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
-          |     sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cos_exact
-          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-          |WHERE cos_exact >= 0.8""".stripMargin,
+      "q29_neardup_embeddings" -> embNearDupExactSql,
+
+      // the auto-sized variant re-scores exactly too, so the same
+      // exact all-pairs oracle verifies it
+      "q62_neardup_auto" -> embNearDupExactSql,
 
       "q34_generator" ->
         """SELECT id,
