@@ -172,40 +172,6 @@ object Similarity {
     * cosine c is missed with probability (1-(1-θ/π)^b)^T, θ=acos(c):
     * ~0.4% at c=0.9 and ~6% at c=0.8 for T=16, b=8. Candidates scale
     * with per-bucket occupancy (n/2^b per table), not n². */
-  /** Recall-targeted table count: enough independent tables that a
-    * TRUE pair at cosine `threshold` is missed with probability ≤
-    * `targetMiss`, given `nPlanes` planes per table —
-    * T = ceil(ln targetMiss / ln(1 − (1−θ/π)^nPlanes)), θ = acos.
-    * Composed with [[planesForSize]] (occupancy ≈ constant per table)
-    * the total candidate work is T·n·occupancy ≈ n^(1+|log2(1−θ/π)|)
-    * — e.g. n^1.22 at threshold 0.9 — sub-quadratic at any corpus
-    * size, with recall held at the target instead of drifting as n
-    * grows. */
-  def lshTablesForRecall(nPlanes: Int, threshold: Double,
-      targetMiss: Double = 0.01, maxTables: Int = 64): Int = {
-    val p = math.pow(1.0 - math.acos(threshold) / math.Pi, nPlanes)
-    if (p >= 1.0) 1
-    else math.min(maxTables, math.max(1,
-      math.ceil(math.log(targetMiss) / math.log(1.0 - p)).toInt))
-  }
-
-  /** [[lshNearDupPairs]] with BOTH knobs derived from the corpus:
-    * planes per table from [[planesForSize]] (one count() planning
-    * statistic, the q54 pattern) and table count from
-    * [[lshTablesForRecall]]. The planes stay driver-side literals, so
-    * an oracle can inline the matrices the rule derives at the verify
-    * scale; the output stays subset-exact (every candidate re-scored
-    * with the exact cosine). */
-  def lshNearDupPairsAuto(emb: DataFrame, threshold: Double, seed: Long,
-      dim: Int, targetMiss: Double = 0.01,
-      targetOccupancy: Int = 32): DataFrame = {
-    val nPlanes = planesForSize(emb.count(), targetOccupancy)
-    val nTables = lshTablesForRecall(nPlanes, threshold, targetMiss)
-    val tables = (0 until nTables).map(i =>
-      graft.functions.vectors.planeMatrix(seed + i, nPlanes, dim))
-    lshNearDupPairs(emb, threshold, tables)
-  }
-
   def lshNearDupPairs(emb: DataFrame, threshold: Double,
       tables: Seq[Seq[Array[Double]]]): DataFrame = {
     val bucketed = emb.select(
@@ -223,5 +189,58 @@ object Similarity {
       .withColumn("cos", vectors.cosineFast(col("e_a"), col("e_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Recall-targeted table count: enough independent tables that a
+    * TRUE pair at cosine `threshold` is missed with probability ≤
+    * `targetMiss`, given `nPlanes` planes per table —
+    * T = ceil(ln targetMiss / ln(1 − (1−θ/π)^nPlanes)), θ = acos.
+    * Composed with [[planesForSize]] (occupancy ≈ constant per table)
+    * the total candidate work is T·n·occupancy ≈ n^(1+|log2(1−θ/π)|)
+    * — e.g. n^1.22 at threshold 0.9 — sub-quadratic at any corpus
+    * size, with recall held at the target instead of drifting as n
+    * grows.
+    *
+    * The recall target is a CONTRACT: if it would take more than
+    * `maxTables` tables (very large n with a low threshold), this
+    * fails loudly instead of silently clamping — the caller then
+    * loosens targetMiss, raises maxTables, or accepts drift
+    * explicitly, the same loud-failure convention as
+    * Dedup.requireInertGuard. Degenerate thresholds outside (−1, 1]
+    * are rejected (θ = π needs infinitely many tables; NaN would
+    * silently size to 1). */
+  def lshTablesForRecall(nPlanes: Int, threshold: Double,
+      targetMiss: Double = 0.01, maxTables: Int = 64): Int = {
+    require(threshold > -1.0 && threshold <= 1.0,
+      s"threshold $threshold outside (-1, 1]")
+    val p = math.pow(1.0 - math.acos(threshold) / math.Pi, nPlanes)
+    if (p >= 1.0) 1
+    else {
+      val needed = math.ceil(
+        math.log(targetMiss) / math.log(1.0 - p)).toInt
+      require(needed <= maxTables,
+        s"holding miss<=$targetMiss at threshold=$threshold with " +
+          s"$nPlanes planes/table needs $needed tables > maxTables=" +
+          s"$maxTables: loosen targetMiss, raise maxTables, or accept " +
+          "recall drift explicitly")
+      math.max(1, needed)
+    }
+  }
+
+  /** [[lshNearDupPairs]] with BOTH knobs derived from the corpus:
+    * planes per table from [[planesForSize]] (one count() planning
+    * statistic, the q54 pattern) and table count from
+    * [[lshTablesForRecall]]. The planes stay driver-side literals, so
+    * an oracle can inline the matrices the rule derives at the verify
+    * scale; the output stays subset-exact (every candidate re-scored
+    * with the exact cosine). */
+  def lshNearDupPairsAuto(emb: DataFrame, threshold: Double, seed: Long,
+      dim: Int, targetMiss: Double = 0.01,
+      targetOccupancy: Int = 32): DataFrame = {
+    val nPlanes = planesForSize(emb.count(), targetOccupancy)
+    val nTables = lshTablesForRecall(nPlanes, threshold, targetMiss)
+    val tables = (0 until nTables).map(i =>
+      graft.functions.vectors.planeMatrix(seed + i, nPlanes, dim))
+    lshNearDupPairs(emb, threshold, tables)
   }
 }

@@ -13,15 +13,22 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec with Matchers {
 
   test("lshTablesForRecall: more planes per table demand more tables") {
     // p = (1-θ/π)^b shrinks as b grows, so T must grow to hold recall
-    val t4 = Similarity.lshTablesForRecall(4, 0.8)
-    val t8 = Similarity.lshTablesForRecall(8, 0.8)
-    val t12 = Similarity.lshTablesForRecall(12, 0.8)
+    val t4 = Similarity.lshTablesForRecall(4, 0.8, maxTables = 128)
+    val t8 = Similarity.lshTablesForRecall(8, 0.8, maxTables = 128)
+    val t12 = Similarity.lshTablesForRecall(12, 0.8, maxTables = 128)
     t4 should be < t8
     t8 should be < t12
     // threshold 1.0 → θ = 0 → every table hits: one suffices
     Similarity.lshTablesForRecall(8, 1.0) shouldBe 1
-    // the cap bounds the blow-up at low thresholds
-    Similarity.lshTablesForRecall(24, 0.5, maxTables = 64) shouldBe 64
+    // the recall target is a contract: a config that cannot meet it
+    // within maxTables fails loudly instead of silently clamping
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.lshTablesForRecall(24, 0.5, maxTables = 64)
+    // degenerate thresholds are rejected, not sized to minimum work
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.lshTablesForRecall(8, -1.0)
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.lshTablesForRecall(8, 1.5)
   }
 
   test("auto-sized near-dup pairs are a subset of the exact answer, complete on near-identical vectors") {
