@@ -939,8 +939,82 @@ object SparkEntry {
     "q62_neardup_auto" -> ((s, dir) =>
       Similarity.lshNearDupPairsAuto(
         t(s, dir, "embeddings"), threshold = 0.8, seed = 2000L,
-        dim = embDim))
+        dim = embDim)),
+
+    // ── NS corpus prep: PII SCRUBBING — the redaction pass every
+    // training pipeline runs before anything else. The fixture text is
+    // synthetic-vocab, so PII spans are INJECTED deterministically
+    // per doc_id (same fixture-synthesis pattern as q59's topics),
+    // then redacted and audited per source. Pure per-row regex
+    // expressions: zero shuffle below the final aggregate ──
+    "q63_pii_redact" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").withColumn("text2",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com now")))
+          .when(col("doc_id") % 3 === 1,
+            concat(col("text"), lit(" call 555-867-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+              lit(" or ping 10.0."),
+              (col("doc_id") % 256).cast("string"), lit(".77")))
+          .otherwise(col("text")))
+      injected
+        .withColumn("red", text.redactPii(col("text2")))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("red") =!= col("text2"), 1L).otherwise(0L))
+            .as("docs_redacted"),
+          sum(text.piiCount(col("text2"), text.emailRe)).as("emails"),
+          sum(text.piiCount(col("text2"), text.phoneRe)).as("phones"),
+          sum(text.piiCount(col("text2"), text.ipv4Re)).as("ips"),
+          sum((length(col("text2")) - length(col("red"))).cast("long"))
+            .as("chars_removed"))
+    }),
+
+    // ── NS corpus prep: benchmark DECONTAMINATION — drop documents
+    // sharing any bigram with the eval set so training data never
+    // memorizes the benchmark. Broadcast-literal intersect per row
+    // (eval sets are small; corpora are not): zero shuffle below the
+    // aggregate ──
+    "q64_decontaminate" -> ((s, dir) => {
+      val flagged = Dedup.flagContaminated(
+        t(s, dir, "documents"), "doc_id", "text", 2, benchmarkBigrams)
+      flagged
+        .withColumn("n_tokens", text.tokenCount(col("text")).cast("long"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("contaminated"), 1L).otherwise(0L))
+            .as("n_contaminated"),
+          sum(when(!col("contaminated"), col("n_tokens"))
+            .otherwise(0L)).as("kept_tokens"))
+    }),
+
+    // ── NS corpus prep: deterministic STRATIFIED SAMPLING — the
+    // domain-mixing step: each source keeps its configured fraction,
+    // decided by a content hash (reproducible across engines and
+    // partitionings — the oracle applies the identical md5
+    // arithmetic), never a RNG. A pure scan-time filter at 100 TB ──
+    "q65_stratified_sample" -> ((s, dir) => {
+      val kept = Relational.stratifiedSample(
+        t(s, dir, "documents"), col("source"), col("doc_id"), mixRates)
+      kept
+        .withColumn("n_tokens", text.tokenCount(col("text")).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tokens")).as("kept_tokens"))
+    })
   )
+
+  /** q64's eval-set bigrams (driver-side literal, mirrored into the
+    * oracle SQL verbatim). */
+  private val benchmarkBigrams: Seq[String] =
+    Seq("key agg", "window table", "merge batch", "customer stream")
+
+  /** q65's per-source mixing rates (strata absent keep everything). */
+  private val mixRates: Map[String, Double] =
+    Map("src0" -> 0.2, "src5" -> 0.5, "src10" -> 0.75, "src15" -> 0.0)
 
   /** DuckDB mirror of Dedup.ngramJaccardPairs (bigrams) at the given
     * threshold — also the oracle for the MinHash+rescore path, whose
@@ -1689,7 +1763,59 @@ object SparkEntry {
         """SELECT o_orderpriority, COUNT(*) AS n_items,
           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) * (1 - CAST(l_discount AS DECIMAL(20,4)))) AS DOUBLE) AS revenue
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-          |GROUP BY o_orderpriority""".stripMargin
+          |GROUP BY o_orderpriority""".stripMargin,
+
+      "q63_pii_redact" ->
+        s"""WITH t2 AS (
+           |  SELECT source,
+           |    CASE WHEN doc_id % 3 = 0
+           |           THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+           |         WHEN doc_id % 3 = 1
+           |           THEN text || ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' or ping 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.77'
+           |         ELSE text END AS text2
+           |  FROM documents),
+           |r AS (
+           |  SELECT source, text2,
+           |    regexp_replace(regexp_replace(regexp_replace(text2,
+           |      '${text.emailRe}', '<EMAIL>', 'g'),
+           |      '${text.phoneRe}', '<PHONE>', 'g'),
+           |      '${text.ipv4Re}', '<IP>', 'g') AS red
+           |  FROM t2)
+           |SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(CASE WHEN red <> text2 THEN 1 ELSE 0 END) AS BIGINT) AS docs_redacted,
+           |  CAST(SUM(len(regexp_extract_all(text2, '${text.emailRe}'))) AS BIGINT) AS emails,
+           |  CAST(SUM(len(regexp_extract_all(text2, '${text.phoneRe}'))) AS BIGINT) AS phones,
+           |  CAST(SUM(len(regexp_extract_all(text2, '${text.ipv4Re}'))) AS BIGINT) AS ips,
+           |  CAST(SUM(len(text2) - len(red)) AS BIGINT) AS chars_removed
+           |FROM r GROUP BY source""".stripMargin,
+
+      "q64_decontaminate" -> {
+        val benchList = benchmarkBigrams
+          .map(s => "'" + s + "'").mkString("[", ",", "]")
+        s"""WITH sh AS (
+           |  SELECT source,
+           |    list_distinct(list_transform(
+           |      range(1, greatest(len(toks) - 0, 1)),
+           |      i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS s,
+           |    len(toks) AS n_tokens
+           |  FROM (SELECT source, $sqlTokens AS toks FROM documents))
+           |SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(CASE WHEN list_has_any(s, $benchList) THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           |  CAST(SUM(CASE WHEN list_has_any(s, $benchList) THEN 0 ELSE n_tokens END) AS BIGINT) AS kept_tokens
+           |FROM sh GROUP BY source""".stripMargin
+      },
+
+      "q65_stratified_sample" -> {
+        val rateCase = "CASE " + mixRates.toSeq.sortBy(_._1).map {
+          case (k, r) => s"WHEN source = '$k' THEN ${(r * 1000.0).toLong}"
+        }.mkString(" ") + " ELSE 1000 END"
+        s"""SELECT source, COUNT(*) AS n_kept,
+           |  CAST(SUM(len($sqlTokens)) AS BIGINT) AS kept_tokens
+           |FROM documents
+           |WHERE ${hashes.md5Hash60Sql(
+            "'samp-' || CAST(doc_id AS VARCHAR)")} % 1000 < $rateCase
+           |GROUP BY source""".stripMargin
+      }
     )
   }
 }

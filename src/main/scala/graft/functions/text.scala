@@ -154,4 +154,30 @@ object text {
     * Deterministic and shuffle-free. */
   def docFingerprint(c: Column): Column =
     aggregate(tokens(c), lit(0L), (acc, t) => xxhash64(acc, t))
+
+  // ── PII scrubbing (training-corpus prep): regex classes + redaction.
+  // The pattern strings are the single source of truth — the DuckDB
+  // oracle interpolates the SAME strings (regexp_replace needs the 'g'
+  // flag there; Spark replaces all matches by default). Both engines
+  // run RE2-compatible subsets: no backrefs, no lookaround. ──
+  val emailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe: String = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val ipv4Re: String = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /** Redact the three PII classes to typed placeholders, one pass per
+    * class — pure per-row expressions, zero shuffle, codegen'd. Order
+    * matters and is fixed: emails first (an email must not first lose
+    * its digits to the phone pattern — it can't, but keeping the
+    * order explicit makes the oracle mirror trivially identical). */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>"),
+      ipv4Re, "<IP>")
+
+  /** Number of PII matches of `pattern` in `c` (pre-redaction audit
+    * column). */
+  def piiCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long")
 }

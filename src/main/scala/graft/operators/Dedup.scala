@@ -596,4 +596,22 @@ object Dedup {
       docs.count(), radius, width, targetOccupancy)
     simhashNearDupPairs(docs, idCol, textCol, radius, width, Some(b), k)
   }
+
+  /** Benchmark DECONTAMINATION — flag documents sharing any word
+    * n-gram with a benchmark/eval set, so training data never
+    * memorizes the test set. For a benchmark that fits a broadcast
+    * (the normal case: eval sets are thousands of items, corpora are
+    * billions), the check is a per-row array_intersect against the
+    * literal shingle set — zero shuffle, codegen'd, linear scan; the
+    * huge-benchmark fallback is the same explode + semi-join shape as
+    * [[ngramJaccardPairs]]'s index. Returns the input plus a
+    * `contaminated` flag (callers filter or audit). */
+  def flagContaminated(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, benchmarkShingles: Seq[String]): DataFrame = {
+    require(benchmarkShingles.nonEmpty, "empty benchmark set")
+    val bench = array(benchmarkShingles.map(lit): _*)
+    docs.withColumn("contaminated",
+      size(array_intersect(
+        text.wordShinglesFast(col(textCol), n), bench)) > 0)
+  }
 }

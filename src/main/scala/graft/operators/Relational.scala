@@ -103,4 +103,25 @@ object Relational {
           w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
       .drop("_new_session")
   }
+
+  /** Deterministic stratified sampling — the domain-mixing step of
+    * training-corpus prep: each stratum (e.g. source) keeps its
+    * configured fraction of rows, decided per row by a content hash,
+    * not a RNG. Reproducible across runs/partitionings/engines (the
+    * oracle applies the identical md5 arithmetic), zero shuffle, and
+    * at 100 TB the sample is a pure scan-time filter. `idCol` must be
+    * unique per row; rates are in [0, 1] with 3-decimal resolution
+    * (the keep test is hash mod 1000 < rate·1000). Strata absent from
+    * `rates` keep everything (rate 1.0). */
+  def stratifiedSample(df: DataFrame, stratumCol: Column, idCol: Column,
+      rates: Map[String, Double], saltPrefix: String = "samp-"): DataFrame = {
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0),
+      s"sampling rates must be in [0,1]: $rates")
+    val rate = rates.foldLeft(lit(1.0)) { case (els, (k, r)) =>
+      when(stratumCol === k, lit(r)).otherwise(els)
+    }
+    val h = graft.functions.hashes.md5Hash60(
+      concat(lit(saltPrefix), idCol.cast("string")))
+    df.filter(pmod(h, lit(1000L)) < (rate * 1000.0).cast("long"))
+  }
 }

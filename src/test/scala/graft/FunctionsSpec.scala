@@ -76,6 +76,42 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec with Matchers {
       List((1000 until 1020).toList, List(5), Nil, Nil)
   }
 
+  test("redactPii replaces every class and leaves clean text alone") {
+    import spark.implicits._
+    val rows = Seq(
+      "mail a@b.co and c.d+x@e-f.org twice",
+      "call 555-123-4567 now",
+      "host 192.168.0.1 up",
+      "nothing sensitive here",
+      "mix a@b.co 555-123-4567 10.0.0.7").toDF("t")
+      .select(text.redactPii(col("t")).as("red"),
+        text.piiCount(col("t"), text.emailRe).as("e"),
+        text.piiCount(col("t"), text.phoneRe).as("p"),
+        text.piiCount(col("t"), text.ipv4Re).as("i"))
+      .as[(String, Long, Long, Long)].collect().toList
+    rows(0) shouldBe ("mail <EMAIL> and <EMAIL> twice", 2L, 0L, 0L)
+    rows(1) shouldBe ("call <PHONE> now", 0L, 1L, 0L)
+    rows(2) shouldBe ("host <IP> up", 0L, 0L, 1L)
+    rows(3) shouldBe ("nothing sensitive here", 0L, 0L, 0L)
+    rows(4) shouldBe ("mix <EMAIL> <PHONE> <IP>", 1L, 1L, 1L)
+  }
+
+  test("flagContaminated: bigram hit flags; short docs never flag; empty set rejected") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the key agg path"), // contains benchmark bigram "key agg"
+      (2L, "a clean document"),
+      (3L, "key"), // too short for any bigram
+      (4L, "agg key reversed order")).toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .flagContaminated(docs, "doc_id", "text", 2, Seq("key agg"))
+      .select("doc_id", "contaminated").as[(Long, Boolean)]
+      .collect().toMap
+    out shouldBe Map(1L -> true, 2L -> false, 3L -> false, 4L -> false)
+    an[IllegalArgumentException] should be thrownBy
+      graft.operators.Dedup.flagContaminated(docs, "doc_id", "text", 2, Nil)
+  }
+
   test("vector math: dot, norms, distances agree with Scala") {
     import spark.implicits._
     val a = Seq(1.0, 2.0, 3.0)

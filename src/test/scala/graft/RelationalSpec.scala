@@ -130,4 +130,27 @@ class RelationalSpec extends AnyFunSuite with SparkSpec with Matchers {
     CatalogOps.parseCliTable(lines, "line", "line_no", 3, 1, 1)
       .as[String].collect().sorted shouldBe Array("tenant-a", "tenant-b")
   }
+
+  test("stratifiedSample: rate 0/1 extremes, determinism, rate validation") {
+    import spark.implicits._
+    val df = (0L until 400L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b")).toDF("id", "src")
+    def run(rates: Map[String, Double]): Set[Long] =
+      Relational.stratifiedSample(df, col("src"), col("id"), rates)
+        .select("id").as[Long].collect().toSet
+    run(Map("a" -> 0.0)).forall(_ % 2 == 1) shouldBe true // a all dropped
+    run(Map("a" -> 1.0)).size shouldBe 400 // rate 1 and absent strata keep all
+    val half = run(Map("a" -> 0.5, "b" -> 0.5))
+    // hash-deterministic: same selection on every run AND independent
+    // of row order/partitioning
+    half shouldBe run(Map("a" -> 0.5, "b" -> 0.5))
+    val shuffled = Relational.stratifiedSample(
+      df.orderBy(rand(7)).repartition(7), col("src"), col("id"),
+      Map("a" -> 0.5, "b" -> 0.5)).select("id").as[Long].collect().toSet
+    shuffled shouldBe half
+    // the fraction lands near the target (md5 is uniform)
+    half.size.toDouble should (be > 120.0 and be < 280.0)
+    an[IllegalArgumentException] should be thrownBy
+      Relational.stratifiedSample(df, col("src"), col("id"), Map("a" -> 1.5))
+  }
 }
