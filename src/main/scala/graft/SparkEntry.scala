@@ -46,6 +46,16 @@ object SparkEntry {
       "CASE WHEN event_id % 3 = 0 THEN '-partition-' || " +
       "CAST(event_id % 4 AS VARCHAR) ELSE '' END AS topic FROM events)"
 
+  /** DuckDB word-n-gram-shingle expression over a `toks` list column,
+    * mirroring graft.functions.text.wordShingles(tokens, n) — the
+    * SINGLE source for every oracle that shingles (q27/q30/q44/q53/
+    * q64 all interpolate this; hand-copies drifted once and were
+    * flagged in review). */
+  private def sqlShingles(n: Int): String =
+    s"list_distinct(list_transform(" +
+      s"range(1, greatest(len(toks) - ${n - 2}, 1)), " +
+      s"i -> array_to_string(list_slice(toks, i, i + ${n - 1}), ' ')))"
+
   /** DuckDB token expression mirroring graft.functions.text.tokens. */
   private val sqlTokens =
     "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0)"
@@ -979,7 +989,7 @@ object SparkEntry {
     // aggregate ──
     "q64_decontaminate" -> ((s, dir) => {
       val flagged = Dedup.flagContaminated(
-        t(s, dir, "documents"), "doc_id", "text", 2, benchmarkBigrams)
+        t(s, dir, "documents"), "text", 2, benchmarkBigrams)
       flagged
         .withColumn("n_tokens", text.tokenCount(col("text")).cast("long"))
         .groupBy(col("source"))
@@ -1024,9 +1034,7 @@ object SparkEntry {
       docFilter: String = "TRUE"): String =
     s"""WITH sh AS (
        |  SELECT doc_id,
-       |    list_distinct(list_transform(
-       |      range(1, greatest(len(toks) - 0, 1)),
-       |      i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS s
+       |    ${sqlShingles(2)} AS s
        |  FROM (SELECT doc_id, $sqlTokens AS toks FROM documents
        |        WHERE $docFilter))
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1508,9 +1516,7 @@ object SparkEntry {
       "q44_neardup_groups" ->
         s"""WITH RECURSIVE sh AS (
            |  SELECT doc_id,
-           |    list_distinct(list_transform(
-           |      range(1, greatest(len(toks) - 0, 1)),
-           |      i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS s
+           |    ${sqlShingles(2)} AS s
            |  FROM (SELECT doc_id, $sqlTokens AS toks FROM documents)),
            |p AS (
            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1794,9 +1800,7 @@ object SparkEntry {
           .map(s => "'" + s + "'").mkString("[", ",", "]")
         s"""WITH sh AS (
            |  SELECT source,
-           |    list_distinct(list_transform(
-           |      range(1, greatest(len(toks) - 0, 1)),
-           |      i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS s,
+           |    ${sqlShingles(2)} AS s,
            |    len(toks) AS n_tokens
            |  FROM (SELECT source, $sqlTokens AS toks FROM documents))
            |SELECT source, COUNT(*) AS n_docs,

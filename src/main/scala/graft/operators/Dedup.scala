@@ -606,7 +606,7 @@ object Dedup {
     * huge-benchmark fallback is the same explode + semi-join shape as
     * [[ngramJaccardPairs]]'s index. Returns the input plus a
     * `contaminated` flag (callers filter or audit). */
-  def flagContaminated(docs: DataFrame, idCol: String, textCol: String,
+  def flagContaminated(docs: DataFrame, textCol: String,
       n: Int, benchmarkShingles: Seq[String]): DataFrame = {
     require(benchmarkShingles.nonEmpty, "empty benchmark set")
     val bench = array(benchmarkShingles.map(lit): _*)

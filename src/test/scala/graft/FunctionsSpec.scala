@@ -104,12 +104,12 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec with Matchers {
       (3L, "key"), // too short for any bigram
       (4L, "agg key reversed order")).toDF("doc_id", "text")
     val out = graft.operators.Dedup
-      .flagContaminated(docs, "doc_id", "text", 2, Seq("key agg"))
+      .flagContaminated(docs, "text", 2, Seq("key agg"))
       .select("doc_id", "contaminated").as[(Long, Boolean)]
       .collect().toMap
     out shouldBe Map(1L -> true, 2L -> false, 3L -> false, 4L -> false)
     an[IllegalArgumentException] should be thrownBy
-      graft.operators.Dedup.flagContaminated(docs, "doc_id", "text", 2, Nil)
+      graft.operators.Dedup.flagContaminated(docs, "text", 2, Nil)
   }
 
   test("vector math: dot, norms, distances agree with Scala") {
