@@ -18,6 +18,7 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Logs.quietBenignWarns()
     new java.io.File(outDir).mkdirs()
     // the streaming queries EXECUTE on construction (they drain into a
     // memory sink and return the sink table) — "explaining" them would
