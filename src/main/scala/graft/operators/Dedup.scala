@@ -614,4 +614,25 @@ object Dedup {
       size(array_intersect(
         text.wordShinglesFast(col(textCol), n), bench)) > 0)
   }
+
+  /** [[flagContaminated]] for a benchmark set too large to inline —
+    * the join form: explode the corpus shingles once, LEFT SEMI join
+    * against the benchmark shingle table (Spark broadcasts it when it
+    * fits, shuffles both sides on the shingle key when it does not —
+    * either way no row of clean text ever moves), then mark the hit
+    * doc ids with a left join. Identical flags to the literal form
+    * (spec-asserted). `bench` must have a `shingle` string column. */
+  def flagContaminatedJoin(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, bench: DataFrame): DataFrame = {
+    val hits = docs
+      .select(col(idCol).as("_cid"),
+        explode(text.wordShinglesFast(col(textCol), n)).as("shingle"))
+      .join(bench.select(col("shingle")), Seq("shingle"), "left_semi")
+      .select(col("_cid")).distinct()
+      .withColumn("_hit", lit(true))
+    docs
+      .join(hits, docs(idCol) === hits("_cid"), "left")
+      .withColumn("contaminated", coalesce(col("_hit"), lit(false)))
+      .drop("_cid", "_hit")
+  }
 }

@@ -110,6 +110,13 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec with Matchers {
     out shouldBe Map(1L -> true, 2L -> false, 3L -> false, 4L -> false)
     an[IllegalArgumentException] should be thrownBy
       graft.operators.Dedup.flagContaminated(docs, "text", 2, Nil)
+    // the join form (for benchmark sets too large to inline) must
+    // produce identical flags
+    val benchDf = Seq("key agg").toDF("shingle")
+    graft.operators.Dedup
+      .flagContaminatedJoin(docs, "doc_id", "text", 2, benchDf)
+      .select("doc_id", "contaminated").as[(Long, Boolean)]
+      .collect().toMap shouldBe out
   }
 
   test("vector math: dot, norms, distances agree with Scala") {
