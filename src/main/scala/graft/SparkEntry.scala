@@ -56,9 +56,12 @@ object SparkEntry {
       s"range(1, greatest(len(toks) - ${n - 2}, 1)), " +
       s"i -> array_to_string(list_slice(toks, i, i + ${n - 1}), ' ')))"
 
-  /** DuckDB token expression mirroring graft.functions.text.tokens. */
-  private val sqlTokens =
-    "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0)"
+  /** DuckDB token expression mirroring graft.functions.text.tokens,
+    * over an arbitrary column/fragment. */
+  private def sqlTokensOf(c: String): String =
+    s"list_filter(string_split_regex(trim(lower($c)), '\\s+'), x -> len(x) > 0)"
+
+  private val sqlTokens = sqlTokensOf("text")
 
   // ── LSH plane matrices: driver-side literal constants, shared by the
   // Spark plan AND the DuckDB oracle SQL (vectors.planeMatrix scaladoc
@@ -1014,6 +1017,61 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"),
           sum(col("n_tokens")).as("kept_tokens"))
+    }),
+
+    // ── THE CAPSTONE: the ENTIRE training-data prep pipeline as ONE
+    // declarative plan — PII redaction → tokenize once → language +
+    // quality filters → benchmark decontamination → exact dedup →
+    // stratified source mixing → token-budget shard packing → per-
+    // shard stats. Every filter is scan-time (zero shuffle); the only
+    // shuffles are the dedup window, the pack window, and the final
+    // aggregate. Each stage is individually oracle-verified by
+    // q63/q55/q64/q23/q65/q57; this registers the COMPOSITION, which
+    // is what actually runs at 100 TB ──
+    "q66_full_prep" -> ((s, dir) => {
+      val budget = 4096L
+      val injected = t(s, dir, "documents").withColumn("text2",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com now")))
+          .when(col("doc_id") % 3 === 1,
+            concat(col("text"), lit(" call 555-867-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+              lit(" or ping 10.0."),
+              (col("doc_id") % 256).cast("string"), lit(".77")))
+          .otherwise(col("text")))
+      val withToks = injected
+        .withColumn("clean", text.redactPii(col("text2")))
+        .withColumn("toks", text.tokens(col("clean")))
+      val withScores = text.langMarkers.foldLeft(withToks) {
+        case (d, (l, m)) =>
+          d.withColumn(s"s_$l", text.langScore(col("toks"), m))
+      }
+      val bench = array(benchmarkBigrams.map(lit): _*)
+      val filtered = withScores
+        .withColumn("predicted", text.predictedFromScores(
+          text.langMarkers.map { case (l, _) => l -> col(s"s_$l") }))
+        .withColumn("q", text.qualityScoreTokens(col("clean"), col("toks")))
+        .filter(col("predicted") === "en" && col("q") >= 0.4)
+        .filter(size(array_intersect(
+          text.wordShinglesFast(col("clean"), 2), bench)) === 0)
+      val wd = Window.partitionBy(col("clean")).orderBy(col("doc_id"))
+      val deduped = filtered
+        .withColumn("rn", row_number().over(wd))
+        .filter(col("rn") === 1)
+      val sampled = Relational.stratifiedSample(
+        deduped, col("source"), col("doc_id"), mixRates)
+      val wp = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      sampled
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("cum", sum(col("n_tokens")).over(wp))
+        .withColumn("shard_id",
+          floor((col("cum") - col("n_tokens")).cast("double") / budget)
+            .cast("long"))
+        .groupBy(col("source"), col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("shard_tokens"))
     })
   )
 
@@ -1819,6 +1877,80 @@ object SparkEntry {
            |WHERE ${hashes.md5Hash60Sql(
             "'samp-' || CAST(doc_id AS VARCHAR)")} % 1000 < $rateCase
            |GROUP BY source""".stripMargin
+      },
+
+      "q66_full_prep" -> {
+        val markers = text.langMarkers
+        def score(m: Seq[String]) =
+          s"len(list_filter(toks, x -> x IN (${m.map(w => s"'$w'").mkString(",")})))"
+        val scores = markers.map { case (l, m) => s"${score(m)} AS s_$l" }
+        val langs = markers.map(_._1)
+        val whens = langs.map { l =>
+          val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o")
+            .mkString(" AND ")
+          s"WHEN $conds THEN '$l'"
+        }
+        val stops = text.stopwordsEn.map(w => s"'$w'").mkString(",")
+        val benchList = benchmarkBigrams
+          .map(s => "'" + s + "'").mkString("[", ",", "]")
+        val rateCase = "CASE " + mixRates.toSeq.sortBy(_._1).map {
+          case (k, r) => s"WHEN source = '$k' THEN ${(r * 1000.0).toLong}"
+        }.mkString(" ") + " ELSE 1000 END"
+        s"""WITH inj AS (
+           |  SELECT doc_id, source,
+           |    CASE WHEN doc_id % 3 = 0
+           |           THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+           |         WHEN doc_id % 3 = 1
+           |           THEN text || ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' or ping 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.77'
+           |         ELSE text END AS text2
+           |  FROM documents),
+           |red AS (
+           |  SELECT doc_id, source,
+           |    regexp_replace(regexp_replace(regexp_replace(text2,
+           |      '${text.emailRe}', '<EMAIL>', 'g'),
+           |      '${text.phoneRe}', '<PHONE>', 'g'),
+           |      '${text.ipv4Re}', '<IP>', 'g') AS clean
+           |  FROM inj),
+           |t0 AS (
+           |  SELECT doc_id, source, clean, ${sqlTokensOf("clean")} AS toks
+           |  FROM red),
+           |sc AS (
+           |  SELECT doc_id, source, clean, toks,
+           |    len(toks) AS n_tok,
+           |    CASE WHEN len(toks) = 0 THEN 0.0
+           |      ELSE CAST(len(list_filter(toks, x -> x IN ($stops)))
+           |        AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS stop_ratio,
+           |    CAST(length(clean) - length(regexp_replace(clean, '[.,!?;:]', '', 'g')) AS DOUBLE)
+           |      / greatest(CAST(length(clean) AS DOUBLE), 1.0) AS punct_ratio,
+           |    ${scores.mkString(", ")}
+           |  FROM t0),
+           |b AS (
+           |  SELECT doc_id, source, clean, toks,
+           |    round((least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) +
+           |      least(stop_ratio * 10.0, 1.0) +
+           |      greatest(1.0 - punct_ratio * 10.0, 0.0)) / 3.0, 6) AS q,
+           |    CASE ${whens.mkString(" ")} ELSE '${langs.last}' END AS predicted
+           |  FROM sc),
+           |filt AS (
+           |  SELECT * FROM b WHERE predicted = 'en' AND q >= 0.4
+           |    AND NOT list_has_any(${sqlShingles(2)}, $benchList)),
+           |keep AS (SELECT MIN(doc_id) AS kid FROM filt GROUP BY clean),
+           |samp AS (
+           |  SELECT * FROM filt
+           |  WHERE doc_id IN (SELECT kid FROM keep)
+           |    AND ${hashes.md5Hash60Sql(
+              "'samp-' || CAST(doc_id AS VARCHAR)")} % 1000 < $rateCase),
+           |c AS (
+           |  SELECT source, doc_id, len(toks) AS n_tokens,
+           |    SUM(len(toks)) OVER (PARTITION BY source ORDER BY doc_id
+           |      ROWS UNBOUNDED PRECEDING) AS cum
+           |  FROM samp)
+           |SELECT source,
+           |  CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / 4096) AS BIGINT)
+           |    AS shard_id,
+           |  COUNT(*) AS n_docs,
+           |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+           |FROM c GROUP BY 1, 2""".stripMargin
       }
     )
   }
