@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default on the 128 GiB box: round 4's driver bench hit a
+  // 48 s q49 (local repro: 1.3 s) consistent with a GC storm near the
+  // old 8g ceiling under external page-cache pressure — heap headroom
+  // is cheap insurance; SPARK_DRIVER_MEM still overrides.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

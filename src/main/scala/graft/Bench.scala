@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+import scala.jdk.CollectionConverters._
+
 /** Benchmark main: times every SparkEntry query end-to-end on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
   *
@@ -34,8 +36,24 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
+    // Per-query JVM GC time and process CPU time: round 4's driver run
+    // recorded q49 = 48 s where an immediate local re-run gives 1.3 s.
+    // Wall-clock alone can't distinguish "the plan got slow" from "the
+    // box was busy / the heap thrashed"; these two deltas can. A query
+    // whose gc_sec ≈ wall is a heap problem; a query whose cpu_sec ≪
+    // wall × cores on an idle plan is external contention.
+    import java.lang.management.ManagementFactory
+    def gcMillis(): Long = ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime.max(0L)).sum
+    def cpuNanos(): Long = ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
+    val gcSec = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val cpuSec = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = selected.map {
       case (name, fn) =>
+        val gc0 = gcMillis(); val cpu0 = cpuNanos()
         val t0 = System.nanoTime()
         // drain this query's localCheckpoint blocks in ALL exits —
         // including a failed write, whose plan may already have
@@ -53,6 +71,8 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
         } finally if (df != null)
           org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(df)
+        gcSec(name) = (gcMillis() - gc0) / 1e3
+        cpuSec(name) = if (cpu0 < 0) -1.0 else (cpuNanos() - cpu0) / 1e9
         name -> (System.nanoTime() - t0) / 1e9
     }
     // Locale.ROOT: a comma-decimal default locale would render 0,123
@@ -66,9 +86,15 @@ object Bench {
     // a fast-failing query must not read as a speedup: failures are
     // carried in the JSON, not just buried in stderr
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def map(m: scala.collection.Map[String, Double]): String = m
+      .map { case (k, v) => "\"" + k + "\":" + num(v) }
+      .mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
-        s""""queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+        s""""queries":$qs,"failed":$failedJson,""" +
+        s""""gc_sec":${map(gcSec)},"cpu_sec":${map(cpuSec)},""" +
+        s""""gc_total":${num(gcSec.values.sum)},""" +
+        s""""cpu_total":${num(cpuSec.values.sum)},"sf":"$sfDir"}"""
     println(line)
     // also write the bare JSON line to a file: the stdout copy drowns
     // in sbt/log4j decoration and the driver failed to parse it (r01)
