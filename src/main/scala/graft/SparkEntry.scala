@@ -1072,8 +1072,54 @@ object SparkEntry {
         .groupBy(col("source"), col("shard_id"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("shard_tokens"))
+    }),
+
+    // ── skew-safe SALTED JOIN: hot-key fact rows spread over `salt`
+    // reducers, dim hot rows replicated salt ways — the guaranteed-
+    // at-plan-time answer to a heavy-head key that would send a
+    // double-digit share of 100 TB to one reducer. Result ≡ the plain inner
+    // join (oracle verifies); hotKeys is a planning statistic like
+    // the IVF/LSH sizing counts ──
+    "q67_skewed_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val joined = Relational.skewedJoin(
+        li, ord, "l_orderkey", "o_orderkey",
+        factId = col("l_orderkey") * 10 + col("l_linenumber"),
+        hotKeys = q67HotKeys, salt = 8)
+      joined.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          Relational.exactSum(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+    }),
+
+    // ── INTERVAL JOIN via bucket expansion: lineitems shipped inside
+    // any 7-day campaign window, as an EQUI-join on a 2-day cell id
+    // (hash-partitionable) + exact range re-filter — never a
+    // nested-loop theta join ──
+    "q68_range_join" -> ((s, dir) => {
+      val wins = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 400 === 1)
+        .select(col("o_orderkey").as("win_id"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("win_start"),
+          (unix_millis(col("o_orderdate").cast("timestamp")) +
+            lit(7L * 86400000L)).as("win_end"))
+      val pts = t(s, dir, "lineitem")
+        .select(col("l_quantity"),
+          unix_millis(col("l_shipdate").cast("timestamp")).as("ship_ms"))
+      Relational.rangeJoin(pts, wins,
+        "ship_ms", "win_start", "win_end", bucketWidth = 2L * 86400000L)
+        .groupBy(col("win_id"))
+        .agg(count(lit(1)).as("n_items"),
+          Relational.exactSum(col("l_quantity")).as("sum_qty"))
     })
   )
+
+  /** q67's hot-key planning statistic (driver-side literal, mirrored
+    * conceptually by the oracle's plain join — hotness affects only
+    * the physical spread, never the result). */
+  private val q67HotKeys: Seq[Any] = (1L to 8L).map(k => k: Any)
 
   /** q64's eval-set bigrams (driver-side literal, mirrored into the
     * oracle SQL verbatim). */
@@ -1951,7 +1997,30 @@ object SparkEntry {
            |  COUNT(*) AS n_docs,
            |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
            |FROM c GROUP BY 1, 2""".stripMargin
-      }
+      },
+
+      // the oracle is the PLAIN inner join: salting must be invisible
+      // in the result
+      "q67_skewed_join" ->
+        """SELECT o_orderpriority, COUNT(*) AS n_items,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) * (1 - CAST(l_discount AS DECIMAL(20,4)))) AS DOUBLE) AS revenue
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY o_orderpriority""".stripMargin,
+
+      // the oracle is the PLAIN theta join: bucket expansion must be
+      // invisible in the result
+      "q68_range_join" ->
+        """WITH wins AS (
+          |  SELECT o_orderkey AS win_id,
+          |    epoch_ms(o_orderdate) AS win_start,
+          |    epoch_ms(o_orderdate) + 7 * 86400000 AS win_end
+          |  FROM orders WHERE o_orderkey % 400 = 1)
+          |SELECT win_id, COUNT(*) AS n_items,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
+          |FROM wins JOIN lineitem
+          |  ON epoch_ms(l_shipdate) >= win_start
+          | AND epoch_ms(l_shipdate) <= win_end
+          |GROUP BY win_id""".stripMargin
     )
   }
 }

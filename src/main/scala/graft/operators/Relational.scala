@@ -87,6 +87,86 @@ object Relational {
       .agg(sum(col("_partial")).as(outCol))
   }
 
+  /** Skew-safe inner equi-join by hot-key salting: the classic 100 TB
+    * pattern for a join whose key distribution has a heavy head (one
+    * user / one order / one empty-string key holding a double-digit
+    * percentage of the fact rows, which a plain shuffle join sends to
+    * ONE reducer). Fact rows on a hot key get a deterministic salt in
+    * [0, salt) from a per-row unique id; the dim side replicates its
+    * hot-key rows `salt` ways; the join key becomes (key, salt-cell),
+    * so the hot key's rows spread over `salt` reducers. Non-hot keys
+    * pay nothing (salt cell 0, one dim replica). The result is
+    * EXACTLY the plain inner join: every fact row still meets every
+    * matching dim row exactly once, because its salt cell names
+    * exactly one of the `salt` replicas.
+    *
+    * `hotKeys` is a planning statistic: in production derive it from
+    * a frequency sketch or a sampled groupBy (like the documented IVF
+    * / LSH sizing statistics), or lean on AQE's skew-join splitting
+    * when a sort-merge join is already in play — this operator is for
+    * when you know the head keys and want the spread guaranteed at
+    * plan time. Column names must be disjoint across the two inputs
+    * (standard for the fact/dim schemas this targets).
+    *
+    * Broadcast note: if the dim side is small enough to broadcast,
+    * Catalyst will still broadcast here (the salt rides along
+    * harmlessly); salting only changes the plan that matters — the
+    * shuffled one where broadcast is impossible. */
+  def skewedJoin(fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String, factId: Column,
+      hotKeys: Seq[Any], salt: Int): DataFrame = {
+    require(salt >= 2, s"salt must be >= 2, got $salt")
+    require(hotKeys.nonEmpty, "hotKeys must be non-empty")
+    val fSalt = when(col(factKey).isin(hotKeys: _*),
+      pmod(xxhash64(factId), lit(salt.toLong)).cast("int"))
+      .otherwise(lit(0))
+    val dReps = when(col(dimKey).isin(hotKeys: _*),
+      sequence(lit(0), lit(salt - 1))).otherwise(array(lit(0)))
+    val f = fact.withColumn("_gsalt", fSalt).alias("gf")
+    val d = dim.withColumn("_gsalt", explode(dReps)).alias("gd")
+    f.join(d,
+      col(s"gf.$factKey") === col(s"gd.$dimKey") &&
+        col("gf._gsalt") === col("gd._gsalt"))
+      .select(fact.columns.map(c => col(s"gf.$c")).toSeq ++
+        dim.columns.map(c => col(s"gd.$c")): _*)
+  }
+
+  /** Interval (point-in-range) join via bucket expansion: attach to
+    * each point row every interval row with `startCol <= pointCol <=
+    * endCol` (inclusive bounds, numeric columns — convert timestamps
+    * with unix_millis first). A naive non-equi join plans as a
+    * nested-loop/cartesian — quadratic and undistributable at scale.
+    * This instead quantizes the axis into `bucketWidth`-sized cells:
+    * each interval replicates to the cells it covers, each point maps
+    * to its one cell, the join becomes an EQUI-join on the cell id
+    * (hash-partitionable like any other), and the exact range
+    * predicate re-filters the per-cell candidates. Each (point,
+    * interval) match meets in exactly one cell — the point's — so no
+    * dedup pass is needed and the result is exactly the theta-join.
+    *
+    * Replication factor is len(interval)/bucketWidth + 1, so pick
+    * bucketWidth near the median interval length: cost is
+    * O(points + Σ cells-per-interval + candidate pairs sharing a
+    * cell), the standard scale form of an interval join (Flink's
+    * interval join and range-join optimizers do the same expansion).
+    * Column names must be disjoint across the two inputs. */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+      pointCol: String, startCol: String, endCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    // exact floor-division bucket id ((x - x mod w) / w is exact in
+    // double because the division has no remainder; pmod keeps it
+    // correct for negative axis values too)
+    def cell(c: Column): Column =
+      ((c - pmod(c, lit(bucketWidth))) / lit(bucketWidth)).cast("long")
+    val p = points.withColumn("_gcell", cell(col(pointCol)))
+    val i = intervals.withColumn("_gcell",
+      explode(sequence(cell(col(startCol)), cell(col(endCol)))))
+    p.join(i, Seq("_gcell"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("_gcell")
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to
     * the previous event of the same key exceeds `gapSeconds`. Returns
     * the input plus a `session_id` (0-based per key). One shuffle. */

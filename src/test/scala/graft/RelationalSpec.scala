@@ -85,6 +85,50 @@ class RelationalSpec extends AnyFunSuite with SparkSpec with Matchers {
     salted shouldBe plain
   }
 
+  test("skewedJoin equals the plain inner join, spreads hot keys, keeps misses out") {
+    import spark.implicits._
+    // key 7 is hot (80 of 100 fact rows); key 99 has no dim row;
+    // dim key 5 has no fact rows
+    val fact = ((1 to 80).map(i => (7L, i.toLong)) ++
+      (1 to 19).map(i => (i.toLong % 4, 100L + i)) :+ ((99L, 200L)))
+      .toDF("fk", "row_id")
+    val dim = Seq((7L, "hot"), (0L, "a"), (1L, "b"), (2L, "c"),
+      (3L, "d"), (5L, "unmatched")).toDF("dk", "label")
+    val out = Relational.skewedJoin(fact, dim, "fk", "dk",
+      factId = col("row_id"), hotKeys = Seq(7L), salt = 8)
+    val plain = fact.join(dim, col("fk") === col("dk"))
+      .select("fk", "row_id", "dk", "label")
+    out.columns.toSeq shouldBe Seq("fk", "row_id", "dk", "label")
+    out.collect().toSet shouldBe plain.collect().toSet
+    // the hot key's fact rows really land in more than one salt cell
+    // (deterministic hash over 80 distinct ids across 8 cells)
+    val cells = fact.filter(col("fk") === 7L)
+      .select(pmod(xxhash64(col("row_id")), lit(8L)))
+      .distinct().count()
+    cells should be > 1L
+  }
+
+  test("rangeJoin equals the naive theta join across cell boundaries") {
+    import spark.implicits._
+    // intervals chosen to cover: inside one cell, spanning cells,
+    // exactly on cell edges, inclusive endpoints, zero-length, and
+    // no-match; bucketWidth 10
+    val pts = Seq(0L, 5L, 9L, 10L, 15L, 20L, 25L, 37L, 99L)
+      .map(p => (p, s"p$p")).toDF("pt", "pname")
+    val ivs = Seq((1L, 0L, 9L), (2L, 5L, 15L), (3L, 10L, 10L),
+      (4L, 8L, 32L), (5L, 40L, 50L)).toDF("iv_id", "lo", "hi")
+    val out = Relational.rangeJoin(pts, ivs, "pt", "lo", "hi", 10L)
+      .select("iv_id", "pt").as[(Long, Long)].collect().toSet
+    val naive = pts.join(ivs, col("pt") >= col("lo") && col("pt") <= col("hi"))
+      .select("iv_id", "pt").as[(Long, Long)].collect().toSet
+    out shouldBe naive
+    // sanity on the fixture itself: inclusive bounds + zero-length
+    out should contain((3L, 10L))
+    out should contain((2L, 5L))
+    out should contain((2L, 15L))
+    naive.map(_._1) should not contain 5L
+  }
+
   test("readCliLines numbers a CLI output file and feeds parseCliTable") {
     import spark.implicits._
     val f = java.nio.file.Files.createTempFile("graft_cli", ".txt")
