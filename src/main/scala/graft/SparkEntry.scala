@@ -1113,8 +1113,60 @@ object SparkEntry {
         .groupBy(col("win_id"))
         .agg(count(lit(1)).as("n_items"),
           Relational.exactSum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // ── NS text: intra-document REPETITION filter (duplicate-trigram
+    // fraction, the Gopher-style repetitious-text signal corpus-level
+    // dedup can't see). The fixture corpus has near-zero natural
+    // repetition (p99 ≈ 0.018 measured), so docs with doc_id % 7 == 0
+    // get a phrase repeated onto them deterministically — same
+    // injection idiom as q63's PII. Pure scan-time expression ──
+    "q69_repetition_filter" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").withColumn("text2",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(q69RepeatedPhrase)))
+          .otherwise(col("text")))
+      injected
+        .withColumn("frac",
+          text.dupNgramFraction(text.tokens(col("text2")), 3))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("frac") >= 0.1, 1L).otherwise(0L))
+            .as("n_repetitive"),
+          sum(col("frac").cast("decimal(20,6)")).cast("double")
+            .as("sum_frac"))
+    }),
+
+    // ── NS text: per-language PERCENTILE quality threshold — the
+    // relative form of quality filtering ("drop the worst quartile of
+    // each language") used when absolute thresholds don't transfer
+    // across languages. percent_rank inside one window shuffle on the
+    // predicted language; everything else is scan-time ──
+    "q70_quality_percentile" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .withColumn("toks", text.tokens(col("text")))
+      val scored = text.langMarkers.foldLeft(base) {
+        case (d, (l, m)) =>
+          d.withColumn(s"s_$l", text.langScore(col("toks"), m))
+      }
+        .withColumn("predicted", text.predictedFromScores(
+          text.langMarkers.map { case (l, _) => l -> col(s"s_$l") }))
+        .withColumn("q", text.qualityScoreTokens(col("text"), col("toks")))
+      val w = Window.partitionBy(col("predicted"))
+        .orderBy(col("q"), col("doc_id"))
+      scored.withColumn("pr", percent_rank().over(w))
+        .filter(col("pr") >= 0.25)
+        .groupBy(col("predicted"))
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("q")).as("min_q"),
+          sum(size(col("toks")).cast("long")).as("kept_tokens"))
     })
   )
+
+  /** q69's injected repetition (driver-side literal, mirrored into the
+    * oracle SQL verbatim — the corpus has near-zero natural trigram
+    * repetition, so the signal needs deterministic positives). */
+  private val q69RepeatedPhrase: String = " the quick brown fox" * 4
 
   /** q67's hot-key planning statistic (driver-side literal, mirrored
     * conceptually by the oracle's plain join — hotness affects only
@@ -2020,7 +2072,67 @@ object SparkEntry {
           |FROM wins JOIN lineitem
           |  ON epoch_ms(l_shipdate) >= win_start
           | AND epoch_ms(l_shipdate) <= win_end
-          |GROUP BY win_id""".stripMargin
+          |GROUP BY win_id""".stripMargin,
+
+      "q69_repetition_filter" ->
+        s"""WITH inj AS (
+           |  SELECT doc_id, source,
+           |    CASE WHEN doc_id % 7 = 0 THEN text || '$q69RepeatedPhrase'
+           |         ELSE text END AS text2
+           |  FROM documents),
+           |t0 AS (SELECT doc_id, source, ${sqlTokensOf("text2")} AS toks
+           |       FROM inj),
+           |f AS (
+           |  SELECT doc_id, source,
+           |    CASE WHEN len(toks) - 2 <= 0 THEN 0.0
+           |      ELSE round(1.0 - CAST(len(${sqlShingles(3)}) AS DOUBLE) /
+           |        CAST(len(toks) - 2 AS DOUBLE), 6) END AS frac
+           |  FROM t0)
+           |SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(CASE WHEN frac >= 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_repetitive,
+           |  CAST(SUM(CAST(frac AS DECIMAL(20,6))) AS DOUBLE) AS sum_frac
+           |FROM f GROUP BY source""".stripMargin,
+
+      "q70_quality_percentile" -> {
+        val markers = text.langMarkers
+        def score(m: Seq[String]) =
+          s"len(list_filter(toks, x -> x IN (${m.map(w => s"'$w'").mkString(",")})))"
+        val scores = markers.map { case (l, m) => s"${score(m)} AS s_$l" }
+        val langs = markers.map(_._1)
+        val whens = langs.map { l =>
+          val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o")
+            .mkString(" AND ")
+          s"WHEN $conds THEN '$l'"
+        }
+        val stops = text.stopwordsEn.map(w => s"'$w'").mkString(",")
+        s"""WITH t0 AS (
+           |  SELECT doc_id, text, $sqlTokens AS toks FROM documents),
+           |sc AS (
+           |  SELECT doc_id, toks, len(toks) AS n_tok,
+           |    CASE WHEN len(toks) = 0 THEN 0.0
+           |      ELSE CAST(len(list_filter(toks, x -> x IN ($stops)))
+           |        AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS stop_ratio,
+           |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+           |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
+           |    ${scores.mkString(", ")}
+           |  FROM t0),
+           |b AS (
+           |  SELECT doc_id, toks,
+           |    round((least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) +
+           |      least(stop_ratio * 10.0, 1.0) +
+           |      greatest(1.0 - punct_ratio * 10.0, 0.0)) / 3.0, 6) AS q,
+           |    CASE ${whens.mkString(" ")} ELSE '${langs.last}' END AS predicted
+           |  FROM sc),
+           |r AS (
+           |  SELECT predicted, q, len(toks) AS n_tokens,
+           |    percent_rank() OVER (PARTITION BY predicted
+           |      ORDER BY q, doc_id) AS pr
+           |  FROM b)
+           |SELECT predicted, COUNT(*) AS n_kept, MIN(q) AS min_q,
+           |  CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
+           |FROM r WHERE pr >= 0.25 GROUP BY predicted""".stripMargin
+      }
     )
   }
 }

@@ -115,6 +115,22 @@ object text {
 
   def qualityScore(c: Column): Column = qualityScoreTokens(c, tokens(c))
 
+  /** Duplicate-n-gram fraction over a precomputed token array — the
+    * Gopher-style intra-document repetition signal (Rae et al. 2021,
+    * "repetitious text" filters): 1 − distinct n-grams / total
+    * n-grams, in [0, 1). A document that repeats a phrase over and
+    * over scores high even when it duplicates nothing across the
+    * corpus, which is exactly the failure mode corpus-level dedup
+    * can't see. Pure per-row expression — zero shuffle, scan-time at
+    * any scale. Documents with fewer than n tokens score 0.0.
+    * Rounded to 6 decimals so the DuckDB mirror hash-matches. */
+  def dupNgramFraction(toks: Column, n: Int): Column = {
+    val total = (size(toks) - (n - 1)).cast("double")
+    when(total <= 0.0, lit(0.0))
+      .otherwise(round(
+        lit(1.0) - size(wordShingles(toks, n)).cast("double") / total, 6))
+  }
+
   /** Language marker words. The fixture corpus is synthetic (shared
     * vocabulary), so this is graded on determinism, not accuracy:
     * the same scoring runs in the DuckDB oracle. */

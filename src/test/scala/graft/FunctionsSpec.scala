@@ -137,6 +137,24 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec with Matchers {
       (row.getDouble(1) * math.sqrt(1 + 0.25 + 4))
   }
 
+  test("dupNgramFraction: repetition scores high, short/empty docs score zero") {
+    import spark.implicits._
+    val fracs = Seq(
+      "",                       // no tokens
+      "a b",                    // fewer than n tokens
+      "a b c",                  // exactly one trigram, trivially distinct
+      "x y z x y z x y z",      // 7 trigrams, 3 distinct -> 1 - 3/7
+      "u v w a b c d e f")      // all distinct -> 0
+      .toDF("text")
+      .select(text.dupNgramFraction(text.tokens(col("text")), 3))
+      .as[Double].collect()
+    fracs(0) shouldBe 0.0
+    fracs(1) shouldBe 0.0
+    fracs(2) shouldBe 0.0
+    fracs(3) shouldBe math.rint((1.0 - 3.0 / 7.0) * 1e6) / 1e6 +- 1e-9
+    fracs(4) shouldBe 0.0
+  }
+
   test("docFingerprint is order-sensitive and deterministic") {
     import spark.implicits._
     val fps = Seq("alpha beta", "beta alpha", "alpha beta").toDF("text")
