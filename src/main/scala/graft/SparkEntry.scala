@@ -1160,6 +1160,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"),
           min(col("q")).as("min_q"),
           sum(size(col("toks")).cast("long")).as("kept_tokens"))
+    }),
+
+    // ── NS corpus prep: NEAR-dup benchmark decontamination — the
+    // fuzzy complement of q64's exact shingle intersect: drop corpus
+    // docs whose bigram Jaccard vs ANY eval doc (source src7 stands
+    // in for the benchmark) reaches 0.5, catching paraphrased leakage.
+    // Eval side broadcast; only the bounded candidate aggregate
+    // shuffles ──
+    "q71_neardup_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val flagged = Dedup.flagNearDupAgainst(
+        docs.filter(col("source") =!= "src7"),
+        docs.filter(col("source") === "src7"),
+        "doc_id", "text", n = 2, threshold = 0.5)
+      flagged
+        .withColumn("n_tokens", text.tokenCount(col("text")).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("contaminated_neardup"), 1L).otherwise(0L))
+            .as("n_near"),
+          sum(when(!col("contaminated_neardup"), col("n_tokens"))
+            .otherwise(0L)).as("kept_tokens"))
     })
   )
 
@@ -2132,7 +2154,28 @@ object SparkEntry {
            |SELECT predicted, COUNT(*) AS n_kept, MIN(q) AS min_q,
            |  CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
            |FROM r WHERE pr >= 0.25 GROUP BY predicted""".stripMargin
-      }
+      },
+
+      "q71_neardup_decontaminate" ->
+        s"""WITH sh AS (
+           |  SELECT doc_id, source, len(toks) AS n_tokens,
+           |    ${sqlShingles(2)} AS s
+           |  FROM (SELECT doc_id, source, $sqlTokens AS toks
+           |        FROM documents)),
+           |e AS (SELECT s FROM sh WHERE source = 'src7'),
+           |c AS (SELECT * FROM sh WHERE source <> 'src7'),
+           |hit AS (
+           |  SELECT DISTINCT c.doc_id FROM c JOIN e ON
+           |    CAST(len(list_intersect(c.s, e.s)) AS DOUBLE) /
+           |    CAST(len(c.s) + len(e.s) - len(list_intersect(c.s, e.s))
+           |      AS DOUBLE) >= 0.5)
+           |SELECT c.source, COUNT(*) AS n_docs,
+           |  CAST(SUM(CASE WHEN hit.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_near,
+           |  CAST(SUM(CASE WHEN hit.doc_id IS NULL THEN n_tokens ELSE 0 END)
+           |    AS BIGINT) AS kept_tokens
+           |FROM c LEFT JOIN hit ON c.doc_id = hit.doc_id
+           |GROUP BY c.source""".stripMargin
     )
   }
 }

@@ -635,4 +635,49 @@ object Dedup {
       .withColumn("contaminated", coalesce(col("_hit"), lit(false)))
       .drop("_cid", "_hit")
   }
+
+  /** NEAR-duplicate decontamination — the fuzzy complement of
+    * [[flagContaminated]]: flag corpus documents whose word-n-gram
+    * Jaccard similarity with ANY eval-set document reaches
+    * `threshold`, catching paraphrased/reformatted benchmark leakage
+    * an exact shingle intersect misses. Returns the corpus plus a
+    * `contaminated_neardup` flag.
+    *
+    * Shape for scale: the eval side is explicitly `broadcast()` (eval
+    * sets are thousands of rows; corpora are billions), so the
+    * shingle-match join is shuffle-free over the corpus scan; the only
+    * shuffle is the (corpus doc, eval doc) candidate aggregate, whose
+    * size is bounded by matching pairs — never an all-pairs join. The
+    * Jaccard is EXACT: distinct shingles on both sides, intersection
+    * counted by equi-join, |A∪B| from the two set sizes. A corpus doc
+    * sharing no shingle with any eval doc never leaves its scan
+    * partition. An empty eval set flags nothing (vacuous-truth
+    * semantics — callers wanting a loud contract should assert their
+    * eval set is non-empty upstream). */
+  def flagNearDupAgainst(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1]: $threshold")
+    val cx = corpus.select(col(idCol).as("_cid"),
+      text.wordShinglesFast(col(textCol), n).as("_sh"))
+      .withColumn("_csz", size(col("_sh")))
+      .select(col("_cid"), col("_csz"), explode(col("_sh")).as("_s"))
+    val ex = evalSet.select(col(idCol).as("_eid"),
+      text.wordShinglesFast(col(textCol), n).as("_sh"))
+      .withColumn("_esz", size(col("_sh")))
+      .select(col("_eid"), col("_esz"), explode(col("_sh")).as("_s"))
+    val hits = cx.join(broadcast(ex), Seq("_s"))
+      .groupBy(col("_cid"), col("_eid"), col("_csz"), col("_esz"))
+      .agg(count(lit(1)).as("_inter"))
+      .filter(col("_inter").cast("double") /
+        (col("_csz") + col("_esz") - col("_inter")).cast("double")
+        >= threshold)
+      .select(col("_cid")).distinct()
+      .withColumn("_hit", lit(true))
+    corpus
+      .join(hits, corpus(idCol) === hits("_cid"), "left")
+      .withColumn("contaminated_neardup", coalesce(col("_hit"), lit(false)))
+      .drop("_cid", "_hit")
+  }
 }

@@ -210,4 +210,26 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
       .select(Dedup.hamming64(col("a"), col("b")))
       .as[Int].head() shouldBe 4
   }
+
+  test("flagNearDupAgainst flags exactly the threshold-crossing corpus docs") {
+    import spark.implicits._
+    // eval bigrams {a b, b c, c d, d e}; corpus jaccards vs it:
+    // 1 → 1.0 (identical), 2 → 2/6, 4 → 2/5, 3 → 0 (disjoint)
+    val corpus = Seq(
+      (1L, "a b c d e"), (2L, "a b c x y"),
+      (3L, "p q r s"), (4L, "c d e f")).toDF("doc_id", "text")
+    val evalSet = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    def flags(th: Double): Map[Long, Boolean] =
+      Dedup.flagNearDupAgainst(corpus, evalSet, "doc_id", "text", 2, th)
+        .select("doc_id", "contaminated_neardup")
+        .as[(Long, Boolean)].collect().toMap
+    flags(0.5) shouldBe Map(1L -> true, 2L -> false, 3L -> false, 4L -> false)
+    flags(0.3) shouldBe Map(1L -> true, 2L -> true, 3L -> false, 4L -> true)
+    // an empty eval set flags nothing (vacuous truth, documented)
+    val none = Dedup.flagNearDupAgainst(
+      corpus, evalSet.filter(col("doc_id") < 0), "doc_id", "text", 2, 0.5)
+      .select("doc_id", "contaminated_neardup")
+      .as[(Long, Boolean)].collect().toMap
+    none.values.toSet shouldBe Set(false)
+  }
 }
