@@ -1162,6 +1162,36 @@ object SparkEntry {
           sum(size(col("toks")).cast("long")).as("kept_tokens"))
     }),
 
+    // ── NS corpus prep: TOKEN-BUDGET MIXTURE sampling — the "data
+    // mixing" step: given target mixture weights and a total token
+    // budget, derive each source's sampling rate r = min(1, B·w/T)
+    // from its token total and sample deterministically at that rate.
+    // Fully declarative: the per-source totals are a tiny map-side-
+    // combined aggregate joined BACK by broadcast — no collect, no
+    // driver-side rate table, and the corpus itself never shuffles ──
+    "q72_budget_mixture" -> ((s, dir) => {
+      val budget = 5000.0 // tokens
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tokens", text.tokenCount(col("text")).cast("long"))
+      val totals = docs.groupBy(col("source"))
+        .agg(sum(col("n_tokens")).as("src_tokens"))
+      val w = q72Weights.foldLeft(lit(0.0)) { case (els, (k, v)) =>
+        when(col("source") === k, lit(v)).otherwise(els)
+      }
+      val rates = totals.withColumn("rate",
+        least(lit(1.0),
+          lit(budget) * w / col("src_tokens").cast("double")))
+      val h = hashes.md5Hash60(
+        concat(lit("mix-"), col("doc_id").cast("string")))
+      docs.join(broadcast(rates), Seq("source"))
+        .filter(pmod(h, lit(1000L)) <
+          floor(col("rate") * 1000.0).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tokens")).as("kept_tokens"),
+          round(max(col("rate")), 6).as("rate"))
+    }),
+
     // ── NS corpus prep: NEAR-dup benchmark decontamination — the
     // fuzzy complement of q64's exact shingle intersect: drop corpus
     // docs whose bigram Jaccard vs ANY eval doc (source src7 stands
@@ -1203,6 +1233,14 @@ object SparkEntry {
   /** q65's per-source mixing rates (strata absent keep everything). */
   private val mixRates: Map[String, Double] =
     Map("src0" -> 0.2, "src5" -> 0.5, "src10" -> 0.75, "src15" -> 0.0)
+
+  /** q72's target mixture weights (driver-side literal, mirrored into
+    * the oracle SQL; sources absent here get weight 0 → dropped). The
+    * budget (5000) is sized so src0's ideal share exceeds its supply
+    * (rate clamps to 1.0) while the others stay fractional — both
+    * branches of min(1, B·w/T) execute. */
+  private val q72Weights: Map[String, Double] =
+    Map("src0" -> 0.4, "src3" -> 0.3, "src7" -> 0.2, "src12" -> 0.1)
 
   /** DuckDB mirror of Dedup.ngramJaccardPairs (bigrams) at the given
     * threshold — also the oracle for the MinHash+rescore path, whose
@@ -2175,7 +2213,33 @@ object SparkEntry {
            |  CAST(SUM(CASE WHEN hit.doc_id IS NULL THEN n_tokens ELSE 0 END)
            |    AS BIGINT) AS kept_tokens
            |FROM c LEFT JOIN hit ON c.doc_id = hit.doc_id
-           |GROUP BY c.source""".stripMargin
+           |GROUP BY c.source""".stripMargin,
+
+      "q72_budget_mixture" -> {
+        val wCase = "CASE " + q72Weights.toSeq.sortBy(_._1).map {
+          case (k, v) => s"WHEN source = '$k' THEN $v"
+        }.mkString(" ") + " ELSE 0.0 END"
+        s"""WITH toks AS (
+           |  SELECT doc_id, source, len($sqlTokens) AS n_tokens
+           |  FROM documents),
+           |tot AS (
+           |  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+           |  FROM toks GROUP BY source),
+           |r AS (
+           |  SELECT source,
+           |    least(1.0, 5000.0 * ($wCase) / CAST(src_tokens AS DOUBLE))
+           |      AS rate
+           |  FROM tot),
+           |k AS (
+           |  SELECT t.source, t.n_tokens, r.rate FROM toks t
+           |  JOIN r ON t.source = r.source
+           |  WHERE ${hashes.md5Hash60Sql("'mix-' || CAST(doc_id AS VARCHAR)")}
+           |    % 1000 < CAST(floor(rate * 1000) AS BIGINT))
+           |SELECT source, COUNT(*) AS n_kept,
+           |  CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+           |  round(MAX(rate), 6) AS rate
+           |FROM k GROUP BY source""".stripMargin
+      }
     )
   }
 }
