@@ -27,7 +27,7 @@ object Explain {
     // instead; skip them here and say so.
     val streaming = Set(
       "q45_streaming_buckets", "q51_streaming_append",
-      "q56_streaming_sessions")
+      "q56_streaming_sessions", "q73_streaming_dedup")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         if (streaming(name)) {

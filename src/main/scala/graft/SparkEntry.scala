@@ -10,6 +10,7 @@ import graft.gen.Generator
 import graft.operators.{Dedup, Multimodal, Relational, Similarity}
 import graft.replay.Replay
 import graft.sources.{Bucketing, SnapshotIO}
+import graft.streaming.Streams
 
 /** Driver contract: the full query surface of the engine, one entry
   * per operator from SURVEY.md §2, each with a DuckDB oracle where
@@ -1212,8 +1213,69 @@ object SparkEntry {
             .as("n_near"),
           sum(when(!col("contaminated_neardup"), col("n_tokens"))
             .otherwise(0L)).as("kept_tokens"))
-    })
+    }),
+
+    // ── T8 executed for real: STREAMING DEDUP via
+    // dropDuplicatesWithinWatermark — the bounded-state ingest dedup
+    // (dedup state is held only `delay` past the event-time frontier,
+    // so it cannot grow unboundedly at 100 TB/day). Events with
+    // event_id % 10 == 0 are injected twice into the stream; the
+    // operator must restore exactly-once, which the plain per-type
+    // aggregate oracle verifies (a missed dup doubles n AND
+    // sum_value) ──
+    "q73_streaming_dedup" -> ((s, dir) => {
+      val deduped = runEventsStream(s, dir, "q73_mem", "append",
+        timestamp_micros(expr("ts div 1000")),
+        df => Streams.dedupWithinWatermark(
+          df.withColumn("_rep",
+            explode(when(col("event_id") % 10 === 0,
+              array(lit(1), lit(2))).otherwise(array(lit(1)))))
+            .drop("_rep"),
+          "ts", Seq("event_id"), "1 hour")
+          .select(col("event_id"), col("event_type"), col("value")))
+      deduped.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          exactSum(col("value")).as("sum_value"))
+    }),
+
+    // ── NS corpus prep: INCREMENTAL-INGEST exact dedup — the
+    // every-new-crawl step: drop batch docs already in the corpus by
+    // content hash. The batch here is src18/src19 plus a simulated
+    // re-crawl (corpus docs re-arriving under NEW ids), which the
+    // anti-join must drop entirely: a missed duplicate surfaces as an
+    // extra source row in the output and fails the hash compare ──
+    "q74_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val newSrc = Seq("src18", "src19")
+      val corpus = docs.filter(!col("source").isin(newSrc: _*))
+      val recrawl = corpus.filter(col("doc_id") % 37 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+      val batch = docs.filter(col("source").isin(newSrc: _*))
+        .unionByName(recrawl)
+      Dedup.incrementalDedup(batch, corpus, "text")
+        .withColumn("n_tokens", text.tokenCount(col("text")).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_new"),
+          sum(col("n_tokens")).as("new_tokens"))
+    }),
+
+    // ── PIVOT (wide reshape) with an EXPLICIT value list — the
+    // scale-correct form: pivot without values runs a distinct
+    // collect over the whole column at plan time; with values the
+    // reshape is one ordinary hash aggregate ──
+    "q75_pivot_events" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("day_ms", unix_millis(date_trunc("day", col("ts"))))
+        .groupBy(col("day_ms"))
+        .pivot("event_type", eventTypes)
+        .agg(count(lit(1)))
+        .na.fill(0L, eventTypes))
   )
+
+  /** The fixture's closed event-type vocabulary (driver-side literal:
+    * pivot columns and the oracle's CASE sums must agree on it). */
+  private val eventTypes: Seq[String] =
+    Seq("click", "error", "purchase", "signup", "view")
 
   /** q69's injected repetition (driver-side literal, mirrored into the
     * oracle SQL verbatim — the corpus has near-zero natural trigram
@@ -2239,6 +2301,37 @@ object SparkEntry {
            |  CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
            |  round(MAX(rate), 6) AS rate
            |FROM k GROUP BY source""".stripMargin
+      },
+
+      // dedup must restore exactly-once after the x2 injection, so the
+      // oracle is the PLAIN per-type aggregate of the raw events
+      "q73_streaming_dedup" ->
+        s"""SELECT event_type, COUNT(*) AS n, ${dec("value")} AS sum_value
+           |FROM events GROUP BY event_type""".stripMargin,
+
+      "q74_incremental_dedup" ->
+        s"""WITH corpus AS (
+           |  SELECT * FROM documents
+           |  WHERE source NOT IN ('src18', 'src19')),
+           |batch AS (
+           |  SELECT doc_id, text, source FROM documents
+           |  WHERE source IN ('src18', 'src19')
+           |  UNION ALL
+           |  SELECT doc_id + 100000 AS doc_id, text, source
+           |  FROM corpus WHERE doc_id % 37 = 0),
+           |kept AS (
+           |  SELECT * FROM batch b WHERE NOT EXISTS (
+           |    SELECT 1 FROM corpus c WHERE md5(c.text) = md5(b.text)))
+           |SELECT source, COUNT(*) AS n_new,
+           |  CAST(SUM(len($sqlTokens)) AS BIGINT) AS new_tokens
+           |FROM kept GROUP BY source""".stripMargin,
+
+      "q75_pivot_events" -> {
+        val cols = eventTypes.map(t =>
+          s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS \"$t\"")
+        s"""SELECT epoch_ms(date_trunc('day', ts)) AS day_ms,
+           |  ${cols.mkString(",\n  ")}
+           |FROM events GROUP BY 1""".stripMargin
       }
     )
   }

@@ -680,4 +680,27 @@ object Dedup {
       .withColumn("contaminated_neardup", coalesce(col("_hit"), lit(false)))
       .drop("_cid", "_hit")
   }
+
+  /** Incremental-ingest exact dedup: keep only batch documents whose
+    * content is absent from the already-ingested corpus — the
+    * every-new-crawl step of a continuously growing training corpus
+    * (re-crawled pages arrive with new ids but identical bodies).
+    *
+    * Anti-joins on md5(content), NOT the content itself, so the
+    * corpus side shuffles 16-byte digests instead of document bodies
+    * — at 100 TB the corpus-side shuffle is metadata-sized, and the
+    * (small) new batch is the only side carrying text. md5 is a
+    * deliberate exactness trade: a collision silently drops one new
+    * document, at ~2⁻⁶⁴ birthday odds even for 10¹⁰-doc corpora —
+    * the industry-standard contract for content-hash dedup (an
+    * actually-exact variant would re-verify candidate hash matches
+    * against the corpus text store). The DuckDB oracle applies the
+    * identical md5 anti-join. */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame,
+      textCol: String): DataFrame = {
+    val seen = corpus
+      .select(md5(col(textCol).cast("binary")).as("_seen_h")).distinct()
+    batch.join(seen,
+      md5(col(textCol).cast("binary")) === col("_seen_h"), "left_anti")
+  }
 }

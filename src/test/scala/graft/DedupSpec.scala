@@ -211,6 +211,21 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
       .as[Int].head() shouldBe 4
   }
 
+  test("incrementalDedup keeps only content absent from the corpus") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "brand new doc"),       // genuinely new
+      (11L, "alpha beta gamma"),    // re-crawl under a new id
+      (12L, "delta"),               // re-crawl
+      (13L, "brand new doc"))       // intra-batch dup of 10 survives
+      .toDF("doc_id", "text")       // (incremental op dedups vs CORPUS)
+    val kept = Dedup.incrementalDedup(batch, corpus, "text")
+      .select("doc_id").as[Long].collect().toSet
+    kept shouldBe Set(10L, 13L)
+  }
+
   test("flagNearDupAgainst flags exactly the threshold-crossing corpus docs") {
     import spark.implicits._
     // eval bigrams {a b, b c, c d, d e}; corpus jaccards vs it:
