@@ -9,7 +9,7 @@ import graft.functions.{codec, hashes, text, vectors}
 import graft.gen.Generator
 import graft.operators.{Dedup, Multimodal, Relational, Similarity}
 import graft.replay.Replay
-import graft.sources.{Bucketing, SnapshotIO}
+import graft.sources.{Bucketing, Layout, SnapshotIO}
 import graft.streaming.Streams
 
 /** Driver contract: the full query surface of the engine, one entry
@@ -1269,7 +1269,28 @@ object SparkEntry {
         .groupBy(col("day_ms"))
         .pivot("event_type", eventTypes)
         .agg(count(lit(1)))
-        .na.fill(0L, eventTypes))
+        .na.fill(0L, eventTypes)),
+
+    // ── RANGE-CLUSTERED layout through the gate: write lineitem
+    // clustered on l_shipdate (each file gets a tight non-overlapping
+    // span → parquet min/max stats prune whole files), then answer a
+    // date-range query from the clustered copy. The oracle reads the
+    // RAW table: layout must be invisible in the result. The written
+    // copy stays in the session temp dir — its result is consumed
+    // before any cleanup could touch it (the q58 lesson) ──
+    "q76_clustered_scan" -> ((s, dir) => {
+      val scratch = sys.props("java.io.tmpdir") + "/graft_q76_lineitem"
+      Layout.clusteredWrite(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"), col("l_shipdate")),
+        scratch, numFiles = 16, col("l_shipdate"))
+      s.read.parquet(scratch)
+        .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-01-01").cast("timestamp"))
+        .agg(count(lit(1)).as("n_items"),
+          Relational.exactSum(col("l_quantity")).as("sum_qty"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+    })
   )
 
   /** The fixture's closed event-type vocabulary (driver-side literal:
@@ -2332,7 +2353,15 @@ object SparkEntry {
         s"""SELECT epoch_ms(date_trunc('day', ts)) AS day_ms,
            |  ${cols.mkString(",\n  ")}
            |FROM events GROUP BY 1""".stripMargin
-      }
+      },
+
+      "q76_clustered_scan" ->
+        """SELECT COUNT(*) AS n_items,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+          |  COUNT(DISTINCT l_orderkey) AS n_orders
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+          |  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'""".stripMargin
     )
   }
 }
