@@ -13,8 +13,12 @@ import org.apache.spark.sql.types.IntegerType
   * codegen'd kernel. [[GraftExtensions.register]] does the same
   * imperatively on an already-running session. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // optimizer rule: intersection-count overlap tests short-circuit
+    // as arrays_overlap (see IntersectNonEmptyToOverlap)
+    ext.injectOptimizerRule(_ => IntersectNonEmptyToOverlap)
+  }
 }
 
 object GraftExtensions {
