@@ -79,22 +79,24 @@ object Bench {
     // and make the JSON line unparseable
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results
+    def jsonObj(m: Iterable[(String, Double)]): String = m
       .map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
+    val qs = jsonObj(results)
     val total = results.map(_._2).sum
     // a fast-failing query must not read as a speedup: failures are
     // carried in the JSON, not just buried in stderr
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    def map(m: scala.collection.Map[String, Double]): String = m
-      .map { case (k, v) => "\"" + k + "\":" + num(v) }
-      .mkString("{", ",", "}")
+    // -1.0 is the per-query "CPU time unavailable" sentinel: propagate
+    // it rather than summing it into a nonsense negative total
+    val cpuTotal =
+      if (cpuSec.values.exists(_ < 0)) -1.0 else cpuSec.values.sum
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
         s""""queries":$qs,"failed":$failedJson,""" +
-        s""""gc_sec":${map(gcSec)},"cpu_sec":${map(cpuSec)},""" +
+        s""""gc_sec":${jsonObj(gcSec)},"cpu_sec":${jsonObj(cpuSec)},""" +
         s""""gc_total":${num(gcSec.values.sum)},""" +
-        s""""cpu_total":${num(cpuSec.values.sum)},"sf":"$sfDir"}"""
+        s""""cpu_total":${num(cpuTotal)},"sf":"$sfDir"}"""
     println(line)
     // also write the bare JSON line to a file: the stdout copy drowns
     // in sbt/log4j decoration and the driver failed to parse it (r01)

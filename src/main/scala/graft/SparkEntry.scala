@@ -1276,10 +1276,12 @@ object SparkEntry {
     // span → parquet min/max stats prune whole files), then answer a
     // date-range query from the clustered copy. The oracle reads the
     // RAW table: layout must be invisible in the result. The written
-    // copy stays in the session temp dir — its result is consumed
-    // before any cleanup could touch it (the q58 lesson) ──
+    // copy goes to a PER-CALL unique temp dir (a fixed path would race
+    // a concurrent Verify/Bench process's Overwrite mid-scan) and is
+    // consumed before any cleanup could touch it (the q58 lesson) ──
     "q76_clustered_scan" -> ((s, dir) => {
-      val scratch = sys.props("java.io.tmpdir") + "/graft_q76_lineitem"
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft_q76_").toString + "/lineitem"
       Layout.clusteredWrite(
         t(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_quantity"), col("l_shipdate")),

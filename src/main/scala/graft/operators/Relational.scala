@@ -154,11 +154,21 @@ object Relational {
       pointCol: String, startCol: String, endCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
-    // exact floor-division bucket id ((x - x mod w) / w is exact in
-    // double because the division has no remainder; pmod keeps it
-    // correct for negative axis values too)
-    def cell(c: Column): Column =
-      ((c - pmod(c, lit(bucketWidth))) / lit(bucketWidth)).cast("long")
+    // exact floor-division bucket id in INTEGRAL arithmetic
+    // (IntegralDivide, i.e. SQL `div`) — Column./ on longs is double
+    // division, whose long→double cast loses low bits above 2^53 and
+    // can bucket a point one cell away from its interval (silently
+    // dropping the match: the re-filter only removes false
+    // POSITIVES). Raw nanosecond epochs (~1.7e18) sit squarely in
+    // that range. Subtracting pmod first makes the quotient exact and
+    // keeps floor semantics for negative axis values.
+    def cell(c: Column): Column = {
+      import org.apache.spark.sql.graft.Bridge
+      import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+      Bridge.column(IntegralDivide(
+        Bridge.expression(c - pmod(c, lit(bucketWidth))),
+        Bridge.expression(lit(bucketWidth))))
+    }
     val p = points.withColumn("_gcell", cell(col(pointCol)))
     val i = intervals.withColumn("_gcell",
       explode(sequence(cell(col(startCol)), cell(col(endCol)))))

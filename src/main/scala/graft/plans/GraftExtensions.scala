@@ -44,9 +44,16 @@ object GraftExtensions {
         TopKAgg(children.head, children(1), k)
       }))
 
-  /** Imperative registration into an existing session. */
-  def register(spark: SparkSession): Unit =
+  /** Imperative registration into an existing session — functions AND
+    * the optimizer rule (via experimental.extraOptimizations, the
+    * post-hoc seam; already-registered rules are not re-added), so
+    * both setup paths yield the same session behavior. */
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(IntersectNonEmptyToOverlap))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ IntersectNonEmptyToOverlap
+  }
 }

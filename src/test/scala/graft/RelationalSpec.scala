@@ -129,6 +129,23 @@ class RelationalSpec extends AnyFunSuite with SparkSpec with Matchers {
     naive.map(_._1) should not contain 5L
   }
 
+  test("rangeJoin buckets exactly above 2^53 (integral division, not double)") {
+    import spark.implicits._
+    // w and p chosen so double arithmetic buckets p into cell 472447
+    // while the true cell is 472448 = p div w — the long->double cast
+    // loses p's low bits (p ≈ 1.7e18 > 2^53). With the old double
+    // division this match was silently dropped.
+    val w = 3599999999999L
+    val p = 1700812799999527552L
+    (p - (p % w)) / w shouldBe 472448L // scala long div = the truth
+    (p.toDouble / w.toDouble).toLong shouldBe 472447L // the double trap
+    val pts = Seq((p, "big")).toDF("pt", "pname")
+    val ivs = Seq((1L, p - 10L, p + 10L)).toDF("iv_id", "lo", "hi")
+    Relational.rangeJoin(pts, ivs, "pt", "lo", "hi", w)
+      .select("iv_id", "pt").as[(Long, Long)].collect().toSet shouldBe
+      Set((1L, p))
+  }
+
   test("readCliLines numbers a CLI output file and feeds parseCliTable") {
     import spark.implicits._
     val f = java.nio.file.Files.createTempFile("graft_cli", ".txt")
