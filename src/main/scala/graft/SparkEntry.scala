@@ -1292,7 +1292,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"),
           Relational.exactSum(col("l_quantity")).as("sum_qty"),
           countDistinct(col("l_orderkey")).as("n_orders"))
-    })
+    }),
+
+    // ── GROUPING SETS — the general form between rollup (q08) and
+    // cube (q49): exactly the requested grain combinations, one
+    // Expand of factor |sets| (here 3, vs cube's 4) → partial agg →
+    // one shuffle ──
+    "q77_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          Relational.exactSum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("sum_qty")))
   )
 
   /** The fixture's closed event-type vocabulary (driver-side literal:
@@ -2363,7 +2380,14 @@ object SparkEntry {
           |  COUNT(DISTINCT l_orderkey) AS n_orders
           |FROM lineitem
           |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
-          |  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'""".stripMargin
+          |  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'""".stripMargin,
+
+      "q77_grouping_sets" ->
+        s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+           |  COUNT(*) AS n, ${dec("l_quantity")} AS sum_qty
+           |FROM lineitem GROUP BY GROUPING SETS (
+           |  (l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin
     )
   }
 }

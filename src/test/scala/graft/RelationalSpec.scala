@@ -108,6 +108,26 @@ class RelationalSpec extends AnyFunSuite with SparkSpec with Matchers {
     cells should be > 1L
   }
 
+  test("skewedJoin plans a shuffled join keyed on (key, salt cell) when broadcast is off") {
+    import spark.implicits._
+    val fact = (1 to 50).map(i => (7L, i.toLong)).toDF("fk", "row_id")
+    val dim = Seq((7L, "hot"), (8L, "cold")).toDF("dk", "label")
+    val conf = spark.conf
+    val old = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val out = Relational.skewedJoin(fact, dim, "fk", "dk",
+        factId = col("row_id"), hotKeys = Seq(7L), salt = 4)
+      val plan = out.queryExecution.executedPlan.toString
+      // the join must be a shuffled one whose keys include the salt
+      // cell — that is the property that spreads a hot key at scale
+      plan should include("SortMergeJoin")
+      plan should include("_gsalt")
+      plan should not include "BroadcastHashJoin"
+      out.count() shouldBe 50L
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("rangeJoin equals the naive theta join across cell boundaries") {
     import spark.implicits._
     // intervals chosen to cover: inside one cell, spanning cells,
