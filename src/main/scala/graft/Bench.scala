@@ -51,6 +51,24 @@ object Bench {
     }
     val gcSec = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val cpuSec = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // Fixed single-thread CPU probe (xorshift64*, 2e8 steps): a pure
+    // machine-speed number, identical work every run. When the box is
+    // healthy it is ~0.2-0.4 s; under the host-contention episodes
+    // that inflated the r4 driver run (and one r5 local run) it
+    // inflates proportionally — so a slow bench JSON carries its own
+    // exculpatory (or damning) evidence. Run before AND after: an
+    // episode that starts mid-run shows up in the delta.
+    def calibrate(): Double = {
+      var x = 0x9E3779B97F4A7C15L; var i = 0
+      val t0 = System.nanoTime()
+      while (i < 200000000) {
+        x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27; i += 1
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (x == 42L) println("") // defeat dead-code elimination
+      dt
+    }
+    val calibStart = calibrate()
     val results = selected.map {
       case (name, fn) =>
         val gc0 = gcMillis(); val cpu0 = cpuNanos()
@@ -91,12 +109,15 @@ object Bench {
     // it rather than summing it into a nonsense negative total
     val cpuTotal =
       if (cpuSec.values.exists(_ < 0)) -1.0 else cpuSec.values.sum
+    val calibEnd = calibrate()
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
         s""""queries":$qs,"failed":$failedJson,""" +
         s""""gc_sec":${jsonObj(gcSec)},"cpu_sec":${jsonObj(cpuSec)},""" +
         s""""gc_total":${num(gcSec.values.sum)},""" +
-        s""""cpu_total":${num(cpuTotal)},"sf":"$sfDir"}"""
+        s""""cpu_total":${num(cpuTotal)},""" +
+        s""""calib_sec":[${num(calibStart)},${num(calibEnd)}],""" +
+        s""""sf":"$sfDir"}"""
     println(line)
     // also write the bare JSON line to a file: the stdout copy drowns
     // in sbt/log4j decoration and the driver failed to parse it (r01)

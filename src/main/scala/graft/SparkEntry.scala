@@ -630,8 +630,18 @@ object SparkEntry {
     }),
 
     // ── A5: CUBE grouping sets (all 4 combinations, vs q08's rollup) ──
+    // the repartition spreads the Expand+partial-agg across cores:
+    // the fixture lineitem is ONE parquet file with ONE row group, so
+    // the scan yields a single split and the whole 4x Expand would run
+    // on one thread (at 100 TB the scan itself provides thousands of
+    // splits and this repartition would be dropped). One cheap narrow
+    // shuffle of the 4-column projection buys 32x map parallelism —
+    // and bounds the damage when a host-contention episode slows
+    // single-thread throughput (see PLANS.md bench context)
     "q49_cube_returns" -> ((s, dir) =>
       t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+        .repartition(32)
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), exactSum(col("l_quantity")).as("sum_qty"))
         .select(
