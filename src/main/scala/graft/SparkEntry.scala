@@ -1319,7 +1319,30 @@ object SparkEntry {
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
-          col("n"), col("sum_qty")))
+          col("n"), col("sum_qty"))),
+
+    // ── NS corpus prep: BLOOM-ACCELERATED incremental dedup — same
+    // md5 anti-join contract as q74 but as a runtime-filter pipeline
+    // (corpus → in-plan Bloom subquery → might_contain prefilter →
+    // broadcast confirm/anti joins): the corpus never shuffles, which
+    // is the shape that survives a 10¹⁰-doc corpus. Batch = src15-17
+    // plus a simulated re-crawl (corpus docs under new ids) that the
+    // dedup must drop entirely; a missed dup fails the hash compare ──
+    "q78_bloom_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val newSrc = Seq("src15", "src16", "src17")
+      val corpus = docs.filter(!col("source").isin(newSrc: _*))
+      val recrawl = corpus.filter(col("doc_id") % 23 === 0)
+        .withColumn("doc_id", col("doc_id") + 200000L)
+      val batch = docs.filter(col("source").isin(newSrc: _*))
+        .unionByName(recrawl)
+      // capacity from table stats at real scale; any fixed size keeps
+      // correctness (undersizing only raises the fp rate)
+      Dedup.incrementalDedupBloom(batch, corpus, "text",
+          expectedItems = 1L << 17)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_new"), min(col("doc_id")).as("min_id"))
+    })
   )
 
   /** The fixture's closed event-type vocabulary (driver-side literal:
@@ -2397,7 +2420,23 @@ object SparkEntry {
            |  COALESCE(l_linestatus, 'ALL') AS linestatus,
            |  COUNT(*) AS n, ${dec("l_quantity")} AS sum_qty
            |FROM lineitem GROUP BY GROUPING SETS (
-           |  (l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin
+           |  (l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
+
+      "q78_bloom_dedup" ->
+        """WITH corpus AS (
+          |  SELECT * FROM documents
+          |  WHERE source NOT IN ('src15', 'src16', 'src17')),
+          |batch AS (
+          |  SELECT doc_id, text, source FROM documents
+          |  WHERE source IN ('src15', 'src16', 'src17')
+          |  UNION ALL
+          |  SELECT doc_id + 200000 AS doc_id, text, source
+          |  FROM corpus WHERE doc_id % 23 = 0),
+          |kept AS (
+          |  SELECT * FROM batch b WHERE NOT EXISTS (
+          |    SELECT 1 FROM corpus c WHERE md5(c.text) = md5(b.text)))
+          |SELECT source, COUNT(*) AS n_new, MIN(doc_id) AS min_id
+          |FROM kept GROUP BY source""".stripMargin
     )
   }
 }

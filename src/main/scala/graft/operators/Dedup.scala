@@ -703,4 +703,70 @@ object Dedup {
     batch.join(seen,
       md5(col(textCol).cast("binary")) === col("_seen_h"), "left_anti")
   }
+
+  /** Bloom-accelerated incremental dedup: semantically identical to
+    * [[incrementalDedup]] (same md5 anti-join contract) but built as
+    * a runtime-filter pipeline so the CORPUS NEVER SHUFFLES — the
+    * shape that survives a 10¹⁰-document corpus where the plain
+    * anti-join would shuffle every corpus digest per ingest batch.
+    *
+    * Plan (scan-only on the corpus, broadcast-only joins):
+    *  1. One corpus scan folds xxhash64(text) into a Bloom sketch via
+    *     Spark's native `BloomFilterAggregate` (the same machinery
+    *     Catalyst's InjectRuntimeFilter uses), attached as a scalar
+    *     subquery — no driver-side collect; partial sketches OR-merge
+    *     to one `numBits`-bit value (~150 KB at fpp=0.01 for 2¹⁷
+    *     items), broadcast by subquery execution.
+    *  2. Batch rows failing `might_contain` are DEFINITELY new
+    *     (Bloom has no false negatives) and bypass all joins.
+    *  3. The maybe-dup remainder — true dups + an fpp fraction of the
+    *     batch, small by construction — broadcasts against a second
+    *     corpus scan (LeftSemi, build side = maybe digests) to confirm
+    *     which digests really exist, then a broadcast anti-join
+    *     removes the confirmed dups. False positives die here, so the
+    *     result is EXACTLY `incrementalDedup`'s (DedupSpec asserts
+    *     equivalence, including under a deliberately overloaded
+    *     1-item-capacity sketch where fpp ≈ 1).
+    *
+    * The batch side is scanned twice (definite-new + maybe branches)
+    * — scans are shuffle-free and cheap next to the corpus-digest
+    * shuffle this shape eliminates; persist `batch` first if it is
+    * expensive to recompute. Size `expectedItems` from corpus table
+    * stats (row count); an undersized sketch only raises the false-
+    * positive rate, never breaks correctness. */
+  def incrementalDedupBloom(batch: DataFrame, corpus: DataFrame,
+      textCol: String, expectedItems: Long,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.Bridge
+    require(expectedItems > 0, s"expectedItems must be > 0: $expectedItems")
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val sketch = Bridge.column(
+      new BloomFilterAggregate(
+        Bridge.expression(xxhash64(col(textCol))),
+        Bridge.expression(lit(expectedItems)),
+        Bridge.expression(lit(numBits))).toAggregateExpression())
+    val bloom = corpus.agg(sketch.as("bf")).scalar()
+    // null only when the corpus is empty (BloomFilterAggregate yields
+    // null for a zero-cardinality sketch) — then nothing is a dup and
+    // the definite-new branch correctly keeps everything
+    val mightBeDup = coalesce(
+      Bridge.column(BloomFilterMightContain(
+        Bridge.expression(bloom),
+        Bridge.expression(xxhash64(col(textCol))))),
+      lit(false))
+    val definiteNew = batch.filter(!mightBeDup)
+    val maybe = batch.filter(mightBeDup)
+    val maybeDigests = maybe
+      .select(md5(col(textCol).cast("binary")).as("_d")).distinct()
+    val confirmed = corpus
+      .select(md5(col(textCol).cast("binary")).as("_seen_h"))
+      .join(broadcast(maybeDigests), col("_seen_h") === col("_d"), "left_semi")
+      .distinct()
+    maybe.join(broadcast(confirmed),
+        md5(col(textCol).cast("binary")) === col("_seen_h"), "left_anti")
+      .unionByName(definiteNew)
+  }
 }

@@ -226,6 +226,48 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
     kept shouldBe Set(10L, 13L)
   }
 
+  test("incrementalDedupBloom equals incrementalDedup, even with an overloaded sketch") {
+    import spark.implicits._
+    val corpusDf = (1L to 400L).map(i => (i, s"corpus document number $i"))
+      .toDF("doc_id", "text")
+    val batch = (
+      (380L to 420L).map(i => (i + 10000L, s"corpus document number $i")) ++
+        Seq((20000L, "entirely fresh content"),
+          (20001L, "entirely fresh content"))) // intra-batch dup survives
+      .toDF("doc_id", "text")
+    val expected = Dedup.incrementalDedup(batch, corpusDf, "text")
+      .select("doc_id").as[Long].collect().toSet
+    expected shouldBe ((401L to 420L).map(_ + 10000L).toSet + 20000L + 20001L)
+    // well-sized sketch and a deliberately overloaded 1-item sketch
+    // (fpp ≈ 1, everything routes through the exact confirm joins)
+    for (cap <- Seq(1L, 1L << 12)) {
+      val kept = Dedup.incrementalDedupBloom(batch, corpusDf, "text", cap)
+        .select("doc_id").as[Long].collect().toSet
+      kept shouldBe expected
+    }
+  }
+
+  test("incrementalDedupBloom never shuffles the corpus: might_contain prefilter + broadcast joins only") {
+    import spark.implicits._
+    val corpusDf = (1L to 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val batch = Seq((200L, "doc 5"), (201L, "new stuff")).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedupBloom(batch, corpusDf, "text", 1L << 10)
+    val plan = out.queryExecution.executedPlan.toString
+    plan should include("might_contain")
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    plan should not include "ShuffledHashJoin"
+    out.select("doc_id").as[Long].collect().toSet shouldBe Set(201L)
+  }
+
+  test("incrementalDedupBloom with an empty corpus keeps the whole batch") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    Dedup.incrementalDedupBloom(batch, empty, "text", 16L)
+      .select("doc_id").as[Long].collect().toSet shouldBe Set(1L, 2L)
+  }
+
   test("flagNearDupAgainst flags exactly the threshold-crossing corpus docs") {
     import spark.implicits._
     // eval bigrams {a b, b c, c d, d e}; corpus jaccards vs it:
