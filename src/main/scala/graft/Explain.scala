@@ -27,7 +27,8 @@ object Explain {
     // instead; skip them here and say so.
     val streaming = Set(
       "q45_streaming_buckets", "q51_streaming_append",
-      "q56_streaming_sessions", "q73_streaming_dedup")
+      "q56_streaming_sessions", "q73_streaming_dedup",
+      "q80_stream_interval_join")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         if (streaming(name)) {

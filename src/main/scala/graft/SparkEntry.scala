@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.catalog.CatalogOps
 import graft.functions.{codec, hashes, text, vectors}
 import graft.gen.Generator
-import graft.operators.{Dedup, Multimodal, Relational, Similarity}
+import graft.operators.{CorpusStats, Dedup, Multimodal, Relational, Similarity}
 import graft.replay.Replay
 import graft.sources.{Bucketing, Layout, SnapshotIO}
 import graft.streaming.Streams
@@ -117,16 +117,19 @@ object SparkEntry {
     * definition of the safety-critical drain logic: on timeout the
     * query is STOPPED before failing, so an orphaned stream cannot
     * keep running micro-batches under later queries. */
-  private def runEventsStream(s: SparkSession, dir: String, name: String,
-      mode: String, tsExpr: Column,
-      build: DataFrame => DataFrame): DataFrame = {
+  private def eventsStream(s: SparkSession, dir: String,
+      tsExpr: Column): DataFrame = {
     Tables(s, dir, "events") // sets the nanos-as-long reader conf
-    val stream = s.readStream
+    s.readStream
       .schema(s.read.parquet(s"$dir/events.parquet").schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .withColumn("ts", tsExpr)
-    val q = build(stream).writeStream.format("memory").queryName(name)
+  }
+
+  private def drainToTable(s: SparkSession, name: String, mode: String,
+      out: DataFrame): DataFrame = {
+    val q = out.writeStream.format("memory").queryName(name)
       .outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -137,6 +140,11 @@ object SparkEntry {
     }
     s.table(name)
   }
+
+  private def runEventsStream(s: SparkSession, dir: String, name: String,
+      mode: String, tsExpr: Column,
+      build: DataFrame => DataFrame): DataFrame =
+    drainToTable(s, name, mode, build(eventsStream(s, dir, tsExpr)))
 
   /** Flagship query (driver smoke-checks rows > 0 on sf0.001): the
     * reference's composed list_topics pipeline — 3-source union →
@@ -1342,6 +1350,55 @@ object SparkEntry {
           expectedItems = 1L << 17)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_new"), min(col("doc_id")).as("min_id"))
+    }),
+
+    // ── NS corpus statistics: rare-token (OOV) scoring against
+    // corpus-wide document frequency — the quality cut that needs a
+    // full-corpus pass, not a scan-time ratio. The fixture's 31-token
+    // shared vocabulary has no naturally rare tokens, so rare markers
+    // are injected deterministically from doc_id (doc_id % 101 spreads
+    // 125 marked docs to df 1-2 at sf0.01 — both sides of the df ≤ 2
+    // boundary are exercised); every aggregate is integer-only ──
+    "q79_rare_tokens" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit(" m"),
+            (col("doc_id") % 101).cast("string")))
+          .otherwise(col("text")))
+      CorpusStats.rareTokenStats(docs, "doc_id", "text", maxDf = 2L)
+        .orderBy(desc("rare_tokens"), desc("distinct_tokens"), col("doc"))
+        .limit(20)
+    }),
+
+    // ── T7: STREAM-STREAM interval join, executed as a real
+    // append-mode run — purchases paired with the same user's clicks
+    // from the preceding 24 h. Both sides carry watermarks and the
+    // join condition bounds both event times, so the symmetric hash
+    // join's state is evictable (the unbounded-state trap at
+    // 100 TB/day is a join with no time bound). Single AvailableNow
+    // drain → the emitted pairs are the complete batch-join answer,
+    // which is exactly what the oracle computes ──
+    "q80_stream_interval_join" -> ((s, dir) => {
+      val tsExpr = timestamp_micros(expr("ts div 1000"))
+      val purchases = eventsStream(s, dir, tsExpr)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"))
+      val clicks = eventsStream(s, dir, tsExpr)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("value").as("c_value"))
+      val joined = Streams.intervalJoin(purchases, clicks,
+        leftKey = "p_user", rightKey = "c_user",
+        leftTsCol = "p_ts", rightTsCol = "c_ts",
+        delay = "1 hour", lookback = "24 HOURS")
+      drainToTable(s, "q80_mem", "append", joined)
+        .groupBy(col("p_user"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("p_id")).as("n_purchases"),
+          Relational.exactSum(col("c_value")).as("click_value"))
+        .select(col("p_user").as("user_id"), col("n_pairs"),
+          col("n_purchases"), col("click_value"))
     })
   )
 
@@ -2436,7 +2493,37 @@ object SparkEntry {
           |  SELECT * FROM batch b WHERE NOT EXISTS (
           |    SELECT 1 FROM corpus c WHERE md5(c.text) = md5(b.text)))
           |SELECT source, COUNT(*) AS n_new, MIN(doc_id) AS min_id
-          |FROM kept GROUP BY source""".stripMargin
+          |FROM kept GROUP BY source""".stripMargin,
+
+      "q79_rare_tokens" ->
+        s"""WITH marked AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 4 = 0
+           |      THEN text || ' m' || CAST(doc_id % 101 AS VARCHAR)
+           |      ELSE text END AS text
+           |  FROM documents),
+           |pairs AS (
+           |  SELECT DISTINCT doc_id AS doc, unnest($sqlTokens) AS tok
+           |  FROM marked),
+           |dfs AS (
+           |  SELECT tok, COUNT(*) AS df FROM pairs GROUP BY tok)
+           |SELECT p.doc, COUNT(*) AS distinct_tokens,
+           |  CAST(SUM(CASE WHEN d.df <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS rare_tokens
+           |FROM pairs p JOIN dfs d ON p.tok = d.tok
+           |GROUP BY p.doc
+           |ORDER BY rare_tokens DESC, distinct_tokens DESC, p.doc
+           |LIMIT 20""".stripMargin,
+
+      "q80_stream_interval_join" ->
+        s"""SELECT p.user_id AS user_id, COUNT(*) AS n_pairs,
+           |  COUNT(DISTINCT p.event_id) AS n_purchases,
+           |  ${dec("c.value")} AS click_value
+           |FROM events p JOIN events c
+           |  ON c.user_id = p.user_id
+           |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+           |  AND c.ts BETWEEN p.ts - INTERVAL 24 HOUR AND p.ts
+           |GROUP BY p.user_id""".stripMargin
     )
   }
 }

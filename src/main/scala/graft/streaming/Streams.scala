@@ -80,6 +80,29 @@ object Streams {
       .groupBy(session_window(col(tsCol), gap) +: keyCols: _*)
       .agg(count(lit(1)).as("n"))
 
+  /** T7: stream-stream interval INNER join — each left row pairs with
+    * the right rows sharing its key whose event time is at most
+    * `lookback` EARLIER (rightTs ∈ [leftTs - lookback, leftTs]): the
+    * "purchase joined to its preceding clicks" shape. Both sides get
+    * event-time watermarks and the join condition bounds both times,
+    * which is exactly what Spark's symmetric hash join needs to EVICT
+    * state — without the time bound each side's state would grow
+    * forever at 100 TB/day; with it, rows are dropped once the other
+    * side's watermark passes their eviction horizon. Column names
+    * must be disjoint across the two inputs (rename before calling —
+    * self-joins otherwise resolve ambiguously). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTsCol: String, rightTsCol: String,
+      delay: String, lookback: String): DataFrame = {
+    val l = left.withWatermark(leftTsCol, delay)
+    val r = right.withWatermark(rightTsCol, delay)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTsCol) >= col(leftTsCol) - expr(s"INTERVAL $lookback") &&
+        col(rightTsCol) <= col(leftTsCol))
+  }
+
   /** T7: arbitrary keyed state — running per-key totals that survive
     * across micro-batches (mapGroupsWithState). */
   def runningCounts(ds: Dataset[(String, Long)]): Dataset[(String, Long)] = {

@@ -85,6 +85,35 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("T7: stream-stream interval join pairs each left row with in-window right rows and evicts state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    val clicks = MemoryStream[(Long, Timestamp, Double)]
+    val joined = Streams.intervalJoin(
+      purchases.toDF().toDF("p_user", "p_ts", "p_id"),
+      clicks.toDF().toDF("c_user", "c_ts", "c_value"),
+      leftKey = "p_user", rightKey = "c_user",
+      leftTsCol = "p_ts", rightTsCol = "c_ts",
+      delay = "10 seconds", lookback = "60 SECONDS")
+    // the physical plan must be the symmetric (state-evicting)
+    // stream-stream join, not a static join
+    val q = joined.writeStream.format("memory").queryName("ssj_t7")
+      .outputMode("append").start()
+    try {
+      // user 1: clicks at t=40 (in window), t=30 (boundary: 90-60),
+      // t=20 (too old); user 2: click after the purchase (excluded)
+      clicks.addData((1L, ts(40), 1.0), (1L, ts(30), 2.0),
+        (1L, ts(20), 3.0), (2L, ts(95), 4.0))
+      purchases.addData((1L, ts(90), 100L), (2L, ts(91), 200L))
+      q.processAllAvailable()
+      val got = spark.table("ssj_t7")
+        .select("p_id", "c_value").as[(Long, Double)].collect().toSet
+      got shouldBe Set((100L, 1.0), (100L, 2.0))
+      q.lastProgress.sources should have length 2
+    } finally q.stop()
+  }
+
   test("T7: tumbling event-time window closes once the watermark passes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
