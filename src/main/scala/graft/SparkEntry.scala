@@ -1399,6 +1399,48 @@ object SparkEntry {
           Relational.exactSum(col("c_value")).as("click_value"))
         .select(col("p_user").as("user_id"), col("n_pairs"),
           col("n_purchases"), col("click_value"))
+    }),
+
+    // ── NS exact duplicated-span detection — the exact-substring
+    // dedup signal (suffix-array method, join-shaped): fraction of
+    // each doc's 5-gram positions whose text also occurs in another
+    // document. Complements MinHash/SimHash (whole-doc, approximate):
+    // this is span-level and exact — it sees the boilerplate header
+    // pasted into otherwise-unique docs. The fixture's near-dups and
+    // shared-vocabulary collisions give 71 docs a nonzero signal ──
+    "q81_dup_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.dupSpanStats(docs, "doc_id", "text", n = 5,
+          carryCols = Seq("source"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("total_ngrams")).as("total_ngrams"),
+          sum(col("shared_ngrams")).as("shared_ngrams"))
+    }),
+
+    // ── Z-ORDER (Morton) clustered layout — the two-dimensional
+    // complement of q76's range clustering: events rewritten clustered
+    // on (user_id, day), then scanned with a predicate on BOTH
+    // dimensions. Each file covers a bounded box in user AND time, so
+    // parquet min/max stats prune on either column (LayoutSpec
+    // measures it); the result is layout-invariant, which is exactly
+    // what the oracle checks. The write is billed inside the query ──
+    "q82_zorder_scan" -> ((s, dir) => {
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft_q82_").toString + "/events"
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("user_id"), col("ts"), col("value"))
+      // day number since epoch < 2^15; user_id < 2^15 at any SF here
+      Layout.zorderWrite(ev, scratch, numFiles = 16, bits = 15,
+        col("user_id"),
+        (unix_millis(col("ts")) / lit(86400000L)).cast("long"))
+      s.read.parquet(scratch)
+        .filter(col("user_id").between(10L, 20L) &&
+          col("ts") >= lit("2024-01-10").cast("timestamp") &&
+          col("ts") < lit("2024-01-20").cast("timestamp"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          Relational.exactSum(col("value")).as("sum_value"))
     })
   )
 
@@ -2523,7 +2565,35 @@ object SparkEntry {
            |  ON c.user_id = p.user_id
            |  AND p.event_type = 'purchase' AND c.event_type = 'click'
            |  AND c.ts BETWEEN p.ts - INTERVAL 24 HOUR AND p.ts
-           |GROUP BY p.user_id""".stripMargin
+           |GROUP BY p.user_id""".stripMargin,
+
+      "q81_dup_spans" ->
+        s"""WITH tk AS (
+           |  SELECT doc_id, source, $sqlTokens AS t FROM documents),
+           |g AS (
+           |  SELECT doc_id, source,
+           |    unnest(list_transform(range(1, greatest(len(t) - 3, 1)),
+           |      j -> array_to_string(t[j:j+4], ' '))) AS gram
+           |  FROM tk),
+           |sup AS (
+           |  SELECT gram, COUNT(DISTINCT doc_id) AS docs_with
+           |  FROM g GROUP BY gram),
+           |per AS (
+           |  SELECT doc_id, source, COUNT(*) AS total_ngrams,
+           |    SUM(CASE WHEN docs_with >= 2 THEN 1 ELSE 0 END) AS shared_ngrams
+           |  FROM g JOIN sup USING (gram) GROUP BY doc_id, source)
+           |SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(total_ngrams) AS BIGINT) AS total_ngrams,
+           |  CAST(SUM(shared_ngrams) AS BIGINT) AS shared_ngrams
+           |FROM per GROUP BY source""".stripMargin,
+
+      "q82_zorder_scan" ->
+        s"""SELECT COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+           |  ${dec("value")} AS sum_value
+           |FROM events
+           |WHERE user_id BETWEEN 10 AND 20
+           |  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+           |  AND ts < TIMESTAMP '2024-01-20 00:00:00'""".stripMargin
     )
   }
 }

@@ -196,4 +196,16 @@ object text {
     * column). */
   def piiCount(c: Column, pattern: String): Column =
     size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long")
+
+  /** POSITIONAL word n-grams: one space-joined gram per token
+    * position, duplicates KEPT (unlike [[wordShingles]]'s set
+    * semantics) — the unit of span-coverage accounting in exact
+    * duplicated-span detection. Fewer than n tokens yields an empty
+    * array (same guard rationale as wordShingles). */
+  def positionalShingles(toks: Column, n: Int): Column = {
+    val k = size(toks) - (n - 1)
+    when(k <= 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), k - 1),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
 }

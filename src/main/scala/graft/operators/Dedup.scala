@@ -769,4 +769,40 @@ object Dedup {
         md5(col(textCol).cast("binary")) === col("_seen_h"), "left_anti")
       .unionByName(definiteNew)
   }
+
+  /** Exact duplicated-span accounting (the suffix-array-style exact
+    * substring dedup signal, re-expressed as joins): for every token
+    * position of every document, is the n-gram starting there present
+    * in at least one OTHER document? Returns one row per document
+    * with ≥ 1 n-gram: (doc, carry..., total_ngrams, shared_ngrams) —
+    * shared_ngrams/total_ngrams is the fraction of the document
+    * covered by text duplicated elsewhere, the cut criterion for
+    * boilerplate and templated spam that per-document signals
+    * (repetition, quality) cannot see.
+    *
+    * Scale shape: positional grams explode map-side (no shuffle);
+    * cross-document support is one hash aggregate on the gram
+    * (count distinct doc plans as the standard two-phase distinct
+    * aggregate); the join back is gram-co-partitioned; the final
+    * per-doc aggregate is the only row-reducing shuffle. Nothing
+    * carries document bodies past the explode. Production knob: key
+    * the support table on a 60-bit gram hash instead of the string
+    * (graft.functions.hashes) to shrink shuffle width — kept as the
+    * raw string here so the oracle mirror shares the exact join key.
+    * Documents with fewer than n tokens have no positions and emit
+    * no row (mirror of the oracle's empty range). */
+  def dupSpanStats(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, carryCols: Seq[String] = Nil): DataFrame = {
+    val pos = docs.select(
+      col(idCol).as("doc") +: carryCols.map(col) :+
+        explode(text.positionalShingles(text.tokens(col(textCol)), n))
+          .as("g"): _*)
+    val support = pos.groupBy(col("g"))
+      .agg(countDistinct(col("doc")).as("docs_with"))
+    pos.join(support, "g")
+      .groupBy(col("doc") +: carryCols.map(col): _*)
+      .agg(count(lit(1)).as("total_ngrams"),
+        sum(when(col("docs_with") >= 2, 1L).otherwise(0L))
+          .as("shared_ngrams"))
+  }
 }

@@ -45,4 +45,39 @@ object Layout {
       .groupBy(col("file"))
       .agg(min(col(key)).as("lo"), max(col(key)).as("hi"),
         count(lit(1)).as("n"))
+
+  /** Morton (Z-order) address of two dimensions: interleaves the low
+    * `bits` bits of `a` (odd positions) and `b` (even positions) into
+    * one long, so rows close in BOTH dimensions are close on the
+    * curve. Pure shift/and/or Column arithmetic — codegen'd, no UDF.
+    * Inputs must be non-negative and < 2^bits; out-of-range inputs
+    * only degrade clustering locality (the write stays correct —
+    * layout is a performance property, never a correctness one). */
+  def zAddress(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31]: $bits")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }
+  }
+
+  /** Write `df` Z-order-clustered on two dimensions: range-partition +
+    * sort on the Morton address, so every output file covers a small
+    * contiguous curve segment — a bounded box in BOTH dimensions.
+    * Parquet min/max stats on each ORIGINAL column then prune files
+    * for predicates on either dimension (or both), which single-key
+    * range clustering ([[clusteredWrite]]) can only do for its one
+    * key. The multi-tenant × time scan is the canonical use. Same
+    * single-shuffle cost as clusteredWrite; the address column is
+    * dropped before writing. */
+  def zorderWrite(df: DataFrame, path: String, numFiles: Int, bits: Int,
+      dimA: Column, dimB: Column): Unit = {
+    require(numFiles > 0, s"numFiles must be positive: $numFiles")
+    df.withColumn("_zaddr", zAddress(dimA, dimB, bits))
+      .repartitionByRange(numFiles, col("_zaddr"))
+      .sortWithinPartitions(col("_zaddr"))
+      .drop("_zaddr")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

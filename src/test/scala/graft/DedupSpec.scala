@@ -268,6 +268,33 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
       .select("doc_id").as[Long].collect().toSet shouldBe Set(1L, 2L)
   }
 
+  test("dupSpanStats counts positions whose n-gram occurs in another doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f", "s1"), // grams: "a b c d e", "b c d e f"
+      (2L, "a b c d e x", "s1"), // shares "a b c d e" with doc 1
+      (3L, "p q r s t", "s2"),   // unique gram
+      (4L, "too short", "s2"))   // < 5 tokens → no row
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.dupSpanStats(docs, "doc_id", "text", n = 5,
+        carryCols = Seq("source"))
+      .as[(Long, String, Long, Long)].collect()
+      .map { case (d, s, t0, sh) => d -> ((s, t0, sh)) }.toMap
+    out shouldBe Map(
+      1L -> (("s1", 2L, 1L)), 2L -> (("s1", 2L, 1L)),
+      3L -> (("s2", 1L, 0L)))
+  }
+
+  test("dupSpanStats keeps positional multiplicity but intra-doc repeats are not shared") {
+    import spark.implicits._
+    // "a a a a a a" has TWO positions of the same gram — multiplicity
+    // kept in total_ngrams, but a single-doc gram is never shared
+    val docs = Seq((1L, "a a a a a a")).toDF("doc_id", "text")
+    val out = Dedup.dupSpanStats(docs, "doc_id", "text", n = 5)
+      .as[(Long, Long, Long)].collect()
+    out shouldBe Array((1L, 2L, 0L))
+  }
+
   test("flagNearDupAgainst flags exactly the threshold-crossing corpus docs") {
     import spark.implicits._
     // eval bigrams {a b, b c, c d, d e}; corpus jaccards vs it:

@@ -39,4 +39,57 @@ class LayoutSpec extends AnyFunSuite with SparkSpec with Matchers {
     touched shouldBe expected.toLong
     expected should be < 8
   }
+
+  test("zAddress interleaves bits (a odd positions, b even)") {
+    import spark.implicits._
+    // a=5 (101), b=3 (011), bits=3 → bit5=a2,b2=bit4,... = 100111 = 39
+    val out = Seq((5L, 3L), (0L, 0L), (7L, 7L), (4L, 1L))
+      .toDF("a", "b")
+      .select(Layout.zAddress(col("a"), col("b"), 3).as("z"))
+      .as[Long].collect()
+    out shouldBe Array(39L, 0L, 63L, 33L)
+    // locality: addresses within one 2x2 cell are contiguous 4-blocks
+    val cell = Seq((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L)).toDF("a", "b")
+      .select(Layout.zAddress(col("a"), col("b"), 3).as("z"))
+      .as[Long].collect().sorted
+    cell shouldBe Array(0L, 1L, 2L, 3L)
+  }
+
+  test("zorderWrite bounds every file in BOTH dimensions and prunes on each") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_zorder").toString + "/t"
+    // full 64x64 grid, written in a scattered order
+    val grid = (0 until 4096).map { i =>
+      val j = (i * 2654435761L % 4096).toInt
+      (j / 64L, j % 64L, i.toLong)
+    }.toDF("u", "d", "v")
+    Layout.zorderWrite(grid, dir, numFiles = 16, bits = 6,
+      col("u"), col("d"))
+
+    val uSpans = Layout.fileSpans(spark, dir, "u")
+      .as[(String, Long, Long, Long)].collect()
+    val dSpans = Layout.fileSpans(spark, dir, "d")
+      .as[(String, Long, Long, Long)].collect()
+    uSpans.map(_._4).sum shouldBe 4096L
+    // files are bounded boxes in BOTH dims ON AVERAGE: 256-cell curve
+    // segments are ~16x16 boxes; a segment straddling a quadrant
+    // boundary can span wide in one dim (that is Z-order's known
+    // boundary artifact), but the average must stay far below the
+    // unclustered width of 63
+    def avgWidth(spans: Array[(String, Long, Long, Long)]): Double =
+      spans.map { case (_, lo, hi, _) => (hi - lo).toDouble }.sum / spans.length
+    avgWidth(uSpans) should be < 32.0
+    avgWidth(dSpans) should be < 32.0
+    // and each dimension alone prunes: a point predicate on u (resp d)
+    // touches only the files whose u-span (resp d-span) contains it —
+    // at most ~a quarter of the 16 files plus boundary straddlers
+    val uTouched = uSpans.count { case (_, lo, hi, _) => lo <= 5L && hi >= 5L }
+    val dTouched = dSpans.count { case (_, lo, hi, _) => lo <= 40L && hi >= 40L }
+    uTouched should be <= 8
+    dTouched should be <= 8
+    spark.read.parquet(dir).filter(col("u") === 5L)
+      .select(input_file_name()).distinct().count() shouldBe uTouched.toLong
+    spark.read.parquet(dir).filter(col("d") === 40L)
+      .select(input_file_name()).distinct().count() shouldBe dTouched.toLong
+  }
 }
