@@ -1441,6 +1441,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           countDistinct(col("user_id")).as("n_users"),
           Relational.exactSum(col("value")).as("sum_value"))
+    }),
+
+    // ── J5 as a NATIVE whole-operator plan (extension ladder rung c:
+    // LogicalPlan + SparkStrategy + SparkPlan): q22's as-of semantics
+    // through AsOfJoinExec — two co-partitioned exchanges, two sorts,
+    // one O(1)-state merge pass; no union blow-up, no window frame.
+    // Value attached is the click's `value` (ties on ts → max value,
+    // resolved identically by the oracle's per-(user, ts) MAX) ──
+    "q83_asof_native" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+      Relational.asOfJoinNative(purchases, clicks, "user_id", "ts", "ts",
+        "value", "click_value")
+        .select(col("event_id"), col("user_id"), col("click_value"))
     })
   )
 
@@ -2593,7 +2609,16 @@ object SparkEntry {
            |FROM events
            |WHERE user_id BETWEEN 10 AND 20
            |  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
-           |  AND ts < TIMESTAMP '2024-01-20 00:00:00'""".stripMargin
+           |  AND ts < TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
+
+      "q83_asof_native" ->
+        """SELECT p.event_id, p.user_id, c.value AS click_value
+          |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          |ASOF LEFT JOIN (
+          |  SELECT user_id, ts, MAX(value) AS value
+          |  FROM events WHERE event_type = 'click'
+          |  GROUP BY user_id, ts) c
+          |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
     )
   }
 }

@@ -71,6 +71,22 @@ object Relational {
       .select((leftCols :+ outCol).map(col): _*)
   }
 
+  /** Native sort-merge as-of join — same contract as [[asOfJoin]]
+    * (greatest rightTs <= leftTs per key; time ties → max value; no
+    * match → null) but planned as the custom whole-operator
+    * AsOfJoinPlan/AsOfJoinExec (extension-ladder rung c): one
+    * co-partitioned exchange per side, per-partition sorts, a single
+    * merge pass with one candidate row of state — instead of the
+    * composed union + unbounded window frame. RelationalSpec asserts
+    * result parity with [[asOfJoin]] and pins the physical shape.
+    * Requires the strategy to be registered
+    * (graft.plans.GraftExtensions via config or `register`). */
+  def asOfJoinNative(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      rightValCol: String, outCol: String): DataFrame =
+    org.apache.spark.sql.graft.AsOf.join(
+      left, right, key, leftTs, rightTs, rightValCol, outCol)
+
   /** Exact count-distinct with value-salting for skewed keys: phase 1
     * groups by (key, hash(value) % salt) and counts distinct within
     * each salt cell; phase 2 sums the cells. Every distinct value

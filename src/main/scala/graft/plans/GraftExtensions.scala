@@ -18,6 +18,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer rule: intersection-count overlap tests short-circuit
     // as arrays_overlap (see IntersectNonEmptyToOverlap)
     ext.injectOptimizerRule(_ => IntersectNonEmptyToOverlap)
+    // planner strategy: AsOfJoinPlan → AsOfJoinExec (sort-merge as-of)
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.AsOfJoinStrategy)
   }
 }
 
@@ -55,5 +57,10 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(IntersectNonEmptyToOverlap))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ IntersectNonEmptyToOverlap
+    if (!spark.experimental.extraStrategies
+        .contains(org.apache.spark.sql.graft.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+
+          org.apache.spark.sql.graft.AsOfJoinStrategy
   }
 }

@@ -31,6 +31,49 @@ class RelationalSpec extends AnyFunSuite with SparkSpec with Matchers {
     out(4L) shouldBe None       // no right rows for the key
   }
 
+  test("asOfJoinNative equals the composed asOfJoin and plans the custom exec") {
+    import spark.implicits._
+    // matches, a time tie on the right (→ max value), a left time
+    // before any right row, a key absent on the right
+    val left = Seq((1L, 10L), (1L, 25L), (1L, 5L), (2L, 50L), (3L, 7L))
+      .toDF("k", "t")
+    val right = Seq(
+      (1L, 10L, 100.0), (1L, 10L, 200.0), (1L, 20L, 300.0),
+      (2L, 60L, 400.0)).toDF("k", "t", "v")
+    val native = Relational
+      .asOfJoinNative(left, right, "k", "t", "t", "v", "pv")
+    val composed = Relational.asOfJoin(left, right, "k", "t", "t", "v", "pv")
+    val got = native.as[(Long, Long, Option[Double])].collect().toSet
+    got shouldBe composed.as[(Long, Long, Option[Double])].collect().toSet
+    got shouldBe Set((1L, 10L, Some(200.0)), (1L, 25L, Some(300.0)),
+      (1L, 5L, None), (2L, 50L, None), (3L, 7L, None))
+    val plan = native.queryExecution.executedPlan.toString
+    plan should include("AsOfJoin ") // TreeNode.nodeName strips "Exec"
+    (plan should not).include("Window")
+    "Exchange".r.findAllIn(plan).length shouldBe 2
+  }
+
+  test("asOfJoinNative: null times never match; self-scan inputs dedup cleanly") {
+    import spark.implicits._
+    // a null right time must be skipped (SQL three-valued <=), and a
+    // null left time emits null — stricter than the composed window
+    // form, same as SQL ASOF JOIN
+    val left = Seq((1L, Some(8L)), (1L, None)).toDF("k", "t")
+    val right = Seq((1L, None, 999.0), (1L, Some(6L), 1.0))
+      .toDF("k", "t", "v")
+    Relational.asOfJoinNative(left, right, "k", "t", "t", "v", "pv")
+      .as[(Long, Option[Long], Option[Double])].collect().toSet shouldBe
+      Set((1L, Some(8L), Some(1.0)), (1L, None, None))
+    // both sides carved from ONE plan (q22's shape): attribute ids
+    // collide and the builder must re-alias the right side
+    val base = Seq((1L, 10L, 5.0), (1L, 20L, 6.0)).toDF("k", "t", "v")
+    val out = Relational.asOfJoinNative(
+      base.filter(col("t") === 20L), base.filter(col("t") === 10L),
+      "k", "t", "t", "v", "pv")
+    out.as[(Long, Long, Double, Option[Double])].collect().toSet shouldBe
+      Set((1L, 20L, 6.0, Some(5.0)))
+  }
+
   test("sessionize opens a new session exactly past the gap") {
     import spark.implicits._
     val df = Seq(
