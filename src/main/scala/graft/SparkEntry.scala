@@ -1457,6 +1457,23 @@ object SparkEntry {
       Relational.asOfJoinNative(purchases, clicks, "user_id", "ts", "ts",
         "value", "click_value")
         .select(col("event_id"), col("user_id"), col("click_value"))
+    }),
+
+    // ── NS dedup capstone: near-dup pairs → connected components →
+    // QUALITY-ARGMAX keeper per group (longest doc wins, ties → min
+    // id) → kept-corpus stats. Turns pair detection into an actual
+    // deduplicated corpus; a wrong keeper or a lost/extra doc shifts
+    // the per-source sums and fails the hash compare ──
+    "q84_dedup_keeper" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tokens", text.tokenCount(col("text")).cast("long"))
+      val pairs = Dedup.minhashNearDupPairs(
+        docs, "doc_id", "text", shingleN = 2, k = 64, bands = 32,
+        threshold = 0.5)
+      Dedup.resolveDuplicates(docs, pairs, "doc_id", "n_tokens")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tokens")).as("kept_tokens"))
     })
   )
 
@@ -2618,7 +2635,39 @@ object SparkEntry {
           |  SELECT user_id, ts, MAX(value) AS value
           |  FROM events WHERE event_type = 'click'
           |  GROUP BY user_id, ts) c
-          |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
+          |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+      "q84_dedup_keeper" ->
+        s"""WITH RECURSIVE sh AS (
+           |  SELECT doc_id,
+           |    ${sqlShingles(2)} AS s
+           |  FROM (SELECT doc_id, $sqlTokens AS toks FROM documents)),
+           |p AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+           |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+           |      AS DOUBLE) >= 0.5),
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+           |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p),
+           |reach AS (
+           |  SELECT src AS node, src AS r FROM edges
+           |  UNION
+           |  SELECT e.src AS node, re.r AS r
+           |  FROM edges e JOIN reach re ON e.dst = re.node),
+           |lbl AS (SELECT node, MIN(r) AS label FROM reach GROUP BY node),
+           |d AS (
+           |  SELECT doc_id, source,
+           |    CAST(len($sqlTokens) AS BIGINT) AS n_tokens,
+           |    COALESCE(l.label, doc_id) AS comp
+           |  FROM documents LEFT JOIN lbl l ON doc_id = l.node),
+           |k AS (
+           |  SELECT *, ROW_NUMBER() OVER (
+           |    PARTITION BY comp ORDER BY n_tokens DESC, doc_id) AS rn
+           |  FROM d)
+           |SELECT source, COUNT(*) AS n_kept,
+           |  CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
+           |FROM k WHERE rn = 1 GROUP BY source""".stripMargin
     )
   }
 }

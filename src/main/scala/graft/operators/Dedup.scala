@@ -770,6 +770,36 @@ object Dedup {
       .unionByName(definiteNew)
   }
 
+  /** Resolve near-duplicate groups to KEPT documents: connected
+    * components over the candidate `pairs` (large-star/small-star,
+    * O(log n) rounds), then one row per component — the member with
+    * the highest `qualityCol` (ties → smallest id, so the keeper is
+    * deterministic under any partitioning). Documents in no pair are
+    * their own component and always kept. This is the step that turns
+    * pair detection (MinHash/SimHash/embedding) into an actual
+    * deduplicated corpus; quality-argmax (not min-id) keeping is what
+    * training pipelines want — the best re-crawl wins, not the first.
+    *
+    * One extra shuffle beyond the CC rounds: the per-component
+    * row_number window. The window partitions on component id, whose
+    * cardinality ~ corpus size; group sizes are near-dup cluster
+    * sizes (small by construction), so no skew concern. */
+  def resolveDuplicates(docs: DataFrame, pairs: DataFrame, idCol: String,
+      qualityCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cc = connectedComponentsStar(pairs, "doc_a", "doc_b")
+      .toDF("_cc_id", "_comp")
+    val withComp = docs
+      .join(cc, docs(idCol) === col("_cc_id"), "left")
+      .withColumn("_comp", coalesce(col("_comp"), col(idCol)))
+      .drop("_cc_id")
+    val w = Window.partitionBy(col("_comp"))
+      .orderBy(col(qualityCol).desc, col(idCol))
+    withComp.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_comp")
+  }
+
   /** Exact duplicated-span accounting (the suffix-array-style exact
     * substring dedup signal, re-expressed as joins): for every token
     * position of every document, is the n-gram starting there present

@@ -268,6 +268,19 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
       .select("doc_id").as[Long].collect().toSet shouldBe Set(1L, 2L)
   }
 
+  test("resolveDuplicates keeps the highest-quality member per component, min id on ties") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 5L, "s1"), (2L, 9L, "s1"), (3L, 9L, "s2"), // chain {1,2,3}: q 9 tie → id 2
+      (4L, 1L, "s2"),                                 // singleton: always kept
+      (5L, 3L, "s3"), (6L, 2L, "s3"))                 // {5,6} → 5
+      .toDF("doc_id", "q", "source")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.resolveDuplicates(docs, pairs, "doc_id", "q")
+      .select("doc_id").as[Long].collect().toSet
+    kept shouldBe Set(2L, 4L, 5L)
+  }
+
   test("dupSpanStats counts positions whose n-gram occurs in another doc") {
     import spark.implicits._
     val docs = Seq(
