@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.text
 
@@ -37,13 +38,21 @@ object CorpusStats {
   def rareTokenStats(docs: DataFrame, idCol: String, textCol: String,
       maxDf: Long): DataFrame = {
     require(maxDf >= 1, s"maxDf must be >= 1: $maxDf")
+    // the tokenize + explode pass feeds both the DF aggregate and the
+    // join probe side — persist so it runs once (same pattern as
+    // Dedup.ngramJaccardPairs); the per-doc result is materialized
+    // before the cache is released
     val pairs = docs.select(
       col(idCol).as("doc"),
       explode(array_distinct(text.tokens(col(textCol)))).as("tok"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val dfTab = pairs.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    pairs.join(dfTab, "tok")
+    val out = pairs.join(dfTab, "tok")
       .groupBy(col("doc"))
       .agg(count(lit(1)).as("distinct_tokens"),
         sum(when(col("df") <= maxDf, 1L).otherwise(0L)).as("rare_tokens"))
+      .localCheckpoint(eager = true)
+    pairs.unpersist(blocking = false)
+    out
   }
 }

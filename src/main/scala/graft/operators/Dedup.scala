@@ -823,16 +823,24 @@ object Dedup {
     * no row (mirror of the oracle's empty range). */
   def dupSpanStats(docs: DataFrame, idCol: String, textCol: String,
       n: Int, carryCols: Seq[String] = Nil): DataFrame = {
+    // tokenize + positional explode is the dominant cost and feeds
+    // BOTH the support aggregate and the join probe side — persist so
+    // it runs once (see ngramJaccardPairs for the pattern rationale);
+    // the per-doc result is materialized before the cache is released
     val pos = docs.select(
       col(idCol).as("doc") +: carryCols.map(col) :+
         explode(text.positionalShingles(text.tokens(col(textCol)), n))
           .as("g"): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val support = pos.groupBy(col("g"))
       .agg(countDistinct(col("doc")).as("docs_with"))
-    pos.join(support, "g")
+    val out = pos.join(support, "g")
       .groupBy(col("doc") +: carryCols.map(col): _*)
       .agg(count(lit(1)).as("total_ngrams"),
         sum(when(col("docs_with") >= 2, 1L).otherwise(0L))
           .as("shared_ngrams"))
+      .localCheckpoint(eager = true)
+    pos.unpersist(blocking = false)
+    out
   }
 }

@@ -71,14 +71,19 @@ object Relational {
       .select((leftCols :+ outCol).map(col): _*)
   }
 
-  /** Native sort-merge as-of join — same contract as [[asOfJoin]]
-    * (greatest rightTs <= leftTs per key; time ties → max value; no
-    * match → null) but planned as the custom whole-operator
-    * AsOfJoinPlan/AsOfJoinExec (extension-ladder rung c): one
-    * co-partitioned exchange per side, per-partition sorts, a single
-    * merge pass with one candidate row of state — instead of the
-    * composed union + unbounded window frame. RelationalSpec asserts
-    * result parity with [[asOfJoin]] and pins the physical shape.
+  /** Native sort-merge as-of join — [[asOfJoin]]'s contract on
+    * null-free inputs (greatest rightTs <= leftTs per key; time ties
+    * → max value; no match → null) planned as the custom
+    * whole-operator AsOfJoinPlan/AsOfJoinExec (extension-ladder rung
+    * c): one co-partitioned exchange per side, per-partition sorts, a
+    * single merge pass with one candidate row of state — instead of
+    * the composed union + unbounded window frame. On NULLS the two
+    * deliberately differ: this operator follows SQL/DuckDB ASOF
+    * semantics (null keys and null times match nothing; a null right
+    * value stays null), while the composed window form's
+    * last(ignoreNulls) can attach a value from a null-ts right row
+    * and skips null right values. RelationalSpec asserts null-free
+    * parity, the null semantics, and pins the physical shape.
     * Requires the strategy to be registered
     * (graft.plans.GraftExtensions via config or `register`). */
   def asOfJoinNative(left: DataFrame, right: DataFrame, key: String,

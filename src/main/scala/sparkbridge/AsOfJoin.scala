@@ -105,8 +105,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val buf = rIter.buffered
       var candKey: UnsafeRow = null // copies: projections reuse buffers
       var candVal: InternalRow = null
-      lIter.map { lrow =>
-        val lk = lKey(lrow)
+      def candidateFor(lrow: InternalRow, lk: UnsafeRow): InternalRow = {
         val ltRow = lTime(lrow)
         val ltNull = ltRow.isNullAt(0)
         val lt = if (ltNull) Long.MinValue else ltRow.getLong(0)
@@ -127,9 +126,16 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             advance = false
           }
         }
-        val v =
-          if (candKey != null && keyOrd.compare(candKey, lk) == 0) candVal
-          else nullVal
+        if (candKey != null && keyOrd.compare(candKey, lk) == 0) candVal
+        else nullVal
+      }
+      lIter.map { lrow =>
+        val lk = lKey(lrow)
+        // SQL equality: a null key component matches nothing. Null
+        // keys sort first, so not advancing here is safe — later
+        // non-null left keys drain any null-key right rows via
+        // candidateFor's earlier-key branch.
+        val v = if (lk.anyNull) nullVal else candidateFor(lrow, lk)
         resultProj(joined(lrow, v))
       }
     }
@@ -168,8 +174,13 @@ object AsOf {
       s"key type mismatch: ${lk.dataType} vs ${rk.dataType}")
     require(timeTypes.contains(lt.dataType) && lt.dataType == rt.dataType,
       s"time columns must both be long/timestamp: ${lt.dataType} vs ${rt.dataType}")
+    // prune the right side to the three referenced columns HERE:
+    // AsOfJoinPlan is opaque to ColumnPruning, and only outAttr from
+    // the right ever reaches the output — without this, the right
+    // Exchange + Sort would carry every right column
+    val rPruned = Project(Seq(rk, rt, rv).distinct, rPlan)
     val out = AttributeReference(outCol, rv.dataType, nullable = true)()
     classic.Dataset.ofRows(spark,
-      AsOfJoinPlan(lPlan, rPlan, Seq(lk), Seq(rk), lt, rt, rv, out))
+      AsOfJoinPlan(lPlan, rPruned, Seq(lk), Seq(rk), lt, rt, rv, out))
   }
 }

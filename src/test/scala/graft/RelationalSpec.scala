@@ -64,6 +64,15 @@ class RelationalSpec extends AnyFunSuite with SparkSpec with Matchers {
     Relational.asOfJoinNative(left, right, "k", "t", "t", "v", "pv")
       .as[(Long, Option[Long], Option[Double])].collect().toSet shouldBe
       Set((1L, Some(8L), Some(1.0)), (1L, None, None))
+    // null KEYS match nothing either (SQL equality), even though the
+    // natural sort ordering groups them together
+    val lNull = Seq((Option.empty[Long], 10L), (Some(2L), 10L))
+      .toDF("k", "t")
+    val rNull = Seq((Option.empty[Long], 5L, 7.0), (Some(2L), 5L, 8.0))
+      .toDF("k", "t", "v")
+    Relational.asOfJoinNative(lNull, rNull, "k", "t", "t", "v", "pv")
+      .as[(Option[Long], Long, Option[Double])].collect().toSet shouldBe
+      Set((None, 10L, None), (Some(2L), 10L, Some(8.0)))
     // both sides carved from ONE plan (q22's shape): attribute ids
     // collide and the builder must re-alias the right side
     val base = Seq((1L, 10L, 5.0), (1L, 20L, 6.0)).toDF("k", "t", "v")
