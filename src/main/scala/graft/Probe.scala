@@ -228,9 +228,36 @@ object ProbeScale {
                 lit(vocab.length)) + 1).cast("int")),
               lit("~"), col("rep").cast("string"))), " ").as("text"))
 
-    for (r <- Seq(1, 4, 10)) measureDocs(s"dense${r}x", resampleDocs(r))
-    for (r <- Seq(4, 10)) measureDocs(s"grow${r}x", resampleDocsScaledVocab(r))
-    for (r <- Seq(1, 10, 100)) measureEmb(s"synth${r}x", perturbEmb(r))
+    // q81's cost drivers at scale: the gram-support table size, the
+    // shared fraction, and the hottest gram's position count (the
+    // join-back skew driver). Same two growth regimes as measureDocs.
+    def measureSpans(tag: String, docs: DataFrame): Unit = {
+      val pos = docs.select(col("doc_id").as("doc"),
+        explode(text.positionalShingles(text.tokens(col("text")), 5))
+          .as("g"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val positions = pos.count()
+      val r = pos.groupBy("g")
+        .agg(countDistinct(col("doc")).as("d"), count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("grams"),
+          sum(when(col("d") >= 2, 1L).otherwise(0L)).as("shared"),
+          max(col("c")).as("hottest"))
+        .head()
+      pos.unpersist(blocking = false)
+      println(s"PROBE spans/$tag positions=$positions " +
+        s"grams=${r.getLong(0)} shared=${r.getLong(1)} " +
+        s"hottest_gram_positions=${r.getLong(2)}")
+    }
+
+    // `ProbeScale spans` runs only the q81 sweep; no arg = everything
+    val mode = args.headOption.getOrElse("full")
+    if (mode == "full") {
+      for (r <- Seq(1, 4, 10)) measureDocs(s"dense${r}x", resampleDocs(r))
+      for (r <- Seq(4, 10)) measureDocs(s"grow${r}x", resampleDocsScaledVocab(r))
+      for (r <- Seq(1, 10, 100)) measureEmb(s"synth${r}x", perturbEmb(r))
+    }
+    for (r <- Seq(1, 4, 10)) measureSpans(s"dense${r}x", resampleDocs(r))
+    for (r <- Seq(4, 10)) measureSpans(s"grow${r}x", resampleDocsScaledVocab(r))
     spark.stop()
   }
 }
