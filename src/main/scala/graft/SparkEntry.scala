@@ -1474,6 +1474,39 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"),
           sum(col("n_tokens")).as("kept_tokens"))
+    }),
+
+    // ── T7: STREAM-STATIC join, executed as a real append-mode run —
+    // the enrichment shape (stream × slowly-changing dimension): the
+    // static side is broadcast into every micro-batch, no watermark
+    // and no join state at all (only the streaming side flows).
+    // Completes the streaming join matrix next to q80's
+    // stream-stream form ──
+    "q85_stream_static_join" -> ((s, dir) => {
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val joined = runEventsStream(s, dir, "q85_mem", "append",
+        timestamp_micros(expr("ts div 1000")),
+        st => st.filter(col("event_type") === "purchase")
+          .join(broadcast(dim), col("user_id") === col("c_custkey"))
+          .select(col("c_mktsegment"), col("value")))
+      joined.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_purchases"),
+          Relational.exactSum(col("value")).as("sum_value"))
+    }),
+
+    // ── SQL surface end-to-end: the engine's registered functions
+    // (tokenize / word_shingles — the codegen'd kernels behind the
+    // text pipeline) driven ENTIRELY through spark.sql over a temp
+    // view, proving a SQL-only user gets the same kernels the
+    // DataFrame API plans (GraftExtensions registration) ──
+    "q86_sql_surface" -> ((s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("graft_documents")
+      s.sql("""SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(cardinality(tokenize(text))) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(cardinality(word_shingles(text, 2))) AS BIGINT)
+        |    AS n_shingles
+        |FROM graft_documents GROUP BY lang""".stripMargin)
     })
   )
 
@@ -2667,7 +2700,21 @@ object SparkEntry {
            |  FROM d)
            |SELECT source, COUNT(*) AS n_kept,
            |  CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
-           |FROM k WHERE rn = 1 GROUP BY source""".stripMargin
+           |FROM k WHERE rn = 1 GROUP BY source""".stripMargin,
+
+      "q85_stream_static_join" ->
+        s"""SELECT c.c_mktsegment, COUNT(*) AS n_purchases,
+           |  ${dec("e.value")} AS sum_value
+           |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+           |WHERE e.event_type = 'purchase'
+           |GROUP BY c.c_mktsegment""".stripMargin,
+
+      "q86_sql_surface" ->
+        s"""SELECT lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
+           |  CAST(SUM(len(${sqlShingles(2)})) AS BIGINT) AS n_shingles
+           |FROM (SELECT lang, $sqlTokens AS toks FROM documents)
+           |GROUP BY lang""".stripMargin
     )
   }
 }

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.graft.{CosineSim, TopKAgg}
+import org.apache.spark.sql.graft.{CosineSim, SimHashMd5, Tokenize, TopKAgg, WordShingles}
 import org.apache.spark.sql.types.IntegerType
 
 /** SQL-surface registration of the engine's native expressions, for
@@ -44,6 +44,32 @@ object GraftExtensions {
             s"top_k(score, id, k): k must be an integer literal, got $other")
         }
         TopKAgg(children.head, children(1), k)
+      }),
+    (new FunctionIdentifier("tokenize"),
+      new ExpressionInfo(classOf[Tokenize].getName, "tokenize"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"tokenize(text) takes 1 argument, got ${children.size}")
+        Tokenize(children.head)
+      }),
+    (new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"word_shingles(text, n) takes 2 arguments, got ${children.size}")
+        val n = children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"word_shingles(text, n): n must be an integer literal, got $other")
+        }
+        WordShingles(children.head, n)
+      }),
+    (new FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHashMd5].getName, "simhash60"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"simhash60(tokens) takes 1 argument, got ${children.size}")
+        SimHashMd5(children.head, 60)
       }))
 
   /** Imperative registration into an existing session — functions AND

@@ -163,4 +163,25 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec with Matchers {
     fps(0) shouldBe fps(2)
     fps(0) should not be fps(1)
   }
+
+  test("SQL-registered text kernels match the Column API (tokenize, word_shingles, simhash60)") {
+    import spark.implicits._
+    Seq("The quick  brown fox", "the QUICK brown fox", "", "  one ")
+      .toDF("text").createOrReplaceTempView("fn_sql_docs")
+    val viaSql = spark.sql(
+      """SELECT tokenize(text) AS t, word_shingles(text, 2) AS s,
+        |  simhash60(tokenize(text)) AS h
+        |FROM fn_sql_docs""".stripMargin)
+      .as[(Seq[String], Seq[String], Long)].collect()
+    val viaCols = spark.table("fn_sql_docs")
+      .select(text.tokens(col("text")).as("t"),
+        text.wordShinglesFast(col("text"), 2).as("s"),
+        graft.operators.Dedup.simhashFast(text.tokens(col("text"))).as("h"))
+      .as[(Seq[String], Seq[String], Long)].collect()
+    viaSql shouldBe viaCols
+    viaSql.head._1 shouldBe Seq("the", "quick", "brown", "fox")
+    viaSql.head._2 shouldBe Seq("the quick", "quick brown", "brown fox")
+    // same normalized token stream → same fingerprint across casings
+    viaSql(0)._3 shouldBe viaSql(1)._3
+  }
 }
