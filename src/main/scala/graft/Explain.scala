@@ -28,7 +28,8 @@ object Explain {
     val streaming = Set(
       "q45_streaming_buckets", "q51_streaming_append",
       "q56_streaming_sessions", "q73_streaming_dedup",
-      "q80_stream_interval_join", "q85_stream_static_join")
+      "q80_stream_interval_join", "q85_stream_static_join",
+      "q87_tws_sequence")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         if (streaming(name)) {

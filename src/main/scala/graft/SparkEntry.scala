@@ -1507,6 +1507,31 @@ object SparkEntry {
         |  CAST(SUM(cardinality(word_shingles(text, 2))) AS BIGINT)
         |    AS n_shingles
         |FROM graft_documents GROUP BY lang""".stripMargin)
+    }),
+
+    // ── T7 on the NEW transformWithState API (Spark 4 arbitrary
+    // state v2, RocksDB state store): per-user arrival sequencer as a
+    // REAL append-mode run — the streaming row-number whose per-key
+    // count lives in a typed ValueState. The provider conf is set for
+    // this query only and restored after (the older stateful ops keep
+    // the default HDFS-backed store) ──
+    "q87_tws_sequence" -> ((s, dir) => {
+      import s.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val old = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider")
+      try {
+        val st = eventsStream(s, dir, timestamp_micros(expr("ts div 1000")))
+          .select(col("user_id"), unix_micros(col("ts")), col("event_id"))
+          .as[(Long, Long, Long)]
+        val seq = Streams.arrivalSequence(st)
+          .toDF("user_id", "event_id", "seq")
+        drainToTable(s, "q87_mem", "append", seq)
+      } finally old match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
     })
   )
 
@@ -2714,7 +2739,13 @@ object SparkEntry {
            |  CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
            |  CAST(SUM(len(${sqlShingles(2)})) AS BIGINT) AS n_shingles
            |FROM (SELECT lang, $sqlTokens AS toks FROM documents)
-           |GROUP BY lang""".stripMargin
+           |GROUP BY lang""".stripMargin,
+
+      "q87_tws_sequence" ->
+        """SELECT user_id, event_id,
+          |  ROW_NUMBER() OVER (
+          |    PARTITION BY user_id ORDER BY ts, event_id) AS seq
+          |FROM events""".stripMargin
     )
   }
 }

@@ -103,6 +103,47 @@ object Streams {
         col(rightTsCol) <= col(leftTsCol))
   }
 
+  /** T7 on Spark 4's NEW arbitrary-state API (transformWithState +
+    * StatefulProcessor, state store = RocksDB): per-key arrival
+    * sequencer — every (key, ts, id) row gets its 1-based position in
+    * the key's event-time order, with the per-key count carried
+    * across micro-batches in a ValueState. Rows are sorted by
+    * (ts, id) WITHIN each batch before numbering, so the output is
+    * deterministic and, when batches arrive in event-time order (one
+    * AvailableNow batch trivially qualifies), equals the batch
+    * ROW_NUMBER window — which is exactly what the q87 oracle checks.
+    * vs mapGroupsWithState ([[runningCounts]]): typed per-state
+    * encoders, multiple named states per key, TTL support, and timers
+    * — the API the 100 TB ingest path should be written against. */
+  def arrivalSequence(ds: Dataset[(Long, Long, Long)]): Dataset[(Long, Long, Long)] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .transformWithState(new ArrivalSeqProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
+  private class ArrivalSeqProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Long), (Long, Long, Long)] {
+    @transient private var seen: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      seen = getHandle.getValueState[Long]("seen",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long)] = {
+      val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+      var n = if (seen.exists()) seen.get() else 0L
+      val out = sorted.map { r => n += 1; (key, r._3, n) }
+      seen.update(n)
+      out.iterator
+    }
+  }
+
   /** T7: arbitrary keyed state — running per-key totals that survive
     * across micro-batches (mapGroupsWithState). */
   def runningCounts(ds: Dataset[(String, Long)]): Dataset[(String, Long)] = {

@@ -152,6 +152,37 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally q.stop()
   }
 
+  test("T7: transformWithState sequencer numbers arrivals per key across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state" +
+      ".RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, Long, Long)] // (key, ts, id)
+      val q = Streams.arrivalSequence(input.toDS())
+        .toDF("k", "id", "seq")
+        .writeStream.format("memory").queryName("tws_t7")
+        .outputMode("append").start()
+      try {
+        // batch 1 arrives ts-unordered: numbering must follow ts
+        input.addData((1L, 20L, 101L), (1L, 10L, 100L), (2L, 5L, 200L))
+        q.processAllAvailable()
+        // batch 2: the ValueState must carry key 1's count forward
+        input.addData((1L, 30L, 102L))
+        q.processAllAvailable()
+        val got = spark.table("tws_t7")
+          .as[(Long, Long, Long)].collect().toSet
+        got shouldBe Set((1L, 100L, 1L), (1L, 101L, 2L), (1L, 102L, 3L),
+          (2L, 200L, 1L))
+      } finally q.stop()
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("T7: mapGroupsWithState keeps running totals across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
