@@ -1532,6 +1532,36 @@ object SparkEntry {
         case Some(v) => s.conf.set(key, v)
         case None => s.conf.unset(key)
       }
+    }),
+
+    // ── Time-series regularization: resample to a dense hourly grid
+    // and FORWARD-FILL across the 215 empty buckets — the gap-fill
+    // step before any train/serve feature join. The spine is built
+    // IN-PLAN (1-row bounds agg cross-joined under sequence/explode,
+    // no driver collect); the fill is one ordered window per series.
+    // Hours before a series' first datum stay null, exactly as the
+    // oracle's IGNORE NULLS window does ──
+    "q88_gap_fill" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val hourly = ev
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          Relational.exactSum(col("value")).as("sum_value"))
+      val bounds = ev.agg(
+        min(date_trunc("hour", col("ts"))).as("lo"),
+        max(date_trunc("hour", col("ts"))).as("hi"))
+      val spine = ev.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"),
+            expr("INTERVAL 1 HOUR"))).as("h"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      spine.join(hourly, Seq("event_type", "h"), "left")
+        .select(col("event_type"), unix_millis(col("h")).as("hour_ms"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          last(col("sum_value"), ignoreNulls = true).over(w)
+            .as("filled_sum"))
     })
   )
 
@@ -2745,7 +2775,27 @@ object SparkEntry {
         """SELECT user_id, event_id,
           |  ROW_NUMBER() OVER (
           |    PARTITION BY user_id ORDER BY ts, event_id) AS seq
-          |FROM events""".stripMargin
+          |FROM events""".stripMargin,
+
+      "q88_gap_fill" ->
+        s"""WITH hourly AS (
+           |  SELECT event_type, date_trunc('hour', ts) AS h,
+           |    COUNT(*) AS n, ${dec("value")} AS sum_value
+           |  FROM events GROUP BY 1, 2),
+           |b AS (
+           |  SELECT min(date_trunc('hour', ts)) AS lo,
+           |    max(date_trunc('hour', ts)) AS hi FROM events),
+           |spine AS (
+           |  SELECT event_type,
+           |    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+           |  FROM (SELECT DISTINCT event_type FROM events) CROSS JOIN b)
+           |SELECT s.event_type, epoch_ms(s.h) AS hour_ms,
+           |  CAST(COALESCE(n, 0) AS BIGINT) AS n,
+           |  last_value(sum_value IGNORE NULLS) OVER (
+           |    PARTITION BY s.event_type ORDER BY s.h
+           |    ROWS UNBOUNDED PRECEDING) AS filled_sum
+           |FROM spine s LEFT JOIN hourly
+           |  ON s.event_type = hourly.event_type AND s.h = hourly.h""".stripMargin
     )
   }
 }
