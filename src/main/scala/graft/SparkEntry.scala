@@ -1562,6 +1562,60 @@ object SparkEntry {
           coalesce(col("n"), lit(0L)).as("n"),
           last(col("sum_value"), ignoreNulls = true).over(w)
             .as("filled_sum"))
+    }),
+
+    // ── NS INCREMENTAL-INGEST capstone (the every-new-crawl path,
+    // complementing q66's full-rebuild prep): Bloom exact-dedup vs
+    // the corpus (drops clean re-crawls) → corpus-vocabulary gate
+    // (drops docs carrying tokens the corpus has NEVER seen — the
+    // gibberish/mojibake cut scored against EXISTING corpus stats,
+    // the production shape where stats are precomputed; unknown
+    // tokens are injected deterministically, and marker-carrying
+    // re-crawls that slip past the exact dedup die here instead) →
+    // token-budget shard pack of the accepted batch. Each stage's
+    // semantics is individually verified by q78/q79/q57; this gates
+    // their composition ──
+    "q89_incremental_prep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val newSrc = Seq("src15", "src16", "src17")
+      val corpus = docs.filter(!col("source").isin(newSrc: _*))
+      val recrawl = corpus.filter(col("doc_id") % 23 === 0)
+        .withColumn("doc_id", col("doc_id") + 200000L)
+      val batch = docs.filter(col("source").isin(newSrc: _*))
+        .unionByName(recrawl)
+        .withColumn("text",
+          // % 7 is coprime to the 20-source doc_id stride, so the
+          // unknown-token injection thins EVERY source instead of
+          // wiping one whole source (% 5 would: 20 ≡ 0 mod 5)
+          when(col("doc_id") % 7 === 1,
+            concat(col("text"), lit(" zq"),
+              (col("doc_id") % 3).cast("string")))
+            .otherwise(col("text")))
+      val fresh = Dedup.incrementalDedupBloom(batch, corpus, "text",
+        expectedItems = 1L << 17)
+      val vocab = corpus
+        .select(explode(array_distinct(text.tokens(col("text"))))
+          .as("tok")).distinct()
+      val unknowns = fresh
+        .select(col("doc_id"),
+          explode(array_distinct(text.tokens(col("text")))).as("tok"))
+        .join(vocab.withColumn("_known", lit(1)), Seq("tok"), "left")
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("_known").isNull, 1L).otherwise(0L))
+          .as("unknown_tokens"))
+      val accepted = fresh.join(unknowns, Seq("doc_id"))
+        .filter(col("unknown_tokens") === 0L)
+        .withColumn("n_tokens", text.tokenCount(col("text")).cast("long"))
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      accepted
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("shard_id",
+          floor((col("cum") - col("n_tokens")).cast("double") / 4096L)
+            .cast("long"))
+        .groupBy(col("source"), col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("shard_tokens"))
     })
   )
 
@@ -2795,7 +2849,51 @@ object SparkEntry {
            |    PARTITION BY s.event_type ORDER BY s.h
            |    ROWS UNBOUNDED PRECEDING) AS filled_sum
            |FROM spine s LEFT JOIN hourly
-           |  ON s.event_type = hourly.event_type AND s.h = hourly.h""".stripMargin
+           |  ON s.event_type = hourly.event_type AND s.h = hourly.h""".stripMargin,
+
+      "q89_incremental_prep" ->
+        s"""WITH corpus AS (
+           |  SELECT * FROM documents
+           |  WHERE source NOT IN ('src15', 'src16', 'src17')),
+           |batch0 AS (
+           |  SELECT doc_id, text, source FROM documents
+           |  WHERE source IN ('src15', 'src16', 'src17')
+           |  UNION ALL
+           |  SELECT doc_id + 200000 AS doc_id, text, source
+           |  FROM corpus WHERE doc_id % 23 = 0),
+           |batch AS (
+           |  SELECT doc_id, source,
+           |    CASE WHEN doc_id % 7 = 1
+           |      THEN text || ' zq' || CAST(doc_id % 3 AS VARCHAR)
+           |      ELSE text END AS text
+           |  FROM batch0),
+           |fresh AS (
+           |  SELECT * FROM batch b WHERE NOT EXISTS (
+           |    SELECT 1 FROM corpus c WHERE md5(c.text) = md5(b.text))),
+           |vocab AS (
+           |  SELECT DISTINCT unnest($sqlTokens) AS tok FROM corpus),
+           |unk AS (
+           |  SELECT doc_id,
+           |    SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS u
+           |  FROM (SELECT DISTINCT doc_id, unnest($sqlTokens) AS tok
+           |        FROM fresh) t
+           |  LEFT JOIN vocab v ON t.tok = v.tok
+           |  GROUP BY doc_id),
+           |acc AS (
+           |  SELECT f.source, f.doc_id, len($sqlTokens) AS n_tokens
+           |  FROM fresh f JOIN unk ON f.doc_id = unk.doc_id
+           |  WHERE unk.u = 0),
+           |c AS (
+           |  SELECT source, doc_id, n_tokens,
+           |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           |      ROWS UNBOUNDED PRECEDING) AS cum
+           |  FROM acc)
+           |SELECT source,
+           |  CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / 4096) AS BIGINT)
+           |    AS shard_id,
+           |  COUNT(*) AS n_docs,
+           |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+           |FROM c GROUP BY 1, 2""".stripMargin
     )
   }
 }
