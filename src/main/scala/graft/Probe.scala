@@ -176,12 +176,17 @@ object ProbeScale {
         s"pred_pairs=${n.toDouble * 31 / 2}")
     }
 
+    // `ProbeScale spans` runs only the q81 sweep; no arg = everything
+    val mode = args.headOption.getOrElse("full")
+
     // ── natural sweep over the generated fixtures ──
-    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
-      val dir = s"/root/testdata/$sf"
-      if (new java.io.File(dir).isDirectory) {
-        measureDocs(sf, Tables(spark, dir, "documents"))
-        measureEmb(sf, Tables(spark, dir, "embeddings"))
+    if (mode == "full") {
+      for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+        val dir = s"/root/testdata/$sf"
+        if (new java.io.File(dir).isDirectory) {
+          measureDocs(sf, Tables(spark, dir, "documents"))
+          measureEmb(sf, Tables(spark, dir, "embeddings"))
+        }
       }
     }
 
@@ -249,8 +254,6 @@ object ProbeScale {
         s"hottest_gram_positions=${r.getLong(2)}")
     }
 
-    // `ProbeScale spans` runs only the q81 sweep; no arg = everything
-    val mode = args.headOption.getOrElse("full")
     if (mode == "full") {
       for (r <- Seq(1, 4, 10)) measureDocs(s"dense${r}x", resampleDocs(r))
       for (r <- Seq(4, 10)) measureDocs(s"grow${r}x", resampleDocsScaledVocab(r))

@@ -1517,20 +1517,13 @@ object SparkEntry {
     // the default HDFS-backed store) ──
     "q87_tws_sequence" -> ((s, dir) => {
       import s.implicits._
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val old = s.conf.getOption(key)
-      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state" +
-        ".RocksDBStateStoreProvider")
-      try {
+      Streams.withRocksDbStateStore(s) {
         val st = eventsStream(s, dir, timestamp_micros(expr("ts div 1000")))
           .select(col("user_id"), unix_micros(col("ts")), col("event_id"))
           .as[(Long, Long, Long)]
         val seq = Streams.arrivalSequence(st)
           .toDF("user_id", "event_id", "seq")
         drainToTable(s, "q87_mem", "append", seq)
-      } finally old match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
       }
     }),
 
@@ -1603,8 +1596,10 @@ object SparkEntry {
         .groupBy(col("doc_id"))
         .agg(sum(when(col("_known").isNull, 1L).otherwise(0L))
           .as("unknown_tokens"))
-      val accepted = fresh.join(unknowns, Seq("doc_id"))
-        .filter(col("unknown_tokens") === 0L)
+      // LEFT join: a zero-token doc has no explode rows, hence no
+      // unknowns row — it has nothing unknown and must pass the gate
+      val accepted = fresh.join(unknowns, Seq("doc_id"), "left")
+        .filter(coalesce(col("unknown_tokens"), lit(0L)) === 0L)
         .withColumn("n_tokens", text.tokenCount(col("text")).cast("long"))
       val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, 0)
@@ -2881,8 +2876,8 @@ object SparkEntry {
            |  GROUP BY doc_id),
            |acc AS (
            |  SELECT f.source, f.doc_id, len($sqlTokens) AS n_tokens
-           |  FROM fresh f JOIN unk ON f.doc_id = unk.doc_id
-           |  WHERE unk.u = 0),
+           |  FROM fresh f LEFT JOIN unk ON f.doc_id = unk.doc_id
+           |  WHERE COALESCE(unk.u, 0) = 0),
            |c AS (
            |  SELECT source, doc_id, n_tokens,
            |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id

@@ -123,6 +123,23 @@ object Streams {
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  /** Run `body` with the RocksDB state store provider set on the
+    * session — transformWithState requires it. The conf is read at
+    * stream START, so only queries started inside `body` are
+    * affected; the previous provider (or its absence) is restored on
+    * every exit path. */
+  def withRocksDbStateStore[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state" +
+      ".RocksDBStateStoreProvider")
+    try body
+    finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   private class ArrivalSeqProcessor
     extends org.apache.spark.sql.streaming.StatefulProcessor[
       Long, (Long, Long, Long), (Long, Long, Long)] {

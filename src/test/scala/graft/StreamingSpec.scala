@@ -155,11 +155,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
   test("T7: transformWithState sequencer numbers arrivals per key across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val old = spark.conf.getOption(key)
-    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state" +
-      ".RocksDBStateStoreProvider")
-    try {
+    Streams.withRocksDbStateStore(spark) {
       val input = MemoryStream[(Long, Long, Long)] // (key, ts, id)
       val q = Streams.arrivalSequence(input.toDS())
         .toDF("k", "id", "seq")
@@ -177,9 +173,6 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
         got shouldBe Set((1L, 100L, 1L), (1L, 101L, 2L), (1L, 102L, 3L),
           (2L, 200L, 1L))
       } finally q.stop()
-    } finally old match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
     }
   }
 
