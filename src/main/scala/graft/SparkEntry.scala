@@ -1611,6 +1611,21 @@ object SparkEntry {
         .groupBy(col("source"), col("shard_id"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("shard_tokens"))
+    }),
+
+    // ── A6 through the ORACLE gate on the NATIVE aggregate: the
+    // registered SQL top_k (TypedImperativeAggregate, bounded
+    // 16-byte-entry heap, map-side partial merge) — previously only
+    // spec-verified against the window form; here DuckDB's
+    // ROW_NUMBER window IS the oracle. Exploded to flat rows so the
+    // hash compare sees scalars, not array<struct> ──
+    "q90_topk_native" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("graft_events")
+      s.sql("""SELECT event_type, top_k(value, event_id, 3) AS tk
+        |FROM graft_events GROUP BY event_type""".stripMargin)
+        .select(col("event_type"), posexplode(col("tk")).as(Seq("r", "e")))
+        .select(col("event_type"), (col("r") + 1).cast("long").as("rank"),
+          col("e.id").as("event_id"), col("e.score").as("value"))
     })
   )
 
@@ -2888,7 +2903,14 @@ object SparkEntry {
            |    AS shard_id,
            |  COUNT(*) AS n_docs,
            |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
-           |FROM c GROUP BY 1, 2""".stripMargin
+           |FROM c GROUP BY 1, 2""".stripMargin,
+
+      "q90_topk_native" ->
+        """SELECT event_type, rank, event_id, value FROM (
+          |  SELECT event_type, event_id, value,
+          |    ROW_NUMBER() OVER (PARTITION BY event_type
+          |      ORDER BY value DESC, event_id) AS rank
+          |  FROM events) WHERE rank <= 3""".stripMargin
     )
   }
 }
