@@ -55,6 +55,29 @@ class LayoutSpec extends AnyFunSuite with SparkSpec with Matchers {
     cell shouldBe Array(0L, 1L, 2L, 3L)
   }
 
+  test("zAddress roundtrip: deinterleaving recovers both dimensions on random points") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val seed = org.scalacheck.rng.Seed(11L)
+    val gen = for {
+      a <- Gen.choose(0L, 1023L); b <- Gen.choose(0L, 1023L)
+    } yield (a, b)
+    val pts = Gen.listOfN(300, gen).pureApply(Gen.Parameters.default, seed)
+    val got = pts.toDF("a", "b")
+      .select(col("a"), col("b"),
+        Layout.zAddress(col("a"), col("b"), 10).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (a, b, z) =>
+      var ra = 0L
+      var rb = 0L
+      for (i <- 0 until 10) {
+        ra |= ((z >> (2 * i + 1)) & 1L) << i
+        rb |= ((z >> (2 * i)) & 1L) << i
+      }
+      (ra, rb) shouldBe ((a, b))
+    }
+  }
+
   test("zorderWrite bounds every file in BOTH dimensions and prunes on each") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_zorder").toString + "/t"

@@ -83,6 +83,29 @@ class RelationalSpec extends AnyFunSuite with SparkSpec with Matchers {
       Set((1L, 20L, 6.0, Some(5.0)))
   }
 
+  test("asOfJoinNative equals the composed asOfJoin on randomized collision-heavy inputs") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    // tiny key/time domains force same-key pile-ups, exact time ties,
+    // duplicate left rows, keys missing on either side
+    val seed = org.scalacheck.rng.Seed(7L)
+    val gen = for {
+      k <- Gen.choose(0L, 6L)
+      t <- Gen.choose(0L, 30L)
+      v <- Gen.choose(0, 99).map(_.toDouble)
+    } yield (k, t, v)
+    val rows = Gen.listOfN(400, gen)
+      .pureApply(Gen.Parameters.default, seed)
+    val left = rows.take(150).map { case (k, t, _) => (k, t) }.toDF("k", "t")
+    val right = rows.drop(150).toDF("k", "t", "v")
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Option[Double])].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+    multiset(Relational.asOfJoinNative(
+      left, right, "k", "t", "t", "v", "pv")) shouldBe
+      multiset(Relational.asOfJoin(left, right, "k", "t", "t", "v", "pv"))
+  }
+
   test("sessionize opens a new session exactly past the gap") {
     import spark.implicits._
     val df = Seq(
