@@ -10,8 +10,17 @@ object Logs {
     * file). Harmless, but a driver or judge parsing bench/verify
     * stderr sees an exception trace every round. Everything else
     * stays at the session default. */
-  def quietBenignWarns(): Unit =
+  def quietBenignWarns(): Unit = {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
       org.apache.logging.log4j.Level.ERROR)
+    // Bench/Verify deliberately unpersist each query's eager local
+    // checkpoint after its result is consumed (the session-hygiene
+    // drain); Spark warns that the truncated lineage cannot be
+    // recomputed — which is exactly the contract (the frame is never
+    // touched again), so the WARN is noise here
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
+  }
 }

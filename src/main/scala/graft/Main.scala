@@ -37,6 +37,7 @@ object Main {
       case Seq("bench", rest @ _*) => Bench.main(rest.toArray); return
       case Seq("verify", sfDir, outDir) =>
         Verify.main(Array(sfDir, outDir)); return
+      case Seq("explain", rest @ _*) => Explain.main(rest.toArray); return
       case _ => ()
     }
     val spark = SparkSession.builder()
@@ -95,7 +96,8 @@ object Main {
       "  publish <outDir> <count>            synthetic emailSend messages",
       "  import <referenceSnapshotDir> <destDir>   rewrite reference layout",
       "  verify <sfDir> <outDir>             correctness dump (graft.Verify)",
-      "  bench                               timing run (graft.Bench)")
+      "  bench                               timing run (graft.Bench)",
+      "  explain [outDir]                    plan dumps (graft.Explain)")
   }
 
   /** §3.3 list_topics over a snapshot's catalog files: the same

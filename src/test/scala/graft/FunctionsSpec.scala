@@ -164,6 +164,26 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec with Matchers {
     fps(0) should not be fps(1)
   }
 
+  test("observe() meters a prep pass in-flight — no second scan for the audit counters") {
+    import spark.implicits._
+    // the 100 TB shape for pipeline metrics: counters ride the same
+    // pass as the transformation (Observation), instead of a separate
+    // count()/agg job re-reading the corpus
+    val docs = Seq(
+      "contact me at a@b.co or c@d.org",
+      "clean text only",
+      "one more a@b.co").toDF("text")
+    val obs = new org.apache.spark.sql.Observation("prep")
+    val redacted = docs
+      .observe(obs, count(lit(1)).as("rows"),
+        sum(text.piiCount(col("text"), text.emailRe)).as("emails"))
+      .select(text.redactPii(col("text")).as("text"))
+      .collect()
+    redacted.count(_.getString(0).contains("<EMAIL>")) shouldBe 2
+    obs.get("rows") shouldBe 3L
+    obs.get("emails") shouldBe 3L
+  }
+
   test("SQL-registered text kernels match the Column API (tokenize, word_shingles, simhash60)") {
     import spark.implicits._
     Seq("The quick  brown fox", "the QUICK brown fox", "", "  one ")
