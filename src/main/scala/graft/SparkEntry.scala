@@ -1626,6 +1626,20 @@ object SparkEntry {
         .select(col("event_type"), posexplode(col("tk")).as(Seq("r", "e")))
         .select(col("event_type"), (col("r") + 1).cast("long").as("rank"),
           col("e.id").as("event_id"), col("e.score").as("value"))
+    }),
+
+    // ── the VECTOR SQL surface through the oracle: the codegen'd
+    // cosine_sim kernel driven entirely from spark.sql (registered by
+    // GraftExtensions) — a SQL-only user's similarity query plans the
+    // same expression the DataFrame ANN operators use (q28/q32/q54) ──
+    "q91_sql_cosine" -> ((s, dir) => {
+      t(s, dir, "embeddings").createOrReplaceTempView("graft_embeddings")
+      s.sql("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(cosine_sim(a.embedding, b.embedding), 6) AS cos
+        |FROM graft_embeddings a JOIN graft_embeddings b
+        |  ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 40 AND b.vec_id < 40
+        |ORDER BY cos DESC, id_a, id_b LIMIT 15""".stripMargin)
     })
   )
 
@@ -2910,7 +2924,19 @@ object SparkEntry {
           |  SELECT event_type, event_id, value,
           |    ROW_NUMBER() OVER (PARTITION BY event_type
           |      ORDER BY value DESC, event_id) AS rank
-          |  FROM events) WHERE rank <= 3""".stripMargin
+          |  FROM events) WHERE rank <= 3""".stripMargin,
+
+      "q91_sql_cosine" ->
+        """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+          |      CAST(b.embedding AS DOUBLE[])) /
+          |    (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+          |        CAST(a.embedding AS DOUBLE[]))) *
+          |     sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+          |        CAST(b.embedding AS DOUBLE[])))), 6) AS cos
+          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          |WHERE a.vec_id < 40 AND b.vec_id < 40
+          |ORDER BY cos DESC, id_a, id_b LIMIT 15""".stripMargin
     )
   }
 }
