@@ -119,10 +119,24 @@ object Bench {
         s""""calib_sec":[${num(calibStart)},${num(calibEnd)}],""" +
         s""""sf":"$sfDir"}"""
     println(line)
-    // also write the bare JSON line to a file: the stdout copy drowns
+    // The full line is ~7 KB (per-query wall + gc + cpu maps); a
+    // fixed-size tail capture can truncate it mid-line and lose the
+    // one number that matters (r5: BENCH_r05.json kept a cpu_sec
+    // fragment and dropped "value":106.29). Print a second, SHORT
+    // summary line AFTER it so any tail keeps the headline.
+    val summary =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
+        s""""n_queries":${results.size},"failed":$failedJson,""" +
+        s""""gc_total":${num(gcSec.values.sum)},""" +
+        s""""cpu_total":${num(cpuTotal)},""" +
+        s""""calib_sec":[${num(calibStart)},${num(calibEnd)}],""" +
+        s""""sf":"$sfDir"}"""
+    println(summary)
+    // also write the bare JSON lines to a file: the stdout copy drowns
     // in sbt/log4j decoration and the driver failed to parse it (r01)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out), line + "\n" + summary + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $out: $e") }
     spark.stop()
   }

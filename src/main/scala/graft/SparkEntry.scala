@@ -24,6 +24,25 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Collect a BOUNDED (aggregate-sized) result, recursively delete
+    * the scratch directory its plan reads from, and re-surface the
+    * rows as a local DataFrame — the q58 lesson generalized: a lazy
+    * plan over scratch files must be fully consumed before the files
+    * go, and repeated bench/verify runs must not accumulate scratch
+    * under /tmp. Only for results whose cardinality is a handful of
+    * rows (here: 1-row layout aggregates, per-topic snapshots). */
+  private def materializeThenClean(s: SparkSession,
+      bounded: DataFrame, scratchRoot: String): DataFrame = {
+    val rows = bounded.collect()
+    def rm(f: java.io.File): Unit = {
+      val children = f.listFiles()
+      if (children != null) children.foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(scratchRoot))
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), bounded.schema)
+  }
+
   /** Derived topic catalog: a deterministic topic name per event so
     * catalog operators (SURVEY §2.1 S5/U1, §2.5 A2, §2.7 L2) run over
     * fixture data. Mirrored verbatim in SQL by [[topicsCte]]. */
@@ -853,20 +872,12 @@ object SparkEntry {
           max(col("seq")).as("max_seq"),
           sum(col("payload_bytes")).as("total_bytes"),
           sum(col("seq") * col("payload_bytes")).as("order_sum"))
-      // collect the aggregate (bounded: one row per topic — the same
-      // cardinality as the query's result) BEFORE deleting the scratch
-      // snapshot: a checkpoint whose source files are gone turns any
-      // block loss into an unrecoverable failure, and the local rows
-      // need no executor blocks at all
-      val rows = agg.collect()
-      def rm(f: java.io.File): Unit = {
-        val children = f.listFiles()
-        if (children != null) children.foreach(rm)
-        f.delete()
-      }
-      rm(new java.io.File(tmp))
-      s.createDataFrame(
-        java.util.Arrays.asList(rows: _*), agg.schema)
+      // bounded collect (one row per topic — the query's own
+      // cardinality) BEFORE deleting the scratch snapshot: a
+      // checkpoint whose source files are gone turns any block loss
+      // into an unrecoverable failure, and the local rows need no
+      // executor blocks at all
+      materializeThenClean(s, agg, tmp)
     }),
 
     // ── NS: token-budget SHARD PACKING — the sequence-packing step of
@@ -1298,18 +1309,22 @@ object SparkEntry {
     // a concurrent Verify/Bench process's Overwrite mid-scan) and is
     // consumed before any cleanup could touch it (the q58 lesson) ──
     "q76_clustered_scan" -> ((s, dir) => {
-      val scratch = java.nio.file.Files
-        .createTempDirectory("graft_q76_").toString + "/lineitem"
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q76_").toString
+      val scratch = root + "/lineitem"
       Layout.clusteredWrite(
         t(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_quantity"), col("l_shipdate")),
         scratch, numFiles = 16, col("l_shipdate"))
-      s.read.parquet(scratch)
+      val agg = s.read.parquet(scratch)
         .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1995-01-01").cast("timestamp"))
         .agg(count(lit(1)).as("n_items"),
           Relational.exactSum(col("l_quantity")).as("sum_qty"),
           countDistinct(col("l_orderkey")).as("n_orders"))
+      // 1-row result: consume it, then reclaim the scratch copy
+      // (repeated bench/verify runs were accumulating /tmp data)
+      materializeThenClean(s, agg, root)
     }),
 
     // ── GROUPING SETS — the general form between rollup (q08) and
@@ -1426,21 +1441,24 @@ object SparkEntry {
     // measures it); the result is layout-invariant, which is exactly
     // what the oracle checks. The write is billed inside the query ──
     "q82_zorder_scan" -> ((s, dir) => {
-      val scratch = java.nio.file.Files
-        .createTempDirectory("graft_q82_").toString + "/events"
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q82_").toString
+      val scratch = root + "/events"
       val ev = t(s, dir, "events").select(
         col("event_id"), col("user_id"), col("ts"), col("value"))
       // day number since epoch < 2^15; user_id < 2^15 at any SF here
       Layout.zorderWrite(ev, scratch, numFiles = 16, bits = 15,
         col("user_id"),
         (unix_millis(col("ts")) / lit(86400000L)).cast("long"))
-      s.read.parquet(scratch)
+      val agg = s.read.parquet(scratch)
         .filter(col("user_id").between(10L, 20L) &&
           col("ts") >= lit("2024-01-10").cast("timestamp") &&
           col("ts") < lit("2024-01-20").cast("timestamp"))
         .agg(count(lit(1)).as("n"),
           countDistinct(col("user_id")).as("n_users"),
           Relational.exactSum(col("value")).as("sum_value"))
+      // 1-row result: consume it, then reclaim the scratch copy
+      materializeThenClean(s, agg, root)
     }),
 
     // ── J5 as a NATIVE whole-operator plan (extension ladder rung c:
@@ -1640,6 +1658,25 @@ object SparkEntry {
         |  ON a.vec_id < b.vec_id
         |WHERE a.vec_id < 40 AND b.vec_id < 40
         |ORDER BY cos DESC, id_a, id_b LIMIT 15""".stripMargin)
+    }),
+
+    // ── J5 options parity: FORWARD as-of with TOLERANCE — "the next
+    // click within 24 h after each purchase", the two knobs every
+    // production as-of user reaches for (pandas merge_asof's
+    // direction/tolerance). Same AsOfJoinExec merge, right side
+    // sorted (ts, value DESC) so time ties resolve to max value with
+    // zero buffering; the tolerance re-check nulls far candidates
+    // without dropping rows. Oracle: DuckDB ASOF with the reversed
+    // inequality + a CASE for the tolerance window ──
+    "q94_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+      Relational.asOfJoinNative(purchases, clicks, "user_id", "ts", "ts",
+          "value", "next_click_value",
+          direction = "forward", tolerance = 24L * 3600L * 1000000L)
+        .select(col("event_id"), col("user_id"), col("next_click_value"))
     })
   )
 
@@ -2936,7 +2973,19 @@ object SparkEntry {
           |        CAST(b.embedding AS DOUBLE[])))), 6) AS cos
           |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
           |WHERE a.vec_id < 40 AND b.vec_id < 40
-          |ORDER BY cos DESC, id_a, id_b LIMIT 15""".stripMargin
+          |ORDER BY cos DESC, id_a, id_b LIMIT 15""".stripMargin,
+
+      "q94_asof_forward" ->
+        """SELECT p.event_id, p.user_id,
+          |  CASE WHEN c.ts <= p.ts + INTERVAL 24 HOUR THEN c.value END
+          |    AS next_click_value
+          |FROM (SELECT event_id, user_id, ts FROM events
+          |      WHERE event_type = 'purchase') p
+          |ASOF LEFT JOIN (
+          |  SELECT user_id, ts, MAX(value) AS value
+          |  FROM events WHERE event_type = 'click'
+          |  GROUP BY user_id, ts) c
+          |  ON p.user_id = c.user_id AND p.ts <= c.ts""".stripMargin
     )
   }
 }

@@ -25,7 +25,13 @@ object Verify {
     }
     rm(new java.io.File(outDir))
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional comma-separated filter for iterating on single queries
+    // (same contract as Bench's SPARK_GRAFT_BENCH_ONLY; the driver
+    // sets nothing and always dumps the full surface)
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.split(",").toSet)
+    SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       // repartition(1), not coalesce(1): coalesce would collapse every
       // narrow stage upstream onto one task; repartition keeps the
       // computation parallel and only the write single-file

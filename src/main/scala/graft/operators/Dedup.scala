@@ -741,12 +741,25 @@ object Dedup {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.Bridge
     require(expectedItems > 0, s"expectedItems must be > 0: $expectedItems")
+    // BloomFilterAggregate rejects estimatedNumItems/numBits above the
+    // session's runtime-filter caps (spark.sql.optimizer.runtime.
+    // bloomFilter.maxNumItems/maxNumBits, defaults 4M / 67M bits) at
+    // ANALYSIS time — so an honest 10¹⁰-row corpus estimate would
+    // throw before running. Clamp to the caps: undersizing only raises
+    // the false-positive rate, which the confirm join absorbs; raise
+    // the two confs to let a bigger sketch through.
+    val conf = batch.sparkSession.conf
+    def cap(key: String, dflt: Long): Long =
+      conf.getOption(key).map(_.toLong).getOrElse(dflt)
+    val items = expectedItems.min(cap(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", 4000000L))
     val numBits = org.apache.spark.util.sketch.BloomFilter
-      .optimalNumOfBits(expectedItems, fpp)
+      .optimalNumOfBits(items, fpp)
+      .min(cap("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", 67108864L))
     val sketch = Bridge.column(
       new BloomFilterAggregate(
         Bridge.expression(xxhash64(col(textCol))),
-        Bridge.expression(lit(expectedItems)),
+        Bridge.expression(lit(items)),
         Bridge.expression(lit(numBits))).toAggregateExpression())
     val bloom = corpus.agg(sketch.as("bf")).scalar()
     // null only when the corpus is empty (BloomFilterAggregate yields

@@ -88,9 +88,11 @@ object Relational {
     * (graft.plans.GraftExtensions via config or `register`). */
   def asOfJoinNative(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String,
-      rightValCol: String, outCol: String): DataFrame =
+      rightValCol: String, outCol: String,
+      direction: String = "backward", tolerance: Long = -1L): DataFrame =
     org.apache.spark.sql.graft.AsOf.join(
-      left, right, key, leftTs, rightTs, rightValCol, outCol)
+      left, right, key, leftTs, rightTs, rightValCol, outCol,
+      direction, tolerance)
 
   /** Exact count-distinct with value-salting for skewed keys: phase 1
     * groups by (key, hash(value) % salt) and counts distinct within
@@ -138,6 +140,11 @@ object Relational {
       hotKeys: Seq[Any], salt: Int): DataFrame = {
     require(salt >= 2, s"salt must be >= 2, got $salt")
     require(hotKeys.nonEmpty, "hotKeys must be non-empty")
+    // _gsalt is a reserved working column: withColumn would silently
+    // REPLACE a caller column of that name and the final select would
+    // re-emit salt cells in its place (silent data corruption)
+    require(!fact.columns.contains("_gsalt") && !dim.columns.contains("_gsalt"),
+      "skewedJoin reserves the working column name _gsalt; rename the input column")
     val fSalt = when(col(factKey).isin(hotKeys: _*),
       pmod(xxhash64(factId), lit(salt.toLong)).cast("int"))
       .otherwise(lit(0))
@@ -175,6 +182,10 @@ object Relational {
       pointCol: String, startCol: String, endCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    // same reserved-name hazard as skewedJoin's _gsalt
+    require(!points.columns.contains("_gcell") &&
+      !intervals.columns.contains("_gcell"),
+      "rangeJoin reserves the working column name _gcell; rename the input column")
     // exact floor-division bucket id in INTEGRAL arithmetic
     // (IntegralDivide, i.e. SQL `div`) — Column./ on longs is double
     // division, whose long→double cast loses low bits above 2^53 and

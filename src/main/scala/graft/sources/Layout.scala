@@ -55,10 +55,14 @@ object Layout {
     * layout is a performance property, never a correctness one). */
   def zAddress(a: Column, b: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31]: $bits")
+    // force LONG shift semantics: on IntegerType inputs Spark's
+    // shiftleft/shiftright wrap the distance mod 32, which scrambles
+    // the interleave for bit positions 2*i+1 >= 32 (i.e. bits > ~15)
+    val al = a.cast("long"); val bl = b.cast("long")
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
       acc
-        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1))
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i))
     }
   }
 

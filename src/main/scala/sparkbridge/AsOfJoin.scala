@@ -7,7 +7,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, AttributeSet, Expression, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, AttributeSet, Descending, Expression, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.classic
@@ -29,11 +29,19 @@ import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, Timesta
   * declared via `producedAttributes` so analysis sees no missing
   * input. Both children's attribute sets must be disjoint (the
   * [[AsOf]] builder re-aliases the right side when they are not).
+  *
+  * `forward` flips the direction: the SMALLEST rightTime >=
+  * leftTime wins (ties on time → greatest value, same as backward).
+  * `tolerance` (< 0 = unbounded) bounds |rightTime - leftTime| in the
+  * time column's NATIVE long units (microseconds for timestamps) —
+  * a candidate farther away yields null, exactly pandas
+  * merge_asof's tolerance contract.
   */
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    rightValue: Expression, outAttr: Attribute) extends BinaryNode {
+    rightValue: Expression, outAttr: Attribute,
+    forward: Boolean = false, tolerance: Long = -1L) extends BinaryNode {
   override def output: Seq[Attribute] = left.output :+ outAttr
   override def producedAttributes: AttributeSet = AttributeSet(outAttr)
   override def maxRows: Option[Long] = left.maxRows
@@ -47,8 +55,9 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
   * experimental.extraStrategies. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, rv, out) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, rv, out) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, rv, out, fwd, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, rv, out,
+        fwd, tol) :: Nil
     case _ => Nil
   }
 }
@@ -73,7 +82,8 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    rightValue: Expression, outAttr: Attribute)
+    rightValue: Expression, outAttr: Attribute,
+    forward: Boolean = false, tolerance: Long = -1L)
   extends SparkPlan with BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output :+ outAttr
@@ -81,10 +91,17 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+  // right value sort: ASC in backward mode (the candidate is replaced
+  // while time <= leftTime, so the LAST replacement at the winning
+  // time carries the max value); DESC in forward mode (the match is
+  // the FIRST row with time >= leftTime, so among tied times the max
+  // value must come first). Both directions resolve time ties to the
+  // maximum value with zero per-group buffering.
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
     rightKeys.map(SortOrder(_, Ascending)) ++
-      Seq(SortOrder(rightTime, Ascending), SortOrder(rightValue, Ascending)))
+      Seq(SortOrder(rightTime, Ascending),
+        SortOrder(rightValue, if (forward) Descending else Ascending)))
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
   override protected def doExecute(): RDD[InternalRow] = {
@@ -105,7 +122,12 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val buf = rIter.buffered
       var candKey: UnsafeRow = null // copies: projections reuse buffers
       var candVal: InternalRow = null
-      def candidateFor(lrow: InternalRow, lk: UnsafeRow): InternalRow = {
+      var candTime: Long = Long.MinValue
+      // backward: the greatest rightTime <= leftTime — right rows are
+      // consumed while they qualify, each replacing the one-candidate
+      // state; tolerance re-checks the winner at emit time (any other
+      // same-key row is even EARLIER, so one check suffices).
+      def candidateBackward(lrow: InternalRow, lk: UnsafeRow): InternalRow = {
         val ltRow = lTime(lrow)
         val ltNull = ltRow.isNullAt(0)
         val lt = if (ltNull) Long.MinValue else ltRow.getLong(0)
@@ -120,15 +142,44 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           } else if (rTime(buf.head).isNullAt(0)) {
             buf.next() // null time never matches (SQL three-valued <=)
           } else if (!ltNull && rTime(buf.head).getLong(0) <= lt) {
+            candTime = rTime(buf.head).getLong(0)
             candVal = rVal(buf.next()).copy()
             candKey = rk.copy()
           } else {
             advance = false
           }
         }
-        if (candKey != null && keyOrd.compare(candKey, lk) == 0) candVal
+        if (candKey != null && keyOrd.compare(candKey, lk) == 0 &&
+          (tolerance < 0L || lt - candTime <= tolerance)) candVal
         else nullVal
       }
+      // forward: the SMALLEST rightTime >= leftTime — nothing is
+      // buffered at all: rows that can no longer match any CURRENT OR
+      // LATER left row (left times are nondecreasing within a key) are
+      // drained, and the head row is the match iff same key, time >=
+      // leftTime, and within tolerance.
+      def candidateForward(lrow: InternalRow, lk: UnsafeRow): InternalRow = {
+        val ltRow = lTime(lrow)
+        if (ltRow.isNullAt(0)) return nullVal // null time matches nothing
+        val lt = ltRow.getLong(0)
+        var advance = true
+        while (advance && buf.hasNext) {
+          val rk = rKey(buf.head)
+          val c = keyOrd.compare(rk, lk)
+          if (c < 0) buf.next() // earlier key: dead for all later lefts
+          else if (c > 0) advance = false
+          else if (rTime(buf.head).isNullAt(0)) buf.next() // never matches
+          else if (rTime(buf.head).getLong(0) < lt) buf.next() // dead: lt only grows
+          else advance = false
+        }
+        if (!buf.hasNext || keyOrd.compare(rKey(buf.head), lk) != 0) return nullVal
+        val rt = rTime(buf.head).getLong(0)
+        if (tolerance >= 0L && rt - lt > tolerance) nullVal
+        else rVal(buf.head) // peek, not next: later lefts may share it
+      }
+      def candidateFor(lrow: InternalRow, lk: UnsafeRow): InternalRow =
+        if (forward) candidateForward(lrow, lk)
+        else candidateBackward(lrow, lk)
       lIter.map { lrow =>
         val lk = lKey(lrow)
         // SQL equality: a null key component matches nothing. Null
@@ -154,9 +205,20 @@ object AsOf {
   private val timeTypes: Set[DataType] =
     Set(LongType, TimestampType, TimestampNTZType)
 
+  /** @param direction "backward" (greatest rightTs <= leftTs, the
+    *                   default) or "forward" (smallest rightTs >=
+    *                   leftTs); ties on time → max value either way.
+    * @param tolerance  max |rightTs - leftTs| in the time column's
+    *                   native long units (MICROSECONDS for timestamp
+    *                   columns); negative = unbounded. A candidate
+    *                   beyond tolerance yields null, like pandas
+    *                   merge_asof. */
   def join(left: DataFrame, right: DataFrame, key: String,
       leftTsCol: String, rightTsCol: String, rightValCol: String,
-      outCol: String): DataFrame = {
+      outCol: String, direction: String = "backward",
+      tolerance: Long = -1L): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward or forward: $direction")
     val spark = left.sparkSession.asInstanceOf[classic.SparkSession]
     val lPlan = left.queryExecution.analyzed
     val rPlan0 = right.queryExecution.analyzed
@@ -174,6 +236,12 @@ object AsOf {
       s"key type mismatch: ${lk.dataType} vs ${rk.dataType}")
     require(timeTypes.contains(lt.dataType) && lt.dataType == rt.dataType,
       s"time columns must both be long/timestamp: ${lt.dataType} vs ${rt.dataType}")
+    // the exec sorts the right side on the value column (the time-tie
+    // rule); a non-orderable value type (map) must fail HERE with a
+    // clear message, not at planning with an opaque sort error
+    require(RowOrdering.isOrderable(rv.dataType),
+      s"right value column $rightValCol has non-orderable type " +
+        rv.dataType.catalogString)
     // prune the right side to the three referenced columns HERE:
     // AsOfJoinPlan is opaque to ColumnPruning, and only outAttr from
     // the right ever reaches the output — without this, the right
@@ -181,6 +249,7 @@ object AsOf {
     val rPruned = Project(Seq(rk, rt, rv).distinct, rPlan)
     val out = AttributeReference(outCol, rv.dataType, nullable = true)()
     classic.Dataset.ofRows(spark,
-      AsOfJoinPlan(lPlan, rPruned, Seq(lk), Seq(rk), lt, rt, rv, out))
+      AsOfJoinPlan(lPlan, rPruned, Seq(lk), Seq(rk), lt, rt, rv, out,
+        forward = direction == "forward", tolerance = tolerance))
   }
 }

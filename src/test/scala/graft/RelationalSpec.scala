@@ -106,6 +106,74 @@ class RelationalSpec extends AnyFunSuite with SparkSpec with Matchers {
       multiset(Relational.asOfJoin(left, right, "k", "t", "t", "v", "pv"))
   }
 
+  test("asOfJoinNative forward direction and tolerance") {
+    import spark.implicits._
+    val left = Seq((1L, 10L), (1L, 19L), (1L, 30L), (2L, 5L)).toDF("k", "t")
+    val right = Seq(
+      (1L, 20L, 1.0), (1L, 20L, 2.0), (1L, 28L, 3.0), (2L, 50L, 9.0))
+      .toDF("k", "t", "v")
+    // forward, unbounded: smallest right t >= left t; time tie → max value
+    Relational.asOfJoinNative(left, right, "k", "t", "t", "v", "nv",
+        direction = "forward")
+      .as[(Long, Long, Option[Double])].collect().toSet shouldBe Set(
+      (1L, 10L, Some(2.0)), (1L, 19L, Some(2.0)),
+      (1L, 30L, None), (2L, 5L, Some(9.0)))
+    // forward, tolerance 5: the 10→20 and 5→50 candidates are beyond
+    // the window and null out WITHOUT dropping the row
+    Relational.asOfJoinNative(left, right, "k", "t", "t", "v", "nv",
+        direction = "forward", tolerance = 5L)
+      .as[(Long, Long, Option[Double])].collect().toSet shouldBe Set(
+      (1L, 10L, None), (1L, 19L, Some(2.0)),
+      (1L, 30L, None), (2L, 5L, None))
+    // backward, tolerance 5: only 30's candidate (28, two away) survives
+    Relational.asOfJoinNative(left, right, "k", "t", "t", "v", "pv",
+        tolerance = 5L)
+      .as[(Long, Long, Option[Double])].collect().toSet shouldBe Set(
+      (1L, 10L, None), (1L, 19L, None),
+      (1L, 30L, Some(3.0)), (2L, 5L, None))
+    // loud failures: bad direction; non-orderable (map) value column
+    an[IllegalArgumentException] should be thrownBy
+      Relational.asOfJoinNative(left, right, "k", "t", "t", "v", "pv",
+        direction = "sideways")
+    val rMap = right.withColumn("m", map(col("k"), col("v")))
+    the[IllegalArgumentException] thrownBy {
+      Relational.asOfJoinNative(left, rMap, "k", "t", "t", "m", "pm")
+    } should have message
+      "requirement failed: right value column m has non-orderable type map<bigint,double>"
+  }
+
+  test("asOfJoinNative forward equals a brute-force reference on randomized inputs") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val seed = org.scalacheck.rng.Seed(11L)
+    val gen = for {
+      k <- Gen.choose(0L, 6L)
+      t <- Gen.choose(0L, 30L)
+      v <- Gen.choose(0, 99).map(_.toDouble)
+    } yield (k, t, v)
+    val rows = Gen.listOfN(400, gen)
+      .pureApply(Gen.Parameters.default, seed)
+    val leftRows = rows.take(150).map { case (k, t, _) => (k, t) }
+    val rightRows = rows.drop(150)
+    def expected(tol: Long): Map[(Long, Long, Option[Double]), Int] =
+      leftRows.map { case (k, t) =>
+        val cands = rightRows.filter(r => r._1 == k && r._2 >= t &&
+          (tol < 0 || r._2 - t <= tol))
+        val v = if (cands.isEmpty) None
+        else Some(cands.minBy(r => (r._2, -r._3))._3)
+        (k, t, v)
+      }.groupBy(identity).view.mapValues(_.length).toMap
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Option[Double])].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+    for (tol <- Seq(-1L, 0L, 3L)) {
+      multiset(Relational.asOfJoinNative(
+        leftRows.toDF("k", "t"), rightRows.toDF("k", "t", "v"),
+        "k", "t", "t", "v", "nv",
+        direction = "forward", tolerance = tol)) shouldBe expected(tol)
+    }
+  }
+
   test("sessionize opens a new session exactly past the gap") {
     import spark.implicits._
     val df = Seq(
