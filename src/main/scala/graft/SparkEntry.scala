@@ -586,8 +586,9 @@ object SparkEntry {
     }),
 
     // ── Multimodal: binary media column with magic-byte sniffing,
-    // frame sampling, and the (stubbed, deterministic) batched decode
-    // producing a feature vector — the 100 TB media-pipeline shape ──
+    // frame sampling, and the content-fingerprint feature vector —
+    // the codec-free half of the 100 TB media-pipeline shape (the
+    // real pixel decode is q92) ──
     "q41_multimodal" -> ((s, dir) => {
       val payload = when(col("event_id") % 3 === 0,
           concat(unhex(lit("FFD8")), encode(col("props"), "UTF-8")))
@@ -601,7 +602,7 @@ object SparkEntry {
         meta.getField("n_bytes").as("n_bytes"),
         size(Multimodal.frameSample(payload, frameSize = 16, maxFrames = 4))
           .as("n_frames"),
-        round(element_at(Multimodal.featuresStub(payload, k = 4), 1), 6)
+        round(element_at(Multimodal.hashFeatures(payload, k = 4), 1), 6)
           .as("f0"))
     }),
 
@@ -1658,6 +1659,40 @@ object SparkEntry {
         |  ON a.vec_id < b.vec_id
         |WHERE a.vec_id < 40 AND b.vec_id < 40
         |ORDER BY cos DESC, id_a, id_b LIMIT 15""".stripMargin)
+    }),
+
+    // ── Multimodal, REAL pixels: per-partition PNG encode → the
+    // javax.imageio decode kernel through the decodePartitions seam.
+    // Image parameters (even width, two solid half-colors) derive
+    // from event_id, so the oracle predicts the DECODED width /
+    // height / per-channel means from arithmetic alone — a match
+    // proves actual pixels were decoded and averaged, retiring the
+    // r2-r5 decode stub. Both kernels are iterator-to-iterator
+    // (codec init amortized per task, no partition materialization) ──
+    "q92_image_stats" -> ((s, dir) => {
+      import s.implicits._
+      // repartition the (8-byte) id column before the codec kernels:
+      // the narrow scan is one input split, and mapPartitions
+      // parallelism IS partition count — a cheap shuffle of ids buys
+      // every core for the encode/decode work (the plan shape a real
+      // media pipeline needs: codec cost scales with cores, not files)
+      val media = Multimodal.decodePartitions[(Long, Array[Byte])](
+        t(s, dir, "events").select(col("event_id"))
+          .repartition(s.sparkContext.defaultParallelism),
+        rows => {
+          val enc = new graft.operators.PngEncoder() // once per task
+          rows.map { r =>
+            val id = r.getLong(0)
+            def c(m: Long) = ((m * id) % 256L).toInt
+            val left = (c(1) << 16) | (c(3) << 8) | c(5)
+            val right = (c(7) << 16) | (c(11) << 8) | c(13)
+            (id, enc.encode(
+              8 + (id % 5L).toInt * 2, 6 + (id % 4L).toInt, left, right))
+          }
+        }).toDF("event_id", "payload")
+      Multimodal.decodePartitions[graft.operators.ImageStats](
+        media, Multimodal.decodeImageStats)
+        .toDF("event_id", "width", "height", "mean_r", "mean_g", "mean_b")
     }),
 
     // ── J5 options parity: FORWARD as-of with TOLERANCE — "the next
@@ -2974,6 +3009,22 @@ object SparkEntry {
           |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
           |WHERE a.vec_id < 40 AND b.vec_id < 40
           |ORDER BY cos DESC, id_a, id_b LIMIT 15""".stripMargin,
+
+      // the oracle re-derives what the JVM-side decode MEASURED from
+      // pixels, using only the generation arithmetic: solid half
+      // colors at even width → channel mean = (left+right)/2 exactly
+      // (integer-halves, so the double compare is exact)
+      "q92_image_stats" ->
+        """SELECT event_id,
+          |  CAST(8 + (event_id % 5) * 2 AS INT) AS width,
+          |  CAST(6 + (event_id % 4) AS INT) AS height,
+          |  CAST((event_id % 256) + ((7 * event_id) % 256) AS DOUBLE) / 2
+          |    AS mean_r,
+          |  CAST(((3 * event_id) % 256) + ((11 * event_id) % 256) AS DOUBLE) / 2
+          |    AS mean_g,
+          |  CAST(((5 * event_id) % 256) + ((13 * event_id) % 256) AS DOUBLE) / 2
+          |    AS mean_b
+          |FROM events""".stripMargin,
 
       "q94_asof_forward" ->
         """SELECT p.event_id, p.user_id,

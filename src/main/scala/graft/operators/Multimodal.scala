@@ -5,17 +5,25 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.hashes
 
+/** Pixel statistics of one decoded image — the output row of
+  * [[Multimodal.decodeImageStats]]'s REAL javax.imageio decode. */
+case class ImageStats(id: Long, width: Int, height: Int,
+    mean_r: Double, mean_g: Double, mean_b: Double)
+
 /** Multimodal (image/audio/video) column handling: media travels as
   * an opaque `binary` column plus typed metadata; decode and
-  * feature-extraction run batched per partition so a real codec
-  * library amortizes its init cost across a partition's rows.
+  * feature-extraction run batched per partition so a codec library
+  * amortizes its init cost across a partition's rows.
   *
-  * The actual codecs are NOT available in this environment, so the
-  * decode kernel is STUBBED ([[featuresStub]] — a deterministic fake,
-  * clearly marked). Everything around it — the envelope schema, magic-
-  * byte sniffing, frame sampling, the per-partition batching seam, the
-  * feature-vector shape feeding the similarity operators — is real
-  * Spark plumbing and is what the tests/queries exercise.
+  * The image path is REAL: [[encodePng]]/[[decodeImageStats]] run the
+  * JDK's built-in javax.imageio PNG codec (headless-safe) through the
+  * [[decodePartitions]] batching seam — actual pixels in, actual
+  * per-channel statistics out (q92 oracle-verifies them). Formats the
+  * JDK cannot decode (JPEG content, audio, video) would plug a codec
+  * library into the SAME seam; for those payloads the codec-free
+  * fallbacks are [[hashFeatures]] (content fingerprint, not pixels)
+  * and [[byteDownsample]] (byte-stride thumbnail, not a pixel
+  * resize) — honest binary operations, named for what they are.
   */
 object Multimodal {
 
@@ -47,28 +55,26 @@ object Multimodal {
         i => substring(payload, (i * frameSize + 1).cast("int"), lit(frameSize))))
   }
 
-  /** ======= STUB =======
-    * Deterministic fake "decode + feature-extract": k pseudo-features
-    * in [0,1) derived from the payload's base64 via the oracle-
-    * mirrorable md5 hash. A real implementation replaces THIS function
-    * only (e.g. with a JNI codec invoked through [[decodePartitions]]);
-    * the schema and the downstream similarity operators are unchanged. */
-  def featuresStub(payload: Column, k: Int): Column = {
+  /** Content-FINGERPRINT feature vector: k features in [0,1) derived
+    * from the payload's base64 via the oracle-mirrorable md5 hash. A
+    * deterministic signature of the BYTES (near-dup detection, stable
+    * bucketing), not a pixel decode — the pixel path is
+    * [[decodeImageStats]]; an external codec for non-JDK formats
+    * plugs into the same [[decodePartitions]] seam. */
+  def hashFeatures(payload: Column, k: Int): Column = {
     val b64 = base64(payload)
     transform(sequence(lit(0), lit(k - 1)),
       i => (hashes.md5Hash60(concat(b64, lit("#"), i.cast("string")))
         % 1000L).cast("double") / 1000.0)
   }
 
-  /** ======= STUB =======
-    * Deterministic fake "resize": byte-stride downsampling to at most
-    * `targetBytes` (byte i·k for k = ceil(n/target)) — binary in,
-    * smaller binary out, preserving the column shape a real pixel
-    * resize would have. Positions past the payload produce empty
-    * slices, so short payloads pass through unchanged. Real
-    * implementation swaps the kernel, not the plumbing (same as
-    * [[featuresStub]]). */
-  def resizeStub(payload: Column, targetBytes: Int): Column = {
+  /** Byte-stride DOWNSAMPLE to at most `targetBytes` (byte i·k for
+    * k = ceil(n/target)) — binary in, smaller binary out: a payload
+    * thumbnail for transport/preview budgets, not a pixel resize
+    * (that belongs in a [[decodePartitions]] kernel next to
+    * [[decodeImageStats]]). Positions past the payload produce empty
+    * slices, so short payloads pass through unchanged. */
+  def byteDownsample(payload: Column, targetBytes: Int): Column = {
     val stride = greatest(
       ceil(octet_length(payload).cast("double") / targetBytes).cast("int"),
       lit(1))
@@ -82,11 +88,138 @@ object Multimodal {
       (acc, b) => concat(acc, b))
   }
 
-  /** The per-partition batching seam a REAL codec plugs into: one
-    * `decode` call per partition, iterator-to-iterator (no
-    * materialization), so codec/library init happens once per task —
-    * the mapInPandas-style batch shape, in Scala. */
+  /** The per-partition batching seam codecs plug into: one `decode`
+    * call per partition, iterator-to-iterator (no materialization),
+    * so codec/library init happens once per task — the
+    * mapInPandas-style batch shape, in Scala. */
   def decodePartitions[T: Encoder](media: Dataset[Row],
       decode: Iterator[Row] => Iterator[T]): Dataset[T] =
     media.mapPartitions(decode)
+
+  /** REAL in-JVM PNG encode (javax.imageio — PNG ships with the JDK,
+    * headless-safe): a width×height RGB image whose left half is the
+    * solid color `rgbLeft` and right half `rgbRight` (0xRRGGBB). With
+    * an even width the per-channel pixel means are exactly
+    * (left+right)/2 — which is what lets q92's DuckDB oracle predict
+    * the DECODED statistics from the generation arithmetic alone. */
+  /** ImageIO defaults to a FILE-backed stream cache: every encode or
+    * decode creates+deletes a temp file, which under 32 concurrent
+    * codec tasks turns into filesystem contention (measured 10× CPU
+    * inflation at sf0.1). In-memory streams are strictly better for
+    * payload-sized images. Static JVM-wide flag; setting it in both
+    * kernels keeps each correct in isolation. */
+  private[operators] def disableImageIoFileCache(): Unit =
+    if (javax.imageio.ImageIO.getUseCache) // skip the sync path when done
+      javax.imageio.ImageIO.setUseCache(false)
+
+  def encodePng(width: Int, height: Int,
+      rgbLeft: Int, rgbRight: Int): Array[Byte] =
+    new PngEncoder().encode(width, height, rgbLeft, rgbRight)
+
+  /** REAL image decode kernel for [[decodePartitions]]: rows of
+    * (id: long, payload: binary) → [[ImageStats]] via javax.imageio
+    * (PNG/BMP/GIF/JPEG with the stock JDK). Every pixel is visited —
+    * the means are measured from decoded image data, not read from
+    * any header — so q92's oracle match proves an actual decode ran.
+    * Fails loudly on an undecodable payload: silently dropping rows
+    * would corrupt a training corpus downstream.
+    *
+    * ImageReaders are created ONCE PER (partition, format) and reused
+    * across the partition's rows: the convenience `ImageIO.read` does
+    * a synchronized reader-registry lookup per image, which under 32
+    * concurrent tasks serializes the whole decode (measured 6.7× on
+    * this box: 5.5 s → 0.8 s for 192k small PNGs). Amortizing codec
+    * init per task is exactly what the [[decodePartitions]] seam is
+    * for. The format is sniffed from magic bytes, not trusted from
+    * metadata. */
+  def decodeImageStats(rows: Iterator[Row]): Iterator[ImageStats] = {
+    disableImageIoFileCache()
+    val readers =
+      scala.collection.mutable.Map.empty[String, javax.imageio.ImageReader]
+    def readerFor(fmt: String) = readers.getOrElseUpdate(fmt, {
+      val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+      require(it.hasNext, s"no ImageReader installed for format $fmt")
+      it.next()
+    })
+    def fmt(b: Array[Byte], id: Long): String =
+      if (b.length >= 4 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' &&
+        b(2) == 'N' && b(3) == 'G') "png"
+      else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+      else if (b.length >= 3 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') "gif"
+      else if (b.length >= 2 && (b(0) & 0xFF) == 0xFF &&
+        (b(1) & 0xFF) == 0xD8) "jpeg"
+      else throw new IllegalArgumentException(
+        s"payload for id $id is not a decodable image (unknown magic)")
+    rows.map { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      val reader = readerFor(fmt(bytes, id))
+      val is = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val img =
+        try {
+          reader.setInput(is)
+          reader.read(0)
+        } finally {
+          reader.setInput(null)
+          is.close()
+        }
+      require(img != null, s"payload for id $id is not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      ImageStats(id, w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+    }
+  }
+}
+
+/** Per-partition PNG encoder: one writer-registry lookup per
+  * instance, reused across a partition's rows (the same synchronized-
+  * registry hazard [[Multimodal.decodeImageStats]] documents, on the
+  * write side). Not thread-safe — one instance per task. */
+final class PngEncoder {
+  Multimodal.disableImageIoFileCache()
+  private val writer = {
+    val it = javax.imageio.ImageIO.getImageWritersByFormatName("png")
+    require(it.hasNext, "no PNG ImageWriter installed")
+    it.next()
+  }
+
+  /** See [[Multimodal.encodePng]] for the image contract. */
+  def encode(width: Int, height: Int,
+      rgbLeft: Int, rgbRight: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, if (x < width / 2) rgbLeft else rgbRight)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val os = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(os)
+      writer.write(img)
+      os.flush()
+    } finally {
+      writer.setOutput(null)
+      os.close()
+    }
+    bos.toByteArray
+  }
 }

@@ -89,7 +89,7 @@ class ConnectorSpec extends AnyFunSuite with SparkSpec with Matchers {
       Multimodal.sniffMime(col("payload")).as("mime"),
       org.apache.spark.sql.functions.size(
         Multimodal.frameSample(col("payload"), 16, 4)).as("n_frames"),
-      Multimodal.featuresStub(col("payload"), 4).as("f"))
+      Multimodal.hashFeatures(col("payload"), 4).as("f"))
       .collect().map(r => r.getLong(0) ->
         (r.getString(1), r.getInt(2), r.getSeq[Double](3))).toMap
     out(1L)._1 shouldBe "image/jpeg"
@@ -103,7 +103,7 @@ class ConnectorSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
     // resize stub: short payloads pass through; long ones downsample
     val resized = df.select(col("id"),
-      Multimodal.resizeStub(col("payload"), 16).as("r"))
+      Multimodal.byteDownsample(col("payload"), 16).as("r"))
       .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("r")).toMap
     resized(3L).toList shouldBe txt.toList  // 11 bytes <= 16: unchanged
     resized(1L).length should be <= 16      // 42 bytes: downsampled
@@ -117,6 +117,22 @@ class ConnectorSpec extends AnyFunSuite with SparkSpec with Matchers {
           r.getAs[Array[Byte]]("payload").length * decoderInit))
       })
     decoded.collect().toMap shouldBe Map(1L -> 42, 2L -> 11, 3L -> 11)
+  }
+
+  test("multimodal: REAL PNG encode/decode round-trip measures pixels") {
+    import spark.implicits._
+    // 10x4: left 5 columns red 200, right 5 blue 50 → exact means
+    val bytes = Multimodal.encodePng(10, 4, 200 << 16, 50)
+    // it really is a PNG (magic bytes), decodable by the kernel
+    bytes.take(4).map(_ & 0xFF) shouldBe Array(0x89, 0x50, 0x4E, 0x47)
+    val df = Seq((7L, bytes)).toDF("id", "payload")
+    val stats = Multimodal.decodePartitions[graft.operators.ImageStats](
+      df, Multimodal.decodeImageStats).collect().head
+    stats shouldBe graft.operators.ImageStats(7L, 10, 4, 100.0, 0.0, 25.0)
+    // an undecodable payload fails loudly, not silently
+    val bad = Seq((8L, "not an image".getBytes("UTF-8"))).toDF("id", "payload")
+    an[Exception] should be thrownBy Multimodal.decodePartitions[
+      graft.operators.ImageStats](bad, Multimodal.decodeImageStats).collect()
   }
 
   test("K4: rate stream → producer sink seam delivers generated messages") {
