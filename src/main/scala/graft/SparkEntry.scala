@@ -104,6 +104,13 @@ object SparkEntry {
   private val q54Planes: Seq[Array[Double]] =
     vectors.planeMatrix(seed = 77L,
       nPlanes = Similarity.planesForSize(500), dim = embDim)
+  /** q93's oracle mirror of the ANN rewrite rule's default knobs
+    * (plans.AnnTopKToLshPrune: 8 tables × 4 planes, seed 93) — the
+    * same matrices the rule derives at optimization time, re-derived
+    * here as oracle literals. */
+  private val q93Tables: Seq[Seq[Array[Double]]] =
+    (0 until 8).map(t => vectors.planeMatrix(seed = 93L + t,
+      nPlanes = 4, dim = embDim))
 
   /** Render a Double so DuckDB parses back the identical IEEE value
     * (Double.toString is the shortest round-tripping decimal). */
@@ -1695,6 +1702,48 @@ object SparkEntry {
         .toDF("event_id", "width", "height", "mean_r", "mean_g", "mean_b")
     }),
 
+    // ── §4.2's last extension-ladder rung: the OPT-IN optimizer
+    // rewrite (plans.AnnTopKToLshPrune) that turns a literal-query
+    // EXACT cosine top-k — ORDER BY cosine_sim(emb, lit) DESC LIMIT k
+    // — into the LSH bucket-pruned plan. The query below builds the
+    // plain exact top-k; the rule inserts the multi-table bucket
+    // filter; the oracle mirrors the PRUNED plan from the same seeded
+    // plane literals — so the hash match proves both that the rewrite
+    // fired (a require asserts it too) and that it computes exactly
+    // the candidate-restricted answer. At 100 TB this is the rewrite
+    // that turns an n-cosine full scan per query into a candidate
+    // scan of ~T·n/2^planes rows ──
+    "q93_ann_rewrite" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      // one-row planning lookup: the query vector as a plan-time
+      // literal (the rule's firing condition)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0)
+      val q = typedLit(qv)
+      graft.plans.GraftExtensions.register(s)
+      s.conf.set(graft.plans.AnnTopKToLshPrune.EnabledKey, "true")
+      try {
+        val exactForm = emb.filter(col("vec_id") =!= 0)
+          .orderBy(vectors.cosineFast(col("embedding"), q).desc,
+            col("vec_id"))
+          .limit(10)
+          .select(col("vec_id"),
+            round(vectors.cosineFast(col("embedding"), q), 6).as("cos"))
+        val optimized = exactForm.queryExecution.optimizedPlan
+        require(optimized.exists {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition.exists(
+              _.isInstanceOf[org.apache.spark.sql.graft.HyperplaneBuckets])
+          case _ => false
+        }, "AnnTopKToLshPrune did not fire on the q93 plan")
+        // pin the rewritten plan, then RESTORE the conf in finally:
+        // the opt-in must not leak into queries materialized later;
+        // downstream re-optimization (the verify write path builds a
+        // fresh QueryExecution) is a no-op on the already-pruned plan
+        org.apache.spark.sql.graft.Bridge.ofRows(s, optimized)
+      } finally s.conf.unset(graft.plans.AnnTopKToLshPrune.EnabledKey)
+    }),
+
     // ── J5 options parity: FORWARD as-of with TOLERANCE — "the next
     // click within 24 h after each purchase", the two knobs every
     // production as-of user reaches for (pandas merge_asof's
@@ -3025,6 +3074,25 @@ object SparkEntry {
           |  CAST(((5 * event_id) % 256) + ((13 * event_id) % 256) AS DOUBLE) / 2
           |    AS mean_b
           |FROM events""".stripMargin,
+
+      // the PRUNED plan the rewrite rule produces, mirrored from the
+      // same seeded plane literals: candidates = bucket collision in
+      // ANY of the 8 tables, exact cosine rank within candidates
+      "q93_ann_rewrite" -> {
+        val hit = q93Tables.map(planes =>
+          s"(${sqlBucket("e.embedding", planes)} = " +
+            s"${sqlBucket("q.qe", planes)})")
+          .mkString("(", " OR ", ")")
+        s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+           |SELECT vec_id, round(cos_exact, 6) AS cos FROM (
+           |  SELECT e.vec_id,
+           |    list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) /
+           |    (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+           |     sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[])))) AS cos_exact
+           |  FROM embeddings e, q
+           |  WHERE e.vec_id <> 0 AND $hit
+           |  ORDER BY cos_exact DESC, e.vec_id LIMIT 10)""".stripMargin
+      },
 
       "q94_asof_forward" ->
         """SELECT p.event_id, p.user_id,

@@ -18,6 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer rule: intersection-count overlap tests short-circuit
     // as arrays_overlap (see IntersectNonEmptyToOverlap)
     ext.injectOptimizerRule(_ => IntersectNonEmptyToOverlap)
+    // optimizer rule (opt-in via spark.graft.ann.rewrite): literal-
+    // query cosine top-k → LSH bucket-pruned plan (AnnTopKToLshPrune)
+    ext.injectOptimizerRule(_ => AnnTopKToLshPrune)
     // planner strategy: AsOfJoinPlan → AsOfJoinExec (sort-merge as-of)
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.AsOfJoinStrategy)
   }
@@ -83,6 +86,9 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(IntersectNonEmptyToOverlap))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ IntersectNonEmptyToOverlap
+    if (!spark.experimental.extraOptimizations.contains(AnnTopKToLshPrune))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AnnTopKToLshPrune
     if (!spark.experimental.extraStrategies
         .contains(org.apache.spark.sql.graft.AsOfJoinStrategy))
       spark.experimental.extraStrategies =

@@ -1,10 +1,13 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{
-  ArrayIntersect, ArraysOverlap, EqualTo, Expression, GreaterThan,
-  Literal, Not, Size}
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  ArrayIntersect, ArraysOverlap, Descending, EqualTo, Expression,
+  GetArrayItem, GreaterThan, Literal, Not, Or, Size, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{
+  Filter, GlobalLimit, LocalLimit, LogicalPlan, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.{CosineSim, HyperplaneBuckets}
 import org.apache.spark.sql.types.{ArrayType, IntegerType}
 
 /** Optimizer rule: rewrite set-overlap TESTS phrased as intersection
@@ -52,4 +55,127 @@ object IntersectNonEmptyToOverlap extends Rule[LogicalPlan] {
           if rewritable(ai, legacy) =>
         Not(ArraysOverlap(ai.children.head, ai.children.last))
     }
+}
+
+/** Optimizer rule: rewrite exact cosine top-k against a PLAN-TIME
+  * LITERAL query vector —
+  *
+  *   ... ORDER BY cosine_sim(emb, <literal>) DESC [, tiebreak] LIMIT k
+  *
+  * — into the hyperplane-LSH-pruned plan: a multi-table bucket-
+  * collision `Filter` is inserted under the Sort, so the exact-cosine
+  * rank runs only over vectors that share a bucket with the query in
+  * at least one table, instead of over the whole corpus. At 100 TB
+  * the unrewritten plan is a full scan computing n cosines per query;
+  * the rewritten plan computes T cheap sign-pattern buckets per row
+  * (codegen'd, pushed below the projection by PushDownPredicates) and
+  * cosines only for the ~T·n/2^planes candidates.
+  *
+  * This trades recall for work, so it is an EXPLICIT OPT-IN:
+  * the rule only fires when `spark.graft.ann.rewrite` = true —
+  * enabling it declares that every literal-query cosine top-k in the
+  * session may return approximate results (the standard AQP-switch
+  * contract). Sizing knobs, with the same derivations the library
+  * uses elsewhere ([[graft.operators.Similarity.planesForSize]] /
+  * `lshTablesForRecall`):
+  *
+  *  - `spark.graft.ann.rewrite.planes` (default 4): planes per table;
+  *  - `spark.graft.ann.rewrite.tables` (default 8): tables — more
+  *    tables, higher recall, more candidates;
+  *  - `spark.graft.ann.rewrite.seed`   (default 93): plane RNG seed.
+  *
+  * Because the planes are seeded literals and the query vector is a
+  * literal, the rewritten plan is fully deterministic: an external
+  * oracle (q93) inlines the same plane matrices and reproduces the
+  * approximate result EXACTLY. The rule never fires when the query
+  * side is not foldable (q28's one-row join build, q32/q54's
+  * vector-vector self-joins), when the sort is not descending-first
+  * on a bare `cosine_sim`, or when there is no limit above the sort;
+  * a subtree that already carries a bucket filter is left alone (the
+  * rule runs inside fixed-point batches).
+  */
+object AnnTopKToLshPrune extends Rule[LogicalPlan] {
+
+  val EnabledKey = "spark.graft.ann.rewrite"
+  val PlanesKey = "spark.graft.ann.rewrite.planes"
+  val TablesKey = "spark.graft.ann.rewrite.tables"
+  val SeedKey = "spark.graft.ann.rewrite.seed"
+
+  /** (embedding expr, literal query expr) when exactly one side of the
+    * cosine is foldable — the shape the bucket prune applies to. */
+  private def split(cos: CosineSim): Option[(Expression, Expression)] =
+    (cos.left.foldable, cos.right.foldable) match {
+      case (false, true) => Some((cos.left, cos.right))
+      case (true, false) => Some((cos.right, cos.left))
+      case _ => None
+    }
+
+  /** Fixed-point guard: the pruning filter may have been pushed below
+    * intervening projections by PushDownPredicates, so look for ANY
+    * Filter carrying a bucket expression in the subtree. */
+  private def alreadyPruned(p: LogicalPlan): Boolean = p.exists {
+    case Filter(cond, _) => cond.exists(_.isInstanceOf[HyperplaneBuckets])
+    case _ => false
+  }
+
+  /** Bucket-collision predicate: OR over tables of
+    * `bucket_t(emb) = bucket_t(query)`. One single-table
+    * HyperplaneBuckets per term keeps total per-row work at exactly
+    * tables × planes × dim multiply-adds (no duplicated dot
+    * products); the query-side buckets are evaluated here, driver-
+    * side, through the SAME kernel, so row and query arithmetic agree
+    * bit-for-bit. */
+  private def prunePredicate(emb: Expression, qLit: Expression,
+      nTables: Int, nPlanes: Int, seed: Long, dim: Int): Expression = {
+    val tables = (0 until nTables).map(t =>
+      graft.functions.vectors.planeMatrix(seed + t, nPlanes, dim))
+    val qBuckets = tables.map { planes =>
+      val flat = planes.flatten.toVector
+      HyperplaneBuckets(qLit, flat, 1, nPlanes, dim)
+        .eval().asInstanceOf[ArrayData].toLongArray()(0)
+    }
+    tables.zip(qBuckets).map { case (planes, qb) =>
+      val flat = planes.flatten.toVector
+      EqualTo(
+        GetArrayItem(HyperplaneBuckets(emb, flat, 1, nPlanes, dim), Literal(0)),
+        Literal(qb)): Expression
+    }.reduce(Or(_, _))
+  }
+
+  /** Rewrite the Sort's child when the descending-first key is a
+    * literal-query cosine; None when the shape doesn't apply. */
+  private def prunedSort(s: Sort, nTables: Int, nPlanes: Int,
+      seed: Long): Option[Sort] = s match {
+    case Sort(SortOrder(cos: CosineSim, Descending, _, _) +: _, true, child, _)
+        if !alreadyPruned(child) =>
+      split(cos) match {
+        case Some((emb, qLit)) if qLit.eval() != null =>
+          val dim = qLit.eval().asInstanceOf[ArrayData].numElements()
+          val pred = prunePredicate(emb, qLit, nTables, nPlanes, seed, dim)
+          Some(s.copy(child = Filter(pred, child)))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString(EnabledKey, "false").toBoolean) return plan
+    val nPlanes = conf.getConfString(PlanesKey, "4").toInt
+    val nTables = conf.getConfString(TablesKey, "8").toInt
+    val seed = conf.getConfString(SeedKey, "93").toLong
+    plan.transform {
+      // the two post-optimization shapes of ORDER BY … LIMIT k: the
+      // projection either sits above the limit or has been pushed
+      // between LocalLimit and Sort (PushProjectionThroughLimit)
+      case gl @ GlobalLimit(_, ll @ LocalLimit(_, s: Sort)) =>
+        prunedSort(s, nTables, nPlanes, seed)
+          .map(ns => gl.copy(child = ll.copy(child = ns)))
+          .getOrElse(gl)
+      case gl @ GlobalLimit(_, ll @ LocalLimit(_,
+          p @ org.apache.spark.sql.catalyst.plans.logical.Project(_, s: Sort))) =>
+        prunedSort(s, nTables, nPlanes, seed)
+          .map(ns => gl.copy(child = ll.copy(child = p.copy(child = ns))))
+          .getOrElse(gl)
+    }
+  }
 }

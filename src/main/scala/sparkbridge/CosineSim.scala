@@ -362,6 +362,17 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** A DataFrame over an explicit logical plan (classic
+    * Dataset.ofRows is private[sql]). Lets a caller PIN a plan it
+    * obtained under temporary session state — e.g. q93 captures the
+    * plan the opt-in ANN rewrite produced, then restores the conf so
+    * the opt-in cannot leak into later queries. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Release the cached blocks behind every locally-checkpointed
     * Dataset reachable in this plan. `Dataset.unpersist` only covers
     * CacheManager entries; a local checkpoint's blocks are owned by
