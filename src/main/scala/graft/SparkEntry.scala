@@ -43,28 +43,41 @@ object SparkEntry {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), bounded.schema)
   }
 
-  /** Derived topic catalog: a deterministic topic name per event so
-    * catalog operators (SURVEY §2.1 S5/U1, §2.5 A2, §2.7 L2) run over
-    * fixture data. Mirrored verbatim in SQL by [[topicsCte]]. */
-  private def topicsFromEvents(ev: DataFrame): DataFrame =
-    ev.select(concat(
+  /** The derived per-event topic name — ONE definition feeding both
+    * the distinct catalog ([[topicsFromEvents]]) and the counted
+    * captures (q96); mirrored verbatim in SQL by [[topicSqlExpr]]. */
+  private def topicCol(ev: DataFrame): Column =
+    concat(
       lit("persistent://tn"), (col("user_id") % 3).cast("string"),
       lit("/ns"), (col("user_id") % 5).cast("string"),
       lit("/"), col("event_type"),
       when(col("event_id") % 3 === 0,
         concat(lit("-partition-"), (col("event_id") % 4).cast("string")))
-        .otherwise(lit(""))).as("topic"))
-      .distinct()
+        .otherwise(lit("")))
+
+  /** Derived topic catalog: a deterministic topic name per event so
+    * catalog operators (SURVEY §2.1 S5/U1, §2.5 A2, §2.7 L2) run over
+    * fixture data. Mirrored verbatim in SQL by [[topicsCte]]. */
+  private def topicsFromEvents(ev: DataFrame): DataFrame =
+    ev.select(topicCol(ev).as("topic")).distinct()
+
+  /** A capture for q96: the per-topic message counts of a snapshot. */
+  private def topicCountsFromEvents(ev: DataFrame): DataFrame =
+    ev.select(topicCol(ev).as("topic"))
+      .groupBy("topic").agg(count(lit(1)).as("n"))
 
   // NOTE: single physical line per concat chain — this fragment is
   // interpolated into stripMargin'd strings, where a line-leading
   // "||" would lose its first '|' to the margin stripper.
-  private val topicsCte: String =
-    "WITH topics AS (SELECT DISTINCT 'persistent://tn' || " +
+  private val topicSqlExpr: String =
+    "'persistent://tn' || " +
       "CAST(user_id % 3 AS VARCHAR) || '/ns' || " +
       "CAST(user_id % 5 AS VARCHAR) || '/' || event_type || " +
       "CASE WHEN event_id % 3 = 0 THEN '-partition-' || " +
-      "CAST(event_id % 4 AS VARCHAR) ELSE '' END AS topic FROM events)"
+      "CAST(event_id % 4 AS VARCHAR) ELSE '' END"
+
+  private val topicsCte: String =
+    s"WITH topics AS (SELECT DISTINCT $topicSqlExpr AS topic FROM events)"
 
   /** DuckDB word-n-gram-shingle expression over a `toks` list column,
     * mirroring graft.functions.text.wordShingles(tokens, n) — the
@@ -111,6 +124,16 @@ object SparkEntry {
   private val q93Tables: Seq[Seq[Array[Double]]] =
     (0 until 8).map(t => vectors.planeMatrix(seed = 93L + t,
       nPlanes = 4, dim = embDim))
+  /** q95's oracle mirror of lshTopKMultiAuto's derivation at the
+    * verify scale (sf0.01, 500 vectors): planesForSize(500) = 4
+    * planes, lshTablesForRecall(4, floor 0.9, miss 0.01) = 6 tables
+    * (the q54 pinned-scale convention). */
+  private val q95Tables: Seq[Seq[Array[Double]]] = {
+    val nPlanes = Similarity.planesForSize(500)
+    val nTables = Similarity.lshTablesForRecall(nPlanes, 0.9, 0.01)
+    (0 until nTables).map(t => vectors.planeMatrix(seed = 95L + t,
+      nPlanes = nPlanes, dim = embDim))
+  }
 
   /** Render a Double so DuckDB parses back the identical IEEE value
     * (Double.toString is the shortest round-tripping decimal). */
@@ -155,16 +178,45 @@ object SparkEntry {
 
   private def drainToTable(s: SparkSession, name: String, mode: String,
       out: DataFrame): DataFrame = {
-    val q = out.writeStream.format("memory").queryName(name)
-      .outputMode(mode)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    if (!q.awaitTermination(300000)) {
-      q.stop()
-      throw new IllegalStateException(
-        s"$name streaming query did not drain within 300s")
+    // A bounded drain pays fixed machinery per (micro-batch × state
+    // partition): state-store commit files plus offset/commit-log
+    // fsyncs. Two knobs shave that cost without touching semantics:
+    //  - state partitions: the streaming aggs are partitioning-
+    //    agnostic by design (DECIMAL partials, oracle-gated), so when
+    //    per-partition state is KBs, 8 partitions beat the session's
+    //    32 — a real deployment sizes the SAME conf to its state
+    //    volume, and the override is scoped to the stream (the conf
+    //    is read once at query start; batch queries keep 32);
+    //  - the checkpoint: none of its files need to survive this JVM
+    //    for a memory-sink drain, so it goes to tmpfs when available
+    //    instead of the fsync-to-disk default temp dir.
+    val partsKey = "spark.sql.shuffle.partitions"
+    val oldParts = s.conf.get(partsKey)
+    val shm = new java.io.File("/dev/shm")
+    val ckptRoot = if (shm.isDirectory && shm.canWrite) shm
+      else new java.io.File(System.getProperty("java.io.tmpdir"))
+    val ckpt = new java.io.File(ckptRoot,
+      s"graft-ckpt-$name-${System.nanoTime()}")
+    s.conf.set(partsKey, "8")
+    try {
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException(
+          s"$name streaming query did not drain within 300s")
+      }
+      s.table(name)
+    } finally {
+      s.conf.set(partsKey, oldParts)
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
+      }
+      rm(ckpt)
     }
-    s.table(name)
   }
 
   private def runEventsStream(s: SparkSession, dir: String, name: String,
@@ -1761,6 +1813,32 @@ object SparkEntry {
           "value", "next_click_value",
           direction = "forward", tolerance = 24L * 3600L * 1000000L)
         .select(col("event_id"), col("user_id"), col("next_click_value"))
+    }),
+
+    // ── RECALL-PINNED multi-table ANN top-k — the measured answer to
+    // ProbeRecall's q54 finding (single-table top-k recall 6.6% on
+    // weakly-similar vectors): candidates from bucket collision in
+    // ANY of T tables, T sized by lshTablesForRecall so every
+    // neighbor at cos ≥ 0.9 is found with ≤1% miss. Same derivation
+    // conventions as q54 (planes) and q62 (tables); the oracle
+    // mirrors the identical candidate set from the same seeded
+    // literals ──
+    "q95_ann_topk_multi" -> ((s, dir) =>
+      Similarity.lshTopKMultiAuto(
+        t(s, dir, "embeddings"), seed = 95L, dim = embDim, k = 5,
+        simFloor = 0.9)),
+
+    // ── SNAPSHOT GENERATION DIFF — the operational story the
+    // reference's backup tooling implies but never implements: which
+    // topics appeared, vanished, or changed message count between two
+    // captures (the decision input before a selective restore).
+    // Captures are simulated as two overlapping event subsets; the
+    // diff is CatalogOps.snapshotDiff's full-outer + status tag ──
+    "q96_snapshot_diff" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      CatalogOps.snapshotDiff(
+        topicCountsFromEvents(ev.filter(col("event_id") % 7 =!= 0)),
+        topicCountsFromEvents(ev.filter(col("event_id") % 5 =!= 0)))
     })
   )
 
@@ -3075,6 +3153,31 @@ object SparkEntry {
           |    AS mean_b
           |FROM events""".stripMargin,
 
+      // multi-table candidates (collision in ANY table) → exact
+      // cosine rank, from the same seeded plane literals
+      "q95_ann_topk_multi" -> {
+        val cos = s"${sqlDotVec("a.embedding", "c.embedding")} / " +
+          s"(sqrt(${sqlDotVec("a.embedding", "a.embedding")}) * " +
+          s"sqrt(${sqlDotVec("c.embedding", "c.embedding")}))"
+        val bucketCols = q95Tables.zipWithIndex.map { case (planes, i) =>
+          s"${sqlBucket("embedding", planes)} AS b$i"
+        }.mkString(",\n    ")
+        val collide = q95Tables.indices
+          .map(i => s"a.b$i = c.b$i").mkString("(", " OR ", ")")
+        s"""WITH b AS (
+           |  SELECT vec_id, embedding,
+           |    $bucketCols
+           |  FROM embeddings),
+           |p AS (
+           |  SELECT a.vec_id AS vec_id, c.vec_id AS nb_id, $cos AS cos
+           |  FROM b a JOIN b c ON a.vec_id <> c.vec_id AND $collide)
+           |SELECT vec_id, nb_id, round(cos, 6) AS cos, rnk FROM (
+           |  SELECT vec_id, nb_id, cos,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY cos DESC, nb_id) AS rnk
+           |  FROM p) WHERE rnk <= 5""".stripMargin
+      },
+
       // the PRUNED plan the rewrite rule produces, mirrored from the
       // same seeded plane literals: candidates = bucket collision in
       // ANY of the 8 tables, exact cosine rank within candidates
@@ -3093,6 +3196,21 @@ object SparkEntry {
            |  WHERE e.vec_id <> 0 AND $hit
            |  ORDER BY cos_exact DESC, e.vec_id LIMIT 10)""".stripMargin
       },
+
+      "q96_snapshot_diff" ->
+        s"""WITH ca AS (
+           |  SELECT $topicSqlExpr AS topic, COUNT(*) AS n_a
+           |  FROM events WHERE event_id % 7 <> 0 GROUP BY 1),
+           |cb AS (
+           |  SELECT $topicSqlExpr AS topic, COUNT(*) AS n_b
+           |  FROM events WHERE event_id % 5 <> 0 GROUP BY 1)
+           |SELECT COALESCE(ca.topic, cb.topic) AS topic,
+           |  CASE WHEN ca.topic IS NULL THEN 'added'
+           |       WHEN cb.topic IS NULL THEN 'removed'
+           |       ELSE 'changed' END AS status,
+           |  n_a, n_b
+           |FROM ca FULL OUTER JOIN cb ON ca.topic = cb.topic
+           |WHERE ca.topic IS NULL OR cb.topic IS NULL OR n_a <> n_b""".stripMargin,
 
       "q94_asof_forward" ->
         """SELECT p.event_id, p.user_id,

@@ -56,6 +56,30 @@ object CatalogOps {
         max(col(col0).rlike(partitionSuffix)).as("partitioned"))
   }
 
+  /** Generation DIFF between two catalog captures — the operational
+    * step the reference's backup/restore pair implies but never
+    * implements (pulsar_backup_restore.py captures and restores whole
+    * snapshots; an operator deciding WHETHER to restore wants the
+    * delta). Inputs are (topic, count) catalogs from any two captures;
+    * output is one row per topic whose presence or message count
+    * changed, tagged added / removed / changed. One full-outer
+    * shuffle on the topic key — co-partitioned if both captures are
+    * bucketed by topic, and at 100 TB the catalogs are topic-grain
+    * (millions of rows, not billions), so this is never the bottleneck
+    * of the restore decision it gates. */
+  def snapshotDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    val av = a.toDF("topic", "n_a")
+    val bv = b.toDF("topic", "n_b")
+    av.join(bv, Seq("topic"), "full_outer")
+      .withColumn("status",
+        when(col("n_a").isNull, lit("added"))
+          .when(col("n_b").isNull, lit("removed"))
+          .when(col("n_a") =!= col("n_b"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("status") =!= "unchanged")
+      .select(col("topic"), col("status"), col("n_a"), col("n_b"))
+  }
+
   /** U1: 3-source topic union with order-preserving dedup — in plan
     * terms union + hash-dedup keeping the highest-priority source
     * (base < partitioned < system appended in that order in the

@@ -55,4 +55,41 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec with Matchers {
     auto shouldBe exact
     exact.size should be >= 3
   }
+
+  test("multi-table top-k: true cosines, ranks dense per probe, floor-neighbors found") {
+    import spark.implicits._
+    val dim = 16
+    def vec(seed: Int): Seq[Double] =
+      (0 until dim).map(i => math.sin(seed * 31.7 + i * 7.3))
+    // each base i has a near-identical partner 100+i (cos >> 0.9):
+    // the planted neighbor every probe must surface at rank 1
+    val rows =
+      (0 until 30).map(i => (i.toLong, vec(i))) ++
+        (0 until 30).map(i => (100L + i,
+          vec(i).zipWithIndex.map { case (x, j) => x + 1e-3 * j }))
+    val emb = rows.toDF("vec_id", "embedding")
+    val topk = Similarity.lshTopKMultiAuto(emb, seed = 9L, dim = dim,
+      k = 3, simFloor = 0.9).collect()
+    // rank values are 1..k without gaps per probe
+    topk.groupBy(_.getLong(0)).values.foreach { rs =>
+      rs.map(_.getInt(3)).sorted shouldBe (1 to rs.length)
+    }
+    // every planted >= floor neighbor is found, at rank 1 (cos ~ 1
+    // dominates the random-direction rest)
+    val rank1 = topk.filter(_.getInt(3) == 1)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 30).foreach { i =>
+      rank1(i.toLong) shouldBe 100L + i
+      rank1(100L + i) shouldBe i.toLong
+    }
+    // reported cosines are TRUE cosines (exact re-rank, so each
+    // reported value matches the brute-force pair cosine)
+    val brute = Similarity.nearDupPairsExact(emb, -1.0)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .as[(Long, Long, Double)].collect()
+      .flatMap(t => Seq((t._1, t._2) -> t._3, (t._2, t._1) -> t._3)).toMap
+    topk.foreach { r =>
+      r.getDouble(2) shouldBe brute((r.getLong(0), r.getLong(1)))
+    }
+  }
 }
