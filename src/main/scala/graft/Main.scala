@@ -83,6 +83,8 @@ object Main {
           col("id"), timestamp_seconds(lit(1704067200L))))
         .collect()(0).getString(0))
     case Seq("ranges", rest @ _*) => ranges(rest)
+    case Seq("diff", dirA, dirB, rest @ _*) =>
+      diff(spark, dirA, dirB, rest.headOption.map(_.toInt).getOrElse(100))
     case _ => Seq(
       "usage: graft.Main <command> ...",
       "  list-topics <snapshotDir> [limit]   composed catalog listing",
@@ -93,6 +95,7 @@ object Main {
       "  print <snapshotDir> [limit]         decoded messages in order",
       "  sample                              one emailSend wire message",
       "  ranges [--test-topic <topic>]       ID ranges + extraction test",
+      "  diff <snapshotA> <snapshotB> [limit]   added/removed/changed topics",
       "  publish <outDir> <count>            synthetic emailSend messages",
       "  import <referenceSnapshotDir> <destDir>   rewrite reference layout",
       "  verify <sfDir> <outDir>             correctness dump (graft.Verify)",
@@ -122,6 +125,29 @@ object Main {
     header +: rows.toSeq.map { r =>
       f"${r.getAs[String]("parent_topic")}%-60s ${r.getAs[Long]("n_entries")}%8d " +
         f"${r.getAs[Long]("n_partitions")}%6d"
+    }
+  }
+
+  /** Generation diff between two snapshot captures: per-topic message
+    * counts through CatalogOps.snapshotDiff (the q96 operator on the
+    * operational surface) — the decision input before a selective
+    * restore: what appeared, vanished, or changed since the last
+    * capture. */
+  private def diff(spark: SparkSession, dirA: String, dirB: String,
+      limit: Int): Seq[String] = {
+    def counts(dir: String) =
+      SnapshotIO.readMessages(spark, dir)
+        .groupBy("topic").agg(count(lit(1)).as("n"))
+    val d = CatalogOps.snapshotDiff(counts(dirA), counts(dirB))
+      .orderBy(col("status"), col("topic"))
+      .limit(limit)
+    val rows = d.collect() // bounded by `limit`
+    val header = f"${"STATUS"}%-8s ${"TOPIC"}%-60s ${"N_A"}%8s ${"N_B"}%8s"
+    def n(r: Row, c: String) =
+      if (r.isNullAt(r.fieldIndex(c))) "-" else r.getAs[Long](c).toString
+    header +: rows.toSeq.map { r =>
+      f"${r.getAs[String]("status")}%-8s ${r.getAs[String]("topic")}%-60s " +
+        f"${n(r, "n_a")}%8s ${n(r, "n_b")}%8s"
     }
   }
 

@@ -143,6 +143,35 @@ class MainSpec extends AnyFunSuite with SparkSpec with Matchers {
       .last should include("defaults to 1")
   }
 
+  test("diff tags added/removed/changed topics between two captures") {
+    import spark.implicits._
+    def write(dir: String, rows: Seq[(String, Long)]): Unit = {
+      val env = rows.flatMap { case (topic, n) =>
+        (0L until n).map(i => (topic, s"m$i", false,
+          Map.empty[String, String],
+          new Timestamp(1704067200000L + i), Option.empty[Timestamp],
+          Option.empty[String], i))
+      }.toDF("topic", "content", "binary_encoded", "properties",
+        "publish_ts", "event_ts", "partition_key", "seq")
+      val nat = Files.createTempDirectory("graft_diff_nat").toString
+      SnapshotIO.writeNative(env, nat)
+      Main.run(spark, Seq("capture", nat, dir))
+    }
+    val a = Files.createTempDirectory("graft_diff_a").toString
+    val b = Files.createTempDirectory("graft_diff_b").toString
+    write(a, Seq("persistent://t/ns/stay" -> 2L,
+      "persistent://t/ns/gone" -> 1L, "persistent://t/ns/grow" -> 1L))
+    write(b, Seq("persistent://t/ns/stay" -> 2L,
+      "persistent://t/ns/new" -> 3L, "persistent://t/ns/grow" -> 4L))
+    val lines = Main.run(spark, Seq("diff", a, b))
+    lines.head should include("STATUS")
+    val body = lines.tail.mkString("\n")
+    body should include regex "added\\s+persistent://t/ns/new\\s+-\\s+3"
+    body should include regex "removed\\s+persistent://t/ns/gone\\s+1\\s+-"
+    body should include regex "changed\\s+persistent://t/ns/grow\\s+1\\s+4"
+    body should not include "stay" // unchanged rows are not reported
+  }
+
   test("unknown command prints usage") {
     Main.run(spark, Seq("frobnicate")).head should include("usage")
   }
