@@ -134,6 +134,13 @@ object SparkEntry {
     (0 until nTables).map(t => vectors.planeMatrix(seed = 95L + t,
       nPlanes = nPlanes, dim = embDim))
   }
+  /** q97's single layout table (4 planes → 16 buckets at the verify
+    * scale): the bucket is a STORED clustering column there, so one
+    * table is the layout-key convention (multi-probe reads more
+    * buckets of the same layout, it does not need more tables). */
+  private val q97Planes: Seq[Array[Double]] =
+    vectors.planeMatrix(seed = 97L, nPlanes = Similarity.planesForSize(500),
+      dim = embDim)
 
   /** Render a Double so DuckDB parses back the identical IEEE value
     * (Double.toString is the shortest round-tripping decimal). */
@@ -1828,6 +1835,44 @@ object SparkEntry {
         t(s, dir, "embeddings"), seed = 95L, dim = embDim, k = 5,
         simFloor = 0.9)),
 
+    // ── ANN AT REST: the LSH bucket as a STORAGE layout key — the
+    // cost-model half of q93's story. A bucket filter computed per
+    // row costs MORE flops than the cosine it avoids (T·P·dim vs
+    // 3·dim), so the prune only truly wins when it prunes IO: here
+    // the corpus is written range-clustered on a STORED bucket
+    // column, and the query's bucket predicate skips whole files via
+    // parquet min/max stats (LayoutSpec measures the pruning). At
+    // 100 TB this is the similarity-search shape: the scan itself
+    // reads ~1/2^planes of the corpus, and no cosine — not even a
+    // bucket hash — is computed for pruned files. The write is
+    // billed inside the query, the q76/q82 convention ──
+    "q97_ann_clustered_scan" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q97_").toString
+      val scratch = root + "/embeddings"
+      val emb = t(s, dir, "embeddings")
+      Layout.clusteredWrite(
+        emb.withColumn("bucket",
+          vectors.hyperplaneBucketFast(col("embedding"), q97Planes)),
+        scratch, numFiles = 8, col("bucket"))
+      // one-row planning lookup (q93's convention); the query-side
+      // bucket goes through the SAME kernel as the stored column
+      val qv = emb.filter(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0)
+      val q = typedLit(qv)
+      val qb = s.range(1)
+        .select(vectors.hyperplaneBucketFast(q, q97Planes))
+        .head.getLong(0)
+      val topk = s.read.parquet(scratch)
+        .filter(col("bucket") === lit(qb) && col("vec_id") =!= 0)
+        .orderBy(vectors.cosineFast(col("embedding"), q).desc,
+          col("vec_id"))
+        .limit(5)
+        .select(col("vec_id"),
+          round(vectors.cosineFast(col("embedding"), q), 6).as("cos"))
+      materializeThenClean(s, topk, root)
+    }),
+
     // ── SNAPSHOT GENERATION DIFF — the operational story the
     // reference's backup tooling implies but never implements: which
     // topics appeared, vanished, or changed message count between two
@@ -3196,6 +3241,21 @@ object SparkEntry {
            |  WHERE e.vec_id <> 0 AND $hit
            |  ORDER BY cos_exact DESC, e.vec_id LIMIT 10)""".stripMargin
       },
+
+      // the clustered scan's result is layout-invariant: the same
+      // bucket-collision top-k from the raw table
+      "q97_ann_clustered_scan" ->
+        s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+           |SELECT vec_id, round(cos_exact, 6) AS cos FROM (
+           |  SELECT e.vec_id,
+           |    list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) /
+           |    (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+           |     sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[])))) AS cos_exact
+           |  FROM embeddings e, q
+           |  WHERE e.vec_id <> 0
+           |    AND ${sqlBucket("e.embedding", q97Planes)} =
+           |        ${sqlBucket("q.qe", q97Planes)}
+           |  ORDER BY cos_exact DESC, e.vec_id LIMIT 5)""".stripMargin,
 
       "q96_snapshot_diff" ->
         s"""WITH ca AS (

@@ -40,6 +40,33 @@ class LayoutSpec extends AnyFunSuite with SparkSpec with Matchers {
     expected should be < 8
   }
 
+  test("LSH-bucket clustering prunes the similarity scan to colliding files") {
+    import graft.functions.vectors
+    val dir = Files.createTempDirectory("graft_layout_ann").toString + "/e"
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val planes = vectors.planeMatrix(seed = 97L, nPlanes = 4, dim = 64)
+    Layout.clusteredWrite(
+      emb.withColumn("bucket",
+        vectors.hyperplaneBucketFast(col("embedding"), planes)),
+      dir, numFiles = 4, col("bucket"))
+    val spans = Layout.fileSpans(spark, dir, "bucket")
+      .select("lo", "hi").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the query's bucket (vec 0 through the same kernel)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0)
+    val qb = spark.range(1)
+      .select(vectors.hyperplaneBucketFast(typedLit(qv), planes))
+      .head.getLong(0)
+    // the similarity scan touches ONLY files whose span covers the
+    // query bucket — a strict minority (the IO win q97 is built on)
+    val touched = spark.read.parquet(dir)
+      .filter(col("bucket") === qb)
+      .select(input_file_name()).distinct().count()
+    val covering = spans.count { case (lo, hi) => lo <= qb && qb <= hi }
+    touched shouldBe covering.toLong
+    covering should be < spans.length
+  }
+
   test("zAddress interleaves bits (a odd positions, b even)") {
     import spark.implicits._
     // a=5 (101), b=3 (011), bits=3 → bit5=a2,b2=bit4,... = 100111 = 39
