@@ -444,6 +444,46 @@ object ProbeRecall {
         f"recall@10=${rewHits.toDouble / total}%.4f")
     }
 
+    /** q97/q98: recall@5 of the stored-bucket layout scan as the
+      * multi-probe radius grows — the files-vs-recall trade the
+      * layout knob buys. Candidates are bucket-determined (Hamming
+      * ball via bit_count(xor) ≤ radius, the q98 oracle's own form),
+      * so the measurement runs on the raw table. */
+    def recallLayoutProbe(tag: String, emb: DataFrame): Unit = {
+      import org.apache.spark.sql.expressions.Window
+      val n = emb.count()
+      val nPlanes = Similarity.planesForSize(n)
+      val planes = vectors.planeMatrix(97L, nPlanes, dim)
+      val bucketed = emb.withColumn("bucket",
+        vectors.hyperplaneBucketFast(col("embedding"), planes))
+      val probeStep = math.max(1L, n / 100)
+      val probes = bucketed.filter(pmod(col("vec_id"), lit(probeStep)) === 0)
+        .select(col("vec_id").as("p_id"), col("embedding").as("p_emb"),
+          col("bucket").as("p_bucket"))
+      val exact = exactTopK(emb, probes.select(
+          col("p_id").as("vec_id"), col("p_emb").as("embedding")), 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val truth = exact.count()
+      def comb(n: Int, k: Int): Long =
+        (0 until k).foldLeft(1L)((acc, i) => acc * (n - i) / (i + 1))
+      for (radius <- Seq(0, 1, 2)) {
+        val cand = bucketed.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("p_id"))
+          .filter(expr("bit_count(bucket ^ p_bucket)") <= radius)
+          .withColumn("cos", vectors.cosineFast(col("embedding"), col("p_emb")))
+          .withColumn("rnk", row_number().over(Window.partitionBy("p_id")
+            .orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rnk") <= 5)
+          .select(col("p_id"), col("vec_id").as("nb_id"))
+        val hit = exact.join(cand, Seq("p_id", "nb_id"), "left_semi").count()
+        val bucketsRead = (0 to radius).map(r => comb(nPlanes, r)).sum
+        println(f"PROBE_RECALL q98 ${tag}_radius$radius n=$n " +
+          f"buckets_read=$bucketsRead/${1L << nPlanes} " +
+          f"recall@5=${hit.toDouble / truth}%.4f")
+      }
+      exact.unpersist(blocking = false)
+    }
+
     val emb001 = Tables(spark, "/root/testdata/sf0.01", "embeddings")
     val emb01 = Tables(spark, "/root/testdata/sf0.1", "embeddings")
     // q54/q42/q93/q95: 1× = the sf0.1 fixture (2,000 vectors);
@@ -454,6 +494,7 @@ object ProbeRecall {
     recall95("10x", perturbEmb(emb01, 10))
     recall95Contract("1x", emb001)
     recall95Contract("10x", emb01)
+    recallLayoutProbe("1x", emb01)
     // q62: planted near-dups (the natural fixtures have zero true
     // pairs at 0.8, so recall would be 0/0). 1× = sf0.01 base × 2
     // (1,000 vectors, q62's default occupancy holds the ≤1% miss

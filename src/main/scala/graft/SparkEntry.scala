@@ -1873,6 +1873,38 @@ object SparkEntry {
       materializeThenClean(s, topk, root)
     }),
 
+    // ── MULTI-PROBE over the SAME layout (Lv et al.): radius-1
+    // Hamming-ball probing reads the query bucket plus its 4
+    // one-bit-flip neighbors — 5 of 16 buckets — admitting neighbors
+    // that landed one hyperplane away. The recall knob that costs
+    // files, not tables or layout rewrites; ProbeRecall measures the
+    // recall step radius 0 → 1 → 2 ──
+    "q98_ann_multiprobe" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q98_").toString
+      val scratch = root + "/embeddings"
+      val emb = t(s, dir, "embeddings")
+      Layout.clusteredWrite(
+        emb.withColumn("bucket",
+          vectors.hyperplaneBucketFast(col("embedding"), q97Planes)),
+        scratch, numFiles = 8, col("bucket"))
+      val qv = emb.filter(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0)
+      val q = typedLit(qv)
+      val qb = s.range(1)
+        .select(vectors.hyperplaneBucketFast(q, q97Planes))
+        .head.getLong(0)
+      val probes = Similarity.probeBuckets(qb, q97Planes.size, radius = 1)
+      val topk = s.read.parquet(scratch)
+        .filter(col("bucket").isin(probes: _*) && col("vec_id") =!= 0)
+        .orderBy(vectors.cosineFast(col("embedding"), q).desc,
+          col("vec_id"))
+        .limit(5)
+        .select(col("vec_id"),
+          round(vectors.cosineFast(col("embedding"), q), 6).as("cos"))
+      materializeThenClean(s, topk, root)
+    }),
+
     // ── SNAPSHOT GENERATION DIFF — the operational story the
     // reference's backup tooling implies but never implements: which
     // topics appeared, vanished, or changed message count between two
@@ -3255,6 +3287,21 @@ object SparkEntry {
            |  WHERE e.vec_id <> 0
            |    AND ${sqlBucket("e.embedding", q97Planes)} =
            |        ${sqlBucket("q.qe", q97Planes)}
+           |  ORDER BY cos_exact DESC, e.vec_id LIMIT 5)""".stripMargin,
+
+      // the Hamming-ball probe set expressed declaratively: buckets
+      // within radius 1 of the query's bucket
+      "q98_ann_multiprobe" ->
+        s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+           |SELECT vec_id, round(cos_exact, 6) AS cos FROM (
+           |  SELECT e.vec_id,
+           |    list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) /
+           |    (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+           |     sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[])))) AS cos_exact
+           |  FROM embeddings e, q
+           |  WHERE e.vec_id <> 0
+           |    AND bit_count(xor(${sqlBucket("e.embedding", q97Planes)},
+           |                      ${sqlBucket("q.qe", q97Planes)})) <= 1
            |  ORDER BY cos_exact DESC, e.vec_id LIMIT 5)""".stripMargin,
 
       "q96_snapshot_diff" ->

@@ -282,6 +282,25 @@ object Similarity {
     lshTopKMulti(emb, tables, k)
   }
 
+  /** Multi-probe LSH probe list (Lv et al., public technique): the
+    * query's bucket plus every bucket within `radius` bit flips of it
+    * over the `nPlanes` sign bits. Against a STORED-bucket layout
+    * (q97) this is the recall knob that needs NO new layout and NO
+    * extra tables: radius 0 reads one bucket's files, radius 1 reads
+    * nPlanes+1 of the 2^nPlanes buckets, ... — each flipped bit
+    * admits neighbors that landed one hyperplane away, which is
+    * exactly where near misses go. Deterministic order (radius-major,
+    * then ascending flip positions); distinct by construction since
+    * each combination of flips yields a distinct XOR mask. */
+  def probeBuckets(bucket: Long, nPlanes: Int, radius: Int): Seq[Long] = {
+    require(nPlanes >= 1 && nPlanes <= 62, s"nPlanes out of range: $nPlanes")
+    require(radius >= 0 && radius <= nPlanes,
+      s"radius $radius outside [0, $nPlanes]")
+    (0 to radius).flatMap(r =>
+      (0 until nPlanes).combinations(r).map(flips =>
+        flips.foldLeft(bucket)((b, i) => b ^ (1L << i))))
+  }
+
   /** [[lshNearDupPairs]] with BOTH knobs derived from the corpus:
     * planes per table from [[planesForSize]] (one count() planning
     * statistic, the q54 pattern) and table count from

@@ -56,6 +56,23 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec with Matchers {
     exact.size should be >= 3
   }
 
+  test("probeBuckets enumerates the Hamming ball, deterministically and without duplicates") {
+    Similarity.probeBuckets(0b1010L, 4, 0) shouldBe Seq(0b1010L)
+    val r1 = Similarity.probeBuckets(0b1010L, 4, 1)
+    r1 shouldBe Seq(0b1010L, 0b1011L, 0b1000L, 0b1110L, 0b0010L)
+    r1.distinct shouldBe r1
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val r2 = Similarity.probeBuckets(0b1010L, 4, 2)
+    r2.size shouldBe (1 + 4 + 6)
+    r2.foreach(b => ham(b, 0b1010L) should be <= 2)
+    // full radius covers the whole bucket space
+    Similarity.probeBuckets(7L, 4, 4).sorted shouldBe (0L until 16L)
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.probeBuckets(0L, 4, 5)
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.probeBuckets(0L, 0, 0)
+  }
+
   test("multi-table top-k: true cosines, ranks dense per probe, floor-neighbors found") {
     import spark.implicits._
     val dim = 16
