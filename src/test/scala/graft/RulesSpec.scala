@@ -134,6 +134,24 @@ class RulesSpec extends AnyFunSuite with SparkSpec with Matchers {
     recall should be >= 0.5
   }
 
+  test("ANN rewrite fires through the SQL surface too") {
+    graft.plans.GraftExtensions.register(spark)
+    emb.createOrReplaceTempView("rules_emb")
+    val arr = "array(" + queryVec.map(v => s"CAST($v AS FLOAT)")
+      .mkString(", ") + ")"
+    val sql = s"""SELECT vec_id,
+      |  round(cosine_sim(embedding, $arr), 6) AS cos
+      |FROM rules_emb WHERE vec_id <> 0
+      |ORDER BY cosine_sim(embedding, $arr) DESC, vec_id LIMIT 10""".stripMargin
+    bucketFilterCount(spark.sql(sql)) shouldBe 0 // off by default
+    withAnnRewrite {
+      val df = spark.sql(sql)
+      bucketFilterCount(df) shouldBe 1
+      // and the SQL path computes exactly what the DataFrame path does
+      df.collect().toSeq shouldBe cosineTopK(10).collect().toSeq
+    }
+  }
+
   test("ANN rewrite does NOT fire on vector-vector (non-literal) top-k") {
     withAnnRewrite {
       // q28's shape: the query side comes from a join, not a literal
