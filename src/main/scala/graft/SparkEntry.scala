@@ -1905,6 +1905,36 @@ object SparkEntry {
       materializeThenClean(s, topk, root)
     }),
 
+    // ── S1 THROUGH THE ORACLE GATE: the DataSource V2 broker
+    // connector end-to-end. Fixture events are published into the
+    // injected broker (a driver publish loop over a bounded 1/20th
+    // slice — the producer seam, exactly the reference's loop), then
+    // read BACK through spark.read.format(BrokerSource) — one input
+    // partition per topic — parsed, and aggregated per topic with an
+    // order-sensitive checksum. The checksum binds payload fidelity
+    // AND the per-topic seq contract through the connector; the
+    // oracle reproduces seq as ROW_NUMBER in publish order ──
+    "q99_connector_roundtrip" -> ((s, dir) => {
+      import graft.sources.connector.BrokerRegistry
+      val slice = t(s, dir, "events")
+        .filter(col("event_id") % 20 === 0)
+        .select(col("event_type"), col("event_id"))
+        .orderBy(col("event_type"), col("event_id"))
+        .collect()
+      BrokerRegistry.clear()
+      slice.foreach { r =>
+        BrokerRegistry.publish(s"events-${r.getString(0)}",
+          r.getLong(1).toString
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      s.read.format("graft.sources.connector.BrokerSource").load()
+        .select(col("topic"), col("seq"),
+          col("payload").cast("string").cast("long").as("eid"))
+        .groupBy(col("topic"))
+        .agg(count(lit(1)).as("n_msgs"),
+          sum((col("seq") + 1) * col("eid")).as("order_checksum"))
+    }),
+
     // ── SNAPSHOT GENERATION DIFF — the operational story the
     // reference's backup tooling implies but never implements: which
     // topics appeared, vanished, or changed message count between two
@@ -3303,6 +3333,19 @@ object SparkEntry {
            |    AND bit_count(xor(${sqlBucket("e.embedding", q97Planes)},
            |                      ${sqlBucket("q.qe", q97Planes)})) <= 1
            |  ORDER BY cos_exact DESC, e.vec_id LIMIT 5)""".stripMargin,
+
+      // seq through the connector := position in per-topic publish
+      // order, which the publish loop pins to (event_type, event_id)
+      "q99_connector_roundtrip" ->
+        """WITH m AS (
+          |  SELECT event_type, event_id,
+          |    ROW_NUMBER() OVER (PARTITION BY event_type
+          |      ORDER BY event_id) AS rn
+          |  FROM events WHERE event_id % 20 = 0)
+          |SELECT 'events-' || event_type AS topic,
+          |  COUNT(*) AS n_msgs,
+          |  CAST(SUM(rn * event_id) AS BIGINT) AS order_checksum
+          |FROM m GROUP BY 1""".stripMargin,
 
       "q96_snapshot_diff" ->
         s"""WITH ca AS (
