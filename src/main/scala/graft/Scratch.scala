@@ -1,0 +1,14 @@
+package graft
+
+/** Recursive scratch-directory delete — ONE definition for every
+  * cleanup path (query-internal scratch reclaim, streaming drain
+  * checkpoints, Verify's output reset). Silent on missing paths;
+  * deletion failures are non-fatal by design (scratch lives under
+  * tmp roots the OS reclaims). */
+private[graft] object Scratch {
+  def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete()
+  }
+}

@@ -33,20 +33,21 @@ object SparkEntry {
     * rows (here: 1-row layout aggregates, per-topic snapshots). */
   private def materializeThenClean(s: SparkSession,
       bounded: DataFrame, scratchRoot: String): DataFrame = {
-    val rows = bounded.collect()
-    def rm(f: java.io.File): Unit = {
-      val children = f.listFiles()
-      if (children != null) children.foreach(rm)
-      f.delete()
-    }
-    rm(new java.io.File(scratchRoot))
+    // delete in finally: a failed collect (task failure/OOM) must not
+    // leak the scratch copy — Bench/Verify catch per-query Throwables
+    // and keep running, so a leak here accumulates across runs
+    val rows =
+      try bounded.collect()
+      finally Scratch.deleteRecursively(new java.io.File(scratchRoot))
     s.createDataFrame(java.util.Arrays.asList(rows: _*), bounded.schema)
   }
 
   /** The derived per-event topic name — ONE definition feeding both
     * the distinct catalog ([[topicsFromEvents]]) and the counted
-    * captures (q96); mirrored verbatim in SQL by [[topicSqlExpr]]. */
-  private def topicCol(ev: DataFrame): Column =
+    * captures (q96); mirrored verbatim in SQL by [[topicSqlExpr]].
+    * Unbound Column: resolves user_id/event_type/event_id against
+    * whatever plan it is selected into. */
+  private def topicCol: Column =
     concat(
       lit("persistent://tn"), (col("user_id") % 3).cast("string"),
       lit("/ns"), (col("user_id") % 5).cast("string"),
@@ -59,11 +60,11 @@ object SparkEntry {
     * catalog operators (SURVEY §2.1 S5/U1, §2.5 A2, §2.7 L2) run over
     * fixture data. Mirrored verbatim in SQL by [[topicsCte]]. */
   private def topicsFromEvents(ev: DataFrame): DataFrame =
-    ev.select(topicCol(ev).as("topic")).distinct()
+    ev.select(topicCol.as("topic")).distinct()
 
   /** A capture for q96: the per-topic message counts of a snapshot. */
   private def topicCountsFromEvents(ev: DataFrame): DataFrame =
-    ev.select(topicCol(ev).as("topic"))
+    ev.select(topicCol.as("topic"))
       .groupBy("topic").agg(count(lit(1)).as("n"))
 
   // NOTE: single physical line per concat chain — this fragment is
@@ -197,34 +198,41 @@ object SparkEntry {
     //  - the checkpoint: none of its files need to survive this JVM
     //    for a memory-sink drain, so it goes to tmpfs when available
     //    instead of the fsync-to-disk default temp dir.
-    val partsKey = "spark.sql.shuffle.partitions"
-    val oldParts = s.conf.get(partsKey)
-    val shm = new java.io.File("/dev/shm")
-    val ckptRoot = if (shm.isDirectory && shm.canWrite) shm
-      else new java.io.File(System.getProperty("java.io.tmpdir"))
-    val ckpt = new java.io.File(ckptRoot,
-      s"graft-ckpt-$name-${System.nanoTime()}")
-    s.conf.set(partsKey, "8")
-    try {
-      val q = out.writeStream.format("memory").queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt.getAbsolutePath)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      if (!q.awaitTermination(300000)) {
-        q.stop()
-        throw new IllegalStateException(
-          s"$name streaming query did not drain within 300s")
+    // drains serialize on one lock: the conf override is session-
+    // global, and two overlapping drains could otherwise interleave
+    // save/restore and leave the session at 8 permanently (batch
+    // queries planned on the same session DURING a drain still see
+    // the override — inherent to session conf; Bench/Verify are
+    // sequential, and concurrent callers get serialized drains here)
+    drainLock.synchronized {
+      val partsKey = "spark.sql.shuffle.partitions"
+      val oldParts = s.conf.get(partsKey)
+      val shm = new java.io.File("/dev/shm")
+      val ckptRoot = if (shm.isDirectory && shm.canWrite) shm
+        else new java.io.File(System.getProperty("java.io.tmpdir"))
+      val ckpt = new java.io.File(ckptRoot,
+        s"graft-ckpt-$name-${System.nanoTime()}")
+      s.conf.set(partsKey, "8")
+      try {
+        val q = out.writeStream.format("memory").queryName(name)
+          .outputMode(mode)
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        if (!q.awaitTermination(300000)) {
+          q.stop()
+          throw new IllegalStateException(
+            s"$name streaming query did not drain within 300s")
+        }
+        s.table(name)
+      } finally {
+        s.conf.set(partsKey, oldParts)
+        Scratch.deleteRecursively(ckpt)
       }
-      s.table(name)
-    } finally {
-      s.conf.set(partsKey, oldParts)
-      def rm(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
-      }
-      rm(ckpt)
     }
   }
+
+  private val drainLock = new Object
 
   private def runEventsStream(s: SparkSession, dir: String, name: String,
       mode: String, tsExpr: Column,

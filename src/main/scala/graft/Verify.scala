@@ -20,10 +20,7 @@ object Verify {
     // at all, not a previous run's stale parquet that the driver's
     // compare would silently read as a pass (and renamed/removed
     // queries must not leave ghosts either)
-    def rm(f: java.io.File): Unit = {
-      val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
-    }
-    rm(new java.io.File(outDir))
+    Scratch.deleteRecursively(new java.io.File(outDir))
     new java.io.File(outDir).mkdirs()
     // optional comma-separated filter for iterating on single queries
     // (same contract as Bench's SPARK_GRAFT_BENCH_ONLY; the driver

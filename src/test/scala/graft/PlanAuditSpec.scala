@@ -27,6 +27,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec with Matchers {
     "q80_stream_interval_join", "q85_stream_static_join",
     "q87_tws_sequence")
 
+  /** KNOWN BLIND SPOT, skipped honestly: these queries materialize
+    * internally (collect + scratch reclaim / snapshot round-trips),
+    * so `fn(...)` returns a LocalRelation and the executedPlan this
+    * gate sees is NOT the plan that ran — auditing it would assert
+    * nothing while executing the full (scratch-writing) pipeline as
+    * a side effect. Their internal shapes are covered by their own
+    * measuring specs (LayoutSpec's pruning counts, SnapshotSpec) and
+    * the recorded PLANS.md audit. */
+  private val materializedInline = Set(
+    "q58_snapshot_roundtrip", "q76_clustered_scan", "q82_zorder_scan",
+    "q97_ann_clustered_scan", "q98_ann_multiprobe")
+
   /** Deliberate BNLJ sites — every entry is a bounded build side,
     * documented at its registration: 1-row query vectors (q28, q42),
     * 1-row bounds aggregates (q88), the spread-broadcast dense-regime
@@ -51,7 +63,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec with Matchers {
     val dir = "/root/testdata/sf0.001"
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      if (!streaming(name)) {
+      if (!streaming(name) && !materializedInline(name)) {
         var df: org.apache.spark.sql.DataFrame = null
         try {
           df = fn(spark, dir)
