@@ -1943,6 +1943,34 @@ object SparkEntry {
           sum((col("seq") + 1) * col("eid")).as("order_checksum"))
     }),
 
+    // ── INT8 EMBEDDING QUANTIZATION — the 4×-smaller at-rest format
+    // a 100 TB embedding corpus actually scans (symmetric per-vector
+    // absmax int8, the standard public scheme). The top-k runs over
+    // DEQUANTIZED vectors and the exact cosine rides along in the
+    // output, so the quantization drift is IN THE DATA the oracle
+    // hashes — both engines reproduce the identical floor(x/s + 0.5)
+    // arithmetic (pinned instead of round() half-convention
+    // roulette) ──
+    "q100_quantized_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val withQ = emb
+        .withColumn("scale", vectors.quantizeScale(col("embedding")))
+        .withColumn("deq", vectors.dequantizeInt8(
+          vectors.quantizeInt8(col("embedding"), col("scale")),
+          col("scale")))
+      val q = withQ.filter(col("vec_id") === 0)
+        .select(col("deq").as("q_deq"), col("embedding").as("q_emb"))
+      withQ.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("cos_q", vectors.cosineFast(col("deq"), col("q_deq")))
+        .withColumn("cos_exact",
+          vectors.cosineFast(col("embedding"), col("q_emb")))
+        .orderBy(col("cos_q").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), round(col("cos_q"), 6).as("cos_q"),
+          round(col("cos_exact"), 6).as("cos_exact"))
+    }),
+
     // ── SNAPSHOT GENERATION DIFF — the operational story the
     // reference's backup tooling implies but never implements: which
     // topics appeared, vanished, or changed message count between two
@@ -3341,6 +3369,33 @@ object SparkEntry {
            |    AND bit_count(xor(${sqlBucket("e.embedding", q97Planes)},
            |                      ${sqlBucket("q.qe", q97Planes)})) <= 1
            |  ORDER BY cos_exact DESC, e.vec_id LIMIT 5)""".stripMargin,
+
+      // the same pinned quantization arithmetic, lambda-captured
+      // per-row scale; dequantized arrays are DOUBLE in both engines
+      "q100_quantized_topk" -> {
+        def dot(x: String, y: String) =
+          s"list_dot_product($x, $y)"
+        def cos(x: String, y: String) =
+          s"${dot(x, y)} / (sqrt(${dot(x, x)}) * sqrt(${dot(y, y)}))"
+        s"""WITH d AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+           |    greatest(list_max(list_transform(embedding,
+           |      x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS scale
+           |  FROM embeddings),
+           |e AS (
+           |  SELECT vec_id, emb,
+           |    list_transform(emb, x -> floor(x / scale + 0.5) * scale)
+           |      AS deq
+           |  FROM d),
+           |q AS (SELECT deq AS q_deq, emb AS q_emb FROM e WHERE vec_id = 0)
+           |SELECT vec_id, round(cos_q, 6) AS cos_q,
+           |  round(cos_exact, 6) AS cos_exact FROM (
+           |  SELECT e.vec_id,
+           |    ${cos("e.deq", "q.q_deq")} AS cos_q,
+           |    ${cos("e.emb", "q.q_emb")} AS cos_exact
+           |  FROM e, q WHERE e.vec_id <> 0
+           |  ORDER BY cos_q DESC, e.vec_id LIMIT 10)""".stripMargin
+      },
 
       // seq through the connector := position in per-topic publish
       // order, which the publish loop pins to (event_type, event_id)

@@ -134,4 +134,29 @@ object vectors {
   /** Codegen'd IVF cell assignment (nearest centroid id). */
   def assignCellFast(v: Column, centroids: Seq[Array[Double]]): Column =
     element_at(nearestCentroidsFast(v, centroids, 1), 1)
+
+  // ── int8 storage quantization: the 4×-smaller embedding-at-rest
+  // format (symmetric per-vector absmax scaling, the standard public
+  // scheme). Arithmetic is pinned to oracle-mirrorable IEEE ops:
+  // floor(x/scale + 0.5) instead of an engine round() whose
+  // half-away/half-even convention could differ between engines. ──
+
+  /** Per-vector quantization scale: absmax/127, floored at 1e-30 so
+    * the all-zero vector quantizes to zeros instead of NaN. */
+  def quantizeScale(v: Column): Column =
+    greatest(
+      aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double")))),
+      lit(1e-30)) / 127.0
+
+  /** Symmetric int8 code: floor(x/scale + 0.5) ∈ [-127, 127] by
+    * construction of [[quantizeScale]]. Kept as int in the column
+    * (the 1-byte width is a STORAGE property — parquet dictionary/
+    * bit-packing encodes the narrow range; the arithmetic contract
+    * is what the oracle mirrors). */
+  def quantizeInt8(v: Column, scale: Column): Column =
+    transform(v, x => floor(x.cast("double") / scale + 0.5).cast("int"))
+
+  /** Dequantized vector: code × scale, array<double>. */
+  def dequantizeInt8(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale)
 }

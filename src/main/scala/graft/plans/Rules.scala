@@ -163,6 +163,12 @@ object AnnTopKToLshPrune extends Rule[LogicalPlan] {
     val nPlanes = conf.getConfString(PlanesKey, "4").toInt
     val nTables = conf.getConfString(TablesKey, "8").toInt
     val seed = conf.getConfString(SeedKey, "93").toLong
+    // loud on bad knobs: planes beyond 62 would silently wrap the
+    // Long bucket packing (1L << p is mod-64), degrading pruning
+    // without an error anywhere downstream
+    require(nPlanes >= 1 && nPlanes <= 62,
+      s"$PlanesKey must be in [1, 62]: $nPlanes")
+    require(nTables >= 1, s"$TablesKey must be >= 1: $nTables")
     plan.transform {
       // the two post-optimization shapes of ORDER BY … LIMIT k: the
       // projection either sits above the limit or has been pushed

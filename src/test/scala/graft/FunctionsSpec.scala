@@ -204,4 +204,30 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec with Matchers {
     // same normalized token stream → same fingerprint across casings
     viaSql(0)._3 shouldBe viaSql(1)._3
   }
+
+  test("int8 quantization: codes bounded, reconstruction within scale/2, zero vector safe") {
+    import spark.implicits._
+    val vecs = Seq(
+      Seq(0.5f, -3.25f, 0.0f, 127.0f),
+      Seq(-1e-4f, 2e-4f, -3e-4f, 5e-5f), // tiny magnitudes
+      Seq(0.0f, 0.0f, 0.0f, 0.0f)) // all-zero: scale floor, no NaN
+      .toDF("v")
+    val rows = vecs
+      .withColumn("scale", vectors.quantizeScale(col("v")))
+      .withColumn("q", vectors.quantizeInt8(col("v"), col("scale")))
+      .withColumn("deq", vectors.dequantizeInt8(col("q"), col("scale")))
+      .as[(Seq[Float], Double, Seq[Int], Seq[Double])].collect()
+    rows.foreach { case (v, scale, q, deq) =>
+      scale should be > 0.0
+      q.foreach(c => math.abs(c) should be <= 127)
+      // |x - deq| <= scale/2 + eps: the defining property of
+      // floor(x/s + 0.5) * s rounding
+      v.zip(deq).foreach { case (x, d) =>
+        math.abs(x.toDouble - d) should be <= scale / 2 + 1e-12
+      }
+    }
+    // the all-zero vector quantizes to exact zeros
+    rows.last._3.forall(_ == 0) shouldBe true
+    rows.last._4.forall(_ == 0.0) shouldBe true
+  }
 }

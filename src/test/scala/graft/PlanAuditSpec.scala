@@ -48,7 +48,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec with Matchers {
   private val allowBnlj = Set(
     "q27_jaccard_pairs", "q28_ann_bruteforce", "q29_neardup_embeddings",
     "q39_cli_parse", "q42_ann_ivf", "q62_neardup_auto", "q68_range_join",
-    "q88_gap_fill", "q91_sql_cosine")
+    "q88_gap_fill", "q91_sql_cosine", "q100_quantized_topk")
 
   private def operators(p: SparkPlan): Seq[SparkPlan] = {
     val self = p match {
