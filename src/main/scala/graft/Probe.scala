@@ -417,12 +417,22 @@ object ProbeRecall {
       val centroids = vectors.planeMatrix(seed = 7L, nPlanes = 16, dim = dim)
       val rewriteTables = (0 until 8).map(t =>
         vectors.planeMatrix(93L + t, 4, dim))
-      var ivfHits = 0; var rewHits = 0; var total = 0
+      // q100's at-rest representation: top-k ranked on DEQUANTIZED
+      // int8 vectors — measures how much ranking the 4× compression
+      // costs (expected: almost none)
+      val deq = emb
+        .withColumn("scale", vectors.quantizeScale(col("embedding")))
+        .select(col("vec_id"), vectors.dequantizeInt8(
+          vectors.quantizeInt8(col("embedding"), col("scale")),
+          col("scale")).as("embedding"))
+      var ivfHits = 0; var rewHits = 0; var quantHits = 0; var total = 0
       for (q <- 0 until 20) {
         val exact = Similarity.bruteForceTopK(emb, q.toLong, 10)
           .select("vec_id").collect().map(_.getLong(0)).toSet
         val ivf = Similarity.ivfTopK(emb, centroids, q.toLong,
           nProbe = 4, k = 10)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val quant = Similarity.bruteForceTopK(deq, q.toLong, 10)
           .select("vec_id").collect().map(_.getLong(0)).toSet
         val qv = emb.filter(col("vec_id") === q)
           .select("embedding").head.getSeq[Float](0)
@@ -436,12 +446,15 @@ object ProbeRecall {
           .limit(10).select("vec_id").collect().map(_.getLong(0)).toSet
         ivfHits += (exact & ivf).size
         rewHits += (exact & rew).size
+        quantHits += (exact & quant).size
         total += exact.size
       }
       println(f"PROBE_RECALL q42 $tag n=$n probes=20 " +
         f"recall@10=${ivfHits.toDouble / total}%.4f")
       println(f"PROBE_RECALL q93 $tag n=$n probes=20 " +
         f"recall@10=${rewHits.toDouble / total}%.4f")
+      println(f"PROBE_RECALL q100 $tag n=$n probes=20 " +
+        f"recall@10=${quantHits.toDouble / total}%.4f")
     }
 
     /** q97/q98: recall@5 of the stored-bucket layout scan as the
