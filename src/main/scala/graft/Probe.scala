@@ -425,6 +425,7 @@ object ProbeRecall {
         .select(col("vec_id"), vectors.dequantizeInt8(
           vectors.quantizeInt8(col("embedding"), col("scale")),
           col("scale")).as("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var ivfHits = 0; var rewHits = 0; var quantHits = 0; var total = 0
       for (q <- 0 until 20) {
         val exact = Similarity.bruteForceTopK(emb, q.toLong, 10)
@@ -455,6 +456,7 @@ object ProbeRecall {
         f"recall@10=${rewHits.toDouble / total}%.4f")
       println(f"PROBE_RECALL q100 $tag n=$n probes=20 " +
         f"recall@10=${quantHits.toDouble / total}%.4f")
+      deq.unpersist(blocking = false)
     }
 
     /** q97/q98: recall@5 of the stored-bucket layout scan as the

@@ -7,8 +7,13 @@ package graft
   * tmp roots the OS reclaims). */
 private[graft] object Scratch {
   def deleteRecursively(f: java.io.File): Unit = {
-    val children = f.listFiles()
-    if (children != null) children.foreach(deleteRecursively)
+    // never recurse THROUGH a symlink: listFiles() resolves links, so
+    // a linked directory inside a scratch tree would otherwise have
+    // its TARGET's contents deleted — unlink the link itself instead
+    if (!java.nio.file.Files.isSymbolicLink(f.toPath)) {
+      val children = f.listFiles()
+      if (children != null) children.foreach(deleteRecursively)
+    }
     f.delete()
   }
 }
