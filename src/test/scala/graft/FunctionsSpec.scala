@@ -230,4 +230,34 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec with Matchers {
     rows.last._3.forall(_ == 0) shouldBe true
     rows.last._4.forall(_ == 0.0) shouldBe true
   }
+
+  test("int8 quantization properties hold on random vectors (one batch plan)") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val seed = org.scalacheck.rng.Seed(100L)
+    // magnitudes spanning 12 orders, mixed signs, varied dims —
+    // the CodecSpec convention: generate with ScalaCheck, evaluate
+    // in ONE DataFrame (not a job per sample)
+    val vecGen = for {
+      n <- Gen.choose(1, 64)
+      exp <- Gen.choose(-6, 6)
+      v <- Gen.listOfN(n, Gen.choose(-1.0, 1.0)
+        .map(x => (x * math.pow(10.0, exp)).toFloat))
+    } yield v
+    val vecs = Gen.listOfN(300, vecGen)
+      .pureApply(Gen.Parameters.default, seed)
+    val rows = vecs.toDF("v")
+      .withColumn("scale", vectors.quantizeScale(col("v")))
+      .withColumn("q", vectors.quantizeInt8(col("v"), col("scale")))
+      .withColumn("deq", vectors.dequantizeInt8(col("q"), col("scale")))
+      .as[(Seq[Float], Double, Seq[Int], Seq[Double])].collect()
+    rows.length shouldBe 300
+    rows.foreach { case (v, scale, q, deq) =>
+      scale should be > 0.0
+      q.foreach(c => math.abs(c) should be <= 127)
+      v.zip(deq).foreach { case (x, d) =>
+        math.abs(x.toDouble - d) should be <= scale / 2 + scale * 1e-9
+      }
+    }
+  }
 }
