@@ -110,26 +110,40 @@ object Bench {
     val cpuTotal =
       if (cpuSec.values.exists(_ < 0)) -1.0 else cpuSec.values.sum
     val calibEnd = calibrate()
+    // Key ORDER inside the full line is load-bearing: a fixed-size
+    // tail capture keeps the END of the output, so the per-query WALL
+    // map goes LAST (after the gc/cpu diagnostic maps) — r5 lost the
+    // total to a cpu_sec fragment, r6 preserved the total but the
+    // only per-query map a tail reader saw was cpu_sec, which invites
+    // a 2×-20× misread of wall time. With this order a truncated
+    // tail keeps [.. gc/cpu fragment ..]"queries":{WALL},"sf" intact.
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
-        s""""queries":$qs,"failed":$failedJson,""" +
+        s""""failed":$failedJson,""" +
         s""""gc_sec":${jsonObj(gcSec)},"cpu_sec":${jsonObj(cpuSec)},""" +
         s""""gc_total":${num(gcSec.values.sum)},""" +
         s""""cpu_total":${num(cpuTotal)},""" +
         s""""calib_sec":[${num(calibStart)},${num(calibEnd)}],""" +
+        s""""queries":$qs,""" +
         s""""sf":"$sfDir"}"""
     println(line)
-    // The full line is ~7 KB (per-query wall + gc + cpu maps); a
-    // fixed-size tail capture can truncate it mid-line and lose the
-    // one number that matters (r5: BENCH_r05.json kept a cpu_sec
-    // fragment and dropped "value":106.29). Print a second, SHORT
-    // summary line AFTER it so any tail keeps the headline.
+    // The full line is ~7 KB; a tail capture can truncate it mid-line
+    // and lose the one number that matters (r5: BENCH_r05.json kept a
+    // cpu_sec fragment and dropped "value":106.29). Print a second,
+    // SHORT summary line AFTER it so any tail keeps the headline —
+    // under a DISTINCT metric key ("total_summary", not a second
+    // "total" a first-match consumer would mistake or a sum-matcher
+    // would double-count) and carrying the 10 slowest queries' WALL
+    // seconds, so even a summary-only tail can attribute a slow total
+    // to its query without /tmp archaeology.
+    val topWall = results.sortBy(-_._2).take(10)
     val summary =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
+      s"""{"metric":"total_summary","value":${num(total)},"unit":"sec",""" +
         s""""n_queries":${results.size},"failed":$failedJson,""" +
         s""""gc_total":${num(gcSec.values.sum)},""" +
         s""""cpu_total":${num(cpuTotal)},""" +
         s""""calib_sec":[${num(calibStart)},${num(calibEnd)}],""" +
+        s""""top_wall":${jsonObj(topWall)},""" +
         s""""sf":"$sfDir"}"""
     println(summary)
     // also write the bare JSON lines to a file: the stdout copy drowns

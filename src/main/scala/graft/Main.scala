@@ -54,15 +54,25 @@ object Main {
     finally spark.stop()
   }
 
+  /** Optional trailing numeric argument: `None` when PRESENT but
+    * unparseable (→ usage text, not a NumberFormatException),
+    * `Some(dflt)` when absent. */
+  private def intArg(rest: Seq[String], dflt: Int): Option[Int] =
+    rest.headOption.map(_.toIntOption).getOrElse(Some(dflt))
+
   /** Command dispatch, returning the lines `main` prints — directly
     * testable without capturing stdout. */
   def run(spark: SparkSession, args: Seq[String]): Seq[String] = args match {
-    case Seq("list-topics", dir, rest @ _*) =>
-      listTopics(spark, dir, rest.headOption.map(_.toInt).getOrElse(100))
+    case Seq("list-topics", dir, rest @ _*)
+        if intArg(rest, 100).isDefined =>
+      listTopics(spark, dir, intArg(rest, 100).get)
     case Seq("capture", nativeDir, snapDir) => capture(spark, nativeDir, snapDir)
     case Seq("replay", snapDir, outDir) => replay(spark, snapDir, outDir)
-    case Seq("restore", snapDir) => restore(spark, snapDir)
-    case Seq("publish", outDir, count) => publish(spark, outDir, count.toLong)
+    case Seq("restore", snapDir, rest @ _*)
+        if restoreArgs(rest).isDefined =>
+      restore(spark, snapDir, restoreArgs(rest).get)
+    case Seq("publish", outDir, count) if count.toLongOption.isDefined =>
+      publish(spark, outDir, count.toLong)
     case Seq("import", refDir, destDir) =>
       // a migrating user's snapshots are in the REFERENCE's literal
       // layout (colon file names Hadoop paths cannot carry) — rewrite
@@ -72,9 +82,9 @@ object Main {
       Seq(s"imported reference snapshot $refDir into $destDir")
     case Seq("delete", snapDir, rest @ _*) =>
       delete(spark, snapDir, force = rest.contains("--force"))
-    case Seq("print", snapDir, rest @ _*) =>
-      printMessages(spark, snapDir,
-        rest.headOption.map(_.toInt).getOrElse(20))
+    case Seq("print", snapDir, rest @ _*)
+        if intArg(rest, 20).isDefined =>
+      printMessages(spark, snapDir, intArg(rest, 20).get)
     case Seq("sample") =>
       // one deterministic emailSend envelope, the inspector's `sample`
       // verb (pulsar_remote_inspector.py:650,697-700)
@@ -83,14 +93,17 @@ object Main {
           col("id"), timestamp_seconds(lit(1704067200L))))
         .collect()(0).getString(0))
     case Seq("ranges", rest @ _*) => ranges(rest)
-    case Seq("diff", dirA, dirB, rest @ _*) =>
-      diff(spark, dirA, dirB, rest.headOption.map(_.toInt).getOrElse(100))
+    case Seq("diff", dirA, dirB, rest @ _*)
+        if intArg(rest, 100).isDefined =>
+      diff(spark, dirA, dirB, intArg(rest, 100).get)
     case _ => Seq(
       "usage: graft.Main <command> ...",
       "  list-topics <snapshotDir> [limit]   composed catalog listing",
       "  capture <nativeParquetDir> <snapshotDir>   parquet -> snapshot",
       "  replay <snapshotDir> <outDir>       ordered per-topic replay",
-      "  restore <snapshotDir>               dry-run DDL (parents first)",
+      "  restore <snapshotDir> [--since <snapshotA>]   dry-run DDL " +
+        "(parents first; --since restores only topics added/changed " +
+        "since snapshotA)",
       "  delete <snapshotDir> [--force]      DDL children-first; gated",
       "  print <snapshotDir> [limit]         decoded messages in order",
       "  sample                              one emailSend wire message",
@@ -204,13 +217,54 @@ object Main {
     Seq(s"replayed $n topics to $outDir")
   }
 
+  /** `restore [--since <snapshotA>]` argument tail: `Some(None)` =
+    * full restore, `Some(Some(dir))` = selective, `None` = malformed
+    * (→ usage text). */
+  private def restoreArgs(rest: Seq[String]): Option[Option[String]] =
+    rest match {
+      case Seq() => Some(None)
+      case Seq("--since", dir) => Some(Some(dir))
+      case _ => None
+    }
+
   /** K6 restore dry-run: the ordered DDL (tenants → namespaces →
-    * topics) the reference would apply, printed instead of sent. */
-  private def restore(spark: SparkSession, snapDir: String): Seq[String] = {
-    val applied = DdlSink.restore(
-      SnapshotIO.readTenants(spark, snapDir),
-      SnapshotIO.readNamespaces(spark, snapDir),
-      SnapshotIO.readTopics(spark, snapDir),
+    * topics) the reference would apply, printed instead of sent.
+    *
+    * With `--since <snapshotA>`: SELECTIVE restore — the q96
+    * snapshot-diff plan (CatalogOps.snapshotDiff over per-topic
+    * message counts) decides which topics actually need restoring
+    * (added or changed since snapshotA; topics that merely VANISHED
+    * are not re-created — the delta runs forward), and the DDL is
+    * restricted to those topics plus exactly the parent namespaces/
+    * tenants they need. At production catalog sizes this is the
+    * difference between replaying the delta and replaying the
+    * cluster. */
+  private def restore(spark: SparkSession, snapDir: String,
+      since: Option[String]): Seq[String] = {
+    val allTenants = SnapshotIO.readTenants(spark, snapDir)
+    val allNamespaces = SnapshotIO.readNamespaces(spark, snapDir)
+    val allTopics = SnapshotIO.readTopics(spark, snapDir)
+    val (tenants, namespaces, topics) = since match {
+      case None => (allTenants, allNamespaces, allTopics)
+      case Some(sinceDir) =>
+        def counts(dir: String) =
+          SnapshotIO.readMessages(spark, dir)
+            .groupBy("topic").agg(count(lit(1)).as("n"))
+        val delta = CatalogOps.snapshotDiff(
+            counts(sinceDir), counts(snapDir))
+          .filter(col("status").isin("added", "changed"))
+          .select("topic")
+        val topics = allTopics.join(delta, Seq("topic"), "left_semi")
+        val nsOf = delta.select(regexp_extract(col("topic"),
+          "persistent://([^/]+/[^/]+)/", 1).as("namespace"))
+        val namespaces =
+          allNamespaces.join(nsOf, Seq("namespace"), "left_semi")
+        val tnOf = delta.select(regexp_extract(col("topic"),
+          "persistent://([^/]+)/", 1).as("tenant"))
+        val tenants = allTenants.join(tnOf, Seq("tenant"), "left_semi")
+        (tenants, namespaces, topics)
+    }
+    val applied = DdlSink.restore(tenants, namespaces, topics,
       _ => (), _ => (), _ => ())
     applied.map { case (kind, name) => s"CREATE $kind $name" }
   }

@@ -184,60 +184,63 @@ object SparkEntry {
       .withColumn("ts", tsExpr)
   }
 
-  private def drainToTable(s: SparkSession, name: String, mode: String,
+  /** An ISOLATED session for one drain: same SparkContext/SharedState,
+    * own SQLConf. The drain wants 8 state partitions (see
+    * [[drainToTable]]); a session-global override — even one restored
+    * in `finally` — leaks into any batch query planned on the same
+    * session DURING the drain. A cloned session makes the override
+    * structurally invisible to the caller's session instead of
+    * relying on Bench/Verify being strictly sequential. The WHOLE
+    * stream pipeline (source included) must be built from this
+    * session: a streaming query reads conf from the session of the
+    * DataFrame it starts from. */
+  private def drainSession(s: SparkSession): SparkSession = {
+    val ns = s.newSession()
+    // streaming aggs here are partitioning-agnostic by design
+    // (DECIMAL partials, oracle-gated); per-partition state is KBs,
+    // so 8 state partitions beat 32 — a real deployment sizes the
+    // SAME conf to its state volume
+    ns.conf.set("spark.sql.shuffle.partitions", "8")
+    ns
+  }
+
+  private def drainToTable(name: String, mode: String,
       out: DataFrame): DataFrame = {
     // A bounded drain pays fixed machinery per (micro-batch × state
     // partition): state-store commit files plus offset/commit-log
-    // fsyncs. Two knobs shave that cost without touching semantics:
-    //  - state partitions: the streaming aggs are partitioning-
-    //    agnostic by design (DECIMAL partials, oracle-gated), so when
-    //    per-partition state is KBs, 8 partitions beat the session's
-    //    32 — a real deployment sizes the SAME conf to its state
-    //    volume, and the override is scoped to the stream (the conf
-    //    is read once at query start; batch queries keep 32);
-    //  - the checkpoint: none of its files need to survive this JVM
-    //    for a memory-sink drain, so it goes to tmpfs when available
-    //    instead of the fsync-to-disk default temp dir.
-    // drains serialize on one lock: the conf override is session-
-    // global, and two overlapping drains could otherwise interleave
-    // save/restore and leave the session at 8 permanently (batch
-    // queries planned on the same session DURING a drain still see
-    // the override — inherent to session conf; Bench/Verify are
-    // sequential, and concurrent callers get serialized drains here)
-    drainLock.synchronized {
-      val partsKey = "spark.sql.shuffle.partitions"
-      val oldParts = s.conf.get(partsKey)
-      val shm = new java.io.File("/dev/shm")
-      val ckptRoot = if (shm.isDirectory && shm.canWrite) shm
-        else new java.io.File(System.getProperty("java.io.tmpdir"))
-      val ckpt = new java.io.File(ckptRoot,
-        s"graft-ckpt-$name-${System.nanoTime()}")
-      s.conf.set(partsKey, "8")
-      try {
-        val q = out.writeStream.format("memory").queryName(name)
-          .outputMode(mode)
-          .option("checkpointLocation", ckpt.getAbsolutePath)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        if (!q.awaitTermination(300000)) {
-          q.stop()
-          throw new IllegalStateException(
-            s"$name streaming query did not drain within 300s")
-        }
-        s.table(name)
-      } finally {
-        s.conf.set(partsKey, oldParts)
-        Scratch.deleteRecursively(ckpt)
+    // fsyncs. State partitions are sized by [[drainSession]]; the
+    // checkpoint goes to tmpfs when available instead of the
+    // fsync-to-disk default temp dir — none of its files need to
+    // survive this JVM for a memory-sink drain.
+    val ss = out.sparkSession // the isolated drain session
+    val shm = new java.io.File("/dev/shm")
+    val ckptRoot = if (shm.isDirectory && shm.canWrite) shm
+      else new java.io.File(System.getProperty("java.io.tmpdir"))
+    val ckpt = new java.io.File(ckptRoot,
+      s"graft-ckpt-$name-${System.nanoTime()}")
+    try {
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException(
+          s"$name streaming query did not drain within 300s")
       }
+      ss.table(name)
+    } finally {
+      Scratch.deleteRecursively(ckpt)
     }
   }
 
-  private val drainLock = new Object
-
   private def runEventsStream(s: SparkSession, dir: String, name: String,
       mode: String, tsExpr: Column,
-      build: DataFrame => DataFrame): DataFrame =
-    drainToTable(s, name, mode, build(eventsStream(s, dir, tsExpr)))
+      build: DataFrame => DataFrame): DataFrame = {
+    val ns = drainSession(s)
+    drainToTable(name, mode, build(eventsStream(ns, dir, tsExpr)))
+  }
 
   /** Flagship query (driver smoke-checks rows > 0 on sf0.001): the
     * reference's composed list_topics pipeline — 3-source union →
@@ -1469,12 +1472,13 @@ object SparkEntry {
     // drain → the emitted pairs are the complete batch-join answer,
     // which is exactly what the oracle computes ──
     "q80_stream_interval_join" -> ((s, dir) => {
+      val ns = drainSession(s)
       val tsExpr = timestamp_micros(expr("ts div 1000"))
-      val purchases = eventsStream(s, dir, tsExpr)
+      val purchases = eventsStream(ns, dir, tsExpr)
         .filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
           col("event_id").as("p_id"))
-      val clicks = eventsStream(s, dir, tsExpr)
+      val clicks = eventsStream(ns, dir, tsExpr)
         .filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
           col("value").as("c_value"))
@@ -1482,7 +1486,7 @@ object SparkEntry {
         leftKey = "p_user", rightKey = "c_user",
         leftTsCol = "p_ts", rightTsCol = "c_ts",
         delay = "1 hour", lookback = "24 HOURS")
-      drainToTable(s, "q80_mem", "append", joined)
+      drainToTable("q80_mem", "append", joined)
         .groupBy(col("p_user"))
         .agg(count(lit(1)).as("n_pairs"),
           countDistinct(col("p_id")).as("n_purchases"),
@@ -1610,13 +1614,14 @@ object SparkEntry {
     // the default HDFS-backed store) ──
     "q87_tws_sequence" -> ((s, dir) => {
       import s.implicits._
-      Streams.withRocksDbStateStore(s) {
-        val st = eventsStream(s, dir, timestamp_micros(expr("ts div 1000")))
+      val ns = drainSession(s)
+      Streams.withRocksDbStateStore(ns) {
+        val st = eventsStream(ns, dir, timestamp_micros(expr("ts div 1000")))
           .select(col("user_id"), unix_micros(col("ts")), col("event_id"))
           .as[(Long, Long, Long)]
         val seq = Streams.arrivalSequence(st)
           .toDF("user_id", "event_id", "seq")
-        drainToTable(s, "q87_mem", "append", seq)
+        drainToTable("q87_mem", "append", seq)
       }
     }),
 

@@ -753,9 +753,21 @@ object Dedup {
       conf.getOption(key).map(_.toLong).getOrElse(dflt)
     val items = expectedItems.min(cap(
       "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", 4000000L))
-    val numBits = org.apache.spark.util.sketch.BloomFilter
+    val idealBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(items, fpp)
+    val numBits = idealBits
       .min(cap("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", 67108864L))
+    // the clamp is invisible in results (the confirm join absorbs any
+    // fpp) but NOT in cost: at a 10^10-row corpus estimate the maybe
+    // branch quietly grows to ~the whole batch. Say so.
+    if (items < expectedItems || numBits < idealBits)
+      org.apache.logging.log4j.LogManager.getLogger(getClass).warn(
+        s"bloom sketch clamped to session runtime-filter caps " +
+          s"(items $expectedItems -> $items, bits $idealBits -> " +
+          s"$numBits): false-positive rate rises above fpp=$fpp and " +
+          "the confirm-join branch grows accordingly; raise " +
+          "spark.sql.optimizer.runtime.bloomFilter.maxNumItems/" +
+          "maxNumBits to restore the sized sketch")
     val sketch = Bridge.column(
       new BloomFilterAggregate(
         Bridge.expression(xxhash64(col(textCol))),

@@ -107,7 +107,11 @@ object Multimodal {
     * codec tasks turns into filesystem contention (measured 10× CPU
     * inflation at sf0.1). In-memory streams are strictly better for
     * payload-sized images. Static JVM-wide flag; setting it in both
-    * kernels keeps each correct in isolation. */
+    * kernels keeps each correct in isolation. DELIBERATE process-wide
+    * choice: any other ImageIO user in this JVM also loses the file
+    * cache — acceptable for an executor process (whose ImageIO use IS
+    * these kernels), and only ever an in-memory/temp-file trade, never
+    * a correctness change. */
   private[operators] def disableImageIoFileCache(): Unit =
     if (javax.imageio.ImageIO.getUseCache) // skip the sync path when done
       javax.imageio.ImageIO.setUseCache(false)
@@ -150,7 +154,7 @@ object Multimodal {
         (b(1) & 0xFF) == 0xD8) "jpeg"
       else throw new IllegalArgumentException(
         s"payload for id $id is not a decodable image (unknown magic)")
-    rows.map { r =>
+    val decoded = rows.map { r =>
       val id = r.getLong(0)
       val bytes = r.getAs[Array[Byte]](1)
       val reader = readerFor(fmt(bytes, id))
@@ -180,6 +184,24 @@ object Multimodal {
       }
       val n = w.toLong * h
       ImageStats(id, w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+    }
+    // dispose the cached readers when the task exhausts the iterator:
+    // ImageReader holds native/heap decode buffers that otherwise live
+    // until GC notices them (idempotent — a re-probed hasNext after
+    // exhaustion must not double-dispose)
+    new Iterator[ImageStats] {
+      private var disposed = false
+      private def disposeAll(): Unit = if (!disposed) {
+        disposed = true
+        readers.valuesIterator.foreach(_.dispose())
+        readers.clear()
+      }
+      override def hasNext: Boolean = {
+        val h = decoded.hasNext
+        if (!h) disposeAll()
+        h
+      }
+      override def next(): ImageStats = decoded.next()
     }
   }
 }
