@@ -142,6 +142,15 @@ object SparkEntry {
   private val q97Planes: Seq[Array[Double]] =
     vectors.planeMatrix(seed = 97L, nPlanes = Similarity.planesForSize(500),
       dim = embDim)
+  /** q98/q101's probe radius, DERIVED from a recall contract instead
+    * of hardcoded: a neighbor at cos ≥ 0.9 lands within this many bit
+    * flips of the query's bucket with probability ≥ 0.85 (with 4
+    * planes the binomial CDF gives radius 1 → 5 of 16 buckets read;
+    * a production layout with 20+ planes reads a far smaller
+    * fraction at the same contract). The oracle SQL pins the derived
+    * value at the verify scale, the q54 pinned-scale convention. */
+  private val q98Radius: Int = Similarity.probeRadiusForRecall(
+    q97Planes.size, simFloor = 0.9, targetMiss = 0.15)
 
   /** Render a Double so DuckDB parses back the identical IEEE value
     * (Double.toString is the shortest round-tripping decimal). */
@@ -1886,12 +1895,15 @@ object SparkEntry {
       materializeThenClean(s, topk, root)
     }),
 
-    // ── MULTI-PROBE over the SAME layout (Lv et al.): radius-1
-    // Hamming-ball probing reads the query bucket plus its 4
-    // one-bit-flip neighbors — 5 of 16 buckets — admitting neighbors
-    // that landed one hyperplane away. The recall knob that costs
-    // files, not tables or layout rewrites; ProbeRecall measures the
-    // recall step radius 0 → 1 → 2 ──
+    // ── MULTI-PROBE over the SAME layout (Lv et al.): the radius is
+    // DERIVED from a recall contract, not hardcoded —
+    // probeRadiusForRecall(4 planes, floor 0.9, miss 0.15) = 1, so
+    // the scan reads the query bucket plus its 4 one-bit-flip
+    // neighbors — 5 of 16 buckets — admitting neighbors that landed
+    // one hyperplane away. The recall knob that costs files, not
+    // tables or layout rewrites; ProbeRecall measures the recall
+    // step radius 0 → 1 → 2, RecallSpec pins the planted-neighbor
+    // contract in CI ──
     "q98_ann_multiprobe" -> ((s, dir) => {
       val root = java.nio.file.Files
         .createTempDirectory("graft_q98_").toString
@@ -1907,7 +1919,7 @@ object SparkEntry {
       val qb = s.range(1)
         .select(vectors.hyperplaneBucketFast(q, q97Planes))
         .head.getLong(0)
-      val probes = Similarity.probeBuckets(qb, q97Planes.size, radius = 1)
+      val probes = Similarity.probeBuckets(qb, q97Planes.size, q98Radius)
       val topk = s.read.parquet(scratch)
         .filter(col("bucket").isin(probes: _*) && col("vec_id") =!= 0)
         .orderBy(vectors.cosineFast(col("embedding"), q).desc,
@@ -1987,6 +1999,70 @@ object SparkEntry {
       CatalogOps.snapshotDiff(
         topicCountsFromEvents(ev.filter(col("event_id") % 7 =!= 0)),
         topicCountsFromEvents(ev.filter(col("event_id") % 5 =!= 0)))
+    }),
+
+    // ── THE ANN-AT-REST CAPSTONE: every rung of the similarity story
+    // composed into the one stored shape a 100 TB embedding corpus
+    // actually ships — (bucket, int8 codes, scale), 4× smaller than
+    // float32, range-clustered on the STORED bucket column (q97's
+    // layout), read with a recall-DERIVED multi-probe Hamming ball
+    // (q98's knob via probeRadiusForRecall: floor 0.9, miss 0.15 →
+    // radius 1 here), ranked on DEQUANTIZED codes (q100's pinned
+    // floor(x/s + 0.5) arithmetic), then exact-re-ranked from full
+    // precision for the final k — a bounded 20-id point-fetch against
+    // the primary store, pruned by parquet vec_id stats. The index
+    // path reads only the probed buckets' files and only int8 codes:
+    // neither a full corpus pass nor a float32 byte until the
+    // 20-row re-rank. RecallSpec pins the contract; the oracle
+    // reproduces shortlist AND re-rank from the same literals, so the
+    // hash match proves the whole composition ──
+    "q101_ann_at_rest" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q101_").toString
+      val scratch = root + "/embeddings_at_rest"
+      val emb = t(s, dir, "embeddings")
+      val stored = emb
+        .withColumn("scale", vectors.quantizeScale(col("embedding")))
+        .select(col("vec_id"),
+          vectors.hyperplaneBucketFast(col("embedding"), q97Planes)
+            .as("bucket"),
+          vectors.quantizeInt8(col("embedding"), col("scale"))
+            .as("codes"),
+          col("scale"))
+      Layout.clusteredWrite(stored, scratch, numFiles = 8, col("bucket"))
+      // one-row planning lookups (the q97 convention); the query-side
+      // bucket goes through the SAME kernel as the stored column
+      val qv = emb.filter(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0)
+      val q = typedLit(qv)
+      val qb = s.range(1)
+        .select(vectors.hyperplaneBucketFast(q, q97Planes))
+        .head.getLong(0)
+      val probes = Similarity.probeBuckets(qb, q97Planes.size, q98Radius)
+      val shortlist = s.read.parquet(scratch)
+        .filter(col("bucket").isin(probes: _*) && col("vec_id") =!= 0)
+        .withColumn("cos_q", vectors.cosineFast(
+          vectors.dequantizeInt8(col("codes"), col("scale")), q))
+        .orderBy(col("cos_q").desc, col("vec_id"))
+        .limit(20)
+        .select(col("vec_id"), col("cos_q"))
+      // bounded 20-row planning collect (q93/q97 convention); the
+      // index scratch is deleted the moment the shortlist is out —
+      // the re-rank below touches only the primary store
+      val ids =
+        try shortlist.collect()
+        finally Scratch.deleteRecursively(new java.io.File(root))
+      val sl = s.createDataFrame(
+        java.util.Arrays.asList(ids: _*), shortlist.schema)
+      emb
+        .filter(col("vec_id")
+          .isin(ids.map(r => r.getLong(0): Any).toSeq: _*))
+        .join(broadcast(sl), "vec_id")
+        .withColumn("cos_exact", vectors.cosineFast(col("embedding"), q))
+        .orderBy(col("cos_exact").desc, col("vec_id"))
+        .limit(5)
+        .select(col("vec_id"), round(col("cos_q"), 6).as("cos_q"),
+          round(col("cos_exact"), 6).as("cos_exact"))
     })
   )
 
@@ -3361,7 +3437,8 @@ object SparkEntry {
            |  ORDER BY cos_exact DESC, e.vec_id LIMIT 5)""".stripMargin,
 
       // the Hamming-ball probe set expressed declaratively: buckets
-      // within radius 1 of the query's bucket
+      // within the DERIVED radius (probeRadiusForRecall, floor 0.9 /
+      // miss 0.15 → 1 at this scale) of the query's bucket
       "q98_ann_multiprobe" ->
         s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
            |SELECT vec_id, round(cos_exact, 6) AS cos FROM (
@@ -3372,7 +3449,7 @@ object SparkEntry {
            |  FROM embeddings e, q
            |  WHERE e.vec_id <> 0
            |    AND bit_count(xor(${sqlBucket("e.embedding", q97Planes)},
-           |                      ${sqlBucket("q.qe", q97Planes)})) <= 1
+           |                      ${sqlBucket("q.qe", q97Planes)})) <= $q98Radius
            |  ORDER BY cos_exact DESC, e.vec_id LIMIT 5)""".stripMargin,
 
       // the same pinned quantization arithmetic, lambda-captured
@@ -3440,7 +3517,44 @@ object SparkEntry {
           |  SELECT user_id, ts, MAX(value) AS value
           |  FROM events WHERE event_type = 'click'
           |  GROUP BY user_id, ts) c
-          |  ON p.user_id = c.user_id AND p.ts <= c.ts""".stripMargin
+          |  ON p.user_id = c.user_id AND p.ts <= c.ts""".stripMargin,
+
+      // the whole at-rest composition mirrored from the same
+      // literals: q97's bucket planes, q98's derived radius, q100's
+      // pinned quantization arithmetic, then the 20-deep shortlist
+      // and the exact re-rank — layout is a performance property, so
+      // the raw-table mirror must produce the identical rows
+      "q101_ann_at_rest" -> {
+        def dot(x: String, y: String) =
+          s"list_dot_product($x, $y)"
+        def cos(x: String, y: String) =
+          s"${dot(x, y)} / (sqrt(${dot(x, x)}) * sqrt(${dot(y, y)}))"
+        s"""WITH d AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+           |    ${sqlBucket("embedding", q97Planes)} AS bucket,
+           |    greatest(list_max(list_transform(embedding,
+           |      x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS scale
+           |  FROM embeddings),
+           |e AS (
+           |  SELECT vec_id, emb, bucket,
+           |    list_transform(emb, x -> floor(x / scale + 0.5) * scale)
+           |      AS deq
+           |  FROM d),
+           |q AS (SELECT emb AS q_emb, bucket AS q_bucket FROM e
+           |      WHERE vec_id = 0),
+           |shortlist AS (
+           |  SELECT e.vec_id, ${cos("e.deq", "q.q_emb")} AS cos_q, e.emb
+           |  FROM e, q
+           |  WHERE e.vec_id <> 0
+           |    AND bit_count(xor(e.bucket, q.q_bucket)) <= $q98Radius
+           |  ORDER BY cos_q DESC, e.vec_id LIMIT 20)
+           |SELECT vec_id, round(cos_q, 6) AS cos_q,
+           |  round(cos_exact, 6) AS cos_exact FROM (
+           |  SELECT s.vec_id, s.cos_q,
+           |    ${cos("s.emb", "q.q_emb")} AS cos_exact
+           |  FROM shortlist s, q
+           |  ORDER BY cos_exact DESC, s.vec_id LIMIT 5)""".stripMargin
+      }
     )
   }
 }

@@ -301,6 +301,58 @@ object Similarity {
         flips.foldLeft(bucket)((b, i) => b ^ (1L << i))))
   }
 
+  /** Recall-targeted probe radius — [[lshTablesForRecall]]'s analog
+    * for the STORED-layout multi-probe path ([[probeBuckets]]): the
+    * smallest Hamming radius r such that a neighbor at cosine ≥
+    * `simFloor` lands within r bit flips of the query's bucket with
+    * probability ≥ 1 − `targetMiss`.
+    *
+    * Arithmetic: each hyperplane separates the pair independently
+    * with probability 1 − p, p = 1 − θ/π, θ = acos(simFloor) — so the
+    * Hamming distance between the two buckets is Binomial(nPlanes,
+    * 1−p) and P(distance ≤ r) is its CDF, evaluated exactly (the same
+    * per-plane probability [[lshTablesForRecall]] exponentiates; here
+    * the recall is bought with FILES of one layout instead of extra
+    * tables or layout rewrites).
+    *
+    * The recall target is a CONTRACT (the loud-failure convention of
+    * lshTablesForRecall): if no radius ≤ `maxRadius` reaches it, this
+    * fails instead of silently returning a radius that degrades to a
+    * near-full scan — the caller then loosens targetMiss, raises
+    * maxRadius explicitly, or adds planes/tables. maxRadius defaults
+    * to nPlanes (always satisfiable, since r = nPlanes covers every
+    * bucket); production callers cap it at the IO budget they mean
+    * (buckets read = Σ_{i≤r} C(nPlanes, i)). */
+  def probeRadiusForRecall(nPlanes: Int, simFloor: Double,
+      targetMiss: Double = 0.01, maxRadius: Int = -1): Int = {
+    require(nPlanes >= 1 && nPlanes <= 62, s"nPlanes out of range: $nPlanes")
+    require(simFloor > -1.0 && simFloor <= 1.0,
+      s"simFloor $simFloor outside (-1, 1]")
+    require(targetMiss > 0.0 && targetMiss < 1.0,
+      s"targetMiss $targetMiss outside (0, 1)")
+    val cap = if (maxRadius < 0) nPlanes else maxRadius
+    val p = 1.0 - math.acos(simFloor) / math.Pi // per-plane agreement
+    // exact binomial CDF: C(n,i) p^(n-i) (1-p)^i accumulated in order
+    def term(i: Int): Double = {
+      var c = 1.0
+      var j = 0
+      while (j < i) { c = c * (nPlanes - j) / (j + 1); j += 1 }
+      c * math.pow(p, nPlanes - i) * math.pow(1.0 - p, i)
+    }
+    var cdf = 0.0
+    var r = 0
+    while (r <= cap) {
+      cdf += term(r)
+      if (cdf >= 1.0 - targetMiss) return r
+      r += 1
+    }
+    throw new IllegalArgumentException(
+      s"holding miss<=$targetMiss at simFloor=$simFloor with $nPlanes " +
+        s"planes needs probe radius > maxRadius=$cap (CDF at $cap = " +
+        f"$cdf%.4f): loosen targetMiss, raise maxRadius, or accept " +
+        "recall drift explicitly")
+  }
+
   /** [[lshNearDupPairs]] with BOTH knobs derived from the corpus:
     * planes per table from [[planesForSize]] (one count() planning
     * statistic, the q54 pattern) and table count from

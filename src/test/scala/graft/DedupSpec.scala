@@ -260,6 +260,41 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
     out.select("doc_id").as[Long].collect().toSet shouldBe Set(201L)
   }
 
+  test("incrementalDedupBloom clamps to the session runtime-filter caps and stays exact") {
+    import spark.implicits._
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val oldItems = spark.conf.getOption(itemsKey)
+    val oldBits = spark.conf.getOption(bitsKey)
+    // tiny caps force BOTH clamps (items 10^9 → 64, bits ~613 → 512)
+    spark.conf.set(itemsKey, "64")
+    spark.conf.set(bitsKey, "512")
+    try {
+      val corpusDf = (1L to 300L).map(i => (i, s"clamp doc $i"))
+        .toDF("doc_id", "text")
+      val batch = (250L to 320L).map(i => (i + 10000L, s"clamp doc $i"))
+        .toDF("doc_id", "text")
+      val expected = Dedup.incrementalDedup(batch, corpusDf, "text")
+        .select("doc_id").as[Long].collect().toSet
+      expected shouldBe (301L to 320L).map(_ + 10000L).toSet
+      // an honest 10^9 estimate must neither throw at analysis time
+      // (BloomFilterAggregate rejects above-cap sizes) nor change the
+      // answer: undersizing only raises the false-positive rate, and
+      // every false positive dies in the exact confirm join
+      val kept = Dedup.incrementalDedupBloom(batch, corpusDf, "text",
+          expectedItems = 1000000000L)
+        .select("doc_id").as[Long].collect().toSet
+      kept shouldBe expected
+    } finally {
+      def restore(k: String, v: Option[String]): Unit = v match {
+        case Some(s) => spark.conf.set(k, s)
+        case None => spark.conf.unset(k)
+      }
+      restore(itemsKey, oldItems)
+      restore(bitsKey, oldBits)
+    }
+  }
+
   test("incrementalDedupBloom with an empty corpus keeps the whole batch") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")

@@ -172,7 +172,55 @@ class MainSpec extends AnyFunSuite with SparkSpec with Matchers {
     body should not include "stay" // unchanged rows are not reported
   }
 
+  test("restore --since emits DDL only for the added/changed delta, parents included") {
+    import spark.implicits._
+    def write(dir: String, rows: Seq[(String, Long)]): Unit = {
+      val env = rows.flatMap { case (topic, n) =>
+        (0L until n).map(i => (topic, s"m$i", false,
+          Map.empty[String, String],
+          new Timestamp(1704067200000L + i), Option.empty[Timestamp],
+          Option.empty[String], i))
+      }.toDF("topic", "content", "binary_encoded", "properties",
+        "publish_ts", "event_ts", "partition_key", "seq")
+      val nat = Files.createTempDirectory("graft_since_nat").toString
+      SnapshotIO.writeNative(env, nat)
+      Main.run(spark, Seq("capture", nat, dir))
+    }
+    val before = Files.createTempDirectory("graft_since_a").toString
+    val after = Files.createTempDirectory("graft_since_b").toString
+    write(before, Seq("persistent://t/ns/stay" -> 2L,
+      "persistent://t/ns/gone" -> 1L, "persistent://t/ns/grow" -> 1L))
+    write(after, Seq("persistent://t/ns/stay" -> 2L,
+      "persistent://other/ns2/new" -> 3L, "persistent://t/ns/grow" -> 4L))
+    val lines = Main.run(spark, Seq("restore", after, "--since", before))
+    // the delta: grow (changed) + new (added); their parents ride along
+    lines should contain("CREATE topic persistent://t/ns/grow")
+    lines should contain("CREATE topic persistent://other/ns2/new")
+    lines should contain("CREATE tenant other")
+    lines should contain("CREATE namespace other/ns2")
+    // unchanged and vanished topics are NOT re-created
+    lines.exists(_.contains("stay")) shouldBe false
+    lines.exists(_.contains("gone")) shouldBe false
+    // parents-first ordering still holds on the subset
+    val kinds = lines.map(_.split(" ")(1))
+    kinds.lastIndexOf("tenant") should be < kinds.indexOf("namespace")
+    kinds.lastIndexOf("namespace") should be < kinds.indexOf("topic")
+    // full restore (no --since) is unchanged by the feature
+    Main.run(spark, Seq("restore", after))
+      .exists(_.contains("stay")) shouldBe true
+    // malformed tail falls through to usage, the CLI convention
+    Main.run(spark, Seq("restore", after, "--wat"))
+      .head should include("usage")
+  }
+
   test("unknown command prints usage") {
     Main.run(spark, Seq("frobnicate")).head should include("usage")
+    // malformed numeric args print usage instead of throwing
+    Main.run(spark, Seq("print", imported, "abc"))
+      .head should include("usage")
+    Main.run(spark, Seq("diff", imported, imported, "xyz"))
+      .head should include("usage")
+    Main.run(spark, Seq("publish", "/tmp/nowhere", "many"))
+      .head should include("usage")
   }
 }

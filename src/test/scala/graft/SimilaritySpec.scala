@@ -56,6 +56,39 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec with Matchers {
     exact.size should be >= 3
   }
 
+  test("probeRadiusForRecall: radius grows with tighter targets, shrinks with stronger floors") {
+    // tighter miss target → larger radius (monotone non-decreasing)
+    val r15 = Similarity.probeRadiusForRecall(8, 0.9, targetMiss = 0.15)
+    val r05 = Similarity.probeRadiusForRecall(8, 0.9, targetMiss = 0.05)
+    val r01 = Similarity.probeRadiusForRecall(8, 0.9, targetMiss = 0.01)
+    r15 should be <= r05
+    r05 should be <= r01
+    // stronger similarity floor → planes agree more → smaller radius
+    val weak = Similarity.probeRadiusForRecall(8, 0.7, targetMiss = 0.05)
+    val strong = Similarity.probeRadiusForRecall(8, 0.99, targetMiss = 0.05)
+    strong should be <= weak
+    // more planes at the same floor/miss → radius does not shrink
+    // (each extra plane is one more independent chance to flip)
+    val p4 = Similarity.probeRadiusForRecall(4, 0.9, targetMiss = 0.05)
+    val p16 = Similarity.probeRadiusForRecall(16, 0.9, targetMiss = 0.05)
+    p4 should be <= p16
+    // exact anchors: simFloor=1.0 → θ=0 → bucket identical → radius 0;
+    // and the q97-scale derivation (4 planes, floor 0.9, miss 0.15)
+    // lands on radius 1 — the radius q98's layout scan reads
+    Similarity.probeRadiusForRecall(6, 1.0) shouldBe 0
+    Similarity.probeRadiusForRecall(4, 0.9, targetMiss = 0.15) shouldBe 1
+    // r = nPlanes covers every bucket, so the default cap always
+    // terminates; an explicit IO-budget cap fails loudly instead
+    Similarity.probeRadiusForRecall(4, 0.5, targetMiss = 0.001) shouldBe 4
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.probeRadiusForRecall(4, 0.5, targetMiss = 0.001,
+        maxRadius = 2)
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.probeRadiusForRecall(4, 1.5)
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.probeRadiusForRecall(0, 0.9)
+  }
+
   test("probeBuckets enumerates the Hamming ball, deterministically and without duplicates") {
     Similarity.probeBuckets(0b1010L, 4, 0) shouldBe Seq(0b1010L)
     val r1 = Similarity.probeBuckets(0b1010L, 4, 1)
