@@ -499,8 +499,52 @@ object ProbeRecall {
       exact.unpersist(blocking = false)
     }
 
+    /** The q98/q101 CONTRACT measurement: plant one true ≥-floor
+      * neighbor per vector (its ±2% replica, cos ≈ 0.9998) and
+      * measure the fraction whose stored bucket lands within r bit
+      * flips of its pair's — the multi-probe candidate decision
+      * measured directly, at every radius up to the DERIVED one
+      * (probeRadiusForRecall: floor 0.9, miss 0.15). RecallSpec pins
+      * the same claim at sf0.001 in CI. */
+    def recallProbeContract(tag: String, base: DataFrame): Unit = {
+      val emb = plantNearDups(base, 2)
+      val n = emb.count()
+      val nPlanes = Similarity.planesForSize(n)
+      val planes = vectors.planeMatrix(97L, nPlanes, dim)
+      val b = emb.select(col("vec_id"),
+        vectors.hyperplaneBucketFast(col("embedding"), planes).as("bucket"))
+      val pairs = b.filter(pmod(col("vec_id"), lit(2)) === 0)
+        .select(col("vec_id"), col("bucket").as("b_a"))
+        .join(b.select((col("vec_id") - 1).as("vec_id"),
+          col("bucket").as("b_b")), "vec_id")
+        .select(expr("bit_count(b_a ^ b_b)").as("dist"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val total = pairs.count()
+      val derived = Similarity.probeRadiusForRecall(
+        nPlanes, simFloor = 0.9, targetMiss = 0.15)
+      for (radius <- 0 to math.min(nPlanes, derived + 1)) {
+        val hit = pairs.filter(col("dist") <= radius).count()
+        println(f"PROBE_RECALL q101 ${tag}_radius$radius n=$n " +
+          f"planes=$nPlanes planted=$total " +
+          f"recall=${hit.toDouble / total}%.4f " +
+          f"derived_radius=$derived contract>=0.85@derived")
+      }
+      pairs.unpersist(blocking = false)
+    }
+
     val emb001 = Tables(spark, "/root/testdata/sf0.01", "embeddings")
     val emb01 = Tables(spark, "/root/testdata/sf0.1", "embeddings")
+
+    // `ProbeRecall q101` runs only the probe-contract sweep (the
+    // ProbeScale arg convention); no arg = everything
+    if (args.headOption.contains("q101")) {
+      recallProbeContract("1x", emb001)
+      recallProbeContract("10x", emb01)
+      spark.stop()
+      return
+    }
+    recallProbeContract("1x", emb001)
+    recallProbeContract("10x", emb01)
     // q54/q42/q93/q95: 1× = the sf0.1 fixture (2,000 vectors);
     // 10× = 20,000 synthetic
     recall54("1x", emb01)

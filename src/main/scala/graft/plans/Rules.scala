@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{
   ArrayIntersect, ArraysOverlap, Descending, EqualTo, Expression,
-  GetArrayItem, GreaterThan, Literal, Not, Or, Size, SortOrder}
+  GetArrayItem, GreaterThan, Literal, Not, Or, ScalarSubquery, Size,
+  SortOrder}
 import org.apache.spark.sql.catalyst.plans.logical.{
   Filter, GlobalLimit, LocalLimit, LogicalPlan, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -87,8 +88,13 @@ object IntersectNonEmptyToOverlap extends Rule[LogicalPlan] {
   * Because the planes are seeded literals and the query vector is a
   * literal, the rewritten plan is fully deterministic: an external
   * oracle (q93) inlines the same plane matrices and reproduces the
-  * approximate result EXACTLY. The rule never fires when the query
-  * side is not foldable (q28's one-row join build, q32/q54's
+  * approximate result EXACTLY. The query side may also be an
+  * UNCORRELATED DETERMINISTIC SCALAR SUBQUERY — the "query vector
+  * from a lookup" shape (`ORDER BY cosine_sim(emb, (SELECT embedding
+  * FROM t WHERE id = :q)) DESC LIMIT k`) — which the rule evaluates
+  * driver-side as a bounded one-row planning lookup to derive the
+  * bucket predicate ([[queryLiteral]]). The rule never fires when the
+  * query side is a joined column (q28's one-row join build, q32/q54's
   * vector-vector self-joins), when the sort is not descending-first
   * on a bare `cosine_sim`, or when there is no limit above the sort;
   * a subtree that already carries a bucket filter is left alone (the
@@ -101,12 +107,39 @@ object AnnTopKToLshPrune extends Rule[LogicalPlan] {
   val TablesKey = "spark.graft.ann.rewrite.tables"
   val SeedKey = "spark.graft.ann.rewrite.seed"
 
+  /** The query side as an eval()-able literal, when the expression is
+    * a plan-time constant OR an uncorrelated, deterministic SCALAR
+    * SUBQUERY — "the query vector from a lookup", e.g.
+    * `cosine_sim(embedding, (SELECT embedding FROM t WHERE id = 0))`.
+    * A subquery side is executed HERE, driver-side: a bounded one-row
+    * planning lookup (the library's q93/q97 convention, moved inside
+    * the optimizer). Only the bucket predicate consumes the evaluated
+    * copy; the Sort key keeps the original subquery, which the engine
+    * runs once at execution as usual — a deterministic subquery yields
+    * the same vector both times, which the determinism guard below
+    * makes a requirement rather than a hope. Zero rows (scalar
+    * subquery → null) or a null vector → no rewrite. */
+  private def queryLiteral(e: Expression): Option[Expression] = e match {
+    case _ if e.foldable => Some(e)
+    case sq: ScalarSubquery
+        if sq.outerAttrs.isEmpty && sq.joinCond.isEmpty &&
+          !sq.plan.exists(_.expressions.exists(!_.deterministic)) =>
+      val spark = org.apache.spark.sql.SparkSession.active
+      val rows =
+        org.apache.spark.sql.graft.Bridge.ofRows(spark, sq.plan).take(2)
+      if (rows.length == 1 && !rows(0).isNullAt(0))
+        Some(Literal.create(rows(0).get(0), sq.dataType))
+      else None
+    case _ => None
+  }
+
   /** (embedding expr, literal query expr) when exactly one side of the
-    * cosine is foldable — the shape the bucket prune applies to. */
+    * cosine is a resolvable query vector ([[queryLiteral]]) — the
+    * shape the bucket prune applies to. */
   private def split(cos: CosineSim): Option[(Expression, Expression)] =
-    (cos.left.foldable, cos.right.foldable) match {
-      case (false, true) => Some((cos.left, cos.right))
-      case (true, false) => Some((cos.right, cos.left))
+    (queryLiteral(cos.left), queryLiteral(cos.right)) match {
+      case (None, Some(q)) => Some((cos.left, q))
+      case (Some(q), None) => Some((cos.right, q))
       case _ => None
     }
 

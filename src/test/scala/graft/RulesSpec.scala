@@ -152,6 +152,37 @@ class RulesSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("ANN rewrite fires on an uncorrelated scalar-subquery query vector") {
+    graft.plans.GraftExtensions.register(spark)
+    emb.createOrReplaceTempView("rules_emb")
+    // the "query vector from a lookup" shape: no literal anywhere —
+    // the rule must execute the one-row subquery at planning time to
+    // derive the bucket predicate, and leave the sort key's subquery
+    // in place for execution
+    val sql = """SELECT vec_id,
+      |  round(cosine_sim(embedding,
+      |    (SELECT embedding FROM rules_emb WHERE vec_id = 0)), 6) AS cos
+      |FROM rules_emb WHERE vec_id <> 0
+      |ORDER BY cosine_sim(embedding,
+      |    (SELECT embedding FROM rules_emb WHERE vec_id = 0)) DESC,
+      |  vec_id LIMIT 10""".stripMargin
+    bucketFilterCount(spark.sql(sql)) shouldBe 0 // off by default
+    withAnnRewrite {
+      val df = spark.sql(sql)
+      bucketFilterCount(df) shouldBe 1
+      // the lookup returns vec 0's vector, so the pruned candidates —
+      // and therefore the rows — are exactly the literal path's
+      df.collect().toSeq shouldBe cosineTopK(10).collect().toSeq
+    }
+    // a zero-row lookup (scalar subquery → null) must NOT rewrite:
+    // the unpruned plan keeps the engine's null-cosine semantics
+    withAnnRewrite {
+      val empty = spark.sql(sql.replace("WHERE vec_id = 0",
+        "WHERE vec_id = -12345"))
+      bucketFilterCount(empty) shouldBe 0
+    }
+  }
+
   test("ANN rewrite does NOT fire on vector-vector (non-literal) top-k") {
     withAnnRewrite {
       // q28's shape: the query side comes from a join, not a literal
