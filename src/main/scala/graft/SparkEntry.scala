@@ -2063,6 +2063,38 @@ object SparkEntry {
         .limit(5)
         .select(col("vec_id"), round(col("cos_q"), 6).as("cos_q"),
           round(col("cos_exact"), 6).as("cos_exact"))
+    }),
+
+    // ── REAL AUDIO DECODE — q92's convention on the other JDK-native
+    // codec family (javax.sound.sampled, WAV/PCM): deterministic
+    // per-event sample waveforms are ENCODED into real RIFF/WAVE
+    // containers per task, then DECODED back frame-by-frame; the
+    // output statistics (frame count, rate, channels, mean
+    // |amplitude|) are measured from decoded samples, while the
+    // oracle predicts them from the generation arithmetic alone — a
+    // hash match proves an actual decode ran. Same repartition-ids-
+    // before-codec plan shape as q92 (codec cost scales with cores,
+    // not input splits); compressed formats (mp3/flac) would plug a
+    // codec library into the same decodePartitions seam ──
+    "q102_audio_stats" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.decodePartitions[(Long, Array[Byte])](
+        t(s, dir, "events").select(col("event_id"))
+          .repartition(s.sparkContext.defaultParallelism),
+        rows => {
+          val enc = new graft.operators.WavEncoder() // once per task
+          rows.map { r =>
+            val id = r.getLong(0)
+            val n = 64 + (id % 64L).toInt
+            val samples = Array.tabulate(n)(i =>
+              ((((id + i) % 256L).toInt - 128) * 256).toShort)
+            (id, enc.encode(samples, 8000))
+          }
+        }).toDF("event_id", "payload")
+      Multimodal.decodePartitions[graft.operators.AudioStats](
+        media, Multimodal.decodeAudioStats)
+        .toDF("event_id", "n_samples", "sample_rate", "channels",
+          "mean_abs")
     })
   )
 
@@ -3554,7 +3586,22 @@ object SparkEntry {
            |    ${cos("s.emb", "q.q_emb")} AS cos_exact
            |  FROM shortlist s, q
            |  ORDER BY cos_exact DESC, s.vec_id LIMIT 5)""".stripMargin
-      }
+      },
+
+      // the DECODED statistics predicted from generation arithmetic
+      // alone: sample i of event e is ((e + i) % 256 - 128) * 256,
+      // n = 64 + e % 64 — mean |amplitude| is an exact integer sum
+      // divided by n in DOUBLE, identical in both engines
+      "q102_audio_stats" ->
+        """SELECT event_id,
+          |  CAST(64 + event_id % 64 AS BIGINT) AS n_samples,
+          |  8000 AS sample_rate,
+          |  1 AS channels,
+          |  CAST(list_sum(list_transform(
+          |    range(0, CAST(64 + event_id % 64 AS INT)),
+          |    i -> abs((event_id + i) % 256 - 128) * 256)) AS DOUBLE)
+          |    / (64 + event_id % 64) AS mean_abs
+          |FROM events""".stripMargin
     )
   }
 }

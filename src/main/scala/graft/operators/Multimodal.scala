@@ -5,6 +5,11 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.hashes
 
+/** Decoded audio statistics of one payload — the output row of
+  * [[Multimodal.decodeAudioStats]]'s REAL javax.sound WAV decode. */
+case class AudioStats(id: Long, n_samples: Long, sample_rate: Int,
+    channels: Int, mean_abs: Double)
+
 /** Pixel statistics of one decoded image — the output row of
   * [[Multimodal.decodeImageStats]]'s REAL javax.imageio decode. */
 case class ImageStats(id: Long, width: Int, height: Int,
@@ -203,6 +208,82 @@ object Multimodal {
       }
       override def next(): ImageStats = decoded.next()
     }
+  }
+
+  /** REAL in-JVM WAV decode kernel for [[decodePartitions]] — the
+    * audio analog of [[decodeImageStats]], on the other JDK-native
+    * codec family (javax.sound.sampled; WAV/PCM ships with the JDK,
+    * headless-safe). Rows of (id: long, payload: binary) →
+    * [[AudioStats]]: AudioSystem parses the RIFF container, every
+    * frame's bytes are read, and the mean |amplitude| is measured
+    * from the DECODED samples — so q102's oracle match (which
+    * predicts the statistic from generation arithmetic alone) proves
+    * a real decode ran. 16-bit signed PCM only (what [[WavEncoder]]
+    * writes, and the dominant uncompressed interchange format);
+    * anything else fails loudly — silently mis-decoding a training
+    * corpus is worse than stopping. A codec library for compressed
+    * formats (mp3/flac) would plug into this same seam. */
+  def decodeAudioStats(rows: Iterator[Row]): Iterator[AudioStats] =
+    rows.map { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      val ais =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch {
+          case e: javax.sound.sampled.UnsupportedAudioFileException =>
+            throw new IllegalArgumentException(
+              s"payload for id $id is not a decodable audio file", e)
+        }
+      try {
+        val fmt = ais.getFormat
+        require(fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16,
+          s"payload for id $id is not 16-bit signed PCM: $fmt")
+        val channels = fmt.getChannels
+        val data = ais.readAllBytes()
+        val n = data.length / (2 * channels)
+        val big = fmt.isBigEndian
+        var absSum = 0L
+        var i = 0
+        while (i + 1 < data.length) {
+          // sign comes from the high byte; (hi << 8) | lo is the
+          // signed 16-bit sample for either endianness
+          val lo = data(if (big) i + 1 else i) & 0xFF
+          val hi = data(if (big) i else i + 1).toInt
+          absSum += math.abs((hi << 8) | lo)
+          i += 2
+        }
+        AudioStats(id, n, fmt.getSampleRate.toInt, channels,
+          if (n == 0) 0.0 else absSum.toDouble / (n.toLong * channels))
+      } finally ais.close()
+    }
+}
+
+/** Per-partition WAV encoder (javax.sound.sampled — the write side of
+  * [[Multimodal.decodeAudioStats]]'s codec): 16-bit signed PCM mono,
+  * little-endian, wrapped in a RIFF/WAVE container by AudioSystem.
+  * One instance per task, the [[PngEncoder]] convention. */
+final class WavEncoder {
+  /** `samples` as one mono 16-bit PCM WAV file. */
+  def encode(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xFF).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    try javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    finally ais.close()
+    bos.toByteArray
   }
 }
 

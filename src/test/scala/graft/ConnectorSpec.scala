@@ -135,6 +135,34 @@ class ConnectorSpec extends AnyFunSuite with SparkSpec with Matchers {
       graft.operators.ImageStats](bad, Multimodal.decodeImageStats).collect()
   }
 
+  test("multimodal: REAL WAV encode/decode round-trip measures samples") {
+    import spark.implicits._
+    val samples = Array[Short](100, -200, 300, -400)
+    val bytes = new graft.operators.WavEncoder().encode(samples, 8000)
+    // it really is a RIFF/WAVE container, and sniffMime agrees
+    new String(bytes.take(4), "US-ASCII") shouldBe "RIFF"
+    val df = Seq((9L, bytes)).toDF("id", "payload")
+    df.select(Multimodal.sniffMime(col("payload"))).head.getString(0) shouldBe
+      "audio/wav"
+    val stats = Multimodal.decodePartitions[graft.operators.AudioStats](
+      df, Multimodal.decodeAudioStats).collect().head
+    // mean |amplitude| measured from DECODED frames: (100+200+300+400)/4
+    stats shouldBe graft.operators.AudioStats(9L, 4, 8000, 1, 250.0)
+    // extremes survive the 16-bit round trip (incl. Short.MinValue)
+    val edge = new graft.operators.WavEncoder()
+      .encode(Array[Short](Short.MinValue, Short.MaxValue, 0), 44100)
+    val es = Multimodal.decodePartitions[graft.operators.AudioStats](
+      Seq((10L, edge)).toDF("id", "payload"),
+      Multimodal.decodeAudioStats).collect().head
+    es.n_samples shouldBe 3
+    es.sample_rate shouldBe 44100
+    es.mean_abs shouldBe ((32768.0 + 32767.0 + 0.0) / 3)
+    // an undecodable payload fails loudly, not silently
+    val bad = Seq((11L, "not audio".getBytes("UTF-8"))).toDF("id", "payload")
+    an[Exception] should be thrownBy Multimodal.decodePartitions[
+      graft.operators.AudioStats](bad, Multimodal.decodeAudioStats).collect()
+  }
+
   test("K4: rate stream → producer sink seam delivers generated messages") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_prod_ckpt").toString
     ConnectorSpec.sent.clear()

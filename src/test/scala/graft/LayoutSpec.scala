@@ -67,6 +67,38 @@ class LayoutSpec extends AnyFunSuite with SparkSpec with Matchers {
     covering should be < spans.length
   }
 
+  test("the quantized at-rest layout (q101's stored shape) measures ~4x smaller than float32") {
+    import graft.functions.vectors
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val planes = vectors.planeMatrix(97L, 4, 64)
+    def dirBytes(path: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length else 0L
+      walk(new java.io.File(path))
+    }
+    val root = Files.createTempDirectory("graft_layout_q").toString
+    val bucketed = emb.withColumn("bucket",
+      vectors.hyperplaneBucketFast(col("embedding"), planes))
+    Layout.clusteredWrite(bucketed, s"$root/raw", 4, col("bucket"))
+    Layout.clusteredWrite(
+      bucketed
+        .withColumn("scale", vectors.quantizeScale(col("embedding")))
+        .select(col("vec_id"), col("bucket"),
+          vectors.quantizeInt8(col("embedding"), col("scale"))
+            .as("codes"),
+          col("scale")),
+      s"$root/quant", 4, col("bucket"))
+    val raw = dirBytes(s"$root/raw")
+    val quant = dirBytes(s"$root/quant")
+    try {
+      // float32 arrays are ~incompressible; int8-range codes dictionary/
+      // bit-pack. The 4x claim is on the vector payload — file overhead
+      // (footers, vec_id, scale) dilutes it, so assert a conservative 2x
+      quant.toDouble should be < raw.toDouble / 2
+    } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
+
   test("zAddress interleaves bits (a odd positions, b even)") {
     import spark.implicits._
     // a=5 (101), b=3 (011), bits=3 → bit5=a2,b2=bit4,... = 100111 = 39
