@@ -222,19 +222,53 @@ object Multimodal {
     * writes, and the dominant uncompressed interchange format);
     * anything else fails loudly — silently mis-decoding a training
     * corpus is worse than stopping. A codec library for compressed
-    * formats (mp3/flac) would plug into this same seam. */
-  def decodeAudioStats(rows: Iterator[Row]): Iterator[AudioStats] =
+    * formats (mp3/flac) would plug into this same seam.
+    *
+    * File readers are resolved ONCE PER PARTITION via ServiceLoader
+    * and tried MOVE-TO-FRONT: the convenience
+    * `AudioSystem.getAudioInputStream` consults a SYNCHRONIZED
+    * provider registry per payload (the ImageIO.read hazard
+    * [[decodeImageStats]] documents, on the audio registry —
+    * measured 17.8 s wall / 29.7 cpu-s at sf0.1, parallelism 1.7×),
+    * and even with the lookup hoisted, probing providers in fixed
+    * order costs one thrown UnsupportedAudioFileException per
+    * non-matching provider per payload — plus a registry-locking
+    * MIDI provider — which still held the kernel at ~10 s (measured;
+    * a reader pinned up front runs 0.36 s). Move-to-front makes a
+    * homogeneous corpus hit the right provider first from the second
+    * row on, while mixed corpora keep the full fallback chain. */
+  def decodeAudioStats(rows: Iterator[Row]): Iterator[AudioStats] = {
+    var readers = {
+      val it = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+      val b = Vector.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+      while (it.hasNext) b += it.next()
+      val rs = b.result()
+      require(rs.nonEmpty, "no AudioFileReader providers installed")
+      rs
+    }
+    def open(bytes: Array[Byte],
+        id: Long): javax.sound.sampled.AudioInputStream = {
+      var i = 0
+      while (i < readers.length) {
+        val rd = readers(i)
+        try {
+          val ais = rd.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          if (i != 0) readers = rd +: readers.filterNot(_ eq rd)
+          return ais
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+        }
+        i += 1
+      }
+      throw new IllegalArgumentException(
+        s"payload for id $id is not a decodable audio file")
+    }
     rows.map { r =>
       val id = r.getLong(0)
       val bytes = r.getAs[Array[Byte]](1)
-      val ais =
-        try javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        catch {
-          case e: javax.sound.sampled.UnsupportedAudioFileException =>
-            throw new IllegalArgumentException(
-              s"payload for id $id is not a decodable audio file", e)
-        }
+      val ais = open(bytes, id)
       try {
         val fmt = ais.getFormat
         require(fmt.getEncoding ==
@@ -259,31 +293,56 @@ object Multimodal {
           if (n == 0) 0.0 else absSum.toDouble / (n.toLong * channels))
       } finally ais.close()
     }
+  }
 }
 
-/** Per-partition WAV encoder (javax.sound.sampled — the write side of
-  * [[Multimodal.decodeAudioStats]]'s codec): 16-bit signed PCM mono,
-  * little-endian, wrapped in a RIFF/WAVE container by AudioSystem.
-  * One instance per task, the [[PngEncoder]] convention. */
+/** Per-partition WAV encoder: the CANONICAL RIFF/WAVE PCM container
+  * (44-byte header + little-endian 16-bit mono samples), written
+  * directly from the public spec. The JDK's own writer path
+  * (`AudioSystem.write` / WaveFileWriter) takes a synchronized
+  * provider-registry and format-conversion lookup PER FILE, which
+  * under 32 concurrent encode tasks serialized the q102 kernel even
+  * after hoisting the provider lookup (measured: 17.8 → 11.0 s wall
+  * against ~1 s of actual byte work) — and the container is a fixed
+  * 44-byte header, not a codec. ConnectorSpec asserts this encoder's
+  * output is BYTE-IDENTICAL to `AudioSystem.write`'s for the same
+  * samples, so fidelity is proven, not assumed; the DECODE side
+  * ([[Multimodal.decodeAudioStats]]) stays 100% javax.sound. */
 final class WavEncoder {
   /** `samples` as one mono 16-bit PCM WAV file. */
   def encode(samples: Array[Short], sampleRate: Int): Array[Byte] = {
-    val fmt = new javax.sound.sampled.AudioFormat(
-      sampleRate.toFloat, 16, 1, true, false)
-    val pcm = new Array[Byte](samples.length * 2)
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def ascii(off: Int, s: String): Unit = {
+      var i = 0
+      while (i < s.length) { out(off + i) = s.charAt(i).toByte; i += 1 }
+    }
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte
+      out(off + 1) = ((v >> 8) & 0xFF).toByte
+      out(off + 2) = ((v >> 16) & 0xFF).toByte
+      out(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte
+      out(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    ascii(0, "RIFF"); le32(4, 36 + dataLen); ascii(8, "WAVE")
+    ascii(12, "fmt "); le32(16, 16) // PCM fmt chunk is 16 bytes
+    le16(20, 1)                     // audio format 1 = PCM
+    le16(22, 1)                     // channels
+    le32(24, sampleRate)
+    le32(28, sampleRate * 2)        // byte rate = rate × blockAlign
+    le16(32, 2)                     // block align (mono 16-bit)
+    le16(34, 16)                    // bits per sample
+    ascii(36, "data"); le32(40, dataLen)
     var i = 0
     while (i < samples.length) {
-      pcm(2 * i) = (samples(i) & 0xFF).toByte
-      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      out(44 + 2 * i) = (samples(i) & 0xFF).toByte
+      out(44 + 2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
       i += 1
     }
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    try javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    finally ais.close()
-    bos.toByteArray
+    out
   }
 }
 

@@ -141,6 +141,23 @@ class ConnectorSpec extends AnyFunSuite with SparkSpec with Matchers {
     val bytes = new graft.operators.WavEncoder().encode(samples, 8000)
     // it really is a RIFF/WAVE container, and sniffMime agrees
     new String(bytes.take(4), "US-ASCII") shouldBe "RIFF"
+    // container fidelity PROVEN, not assumed: byte-identical to what
+    // the JDK's own writer emits for the same samples (the kernel
+    // hand-rolls the 44-byte header because AudioSystem.write takes a
+    // synchronized registry lookup per file — a measured 32-task
+    // serializer; this assertion keeps the two in lockstep)
+    val jdk = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val pcm = samples.flatMap(s =>
+        Array((s & 0xFF).toByte, ((s >> 8) & 0xFF).toByte))
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    bytes.toSeq shouldBe jdk.toSeq
     val df = Seq((9L, bytes)).toDF("id", "payload")
     df.select(Multimodal.sniffMime(col("payload"))).head.getString(0) shouldBe
       "audio/wav"
