@@ -250,10 +250,17 @@ object Main {
         def counts(dir: String) =
           SnapshotIO.readMessages(spark, dir)
             .groupBy("topic").agg(count(lit(1)).as("n"))
-        val delta = CatalogOps.snapshotDiff(
+        val msgDelta = CatalogOps.snapshotDiff(
             counts(sinceDir), counts(snapDir))
           .filter(col("status").isin("added", "changed"))
           .select("topic")
+        // message counts alone miss a topic that was CREATED but has
+        // no messages yet (it never appears in either counts side) —
+        // the catalog diff catches it, so the selective restore is
+        // never lossier than the full restore it subsets
+        val catalogAdded = allTopics.join(
+          SnapshotIO.readTopics(spark, sinceDir), Seq("topic"), "left_anti")
+        val delta = msgDelta.union(catalogAdded).distinct()
         val topics = allTopics.join(delta, Seq("topic"), "left_semi")
         val nsOf = delta.select(regexp_extract(col("topic"),
           "persistent://([^/]+/[^/]+)/", 1).as("namespace"))

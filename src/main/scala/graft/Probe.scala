@@ -265,6 +265,28 @@ object ProbeScale {
   }
 }
 
+/** Shared measurement fixtures — ONE definition of the planted
+  * near-duplicate arithmetic, used by both [[ProbeRecall]] (the dev
+  * sweep tabled in PLANS.md) and RecallSpec (the CI gate): if the
+  * noise formula drifts, both the measurement and the gate move
+  * together instead of silently decoupling. */
+object ProbeFixtures {
+  /** ±2% per-component deterministic noise: replicas are TRUE
+    * near-duplicates of their base vector (cos ≈ 0.9998), so the
+    * planted pair set is a known ground truth at any scale. vec 2b
+    * and 2b+1 are the same base vector's two replicas (replicas=2). */
+  def plantNearDups(spark: SparkSession, emb: DataFrame,
+      replicas: Int): DataFrame =
+    emb.crossJoin(spark.range(replicas).toDF("rep"))
+      .select(
+        (col("vec_id") * replicas + col("rep")).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") * (lit(1.0) + lit(0.02) *
+            ((pmod(xxhash64(col("vec_id"), col("rep"), i), lit(2001))
+              - 1000).cast("double") / 1000.0))).cast("float"))
+          .as("embedding"))
+}
+
 /** Measured RECALL vs brute force for the approximate ANN operators
   * (dev tool, companion to [[ProbeScale]]'s candidate-count sweeps):
   * candidate growth says the plans stay cheap as n grows; this
@@ -302,18 +324,9 @@ object ProbeRecall {
 
     val dim = 64
 
-    // ±2% per-component deterministic noise: replicas are TRUE
-    // near-duplicates of their base vector (cos ≈ 0.9998), so the
-    // planted pair set is a known ground truth at any scale
+    // planting lives in ProbeFixtures (shared with RecallSpec's CI gate)
     def plantNearDups(emb: DataFrame, replicas: Int): DataFrame =
-      emb.crossJoin(spark.range(replicas).toDF("rep"))
-        .select(
-          (col("vec_id") * replicas + col("rep")).as("vec_id"),
-          transform(col("embedding"), (x, i) =>
-            (x.cast("double") * (lit(1.0) + lit(0.02) *
-              ((pmod(xxhash64(col("vec_id"), col("rep"), i), lit(2001))
-                - 1000).cast("double") / 1000.0))).cast("float"))
-            .as("embedding"))
+      ProbeFixtures.plantNearDups(spark, emb, replicas)
 
     // ProbeScale's ±50% spread (local density preserved, replicas
     // pushed apart) — the "corpus grew 10×" regime for q54/q42/q93
@@ -535,16 +548,11 @@ object ProbeRecall {
     val emb001 = Tables(spark, "/root/testdata/sf0.01", "embeddings")
     val emb01 = Tables(spark, "/root/testdata/sf0.1", "embeddings")
 
-    // `ProbeRecall q101` runs only the probe-contract sweep (the
-    // ProbeScale arg convention); no arg = everything
-    if (args.headOption.contains("q101")) {
-      recallProbeContract("1x", emb001)
-      recallProbeContract("10x", emb01)
-      spark.stop()
-      return
-    }
     recallProbeContract("1x", emb001)
     recallProbeContract("10x", emb01)
+    // `ProbeRecall q101` runs only the probe-contract sweep above
+    // (the ProbeScale arg convention); no arg = everything
+    if (args.headOption.contains("q101")) { spark.stop(); return }
     // q54/q42/q93/q95: 1× = the sf0.1 fixture (2,000 vectors);
     // 10× = 20,000 synthetic
     recall54("1x", emb01)

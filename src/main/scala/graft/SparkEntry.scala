@@ -202,7 +202,14 @@ object SparkEntry {
     * relying on Bench/Verify being strictly sequential. The WHOLE
     * stream pipeline (source included) must be built from this
     * session: a streaming query reads conf from the session of the
-    * DataFrame it starts from. */
+    * DataFrame it starts from. Two properties to keep in mind:
+    * newSession() starts from the BUILDER confs, not the parent's
+    * runtime conf — any runtime conf a stream needs must be (re-)set
+    * through this session (eventsStream does, via Tables' reader
+    * conf) — and the drained table stays bound to the clone, so a
+    * caller's post-drain batch aggregation also plans at 8
+    * partitions (right-sized: memory-sink tables are driver-held and
+    * small by contract). */
   private def drainSession(s: SparkSession): SparkSession = {
     val ns = s.newSession()
     // streaming aggs here are partitioning-agnostic by design

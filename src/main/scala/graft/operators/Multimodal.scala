@@ -190,17 +190,22 @@ object Multimodal {
       val n = w.toLong * h
       ImageStats(id, w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
     }
-    // dispose the cached readers when the task exhausts the iterator:
+    // dispose the cached readers when the task is done with them:
     // ImageReader holds native/heap decode buffers that otherwise live
-    // until GC notices them (idempotent — a re-probed hasNext after
-    // exhaustion must not double-dispose)
+    // until GC notices them. Exhaustion alone is not enough — a decode
+    // failure or a downstream limit stops consuming before hasNext
+    // ever returns false — so ALSO dispose on task completion (which
+    // fires on failure and early termination too). Idempotent: both
+    // paths can fire.
+    var disposed = false
+    def disposeAll(): Unit = if (!disposed) {
+      disposed = true
+      readers.valuesIterator.foreach(_.dispose())
+      readers.clear()
+    }
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => disposeAll()))
     new Iterator[ImageStats] {
-      private var disposed = false
-      private def disposeAll(): Unit = if (!disposed) {
-        disposed = true
-        readers.valuesIterator.foreach(_.dispose())
-        readers.clear()
-      }
       override def hasNext: Boolean = {
         val h = decoded.hasNext
         if (!h) disposeAll()

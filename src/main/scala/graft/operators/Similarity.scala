@@ -330,7 +330,7 @@ object Similarity {
       s"simFloor $simFloor outside (-1, 1]")
     require(targetMiss > 0.0 && targetMiss < 1.0,
       s"targetMiss $targetMiss outside (0, 1)")
-    val cap = if (maxRadius < 0) nPlanes else maxRadius
+    val cap = if (maxRadius < 0) nPlanes else math.min(maxRadius, nPlanes)
     val p = 1.0 - math.acos(simFloor) / math.Pi // per-plane agreement
     // exact binomial CDF: C(n,i) p^(n-i) (1-p)^i accumulated in order
     def term(i: Int): Double = {
@@ -343,7 +343,11 @@ object Similarity {
     var r = 0
     while (r <= cap) {
       cdf += term(r)
-      if (cdf >= 1.0 - targetMiss) return r
+      // r = nPlanes is the complete ball — probability 1 by
+      // construction, even when the accumulated floating-point CDF
+      // lands a few ulps under 1.0 (a sub-1e-15 targetMiss would
+      // otherwise make the documented always-satisfiable default throw)
+      if (cdf >= 1.0 - targetMiss || r == nPlanes) return r
       r += 1
     }
     throw new IllegalArgumentException(

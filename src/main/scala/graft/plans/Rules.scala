@@ -111,19 +111,28 @@ object AnnTopKToLshPrune extends Rule[LogicalPlan] {
     * a plan-time constant OR an uncorrelated, deterministic SCALAR
     * SUBQUERY — "the query vector from a lookup", e.g.
     * `cosine_sim(embedding, (SELECT embedding FROM t WHERE id = 0))`.
-    * A subquery side is executed HERE, driver-side: a bounded one-row
-    * planning lookup (the library's q93/q97 convention, moved inside
-    * the optimizer). Only the bucket predicate consumes the evaluated
-    * copy; the Sort key keeps the original subquery, which the engine
-    * runs once at execution as usual — a deterministic subquery yields
-    * the same vector both times, which the determinism guard below
-    * makes a requirement rather than a hope. Zero rows (scalar
-    * subquery → null) or a null vector → no rewrite. */
+    * A subquery side is executed HERE, driver-side (the library's
+    * q93/q97 planning-lookup convention, moved inside the optimizer).
+    * Only the bucket predicate consumes the evaluated copy; the Sort
+    * key keeps the original subquery, which the engine runs once at
+    * execution as usual — a deterministic subquery yields the same
+    * vector both times, which the determinism guard below makes a
+    * requirement rather than a hope. Zero rows (scalar subquery →
+    * null) or a null vector → no rewrite.
+    *
+    * Cost contract, stated honestly: the row count is bounded
+    * (take(2)) but the subquery's own cost is whatever the caller
+    * wrote — the engine executes that exact subquery at runtime
+    * anyway, so the rewrite adds at most ONE extra run of it; and
+    * when the rewrite ends up NOT firing (null lookup), each fresh
+    * re-optimization of the same DataFrame pays the lookup again.
+    * Both are the price of the opt-in switch, on the query shape
+    * that opted in. */
   private def queryLiteral(e: Expression): Option[Expression] = e match {
     case _ if e.foldable => Some(e)
     case sq: ScalarSubquery
         if sq.outerAttrs.isEmpty && sq.joinCond.isEmpty &&
-          !sq.plan.exists(_.expressions.exists(!_.deterministic)) =>
+          sq.deterministic =>
       val spark = org.apache.spark.sql.SparkSession.active
       val rows =
         org.apache.spark.sql.graft.Bridge.ofRows(spark, sq.plan).take(2)

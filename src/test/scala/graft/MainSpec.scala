@@ -192,10 +192,20 @@ class MainSpec extends AnyFunSuite with SparkSpec with Matchers {
       "persistent://t/ns/gone" -> 1L, "persistent://t/ns/grow" -> 1L))
     write(after, Seq("persistent://t/ns/stay" -> 2L,
       "persistent://other/ns2/new" -> 3L, "persistent://t/ns/grow" -> 4L))
+    // a topic CREATED but with no messages yet exists only in the
+    // catalog — the message-count diff alone would miss it. The raw
+    // append invalidates the Hadoop local-FS checksum sidecar the
+    // capture writer produced; drop it (external edit semantics)
+    Files.writeString(java.nio.file.Paths.get(after, "topics.txt"),
+      "persistent://t/ns/empty\n",
+      java.nio.file.StandardOpenOption.APPEND)
+    Files.deleteIfExists(java.nio.file.Paths.get(after, ".topics.txt.crc"))
     val lines = Main.run(spark, Seq("restore", after, "--since", before))
     // the delta: grow (changed) + new (added); their parents ride along
     lines should contain("CREATE topic persistent://t/ns/grow")
     lines should contain("CREATE topic persistent://other/ns2/new")
+    // the zero-message catalog addition is restored too
+    lines should contain("CREATE topic persistent://t/ns/empty")
     lines should contain("CREATE tenant other")
     lines should contain("CREATE namespace other/ns2")
     // unchanged and vanished topics are NOT re-created

@@ -31,17 +31,10 @@ class RecallSpec extends AnyFunSuite with SparkSpec with Matchers {
 
   private def base: DataFrame = Tables(spark, sfDir, "embeddings")
 
-  /** ProbeRecall's planting scheme (same arithmetic, kept in sync):
-    * vec 2b and 2b+1 are replicas of base vector b. */
+  /** ONE planting definition, shared with ProbeRecall's sweep
+    * (ProbeFixtures) — the gate and the measurement cannot drift. */
   private def plantNearDups(emb: DataFrame, replicas: Int): DataFrame =
-    emb.crossJoin(spark.range(replicas).toDF("rep"))
-      .select(
-        (col("vec_id") * replicas + col("rep")).as("vec_id"),
-        transform(col("embedding"), (x, i) =>
-          (x.cast("double") * (lit(1.0) + lit(0.02) *
-            ((pmod(xxhash64(col("vec_id"), col("rep"), i), lit(2001))
-              - 1000).cast("double") / 1000.0))).cast("float"))
-          .as("embedding"))
+    ProbeFixtures.plantNearDups(spark, emb, replicas)
 
   test("multi-table ANN finds planted >=floor neighbors at the pinned miss rate (q95 contract)") {
     val emb = plantNearDups(base, 2)

@@ -80,6 +80,12 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec with Matchers {
     // r = nPlanes covers every bucket, so the default cap always
     // terminates; an explicit IO-budget cap fails loudly instead
     Similarity.probeRadiusForRecall(4, 0.5, targetMiss = 0.001) shouldBe 4
+    // ...including at sub-1e-15 targetMiss, where the accumulated
+    // floating-point CDF either saturates to 1.0 early (a valid
+    // smaller radius) or undershoots 1.0 at the full ball (the
+    // r = nPlanes escape hatch) — terminates either way, never throws
+    Similarity.probeRadiusForRecall(62, 0.9,
+      targetMiss = 1e-16) should be <= 62
     an[IllegalArgumentException] should be thrownBy
       Similarity.probeRadiusForRecall(4, 0.5, targetMiss = 0.001,
         maxRadius = 2)
