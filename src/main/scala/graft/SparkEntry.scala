@@ -2102,6 +2102,47 @@ object SparkEntry {
         media, Multimodal.decodeAudioStats)
         .toDF("event_id", "n_samples", "sample_rate", "channels",
           "mean_abs")
+    }),
+
+    // ── INCREMENTAL at-rest layout — the missing half of the q97/
+    // q101 storage story: a 100 TB embedding store GROWS, and
+    // rewriting it per ingest batch is not a plan. clusteredAppend
+    // lands each batch as its own range-clustered `seg=` directory,
+    // so the probe-ball predicate still prunes whole files WITHIN
+    // every segment (per-segment parquet stats) and the existing
+    // store is never touched. Two segments here — the base corpus
+    // and an "ingest batch" — and the probe top-k over the segmented
+    // store must equal q98's single-segment answer exactly: layout
+    // is a performance property, never a correctness one, and the
+    // shared oracle SQL is the proof ──
+    "q103_ann_incremental" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q103_").toString
+      val store = root + "/embeddings_segmented"
+      val emb = t(s, dir, "embeddings")
+      def bucketed(f: DataFrame) = f.withColumn("bucket",
+        vectors.hyperplaneBucketFast(col("embedding"), q97Planes))
+      Layout.clusteredAppend(
+        bucketed(emb.filter(col("vec_id") % 2 === 0)), store, "base",
+        numFiles = 8, col("bucket"))
+      Layout.clusteredAppend(
+        bucketed(emb.filter(col("vec_id") % 2 =!= 0)), store, "ingest1",
+        numFiles = 4, col("bucket"))
+      val qv = emb.filter(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0)
+      val q = typedLit(qv)
+      val qb = s.range(1)
+        .select(vectors.hyperplaneBucketFast(q, q97Planes))
+        .head.getLong(0)
+      val probes = Similarity.probeBuckets(qb, q97Planes.size, q98Radius)
+      val topk = s.read.parquet(store)
+        .filter(col("bucket").isin(probes: _*) && col("vec_id") =!= 0)
+        .orderBy(vectors.cosineFast(col("embedding"), q).desc,
+          col("vec_id"))
+        .limit(5)
+        .select(col("vec_id"),
+          round(vectors.cosineFast(col("embedding"), q), 6).as("cos"))
+      materializeThenClean(s, topk, root)
     })
   )
 
@@ -3594,6 +3635,22 @@ object SparkEntry {
            |  FROM shortlist s, q
            |  ORDER BY cos_exact DESC, s.vec_id LIMIT 5)""".stripMargin
       },
+
+      // IDENTICAL to q98's oracle by design: the segmented store must
+      // return exactly the single-segment layout's probe-ball answer —
+      // the shared raw-table mirror IS the layout-invariance proof
+      "q103_ann_incremental" ->
+        s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+           |SELECT vec_id, round(cos_exact, 6) AS cos FROM (
+           |  SELECT e.vec_id,
+           |    list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) /
+           |    (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+           |     sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[])))) AS cos_exact
+           |  FROM embeddings e, q
+           |  WHERE e.vec_id <> 0
+           |    AND bit_count(xor(${sqlBucket("e.embedding", q97Planes)},
+           |                      ${sqlBucket("q.qe", q97Planes)})) <= $q98Radius
+           |  ORDER BY cos_exact DESC, e.vec_id LIMIT 5)""".stripMargin,
 
       // the DECODED statistics predicted from generation arithmetic
       // alone: sample i of event e is ((e + i) % 256 - 128) * 256,

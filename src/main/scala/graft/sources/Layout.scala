@@ -34,6 +34,31 @@ object Layout {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** INCREMENTAL form of [[clusteredWrite]]: append `df` as one new
+    * SEGMENT of an existing clustered store — a fresh
+    * `seg=<segmentId>` subdirectory, itself range-clustered and
+    * sorted on `keys`. At 100 TB a store cannot be rewritten per
+    * ingest batch; the lakehouse answer is segment-local clustering:
+    * every segment keeps tight non-overlapping per-file spans, so a
+    * key/bucket predicate prunes files WITHIN each segment and the
+    * scan cost is (matching files) × (number of segments), not the
+    * corpus. Readers see one table: `spark.read.parquet(root)`
+    * partition-discovers `seg` as a column (drop it or keep it for
+    * audit). Many small segments eventually dilute pruning — the
+    * documented maintenance move is a periodic compaction
+    * ([[clusteredWrite]] of the union back to one segment), exactly
+    * the OPTIMIZE/compact cycle every log-structured store runs. */
+  def clusteredAppend(df: DataFrame, root: String, segmentId: String,
+      numFiles: Int, keys: Column*): Unit = {
+    require(numFiles > 0, s"numFiles must be positive: $numFiles")
+    require(segmentId.nonEmpty && !segmentId.exists(c => c == '/' || c == '='),
+      s"segmentId must be a plain directory token: $segmentId")
+    df.repartitionByRange(numFiles, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .write.mode(SaveMode.ErrorIfExists)
+      .parquet(s"$root/seg=$segmentId")
+  }
+
   /** Per-file [min, max] spans of `key` for a parquet directory
     * written by [[clusteredWrite]] — the audit view proving the
     * clustering property (LayoutSpec asserts spans don't overlap).

@@ -67,6 +67,42 @@ class LayoutSpec extends AnyFunSuite with SparkSpec with Matchers {
     covering should be < spans.length
   }
 
+  test("clusteredAppend: segments cluster independently, read as one table, never collide") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_layout_seg").toString + "/t"
+    def batch(lo: Int, hi: Int) =
+      (lo until hi).map(i => ((i * 7919) % 10007, s"v$i")).toDF("k", "v")
+    Layout.clusteredAppend(batch(0, 4000), root, "base", 4, col("k"))
+    Layout.clusteredAppend(batch(4000, 6000), root, "ingest1", 2, col("k"))
+    Layout.clusteredAppend(batch(6000, 7000), root, "ingest2", 2, col("k"))
+    // one logical table, complete, with seg discovered as a column
+    val all = spark.read.parquet(root)
+    all.count() shouldBe 7000
+    all.select("seg").distinct().as[String].collect().toSet shouldBe
+      Set("base", "ingest1", "ingest2")
+    // the clustering property holds WITHIN each segment: per-file
+    // spans are non-overlapping per segment (that is what lets a key
+    // predicate prune files in every segment independently)
+    val spans = Layout.fileSpans(spark, root, "k")
+      .withColumn("seg", regexp_extract(col("file"), "seg=([^/]+)/", 1))
+      .select("seg", "lo", "hi").as[(String, Int, Int)].collect()
+    spans.groupBy(_._1).foreach { case (_, fs) =>
+      fs.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, hi), (_, lo, _)) => hi should be < lo
+        case _ => ()
+      }
+    }
+    // a narrow key predicate reads a bounded file subset, not the store
+    val probed = spark.read.parquet(root).filter(col("k") < 100)
+      .select(input_file_name()).distinct().count()
+    probed should be <= 3L // at most one boundary file per segment
+    // appending the same segment id must fail loudly, never overwrite
+    an[Exception] should be thrownBy
+      Layout.clusteredAppend(batch(0, 10), root, "base", 1, col("k"))
+    spark.read.parquet(root).count() shouldBe 7000
+    Scratch.deleteRecursively(new java.io.File(root).getParentFile)
+  }
+
   test("the quantized at-rest layout (q101's stored shape) measures ~4x smaller than float32") {
     import graft.functions.vectors
     val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
