@@ -58,16 +58,40 @@ object Bench {
     // inflates proportionally — so a slow bench JSON carries its own
     // exculpatory (or damning) evidence. Run before AND after: an
     // episode that starts mid-run shows up in the delta.
-    def calibrate(): Double = {
+    def spin(): Long = {
       var x = 0x9E3779B97F4A7C15L; var i = 0
-      val t0 = System.nanoTime()
       while (i < 200000000) {
         x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27; i += 1
       }
+      x
+    }
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      val x = spin()
       val dt = (System.nanoTime() - t0) / 1e9
       if (x == 42L) println("") // defeat dead-code elimination
       dt
     }
+    // FULL-WIDTH twin of the probe: one spin per session core, wall
+    // for ALL to finish. The single-thread probe is blind to
+    // multi-core contention (r7: closes drifted 98 → 148 s over an
+    // afternoon with calib_sec pinned at ~0.43 and the guest fully
+    // idle — host-side neighbors squeeze a 32-wide workload while
+    // still granting any ONE thread a full core; an 8-thread probe
+    // missed it too). On an idle host this ≈ calibrate(); when the
+    // host can't actually deliver all vCPUs concurrently it inflates
+    // by the oversubscription factor — which is exactly the factor
+    // the per-query walls inflate by.
+    def calibrateMt(): Double = {
+      val t0 = System.nanoTime()
+      val acc = new java.util.concurrent.atomic.AtomicLong
+      val ts = (0 until cpus.toInt).map(_ =>
+        new Thread(() => { acc.addAndGet(spin()); () }))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      if (acc.get() == 42L) println("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibMtStart = calibrateMt()
     val calibStart = calibrate()
     val results = selected.map {
       case (name, fn) =>
@@ -110,6 +134,7 @@ object Bench {
     val cpuTotal =
       if (cpuSec.values.exists(_ < 0)) -1.0 else cpuSec.values.sum
     val calibEnd = calibrate()
+    val calibMtEnd = calibrateMt()
     // Key ORDER inside the full line is load-bearing: a fixed-size
     // tail capture keeps the END of the output, so the per-query WALL
     // map goes LAST (after the gc/cpu diagnostic maps) — r5 lost the
@@ -124,6 +149,7 @@ object Bench {
         s""""gc_total":${num(gcSec.values.sum)},""" +
         s""""cpu_total":${num(cpuTotal)},""" +
         s""""calib_sec":[${num(calibStart)},${num(calibEnd)}],""" +
+        s""""calib_mt_sec":[${num(calibMtStart)},${num(calibMtEnd)}],""" +
         s""""queries":$qs,""" +
         s""""sf":"$sfDir"}"""
     println(line)
@@ -143,6 +169,7 @@ object Bench {
         s""""gc_total":${num(gcSec.values.sum)},""" +
         s""""cpu_total":${num(cpuTotal)},""" +
         s""""calib_sec":[${num(calibStart)},${num(calibEnd)}],""" +
+        s""""calib_mt_sec":[${num(calibMtStart)},${num(calibMtEnd)}],""" +
         s""""top_wall":${jsonObj(topWall)},""" +
         s""""sf":"$sfDir"}"""
     println(summary)
