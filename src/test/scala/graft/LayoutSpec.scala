@@ -100,6 +100,21 @@ class LayoutSpec extends AnyFunSuite with SparkSpec with Matchers {
     an[Exception] should be thrownBy
       Layout.clusteredAppend(batch(0, 10), root, "base", 1, col("k"))
     spark.read.parquet(root).count() shouldBe 7000
+    // the documented maintenance cycle: compaction = clusteredWrite of
+    // the union back to ONE clustered layout — global (not merely
+    // per-segment) span disjointness is restored
+    val compacted = Files.createTempDirectory("graft_layout_cmp").toString + "/t"
+    Layout.clusteredWrite(
+      spark.read.parquet(root).drop("seg"), compacted, 8, col("k"))
+    spark.read.parquet(compacted).count() shouldBe 7000
+    val cSpans = Layout.fileSpans(spark, compacted, "k")
+      .as[(String, Int, Int, Long)].collect().sortBy(_._2)
+    cSpans.length shouldBe 8
+    cSpans.sliding(2).foreach {
+      case Array((_, _, hi, _), (_, lo, _, _)) => hi should be < lo
+      case _ => ()
+    }
+    Scratch.deleteRecursively(new java.io.File(compacted).getParentFile)
     Scratch.deleteRecursively(new java.io.File(root).getParentFile)
   }
 

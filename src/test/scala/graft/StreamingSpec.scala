@@ -291,6 +291,47 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     rows.select(countDistinct(col("id"))).head.getLong(0) shouldBe 60L
   }
 
+  test("T1/S9: a file stream over the segmented clustered store ingests appended segments delta-only") {
+    import graft.sources.Layout
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_seg_stream").toString + "/t"
+    val out = Files.createTempDirectory("graft_seg_stream_out").toString
+    val ckpt = Files.createTempDirectory("graft_seg_stream_ck").toString
+    def batch(lo: Int, hi: Int) =
+      (lo until hi).map(i => (i.toLong, i % 8)).toDF("id", "bucket")
+    // base segment exists before the stream first starts
+    Layout.clusteredAppend(batch(0, 100), root, "base", 2, col("bucket"))
+    val schema = spark.read.parquet(root).schema // id, bucket, seg
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(root)
+        .select("id", "seg")
+        .writeStream.format("json")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000) shouldBe true
+    }
+    runOnce()
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("seg",
+        org.apache.spark.sql.types.StringType)))
+    spark.read.schema(outSchema).json(out).count() shouldBe 100
+    // a new ingest batch lands as a new segment; the restarted stream
+    // must pick up ONLY the new segment's files (checkpointed file
+    // log), completing q103's story: the at-rest layout's append IS
+    // the streaming source's input
+    Layout.clusteredAppend(batch(100, 160), root, "ingest1", 2, col("bucket"))
+    runOnce()
+    val rows = spark.read.schema(outSchema).json(out)
+    rows.count() shouldBe 160 // no re-read of the base segment
+    rows.groupBy("seg").count().as[(String, Long)].collect().toMap shouldBe
+      Map("base" -> 100L, "ingest1" -> 60L)
+  }
+
   test("T3/A4/T5: rate source holds the msgs/sec contract; listener meters throughput") {
     val listener = new Streams.ThroughputListener
     spark.streams.addListener(listener)
