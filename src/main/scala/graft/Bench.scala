@@ -51,6 +51,22 @@ object Bench {
     }
     val gcSec = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val cpuSec = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // Widest stage (task count) each query ran: the third attribution
+    // axis. r7's two slow entries took isolated reruns to tell apart —
+    // q69 (structural: 9 cpu-s on a 1-task stage) vs q92 (ambient:
+    // clean plan, oversubscribed host). With this field the artifact
+    // itself distinguishes "few tasks" (tasks_max ≪ cores: a serial
+    // plan — fix the query) from "slow host" (tasks_max ≈ cores and
+    // calib_mt inflated: nothing to fix). Stage-submitted events are
+    // async; Bridge.drainListenerBus flushes them before each reading.
+    val tasksMax = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val stageWidth = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageSubmitted(
+            ev: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+          stageWidth.getAndUpdate(m => math.max(m, ev.stageInfo.numTasks))
+      })
     // Fixed single-thread CPU probe (xorshift64*, 2e8 steps): a pure
     // machine-speed number, identical work every run. When the box is
     // healthy it is ~0.2-0.4 s; under the host-contention episodes
@@ -96,6 +112,7 @@ object Bench {
     val results = selected.map {
       case (name, fn) =>
         val gc0 = gcMillis(); val cpu0 = cpuNanos()
+        stageWidth.set(0)
         val t0 = System.nanoTime()
         // drain this query's localCheckpoint blocks in ALL exits —
         // including a failed write, whose plan may already have
@@ -113,9 +130,13 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
         } finally if (df != null)
           org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(df)
+        val wall = (System.nanoTime() - t0) / 1e9
         gcSec(name) = (gcMillis() - gc0) / 1e3
         cpuSec(name) = if (cpu0 < 0) -1.0 else (cpuNanos() - cpu0) / 1e9
-        name -> (System.nanoTime() - t0) / 1e9
+        try org.apache.spark.sql.graft.Bridge.drainListenerBus(spark)
+        catch { case _: Throwable => () } // a late event beats a dead bench
+        tasksMax(name) = stageWidth.get().toDouble
+        name -> wall
     }
     // Locale.ROOT: a comma-decimal default locale would render 0,123
     // and make the JSON line unparseable
@@ -123,6 +144,9 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jsonObj(m: Iterable[(String, Double)]): String = m
       .map { case (k, v) => "\"" + k + "\":" + num(v) }
+      .mkString("{", ",", "}")
+    def jsonObjInt(m: Iterable[(String, Double)]): String = m
+      .map { case (k, v) => "\"" + k + "\":" + v.toLong }
       .mkString("{", ",", "}")
     val qs = jsonObj(results)
     val total = results.map(_._2).sum
@@ -146,6 +170,7 @@ object Bench {
       s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
         s""""failed":$failedJson,""" +
         s""""gc_sec":${jsonObj(gcSec)},"cpu_sec":${jsonObj(cpuSec)},""" +
+        s""""tasks_max":${jsonObjInt(tasksMax)},""" +
         s""""gc_total":${num(gcSec.values.sum)},""" +
         s""""cpu_total":${num(cpuTotal)},""" +
         s""""calib_sec":[${num(calibStart)},${num(calibEnd)}],""" +
@@ -163,6 +188,11 @@ object Bench {
     // seconds, so even a summary-only tail can attribute a slow total
     // to its query without /tmp archaeology.
     val topWall = results.sortBy(-_._2).take(10)
+    // tasks_max for exactly the top_wall entries: a summary-only tail
+    // can then attribute each slow query as structural (few tasks) or
+    // ambient (full-width + inflated calib_mt) without the full line
+    val topWallTasks = topWall.map { case (n, _) =>
+      n -> tasksMax.getOrElse(n, -1.0) }
     val summary =
       s"""{"metric":"total_summary","value":${num(total)},"unit":"sec",""" +
         s""""n_queries":${results.size},"failed":$failedJson,""" +
@@ -171,6 +201,7 @@ object Bench {
         s""""calib_sec":[${num(calibStart)},${num(calibEnd)}],""" +
         s""""calib_mt_sec":[${num(calibMtStart)},${num(calibMtEnd)}],""" +
         s""""top_wall":${jsonObj(topWall)},""" +
+        s""""top_wall_tasks":${jsonObjInt(topWallTasks)},""" +
         s""""sf":"$sfDir"}"""
     println(summary)
     // also write the bare JSON lines to a file: the stdout copy drowns

@@ -889,7 +889,8 @@ object SparkEntry {
       // so the scoring projection is computed ONCE, not once per join
       // side — one shuffle on the dedup key, same min-id keeper
       val withScores = text.langMarkers.foldLeft(
-        t(s, dir, "documents").withColumn("toks", text.tokens(col("text")))) {
+        Relational.widenForCpu(t(s, dir, "documents"))
+          .withColumn("toks", text.tokens(col("text")))) {
         case (d, (l, m)) =>
           d.withColumn(s"s_$l", text.langScore(col("toks"), m))
       }
@@ -1085,7 +1086,10 @@ object SparkEntry {
     // then redacted and audited per source. Pure per-row regex
     // expressions: zero shuffle below the final aggregate ──
     "q63_pii_redact" -> ((s, dir) => {
-      val injected = t(s, dir, "documents").withColumn("text2",
+      // widenForCpu: three regex passes per row at scan time — same
+      // single-split hazard as q69
+      val injected = Relational.widenForCpu(t(s, dir, "documents"))
+        .withColumn("text2",
         when(col("doc_id") % 3 === 0,
           concat(col("text"), lit(" contact user"),
             col("doc_id").cast("string"), lit("@example.com now")))
@@ -1246,7 +1250,11 @@ object SparkEntry {
     // get a phrase repeated onto them deterministically — same
     // injection idiom as q63's PII. Pure scan-time expression ──
     "q69_repetition_filter" -> ((s, dir) => {
-      val injected = t(s, dir, "documents").withColumn("text2",
+      // widenForCpu: the trigram kernel costs ~9 cpu-s at sf0.1 and the
+      // single-file documents scan plans ONE split — without widening
+      // the whole kernel runs on 1-2 cores (r7's one perf-weak finding)
+      val injected = Relational.widenForCpu(t(s, dir, "documents"))
+        .withColumn("text2",
         when(col("doc_id") % 7 === 0,
           concat(col("text"), lit(q69RepeatedPhrase)))
           .otherwise(col("text")))
@@ -1267,7 +1275,9 @@ object SparkEntry {
     // across languages. percent_rank inside one window shuffle on the
     // predicted language; everything else is scan-time ──
     "q70_quality_percentile" -> ((s, dir) => {
-      val base = t(s, dir, "documents")
+      // widenForCpu: tokenize + per-language scoring before the window
+      // shuffle — same single-split hazard as q69
+      val base = Relational.widenForCpu(t(s, dir, "documents"))
         .withColumn("toks", text.tokens(col("text")))
       val scored = text.langMarkers.foldLeft(base) {
         case (d, (l, m)) =>

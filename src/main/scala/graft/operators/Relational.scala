@@ -209,6 +209,27 @@ object Relational {
       .drop("_gcell")
   }
 
+  /** Scan-width policy for heavy per-row CPU: one hot parquet file
+    * plans ONE scan split, so a scan-time expression costing whole
+    * CPU-seconds per partition runs near-serially no matter how many
+    * cores the session has (q69's trigram kernel: ~9 cpu-s on a
+    * 1-split documents scan = 4 s wall on 32 cores). When the
+    * upstream plan has fewer partitions than the session width,
+    * round-robin repartition to full width BEFORE the expensive
+    * projection; when the scan is already wide — the 100 TB case,
+    * thousands of files — this is a structural no-op (the partition
+    * count check keeps the exchange out of the plan entirely). The
+    * widening shuffle moves only the raw input columns, the price of
+    * turning a serial scan full-width — same convention as the
+    * q92/q102 codec kernels' repartition-ids-before-decode. Policy,
+    * not luck: call this at every seam where a scan feeds a heavy
+    * kernel, and let the check decide. */
+  def widenForCpu(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= cores) df
+    else df.repartition(cores)
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to
     * the previous event of the same key exceeds `gapSeconds`. Returns
     * the input plus a `session_id` (0-based per key). One shuffle. */

@@ -387,6 +387,15 @@ object Bridge {
     * also catches checkpoints composed under further transforms.
     * No-op on plans with no checkpoint. The freed Dataset must not be
     * recomputed afterwards (checkpoint lineage is truncated). */
+  /** Drain the async listener bus so a just-finished query's stage
+    * events are visible to a measuring SparkListener before the next
+    * query starts (Bench's per-query parallelism attribution).
+    * LiveListenerBus is private[spark]; this bridge is the sanctioned
+    * crossing. Bounded wait: a wedged bus should surface as a bench
+    * failure, not a hang. */
+  def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(30000L)
+
   def freeLocalCheckpoint(ds: org.apache.spark.sql.Dataset[_]): Unit = ds match {
     case c: org.apache.spark.sql.classic.Dataset[_] =>
       c.queryExecution.analyzed.foreach {
