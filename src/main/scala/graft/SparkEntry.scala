@@ -2153,6 +2153,57 @@ object SparkEntry {
         .select(col("vec_id"),
           round(vectors.cosineFast(col("embedding"), q), 6).as("cos"))
       materializeThenClean(s, topk, root)
+    }),
+
+    // ── INDEX SELECTION — q101's at-rest composition chosen by the
+    // OPTIMIZER instead of hand-written driver code: the query below
+    // is a PLAIN exact cosine top-k over the primary embeddings
+    // parquet; registering the quantized store (AnnIndex) is the
+    // opt-in that lets AnnTopKToIndexScan plan the probe-ball-pruned
+    // dequantized shortlist as a broadcast semi-join under the user's
+    // exact re-rank, with the vec_id filter transplanted into the
+    // index scan. servedBy() asserts the plan actually reads the
+    // store — a silent fallback to the exact full scan would still be
+    // correct but is a 100 TB cost bug, so it fails loudly here. The
+    // oracle mirrors the full quantize→bucket→probe→shortlist→re-rank
+    // composition: the hash match proves the rule-driven plan computes
+    // EXACTLY the hand-composed q101 navigation ──
+    "q104_ann_index_rule" -> ((s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q104_").toString
+      val store = root + "/embeddings_index"
+      val emb = t(s, dir, "embeddings")
+      val stored = emb
+        .withColumn("scale", vectors.quantizeScale(col("embedding")))
+        .select(col("vec_id"),
+          vectors.hyperplaneBucketFast(col("embedding"), q97Planes)
+            .as("bucket"),
+          vectors.quantizeInt8(col("embedding"), col("scale"))
+            .as("codes"),
+          col("scale"))
+      Layout.clusteredWrite(stored, store, numFiles = 8, col("bucket"))
+      graft.plans.AnnIndex.register(s, graft.plans.AnnIndex.Meta(
+        name = "q104", primaryPath = s"$dir/embeddings.parquet",
+        indexPath = store, idCol = "vec_id", embCol = "embedding",
+        bucketCol = "bucket", codesCol = "codes", scaleCol = "scale",
+        planesSeed = 97L, nPlanes = q97Planes.size, dim = embDim,
+        radius = q98Radius, shortlist = 20))
+      try {
+        val qv = emb.filter(col("vec_id") === 0)
+          .select("embedding").head.getSeq[Float](0)
+        val q = typedLit(qv)
+        val res = s.read.parquet(s"$dir/embeddings.parquet")
+          .filter(col("vec_id") =!= 0)
+          .orderBy(vectors.cosineFast(col("embedding"), q).desc,
+            col("vec_id"))
+          .limit(5)
+          .select(col("vec_id"),
+            round(vectors.cosineFast(col("embedding"), q), 6).as("cos"))
+        require(graft.plans.AnnIndex.servedBy(res, store),
+          "q104: registered index did not serve the top-k")
+        materializeThenClean(s, res, root)
+      } finally graft.plans.AnnIndex.unregister(s, "q104")
     })
   )
 
@@ -3675,7 +3726,41 @@ object SparkEntry {
           |    range(0, CAST(64 + event_id % 64 AS INT)),
           |    i -> abs((event_id + i) % 256 - 128) * 256)) AS DOUBLE)
           |    / (64 + event_id % 64) AS mean_abs
-          |FROM events""".stripMargin
+          |FROM events""".stripMargin,
+
+      // IDENTICAL navigation to q101's oracle by design — the
+      // rule-driven plan must compute exactly the hand-composed
+      // shortlist + exact re-rank (only the output shape differs:
+      // the plain user query surfaces just the exact cosine)
+      "q104_ann_index_rule" -> {
+        def dot(x: String, y: String) =
+          s"list_dot_product($x, $y)"
+        def cos(x: String, y: String) =
+          s"${dot(x, y)} / (sqrt(${dot(x, x)}) * sqrt(${dot(y, y)}))"
+        s"""WITH d AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+           |    ${sqlBucket("embedding", q97Planes)} AS bucket,
+           |    greatest(list_max(list_transform(embedding,
+           |      x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS scale
+           |  FROM embeddings),
+           |e AS (
+           |  SELECT vec_id, emb, bucket,
+           |    list_transform(emb, x -> floor(x / scale + 0.5) * scale)
+           |      AS deq
+           |  FROM d),
+           |q AS (SELECT emb AS q_emb, bucket AS q_bucket FROM e
+           |      WHERE vec_id = 0),
+           |shortlist AS (
+           |  SELECT e.vec_id, ${cos("e.deq", "q.q_emb")} AS cos_q, e.emb
+           |  FROM e, q
+           |  WHERE e.vec_id <> 0
+           |    AND bit_count(xor(e.bucket, q.q_bucket)) <= $q98Radius
+           |  ORDER BY cos_q DESC, e.vec_id LIMIT 20)
+           |SELECT vec_id, round(cos_exact, 6) AS cos FROM (
+           |  SELECT s.vec_id, ${cos("s.emb", "q.q_emb")} AS cos_exact
+           |  FROM shortlist s, q
+           |  ORDER BY cos_exact DESC, s.vec_id LIMIT 5)""".stripMargin
+      }
     )
   }
 }

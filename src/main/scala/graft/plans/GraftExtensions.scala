@@ -18,6 +18,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer rule: intersection-count overlap tests short-circuit
     // as arrays_overlap (see IntersectNonEmptyToOverlap)
     ext.injectOptimizerRule(_ => IntersectNonEmptyToOverlap)
+    // optimizer rule (opt-in via AnnIndex.register): cosine top-k over
+    // a table with a registered at-rest quantized index → probe-pruned
+    // shortlist semi-join (AnnTopKToIndexScan). Injected BEFORE the
+    // LSH prune so the more specific rewrite wins; each defers to a
+    // subtree the other already rewrote.
+    ext.injectOptimizerRule(_ => AnnTopKToIndexScan)
     // optimizer rule (opt-in via spark.graft.ann.rewrite): literal-
     // query cosine top-k → LSH bucket-pruned plan (AnnTopKToLshPrune)
     ext.injectOptimizerRule(_ => AnnTopKToLshPrune)
@@ -86,6 +92,9 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(IntersectNonEmptyToOverlap))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ IntersectNonEmptyToOverlap
+    if (!spark.experimental.extraOptimizations.contains(AnnTopKToIndexScan))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AnnTopKToIndexScan
     if (!spark.experimental.extraOptimizations.contains(AnnTopKToLshPrune))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ AnnTopKToLshPrune

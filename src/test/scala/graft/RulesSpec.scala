@@ -183,6 +183,83 @@ class RulesSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  // ── AnnTopKToIndexScan (index selection over a registered store) ──
+
+  test("index selection: a registered at-rest store serves plain cosine top-k") {
+    import graft.plans.AnnIndex
+    graft.plans.GraftExtensions.register(spark)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_rulespec_idx_").toString
+    val store = root + "/idx"
+    val dim = queryVec.size
+    val planes = vectors.planeMatrix(4242L, 4, dim)
+    val stored = emb
+      .withColumn("scale", vectors.quantizeScale(col("embedding")))
+      .select(col("vec_id"),
+        vectors.hyperplaneBucketFast(col("embedding"), planes).as("bucket"),
+        vectors.quantizeInt8(col("embedding"), col("scale")).as("codes"),
+        col("scale"))
+    graft.sources.Layout.clusteredWrite(stored, store, 4, col("bucket"))
+    def topk(k: Int): DataFrame = emb.filter(col("vec_id") =!= 0)
+      .orderBy(
+        vectors.cosineFast(col("embedding"), typedLit(queryVec)).desc,
+        col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"),
+        round(vectors.cosineFast(col("embedding"), typedLit(queryVec)), 6)
+          .as("cos"))
+    // not registered → the plan is the plain exact scan
+    AnnIndex.servedBy(topk(5), store) shouldBe false
+    AnnIndex.register(spark, AnnIndex.Meta("spec",
+      "/root/testdata/sf0.001/embeddings.parquet", store,
+      "vec_id", "embedding", "bucket", "codes", "scale",
+      planesSeed = 4242L, nPlanes = 4, dim = dim, radius = 1,
+      shortlist = 20))
+    try {
+      val served = topk(5)
+      AnnIndex.servedBy(served, store) shouldBe true
+      // hand-built q101 navigation with the same knobs: probe-ball
+      // bucket prune, dequantized shortlist (user filter transplanted),
+      // exact re-rank — the rule must compute exactly this
+      val qb = spark.range(1)
+        .select(vectors.hyperplaneBucketFast(typedLit(queryVec), planes))
+        .head.getLong(0)
+      val probes = graft.operators.Similarity.probeBuckets(qb, 4, 1)
+      val shortlist = spark.read.parquet(store)
+        .filter(col("bucket").isin(probes: _*) && col("vec_id") =!= 0)
+        .orderBy(
+          vectors.cosineFast(
+            vectors.dequantizeInt8(col("codes"), col("scale")),
+            typedLit(queryVec)).desc,
+          col("vec_id"))
+        .limit(20).select("vec_id")
+      val manual = emb.join(shortlist, "vec_id")
+        .orderBy(
+          vectors.cosineFast(col("embedding"), typedLit(queryVec)).desc,
+          col("vec_id"))
+        .limit(5)
+        .select(col("vec_id"),
+          round(vectors.cosineFast(col("embedding"), typedLit(queryVec)), 6)
+            .as("cos"))
+      served.collect().toSeq shouldBe manual.collect().toSeq
+      // k beyond the registered shortlist must NOT be served (the
+      // re-rank is only exact over the stored m candidates)
+      AnnIndex.servedBy(topk(21), store) shouldBe false
+      // both opt-ins on: index selection wins, the LSH prune defers
+      withAnnRewrite {
+        val both = topk(5)
+        AnnIndex.servedBy(both, store) shouldBe true
+        bucketFilterCount(both) shouldBe 0
+        both.collect().toSeq shouldBe manual.collect().toSeq
+      }
+    } finally {
+      AnnIndex.unregister(spark, "spec")
+      Scratch.deleteRecursively(new java.io.File(root))
+    }
+    // unregistered again → back to the exact plan (no sticky state)
+    AnnIndex.servedBy(topk(5), store) shouldBe false
+  }
+
   test("ANN rewrite does NOT fire on vector-vector (non-literal) top-k") {
     withAnnRewrite {
       // q28's shape: the query side comes from a join, not a literal
