@@ -7,7 +7,7 @@ import graft.catalog.{CatalogOps, DdlSink}
 import graft.functions.codec
 import graft.gen.Generator
 import graft.replay.Replay
-import graft.sources.SnapshotIO
+import graft.sources.{Layout, SnapshotIO}
 
 /** User-facing CLI over the engine's pipelines — the counterpart of
   * the reference's argparse / interactive menu entry points
@@ -60,6 +60,9 @@ object Main {
   private def intArg(rest: Seq[String], dflt: Int): Option[Int] =
     rest.headOption.map(_.toIntOption).getOrElse(Some(dflt))
 
+  private def doubleArg(rest: Seq[String], dflt: Double): Option[Double] =
+    rest.headOption.map(_.toDoubleOption).getOrElse(Some(dflt))
+
   /** Command dispatch, returning the lines `main` prints — directly
     * testable without capturing stdout. */
   def run(spark: SparkSession, args: Seq[String]): Seq[String] = args match {
@@ -67,7 +70,9 @@ object Main {
         if intArg(rest, 100).isDefined =>
       listTopics(spark, dir, intArg(rest, 100).get)
     case Seq("capture", nativeDir, snapDir) => capture(spark, nativeDir, snapDir)
-    case Seq("replay", snapDir, outDir) => replay(spark, snapDir, outDir)
+    case Seq("replay", snapDir, outDir, rest @ _*)
+        if restoreArgs(rest).isDefined =>
+      replay(spark, snapDir, outDir, restoreArgs(rest).get)
     case Seq("restore", snapDir, rest @ _*)
         if restoreArgs(rest).isDefined =>
       restore(spark, snapDir, restoreArgs(rest).get)
@@ -92,6 +97,9 @@ object Main {
         .select(Generator.emailSendJson(
           col("id"), timestamp_seconds(lit(1704067200L))))
         .collect()(0).getString(0))
+    case Seq("compact", storeDir, key, rest @ _*)
+        if doubleArg(rest, 2.0).isDefined =>
+      compactStore(spark, storeDir, key, doubleArg(rest, 2.0).get)
     case Seq("ranges", rest @ _*) => ranges(rest)
     case Seq("diff", dirA, dirB, rest @ _*)
         if intArg(rest, 100).isDefined =>
@@ -100,13 +108,18 @@ object Main {
       "usage: graft.Main <command> ...",
       "  list-topics <snapshotDir> [limit]   composed catalog listing",
       "  capture <nativeParquetDir> <snapshotDir>   parquet -> snapshot",
-      "  replay <snapshotDir> <outDir>       ordered per-topic replay",
+      "  replay <snapshotDir> <outDir> [--since <snapshotA>]   ordered " +
+        "per-topic replay (--since re-sends only topics added/changed " +
+        "since snapshotA)",
       "  restore <snapshotDir> [--since <snapshotA>]   dry-run DDL " +
         "(parents first; --since restores only topics added/changed " +
         "since snapshotA)",
       "  delete <snapshotDir> [--force]      DDL children-first; gated",
       "  print <snapshotDir> [limit]         decoded messages in order",
       "  sample                              one emailSend wire message",
+      "  compact <storeDir> <key> [maxDilution]   measure pruning " +
+        "dilution of a segmented clustered store; rewrite when over " +
+        "budget (default 2.0)",
       "  ranges [--test-topic <topic>]       ID ranges + extraction test",
       "  diff <snapshotA> <snapshotB> [limit]   added/removed/changed topics",
       "  publish <outDir> <count>            synthetic emailSend messages",
@@ -179,13 +192,49 @@ object Main {
     Seq(s"captured $n messages to $snapDir")
   }
 
+  /** Topics that need re-sending between two captures: message counts
+    * added/changed per the q96 snapshot-diff plan, PLUS topics that
+    * exist only in the newer catalog (created, possibly still empty —
+    * the message-count diff alone would miss them). Shared by
+    * `restore --since` and `replay --since`, so the two halves of a
+    * selective recovery — DDL and data — agree on the delta by
+    * construction. Count-based: a topic whose messages changed
+    * content at identical count is invisible to this diff, the same
+    * contract q96 documents. */
+  private def deltaTopics(spark: SparkSession, sinceDir: String,
+      snapDir: String): org.apache.spark.sql.DataFrame = {
+    def counts(dir: String) =
+      SnapshotIO.readMessages(spark, dir)
+        .groupBy("topic").agg(count(lit(1)).as("n"))
+    val msgDelta = CatalogOps.snapshotDiff(counts(sinceDir), counts(snapDir))
+      .filter(col("status").isin("added", "changed"))
+      .select("topic")
+    val catalogAdded = SnapshotIO.readTopics(spark, snapDir).join(
+      SnapshotIO.readTopics(spark, sinceDir), Seq("topic"), "left_anti")
+    msgDelta.union(catalogAdded).distinct()
+  }
+
   /** §3.2 replay: snapshot → decoded payloads → ordered per-topic
     * send. The injected sink writes one file per topic with one
     * base64 payload line per message, in seq order — the file-grounded
-    * stand-in for a producer. */
+    * stand-in for a producer.
+    *
+    * With `--since <snapshotA>`: SELECTIVE replay — the completion of
+    * `restore --since`'s DDL half: only messages of topics the
+    * [[deltaTopics]] diff marks added/changed are re-sent, each
+    * topic's stream complete and in capture order (the semi-join
+    * restricts TOPICS, never rows within a topic, so the per-topic
+    * ordering invariant of Replay.orderedReplay is untouched). */
   private def replay(spark: SparkSession, snapDir: String,
-      outDir: String): Seq[String] = {
-    Replay.replaySnapshot(spark, snapDir, { it: Iterator[Row] =>
+      outDir: String, since: Option[String]): Seq[String] = {
+    val all = Replay.withPayload(SnapshotIO.readMessages(spark, snapDir))
+    val (env, tag) = since match {
+      case None => (all, "")
+      case Some(sinceDir) =>
+        (all.join(deltaTopics(spark, sinceDir, snapDir),
+          Seq("topic"), "left_semi"), s" (delta since $sinceDir)")
+    }
+    Replay.orderedReplay(env, { it: Iterator[Row] =>
       if (it.hasNext) {
         val basePath = new org.apache.hadoop.fs.Path(outDir)
         val fs = basePath.getFileSystem(
@@ -210,11 +259,10 @@ object Main {
         } finally if (out != null) out.close()
       }
     })
-    // count from the snapshot, not from a directory listing a
+    // count from the replayed frame, not from a directory listing a
     // previous run may have left stale files in
-    val n = SnapshotIO.readMessages(spark, snapDir)
-      .select("topic").distinct().count()
-    Seq(s"replayed $n topics to $outDir")
+    val n = env.select("topic").distinct().count()
+    Seq(s"replayed $n topics to $outDir$tag")
   }
 
   /** `restore [--since <snapshotA>]` argument tail: `Some(None)` =
@@ -247,20 +295,9 @@ object Main {
     val (tenants, namespaces, topics) = since match {
       case None => (allTenants, allNamespaces, allTopics)
       case Some(sinceDir) =>
-        def counts(dir: String) =
-          SnapshotIO.readMessages(spark, dir)
-            .groupBy("topic").agg(count(lit(1)).as("n"))
-        val msgDelta = CatalogOps.snapshotDiff(
-            counts(sinceDir), counts(snapDir))
-          .filter(col("status").isin("added", "changed"))
-          .select("topic")
-        // message counts alone miss a topic that was CREATED but has
-        // no messages yet (it never appears in either counts side) —
-        // the catalog diff catches it, so the selective restore is
-        // never lossier than the full restore it subsets
-        val catalogAdded = allTopics.join(
-          SnapshotIO.readTopics(spark, sinceDir), Seq("topic"), "left_anti")
-        val delta = msgDelta.union(catalogAdded).distinct()
+        // added/changed message streams + created-but-empty topics
+        // (deltaTopics — the same delta replay --since re-sends)
+        val delta = deltaTopics(spark, sinceDir, snapDir)
         val topics = allTopics.join(delta, Seq("topic"), "left_semi")
         val nsOf = delta.select(regexp_extract(col("topic"),
           "persistent://([^/]+/[^/]+)/", 1).as("namespace"))
@@ -329,6 +366,33 @@ object Main {
       val p = r.getAs[String]("payload")
       val preview = if (p.length > 120) p.take(117) + "..." else p
       s"${r.getAs[String]("topic")}[${r.getAs[Long]("seq")}]$tag: $preview"
+    }
+  }
+
+  /** The segmented-store maintenance verb: measure
+    * [[graft.sources.Layout.pruningDilution]] (mean files a point
+    * lookup reads — segments accumulated by clusteredAppend each add
+    * ~1) and run the documented compaction (clusteredWrite of the
+    * union back to one globally clustered segment) only when the
+    * measured dilution exceeds the budget — policy, not a blind
+    * rewrite: compaction rewrites the whole store, so it has to buy
+    * its cost back in probe IO. */
+  private def compactStore(spark: SparkSession, root: String, key: String,
+      maxDilution: Double): Seq[String] = {
+    def num2(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+    val segs = Layout.segments(spark, root)
+    val before = Layout.pruningDilution(spark, root, key)
+    val nFiles = Layout.fileSpans(spark, root, key).count()
+    val head = s"dilution ${num2(before)} over ${segs.size} segments " +
+      s"($nFiles files; budget ${num2(maxDilution)})"
+    if (before <= maxDilution)
+      Seq(head, "within budget: no compaction needed")
+    else {
+      Layout.compact(spark, root, nFiles.toInt.max(1), col(key))
+      val after = Layout.pruningDilution(spark, root, key)
+      Seq(head,
+        s"compacted ${segs.size} segments -> 1; dilution now ${num2(after)}")
     }
   }
 

@@ -71,6 +71,77 @@ object Layout {
       .agg(min(col(key)).as("lo"), max(col(key)).as("hi"),
         count(lit(1)).as("n"))
 
+  /** Segment ids present under a [[clusteredAppend]] store root —
+    * driver-side directory listing, metadata-only. */
+  def segments(spark: org.apache.spark.sql.SparkSession,
+      root: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("seg="))
+      .map(_.stripPrefix("seg="))
+  }
+
+  /** MEASURED pruning dilution of a clustered store: the mean number
+    * of files a point lookup on `key` must read, estimated at each
+    * file's span midpoint. A freshly [[clusteredWrite]]-compacted
+    * store has disjoint spans → dilution ≈ 1.0; every appended
+    * segment ([[clusteredAppend]]) overlays another full key range,
+    * so N live segments ≈ N files per probe — this number IS the
+    * "many small segments dilute pruning" hazard, quantified. The
+    * estimate is driver-side over per-file span statistics (one row
+    * per FILE — metadata-scale, bounded like the planning lookups;
+    * production would read the same min/max straight from parquet
+    * footers / table-format manifests). Null-keyed files are ignored
+    * (they never match a point predicate). */
+  def pruningDilution(spark: org.apache.spark.sql.SparkSession,
+      root: String, key: String): Double = {
+    val spans = fileSpans(spark, root, key)
+      .filter(col("lo").isNotNull)
+      .select(col("lo").cast("double"), col("hi").cast("double"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    require(spans.nonEmpty, s"no non-null-keyed parquet files under $root")
+    val mids = spans.map { case (lo, hi) => (lo + hi) / 2.0 }
+    mids.map(m => spans.count { case (lo, hi) => lo <= m && m <= hi })
+      .sum.toDouble / mids.length
+  }
+
+  /** The compaction TRIGGER: true when measured [[pruningDilution]]
+    * exceeds `maxDilution`. The default budget of 2.0 tolerates one
+    * in-flight ingest segment over a compacted base (the steady state
+    * of an append-mostly store) and fires once further segments start
+    * multiplying probe IO — at which point [[compact]] restores
+    * dilution ≈ 1. */
+  def needsCompaction(spark: org.apache.spark.sql.SparkSession,
+      root: String, key: String, maxDilution: Double = 2.0): Boolean =
+    pruningDilution(spark, root, key) > maxDilution
+
+  /** The documented maintenance move, executed: rewrite the union of
+    * all segments as ONE globally range-clustered segment (the
+    * OPTIMIZE/compact cycle of every log-structured store). Writes to
+    * a `.compacting` sibling first and swaps directories after — a
+    * crash leaves either the old store intact or a stale sibling to
+    * clean up, never a half-written store. The swap itself is two FS
+    * operations, not one atomic commit: a production deployment gets
+    * atomicity from its table format's commit protocol, which is
+    * exactly the seam this path would plug into. The result is again
+    * a segmented store (single segment `compacted`), so
+    * [[clusteredAppend]] ingest continues unchanged afterwards. */
+  def compact(spark: org.apache.spark.sql.SparkSession, root: String,
+      numFiles: Int, keys: Column*): Unit = {
+    require(numFiles > 0, s"numFiles must be positive: $numFiles")
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val tmpPath = new org.apache.hadoop.fs.Path(root + ".compacting")
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(tmpPath, true) // a stale sibling from a crashed run
+    val df = spark.read.parquet(root).drop("seg")
+    clusteredAppend(df, tmpPath.toString, "compacted", numFiles, keys: _*)
+    require(fs.delete(rootPath, true), s"could not remove old store $root")
+    require(fs.rename(tmpPath, rootPath),
+      s"could not move compacted store into place at $root")
+  }
+
   /** Morton (Z-order) address of two dimensions: interleaves the low
     * `bits` bits of `a` (odd positions) and `b` (even positions) into
     * one long, so rows close in BOTH dimensions are close on the

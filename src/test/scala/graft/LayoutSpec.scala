@@ -118,6 +118,38 @@ class LayoutSpec extends AnyFunSuite with SparkSpec with Matchers {
     Scratch.deleteRecursively(new java.io.File(root).getParentFile)
   }
 
+  test("pruning dilution measures segment accumulation; compact restores it in place") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_layout_dil").toString + "/t"
+    def batch(lo: Int, hi: Int) =
+      (lo until hi).map(i => ((i * 7919) % 10007, s"v$i")).toDF("k", "v")
+    // one segment, disjoint spans → dilution ~1, trigger quiet
+    Layout.clusteredAppend(batch(0, 4000), root, "base", 4, col("k"))
+    Layout.pruningDilution(spark, root, "k") shouldBe 1.0 +- 0.26
+    Layout.needsCompaction(spark, root, "k") shouldBe false
+    // each appended segment overlays another full key range: a point
+    // probe now hits ~one file PER SEGMENT, and the measurement says so
+    Layout.clusteredAppend(batch(4000, 6000), root, "ingest1", 2, col("k"))
+    Layout.clusteredAppend(batch(6000, 8000), root, "ingest2", 2, col("k"))
+    Layout.clusteredAppend(batch(8000, 9000), root, "ingest3", 2, col("k"))
+    val diluted = Layout.pruningDilution(spark, root, "k")
+    diluted should be > 2.0
+    Layout.needsCompaction(spark, root, "k") shouldBe true
+    // the trigger fires → compact IN PLACE: same path, same data, one
+    // segment, dilution back to ~1, and ingest continues afterwards
+    Layout.compact(spark, root, 8, col("k"))
+    spark.read.parquet(root).count() shouldBe 9000
+    Layout.segments(spark, root) shouldBe Seq("compacted")
+    Layout.pruningDilution(spark, root, "k") shouldBe 1.0 +- 0.26
+    Layout.needsCompaction(spark, root, "k") shouldBe false
+    val probed = spark.read.parquet(root).filter(col("k") === 5000)
+      .select(input_file_name()).distinct().count()
+    probed shouldBe 1L
+    Layout.clusteredAppend(batch(9000, 9100), root, "ingest4", 1, col("k"))
+    spark.read.parquet(root).count() shouldBe 9100
+    Scratch.deleteRecursively(new java.io.File(root).getParentFile)
+  }
+
   test("the quantized at-rest layout (q101's stored shape) measures ~4x smaller than float32") {
     import graft.functions.vectors
     val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")

@@ -223,6 +223,79 @@ class MainSpec extends AnyFunSuite with SparkSpec with Matchers {
       .head should include("usage")
   }
 
+  test("replay --since re-sends only added/changed topics' messages, in order") {
+    import spark.implicits._
+    def write(dir: String, rows: Seq[(String, Long)]): Unit = {
+      val env = rows.flatMap { case (topic, n) =>
+        (0L until n).map(i => (topic, s"p$i", false,
+          Map.empty[String, String],
+          new Timestamp(1704067200000L + i), Option.empty[Timestamp],
+          Option.empty[String], i))
+      }.toDF("topic", "content", "binary_encoded", "properties",
+        "publish_ts", "event_ts", "partition_key", "seq")
+      val nat = Files.createTempDirectory("graft_rsince_nat").toString
+      SnapshotIO.writeNative(env, nat)
+      Main.run(spark, Seq("capture", nat, dir))
+    }
+    val before = Files.createTempDirectory("graft_rsince_a").toString
+    val after = Files.createTempDirectory("graft_rsince_b").toString
+    write(before, Seq("persistent://t/ns/stay" -> 2L,
+      "persistent://t/ns/grow" -> 1L))
+    write(after, Seq("persistent://t/ns/stay" -> 2L,
+      "persistent://t/ns/grow" -> 4L, "persistent://t/ns/new" -> 3L))
+    val out = Files.createTempDirectory("graft_rsince_out").toString
+    val lines = Main.run(spark,
+      Seq("replay", after, out, "--since", before))
+    lines.head should include("2 topics")
+    lines.head should include("delta since")
+    def file(t: String) = new java.io.File(out,
+      codec.sanitizeTopicStr(t) + ".txt")
+    // unchanged topics are NOT re-sent; the delta is, complete and
+    // in capture (seq) order
+    file("persistent://t/ns/stay").exists() shouldBe false
+    val grow = Files.readAllLines(file("persistent://t/ns/grow").toPath)
+    grow.size() shouldBe 4
+    (0 until 4).foreach { i =>
+      new String(java.util.Base64.getDecoder.decode(grow.get(i)),
+        "UTF-8") shouldBe s"p$i"
+    }
+    file("persistent://t/ns/new").exists() shouldBe true
+    // full replay (no --since) is unchanged by the feature
+    val full = Files.createTempDirectory("graft_rsince_full").toString
+    Main.run(spark, Seq("replay", after, full)).head should include("3 topics")
+    new java.io.File(full,
+      codec.sanitizeTopicStr("persistent://t/ns/stay") + ".txt")
+      .exists() shouldBe true
+  }
+
+  test("compact verb reports dilution, rewrites only when over budget") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import graft.sources.Layout
+    val root = Files.createTempDirectory("graft_main_cmp").toString + "/s"
+    def batch(lo: Int, hi: Int) =
+      (lo until hi).map(i => ((i * 7919) % 10007, s"v$i")).toDF("k", "v")
+    Layout.clusteredAppend(batch(0, 3000), root, "base", 3, col("k"))
+    // one segment: under budget, verb must NOT rewrite
+    val quiet = Main.run(spark, Seq("compact", root, "k"))
+    quiet.head should include("1 segments")
+    quiet.last should include("no compaction needed")
+    Layout.segments(spark, root) shouldBe Seq("base")
+    // three more segments: over budget, verb compacts and reports
+    Layout.clusteredAppend(batch(3000, 5000), root, "i1", 2, col("k"))
+    Layout.clusteredAppend(batch(5000, 7000), root, "i2", 2, col("k"))
+    Layout.clusteredAppend(batch(7000, 8000), root, "i3", 2, col("k"))
+    val acted = Main.run(spark, Seq("compact", root, "k"))
+    acted.head should include("4 segments")
+    acted.last should include("compacted 4 segments -> 1")
+    Layout.segments(spark, root) shouldBe Seq("compacted")
+    spark.read.parquet(root).count() shouldBe 8000
+    // malformed budget arg → usage, not an exception
+    Main.run(spark, Seq("compact", root, "k", "notanumber"))
+      .head should include("usage:")
+    Scratch.deleteRecursively(new java.io.File(root).getParentFile)
+  }
+
   test("unknown command prints usage") {
     Main.run(spark, Seq("frobnicate")).head should include("usage")
     // malformed numeric args print usage instead of throwing
