@@ -241,7 +241,17 @@ object Multimodal {
     * MIDI provider — which still held the kernel at ~10 s (measured;
     * a reader pinned up front runs 0.36 s). Move-to-front makes a
     * homogeneous corpus hit the right provider first from the second
-    * row on, while mixed corpora keep the full fallback chain. */
+    * row on, while mixed corpora keep the full fallback chain.
+    *
+    * Resource posture (the [[decodeImageStats]] disposal-audit
+    * question, answered for this path): each payload's
+    * AudioInputStream is opened and closed within ONE `next()` call
+    * (`finally ais.close()`), so a decode failure or a downstream
+    * early termination (limit) leaves nothing open across rows; the
+    * cached AudioFileReader providers are stateless service objects
+    * with no native or heap decode buffers. Unlike ImageReader, there
+    * is nothing a task-completion listener would need to release —
+    * the hook is deliberately absent, not forgotten. */
   def decodeAudioStats(rows: Iterator[Row]): Iterator[AudioStats] = {
     var readers = {
       val it = java.util.ServiceLoader

@@ -180,6 +180,41 @@ class ConnectorSpec extends AnyFunSuite with SparkSpec with Matchers {
       graft.operators.AudioStats](bad, Multimodal.decodeAudioStats).collect()
   }
 
+  test("multimodal: stereo and big-endian PCM decode through the same kernel") {
+    import spark.implicits._
+    def jdkContainer(fmt: javax.sound.sampled.AudioFormat,
+        pcm: Array[Byte], frames: Long,
+        tpe: javax.sound.sampled.AudioFileFormat.Type): Array[Byte] = {
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais, tpe, bos)
+      bos.toByteArray
+    }
+    // stereo little-endian WAV: 2 frames of (L, R) samples
+    val stereo = jdkContainer(
+      new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false),
+      Array[Short](100, -200, 300, -400).flatMap(s =>
+        Array((s & 0xFF).toByte, ((s >> 8) & 0xFF).toByte)),
+      frames = 2, javax.sound.sampled.AudioFileFormat.Type.WAVE)
+    // big-endian 16-bit PCM rides the AIFF container (WAV is
+    // little-endian by spec; AIFF is the big-endian interchange twin)
+    val aiff = jdkContainer(
+      new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true),
+      Array[Short](100, -200, 300, -400).flatMap(s =>
+        Array(((s >> 8) & 0xFF).toByte, (s & 0xFF).toByte)),
+      frames = 4, javax.sound.sampled.AudioFileFormat.Type.AIFF)
+    // ONE partition, mixed containers: the move-to-front provider
+    // cache must keep falling back to the right reader per payload
+    val df = Seq((1L, stereo), (2L, aiff)).toDF("id", "payload").coalesce(1)
+    val stats = Multimodal.decodePartitions[graft.operators.AudioStats](
+      df, Multimodal.decodeAudioStats).collect().sortBy(_.id)
+    // stereo: 2 frames x 2 channels, mean |amp| over all samples;
+    // AIFF: 4 mono frames — same DECODED statistic either way
+    stats(0) shouldBe graft.operators.AudioStats(1L, 2, 8000, 2, 250.0)
+    stats(1) shouldBe graft.operators.AudioStats(2L, 4, 8000, 1, 250.0)
+  }
+
   test("K4: rate stream → producer sink seam delivers generated messages") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_prod_ckpt").toString
     ConnectorSpec.sent.clear()

@@ -56,6 +56,67 @@ class RecallSpec extends AnyFunSuite with SparkSpec with Matchers {
     hit.toDouble / total should be >= 0.95
   }
 
+  test("the at-rest quantized composition (q101/q104) finds planted neighbors end-to-end") {
+    // the FULL stored pipeline, not just the bucket-distance proxy:
+    // quantize -> clusteredWrite -> probe-ball prune -> dequantized
+    // shortlist -> exact re-rank. Quantization drift (scale math,
+    // codes, dequantized ranking) that silently eroded the capstone's
+    // recall would pass the radius test above but fail here.
+    val emb = plantNearDups(base, 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = emb.count()
+    val nPlanes = Similarity.planesForSize(n)
+    val planes = vectors.planeMatrix(97L, nPlanes, dim)
+    val radius = Similarity.probeRadiusForRecall(
+      nPlanes, simFloor = 0.9, targetMiss = 0.15)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_recall_store").toString + "/s"
+    graft.sources.Layout.clusteredWrite(
+      emb.withColumn("scale", vectors.quantizeScale(col("embedding")))
+        .select(col("vec_id"),
+          vectors.hyperplaneBucketFast(col("embedding"), planes)
+            .as("bucket"),
+          vectors.quantizeInt8(col("embedding"), col("scale")).as("codes"),
+          col("scale")),
+      store, numFiles = 8, col("bucket"))
+    val at = spark.read.parquet(store)
+    // a deterministic sample of planted originals; each must surface
+    // its replica (vec_id + 1, cos ~ 0.9998) in the served top-5
+    val qids: Seq[Long] = (0L until 24L by 2L)
+    val qrows = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id"), col("embedding"),
+        vectors.hyperplaneBucketFast(col("embedding"), planes).as("bucket"))
+      .collect()
+    qrows.length shouldBe qids.length
+    val hits = qrows.count { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Float](1)
+      val probes = Similarity.probeBuckets(r.getLong(2), nPlanes, radius)
+      val short = at
+        .filter(col("bucket").isin(probes: _*) && col("vec_id") =!= qid)
+        .orderBy(
+          vectors.cosineFast(
+            vectors.dequantizeInt8(col("codes"), col("scale")),
+            typedLit(qv)).desc,
+          col("vec_id"))
+        .limit(20)
+        .select("vec_id")
+      val top = emb.join(short, Seq("vec_id"), "left_semi")
+        .orderBy(vectors.cosineFast(col("embedding"), typedLit(qv)).desc,
+          col("vec_id"))
+        .limit(5)
+        .select("vec_id").collect().map(_.getLong(0))
+      top.contains(qid + 1)
+    }
+    emb.unpersist(blocking = false)
+    Scratch.deleteRecursively(
+      new java.io.File(store).getParentFile)
+    // contract tier: miss <= 15% per planted neighbor (the derived
+    // radius); PLANS.md measures 0.97-1.00 for the composition at this
+    // scale — assert with finite-sample margin (deterministic fixture)
+    hits.toDouble / qids.length should be >= 0.84
+  }
+
   test("multi-probe radius: derived radius meets its planted contract; recall is monotone in radius") {
     val emb = plantNearDups(base, 2)
     val n = emb.count()
