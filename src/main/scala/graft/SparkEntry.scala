@@ -889,7 +889,7 @@ object SparkEntry {
       // so the scoring projection is computed ONCE, not once per join
       // side — one shuffle on the dedup key, same min-id keeper
       val withScores = text.langMarkers.foldLeft(
-        Relational.widenForCpu(t(s, dir, "documents"))
+        Relational.widenForCpu(t(s, dir, "documents"), col("doc_id"))
           .withColumn("toks", text.tokens(col("text")))) {
         case (d, (l, m)) =>
           d.withColumn(s"s_$l", text.langScore(col("toks"), m))
@@ -1088,7 +1088,7 @@ object SparkEntry {
     "q63_pii_redact" -> ((s, dir) => {
       // widenForCpu: three regex passes per row at scan time — same
       // single-split hazard as q69
-      val injected = Relational.widenForCpu(t(s, dir, "documents"))
+      val injected = Relational.widenForCpu(t(s, dir, "documents"), col("doc_id"))
         .withColumn("text2",
         when(col("doc_id") % 3 === 0,
           concat(col("text"), lit(" contact user"),
@@ -1253,7 +1253,7 @@ object SparkEntry {
       // widenForCpu: the trigram kernel costs ~9 cpu-s at sf0.1 and the
       // single-file documents scan plans ONE split — without widening
       // the whole kernel runs on 1-2 cores (r7's one perf-weak finding)
-      val injected = Relational.widenForCpu(t(s, dir, "documents"))
+      val injected = Relational.widenForCpu(t(s, dir, "documents"), col("doc_id"))
         .withColumn("text2",
         when(col("doc_id") % 7 === 0,
           concat(col("text"), lit(q69RepeatedPhrase)))
@@ -1277,7 +1277,7 @@ object SparkEntry {
     "q70_quality_percentile" -> ((s, dir) => {
       // widenForCpu: tokenize + per-language scoring before the window
       // shuffle — same single-split hazard as q69
-      val base = Relational.widenForCpu(t(s, dir, "documents"))
+      val base = Relational.widenForCpu(t(s, dir, "documents"), col("doc_id"))
         .withColumn("toks", text.tokens(col("text")))
       val scored = text.langMarkers.foldLeft(base) {
         case (d, (l, m)) =>

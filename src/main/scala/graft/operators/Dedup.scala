@@ -34,7 +34,11 @@ object Dedup {
     * (codegen'd row kernel — see text.wordShinglesFast). */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    docs.select(
+    // widenForCpu: tokenize+shingle is whole CPU-seconds per million
+    // tokens and a one-file corpus scan plans ~1 split (the q69
+    // hazard) — widen BEFORE the kernel so the cost scales with
+    // cores, not input files; a no-op on already-wide inputs
+    Relational.widenForCpu(docs, col(idCol)).select(
       col(idCol).as("doc"),
       text.wordShinglesFast(col(textCol), n).as("shingles"))
 
@@ -239,7 +243,10 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, k: Int): DataFrame =
     signaturesFromBaseHashes(
-      docs.select(
+      // widenForCpu: same scan-width policy as shingleSets — the
+      // tokenize+shingle explode below is the signature job's
+      // dominant per-row cost
+      Relational.widenForCpu(docs, col(idCol)).select(
           col(idCol).as("doc"),
           explode(text.wordShingles(text.tokens(col(textCol)), shingleN))
             .as("shingle"))
@@ -531,7 +538,8 @@ object Dedup {
     require(keyBlocks * blockBits <= 63,
       s"packed key is ${keyBlocks * blockBits} bits; must fit a long")
     val mask = (1L << blockBits) - 1
-    val fp = docs.select(col(idCol).as("doc"),
+    // widenForCpu: tokenize+simhash is the heavy scan-time kernel here
+    val fp = Relational.widenForCpu(docs, col(idCol)).select(col(idCol).as("doc"),
       simhashFast(text.tokens(col(textCol)), width).as("fp"))
     def blockVal(b: Int): Column =
       shiftrightunsigned(col("fp"), b * blockBits).bitwiseAND(lit(mask))
@@ -852,7 +860,9 @@ object Dedup {
     // BOTH the support aggregate and the join probe side — persist so
     // it runs once (see ngramJaccardPairs for the pattern rationale);
     // the per-doc result is materialized before the cache is released
-    val pos = docs.select(
+    // widenForCpu: the positional explode multiplies rows ~tokens×,
+    // so the narrow input must already be full-width going in
+    val pos = Relational.widenForCpu(docs, col(idCol)).select(
       col(idCol).as("doc") +: carryCols.map(col) :+
         explode(text.positionalShingles(text.tokens(col(textCol)), n))
           .as("g"): _*)

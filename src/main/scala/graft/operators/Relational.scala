@@ -223,10 +223,38 @@ object Relational {
     * turning a serial scan full-width — same convention as the
     * q92/q102 codec kernels' repartition-ids-before-decode. Policy,
     * not luck: call this at every seam where a scan feeds a heavy
-    * kernel, and let the check decide. */
-  def widenForCpu(df: DataFrame): DataFrame = {
+    * kernel, and let the check decide.
+    *
+    * Pass a unique-ish `key` when the input has one (doc/vec ids):
+    * hash distribution is deterministic per row, so it skips the
+    * whole-row local sort Spark prepends to ROUND-ROBIN exchanges for
+    * retry determinism (spark.sql.execution.sortBeforeRepartition) —
+    * on wide text rows recomputed across join branches that sort
+    * measured 5× the kernel's own CPU (q30: 11 → 65 cpu-s). Keyless
+    * inputs fall back to round-robin and pay it knowingly. */
+  def widenForCpu(df: DataFrame, key: Column*): DataFrame = {
+    // streaming frames can't be partition-counted (and micro-batches
+    // are width-planned by the engine): pass through untouched
+    if (df.isStreaming) return df
+    // an input whose plan already shuffles (aggregate/join/window/…)
+    // has spark.sql.shuffle.partitions-governed width — treat as wide
+    // WITHOUT physically planning it: the .rdd width probe below
+    // re-plans the input subtree, which is milliseconds for a narrow
+    // scan chain but whole SECONDS of driver CPU for the big composed
+    // prep pipelines (measured: q66 3.4 s → 10.8 s when this probe ran
+    // on its derived dedup inputs). The one-hot-file hazard this
+    // policy exists for lives below the first shuffle by definition.
+    import org.apache.spark.sql.catalyst.plans.{logical => L}
+    val shuffled = df.queryExecution.analyzed.exists {
+      case _: L.Aggregate | _: L.Join | _: L.Sort | _: L.Window |
+          _: L.Distinct | _: L.Deduplicate | _: L.RepartitionOperation |
+          _: L.GlobalLimit | _: L.Except | _: L.Intersect => true
+      case _ => false
+    }
+    if (shuffled) return df
     val cores = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= cores) df
+    else if (key.nonEmpty) df.repartition(cores, key: _*)
     else df.repartition(cores)
   }
 
