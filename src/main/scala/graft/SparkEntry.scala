@@ -2204,6 +2204,67 @@ object SparkEntry {
           "q104: registered index did not serve the top-k")
         materializeThenClean(s, res, root)
       } finally graft.plans.AnnIndex.unregister(s, "q104")
+    }),
+
+    // ── NS line-level boilerplate dedup (the CCNet/C4 paragraph
+    // cut): injected nav/footer lines cross the df threshold and are
+    // stripped from every document; a doc's own body line survives
+    // unless the fixture's exact-dup groups push it over maxDf too
+    // (the oracle mirrors whatever the threshold decides). The
+    // corpus never shuffles: support agg → one broadcast hot row →
+    // per-row array filter (Dedup.stripHotLines scaladoc) ──
+    "q105_line_dedup" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(lit(q105NavLine + "\n"), col("text"),
+            lit("\n" + q105FooterLine)))
+          .when(col("doc_id") % 3 === 1,
+            concat(col("text"), lit("\n" + q105FooterLine)))
+          .otherwise(col("text")))
+      Dedup.stripHotLines(injected, "doc_id", "text", maxDf = 5)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("lines_before")).as("lines_before"),
+          sum(col("lines_kept")).as("lines_kept"),
+          sum(length(col("text"))).as("chars_after"))
+    }),
+
+    // ── NS unigram-LM log-loss filter (the KenLM-quality shape with
+    // the n-gram order cut to 1): the model is trained on the corpus
+    // itself in one aggregate, broadcast as a map, and every doc is
+    // scored by a per-row fold — two scans, zero corpus shuffles
+    // (CorpusStats.unigramLogLoss scaladoc). Injected unique junk
+    // tokens are OOV to the smoothed model and drive the flagged
+    // count ──
+    "q106_unigram_loss" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" qz"),
+            (col("doc_id") * 7919 % 100003).cast("string"),
+            lit("wx zv"),
+            (col("doc_id") * 104729 % 100003).cast("string"),
+            lit("qj wq"),
+            (col("doc_id") * 1299709 % 100003).cast("string"),
+            lit("zx jx"),
+            (col("doc_id") * 15485863L % 100003).cast("string"),
+            lit("qv xq"),
+            (col("doc_id") * 32452843L % 100003).cast("string"),
+            lit("vz zq"),
+            (col("doc_id") * 49979687L % 100003).cast("string"),
+            lit("xj qx"),
+            (col("doc_id") * 67867967L % 100003).cast("string"),
+            lit("jz vx"),
+            (col("doc_id") * 86028121L % 100003).cast("string"),
+            lit("zj")))
+          .otherwise(col("text")))
+      CorpusStats.unigramLogLoss(injected, "doc_id", "text",
+          minCount = 3)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(round(col("nll"), 6) > q106Cut, 1L).otherwise(0L))
+            .as("n_flagged"),
+          sum(round(col("nll"), 6).cast("decimal(20,6)"))
+            .cast("double").as("sum_nll"))
     })
   )
 
@@ -2216,6 +2277,24 @@ object SparkEntry {
     * oracle SQL verbatim — the corpus has near-zero natural trigram
     * repetition, so the signal needs deterministic positives). */
   private val q69RepeatedPhrase: String = " the quick brown fox" * 4
+
+  /** q105's injected boilerplate lines (driver-side literals,
+    * mirrored into the oracle SQL verbatim — plain ASCII, no quotes,
+    * so they interpolate into both engines unescaped). */
+  private val q105NavLine: String =
+    "NAV home products pricing docs contact"
+  private val q105FooterLine: String =
+    "COPYRIGHT example corp all rights reserved"
+
+  /** q106's flag threshold on the ROUNDED mean negative log-loss
+    * (both engines compare round(nll, 6) so the cut is decided on
+    * identical 6-decimal values). Measured gate-SF distributions:
+    * clean docs max ≈ 3.72, junk-injected min ≈ 3.93 at sf0.001 and
+    * sf0.01 — 3.8 splits the gap. At sf0.1 the clean tail crosses it
+    * (max ≈ 4.02): a few long-tail docs flag too, deterministically
+    * on both engines, which is the realistic behavior of a fixed
+    * perplexity cut as the corpus grows. */
+  private val q106Cut: Double = 3.8
 
   /** q67's hot-key planning statistic (driver-side literal, mirrored
     * conceptually by the oracle's plain join — hotness affects only
@@ -3760,7 +3839,80 @@ object SparkEntry {
            |  SELECT s.vec_id, ${cos("s.emb", "q.q_emb")} AS cos_exact
            |  FROM shortlist s, q
            |  ORDER BY cos_exact DESC, s.vec_id LIMIT 5)""".stripMargin
-      }
+      },
+
+      "q105_line_dedup" ->
+        s"""WITH injected AS (
+           |  SELECT doc_id, source,
+           |    CASE WHEN doc_id % 3 = 0
+           |        THEN '$q105NavLine' || chr(10) || text || chr(10)
+           |          || '$q105FooterLine'
+           |      WHEN doc_id % 3 = 1
+           |        THEN text || chr(10) || '$q105FooterLine'
+           |      ELSE text END AS text
+           |  FROM documents),
+           |l AS (SELECT doc_id, unnest(string_split(text, chr(10)))
+           |    AS line FROM injected),
+           |sup AS (SELECT line, COUNT(DISTINCT doc_id) AS df
+           |  FROM l GROUP BY line),
+           |hot AS (SELECT coalesce(list(line), []) AS hl
+           |  FROM sup WHERE df > 5),
+           |c AS (SELECT i.doc_id, i.source,
+           |    len(string_split(i.text, chr(10))) AS lines_before,
+           |    list_filter(string_split(i.text, chr(10)),
+           |      x -> NOT list_contains(h.hl, x)) AS keep
+           |  FROM injected i CROSS JOIN hot h)
+           |SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(lines_before) AS BIGINT) AS lines_before,
+           |  CAST(SUM(len(keep)) AS BIGINT) AS lines_kept,
+           |  CAST(SUM(length(array_to_string(keep, chr(10))))
+           |    AS BIGINT) AS chars_after
+           |FROM c GROUP BY source""".stripMargin,
+
+      "q106_unigram_loss" ->
+        s"""WITH injected AS (
+           |  SELECT doc_id, source,
+           |    CASE WHEN doc_id % 11 = 0
+           |      THEN text || ' qz' ||
+           |        CAST(doc_id * 7919 % 100003 AS VARCHAR) ||
+           |        'wx zv' ||
+           |        CAST(doc_id * 104729 % 100003 AS VARCHAR) ||
+           |        'qj wq' ||
+           |        CAST(doc_id * 1299709 % 100003 AS VARCHAR) ||
+           |        'zx jx' ||
+           |        CAST(doc_id * 15485863 % 100003 AS VARCHAR) ||
+           |        'qv xq' ||
+           |        CAST(doc_id * 32452843 % 100003 AS VARCHAR) ||
+           |        'vz zq' ||
+           |        CAST(doc_id * 49979687 % 100003 AS VARCHAR) ||
+           |        'xj qx' ||
+           |        CAST(doc_id * 67867967 % 100003 AS VARCHAR) ||
+           |        'jz vx' ||
+           |        CAST(doc_id * 86028121 % 100003 AS VARCHAR) || 'zj'
+           |      ELSE text END AS text
+           |  FROM documents),
+           |t0 AS (SELECT doc_id, source, $sqlTokens AS toks
+           |  FROM injected),
+           |tk AS (SELECT unnest(toks) AS tok FROM t0),
+           |counts AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok),
+           |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n,
+           |    CAST(COUNT(*) AS DOUBLE) AS v FROM counts),
+           |vocab AS (SELECT map(list(tok ORDER BY tok),
+           |    list(c ORDER BY tok)) AS m FROM counts WHERE c >= 3),
+           |sc AS (SELECT t0.doc_id, t0.source, len(toks) AS n_tok,
+           |    CASE WHEN len(toks) = 0 THEN NULL ELSE
+           |      list_reduce(list_transform(toks, tk ->
+           |        -ln((CAST(coalesce(
+           |            list_extract(map_extract(v.m, tk), 1), 0)
+           |          AS DOUBLE) + 1.0) / (tot.n + tot.v))),
+           |        (a, b) -> a + b) / len(toks) END AS nll
+           |  FROM t0 CROSS JOIN vocab v CROSS JOIN tot)
+           |SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(CASE WHEN round(nll, 6) > $q106Cut
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           |  CAST(SUM(CAST(round(nll, 6) AS DECIMAL(20,6)))
+           |    AS DOUBLE) AS sum_nll
+           |FROM sc GROUP BY source""".stripMargin
     )
   }
 }

@@ -55,4 +55,60 @@ object CorpusStats {
     pairs.unpersist(blocking = false)
     out
   }
+
+  /** Unigram language-model log-loss per document: train a Laplace-
+    * smoothed unigram LM on the corpus itself, then score every
+    * document by its mean negative log-likelihood — the cheap
+    * perplexity-style quality signal (the KenLM-filter shape from the
+    * CCNet pipeline, with the n-gram order cut to 1 so the model is
+    * one aggregate). Low loss = tokens the corpus considers ordinary;
+    * high loss = gibberish, mojibake, or off-distribution text.
+    * p(tok) = (c(tok) + 1) / (N + V) with c = corpus count (0 for
+    * out-of-vocabulary), N = total tokens, V = distinct tokens.
+    * Returns the input plus `n_tok` and `nll` (null for empty docs).
+    *
+    * Scale shape (100 TB): the model build is ONE hash aggregate over
+    * the token stream (map-side combine collapses each partition's
+    * vocabulary first) reduced to a single broadcast row — vocabulary
+    * grows ~log with corpus size, not linearly, and `maxVocab` fails
+    * loudly if `minCount` is set so low the map would not broadcast.
+    * Scoring is then a pure per-row fold over the token array against
+    * the broadcast map: the corpus is scanned twice but NEVER
+    * shuffled. The fold order is the token order, so the double sum
+    * is deterministic (an exploded avg() would be partition-order
+    * sensitive in the last ulp). */
+  def unigramLogLoss(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long, maxVocab: Int = 4000000): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    val counts = docs
+      .select(explode(text.tokens(col(textCol))).as("_lm_tok"))
+      .groupBy(col("_lm_tok")).agg(count(lit(1)).as("_lm_c"))
+    // one row: the smoothing constants see the FULL vocabulary; the
+    // broadcast map keeps only tokens worth storing (c >= minCount —
+    // rare tokens score ~like OOV anyway, so the map stays small)
+    val model = counts.agg(
+      sum(col("_lm_c")).cast("double").as("_lm_n"),
+      count(lit(1)).cast("double").as("_lm_v"),
+      map_from_entries(sort_array(collect_list(
+        when(col("_lm_c") >= minCount,
+          struct(col("_lm_tok"), col("_lm_c"))))))
+        .as("_lm_map"))
+    val guarded = when(size(map_keys(col("_lm_map"))) > maxVocab,
+      raise_error(concat(
+        lit(s"unigramLogLoss: vocabulary exceeds $maxVocab ("),
+        size(map_keys(col("_lm_map"))).cast("string"),
+        lit(s") — raise minCount=$minCount for this corpus"))))
+      .otherwise(col("_lm_map"))
+    val toks = text.tokens(col(textCol))
+    val nll = aggregate(toks, lit(0.0d),
+      (acc, t) => acc - log(
+        (coalesce(element_at(guarded, t), lit(0L)).cast("double") + 1.0d)
+          / (col("_lm_n") + col("_lm_v"))))
+    docs.crossJoin(broadcast(model))
+      .withColumn("n_tok", size(toks))
+      .withColumn("nll",
+        when(col("n_tok") === 0, lit(null).cast("double"))
+          .otherwise(nll / col("n_tok")))
+      .drop("_lm_n", "_lm_v", "_lm_map")
+  }
 }

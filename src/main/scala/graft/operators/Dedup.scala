@@ -878,4 +878,52 @@ object Dedup {
     pos.unpersist(blocking = false)
     out
   }
+
+  /** Line-level boilerplate removal (the CCNet/C4 paragraph-dedup
+    * cut, Wenzek et al. 2020; the reference has no analog): a line
+    * occurring in more than `maxDf` DISTINCT documents is boilerplate
+    * (nav menus, cookie banners, copyright footers) and is stripped
+    * from every document, preserving the order of surviving lines.
+    * Returns the input with `textCol` rewritten plus `lines_before` /
+    * `lines_kept` counters.
+    *
+    * Scale shape (100 TB): the only corpus-wide shuffle is the
+    * line-support aggregate, and countDistinct's partial expand
+    * dedups (line, doc) map-side so a page's repeated line collapses
+    * before the exchange. The hot set is reduced to ONE row — by
+    * definition of boilerplate (df > maxDf) it is tiny relative to
+    * the corpus — and broadcast back, so the documents themselves
+    * NEVER shuffle: the strip is a per-row array filter against the
+    * broadcast set. `maxHotLines` guards the broadcast: a
+    * misconfigured maxDf (below the corpus's natural duplication
+    * rate) would balloon the hot set, and the query fails loudly at
+    * execution instead of OOMing the driver. */
+  def stripHotLines(docs: DataFrame, idCol: String, textCol: String,
+      maxDf: Long, maxHotLines: Int = 1000000): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1: $maxDf")
+    val support = docs
+      .select(col(idCol).as("_hl_doc"),
+        explode(split(col(textCol), "\n")).as("_hl_line"))
+      .groupBy(col("_hl_line"))
+      .agg(countDistinct(col("_hl_doc")).as("_hl_df"))
+    // one row, empty array when nothing is hot; sorted so the
+    // broadcast payload is deterministic
+    val hot = support.filter(col("_hl_df") > maxDf)
+      .agg(sort_array(collect_list(col("_hl_line"))).as("_hl_hot"))
+    val guarded = when(size(col("_hl_hot")) > maxHotLines,
+      raise_error(concat(
+        lit(s"stripHotLines: hot-line set exceeds $maxHotLines ("),
+        size(col("_hl_hot")).cast("string"),
+        lit(s") — maxDf=$maxDf is below this corpus's natural " +
+          "duplication rate"))))
+      .otherwise(col("_hl_hot"))
+    docs.crossJoin(broadcast(hot))
+      .withColumn("_hl_keep",
+        filter(split(col(textCol), "\n"),
+          x => !array_contains(guarded, x)))
+      .withColumn("lines_before", size(split(col(textCol), "\n")))
+      .withColumn("lines_kept", size(col("_hl_keep")))
+      .withColumn(textCol, array_join(col("_hl_keep"), "\n"))
+      .drop("_hl_hot", "_hl_keep")
+  }
 }

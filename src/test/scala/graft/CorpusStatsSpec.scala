@@ -37,4 +37,46 @@ class CorpusStatsSpec extends AnyFunSuite with SparkSpec with Matchers {
     // alpha/beta have df 2 = maxDf → rare; doc 3 has no tokens → absent
     out shouldBe Map(1L -> ((2L, 2L)), 2L -> ((2L, 2L)))
   }
+
+  test("unigramLogLoss scores docs by Laplace-smoothed mean -ln p") {
+    import spark.implicits._
+    // corpus: a×3, b×1, c×1 → N=5, V=3; p(tok) = (c+1)/8
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = CorpusStats.unigramLogLoss(docs, "doc_id", "text",
+        minCount = 1)
+      .select("doc_id", "n_tok", "nll").as[(Long, Int, Double)]
+      .collect().map { case (d, n, s) => d -> ((n, s)) }.toMap
+    val pA = 4.0 / 8; val pB = 2.0 / 8; val pC = 2.0 / 8
+    out(1L)._1 shouldBe 3
+    out(1L)._2 shouldBe
+      (-(math.log(pA) + math.log(pA) + math.log(pB)) / 3) +- 1e-12
+    out(2L)._2 shouldBe
+      (-(math.log(pA) + math.log(pC)) / 2) +- 1e-12
+  }
+
+  test("unigramLogLoss: sub-minCount tokens score as OOV; empty docs score null") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a"), (2L, "a b"), (3L, " "))
+      .toDF("doc_id", "text")
+    // N=5, V=2; minCount=2 keeps only 'a' in the map, so 'b' (c=1)
+    // falls back to the OOV numerator 0+1 — same as a never-seen token
+    val out = CorpusStats.unigramLogLoss(docs, "doc_id", "text",
+        minCount = 2)
+      .select("doc_id", "nll").as[(Long, Option[Double])]
+      .collect().toMap
+    val pA = 5.0 / 7; val pOov = 1.0 / 7
+    out(2L).get shouldBe
+      (-(math.log(pA) + math.log(pOov)) / 2) +- 1e-12
+    out(3L) shouldBe None
+  }
+
+  test("unigramLogLoss fails loudly when the vocabulary exceeds the broadcast guard") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      CorpusStats.unigramLogLoss(docs, "doc_id", "text",
+        minCount = 1, maxVocab = 2).collect()
+    }
+    ex.getMessage should include("vocabulary exceeds")
+  }
 }

@@ -364,4 +364,41 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
       .as[(Long, Boolean)].collect().toMap
     none.values.toSet shouldBe Set(false)
   }
+
+  test("stripHotLines strips df>maxDf lines everywhere, preserving line order") {
+    import spark.implicits._
+    // HOT appears in 4 distinct docs (twice in doc 4 — distinct
+    // semantics count it once); HOT2 in exactly 2 → at maxDf=2 only
+    // HOT is boilerplate
+    val docs = Seq(
+      (1L, "HOT\nalpha\nHOT2"),
+      (2L, "HOT\nbeta\nHOT2"),
+      (3L, "gamma\nHOT"),
+      (4L, "HOT\nHOT")).toDF("doc_id", "text")
+    val out = Dedup.stripHotLines(docs, "doc_id", "text", maxDf = 2)
+      .select("doc_id", "text", "lines_before", "lines_kept")
+      .as[(Long, String, Int, Int)].collect()
+      .map { case (d, t, b, k) => d -> ((t, b, k)) }.toMap
+    out(1L) shouldBe (("alpha\nHOT2", 3, 2))
+    out(2L) shouldBe (("beta\nHOT2", 3, 2))
+    out(3L) shouldBe (("gamma", 2, 1))
+    // a doc that was ALL boilerplate survives as an empty row — the
+    // caller decides whether to drop empties
+    out(4L) shouldBe (("", 2, 0))
+  }
+
+  test("stripHotLines: no hot lines is a no-op; the broadcast guard fails loudly") {
+    import spark.implicits._
+    val docs = Seq((1L, "a\nb"), (2L, "c")).toDF("doc_id", "text")
+    val clean = Dedup.stripHotLines(docs, "doc_id", "text", maxDf = 1)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    clean shouldBe Map(1L -> "a\nb", 2L -> "c")
+    val hotDocs = Seq((1L, "x"), (2L, "x"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Dedup.stripHotLines(hotDocs, "doc_id", "text", maxDf = 1,
+        maxHotLines = 0).collect()
+    }
+    ex.getMessage should include("hot-line set exceeds")
+  }
 }

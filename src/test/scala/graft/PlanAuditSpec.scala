@@ -43,12 +43,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec with Matchers {
     * documented at its registration: 1-row query vectors (q28, q42),
     * 1-row bounds aggregates (q88), the spread-broadcast dense-regime
     * all-pairs (q27), bounded fixture/probe constructions (q29, q39,
-    * q62, q91), and the interval join's non-equi range condition over
-    * a bounded probe set (q68). */
+    * q62, q91), the interval join's non-equi range condition over
+    * a bounded probe set (q68), and the 1-row broadcast model/hot-set
+    * rows of the corpus-scoring passes (q105 hot-line set, q106
+    * unigram model — both size-guarded with raise_error). */
   private val allowBnlj = Set(
     "q27_jaccard_pairs", "q28_ann_bruteforce", "q29_neardup_embeddings",
     "q39_cli_parse", "q42_ann_ivf", "q62_neardup_auto", "q68_range_join",
-    "q88_gap_fill", "q91_sql_cosine", "q100_quantized_topk")
+    "q88_gap_fill", "q91_sql_cosine", "q100_quantized_topk",
+    "q105_line_dedup", "q106_unigram_loss")
 
   private def operators(p: SparkPlan): Seq[SparkPlan] = {
     val self = p match {
