@@ -2265,6 +2265,28 @@ object SparkEntry {
             .as("n_flagged"),
           sum(round(col("nll"), 6).cast("decimal(20,6)"))
             .cast("double").as("sum_nll"))
+    }),
+
+    // ── NS dedup: SemDeDup-style semantic dedup — cluster-bounded
+    // near-dup marking over embeddings (Similarity.semanticDedup
+    // scaladoc: one shuffle on cell, quadratic only within a cell).
+    // Planted exact replicas of every 7th vector are the entire
+    // positive set: the natural fixture has zero pairs anywhere near
+    // cos 0.99 (PLANS.md's measured property), so the threshold sits
+    // in a wide deterministic gap and both engines agree on every
+    // pair decision. Per-cell summary: occupancy, dup count, keeper
+    // checksum ──
+    "q107_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = emb.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          col("embedding"))
+      Similarity.semanticDedup(emb.unionByName(planted), ivfCentroids,
+          threshold = 0.99)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"),
+          coalesce(sum(col("dup_of")), lit(0L)).as("sum_dup_of"))
     })
   )
 
@@ -3912,7 +3934,52 @@ object SparkEntry {
            |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
            |  CAST(SUM(CAST(round(nll, 6) AS DECIMAL(20,6)))
            |    AS DOUBLE) AS sum_nll
-           |FROM sc GROUP BY source""".stripMargin
+           |FROM sc GROUP BY source""".stripMargin,
+
+      "q107_semantic_dedup" -> {
+        // same centroid-literal assignment mirror as q42 (row_number
+        // over (dist, cell) ties-to-lower-id = the kernel's contract),
+        // over the planted-replica corpus
+        val cents = "[" + ivfCentroids.map(c =>
+          "[" + c.map(sqlDouble).mkString(",") + "]").mkString(",") +
+          "]::DOUBLE[][]"
+        def sqDist(vec: String, cent: String) =
+          s"list_reduce(list_transform(range(1, ${embDim + 1}), " +
+            s"i -> (CAST($vec[i] AS DOUBLE) - $cent[i]) * " +
+            s"(CAST($vec[i] AS DOUBLE) - $cent[i])), (a,b) -> a+b)"
+        val cos = s"${sqlDotVec("a.embedding", "b.embedding")} / " +
+          s"(sqrt(${sqlDotVec("a.embedding", "a.embedding")}) * " +
+          s"sqrt(${sqlDotVec("b.embedding", "b.embedding")}))"
+        s"""WITH cents AS (SELECT $cents AS m),
+           |cells AS (SELECT unnest(range(0, ${ivfCentroids.size})) AS cell),
+           |corpus AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 1000000, embedding FROM embeddings
+           |  WHERE vec_id % 7 = 0),
+           |dists AS (
+           |  SELECT e.vec_id, e.embedding, c.cell,
+           |    ${sqDist("e.embedding", "ct.m[c.cell+1]")} AS dist
+           |  FROM corpus e CROSS JOIN cells c CROSS JOIN cents ct),
+           |assigned AS (
+           |  SELECT vec_id, embedding, CAST(cell AS INT) AS cell FROM (
+           |    SELECT vec_id, embedding, cell,
+           |      row_number() OVER (PARTITION BY vec_id
+           |        ORDER BY dist, cell) AS rn
+           |    FROM dists) WHERE rn = 1),
+           |dup AS (
+           |  SELECT b.vec_id, min(a.vec_id) AS dup_of
+           |  FROM assigned a JOIN assigned b
+           |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |  WHERE $cos >= 0.99
+           |  GROUP BY b.vec_id)
+           |SELECT s.cell, COUNT(*) AS n_vecs,
+           |  CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_dups,
+           |  CAST(coalesce(SUM(d.dup_of), 0) AS BIGINT) AS sum_dup_of
+           |FROM assigned s LEFT JOIN dup d ON s.vec_id = d.vec_id
+           |GROUP BY s.cell""".stripMargin
+      }
     )
   }
 }

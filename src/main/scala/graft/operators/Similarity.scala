@@ -373,4 +373,56 @@ object Similarity {
       graft.functions.vectors.planeMatrix(seed + i, nPlanes, dim))
     lshNearDupPairs(emb, threshold, tables)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication"):
+    * coarse-cluster the embedding space on the given centroids, then
+    * WITHIN each cluster mark every vector that has an earlier-id
+    * neighbor at cosine >= `threshold` as a duplicate of its smallest
+    * such neighbor. The clustering bounds the quadratic — only
+    * same-cell pairs are ever compared, and cross-cluster near-dups
+    * are deliberately out of contract (the paper's design: that
+    * restriction is exactly what makes the pass tractable at corpus
+    * scale). Returns (vec_id, cell, dup_of nullable, is_dup).
+    *
+    * Scale shape (100 TB): cell assignment is one codegen'd map pass,
+    * no shuffle. The pair pass shuffles the corpus ONCE on cell and is
+    * quadratic only within a cell — with centroids sized for ~constant
+    * occupancy, total work is n × occupancy, not n². Per-cell occupancy
+    * is checked against `maxCellSize` via a |centroids|-row broadcast
+    * of the cell-size aggregate, and the query fails loudly when a
+    * degenerate clustering (one mega-cell) would silently reintroduce
+    * the all-pairs blow-up. The keeper rule (min earlier id, not
+    * connected components) is ONE aggregate — single-round and
+    * deterministic; transitive chains collapse to their earliest
+    * member, the one-exemplar-per-group outcome SemDeDup keeps. */
+  def semanticDedup(emb: DataFrame, centroids: Seq[Array[Double]],
+      threshold: Double, maxCellSize: Int = 1000000): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold $threshold outside (0, 1]")
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      vectors.assignCellFast(col("embedding"), centroids).as("cell"))
+    val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("_sd_n"))
+    val guarded = assigned.join(broadcast(sizes), Seq("cell"))
+      .withColumn("cell",
+        when(col("_sd_n") > maxCellSize, raise_error(concat(
+          lit("semanticDedup: cell "), col("cell").cast("string"),
+          lit(" holds "), col("_sd_n").cast("string"),
+          lit(s" vectors (> $maxCellSize) — refine the clustering or " +
+            "raise maxCellSize"))))
+          .otherwise(col("cell")))
+      .drop("_sd_n")
+    val a = guarded.select(col("cell"), col("vec_id").as("_sd_ida"),
+      col("embedding").as("_sd_ea"))
+    val b = guarded.select(col("cell"), col("vec_id").as("_sd_idb"),
+      col("embedding").as("_sd_eb"))
+    val dupOf = a.join(b, Seq("cell"))
+      .filter(col("_sd_ida") < col("_sd_idb"))
+      .filter(vectors.cosineFast(col("_sd_ea"), col("_sd_eb")) >= threshold)
+      .groupBy(col("_sd_idb").as("vec_id"))
+      .agg(min(col("_sd_ida")).as("dup_of"))
+    guarded.join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup_of"),
+        col("dup_of").isNotNull.as("is_dup"))
+  }
 }

@@ -148,4 +148,46 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec with Matchers {
       r.getDouble(2) shouldBe brute((r.getLong(0), r.getLong(1)))
     }
   }
+
+  test("semanticDedup marks within-cell near-dups as duplicates of their earliest neighbor") {
+    import spark.implicits._
+    val cents = Seq(Array(1.0, 0.0), Array(0.0, 1.0))
+    // cell 0: v1 ≡ v2 (cos 1), v3 at cos ≈ 0.994 to both → dup chain
+    // collapses to the earliest id; cell 1: v4 alone → kept
+    val emb = Seq(
+      (1L, Seq(1.0, 0.0)),
+      (2L, Seq(1.0, 0.0)),
+      (3L, Seq(0.9, 0.1)),
+      (4L, Seq(0.0, 1.0))).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(emb, cents, threshold = 0.99)
+      .select("vec_id", "cell", "dup_of", "is_dup")
+      .as[(Long, Int, Option[Long], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    out(1L) shouldBe ((0, None, false))
+    out(2L) shouldBe ((0, Some(1L), true))
+    out(3L) shouldBe ((0, Some(1L), true))
+    out(4L) shouldBe ((1, None, false))
+  }
+
+  test("semanticDedup: cross-cell near-dups are out of contract; the occupancy guard fails loudly") {
+    import spark.implicits._
+    val cents = Seq(Array(1.0, 0.0), Array(0.0, 1.0))
+    // cos(v1, v2) ≈ 0.9998 but they straddle the cell boundary — the
+    // cluster-bounded contract (the SemDeDup design) keeps both
+    val straddle = Seq(
+      (1L, Seq(0.71, 0.70)),
+      (2L, Seq(0.70, 0.71))).toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(straddle, cents, threshold = 0.99)
+      .select("vec_id", "is_dup").as[(Long, Boolean)].collect().toMap
+    kept shouldBe Map(1L -> false, 2L -> false)
+    // a mega-cell (occupancy > maxCellSize) fails loudly instead of
+    // silently going quadratic
+    val ex = intercept[Exception] {
+      Similarity.semanticDedup(
+        Seq((1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.01))).toDF(
+          "vec_id", "embedding"),
+        cents, threshold = 0.99, maxCellSize = 1).collect()
+    }
+    ex.getMessage should include("refine the clustering")
+  }
 }
