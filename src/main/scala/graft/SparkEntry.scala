@@ -689,7 +689,10 @@ object SparkEntry {
           concat(unhex(lit("89504E47")), encode(col("props"), "UTF-8")))
         .otherwise(encode(col("props"), "UTF-8"))
       val meta = Multimodal.mediaMetadata(payload)
-      t(s, dir, "events").select(
+      // widenForCpu: sniff + frame-sample + hash features cost ~11
+      // cpu-s at sf0.1 on a one-split events scan (tasks_max=1 in the
+      // r8 bench artifact — the exact shape the policy exists for)
+      Relational.widenForCpu(t(s, dir, "events"), col("event_id")).select(
         col("event_id"),
         meta.getField("mime").as("mime"),
         meta.getField("n_bytes").as("n_bytes"),
@@ -794,7 +797,9 @@ object SparkEntry {
     // ── NS text: BPE-style subword-unit token counting (the LLM
     // token-budget estimator, vs q24's whitespace words) ──
     "q43_bpe_tokens" -> ((s, dir) =>
-      t(s, dir, "documents")
+      // widenForCpu: the BPE regex kernel costs ~6 cpu-s at sf0.1 on a
+      // one-split documents scan (tasks_max=1 in the r8 bench artifact)
+      Relational.widenForCpu(t(s, dir, "documents"), col("doc_id"))
         .withColumn("n_bpe", text.bpeTokenCount(col("text")).cast("long"))
         .withColumn("n_ws", text.tokenCount(col("text")).cast("long"))
         .groupBy(col("lang"))

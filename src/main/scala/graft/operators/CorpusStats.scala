@@ -80,6 +80,10 @@ object CorpusStats {
   def unigramLogLoss(docs: DataFrame, idCol: String, textCol: String,
       minCount: Long, maxVocab: Int = 4000000): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    // deliberately NOT widenForCpu'd: the zero-corpus-shuffle contract
+    // is the operator's point, and the tokenize kernel measured
+    // LIGHTER than the exchange it would add (isolated sf0.1 A/B:
+    // 1.8 s → 2.5 s widened)
     val counts = docs
       .select(explode(text.tokens(col(textCol))).as("_lm_tok"))
       .groupBy(col("_lm_tok")).agg(count(lit(1)).as("_lm_c"))

@@ -901,6 +901,10 @@ object Dedup {
   def stripHotLines(docs: DataFrame, idCol: String, textCol: String,
       maxDf: Long, maxHotLines: Int = 1000000): DataFrame = {
     require(maxDf >= 1, s"maxDf must be >= 1: $maxDf")
+    // deliberately NOT widenForCpu'd: the zero-corpus-shuffle contract
+    // is the operator's point, and the per-row kernel (line split +
+    // set filter) measured LIGHTER than the exchange it would add
+    // (isolated sf0.1 A/B: 2.6 s → 3.4 s widened)
     val support = docs
       .select(col(idCol).as("_hl_doc"),
         explode(split(col(textCol), "\n")).as("_hl_line"))
