@@ -2292,6 +2292,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_vecs"),
           sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"),
           coalesce(sum(col("dup_of")), lit(0L)).as("sum_dup_of"))
+    }),
+
+    // ── NS corpus stats: EXACT heavy-hitter tokens via the two-pass
+    // count-min-sketch plan (CorpusStats.heavyHitterTokens scaladoc:
+    // the sketch probe cuts the exact-count shuffle to candidate
+    // tokens; CMS never undercounts, so the final exact filter makes
+    // the result precisely the >= threshold set — the oracle needs no
+    // sketch, just the exact HAVING). Threshold = the phi-heavy-hitter
+    // cut at phi = 0.1% of the token stream (floor 5), derived from
+    // one planning count (the q67 statistic convention) and mirrored
+    // by the oracle's scalar subquery ──
+    "q108_heavy_hitters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nTok = docs.select(sum(size(text.tokens(col("text")))))
+        .head.getLong(0)
+      CorpusStats.heavyHitterTokens(docs, "text",
+        minCount = math.max(5L, nTok / 1000L))
     })
   )
 
@@ -3984,7 +4001,16 @@ object SparkEntry {
            |  CAST(coalesce(SUM(d.dup_of), 0) AS BIGINT) AS sum_dup_of
            |FROM assigned s LEFT JOIN dup d ON s.vec_id = d.vec_id
            |GROUP BY s.cell""".stripMargin
-      }
+      },
+
+      "q108_heavy_hitters" ->
+        s"""WITH tk AS (
+           |  SELECT unnest(toks) AS tok
+           |  FROM (SELECT $sqlTokens AS toks FROM documents)),
+           |th AS (SELECT greatest(5, COUNT(*) // 1000) AS t FROM tk)
+           |SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS n
+           |FROM tk GROUP BY tok
+           |HAVING COUNT(*) >= (SELECT t FROM th)""".stripMargin
     )
   }
 }

@@ -115,4 +115,44 @@ object CorpusStats {
           .otherwise(nll / col("n_tok")))
       .drop("_lm_n", "_lm_v", "_lm_map")
   }
+
+  /** EXACT heavy-hitter tokens via a two-pass count-min-sketch plan
+    * (Cormode & Muthukrishnan 2005): pass 1 builds ONE bounded sketch
+    * over the token stream; pass 2 filters tokens by the sketch's
+    * never-undercounting estimate BEFORE the exact count shuffle, so
+    * only candidate-heavy tokens are exchanged. The exact count +
+    * threshold filter after the shuffle makes the result EXACTLY the
+    * `count >= minCount` token set: CMS overestimation only admits
+    * extra candidates, never loses one, and the exact pass evicts the
+    * extras. Returns (token, n).
+    *
+    * Scale shape (100 TB): a Zipfian token stream's plain groupBy
+    * shuffles the full vocabulary (billions of keys); the sketch probe
+    * cuts the exchange to the candidate set, a 100-1000× shuffle
+    * reduction at high thresholds. The sketch is O(depth × width)
+    * bytes, built by one map-side-combined aggregate and read back as
+    * ONE row — a bounded planning lookup (the q42 centroid
+    * convention), not a corpus materialization. `eps` bounds the
+    * overestimate at eps·N with probability `confidence`, i.e. the
+    * candidate set only degrades toward the plain groupBy when
+    * minCount ≲ eps·N — callers hunting rarer tokens shrink eps
+    * (sketch grows as 1/eps) or use the plain aggregate. */
+  def heavyHitterTokens(docs: DataFrame, textCol: String, minCount: Long,
+      eps: Double = 1e-4, confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    import org.apache.spark.sql.graft.{Bridge, CmsEstimate}
+    val toks = docs.select(explode(text.tokens(col(textCol))).as("token"))
+    // bounded planning lookup: one row holding the KB-sized sketch
+    val bytes = toks
+      .agg(count_min_sketch(col("token"), lit(eps), lit(confidence),
+        lit(seed)).as("_hh_cms"))
+      .head.getAs[Array[Byte]]("_hh_cms")
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes)
+    toks
+      .filter(Bridge.column(
+        CmsEstimate(Bridge.expression(col("token")), cms)) >= minCount)
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
 }

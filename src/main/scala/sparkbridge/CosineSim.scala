@@ -357,6 +357,41 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd count-min-sketch frequency probe over a string column:
+  * `estimateCount(token)` against a plan-time sketch object (driver-
+  * built from ONE bounded aggregate row, shipped to executors as a
+  * codegen reference object). Used as a pre-shuffle candidate filter —
+  * CMS estimates never undercount, so filtering on `estimate >=
+  * threshold` keeps a superset of the truly-frequent keys and an exact
+  * downstream aggregate evicts the overestimated extras.
+  *
+  * Probes hash the item's UTF-8 bytes (the `addBinary` family) — the
+  * SAME key Spark's builtin `count_min_sketch` aggregate adds for
+  * StringType values, so estimates are true upper bounds of that
+  * aggregate's counts. */
+case class CmsEstimate(child: Expression,
+    sketch: org.apache.spark.util.sketch.CountMinSketch)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_estimate"
+
+  override def nullSafeEval(v: Any): Any =
+    sketch.estimateCount(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cmsSketch", sketch,
+      "org.apache.spark.util.sketch.CountMinSketch")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = $ref.estimateCount($v.getBytes());")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** private[sql] API bridge for code living in the graft.* packages. */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)

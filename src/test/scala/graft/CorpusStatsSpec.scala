@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -78,5 +79,33 @@ class CorpusStatsSpec extends AnyFunSuite with SparkSpec with Matchers {
         minCount = 1, maxVocab = 2).collect()
     }
     ex.getMessage should include("vocabulary exceeds")
+  }
+
+  test("heavyHitterTokens equals the exact groupBy answer, threshold boundary inclusive") {
+    import spark.implicits._
+    // skewed corpus: 'hot' x12, 'warm' x5, 'edge' x4, tail singletons
+    val docs = Seq(
+      (1L, ("hot " * 6 + "warm warm edge edge").trim),
+      (2L, ("hot " * 6 + "warm warm warm edge edge").trim),
+      (3L, "t1 t2 t3 t4 t5 t6 t7 t8")).toDF("doc_id", "text")
+    val exact = docs
+      .select(explode(graft.functions.text.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 4)
+      .as[(String, Long)].collect().toMap
+    val hh = CorpusStats.heavyHitterTokens(docs, "text", minCount = 4)
+      .as[(String, Long)].collect().toMap
+    hh shouldBe exact
+    hh shouldBe Map("hot" -> 12L, "warm" -> 5L, "edge" -> 4L)
+  }
+
+  test("heavyHitterTokens: threshold above every count yields empty; empty corpus yields empty") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b")).toDF("doc_id", "text")
+    CorpusStats.heavyHitterTokens(docs, "text", minCount = 100)
+      .count() shouldBe 0L
+    val empty = Seq((1L, " ")).toDF("doc_id", "text")
+    CorpusStats.heavyHitterTokens(empty, "text", minCount = 1)
+      .count() shouldBe 0L
   }
 }

@@ -167,4 +167,47 @@ class ExpressionSpec extends AnyFunSuite with SparkSpec with Matchers {
       .as[(Long, Long)].collect()
     out.foreach { case (k, b) => k shouldBe b }
   }
+
+  test("CmsEstimate never undercounts and matches the driver-side sketch probe") {
+    import org.apache.spark.sql.graft.{Bridge, CmsEstimate}
+    import spark.implicits._
+    val r = new scala.util.Random(17L)
+    // Zipf-ish stream: token i appears ~200/(i+1) times
+    val stream = (0 until 50).flatMap(i =>
+      Seq.fill(200 / (i + 1))(s"tok$i"))
+    val shuffled = r.shuffle(stream)
+    val df = shuffled.toDF("token")
+    // the sketch the operator builds: Spark's builtin aggregate
+    val bytes = df.agg(count_min_sketch(col("token"), lit(1e-3),
+        lit(0.99), lit(42)).as("s"))
+      .head.getAs[Array[Byte]]("s")
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes)
+    val truth = shuffled.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val est = df.distinct().select(col("token"),
+        Bridge.column(CmsEstimate(Bridge.expression(col("token")), cms))
+          .as("est"))
+      .as[(String, Long)].collect().toMap
+    est.keySet shouldBe truth.keySet
+    truth.foreach { case (tok, n) =>
+      // the CMS contract: estimates are upper bounds of the true count
+      est(tok) should be >= n
+      // and agree with probing the same sketch object driver-side
+      // (same UTF-8-bytes key the aggregate added)
+      est(tok) shouldBe cms.estimateCount(
+        tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
+  test("CmsEstimate participates in whole-stage codegen") {
+    import org.apache.spark.sql.graft.{Bridge, CmsEstimate}
+    val cms = org.apache.spark.util.sketch.CountMinSketch.create(
+      0.001, 0.99, 42)
+    cms.addBinary("the".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = docs.select(Bridge.column(
+        CmsEstimate(Bridge.expression(col("lang")), cms)).as("e"))
+      .queryExecution.executedPlan.toString
+    plan should include("*(1) Project")
+    plan should include("cms_estimate")
+  }
 }
