@@ -259,8 +259,104 @@ object ProbeScale {
       for (r <- Seq(4, 10)) measureDocs(s"grow${r}x", resampleDocsScaledVocab(r))
       for (r <- Seq(1, 10, 100)) measureEmb(s"synth${r}x", perturbEmb(r))
     }
-    for (r <- Seq(1, 4, 10)) measureSpans(s"dense${r}x", resampleDocs(r))
-    for (r <- Seq(4, 10)) measureSpans(s"grow${r}x", resampleDocsScaledVocab(r))
+    if (mode != "corpus") {
+      for (r <- Seq(1, 4, 10)) measureSpans(s"dense${r}x", resampleDocs(r))
+      for (r <- Seq(4, 10)) measureSpans(s"grow${r}x", resampleDocsScaledVocab(r))
+    }
+
+    // ── `ProbeScale corpus`: the q107/q108 cost drivers ──
+    // q108's claim is SHUFFLE REDUCTION: the exchange of the exact
+    // count carries (per-partition-distinct) CANDIDATE tokens instead
+    // of the full vocabulary. Measured: vocabulary keys vs candidate
+    // keys/rows surviving the sketch probe at the registered
+    // phi=0.1% threshold, in both growth regimes (dense: vocabulary
+    // fixed, stream grows — candidates shrink as the threshold rises;
+    // grow: vocabulary grows with the corpus — the regime the sketch
+    // exists for).
+    def measureHH(tag: String, docs: DataFrame): Unit = {
+      import org.apache.spark.sql.graft.{Bridge, CmsEstimate}
+      val toks = docs.select(explode(text.tokens(col("text"))).as("token"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = toks.count()
+      val th = math.max(5L, n / 1000L)
+      val bytes = toks.agg(count_min_sketch(col("token"), lit(1e-4),
+        lit(0.99), lit(42)).as("s")).head.getAs[Array[Byte]]("s")
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes)
+      val est = Bridge.column(
+        CmsEstimate(Bridge.expression(col("token")), cms))
+      val vocabKeys = toks.distinct().count()
+      val candRows = toks.filter(est >= th).count()
+      val candKeys = toks.filter(est >= th).distinct().count()
+      val result = graft.operators.CorpusStats
+        .heavyHitterTokens(docs, "text", th).count()
+      toks.unpersist(blocking = false)
+      println(f"PROBE_SCALE hh/$tag n_tokens=$n th=$th " +
+        f"vocab_keys=$vocabKeys cand_keys=$candKeys cand_rows=$candRows " +
+        f"result=$result key_reduction=${vocabKeys.toDouble / candKeys}%.1f")
+    }
+
+    // q107's claim is a BOUNDED quadratic: the within-cell pair volume
+    // Σ C(c,2) vs all-pairs n(n-1)/2 at the registered 16 seeded
+    // centroids. With FIXED centroids the fraction holds (~1/cells
+    // under even occupancy) but absolute pairs grow ~n²/cells — the
+    // measured justification for the scaladoc's "centroids sized for
+    // ~constant occupancy" instruction and the occupancy guard.
+    def measureSemDedup(tag: String, emb: DataFrame): Unit = {
+      val cents = vectors.planeMatrix(seed = 7L, nPlanes = 16, dim = 64)
+      val n = emb.count()
+      val cells = emb.select(
+        vectors.assignCellFast(col("embedding"), cents).as("cell"))
+      val (pairs, maxc, nb) = bucketPairs(cells)
+      val allPairs = n * (n - 1) / 2
+      println(f"PROBE_SCALE semdedup/$tag n=$n cells_used=$nb " +
+        f"incell_pairs=$pairs max_cell=$maxc allpairs=$allPairs " +
+        f"frac=${pairs.toDouble / allPairs}%.4f " +
+        f"occupancy=${n.toDouble / nb}%.0f")
+    }
+
+    // regime C for q108: heavy head + SINGLETON TAIL — half the
+    // stream drawn from the fixture vocabulary, half unique
+    // per-position tokens (URLs/numbers/typos in a real crawl). The
+    // fixture's own 31-token vocabulary makes every token a heavy
+    // hitter (measured: key_reduction=1.0 at every sf), so THIS is
+    // the regime the sketch filter exists for.
+    def resampleDocsLongTail(replicas: Int): DataFrame =
+      docs01
+        .select(col("doc_id"), size(text.tokens(col("text"))).as("len"))
+        .crossJoin(spark.range(replicas).toDF("rep"))
+        .select(
+          (col("doc_id") * replicas + col("rep")).as("doc_id"),
+          array_join(transform(sequence(lit(1), col("len")), i => {
+            val h = xxhash64(col("doc_id"), col("rep"), i)
+            when(pmod(h, lit(2)) === 0,
+              element_at(vocabLit,
+                (pmod(h, lit(vocab.length)) + 1).cast("int")))
+              .otherwise(concat(lit("u"), pmod(h, lit(1L << 40))))
+          }), " ").as("text"))
+
+    if (mode == "corpus") {
+      for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+        val dir = s"/root/testdata/$sf"
+        if (new java.io.File(dir).isDirectory)
+          measureHH(sf, Tables(spark, dir, "documents"))
+      }
+      for (r <- Seq(4, 10)) measureHH(s"dense${r}x", resampleDocs(r))
+      for (r <- Seq(4, 10)) measureHH(s"grow${r}x", resampleDocsScaledVocab(r))
+      for (r <- Seq(1, 4, 10)) measureHH(s"tail${r}x", resampleDocsLongTail(r))
+      measureSemDedup("sf0.1", emb01)
+      for (r <- Seq(10, 100)) measureSemDedup(s"synth${r}x", perturbEmb(r))
+      // the production knob: TRAINED centroids (Lloyd on a bounded
+      // sample) vs the oracle-mirrorable seeded planes — same plan,
+      // different balance
+      val trained = Similarity.trainIvfCentroids(emb01, k = 16)
+      val n01 = emb01.count()
+      val cellsT = emb01.select(
+        vectors.assignCellFast(col("embedding"), trained).as("cell"))
+      val (pT, mT, nbT) = bucketPairs(cellsT)
+      println(f"PROBE_SCALE semdedup/sf0.1-trained n=$n01 " +
+        f"cells_used=$nbT incell_pairs=$pT max_cell=$mT " +
+        f"frac=${pT.toDouble / (n01 * (n01 - 1) / 2)}%.4f")
+    }
     spark.stop()
   }
 }
