@@ -100,6 +100,7 @@ object Main {
     case Seq("compact", storeDir, key, rest @ _*)
         if doubleArg(rest, 2.0).isDefined =>
       compactStore(spark, storeDir, key, doubleArg(rest, 2.0).get)
+    case Seq("index", storeDir) => indexInfo(spark, storeDir)
     case Seq("ranges", rest @ _*) => ranges(rest)
     case Seq("diff", dirA, dirB, rest @ _*)
         if intArg(rest, 100).isDefined =>
@@ -120,6 +121,8 @@ object Main {
       "  compact <storeDir> <key> [maxDilution]   measure pruning " +
         "dilution of a segmented clustered store; rewrite when over " +
         "budget (default 2.0)",
+      "  index <storeDir>                    show a store's persisted " +
+        "ANN metadata (what AnnIndex.registerFrom adopts)",
       "  ranges [--test-topic <topic>]       ID ranges + extraction test",
       "  diff <snapshotA> <snapshotB> [limit]   added/removed/changed topics",
       "  publish <outDir> <count>            synthetic emailSend messages",
@@ -377,6 +380,19 @@ object Main {
     * measured dilution exceeds the budget — policy, not a blind
     * rewrite: compaction rewrites the whole store, so it has to buy
     * its cost back in probe IO. */
+  /** Inspect a self-describing ANN store: the persisted metadata a
+    * session adopts via AnnIndex.registerFrom. */
+  private def indexInfo(spark: SparkSession, storeDir: String): Seq[String] = {
+    val m = graft.plans.AnnIndex.load(spark, storeDir)
+    Seq(
+      s"index ${m.name}: ${m.indexPath}",
+      s"  primary  ${m.primaryPath} (id=${m.idCol}, emb=${m.embCol})",
+      s"  store    bucket=${m.bucketCol} codes=${m.codesCol} " +
+        s"scale=${m.scaleCol}",
+      s"  planes   seed=${m.planesSeed} n=${m.nPlanes} dim=${m.dim}",
+      s"  serving  radius=${m.radius} shortlist=${m.shortlist}")
+  }
+
   private def compactStore(spark: SparkSession, root: String, key: String,
       maxDilution: Double): Seq[String] = {
     def num2(d: Double): String =

@@ -2188,12 +2188,16 @@ object SparkEntry {
             .as("codes"),
           col("scale"))
       Layout.clusteredWrite(stored, store, numFiles = 8, col("bucket"))
-      graft.plans.AnnIndex.register(s, graft.plans.AnnIndex.Meta(
+      // persist the metadata WITH the store, then adopt it the way a
+      // fresh session would (save → registerFrom) — the oracle gate
+      // covers the persisted lifecycle, not just in-memory registration
+      graft.plans.AnnIndex.save(s, graft.plans.AnnIndex.Meta(
         name = "q104", primaryPath = s"$dir/embeddings.parquet",
         indexPath = store, idCol = "vec_id", embCol = "embedding",
         bucketCol = "bucket", codesCol = "codes", scaleCol = "scale",
         planesSeed = 97L, nPlanes = q97Planes.size, dim = embDim,
         radius = q98Radius, shortlist = 20))
+      graft.plans.AnnIndex.registerFrom(s, store)
       try {
         val qv = emb.filter(col("vec_id") === 0)
           .select("embedding").head.getSeq[Float](0)

@@ -343,6 +343,50 @@ object AnnIndex {
     * a correctness non-event but a 100 TB cost event). */
   def servedBy(df: DataFrame, indexPath: String): Boolean =
     scansPath(df.queryExecution.optimizedPlan, norm(indexPath))
+
+  val MetaFile = "_graft_index.meta"
+
+  /** Persist the metadata INSIDE the store directory — the store
+    * becomes self-describing (the `_metadata`/`_delta_log` lake
+    * convention), so any later session can adopt it without re-stating
+    * the build parameters (whose silent drift — wrong seed, wrong
+    * radius — would quietly serve garbage shortlists). Hadoop FS API,
+    * so object-store lakes work unchanged. */
+  def save(spark: SparkSession, meta: Meta): Unit = {
+    val p = new org.apache.hadoop.fs.Path(norm(meta.indexPath), MetaFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write((meta.name + "\n" + encode(meta) + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read a store's persisted metadata; loud on a missing or
+    * malformed file. The returned meta's `indexPath` is the path the
+    * file was READ from, not the path recorded at save time — a
+    * store that was moved or mounted elsewhere registers where it
+    * actually lives. */
+  def load(spark: SparkSession, indexPath: String): Meta = {
+    val p = new org.apache.hadoop.fs.Path(norm(indexPath), MetaFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p),
+      s"no $MetaFile under $indexPath — not a graft ANN store " +
+        "(build it with clusteredWrite, then AnnIndex.save)")
+    val in = fs.open(p)
+    val content =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = content.trim.split("\n")
+    require(lines.length == 2, s"malformed $MetaFile under $indexPath")
+    decode(lines(0), lines(1)).copy(indexPath = norm(indexPath))
+  }
+
+  /** Adopt a stored index in THIS session: load + register. */
+  def registerFrom(spark: SparkSession, indexPath: String): Meta = {
+    val m = load(spark, indexPath)
+    register(spark, m)
+    m
+  }
 }
 
 /** Optimizer rule: INDEX SELECTION for exact cosine top-k — the

@@ -260,6 +260,58 @@ class RulesSpec extends AnyFunSuite with SparkSpec with Matchers {
     AnnIndex.servedBy(topk(5), store) shouldBe false
   }
 
+  test("AnnIndex persistence: save/load round-trip, moved store, CLI inspection, loud on a bare dir") {
+    import graft.plans.AnnIndex
+    graft.plans.GraftExtensions.register(spark)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_rulespec_meta_").toString
+    val store = root + "/idx"
+    val dim = queryVec.size
+    val planes = vectors.planeMatrix(4242L, 4, dim)
+    val stored = emb
+      .withColumn("scale", vectors.quantizeScale(col("embedding")))
+      .select(col("vec_id"),
+        vectors.hyperplaneBucketFast(col("embedding"), planes).as("bucket"),
+        vectors.quantizeInt8(col("embedding"), col("scale")).as("codes"),
+        col("scale"))
+    graft.sources.Layout.clusteredWrite(stored, store, 4, col("bucket"))
+    val meta = AnnIndex.Meta("spec",
+      "/root/testdata/sf0.001/embeddings.parquet", store,
+      "vec_id", "embedding", "bucket", "codes", "scale",
+      planesSeed = 4242L, nPlanes = 4, dim = dim, radius = 1,
+      shortlist = 20)
+    try {
+      AnnIndex.save(spark, meta)
+      AnnIndex.load(spark, store) shouldBe meta
+      // adopt from disk → the rule serves, same as in-memory register
+      AnnIndex.registerFrom(spark, store)
+      try {
+        val served = emb.filter(col("vec_id") =!= 0)
+          .orderBy(
+            vectors.cosineFast(col("embedding"), typedLit(queryVec)).desc,
+            col("vec_id"))
+          .limit(5)
+        AnnIndex.servedBy(served, store) shouldBe true
+      } finally AnnIndex.unregister(spark, "spec")
+      // a MOVED store registers where it actually lives, not the
+      // stale path recorded at save time
+      val moved = root + "/idx_moved"
+      java.nio.file.Files.move(java.nio.file.Paths.get(store),
+        java.nio.file.Paths.get(moved))
+      AnnIndex.load(spark, moved).indexPath shouldBe
+        new java.io.File(moved).getAbsolutePath
+      // the CLI inspection verb surfaces the persisted fields
+      val out = Main.run(spark, Seq("index", moved))
+      out.head should include("index spec")
+      out.mkString should include("radius=1")
+      // a directory without the meta file fails loudly
+      val ex = intercept[IllegalArgumentException] {
+        AnnIndex.load(spark, root)
+      }
+      ex.getMessage should include("not a graft ANN store")
+    } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
+
   test("ANN rewrite does NOT fire on vector-vector (non-literal) top-k") {
     withAnnRewrite {
       // q28's shape: the query side comes from a join, not a literal
