@@ -2313,6 +2313,38 @@ object SparkEntry {
         .head.getLong(0)
       CorpusStats.heavyHitterTokens(docs, "text",
         minCount = math.max(5L, nTok / 1000L))
+    }),
+
+    // ── NS dedup: incremental near-dup INGEST against the at-rest
+    // signature index — the near-dup analog of q74/q78's incremental
+    // exact dedup. The corpus is indexed ONCE (bands + shingle sets,
+    // billed in-query per the q101/q104 layout convention); the batch
+    // (exact copies of every 7th doc, offset ids, plus fresh one-token
+    // docs) then joins its bands against the store and exact-rescores
+    // candidates only. Oracle = direct exact Jaccard batch × corpus:
+    // equality holds because copies sit at J=1.0 and fresh docs at
+    // J≈0 — nothing near the banding S-curve knee (the q44 argument)
+    // ──
+    "q109_neardup_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q109_").toString
+      Dedup.writeNearDupIndex(docs, "doc_id", "text",
+        shingleN = 2, k = 64, bands = 32, dir = root + "/idx")
+      val copies = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+          col("text"))
+      val fresh = docs.filter(col("doc_id") % 7 === 1)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("source"),
+          concat(lit("zz"), col("doc_id").cast("string")).as("text"))
+      val res = Dedup.incrementalNearDupAgainst(s,
+          copies.unionByName(fresh), "doc_id", "text", root + "/idx",
+          shingleN = 2, k = 64, bands = 32, threshold = 0.5)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"),
+          coalesce(sum(col("dup_of")), lit(0L)).as("sum_dup_of"))
+      materializeThenClean(s, res, root)
     })
   )
 
@@ -4014,7 +4046,34 @@ object SparkEntry {
            |th AS (SELECT greatest(5, COUNT(*) // 1000) AS t FROM tk)
            |SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS n
            |FROM tk GROUP BY tok
-           |HAVING COUNT(*) >= (SELECT t FROM th)""".stripMargin
+           |HAVING COUNT(*) >= (SELECT t FROM th)""".stripMargin,
+
+      "q109_neardup_ingest" ->
+        s"""WITH batch AS (
+           |  SELECT doc_id + 1000000 AS doc_id, source, text
+           |  FROM documents WHERE doc_id % 7 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 2000000, source,
+           |    'zz' || CAST(doc_id AS VARCHAR)
+           |  FROM documents WHERE doc_id % 7 = 1),
+           |cs AS (SELECT doc_id, ${sqlShingles(2)} AS s
+           |  FROM (SELECT doc_id, $sqlTokens AS toks FROM documents)),
+           |bs AS (SELECT doc_id, source, ${sqlShingles(2)} AS s
+           |  FROM (SELECT doc_id, source, $sqlTokens AS toks
+           |    FROM batch)),
+           |dup AS (
+           |  SELECT b.doc_id, min(c.doc_id) AS dup_of
+           |  FROM bs b JOIN cs c ON
+           |    CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) /
+           |      CAST(len(b.s) + len(c.s) - len(list_intersect(b.s, c.s))
+           |        AS DOUBLE) >= 0.5
+           |  GROUP BY b.doc_id)
+           |SELECT bs.source, COUNT(*) AS n_docs,
+           |  CAST(SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_dups,
+           |  CAST(coalesce(SUM(d.dup_of), 0) AS BIGINT) AS sum_dup_of
+           |FROM bs LEFT JOIN dup d ON bs.doc_id = d.doc_id
+           |GROUP BY bs.source""".stripMargin
     )
   }
 }

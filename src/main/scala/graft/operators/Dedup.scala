@@ -48,9 +48,18 @@ object Dedup {
     * pair explosion beyond the candidate set itself. */
   def rescoreJaccard(candidates: DataFrame, sets: DataFrame,
       threshold: Double): DataFrame =
+    rescoreJaccardAB(candidates, sets, sets, threshold)
+
+  /** [[rescoreJaccard]] with DISTINCT set tables per pair side — the
+    * incremental-ingest shape, where doc_a resolves against the stored
+    * corpus index and doc_b against the new batch (id collisions
+    * between the two spaces are then harmless: each side only ever
+    * looks up its own table). */
+  def rescoreJaccardAB(candidates: DataFrame, setsA: DataFrame,
+      setsB: DataFrame, threshold: Double): DataFrame =
     candidates
-      .join(sets.toDF("doc_a", "s_a"), "doc_a")
-      .join(sets.toDF("doc_b", "s_b"), "doc_b")
+      .join(setsA.toDF("doc_a", "s_a"), "doc_a")
+      .join(setsB.toDF("doc_b", "s_b"), "doc_b")
       .withColumn("inter", size(array_intersect(col("s_a"), col("s_b"))).cast("long"))
       .withColumn("sz_a", size(col("s_a")).cast("long"))
       .withColumn("sz_b", size(col("s_b")).cast("long"))
@@ -280,16 +289,25 @@ object Dedup {
     * shrinking the exact-re-score input by orders of magnitude.
     * Approximate: recall follows the (bands, rows, minBandMatches)
     * S-curve; callers re-score candidates exactly. */
-  def minhashCandidatePairs(signatures: DataFrame, bands: Int, k: Int,
-      minBandMatches: Int = 1): DataFrame = {
+  /** The ONE banding definition: (doc, band, band_hash) rows from
+    * minhash signatures — shared by [[minhashCandidatePairs]] and the
+    * at-rest index ([[writeNearDupIndex]]); a second spelling here
+    * would silently miss candidates when it drifted. */
+  private[graft] def bandedSignatures(signatures: DataFrame, bands: Int,
+      k: Int): DataFrame = {
     require(k % bands == 0, s"bands=$bands must divide signature width $k")
     val r = k / bands
-    val banded = signatures.select(
+    signatures.select(
       col("doc"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, concat_ws(",",
           slice(col("signature"), b * r + 1, lit(r))))))
         .as(Seq("band", "band_hash")))
+  }
+
+  def minhashCandidatePairs(signatures: DataFrame, bands: Int, k: Int,
+      minBandMatches: Int = 1): DataFrame = {
+    val banded = bandedSignatures(signatures, bands, k)
     val l = banded.toDF("doc_a", "band", "band_hash")
     val rr = banded.toDF("doc_b", "band", "band_hash")
     l.join(rr, Seq("band", "band_hash"))
@@ -929,5 +947,72 @@ object Dedup {
       .withColumn("lines_kept", size(col("_hl_keep")))
       .withColumn(textCol, array_join(col("_hl_keep"), "\n"))
       .drop("_hl_hot", "_hl_keep")
+  }
+
+  /** Build the AT-REST near-dup signature index for a corpus:
+    * `<dir>/bands` = the (doc, band, band_hash) LSH banding rows and
+    * `<dir>/shingles` = (doc, shingles), both written once. Incremental
+    * batches then near-dup-check against the corpus WITHOUT re-reading
+    * or re-tokenizing it ([[incrementalNearDupAgainst]]) — the near-dup
+    * analog of [[incrementalDedup]]'s digest anti-join. ErrorIfExists:
+    * silently clobbering an index another pipeline is probing is the
+    * lake-layout equivalent of a torn write. */
+  def writeNearDupIndex(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int, bands: Int, dir: String): Unit = {
+    val sets = shingleSets(docs, idCol, textCol, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = signaturesFromBaseHashes(
+      sets.select(col("doc"), explode(col("shingles")).as("shingle"))
+        .select(col("doc"), xxhash64(col("shingle")).as("h0")),
+      k)
+    bandedSignatures(sigs, bands, k)
+      .write.mode("errorifexists").parquet(s"$dir/bands")
+    sets.write.mode("errorifexists").parquet(s"$dir/shingles")
+    sets.unpersist(blocking = false)
+  }
+
+  /** Incremental near-dup INGEST: flag every new document whose exact
+    * n-gram Jaccard against some INDEXED document clears `threshold`,
+    * resolving to the smallest matching corpus id. Returns the batch
+    * plus (dup_of nullable, is_dup).
+    *
+    * Scale shape (100 TB): the corpus is touched ONLY through the
+    * index — the candidate join is batch-bands against stored bands
+    * (shuffle sized by the batch plus colliding store rows), and the
+    * exact re-score point-fetches only candidate docs' stored shingle
+    * sets. Nothing re-tokenizes, re-hashes, or re-shuffles corpus
+    * text; ingest cost scales with the batch. Same S-curve contract
+    * as [[minhashNearDupPairs]] (k, bands, minBandMatches=2): subset-
+    * exact, complete away from the knee — `(shingleN, k, bands)` MUST
+    * match the index build or candidates are silently wrong, so they
+    * are parameters of BOTH calls by design. */
+  def incrementalNearDupAgainst(spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame, idCol: String, textCol: String, indexDir: String,
+      shingleN: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+    val storeBands = spark.read.parquet(s"$indexDir/bands")
+    val storeSets = spark.read.parquet(s"$indexDir/shingles")
+    val sets = shingleSets(newDocs, idCol, textCol, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = signaturesFromBaseHashes(
+      sets.select(col("doc"), explode(col("shingles")).as("shingle"))
+        .select(col("doc"), xxhash64(col("shingle")).as("h0")),
+      k)
+    val candidates = bandedSignatures(sigs, bands, k)
+      .toDF("doc_b", "band", "band_hash")
+      .join(storeBands.toDF("doc_a", "band", "band_hash"),
+        Seq("band", "band_hash"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands"))
+      .filter(col("n_bands") >= 2)
+      .select("doc_a", "doc_b")
+    val dupOf = rescoreJaccardAB(candidates, storeSets, sets, threshold)
+      .groupBy(col("doc_b").as(idCol))
+      .agg(min(col("doc_a")).as("dup_of"))
+    // materialize before releasing the batch shingle cache (the
+    // ngramJaccardPairs leak rationale)
+    val out = newDocs.join(dupOf, Seq(idCol), "left")
+      .withColumn("is_dup", col("dup_of").isNotNull)
+      .localCheckpoint(eager = true)
+    sets.unpersist(blocking = false)
+    out
   }
 }

@@ -401,4 +401,50 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
     ex.getMessage should include("hot-line set exceeds")
   }
+
+  test("incremental near-dup ingest flags batch docs against the stored index") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_nd_index_").toString
+    try {
+      val corpus = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog tonight"),
+        (2L, "the quick brown fox jumps over the lazy dog tonight"),
+        (3L, "completely different content about spark and catalyst"))
+        .toDF("doc_id", "text")
+      Dedup.writeNearDupIndex(corpus, "doc_id", "text",
+        shingleN = 2, k = 64, bands = 32, dir = root + "/idx")
+      val batch = Seq(
+        // exact copy of the 1/2 dup group → dup_of = min id 1
+        (10L, "the quick brown fox jumps over the lazy dog tonight"),
+        // near copy (one word appended) → still >= 0.5
+        (11L, "the quick brown fox jumps over the lazy dog tonight again"),
+        // fresh content → kept
+        (12L, "totally new material never indexed before anywhere"))
+        .toDF("doc_id", "text")
+      val out = Dedup.incrementalNearDupAgainst(spark, batch, "doc_id",
+          "text", root + "/idx", shingleN = 2, k = 64, bands = 32,
+          threshold = 0.5)
+        .select("doc_id", "dup_of", "is_dup")
+        .as[(Long, Option[Long], Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      out(10L) shouldBe ((Some(1L), true))
+      out(11L) shouldBe ((Some(1L), true))
+      out(12L) shouldBe ((None, false))
+      // the ingest verdicts equal the direct exact-Jaccard answer
+      // (subset-exactness away from the S-curve knee)
+      val exactDups = Dedup.rescoreJaccardAB(
+        corpus.select(col("doc_id").as("doc_a"))
+          .crossJoin(batch.select(col("doc_id").as("doc_b"))),
+        Dedup.shingleSets(corpus, "doc_id", "text", 2),
+        Dedup.shingleSets(batch, "doc_id", "text", 2), 0.5)
+        .groupBy("doc_b").agg(min("doc_a").as("dup_of"))
+        .as[(Long, Long)].collect().toMap
+      out.collect { case (id, (Some(d), _)) => id -> d } shouldBe exactDups
+      // rebuilding over a live index fails loudly (ErrorIfExists)
+      an[Exception] should be thrownBy
+        Dedup.writeNearDupIndex(corpus, "doc_id", "text", 2, 64, 32,
+          root + "/idx")
+    } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
 }
