@@ -650,12 +650,16 @@ object SparkEntry {
     // ── S5: CLI fixed-width table parse (head/tail trim + column
     // extraction) over deterministically synthesized numbered lines ──
     "q39_cli_parse" -> ((s, dir) => {
+      // event_id is dense 0..N-1 in the fixture, so the line ordinal in
+      // event_id order is event_id+1 — arithmetic, not a global
+      // no-partition window (which would plan ONE task; PlanAuditSpec
+      // gates that class). Real CLI input gets line_no from
+      // CatalogOps.readCliLines' posexplode, also window-free.
       val lines = t(s, dir, "events").filter(col("event_id") < 30)
         .select(
           format_string("%d topic-%d active", col("event_id"), col("user_id"))
             .as("line"),
-          row_number().over(Window.orderBy(col("event_id")))
-            .cast("long").as("line_no"))
+          (col("event_id") + 1).cast("long").as("line_no"))
       CatalogOps.parseCliTable(lines, "line", "line_no",
         headerLines = 3, footerLines = 1, fieldIdx = 1)
     }),

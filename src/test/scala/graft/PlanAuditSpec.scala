@@ -62,6 +62,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec with Matchers {
       p.subqueries.flatMap(operators)
   }
 
+  /** Deliberate GLOBAL (unpartitioned) window sites — a Window with an
+    * empty partition spec executes as ONE task, the serial bottleneck
+    * class at 100 TB. Currently empty: the one historical offender
+    * (q39's line-number synthesis) was rewritten to arithmetic over the
+    * dense event_id. An entry added here must operate on an input
+    * BOUNDED BY CONSTRUCTION (constant-limit), not by the corpus. */
+  private val allowGlobalWindow: Set[String] = Set()
+
   test("no registered batch query plans a CartesianProduct; BNLJ only on the allowlist") {
     val dir = "/root/testdata/sf0.001"
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
@@ -76,6 +84,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec with Matchers {
           if (ops.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]) &&
               !allowBnlj(name))
             offenders += s"$name: BroadcastNestedLoopJoin not allowlisted"
+          ops.foreach {
+            case w: org.apache.spark.sql.execution.window.WindowExec
+                if w.partitionSpec.isEmpty && !allowGlobalWindow(name) =>
+              offenders += s"$name: GLOBAL window (serial at scale)"
+            case _ => ()
+          }
         } finally if (df != null)
           org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(df)
       }
