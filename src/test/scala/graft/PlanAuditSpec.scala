@@ -62,6 +62,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec with Matchers {
       p.subqueries.flatMap(operators)
   }
 
+  /** One plan build per auditable query, shared by every gate below —
+    * building 100+ plans dominates this suite's runtime, so pay it
+    * once. */
+  private lazy val auditablePlans: Seq[(String, Seq[SparkPlan])] =
+    SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (streaming(name) || materializedInline(name)) None
+      else {
+        var df: org.apache.spark.sql.DataFrame = null
+        try {
+          df = fn(spark, "/root/testdata/sf0.001")
+          Some(name -> operators(df.queryExecution.executedPlan))
+        } finally if (df != null)
+          org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(df)
+      }
+    }
+
   /** Deliberate GLOBAL (unpartitioned) window sites — a Window with an
     * empty partition spec executes as ONE task, the serial bottleneck
     * class at 100 TB. Currently empty: the one historical offender
@@ -71,29 +87,78 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec with Matchers {
   private val allowGlobalWindow: Set[String] = Set()
 
   test("no registered batch query plans a CartesianProduct; BNLJ only on the allowlist") {
-    val dir = "/root/testdata/sf0.001"
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      if (!streaming(name) && !materializedInline(name)) {
-        var df: org.apache.spark.sql.DataFrame = null
-        try {
-          df = fn(spark, dir)
-          val ops = operators(df.queryExecution.executedPlan)
-          if (ops.exists(_.isInstanceOf[CartesianProductExec]))
-            offenders += s"$name: CartesianProduct"
-          if (ops.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]) &&
-              !allowBnlj(name))
-            offenders += s"$name: BroadcastNestedLoopJoin not allowlisted"
-          ops.foreach {
-            case w: org.apache.spark.sql.execution.window.WindowExec
-                if w.partitionSpec.isEmpty && !allowGlobalWindow(name) =>
-              offenders += s"$name: GLOBAL window (serial at scale)"
-            case _ => ()
-          }
-        } finally if (df != null)
-          org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(df)
+    auditablePlans.foreach { case (name, ops) =>
+      if (ops.exists(_.isInstanceOf[CartesianProductExec]))
+        offenders += s"$name: CartesianProduct"
+      if (ops.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]) &&
+          !allowBnlj(name))
+        offenders += s"$name: BroadcastNestedLoopJoin not allowlisted"
+      ops.foreach {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty && !allowGlobalWindow(name) =>
+          offenders += s"$name: GLOBAL window (serial at scale)"
+        case _ => ()
       }
     }
     offenders.toList shouldBe empty
+  }
+
+  /** Exchange-count regression pin: every query's (shuffle, broadcast)
+    * exchange counts are snapshotted in plan_pins.tsv. A refactor that
+    * silently ADDS a shuffle — the dominant cost at 100 TB — now fails
+    * CI with a named diff instead of surfacing as a bench regression
+    * two rounds later. Counts come from the pre-execution plan (AQE's
+    * initial plan), so they are deterministic for the fixed sf0.001
+    * fixture; ReusedExchangeExec is a leaf and is deliberately NOT
+    * counted (a reused exchange costs nothing new).
+    *
+    * Regenerate after a DELIBERATE plan change with:
+    *   SPARK_GRAFT_PIN_UPDATE=1 sbt "testOnly graft.PlanAuditSpec"
+    * and review the pin diff like code. */
+  test("per-query exchange counts match the checked-in pins") {
+    import org.apache.spark.sql.execution.exchange.{
+      BroadcastExchangeLike, ShuffleExchangeLike}
+    val pinPath = java.nio.file.Paths.get("src/test/resources/plan_pins.tsv")
+    val counted: Seq[(String, Int, Int)] = auditablePlans.map {
+      case (name, ops) =>
+        (name,
+          ops.count(_.isInstanceOf[ShuffleExchangeLike]),
+          ops.count(_.isInstanceOf[BroadcastExchangeLike]))
+    }
+    if (sys.env.get("SPARK_GRAFT_PIN_UPDATE").contains("1")) {
+      val body = counted.map { case (n, s, b) => s"$n\t$s\t$b" }
+        .mkString("", "\n", "\n")
+      java.nio.file.Files.createDirectories(pinPath.getParent)
+      java.nio.file.Files.write(pinPath,
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      info(s"rewrote ${pinPath} with ${counted.size} pins")
+    } else {
+      withClue("no pin file — generate with SPARK_GRAFT_PIN_UPDATE=1: ") {
+        java.nio.file.Files.exists(pinPath) shouldBe true
+      }
+      val pinned = scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(pinPath)).asScala
+        .filter(_.nonEmpty)
+        .map { l =>
+          val Array(n, s, b) = l.split("\t")
+          n -> ((s.toInt, b.toInt))
+        }.toMap
+      val diffs = scala.collection.mutable.ListBuffer.empty[String]
+      counted.foreach { case (name, s, b) =>
+        pinned.get(name) match {
+          case None =>
+            diffs += s"$name: NEW query (shuffles=$s broadcasts=$b) — add a pin"
+          case Some((ps, pb)) if ps != s || pb != b =>
+            diffs += s"$name: shuffles $s (pinned $ps), broadcasts $b " +
+              s"(pinned $pb) — deliberate? regenerate pins"
+          case _ => ()
+        }
+      }
+      pinned.keySet.diff(counted.map(_._1).toSet).toSeq.sorted.foreach { n =>
+        diffs += s"$n: pinned but no longer registered — regenerate pins"
+      }
+      diffs.toList shouldBe empty
+    }
   }
 }
