@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.catalog.CatalogOps
-import graft.functions.{codec, hashes, text, vectors}
+import graft.functions.{codec, hashes, text, urls, vectors}
 import graft.gen.Generator
 import graft.operators.{CorpusStats, Dedup, Multimodal, Relational, Similarity}
 import graft.replay.Replay
@@ -2349,6 +2349,54 @@ object SparkEntry {
           sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"),
           coalesce(sum(col("dup_of")), lit(0L)).as("sum_dup_of"))
       materializeThenClean(s, res, root)
+    }),
+
+    // ── Web-corpus URL curation: canonicalize (fragment strip, utm_*
+    // tracking-param removal, authority case-fold), dedup by canonical
+    // URL, filter by a broadcast domain blocklist, aggregate per
+    // domain. URLs are synthesized deterministically from the fixture
+    // (the q40 convention): doc_id%2 upper-cases the host (the
+    // case-fold must collapse it), %3 picks the query decoration —
+    // utm-only (canonicalizes to the bare page URL) vs mixed id+utm
+    // (keeps ?id=k) vs none — and %5 adds a fragment. 100 TB shape:
+    // canonicalization is scan-local codegen'd expression work; the
+    // only shuffle is the domain groupBy (+ countDistinct expand); the
+    // blocklist is a broadcast anti-join, never a shuffle. ──
+    "q110_url_canonical" -> ((s, dir) => {
+      import s.implicits._
+      val hostCol = concat(
+        when(col("doc_id") % 2 === 0, upper(col("source")))
+          .otherwise(col("source")),
+        lit(".example.com"))
+      val rawUrl = concat(
+        lit("https://"), hostCol,
+        lit("/"), col("lang"), lit("/page/"),
+        (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("?utm_source=feed&utm_medium=m"),
+            (col("doc_id") % 7).cast("string")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("?id="), (col("doc_id") % 10).cast("string"),
+              lit("&utm_campaign=c"), (col("doc_id") % 4).cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("#sec"), (col("doc_id") % 4).cast("string")))
+          .otherwise(lit("")))
+      val withUrl = t(s, dir, "documents")
+        .withColumn("url", rawUrl)
+        .withColumn("canon", urls.canonicalize(col("url")))
+        .withColumn("domain", urls.host(col("url")))
+      val blocklist = Seq("src2.example.com", "src9.example.com")
+        .toDF("blocked_domain")
+      withUrl
+        .join(broadcast(blocklist),
+          col("domain") === col("blocked_domain"), "left_anti")
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("url")).as("n_urls_raw"),
+          countDistinct(col("canon")).as("n_urls_canon"),
+          sum(col("n_chars")).as("chars"))
+        .orderBy(col("domain"))
     })
   )
 
@@ -4077,7 +4125,59 @@ object SparkEntry {
            |    AS BIGINT) AS n_dups,
            |  CAST(coalesce(SUM(d.dup_of), 0) AS BIGINT) AS sum_dup_of
            |FROM bs LEFT JOIN dup d ON bs.doc_id = d.doc_id
-           |GROUP BY bs.source""".stripMargin
+           |GROUP BY bs.source""".stripMargin,
+
+      // mirrors graft.functions.urls.canonicalize/host definition-for-
+      // definition (regexp_extract head, split_part fragment/query
+      // slicing, list_filter on utm_ prefix) — keep in lockstep
+      "q110_url_canonical" ->
+        """WITH u AS (
+          |  SELECT doc_id, n_chars,
+          |    'https://' ||
+          |    CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source
+          |    END || '.example.com/' || lang || '/page/' ||
+          |    CAST(doc_id % 50 AS VARCHAR) ||
+          |    CASE WHEN doc_id % 3 = 0
+          |      THEN '?utm_source=feed&utm_medium=m' ||
+          |        CAST(doc_id % 7 AS VARCHAR)
+          |    WHEN doc_id % 3 = 1
+          |      THEN '?id=' || CAST(doc_id % 10 AS VARCHAR) ||
+          |        '&utm_campaign=c' || CAST(doc_id % 4 AS VARCHAR)
+          |    ELSE '' END ||
+          |    CASE WHEN doc_id % 5 = 0
+          |      THEN '#sec' || CAST(doc_id % 4 AS VARCHAR)
+          |    ELSE '' END AS url
+          |  FROM documents),
+          |parts AS (
+          |  SELECT doc_id, n_chars, url,
+          |    regexp_extract(split_part(url, '#', 1),
+          |      '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS head,
+          |    substr(split_part(url, '#', 1),
+          |      length(regexp_extract(split_part(url, '#', 1),
+          |        '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) + 1) AS tail
+          |  FROM u),
+          |canon AS (
+          |  SELECT doc_id, n_chars, url,
+          |    lower(regexp_extract(url,
+          |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS domain,
+          |    lower(head) || split_part(tail, '?', 1) ||
+          |      CASE WHEN len(list_filter(
+          |          string_split(substr(tail,
+          |            length(split_part(tail, '?', 1)) + 2), '&'),
+          |          p -> p <> '' AND NOT starts_with(p, 'utm_'))) > 0
+          |        THEN '?' || array_to_string(list_filter(
+          |          string_split(substr(tail,
+          |            length(split_part(tail, '?', 1)) + 2), '&'),
+          |          p -> p <> '' AND NOT starts_with(p, 'utm_')), '&')
+          |      ELSE '' END AS canon
+          |  FROM parts)
+          |SELECT domain, COUNT(*) AS n_docs,
+          |  COUNT(DISTINCT url) AS n_urls_raw,
+          |  COUNT(DISTINCT canon) AS n_urls_canon,
+          |  CAST(SUM(n_chars) AS BIGINT) AS chars
+          |FROM canon
+          |WHERE domain NOT IN ('src2.example.com', 'src9.example.com')
+          |GROUP BY domain ORDER BY domain""".stripMargin
     )
   }
 }

@@ -260,4 +260,73 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec with Matchers {
       }
     }
   }
+
+  test("urls.canonicalize: fragment, utm params, case-fold, edge shapes") {
+    import spark.implicits._
+    import graft.functions.urls
+    val cases = Seq(
+      // utm-only query collapses to the bare URL
+      "https://A.Example.COM/Path/x?utm_source=a&utm_medium=b#frag" ->
+        "https://a.example.com/Path/x",
+      // non-utm params survive in order; interleaved utm dropped
+      "https://h.com/p?id=3&utm_campaign=c&q=Y" ->
+        "https://h.com/p?id=3&q=Y",
+      // no query, no fragment: identity modulo authority case-fold
+      "HTTPS://HOST.com/UPPER/Path" -> "https://host.com/UPPER/Path",
+      // empty params from && runs are dropped
+      "https://h.com/p?&&id=1&&" -> "https://h.com/p?id=1",
+      // '?' with only utm params disappears entirely
+      "https://h.com/p?utm_x=1" -> "https://h.com/p",
+      // no scheme://authority: treated as all-path, passed through
+      "not a url" -> "not a url")
+    val got = cases.map(_._1).toDF("url")
+      .select(urls.canonicalize(col("url"))).as[String].collect().toList
+    got shouldBe cases.map(_._2).toList
+  }
+
+  test("urls.host: lower-cased authority; empty without scheme") {
+    import spark.implicits._
+    import graft.functions.urls
+    Seq("https://WWW.Site.org:8080/a?b#c", "relative/path", "")
+      .toDF("url").select(urls.host(col("url")))
+      .as[String].collect().toList shouldBe
+      List("www.site.org:8080", "", "")
+  }
+
+  test("url kernels ≡ HOF parity on edge battery and synthesized URLs") {
+    import spark.implicits._
+    import graft.functions.urls
+    val edges = Seq(
+      "https://A.Example.COM/Path/x?utm_source=a&utm_medium=b#frag",
+      "https://h.com/p?id=3&utm_campaign=c&q=Y",
+      "HTTPS://HOST.com/UPPER/Path", "https://h.com/p?&&id=1&&",
+      "https://h.com/p?utm_x=1", "not a url", "", "#lead", "x://",
+      "https:///no-authority/p?a=1", "ftp+ssh://U.V/w?utm_a=1&b=2#f",
+      "https://h.com/p?", "https://h.com/p?#", "https://h.com",
+      "9scheme://bad.start", "sch eme://spaced", "https://h.com/p?utm_",
+      "https://h.com/p?a=%C3%9C&utm_b=1", "https://Ü.example/p?x=1")
+    // the q110 synthesis shape, swept over the modulus space
+    val synth = (0L until 300L).map { id =>
+      val host = (if (id % 2 == 0) s"SRC${id % 20}" else s"src${id % 20}") +
+        ".example.com"
+      val q = (id % 3) match {
+        case 0 => s"?utm_source=feed&utm_medium=m${id % 7}"
+        case 1 => s"?id=${id % 10}&utm_campaign=c${id % 4}"
+        case _ => ""
+      }
+      val frag = if (id % 5 == 0) s"#sec${id % 4}" else ""
+      s"https://$host/xx/page/${id % 50}$q$frag"
+    }
+    val rows = (edges ++ synth).toDF("url")
+      .select(
+        urls.canonicalize(col("url")).as("ck"),
+        urls.canonicalizeHof(col("url")).as("ch"),
+        urls.host(col("url")).as("hk"),
+        urls.hostHof(col("url")).as("hh"))
+      .as[(String, String, String, String)].collect()
+    rows.foreach { case (ck, ch, hk, hh) =>
+      ck shouldBe ch
+      hk shouldBe hh
+    }
+  }
 }

@@ -111,7 +111,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec with Matchers {
     * two rounds later. Counts come from the pre-execution plan (AQE's
     * initial plan), so they are deterministic for the fixed sf0.001
     * fixture; ReusedExchangeExec is a leaf and is deliberately NOT
-    * counted (a reused exchange costs nothing new).
+    * counted (a reused exchange costs nothing new). Subquery plans ARE
+    * counted once per reference (runtime dedupes via ReusedSubquery),
+    * so multi-branch scalar-subquery shapes (q78/q89's bloom sketch)
+    * overstate absolute cost — fine for a pin, whose only job is to
+    * move when the plan moves.
     *
     * Regenerate after a DELIBERATE plan change with:
     *   SPARK_GRAFT_PIN_UPDATE=1 sbt "testOnly graft.PlanAuditSpec"
