@@ -2397,6 +2397,76 @@ object SparkEntry {
           countDistinct(col("canon")).as("n_urls_canon"),
           sum(col("n_chars")).as("chars"))
         .orderBy(col("domain"))
+    }),
+
+    // ── T7+NS capstone: CONTINUOUS near-dup ingest — q109's at-rest
+    // signature index driven by a stream (Streams.nearDupIngest):
+    // each micro-batch is marked against the index AS OF its start,
+    // fresh signatures append before the next batch. Three
+    // deterministic MemoryStream batches prove store growth carries
+    // the memory (streaming state is zero): batch 2's exact copies of
+    // batch-1 src15 docs and batch 3's copies of batch-2 src16 docs
+    // can only be flagged if the index grew between batches — a
+    // failed append surfaces as n_dups collapsing in the oracle
+    // compare. Cross-batch dup_of ids pin WHICH doc each copy
+    // resolved to. ──
+    "q111_stream_neardup_ingest" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ns = drainSession(s)
+      import ns.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = ns.sqlContext
+      val docs = t(ns, dir, "documents")
+      val newSrc = Seq("src15", "src16", "src17")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q111_").toString
+      Dedup.writeNearDupIndex(
+        docs.filter(!col("source").isin(newSrc: _*)),
+        "doc_id", "text", shingleN = 2, k = 64, bands = 32,
+        dir = root + "/idx")
+      def rows(df: DataFrame): Seq[(Long, String, String)] =
+        df.as[(Long, String, String)].collect().toSeq
+      def slim(df: DataFrame): DataFrame =
+        df.select(col("doc_id"), col("source"), col("text"))
+      val b1 = rows(slim(docs.filter(col("source") === "src15"))
+        .unionByName(docs.filter(!col("source").isin(newSrc: _*))
+          .filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            col("source"), col("text"))))
+      val b2 = rows(slim(docs.filter(col("source") === "src16"))
+        .unionByName(docs.filter(col("source") === "src15")
+          .filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 4000000L).as("doc_id"),
+            col("source"), col("text"))))
+      val b3 = rows(slim(docs.filter(col("source") === "src17"))
+        .unionByName(docs.filter(col("source") === "src16")
+          .filter(col("doc_id") % 5 === 1)
+          .select((col("doc_id") + 5000000L).as("doc_id"),
+            col("source"), col("text"))))
+      val input = MemoryStream[(Long, String, String)]
+      val stream = input.toDF().toDF("doc_id", "source", "text")
+      // ephemeral checkpoint to tmpfs (the drainToTable rationale)
+      val shm = new java.io.File("/dev/shm")
+      val ckptRoot = if (shm.isDirectory && shm.canWrite) shm
+        else new java.io.File(System.getProperty("java.io.tmpdir"))
+      val ckpt = new java.io.File(ckptRoot,
+        s"graft-ckpt-q111-${System.nanoTime()}")
+      val q = Streams.nearDupIngest(stream, "doc_id", "text",
+        root + "/idx", root + "/out", ckpt.getAbsolutePath,
+        shingleN = 2, k = 64, bands = 32, threshold = 0.5)
+      try
+        Seq(b1, b2, b3).foreach { b =>
+          input.addData(b); q.processAllAvailable()
+        }
+      finally {
+        q.stop()
+        Scratch.deleteRecursively(ckpt)
+      }
+      val res = ns.read.parquet(root + "/out")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"),
+          coalesce(sum(col("dup_of")), lit(0L)).as("sum_dup_of"))
+      materializeThenClean(s, res, root)
     })
   )
 
@@ -4126,6 +4196,76 @@ object SparkEntry {
            |  CAST(coalesce(SUM(d.dup_of), 0) AS BIGINT) AS sum_dup_of
            |FROM bs LEFT JOIN dup d ON bs.doc_id = d.doc_id
            |GROUP BY bs.source""".stripMargin,
+
+      // mirrors the stream's index-as-of-batch-start semantics as
+      // three staged passes: d1 marks batch 1 vs the corpus index,
+      // i1 = index ∪ batch-1 fresh docs, d2 marks batch 2 vs i1, etc.
+      // — a failed store append in the engine collapses d2/d3's
+      // cross-batch dups and fails the hash compare
+      "q111_stream_neardup_ingest" -> {
+        def jac(a: String, b: String): String =
+          s"CAST(len(list_intersect($a.s, $b.s)) AS DOUBLE) / " +
+            s"CAST(len($a.s) + len($b.s) - " +
+            s"len(list_intersect($a.s, $b.s)) AS DOUBLE) >= 0.5"
+        s"""WITH corpus AS (
+           |  SELECT doc_id, source, text FROM documents
+           |  WHERE source NOT IN ('src15', 'src16', 'src17')),
+           |b1 AS (
+           |  SELECT doc_id, source, text FROM documents
+           |  WHERE source = 'src15'
+           |  UNION ALL
+           |  SELECT doc_id + 3000000, source, text FROM corpus
+           |  WHERE doc_id % 11 = 0),
+           |b2 AS (
+           |  SELECT doc_id, source, text FROM documents
+           |  WHERE source = 'src16'
+           |  UNION ALL
+           |  SELECT doc_id + 4000000, source, text FROM documents
+           |  WHERE source = 'src15' AND doc_id % 5 = 0),
+           |b3 AS (
+           |  SELECT doc_id, source, text FROM documents
+           |  WHERE source = 'src17'
+           |  UNION ALL
+           |  SELECT doc_id + 5000000, source, text FROM documents
+           |  WHERE source = 'src16' AND doc_id % 5 = 1),
+           |csh AS (SELECT doc_id, ${sqlShingles(2)} AS s
+           |  FROM (SELECT doc_id, $sqlTokens AS toks FROM corpus)),
+           |s1 AS (SELECT doc_id, ${sqlShingles(2)} AS s
+           |  FROM (SELECT doc_id, $sqlTokens AS toks FROM b1)),
+           |s2 AS (SELECT doc_id, ${sqlShingles(2)} AS s
+           |  FROM (SELECT doc_id, $sqlTokens AS toks FROM b2)),
+           |s3 AS (SELECT doc_id, ${sqlShingles(2)} AS s
+           |  FROM (SELECT doc_id, $sqlTokens AS toks FROM b3)),
+           |d1 AS (SELECT b.doc_id, min(c.doc_id) AS dup_of
+           |  FROM s1 b JOIN csh c ON ${jac("b", "c")}
+           |  GROUP BY b.doc_id),
+           |i1 AS (SELECT * FROM csh UNION ALL
+           |  SELECT * FROM s1
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM d1)),
+           |d2 AS (SELECT b.doc_id, min(c.doc_id) AS dup_of
+           |  FROM s2 b JOIN i1 c ON ${jac("b", "c")}
+           |  GROUP BY b.doc_id),
+           |i2 AS (SELECT * FROM i1 UNION ALL
+           |  SELECT * FROM s2
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM d2)),
+           |d3 AS (SELECT b.doc_id, min(c.doc_id) AS dup_of
+           |  FROM s3 b JOIN i2 c ON ${jac("b", "c")}
+           |  GROUP BY b.doc_id),
+           |marked AS (
+           |  SELECT b1.source, b1.doc_id, d1.dup_of
+           |  FROM b1 LEFT JOIN d1 ON b1.doc_id = d1.doc_id
+           |  UNION ALL
+           |  SELECT b2.source, b2.doc_id, d2.dup_of
+           |  FROM b2 LEFT JOIN d2 ON b2.doc_id = d2.doc_id
+           |  UNION ALL
+           |  SELECT b3.source, b3.doc_id, d3.dup_of
+           |  FROM b3 LEFT JOIN d3 ON b3.doc_id = d3.doc_id)
+           |SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(CASE WHEN dup_of IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_dups,
+           |  CAST(coalesce(SUM(dup_of), 0) AS BIGINT) AS sum_dup_of
+           |FROM marked GROUP BY source""".stripMargin
+      },
 
       // mirrors graft.functions.urls.canonicalize/host definition-for-
       // definition (regexp_extract head, split_part fragment/query

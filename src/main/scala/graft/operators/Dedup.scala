@@ -958,7 +958,33 @@ object Dedup {
     * silently clobbering an index another pipeline is probing is the
     * lake-layout equivalent of a torn write. */
   def writeNearDupIndex(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int, bands: Int, dir: String): Unit =
+    writeIndexTables(docs, idCol, textCol, shingleN, k, dir, bands,
+      "errorifexists")
+
+  /** Append `docs`' signatures to an EXISTING index written by
+    * [[writeNearDupIndex]] — the store-growth half of continuous
+    * ingest (Streams.nearDupIngest): fresh docs' bands/shingles land
+    * as NEW parquet files only, no rewrite of what's already indexed
+    * (the clusteredAppend posture). `(shingleN, k, bands)` MUST match
+    * the build — same contract as [[incrementalNearDupAgainst]].
+    * Fails loudly when the index does not exist: appending into a
+    * bare directory would mint a half-index whose probes silently
+    * miss every pre-existing document. */
+  def appendToNearDupIndex(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, k: Int, bands: Int, dir: String): Unit = {
+    val bandsPath = new org.apache.hadoop.fs.Path(s"$dir/bands")
+    val fs = bandsPath.getFileSystem(
+      docs.sparkSession.sessionState.newHadoopConf())
+    require(fs.exists(bandsPath),
+      s"appendToNearDupIndex: no index at $dir (missing $bandsPath) — " +
+        "build it with writeNearDupIndex first")
+    writeIndexTables(docs, idCol, textCol, shingleN, k, dir, bands, "append")
+  }
+
+  private def writeIndexTables(docs: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, k: Int, dir: String, bands: Int,
+      mode: String): Unit = {
     val sets = shingleSets(docs, idCol, textCol, shingleN)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sigs = signaturesFromBaseHashes(
@@ -966,8 +992,8 @@ object Dedup {
         .select(col("doc"), xxhash64(col("shingle")).as("h0")),
       k)
     bandedSignatures(sigs, bands, k)
-      .write.mode("errorifexists").parquet(s"$dir/bands")
-    sets.write.mode("errorifexists").parquet(s"$dir/shingles")
+      .write.mode(mode).parquet(s"$dir/bands")
+    sets.write.mode(mode).parquet(s"$dir/shingles")
     sets.unpersist(blocking = false)
   }
 

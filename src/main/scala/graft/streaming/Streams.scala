@@ -66,6 +66,52 @@ object Streams {
     df.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** T7+NS: CONTINUOUS near-dup ingest — the at-rest signature index
+    * (Dedup.writeNearDupIndex) driven by a stream. Per micro-batch:
+    * (1) mark the batch against the index AS OF the batch start
+    * (Dedup.incrementalNearDupAgainst), (2) land the marked rows in
+    * `outDir` (parquet append, + batch_id), (3) append the FRESH
+    * docs' signatures to the index before the next batch — so a
+    * duplicate arriving N batches later resolves to the earlier
+    * ingested doc through the STORE, not through stream state.
+    *
+    * Scale posture: streaming state is ZERO — the operator's whole
+    * memory is at rest, shared with the batch path (q109), growable
+    * without rewrites (parquet append = new files only), and subject
+    * to the same compaction lifecycle as any segmented store. The
+    * engine serializes micro-batches, which is exactly the ordering
+    * the index-growth contract needs; within one batch, marking is
+    * against the index only (batch-internal near-dup pairs pass —
+    * run the batch-pairs operator downstream if that matters).
+    * Restart replays only unprocessed batches (checkpoint offset
+    * tracking); a batch that failed AFTER its parquet landed but
+    * before/mid index-append re-runs both writes, so downstream
+    * readers of `outDir` should dedupe on (batch_id, idCol) — the
+    * standard foreachBatch at-least-once caveat, stated rather than
+    * hidden. */
+  def nearDupIngest(docs: DataFrame, idCol: String, textCol: String,
+      indexDir: String, outDir: String, checkpointDir: String,
+      shingleN: Int, k: Int, bands: Int,
+      threshold: Double): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        // eagerly materialized inside incrementalNearDupAgainst
+        // (localCheckpoint), so the two writes below don't recompute
+        // the candidate join against a store the second write mutates
+        val marked = graft.operators.Dedup.incrementalNearDupAgainst(
+          s, batch.toDF(), idCol, textCol, indexDir,
+          shingleN, k, bands, threshold)
+        marked.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+        graft.operators.Dedup.appendToNearDupIndex(
+          marked.filter(!col("is_dup"))
+            .select(col(idCol), col(textCol)),
+          idCol, textCol, shingleN, k, bands, indexDir)
+      }
+      .start()
+
   /** T7: tumbling event-time windows (streaming analog of q19). */
   def tumblingCounts(df: DataFrame, tsCol: String, delay: String,
       windowDur: String, keyCols: Column*): DataFrame =

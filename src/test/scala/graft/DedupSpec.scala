@@ -445,6 +445,23 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
       an[Exception] should be thrownBy
         Dedup.writeNearDupIndex(corpus, "doc_id", "text", 2, 64, 32,
           root + "/idx")
+      // appending into a bare dir fails loudly (half-index guard)
+      val bare = intercept[IllegalArgumentException] {
+        Dedup.appendToNearDupIndex(batch, "doc_id", "text", 2, 64, 32,
+          root + "/nonexistent")
+      }
+      bare.getMessage should include("no index at")
+      // a real append grows the store: the batch's fresh doc becomes
+      // findable, so re-checking the SAME batch now flags everything
+      Dedup.appendToNearDupIndex(
+        batch.filter(col("doc_id") === 12L), "doc_id", "text", 2, 64, 32,
+        root + "/idx")
+      val again = Dedup.incrementalNearDupAgainst(spark,
+          batch.select((col("doc_id") + 100L).as("doc_id"), col("text")),
+          "doc_id", "text", root + "/idx", 2, 64, 32, 0.5)
+        .select("doc_id", "dup_of")
+        .as[(Long, Option[Long])].collect().toMap
+      again(112L) shouldBe Some(12L) // caught by the APPENDED signature
     } finally Scratch.deleteRecursively(new java.io.File(root))
   }
 }

@@ -351,4 +351,43 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
       spark.streams.removeListener(listener)
     }
   }
+
+  test("continuous near-dup ingest: store growth catches cross-batch dups; stream state is zero") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_nd_stream_").toString
+    try {
+      val corpus = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog tonight"))
+        .toDF("doc_id", "text")
+      graft.operators.Dedup.writeNearDupIndex(corpus, "doc_id", "text",
+        shingleN = 2, k = 64, bands = 32, dir = root + "/idx")
+      val input = MemoryStream[(Long, String)]
+      val q = Streams.nearDupIngest(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        root + "/idx", root + "/out", root + "/ckpt",
+        shingleN = 2, k = 64, bands = 32, threshold = 0.5)
+      try {
+        // batch 0: a dup of the pre-indexed corpus + a fresh doc
+        input.addData(
+          (10L, "the quick brown fox jumps over the lazy dog tonight"),
+          (11L, "totally new material never indexed before anywhere"))
+        q.processAllAvailable()
+        // batch 1: an exact copy of batch-0's FRESH doc — only the
+        // store append (not stream state: zero stateful operators)
+        // can catch it
+        input.addData(
+          (20L, "totally new material never indexed before anywhere"))
+        q.processAllAvailable()
+        q.lastProgress.stateOperators.size shouldBe 0
+      } finally q.stop()
+      val out = spark.read.parquet(root + "/out")
+        .select("doc_id", "dup_of", "batch_id")
+        .as[(Long, Option[Long], Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      out(10L) shouldBe ((Some(1L), 0L))  // dup of the pre-indexed doc
+      out(11L) shouldBe ((None, 0L))      // fresh, appended to store
+      out(20L) shouldBe ((Some(11L), 1L)) // dup of the batch-0 ingest
+    } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
 }
