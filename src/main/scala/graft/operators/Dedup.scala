@@ -1014,16 +1014,40 @@ object Dedup {
     * are parameters of BOTH calls by design. */
   def incrementalNearDupAgainst(spark: org.apache.spark.sql.SparkSession,
       newDocs: DataFrame, idCol: String, textCol: String, indexDir: String,
-      shingleN: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+      shingleN: Int, k: Int, bands: Int, threshold: Double): DataFrame =
+    markAgainstIndex(spark, newDocs, idCol, textCol, indexDir,
+      shingleN, k, bands, threshold, appendFresh = false)
+
+  /** [[incrementalNearDupAgainst]] fused with the store append of the
+    * FRESH docs' signatures — the per-micro-batch step of continuous
+    * ingest (Streams.nearDupIngest). Fusing matters: the mark pass
+    * already computed every batch doc's shingle set and banded
+    * signature, so the append is an anti-join slice of those cached
+    * tables instead of a second tokenize+minhash over the fresh texts
+    * (measured: the separate-append form re-ran the k-pass minhash
+    * kernel per batch — the single biggest avoidable cost in the q111
+    * stream at sf0.1). */
+  def ingestBatchAgainst(spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame, idCol: String, textCol: String, indexDir: String,
+      shingleN: Int, k: Int, bands: Int, threshold: Double): DataFrame =
+    markAgainstIndex(spark, newDocs, idCol, textCol, indexDir,
+      shingleN, k, bands, threshold, appendFresh = true)
+
+  private def markAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame, idCol: String, textCol: String, indexDir: String,
+      shingleN: Int, k: Int, bands: Int, threshold: Double,
+      appendFresh: Boolean): DataFrame = {
     val storeBands = spark.read.parquet(s"$indexDir/bands")
     val storeSets = spark.read.parquet(s"$indexDir/shingles")
     val sets = shingleSets(newDocs, idCol, textCol, shingleN)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val sigs = signaturesFromBaseHashes(
+    val banded = bandedSignatures(signaturesFromBaseHashes(
       sets.select(col("doc"), explode(col("shingles")).as("shingle"))
         .select(col("doc"), xxhash64(col("shingle")).as("h0")),
-      k)
-    val candidates = bandedSignatures(sigs, bands, k)
+      k), bands, k)
+    // persisted only when the append path will read it a second time
+    if (appendFresh) banded.persist(StorageLevel.MEMORY_AND_DISK)
+    val candidates = banded
       .toDF("doc_b", "band", "band_hash")
       .join(storeBands.toDF("doc_a", "band", "band_hash"),
         Seq("band", "band_hash"))
@@ -1038,6 +1062,16 @@ object Dedup {
     val out = newDocs.join(dupOf, Seq(idCol), "left")
       .withColumn("is_dup", col("dup_of").isNotNull)
       .localCheckpoint(eager = true)
+    if (appendFresh) {
+      // dup ids from the materialized result: a driver-side bounded
+      // collect would cap batch size — the broadcast anti-join doesn't
+      val dupIds = out.filter(col("is_dup")).select(col(idCol).as("doc"))
+      banded.join(broadcast(dupIds), Seq("doc"), "left_anti")
+        .write.mode("append").parquet(s"$indexDir/bands")
+      sets.join(broadcast(dupIds), Seq("doc"), "left_anti")
+        .write.mode("append").parquet(s"$indexDir/shingles")
+      banded.unpersist(blocking = false)
+    }
     sets.unpersist(blocking = false)
     out
   }

@@ -97,18 +97,17 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
-        // eagerly materialized inside incrementalNearDupAgainst
-        // (localCheckpoint), so the two writes below don't recompute
-        // the candidate join against a store the second write mutates
-        val marked = graft.operators.Dedup.incrementalNearDupAgainst(
-          s, batch.toDF(), idCol, textCol, indexDir,
-          shingleN, k, bands, threshold)
-        marked.withColumn("batch_id", lit(batchId))
+        // mark + append fused: the fresh docs' signatures are sliced
+        // from the mark pass's cached tables, not recomputed from
+        // text (Dedup.ingestBatchAgainst scaladoc); the marked result
+        // is eagerly materialized inside, so the parquet write below
+        // doesn't recompute the candidate join against the store the
+        // append just mutated
+        graft.operators.Dedup.ingestBatchAgainst(
+            s, batch.toDF(), idCol, textCol, indexDir,
+            shingleN, k, bands, threshold)
+          .withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(outDir)
-        graft.operators.Dedup.appendToNearDupIndex(
-          marked.filter(!col("is_dup"))
-            .select(col(idCol), col(textCol)),
-          idCol, textCol, shingleN, k, bands, indexDir)
       }
       .start()
 
