@@ -993,7 +993,19 @@ object Dedup {
       k)
     bandedSignatures(sigs, bands, k)
       .write.mode(mode).parquet(s"$dir/bands")
-    sets.write.mode(mode).parquet(s"$dir/shingles")
+    // the shingles table is the POINT-FETCH side of the re-score
+    // (markAgainstIndex): cluster it by doc id so a pushed id filter
+    // prunes files/row-groups instead of deserializing every stored
+    // array. Build = defaultParallelism range-files over the corpus;
+    // append = ONE id-sorted file per batch (the log-structured
+    // segment shape; compaction = rebuild, same cycle as
+    // clusteredAppend)
+    val nFiles =
+      if (mode == "append") 1
+      else math.max(1, docs.sparkSession.sparkContext.defaultParallelism)
+    sets.repartitionByRange(nFiles, col("doc"))
+      .sortWithinPartitions(col("doc"))
+      .write.mode(mode).parquet(s"$dir/shingles")
     sets.unpersist(blocking = false)
   }
 
@@ -1005,18 +1017,26 @@ object Dedup {
     * Scale shape (100 TB): the corpus is touched ONLY through the
     * index — the candidate join is batch-bands against stored bands
     * (shuffle sized by the batch plus colliding store rows), and the
-    * exact re-score point-fetches only candidate docs' stored shingle
-    * sets. Nothing re-tokenizes, re-hashes, or re-shuffles corpus
-    * text; ingest cost scales with the batch. Same S-curve contract
+    * exact re-score POINT-FETCHES the candidate targets' stored
+    * shingle sets: up to `pointFetchCap` distinct target ids are
+    * collected (a bounded planning lookup) and pushed as an id filter
+    * into the id-clustered shingles store, pruning files/row-groups;
+    * beyond the cap a sequential scan-join takes over (the cheaper
+    * plan at that cardinality). Nothing re-tokenizes, re-hashes, or
+    * re-shuffles corpus text; ingest cost scales with the batch.
+    * Same S-curve contract
     * as [[minhashNearDupPairs]] (k, bands, minBandMatches=2): subset-
     * exact, complete away from the knee — `(shingleN, k, bands)` MUST
     * match the index build or candidates are silently wrong, so they
     * are parameters of BOTH calls by design. */
   def incrementalNearDupAgainst(spark: org.apache.spark.sql.SparkSession,
       newDocs: DataFrame, idCol: String, textCol: String, indexDir: String,
-      shingleN: Int, k: Int, bands: Int, threshold: Double): DataFrame =
+      shingleN: Int, k: Int, bands: Int, threshold: Double,
+      pointFetchCap: Int = 50000,
+      pointFetchMinStoreBytes: Long = 256L << 20): DataFrame =
     markAgainstIndex(spark, newDocs, idCol, textCol, indexDir,
-      shingleN, k, bands, threshold, appendFresh = false)
+      shingleN, k, bands, threshold, appendFresh = false, pointFetchCap,
+      pointFetchMinStoreBytes)
 
   /** [[incrementalNearDupAgainst]] fused with the store append of the
     * FRESH docs' signatures — the per-micro-batch step of continuous
@@ -1029,32 +1049,71 @@ object Dedup {
     * stream at sf0.1). */
   def ingestBatchAgainst(spark: org.apache.spark.sql.SparkSession,
       newDocs: DataFrame, idCol: String, textCol: String, indexDir: String,
-      shingleN: Int, k: Int, bands: Int, threshold: Double): DataFrame =
+      shingleN: Int, k: Int, bands: Int, threshold: Double,
+      pointFetchCap: Int = 50000,
+      pointFetchMinStoreBytes: Long = 256L << 20): DataFrame =
     markAgainstIndex(spark, newDocs, idCol, textCol, indexDir,
-      shingleN, k, bands, threshold, appendFresh = true)
+      shingleN, k, bands, threshold, appendFresh = true, pointFetchCap,
+      pointFetchMinStoreBytes)
 
   private def markAgainstIndex(spark: org.apache.spark.sql.SparkSession,
       newDocs: DataFrame, idCol: String, textCol: String, indexDir: String,
       shingleN: Int, k: Int, bands: Int, threshold: Double,
-      appendFresh: Boolean): DataFrame = {
+      appendFresh: Boolean, pointFetchCap: Int,
+      pointFetchMinStoreBytes: Long): DataFrame = {
     val storeBands = spark.read.parquet(s"$indexDir/bands")
     val storeSets = spark.read.parquet(s"$indexDir/shingles")
     val sets = shingleSets(newDocs, idCol, textCol, shingleN)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val banded = bandedSignatures(signaturesFromBaseHashes(
+    val banded0 = bandedSignatures(signaturesFromBaseHashes(
       sets.select(col("doc"), explode(col("shingles")).as("shingle"))
         .select(col("doc"), xxhash64(col("shingle")).as("h0")),
       k), bands, k)
-    // persisted only when the append path will read it a second time
-    if (appendFresh) banded.persist(StorageLevel.MEMORY_AND_DISK)
-    val candidates = banded
+    // the append path reads banded twice (candidate probe + fresh
+    // slice) — cache it there instead of re-running the k-pass
+    // minhash kernel; the mark-only path reads it once, where a
+    // persist would be pure materialization overhead
+    val banded =
+      if (appendFresh) banded0.persist(StorageLevel.MEMORY_AND_DISK)
+      else banded0
+    val candidates0 = banded
       .toDF("doc_b", "band", "band_hash")
       .join(storeBands.toDF("doc_a", "band", "band_hash"),
         Seq("band", "band_hash"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands"))
       .filter(col("n_bands") >= 2)
       .select("doc_a", "doc_b")
-    val dupOf = rescoreJaccardAB(candidates, storeSets, sets, threshold)
+    // POINT-FETCH the candidate targets' stored shingles when it can
+    // win: the distinct doc_a list is collected (bounded by
+    // pointFetchCap — a planning lookup, the q101 convention) and
+    // pushed as an id filter into the id-CLUSTERED shingles store, so
+    // the re-score deserializes only matching files/row-groups
+    // instead of every stored array. Two cost-based fallbacks to the
+    // scan-join, both the CHEAPER plan where they fire, not a
+    // compromise: a large target set (scattered point-fetches beyond
+    // the cap cost more than one sequential scan) and a SMALL store
+    // (measured at sf0.1: filtering a few-MB store costs more than
+    // scanning it — pruning pays when the store dwarfs the batch, the
+    // actual 100 TB regime). The store-size probe is metadata-only.
+    val shinglesPath = new org.apache.hadoop.fs.Path(s"$indexDir/shingles")
+    val storeBytes = shinglesPath
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .getContentSummary(shinglesPath).getLength
+    // cache candidates only when the planning lookup will read them a
+    // second time (small-store scan-join path reads them exactly once)
+    val candidates =
+      if (storeBytes >= pointFetchMinStoreBytes)
+        candidates0.persist(StorageLevel.MEMORY_AND_DISK)
+      else candidates0
+    val targetIds =
+      if (storeBytes < pointFetchMinStoreBytes) Array.empty[Any]
+      else candidates.select(col("doc_a")).distinct()
+        .limit(pointFetchCap + 1).collect().map(_.get(0))
+    val fetchSets =
+      if (targetIds.nonEmpty && targetIds.length <= pointFetchCap)
+        storeSets.filter(col("doc").isin(targetIds.toIndexedSeq: _*))
+      else storeSets
+    val dupOf = rescoreJaccardAB(candidates, fetchSets, sets, threshold)
       .groupBy(col("doc_b").as(idCol))
       .agg(min(col("doc_a")).as("dup_of"))
     // materialize before releasing the batch shingle cache (the
@@ -1068,10 +1127,13 @@ object Dedup {
       val dupIds = out.filter(col("is_dup")).select(col(idCol).as("doc"))
       banded.join(broadcast(dupIds), Seq("doc"), "left_anti")
         .write.mode("append").parquet(s"$indexDir/bands")
+      // one id-sorted file per ingest batch (see writeIndexTables)
       sets.join(broadcast(dupIds), Seq("doc"), "left_anti")
+        .repartitionByRange(1, col("doc")).sortWithinPartitions(col("doc"))
         .write.mode("append").parquet(s"$indexDir/shingles")
-      banded.unpersist(blocking = false)
     }
+    candidates.unpersist(blocking = false)
+    banded.unpersist(blocking = false)
     sets.unpersist(blocking = false)
     out
   }

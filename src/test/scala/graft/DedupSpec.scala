@@ -462,6 +462,16 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
         .select("doc_id", "dup_of")
         .as[(Long, Option[Long])].collect().toMap
       again(112L) shouldBe Some(12L) // caught by the APPENDED signature
+      // the point-fetch re-score (forced past the small-store
+      // fallback) and the default scan-join are the same operator on
+      // the same store
+      val viaPointFetch = Dedup.incrementalNearDupAgainst(spark,
+          batch.select((col("doc_id") + 100L).as("doc_id"), col("text")),
+          "doc_id", "text", root + "/idx", 2, 64, 32, 0.5,
+          pointFetchMinStoreBytes = 0L)
+        .select("doc_id", "dup_of")
+        .as[(Long, Option[Long])].collect().toMap
+      viaPointFetch shouldBe again
     } finally Scratch.deleteRecursively(new java.io.File(root))
   }
 }
