@@ -2415,7 +2415,10 @@ object SparkEntry {
       val ns = drainSession(s)
       import ns.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = ns.sqlContext
-      val docs = t(ns, dir, "documents")
+      // index build + fixture collection on the PARENT session (full
+      // shuffle width — the build is corpus-scale); only the stream
+      // and its batch-scale marks run in the 8-partition drain session
+      val docs = t(s, dir, "documents")
       val newSrc = Seq("src15", "src16", "src17")
       val root = java.nio.file.Files
         .createTempDirectory("graft_q111_").toString
