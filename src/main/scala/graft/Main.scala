@@ -100,6 +100,9 @@ object Main {
     case Seq("compact", storeDir, key, rest @ _*)
         if doubleArg(rest, 2.0).isDefined =>
       compactStore(spark, storeDir, key, doubleArg(rest, 2.0).get)
+    case Seq("compact-ndindex", indexDir, rest @ _*)
+        if doubleArg(rest, 2.0).isDefined =>
+      compactNdIndex(spark, indexDir, doubleArg(rest, 2.0).get)
     case Seq("index", storeDir) => indexInfo(spark, storeDir)
     case Seq("ranges", rest @ _*) => ranges(rest)
     case Seq("diff", dirA, dirB, rest @ _*)
@@ -121,6 +124,10 @@ object Main {
       "  compact <storeDir> <key> [maxDilution]   measure pruning " +
         "dilution of a segmented clustered store; rewrite when over " +
         "budget (default 2.0)",
+      "  compact-ndindex <indexDir> [maxDilution]   same cycle for a " +
+        "near-dup signature index: measure the shingles table's " +
+        "dilution; re-cluster shingles + consolidate bands when over " +
+        "budget",
       "  index <storeDir>                    show a store's persisted " +
         "ANN metadata (what AnnIndex.registerFrom adopts)",
       "  ranges [--test-topic <topic>]       ID ranges + extraction test",
@@ -409,6 +416,29 @@ object Main {
       val after = Layout.pruningDilution(spark, root, key)
       Seq(head,
         s"compacted ${segs.size} segments -> 1; dilution now ${num2(after)}")
+    }
+  }
+
+  /** The [[compactStore]] cycle for a near-dup signature index
+    * (Dedup.writeNearDupIndex layout): dilution is measured on the
+    * shingles table — the point-fetch side, where per-batch appended
+    * files overlap the id space — and an over-budget index has BOTH
+    * tables rewritten (shingles re-clustered by doc, bands
+    * consolidated) via Dedup.compactNearDupIndex's write-then-swap. */
+  private def compactNdIndex(spark: SparkSession, indexDir: String,
+      maxDilution: Double): Seq[String] = {
+    def num2(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+    val before = Layout.pruningDilution(spark, s"$indexDir/shingles", "doc")
+    val nFiles = Layout.fileSpans(spark, s"$indexDir/shingles", "doc").count()
+    val head = s"shingles dilution ${num2(before)} over $nFiles files " +
+      s"(budget ${num2(maxDilution)})"
+    if (before <= maxDilution)
+      Seq(head, "within budget: no compaction needed")
+    else {
+      graft.operators.Dedup.compactNearDupIndex(spark, indexDir)
+      val after = Layout.pruningDilution(spark, s"$indexDir/shingles", "doc")
+      Seq(head, s"compacted; dilution now ${num2(after)}")
     }
   }
 

@@ -982,6 +982,43 @@ object Dedup {
     writeIndexTables(docs, idCol, textCol, shingleN, k, dir, bands, "append")
   }
 
+  /** Compaction for the at-rest signature index: every ingest batch
+    * appends one id-sorted shingles file whose span covers roughly
+    * the whole id range (fresh ids interleave with re-crawl offsets),
+    * so point-fetch pruning dilutes with batch count exactly as
+    * Layout.pruningDilution measures for any log-structured store —
+    * probe `Layout.pruningDilution(spark, s"$dir/shingles", "doc")`
+    * for the trigger. Rewrites the shingles table globally
+    * re-clustered by doc id and consolidates the bands table's
+    * per-batch files, each via a write-then-swap sibling: a crash
+    * leaves the old table intact or a stale `.compacting` sibling,
+    * never a half-written index (the Layout.compact contract; real
+    * atomicity comes from a table format's commit protocol, the seam
+    * this path plugs into). */
+  def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def swapRewrite(sub: String)(
+        write: (DataFrame, String) => Unit): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/$sub.compacting")
+      val fs = p.getFileSystem(conf)
+      require(fs.exists(p), s"compactNearDupIndex: no $sub table at $dir")
+      fs.delete(tmp, true) // stale sibling from a crashed run
+      write(spark.read.parquet(p.toString), tmp.toString)
+      require(fs.delete(p, true), s"could not remove old table $p")
+      require(fs.rename(tmp, p), s"could not move compacted table to $p")
+    }
+    val n = math.max(1, spark.sparkContext.defaultParallelism)
+    swapRewrite("shingles") { (df, out) =>
+      df.repartitionByRange(n, col("doc"))
+        .sortWithinPartitions(col("doc")).write.parquet(out)
+    }
+    swapRewrite("bands") { (df, out) =>
+      df.repartition(n).write.parquet(out)
+    }
+  }
+
   private def writeIndexTables(docs: DataFrame, idCol: String,
       textCol: String, shingleN: Int, k: Int, dir: String, bands: Int,
       mode: String): Unit = {

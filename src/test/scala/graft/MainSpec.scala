@@ -296,6 +296,46 @@ class MainSpec extends AnyFunSuite with SparkSpec with Matchers {
     Scratch.deleteRecursively(new java.io.File(root).getParentFile)
   }
 
+  test("compact-ndindex verb: dilution-gated rewrite, verdicts invariant") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import graft.operators.Dedup
+    val root = Files.createTempDirectory("graft_main_ndc").toString
+    val idx = root + "/idx"
+    def doc(id: Long, text: String) = (id, text)
+    Dedup.writeNearDupIndex(
+      Seq(doc(1, "alpha beta gamma delta epsilon zeta"),
+        doc(2, "one two three four five six seven")).toDF("doc_id", "text"),
+      "doc_id", "text", 2, 64, 32, idx)
+    // single build: tight spans, under budget — verb must not rewrite
+    Main.run(spark, Seq("compact-ndindex", idx))
+      .last should include("no compaction needed")
+    // several appends whose ids straddle the whole range → overlapping
+    // per-batch files → dilution over budget
+    for (i <- 0 until 4)
+      Dedup.appendToNearDupIndex(
+        Seq(doc(10 + i, s"fresh content number $i alpha"),
+          doc(1000 - i, s"other fresh content $i omega")).toDF("doc_id", "text"),
+        "doc_id", "text", 2, 64, 32, idx)
+    val batch = Seq(doc(5000, "one two three four five six seven"),
+      doc(5001, s"fresh content number 2 alpha"),
+      doc(5002, "nothing like anything indexed here")).toDF("doc_id", "text")
+    val before = Dedup.incrementalNearDupAgainst(spark, batch, "doc_id",
+        "text", idx, 2, 64, 32, 0.5)
+      .select("doc_id", "dup_of").as[(Long, Option[Long])].collect().toMap
+    val acted = Main.run(spark, Seq("compact-ndindex", idx))
+    acted.last should include("compacted")
+    // compaction is a layout move only: same verdicts afterwards
+    val after = Dedup.incrementalNearDupAgainst(spark, batch, "doc_id",
+        "text", idx, 2, 64, 32, 0.5)
+      .select("doc_id", "dup_of").as[(Long, Option[Long])].collect().toMap
+    after shouldBe before
+    before(5000L) shouldBe Some(2L)
+    before(5001L) shouldBe Some(12L) // resolves to an APPENDED doc
+    before(5002L) shouldBe None
+    Scratch.deleteRecursively(new java.io.File(root))
+  }
+
   test("unknown command prints usage") {
     Main.run(spark, Seq("frobnicate")).head should include("usage")
     // malformed numeric args print usage instead of throwing
