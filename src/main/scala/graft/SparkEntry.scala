@@ -2470,6 +2470,29 @@ object SparkEntry {
           sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"),
           coalesce(sum(col("dup_of")), lit(0L)).as("sum_dup_of"))
       materializeThenClean(s, res, root)
+    }),
+
+    // ── NS: bigram-LM template detection — q106's perplexity filter
+    // at order 2. The injected docs repeat transitions built from the
+    // fixture's OWN vocabulary, so the unigram model scores them as
+    // ordinary; only the conditional (bigram) model sees the verbatim
+    // repetition and scores them LOW — flag round(nll2,6) < cut (the
+    // MADLAD-style boilerplate cut). Same 100 TB contract as q106:
+    // two broadcast-reduced aggregates, per-row deterministic fold,
+    // zero corpus shuffles. ──
+    "q112_bigram_loss" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(q112Boiler)))
+          .otherwise(col("text")))
+      CorpusStats.bigramLogLoss(injected, "doc_id", "text",
+          minCount = 3)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(round(col("nll2"), 6) < q112Cut, 1L).otherwise(0L))
+            .as("n_template"),
+          sum(round(col("nll2"), 6).cast("decimal(20,6)"))
+            .cast("double").as("sum_nll2"))
     })
   )
 
@@ -2490,6 +2513,19 @@ object SparkEntry {
     "NAV home products pricing docs contact"
   private val q105FooterLine: String =
     "COPYRIGHT example corp all rights reserved"
+
+  /** q112's boilerplate injection (driver-side literal, mirrored into
+    * the oracle SQL verbatim — tokens from the fixture's own
+    * vocabulary, so the signal is in the TRANSITIONS, not the words:
+    * the unigram model scores these docs as ordinary). */
+  private val q112Boiler: String = " key agg window table stream" * 6
+
+  /** q112's flag threshold on the ROUNDED mean bigram log-loss:
+    * templates repeat transitions, so they score LOW — flag
+    * round(nll2, 6) < cut. Measured gate-SF distributions (minCount
+    * 3): injected max ≈ 2.98/2.97/3.02 at sf0.001/0.01/0.1, clean min
+    * ≈ 3.19/3.27/3.13 — 3.07 splits the gap at all three SFs. */
+  private val q112Cut: Double = 3.07
 
   /** q106's flag threshold on the ROUNDED mean negative log-loss
     * (both engines compare round(nll, 6) so the cut is decided on
@@ -4269,6 +4305,45 @@ object SparkEntry {
            |  CAST(coalesce(SUM(dup_of), 0) AS BIGINT) AS sum_dup_of
            |FROM marked GROUP BY source""".stripMargin
       },
+
+      // mirrors CorpusStats.bigramLogLoss definition-for-definition:
+      // V from the FULL unigram vocabulary, maps filtered at
+      // minCount=3, fold in bigram order, both engines round at 6
+      // decimals before the cut and the sum
+      "q112_bigram_loss" ->
+        s"""WITH injected AS (
+           |  SELECT doc_id, source,
+           |    CASE WHEN doc_id % 13 = 0 THEN text || '$q112Boiler'
+           |    ELSE text END AS text
+           |  FROM documents),
+           |t0 AS (SELECT doc_id, source, $sqlTokens AS toks
+           |  FROM injected),
+           |tk AS (SELECT unnest(toks) AS tok FROM t0),
+           |uc AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok),
+           |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uc),
+           |m1 AS (SELECT map(list(tok ORDER BY tok),
+           |    list(c ORDER BY tok)) AS m FROM uc WHERE c >= 3),
+           |bg AS (SELECT unnest(list_transform(range(1, len(toks)),
+           |    i -> toks[i] || ' ' || toks[i + 1])) AS b FROM t0),
+           |bc AS (SELECT b, COUNT(*) AS c FROM bg GROUP BY b),
+           |m2 AS (SELECT map(list(b ORDER BY b),
+           |    list(c ORDER BY b)) AS m FROM bc WHERE c >= 3),
+           |sc AS (SELECT t0.doc_id, t0.source,
+           |    CASE WHEN len(toks) < 2 THEN NULL ELSE
+           |      list_reduce(list_transform(range(1, len(toks)), i ->
+           |        -ln((CAST(coalesce(list_extract(map_extract(m2.m,
+           |              toks[i] || ' ' || toks[i + 1]), 1), 0)
+           |            AS DOUBLE) + 1.0)
+           |          / (CAST(coalesce(list_extract(map_extract(m1.m,
+           |              toks[i]), 1), 0) AS DOUBLE) + tot.v))),
+           |        (a, b) -> a + b) / (len(toks) - 1) END AS nll2
+           |  FROM t0 CROSS JOIN m1 CROSS JOIN m2 CROSS JOIN tot)
+           |SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(CASE WHEN round(nll2, 6) < $q112Cut
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_template,
+           |  CAST(SUM(CAST(round(nll2, 6) AS DECIMAL(20,6)))
+           |    AS DOUBLE) AS sum_nll2
+           |FROM sc GROUP BY source""".stripMargin,
 
       // mirrors graft.functions.urls.canonicalize/host definition-for-
       // definition (regexp_extract head, split_part fragment/query

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -114,6 +114,85 @@ object CorpusStats {
         when(col("n_tok") === 0, lit(null).cast("double"))
           .otherwise(nll / col("n_tok")))
       .drop("_lm_n", "_lm_v", "_lm_map")
+  }
+
+  /** NS: order-2 extension of [[unigramLogLoss]] — train a
+    * Laplace-smoothed BIGRAM LM on the corpus (two aggregates) and
+    * score every document by its mean negative log CONDITIONAL
+    * likelihood over its bigrams: p(w2|w1) = (c(w1 w2) + 1) /
+    * (c1(w1) + V), V = full unigram vocabulary. The unigram model
+    * sees only marginal token frequency; this one sees transitions —
+    * low nll2 = transitions the corpus repeats verbatim (templates,
+    * boilerplate), high nll2 = transitions it never makes. Returns
+    * the input plus `n_tok` and `nll2` (null below 2 tokens).
+    *
+    * Scale shape (100 TB): the q106 contract at order 2 — two hash
+    * aggregates over the token/bigram streams (map-side combine),
+    * each reduced to a BOUNDED planning collect (the q108 sketch
+    * convention: `maxBigrams` fails loudly when `minCount` is set too
+    * low for the model to be driver-held; bigram vocabulary grows
+    * sublinearly for natural text). The model ships to executors as a
+    * codegen reference object with O(1) hash probes — a broadcast
+    * MapType column scores the same values, but Catalyst's map
+    * element_at is a linear key scan and measured ~10× slower at a
+    * ~10³-entry map (see sparkbridge/LmScore.scala). Scoring is one
+    * per-row kernel call in bigram order (deterministic double sum):
+    * the corpus is scanned three times, never shuffled. Bigram keys
+    * are space-joined token pairs — unambiguous because tokenization
+    * splits on whitespace. */
+  def bigramLogLoss(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long, maxBigrams: Int = 4000000): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    val toks0 = text.tokens(col(textCol))
+    // zip-with-shifted, NOT index-into-toks: a lambda that indexes
+    // `toks` re-evaluates the tokenize kernel PER ELEMENT (lambdas
+    // don't share subexpressions with their arguments — measured
+    // O(n_tok²) per doc, 17.6 s for the sf0.1 scoring pass before
+    // this formulation); HOF arguments are evaluated once. zip_with
+    // pads to the longer input, and concat_ws skips the padded null,
+    // so the slice drops the final (w_n, null) pair.
+    def docBigrams(toks: Column): Column =
+      when(size(toks) < 2, array().cast("array<string>"))
+        .otherwise(slice(
+          zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+            (a, b) => concat_ws(" ", a, b)),
+          lit(1), size(toks) - 1))
+    // V from the FULL vocabulary (pre-filter), stored entries only
+    // where worth keeping — the q106 smoothing/storage split. Bounded
+    // planning collects: limit(max+1) caps driver memory BEFORE the
+    // size check fires.
+    def countEntries(keyed: DataFrame, what: String)
+        : java.util.HashMap[String, Long] = {
+      val rows = keyed.filter(col("_bg_c") >= minCount)
+        .limit(maxBigrams + 1).collect()
+      require(rows.length <= maxBigrams,
+        s"bigramLogLoss: $what vocabulary exceeds $maxBigrams — " +
+          s"raise minCount=$minCount for this corpus")
+      val m = new java.util.HashMap[String, Long](rows.length * 2)
+      rows.foreach(r => m.put(r.getString(0), r.getLong(1)))
+      m
+    }
+    val uniCounts = docs
+      .select(explode(toks0).as("_bg_k"))
+      .groupBy(col("_bg_k")).agg(count(lit(1)).as("_bg_c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val vocabV = uniCounts.count().toDouble
+    val uniMap = countEntries(uniCounts, "unigram")
+    uniCounts.unpersist(blocking = false)
+    val biMap = countEntries(docs
+      .select(explode(docBigrams(toks0)).as("_bg_k"))
+      .groupBy(col("_bg_k")).agg(count(lit(1)).as("_bg_c")),
+      "bigram")
+    val lm = new org.apache.spark.sql.graft.BigramLm(uniMap, biMap, vocabV)
+    val toks = text.tokens(col(textCol))
+    val nll2Sum = org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.graft.BigramNllSum(
+        org.apache.spark.sql.graft.Bridge.expression(toks), lm))
+    docs
+      .withColumn("n_tok", size(toks))
+      .withColumn("nll2",
+        when(col("n_tok") < 2, lit(null).cast("double"))
+          .otherwise(nll2Sum / (col("n_tok") - 1)))
   }
 
   /** EXACT heavy-hitter tokens via a two-pass count-min-sketch plan

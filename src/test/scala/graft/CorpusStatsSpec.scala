@@ -81,6 +81,51 @@ class CorpusStatsSpec extends AnyFunSuite with SparkSpec with Matchers {
     ex.getMessage should include("vocabulary exceeds")
   }
 
+  test("bigramLogLoss scores docs by smoothed mean -ln p(w2|w1)") {
+    import spark.implicits._
+    // unigrams: a×3, b×3, c×1, x×1 → V=4
+    // bigrams: "a b"×3, "b a"×1, "b c"×1
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.bigramLogLoss(docs, "doc_id", "text",
+        minCount = 1)
+      .select("doc_id", "n_tok", "nll2")
+      .as[(Long, Int, Option[Double])]
+      .collect().map { case (d, n, s) => d -> ((n, s)) }.toMap
+    val pAB = 4.0 / 7 // (3+1)/(c1(a)=3 + V=4)
+    val pBA = 2.0 / 7; val pBC = 2.0 / 7
+    out(1L)._1 shouldBe 4
+    out(1L)._2.get shouldBe
+      (-(math.log(pAB) + math.log(pBA) + math.log(pAB)) / 3) +- 1e-12
+    out(2L)._2.get shouldBe
+      (-(math.log(pAB) + math.log(pBC)) / 2) +- 1e-12
+    out(3L)._2 shouldBe None // a single token has no transitions
+  }
+
+  test("bigramLogLoss: sub-minCount bigrams score as unseen; guard fails loudly") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    // minCount=2: only "a b" (c=3) stays in the bigram map; unigrams
+    // a×3/b×3 stay, c (c=1) drops → OOV denominator V only
+    val out = CorpusStats.bigramLogLoss(docs, "doc_id", "text",
+        minCount = 2)
+      .select("doc_id", "nll2").as[(Long, Option[Double])]
+      .collect().toMap
+    val v = 3.0 // unigram vocabulary: a, b, c
+    val pAB = 4.0 / (3 + v)
+    val pBA = 1.0 / (3 + v) // bigram dropped → numerator 0+1
+    val pBC = 1.0 / (3 + v)
+    out(1L).get shouldBe
+      (-(math.log(pAB) + math.log(pBA) + math.log(pAB)) / 3) +- 1e-12
+    out(2L).get shouldBe
+      (-(math.log(pAB) + math.log(pBC)) / 2) +- 1e-12
+    val ex = intercept[Exception] {
+      CorpusStats.bigramLogLoss(docs, "doc_id", "text",
+        minCount = 1, maxBigrams = 1).collect()
+    }
+    ex.getMessage should include("vocabulary exceeds")
+  }
+
   test("heavyHitterTokens equals the exact groupBy answer, threshold boundary inclusive") {
     import spark.implicits._
     // skewed corpus: 'hot' x12, 'warm' x5, 'edge' x4, tail singletons

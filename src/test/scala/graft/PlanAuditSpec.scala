@@ -46,7 +46,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec with Matchers {
     * q62, q91), the interval join's non-equi range condition over
     * a bounded probe set (q68), and the 1-row broadcast model/hot-set
     * rows of the corpus-scoring passes (q105 hot-line set, q106
-    * unigram model — both size-guarded with raise_error). */
+    * unigram model — both size-guarded with raise_error; q112's
+    * bigram model is a plan-time reference object instead, no join
+    * at all). */
   private val allowBnlj = Set(
     "q27_jaccard_pairs", "q28_ann_bruteforce", "q29_neardup_embeddings",
     "q39_cli_parse", "q42_ann_ivf", "q62_neardup_auto", "q68_range_join",
