@@ -400,10 +400,12 @@ object Main {
       s"  serving  radius=${m.radius} shortlist=${m.shortlist}")
   }
 
+  /** Locale-pinned 2-decimal formatter shared by the compact verbs. */
+  private def num2(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+
   private def compactStore(spark: SparkSession, root: String, key: String,
       maxDilution: Double): Seq[String] = {
-    def num2(d: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     val segs = Layout.segments(spark, root)
     val before = Layout.pruningDilution(spark, root, key)
     val nFiles = Layout.fileSpans(spark, root, key).count()
@@ -427,8 +429,6 @@ object Main {
     * consolidated) via Dedup.compactNearDupIndex's write-then-swap. */
   private def compactNdIndex(spark: SparkSession, indexDir: String,
       maxDilution: Double): Seq[String] = {
-    def num2(d: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     val before = Layout.pruningDilution(spark, s"$indexDir/shingles", "doc")
     val nFiles = Layout.fileSpans(spark, s"$indexDir/shingles", "doc").count()
     val head = s"shingles dilution ${num2(before)} over $nFiles files " +

@@ -2461,8 +2461,10 @@ object SparkEntry {
           input.addData(b); q.processAllAvailable()
         }
       finally {
-        q.stop()
-        Scratch.deleteRecursively(ckpt)
+        // nested finally: a stop() that throws must not leak the
+        // RAM-backed checkpoint across repeated bench/verify runs
+        try q.stop()
+        finally Scratch.deleteRecursively(ckpt)
       }
       val res = ns.read.parquet(root + "/out")
         .groupBy(col("source"))

@@ -990,11 +990,18 @@ object Dedup {
     * probe `Layout.pruningDilution(spark, s"$dir/shingles", "doc")`
     * for the trigger. Rewrites the shingles table globally
     * re-clustered by doc id and consolidates the bands table's
-    * per-batch files, each via a write-then-swap sibling: a crash
-    * leaves the old table intact or a stale `.compacting` sibling,
-    * never a half-written index (the Layout.compact contract; real
-    * atomicity comes from a table format's commit protocol, the seam
-    * this path plugs into). */
+    * per-batch files — deduplicating rows a crashed-and-replayed
+    * ingest batch appended twice (at-least-once appends are benign
+    * for verdicts; compaction is where the waste is reclaimed) —
+    * each table via a write-then-swap sibling.
+    *
+    * SINGLE-WRITER: run with ingest paused. The swap is read → delete
+    * → rename, so a signature file appended after the read is lost,
+    * and between delete and rename the live table is briefly absent —
+    * a crash there leaves the `.compacting` sibling to recover by
+    * hand (same contract as Layout.compact; real atomicity and
+    * concurrent-writer safety come from a table format's commit
+    * protocol, which is the seam this path plugs into). */
   def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -1011,11 +1018,14 @@ object Dedup {
     }
     val n = math.max(1, spark.sparkContext.defaultParallelism)
     swapRewrite("shingles") { (df, out) =>
-      df.repartitionByRange(n, col("doc"))
+      // shingle sets are deterministic per doc — replay duplicates
+      // are exact row copies, one survives
+      df.dropDuplicates("doc")
+        .repartitionByRange(n, col("doc"))
         .sortWithinPartitions(col("doc")).write.parquet(out)
     }
     swapRewrite("bands") { (df, out) =>
-      df.repartition(n).write.parquet(out)
+      df.dropDuplicates().repartition(n).write.parquet(out)
     }
   }
 
@@ -1117,6 +1127,12 @@ object Dedup {
       .toDF("doc_b", "band", "band_hash")
       .join(storeBands.toDF("doc_a", "band", "band_hash"),
         Seq("band", "band_hash"))
+      // an id-equal pair is the SAME document re-presented (an
+      // at-least-once replay finding its own appended signatures),
+      // never a dup pair — without this, a replayed batch marks its
+      // own novel docs as duplicates of themselves and downstream
+      // discards them; ids are unique across store+batch by contract
+      .filter(col("doc_a") =!= col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands"))
       .filter(col("n_bands") >= 2)
       .select("doc_a", "doc_b")
@@ -1132,22 +1148,36 @@ object Dedup {
     // (measured at sf0.1: filtering a few-MB store costs more than
     // scanning it — pruning pays when the store dwarfs the batch, the
     // actual 100 TB regime). The store-size probe is metadata-only.
-    val shinglesPath = new org.apache.hadoop.fs.Path(s"$indexDir/shingles")
-    val storeBytes = shinglesPath
-      .getFileSystem(spark.sessionState.newHadoopConf())
-      .getContentSummary(shinglesPath).getLength
+    // sentinel thresholds pre-decide the plan WITHOUT the FS probe:
+    // 0 = always point-fetch, Long.MaxValue = always scan-join —
+    // Streams.nearDupIngest probes the store once per stream and
+    // passes the decision, instead of a recursive listing per
+    // micro-batch (an O(files) LIST per batch on an object store)
+    val storeIsBig =
+      if (pointFetchMinStoreBytes == 0L) true
+      else if (pointFetchMinStoreBytes == Long.MaxValue) false
+      else {
+        val shinglesPath =
+          new org.apache.hadoop.fs.Path(s"$indexDir/shingles")
+        shinglesPath.getFileSystem(spark.sessionState.newHadoopConf())
+          .getContentSummary(shinglesPath).getLength >=
+          pointFetchMinStoreBytes
+      }
     // cache candidates only when the planning lookup will read them a
     // second time (small-store scan-join path reads them exactly once)
     val candidates =
-      if (storeBytes >= pointFetchMinStoreBytes)
-        candidates0.persist(StorageLevel.MEMORY_AND_DISK)
+      if (storeIsBig) candidates0.persist(StorageLevel.MEMORY_AND_DISK)
       else candidates0
     val targetIds =
-      if (storeBytes < pointFetchMinStoreBytes) Array.empty[Any]
+      if (!storeIsBig) Array.empty[Any]
       else candidates.select(col("doc_a")).distinct()
         .limit(pointFetchCap + 1).collect().map(_.get(0))
     val fetchSets =
-      if (targetIds.nonEmpty && targetIds.length <= pointFetchCap)
+      if (storeIsBig && targetIds.isEmpty)
+        // zero candidates: nothing to fetch — an empty relation, not
+        // a full-store scan joined against nothing
+        storeSets.limit(0)
+      else if (targetIds.nonEmpty && targetIds.length <= pointFetchCap)
         storeSets.filter(col("doc").isin(targetIds.toIndexedSeq: _*))
       else storeSets
     val dupOf = rescoreJaccardAB(candidates, fetchSets, sets, threshold)

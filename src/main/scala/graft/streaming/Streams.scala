@@ -84,19 +84,37 @@ object Streams {
     * against the index only (batch-internal near-dup pairs pass —
     * run the batch-pairs operator downstream if that matters).
     * Restart replays only unprocessed batches (checkpoint offset
-    * tracking); a batch that failed AFTER its parquet landed but
-    * before/mid index-append re-runs both writes, so downstream
-    * readers of `outDir` should dedupe on (batch_id, idCol) — the
-    * standard foreachBatch at-least-once caveat, stated rather than
-    * hidden. */
+    * tracking). Inside a batch the index append runs FIRST (within
+    * ingestBatchAgainst) and the outDir parquet write second, so a
+    * replayed batch may find its own signatures already stored:
+    * id-equal matches are excluded from marking (a doc is never a dup
+    * of itself — Dedup.markAgainstIndex), the replay re-appends its
+    * fresh signatures (exact duplicate rows, verdict-neutral,
+    * reclaimed by compactNearDupIndex), and outDir may carry the
+    * batch twice — dedupe downstream on (batch_id, idCol). The
+    * standard foreachBatch at-least-once contract, stated rather
+    * than hidden. */
   def nearDupIngest(docs: DataFrame, idCol: String, textCol: String,
       indexDir: String, outDir: String, checkpointDir: String,
       shingleN: Int, k: Int, bands: Int,
-      threshold: Double): StreamingQuery =
+      threshold: Double): StreamingQuery = {
+    // probe the store size ONCE per stream, not per micro-batch (the
+    // probe is a recursive listing — O(files) per call on an object
+    // store); once a store crosses the point-fetch threshold it never
+    // shrinks below it mid-stream (appends only), so the decision is
+    // re-probed only while still small
+    val bigThreshold = 256L << 20
+    @volatile var knownBig = false
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
+        if (!knownBig) {
+          val p = new org.apache.hadoop.fs.Path(s"$indexDir/shingles")
+          val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+          knownBig = fs.exists(p) &&
+            fs.getContentSummary(p).getLength >= bigThreshold
+        }
         // mark + append fused: the fresh docs' signatures are sliced
         // from the mark pass's cached tables, not recomputed from
         // text (Dedup.ingestBatchAgainst scaladoc); the marked result
@@ -105,11 +123,14 @@ object Streams {
         // append just mutated
         graft.operators.Dedup.ingestBatchAgainst(
             s, batch.toDF(), idCol, textCol, indexDir,
-            shingleN, k, bands, threshold)
+            shingleN, k, bands, threshold,
+            pointFetchMinStoreBytes =
+              if (knownBig) 0L else Long.MaxValue)
           .withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(outDir)
       }
       .start()
+  }
 
   /** T7: tumbling event-time windows (streaming analog of q19). */
   def tumblingCounts(df: DataFrame, tsCol: String, delay: String,

@@ -474,4 +474,44 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
       viaPointFetch shouldBe again
     } finally Scratch.deleteRecursively(new java.io.File(root))
   }
+
+  test("at-least-once replay: a re-ingested batch is never a dup of itself; compaction reclaims the double append") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_nd_replay_").toString
+    try {
+      Dedup.writeNearDupIndex(
+        Seq((1L, "the quick brown fox jumps over the lazy dog tonight"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", 2, 64, 32, root + "/idx")
+      val batch = Seq(
+        (10L, "the quick brown fox jumps over the lazy dog tonight"),
+        (11L, "totally new material never indexed before anywhere"))
+        .toDF("doc_id", "text")
+      def ingest() = Dedup.ingestBatchAgainst(spark, batch, "doc_id",
+          "text", root + "/idx", 2, 64, 32, 0.5)
+        .select("doc_id", "dup_of")
+        .as[(Long, Option[Long])].collect().toMap
+      val first = ingest()
+      first(10L) shouldBe Some(1L)
+      first(11L) shouldBe None // fresh → signatures appended
+      // replay the SAME batch (the crash-after-append scenario): doc
+      // 11's own stored signatures must NOT mark it a dup of itself
+      val replay = ingest()
+      replay shouldBe first
+      val shingles = () => spark.read.parquet(root + "/idx/shingles")
+        .filter(col("doc") === 11L).count()
+      shingles() shouldBe 2L // replay re-appended — verdict-neutral
+      Dedup.compactNearDupIndex(spark, root + "/idx")
+      shingles() shouldBe 1L // compaction reclaimed the duplicate
+      // and the store still resolves new near-dups to the ingested doc
+      val probe = Dedup.incrementalNearDupAgainst(spark,
+          Seq((111L, "totally new material never indexed before anywhere"))
+            .toDF("doc_id", "text"),
+          "doc_id", "text", root + "/idx", 2, 64, 32, 0.5)
+        .select("doc_id", "dup_of")
+        .as[(Long, Option[Long])].collect().toMap
+      probe(111L) shouldBe Some(11L)
+    } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
 }
