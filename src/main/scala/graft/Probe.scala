@@ -357,6 +357,66 @@ object ProbeScale {
         f"cells_used=$nbT incell_pairs=$pT max_cell=$mT " +
         f"frac=${pT.toDouble / (n01 * (n01 - 1) / 2)}%.4f")
     }
+
+    // ── `ProbeScale ingest`: the q109/q111 mark cost as the STORE
+    // grows with a FIXED batch — the measurement behind the
+    // cost-based point-fetch switch (Dedup.markAgainstIndex). The
+    // scan-join re-score reads the whole shingles store per mark, so
+    // its cost grows with store size; the point-fetch path collects
+    // the candidate target ids and prunes the id-clustered store, so
+    // its cost tracks the batch. Both paths are forced via the
+    // sentinel thresholds and report warm second-run wall times. ──
+    if (mode == "ingest") {
+      val docsBase = Tables(spark, "/root/testdata/sf0.1", "documents")
+        .select(col("doc_id"), col("text"))
+      val batch = docsBase.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 9000000L).as("doc_id"), col("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nb = batch.count()
+      for (r <- Seq(1, 4, 10)) {
+        val store = (0 until r).map(k => docsBase.select(
+          (col("doc_id") + k * 1000000L).as("doc_id"), col("text")))
+          .reduce(_ unionByName _)
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_probe_ingest_$r").toString
+        try {
+          Dedup.writeNearDupIndex(store, "doc_id", "text", 2, 64, 32,
+            root + "/idx")
+          def mark(minBytes: Long): Double = {
+            def run(): Double = {
+              val t0 = System.nanoTime()
+              Dedup.incrementalNearDupAgainst(spark, batch, "doc_id",
+                "text", root + "/idx", 2, 64, 32, 0.5,
+                pointFetchMinStoreBytes = minBytes).count()
+              (System.nanoTime() - t0) / 1e9
+            }
+            run(); run() // warm second run
+          }
+          val scan = mark(Long.MaxValue)
+          val fetch = mark(0L)
+          println(f"PROBE_SCALE ingest/store${r}x batch=$nb " +
+            f"scanjoin=$scan%.2fs pointfetch=$fetch%.2fs")
+          // few-targets regime: a tiny batch whose candidate ids fit
+          // parquet's In-pushdown threshold, where OR'd equality
+          // filters actually skip row groups of the id-sorted store
+          def markSmall(minBytes: Long): Double = {
+            val small = batch.limit(4)
+            def run(): Double = {
+              val t0 = System.nanoTime()
+              Dedup.incrementalNearDupAgainst(spark, small, "doc_id",
+                "text", root + "/idx", 2, 64, 32, 0.5,
+                pointFetchMinStoreBytes = minBytes).count()
+              (System.nanoTime() - t0) / 1e9
+            }
+            run(); run()
+          }
+          println(f"PROBE_SCALE ingest-small/store${r}x batch=4 " +
+            f"scanjoin=${markSmall(Long.MaxValue)}%.2fs " +
+            f"pointfetch=${markSmall(0L)}%.2fs")
+        } finally Scratch.deleteRecursively(new java.io.File(root))
+      }
+      batch.unpersist(blocking = false)
+    }
     spark.stop()
   }
 }
