@@ -259,7 +259,7 @@ object ProbeScale {
       for (r <- Seq(4, 10)) measureDocs(s"grow${r}x", resampleDocsScaledVocab(r))
       for (r <- Seq(1, 10, 100)) measureEmb(s"synth${r}x", perturbEmb(r))
     }
-    if (mode != "corpus") {
+    if (mode == "full" || mode == "spans") {
       for (r <- Seq(1, 4, 10)) measureSpans(s"dense${r}x", resampleDocs(r))
       for (r <- Seq(4, 10)) measureSpans(s"grow${r}x", resampleDocsScaledVocab(r))
     }
@@ -369,8 +369,11 @@ object ProbeScale {
     if (mode == "ingest") {
       val docsBase = Tables(spark, "/root/testdata/sf0.1", "documents")
         .select(col("doc_id"), col("text"))
+      // offset far above every store replica's id space (r*1e6): an
+      // id collision would trip the ingest paths' same-doc-replay
+      // interpretation and skew the 10x regime's pair volume
       val batch = docsBase.filter(col("doc_id") % 17 === 0)
-        .select((col("doc_id") + 9000000L).as("doc_id"), col("text"))
+        .select((col("doc_id") + 100000000L).as("doc_id"), col("text"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nb = batch.count()
       for (r <- Seq(1, 4, 10)) {

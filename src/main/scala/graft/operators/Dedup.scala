@@ -52,9 +52,13 @@ object Dedup {
 
   /** [[rescoreJaccard]] with DISTINCT set tables per pair side — the
     * incremental-ingest shape, where doc_a resolves against the stored
-    * corpus index and doc_b against the new batch (id collisions
-    * between the two spaces are then harmless: each side only ever
-    * looks up its own table). */
+    * corpus index and doc_b against the new batch. This join itself
+    * tolerates id collisions between the two spaces (each side only
+    * ever looks up its own table), but note the ingest callers above
+    * it ([[incrementalNearDupAgainst]]/[[ingestBatchAgainst]]) REQUIRE
+    * store-unique ids: they interpret an id-equal candidate pair as
+    * the same document re-presented (an at-least-once replay), never
+    * as a dup pair — see markAgainstIndex. */
   def rescoreJaccardAB(candidates: DataFrame, setsA: DataFrame,
       setsB: DataFrame, threshold: Double): DataFrame =
     candidates
@@ -1018,11 +1022,26 @@ object Dedup {
     }
     val n = math.max(1, spark.sparkContext.defaultParallelism)
     swapRewrite("shingles") { (df, out) =>
-      // shingle sets are deterministic per doc — replay duplicates
-      // are exact row copies, one survives
-      df.dropDuplicates("doc")
+      // shingle sets are deterministic per doc, so replay duplicates
+      // are EXACT row copies: full-row dedup collapses them, and any
+      // id that still has two rows carries two different texts — a
+      // violated id contract (a retired id re-used for new content),
+      // which must fail loudly here rather than let an arbitrary row
+      // win and silently corrupt the index
+      val rowDeduped = df.dropDuplicates()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val conflicted = rowDeduped.groupBy(col("doc"))
+        .agg(count(lit(1)).as("_c")).filter(col("_c") > 1)
+        .select(col("doc")).limit(5).collect()
+      require(conflicted.isEmpty,
+        "compactNearDupIndex: same id with DIFFERENT shingle sets in " +
+          s"the store (ids e.g. ${conflicted.mkString(", ")}) — an id " +
+          "was re-used for new content; the id contract requires " +
+          "store-unique ids")
+      rowDeduped
         .repartitionByRange(n, col("doc"))
         .sortWithinPartitions(col("doc")).write.parquet(out)
+      rowDeduped.unpersist(blocking = false)
     }
     swapRewrite("bands") { (df, out) =>
       df.dropDuplicates().repartition(n).write.parquet(out)
@@ -1075,12 +1094,19 @@ object Dedup {
     * as [[minhashNearDupPairs]] (k, bands, minBandMatches=2): subset-
     * exact, complete away from the knee — `(shingleN, k, bands)` MUST
     * match the index build or candidates are silently wrong, so they
-    * are parameters of BOTH calls by design. */
+    * are parameters of BOTH calls by design.
+    *
+    * ID CONTRACT: ids must be unique across store+batch. An id-equal
+    * match is interpreted as the SAME document re-presented (the
+    * at-least-once replay case) and is never reported as a dup pair;
+    * re-using a retired store id for different content would make
+    * that doc invisible to marking and is caught loudly at the next
+    * compaction (same-id-different-shingles check). */
   def incrementalNearDupAgainst(spark: org.apache.spark.sql.SparkSession,
       newDocs: DataFrame, idCol: String, textCol: String, indexDir: String,
       shingleN: Int, k: Int, bands: Int, threshold: Double,
       pointFetchCap: Int = 50000,
-      pointFetchMinStoreBytes: Long = 256L << 20): DataFrame =
+      pointFetchMinStoreBytes: Long = DefaultPointFetchMinStoreBytes): DataFrame =
     markAgainstIndex(spark, newDocs, idCol, textCol, indexDir,
       shingleN, k, bands, threshold, appendFresh = false, pointFetchCap,
       pointFetchMinStoreBytes)
@@ -1098,10 +1124,19 @@ object Dedup {
       newDocs: DataFrame, idCol: String, textCol: String, indexDir: String,
       shingleN: Int, k: Int, bands: Int, threshold: Double,
       pointFetchCap: Int = 50000,
-      pointFetchMinStoreBytes: Long = 256L << 20): DataFrame =
+      pointFetchMinStoreBytes: Long = DefaultPointFetchMinStoreBytes)
+      : DataFrame =
     markAgainstIndex(spark, newDocs, idCol, textCol, indexDir,
       shingleN, k, bands, threshold, appendFresh = true, pointFetchCap,
       pointFetchMinStoreBytes)
+
+  /** The cost-based default for the point-fetch re-score: below this
+    * store size a sequential scan-join measures cheaper than the
+    * planning lookup + id filter at every sandbox-reachable scale
+    * (PLANS.md "Ingest mark cost vs store growth"). ONE constant
+    * shared by the batch defaults above and Streams.nearDupIngest's
+    * once-per-stream probe — retune it in one place. */
+  val DefaultPointFetchMinStoreBytes: Long = 256L << 20
 
   private def markAgainstIndex(spark: org.apache.spark.sql.SparkSession,
       newDocs: DataFrame, idCol: String, textCol: String, indexDir: String,

@@ -103,7 +103,8 @@ object Streams {
     // store); once a store crosses the point-fetch threshold it never
     // shrinks below it mid-stream (appends only), so the decision is
     // re-probed only while still small
-    val bigThreshold = 256L << 20
+    val bigThreshold =
+      graft.operators.Dedup.DefaultPointFetchMinStoreBytes
     @volatile var knownBig = false
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
