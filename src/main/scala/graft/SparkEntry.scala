@@ -2495,6 +2495,25 @@ object SparkEntry {
             .as("n_template"),
           sum(round(col("nll2"), 6).cast("decimal(20,6)"))
             .cast("double").as("sum_nll2"))
+    }),
+
+    // ── NS: DSIR importance weighting — select documents whose hashed
+    // n-gram profile resembles a target domain (here: the corpus's
+    // English slice). The model is one bounded-by-construction B-row
+    // aggregate; scoring is a scan-time integer fold against the
+    // driver-held λ array — zero corpus shuffles below the final
+    // per-source aggregate. wt_micros is exact integer micros of the
+    // 6-decimal-rounded λ sum, so both engines sum identical longs
+    // and the /1e6 display division is bit-identical. ──
+    "q113_dsir_weight" -> ((s, dir) => {
+      CorpusStats.dsirWeights(t(s, dir, "documents"), "text",
+          col("lang") === "en", buckets = 1024)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("wt_micros") > 0L, 1L).otherwise(0L))
+            .as("n_selected"),
+          (sum(col("wt_micros")).cast("double") / lit(1000000.0d))
+            .as("sum_weight"))
     })
   )
 
@@ -4346,6 +4365,44 @@ object SparkEntry {
            |  CAST(SUM(CAST(round(nll2, 6) AS DECIMAL(20,6)))
            |    AS DOUBLE) AS sum_nll2
            |FROM sc GROUP BY source""".stripMargin,
+
+      // mirrors CorpusStats.dsirWeights definition-for-definition:
+      // hashed unigram+bigram buckets (md5-60 % 1024), one-pass
+      // raw/target counts, λ rounded at 6 decimals then carried as
+      // exact integer micros so the per-doc sum is order-independent
+      // in both engines; empty-token docs re-attach with weight 0
+      "q113_dsir_weight" ->
+        s"""WITH t0 AS (
+           |  SELECT doc_id, source, lang, $sqlTokens AS toks
+           |  FROM documents),
+           |f AS (SELECT doc_id, source, lang,
+           |    unnest(list_concat(
+           |      list_transform(toks,
+           |        t -> ${hashes.md5Hash60Sql("t")} % 1024),
+           |      list_transform(range(1, len(toks)), i ->
+           |        ${hashes.md5Hash60Sql("toks[i] || ' ' || toks[i+1]")}
+           |          % 1024))) AS b
+           |  FROM t0),
+           |st AS (SELECT b, COUNT(*) AS r,
+           |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t
+           |  FROM f GROUP BY b),
+           |tot AS (SELECT CAST(SUM(r) AS DOUBLE) AS rt,
+           |    CAST(SUM(t) AS DOUBLE) AS tt FROM st),
+           |lam AS (SELECT b,
+           |    CAST(round(ln((t + 0.5) / (tt + 0.5 * 1024))
+           |             - ln((r + 0.5) / (rt + 0.5 * 1024)), 6)
+           |      AS DECIMAL(20,6)) AS lam
+           |  FROM st CROSS JOIN tot),
+           |w AS (SELECT f.doc_id,
+           |    SUM(CAST(lam * 1000000 AS BIGINT)) AS m
+           |  FROM f JOIN lam ON f.b = lam.b GROUP BY 1),
+           |wa AS (SELECT d.doc_id, d.source, coalesce(w.m, 0) AS m
+           |  FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id)
+           |SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_selected,
+           |  CAST(SUM(m) AS DOUBLE) / 1000000.0 AS sum_weight
+           |FROM wa GROUP BY source""".stripMargin,
 
       // mirrors graft.functions.urls.canonicalize/host definition-for-
       // definition (regexp_extract head, split_part fragment/query

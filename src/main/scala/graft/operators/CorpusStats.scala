@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.functions.text
+import graft.functions.{hashes, text}
 
 /** Corpus-statistics signals: per-document measures that need a pass
   * over the WHOLE corpus (document frequencies), unlike the pure
@@ -140,23 +140,25 @@ object CorpusStats {
     * the corpus is scanned three times, never shuffled. Bigram keys
     * are space-joined token pairs — unambiguous because tokenization
     * splits on whitespace. */
+  /** Space-joined bigrams of a token array, in token order.
+    * Zip-with-shifted, NOT index-into-toks: a lambda that indexes
+    * `toks` re-evaluates the tokenize kernel PER ELEMENT (lambdas
+    * don't share subexpressions with their arguments — measured
+    * O(n_tok²) per doc, 17.6 s for the sf0.1 scoring pass before
+    * this formulation); HOF arguments are evaluated once. zip_with
+    * pads to the longer input, and concat_ws skips the padded null,
+    * so the slice drops the final (w_n, null) pair. */
+  private def docBigrams(toks: Column): Column =
+    when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(slice(
+        zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+          (a, b) => concat_ws(" ", a, b)),
+        lit(1), size(toks) - 1))
+
   def bigramLogLoss(docs: DataFrame, idCol: String, textCol: String,
       minCount: Long, maxBigrams: Int = 4000000): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1: $minCount")
     val toks0 = text.tokens(col(textCol))
-    // zip-with-shifted, NOT index-into-toks: a lambda that indexes
-    // `toks` re-evaluates the tokenize kernel PER ELEMENT (lambdas
-    // don't share subexpressions with their arguments — measured
-    // O(n_tok²) per doc, 17.6 s for the sf0.1 scoring pass before
-    // this formulation); HOF arguments are evaluated once. zip_with
-    // pads to the longer input, and concat_ws skips the padded null,
-    // so the slice drops the final (w_n, null) pair.
-    def docBigrams(toks: Column): Column =
-      when(size(toks) < 2, array().cast("array<string>"))
-        .otherwise(slice(
-          zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
-            (a, b) => concat_ws(" ", a, b)),
-          lit(1), size(toks) - 1))
     // V from the FULL vocabulary (pre-filter), stored entries only
     // where worth keeping — the q106 smoothing/storage split. Bounded
     // planning collects: limit(max+1) caps driver memory BEFORE the
@@ -233,5 +235,85 @@ object CorpusStats {
         CmsEstimate(Bridge.expression(col("token")), cms)) >= minCount)
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
+  }
+
+  /** DSIR-style importance weight per document (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * hash every unigram and bigram into `buckets` feature buckets,
+    * fit bag-of-words distributions for a TARGET slice (`isTarget`)
+    * and for the RAW corpus (all rows, target included), and score
+    * each document by its log-likelihood ratio
+    * Σ_f count_f(doc) · λ_f with
+    * λ_f = ln((t_f + ½)/(T + ½B)) − ln((r_f + ½)/(R + ½B)).
+    * Weight > 0 ⇔ the document's hashed n-gram profile looks more
+    * like the target distribution than the raw corpus — the
+    * importance-resampling selection signal for domain-matched
+    * training data. Returns the input plus `n_feat` and `wt_micros`.
+    *
+    * Exactness contract: each λ_f is rounded to 6 decimals ON THE
+    * DRIVER (BigDecimal HALF_UP — the round() semantics both engines
+    * share) and carried as integer MICROS, so the per-document sum is
+    * exact integer arithmetic — order-independent and bit-identical
+    * in any engine that sums the same rounded λ values. Callers
+    * surface `wt_micros / 1e6` for display.
+    *
+    * Scale shape (100 TB): the model is ONE hash aggregate over the
+    * hashed-feature stream — map-side combine collapses every
+    * partition to ≤ `buckets` rows, so the shuffle AND the planning
+    * collect are bounded by construction at `buckets` rows (a
+    * tighter bound than the q108 sketch: the feature space is the
+    * hash range itself). λ ships to executors as a B-element literal
+    * array probed O(1) inside one scan-time fold in feature order —
+    * the corpus is scanned twice and NEVER shuffled (the
+    * unigram/bigram-LM contract). Raw counts deliberately include
+    * the target slice: both distributions stay fixed as the corpus
+    * grows, so weights are comparable across partitions and
+    * snapshots. */
+  def dsirWeights(docs: DataFrame, textCol: String, isTarget: Column,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"buckets must be in [2, 2^20]: $buckets")
+    val toks0 = text.tokens(col(textCol))
+    def feats(toks: Column): Column = concat(
+      transform(toks,
+        t => (hashes.md5Hash60(t) % buckets).cast("int")),
+      transform(docBigrams(toks),
+        g => (hashes.md5Hash60(g) % buckets).cast("int")))
+    // bounded planning lookup: ≤ `buckets` rows by construction
+    val stats = docs
+      .select(explode(feats(toks0)).as("_ds_b"), isTarget.as("_ds_t"))
+      .groupBy(col("_ds_b"))
+      .agg(count(lit(1)).as("_ds_r"),
+        sum(when(col("_ds_t"), 1L).otherwise(0L)).as("_ds_tc"))
+      .collect()
+    require(stats.length <= buckets,
+      s"dsirWeights: ${stats.length} buckets from a $buckets-bucket " +
+        "hash — feature hashing is broken")
+    val rArr = new Array[Long](buckets)
+    val tArr = new Array[Long](buckets)
+    stats.foreach { row =>
+      val b = row.getInt(0)
+      rArr(b) = row.getLong(1)
+      tArr(b) = row.getLong(2)
+    }
+    val rTot = rArr.sum.toDouble
+    val tTot = tArr.sum.toDouble
+    // λ in exact integer micros; unobserved buckets keep 0 (no
+    // document can reference them — they never appeared in the scan)
+    val lamMicros: Array[Long] = Array.tabulate(buckets) { b =>
+      if (rArr(b) == 0L) 0L
+      else {
+        val lam = math.log((tArr(b) + 0.5) / (tTot + 0.5 * buckets)) -
+          math.log((rArr(b) + 0.5) / (rTot + 0.5 * buckets))
+        BigDecimal(lam).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .underlying.unscaledValue.longValueExact
+      }
+    }
+    val lamLit = typedLit(lamMicros.toSeq)
+    val f = feats(toks0)
+    docs
+      .withColumn("n_feat", size(f))
+      .withColumn("wt_micros",
+        aggregate(f, lit(0L), (acc, b) => acc + element_at(lamLit, b + 1)))
   }
 }

@@ -153,4 +153,80 @@ class CorpusStatsSpec extends AnyFunSuite with SparkSpec with Matchers {
     CorpusStats.heavyHitterTokens(empty, "text", minCount = 1)
       .count() shouldBe 0L
   }
+
+  private val dsirDocs = Seq(
+    (1L, "alpha beta alpha beta", true),
+    (2L, "alpha beta alpha", true),
+    (3L, "gamma delta epsilon", false),
+    (4L, "gamma delta gamma", false),
+    (5L, "alpha beta", false), // unlabeled doc that LOOKS like target
+    (6L, "   ", false))
+
+  test("dsirWeights: target-like docs score positive, off-target negative, empty zero") {
+    import spark.implicits._
+    // corpus must outweigh the ½B smoothing mass (512 pseudo-counts at
+    // B=1024) for signs to be meaningful — replicate each doc 20×,
+    // the same reason production targets are corpora, not samples
+    val docs = dsirDocs.flatMap { case (id, text, isT) =>
+      (0 until 20).map(k => (id * 100 + k, text, isT))
+    }.toDF("doc_id", "text", "is_t")
+    val out = CorpusStats.dsirWeights(docs, "text", col("is_t"),
+        buckets = 1024)
+      .select("doc_id", "n_feat", "wt_micros").as[(Long, Int, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    out(600L) shouldBe ((0, 0L)) // no tokens → no features → weight 0
+    // 4 tokens → 4 unigram + 3 bigram features
+    out(100L)._1 shouldBe 7
+    out(100L)._2 should be > 0L
+    out(200L)._2 should be > 0L
+    // selection is by CONTENT, not by the label: doc 5 shares the
+    // target slice's vocabulary and scores positive despite is_t=false
+    out(500L)._2 should be > 0L
+    out(300L)._2 should be < 0L
+    out(400L)._2 should be < 0L
+  }
+
+  test("dsirWeights micros match an independent md5 recomputation and survive repartitioning") {
+    import spark.implicits._
+    val B = 1024
+    // independent implementation: MessageDigest md5 + plain Scala,
+    // no Spark expressions shared with the operator under test
+    def md5h(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.substring(0, 15), 16)
+    }
+    def featsOf(s: String): Seq[Int] = {
+      val t = s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val uni = t.map(tok => (md5h(tok) % B).toInt)
+      val bi = t.sliding(2).filter(_.size == 2)
+        .map(p => (md5h(p.mkString(" ")) % B).toInt).toSeq
+      uni ++ bi
+    }
+    val raw = new Array[Long](B); val tgt = new Array[Long](B)
+    dsirDocs.foreach { case (_, text, isT) =>
+      featsOf(text).foreach { b =>
+        raw(b) += 1; if (isT) tgt(b) += 1
+      }
+    }
+    val rTot = raw.sum.toDouble; val tTot = tgt.sum.toDouble
+    def lamMicro(b: Int): Long =
+      if (raw(b) == 0L) 0L
+      else BigDecimal(
+        math.log((tgt(b) + 0.5) / (tTot + 0.5 * B)) -
+          math.log((raw(b) + 0.5) / (rTot + 0.5 * B)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .underlying.unscaledValue.longValueExact
+    val expected = dsirDocs.map { case (id, text, _) =>
+      id -> featsOf(text).map(lamMicro).sum
+    }.toMap
+    val docs = dsirDocs.toDF("doc_id", "text", "is_t")
+    def run(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      CorpusStats.dsirWeights(df, "text", col("is_t"), buckets = B)
+        .select("doc_id", "wt_micros").as[(Long, Long)].collect().toMap
+    run(docs) shouldBe expected
+    // integer micros make the fold exact → partitioning cannot move it
+    run(docs.repartition(7)) shouldBe expected
+  }
 }
