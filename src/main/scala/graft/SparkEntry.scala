@@ -24,6 +24,24 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** The events fixture's RAW `ts` physical type (fixture generations
+    * differ — see Tables.eventsTsToMicros). Loading through Tables
+    * first sets the legacy nanos reader conf the old generation needs
+    * even to expose a schema. */
+  private def eventsRawTsType(s: SparkSession, dir: String) = {
+    Tables(s, dir, "events")
+    s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+  }
+
+  /** events.ts → micro-precision TimestampType, whatever generation
+    * is on disk (the streaming queries' standard event-time column). */
+  private def eventsTsMicros(s: SparkSession, dir: String): Column =
+    Tables.eventsTsToMicros(eventsRawTsType(s, dir))
+
+  /** ms-truncated twin (q56's oracle mirrors ms-precision gaps). */
+  private def eventsTsMillis(s: SparkSession, dir: String): Column =
+    Tables.eventsTsToMillis(eventsRawTsType(s, dir))
+
   /** Collect a BOUNDED (aggregate-sized) result, recursively delete
     * the scratch directory its plan reads from, and re-surface the
     * rows as a local DataFrame — the q58 lesson generalized: a lazy
@@ -791,7 +809,7 @@ object SparkEntry {
     // Same oracle SQL as the batch analog q19 ──
     "q45_streaming_buckets" -> ((s, dir) =>
       runEventsStream(s, dir, "q45_mem", "complete",
-        timestamp_micros(expr("ts div 1000")),
+        eventsTsMicros(s, dir),
         _.groupBy(
             unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"),
             col("event_type"))
@@ -842,7 +860,7 @@ object SparkEntry {
     // hourly buckets to window_end <= max(ts) - delay ──
     "q51_streaming_append" -> ((s, dir) =>
       runEventsStream(s, dir, "q51_mem", "append",
-        timestamp_micros(expr("ts div 1000")),
+        eventsTsMicros(s, dir),
         _.withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("n"),
@@ -928,7 +946,7 @@ object SparkEntry {
     // at a 30-minute gap is noise, not signal ──
     "q56_streaming_sessions" -> ((s, dir) =>
       runEventsStream(s, dir, "q56_mem", "append",
-        timestamp_millis(expr("ts div 1000000")),
+        eventsTsMillis(s, dir),
         _.withWatermark("ts", "1 hour")
           .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
           .agg(count(lit(1)).as("n_events"))
@@ -1367,7 +1385,7 @@ object SparkEntry {
     // sum_value) ──
     "q73_streaming_dedup" -> ((s, dir) => {
       val deduped = runEventsStream(s, dir, "q73_mem", "append",
-        timestamp_micros(expr("ts div 1000")),
+        eventsTsMicros(s, dir),
         df => Streams.dedupWithinWatermark(
           df.withColumn("_rep",
             explode(when(col("event_id") % 10 === 0,
@@ -1508,7 +1526,7 @@ object SparkEntry {
     // which is exactly what the oracle computes ──
     "q80_stream_interval_join" -> ((s, dir) => {
       val ns = drainSession(s)
-      val tsExpr = timestamp_micros(expr("ts div 1000"))
+      val tsExpr = eventsTsMicros(s, dir)
       val purchases = eventsStream(ns, dir, tsExpr)
         .filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
@@ -1618,7 +1636,7 @@ object SparkEntry {
       val dim = t(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment"))
       val joined = runEventsStream(s, dir, "q85_mem", "append",
-        timestamp_micros(expr("ts div 1000")),
+        eventsTsMicros(s, dir),
         st => st.filter(col("event_type") === "purchase")
           .join(broadcast(dim), col("user_id") === col("c_custkey"))
           .select(col("c_mktsegment"), col("value")))
@@ -1651,7 +1669,7 @@ object SparkEntry {
       import s.implicits._
       val ns = drainSession(s)
       Streams.withRocksDbStateStore(ns) {
-        val st = eventsStream(ns, dir, timestamp_micros(expr("ts div 1000")))
+        val st = eventsStream(ns, dir, eventsTsMicros(s, dir))
           .select(col("user_id"), unix_micros(col("ts")), col("event_id"))
           .as[(Long, Long, Long)]
         val seq = Streams.arrivalSequence(st)

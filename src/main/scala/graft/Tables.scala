@@ -6,16 +6,51 @@ import org.apache.spark.sql.functions._
 /** Central fixture-table loader (TESTDATA.md).
   *
   * All driver fixtures are plain parquet; the one wrinkle is
-  * `events.parquet`, whose `ts` column is physical INT64
-  * TIMESTAMP(NANOS) — Spark 4.x refuses that type unless
-  * `spark.sql.legacy.parquet.nanosAsLong` is set, in which case it
-  * surfaces as a raw nanosecond LongType. We convert it to a proper
-  * micro-precision TimestampType with integer division (`div 1000`,
-  * exact on Long — a double division would lose precision above
-  * 2^53), which matches DuckDB's own nanos→micros truncation, so
-  * oracle comparisons agree.
+  * `events.parquet`, whose `ts` physical type has CHANGED across
+  * driver fixture generations: rounds 1–8 shipped INT64
+  * TIMESTAMP(NANOS) (readable only via
+  * `spark.sql.legacy.parquet.nanosAsLong`, surfacing as raw
+  * nanosecond LongType), round 9 ships a plain `timestamp[us]`
+  * without UTC adjustment (surfacing as TIMESTAMP_NTZ). One
+  * schema-adaptive conversion ([[eventsTsToMicros]]) keeps every
+  * consumer — batch loader, streaming source, the q56 ms-truncated
+  * variant — on a single definition that lands on the same
+  * micro-precision TimestampType either way, so query code and the
+  * DuckDB oracle agree regardless of which generation is on disk.
   */
 object Tables {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
+
+  /** Raw events `ts` → micro-precision TimestampType, by physical
+    * type. Legacy INT64 nanos uses integer division (`div 1000`,
+    * exact on Long — a double division would lose precision above
+    * 2^53), matching DuckDB's nanos→micros truncation; NTZ casts to
+    * session-zone timestamps (identity on the stored micros under
+    * the UTC session this engine pins). Loud on anything else: a
+    * silent passthrough of a future third type would skew every
+    * event-time query at once. */
+  def eventsTsToMicros(raw: DataType): Column = raw match {
+    case LongType         => timestamp_micros(expr("ts div 1000"))
+    case TimestampNTZType => col("ts").cast(TimestampType)
+    case TimestampType    => col("ts")
+    case other => sys.error(
+      s"events.ts: unsupported physical type $other — " +
+        "extend Tables.eventsTsToMicros for this fixture generation")
+  }
+
+  /** Millisecond-truncated twin (q56's session windows truncate to
+    * ms so gap arithmetic mirrors exactly in the ms-precision
+    * oracle). `unix_millis` floors micros→millis on the timestamp
+    * branches, matching the legacy `div 1000000` integer floor. */
+  def eventsTsToMillis(raw: DataType): Column = raw match {
+    case LongType => timestamp_millis(expr("ts div 1000000"))
+    case TimestampNTZType | TimestampType =>
+      timestamp_millis(unix_millis(col("ts").cast(TimestampType)))
+    case other => sys.error(
+      s"events.ts: unsupported physical type $other — " +
+        "extend Tables.eventsTsToMillis for this fixture generation")
+  }
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
@@ -23,9 +58,11 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     name match {
       case "events" =>
+        // harmless for the timestamp[us] generation; required to even
+        // READ the legacy INT64-nanos generation
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(s"$sfDir/events.parquet")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val raw = spark.read.parquet(s"$sfDir/events.parquet")
+        raw.withColumn("ts", eventsTsToMicros(raw.schema("ts").dataType))
       case other =>
         spark.read.parquet(s"$sfDir/$other.parquet")
     }

@@ -235,7 +235,8 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
       .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", Tables.eventsTsToMicros(
+        spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType))
     val agg = streamEv
       .groupBy(window(col("ts"), "1 hour"), col("event_type")).count()
     val q = agg.writeStream.format("memory").queryName("sb_check")
