@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes RAW to stdout/stderr instead of through
+// sbt's logger: the logger prefixes every line with "[info] ", which
+// has defeated the driver's bench-summary parser in every round so
+// far ("parsed": null in BENCH_r01..r08) — a line-oriented JSON
+// consumer never sees a line that STARTS with '{'. With StdoutOutput
+// the Bench/Verify JSON lines reach the pipe exactly as printed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

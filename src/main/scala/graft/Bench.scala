@@ -19,6 +19,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalesces shuffle reads by BYTES; several of this
+      // engine's stages are row-expensive at tiny byte volume
+      // (64-float cosine re-ranks, window argmax over strings), and
+      // the 1 MiB default floor collapses them to 1-4 tasks on the
+      // few-MB fixtures (q06 window 1 task / 4.9 cpu-s; q95 re-rank
+      // 4 tasks). A 64 KiB floor restores width for CPU-heavy small
+      // stages and is a no-op at production byte volumes, where
+      // advisoryPartitionSizeInBytes governs long before this floor.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")

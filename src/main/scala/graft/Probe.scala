@@ -15,6 +15,7 @@ object Probe {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -22,10 +23,24 @@ object Probe {
     val docs = Tables(spark, sfDir, "documents")
     docs.count()
 
+    def cpuNanos(): Long =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+        case _ => -1L
+      }
     def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
+      val t0 = System.nanoTime(); val c0 = cpuNanos()
       val n = f
-      println(f"PROBE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      println(f"PROBE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  " +
+        f"cpu=${(cpuNanos() - c0) / 1e9}%8.2f s  rows=$n")
+    }
+
+    // q69's scan-time kernel, run twice: the first-use number carries
+    // whole-stage-codegen JIT, the second is the steady-state cost a
+    // long suite actually pays per additional use
+    for (round <- Seq("1st", "2nd")) time(s"q69_kernel_$round") {
+      docs.select(text.dupNgramFraction(text.tokens(col("text")), 3)
+        .as("f")).agg(sum("f")).head(); 1L
     }
 
     time("docs_tokenize") {
@@ -100,6 +115,7 @@ object ProbeScale {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -475,6 +491,7 @@ object ProbeRecall {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -285,9 +285,13 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // ── A5: partial+final hash aggregation (TPC-H Q1 shape) ──
+    // ── A5: partial+final hash aggregation (TPC-H Q1 shape).
+    // widenForCpu: the fixture's lineitem is one single-row-group
+    // file (one split no matter what maxPartitionBytes says), so the
+    // decimal partial aggregation — the expensive half of this plan —
+    // would run on ONE core without the keyed widen ──
     "q01_pricing_summary" -> ((s, dir) => {
-      t(s, dir, "lineitem")
+      Relational.widenForCpu(t(s, dir, "lineitem"), col("l_orderkey"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           exactSum(col("l_quantity")).as("sum_qty"),
@@ -307,7 +311,10 @@ object SparkEntry {
     // re-aggregated revenue exact, and the per-order grain makes
     // countDistinct(o_orderkey) a plain count ──
     "q02_revenue_by_nation" -> ((s, dir) => {
-      val liAgg = t(s, dir, "lineitem")
+      // widenForCpu: same single-split lineitem hazard as q01 — the
+      // per-order decimal pre-aggregation is the heavy stage
+      val liAgg = Relational
+        .widenForCpu(t(s, dir, "lineitem"), col("l_orderkey"))
         .groupBy(col("l_orderkey"))
         .agg(sum(col("l_extendedprice").cast("decimal(20,4)") *
           (lit(1) - col("l_discount").cast("decimal(20,4)"))).as("rev_dec"))
@@ -327,7 +334,7 @@ object SparkEntry {
 
     // ── L2+U3: top-k with deterministic tie-break (TakeOrdered) ──
     "q03_top_orders" -> ((s, dir) => {
-      t(s, dir, "lineitem")
+      Relational.widenForCpu(t(s, dir, "lineitem"), col("l_orderkey"))
         .groupBy(col("l_orderkey"))
         .agg(sum(col("l_extendedprice").cast("decimal(20,4)") *
           (lit(1) - col("l_discount").cast("decimal(20,4)"))).as("rev_dec"))
@@ -510,7 +517,10 @@ object SparkEntry {
 
     // ── NS dedup: exact (hash-groupBy, deterministic keeper) ──
     "q23_dedup_exact" -> ((s, dir) =>
-      Dedup.exactGroups(t(s, dir, "documents"), Seq("text"), "doc_id")
+      // widenForCpu: full-text hashing on the one-split documents scan
+      Dedup.exactGroups(
+        Relational.widenForCpu(t(s, dir, "documents"), col("doc_id")),
+        Seq("text"), "doc_id")
         .select(col("keeper_id"), col("n_copies"))),
 
     // ── NS text: token counting ──
@@ -527,7 +537,9 @@ object SparkEntry {
 
     // ── NS text: quality scoring ──
     "q25_quality_scores" -> ((s, dir) =>
-      t(s, dir, "documents")
+      // widenForCpu: ~3 cpu-s of per-row quality kernels on a
+      // one-split scan (heavier than the exchange, unlike q105/q106)
+      Relational.widenForCpu(t(s, dir, "documents"), col("doc_id"))
         .withColumn("q", text.qualityScore(col("text")))
         .groupBy(col("source"))
         .agg(
@@ -538,7 +550,9 @@ object SparkEntry {
 
     // ── NS text: language identification (marker-word argmax) ──
     "q26_lang_id" -> ((s, dir) =>
-      t(s, dir, "documents")
+      // widenForCpu: the 5-language marker-filter argmax is ~4 cpu-s
+      // at sf0.1 on a one-split scan
+      Relational.widenForCpu(t(s, dir, "documents"), col("doc_id"))
         .withColumn("predicted", text.predictedLang(col("text")))
         .groupBy(col("lang"), col("predicted"))
         .agg(count(lit(1)).as("n"))),
@@ -2406,14 +2420,25 @@ object SparkEntry {
         .withColumn("domain", urls.host(col("url")))
       val blocklist = Seq("src2.example.com", "src9.example.com")
         .toDF("blocked_domain")
+      // two-phase distinct instead of countDistinct(url) +
+      // countDistinct(canon) in one aggregate: `canon` is a pure
+      // function of `url`, so grouping by (domain, url) makes raw
+      // urls distinct per domain with canon carried along, and the
+      // second aggregate needs only ONE distinct — Spark plans the
+      // multi-distinct form via ExpandExec (×3 row replication and a
+      // wide generated class whose first-use JIT dominated this
+      // query's wall), the single-distinct form without Expand
       withUrl
         .join(broadcast(blocklist),
           col("domain") === col("blocked_domain"), "left_anti")
+        .groupBy(col("domain"), col("url"))
+        .agg(count(lit(1)).as("_n"), min(col("canon")).as("_canon"),
+          sum(col("n_chars")).as("_chars"))
         .groupBy(col("domain"))
-        .agg(count(lit(1)).as("n_docs"),
-          countDistinct(col("url")).as("n_urls_raw"),
-          countDistinct(col("canon")).as("n_urls_canon"),
-          sum(col("n_chars")).as("chars"))
+        .agg(sum(col("_n")).as("n_docs"),
+          count(lit(1)).as("n_urls_raw"),
+          countDistinct(col("_canon")).as("n_urls_canon"),
+          sum(col("_chars")).as("chars"))
         .orderBy(col("domain"))
     }),
 

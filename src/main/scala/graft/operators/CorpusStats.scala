@@ -273,6 +273,13 @@ object CorpusStats {
       buckets: Int = 1024): DataFrame = {
     require(buckets >= 2 && buckets <= (1 << 20),
       s"buckets must be in [2, 2^20]: $buckets")
+    // both passes (bucket-count training, scan-time scoring) run ~2
+    // md5 hashes per token BEFORE any shuffle — on a one-hot-file
+    // corpus that is the q69 serial-scan hazard (measured: 17 s wall
+    // on ONE task at sf0.1). Widen once, keyed on the text (a
+    // deterministic key: round-robin would re-sort on retry), and
+    // derive both passes from the widened frame.
+    val docsW = Relational.widenForCpu(docs, col(textCol))
     val toks0 = text.tokens(col(textCol))
     def feats(toks: Column): Column = concat(
       transform(toks,
@@ -280,7 +287,7 @@ object CorpusStats {
       transform(docBigrams(toks),
         g => (hashes.md5Hash60(g) % buckets).cast("int")))
     // bounded planning lookup: ≤ `buckets` rows by construction
-    val stats = docs
+    val stats = docsW
       .select(explode(feats(toks0)).as("_ds_b"), isTarget.as("_ds_t"))
       .groupBy(col("_ds_b"))
       .agg(count(lit(1)).as("_ds_r"),
@@ -311,7 +318,7 @@ object CorpusStats {
     }
     val lamLit = typedLit(lamMicros.toSeq)
     val f = feats(toks0)
-    docs
+    docsW
       .withColumn("n_feat", size(f))
       .withColumn("wt_micros",
         aggregate(f, lit(0L), (acc, b) => acc + element_at(lamLit, b + 1)))
