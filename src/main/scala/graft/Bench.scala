@@ -118,8 +118,19 @@ object Bench {
     }
     val calibMtStart = calibrateMt()
     val calibStart = calibrate()
-    val results = selected.map {
-      case (name, fn) =>
+    // Mid-run probe TIMELINE: r8's driver window burned ~4× the CPU
+    // of a clean close while the start AND end probes both read
+    // healthy — a contention episode strictly inside the window is
+    // invisible to endpoint probes. One single-thread spin every
+    // `calibEvery` queries (~0.4 s each, ~3 s per full run) makes the
+    // artifact carry the weather as a timeline, so a slow span of
+    // queries can be matched against the probe reading taken nearest
+    // to it without any isolated rerun.
+    val calibEvery = 16
+    val calibTrack = scala.collection.mutable.ListBuffer.empty[Double]
+    val results = selected.zipWithIndex.map {
+      case ((name, fn), idx) =>
+        if (idx % calibEvery == 0) calibTrack += calibrate()
         val gc0 = gcMillis(); val cpu0 = cpuNanos()
         stageWidth.set(0)
         val t0 = System.nanoTime()
@@ -184,6 +195,7 @@ object Bench {
         s""""cpu_total":${num(cpuTotal)},""" +
         s""""calib_sec":[${num(calibStart)},${num(calibEnd)}],""" +
         s""""calib_mt_sec":[${num(calibMtStart)},${num(calibMtEnd)}],""" +
+        s""""calib_track":[${calibTrack.map(num).mkString(",")}],""" +
         s""""queries":$qs,""" +
         s""""sf":"$sfDir"}"""
     println(line)
@@ -209,6 +221,7 @@ object Bench {
         s""""cpu_total":${num(cpuTotal)},""" +
         s""""calib_sec":[${num(calibStart)},${num(calibEnd)}],""" +
         s""""calib_mt_sec":[${num(calibMtStart)},${num(calibMtEnd)}],""" +
+        s""""calib_track":[${calibTrack.map(num).mkString(",")}],""" +
         s""""top_wall":${jsonObj(topWall)},""" +
         s""""top_wall_tasks":${jsonObjInt(topWallTasks)},""" +
         s""""sf":"$sfDir"}"""

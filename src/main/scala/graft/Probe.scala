@@ -382,6 +382,47 @@ object ProbeScale {
     // the candidate target ids and prunes the id-clustered store, so
     // its cost tracks the batch. Both paths are forced via the
     // sentinel thresholds and report warm second-run wall times. ──
+    if (mode == "build") {
+      // writeNearDupIndex phase dissection: the ingest sweep measured
+      // the BUILD at ~40-57 process-cpu-seconds FLAT across 1x/4x/10x
+      // stores — fixed overhead, not per-row work. Split it: shingle
+      // materialize / signature+band write / clustered shingle write,
+      // twice, so first-use codegen+JIT separates from steady state.
+      import graft.operators.Dedup
+      val docsB = Tables(spark, "/root/testdata/sf0.1", "documents")
+        .select(col("doc_id"), col("text"))
+      val os = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean
+        .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+      def phase(name: String)(f: => Unit): Unit = {
+        val t0 = System.nanoTime(); val c0 = os.getProcessCpuTime
+        f
+        println(f"PROBE_BUILD $name%-24s ${(System.nanoTime() - t0) / 1e9}%6.2fs " +
+          f"cpu=${(os.getProcessCpuTime - c0) / 1e9}%6.2fs")
+      }
+      for (round <- Seq("1st", "2nd")) {
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_probe_build_$round").toString
+        try {
+          val sets = Dedup.shingleSets(docsB, "doc_id", "text", 2)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          phase(s"sets_materialize_$round") { sets.count() }
+          val sigs = Dedup.signaturesFromBaseHashes(
+            sets.select(col("doc"), explode(col("shingles")).as("shingle"))
+              .select(col("doc"), xxhash64(col("shingle")).as("h0")), 64)
+          phase(s"bands_write_$round") {
+            Dedup.bandedSignatures(sigs, 32, 64)
+              .write.mode("errorifexists").parquet(root + "/bands")
+          }
+          phase(s"shingles_write_$round") {
+            sets.repartitionByRange(32, col("doc"))
+              .sortWithinPartitions(col("doc"))
+              .write.mode("errorifexists").parquet(root + "/shingles")
+          }
+          sets.unpersist(blocking = false)
+        } finally Scratch.deleteRecursively(new java.io.File(root))
+      }
+    }
     if (mode == "ingest") {
       val docsBase = Tables(spark, "/root/testdata/sf0.1", "documents")
         .select(col("doc_id"), col("text"))
@@ -399,8 +440,19 @@ object ProbeScale {
         val root = java.nio.file.Files
           .createTempDirectory(s"graft_probe_ingest_$r").toString
         try {
+          val tb0 = System.nanoTime()
+          val cb0 = java.lang.management.ManagementFactory
+            .getOperatingSystemMXBean
+            .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+            .getProcessCpuTime
           Dedup.writeNearDupIndex(store, "doc_id", "text", 2, 64, 32,
             root + "/idx")
+          println(f"PROBE_SCALE ingest/store${r}x build=" +
+            f"${(System.nanoTime() - tb0) / 1e9}%.2fs cpu=" +
+            f"${(java.lang.management.ManagementFactory
+              .getOperatingSystemMXBean
+              .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+              .getProcessCpuTime - cb0) / 1e9}%.2fs")
           def mark(minBytes: Long): Double = {
             def run(): Double = {
               val t0 = System.nanoTime()

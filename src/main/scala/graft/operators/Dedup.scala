@@ -271,7 +271,25 @@ object Dedup {
     * [[minhashSignatures]] and [[minhashNearDupPairs]] cannot drift
     * apart (the q30/q44 oracle story depends on them being
     * bit-identical). */
-  private[graft] def signaturesFromBaseHashes(sh: DataFrame, k: Int): DataFrame =
+  private[graft] def signaturesFromBaseHashes(sh: DataFrame, k: Int): DataFrame = {
+    // ONE imperative all-lanes aggregate, not k separate min-agg
+    // columns: the k-wide HashAggregate generated ~27 cpu-s of
+    // first-use JIT per query plan (ProbeScale build), paid again by
+    // every signature-building query; MinHashAgg is one shared tight
+    // loop, bit-identical lanes (MinHashAggSpec pins it against the
+    // composed form below)
+    import org.apache.spark.sql.graft.{Bridge, MinHashAgg}
+    sh.groupBy("doc")
+      .agg(Bridge.column(
+        MinHashAgg(Bridge.expression(col("h0")), k).toAggregateExpression())
+        .as("signature"))
+  }
+
+  /** The composed spelling [[signaturesFromBaseHashes]] replaced —
+    * kept as the parity REFERENCE the spec asserts lane-for-lane
+    * equality against (the codegen-kernel convention: every custom
+    * kernel keeps its compositional twin in CI). */
+  private[graft] def signaturesComposed(sh: DataFrame, k: Int): DataFrame =
     sh.groupBy("doc")
       .agg(min(xxhash64(lit(0), col("h0"))).as("h0_"),
         (1 until k).map(i => min(xxhash64(lit(i), col("h0"))).as(s"h${i}_")): _*)

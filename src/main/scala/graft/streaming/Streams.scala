@@ -110,6 +110,15 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
+        // the mark is a BATCH job (foreachBatch — no streaming state
+        // anywhere in it): when the stream runs inside a scoped
+        // 8-partition drain session (sized for memory-sink streaming
+        // aggs), the minhash + candidate + re-score stages must not
+        // inherit that throttle — plan them at the context's full
+        // width. Scoped to this cloned micro-batch session; the
+        // caller's session conf is untouched.
+        s.conf.set("spark.sql.shuffle.partitions",
+          s.sparkContext.defaultParallelism)
         if (!knownBig) {
           val p = new org.apache.hadoop.fs.Path(s"$indexDir/shingles")
           val fs = p.getFileSystem(s.sessionState.newHadoopConf())

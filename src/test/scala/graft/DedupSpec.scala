@@ -514,4 +514,24 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
       probe(111L) shouldBe Some(11L)
     } finally Scratch.deleteRecursively(new java.io.File(root))
   }
+
+  test("MinHashAgg: lane-for-lane identical to the composed k-wide min(xxhash64) form") {
+    // the parity contract that makes the imperative aggregate a pure
+    // plan optimization: identical signatures => identical bands =>
+    // identical candidates => identical oracle-visible results
+    val sh = Dedup.shingleSets(corpus.filter(col("text") =!= ""), "doc_id", "text", 2)
+      .select(col("doc"), explode(col("shingles")).as("shingle"))
+      .select(col("doc"), xxhash64(col("shingle")).as("h0"))
+    val fast = Dedup.signaturesFromBaseHashes(sh, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val composed = Dedup.signaturesComposed(sh, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    composed.keySet shouldBe fast.keySet
+    composed.foreach { case (doc, sig) => fast(doc) shouldBe sig }
+    // and partial-merge correctness: the same result from a 1-row-
+    // per-partition layout (every merge path exercised)
+    val spread = Dedup.signaturesFromBaseHashes(sh.repartition(7), 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    spread shouldBe fast
+  }
 }
