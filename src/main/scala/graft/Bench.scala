@@ -121,16 +121,21 @@ object Bench {
     // Mid-run probe TIMELINE: r8's driver window burned ~4× the CPU
     // of a clean close while the start AND end probes both read
     // healthy — a contention episode strictly inside the window is
-    // invisible to endpoint probes. One single-thread spin every
-    // `calibEvery` queries (~0.4 s each, ~3 s per full run) makes the
+    // invisible to endpoint probes. One FULL-WIDTH spin every
+    // `calibEvery` queries (~0.5 s each, ~4 s per full run) makes the
     // artifact carry the weather as a timeline, so a slow span of
     // queries can be matched against the probe reading taken nearest
-    // to it without any isolated rerun.
+    // to it without any isolated rerun. Full-width, not single-thread:
+    // r7 measured afternoon-long core-squeeze episodes with the
+    // single-thread probe pinned at ~0.43 s throughout (and a 20 s
+    // q08 landed mid-run in a window whose single-thread track read
+    // flat 0.42-0.47) — only a probe that demands every vCPU at once
+    // sees the squeeze the 32-wide query stages feel.
     val calibEvery = 16
     val calibTrack = scala.collection.mutable.ListBuffer.empty[Double]
     val results = selected.zipWithIndex.map {
       case ((name, fn), idx) =>
-        if (idx % calibEvery == 0) calibTrack += calibrate()
+        if (idx % calibEvery == 0) calibTrack += calibrateMt()
         val gc0 = gcMillis(); val cpu0 = cpuNanos()
         stageWidth.set(0)
         val t0 = System.nanoTime()

@@ -2557,8 +2557,80 @@ object SparkEntry {
             .as("n_selected"),
           (sum(col("wt_micros")).cast("double") / lit(1000000.0d))
             .as("sum_weight"))
+    }),
+
+    // ── NS text analysis: per-document TOP-3 KEYWORDS by tf·idf — the
+    // classic extraction signal (salient terms for indexing, topic
+    // tagging, dedup explanations). Two hash aggregates — (doc, tok)
+    // term frequency, then tok document frequency — with the
+    // vocabulary-sized df table broadcast back (AQE picks the
+    // broadcast; vocabulary grows ~log corpus) and a per-doc ranking
+    // window. Ranking compares the ROUNDED score, so both engines
+    // order identical 6-decimal values and ulp-level ln() divergence
+    // cannot flip ranks. Scale shape: the corpus text is read once;
+    // everything after the first aggregate is token-grain, never
+    // body-grain ──
+    "q114_tfidf_keywords" -> ((s, dir) => {
+      val docs = Relational.widenForCpu(t(s, dir, "documents"),
+        col("doc_id"))
+      val pairs = docs.select(col("doc_id"),
+        explode(text.tokens(col("text"))).as("tok"))
+      val tf = pairs.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val dfTab = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      // ONE planning count (the q108/q67 statistic convention) —
+      // a 1-row broadcast crossJoin would plan a BNLJ for a scalar
+      val nDocs = t(s, dir, "documents").count().toDouble
+      val scored = tf.join(dfTab, "tok")
+        .withColumn("score",
+          round(col("tf").cast("double") *
+            log(lit(nDocs) / col("df").cast("double")), 6))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("tok").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("tok"), col("score"))
+    }),
+
+    // ── NS similarity/quality: EMBEDDING OUTLIER detection — cosine
+    // of every vector to its ASSIGNED centroid (the q42/q107 IVF
+    // assignment), flagging vectors anti-aligned with even their
+    // BEST cell (rounded cos < q115Cut ⇒ far from the whole centroid
+    // model — the embedding-space analog of a quality filter: noise,
+    // corrupt rows, out-of-distribution content). Measured gate-SF
+    // distributions: p5 ≈ −0.03..−0.04, median ≈ 0.12 at sf0.001/
+    // 0.01/0.1 — the −0.05 cut flags the 1–4% tail deterministically
+    // (both engines compare the same 6-decimal value). Scale shape:
+    // assignment + scoring are pure scan-time kernels against the
+    // broadcast centroid literal; the only shuffle is the final
+    // per-cell aggregate ──
+    "q115_embedding_outliers" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val centLit = typedLit(ivfCentroids.map(_.toSeq))
+      val assigned = emb.withColumn("cell",
+        vectors.assignCellFast(col("embedding"), ivfCentroids))
+      val cent = element_at(centLit, col("cell") + 1)
+      def dot(a: Column, b: Column): Column = aggregate(
+        zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0d), (acc, x) => acc + x)
+      assigned.withColumn("cos",
+        round(dot(col("embedding"), cent) /
+          (sqrt(dot(col("embedding"), col("embedding"))) *
+            sqrt(dot(cent, cent))), 6))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("cos") < q115Cut, 1L).otherwise(0L))
+            .as("n_outliers"),
+          sum(col("cos").cast("decimal(20,6)")).cast("double")
+            .as("sum_cos"))
     })
   )
+
+  /** q115's outlier threshold on the ROUNDED cosine-to-centroid
+    * (both engines compare round(cos, 6), so the cut decides on
+    * identical values). Measured distributions: p5 ≈ −0.03..−0.04 —
+    * −0.05 flags the anti-aligned 1–4% tail at every gate SF. */
+  private val q115Cut: Double = -0.05
 
   /** The fixture's closed event-type vocabulary (driver-side literal:
     * pivot columns and the oracle's CASE sums must agree on it). */
@@ -4446,6 +4518,69 @@ object SparkEntry {
            |    AS n_selected,
            |  CAST(SUM(m) AS DOUBLE) / 1000000.0 AS sum_weight
            |FROM wa GROUP BY source""".stripMargin,
+
+      // both engines rank on the ROUNDED tf·idf (round 6) with a
+      // token tiebreak, so ulp-level ln() differences cannot reorder
+      "q114_tfidf_keywords" ->
+        s"""WITH t0 AS (
+           |  SELECT doc_id, $sqlTokens AS toks FROM documents),
+           |pairs AS (SELECT doc_id, unnest(toks) AS tok FROM t0),
+           |tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+           |  FROM pairs GROUP BY doc_id, tok),
+           |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+           |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_total
+           |  FROM documents),
+           |sc AS (SELECT tf.doc_id, tf.tok,
+           |    round(CAST(tf.tf AS DOUBLE) *
+           |      ln(n_total / CAST(df.df AS DOUBLE)), 6) AS score
+           |  FROM tf JOIN df USING (tok) CROSS JOIN n),
+           |rk AS (SELECT doc_id, tok, score,
+           |    row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY score DESC, tok ASC) AS rank
+           |  FROM sc)
+           |SELECT doc_id, CAST(rank AS INT) AS rank, tok, score
+           |FROM rk WHERE rank <= 3""".stripMargin,
+
+      // same centroid-literal assignment mirror as q42/q107; cosine
+      // to the assigned centroid with the identical rounded-cut
+      // comparison
+      "q115_embedding_outliers" -> {
+        val cents = "[" + ivfCentroids.map(c =>
+          "[" + c.map(sqlDouble).mkString(",") + "]").mkString(",") +
+          "]::DOUBLE[][]"
+        def sqDist(vec: String, cent: String) =
+          s"list_reduce(list_transform(range(1, ${embDim + 1}), " +
+            s"i -> (CAST($vec[i] AS DOUBLE) - $cent[i]) * " +
+            s"(CAST($vec[i] AS DOUBLE) - $cent[i])), (a,b) -> a+b)"
+        def dotAC(a: String, b: String) =
+          s"list_reduce(list_transform(range(1, ${embDim + 1}), " +
+            s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), " +
+            "(x,y) -> x+y)"
+        s"""WITH cents AS (SELECT $cents AS m),
+           |cells AS (SELECT unnest(range(0, ${ivfCentroids.size})) AS cell),
+           |dists AS (
+           |  SELECT e.vec_id, e.embedding, c.cell,
+           |    ${sqDist("e.embedding", "ct.m[c.cell+1]")} AS dist
+           |  FROM embeddings e CROSS JOIN cells c CROSS JOIN cents ct),
+           |assigned AS (
+           |  SELECT vec_id, embedding, CAST(cell AS INT) AS cell FROM (
+           |    SELECT vec_id, embedding, cell,
+           |      row_number() OVER (PARTITION BY vec_id
+           |        ORDER BY dist, cell) AS rn
+           |    FROM dists) WHERE rn = 1),
+           |sc AS (
+           |  SELECT a.cell,
+           |    round(${dotAC("a.embedding", "ct.m[a.cell+1]")} /
+           |      (sqrt(${dotAC("a.embedding", "a.embedding")}) *
+           |       sqrt(${dotAC("ct.m[a.cell+1]", "ct.m[a.cell+1]")})),
+           |      6) AS cos
+           |  FROM assigned a CROSS JOIN cents ct)
+           |SELECT cell, COUNT(*) AS n_vecs,
+           |  CAST(SUM(CASE WHEN cos < $q115Cut THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_outliers,
+           |  CAST(SUM(CAST(cos AS DECIMAL(20,6))) AS DOUBLE) AS sum_cos
+           |FROM sc GROUP BY cell""".stripMargin
+      },
 
       // mirrors graft.functions.urls.canonicalize/host definition-for-
       // definition (regexp_extract head, split_part fragment/query
