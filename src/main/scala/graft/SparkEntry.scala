@@ -2344,7 +2344,10 @@ object SparkEntry {
     // one planning count (the q67 statistic convention) and mirrored
     // by the oracle's scalar subquery ──
     "q108_heavy_hitters" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      // widen once here; the operator's own widen then no-ops — the
+      // planning count below tokenizes the corpus too
+      val docs = Relational.widenForCpu(t(s, dir, "documents"),
+        col("doc_id"))
       val nTok = docs.select(sum(size(text.tokens(col("text")))))
         .head.getLong(0)
       CorpusStats.heavyHitterTokens(docs, "text",

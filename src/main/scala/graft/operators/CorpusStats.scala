@@ -223,7 +223,11 @@ object CorpusStats {
       seed: Int = 42): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1: $minCount")
     import org.apache.spark.sql.graft.{Bridge, CmsEstimate}
-    val toks = docs.select(explode(text.tokens(col(textCol))).as("token"))
+    // both passes (sketch build, probe-filtered exact count) tokenize
+    // and sketch-hash the corpus BEFORE any shuffle — widen the
+    // one-hot-file scan once (no-op if the input is already wide)
+    val docsW = Relational.widenForCpu(docs, col(textCol))
+    val toks = docsW.select(explode(text.tokens(col(textCol))).as("token"))
     // bounded planning lookup: one row holding the KB-sized sketch
     val bytes = toks
       .agg(count_min_sketch(col("token"), lit(eps), lit(confidence),
