@@ -2570,9 +2570,12 @@ object SparkEntry {
     // broadcast; vocabulary grows ~log corpus) and a per-doc ranking
     // window. Ranking compares the ROUNDED score, so both engines
     // order identical 6-decimal values and ulp-level ln() divergence
-    // cannot flip ranks. Scale shape: the corpus text is read once;
-    // everything after the first aggregate is token-grain, never
-    // body-grain ──
+    // cannot flip ranks. Scale shape: the df branch re-scans the
+    // corpus (two pruned scans beat materializing the token-grain tf
+    // table at 100 TB — no cache pressure, column-pruned reads);
+    // everything after the aggregates is token-grain, never
+    // body-grain, and WindowGroupLimit prunes each partition to its
+    // local top-3 BEFORE the ranking shuffle ──
     "q114_tfidf_keywords" -> ((s, dir) => {
       val docs = Relational.widenForCpu(t(s, dir, "documents"),
         col("doc_id"))
