@@ -2629,6 +2629,37 @@ object SparkEntry {
             .as("n_outliers"),
           sum(col("cos").cast("decimal(20,6)")).cast("double")
             .as("sum_cos"))
+    }),
+
+    // ── NS corpus prep: the DATA CARD — per-source corpus report in
+    // ONE fused scan pass: token volume, quality (decimal-summed for
+    // determinism), intra-doc repetition rate, lang-id agreement with
+    // the labeled lang, and label diversity. Every signal is a kernel
+    // the suite already verifies individually (q24/q25/q26/q69); the
+    // point here is the FUSION shape a real pipeline report runs —
+    // tokenize once per row (codegen CSE shares `_toks` across all
+    // four consumers), one widened scan, one aggregate, nothing
+    // body-grain past the scan ──
+    "q116_corpus_report" -> ((s, dir) => {
+      val docs = Relational.widenForCpu(t(s, dir, "documents"),
+        col("doc_id"))
+      val scored = docs.withColumn("_toks", text.tokens(col("text")))
+        .withColumn("n_tok", size(col("_toks")).cast("long"))
+        .withColumn("q",
+          text.qualityScoreTokens(col("text"), col("_toks")))
+        .withColumn("rep3", text.dupNgramFraction(col("_toks"), 3))
+        .withColumn("pred", text.predictedLangTokens(col("_toks")))
+      scored.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("q").cast("decimal(20,6)")).cast("double")
+          .as("sum_quality"),
+        sum(when(col("rep3") >= 0.1, 1L).otherwise(0L))
+          .as("n_repetitive"),
+        sum(when(col("pred") === col("lang"), 1L).otherwise(0L))
+          .as("n_lang_agree"),
+        countDistinct(col("lang")).as("n_langs"))
     })
   )
 
@@ -4586,6 +4617,59 @@ object SparkEntry {
            |    AS BIGINT) AS n_outliers,
            |  CAST(SUM(CAST(cos AS DECIMAL(20,6))) AS DOUBLE) AS sum_cos
            |FROM sc GROUP BY cell""".stripMargin
+      },
+
+      // every signal mirrors its individually-gated oracle fragment
+      // (q25 quality, q26 lang whens, q69 repetition) over one shared
+      // tokenization
+      "q116_corpus_report" -> {
+        val markers = text.langMarkers
+        def score(m: Seq[String]) =
+          s"len(list_filter(toks, x -> x IN (${m.map(w => s"'$w'").mkString(",")})))"
+        val scores = markers.map { case (l, m) => s"${score(m)} AS s_$l" }
+        val langs = markers.map(_._1)
+        val whens = langs.map { l =>
+          val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o")
+            .mkString(" AND ")
+          s"WHEN $conds THEN '$l'"
+        }
+        val stops = text.stopwordsEn.map(w => s"'$w'").mkString(",")
+        s"""WITH base AS (
+           |  SELECT source, lang, n_chars, text, $sqlTokens AS toks
+           |  FROM documents),
+           |sc AS (
+           |  SELECT source, lang, n_chars,
+           |    len(toks) AS n_tok,
+           |    round((
+           |      least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) +
+           |      least((CASE WHEN len(toks) = 0 THEN 0.0
+           |        ELSE CAST(len(list_filter(toks, x -> x IN ($stops)))
+           |          AS DOUBLE) / CAST(len(toks) AS DOUBLE) END) * 10.0,
+           |        1.0) +
+           |      greatest(1.0 -
+           |        (CAST(length(text) -
+           |          length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+           |          AS DOUBLE)
+           |         / greatest(CAST(length(text) AS DOUBLE), 1.0))
+           |        * 10.0, 0.0)) / 3.0, 6) AS q,
+           |    CASE WHEN len(toks) - 2 <= 0 THEN 0.0
+           |      ELSE round(1.0 - CAST(len(${sqlShingles(3)}) AS DOUBLE)
+           |        / CAST(len(toks) - 2 AS DOUBLE), 6) END AS rep3,
+           |    CASE ${whens.mkString(" ")} ELSE '${langs.last}'
+           |      END AS pred
+           |  FROM (SELECT source, lang, n_chars, text, toks,
+           |      ${scores.mkString(", ")} FROM base))
+           |SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           |  CAST(SUM(CAST(q AS DECIMAL(20,6))) AS DOUBLE)
+           |    AS sum_quality,
+           |  CAST(SUM(CASE WHEN rep3 >= 0.1 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_repetitive,
+           |  CAST(SUM(CASE WHEN pred = lang THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_lang_agree,
+           |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+           |FROM sc GROUP BY source""".stripMargin
       },
 
       // mirrors graft.functions.urls.canonicalize/host definition-for-
