@@ -135,7 +135,8 @@ object Bench {
     val calibTrack = scala.collection.mutable.ListBuffer.empty[Double]
     val results = selected.zipWithIndex.map {
       case ((name, fn), idx) =>
-        if (idx % calibEvery == 0) calibTrack += calibrateMt()
+        // idx 0 is skipped: calibMtStart was read milliseconds ago
+        if (idx > 0 && idx % calibEvery == 0) calibTrack += calibrateMt()
         val gc0 = gcMillis(); val cpu0 = cpuNanos()
         stageWidth.set(0)
         val t0 = System.nanoTime()
@@ -201,6 +202,7 @@ object Bench {
         s""""calib_sec":[${num(calibStart)},${num(calibEnd)}],""" +
         s""""calib_mt_sec":[${num(calibMtStart)},${num(calibMtEnd)}],""" +
         s""""calib_track":[${calibTrack.map(num).mkString(",")}],""" +
+        s""""calib_every":$calibEvery,""" +
         s""""queries":$qs,""" +
         s""""sf":"$sfDir"}"""
     println(line)
@@ -227,6 +229,7 @@ object Bench {
         s""""calib_sec":[${num(calibStart)},${num(calibEnd)}],""" +
         s""""calib_mt_sec":[${num(calibMtStart)},${num(calibMtEnd)}],""" +
         s""""calib_track":[${calibTrack.map(num).mkString(",")}],""" +
+        s""""calib_every":$calibEvery,""" +
         s""""top_wall":${jsonObj(topWall)},""" +
         s""""top_wall_tasks":${jsonObjInt(topWallTasks)},""" +
         s""""sf":"$sfDir"}"""

@@ -6,6 +6,31 @@ import org.apache.spark.sql.functions._
 import graft.functions.{text, vectors}
 import graft.operators.{Dedup, Similarity}
 
+/** ONE wall+process-cpu measurement helper for every probe main in
+  * this file — the same pattern was spelled four slightly different
+  * ways (one with an unchecked asInstanceOf that would throw on a
+  * non-HotSpot JVM where the others degrade to -1). */
+private[graft] object ProbeTiming {
+  def cpuNanos(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
+
+  /** Runs `f`, prints one `$tag $name  <wall> s  cpu=<cpu> s[  rows=n]`
+    * line (cpu −1.00 when the JVM exposes no process-CPU bean). */
+  def timed[A](tag: String, name: String, rows: A => Option[Long] = (_: A) => None)(
+      f: => A): A = {
+    val t0 = System.nanoTime(); val c0 = cpuNanos()
+    val r = f
+    val cpu = if (c0 < 0) -1.0 else (cpuNanos() - c0) / 1e9
+    val rowsSuffix = rows(r).map(n => s"  rows=$n").getOrElse("")
+    println(f"$tag $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  " +
+      f"cpu=$cpu%8.2f s$rowsSuffix")
+    r
+  }
+}
+
 /** Ad-hoc plan-fragment timing harness (dev tool, not part of the
   * driver contract). */
 object Probe {
@@ -23,16 +48,8 @@ object Probe {
     val docs = Tables(spark, sfDir, "documents")
     docs.count()
 
-    def cpuNanos(): Long =
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
-        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
-        case _ => -1L
-      }
     def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime(); val c0 = cpuNanos()
-      val n = f
-      println(f"PROBE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  " +
-        f"cpu=${(cpuNanos() - c0) / 1e9}%8.2f s  rows=$n")
+      ProbeTiming.timed("PROBE", name, (n: Long) => Some(n))(f); ()
     }
 
     // q69's scan-time kernel, run twice: the first-use number carries
@@ -391,15 +408,8 @@ object ProbeScale {
       import graft.operators.Dedup
       val docsB = Tables(spark, "/root/testdata/sf0.1", "documents")
         .select(col("doc_id"), col("text"))
-      val os = java.lang.management.ManagementFactory
-        .getOperatingSystemMXBean
-        .asInstanceOf[com.sun.management.OperatingSystemMXBean]
-      def phase(name: String)(f: => Unit): Unit = {
-        val t0 = System.nanoTime(); val c0 = os.getProcessCpuTime
-        f
-        println(f"PROBE_BUILD $name%-24s ${(System.nanoTime() - t0) / 1e9}%6.2fs " +
-          f"cpu=${(os.getProcessCpuTime - c0) / 1e9}%6.2fs")
-      }
+      def phase(name: String)(f: => Unit): Unit =
+        ProbeTiming.timed("PROBE_BUILD", name)(f)
       for (round <- Seq("1st", "2nd")) {
         val root = java.nio.file.Files
           .createTempDirectory(s"graft_probe_build_$round").toString
@@ -440,19 +450,10 @@ object ProbeScale {
         val root = java.nio.file.Files
           .createTempDirectory(s"graft_probe_ingest_$r").toString
         try {
-          val tb0 = System.nanoTime()
-          val cb0 = java.lang.management.ManagementFactory
-            .getOperatingSystemMXBean
-            .asInstanceOf[com.sun.management.OperatingSystemMXBean]
-            .getProcessCpuTime
-          Dedup.writeNearDupIndex(store, "doc_id", "text", 2, 64, 32,
-            root + "/idx")
-          println(f"PROBE_SCALE ingest/store${r}x build=" +
-            f"${(System.nanoTime() - tb0) / 1e9}%.2fs cpu=" +
-            f"${(java.lang.management.ManagementFactory
-              .getOperatingSystemMXBean
-              .asInstanceOf[com.sun.management.OperatingSystemMXBean]
-              .getProcessCpuTime - cb0) / 1e9}%.2fs")
+          ProbeTiming.timed("PROBE_SCALE", s"ingest/store${r}x build") {
+            Dedup.writeNearDupIndex(store, "doc_id", "text", 2, 64, 32,
+              root + "/idx")
+          }
           def mark(minBytes: Long): Double = {
             def run(): Double = {
               val t0 = System.nanoTime()

@@ -24,23 +24,15 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
-  /** The events fixture's RAW `ts` physical type (fixture generations
-    * differ — see Tables.eventsTsToMicros). Loading through Tables
-    * first sets the legacy nanos reader conf the old generation needs
-    * even to expose a schema. */
-  private def eventsRawTsType(s: SparkSession, dir: String) = {
-    Tables(s, dir, "events")
-    s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
-  }
-
   /** events.ts → micro-precision TimestampType, whatever generation
-    * is on disk (the streaming queries' standard event-time column). */
+    * is on disk (the streaming queries' standard event-time column;
+    * the raw-type probe is Tables.eventsRawTsType — one definition). */
   private def eventsTsMicros(s: SparkSession, dir: String): Column =
-    Tables.eventsTsToMicros(eventsRawTsType(s, dir))
+    Tables.eventsTsToMicros(Tables.eventsRawTsType(s, dir))
 
   /** ms-truncated twin (q56's oracle mirrors ms-precision gaps). */
   private def eventsTsMillis(s: SparkSession, dir: String): Column =
-    Tables.eventsTsToMillis(eventsRawTsType(s, dir))
+    Tables.eventsTsToMillis(Tables.eventsRawTsType(s, dir))
 
   /** Collect a BOUNDED (aggregate-sized) result, recursively delete
     * the scratch directory its plan reads from, and re-surface the

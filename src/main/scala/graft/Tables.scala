@@ -55,14 +55,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** The RAW physical type of events.ts for whatever fixture
+    * generation is on disk — the ONE probe the batch loader, the
+    * streaming sources, and the specs all share (it sets the legacy
+    * nanos reader conf first: the old generation cannot even expose
+    * a schema without it). */
+  def eventsRawTsType(spark: SparkSession, sfDir: String): DataType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+  }
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     name match {
       case "events" =>
-        // harmless for the timestamp[us] generation; required to even
-        // READ the legacy INT64-nanos generation
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val raw = spark.read.parquet(s"$sfDir/events.parquet")
-        raw.withColumn("ts", eventsTsToMicros(raw.schema("ts").dataType))
+        val rawType = eventsRawTsType(spark, sfDir)
+        spark.read.parquet(s"$sfDir/events.parquet")
+          .withColumn("ts", eventsTsToMicros(rawType))
       case other =>
         spark.read.parquet(s"$sfDir/$other.parquet")
     }

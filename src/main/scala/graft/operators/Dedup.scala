@@ -276,8 +276,8 @@ object Dedup {
     // columns: the k-wide HashAggregate generated ~27 cpu-s of
     // first-use JIT per query plan (ProbeScale build), paid again by
     // every signature-building query; MinHashAgg is one shared tight
-    // loop, bit-identical lanes (MinHashAggSpec pins it against the
-    // composed form below)
+    // loop, bit-identical lanes (DedupSpec's MinHashAgg parity case
+    // pins it against the composed form below)
     import org.apache.spark.sql.graft.{Bridge, MinHashAgg}
     sh.groupBy("doc")
       .agg(Bridge.column(

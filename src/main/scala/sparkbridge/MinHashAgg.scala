@@ -31,8 +31,9 @@ import org.apache.spark.sql.types._
   *
   * Output: array<bigint> of the k lane minima in lane order —
   * the exact column [[graft.operators.Dedup.signaturesFromBaseHashes]]
-  * produced compositionally (MinHashAggSpec pins lane-for-lane
-  * equality against the composed form in CI).
+  * produced compositionally (DedupSpec's MinHashAgg parity case pins
+  * lane-for-lane equality against the composed form in CI, including
+  * null-input and forced-partial-merge layouts).
   */
 case class MinHashAgg(child: Expression, k: Int,
     mutableAggBufferOffset: Int = 0,
@@ -59,13 +60,25 @@ case class MinHashAgg(child: Expression, k: Int,
 
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
+    val seeds = laneSeeds
     if (v != null) {
       val h0 = v.asInstanceOf[Long]
-      val seeds = laneSeeds
       var i = 0
       while (i < k) {
         val lane = XXH64.hashLong(h0, seeds(i))
         if (lane < buffer(i)) buffer(i) = lane
+        i += 1
+      }
+    } else {
+      // bit-parity with the composed form on NULL input too: Spark's
+      // hash expressions SKIP null children, so min(xxhash64(lit(i),
+      // h0)) sees the fold stop at hashInt(i, 42) — the seed itself
+      // becomes the lane candidate for a null-h0 row. Dropping the
+      // row instead would silently diverge from the pinned reference
+      // the moment a nullable hash column reaches this aggregate.
+      var i = 0
+      while (i < k) {
+        if (seeds(i) < buffer(i)) buffer(i) = seeds(i)
         i += 1
       }
     }

@@ -533,5 +533,18 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
     val spread = Dedup.signaturesFromBaseHashes(sh.repartition(7), 16)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     spread shouldBe fast
+    // NULL-input parity: Spark's hash expressions SKIP null children,
+    // so the composed min(xxhash64(lit(i), h0)) treats a null-h0 row
+    // as the seed hashInt(i, 42) — the imperative aggregate must fold
+    // the same value, not drop the row (a group that is ALL nulls
+    // makes the divergence visible in every lane)
+    val shNull = sh.select(col("doc"),
+      when(col("doc") === 0L, lit(null).cast("long"))
+        .otherwise(col("h0")).as("h0"))
+    val fastN = Dedup.signaturesFromBaseHashes(shNull, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val composedN = Dedup.signaturesComposed(shNull, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    fastN shouldBe composedN
   }
 }

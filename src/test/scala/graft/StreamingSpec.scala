@@ -236,7 +236,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
       .withColumn("ts", Tables.eventsTsToMicros(
-        spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType))
+        Tables.eventsRawTsType(spark, sfDir)))
     val agg = streamEv
       .groupBy(window(col("ts"), "1 hour"), col("event_type")).count()
     val q = agg.writeStream.format("memory").queryName("sb_check")
