@@ -2652,6 +2652,68 @@ object SparkEntry {
         sum(when(col("pred") === col("lang"), 1L).otherwise(0L))
           .as("n_lang_agree"),
         countDistinct(col("lang")).as("n_langs"))
+    }),
+
+    // ── T7+NS: the data card as a STREAMING aggregate — q116's fused
+    // per-doc kernels (tokenize-once, quality, repetition, lang
+    // agreement) running inside a complete-mode streaming groupBy,
+    // driven by three deterministic micro-batches (doc_id % 3) so the
+    // aggregation state must carry across batches: a dropped batch or
+    // reset state shows up as wrong counts in every column. The
+    // nightly-report shape when the corpus arrives as a stream. Same
+    // oracle arithmetic as q116, with the one streaming substitution:
+    // size(collect_set(lang)) for countDistinct (distinct aggregates
+    // are unsupported in streaming; the set is bounded by the label
+    // vocabulary) ──
+    "q117_stream_corpus_report" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ns = drainSession(s)
+      import ns.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = ns.sqlContext
+      val rows = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .as[(Long, String, String, String, Long)].collect().toSeq
+      val input = MemoryStream[(Long, String, String, String, Long)]
+      val stream = input.toDF()
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val scored = stream.withColumn("_toks", text.tokens(col("text")))
+        .withColumn("n_tok", size(col("_toks")).cast("long"))
+        .withColumn("q",
+          text.qualityScoreTokens(col("text"), col("_toks")))
+        .withColumn("rep3", text.dupNgramFraction(col("_toks"), 3))
+        .withColumn("pred", text.predictedLangTokens(col("_toks")))
+      val agg = scored.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("q").cast("decimal(20,6)")).cast("double")
+          .as("sum_quality"),
+        sum(when(col("rep3") >= 0.1, 1L).otherwise(0L))
+          .as("n_repetitive"),
+        sum(when(col("pred") === col("lang"), 1L).otherwise(0L))
+          .as("n_lang_agree"),
+        size(collect_set(col("lang"))).cast("long").as("n_langs"))
+      // ephemeral checkpoint to tmpfs (the drainToTable rationale)
+      val shm = new java.io.File("/dev/shm")
+      val ckptRoot = if (shm.isDirectory && shm.canWrite) shm
+        else new java.io.File(System.getProperty("java.io.tmpdir"))
+      val ckpt = new java.io.File(ckptRoot,
+        s"graft-ckpt-q117-${System.nanoTime()}")
+      val q = agg.writeStream.format("memory").queryName("q117_mem")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .start()
+      try
+        (0 until 3).foreach { r =>
+          input.addData(rows.filter(_._1 % 3 == r))
+          q.processAllAvailable()
+        }
+      finally {
+        try q.stop()
+        finally Scratch.deleteRecursively(ckpt)
+      }
+      ns.table("q117_mem")
     })
   )
 
@@ -2787,6 +2849,62 @@ object SparkEntry {
        |  bit_count(xor(a.simhash, b.simhash)) AS hamming
        |FROM sq a JOIN sq b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 5""".stripMargin
+
+  /** The data-card oracle — shared verbatim by q116 (batch) and q117
+    * (streaming complete-mode): the streaming form converges to the
+    * identical full-corpus aggregate once the last micro-batch lands.
+    * Each signal mirrors its individually-gated fragment (q25
+    * quality, q26 lang whens, q69 repetition) over one shared
+    * tokenization. */
+  private lazy val corpusReportSql: String = {
+        val markers = text.langMarkers
+        def score(m: Seq[String]) =
+          s"len(list_filter(toks, x -> x IN (${m.map(w => s"'$w'").mkString(",")})))"
+        val scores = markers.map { case (l, m) => s"${score(m)} AS s_$l" }
+        val langs = markers.map(_._1)
+        val whens = langs.map { l =>
+          val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o")
+            .mkString(" AND ")
+          s"WHEN $conds THEN '$l'"
+        }
+        val stops = text.stopwordsEn.map(w => s"'$w'").mkString(",")
+        s"""WITH base AS (
+           |  SELECT source, lang, n_chars, text, $sqlTokens AS toks
+           |  FROM documents),
+           |sc AS (
+           |  SELECT source, lang, n_chars,
+           |    len(toks) AS n_tok,
+           |    round((
+           |      least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) +
+           |      least((CASE WHEN len(toks) = 0 THEN 0.0
+           |        ELSE CAST(len(list_filter(toks, x -> x IN ($stops)))
+           |          AS DOUBLE) / CAST(len(toks) AS DOUBLE) END) * 10.0,
+           |        1.0) +
+           |      greatest(1.0 -
+           |        (CAST(length(text) -
+           |          length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+           |          AS DOUBLE)
+           |         / greatest(CAST(length(text) AS DOUBLE), 1.0))
+           |        * 10.0, 0.0)) / 3.0, 6) AS q,
+           |    CASE WHEN len(toks) - 2 <= 0 THEN 0.0
+           |      ELSE round(1.0 - CAST(len(${sqlShingles(3)}) AS DOUBLE)
+           |        / CAST(len(toks) - 2 AS DOUBLE), 6) END AS rep3,
+           |    CASE ${whens.mkString(" ")} ELSE '${langs.last}'
+           |      END AS pred
+           |  FROM (SELECT source, lang, n_chars, text, toks,
+           |      ${scores.mkString(", ")} FROM base))
+           |SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           |  CAST(SUM(CAST(q AS DECIMAL(20,6))) AS DOUBLE)
+           |    AS sum_quality,
+           |  CAST(SUM(CASE WHEN rep3 >= 0.1 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_repetitive,
+           |  CAST(SUM(CASE WHEN pred = lang THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_lang_agree,
+           |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+           |FROM sc GROUP BY source""".stripMargin
+      }
 
   def oracleSql: Map[String, String] = {
     def dec(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(20,4))) AS DOUBLE)"
@@ -4614,55 +4732,14 @@ object SparkEntry {
       // every signal mirrors its individually-gated oracle fragment
       // (q25 quality, q26 lang whens, q69 repetition) over one shared
       // tokenization
-      "q116_corpus_report" -> {
-        val markers = text.langMarkers
-        def score(m: Seq[String]) =
-          s"len(list_filter(toks, x -> x IN (${m.map(w => s"'$w'").mkString(",")})))"
-        val scores = markers.map { case (l, m) => s"${score(m)} AS s_$l" }
-        val langs = markers.map(_._1)
-        val whens = langs.map { l =>
-          val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o")
-            .mkString(" AND ")
-          s"WHEN $conds THEN '$l'"
-        }
-        val stops = text.stopwordsEn.map(w => s"'$w'").mkString(",")
-        s"""WITH base AS (
-           |  SELECT source, lang, n_chars, text, $sqlTokens AS toks
-           |  FROM documents),
-           |sc AS (
-           |  SELECT source, lang, n_chars,
-           |    len(toks) AS n_tok,
-           |    round((
-           |      least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) +
-           |      least((CASE WHEN len(toks) = 0 THEN 0.0
-           |        ELSE CAST(len(list_filter(toks, x -> x IN ($stops)))
-           |          AS DOUBLE) / CAST(len(toks) AS DOUBLE) END) * 10.0,
-           |        1.0) +
-           |      greatest(1.0 -
-           |        (CAST(length(text) -
-           |          length(regexp_replace(text, '[.,!?;:]', '', 'g'))
-           |          AS DOUBLE)
-           |         / greatest(CAST(length(text) AS DOUBLE), 1.0))
-           |        * 10.0, 0.0)) / 3.0, 6) AS q,
-           |    CASE WHEN len(toks) - 2 <= 0 THEN 0.0
-           |      ELSE round(1.0 - CAST(len(${sqlShingles(3)}) AS DOUBLE)
-           |        / CAST(len(toks) - 2 AS DOUBLE), 6) END AS rep3,
-           |    CASE ${whens.mkString(" ")} ELSE '${langs.last}'
-           |      END AS pred
-           |  FROM (SELECT source, lang, n_chars, text, toks,
-           |      ${scores.mkString(", ")} FROM base))
-           |SELECT source, COUNT(*) AS n_docs,
-           |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
-           |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-           |  CAST(SUM(CAST(q AS DECIMAL(20,6))) AS DOUBLE)
-           |    AS sum_quality,
-           |  CAST(SUM(CASE WHEN rep3 >= 0.1 THEN 1 ELSE 0 END)
-           |    AS BIGINT) AS n_repetitive,
-           |  CAST(SUM(CASE WHEN pred = lang THEN 1 ELSE 0 END)
-           |    AS BIGINT) AS n_lang_agree,
-           |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
-           |FROM sc GROUP BY source""".stripMargin
-      },
+      "q116_corpus_report" -> corpusReportSql,
+
+      // the STREAMING form aggregates to the identical full-corpus
+      // report once the last micro-batch lands (complete mode) — one
+      // oracle serves both
+      "q117_stream_corpus_report" -> corpusReportSql,
+
+
 
       // mirrors graft.functions.urls.canonicalize/host definition-for-
       // definition (regexp_extract head, split_part fragment/query

@@ -25,7 +25,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec with Matchers {
     "q45_streaming_buckets", "q51_streaming_append",
     "q56_streaming_sessions", "q73_streaming_dedup",
     "q80_stream_interval_join", "q85_stream_static_join",
-    "q87_tws_sequence", "q111_stream_neardup_ingest")
+    "q87_tws_sequence", "q111_stream_neardup_ingest",
+      "q117_stream_corpus_report")
 
   /** KNOWN BLIND SPOT, skipped honestly: these queries materialize
     * internally (collect + scratch reclaim / snapshot round-trips),
