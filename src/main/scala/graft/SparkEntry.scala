@@ -1693,7 +1693,9 @@ object SparkEntry {
     // oracle's IGNORE NULLS window does ──
     "q88_gap_fill" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-      val hourly = ev
+      // widen ONLY the hourly-aggregate input (the decimal partial
+      // agg is the heavy stage); bounds and the spine stay narrow
+      val hourly = Relational.widenForCpu(ev, col("event_id"))
         .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           Relational.exactSum(col("value")).as("sum_value"))
