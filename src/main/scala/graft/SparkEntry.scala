@@ -2716,6 +2716,58 @@ object SparkEntry {
         finally Scratch.deleteRecursively(ckpt)
       }
       ns.table("q117_mem")
+    }),
+
+    // ── NS: INCREMENTAL data card — the third form of the q116
+    // report (batch q116, streaming q117): per-source ADDITIVE
+    // partial sums stored at rest, a new crawl's partials merged in
+    // WITHOUT rescanning corpus text — the every-new-batch shape for
+    // corpus statistics at 100 TB (stats update cost scales with the
+    // batch, not the corpus). Every column is additive by
+    // construction: decimal quality sums stay decimal in the store
+    // so re-aggregation is exact; label diversity stores the SET per
+    // source and merges by union. The oracle is the full recompute
+    // over all documents — additivity makes the incremental result
+    // IDENTICAL, which is precisely the contract being verified.
+    // Store build billed in-query (the q76/q101/q109 convention) ──
+    "q118_incremental_corpus_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val newSrc = "src19"
+      def cardPartials(d: DataFrame): DataFrame =
+        Relational.widenForCpu(d, col("doc_id"))
+          .withColumn("_toks", text.tokens(col("text")))
+          .withColumn("n_tok", size(col("_toks")).cast("long"))
+          .withColumn("q",
+            text.qualityScoreTokens(col("text"), col("_toks")))
+          .withColumn("rep3", text.dupNgramFraction(col("_toks"), 3))
+          .withColumn("pred", text.predictedLangTokens(col("_toks")))
+          .groupBy(col("source")).agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("total_tokens"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(col("q").cast("decimal(20,6)")).as("sum_quality_dec"),
+            sum(when(col("rep3") >= 0.1, 1L).otherwise(0L))
+              .as("n_repetitive"),
+            sum(when(col("pred") === col("lang"), 1L).otherwise(0L))
+              .as("n_lang_agree"),
+            collect_set(col("lang")).as("langs"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q118_").toString
+      // the at-rest stats store: one partial-sum row per source
+      cardPartials(docs.filter(col("source") =!= newSrc))
+        .write.parquet(root + "/stats")
+      val merged = s.read.parquet(root + "/stats")
+        .unionByName(cardPartials(docs.filter(col("source") === newSrc)))
+        .groupBy(col("source")).agg(
+          sum(col("n_docs")).as("n_docs"),
+          sum(col("total_tokens")).as("total_tokens"),
+          sum(col("total_chars")).as("total_chars"),
+          sum(col("sum_quality_dec")).cast("double").as("sum_quality"),
+          sum(col("n_repetitive")).as("n_repetitive"),
+          sum(col("n_lang_agree")).as("n_lang_agree"),
+          size(array_distinct(flatten(collect_list(col("langs")))))
+            .cast("long").as("n_langs"))
+      materializeThenClean(s, merged, root)
     })
   )
 
@@ -4737,9 +4789,12 @@ object SparkEntry {
       "q116_corpus_report" -> corpusReportSql,
 
       // the STREAMING form aggregates to the identical full-corpus
-      // report once the last micro-batch lands (complete mode) — one
-      // oracle serves both
+      // report once the last micro-batch lands (complete mode), and
+      // the INCREMENTAL form merges additive partials to the same
+      // totals — one oracle serves all three
       "q117_stream_corpus_report" -> corpusReportSql,
+
+      "q118_incremental_corpus_report" -> corpusReportSql,
 
 
 
