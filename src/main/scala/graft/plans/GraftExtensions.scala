@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.graft.{CosineSim, SimHashMd5, Tokenize, TopKAgg, WordShingles}
+import org.apache.spark.sql.graft.{CosineSim, MinHashAgg, SimHashMd5, Tokenize, TopKAgg, WordShingles}
 import org.apache.spark.sql.types.IntegerType
 
 /** SQL-surface registration of the engine's native expressions, for
@@ -53,6 +53,18 @@ object GraftExtensions {
             s"top_k(score, id, k): k must be an integer literal, got $other")
         }
         TopKAgg(children.head, children(1), k)
+      }),
+    (new FunctionIdentifier("minhash_sketch"),
+      new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_sketch"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"minhash_sketch(h0, k) takes 2 arguments, got ${children.size}")
+        val k = children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_sketch(h0, k): k must be an integer literal, got $other")
+        }
+        MinHashAgg(children.head, k)
       }),
     (new FunctionIdentifier("tokenize"),
       new ExpressionInfo(classOf[Tokenize].getName, "tokenize"),

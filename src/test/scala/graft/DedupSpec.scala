@@ -546,5 +546,12 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
     val composedN = Dedup.signaturesComposed(shNull, 16)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     fastN shouldBe composedN
+    // SQL surface (GraftExtensions): the same aggregate by name
+    sh.createOrReplaceTempView("mh_sql_in")
+    val sqlRes = sh.sparkSession.sql(
+      "SELECT doc, minhash_sketch(h0, 16) AS signature " +
+        "FROM mh_sql_in GROUP BY doc")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    sqlRes shouldBe fast
   }
 }
