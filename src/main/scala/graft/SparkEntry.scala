@@ -34,6 +34,52 @@ object SparkEntry {
   private def eventsTsMillis(s: SparkSession, dir: String): Column =
     Tables.eventsTsToMillis(Tables.eventsRawTsType(s, dir))
 
+  /** ONE definition of the data card's per-document scoring chain,
+    * shared by its three registered forms (q116 batch, q117
+    * streaming, q118 incremental) exactly as corpusReportSql is ONE
+    * oracle for all three — an edit to a kernel argument or the
+    * decimal contract cannot silently break parity for an untouched
+    * copy. Language scores are PRECOMPUTED columns (the
+    * predictedFromScores scaladoc contract): the when-chain
+    * references each score ~|langs| times, and a non-cheap alias is
+    * not inlined by CollapseProject, so each marker filter runs once
+    * per row. */
+  private def dataCardScored(d: DataFrame): DataFrame = {
+    val withT = d.withColumn("_toks", text.tokens(col("text")))
+    val withScores = text.langMarkers.foldLeft(withT) {
+      case (df, (l, m)) =>
+        df.withColumn(s"_s_$l", text.langScore(col("_toks"), m))
+    }
+    withScores
+      .withColumn("n_tok", size(col("_toks")).cast("long"))
+      .withColumn("q", text.qualityScoreTokens(col("text"), col("_toks")))
+      .withColumn("rep3", text.dupNgramFraction(col("_toks"), 3))
+      .withColumn("pred", text.predictedFromScores(
+        text.langMarkers.map { case (l, _) => l -> col(s"_s_$l") }))
+  }
+
+  /** The card's five form-independent aggregate columns; each form
+    * appends its own quality-sum and label-diversity spelling
+    * (exact-double vs decimal-retaining, countDistinct vs set). */
+  private def dataCardAggs: Seq[Column] = Seq(
+    count(lit(1)).as("n_docs"),
+    sum(col("n_tok")).as("total_tokens"),
+    sum(col("n_chars")).as("total_chars"),
+    sum(when(col("rep3") >= 0.1, 1L).otherwise(0L)).as("n_repetitive"),
+    sum(when(col("pred") === col("lang"), 1L).otherwise(0L))
+      .as("n_lang_agree"))
+
+  /** Ephemeral checkpoint dir on tmpfs when available (the
+    * drainToTable rationale: none of a memory-sink drain's files need
+    * to survive this JVM; fsync-to-disk is pure overhead). ONE
+    * definition of the root-selection policy for every drain. */
+  private def ephemeralCheckpoint(name: String): java.io.File = {
+    val shm = new java.io.File("/dev/shm")
+    val root = if (shm.isDirectory && shm.canWrite) shm
+      else new java.io.File(System.getProperty("java.io.tmpdir"))
+    new java.io.File(root, s"graft-ckpt-$name-${System.nanoTime()}")
+  }
+
   /** Collect a BOUNDED (aggregate-sized) result, recursively delete
     * the scratch directory its plan reads from, and re-surface the
     * rows as a local DataFrame — the q58 lesson generalized: a lazy
@@ -239,11 +285,7 @@ object SparkEntry {
     // fsync-to-disk default temp dir — none of its files need to
     // survive this JVM for a memory-sink drain.
     val ss = out.sparkSession // the isolated drain session
-    val shm = new java.io.File("/dev/shm")
-    val ckptRoot = if (shm.isDirectory && shm.canWrite) shm
-      else new java.io.File(System.getProperty("java.io.tmpdir"))
-    val ckpt = new java.io.File(ckptRoot,
-      s"graft-ckpt-$name-${System.nanoTime()}")
+    val ckpt = ephemeralCheckpoint(name)
     try {
       val q = out.writeStream.format("memory").queryName(name)
         .outputMode(mode)
@@ -2487,12 +2529,7 @@ object SparkEntry {
             col("source"), col("text"))))
       val input = MemoryStream[(Long, String, String)]
       val stream = input.toDF().toDF("doc_id", "source", "text")
-      // ephemeral checkpoint to tmpfs (the drainToTable rationale)
-      val shm = new java.io.File("/dev/shm")
-      val ckptRoot = if (shm.isDirectory && shm.canWrite) shm
-        else new java.io.File(System.getProperty("java.io.tmpdir"))
-      val ckpt = new java.io.File(ckptRoot,
-        s"graft-ckpt-q111-${System.nanoTime()}")
+      val ckpt = ephemeralCheckpoint("q111")
       val q = Streams.nearDupIngest(stream, "doc_id", "text",
         root + "/idx", root + "/out", ckpt.getAbsolutePath,
         shingleN = 2, k = 64, bands = 32, threshold = 0.5)
@@ -2637,23 +2674,12 @@ object SparkEntry {
     "q116_corpus_report" -> ((s, dir) => {
       val docs = Relational.widenForCpu(t(s, dir, "documents"),
         col("doc_id"))
-      val scored = docs.withColumn("_toks", text.tokens(col("text")))
-        .withColumn("n_tok", size(col("_toks")).cast("long"))
-        .withColumn("q",
-          text.qualityScoreTokens(col("text"), col("_toks")))
-        .withColumn("rep3", text.dupNgramFraction(col("_toks"), 3))
-        .withColumn("pred", text.predictedLangTokens(col("_toks")))
-      scored.groupBy(col("source")).agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_tok")).as("total_tokens"),
-        sum(col("n_chars")).as("total_chars"),
+      val aggCols = dataCardAggs ++ Seq(
         sum(col("q").cast("decimal(20,6)")).cast("double")
           .as("sum_quality"),
-        sum(when(col("rep3") >= 0.1, 1L).otherwise(0L))
-          .as("n_repetitive"),
-        sum(when(col("pred") === col("lang"), 1L).otherwise(0L))
-          .as("n_lang_agree"),
         countDistinct(col("lang")).as("n_langs"))
+      dataCardScored(docs).groupBy(col("source"))
+        .agg(aggCols.head, aggCols.tail: _*)
     }),
 
     // ── T7+NS: the data card as a STREAMING aggregate — q116's fused
@@ -2679,29 +2705,13 @@ object SparkEntry {
       val input = MemoryStream[(Long, String, String, String, Long)]
       val stream = input.toDF()
         .toDF("doc_id", "text", "lang", "source", "n_chars")
-      val scored = stream.withColumn("_toks", text.tokens(col("text")))
-        .withColumn("n_tok", size(col("_toks")).cast("long"))
-        .withColumn("q",
-          text.qualityScoreTokens(col("text"), col("_toks")))
-        .withColumn("rep3", text.dupNgramFraction(col("_toks"), 3))
-        .withColumn("pred", text.predictedLangTokens(col("_toks")))
-      val agg = scored.groupBy(col("source")).agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_tok")).as("total_tokens"),
-        sum(col("n_chars")).as("total_chars"),
+      val aggCols = dataCardAggs ++ Seq(
         sum(col("q").cast("decimal(20,6)")).cast("double")
           .as("sum_quality"),
-        sum(when(col("rep3") >= 0.1, 1L).otherwise(0L))
-          .as("n_repetitive"),
-        sum(when(col("pred") === col("lang"), 1L).otherwise(0L))
-          .as("n_lang_agree"),
         size(collect_set(col("lang"))).cast("long").as("n_langs"))
-      // ephemeral checkpoint to tmpfs (the drainToTable rationale)
-      val shm = new java.io.File("/dev/shm")
-      val ckptRoot = if (shm.isDirectory && shm.canWrite) shm
-        else new java.io.File(System.getProperty("java.io.tmpdir"))
-      val ckpt = new java.io.File(ckptRoot,
-        s"graft-ckpt-q117-${System.nanoTime()}")
+      val agg = dataCardScored(stream).groupBy(col("source"))
+        .agg(aggCols.head, aggCols.tail: _*)
+      val ckpt = ephemeralCheckpoint("q117")
       val q = agg.writeStream.format("memory").queryName("q117_mem")
         .outputMode("complete")
         .option("checkpointLocation", ckpt.getAbsolutePath)
@@ -2733,24 +2743,13 @@ object SparkEntry {
     "q118_incremental_corpus_report" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val newSrc = "src19"
-      def cardPartials(d: DataFrame): DataFrame =
-        Relational.widenForCpu(d, col("doc_id"))
-          .withColumn("_toks", text.tokens(col("text")))
-          .withColumn("n_tok", size(col("_toks")).cast("long"))
-          .withColumn("q",
-            text.qualityScoreTokens(col("text"), col("_toks")))
-          .withColumn("rep3", text.dupNgramFraction(col("_toks"), 3))
-          .withColumn("pred", text.predictedLangTokens(col("_toks")))
-          .groupBy(col("source")).agg(
-            count(lit(1)).as("n_docs"),
-            sum(col("n_tok")).as("total_tokens"),
-            sum(col("n_chars")).as("total_chars"),
-            sum(col("q").cast("decimal(20,6)")).as("sum_quality_dec"),
-            sum(when(col("rep3") >= 0.1, 1L).otherwise(0L))
-              .as("n_repetitive"),
-            sum(when(col("pred") === col("lang"), 1L).otherwise(0L))
-              .as("n_lang_agree"),
-            collect_set(col("lang")).as("langs"))
+      def cardPartials(d: DataFrame): DataFrame = {
+        val aggCols = dataCardAggs ++ Seq(
+          sum(col("q").cast("decimal(20,6)")).as("sum_quality_dec"),
+          collect_set(col("lang")).as("langs"))
+        dataCardScored(Relational.widenForCpu(d, col("doc_id")))
+          .groupBy(col("source")).agg(aggCols.head, aggCols.tail: _*)
+      }
       val root = java.nio.file.Files
         .createTempDirectory("graft_q118_").toString
       // the at-rest stats store: one partial-sum row per source

@@ -68,9 +68,13 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     name match {
       case "events" =>
-        val rawType = eventsRawTsType(spark, sfDir)
-        spark.read.parquet(s"$sfDir/events.parquet")
-          .withColumn("ts", eventsTsToMicros(rawType))
+        // one read: probe the raw type on the SAME resolved frame
+        // (eventsRawTsType exists for callers that need only the
+        // type; going through it here would resolve the parquet
+        // footer twice on the hottest Tables path)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = spark.read.parquet(s"$sfDir/events.parquet")
+        raw.withColumn("ts", eventsTsToMicros(raw.schema("ts").dataType))
       case other =>
         spark.read.parquet(s"$sfDir/$other.parquet")
     }
