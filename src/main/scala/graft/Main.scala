@@ -108,6 +108,7 @@ object Main {
     case Seq("diff", dirA, dirB, rest @ _*)
         if intArg(rest, 100).isDefined =>
       diff(spark, dirA, dirB, intArg(rest, 100).get)
+    case Seq("report", sfDir) => report(spark, sfDir)
     case _ => Seq(
       "usage: graft.Main <command> ...",
       "  list-topics <snapshotDir> [limit]   composed catalog listing",
@@ -136,7 +137,9 @@ object Main {
       "  import <referenceSnapshotDir> <destDir>   rewrite reference layout",
       "  verify <sfDir> <outDir>             correctness dump (graft.Verify)",
       "  bench                               timing run (graft.Bench)",
-      "  explain [outDir]                    plan dumps (graft.Explain)")
+      "  explain [outDir]                    plan dumps (graft.Explain)",
+      "  report <sfDir>                      per-source corpus data card " +
+        "(token volume, quality, repetition, lang agreement)")
   }
 
   /** §3.3 list_topics over a snapshot's catalog files: the same
@@ -477,5 +480,30 @@ object Main {
       .coalesce(1)
       .write.mode("overwrite").text(outDir)
     Seq(s"published $count messages to $outDir")
+  }
+
+  /** The data card as an operations verb: the same per-source report
+    * the q116/q117/q118 family registers, printed one line per
+    * source (the inspector-tool shape: a human asks "what is in this
+    * corpus right now" without writing a query). */
+  private def report(spark: SparkSession, sfDir: String): Seq[String] = {
+    import graft.operators.{CorpusStats, Relational}
+    val docs = Tables(spark, sfDir, "documents")
+    val rows = CorpusStats.dataCard(
+      Relational.widenForCpu(docs, col("doc_id")))
+      .orderBy(col("source"))
+      .collect()
+    val header = f"${"source"}%-8s ${"docs"}%7s ${"tokens"}%9s " +
+      f"${"chars"}%9s ${"quality"}%9s ${"repet"}%6s ${"lang_ok"}%7s " +
+      f"${"langs"}%5s"
+    header +: rows.toSeq.map { r =>
+      f"${r.getAs[String]("source")}%-8s ${r.getAs[Long]("n_docs")}%7d " +
+        f"${r.getAs[Long]("total_tokens")}%9d " +
+        f"${r.getAs[Long]("total_chars")}%9d " +
+        f"${r.getAs[Double]("sum_quality")}%9.2f " +
+        f"${r.getAs[Long]("n_repetitive")}%6d " +
+        f"${r.getAs[Long]("n_lang_agree")}%7d " +
+        f"${r.getAs[Long]("n_langs")}%5d"
+    }
   }
 }

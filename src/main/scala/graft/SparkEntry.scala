@@ -34,40 +34,12 @@ object SparkEntry {
   private def eventsTsMillis(s: SparkSession, dir: String): Column =
     Tables.eventsTsToMillis(Tables.eventsRawTsType(s, dir))
 
-  /** ONE definition of the data card's per-document scoring chain,
-    * shared by its three registered forms (q116 batch, q117
-    * streaming, q118 incremental) exactly as corpusReportSql is ONE
-    * oracle for all three — an edit to a kernel argument or the
-    * decimal contract cannot silently break parity for an untouched
-    * copy. Language scores are PRECOMPUTED columns (the
-    * predictedFromScores scaladoc contract): the when-chain
-    * references each score ~|langs| times, and a non-cheap alias is
-    * not inlined by CollapseProject, so each marker filter runs once
-    * per row. */
-  private def dataCardScored(d: DataFrame): DataFrame = {
-    val withT = d.withColumn("_toks", text.tokens(col("text")))
-    val withScores = text.langMarkers.foldLeft(withT) {
-      case (df, (l, m)) =>
-        df.withColumn(s"_s_$l", text.langScore(col("_toks"), m))
-    }
-    withScores
-      .withColumn("n_tok", size(col("_toks")).cast("long"))
-      .withColumn("q", text.qualityScoreTokens(col("text"), col("_toks")))
-      .withColumn("rep3", text.dupNgramFraction(col("_toks"), 3))
-      .withColumn("pred", text.predictedFromScores(
-        text.langMarkers.map { case (l, _) => l -> col(s"_s_$l") }))
-  }
-
-  /** The card's five form-independent aggregate columns; each form
-    * appends its own quality-sum and label-diversity spelling
-    * (exact-double vs decimal-retaining, countDistinct vs set). */
-  private def dataCardAggs: Seq[Column] = Seq(
-    count(lit(1)).as("n_docs"),
-    sum(col("n_tok")).as("total_tokens"),
-    sum(col("n_chars")).as("total_chars"),
-    sum(when(col("rep3") >= 0.1, 1L).otherwise(0L)).as("n_repetitive"),
-    sum(when(col("pred") === col("lang"), 1L).otherwise(0L))
-      .as("n_lang_agree"))
+  /** Data-card scoring/aggregates live in CorpusStats (shared with
+    * the `report` CLI verb); local aliases keep the query
+    * registrations terse. */
+  private def dataCardScored(d: DataFrame): DataFrame =
+    CorpusStats.dataCardScored(d)
+  private def dataCardAggs: Seq[Column] = CorpusStats.dataCardAggCols
 
   /** Ephemeral checkpoint dir on tmpfs when available (the
     * drainToTable rationale: none of a memory-sink drain's files need

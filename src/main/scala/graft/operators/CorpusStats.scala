@@ -327,4 +327,47 @@ object CorpusStats {
       .withColumn("wt_micros",
         aggregate(f, lit(0L), (acc, b) => acc + element_at(lamLit, b + 1)))
   }
+
+  /** ONE definition of the corpus DATA CARD's per-document scoring
+    * chain, shared by its three registered query forms (batch,
+    * streaming, incremental) and the `report` CLI verb. Language
+    * scores are PRECOMPUTED columns (the predictedFromScores
+    * contract): the when-chain references each score ~|langs| times,
+    * and a non-cheap alias is not inlined by CollapseProject, so
+    * each marker filter runs once per row. */
+  def dataCardScored(d: DataFrame): DataFrame = {
+    val withT = d.withColumn("_toks", text.tokens(col("text")))
+    val withScores = text.langMarkers.foldLeft(withT) {
+      case (df, (l, m)) =>
+        df.withColumn(s"_s_$l", text.langScore(col("_toks"), m))
+    }
+    withScores
+      .withColumn("n_tok", size(col("_toks")).cast("long"))
+      .withColumn("q", text.qualityScoreTokens(col("text"), col("_toks")))
+      .withColumn("rep3", text.dupNgramFraction(col("_toks"), 3))
+      .withColumn("pred", text.predictedFromScores(
+        text.langMarkers.map { case (l, _) => l -> col(s"_s_$l") }))
+  }
+
+  /** The card's five form-independent aggregate columns; each form
+    * appends its own quality-sum and label-diversity spelling
+    * (exact-double vs decimal-retaining, countDistinct vs set). */
+  def dataCardAggCols: Seq[Column] = Seq(
+    count(lit(1)).as("n_docs"),
+    sum(col("n_tok")).as("total_tokens"),
+    sum(col("n_chars")).as("total_chars"),
+    sum(when(col("rep3") >= 0.1, 1L).otherwise(0L)).as("n_repetitive"),
+    sum(when(col("pred") === col("lang"), 1L).otherwise(0L))
+      .as("n_lang_agree"))
+
+  /** The batch data card (q116's exact shape): per-source report
+    * over documents carrying (doc_id, text, lang, source, n_chars). */
+  def dataCard(docs: DataFrame): DataFrame = {
+    val aggCols = dataCardAggCols ++ Seq(
+      sum(col("q").cast("decimal(20,6)")).cast("double")
+        .as("sum_quality"),
+      countDistinct(col("lang")).as("n_langs"))
+    dataCardScored(docs).groupBy(col("source"))
+      .agg(aggCols.head, aggCols.tail: _*)
+  }
 }

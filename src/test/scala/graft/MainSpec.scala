@@ -336,6 +336,20 @@ class MainSpec extends AnyFunSuite with SparkSpec with Matchers {
     Scratch.deleteRecursively(new java.io.File(root))
   }
 
+  test("report verb prints the per-source data card") {
+    val lines = Main.run(spark, Seq("report", "/root/testdata/sf0.001"))
+    lines.head should include("source")
+    lines.size should be > 1
+    // every fixture doc is accounted for exactly once across sources
+    val nDocs = lines.tail.map(_.trim.split("\\s+")(1).toLong).sum
+    nDocs shouldBe 500L
+    // and the verb agrees with the registered q116 aggregate
+    val q116 = SparkEntry.queries("q116_corpus_report")(
+      spark, "/root/testdata/sf0.001")
+    q116.agg(org.apache.spark.sql.functions.sum("n_docs"))
+      .head.getLong(0) shouldBe nDocs
+  }
+
   test("unknown command prints usage") {
     Main.run(spark, Seq("frobnicate")).head should include("usage")
     // malformed numeric args print usage instead of throwing
