@@ -163,6 +163,14 @@ object SparkEntry {
     (0 until nTables).map(t => vectors.planeMatrix(seed = 95L + t,
       nPlanes = nPlanes, dim = embDim))
   }
+  /** q119's oracle mirror (the q95 pinned-scale convention): same
+    * derivation at the verify scale, seed 119. */
+  private val q119Tables: Seq[Seq[Array[Double]]] = {
+    val nPlanes = Similarity.planesForSize(500)
+    val nTables = Similarity.lshTablesForRecall(nPlanes, 0.9, 0.01)
+    (0 until nTables).map(t => vectors.planeMatrix(seed = 119L + t,
+      nPlanes = nPlanes, dim = embDim))
+  }
   /** q97's single layout table (4 planes → 16 buckets at the verify
     * scale): the bucket is a STORED clustering column there, so one
     * table is the layout-key convention (multi-probe reads more
@@ -2739,6 +2747,22 @@ object SparkEntry {
           size(array_distinct(flatten(collect_list(col("langs")))))
             .cast("long").as("n_langs"))
       materializeThenClean(s, merged, root)
+    }),
+
+    // ── NS similarity/training-data: HARD-NEGATIVE mining — for every
+    // vector, the most-similar LSH-candidate neighbor with a DIFFERENT
+    // label (contrastive-pair prep: the "looks alike, isn't" examples).
+    // Same recall-derived table count as q95, seeded at 119; the
+    // oracle replays the identical candidate set from the same plane
+    // literals, so the within-candidate ranking is exactly verified ──
+    "q119_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val nPlanes = Similarity.planesForSize(emb.count())
+      val nTables = Similarity.lshTablesForRecall(nPlanes, 0.9, 0.01)
+      val tables = (0 until nTables).map(i =>
+        vectors.planeMatrix(seed = 119L + i, nPlanes = nPlanes,
+          dim = embDim))
+      Similarity.hardNegatives(emb, tables)
     })
   )
 
@@ -4169,6 +4193,35 @@ object SparkEntry {
            |    row_number() OVER (PARTITION BY vec_id
            |      ORDER BY cos DESC, nb_id) AS rnk
            |  FROM p) WHERE rnk <= 5""".stripMargin
+      },
+
+      // q95's candidate mirror + cross-label filter + rank 1: the
+      // hard-negative choice is exactly verified within the replayed
+      // candidate set
+      "q119_hard_negatives" -> {
+        val cos = s"${sqlDotVec("a.embedding", "c.embedding")} / " +
+          s"(sqrt(${sqlDotVec("a.embedding", "a.embedding")}) * " +
+          s"sqrt(${sqlDotVec("c.embedding", "c.embedding")}))"
+        val bucketCols = q119Tables.zipWithIndex.map { case (planes, i) =>
+          s"${sqlBucket("embedding", planes)} AS b$i"
+        }.mkString(",\n    ")
+        val collide = q119Tables.indices
+          .map(i => s"a.b$i = c.b$i").mkString("(", " OR ", ")")
+        s"""WITH b AS (
+           |  SELECT vec_id, label, embedding,
+           |    $bucketCols
+           |  FROM embeddings),
+           |p AS (
+           |  SELECT a.vec_id AS vec_id, a.label AS label,
+           |    c.vec_id AS nb_id, c.label AS neg_label, $cos AS cos
+           |  FROM b a JOIN b c ON a.vec_id <> c.vec_id
+           |    AND a.label <> c.label AND $collide)
+           |SELECT vec_id, label, nb_id, neg_label,
+           |  round(cos, 6) AS cos FROM (
+           |  SELECT vec_id, label, nb_id, neg_label, cos,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY cos DESC, nb_id) AS rnk
+           |  FROM p) WHERE rnk = 1""".stripMargin
       },
 
       // the PRUNED plan the rewrite rule produces, mirrored from the

@@ -282,6 +282,46 @@ object Similarity {
     lshTopKMulti(emb, tables, k)
   }
 
+  /** HARD-NEGATIVE mining for contrastive training pairs: for every
+    * vector, the single most-similar LSH-candidate neighbor carrying
+    * a DIFFERENT label — the "looks alike, isn't" pair that contrastive
+    * objectives learn most from. Candidates come from bucket collision
+    * in ANY of `tables` (the [[lshTopKMulti]] machinery: subset-exact,
+    * so the oracle replays the identical candidate set from the same
+    * seeded plane literals); the cross-label filter runs BEFORE the
+    * re-score join output is ranked, and WindowGroupLimit prunes each
+    * partition to its local best before the ranking shuffle. Vectors
+    * with no cross-label candidate produce no row (mirrored). At
+    * 100 TB this is the standard ANN-candidate mining shape: no
+    * all-pairs anywhere, candidate volume ∝ T·n·occupancy. */
+  def hardNegatives(emb: DataFrame,
+      tables: Seq[Seq[Array[Double]]]): DataFrame = {
+    val bucketed = emb.select(
+      col("vec_id"),
+      posexplode(vectors.multiTableBucketsFast(col("embedding"), tables))
+        .as(Seq("tbl", "bucket")))
+    val a = bucketed.toDF("vec_id", "tbl", "bucket")
+    val b = bucketed.toDF("nb_id", "tbl", "bucket")
+    val candidates = a.join(b, Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("nb_id"))
+      .select("vec_id", "nb_id").distinct()
+    val pairs = candidates
+      .join(emb.select(col("vec_id"), col("embedding"), col("label")),
+        "vec_id")
+      .join(emb.select(col("vec_id").as("nb_id"),
+        col("embedding").as("nb_embedding"),
+        col("label").as("neg_label")), "nb_id")
+      .filter(col("label") =!= col("neg_label"))
+      .withColumn("cos",
+        vectors.cosineFast(col("embedding"), col("nb_embedding")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nb_id"))
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("label"), col("nb_id"),
+        col("neg_label"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Multi-probe LSH probe list (Lv et al., public technique): the
     * query's bucket plus every bucket within `radius` bit flips of it
     * over the `nPlanes` sign bits. Against a STORED-bucket layout
