@@ -2763,7 +2763,17 @@ object SparkEntry {
         vectors.planeMatrix(seed = 119L + i, nPlanes = nPlanes,
           dim = embDim))
       Similarity.hardNegatives(emb, tables)
-    })
+    }),
+
+    // ── NS corpus stats: per-source VOCABULARY DRIFT — KL(source ‖
+    // corpus) over token distributions, the distribution-shift
+    // monitor a crawl pipeline runs per ingest source. Exactness by
+    // construction: per-token contributions rounded to 9 decimals and
+    // DECIMAL-summed (order-free), so both engines add identical
+    // values — the q113 integer-micros idea applied to an
+    // information-theoretic signal ──
+    "q120_vocab_drift" -> ((s, dir) =>
+      CorpusStats.vocabDrift(t(s, dir, "documents"), "text", "source"))
   )
 
   /** q115's outlier threshold on the ROUNDED cosine-to-centroid
@@ -4223,6 +4233,28 @@ object SparkEntry {
            |      ORDER BY cos DESC, nb_id) AS rnk
            |  FROM p) WHERE rnk = 1""".stripMargin
       },
+
+      // identical contribution arithmetic: round-9 per token, decimal
+      // sum (order-free) — see CorpusStats.vocabDrift
+      "q120_vocab_drift" ->
+        s"""WITH pairs AS (
+           |  SELECT source AS s, unnest(toks) AS tok
+           |  FROM (SELECT source, $sqlTokens AS toks FROM documents)),
+           |bs AS (SELECT s, tok, COUNT(*) AS nst
+           |  FROM pairs GROUP BY s, tok),
+           |st AS (SELECT s, SUM(nst) AS ns FROM bs GROUP BY s),
+           |ct AS (SELECT tok, SUM(nst) AS nt FROM bs GROUP BY tok),
+           |n AS (SELECT SUM(nt) AS n FROM ct),
+           |c AS (SELECT bs.s,
+           |    round((CAST(nst AS DOUBLE) / CAST(ns AS DOUBLE)) *
+           |      ln((CAST(nst AS DOUBLE) * CAST(n.n AS DOUBLE)) /
+           |         (CAST(ns AS DOUBLE) * CAST(nt AS DOUBLE))), 9) AS c,
+           |    ns
+           |  FROM bs JOIN ct USING (tok) JOIN st USING (s) CROSS JOIN n)
+           |SELECT s AS source,
+           |  CAST(MAX(ns) AS BIGINT) AS n_tokens,
+           |  CAST(SUM(CAST(c AS DECIMAL(28,9))) AS DOUBLE) AS kl
+           |FROM c GROUP BY s""".stripMargin,
 
       // the PRUNED plan the rewrite rule produces, mirrored from the
       // same seeded plane literals: candidates = bucket collision in

@@ -370,4 +370,48 @@ object CorpusStats {
     dataCardScored(docs).groupBy(col("source"))
       .agg(aggCols.head, aggCols.tail: _*)
   }
+
+  /** Per-source VOCABULARY DRIFT: KL(source ‖ corpus) over token
+    * distributions — the distribution-shift monitor a crawl pipeline
+    * runs per ingest source (a source whose token mix diverges from
+    * the corpus is new-domain, spammy, or broken upstream). p_st =
+    * source token share, p_t = corpus share (source included, so
+    * every source token exists corpus-wide and the ratio needs no
+    * smoothing). Exactness contract: each token's contribution
+    * p_st·ln(p_st/p_t) is rounded to 9 decimals and summed as
+    * DECIMAL — the sum is order-free and bit-identical in any engine
+    * that rounds the same contributions (a raw double sum would be
+    * partition-order sensitive in the last ulp).
+    *
+    * Scale shape (100 TB): two hash aggregates on token keys
+    * (map-side combine) + a broadcast of the vocabulary-sized corpus
+    * table; nothing body-grain past the scan, vocabulary grows ~log
+    * corpus. */
+  def vocabDrift(docs: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val pairs = Relational.widenForCpu(docs, col(textCol))
+      .select(col(sourceCol).as("_vd_src"),
+        explode(text.tokens(col(textCol))).as("_vd_tok"))
+    val bySource = pairs.groupBy(col("_vd_src"), col("_vd_tok"))
+      .agg(count(lit(1)).as("_vd_nst"))
+    val srcTotals = bySource.groupBy(col("_vd_src"))
+      .agg(sum(col("_vd_nst")).as("_vd_ns"))
+    val corpus = bySource.groupBy(col("_vd_tok"))
+      .agg(sum(col("_vd_nst")).as("_vd_nt"))
+    // ONE planning count for the corpus token total (the q108/q114
+    // convention — a 1-row broadcast crossJoin would plan a BNLJ for
+    // a scalar): pairs has one row per token occurrence
+    val nTotal = pairs.count().toDouble
+    val contrib = bySource
+      .join(broadcast(corpus), "_vd_tok")
+      .join(broadcast(srcTotals), "_vd_src")
+      .withColumn("_vd_c", round(
+        (col("_vd_nst").cast("double") / col("_vd_ns").cast("double")) *
+          log((col("_vd_nst").cast("double") * lit(nTotal))
+            / (col("_vd_ns").cast("double") * col("_vd_nt").cast("double"))),
+        9))
+    contrib.groupBy(col("_vd_src").as(sourceCol))
+      .agg(max(col("_vd_ns")).as("n_tokens"), // constant per group
+        sum(col("_vd_c").cast("decimal(28,9)")).cast("double").as("kl"))
+  }
 }
