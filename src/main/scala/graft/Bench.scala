@@ -69,6 +69,12 @@ object Bench {
     // calib_mt inflated: nothing to fix). Stage-submitted events are
     // async; Bridge.drainListenerBus flushes them before each reading.
     val tasksMax = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // Per-query phase walls (Phases.time call sites inside multi-phase
+    // lifecycles — q111's index build / per-batch drains / sink
+    // writes): drained after each query so a slow composite entry is
+    // attributable from the artifact alone.
+    val phaseSec =
+      scala.collection.mutable.LinkedHashMap.empty[String, Seq[(String, Double)]]
     val stageWidth = new java.util.concurrent.atomic.AtomicInteger(0)
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
@@ -139,6 +145,7 @@ object Bench {
         if (idx > 0 && idx % calibEvery == 0) calibTrack += calibrateMt()
         val gc0 = gcMillis(); val cpu0 = cpuNanos()
         stageWidth.set(0)
+        Phases.drain() // discard anything recorded outside a timed query
         val t0 = System.nanoTime()
         // drain this query's localCheckpoint blocks in ALL exits —
         // including a failed write, whose plan may already have
@@ -162,6 +169,8 @@ object Bench {
         try org.apache.spark.sql.graft.Bridge.drainListenerBus(spark)
         catch { case _: Throwable => () } // a late event beats a dead bench
         tasksMax(name) = stageWidth.get().toDouble
+        val ph = Phases.drain()
+        if (ph.nonEmpty) phaseSec(name) = ph
         name -> wall
     }
     // Locale.ROOT: a comma-decimal default locale would render 0,123
@@ -197,6 +206,9 @@ object Bench {
         s""""failed":$failedJson,""" +
         s""""gc_sec":${jsonObj(gcSec)},"cpu_sec":${jsonObj(cpuSec)},""" +
         s""""tasks_max":${jsonObjInt(tasksMax)},""" +
+        s""""phase_sec":${phaseSec.map { case (q, ph) =>
+          "\"" + q + "\":" + jsonObj(ph)
+        }.mkString("{", ",", "}")},""" +
         s""""gc_total":${num(gcSec.values.sum)},""" +
         s""""cpu_total":${num(cpuTotal)},""" +
         s""""calib_sec":[${num(calibStart)},${num(calibEnd)}],""" +

@@ -384,9 +384,15 @@ object CorpusStats {
     * partition-order sensitive in the last ulp).
     *
     * Scale shape (100 TB): two hash aggregates on token keys
-    * (map-side combine) + a broadcast of the vocabulary-sized corpus
-    * table; nothing body-grain past the scan, vocabulary grows ~log
-    * corpus. */
+    * (map-side combine); nothing body-grain past the scan. The
+    * corpus-vocabulary join is deliberately UNHINTED: web-corpus
+    * token distributions are heavy-tailed, so the distinct-token
+    * count grows with corpus size (billions of rows at 100 TB —
+    * Heaps' law, not ~log), and a forced broadcast of that table is
+    * a driver OOM. Both join sides are token-keyed, so the at-scale
+    * plan is a co-partitioned shuffle join; AQE picks broadcast
+    * on its own while the vocabulary is actually small. Only
+    * `srcTotals` (one row per source) is broadcast by hint. */
   def vocabDrift(docs: DataFrame, textCol: String,
       sourceCol: String): DataFrame = {
     val pairs = Relational.widenForCpu(docs, col(textCol))
@@ -403,7 +409,7 @@ object CorpusStats {
     // a scalar): pairs has one row per token occurrence
     val nTotal = pairs.count().toDouble
     val contrib = bySource
-      .join(broadcast(corpus), "_vd_tok")
+      .join(corpus, "_vd_tok")
       .join(broadcast(srcTotals), "_vd_src")
       .withColumn("_vd_c", round(
         (col("_vd_nst").cast("double") / col("_vd_ns").cast("double")) *

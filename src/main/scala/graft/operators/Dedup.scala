@@ -1137,16 +1137,41 @@ object Dedup {
     * tables instead of a second tokenize+minhash over the fresh texts
     * (measured: the separate-append form re-ran the k-pass minhash
     * kernel per batch — the single biggest avoidable cost in the q111
-    * stream at sf0.1). */
+    * stream at sf0.1).
+    *
+    * `commitTag` (e.g. the micro-batch id) makes the store append
+    * IDEMPOTENT under retry: the fresh segment files are staged,
+    * moved in under tag-derived names, and sealed with a commit
+    * marker — a retried tag skips the append when the marker exists
+    * and cleans+redoes its own files when it does not, so the store
+    * converges to exactly the single-run state whatever step the
+    * first attempt crashed at. Untagged calls keep the plain
+    * best-effort parquet append. */
   def ingestBatchAgainst(spark: org.apache.spark.sql.SparkSession,
       newDocs: DataFrame, idCol: String, textCol: String, indexDir: String,
       shingleN: Int, k: Int, bands: Int, threshold: Double,
       pointFetchCap: Int = 50000,
-      pointFetchMinStoreBytes: Long = DefaultPointFetchMinStoreBytes)
+      pointFetchMinStoreBytes: Long = DefaultPointFetchMinStoreBytes,
+      commitTag: Option[String] = None)
       : DataFrame =
     markAgainstIndex(spark, newDocs, idCol, textCol, indexDir,
       shingleN, k, bands, threshold, appendFresh = true, pointFetchCap,
-      pointFetchMinStoreBytes)
+      pointFetchMinStoreBytes, commitTag)
+
+  /** Has the tagged batch's store append already committed? The
+    * marker is written strictly AFTER the segment files land in the
+    * tables (see the tagged branch of [[markAgainstIndex]]), so a
+    * present marker proves the full append is in the store. Markers
+    * live under `_commits/` — underscore-prefixed, invisible to
+    * parquet reads of the sibling tables. */
+  def isBatchCommitted(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, tag: String): Boolean = {
+    val p = commitMarkerPath(indexDir, tag)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  private def commitMarkerPath(indexDir: String, tag: String) =
+    new org.apache.hadoop.fs.Path(s"$indexDir/_commits/$tag")
 
   /** The cost-based default for the point-fetch re-score: below this
     * store size a sequential scan-join measures cheaper than the
@@ -1160,7 +1185,14 @@ object Dedup {
       newDocs: DataFrame, idCol: String, textCol: String, indexDir: String,
       shingleN: Int, k: Int, bands: Int, threshold: Double,
       appendFresh: Boolean, pointFetchCap: Int,
-      pointFetchMinStoreBytes: Long): DataFrame = {
+      pointFetchMinStoreBytes: Long,
+      commitTag: Option[String] = None): DataFrame = {
+    // a tagged batch whose marker exists already has its signatures
+    // in the store (the retry of a crashed-after-commit micro-batch):
+    // skip the append entirely — re-appending would duplicate rows
+    val alreadyCommitted =
+      commitTag.exists(t => isBatchCommitted(spark, indexDir, t))
+    val willAppend = appendFresh && !alreadyCommitted
     val storeBands = spark.read.parquet(s"$indexDir/bands")
     val storeSets = spark.read.parquet(s"$indexDir/shingles")
     val sets = shingleSets(newDocs, idCol, textCol, shingleN)
@@ -1174,7 +1206,7 @@ object Dedup {
     // minhash kernel; the mark-only path reads it once, where a
     // persist would be pure materialization overhead
     val banded =
-      if (appendFresh) banded0.persist(StorageLevel.MEMORY_AND_DISK)
+      if (willAppend) banded0.persist(StorageLevel.MEMORY_AND_DISK)
       else banded0
     val candidates0 = banded
       .toDF("doc_b", "band", "band_hash")
@@ -1188,6 +1220,18 @@ object Dedup {
       .filter(col("doc_a") =!= col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands"))
       .filter(col("n_bands") >= 2)
+      // AS-OF-BATCH-START semantics, exactly, even on replay: a
+      // retried batch whose append already committed finds ALL its
+      // fresh docs' signatures in the store, so without this a
+      // replayed batch would mark batch-internal near-dup pairs the
+      // original run (correctly) did not — anti-join the store side
+      // against the batch's own ids (bounded: one row per batch doc,
+      // broadcast). Subsumes nothing in the id-equal filter above —
+      // that one prunes the per-band hash collisions early; this one
+      // removes the cross-id batch self-matches after the cheap
+      // band-count reduction.
+      .join(broadcast(sets.select(col("doc").as("_mk_batch_id"))),
+        col("doc_a") === col("_mk_batch_id"), "left_anti")
       .select("doc_a", "doc_b")
     // POINT-FETCH the candidate targets' stored shingles when it can
     // win: the distinct doc_a list is collected (bounded by
@@ -1241,16 +1285,61 @@ object Dedup {
     val out = newDocs.join(dupOf, Seq(idCol), "left")
       .withColumn("is_dup", col("dup_of").isNotNull)
       .localCheckpoint(eager = true)
-    if (appendFresh) {
+    if (willAppend) {
       // dup ids from the materialized result: a driver-side bounded
       // collect would cap batch size — the broadcast anti-join doesn't
       val dupIds = out.filter(col("is_dup")).select(col(idCol).as("doc"))
-      banded.join(broadcast(dupIds), Seq("doc"), "left_anti")
-        .write.mode("append").parquet(s"$indexDir/bands")
+      val freshBands = banded.join(broadcast(dupIds), Seq("doc"), "left_anti")
       // one id-sorted file per ingest batch (see writeIndexTables)
-      sets.join(broadcast(dupIds), Seq("doc"), "left_anti")
+      val freshSets = sets.join(broadcast(dupIds), Seq("doc"), "left_anti")
         .repartitionByRange(1, col("doc")).sortWithinPartitions(col("doc"))
-        .write.mode("append").parquet(s"$indexDir/shingles")
+      commitTag match {
+        case None =>
+          freshBands.write.mode("append").parquet(s"$indexDir/bands")
+          freshSets.write.mode("append").parquet(s"$indexDir/shingles")
+        case Some(tag) =>
+          // EXACTLY-ONCE store append under retry: stage → move-in
+          // with tag-named files → marker. A crash anywhere before
+          // the marker leaves either untouched tables or some
+          // `seg-<tag>-*` files with no marker; the retry deletes
+          // exactly those files and redoes the append — the staged
+          // content is a pure function of (batch, as-of store), so
+          // the redo reproduces what the crash interrupted. A crash
+          // AFTER the marker is the alreadyCommitted skip above.
+          val conf = spark.sessionState.newHadoopConf()
+          val root = new org.apache.hadoop.fs.Path(indexDir)
+          val fs = root.getFileSystem(conf)
+          Seq("bands", "shingles").foreach { t =>
+            val table = new org.apache.hadoop.fs.Path(root, t)
+            if (fs.exists(table))
+              fs.globStatus(new org.apache.hadoop.fs.Path(
+                  table, s"seg-$tag-*"))
+                .foreach(st => fs.delete(st.getPath, false))
+          }
+          val staging =
+            new org.apache.hadoop.fs.Path(root, s".staging/$tag")
+          fs.delete(staging, true) // stale from a crashed attempt
+          freshBands.write.parquet(
+            new org.apache.hadoop.fs.Path(staging, "bands").toString)
+          freshSets.write.parquet(
+            new org.apache.hadoop.fs.Path(staging, "shingles").toString)
+          Seq("bands", "shingles").foreach { t =>
+            val table = new org.apache.hadoop.fs.Path(root, t)
+            fs.listStatus(new org.apache.hadoop.fs.Path(staging, t))
+              .filter(st => st.isFile &&
+                st.getPath.getName.startsWith("part-"))
+              .foreach { st =>
+                val dst = new org.apache.hadoop.fs.Path(
+                  table, s"seg-$tag-${st.getPath.getName}")
+                require(fs.rename(st.getPath, dst),
+                  s"tagged append: could not move ${st.getPath} to $dst")
+              }
+          }
+          val marker = commitMarkerPath(indexDir, tag)
+          fs.mkdirs(marker.getParent)
+          fs.create(marker, true).close()
+          fs.delete(staging, true)
+      }
     }
     candidates.unpersist(blocking = false)
     banded.unpersist(blocking = false)

@@ -84,16 +84,20 @@ object Streams {
     * against the index only (batch-internal near-dup pairs pass —
     * run the batch-pairs operator downstream if that matters).
     * Restart replays only unprocessed batches (checkpoint offset
-    * tracking). Inside a batch the index append runs FIRST (within
-    * ingestBatchAgainst) and the outDir parquet write second, so a
-    * replayed batch may find its own signatures already stored:
-    * id-equal matches are excluded from marking (a doc is never a dup
-    * of itself — Dedup.markAgainstIndex), the replay re-appends its
-    * fresh signatures (exact duplicate rows, verdict-neutral,
-    * reclaimed by compactNearDupIndex), and outDir may carry the
-    * batch twice — dedupe downstream on (batch_id, idCol). The
-    * standard foreachBatch at-least-once contract, stated rather
-    * than hidden. */
+    * tracking), and a replayed batch is EXACTLY-ONCE end to end:
+    * both halves of the batch's effect are keyed on `batchId`. The
+    * store append runs under `commitTag = b<batchId>`
+    * (Dedup.ingestBatchAgainst) — segment files land under
+    * tag-derived names and a commit marker seals them, so a retry
+    * skips a committed append and cleans+redoes a half-landed one;
+    * the output lands in a `batch_id=<id>` partition with DYNAMIC
+    * overwrite, so a retry replaces its own partition and no other.
+    * The mark itself is replay-stable: the candidate store side is
+    * anti-joined against the batch's own ids, so a retried batch
+    * that finds its own committed signatures in the store still
+    * marks AS OF the batch's first start. Whatever step the first
+    * attempt crashed at, the retried batch leaves the store and
+    * outDir in the single-run state. */
   def nearDupIngest(docs: DataFrame, idCol: String, textCol: String,
       indexDir: String, outDir: String, checkpointDir: String,
       shingleN: Int, k: Int, bands: Int,
@@ -131,13 +135,25 @@ object Streams {
         // is eagerly materialized inside, so the parquet write below
         // doesn't recompute the candidate join against the store the
         // append just mutated
-        graft.operators.Dedup.ingestBatchAgainst(
+        val marked = graft.Phases.time(s"mark_append[b$batchId]") {
+          graft.operators.Dedup.ingestBatchAgainst(
             s, batch.toDF(), idCol, textCol, indexDir,
             shingleN, k, bands, threshold,
             pointFetchMinStoreBytes =
-              if (knownBig) 0L else Long.MaxValue)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(outDir)
+              if (knownBig) 0L else Long.MaxValue,
+            commitTag = Some(s"b$batchId"))
+        }
+        // batchId-keyed partition + dynamic overwrite = the output
+        // half of the exactly-once contract: a retried batch
+        // replaces its own partition, never appends a second copy
+        graft.Phases.time(s"sink[b$batchId]") {
+          marked
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outDir)
+        }
       }
       .start()
   }

@@ -515,6 +515,73 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally Scratch.deleteRecursively(new java.io.File(root))
   }
 
+  test("tagged ingest (exactly-once): a retried batch leaves store and verdicts in the single-run state") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_nd_tag_").toString
+    try {
+      Dedup.writeNearDupIndex(
+        Seq((1L, "the quick brown fox jumps over the lazy dog tonight"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", 2, 64, 32, root + "/idx")
+      // 10 dups the store; 11 and 12 are fresh AND near-dups of each
+      // other — the batch-internal pair the as-of mark must NOT flag,
+      // even on a retry that finds both already committed
+      val batch = Seq(
+        (10L, "the quick brown fox jumps over the lazy dog tonight"),
+        (11L, "totally new material never indexed before anywhere"),
+        (12L, "totally new material never indexed before anywhere again"))
+        .toDF("doc_id", "text")
+      def ingest() = Dedup.ingestBatchAgainst(spark, batch, "doc_id",
+          "text", root + "/idx", 2, 64, 32, 0.5, commitTag = Some("b0"))
+        .select("doc_id", "dup_of")
+        .as[(Long, Option[Long])].collect().toMap
+      def storeState(): (Set[(Long, Seq[String])], Set[(Long, Int, Long)]) = (
+        spark.read.parquet(root + "/idx/shingles")
+          .as[(Long, Seq[String])].collect()
+          .map { case (d, s) => (d, s.sorted) }.toSet,
+        spark.read.parquet(root + "/idx/bands")
+          .as[(Long, Int, Long)].collect().toSet)
+      def shingleFiles(): Set[String] = {
+        val dir = new java.io.File(root + "/idx/shingles")
+        dir.listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).toSet
+      }
+      val first = ingest()
+      first(10L) shouldBe Some(1L)
+      first(11L) shouldBe None
+      first(12L) shouldBe None // batch-internal pair: NOT marked
+      Dedup.isBatchCommitted(spark, root + "/idx", "b0") shouldBe true
+      val (sh1, bd1) = storeState()
+      val files1 = shingleFiles()
+      files1.count(_.startsWith("seg-b0-")) shouldBe 1 // tag-named segment
+      // retry of a COMMITTED batch (crash after marker): append
+      // skipped, verdicts replay-stable — 11/12 still unmarked even
+      // though both now sit in the store (the batch-id anti-join)
+      ingest() shouldBe first
+      storeState() shouldBe ((sh1, bd1))
+      shingleFiles() shouldBe files1
+      // retry of a HALF-LANDED append (crash after the file moves,
+      // before the marker): segment files present, no marker — the
+      // retry cleans its own tag files, redoes the append, re-seals
+      val marker = new java.io.File(root + "/idx/_commits/b0")
+      marker.delete() shouldBe true
+      ingest() shouldBe first
+      storeState() shouldBe ((sh1, bd1))
+      Dedup.isBatchCommitted(spark, root + "/idx", "b0") shouldBe true
+      // a SECOND batch under its own tag composes: 13 dups the
+      // batch-0 ingest of 11 through the STORE
+      val b1 = Seq(
+        (13L, "totally new material never indexed before anywhere"))
+        .toDF("doc_id", "text")
+      val second = Dedup.ingestBatchAgainst(spark, b1, "doc_id",
+          "text", root + "/idx", 2, 64, 32, 0.5, commitTag = Some("b1"))
+        .select("doc_id", "dup_of")
+        .as[(Long, Option[Long])].collect().toMap
+      second(13L) shouldBe Some(11L)
+    } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
+
   test("MinHashAgg: lane-for-lane identical to the composed k-wide min(xxhash64) form") {
     // the parity contract that makes the imperative aggregate a pure
     // plan optimization: identical signatures => identical bands =>

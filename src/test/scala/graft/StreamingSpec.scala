@@ -391,4 +391,52 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
       out(20L) shouldBe ((Some(11L), 1L)) // dup of the batch-0 ingest
     } finally Scratch.deleteRecursively(new java.io.File(root))
   }
+
+  test("near-dup ingest retry: a re-delivered micro-batch leaves store and output in the single-run state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_nd_retry_").toString
+    try {
+      val corpus = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog tonight"))
+        .toDF("doc_id", "text")
+      graft.operators.Dedup.writeNearDupIndex(corpus, "doc_id", "text",
+        shingleN = 2, k = 64, bands = 32, dir = root + "/idx")
+      val b0 = Seq(
+        (10L, "the quick brown fox jumps over the lazy dog tonight"),
+        (11L, "totally new material never indexed before anywhere"))
+      val b1 = Seq(
+        (20L, "totally new material never indexed before anywhere"))
+      def runStream(ckpt: String, batches: Seq[Seq[(Long, String)]]): Unit = {
+        val input = MemoryStream[(Long, String)]
+        val q = Streams.nearDupIngest(
+          input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+          root + "/idx", root + "/out", ckpt,
+          shingleN = 2, k = 64, bands = 32, threshold = 0.5)
+        try batches.foreach { b =>
+          input.addData(b: _*); q.processAllAvailable()
+        } finally q.stop()
+      }
+      runStream(root + "/ckpt", Seq(b0, b1))
+      def state(): (Set[(Long, Option[Long], Long)], Set[Seq[Any]]) = (
+        spark.read.parquet(root + "/out")
+          .select(col("doc_id"), col("dup_of"),
+            col("batch_id").cast("long"))
+          .as[(Long, Option[Long], Long)].collect().toSet,
+        spark.read.parquet(root + "/idx/shingles")
+          .collect().map(_.toSeq).toSet)
+      val (out1, store1) = state()
+      out1.map(r => r._1 -> ((r._2, r._3))).toMap shouldBe Map(
+        10L -> ((Some(1L), 0L)), 11L -> ((None, 0L)),
+        20L -> ((Some(11L), 1L)))
+      // simulate the engine re-delivering batch 0 after a crash: a
+      // FRESH checkpoint replays the same first batch under the same
+      // batchId (0). The committed store append must be skipped, the
+      // mark must stay as-of-batch-start, and the output partition
+      // must be overwritten in place — nothing about the store or the
+      // output (including batch 1's rows) may change.
+      runStream(root + "/ckpt_retry", Seq(b0))
+      state() shouldBe ((out1, store1))
+    } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
 }
