@@ -1017,15 +1017,18 @@ object Dedup {
     * for verdicts; compaction is where the waste is reclaimed) —
     * each table via a write-then-swap sibling.
     *
-    * SINGLE-WRITER: run with ingest paused. The swap is read → delete
-    * → rename, so a signature file appended after the read is lost,
-    * and between delete and rename the live table is briefly absent —
-    * a crash there leaves the `.compacting` sibling to recover by
-    * hand (same contract as Layout.compact; real atomicity and
-    * concurrent-writer safety come from a table format's commit
-    * protocol, which is the seam this path plugs into). */
+    * SINGLE-WRITER, lease-enforced (graft.sources.StoreLease): an
+    * ingest stream holding the index's writer lease makes a
+    * concurrent compaction fail loudly at open, and vice versa — run
+    * with ingest paused. The swap is read → delete → rename, so
+    * between delete and rename the live table is briefly absent — a
+    * crash there leaves the `.compacting` sibling to recover by hand
+    * (same contract as Layout.compact; real atomicity comes from a
+    * table format's commit protocol, which is the seam this path
+    * plugs into). */
   def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Unit = {
+      dir: String): Unit =
+    graft.sources.StoreLease.withLease(spark, dir, "compact") {
     val conf = spark.sparkContext.hadoopConfiguration
     def swapRewrite(sub: String)(
         write: (DataFrame, String) => Unit): Unit = {
@@ -1064,11 +1067,13 @@ object Dedup {
     swapRewrite("bands") { (df, out) =>
       df.dropDuplicates().repartition(n).write.parquet(out)
     }
-  }
+    }
 
   private def writeIndexTables(docs: DataFrame, idCol: String,
       textCol: String, shingleN: Int, k: Int, dir: String, bands: Int,
-      mode: String): Unit = {
+      mode: String): Unit =
+    graft.sources.StoreLease.withLease(docs.sparkSession, dir,
+        s"index-$mode") {
     val sets = shingleSets(docs, idCol, textCol, shingleN)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sigs = signaturesFromBaseHashes(
@@ -1091,7 +1096,7 @@ object Dedup {
       .sortWithinPartitions(col("doc"))
       .write.mode(mode).parquet(s"$dir/shingles")
     sets.unpersist(blocking = false)
-  }
+    }
 
   /** Incremental near-dup INGEST: flag every new document whose exact
     * n-gram Jaccard against some INDEXED document clears `threshold`,
@@ -1285,7 +1290,11 @@ object Dedup {
     val out = newDocs.join(dupOf, Seq(idCol), "left")
       .withColumn("is_dup", col("dup_of").isNotNull)
       .localCheckpoint(eager = true)
-    if (willAppend) {
+    // single-writer lease across the store mutation: a second
+    // concurrent ingest stream appending to this index fails loudly
+    // at its own batch instead of interleaving segment files
+    if (willAppend) graft.sources.StoreLease.withLease(spark, indexDir,
+        commitTag.fold("ingest")(t => s"ingest-$t")) {
       // dup ids from the materialized result: a driver-side bounded
       // collect would cap batch size — the broadcast anti-join doesn't
       val dupIds = out.filter(col("is_dup")).select(col(idCol).as("doc"))

@@ -29,9 +29,11 @@ object Layout {
   def clusteredWrite(df: DataFrame, path: String, numFiles: Int,
       keys: Column*): Unit = {
     require(numFiles > 0, s"numFiles must be positive: $numFiles")
-    df.repartitionByRange(numFiles, keys: _*)
-      .sortWithinPartitions(keys: _*)
-      .write.mode(SaveMode.Overwrite).parquet(path)
+    StoreLease.withLease(df.sparkSession, path, "clustered-write") {
+      df.repartitionByRange(numFiles, keys: _*)
+        .sortWithinPartitions(keys: _*)
+        .write.mode(SaveMode.Overwrite).parquet(path)
+    }
   }
 
   /** INCREMENTAL form of [[clusteredWrite]]: append `df` as one new
@@ -53,10 +55,15 @@ object Layout {
     require(numFiles > 0, s"numFiles must be positive: $numFiles")
     require(segmentId.nonEmpty && !segmentId.exists(c => c == '/' || c == '='),
       s"segmentId must be a plain directory token: $segmentId")
-    df.repartitionByRange(numFiles, keys: _*)
-      .sortWithinPartitions(keys: _*)
-      .write.mode(SaveMode.ErrorIfExists)
-      .parquet(s"$root/seg=$segmentId")
+    // writer lease on the store root: two ingest pipelines appending
+    // concurrently fail loudly instead of interleaving segments (the
+    // ErrorIfExists clobber guard below only catches SAME-named ones)
+    StoreLease.withLease(df.sparkSession, root, s"append-$segmentId") {
+      df.repartitionByRange(numFiles, keys: _*)
+        .sortWithinPartitions(keys: _*)
+        .write.mode(SaveMode.ErrorIfExists)
+        .parquet(s"$root/seg=$segmentId")
+    }
   }
 
   /** Per-file [min, max] spans of `key` for a parquet directory
@@ -131,15 +138,22 @@ object Layout {
   def compact(spark: org.apache.spark.sql.SparkSession, root: String,
       numFiles: Int, keys: Column*): Unit = {
     require(numFiles > 0, s"numFiles must be positive: $numFiles")
-    val rootPath = new org.apache.hadoop.fs.Path(root)
-    val tmpPath = new org.apache.hadoop.fs.Path(root + ".compacting")
-    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(tmpPath, true) // a stale sibling from a crashed run
-    val df = spark.read.parquet(root).drop("seg")
-    clusteredAppend(df, tmpPath.toString, "compacted", numFiles, keys: _*)
-    require(fs.delete(rootPath, true), s"could not remove old store $root")
-    require(fs.rename(tmpPath, rootPath),
-      s"could not move compacted store into place at $root")
+    // hold the store's writer lease across read + swap: an ingest
+    // appending mid-compaction would land a segment the rewrite
+    // never read, silently dropped by the swap. The lease is a
+    // SIBLING file, so it survives the delete+rename and releases
+    // normally.
+    StoreLease.withLease(spark, root, "compact") {
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val tmpPath = new org.apache.hadoop.fs.Path(root + ".compacting")
+      val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(tmpPath, true) // a stale sibling from a crashed run
+      val df = spark.read.parquet(root).drop("seg")
+      clusteredAppend(df, tmpPath.toString, "compacted", numFiles, keys: _*)
+      require(fs.delete(rootPath, true), s"could not remove old store $root")
+      require(fs.rename(tmpPath, rootPath),
+        s"could not move compacted store into place at $root")
+    }
   }
 
   /** Morton (Z-order) address of two dimensions: interleaves the low
@@ -174,10 +188,12 @@ object Layout {
   def zorderWrite(df: DataFrame, path: String, numFiles: Int, bits: Int,
       dimA: Column, dimB: Column): Unit = {
     require(numFiles > 0, s"numFiles must be positive: $numFiles")
-    df.withColumn("_zaddr", zAddress(dimA, dimB, bits))
-      .repartitionByRange(numFiles, col("_zaddr"))
-      .sortWithinPartitions(col("_zaddr"))
-      .drop("_zaddr")
-      .write.mode(SaveMode.Overwrite).parquet(path)
+    StoreLease.withLease(df.sparkSession, path, "zorder-write") {
+      df.withColumn("_zaddr", zAddress(dimA, dimB, bits))
+        .repartitionByRange(numFiles, col("_zaddr"))
+        .sortWithinPartitions(col("_zaddr"))
+        .drop("_zaddr")
+        .write.mode(SaveMode.Overwrite).parquet(path)
+    }
   }
 }
