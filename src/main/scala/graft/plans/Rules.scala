@@ -262,7 +262,17 @@ object AnnTopKToLshPrune extends Rule[LogicalPlan] {
   * Paths are normalized to absolute file paths and matched scheme-
   * blind (`Path.toUri.getPath`): two stores on different filesystems
   * with the SAME absolute path would alias — keep store paths unique,
-  * which every real lake layout does. */
+  * which every real lake layout does.
+  *
+  * APPEND LIFECYCLE: a store that takes `Layout.clusteredAppend`
+  * segments after [[save]]/[[register]] needs NO metadata refresh —
+  * Meta records paths and build knobs only (never a segment list),
+  * and [[AnnTopKToIndexScan]] reads the store ROOT, so partition
+  * discovery picks up new `seg=` directories at every plan
+  * (RulesSpec pins this). Only a change to the BUILD parameters
+  * (planes seed/count, quantization, radius contract) requires a
+  * rebuild + re-save — and those cannot change on append, because
+  * appended segments are bucketed with the same registered planes. */
 object AnnIndex {
 
   val Prefix = "spark.graft.ann.index."

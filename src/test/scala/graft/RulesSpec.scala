@@ -8,6 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
 import graft.operators.Dedup
+import graft.sources.Layout
 
 class RulesSpec extends AnyFunSuite with SparkSpec with Matchers {
 
@@ -310,6 +311,83 @@ class RulesSpec extends AnyFunSuite with SparkSpec with Matchers {
       }
       ex.getMessage should include("not a graft ANN store")
     } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
+
+  test("index selection serves from a multi-segment (appended) store; saved metadata needs no post-append refresh") {
+    import graft.plans.AnnIndex
+    graft.plans.GraftExtensions.register(spark)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_rulespec_seg_").toString
+    val store = root + "/idx"
+    val dim = queryVec.size
+    val planes = vectors.planeMatrix(4242L, 4, dim)
+    def stored(d: DataFrame): DataFrame = d
+      .withColumn("scale", vectors.quantizeScale(col("embedding")))
+      .select(col("vec_id"),
+        vectors.hyperplaneBucketFast(col("embedding"), planes).as("bucket"),
+        vectors.quantizeInt8(col("embedding"), col("scale")).as("codes"),
+        col("scale"))
+    // base segment covers HALF the primary; the other half arrives as
+    // a later clusteredAppend ingest segment — the q103 lifecycle
+    Layout.clusteredAppend(stored(emb.filter(col("vec_id") % 2 === 0)),
+      store, "base", 4, col("bucket"))
+    AnnIndex.save(spark, AnnIndex.Meta("specseg",
+      "/root/testdata/sf0.001/embeddings.parquet", store,
+      "vec_id", "embedding", "bucket", "codes", "scale",
+      planesSeed = 4242L, nPlanes = 4, dim = dim, radius = 1,
+      shortlist = 20))
+    AnnIndex.registerFrom(spark, store)
+    try {
+      // the append lands AFTER save+register, with NO metadata
+      // refresh: Meta carries paths + build knobs only (no segment
+      // list), and the rule reads the store root, so partition
+      // discovery picks up new `seg=` directories on every plan —
+      // append and registration compose with zero coordination
+      Layout.clusteredAppend(stored(emb.filter(col("vec_id") % 2 === 1)),
+        store, "ingest1", 4, col("bucket"))
+      val served = emb.filter(col("vec_id") =!= 0)
+        .orderBy(
+          vectors.cosineFast(col("embedding"), typedLit(queryVec)).desc,
+          col("vec_id"))
+        .limit(5)
+        .select(col("vec_id"),
+          round(vectors.cosineFast(col("embedding"), typedLit(queryVec)), 6)
+            .as("cos"))
+      AnnIndex.servedBy(served, store) shouldBe true
+      // hand-built navigation over the WHOLE two-segment store: the
+      // rule must compute exactly this (and candidates from BOTH
+      // segments must be reachable — an odd top hit can only come
+      // from the appended segment)
+      val qb = spark.range(1)
+        .select(vectors.hyperplaneBucketFast(typedLit(queryVec), planes))
+        .head.getLong(0)
+      val probes = graft.operators.Similarity.probeBuckets(qb, 4, 1)
+      val shortlist = spark.read.parquet(store)
+        .filter(col("bucket").isin(probes: _*) && col("vec_id") =!= 0)
+        .orderBy(
+          vectors.cosineFast(
+            vectors.dequantizeInt8(col("codes"), col("scale")),
+            typedLit(queryVec)).desc,
+          col("vec_id"))
+        .limit(20).select("vec_id")
+      val manual = emb.join(shortlist, "vec_id")
+        .orderBy(
+          vectors.cosineFast(col("embedding"), typedLit(queryVec)).desc,
+          col("vec_id"))
+        .limit(5)
+        .select(col("vec_id"),
+          round(vectors.cosineFast(col("embedding"), typedLit(queryVec)), 6)
+            .as("cos"))
+      val servedRows = served.collect().toSeq
+      servedRows shouldBe manual.collect().toSeq
+      // both segments genuinely contribute shortlist candidates
+      val ids = shortlist.collect().map(_.getLong(0)).toSet
+      ids.exists(_ % 2 == 0) shouldBe true
+      ids.exists(_ % 2 == 1) shouldBe true
+    } finally {
+      AnnIndex.unregister(spark, "specseg")
+      Scratch.deleteRecursively(new java.io.File(root))
+    }
   }
 
   test("ANN rewrite does NOT fire on vector-vector (non-literal) top-k") {
