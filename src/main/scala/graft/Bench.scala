@@ -28,6 +28,17 @@ object Bench {
       // stages and is a no-op at production byte volumes, where
       // advisoryPartitionSizeInBytes governs long before this floor.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // MinHashAgg is a TypedImperativeAggregate, so its groupBy plans
+      // ObjectHashAggregate — which silently falls back to SORT-based
+      // aggregation after 128 distinct keys per partition (default
+      // fallbackThreshold), i.e. effectively always on the exploded
+      // (doc, h0) signature frame, adding a per-partition sort on doc
+      // the hash form doesn't need. 1M keys ≈ 0.6-1 GB of 64-lane
+      // buffers per partition — comfortable here; at production
+      // executor sizes, scale the threshold with (heap / ~1 KB per
+      // key) or accept the sort fallback as the spill path.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1048576")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")

@@ -2433,8 +2433,14 @@ object SparkEntry {
         when(col("doc_id") % 5 === 0,
           concat(lit("#sec"), (col("doc_id") % 4).cast("string")))
           .otherwise(lit("")))
+      // a canonicalization report is ABOUT urls: docs with a NULL url
+      // are out of scope, filtered in BOTH engine and oracle — the
+      // two-phase groupBy below would otherwise count a NULL-url
+      // group as one distinct raw url while countDistinct (and the
+      // oracle) ignore NULLs
       val withUrl = t(s, dir, "documents")
         .withColumn("url", rawUrl)
+        .filter(col("url").isNotNull)
         .withColumn("canon", urls.canonicalize(col("url")))
         .withColumn("domain", urls.host(col("url")))
       val blocklist = Seq("src2.example.com", "src9.example.com")
@@ -4238,7 +4244,7 @@ object SparkEntry {
            |  round(cos, 6) AS cos FROM (
            |  SELECT vec_id, label, nb_id, neg_label, cos,
            |    row_number() OVER (PARTITION BY vec_id
-           |      ORDER BY cos DESC, nb_id) AS rnk
+           |      ORDER BY round(cos, 6) DESC, nb_id) AS rnk
            |  FROM p) WHERE rnk = 1""".stripMargin
       },
 
@@ -4890,7 +4896,7 @@ object SparkEntry {
           |    substr(split_part(url, '#', 1),
           |      length(regexp_extract(split_part(url, '#', 1),
           |        '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) + 1) AS tail
-          |  FROM u),
+          |  FROM u WHERE url IS NOT NULL),
           |canon AS (
           |  SELECT doc_id, n_chars, url,
           |    lower(regexp_extract(url,

@@ -41,10 +41,15 @@ object Tables {
 
   /** Millisecond-truncated twin (q56's session windows truncate to
     * ms so gap arithmetic mirrors exactly in the ms-precision
-    * oracle). `unix_millis` floors micros→millis on the timestamp
-    * branches, matching the legacy `div 1000000` integer floor. */
+    * oracle). Both branches use FLOOR-division semantics:
+    * `unix_millis` floors micros→millis (Math.floorDiv inside), and
+    * the legacy-nanos branch floors explicitly — SQL `div` truncates
+    * toward zero, which would disagree with the timestamp branches
+    * (and the oracle) by 1 ms on every pre-epoch timestamp. */
   def eventsTsToMillis(raw: DataType): Column = raw match {
-    case LongType => timestamp_millis(expr("ts div 1000000"))
+    case LongType => timestamp_millis(
+      when(col("ts") >= 0, expr("ts div 1000000"))
+        .otherwise(expr("(ts - 999999) div 1000000")))
     case TimestampNTZType | TimestampType =>
       timestamp_millis(unix_millis(col("ts").cast(TimestampType)))
     case other => sys.error(

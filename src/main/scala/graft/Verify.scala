@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       // see Bench: keep CPU-heavy small shuffle stages wide
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // see Bench: keep MinHashAgg's partial aggregation hash-based
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1048576")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")

@@ -314,8 +314,13 @@ object Similarity {
       .filter(col("label") =!= col("neg_label"))
       .withColumn("cos",
         vectors.cosineFast(col("embedding"), col("nb_embedding")))
+    // rank on the ROUNDED cosine (q114's convention): the unrounded
+    // fold is bit-identical across engines only while both sum in
+    // the same order — ranking on round(·, 6) with the nb_id
+    // tiebreak keeps rank-1 stable even if a kernel ever reorders
+    // the fold (SIMD/pairwise summation)
     val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("nb_id"))
+      .orderBy(round(col("cos"), 6).desc, col("nb_id"))
     pairs.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)
       .select(col("vec_id"), col("label"), col("nb_id"),

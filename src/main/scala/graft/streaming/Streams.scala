@@ -119,10 +119,17 @@ object Streams {
         // 8-partition drain session (sized for memory-sink streaming
         // aggs), the minhash + candidate + re-score stages must not
         // inherit that throttle — plan them at the context's full
-        // width. Scoped to this cloned micro-batch session; the
-        // caller's session conf is untouched.
-        s.conf.set("spark.sql.shuffle.partitions",
-          s.sparkContext.defaultParallelism)
+        // width. Restored in the finally below: the cloned session
+        // also plans the STREAMING side of later micro-batches, and
+        // a width override leaking into that would silently resize
+        // state-store partitioning if a stateful operator were ever
+        // added upstream of this sink (today the streaming plan is
+        // stateless — zero state operators, spec-asserted — so the
+        // restore is insurance, not a live bug fix).
+        val widthKey = "spark.sql.shuffle.partitions"
+        val oldWidth = s.conf.get(widthKey)
+        s.conf.set(widthKey, s.sparkContext.defaultParallelism)
+        try {
         if (!knownBig) {
           val p = new org.apache.hadoop.fs.Path(s"$indexDir/shingles")
           val fs = p.getFileSystem(s.sessionState.newHadoopConf())
@@ -154,6 +161,7 @@ object Streams {
             .partitionBy("batch_id")
             .parquet(outDir)
         }
+        } finally s.conf.set(widthKey, oldWidth)
       }
       .start()
   }
