@@ -433,6 +433,59 @@ object ProbeScale {
         } finally Scratch.deleteRecursively(new java.io.File(root))
       }
     }
+    // ── `ProbeScale hardneg`: q119's candidate machinery at scale.
+    // hardNegatives shares q95's auto-sized multi-table LSH candidate
+    // stage (measured ~n^1.2 there) but adds a DISTINCT over the
+    // emitted pairs, two emb point joins, a cross-label filter, and a
+    // per-vector argmax window — measure the stage volumes directly
+    // so the multi-table contract (auto-sized keys, bounded
+    // occupancy) is verified on THIS operator, not inherited on
+    // faith. ──
+    if (mode == "hardneg") {
+      def measureHardNeg(tag: String, emb: DataFrame): Unit = {
+        val n = emb.count()
+        val nPlanes = Similarity.planesForSize(n)
+        val nTables = Similarity.lshTablesForRecall(nPlanes, 0.9, 0.01)
+        val tables = (0 until nTables).map(i =>
+          vectors.planeMatrix(seed = 119L + i, nPlanes = nPlanes, dim = 64))
+        val bucketed = emb.select(col("vec_id"),
+          posexplode(vectors.multiTableBucketsFast(col("embedding"), tables))
+            .as(Seq("tbl", "bucket")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val (bktPairs, maxBkt, _) = bucketPairs(bucketed.select("tbl", "bucket"))
+        val a = bucketed.toDF("vec_id", "tbl", "bucket")
+        val b = bucketed.toDF("nb_id", "tbl", "bucket")
+        val cand = a.join(b, Seq("tbl", "bucket"))
+          .filter(col("vec_id") =!= col("nb_id"))
+          .select("vec_id", "nb_id").distinct().count()
+        bucketed.unpersist(blocking = false)
+        val t0 = System.nanoTime()
+        val result = Similarity.hardNegatives(emb, tables).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(f"PROBE_SCALE hardneg/$tag n=$n planes=$nPlanes " +
+          f"tables=$nTables bucket_pair_emissions=$bktPairs " +
+          f"max_bucket=$maxBkt distinct_candidates=$cand " +
+          f"cand_per_vec=${cand.toDouble / n}%.1f result=$result " +
+          f"full_wall=$wall%.2fs")
+      }
+      val embL = Tables(spark, "/root/testdata/sf0.1", "embeddings")
+      // label-retaining twin of perturbEmb: replicas inherit the base
+      // vector's label, so cross-label pair density stays realistic
+      def perturbEmbLabeled(replicas: Int): DataFrame =
+        embL.crossJoin(spark.range(replicas).toDF("rep"))
+          .select(
+            (col("vec_id") * replicas + col("rep")).as("vec_id"),
+            col("label"),
+            transform(col("embedding"), (x, i) =>
+              (x.cast("double") * (lit(1.0) + lit(0.5) *
+                ((pmod(xxhash64(col("vec_id"), col("rep"), i), lit(2001))
+                  - 1000).cast("double") / 1000.0))).cast("float"))
+              .as("embedding"))
+      measureHardNeg("1x", embL)
+      measureHardNeg("10x", perturbEmbLabeled(10))
+      measureHardNeg("100x", perturbEmbLabeled(100))
+    }
+
     if (mode == "ingest") {
       val docsBase = Tables(spark, "/root/testdata/sf0.1", "documents")
         .select(col("doc_id"), col("text"))
