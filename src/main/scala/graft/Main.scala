@@ -104,6 +104,9 @@ object Main {
         if doubleArg(rest, 2.0).isDefined =>
       compactNdIndex(spark, indexDir, doubleArg(rest, 2.0).get)
     case Seq("index", storeDir) => indexInfo(spark, storeDir)
+    case Seq("lease", storeDir) => leaseInfo(spark, storeDir, doBreak = false)
+    case Seq("lease", storeDir, "--break") =>
+      leaseInfo(spark, storeDir, doBreak = true)
     case Seq("ranges", rest @ _*) => ranges(rest)
     case Seq("diff", dirA, dirB, rest @ _*)
         if intArg(rest, 100).isDefined =>
@@ -131,6 +134,8 @@ object Main {
         "budget",
       "  index <storeDir>                    show a store's persisted " +
         "ANN metadata (what AnnIndex.registerFrom adopts)",
+      "  lease <storeDir> [--break]          show a store's writer " +
+        "lease; --break force-reclaims a dead writer's lease",
       "  ranges [--test-topic <topic>]       ID ranges + extraction test",
       "  diff <snapshotA> <snapshotB> [limit]   added/removed/changed topics",
       "  publish <outDir> <count>            synthetic emailSend messages",
@@ -402,6 +407,25 @@ object Main {
       s"  planes   seed=${m.planesSeed} n=${m.nPlanes} dim=${m.dim}",
       s"  serving  radius=${m.radius} shortlist=${m.shortlist}")
   }
+
+  /** Writer-lease inspection for any at-rest store; `--break`
+    * force-reclaims a dead writer's lease (the operator override for
+    * a crash younger than the staleness window — StoreLease.acquire
+    * reclaims stale leases on its own). */
+  private def leaseInfo(spark: SparkSession, storeDir: String,
+      doBreak: Boolean): Seq[String] =
+    graft.sources.StoreLease.holder(spark, storeDir) match {
+      case None => Seq(s"no writer lease on $storeDir")
+      case Some((owner, ts)) =>
+        val age = (System.currentTimeMillis() - ts) / 1000
+        val head = s"lease on $storeDir held by $owner (${age}s old)"
+        if (!doBreak) Seq(head)
+        else {
+          graft.sources.StoreLease.break_(spark, storeDir)
+          Seq(head, s"lease BROKEN — verify the holder is actually " +
+            "dead; a live writer now races unprotected")
+        }
+    }
 
   /** Locale-pinned 2-decimal formatter shared by the compact verbs. */
   private def num2(d: Double): String =

@@ -2787,7 +2787,34 @@ object SparkEntry {
     // values — the q113 integer-micros idea applied to an
     // information-theoretic signal ──
     "q120_vocab_drift" -> ((s, dir) =>
-      CorpusStats.vocabDrift(t(s, dir, "documents"), "text", "source"))
+      CorpusStats.vocabDrift(t(s, dir, "documents"), "text", "source")),
+
+    // ── NS training-data: NEAR-DUP-AWARE SPLIT LEAKAGE — the
+    // decontamination pass every pipeline runs before trusting an
+    // eval split: a val doc that near-dups a train doc measures
+    // memorization, not generalization. Split policy is a modulo
+    // fold (SQL-mirrorable; production passes a salted hash — the
+    // operator is policy-agnostic). Planted positives: re-crawled
+    // copies of train docs landing in the val fold, on top of the
+    // fixture's natural duplication; leak_from pins WHICH train doc
+    // each val doc leaks from. Same subset-exact LSH contract as
+    // q109 (banded candidates, exact re-score, complete away from
+    // the knee). ──
+    "q121_split_leakage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val injected = docs
+        .filter(col("doc_id") % 13 === 5 && col("doc_id") % 10 =!= 0)
+        .select((col("doc_id") * 10 + 6000000L).as("doc_id"),
+          col("source"), col("text"))
+      Dedup.splitLeakage(docs.unionByName(injected), "doc_id", "text",
+          id => pmod(id, lit(10)) === 0,
+          shingleN = 2, k = 64, bands = 32, threshold = 0.5)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_val"),
+          sum(when(col("is_leaked"), 1L).otherwise(0L)).as("n_leaked"),
+          coalesce(sum(col("leak_from")), lit(0L)).as("sum_leak_from"))
+    })
   )
 
   /** q115's outlier threshold on the ROUNDED cosine-to-centroid
@@ -4269,6 +4296,37 @@ object SparkEntry {
            |  CAST(MAX(ns) AS BIGINT) AS n_tokens,
            |  CAST(SUM(CAST(c AS DECIMAL(28,9))) AS DOUBLE) AS kl
            |FROM c GROUP BY s""".stripMargin,
+
+      // exact-Jaccard recompute of the split-leakage guard: same
+      // planted re-crawl copies, same modulo split, full val × train
+      // exact join (the engine's LSH candidates are subset-exact, so
+      // the exact answer IS the contract being checked)
+      "q121_split_leakage" ->
+        s"""WITH base AS (SELECT doc_id, source, text FROM documents),
+           |all_docs AS (
+           |  SELECT doc_id, source, text FROM base
+           |  UNION ALL
+           |  SELECT doc_id * 10 + 6000000, source, text FROM base
+           |  WHERE doc_id % 13 = 5 AND doc_id % 10 <> 0),
+           |sh AS (SELECT doc_id, source, doc_id % 10 = 0 AS is_val,
+           |    ${sqlShingles(2)} AS s
+           |  FROM (SELECT doc_id, source, $sqlTokens AS toks
+           |    FROM all_docs)),
+           |leaks AS (
+           |  SELECT v.doc_id AS doc_id, min(t.doc_id) AS leak_from
+           |  FROM sh v JOIN sh t ON v.is_val AND NOT t.is_val AND
+           |    CAST(len(list_intersect(v.s, t.s)) AS DOUBLE) /
+           |      CAST(len(v.s) + len(t.s) -
+           |        len(list_intersect(v.s, t.s)) AS DOUBLE) >= 0.5
+           |  GROUP BY v.doc_id)
+           |SELECT sh.source, COUNT(*) AS n_val,
+           |  CAST(SUM(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_leaked,
+           |  CAST(coalesce(SUM(l.leak_from), 0) AS BIGINT)
+           |    AS sum_leak_from
+           |FROM sh LEFT JOIN leaks l ON sh.doc_id = l.doc_id
+           |WHERE sh.is_val
+           |GROUP BY sh.source""".stripMargin,
 
       // the PRUNED plan the rewrite rule produces, mirrored from the
       // same seeded plane literals: candidates = bucket collision in

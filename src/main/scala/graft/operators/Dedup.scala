@@ -1163,6 +1163,62 @@ object Dedup {
       shingleN, k, bands, threshold, appendFresh = true, pointFetchCap,
       pointFetchMinStoreBytes, commitTag)
 
+  /** NEAR-DUP-AWARE SPLIT LEAKAGE GUARD: flag every EVAL-side
+    * document whose exact n-gram Jaccard against some TRAIN-side
+    * document clears `threshold` — the decontamination pass every
+    * training pipeline runs before trusting an eval split (a val doc
+    * that near-dups a train doc measures memorization, not
+    * generalization). `isVal` maps the id column to the split
+    * predicate, so the split POLICY stays the caller's: a modulo
+    * fold here (SQL-mirrorable for the oracle), a salted hash in
+    * production — the guard is policy-agnostic.
+    *
+    * Returns the VAL slice of `docs` plus (leak_from nullable,
+    * is_leaked): leak_from = the smallest train id whose overlap
+    * clears the threshold.
+    *
+    * Scale shape (100 TB): one shingle pass over the corpus, one
+    * banded-signature frame split into the two sides by predicate
+    * (both persisted once — never recomputed per side), the standard
+    * val-bands × train-bands candidate join (volume ∝ val fraction ×
+    * banded collisions, NOT all-pairs), and the exact re-score joins
+    * by doc id on the candidate set only. Same S-curve contract as
+    * [[minhashNearDupPairs]] (k, bands, minBandMatches=2):
+    * subset-exact, complete away from the knee. */
+  def splitLeakage(docs: DataFrame, idCol: String, textCol: String,
+      isVal: Column => Column, shingleN: Int, k: Int, bands: Int,
+      threshold: Double): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = bandedSignatures(signaturesFromBaseHashes(
+      sets.select(col("doc"), explode(col("shingles")).as("shingle"))
+        .select(col("doc"), xxhash64(col("shingle")).as("h0")),
+      k), bands, k)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val valB = banded.filter(isVal(col("doc")))
+      .toDF("doc_b", "band", "band_hash")
+    val trainB = banded.filter(!isVal(col("doc")))
+      .toDF("doc_a", "band", "band_hash")
+    val candidates = valB.join(trainB, Seq("band", "band_hash"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands"))
+      .filter(col("n_bands") >= 2)
+      .select("doc_a", "doc_b")
+    val leaks = rescoreJaccardAB(candidates,
+        sets.filter(!isVal(col("doc"))),
+        sets.filter(isVal(col("doc"))), threshold)
+      .groupBy(col("doc_b").as(idCol))
+      .agg(min(col("doc_a")).as("leak_from"))
+    // materialize before releasing the caches (the ngramJaccardPairs
+    // leak rationale)
+    val out = docs.filter(isVal(col(idCol)))
+      .join(leaks, Seq(idCol), "left")
+      .withColumn("is_leaked", col("leak_from").isNotNull)
+      .localCheckpoint(eager = true)
+    banded.unpersist(blocking = false)
+    sets.unpersist(blocking = false)
+    out
+  }
+
   /** Has the tagged batch's store append already committed? The
     * marker is written strictly AFTER the segment files land in the
     * tables (see the tagged branch of [[markAgainstIndex]]), so a

@@ -101,6 +101,17 @@ object StoreLease {
     finally release(spark, root, owner)
   }
 
+  /** Force-delete a store's lease regardless of owner — the
+    * OPERATOR's break-glass verb (`Main lease --break`) for a writer
+    * known dead before the staleness window expires. Never called by
+    * library code: writers release their own leases, and
+    * [[acquire]]'s stale reclaim handles crashed ones. */
+  def break_(spark: SparkSession, root: String): Unit = {
+    val p = leasePath(root)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, false)
+    ()
+  }
+
   /** The current (owner, acquiredAtMs), if a lease is held. */
   def holder(spark: SparkSession, root: String): Option[(String, Long)] = {
     val p = leasePath(root)

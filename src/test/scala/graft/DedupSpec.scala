@@ -515,6 +515,29 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally Scratch.deleteRecursively(new java.io.File(root))
   }
 
+  test("split leakage guard: val docs near-dupping a train doc are flagged; val-only output") {
+    import spark.implicits._
+    // fold: id % 10 == 0 → val
+    val docs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // val = train 3
+      (3L, "the quick brown fox jumps over the lazy dog tonight"), // train
+      (20L, "totally new material never indexed before anywhere"), // val, clean
+      (7L, "completely different content about spark and catalyst"), // train
+      (30L, "completely different content about spark and catalyst today")) // val ~ train 7
+      .toDF("doc_id", "text")
+    val out = Dedup.splitLeakage(docs, "doc_id", "text",
+        id => pmod(id, lit(10)) === 0,
+        shingleN = 2, k = 64, bands = 32, threshold = 0.5)
+      .select("doc_id", "leak_from", "is_leaked")
+      .as[(Long, Option[Long], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // only the val fold comes back; train docs never appear
+    out.keySet shouldBe Set(10L, 20L, 30L)
+    out(10L) shouldBe ((Some(3L), true)) // exact copy of a train doc
+    out(20L) shouldBe ((None, false)) // clean val doc
+    out(30L) shouldBe ((Some(7L), true)) // near-dup (one word appended)
+  }
+
   test("tagged ingest (exactly-once): a retried batch leaves store and verdicts in the single-run state") {
     import spark.implicits._
     val root = java.nio.file.Files
@@ -561,6 +584,14 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
       ingest() shouldBe first
       storeState() shouldBe ((sh1, bd1))
       shingleFiles() shouldBe files1
+      // the committed-retry contract holds through the FORCED
+      // point-fetch re-score too (the big-store plan)
+      Dedup.ingestBatchAgainst(spark, batch, "doc_id", "text",
+          root + "/idx", 2, 64, 32, 0.5,
+          pointFetchMinStoreBytes = 0L, commitTag = Some("b0"))
+        .select("doc_id", "dup_of")
+        .as[(Long, Option[Long])].collect().toMap shouldBe first
+      storeState() shouldBe ((sh1, bd1))
       // retry of a HALF-LANDED append (crash after the file moves,
       // before the marker): segment files present, no marker — the
       // retry cleans its own tag files, redoes the append, re-seals

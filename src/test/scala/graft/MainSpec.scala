@@ -350,6 +350,23 @@ class MainSpec extends AnyFunSuite with SparkSpec with Matchers {
       .head.getLong(0) shouldBe nDocs
   }
 
+  test("lease verb inspects and force-breaks a store's writer lease") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_main_lease_").toString + "/store"
+    Main.run(spark, Seq("lease", root)).head should
+      include("no writer lease")
+    graft.sources.StoreLease.acquire(spark, root, "stream-7")
+    val held = Main.run(spark, Seq("lease", root))
+    held.head should include("held by stream-7")
+    // break-glass: force-reclaim, then the store is writable again
+    val broken = Main.run(spark, Seq("lease", root, "--break"))
+    broken.last should include("BROKEN")
+    Main.run(spark, Seq("lease", root)).head should
+      include("no writer lease")
+    graft.sources.StoreLease.acquire(spark, root, "next-writer")
+    graft.sources.StoreLease.release(spark, root, "next-writer")
+  }
+
   test("unknown command prints usage") {
     Main.run(spark, Seq("frobnicate")).head should include("usage")
     // malformed numeric args print usage instead of throwing
