@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.catalog.CatalogOps
 import graft.functions.{codec, hashes, text, urls, vectors}
 import graft.gen.Generator
-import graft.operators.{CorpusStats, Dedup, Multimodal, Relational, Similarity}
+import graft.operators.{CorpusStats, Dedup, Multimodal, Relational, Retrieval, Similarity}
 import graft.replay.Replay
 import graft.sources.{Bucketing, Layout, SnapshotIO}
 import graft.streaming.Streams
@@ -2814,7 +2814,70 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_val"),
           sum(when(col("is_leaked"), 1L).otherwise(0L)).as("n_leaked"),
           coalesce(sum(col("leak_from")), lit(0L)).as("sum_leak_from"))
-    })
+    }),
+
+    // ── NS text retrieval: BM25 TOP-K — batch lexical retrieval as a
+    // pure dataflow (no materialized index): ONE pruned body-grain
+    // scan keeps only query-vocabulary tokens, everything after is
+    // posting-grain, per-term contributions are 6-decimal-rounded and
+    // DECIMAL-summed, and WindowGroupLimit pre-prunes the per-query
+    // ranking (Retrieval.bm25TopK scaladoc carries the full 100 TB
+    // shape). Query texts are driver-side literals mirrored verbatim
+    // into the oracle's VALUES table ──
+    "q122_bm25_topk" -> ((s, dir) =>
+      Retrieval.bm25TopK(
+        Relational.widenForCpu(t(s, dir, "documents"), col("doc_id")),
+        "doc_id", "text", bm25Queries, k = 5)),
+
+    // ── NS corpus prep: TOKEN-WINDOW CHUNKING — the RAG/context-
+    // window splitter (32-token chunks, stride 24): chunk-grain rows
+    // with start offsets, tail-aware lengths, and per-chunk rolling
+    // fingerprints (chunk-level dedup/lineage keys). Pure per-row
+    // expression — zero shuffles, one linear pass at any corpus size;
+    // boundaries are integer-only arithmetic so both engines cut
+    // identical chunks ──
+    "q123_token_chunks" -> ((s, dir) =>
+      Relational.widenForCpu(t(s, dir, "documents"), col("doc_id"))
+        .select(col("doc_id"),
+          explode(text.tokenChunks(text.tokens(col("text")),
+            window = 32, stride = 24)).as("ch"))
+        .select(col("doc_id"), col("ch.chunk_idx").as("chunk_idx"),
+          col("ch.start_tok").as("start_tok"),
+          col("ch.n_toks").as("n_toks"), col("ch.fp").as("fp"))),
+
+    // ── NS training-data: TEMPERATURE-SCALED SOURCE MIXING (α = 1/2)
+    // — allocate a token budget across sources with weight ∝ √tokens,
+    // down-weighting giant crawl sources against small curated ones.
+    // Integer-only cut derivation (floor(√n) weights, BigInt ratio —
+    // Relational.temperatureMixCuts scaladoc) makes the selection
+    // exactly SQL-mirrorable with zero float-boundary risk; the
+    // corpus itself never shuffles (one bounded planning aggregate +
+    // one scan-time hash filter) ──
+    "q124_temperature_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cuts = Relational.temperatureMixCuts(docs, "source", "text",
+        budgetTokens = q124Budget)
+      Relational.temperatureMix(docs, col("source"), col("doc_id"), cuts)
+        .withColumn("n_tokens", text.tokenCount(col("text")).cast("long"))
+        .groupBy(col("source"), col("mix_cut"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tokens")).as("kept_tokens"))
+        .select(col("source"), col("mix_cut").as("cut"),
+          col("n_kept"), col("kept_tokens"))
+    }),
+
+    // ── NS corpus stats: ZIPF POWER-LAW FIT per source — the least-
+    // squares slope of ln(freq) vs ln(rank) over each source's top
+    // 1000 tokens: natural text sits near −1, so a drifted slope
+    // flags machine-generated floods or tokenizer damage in one
+    // number per source. Head-capped by construction (WindowGroupLimit
+    // prunes to the local top-1000 before the rank shuffle) and
+    // closed-form from decimal-summed rounded terms, so the fit is
+    // order-free exact (CorpusStats.zipfSlope scaladoc) ──
+    "q125_zipf_slope" -> ((s, dir) =>
+      CorpusStats.zipfSlope(
+        Relational.widenForCpu(t(s, dir, "documents"), col("text")),
+        "text", "source"))
   )
 
   /** q115's outlier threshold on the ROUNDED cosine-to-centroid
@@ -2822,6 +2885,23 @@ object SparkEntry {
     * identical values). Measured distributions: p5 ≈ −0.03..−0.04 —
     * −0.05 flags the anti-aligned 1–4% tail at every gate SF. */
   private val q115Cut: Double = -0.05
+
+  /** q122's BM25 query set (driver-side literals, mirrored verbatim
+    * into the oracle's VALUES table). Terms come from the fixture's
+    * own vocabulary; `dup` is the rare discriminating term (df ≈ 5%
+    * of docs), the rest are head terms, so the ranking exercises both
+    * high- and low-idf contributions. */
+  private val bm25Queries: Seq[(Int, String)] = Seq(
+    (1, "dup stream window"),
+    (2, "vector query fast"),
+    (3, "customer batch"))
+
+  /** q124's corpus-wide token budget (driver-side literal, mirrored
+    * into the oracle SQL verbatim). ≈ a third of the sf0.01 corpus,
+    * so cuts land strictly between 0 and 1000 there; at sf0.001 the
+    * per-source targets exceed the source sizes and the min(1000)
+    * saturation path runs — both regimes are gate-exercised. */
+  private val q124Budget: Long = 20000L
 
   /** The fixture's closed event-type vocabulary (driver-side literal:
     * pivot columns and the oracle's CASE sums must agree on it). */
@@ -4976,7 +5056,139 @@ object SparkEntry {
           |  CAST(SUM(n_chars) AS BIGINT) AS chars
           |FROM canon
           |WHERE domain NOT IN ('src2.example.com', 'src9.example.com')
-          |GROUP BY domain ORDER BY domain""".stripMargin
+          |GROUP BY domain ORDER BY domain""".stripMargin,
+
+      // BM25 re-derived end-to-end: same tokenizer, same pruned
+      // posting construction, same (N − df + 0.5)/(df + 0.5) + 1 idf
+      // and (k1, b) saturation with identical parenthesization, the
+      // same rounded-then-DECIMAL-summed contributions, and the same
+      // (score desc, doc_id) rank — term literals and (k1, b) are the
+      // shared driver-side constants
+      "q122_bm25_topk" -> {
+        val qtVals = bm25Queries.flatMap { case (qid, q) =>
+          q.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+            .map(t => s"($qid, '$t')")
+        }.mkString(", ")
+        val termsList = bm25Queries
+          .flatMap(_._2.trim.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+          .distinct.map(t => s"'$t'").mkString("[", ", ", "]")
+        val k1 = sqlDouble(1.2)
+        val k1p1 = sqlDouble(1.2 + 1.0)
+        val b = sqlDouble(0.75)
+        val oneMinusB = sqlDouble(1.0 - 0.75)
+        s"""WITH qt AS (SELECT * FROM (VALUES $qtVals) AS v(qid, tok)),
+           |t0 AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
+           |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           |    CAST(CAST(SUM(len(toks)) AS BIGINT) AS DOUBLE) /
+           |      CAST(COUNT(*) AS DOUBLE) AS avgdl
+           |  FROM t0),
+           |post AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |    unnest(list_filter(toks,
+           |      t -> list_contains($termsList, t))) AS tok
+           |  FROM t0),
+           |tf AS (SELECT doc_id, tok, max(dl) AS dl, COUNT(*) AS tf
+           |  FROM post GROUP BY doc_id, tok),
+           |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+           |sc AS (SELECT qt.qid, tf.doc_id,
+           |    round(
+           |      ln((st.n - CAST(df.df AS DOUBLE) + 0.5) /
+           |           (CAST(df.df AS DOUBLE) + 0.5) + 1.0) *
+           |      ((CAST(tf.tf AS DOUBLE) * $k1p1) /
+           |       (CAST(tf.tf AS DOUBLE) +
+           |        $k1 * ($oneMinusB + $b * (tf.dl / st.avgdl)))),
+           |      6) AS c
+           |  FROM tf JOIN df USING (tok) JOIN qt USING (tok)
+           |    CROSS JOIN st),
+           |agg AS (SELECT qid, doc_id,
+           |    CAST(SUM(CAST(c AS DECIMAL(20,6))) AS DOUBLE) AS score
+           |  FROM sc GROUP BY qid, doc_id),
+           |rk AS (SELECT qid, doc_id, score,
+           |    row_number() OVER (PARTITION BY qid
+           |      ORDER BY score DESC, doc_id ASC) AS rank
+           |  FROM agg)
+           |SELECT qid, CAST(rank AS INT) AS rank, doc_id, score
+           |FROM rk WHERE rank <= 5""".stripMargin
+      },
+
+      // identical integer-only chunk boundaries (1 + ceil((L−32)/24)
+      // chunks via truncating division; empty docs drop) and the
+      // shared rolling-fingerprint mirror over the same slices —
+      // DuckDB list_slice is (begin, inclusive-end), Spark slice is
+      // (begin, length): begin + n_toks − 1 = least(i·24 + 32, L)
+      "q123_token_chunks" ->
+        s"""WITH t0 AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
+           |m AS (SELECT doc_id, toks, len(toks) AS L,
+           |    CASE WHEN len(toks) = 0 THEN 0
+           |         ELSE 1 + (greatest(len(toks) - 32, 0) + 23) // 24
+           |    END AS n
+           |  FROM t0),
+           |ch AS (SELECT doc_id, toks, L, unnest(range(0, n)) AS i
+           |  FROM m)
+           |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           |  CAST(i * 24 + 1 AS INT) AS start_tok,
+           |  CAST(least(32, L - (i * 24 + 1) + 1) AS INT) AS n_toks,
+           |  ${hashes.rollingFingerprintSql(
+              "list_slice(toks, CAST(i * 24 + 1 AS BIGINT), " +
+                "least(i * 24 + 32, L))")} AS fp
+           |FROM ch""".stripMargin,
+
+      // the cut derivation re-done in SQL over the same integers:
+      // floor(sqrt) weights (IEEE sqrt is correctly rounded, so the
+      // BIGINT weights match exactly), HUGEINT ratio with truncating
+      // division, min(1000) saturation, then the same salted-hash
+      // selection as q65's mirror
+      "q124_temperature_mix" ->
+        s"""WITH per AS (SELECT source,
+           |    CAST(SUM(len($sqlTokens)) AS BIGINT) AS n
+           |  FROM documents GROUP BY source),
+           |w AS (SELECT source, n,
+           |    CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS ws
+           |  FROM per),
+           |d AS (SELECT CAST(SUM(ws) AS HUGEINT) AS denom FROM w),
+           |cuts AS (SELECT source, least(
+           |    (1000 * CAST($q124Budget AS HUGEINT) * CAST(ws AS HUGEINT))
+           |      // (denom * CAST(n AS HUGEINT)),
+           |    CAST(1000 AS HUGEINT)) AS cut
+           |  FROM w CROSS JOIN d),
+           |kept AS (SELECT doc.doc_id, doc.source,
+           |    len(${sqlTokensOf("doc.text")}) AS dl, c.cut
+           |  FROM documents doc JOIN cuts c ON doc.source = c.source
+           |  WHERE ${hashes.md5Hash60Sql(
+              "'mix-' || CAST(doc.doc_id AS VARCHAR)")} % 1000 < c.cut)
+           |SELECT source, CAST(cut AS BIGINT) AS cut,
+           |  COUNT(*) AS n_kept, CAST(SUM(dl) AS BIGINT) AS kept_tokens
+           |FROM kept GROUP BY source, cut""".stripMargin,
+
+      // the same total order (freq desc, token asc), the same top-1000
+      // head cap, and the same closed-form slope over decimal-summed
+      // 9-decimal ln() terms, with nullif mirroring the zero-variance
+      // NULL
+      "q125_zipf_slope" ->
+        s"""WITH pairs AS (SELECT source, unnest($sqlTokens) AS tok
+           |  FROM documents),
+           |freq AS (SELECT source, tok, COUNT(*) AS c
+           |  FROM pairs GROUP BY source, tok),
+           |rk AS (SELECT source, c,
+           |    row_number() OVER (PARTITION BY source
+           |      ORDER BY c DESC, tok ASC) AS r
+           |  FROM freq),
+           |pts AS (SELECT source,
+           |    round(ln(CAST(r AS DOUBLE)), 9) AS x,
+           |    round(ln(CAST(c AS DOUBLE)), 9) AS y
+           |  FROM rk WHERE r <= 1000),
+           |sums AS (SELECT source, COUNT(*) AS n,
+           |    CAST(SUM(CAST(x AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+           |    CAST(SUM(CAST(y AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+           |    CAST(SUM(CAST(round(x * y, 9) AS DECIMAL(28,9)))
+           |      AS DOUBLE) AS sxy,
+           |    CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(28,9)))
+           |      AS DOUBLE) AS sxx
+           |  FROM pts GROUP BY source)
+           |SELECT source, n AS n_ranks,
+           |  round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+           |    nullif(CAST(n AS DOUBLE) * sxx - sx * sx, 0), 6)
+           |    AS zipf_slope
+           |FROM sums""".stripMargin
     )
   }
 }

@@ -208,4 +208,40 @@ object text {
       .otherwise(transform(sequence(lit(0), k - 1),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
+
+  /** Token-window CHUNKS of a document — the RAG/context-window prep
+    * primitive: fixed `window`-token chunks every `stride` tokens
+    * (overlap = window − stride), each carrying its 1-based start
+    * offset, its actual token count (the tail chunk may be short), and
+    * the order-sensitive rolling fingerprint of its own token slice
+    * (chunk-level dedup/lineage key). Chunk count for a doc of L > 0
+    * tokens is 1 + ceil(max(L − window, 0) / stride); an empty doc
+    * yields an EMPTY array (explode drops it — mirror with unnest over
+    * an empty range). Pure per-row expression: zero shuffle, linear
+    * scan — chunking 100 TB is exactly one pass.
+    *
+    * Returns array<struct<chunk_idx int, start_tok int, n_toks int,
+    * fp long>>. The ceil is integer-only ((extra + stride − 1) d
+    * stride, truncating division — both engines floor non-negative
+    * ratios), so chunk boundaries are exactly mirrorable. */
+  def tokenChunks(toks: Column, window: Int, stride: Int): Column = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window: window=$window stride=$stride")
+    val L = size(toks)
+    val extra = greatest(L - lit(window), lit(0))
+    val nChunks = lit(1) +
+      ((extra + lit(stride - 1)).cast("double") / lit(stride.toDouble))
+        .cast("int")
+    when(L === 0, array().cast(
+      "array<struct<chunk_idx:int,start_tok:int,n_toks:int,fp:bigint>>"))
+      .otherwise(transform(sequence(lit(0), nChunks - 1), i => {
+        val start = i * stride + 1
+        val nt = least(lit(window), L - start + 1)
+        struct(
+          i.cast("int").as("chunk_idx"),
+          start.cast("int").as("start_tok"),
+          nt.cast("int").as("n_toks"),
+          hashes.rollingFingerprint(slice(toks, start, nt)).as("fp"))
+      }))
+  }
 }

@@ -420,4 +420,60 @@ object CorpusStats {
       .agg(max(col("_vd_ns")).as("n_tokens"), // constant per group
         sum(col("_vd_c").cast("decimal(28,9)")).cast("double").as("kl"))
   }
+
+  /** ZIPF power-law fit per source: the least-squares slope of
+    * ln(frequency) against ln(rank) over the top-`maxRank` tokens — a
+    * natural-language corpus sits near −1; a slope far off flags
+    * machine-generated text, boilerplate floods, or tokenizer damage
+    * in one number per ingest source (the corpus-health analog of
+    * [[vocabDrift]], sensitive to SHAPE rather than direction).
+    *
+    * The head cap is the operator, not a shortcut: Zipf fits are done
+    * on the distribution head (the tail bends for every real corpus),
+    * and it simultaneously bounds the regression input —
+    * WindowGroupLimit prunes every partition to its local top-maxRank
+    * BEFORE the rank shuffle, so the window state is O(maxRank) per
+    * source no matter how large the vocabulary grows (the q114 top-3
+    * convention with a per-source frame).
+    *
+    * Exactness: closed-form slope from DECIMAL-summed, 9-decimal-
+    * rounded ln() terms (the q113/q120 convention) — every sum is
+    * order-free, the final arithmetic is a fixed double expression
+    * over exact sums, and ranks are total-ordered by (freq desc, token
+    * asc), so both engines fit identical point sets. A single-rank
+    * source has zero x-variance — slope is NULL there (mirror with
+    * nullif). */
+  def zipfSlope(docs: DataFrame, textCol: String, sourceCol: String,
+      maxRank: Int = 1000): DataFrame = {
+    require(maxRank >= 2, s"need >= 2 ranks for a slope: $maxRank")
+    val freq = docs
+      .select(col(sourceCol).as("_zf_src"),
+        explode(text.tokens(col(textCol))).as("_zf_tok"))
+      .groupBy(col("_zf_src"), col("_zf_tok"))
+      .agg(count(lit(1)).as("_zf_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_zf_src"))
+      .orderBy(col("_zf_c").desc, col("_zf_tok").asc)
+    val ranked = freq.withColumn("_zf_r", row_number().over(w))
+      .filter(col("_zf_r") <= maxRank)
+      .select(col("_zf_src"),
+        round(log(col("_zf_r").cast("double")), 9).as("_zf_x"),
+        round(log(col("_zf_c").cast("double")), 9).as("_zf_y"))
+    def dsum(c: Column) = sum(c.cast("decimal(28,9)"))
+    val sums = ranked.groupBy(col("_zf_src"))
+      .agg(count(lit(1)).as("_zf_n"),
+        dsum(col("_zf_x")).cast("double").as("_zf_sx"),
+        dsum(col("_zf_y")).cast("double").as("_zf_sy"),
+        dsum(round(col("_zf_x") * col("_zf_y"), 9)).cast("double")
+          .as("_zf_sxy"),
+        dsum(round(col("_zf_x") * col("_zf_x"), 9)).cast("double")
+          .as("_zf_sxx"))
+    val n = col("_zf_n").cast("double")
+    val den = n * col("_zf_sxx") - col("_zf_sx") * col("_zf_sx")
+    sums.select(col("_zf_src").as(sourceCol),
+      col("_zf_n").as("n_ranks"),
+      round((n * col("_zf_sxy") - col("_zf_sx") * col("_zf_sy")) /
+        when(den === 0.0d, lit(null)).otherwise(den), 6)
+        .as("zipf_slope"))
+  }
 }

@@ -295,4 +295,65 @@ object Relational {
       concat(lit(saltPrefix), idCol.cast("string")))
     df.filter(pmod(h, lit(1000L)) < (rate * 1000.0).cast("long"))
   }
+
+  /** TEMPERATURE-scaled source-mixing cuts (α = 1/2): allocate a
+    * corpus-wide token `budget` across sources with weight ∝ √tokens —
+    * the standard down-weighting of giant crawl sources relative to
+    * small curated ones (α = 1 is proportional mixing, α = 0 uniform;
+    * 1/2 is the square-root temperature used throughout multilingual /
+    * multi-source training mixes). Returns, per source, the per-mille
+    * hash cut that [[temperatureMix]] applies.
+    *
+    * EXACTNESS BY CONSTRUCTION: the whole computation is integer-only.
+    * The weight is floor(√n) — IEEE sqrt is correctly rounded and
+    * floor is exact, so the BIGINT weight is bit-identical in any
+    * engine — and the cut is one BigInt expression
+    * min(1000, ⌊1000·budget·w_s / (Σw · n_s)⌋), so a SQL oracle
+    * (HUGEINT `//`) reproduces every cut exactly: no pow(), no
+    * rounding-boundary risk. Production α ≠ {0, ½, 1} needs pow() —
+    * apply the q113 rounded-decimal convention there.
+    *
+    * Scale shape: ONE aggregate over the corpus (per-source token
+    * sums; map-side combine collapses each partition to its ≤|sources|
+    * rows), then driver arithmetic on a |sources|-row array — the
+    * documented bounded planning-lookup convention (q67/q108/q113).
+    * The corpus itself never shuffles. */
+  def temperatureMixCuts(docs: DataFrame, stratumCol: String,
+      textCol: String, budgetTokens: Long): Seq[(String, Long)] = {
+    require(budgetTokens >= 0, s"budget must be >= 0: $budgetTokens")
+    val per = docs.groupBy(col(stratumCol))
+      .agg(sum(size(graft.functions.text.tokens(col(textCol)))
+        .cast("long")).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    val weights = per.map { case (s, n) =>
+      (s, n, BigInt(math.sqrt(n.toDouble).toLong))
+    }
+    val denom = weights.map(_._3).sum
+    weights.map { case (s, n, w) =>
+      val cut =
+        if (denom == 0 || n == 0L) BigInt(0)
+        else (BigInt(1000) * BigInt(budgetTokens) * w) /
+          (denom * BigInt(n))
+      (s, cut.min(BigInt(1000)).toLong)
+    }.toSeq
+  }
+
+  /** Apply [[temperatureMixCuts]]: keep a document iff its salted
+    * 60-bit hash lands under its source's per-mille cut — the same
+    * deterministic, engine-mirrorable selection as
+    * [[stratifiedSample]], with the rate derived from the corpus
+    * instead of passed in. Pure scan-time filter, zero shuffle. */
+  def temperatureMix(df: DataFrame, stratumCol: Column, idCol: Column,
+      cuts: Seq[(String, Long)],
+      saltPrefix: String = "mix-"): DataFrame = {
+    val cut = cuts.foldLeft(lit(0L)) { case (els, (k, c)) =>
+      when(stratumCol === k, lit(c)).otherwise(els)
+    }
+    val h = graft.functions.hashes.md5Hash60(
+      concat(lit(saltPrefix), idCol.cast("string")))
+    df.withColumn("mix_cut", cut)
+      .filter(pmod(h, lit(1000L)) < col("mix_cut"))
+  }
 }

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.text
+
+/** Sparse lexical retrieval over the document corpus: BM25 top-k — the
+  * classic inverted-index ranking function, here expressed as a pure
+  * dataflow (no materialized index) the way a batch retrieval pass
+  * runs over a training corpus: eval-set query mining, dedup
+  * explanations ("which docs does this query surface"), and
+  * RAG-candidate generation all reduce to it.
+  *
+  * The reference has no text retrieval at all (its only lookup is
+  * regex topic filtering, pulsar_remote_inspector.py:434-442); this is
+  * north-star surface (BASELINE.json "text analysis").
+  *
+  * Scale shape (100 TB): the ONLY body-grain work is one pruned scan —
+  * tokenize, keep the tokens that appear in ANY query (an
+  * `array_intersect`-style filter pushed into the same codegen stage),
+  * explode the survivors. Everything after that scan is posting-grain
+  * (rows ∝ docs containing a query term), exactly the volume a real
+  * inverted index would read: the per-(doc,term) tf aggregate, the
+  * term-keyed df aggregate (bounded by the query vocabulary — always
+  * broadcast back), and the per-query top-k. Corpus statistics (N,
+  * total token count) come from one planning aggregate over a
+  * column-pruned second scan — the q114 nDocs convention. The final
+  * ranking window partitions by query id: few partitions, but
+  * WindowGroupLimit prunes every task to its local top-k BEFORE the
+  * shuffle, so the skew ceiling is k·tasks rows per query, not the
+  * posting volume.
+  *
+  * Exactness: each per-term contribution is rounded to 6 decimals and
+  * DECIMAL-summed (order-free — the q113/q120 convention), and the
+  * rank compares the ROUNDED sum with the doc-id tiebreak, so both
+  * engines order identical values and ulp-level ln() divergence
+  * cannot flip ranks.
+  */
+object Retrieval {
+
+  /** BM25 top-`k` documents per query. `queries` are (query id, raw
+    * query text) — tokenized with the corpus tokenizer, deduplicated
+    * (BM25 sums each distinct query term once). Output: (qid, rank,
+    * doc_id, score), rank 1..k by (rounded score desc, doc_id asc).
+    * Documents sharing no term with a query never appear (their score
+    * is 0 and BM25 contributions are strictly positive). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Int, String)], k: Int = 5,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "bm25TopK needs at least one query")
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val qTerms: Seq[(Int, String)] = queries.flatMap { case (qid, q) =>
+      q.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+        .map(t => (qid, t))
+    }
+    val allTerms: Seq[String] = qTerms.map(_._2).distinct
+
+    // ONE planning aggregate for the two corpus statistics BM25 needs
+    // (the q114/q108 statistic convention — a 1-row broadcast
+    // crossJoin would plan a BNLJ for a scalar). Both derived values
+    // are plain integer-ratio doubles, so the oracle recomputes them
+    // bit-identically from the same integers.
+    val stats = docs.agg(
+      count(lit(1)).as("n"),
+      sum(size(text.tokens(col(textCol))).cast("long")).as("toks"))
+      .collect()(0)
+    val nDocs = stats.getLong(0).toDouble
+    val avgDl = stats.getLong(1).toDouble / nDocs
+
+    // the single body-grain pass: doc length + query-term postings.
+    // The HOF filter against the (small, literal) query vocabulary
+    // runs inside the scan stage, so only matching tokens explode.
+    val termsLit = array(allTerms.map(lit): _*)
+    val postings = docs.select(
+      col(idCol).as("doc_id"),
+      size(text.tokens(col(textCol))).cast("double").as("dl"),
+      explode(filter(text.tokens(col(textCol)),
+        t => array_contains(termsLit, t))).as("tok"))
+    val tf = postings.groupBy(col("doc_id"), col("tok"))
+      .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
+
+    // df over the postings we already pruned: a document counts once
+    // per term it contains. Bounded by the query vocabulary — AQE
+    // broadcasts it back.
+    val dfTab = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+
+    val qTab = qTerms.toDF("qid", "tok")
+    val tfD = col("tf").cast("double")
+    val idf = log(
+      (lit(nDocs) - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val tfn = (tfD * lit(k1 + 1.0)) /
+      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / lit(avgDl))))
+    val contrib = tf.join(dfTab, "tok")
+      .join(broadcast(qTab), "tok")
+      .select(col("qid"), col("doc_id"),
+        round(idf * tfn, 6).cast("decimal(20,6)").as("c"))
+
+    val scored = contrib.groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("c")).cast("double").as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("doc_id"), col("score"))
+  }
+}

@@ -229,4 +229,45 @@ class CorpusStatsSpec extends AnyFunSuite with SparkSpec with Matchers {
     // integer micros make the fold exact → partitioning cannot move it
     run(docs.repartition(7)) shouldBe expected
   }
+
+  test("zipfSlope recovers a planted power law and NULLs a " +
+    "single-rank source") {
+    import spark.implicits._
+    // Source "z": token t_r appears round(1000/r) times, r = 1..20 —
+    // an exact Zipf(1) head, so the fitted slope must sit near −1.
+    // Source "one": a single distinct token — zero x-variance → NULL.
+    val zipfText = (1 to 20).flatMap { r =>
+      Seq.fill(math.round(1000.0 / r).toInt)(f"t$r%02d")
+    }.mkString(" ")
+    val docs = Seq(("z", zipfText), ("one", "solo solo solo"))
+      .toDF("source", "text")
+    val out = CorpusStats.zipfSlope(docs, "text", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+      .toMap
+    out("one")._1 shouldBe 1L
+    out("one")._2 shouldBe None
+    out("z")._1 shouldBe 20L
+    val slope = out("z")._2.get
+    slope should (be > -1.05 and be < -0.95)
+    // order-free exactness: repartitioning cannot move the fit
+    val rerun = CorpusStats.zipfSlope(docs.repartition(5), "text", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+      .toMap
+    rerun shouldBe out
+  }
+
+  test("zipfSlope ranks ties deterministically and caps the head") {
+    import spark.implicits._
+    // 6 tokens all with frequency 2 — ranks decided by token order;
+    // maxRank = 3 keeps only the first three
+    val docs = Seq(("s", "f e d c b a f e d c b a")).toDF("source", "text")
+    val out3 = CorpusStats.zipfSlope(docs, "text", "source", maxRank = 3)
+      .collect()(0)
+    out3.getLong(1) shouldBe 3L
+    // all y equal (ln 2) → a flat fit: slope 0 up to the 9-decimal
+    // rounding of the summed terms
+    math.abs(out3.getDouble(2)) should be <= 1e-6
+  }
 }

@@ -329,4 +329,46 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec with Matchers {
       hk shouldBe hh
     }
   }
+
+  test("tokenChunks: boundaries, tail length, overlap, empty doc") {
+    import spark.implicits._
+    // 10 tokens, window 4, stride 3 → 1 + ceil(6/3) = 3 chunks at
+    // starts 1/4/7, all full-width (the last window reaches token 10
+    // exactly); 11 tokens → a 4th chunk at start 10 with the 2-token
+    // tail
+    val toks10 = (1 to 10).map(i => s"t$i").mkString(" ")
+    val toks11 = (1 to 11).map(i => s"t$i").mkString(" ")
+    val rows = Seq((1L, toks10), (2L, "a b"), (3L, ""), (4L, toks11))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        explode(text.tokenChunks(text.tokens(col("text")), 4, 3)).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.start_tok"),
+        col("c.n_toks"))
+      .as[(Long, Int, Int, Int)].collect().sorted
+    rows shouldBe Seq(
+      (1L, 0, 1, 4), (1L, 1, 4, 4), (1L, 2, 7, 4),
+      (2L, 0, 1, 2), // short doc → one chunk; empty doc → no rows
+      (4L, 0, 1, 4), (4L, 1, 4, 4), (4L, 2, 7, 4), (4L, 3, 10, 2))
+  }
+
+  test("tokenChunks: fingerprints are the slice's rolling fingerprint") {
+    import spark.implicits._
+    import graft.functions.hashes
+    // overlapping chunks of the same doc must hash their OWN slices:
+    // chunk 0 = tokens 1..4, chunk 1 = tokens 4..7 — compare against
+    // a direct rollingFingerprint of each slice
+    val doc = Seq(("a b c d e f g")).toDF("text")
+    val got = doc.select(
+      explode(text.tokenChunks(text.tokens(col("text")), 4, 3)).as("c"))
+      .select(col("c.chunk_idx"), col("c.fp")).as[(Int, Long)]
+      .collect().toMap
+    val direct = doc.select(
+      hashes.rollingFingerprint(slice(text.tokens(col("text")), 1, 4))
+        .as("a"),
+      hashes.rollingFingerprint(slice(text.tokens(col("text")), 4, 4))
+        .as("b")).as[(Long, Long)].collect()(0)
+    got(0) shouldBe direct._1 // (a b c d)
+    got(1) shouldBe direct._2 // (d e f g)
+    got(0) should not be got(1)
+  }
 }

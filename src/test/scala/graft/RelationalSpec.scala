@@ -377,4 +377,49 @@ class RelationalSpec extends AnyFunSuite with SparkSpec with Matchers {
     an[IllegalArgumentException] should be thrownBy
       Relational.stratifiedSample(df, col("src"), col("id"), Map("a" -> 1.5))
   }
+
+  test("temperatureMixCuts: √-weights flatten the allocation and " +
+    "saturate small sources") {
+    import spark.implicits._
+    // big = 100 docs × 8 tokens = 800; small = 10 × 8 = 80
+    val docs = ((0L until 100L).map(i => (i, "big", "a b c d e f g h")) ++
+      (100L until 110L).map(i => (i, "small", "a b c d e f g h")))
+      .toDF("doc_id", "source", "text")
+    val cuts = Relational
+      .temperatureMixCuts(docs, "source", "text", budgetTokens = 160L)
+      .toMap
+    // integer replay of the documented formula: w = floor(√n),
+    // cut = min(1000, ⌊1000·budget·w / (Σw·n)⌋)
+    val (wB, wS) = (math.sqrt(800.0).toLong, math.sqrt(80.0).toLong)
+    val denom = wB + wS
+    cuts("big") shouldBe
+      math.min(1000L, 1000L * 160L * wB / (denom * 800L))
+    cuts("small") shouldBe
+      math.min(1000L, 1000L * 160L * wS / (denom * 80L))
+    // temperature: the small source gets a strictly HIGHER rate than
+    // the big one (α = 1/2 up-weights small sources per token)
+    cuts("small") should be > cuts("big")
+    // a budget beyond the corpus saturates every cut at 1000
+    Relational.temperatureMixCuts(docs, "source", "text", 1000000L)
+      .toMap.values.toSet shouldBe Set(1000L)
+  }
+
+  test("temperatureMix applies the cuts deterministically under " +
+    "repartitioning") {
+    import spark.implicits._
+    val docs = (0L until 400L)
+      .map(i => (i, if (i % 2 == 0) "a" else "b", "x y z"))
+      .toDF("doc_id", "source", "text")
+    val cuts = Relational.temperatureMixCuts(docs, "source", "text", 300L)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      Relational.temperatureMix(df, col("source"), col("doc_id"), cuts)
+        .select("doc_id").as[Long].collect().toSet
+    val base = ids(docs)
+    base.nonEmpty shouldBe true
+    base.size should be < 400 // the budget is a strict subsample here
+    ids(docs.orderBy(rand(3)).repartition(7)) shouldBe base
+    // zero cut drops the stratum entirely
+    Relational.temperatureMix(docs, col("source"), col("doc_id"),
+      Seq("a" -> 0L, "b" -> 0L)).count() shouldBe 0L
+  }
 }

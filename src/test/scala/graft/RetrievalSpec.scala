@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.operators.Retrieval
+
+class RetrievalSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  // Four documents with known term statistics: "apple" in 3 docs,
+  // "rare" in 1, "pear" in 2, doc 4 shares nothing with the queries.
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      (1L, "apple pear apple"),          // dl 3
+      (2L, "apple rare"),                // dl 2
+      (3L, "pear apple banana banana"),  // dl 4
+      (4L, "kiwi kiwi kiwi"))            // dl 3
+      .toDF("doc_id", "text")
+  }
+
+  /** One term's 6-decimal-rounded contribution, as the engine's
+    * decimal accumulator sees it (sum contributions as BigDecimal
+    * before converting — matching the order-free decimal sum). */
+  private def bm25(tf: Long, df: Long, dl: Long, n: Double,
+      avgdl: Double, k1: Double = 1.2, b: Double = 0.75): BigDecimal = {
+    val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    val tfn = (tf * (k1 + 1.0)) /
+      (tf + k1 * ((1.0 - b) + b * (dl / avgdl)))
+    BigDecimal(idf * tfn).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+  }
+
+  test("bm25TopK matches the hand-computed ranking and scores") {
+    val out = Retrieval
+      .bm25TopK(corpus, "doc_id", "text", Seq((1, "apple rare")), k = 10)
+      .collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val n = 4.0
+    val avgdl = 12.0 / 4.0
+    // doc 2: apple tf1 df3 + rare tf1 df1 — the rare term dominates
+    val d2 = (bm25(1, 3, 2, n, avgdl) + bm25(1, 1, 2, n, avgdl)).toDouble
+    // doc 1: apple tf2; doc 3: apple tf1 at dl 4
+    val d1 = bm25(2, 3, 3, n, avgdl).toDouble
+    val d3 = bm25(1, 3, 4, n, avgdl).toDouble
+    out shouldBe Array((1, 2L, d2), (2, 1L, d1), (3, 3L, d3))
+  }
+
+  test("documents sharing no query term never appear; k truncates") {
+    val out = Retrieval
+      .bm25TopK(corpus, "doc_id", "text", Seq((7, "apple pear")), k = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    out.map(_._3) should not contain 4L // kiwi-only doc has score 0
+    out.length shouldBe 2               // k caps the per-query list
+    out.map(_._2).sorted shouldBe Array(1, 2)
+  }
+
+  test("query tokenization dedups terms and normalizes case") {
+    // "APPLE apple" is ONE distinct term — the score must equal the
+    // single-term query's, not double it
+    val once = Retrieval
+      .bm25TopK(corpus, "doc_id", "text", Seq((1, "apple")), k = 1)
+      .collect()(0).getDouble(3)
+    val twice = Retrieval
+      .bm25TopK(corpus, "doc_id", "text", Seq((1, "APPLE  apple")), k = 1)
+      .collect()(0).getDouble(3)
+    twice shouldBe once
+  }
+
+  test("ties rank by ascending doc id") {
+    import spark.implicits._
+    val tied = Seq((5L, "x y"), (2L, "x y"), (9L, "x y"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(tied, "doc_id", "text",
+      Seq((1, "x")), k = 3).collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    out shouldBe Array((1, 2L), (2, 5L), (3, 9L))
+  }
+}
