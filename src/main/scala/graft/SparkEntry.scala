@@ -2854,6 +2854,12 @@ object SparkEntry {
     // corpus itself never shuffles (one bounded planning aggregate +
     // one scan-time hash filter) ──
     "q124_temperature_mix" -> ((s, dir) => {
+      // deliberately NOT widenForCpu'd: measured at sf0.1, widening
+      // cost 2.97 s / 24.4 cpu-s vs 0.88 s / 4.0 cpu-s unwidened —
+      // the q105/q106 pattern (the 1-task CPU is JIT compiler
+      // threads, not task work, and the widen shuffles full text
+      // bodies for nothing). At scale the scan is one task PER FILE,
+      // which is exactly the right width.
       val docs = t(s, dir, "documents")
       val cuts = Relational.temperatureMixCuts(docs, "source", "text",
         budgetTokens = q124Budget)
@@ -2877,7 +2883,29 @@ object SparkEntry {
     "q125_zipf_slope" -> ((s, dir) =>
       CorpusStats.zipfSlope(
         Relational.widenForCpu(t(s, dir, "documents"), col("text")),
-        "text", "source"))
+        "text", "source")),
+
+    // ── NS text retrieval, AT-REST form: q122's BM25 against a
+    // bucket-clustered POSTINGS INDEX (the text analog of the q101
+    // quantized ANN store) — build bills in-query (the q76/q101
+    // store-billing convention), the query reads ONLY files whose
+    // bucket span intersects the query terms' hash buckets, and the
+    // result is equal to the dataflow form by construction (one
+    // shared scoring chain — RetrievalSpec pins equality + pruning).
+    // Bounded k·|queries| collect before the scratch store is
+    // deleted (the q101 convention) ──
+    "q126_bm25_indexed" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q126_").toString
+      val store = root + "/postings_at_rest"
+      Retrieval.writePostingsIndex(t(s, dir, "documents"),
+        "doc_id", "text", store, nBuckets = 64, numFiles = 8)
+      val res = Retrieval.bm25TopKIndexed(s, store, bm25Queries, k = 5)
+      val rows =
+        try res.collect()
+        finally Scratch.deleteRecursively(new java.io.File(root))
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+    })
   )
 
   /** q115's outlier threshold on the ROUNDED cosine-to-centroid
@@ -2902,6 +2930,56 @@ object SparkEntry {
     * per-source targets exceed the source sizes and the min(1000)
     * saturation path runs — both regimes are gate-exercised. */
   private val q124Budget: Long = 20000L
+
+  /** The independent DuckDB BM25 recompute shared by q122 (dataflow)
+    * and q126 (at-rest postings index): the two engine forms share one
+    * scoring chain over identical inputs, so one oracle verifies
+    * both. */
+  private lazy val bm25OracleSql: String = {
+    val qtVals = bm25Queries.flatMap { case (qid, q) =>
+      q.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+        .map(t => s"($qid, '$t')")
+    }.mkString(", ")
+    val termsList = bm25Queries
+      .flatMap(_._2.trim.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+      .distinct.map(t => s"'$t'").mkString("[", ", ", "]")
+    val k1 = sqlDouble(1.2)
+    val k1p1 = sqlDouble(1.2 + 1.0)
+    val b = sqlDouble(0.75)
+    val oneMinusB = sqlDouble(1.0 - 0.75)
+    s"""WITH qt AS (SELECT * FROM (VALUES $qtVals) AS v(qid, tok)),
+       |t0 AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
+       |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |    CAST(CAST(SUM(len(toks)) AS BIGINT) AS DOUBLE) /
+       |      CAST(COUNT(*) AS DOUBLE) AS avgdl
+       |  FROM t0),
+       |post AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+       |    unnest(list_filter(toks,
+       |      t -> list_contains($termsList, t))) AS tok
+       |  FROM t0),
+       |tf AS (SELECT doc_id, tok, max(dl) AS dl, COUNT(*) AS tf
+       |  FROM post GROUP BY doc_id, tok),
+       |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+       |sc AS (SELECT qt.qid, tf.doc_id,
+       |    round(
+       |      ln((st.n - CAST(df.df AS DOUBLE) + 0.5) /
+       |           (CAST(df.df AS DOUBLE) + 0.5) + 1.0) *
+       |      ((CAST(tf.tf AS DOUBLE) * $k1p1) /
+       |       (CAST(tf.tf AS DOUBLE) +
+       |        $k1 * ($oneMinusB + $b * (tf.dl / st.avgdl)))),
+       |      6) AS c
+       |  FROM tf JOIN df USING (tok) JOIN qt USING (tok)
+       |    CROSS JOIN st),
+       |agg AS (SELECT qid, doc_id,
+       |    CAST(SUM(CAST(c AS DECIMAL(20,6))) AS DOUBLE) AS score
+       |  FROM sc GROUP BY qid, doc_id),
+       |rk AS (SELECT qid, doc_id, score,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY score DESC, doc_id ASC) AS rank
+       |  FROM agg)
+       |SELECT qid, CAST(rank AS INT) AS rank, doc_id, score
+       |FROM rk WHERE rank <= 5""".stripMargin
+  }
 
   /** The fixture's closed event-type vocabulary (driver-side literal:
     * pivot columns and the oracle's CASE sums must agree on it). */
@@ -5064,51 +5142,15 @@ object SparkEntry {
       // same rounded-then-DECIMAL-summed contributions, and the same
       // (score desc, doc_id) rank — term literals and (k1, b) are the
       // shared driver-side constants
-      "q122_bm25_topk" -> {
-        val qtVals = bm25Queries.flatMap { case (qid, q) =>
-          q.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
-            .map(t => s"($qid, '$t')")
-        }.mkString(", ")
-        val termsList = bm25Queries
-          .flatMap(_._2.trim.toLowerCase.split("\\s+")).filter(_.nonEmpty)
-          .distinct.map(t => s"'$t'").mkString("[", ", ", "]")
-        val k1 = sqlDouble(1.2)
-        val k1p1 = sqlDouble(1.2 + 1.0)
-        val b = sqlDouble(0.75)
-        val oneMinusB = sqlDouble(1.0 - 0.75)
-        s"""WITH qt AS (SELECT * FROM (VALUES $qtVals) AS v(qid, tok)),
-           |t0 AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
-           |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-           |    CAST(CAST(SUM(len(toks)) AS BIGINT) AS DOUBLE) /
-           |      CAST(COUNT(*) AS DOUBLE) AS avgdl
-           |  FROM t0),
-           |post AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
-           |    unnest(list_filter(toks,
-           |      t -> list_contains($termsList, t))) AS tok
-           |  FROM t0),
-           |tf AS (SELECT doc_id, tok, max(dl) AS dl, COUNT(*) AS tf
-           |  FROM post GROUP BY doc_id, tok),
-           |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
-           |sc AS (SELECT qt.qid, tf.doc_id,
-           |    round(
-           |      ln((st.n - CAST(df.df AS DOUBLE) + 0.5) /
-           |           (CAST(df.df AS DOUBLE) + 0.5) + 1.0) *
-           |      ((CAST(tf.tf AS DOUBLE) * $k1p1) /
-           |       (CAST(tf.tf AS DOUBLE) +
-           |        $k1 * ($oneMinusB + $b * (tf.dl / st.avgdl)))),
-           |      6) AS c
-           |  FROM tf JOIN df USING (tok) JOIN qt USING (tok)
-           |    CROSS JOIN st),
-           |agg AS (SELECT qid, doc_id,
-           |    CAST(SUM(CAST(c AS DECIMAL(20,6))) AS DOUBLE) AS score
-           |  FROM sc GROUP BY qid, doc_id),
-           |rk AS (SELECT qid, doc_id, score,
-           |    row_number() OVER (PARTITION BY qid
-           |      ORDER BY score DESC, doc_id ASC) AS rank
-           |  FROM agg)
-           |SELECT qid, CAST(rank AS INT) AS rank, doc_id, score
-           |FROM rk WHERE rank <= 5""".stripMargin
-      },
+      "q122_bm25_topk" -> bm25OracleSql,
+
+      // the indexed form is result-equal BY CONSTRUCTION (one shared
+      // scoring chain over identical df/tf/dl/N inputs — the store
+      // changes where postings are READ from, never their values), so
+      // the same independent BM25 recompute verifies it; RetrievalSpec
+      // additionally pins engine-side result equality and the store's
+      // file pruning
+      "q126_bm25_indexed" -> bm25OracleSql,
 
       // identical integer-only chunk boundaries (1 + ceil((L−32)/24)
       // chunks via truncating division; empty docs drop) and the

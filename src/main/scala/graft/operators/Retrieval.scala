@@ -1,63 +1,107 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.text
+import graft.sources.Layout
 
 /** Sparse lexical retrieval over the document corpus: BM25 top-k — the
-  * classic inverted-index ranking function, here expressed as a pure
-  * dataflow (no materialized index) the way a batch retrieval pass
-  * runs over a training corpus: eval-set query mining, dedup
-  * explanations ("which docs does this query surface"), and
-  * RAG-candidate generation all reduce to it.
+  * classic inverted-index ranking function, in two forms: a pure
+  * dataflow (no materialized index) for one-shot batch retrieval, and
+  * an AT-REST POSTINGS INDEX (the text analog of the quantized ANN
+  * store, Layout.clusteredWrite) for repeated query batches over a
+  * static corpus.
   *
   * The reference has no text retrieval at all (its only lookup is
   * regex topic filtering, pulsar_remote_inspector.py:434-442); this is
   * north-star surface (BASELINE.json "text analysis").
   *
-  * Scale shape (100 TB): the ONLY body-grain work is one pruned scan —
-  * tokenize, keep the tokens that appear in ANY query (an
-  * `array_intersect`-style filter pushed into the same codegen stage),
-  * explode the survivors. Everything after that scan is posting-grain
-  * (rows ∝ docs containing a query term), exactly the volume a real
-  * inverted index would read: the per-(doc,term) tf aggregate, the
-  * term-keyed df aggregate (bounded by the query vocabulary — always
-  * broadcast back), and the per-query top-k. Corpus statistics (N,
-  * total token count) come from one planning aggregate over a
-  * column-pruned second scan — the q114 nDocs convention. The final
-  * ranking window partitions by query id: few partitions, but
-  * WindowGroupLimit prunes every task to its local top-k BEFORE the
-  * shuffle, so the skew ceiling is k·tasks rows per query, not the
-  * posting volume.
+  * Scale shape, dataflow form (100 TB): the ONLY body-grain work is
+  * one pruned scan — tokenize, keep the tokens that appear in ANY
+  * query (an `array_intersect`-style filter pushed into the same
+  * codegen stage), explode the survivors. Everything after that scan
+  * is posting-grain (rows ∝ docs containing a query term), exactly the
+  * volume a real inverted index would read: the per-(doc,term) tf
+  * aggregate, the term-keyed df aggregate (bounded by the query
+  * vocabulary — always broadcast back), and the per-query top-k.
+  * Corpus statistics (N, total token count) come from one planning
+  * aggregate over a column-pruned second scan — the q114 nDocs
+  * convention. The final ranking window partitions by query id: few
+  * partitions, but WindowGroupLimit prunes every task to its local
+  * top-k BEFORE the shuffle, so the skew ceiling is k·tasks rows per
+  * query, not the posting volume.
+  *
+  * Scale shape, indexed form: the corpus is tokenized ONCE at build
+  * time into a bucket-clustered posting store (token-hash buckets —
+  * every term's postings are contiguous in one bucket's files); a
+  * query batch then reads ONLY the files whose bucket span intersects
+  * its terms' buckets (the q101 clustered-scan pruning), never the
+  * corpus. Build cost amortizes across query batches; query cost is
+  * (matching postings) + a bounded stats lookup.
   *
   * Exactness: each per-term contribution is rounded to 6 decimals and
   * DECIMAL-summed (order-free — the q113/q120 convention), and the
   * rank compares the ROUNDED sum with the doc-id tiebreak, so both
   * engines order identical values and ulp-level ln() divergence
-  * cannot flip ranks.
+  * cannot flip ranks. The two forms share one scoring chain and are
+  * result-equal by construction (spec-pinned).
   */
 object Retrieval {
 
-  /** BM25 top-`k` documents per query. `queries` are (query id, raw
-    * query text) — tokenized with the corpus tokenizer, deduplicated
-    * (BM25 sums each distinct query term once). Output: (qid, rank,
-    * doc_id, score), rank 1..k by (rounded score desc, doc_id asc).
-    * Documents sharing no term with a query never appear (their score
-    * is 0 and BM25 contributions are strictly positive). */
+  private def tokenizeQueries(
+      queries: Seq[(Int, String)]): Seq[(Int, String)] =
+    queries.flatMap { case (qid, q) =>
+      q.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+        .map(t => (qid, t))
+    }
+
+  /** The shared BM25 scoring chain over a posting frame
+    * (doc_id, tok, dl, tf): idf · saturated-tf per (query, doc, term),
+    * rounded and decimal-summed per (query, doc), ranked per query. */
+  private def scoreAndRank(tf: DataFrame, qTerms: Seq[(Int, String)],
+      nDocs: Double, avgDl: Double, k: Int, k1: Double,
+      b: Double): DataFrame = {
+    val spark = tf.sparkSession
+    import spark.implicits._
+    // df over the (already query-pruned) postings: a document counts
+    // once per term it contains. Bounded by the query vocabulary —
+    // AQE broadcasts it back.
+    val dfTab = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val qTab = qTerms.toDF("qid", "tok")
+    val tfD = col("tf").cast("double")
+    val idf = log(
+      (lit(nDocs) - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val tfn = (tfD * lit(k1 + 1.0)) /
+      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / lit(avgDl))))
+    val contrib = tf.join(dfTab, "tok")
+      .join(broadcast(qTab), "tok")
+      .select(col("qid"), col("doc_id"),
+        round(idf * tfn, 6).cast("decimal(20,6)").as("c"))
+    val scored = contrib.groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("c")).cast("double").as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("doc_id"), col("score"))
+  }
+
+  /** BM25 top-`k` documents per query, dataflow form. `queries` are
+    * (query id, raw query text) — tokenized with the corpus tokenizer,
+    * deduplicated (BM25 sums each distinct query term once). Output:
+    * (qid, rank, doc_id, score), rank 1..k by (rounded score desc,
+    * doc_id asc). Documents sharing no term with a query never appear
+    * (their score is 0 and BM25 contributions are strictly
+    * positive). */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queries: Seq[(Int, String)], k: Int = 5,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queries.nonEmpty, "bm25TopK needs at least one query")
     require(k >= 1, s"k must be >= 1: $k")
-    val spark = docs.sparkSession
-    import spark.implicits._
-
-    val qTerms: Seq[(Int, String)] = queries.flatMap { case (qid, q) =>
-      q.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
-        .map(t => (qid, t))
-    }
+    val qTerms = tokenizeQueries(queries)
     val allTerms: Seq[String] = qTerms.map(_._2).distinct
 
     // ONE planning aggregate for the two corpus statistics BM25 needs
@@ -83,30 +127,68 @@ object Retrieval {
         t => array_contains(termsLit, t))).as("tok"))
     val tf = postings.groupBy(col("doc_id"), col("tok"))
       .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
+    scoreAndRank(tf, qTerms, nDocs, avgDl, k, k1, b)
+  }
 
-    // df over the postings we already pruned: a document counts once
-    // per term it contains. Bounded by the query vocabulary — AQE
-    // broadcasts it back.
-    val dfTab = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+  /** Build the at-rest postings index under `root`: the full
+    * (doc, term) posting list — term-hash `bucket`, doc_id, tf, and
+    * the doc length dl denormalized onto every posting (the standard
+    * inverted-index payload, so scoring needs no doc-table join) —
+    * clustered on bucket via Layout.clusteredWrite (contiguous
+    * non-overlapping bucket spans per file → a term predicate prunes
+    * files), plus a one-row `stats` table (N, total tokens, bucket
+    * count) the query side needs. ONE tokenize pass over the corpus;
+    * the single shuffle is the (doc, tok) aggregate. Writer-safe via
+    * the store lease inside clusteredWrite. */
+  def writePostingsIndex(docs: DataFrame, idCol: String, textCol: String,
+      root: String, nBuckets: Int = 64, numFiles: Int = 8): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
+    val postings = docs
+      .select(col(idCol).as("doc_id"),
+        size(text.tokens(col(textCol))).cast("double").as("dl"),
+        explode(text.tokens(col(textCol))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("tok")), lit(nBuckets.toLong)))
+    Layout.clusteredWrite(postings, s"$root/postings", numFiles,
+      col("bucket"))
+    docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(text.tokens(col(textCol))).cast("long")).as("n_tokens"),
+      lit(nBuckets).as("n_buckets"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/stats")
+  }
 
-    val qTab = qTerms.toDF("qid", "tok")
-    val tfD = col("tf").cast("double")
-    val idf = log(
-      (lit(nDocs) - col("df").cast("double") + lit(0.5)) /
-        (col("df").cast("double") + lit(0.5)) + lit(1.0))
-    val tfn = (tfD * lit(k1 + 1.0)) /
-      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / lit(avgDl))))
-    val contrib = tf.join(dfTab, "tok")
-      .join(broadcast(qTab), "tok")
-      .select(col("qid"), col("doc_id"),
-        round(idf * tfn, 6).cast("decimal(20,6)").as("c"))
+  /** BM25 top-k against a [[writePostingsIndex]] store: result-equal
+    * to [[bm25TopK]] over the same corpus (same scoring chain, same
+    * exact df/tf/dl/N inputs), but the corpus is never touched — the
+    * scan reads only the posting files whose bucket span intersects
+    * the query terms' buckets (bucket + term predicates both reach
+    * the parquet scan). Query-term buckets come from the SAME hash
+    * kernel as the stored column, evaluated through a bounded
+    * planning job (the q101 query-bucket convention). */
+  def bm25TopKIndexed(spark: SparkSession, root: String,
+      queries: Seq[(Int, String)], k: Int = 5,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "bm25TopKIndexed needs at least one query")
+    require(k >= 1, s"k must be >= 1: $k")
+    import spark.implicits._
+    val qTerms = tokenizeQueries(queries)
+    val allTerms: Seq[String] = qTerms.map(_._2).distinct
 
-    val scored = contrib.groupBy(col("qid"), col("doc_id"))
-      .agg(sum(col("c")).cast("double").as("score"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("score").desc, col("doc_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("doc_id"), col("score"))
+    val st = spark.read.parquet(s"$root/stats").collect()(0)
+    val nDocs = st.getLong(0).toDouble
+    val avgDl = st.getLong(1).toDouble / nDocs
+    val nBuckets = st.getInt(2)
+
+    // term → bucket through the same engine kernel as the store
+    // (bounded planning job over the query vocabulary)
+    val buckets: Seq[Long] = allTerms.toDF("tok")
+      .select(pmod(xxhash64(col("tok")), lit(nBuckets.toLong)))
+      .as[Long].collect().distinct.toSeq
+    val tf = spark.read.parquet(s"$root/postings")
+      .filter(col("bucket").isin(buckets: _*) &&
+        col("tok").isin(allTerms: _*))
+      .select(col("doc_id"), col("tok"), col("dl"), col("tf"))
+    scoreAndRank(tf, qTerms, nDocs, avgDl, k, k1, b)
   }
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -75,5 +76,46 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec with Matchers {
       Seq((1, "x")), k = 3).collect()
       .map(r => (r.getInt(1), r.getLong(2)))
     out shouldBe Array((1, 2L), (2, 5L), (3, 9L))
+  }
+
+  test("indexed form equals the dataflow form and prunes the store") {
+    import spark.implicits._
+    // enough distinct tokens to spread across buckets/files: 200 docs
+    // over a 60-token vocabulary plus per-doc unique noise tokens
+    val docs = (0L until 200L).map { i =>
+      val shared = (0 until 6)
+        .map(j => s"w${(i * 7 + j * 13) % 60}").mkString(" ")
+      (i, s"$shared uniq$i")
+    }.toDF("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_retr_idx_").toString
+    val store = root + "/postings"
+    try {
+      Retrieval.writePostingsIndex(docs, "doc_id", "text", store,
+        nBuckets = 32, numFiles = 8)
+      val queries = Seq((1, "w3 w17"), (2, "uniq42 w55"))
+      val direct = Retrieval
+        .bm25TopK(docs, "doc_id", "text", queries, k = 5)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).sortBy(t => (t._1, t._2))
+      val indexed = Retrieval
+        .bm25TopKIndexed(spark, store, queries, k = 5)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).sortBy(t => (t._1, t._2))
+      indexed shouldBe direct
+      direct.nonEmpty shouldBe true
+
+      // the bucket predicate actually prunes: the posting scan for
+      // one term must touch fewer files than the store holds
+      val buckets = Seq("w3").toDF("tok")
+        .select(pmod(xxhash64(col("tok")), lit(32L))).as[Long].collect()
+      val touched = spark.read.parquet(s"$store/postings")
+        .filter(col("bucket").isin(buckets: _*))
+        .select(input_file_name()).distinct().count()
+      val total = spark.read.parquet(s"$store/postings")
+        .select(input_file_name()).distinct().count()
+      total shouldBe 8L
+      touched should be < total
+    } finally Scratch.deleteRecursively(new java.io.File(root))
   }
 }
