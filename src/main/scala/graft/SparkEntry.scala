@@ -2900,11 +2900,33 @@ object SparkEntry {
       val store = root + "/postings_at_rest"
       Retrieval.writePostingsIndex(t(s, dir, "documents"),
         "doc_id", "text", store, nBuckets = 64, numFiles = 8)
-      val res = Retrieval.bm25TopKIndexed(s, store, bm25Queries, k = 5)
-      val rows =
-        try res.collect()
-        finally Scratch.deleteRecursively(new java.io.File(root))
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      materializeThenClean(s,
+        Retrieval.bm25TopKIndexed(s, store, bm25Queries, k = 5), root)
+    }),
+
+    // ── NS text retrieval, INCREMENTAL store lifecycle: q126's
+    // postings index grown by SEGMENT APPEND (the q103 ANN-segment
+    // convention — a 100 TB index cannot be rewritten per crawl
+    // batch): base segment over half the corpus, one appended ingest
+    // segment over the rest, per-segment additive stats merged at
+    // query time. df/tf/dl come out identical to a from-scratch
+    // build — postings are doc-local, so segmenting by doc never
+    // changes a term's global posting set — making the appended
+    // store result-equal to the q122 dataflow, which the shared
+    // oracle verifies end-to-end ──
+    "q127_bm25_index_append" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q127_").toString
+      val store = root + "/postings_segmented"
+      val docs = t(s, dir, "documents")
+      Retrieval.appendPostingsSegment(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        store, "base", nBuckets = 64, numFiles = 8)
+      Retrieval.appendPostingsSegment(
+        docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text",
+        store, "ingest1", nBuckets = 64, numFiles = 4)
+      materializeThenClean(s,
+        Retrieval.bm25TopKIndexed(s, store, bm25Queries, k = 5), root)
     })
   )
 
@@ -5151,6 +5173,13 @@ object SparkEntry {
       // additionally pins engine-side result equality and the store's
       // file pruning
       "q126_bm25_indexed" -> bm25OracleSql,
+
+      // the appended store must converge to the identical answer:
+      // postings are doc-local, so segmenting by doc changes no term's
+      // global posting set and the merged additive stats equal the
+      // from-scratch aggregate — the full-corpus recompute verifies
+      // the whole append lifecycle end-to-end
+      "q127_bm25_index_append" -> bm25OracleSql,
 
       // identical integer-only chunk boundaries (1 + ceil((L−32)/24)
       // chunks via truncating division; empty docs drop) and the

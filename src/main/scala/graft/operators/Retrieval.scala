@@ -140,22 +140,55 @@ object Retrieval {
     * count) the query side needs. ONE tokenize pass over the corpus;
     * the single shuffle is the (doc, tok) aggregate. Writer-safe via
     * the store lease inside clusteredWrite. */
-  def writePostingsIndex(docs: DataFrame, idCol: String, textCol: String,
-      root: String, nBuckets: Int = 64, numFiles: Int = 8): Unit = {
-    require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
-    val postings = docs
+  private def postingsOf(docs: DataFrame, idCol: String,
+      textCol: String, nBuckets: Int): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"),
         size(text.tokens(col(textCol))).cast("double").as("dl"),
         explode(text.tokens(col(textCol))).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
-      .withColumn("bucket", pmod(xxhash64(col("tok")), lit(nBuckets.toLong)))
-    Layout.clusteredWrite(postings, s"$root/postings", numFiles,
-      col("bucket"))
+      .withColumn("bucket",
+        pmod(xxhash64(col("tok")), lit(nBuckets.toLong)))
+
+  private def statsOf(docs: DataFrame, textCol: String,
+      nBuckets: Int): DataFrame =
     docs.agg(count(lit(1)).as("n_docs"),
       sum(size(text.tokens(col(textCol))).cast("long")).as("n_tokens"),
       lit(nBuckets).as("n_buckets"))
+
+  def writePostingsIndex(docs: DataFrame, idCol: String, textCol: String,
+      root: String, nBuckets: Int = 64, numFiles: Int = 8): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
+    Layout.clusteredWrite(postingsOf(docs, idCol, textCol, nBuckets),
+      s"$root/postings", numFiles, col("bucket"))
+    statsOf(docs, textCol, nBuckets)
       .write.mode(SaveMode.Overwrite).parquet(s"$root/stats")
+  }
+
+  /** INCREMENTAL form of [[writePostingsIndex]] (the
+    * Layout.clusteredAppend lifecycle — a 100 TB index is grown per
+    * crawl batch, never rewritten): append `docs`' postings as one new
+    * bucket-clustered SEGMENT plus a per-segment ADDITIVE stats row
+    * (N, token total — summed at query time, so stats never need a
+    * corpus rescan). Because postings are doc-local, segmenting by
+    * document never changes a term's global posting set: a store grown
+    * by appends is RESULT-EQUAL to a from-scratch build over the union
+    * (spec-pinned). The caller contract is that each document lands in
+    * exactly ONE segment — re-appending a doc would double-count it
+    * (deduplicating re-crawls is the near-dup ingest operator's job,
+    * upstream of indexing). Concurrent appends fail loudly via the
+    * store lease inside clusteredAppend; `nBuckets` must match across
+    * segments (checked loudly at query time). */
+  def appendPostingsSegment(docs: DataFrame, idCol: String,
+      textCol: String, root: String, segmentId: String,
+      nBuckets: Int = 64, numFiles: Int = 8): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
+    Layout.clusteredAppend(postingsOf(docs, idCol, textCol, nBuckets),
+      s"$root/postings", segmentId, numFiles, col("bucket"))
+    statsOf(docs, textCol, nBuckets)
+      .write.mode(SaveMode.ErrorIfExists)
+      .parquet(s"$root/stats/seg=$segmentId")
   }
 
   /** BM25 top-k against a [[writePostingsIndex]] store: result-equal
@@ -175,10 +208,19 @@ object Retrieval {
     val qTerms = tokenizeQueries(queries)
     val allTerms: Seq[String] = qTerms.map(_._2).distinct
 
-    val st = spark.read.parquet(s"$root/stats").collect()(0)
+    // one row for a clusteredWrite store, one PER SEGMENT for an
+    // appended store — the additive merge is the same read either way
+    val st = spark.read.parquet(s"$root/stats")
+      .agg(sum(col("n_docs")), sum(col("n_tokens")),
+        collect_set(col("n_buckets")))
+      .collect()(0)
     val nDocs = st.getLong(0).toDouble
     val avgDl = st.getLong(1).toDouble / nDocs
-    val nBuckets = st.getInt(2)
+    val nbSet = st.getSeq[Int](2)
+    require(nbSet.size == 1,
+      s"segments disagree on nBuckets: $nbSet — the store is corrupt " +
+        "(all segments must be appended with the same bucket count)")
+    val nBuckets = nbSet.head
 
     // term → bucket through the same engine kernel as the store
     // (bounded planning job over the query vocabulary)

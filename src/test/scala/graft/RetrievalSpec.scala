@@ -118,4 +118,37 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec with Matchers {
       touched should be < total
     } finally Scratch.deleteRecursively(new java.io.File(root))
   }
+
+  test("segment-appended store equals a from-scratch build; bucket " +
+    "mismatch fails loudly") {
+    import spark.implicits._
+    val docs = (0L until 120L).map { i =>
+      (i, (0 until 5).map(j => s"w${(i * 3 + j * 11) % 40}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_retr_seg_").toString
+    val whole = root + "/whole"
+    val grown = root + "/grown"
+    try {
+      Retrieval.writePostingsIndex(docs, "doc_id", "text", whole,
+        nBuckets = 16, numFiles = 4)
+      Retrieval.appendPostingsSegment(docs.filter($"doc_id" < 60L),
+        "doc_id", "text", grown, "base", nBuckets = 16, numFiles = 4)
+      Retrieval.appendPostingsSegment(docs.filter($"doc_id" >= 60L),
+        "doc_id", "text", grown, "ingest1", nBuckets = 16, numFiles = 2)
+      val queries = Seq((1, "w0 w13"), (2, "w39"))
+      def run(store: String) = Retrieval
+        .bm25TopKIndexed(spark, store, queries, k = 4)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).sortBy(t => (t._1, t._2))
+      run(grown) shouldBe run(whole)
+      // a segment appended with a different bucket count corrupts
+      // bucket routing — the query must refuse, not silently misread
+      Retrieval.appendPostingsSegment(
+        Seq((999L, "w0")).toDF("doc_id", "text"),
+        "doc_id", "text", grown, "bad", nBuckets = 8, numFiles = 1)
+      an[IllegalArgumentException] should be thrownBy
+        Retrieval.bm25TopKIndexed(spark, grown, queries, k = 4)
+    } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
 }
