@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{text, vectors}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Retrieval, Similarity}
 
 /** ONE wall+process-cpu measurement helper for every probe main in
   * this file — the same pattern was spelled four slightly different
@@ -541,6 +541,68 @@ object ProbeScale {
         } finally Scratch.deleteRecursively(new java.io.File(root))
       }
       batch.unpersist(blocking = false)
+    }
+
+    // ── `ProbeScale retrieval`: q122/q126/q127's cost drivers at
+    // scale. The dataflow claim is "only posting-grain volume leaves
+    // the scan" — measure the pruned posting count against the
+    // body-grain token volume in BOTH growth regimes (DENSE: fixed
+    // vocabulary, query-term dfs grow with the corpus → postings
+    // linear; GROW: new content domains, old terms don't recur →
+    // postings ~constant). The indexed claim is "a query batch reads
+    // only its buckets' files" — measure store rows, the touched-file
+    // fraction, and warm dataflow-vs-indexed query walls. ──
+    if (mode == "retrieval") {
+      val queries = Seq((1, "dup stream window"),
+        (2, "vector query fast"), (3, "customer batch"))
+      val allTerms = queries.flatMap(_._2.split(" ")).distinct
+      def measureRetr(tag: String, docsIn: DataFrame): Unit = {
+        val docs = docsIn.select(col("doc_id"), col("text"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = docs.count()
+        val toks = docs.select(explode(text.tokens(col("text"))).as("t"))
+        val totalToks = toks.count()
+        val prunedPostings = toks.filter(col("t").isin(allTerms: _*))
+          .count()
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_probe_retr_").toString
+        try {
+          val t0 = System.nanoTime()
+          Retrieval.writePostingsIndex(docs, "doc_id", "text",
+            root + "/idx", nBuckets = 64, numFiles = 8)
+          val build = (System.nanoTime() - t0) / 1e9
+          val store = spark.read.parquet(root + "/idx/postings")
+          val storeRows = store.count()
+          val buckets = allTerms.toDF("tok")
+            .select(pmod(xxhash64(col("tok")), lit(64L)))
+            .as[Long].collect().distinct.toSeq
+          val touched = store.filter(col("bucket").isin(buckets: _*))
+            .select(input_file_name()).distinct().count()
+          val files = store.select(input_file_name()).distinct().count()
+          def warmWall(f: () => Unit): Double = {
+            f()
+            val t = System.nanoTime(); f()
+            (System.nanoTime() - t) / 1e9
+          }
+          val flowWall = warmWall(() =>
+            Retrieval.bm25TopK(docs, "doc_id", "text", queries).count())
+          val idxWall = warmWall(() =>
+            Retrieval.bm25TopKIndexed(spark, root + "/idx", queries)
+              .count())
+          println(f"PROBE_SCALE retrieval/$tag n=$n " +
+            f"corpus_tokens=$totalToks pruned_postings=$prunedPostings " +
+            f"store_rows=$storeRows build=$build%.2fs " +
+            f"files_touched=$touched/$files " +
+            f"dataflow_wall=$flowWall%.2fs indexed_wall=$idxWall%.2fs")
+        } finally {
+          Scratch.deleteRecursively(new java.io.File(root))
+          docs.unpersist(blocking = false)
+        }
+      }
+      measureRetr("1x", docs01)
+      for (r <- Seq(4, 10)) measureRetr(s"dense${r}x", resampleDocs(r))
+      for (r <- Seq(4, 10))
+        measureRetr(s"grow${r}x", resampleDocsScaledVocab(r))
     }
     spark.stop()
   }
