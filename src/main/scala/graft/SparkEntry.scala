@@ -2927,6 +2927,49 @@ object SparkEntry {
         store, "ingest1", nBuckets = 64, numFiles = 4)
       materializeThenClean(s,
         Retrieval.bm25TopKIndexed(s, store, bm25Queries, k = 5), root)
+    }),
+
+    // ── T7+NS: the postings index kept fresh by a STREAM — q127's
+    // segment lifecycle driven from a micro-batch crawl feed
+    // (Streams.postingsIngest): three deterministic batches
+    // (doc_id % 3), each landing as one batchId-named sealed segment
+    // through the IDEMPOTENT append (exactly-once under retry — the
+    // q111 convention, spec-pinned in StreamingSpec). The store the
+    // stream leaves behind must answer queries identically to the
+    // q122 dataflow over the full corpus, which the shared oracle
+    // verifies end-to-end ──
+    "q128_stream_index_ingest" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ns = drainSession(s)
+      import ns.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = ns.sqlContext
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q128_").toString
+      val store = root + "/postings_streamed"
+      // fixture collection on the PARENT session (full width); only
+      // the stream and its batch-scale appends run in the drain
+      // session — and each append itself plans at full width (the
+      // nearDupIngest width-scope convention inside postingsIngest)
+      val all = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().toSeq
+      val batches = (0 until 3).map(i => all.filter(_._1 % 3 == i))
+      val input = MemoryStream[(Long, String)]
+      val stream = input.toDF().toDF("doc_id", "text")
+      val ckpt = ephemeralCheckpoint("q128")
+      val q = Streams.postingsIngest(stream, "doc_id", "text", store,
+        ckpt.getAbsolutePath, nBuckets = 64, numFiles = 4)
+      try
+        batches.zipWithIndex.foreach { case (b, i) =>
+          Phases.time(s"drain[b$i]") {
+            input.addData(b); q.processAllAvailable()
+          }
+        }
+      finally {
+        try q.stop()
+        finally Scratch.deleteRecursively(ckpt)
+      }
+      materializeThenClean(s,
+        Retrieval.bm25TopKIndexed(s, store, bm25Queries, k = 5), root)
     })
   )
 
@@ -5180,6 +5223,14 @@ object SparkEntry {
       // from-scratch aggregate — the full-corpus recompute verifies
       // the whole append lifecycle end-to-end
       "q127_bm25_index_append" -> bm25OracleSql,
+
+      // the STREAMED store converges to the same answer again: three
+      // micro-batches partition the corpus by doc, each sealed
+      // segment adds its doc-local postings, so the drained store ≡
+      // a from-scratch build ≡ the q122 dataflow — one oracle for
+      // the whole streaming lifecycle (idempotence under retry is
+      // engine-side machinery, pinned by StreamingSpec)
+      "q128_stream_index_ingest" -> bm25OracleSql,
 
       // identical integer-only chunk boundaries (1 + ceil((L−32)/24)
       // chunks via truncating division; empty docs drop) and the

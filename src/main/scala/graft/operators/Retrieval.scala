@@ -191,6 +191,39 @@ object Retrieval {
       .parquet(s"$root/stats/seg=$segmentId")
   }
 
+  /** IDEMPOTENT [[appendPostingsSegment]] for retried writers (the
+    * q111 exactly-once convention, applied to the postings store):
+    * the stats partition's `_SUCCESS` marker — written LAST — seals
+    * the segment. A retried `segmentId` whose seal exists skips the
+    * append entirely (returns false); a half-landed attempt (crash
+    * between postings and stats, or mid-write) is cleaned and redone,
+    * so the store converges to exactly the single-run state whatever
+    * step the first attempt died at. Returns true when this call did
+    * the append. */
+  def appendPostingsSegmentIdempotent(docs: DataFrame, idCol: String,
+      textCol: String, root: String, segmentId: String,
+      nBuckets: Int = 64, numFiles: Int = 8): Boolean = {
+    val spark = docs.sparkSession
+    val hconf = spark.sessionState.newHadoopConf()
+    val postSeg = new org.apache.hadoop.fs.Path(
+      s"$root/postings/seg=$segmentId")
+    val statSeg = new org.apache.hadoop.fs.Path(
+      s"$root/stats/seg=$segmentId")
+    val fs = postSeg.getFileSystem(hconf)
+    def sealed_(p: org.apache.hadoop.fs.Path) =
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    if (sealed_(postSeg) && sealed_(statSeg)) false
+    else {
+      // clean any half-landed attempt — ErrorIfExists inside the
+      // plain append would otherwise refuse the redo
+      if (fs.exists(postSeg)) fs.delete(postSeg, true)
+      if (fs.exists(statSeg)) fs.delete(statSeg, true)
+      appendPostingsSegment(docs, idCol, textCol, root, segmentId,
+        nBuckets, numFiles)
+      true
+    }
+  }
+
   /** BM25 top-k against a [[writePostingsIndex]] store: result-equal
     * to [[bm25TopK]] over the same corpus (same scoring chain, same
     * exact df/tf/dl/N inputs), but the corpus is never touched — the

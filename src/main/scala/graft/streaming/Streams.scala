@@ -166,6 +166,39 @@ object Streams {
       .start()
   }
 
+  /** CONTINUOUS POSTINGS-INDEX INGEST: keep the at-rest BM25 store
+    * (Retrieval.writePostingsIndex lifecycle) fresh as the crawl
+    * streams in — every micro-batch lands as one batchId-named
+    * segment via the IDEMPOTENT append, so a crashed-then-retried
+    * batch skips its committed segment or cleans-and-redoes a
+    * half-landed one (exactly-once, the q111 convention; the one
+    * remaining caller contract is the indexing one: a doc must arrive
+    * in only one batch — dedup of re-crawls belongs to nearDupIngest,
+    * UPSTREAM of this sink). Zero streaming state: the batch job is a
+    * tokenize + aggregate + clustered write, planned at full width
+    * (the nearDupIngest width-scope convention, restored in finally).
+    * Readers see every sealed segment immediately; stats merge
+    * additively at query time, so no reader-side refresh step
+    * exists to forget. */
+  def postingsIngest(docs: DataFrame, idCol: String, textCol: String,
+      indexDir: String, checkpointDir: String,
+      nBuckets: Int = 64, numFiles: Int = 8): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val widthKey = "spark.sql.shuffle.partitions"
+        val oldWidth = s.conf.get(widthKey)
+        s.conf.set(widthKey, s.sparkContext.defaultParallelism)
+        try graft.Phases.time(s"index_append[b$batchId]") {
+          graft.operators.Retrieval.appendPostingsSegmentIdempotent(
+            batch.toDF(), idCol, textCol, indexDir, s"batch$batchId",
+            nBuckets, numFiles)
+          ()
+        } finally s.conf.set(widthKey, oldWidth)
+      }
+      .start()
+
   /** T7: tumbling event-time windows (streaming analog of q19). */
   def tumblingCounts(df: DataFrame, tsCol: String, delay: String,
       windowDur: String, keyCols: Column*): DataFrame =

@@ -439,4 +439,50 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
       state() shouldBe ((out1, store1))
     } finally Scratch.deleteRecursively(new java.io.File(root))
   }
+
+  test("postings-index ingest: batches land as sealed segments; a " +
+    "re-delivered batch and a half-landed retry both converge") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_pi_retry_").toString
+    val store = root + "/idx"
+    try {
+      val b0 = Seq((1L, "alpha beta gamma"), (2L, "alpha delta"))
+      val b1 = Seq((3L, "beta beta epsilon"))
+      def runStream(ckpt: String, batches: Seq[Seq[(Long, String)]]): Unit = {
+        val input = MemoryStream[(Long, String)]
+        val q = Streams.postingsIngest(
+          input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+          store, ckpt, nBuckets = 8, numFiles = 1)
+        try batches.foreach { b =>
+          input.addData(b: _*); q.processAllAvailable()
+        } finally q.stop()
+      }
+      runStream(root + "/ckpt", Seq(b0, b1))
+      def state(): Set[Seq[Any]] =
+        spark.read.parquet(store + "/postings")
+          .drop("seg").collect().map(_.toSeq).toSet
+      val ref = state()
+      val queries = Seq((1, "alpha"), (2, "beta epsilon"))
+      val refAns = Retrieval.bm25TopKIndexed(spark, store, queries, k = 3)
+        .collect().map(_.toSeq).toSet
+      refAns.nonEmpty shouldBe true
+
+      // engine re-delivers batch 0 under the same batchId after a
+      // crash: the sealed segment must be skipped — store unchanged
+      runStream(root + "/ckpt_retry", Seq(b0))
+      state() shouldBe ref
+
+      // half-landed segment (crash before the stats seal): the retry
+      // must clean and redo it, converging to the same store
+      val statSeg = new java.io.File(s"$store/stats/seg=batch0/_SUCCESS")
+      statSeg.exists() shouldBe true
+      statSeg.delete() shouldBe true
+      runStream(root + "/ckpt_retry2", Seq(b0))
+      state() shouldBe ref
+      Retrieval.bm25TopKIndexed(spark, store, queries, k = 3)
+        .collect().map(_.toSeq).toSet shouldBe refAns
+    } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
 }
