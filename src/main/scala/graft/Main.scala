@@ -112,6 +112,14 @@ object Main {
         if intArg(rest, 100).isDefined =>
       diff(spark, dirA, dirB, intArg(rest, 100).get)
     case Seq("report", sfDir) => report(spark, sfDir)
+    case Seq("index-postings", docsParquet, storeRoot, rest @ _*)
+        if intArg(rest, 64).isDefined &&
+          intArg(rest.drop(1), 8).isDefined =>
+      indexPostings(spark, docsParquet, storeRoot,
+        intArg(rest, 64).get, intArg(rest.drop(1), 8).get)
+    case Seq("bm25", storeRoot, query, rest @ _*)
+        if intArg(rest, 5).isDefined =>
+      bm25(spark, storeRoot, query, intArg(rest, 5).get)
     case _ => Seq(
       "usage: graft.Main <command> ...",
       "  list-topics <snapshotDir> [limit]   composed catalog listing",
@@ -144,7 +152,13 @@ object Main {
       "  bench                               timing run (graft.Bench)",
       "  explain [outDir]                    plan dumps (graft.Explain)",
       "  report <sfDir>                      per-source corpus data card " +
-        "(token volume, quality, repetition, lang agreement)")
+        "(token volume, quality, repetition, lang agreement)",
+      "  index-postings <docsParquet> <storeRoot> [nBuckets] [numFiles]" +
+        "   build the at-rest BM25 postings index (doc_id/text " +
+        "columns; `compact <storeRoot>/postings bucket` re-clusters " +
+        "an appended store)",
+      "  bm25 <storeRoot> \"<query>\" [k]      top-k BM25 against a " +
+        "postings store")
   }
 
   /** §3.3 list_topics over a snapshot's catalog files: the same
@@ -529,5 +543,34 @@ object Main {
         f"${r.getAs[Long]("n_lang_agree")}%7d " +
         f"${r.getAs[Long]("n_langs")}%5d"
     }
+  }
+
+  /** `index-postings` verb: build the at-rest BM25 store from a
+    * documents parquet (doc_id/text columns — a TESTDATA sf dir's
+    * documents.parquet works directly). */
+  private def indexPostings(spark: SparkSession, docsParquet: String,
+      storeRoot: String, nBuckets: Int, numFiles: Int): Seq[String] = {
+    val docs = spark.read.parquet(docsParquet)
+    graft.operators.Retrieval.writePostingsIndex(docs, "doc_id", "text",
+      storeRoot, nBuckets, numFiles)
+    val st = spark.read.parquet(s"$storeRoot/stats").collect()(0)
+    val rows = spark.read.parquet(s"$storeRoot/postings").count()
+    Seq(s"indexed ${st.getLong(0)} docs / ${st.getLong(1)} tokens " +
+      s"into $rows postings ($nBuckets buckets, $numFiles files) " +
+      s"at $storeRoot")
+  }
+
+  /** `bm25` verb: top-k against a postings store built by
+    * `index-postings` (or grown by segment append / streaming
+    * ingest — the reader merges segments transparently). */
+  private def bm25(spark: SparkSession, storeRoot: String,
+      query: String, k: Int): Seq[String] = {
+    val rows = graft.operators.Retrieval
+      .bm25TopKIndexed(spark, storeRoot, Seq((1, query)), k)
+      .orderBy(col("rank")).collect()
+    if (rows.isEmpty) Seq(s"no document matches '$query'")
+    else rows.toSeq.map(r =>
+      f"${r.getInt(1)}%2d  doc=${r.getLong(2)}%-10d " +
+        f"score=${r.getDouble(3)}%.6f")
   }
 }

@@ -367,6 +367,28 @@ class MainSpec extends AnyFunSuite with SparkSpec with Matchers {
     graft.sources.StoreLease.release(spark, root, "next-writer")
   }
 
+  test("index-postings + bm25 verbs build and query the at-rest store") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_main_bm25_").toString
+    try {
+      val docsDir = root + "/docs"
+      Seq((1L, "alpha beta beta"), (2L, "alpha gamma"), (3L, "delta"))
+        .toDF("doc_id", "text").write.parquet(docsDir)
+      val built = Main.run(spark,
+        Seq("index-postings", docsDir, root + "/idx", "8", "2"))
+      built.head should include("indexed 3 docs / 6 tokens")
+      val hits = Main.run(spark, Seq("bm25", root + "/idx", "beta gamma"))
+      // doc 1 (beta tf2) and doc 2 (gamma, rarer) both surface;
+      // doc 3 shares no term and must not
+      hits.size shouldBe 2
+      hits.foreach(_ should include("score="))
+      hits.mkString should not include "doc=3"
+      Main.run(spark, Seq("bm25", root + "/idx", "nosuchterm"))
+        .head should include("no document matches")
+    } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
+
   test("unknown command prints usage") {
     Main.run(spark, Seq("frobnicate")).head should include("usage")
     // malformed numeric args print usage instead of throwing
