@@ -321,9 +321,14 @@ object Relational {
   def temperatureMixCuts(docs: DataFrame, stratumCol: String,
       textCol: String, budgetTokens: Long): Seq[(String, Long)] = {
     require(budgetTokens >= 0, s"budget must be >= 0: $budgetTokens")
-    val per = docs.groupBy(col(stratumCol))
-      .agg(sum(size(graft.functions.text.tokens(col(textCol)))
-        .cast("long")).as("n"))
+    // a NULL stratum is excluded from the allocation entirely (its
+    // docs get cut 0 in temperatureMix's fold) — including it here
+    // would put its tokens in the denominator while its docs can
+    // never be selected, silently under-filling the budget
+    val per = docs.filter(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol))
+      .agg(coalesce(sum(size(graft.functions.text.tokens(col(textCol)))
+        .cast("long")), lit(0L)).as("n"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
       .sortBy(_._1)

@@ -53,7 +53,11 @@ object Retrieval {
   private def tokenizeQueries(
       queries: Seq[(Int, String)]): Seq[(Int, String)] =
     queries.flatMap { case (qid, q) =>
-      q.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+      // Locale.ROOT: the engine's lower() is locale-independent —
+      // a Turkish default locale would otherwise fold "I" to "ı" here
+      // and silently miss every posting for it
+      q.trim.toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty).distinct
         .map(t => (qid, t))
     }
 
@@ -113,6 +117,9 @@ object Retrieval {
       count(lit(1)).as("n"),
       sum(size(text.tokens(col(textCol))).cast("long")).as("toks"))
       .collect()(0)
+    require(stats.getLong(0) > 0L && !stats.isNullAt(1),
+      "bm25TopK needs a non-empty corpus with at least one non-null " +
+        s"$textCol (an empty one has no N/avgdl to score against)")
     val nDocs = stats.getLong(0).toDouble
     val avgDl = stats.getLong(1).toDouble / nDocs
 
@@ -247,6 +254,9 @@ object Retrieval {
       .agg(sum(col("n_docs")), sum(col("n_tokens")),
         collect_set(col("n_buckets")))
       .collect()(0)
+    require(!st.isNullAt(0) && st.getLong(0) > 0L && !st.isNullAt(1),
+      s"postings store at $root indexes an empty corpus — nothing to " +
+        "score against")
     val nDocs = st.getLong(0).toDouble
     val avgDl = st.getLong(1).toDouble / nDocs
     val nbSet = st.getSeq[Int](2)
