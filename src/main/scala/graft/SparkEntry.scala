@@ -2970,6 +2970,45 @@ object SparkEntry {
       }
       materializeThenClean(s,
         Retrieval.bm25TopKIndexed(s, store, bm25Queries, k = 5), root)
+    }),
+
+    // ── NS HYBRID RETRIEVAL: reciprocal-rank fusion of the lexical
+    // (q122 BM25, top-100) and embedding-similarity (exact cosine,
+    // top-100) arms — the production RAG retrieval shape. Query
+    // vectors come from the embeddings table by qid (the q28
+    // from-table convention, so the oracle needs no 64-double
+    // literals); both arms rank on ROUNDED scores with id tiebreaks
+    // and RRF sums 9-decimal-rounded 1/(60+rank) contributions over
+    // integer ranks as decimals — exact end-to-end. Scale shape:
+    // each arm prunes to its own top-100 (WindowGroupLimit) before
+    // fusion ever sees a row ──
+    "q129_hybrid_rrf" -> ((s, dir) => {
+      val docs = Relational.widenForCpu(t(s, dir, "documents"),
+        col("doc_id"))
+      val bm25Arm = Retrieval
+        .bm25TopK(docs, "doc_id", "text", bm25Queries, k = 100)
+        .select(col("qid"), col("doc_id"), col("rank"))
+      val emb = t(s, dir, "embeddings")
+      // bounded planning collect of the |queries| query vectors
+      val qvecs = emb
+        .filter(col("vec_id").isin(bm25Queries.map(_._1.toLong): _*))
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
+        .sortBy(_._1)
+      val cosBranches = qvecs.map { case (qid, v) =>
+        emb.filter(col("vec_id") =!= qid.toLong)
+          .select(lit(qid).as("qid"), col("vec_id").as("doc_id"),
+            round(vectors.cosineFast(col("embedding"), typedLit(v)), 6)
+              .as("cos"))
+      }
+      val wCos = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("doc_id").asc)
+      val cosArm = cosBranches.reduce(_ unionByName _)
+        .withColumn("rank", row_number().over(wCos))
+        .filter(col("rank") <= 100)
+        .select(col("qid"), col("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(bm25Arm, cosArm), k = 10)
     })
   )
 
@@ -2996,11 +3035,19 @@ object SparkEntry {
     * saturation path runs — both regimes are gate-exercised. */
   private val q124Budget: Long = 20000L
 
-  /** The independent DuckDB BM25 recompute shared by q122 (dataflow)
-    * and q126 (at-rest postings index): the two engine forms share one
-    * scoring chain over identical inputs, so one oracle verifies
-    * both. */
-  private lazy val bm25OracleSql: String = {
+  /** The independent DuckDB BM25 recompute shared by q122 (dataflow),
+    * q126 (at-rest postings index), q127 (segment append), and q128
+    * (streaming ingest): every engine form shares one scoring chain
+    * over identical inputs, so one oracle verifies them all. q129
+    * reuses the ranked CTE chain at k=100 as its lexical arm. */
+  private lazy val bm25OracleSql: String =
+    s"""${bm25RankCtes}
+       |SELECT qid, CAST(rank AS INT) AS rank, doc_id, score
+       |FROM rk WHERE rank <= 5""".stripMargin
+
+  /** The WITH-chain ending in `rk` (qid, doc_id, score, rank) — the
+    * shared body of [[bm25OracleSql]] and q129's lexical arm. */
+  private lazy val bm25RankCtes: String = {
     val qtVals = bm25Queries.flatMap { case (qid, q) =>
       q.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
         .map(t => s"($qid, '$t')")
@@ -3041,9 +3088,7 @@ object SparkEntry {
        |rk AS (SELECT qid, doc_id, score,
        |    row_number() OVER (PARTITION BY qid
        |      ORDER BY score DESC, doc_id ASC) AS rank
-       |  FROM agg)
-       |SELECT qid, CAST(rank AS INT) AS rank, doc_id, score
-       |FROM rk WHERE rank <= 5""".stripMargin
+       |  FROM agg)""".stripMargin
   }
 
   /** The fixture's closed event-type vocabulary (driver-side literal:
@@ -5231,6 +5276,43 @@ object SparkEntry {
       // the whole streaming lifecycle (idempotence under retry is
       // engine-side machinery, pinned by StreamingSpec)
       "q128_stream_index_ingest" -> bm25OracleSql,
+
+      // both arms re-derived independently: the shared BM25 rank
+      // chain at k=100, an exact-cosine rank from the same by-qid
+      // query vectors (rounded-cos ordering, id tiebreak), then the
+      // identical rounded-decimal RRF fold over integer ranks
+      "q129_hybrid_rrf" -> {
+        val qids = bm25Queries.map(_._1).mkString(", ")
+        s"""${bm25RankCtes},
+           |qs AS (SELECT vec_id AS qid, embedding AS qe
+           |  FROM embeddings WHERE vec_id IN ($qids)),
+           |cr AS (SELECT qid, doc_id,
+           |    row_number() OVER (PARTITION BY qid
+           |      ORDER BY cos DESC, doc_id ASC) AS rank
+           |  FROM (SELECT q.qid, e.vec_id AS doc_id,
+           |      round(${sqlDotVec("e.embedding", "q.qe")} /
+           |        (sqrt(${sqlDotVec("e.embedding", "e.embedding")}) *
+           |         sqrt(${sqlDotVec("q.qe", "q.qe")})), 6) AS cos
+           |    FROM embeddings e CROSS JOIN qs q
+           |    WHERE e.vec_id <> q.qid)),
+           |contrib AS (
+           |  SELECT qid, doc_id,
+           |    round(1.0 / (60.0 + CAST(rank AS DOUBLE)), 9) AS c
+           |  FROM rk WHERE rank <= 100
+           |  UNION ALL
+           |  SELECT qid, doc_id,
+           |    round(1.0 / (60.0 + CAST(rank AS DOUBLE)), 9) AS c
+           |  FROM cr WHERE rank <= 100),
+           |f AS (SELECT qid, doc_id,
+           |    CAST(SUM(CAST(c AS DECIMAL(20,9))) AS DOUBLE) AS rrf
+           |  FROM contrib GROUP BY qid, doc_id),
+           |fr AS (SELECT qid, doc_id, rrf,
+           |    row_number() OVER (PARTITION BY qid
+           |      ORDER BY rrf DESC, doc_id ASC) AS rank
+           |  FROM f)
+           |SELECT qid, CAST(rank AS INT) AS rank, doc_id, rrf
+           |FROM fr WHERE rank <= 10""".stripMargin
+      },
 
       // identical integer-only chunk boundaries (1 + ceil((L−32)/24)
       // chunks via truncating division; empty docs drop) and the

@@ -239,6 +239,43 @@ object Retrieval {
     * the parquet scan). Query-term buckets come from the SAME hash
     * kernel as the stored column, evaluated through a bounded
     * planning job (the q101 query-bucket convention). */
+  /** RECIPROCAL-RANK FUSION — the standard hybrid-retrieval combiner
+    * (Cormack et al. 2009; what production RAG runs to merge a
+    * lexical BM25 list with an embedding-similarity list): each input
+    * ranking contributes 1/(kRrf + rank) per (query, doc), summed
+    * over lists, re-ranked. Rank-based, so the input scores need no
+    * calibration against each other — the reason RRF is the default
+    * hybrid everywhere.
+    *
+    * Inputs are (qid, doc_id, rank) frames — any ranked id list
+    * qualifies (the operator is retrieval-agnostic). A doc missing
+    * from a list simply contributes nothing from it (union
+    * semantics).
+    *
+    * Scale shape: the inputs arrive already top-N-pruned by their own
+    * rankers (WindowGroupLimit on each arm), so fusion touches
+    * N·|queries|·|lists| rows — driver-trivial volumes regardless of
+    * corpus size; the only shuffles are the tiny union aggregate and
+    * the final per-query rank. Exactness: contributions are
+    * 1/(kRrf + rank) over INTEGER ranks, rounded to 9 decimals and
+    * DECIMAL-summed — order-free, engine-mirrorable exactly. */
+  def rrfFuse(lists: Seq[DataFrame], k: Int = 10,
+      kRrf: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(k >= 1 && kRrf >= 1, s"need k,kRrf >= 1: k=$k kRrf=$kRrf")
+    val contribs = lists.map(_.select(col("qid"), col("doc_id"),
+      round(lit(1.0) / (lit(kRrf.toDouble) + col("rank").cast("double")),
+        9).cast("decimal(20,9)").as("c")))
+    val fused = contribs.reduce(_ unionByName _)
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("c")).cast("double").as("rrf"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("doc_id"), col("rrf"))
+  }
+
   def bm25TopKIndexed(spark: SparkSession, root: String,
       queries: Seq[(Int, String)], k: Int = 5,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {

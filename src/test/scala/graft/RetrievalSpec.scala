@@ -119,6 +119,28 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally Scratch.deleteRecursively(new java.io.File(root))
   }
 
+  test("rrfFuse: hand-computed fusion, union semantics, id tiebreak") {
+    import spark.implicits._
+    // list A ranks docs 1,2,3; list B ranks 2,1,9 — doc 2 wins
+    // (1/61 + 1/62 > 1/61 + 1/62 for doc 1? both symmetric: doc1 A:1
+    // B:2 → 1/61+1/62; doc2 A:2 B:1 → 1/62+1/61 — a TIE broken by
+    // id), doc 9 appears only in B (union semantics)
+    val a = Seq((1, 1L, 1), (1, 2L, 2), (1, 3L, 3))
+      .toDF("qid", "doc_id", "rank")
+    val b = Seq((1, 2L, 1), (1, 1L, 2), (1, 9L, 3))
+      .toDF("qid", "doc_id", "rank")
+    val out = graft.operators.Retrieval.rrfFuse(Seq(a, b), k = 10)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    def c(r: Int) = BigDecimal(1.0 / (60.0 + r.toDouble))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    out shouldBe Array(
+      (1, 1L, (c(1) + c(2)).toDouble), // tie with doc 2 → smaller id
+      (2, 2L, (c(2) + c(1)).toDouble),
+      (3, 3L, c(3).toDouble),          // ties doc 9 at 1/63 → id wins
+      (4, 9L, c(3).toDouble))
+  }
+
   test("segment-appended store equals a from-scratch build; bucket " +
     "mismatch fails loudly") {
     import spark.implicits._
