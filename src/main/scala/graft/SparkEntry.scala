@@ -3009,6 +3009,49 @@ object SparkEntry {
         .filter(col("rank") <= 100)
         .select(col("qid"), col("doc_id"), col("rank"))
       Retrieval.rrfFuse(Seq(bm25Arm, cosArm), k = 10)
+    }),
+
+    // ── NS SNIPPET SELECTION — the retrieve-then-highlight step a
+    // RAG pipeline runs after ranking: for each query's TOP BM25
+    // document, pick the q123 token-window chunk containing the most
+    // query-term occurrences (tie → earliest chunk), i.e. the context
+    // window actually handed to the model. Pure composition of two
+    // verified primitives (q122 ranking + q123 chunk boundaries);
+    // integer hit counts and integer tiebreaks make it exact with no
+    // new float surface. Scale shape: the ranked side is |queries|
+    // rows broadcast against the corpus — only the top documents'
+    // bodies are ever chunked ──
+    "q130_best_chunk" -> ((s, dir) => {
+      val docs = Relational.widenForCpu(t(s, dir, "documents"),
+        col("doc_id"))
+      val top1 = Retrieval
+        .bm25TopK(docs, "doc_id", "text", bm25Queries, k = 1)
+        .select(col("qid"), col("doc_id"))
+      val termArr = bm25Queries.foldLeft(
+        lit(null).cast("array<string>")) { case (els, (qid, q)) =>
+        val ts = q.trim.toLowerCase(java.util.Locale.ROOT)
+          .split("\\s+").filter(_.nonEmpty).distinct.toSeq
+        when(col("qid") === qid, array(ts.map(lit): _*)).otherwise(els)
+      }
+      val chunks = broadcast(top1)
+        .join(t(s, dir, "documents"), "doc_id")
+        .select(col("qid"), col("doc_id"),
+          text.tokens(col("text")).as("toks"))
+        .select(col("qid"), col("doc_id"), col("toks"),
+          explode(text.tokenChunks(col("toks"), window = 32,
+            stride = 24)).as("ch"))
+        .withColumn("hits", size(filter(
+          slice(col("toks"), col("ch.start_tok"), col("ch.n_toks")),
+          t => array_contains(termArr, t))))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("hits").desc, col("ch.chunk_idx").asc)
+      chunks.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("qid"), col("doc_id"),
+          col("ch.chunk_idx").as("chunk_idx"),
+          col("ch.start_tok").as("start_tok"),
+          col("ch.n_toks").as("n_toks"),
+          col("hits").cast("long").as("n_hits"))
     })
   )
 
@@ -5312,6 +5355,45 @@ object SparkEntry {
            |  FROM f)
            |SELECT qid, CAST(rank AS INT) AS rank, doc_id, rrf
            |FROM fr WHERE rank <= 10""".stripMargin
+      },
+
+      // the same BM25 rank chain picks the top document, the same
+      // integer chunk boundaries as q123 cut it, and the hit count is
+      // an integer filter over the identical token slice — tie broken
+      // by earliest chunk in both engines
+      "q130_best_chunk" -> {
+        val termCase = "CASE qid " + bm25Queries.map { case (qid, q) =>
+          val ts = q.trim.toLowerCase(java.util.Locale.ROOT)
+            .split("\\s+").filter(_.nonEmpty).distinct
+            .map(t => s"'$t'").mkString("[", ", ", "]")
+          s"WHEN $qid THEN $ts"
+        }.mkString(" ") + " END"
+        s"""${bm25RankCtes},
+           |top1 AS (SELECT qid, doc_id FROM rk WHERE rank = 1),
+           |td AS (SELECT t1.qid, t1.doc_id, $sqlTokens AS toks
+           |  FROM top1 t1 JOIN documents ON documents.doc_id = t1.doc_id),
+           |m AS (SELECT qid, doc_id, toks, len(toks) AS L,
+           |    CASE WHEN len(toks) = 0 THEN 0
+           |         ELSE 1 + (greatest(len(toks) - 32, 0) + 23) // 24
+           |    END AS n
+           |  FROM td),
+           |ch AS (SELECT qid, doc_id, toks, L,
+           |    unnest(range(0, n)) AS i
+           |  FROM m),
+           |scored AS (SELECT qid, doc_id,
+           |    CAST(i AS INT) AS chunk_idx,
+           |    CAST(i * 24 + 1 AS INT) AS start_tok,
+           |    CAST(least(32, L - (i * 24 + 1) + 1) AS INT) AS n_toks,
+           |    CAST(len(list_filter(
+           |      list_slice(toks, CAST(i * 24 + 1 AS BIGINT),
+           |        least(i * 24 + 32, L)),
+           |      t -> list_contains($termCase, t))) AS BIGINT) AS n_hits
+           |  FROM ch),
+           |best AS (SELECT *, row_number() OVER (PARTITION BY qid
+           |    ORDER BY n_hits DESC, chunk_idx ASC) AS rk
+           |  FROM scored)
+           |SELECT qid, doc_id, chunk_idx, start_tok, n_toks, n_hits
+           |FROM best WHERE rk = 1""".stripMargin
       },
 
       // identical integer-only chunk boundaries (1 + ceil((L−32)/24)
