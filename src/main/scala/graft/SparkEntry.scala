@@ -3052,6 +3052,35 @@ object SparkEntry {
           col("ch.start_tok").as("start_tok"),
           col("ch.n_toks").as("n_toks"),
           col("hits").cast("long").as("n_hits"))
+    }),
+
+    // ── NS dedup: ASYMMETRIC CONTAINMENT — overlap-coefficient pairs
+    // (|A∩B| / min|A|,|B|), the regime symmetric Jaccard structurally
+    // misses: planted positives are PREFIX-TRUNCATED copies (the
+    // first quarter of a doc re-crawled under a new id — the
+    // quote-inclusion / boilerplate-wrapper hazard), whose shingles
+    // are a strict subset of the parent's (containment 1.0, Jaccard
+    // ≈ 0.25 — under every symmetric threshold). `jaccard_missed`
+    // pins, pair by pair, exactly what a Jaccard-only pipeline would
+    // have shipped as "unique". Dense-corpus broadcast pair scan with
+    // the containment-rewritten pre-filter bound (containmentPairsDense
+    // scaladoc carries the sparse/index and sketch scale paths) ──
+    "q131_containment_pairs" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val injected = base
+        .filter(col("doc_id") % 11 === 4)
+        .withColumn("toks", text.tokens(col("text")))
+        .filter(size(col("toks")) >= 16)
+        .select((col("doc_id") * 10 + 7000000L).as("doc_id"),
+          array_join(slice(col("toks"), lit(1),
+            floor(size(col("toks")) / 4).cast("int")), " ").as("text"))
+      Dedup.containmentPairsDense(base.unionByName(injected),
+          "doc_id", "text", n = 2, threshold = 0.9)
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          col("sz_a"), col("sz_b"),
+          round(col("overlap"), 6).as("overlap"),
+          round(col("jaccard"), 6).as("jaccard"),
+          (round(col("jaccard"), 6) < 0.5).as("jaccard_missed"))
     })
   )
 
@@ -5395,6 +5424,41 @@ object SparkEntry {
            |SELECT qid, doc_id, chunk_idx, start_tok, n_toks, n_hits
            |FROM best WHERE rk = 1""".stripMargin
       },
+
+      // full pairwise recompute with the same injected prefix-copies:
+      // list_slice over the SAME token list the engine sliced (joining
+      // non-empty tokens on single spaces and re-tokenizing is the
+      // identity), overlap/jaccard from identical integers, rounded
+      // identically; jaccard_missed decides on the rounded value
+      "q131_containment_pairs" ->
+        s"""WITH tk AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
+           |inj AS (SELECT doc_id * 10 + 7000000 AS doc_id,
+           |    list_slice(toks, 1, CAST(floor(len(toks) / 4) AS INT))
+           |      AS toks
+           |  FROM tk WHERE doc_id % 11 = 4 AND len(toks) >= 16),
+           |all_t AS (SELECT doc_id, toks FROM tk
+           |  UNION ALL SELECT doc_id, toks FROM inj),
+           |sh AS (SELECT doc_id, ${sqlShingles(2)} AS s FROM all_t),
+           |pairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    len(list_intersect(a.s, b.s)) AS inter,
+           |    len(a.s) AS sz_a, len(b.s) AS sz_b
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+           |scored AS (SELECT *,
+           |    CASE WHEN least(sz_a, sz_b) > 0
+           |      THEN CAST(inter AS DOUBLE) /
+           |        CAST(least(sz_a, sz_b) AS DOUBLE)
+           |      ELSE 0.0 END AS ov,
+           |    CASE WHEN sz_a + sz_b - inter > 0
+           |      THEN CAST(inter AS DOUBLE) /
+           |        CAST(sz_a + sz_b - inter AS DOUBLE)
+           |      ELSE 0.0 END AS jc
+           |  FROM pairs)
+           |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+           |  CAST(sz_a AS BIGINT) AS sz_a, CAST(sz_b AS BIGINT) AS sz_b,
+           |  round(ov, 6) AS overlap, round(jc, 6) AS jaccard,
+           |  round(jc, 6) < 0.5 AS jaccard_missed
+           |FROM scored WHERE ov >= 0.9""".stripMargin,
 
       // identical integer-only chunk boundaries (1 + ceil((L−32)/24)
       // chunks via truncating division; empty docs drop) and the

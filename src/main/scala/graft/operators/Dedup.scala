@@ -246,6 +246,86 @@ object Dedup {
     out
   }
 
+  /** ASYMMETRIC near-dup pairs by the overlap coefficient
+    * |A∩B| / min(|A|,|B|) — Broder's containment measure evaluated on
+    * the smaller side of each pair. This is the dedup regime Jaccard
+    * structurally misses: a document fully QUOTED inside one 4× its
+    * size has containment 1.0 but Jaccard ≈ 0.25, invisible at any
+    * useful symmetric threshold — yet it is exactly the training-set
+    * hazard (the small doc's content is duplicated verbatim). The
+    * reference's replay tooling has no corpus analytics at all
+    * (pulsar_replay.py — capture/replay only); this family is the
+    * north-star extension built on the same shingle machinery as q27.
+    *
+    * Shape: the [[jaccardPairsDense]] broadcast pair scan (one n-row
+    * broadcast, per-pair codegen'd sorted-hash merge — see that
+    * scaladoc for why dense corpora prefer it to the inverted index),
+    * with the candidate pre-filter bound rewritten for containment:
+    * iub / min(sz) ≥ t is an upper bound on the true overlap because
+    * the hash-merge count can only inflate the intersection. The
+    * exact re-score divides by min(|A|,|B|) on the full string sets.
+    * At sparse-overlap scale the same swap applies to the inverted
+    * index: containment ≥ t with t > 0 implies a shared shingle, so
+    * index candidates are complete there too; the sketch-based scale
+    * path is LSH Ensemble-style containment banding (the q30 S-curve
+    * argument does NOT carry over — MinHash estimates Jaccard, and
+    * resemblance-banded candidates under-recall one-sided
+    * containment, which is why the exact forms matter here).
+    *
+    * Output per surviving pair: sizes, exact intersection, overlap
+    * AND jaccard (both 6-rounded — integer inputs make the doubles
+    * engine-identical), so a consumer can see precisely which pairs
+    * a symmetric threshold would have missed. */
+  def containmentPairsDense(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.graft.{Bridge, SortedLongIntersectCount}
+    def interUpperBound(a: Column, b: Column): Column =
+      Bridge.column(SortedLongIntersectCount(
+        Bridge.expression(a), Bridge.expression(b)))
+    val sets = shingleSets(docs, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hashed = sets.select(
+      col("doc"),
+      sort_array(transform(col("shingles"), s => xxhash64(s))).as("hs"),
+      size(col("shingles")).cast("long").as("sz"))
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val a = hashed.repartition(par).toDF("doc_a", "hs_a", "sz_a")
+    val b = hashed.toDF("doc_b", "hs_b", "sz_b")
+    val candidates = a.join(broadcast(b), col("doc_a") < col("doc_b"))
+      .withColumn("iub", interUpperBound(col("hs_a"), col("hs_b")))
+      // empty-set docs have min size 0; guard the ANSI division
+      .withColumn("oub",
+        when(least(col("sz_a"), col("sz_b")) > 0,
+          col("iub").cast("double") /
+            least(col("sz_a"), col("sz_b")).cast("double"))
+          .otherwise(lit(0.0)))
+      .filter(col("oub") >= threshold)
+      .select("doc_a", "doc_b")
+    val out = candidates
+      .join(sets.toDF("doc_a", "s_a"), "doc_a")
+      .join(sets.toDF("doc_b", "s_b"), "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("s_a"), col("s_b"))).cast("long"))
+      .withColumn("sz_a", size(col("s_a")).cast("long"))
+      .withColumn("sz_b", size(col("s_b")).cast("long"))
+      .withColumn("overlap",
+        when(least(col("sz_a"), col("sz_b")) > 0,
+          col("inter").cast("double") /
+            least(col("sz_a"), col("sz_b")).cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("jaccard",
+        when(col("sz_a") + col("sz_b") - col("inter") > 0,
+          col("inter").cast("double") /
+            (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+          .otherwise(lit(0.0)))
+      .filter(col("overlap") >= threshold)
+      .select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "overlap",
+        "jaccard")
+      .localCheckpoint(eager = true)
+    sets.unpersist(blocking = false)
+    out
+  }
+
   /** MinHash signatures: k independent permutations approximated by
     * re-hashing ONE base hash of the shingle — the variable-length
     * string is hashed once per row, and the k family members are

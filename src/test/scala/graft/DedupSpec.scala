@@ -64,6 +64,38 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
     dense should not be empty
   }
 
+  test("containmentPairsDense catches prefix-truncation Jaccard misses; overlap is exact") {
+    import spark.implicits._
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val trunc = "alpha beta gamma delta epsilon" // first 5 of 20 tokens
+    val docs = Seq((0L, long), (1L, trunc),
+      (2L, "completely unrelated content about engines"))
+      .toDF("doc_id", "text")
+    // truncated copy: shingles are a strict subset of the parent's
+    val got = Dedup.containmentPairsDense(docs, "doc_id", "text", 2, 0.9)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("sz_a"),
+        col("sz_b"), round(col("overlap"), 6), round(col("jaccard"), 6))
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
+    got.length shouldBe 1
+    val (a, b, inter, szA, szB, ov, jc) = got.head
+    (a, b) shouldBe (0L, 1L)
+    inter shouldBe 4L // the 4 bigrams of the 5-token prefix
+    (szA, szB) shouldBe (19L, 4L)
+    ov shouldBe 1.0 // fully contained
+    jc shouldBe BigDecimal(4.0 / 19.0).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    // ...and the symmetric dense path at the usual 0.5 threshold
+    // ships the truncated copy as "unique" — the operator's reason
+    Dedup.jaccardPairsDense(docs, "doc_id", "text", 2, 0.5)
+      .count() shouldBe 0L
+    // empty docs never divide by zero and never pair
+    val withEmpty = docs.union(Seq((3L, ""), (4L, "")).toDF("doc_id", "text"))
+    Dedup.containmentPairsDense(withEmpty, "doc_id", "text", 2, 0.9)
+      .filter(col("doc_a") >= 3L || col("doc_b") >= 3L)
+      .count() shouldBe 0L
+  }
+
   test("requireInertGuard fails loudly when a shingle exceeds the guard") {
     val e = intercept[IllegalArgumentException] {
       Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 2, 0.3,
