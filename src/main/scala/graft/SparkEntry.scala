@@ -3081,6 +3081,51 @@ object SparkEntry {
           round(col("overlap"), 6).as("overlap"),
           round(col("jaccard"), 6).as("jaccard"),
           (round(col("jaccard"), 6) < 0.5).as("jaccard_missed"))
+    }),
+
+    // ── NS retrieval: MMR DIVERSIFIED RE-RANK — the greedy
+    // relevance-vs-redundancy selection (λ·rel − (1−λ)·max-sim-to-
+    // picked) between retrieval and the context window, so five
+    // near-identical top hits collapse to one plus four that add
+    // information. Arms: exact-cosine top-20 per query (the q28/q129
+    // candidate convention; production swaps the ANN arm in), N²
+    // within-query candidate sims, then the greedy loop unrolled into
+    // five declarative stages (Retrieval.mmrRerank scaladoc — every
+    // stage is candidate-grain, corpus-independent). The top-N frame
+    // is bounded (|queries|·20 rows), so the eager localCheckpoint is
+    // a bounded materialization that keeps the five stages from
+    // re-running the corpus scan ──
+    "q132_mmr_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qids = Seq(0L, 7L, 19L)
+      val qvecs = emb.filter(col("vec_id").isin(qids: _*))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+      val branches = qvecs.map { case (qid, v) =>
+        emb.filter(col("vec_id") =!= qid)
+          .select(lit(qid).as("qid"), col("vec_id").as("doc_id"),
+            round(vectors.cosineFast(col("embedding"), typedLit(v)), 6)
+              .as("rel"),
+            col("embedding"))
+      }
+      val wRel = Window.partitionBy(col("qid"))
+        .orderBy(col("rel").desc, col("doc_id").asc)
+      val cands = branches.reduce(_ unionByName _)
+        .withColumn("rk", row_number().over(wRel))
+        .filter(col("rk") <= 20).drop("rk")
+        .localCheckpoint(eager = true)
+      val a = cands.select(col("qid"), col("doc_id").as("doc_a"),
+        col("embedding").as("ea"))
+      val b = cands.select(col("qid"), col("doc_id").as("doc_b"),
+        col("embedding").as("eb"))
+      val sims = a.join(b, Seq("qid"))
+        .filter(col("doc_a") =!= col("doc_b"))
+        .select(col("qid"), col("doc_a"), col("doc_b"),
+          round(vectors.cosineFast(col("ea"), col("eb")), 6).as("sim"))
+      Retrieval.mmrRerank(cands.select("qid", "doc_id", "rel"), sims,
+          lambda = BigDecimal("0.7"), select = 5)
+        .select(col("qid"), col("rank"), col("doc_id"),
+          col("mmr").cast("double").as("mmr"))
     })
   )
 
@@ -5459,6 +5504,63 @@ object SparkEntry {
            |  round(ov, 6) AS overlap, round(jc, 6) AS jaccard,
            |  round(jc, 6) < 0.5 AS jaccard_missed
            |FROM scored WHERE ov >= 0.9""".stripMargin,
+
+      // the greedy MMR path replayed step by step: identical rounded
+      // rel/sim inputs, the score in EXACT DECIMAL (7-dp — double
+      // arithmetic would park every score an ulp from a 6-dp round
+      // boundary; see mmrRerank scaladoc), the doc_id tiebreak at
+      // every argmax, and the exact decimal emitted as double
+      "q132_mmr_rerank" -> {
+        def cosSql(x: String, y: String) =
+          s"${sqlDotVec(x, y)} / (sqrt(${sqlDotVec(x, x)}) * " +
+            s"sqrt(${sqlDotVec(y, y)}))"
+        val steps = (2 to 5).map { i =>
+          val prev = (1 until i)
+            .map(j => s"SELECT qid, doc_id FROM sel$j")
+            .mkString(" UNION ALL ")
+          s"""sel$i AS (
+             |  SELECT qid, doc_id, $i AS rank, mmr FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY qid
+             |        ORDER BY mmr DESC, doc_id ASC) AS rk FROM (
+             |      SELECT c.qid, c.doc_id,
+             |        CAST(0.7 AS DECIMAL(2,1)) *
+             |          CAST(c.rel AS DECIMAL(20,6)) -
+             |        CAST(0.3 AS DECIMAL(2,1)) *
+             |          max(CAST(s.sim AS DECIMAL(20,6))) AS mmr
+             |      FROM cand c
+             |      JOIN sims s ON s.qid = c.qid AND s.doc_a = c.doc_id
+             |      JOIN ($prev) p ON p.qid = s.qid AND p.doc_id = s.doc_b
+             |      WHERE NOT EXISTS (SELECT 1 FROM ($prev) pp
+             |        WHERE pp.qid = c.qid AND pp.doc_id = c.doc_id)
+             |      GROUP BY c.qid, c.doc_id, c.rel))
+             |  WHERE rk = 1)""".stripMargin
+        }.mkString(",\n")
+        val unions = (1 to 5).map(i => s"SELECT * FROM sel$i")
+          .mkString(" UNION ALL ")
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe
+           |  FROM embeddings WHERE vec_id IN (0, 7, 19)),
+           |sc AS (SELECT q.qid, e.vec_id AS doc_id, e.embedding AS emb,
+           |    round(${cosSql("e.embedding", "q.qe")}, 6) AS rel
+           |  FROM embeddings e JOIN q ON e.vec_id <> q.qid),
+           |cand AS (SELECT qid, doc_id, emb, rel FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY qid
+           |      ORDER BY rel DESC, doc_id ASC) AS rk FROM sc)
+           |  WHERE rk <= 20),
+           |sims AS (SELECT a.qid, a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    round(${cosSql("a.emb", "b.emb")}, 6) AS sim
+           |  FROM cand a JOIN cand b
+           |    ON a.qid = b.qid AND a.doc_id <> b.doc_id),
+           |sel1 AS (SELECT qid, doc_id, 1 AS rank,
+           |    CAST(CAST(rel AS DECIMAL(20,6)) AS DECIMAL(24,7)) AS mmr
+           |  FROM (
+           |  SELECT qid, doc_id, rel, row_number() OVER (
+           |      PARTITION BY qid ORDER BY rel DESC, doc_id ASC) AS rk
+           |  FROM cand) WHERE rk = 1),
+           |$steps
+           |SELECT qid, CAST(rank AS INT) AS rank, doc_id,
+           |  CAST(mmr AS DOUBLE) AS mmr
+           |FROM ($unions)""".stripMargin
+      },
 
       // identical integer-only chunk boundaries (1 + ceil((L−32)/24)
       // chunks via truncating division; empty docs drop) and the

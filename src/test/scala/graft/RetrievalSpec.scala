@@ -173,4 +173,34 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec with Matchers {
         Retrieval.bm25TopKIndexed(spark, grown, queries, k = 4)
     } finally Scratch.deleteRecursively(new java.io.File(root))
   }
+
+  test("mmrRerank: redundancy demotes a near-duplicate of the top hit") {
+    import spark.implicits._
+    // B (doc 20) is nearly as relevant as A (doc 10) but near-identical
+    // to it; C (doc 30) is less relevant but different. Pure relevance
+    // ranks A,B,C; MMR at λ=0.5 ranks A,C,B: step 2 scores
+    // B = .5·.89−.5·.99 = −.05 < C = .5·.5−.5·.1 = .2.
+    val cands = Seq((1L, 10L, 0.9), (1L, 20L, 0.89), (1L, 30L, 0.5))
+      .toDF("qid", "doc_id", "rel")
+    val sims = Seq(
+      (1L, 10L, 20L, 0.99), (1L, 20L, 10L, 0.99),
+      (1L, 10L, 30L, 0.1), (1L, 30L, 10L, 0.1),
+      (1L, 20L, 30L, 0.1), (1L, 30L, 20L, 0.1))
+      .toDF("qid", "doc_a", "doc_b", "sim")
+    val out = Retrieval
+      .mmrRerank(cands, sims, lambda = BigDecimal("0.5"), select = 3)
+      .select(col("rank"), col("doc_id"),
+        col("mmr").cast("double"))
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    out.map(_._2).toSeq shouldBe Seq(10L, 30L, 20L)
+    // exact decimal scores: rank2 = .5·.5−.5·.1 = .2;
+    // rank3 docs 20's max sim to {10,30} is .99 → .5·.89−.5·.99 = −.05
+    out(0)._3 shouldBe 0.9
+    out(1)._3 shouldBe 0.2
+    out(2)._3 shouldBe -0.05
+    // a pure-relevance λ=1 degenerates to the relevance order
+    Retrieval.mmrRerank(cands, sims, lambda = BigDecimal(1), select = 3)
+      .select(col("rank"), col("doc_id")).as[(Int, Long)]
+      .collect().sortBy(_._1).map(_._2).toSeq shouldBe Seq(10L, 20L, 30L)
+  }
 }
