@@ -3126,7 +3126,48 @@ object SparkEntry {
           lambda = BigDecimal("0.7"), select = 5)
         .select(col("qid"), col("rank"), col("doc_id"),
           col("mmr").cast("double").as("mmr"))
-    })
+    }),
+
+    // ── NS governance: CROSS-SOURCE DUPLICATION ATTRIBUTION — the
+    // near-dup pair set rolled up to a source×source matrix: which
+    // ingest sources copy from which (doc id order ≈ crawl order, so
+    // doc_a<doc_b reads "src_from published first, src_to re-crawled
+    // it"). The report that decides which crawl source to demote when
+    // dedup keeps eating its budget. Pair machinery is q27's exact
+    // dense scan at the q30 near-dup threshold; the rollup emits the
+    // exact-decimal SUM of rounded jaccards rather than the mean —
+    // sum/count division parks short-denominator quotients on 7-dp
+    // rounding boundaries (the q132 hazard), while the sum is exact ──
+    "q133_dup_attribution" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairsDense(docs, "doc_id", "text",
+          n = 2, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("jaccard"), 6).as("jc"))
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.toDF("doc_a", "src_from"), "doc_a")
+        .join(src.toDF("doc_b", "src_to"), "doc_b")
+        .groupBy(col("src_from"), col("src_to"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("doc_b")).as("n_copied_docs"),
+          sum(col("jc").cast("decimal(20,6)")).cast("double")
+            .as("sum_jaccard"))
+    }),
+
+    // ── NS embeddings: PER-LABEL COHERENCE — each label's cosine
+    // mass to its own centroid direction, the intra-class compactness
+    // report that flags mislabeled/noise-flooded classes before a
+    // contrastive run wastes epochs on them. One exploded hash agg
+    // (map-side combine ⇒ shuffle is labels·dim per task, corpus-
+    // independent), bounded guarded centroid collect, scan-time
+    // codegen cosine. Exact with NO division or mid-chain rounding:
+    // integer-quantized component sums as the centroid direction —
+    // cosine is scale-invariant, so sum ≡ mean (labelCoherence
+    // scaladoc) ──
+    "q134_label_coherence" -> ((s, dir) =>
+      Similarity.labelCoherence(t(s, dir, "embeddings"),
+        "embedding", "label"))
   )
 
   /** q115's outlier threshold on the ROUNDED cosine-to-centroid
@@ -5560,6 +5601,59 @@ object SparkEntry {
            |SELECT qid, CAST(rank AS INT) AS rank, doc_id,
            |  CAST(mmr AS DOUBLE) AS mmr
            |FROM ($unions)""".stripMargin
+      },
+
+      // the same exact pairwise jaccard recompute as q27/q30, joined
+      // to each side's source; the matrix sums rounded jaccards as
+      // exact decimals (no mean — see the registration note)
+      "q133_dup_attribution" ->
+        s"""WITH sh AS (
+           |  SELECT doc_id, source, ${sqlShingles(2)} AS s
+           |  FROM (SELECT doc_id, source, $sqlTokens AS toks
+           |        FROM documents)),
+           |pr AS (
+           |  SELECT a.source AS src_from, b.source AS src_to,
+           |    b.doc_id AS doc_b,
+           |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+           |      CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+           |        AS DOUBLE), 6) AS jc
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+           |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+           |      AS DOUBLE) >= 0.5)
+           |SELECT src_from, src_to, COUNT(*) AS n_pairs,
+           |  CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS n_copied_docs,
+           |  CAST(SUM(CAST(jc AS DECIMAL(20,6))) AS DOUBLE)
+           |    AS sum_jaccard
+           |FROM pr GROUP BY src_from, src_to""".stripMargin,
+
+      // the same integer quantization (floor(x·2³⁰) — DuckDB CAST
+      // rounds where Spark truncates, floor agrees), exact integer
+      // centroid sums ordered into a list, and the shared
+      // index-order dot-product fold; 1-based DuckDB subscripts ≡
+      // the engine's 0-based posexplode by construction
+      "q134_label_coherence" -> {
+        def dot(x: String, y: String) = sqlDotVec(x, y)
+        s"""WITH ex AS (
+           |  SELECT label, CAST(i.range AS INT) AS pos,
+           |    CAST(floor(CAST(embedding[CAST(i.range AS INT)]
+           |      AS DOUBLE) * 1073741824.0) AS BIGINT) AS q
+           |  FROM embeddings, range(1, ${embDim + 1}) i),
+           |cent AS (SELECT label, pos, SUM(q) AS cq
+           |  FROM ex GROUP BY label, pos),
+           |cv AS (SELECT label,
+           |    list(CAST(cq AS DOUBLE) ORDER BY pos) AS c
+           |  FROM cent GROUP BY label),
+           |sc AS (SELECT e.label,
+           |    round(${dot("e.embedding", "cv.c")} /
+           |      (sqrt(${dot("e.embedding", "e.embedding")}) *
+           |       sqrt(${dot("cv.c", "cv.c")})), 6) AS cos
+           |  FROM embeddings e JOIN cv ON cv.label = e.label)
+           |SELECT label, COUNT(*) AS n_vecs,
+           |  CAST(SUM(CAST(cos AS DECIMAL(20,6))) AS DOUBLE)
+           |    AS sum_cos,
+           |  MIN(cos) AS min_cos
+           |FROM sc GROUP BY label""".stripMargin
       },
 
       // identical integer-only chunk boundaries (1 + ceil((L−32)/24)

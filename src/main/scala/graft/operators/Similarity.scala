@@ -470,4 +470,66 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("dup_of"),
         col("dup_of").isNotNull.as("is_dup"))
   }
+
+  /** PER-LABEL EMBEDDING COHERENCE — each label's mean cosine to its
+    * own centroid direction, the intra-class compactness signal that
+    * flags mislabeled or noise-flooded classes before a contrastive
+    * run wastes epochs on them (low sum_cos/n ⇒ the label is not one
+    * cluster; very low min_cos names the worst offenders).
+    *
+    * Scale shape: ONE posexplode feeding a hash aggregate — partial
+    * (map-side) combine collapses each task to |labels|·dim rows
+    * before the only shuffle, so shuffle volume is tasks·labels·dim
+    * regardless of corpus size; the centroid table is a BOUNDED
+    * planning collect (|labels|·dim, loudly guarded), embedded back
+    * as literals for scan-time scoring (the q115 convention).
+    *
+    * Exactness without division or rounding: the centroid is the
+    * per-label component SUM — cosine is scale-invariant, so the sum
+    * direction IS the mean direction — and components are quantized
+    * to exact integers first (floor(x·2³⁰): float mantissas make the
+    * product exact, floor is engine-identical where double→long CASTs
+    * are not — Spark truncates, DuckDB rounds). Integer sums stay
+    * < 2⁵³, so the double centroid literal is exact in both engines;
+    * only the final per-row cosine rounds (6 dp). */
+  def labelCoherence(emb: DataFrame, vecCol: String, labelCol: String,
+      maxLabels: Int = 1024): DataFrame = {
+    val quant = 1073741824.0 // 2^30
+    val cent = emb
+      .select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("pos", "comp")))
+      .select(col("label"), col("pos"),
+        floor(col("comp").cast("double") * quant).cast("long").as("q"))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("q")).as("cq"))
+      .collect()
+    val byLabel: Map[Any, Seq[Double]] = cent
+      .groupBy(_.get(0))
+      .map { case (l, rows) =>
+        l -> rows.sortBy(_.getInt(1)).map(_.getLong(2).toDouble).toSeq
+      }
+    require(byLabel.nonEmpty, "labelCoherence: no vectors")
+    byLabel.foreach { case (l, arr) =>
+      require(arr.exists(_ != 0.0),
+        s"labelCoherence: label $l's quantized centroid is the zero " +
+          "vector (its members cancel) — coherence to it is undefined; " +
+          "drop or split the label upstream")
+    }
+    require(byLabel.size <= maxLabels,
+      s"labelCoherence: ${byLabel.size} labels exceed maxLabels=" +
+        s"$maxLabels — the centroid literal would not broadcast; " +
+        "raise the cap or pre-bucket the labels")
+    val centLit = byLabel.foldLeft(lit(null).cast("array<double>")) {
+      case (els, (l, arr)) =>
+        when(col(labelCol) === lit(l), typedLit(arr)).otherwise(els)
+    }
+    emb
+      .select(col(labelCol).as("label"),
+        round(vectors.cosineFast(col(vecCol), centLit), 6).as("cos"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("cos").cast("decimal(20,6)")).cast("double")
+          .as("sum_cos"),
+        min(col("cos")).as("min_cos"))
+  }
 }

@@ -190,4 +190,31 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec with Matchers {
     }
     ex.getMessage should include("refine the clustering")
   }
+
+  test("labelCoherence: hand-computed sums; zero-centroid label fails loudly") {
+    import spark.implicits._
+    // label 0: (1,0) and (0,1) → sum direction (1,1), each cosine
+    // 1/√2 → 0.707107 rounded; label 1: one vector → cosine 1
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.0f, 1.0f), 0),
+      (3L, Seq(3.0f, 4.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCoherence(emb, "embedding", "label")
+      .select(col("label"), col("n_vecs"), col("sum_cos"), col("min_cos"))
+      .as[(Int, Long, Double, Double)].collect().sortBy(_._1)
+    out(0) shouldBe ((0, 2L, 1.414214, 0.707107))
+    out(1) shouldBe ((1, 1L, 1.0, 1.0))
+    // members that cancel leave a zero centroid — loud, not NaN
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.labelCoherence(Seq(
+        (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(-1.0f, 0.0f), 0))
+        .toDF("vec_id", "embedding", "label"), "embedding", "label")
+    }
+    ex.getMessage should include("zero vector")
+    // the label cap is loud too
+    val ex2 = intercept[IllegalArgumentException] {
+      Similarity.labelCoherence(emb, "embedding", "label", maxLabels = 1)
+    }
+    ex2.getMessage should include("maxLabels")
+  }
 }
