@@ -3167,7 +3167,35 @@ object SparkEntry {
     // scaladoc) ──
     "q134_label_coherence" -> ((s, dir) =>
       Similarity.labelCoherence(t(s, dir, "embeddings"),
-        "embedding", "label"))
+        "embedding", "label")),
+
+    // ── NS decontamination: THRESHOLD-SENSITIVITY SWEEP — the graded
+    // complement of q64's binary flag: per-doc contamination = the
+    // fraction of its shingles found anywhere in the eval fold,
+    // rolled up per source at three cutoffs in ONE pass. If n_c20 ≫
+    // n_c50 ≫ n_c80 the cutoff choice is load-bearing (the scores sit
+    // on a cliff); if they agree, any cutoff ships the same corpus —
+    // the report that makes the decontamination threshold a measured
+    // decision. Threshold compares use the RAW ratio (identical
+    // doubles from identical integers in both engines); only the sum
+    // goes through the rounded-decimal convention ──
+    "q135_contamination_sweep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isEval = col("doc_id") % 17 === 3
+      Dedup.contaminationScores(docs.filter(!isEval),
+          docs.filter(isEval), "doc_id", "text", n = 3)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("contamination") >= 0.2, 1L).otherwise(0L))
+            .as("n_c20"),
+          sum(when(col("contamination") >= 0.5, 1L).otherwise(0L))
+            .as("n_c50"),
+          sum(when(col("contamination") >= 0.8, 1L).otherwise(0L))
+            .as("n_c80"),
+          sum(round(col("contamination"), 6).cast("decimal(20,6)"))
+            .cast("double").as("sum_score"))
+    })
   )
 
   /** q115's outlier threshold on the ROUNDED cosine-to-centroid
@@ -5655,6 +5683,39 @@ object SparkEntry {
            |  MIN(cos) AS min_cos
            |FROM sc GROUP BY label""".stripMargin
       },
+
+      // full recompute of the containment-in-eval-union ratio per
+      // corpus doc (same integer inputs → identical doubles), same
+      // raw-ratio threshold compares, same rounded-decimal sum
+      "q135_contamination_sweep" ->
+        s"""WITH tk AS (SELECT doc_id, source, ${sqlShingles(3)} AS sh
+           |  FROM (SELECT doc_id, source, $sqlTokens AS toks
+           |        FROM documents)),
+           |ev AS (SELECT DISTINCT shingle FROM (
+           |  SELECT unnest(sh) AS shingle FROM tk
+           |  WHERE doc_id % 17 = 3)),
+           |cx AS (SELECT doc_id, source, sh, len(sh) AS csz
+           |  FROM tk WHERE doc_id % 17 <> 3),
+           |m AS (SELECT c.doc_id, COUNT(*) AS nm
+           |  FROM (SELECT doc_id, unnest(sh) AS shingle FROM cx) c
+           |  JOIN ev ON ev.shingle = c.shingle
+           |  GROUP BY c.doc_id),
+           |sc AS (SELECT cx.source,
+           |    CASE WHEN csz > 0
+           |      THEN CAST(coalesce(m.nm, 0) AS DOUBLE) /
+           |        CAST(csz AS DOUBLE)
+           |      ELSE 0.0 END AS score
+           |  FROM cx LEFT JOIN m ON m.doc_id = cx.doc_id)
+           |SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(CASE WHEN score >= 0.2 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_c20,
+           |  CAST(SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_c50,
+           |  CAST(SUM(CASE WHEN score >= 0.8 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_c80,
+           |  CAST(SUM(CAST(round(score, 6) AS DECIMAL(20,6)))
+           |    AS DOUBLE) AS sum_score
+           |FROM sc GROUP BY source""".stripMargin,
 
       // identical integer-only chunk boundaries (1 + ceil((L−32)/24)
       // chunks via truncating division; empty docs drop) and the

@@ -809,6 +809,50 @@ object Dedup {
       .drop("_cid", "_hit")
   }
 
+  /** GRADED contamination — the continuous complement of the binary
+    * [[flagContaminated]] family: per corpus document, the fraction
+    * of its distinct n-gram shingles that appear ANYWHERE in the eval
+    * set (containment of the doc in the eval union). The binary flag
+    * answers "touches a benchmark?"; this answers "how much of the
+    * doc IS benchmark text?" — the number a pipeline needs to pick a
+    * cutoff deliberately instead of inheriting one (see q135, which
+    * rolls these scores into a per-source threshold-sensitivity
+    * report: rates at several cutoffs in one pass tell you whether
+    * your chosen threshold sits on a cliff of the distribution).
+    *
+    * Scale shape (the [[flagContaminatedJoin]] contract): the corpus
+    * is scanned twice and its text never shuffles — the match branch
+    * ships only (id, shingle-hit) rows into a semi-join against the
+    * DISTINCT eval shingle table (AQE broadcasts it while small,
+    * token-keyed shuffle join beyond that), and the per-doc counts
+    * join back to the (id, set-size) projection. Exactness: the score
+    * is a ratio of two integers — identical doubles in both engines —
+    * and consumers compare/sum it under the rounded-decimal
+    * convention. Empty docs score 0.0. */
+  def contaminationScores(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val evalSh = evalSet
+      .select(explode(text.wordShinglesFast(col(textCol), n))
+        .as("shingle"))
+      .distinct()
+    val cx = corpus.select(col(idCol),
+        text.wordShinglesFast(col(textCol), n).as("_sh"))
+      .withColumn("_csz", size(col("_sh")).cast("long"))
+    val hits = cx
+      .select(col(idCol), explode(col("_sh")).as("shingle"))
+      .join(evalSh, Seq("shingle"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("_m"))
+    cx.select(col(idCol), col("_csz"))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_matched", coalesce(col("_m"), lit(0L)))
+      .withColumn("contamination",
+        when(col("_csz") > 0,
+          col("n_matched").cast("double") / col("_csz").cast("double"))
+          .otherwise(lit(0.0)))
+      .select(col(idCol), col("_csz").as("n_shingles"),
+        col("n_matched"), col("contamination"))
+  }
+
   /** Incremental-ingest exact dedup: keep only batch documents whose
     * content is absent from the already-ingested corpus — the
     * every-new-crawl step of a continuously growing training corpus

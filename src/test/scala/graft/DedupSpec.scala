@@ -243,6 +243,27 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
       .as[Int].head() shouldBe 4
   }
 
+  test("contaminationScores: exact matched-fraction per doc; empty docs score zero") {
+    import spark.implicits._
+    val evalSet = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    // bigrams: eval = {a b, b c, c d}
+    val corpus = Seq(
+      (1L, "a b c x"), // {a b, b c, c x} → 2/3 matched
+      (2L, "p q r"),   // no overlap → 0
+      (3L, ""),        // empty → 0, no division
+      (4L, "a b c d")) // exact copy → 1.0
+      .toDF("doc_id", "text")
+    val out = Dedup.contaminationScores(corpus, evalSet,
+        "doc_id", "text", n = 2)
+      .select(col("doc_id"), col("n_shingles"), col("n_matched"),
+        round(col("contamination"), 6))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    out(0) shouldBe ((1L, 3L, 2L, 0.666667))
+    out(1) shouldBe ((2L, 2L, 0L, 0.0))
+    out(2) shouldBe ((3L, 0L, 0L, 0.0))
+    out(3) shouldBe ((4L, 3L, 3L, 1.0))
+  }
+
   test("incrementalDedup keeps only content absent from the corpus") {
     import spark.implicits._
     val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta"))
