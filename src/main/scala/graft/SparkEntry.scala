@@ -3195,6 +3195,42 @@ object SparkEntry {
             .as("n_c80"),
           sum(round(col("contamination"), 6).cast("decimal(20,6)"))
             .cast("double").as("sum_score"))
+    }),
+
+    // ── NS training-prep: CONTEXT-WINDOW PACKING REPORT — what q57's
+    // contiguous concatenation (doc_id order per source) actually
+    // costs at a fixed model context (W=256 here): windows consumed,
+    // padding waste at each source's tail, how many docs straddle a
+    // window boundary (their loss is attention-truncated), and the
+    // worst straddle span. The report a trainer reads to choose
+    // between padding, packing, and doc-splitting. Pure integer
+    // arithmetic off ONE per-source cumsum window (the q57 shape —
+    // floor on exact small doubles, both engines identical); empty
+    // docs never count as split. W=256 so the gate fixtures exercise
+    // real splits (at 2048 every sf0.01 source fits one window and
+    // every split column is a constant zero) ──
+    "q136_packing_report" -> ((s, dir) => {
+      val W = 256L
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      t(s, dir, "documents")
+        .withColumn("n", text.tokenCount(col("text")).cast("long"))
+        .withColumn("cum", sum(col("n")).over(w))
+        .withColumn("w_start",
+          floor((col("cum") - col("n")).cast("double") / W).cast("long"))
+        .withColumn("w_end",
+          floor((col("cum") - 1).cast("double") / W).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).as("total_tokens"),
+          floor((max(col("cum")) + W - 1).cast("double") / W)
+            .cast("long").as("n_windows"),
+          (floor((max(col("cum")) + W - 1).cast("double") / W)
+            .cast("long") * W - max(col("cum"))).as("waste_tokens"),
+          sum(when(col("n") > 0 && col("w_end") > col("w_start"), 1L)
+            .otherwise(0L)).as("n_split_docs"),
+          max(when(col("n") > 0, col("w_end") - col("w_start") + 1)
+            .otherwise(0L)).as("max_window_span"))
     })
   )
 
@@ -5716,6 +5752,33 @@ object SparkEntry {
            |  CAST(SUM(CAST(round(score, 6) AS DECIMAL(20,6)))
            |    AS DOUBLE) AS sum_score
            |FROM sc GROUP BY source""".stripMargin,
+
+      // identical integer window arithmetic off the same per-source
+      // doc_id-ordered cumsum; floor on exact small doubles
+      "q136_packing_report" ->
+        s"""WITH c AS (
+           |  SELECT source, doc_id, len($sqlTokens) AS n,
+           |    SUM(len($sqlTokens)) OVER (PARTITION BY source
+           |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+           |      AND CURRENT ROW) AS cum
+           |  FROM documents),
+           |wn AS (SELECT source, doc_id, n, cum,
+           |    CAST(floor(CAST(cum - n AS DOUBLE) / 256) AS BIGINT)
+           |      AS w_start,
+           |    CAST(floor(CAST(cum - 1 AS DOUBLE) / 256) AS BIGINT)
+           |      AS w_end
+           |  FROM c)
+           |SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(n) AS BIGINT) AS total_tokens,
+           |  CAST(floor(CAST(MAX(cum) + 255 AS DOUBLE) / 256)
+           |    AS BIGINT) AS n_windows,
+           |  CAST(floor(CAST(MAX(cum) + 255 AS DOUBLE) / 256)
+           |    AS BIGINT) * 256 - MAX(cum) AS waste_tokens,
+           |  CAST(SUM(CASE WHEN n > 0 AND w_end > w_start
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+           |  CAST(MAX(CASE WHEN n > 0 THEN w_end - w_start + 1
+           |    ELSE 0 END) AS BIGINT) AS max_window_span
+           |FROM wn GROUP BY source""".stripMargin,
 
       // identical integer-only chunk boundaries (1 + ceil((L−32)/24)
       // chunks via truncating division; empty docs drop) and the
