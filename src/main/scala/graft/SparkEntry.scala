@@ -3231,7 +3231,26 @@ object SparkEntry {
             .otherwise(0L)).as("n_split_docs"),
           max(when(col("n") > 0, col("w_end") - col("w_start") + 1)
             .otherwise(0L)).as("max_window_span"))
-    })
+    }),
+
+    // ── NS embeddings: PER-(LABEL, DIM) MOMENTS — exact integer
+    // first/second moments + the population-variance numerator per
+    // embedding dimension within each label: whitening stats,
+    // dead-dimension detection (var_num ≈ 0 ⇒ a collapsed direction),
+    // cross-label discriminability — with ZERO float surface in the
+    // output (the q134 quantization + decimal aggregation; var_num
+    // is decimal end to end, nothing to round, nothing for engines
+    // to disagree on). The gate projection CASTS the decimals to
+    // STRINGS: the comparison layer reads results through pandas,
+    // which degrades 38-digit decimals to float64 — the exact
+    // integers survive as text at any magnitude ──
+    "q137_embedding_moments" -> ((s, dir) =>
+      Similarity.embeddingMoments(t(s, dir, "embeddings"),
+          "embedding", "label")
+        .select(col("label"), col("pos"), col("n_vecs"),
+          col("s_sum").cast("string").as("s_sum"),
+          col("q_sum").cast("string").as("q_sum"),
+          col("var_num").cast("string").as("var_num")))
   )
 
   /** q115's outlier threshold on the ROUNDED cosine-to-centroid
@@ -5779,6 +5798,27 @@ object SparkEntry {
            |  CAST(MAX(CASE WHEN n > 0 THEN w_end - w_start + 1
            |    ELSE 0 END) AS BIGINT) AS max_window_span
            |FROM wn GROUP BY source""".stripMargin,
+
+      // same quantization, HUGEINT (int128) moment arithmetic where
+      // the engine uses 38-digit decimals — identical integers out;
+      // DuckDB's 1-based subscripts shift to the engine's 0-based pos
+      "q137_embedding_moments" ->
+        s"""WITH ex AS (
+           |  SELECT label, CAST(i.range AS INT) - 1 AS pos,
+           |    CAST(floor(CAST(embedding[CAST(i.range AS INT)]
+           |      AS DOUBLE) * 1073741824.0) AS BIGINT) AS q
+           |  FROM embeddings, range(1, ${embDim + 1}) i),
+           |m AS (SELECT label, pos, COUNT(*) AS n,
+           |    CAST(SUM(CAST(q AS HUGEINT)) AS HUGEINT) AS ss,
+           |    CAST(SUM(CAST(q AS HUGEINT) * CAST(q AS HUGEINT))
+           |      AS HUGEINT) AS qs
+           |  FROM ex GROUP BY label, pos)
+           |SELECT label, pos, n AS n_vecs,
+           |  CAST(ss AS VARCHAR) AS s_sum,
+           |  CAST(qs AS VARCHAR) AS q_sum,
+           |  CAST(CAST(n AS HUGEINT) * qs - ss * ss AS VARCHAR)
+           |    AS var_num
+           |FROM m""".stripMargin,
 
       // identical integer-only chunk boundaries (1 + ceil((L−32)/24)
       // chunks via truncating division; empty docs drop) and the

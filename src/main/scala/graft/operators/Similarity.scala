@@ -492,6 +492,44 @@ object Similarity {
     * are not — Spark truncates, DuckDB rounds). Integer sums stay
     * < 2⁵³, so the double centroid literal is exact in both engines;
     * only the final per-row cosine rounds (6 dp). */
+  /** PER-(LABEL, DIMENSION) EMBEDDING MOMENTS — exact integer first
+    * and second moments of every embedding dimension within every
+    * label, plus the population-variance NUMERATOR n·Σq² − (Σq)²:
+    * the representation-health report behind whitening stats,
+    * dead-dimension detection (var_num ≈ 0 ⇒ the dim is constant
+    * inside the label — a collapsed direction contrastive training
+    * cannot use), and cross-label discriminability (dims whose s_sum
+    * barely moves across labels carry no class signal).
+    *
+    * Same quantization contract as [[labelCoherence]] (floor(x·2³⁰) —
+    * exact products, engine-identical floor). The SQUARE is taken in
+    * decimal, not long: q² overflows int64 the moment a component
+    * exceeds ~2.93 (|q| > 2^31·√2 ⇒ q² > 2^63), which ANSI mode turns
+    * into a runtime throw and legacy mode into silent garbage; both
+    * moments then aggregate as 38-digit decimals and the variance
+    * numerator is decimal arithmetic end to end — the output has ZERO
+    * float surface, so there is nothing to round and nothing for
+    * engines to disagree on. One exploded hash aggregate; map-side
+    * combine bounds the only shuffle at |labels|·dim rows per task,
+    * corpus-independent. */
+  def embeddingMoments(emb: DataFrame, vecCol: String,
+      labelCol: String): DataFrame = {
+    val quant = 1073741824.0 // 2^30
+    val qd = col("q").cast("decimal(19,0)")
+    emb
+      .select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("pos", "comp")))
+      .select(col("label"), col("pos"),
+        floor(col("comp").cast("double") * quant).cast("long").as("q"))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(qd).cast("decimal(38,0)").as("s_sum"),
+        sum(qd * qd).cast("decimal(38,0)").as("q_sum"))
+      .withColumn("var_num",
+        (col("n_vecs").cast("decimal(20,0)") * col("q_sum") -
+          col("s_sum") * col("s_sum")).cast("decimal(38,0)"))
+  }
+
   def labelCoherence(emb: DataFrame, vecCol: String, labelCol: String,
       maxLabels: Int = 1024): DataFrame = {
     val quant = 1073741824.0 // 2^30

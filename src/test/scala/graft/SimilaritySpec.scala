@@ -217,4 +217,27 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec with Matchers {
     }
     ex2.getMessage should include("maxLabels")
   }
+
+  test("embeddingMoments: hand-computed exact moments; constant dim has zero variance numerator") {
+    import spark.implicits._
+    // label 0, dim 0 quantized values: 2^30, 0, 2^30 →
+    // S = 2^31, Q = 2·2^60, var_num = 3·2·2^60 − (2^31)² = 2^61
+    val emb = Seq(
+      (1L, Seq(1.0f, 5.0f), 0), (2L, Seq(0.0f, 5.0f), 0),
+      (3L, Seq(1.0f, 5.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.embeddingMoments(emb, "embedding", "label")
+      .select(col("label"), col("pos"), col("n_vecs"),
+        col("s_sum").cast("string"), col("q_sum").cast("string"),
+        col("var_num").cast("string"))
+      .as[(Int, Int, Long, String, String, String)]
+      .collect().sortBy(_._2)
+    out(0) shouldBe ((0, 0, 3L, "2147483648",
+      "2305843009213693952", "2305843009213693952"))
+    // dim 1 is constant 5.0 — its q² (25·2⁶⁰) OVERFLOWS int64, which
+    // the decimal-square path must survive; collapsed ⇒ var_num = 0
+    val q5 = BigInt(5) * (BigInt(1) << 30)
+    out(1) shouldBe ((0, 1, 3L, (3 * q5).toString,
+      (3 * q5 * q5).toString, "0"))
+  }
 }
