@@ -3250,7 +3250,39 @@ object SparkEntry {
         .select(col("label"), col("pos"), col("n_vecs"),
           col("s_sum").cast("string").as("s_sum"),
           col("q_sum").cast("string").as("q_sum"),
-          col("var_num").cast("string").as("var_num")))
+          col("var_num").cast("string").as("var_num"))),
+
+    // ── NS embeddings, INCREMENTAL form: q137's moments kept fresh
+    // without rescanning the corpus — the additivity of the integer
+    // moment formulation IS the contract (counts, Σq, Σq² merge by
+    // summation; the variance numerator re-derives from merged sums),
+    // exactly the q118 stats-store lifecycle: at-rest partials, a new
+    // crawl batch's partials union in, update cost scales with the
+    // batch. The oracle is q137's FULL recompute — merged ≡ from
+    // scratch, verified end to end ──
+    "q138_incremental_moments" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val isNew = col("vec_id") % 5 === 0
+      def partials(d: DataFrame) =
+        Similarity.embeddingMoments(d, "embedding", "label")
+          .select("label", "pos", "n_vecs", "s_sum", "q_sum")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q138_").toString
+      partials(emb.filter(!isNew)).write.parquet(root + "/moments")
+      val merged = s.read.parquet(root + "/moments")
+        .unionByName(partials(emb.filter(isNew)))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("n_vecs")).as("n_vecs"),
+          sum(col("s_sum")).cast("decimal(38,0)").as("s_sum"),
+          sum(col("q_sum")).cast("decimal(38,0)").as("q_sum"))
+        .select(col("label"), col("pos"), col("n_vecs"),
+          col("s_sum").cast("string").as("s_sum"),
+          col("q_sum").cast("string").as("q_sum"),
+          (col("n_vecs").cast("decimal(20,0)") * col("q_sum") -
+            col("s_sum") * col("s_sum")).cast("decimal(38,0)")
+            .cast("string").as("var_num"))
+      materializeThenClean(s, merged, root)
+    })
   )
 
   /** q115's outlier threshold on the ROUNDED cosine-to-centroid
@@ -3399,6 +3431,27 @@ object SparkEntry {
     * threshold — also the oracle for the MinHash+rescore path, whose
     * output equals the exact pairs at any threshold past the S-curve
     * knee (Dedup.minhashNearDupPairs scaladoc). */
+  /** DuckDB mirror of Similarity.embeddingMoments over the embeddings
+    * table — shared by q137 (direct) and q138 (incremental merge must
+    * equal the full recompute). */
+  private def momentsOracleSql: String =
+    s"""WITH ex AS (
+       |  SELECT label, CAST(i.range AS INT) - 1 AS pos,
+       |    CAST(floor(CAST(embedding[CAST(i.range AS INT)]
+       |      AS DOUBLE) * 1073741824.0) AS BIGINT) AS q
+       |  FROM embeddings, range(1, ${embDim + 1}) i),
+       |m AS (SELECT label, pos, COUNT(*) AS n,
+       |    CAST(SUM(CAST(q AS HUGEINT)) AS HUGEINT) AS ss,
+       |    CAST(SUM(CAST(q AS HUGEINT) * CAST(q AS HUGEINT))
+       |      AS HUGEINT) AS qs
+       |  FROM ex GROUP BY label, pos)
+       |SELECT label, pos, n AS n_vecs,
+       |  CAST(ss AS VARCHAR) AS s_sum,
+       |  CAST(qs AS VARCHAR) AS q_sum,
+       |  CAST(CAST(n AS HUGEINT) * qs - ss * ss AS VARCHAR)
+       |    AS var_num
+       |FROM m""".stripMargin
+
   private def jaccardPairsSql(threshold: Double,
       docFilter: String = "TRUE"): String =
     s"""WITH sh AS (
@@ -5802,23 +5855,11 @@ object SparkEntry {
       // same quantization, HUGEINT (int128) moment arithmetic where
       // the engine uses 38-digit decimals — identical integers out;
       // DuckDB's 1-based subscripts shift to the engine's 0-based pos
-      "q137_embedding_moments" ->
-        s"""WITH ex AS (
-           |  SELECT label, CAST(i.range AS INT) - 1 AS pos,
-           |    CAST(floor(CAST(embedding[CAST(i.range AS INT)]
-           |      AS DOUBLE) * 1073741824.0) AS BIGINT) AS q
-           |  FROM embeddings, range(1, ${embDim + 1}) i),
-           |m AS (SELECT label, pos, COUNT(*) AS n,
-           |    CAST(SUM(CAST(q AS HUGEINT)) AS HUGEINT) AS ss,
-           |    CAST(SUM(CAST(q AS HUGEINT) * CAST(q AS HUGEINT))
-           |      AS HUGEINT) AS qs
-           |  FROM ex GROUP BY label, pos)
-           |SELECT label, pos, n AS n_vecs,
-           |  CAST(ss AS VARCHAR) AS s_sum,
-           |  CAST(qs AS VARCHAR) AS q_sum,
-           |  CAST(CAST(n AS HUGEINT) * qs - ss * ss AS VARCHAR)
-           |    AS var_num
-           |FROM m""".stripMargin,
+      "q137_embedding_moments" -> momentsOracleSql,
+
+      // the additivity contract itself: the incremental merge must
+      // reproduce the full-recompute answer bit for bit
+      "q138_incremental_moments" -> momentsOracleSql,
 
       // identical integer-only chunk boundaries (1 + ceil((L−32)/24)
       // chunks via truncating division; empty docs drop) and the
