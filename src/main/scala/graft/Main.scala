@@ -112,6 +112,7 @@ object Main {
         if intArg(rest, 100).isDefined =>
       diff(spark, dirA, dirB, intArg(rest, 100).get)
     case Seq("report", sfDir) => report(spark, sfDir)
+    case Seq("emb-health", sfDir) => embHealth(spark, sfDir)
     case Seq("index-postings", docsParquet, storeRoot, rest @ _*)
         if intArg(rest, 64).isDefined &&
           intArg(rest.drop(1), 8).isDefined =>
@@ -153,6 +154,8 @@ object Main {
       "  explain [outDir]                    plan dumps (graft.Explain)",
       "  report <sfDir>                      per-source corpus data card " +
         "(token volume, quality, repetition, lang agreement)",
+      "  emb-health <sfDir>                  per-label embedding health " +
+        "(coherence mass, worst member, dead dimensions)",
       "  index-postings <docsParquet> <storeRoot> [nBuckets] [numFiles]" +
         "   build the at-rest BM25 postings index (doc_id/text " +
         "columns; `compact <storeRoot>/postings bucket` re-clusters " +
@@ -542,6 +545,30 @@ object Main {
         f"${r.getAs[Long]("n_repetitive")}%6d " +
         f"${r.getAs[Long]("n_lang_agree")}%7d " +
         f"${r.getAs[Long]("n_langs")}%5d"
+    }
+  }
+
+  /** `emb-health` verb: the embedding-corpus health report — per
+    * label, its coherence mass (cosine to its own centroid direction)
+    * and how many of its dimensions are dead (exact zero variance),
+    * i.e. the q134/q137 operators composed for a human. */
+  private def embHealth(spark: SparkSession, sfDir: String): Seq[String] = {
+    import graft.operators.Similarity
+    val emb = Tables(spark, sfDir, "embeddings")
+    val coh = Similarity.labelCoherence(emb, "embedding", "label")
+    val dead = Similarity.embeddingMoments(emb, "embedding", "label")
+      .groupBy(col("label"))
+      .agg(sum(when(col("var_num") === 0, 1L).otherwise(0L))
+        .as("n_dead_dims"))
+    val rows = coh.join(dead, Seq("label"))
+      .orderBy(col("label")).collect()
+    val header = f"${"label"}%5s ${"vecs"}%6s ${"sum_cos"}%10s " +
+      f"${"min_cos"}%9s ${"dead_dims"}%9s"
+    header +: rows.toSeq.map { r =>
+      f"${r.getAs[Int]("label")}%5d ${r.getAs[Long]("n_vecs")}%6d " +
+        f"${r.getAs[Double]("sum_cos")}%10.4f " +
+        f"${r.getAs[Double]("min_cos")}%9.4f " +
+        f"${r.getAs[Long]("n_dead_dims")}%9d"
     }
   }
 

@@ -350,6 +350,18 @@ class MainSpec extends AnyFunSuite with SparkSpec with Matchers {
       .head.getLong(0) shouldBe nDocs
   }
 
+  test("emb-health verb prints the per-label coherence and dead-dim report") {
+    val lines = Main.run(spark, Seq("emb-health", "/root/testdata/sf0.001"))
+    lines.head should include("dead_dims")
+    lines.size should be > 1
+    // every fixture vector accounted for exactly once across labels
+    val nVecs = lines.tail.map(_.trim.split("\\s+")(1).toLong).sum
+    val total = Tables(spark, "/root/testdata/sf0.001", "embeddings").count()
+    nVecs shouldBe total
+    // the synthetic fixture has no dead dimensions
+    lines.tail.map(_.trim.split("\\s+").last.toLong).sum shouldBe 0L
+  }
+
   test("lease verb inspects and force-breaks a store's writer lease") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_main_lease_").toString + "/store"
