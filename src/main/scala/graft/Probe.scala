@@ -486,6 +486,61 @@ object ProbeScale {
       measureHardNeg("100x", perturbEmbLabeled(100))
     }
 
+    // q131's decision drivers: the dense path's pre-filter survivor
+    // volume (what survives iub/min(sz) >= t into the exact re-score)
+    // and the inverted-index emission sum Σ C(df,2) (what the sparse
+    // path would shuffle) — in BOTH vocabulary regimes, because the
+    // dense-vs-index choice flips exactly where shingle dfs stop
+    // growing with the corpus
+    if (mode == "containment") {
+      def measureContainment(tag: String, docsIn: DataFrame,
+          exactCount: Boolean): Unit = {
+        import org.apache.spark.sql.graft.{Bridge, SortedLongIntersectCount}
+        val docs = docsIn.select(col("doc_id"), col("text"))
+        val n = docs.count()
+        val sets = Dedup.shingleSets(docs, "doc_id", "text", 2)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // index emissions: Σ over shingles of C(df,2)
+        val (idxEmit, idxMax, _) = bucketPairs(
+          sets.select(col("doc"), explode(col("shingles")).as("s"))
+            .select("s"))
+        val (survivors, exact) = if (exactCount) {
+          val hashed = sets.select(col("doc"),
+            sort_array(transform(col("shingles"), s => xxhash64(s)))
+              .as("hs"),
+            size(col("shingles")).cast("long").as("sz"))
+          val par = spark.sparkContext.defaultParallelism
+          val a = hashed.repartition(par).toDF("doc_a", "hs_a", "sz_a")
+          val b = hashed.toDF("doc_b", "hs_b", "sz_b")
+          val surv = a.join(broadcast(b), col("doc_a") < col("doc_b"))
+            .withColumn("iub", Bridge.column(SortedLongIntersectCount(
+              Bridge.expression(col("hs_a")),
+              Bridge.expression(col("hs_b")))))
+            .filter(least(col("sz_a"), col("sz_b")) > 0 &&
+              col("iub").cast("double") /
+                least(col("sz_a"), col("sz_b")).cast("double") >= 0.9)
+            .count()
+          val ex = Dedup.containmentPairsDense(docs, "doc_id", "text",
+            2, 0.9).count()
+          (surv, ex)
+        } else (-1L, -1L)
+        sets.unpersist(blocking = false)
+        println(s"PROBE_SCALE containment $tag n=$n " +
+          s"total_pairs=${n * (n - 1) / 2} idx_emissions=$idxEmit " +
+          s"idx_max_df=$idxMax pf_survivors=$survivors exact_pairs=$exact")
+      }
+      measureContainment("sf0.01", Tables(spark, "/root/testdata/sf0.01",
+        "documents"), exactCount = true)
+      measureContainment("1x", docs01, exactCount = true)
+      // 10x in both regimes: emission sums only — the dense exact
+      // count at 50k docs is 1.25G merge ops, exactly the regime the
+      // numbers below are meant to warn about
+      measureContainment("10x_fixedvocab", resampleDocs(10),
+        exactCount = false)
+      measureContainment("10x_scaledvocab", resampleDocsScaledVocab(10),
+        exactCount = false)
+    }
+
     if (mode == "ingest") {
       val docsBase = Tables(spark, "/root/testdata/sf0.1", "documents")
         .select(col("doc_id"), col("text"))
