@@ -3282,6 +3282,53 @@ object SparkEntry {
             col("s_sum") * col("s_sum")).cast("decimal(38,0)")
             .cast("string").as("var_num"))
       materializeThenClean(s, merged, root)
+    }),
+
+    // ── T7+NS: STREAMING DECONTAMINATION GATE — q135's graded
+    // contamination kept live over a crawl stream: three deterministic
+    // micro-batches of corpus docs scored against the static eval
+    // fold inside foreachBatch, landing batchId-named ADDITIVE
+    // per-source partials (exactly-once under retry — sealed segments
+    // skipped, half-landed ones cleaned and redone; the q111/q128
+    // convention, spec-pinned in StreamingSpec). The drained store's
+    // one re-aggregation must equal the batch q135 report exactly —
+    // the shared oracle verifies the whole lifecycle end to end ──
+    "q139_stream_contamination" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ns = drainSession(s)
+      import ns.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = ns.sqlContext
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q139_").toString
+      val rows = t(s, dir, "documents")
+        .filter(col("doc_id") % 17 =!= 3)
+        .select(col("doc_id"), col("source"), col("text"))
+        .as[(Long, String, String)].collect().toSeq
+      val evalSet = t(ns, dir, "documents")
+        .filter(col("doc_id") % 17 === 3)
+        .select(col("doc_id"), col("text"))
+      val input = MemoryStream[(Long, String, String)]
+      val stream = input.toDF().toDF("doc_id", "source", "text")
+      val ckpt = ephemeralCheckpoint("q139")
+      val q = Streams.contaminationIngest(stream, evalSet, "doc_id",
+        "text", "source", root, ckpt.getAbsolutePath, n = 3)
+      try
+        (0 until 3).foreach { r =>
+          input.addData(rows.filter(_._1 % 3 == r))
+          q.processAllAvailable()
+        }
+      finally {
+        try q.stop()
+        finally Scratch.deleteRecursively(ckpt)
+      }
+      val report = s.read.parquet(root + "/partials")
+        .groupBy(col("source"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("n_c20")).as("n_c20"),
+          sum(col("n_c50")).as("n_c50"),
+          sum(col("n_c80")).as("n_c80"),
+          sum(col("sum_score_dec")).cast("double").as("sum_score"))
+      materializeThenClean(s, report, root)
     })
   )
 
@@ -3431,6 +3478,39 @@ object SparkEntry {
     * threshold — also the oracle for the MinHash+rescore path, whose
     * output equals the exact pairs at any threshold past the S-curve
     * knee (Dedup.minhashNearDupPairs scaladoc). */
+  /** DuckDB mirror of the q135 contamination threshold sweep —
+    * shared by q135 (batch) and q139 (the drained streaming store
+    * must re-aggregate to the identical report). */
+  private def contaminationSweepSql: String =
+    s"""WITH tk AS (SELECT doc_id, source, ${sqlShingles(3)} AS sh
+       |  FROM (SELECT doc_id, source, $sqlTokens AS toks
+       |        FROM documents)),
+       |ev AS (SELECT DISTINCT shingle FROM (
+       |  SELECT unnest(sh) AS shingle FROM tk
+       |  WHERE doc_id % 17 = 3)),
+       |cx AS (SELECT doc_id, source, sh, len(sh) AS csz
+       |  FROM tk WHERE doc_id % 17 <> 3),
+       |m AS (SELECT c.doc_id, COUNT(*) AS nm
+       |  FROM (SELECT doc_id, unnest(sh) AS shingle FROM cx) c
+       |  JOIN ev ON ev.shingle = c.shingle
+       |  GROUP BY c.doc_id),
+       |sc AS (SELECT cx.source,
+       |    CASE WHEN csz > 0
+       |      THEN CAST(coalesce(m.nm, 0) AS DOUBLE) /
+       |        CAST(csz AS DOUBLE)
+       |      ELSE 0.0 END AS score
+       |  FROM cx LEFT JOIN m ON m.doc_id = cx.doc_id)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN score >= 0.2 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_c20,
+       |  CAST(SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_c50,
+       |  CAST(SUM(CASE WHEN score >= 0.8 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_c80,
+       |  CAST(SUM(CAST(round(score, 6) AS DECIMAL(20,6)))
+       |    AS DOUBLE) AS sum_score
+       |FROM sc GROUP BY source""".stripMargin
+
   /** DuckDB mirror of Similarity.embeddingMoments over the embeddings
     * table — shared by q137 (direct) and q138 (incremental merge must
     * equal the full recompute). */
@@ -5795,35 +5875,11 @@ object SparkEntry {
       // full recompute of the containment-in-eval-union ratio per
       // corpus doc (same integer inputs → identical doubles), same
       // raw-ratio threshold compares, same rounded-decimal sum
-      "q135_contamination_sweep" ->
-        s"""WITH tk AS (SELECT doc_id, source, ${sqlShingles(3)} AS sh
-           |  FROM (SELECT doc_id, source, $sqlTokens AS toks
-           |        FROM documents)),
-           |ev AS (SELECT DISTINCT shingle FROM (
-           |  SELECT unnest(sh) AS shingle FROM tk
-           |  WHERE doc_id % 17 = 3)),
-           |cx AS (SELECT doc_id, source, sh, len(sh) AS csz
-           |  FROM tk WHERE doc_id % 17 <> 3),
-           |m AS (SELECT c.doc_id, COUNT(*) AS nm
-           |  FROM (SELECT doc_id, unnest(sh) AS shingle FROM cx) c
-           |  JOIN ev ON ev.shingle = c.shingle
-           |  GROUP BY c.doc_id),
-           |sc AS (SELECT cx.source,
-           |    CASE WHEN csz > 0
-           |      THEN CAST(coalesce(m.nm, 0) AS DOUBLE) /
-           |        CAST(csz AS DOUBLE)
-           |      ELSE 0.0 END AS score
-           |  FROM cx LEFT JOIN m ON m.doc_id = cx.doc_id)
-           |SELECT source, COUNT(*) AS n_docs,
-           |  CAST(SUM(CASE WHEN score >= 0.2 THEN 1 ELSE 0 END)
-           |    AS BIGINT) AS n_c20,
-           |  CAST(SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END)
-           |    AS BIGINT) AS n_c50,
-           |  CAST(SUM(CASE WHEN score >= 0.8 THEN 1 ELSE 0 END)
-           |    AS BIGINT) AS n_c80,
-           |  CAST(SUM(CAST(round(score, 6) AS DECIMAL(20,6)))
-           |    AS DOUBLE) AS sum_score
-           |FROM sc GROUP BY source""".stripMargin,
+      "q135_contamination_sweep" -> contaminationSweepSql,
+
+      // the drained partial store re-aggregates to the identical
+      // batch report — the exactly-once lifecycle contract itself
+      "q139_stream_contamination" -> contaminationSweepSql,
 
       // identical integer window arithmetic off the same per-source
       // doc_id-ordered cumsum; floor on exact small doubles

@@ -199,6 +199,57 @@ object Streams {
       }
       .start()
 
+  /** Streaming DECONTAMINATION GATE — the crawl-side monitor of the
+    * q135 threshold sweep: each micro-batch of crawl docs is scored
+    * against the STATIC eval shingle set (Dedup.contaminationScores —
+    * batch semantics inside foreachBatch, so the doc-then-source
+    * aggregation chain the streaming planner forbids is legal),
+    * reduced to ADDITIVE per-source partials (counts at each cutoff +
+    * a decimal score sum — the q118 additive-stats convention), and
+    * landed as one batchId-named parquet segment. EXACTLY-ONCE under
+    * micro-batch retry, the q111/q128 convention: a sealed (_SUCCESS)
+    * segment is skipped verbatim, a half-landed one is cleaned and
+    * redone. Zero streaming state; the live report is one
+    * re-aggregation of the partials and converges to the batch q135
+    * answer exactly (shared oracle). */
+  def contaminationIngest(docs: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, sourceCol: String,
+      storeRoot: String, checkpointDir: String,
+      n: Int): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val widthKey = "spark.sql.shuffle.partitions"
+        val oldWidth = s.conf.get(widthKey)
+        s.conf.set(widthKey, s.sparkContext.defaultParallelism)
+        try graft.Phases.time(s"contam_append[b$batchId]") {
+          val seg = new org.apache.hadoop.fs.Path(
+            s"$storeRoot/partials/batch_id=$batchId")
+          val fs = seg.getFileSystem(s.sparkContext.hadoopConfiguration)
+          val marker = new org.apache.hadoop.fs.Path(seg, "_SUCCESS")
+          if (!fs.exists(marker)) {
+            if (fs.exists(seg)) fs.delete(seg, true) // half-landed retry
+            val b = batch.toDF()
+            val partial = graft.operators.Dedup
+              .contaminationScores(b, evalSet, idCol, textCol, n)
+              .join(b.select(col(idCol), col(sourceCol)), Seq(idCol))
+              .groupBy(col(sourceCol))
+              .agg(count(lit(1)).as("n_docs"),
+                sum(when(col("contamination") >= 0.2, 1L).otherwise(0L))
+                  .as("n_c20"),
+                sum(when(col("contamination") >= 0.5, 1L).otherwise(0L))
+                  .as("n_c50"),
+                sum(when(col("contamination") >= 0.8, 1L).otherwise(0L))
+                  .as("n_c80"),
+                sum(round(col("contamination"), 6).cast("decimal(20,6)"))
+                  .as("sum_score_dec"))
+            partial.write.parquet(seg.toString)
+          }
+        } finally s.conf.set(widthKey, oldWidth)
+      }
+      .start()
+
   /** T7: tumbling event-time windows (streaming analog of q19). */
   def tumblingCounts(df: DataFrame, tsCol: String, delay: String,
       windowDur: String, keyCols: Column*): DataFrame =

@@ -485,4 +485,60 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
         .collect().map(_.toSeq).toSet shouldBe refAns
     } finally Scratch.deleteRecursively(new java.io.File(root))
   }
+
+  test("contamination ingest: additive partials equal the batch sweep; " +
+    "re-delivered and half-landed batches both converge") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_ci_retry_").toString
+    try {
+      val evalSet = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+      val b0 = Seq((1L, "s1", "a b c x y"), (2L, "s2", "p q r"))
+      val b1 = Seq((3L, "s1", "a b c d e"))
+      def runStream(ckpt: String,
+          batches: Seq[Seq[(Long, String, String)]]): Unit = {
+        val input = MemoryStream[(Long, String, String)]
+        val q = Streams.contaminationIngest(
+          input.toDF().toDF("doc_id", "source", "text"), evalSet,
+          "doc_id", "text", "source", root, ckpt, n = 2)
+        try batches.foreach { b =>
+          input.addData(b: _*); q.processAllAvailable()
+        } finally q.stop()
+      }
+      runStream(root + "/ckpt", Seq(b0, b1))
+      def report(): Set[Seq[Any]] = spark.read
+        .parquet(root + "/partials")
+        .groupBy(col("source"))
+        .agg(sum("n_docs"), sum("n_c20"), sum("n_c50"), sum("n_c80"),
+          sum(col("sum_score_dec")).cast("double"))
+        .collect().map(_.toSeq).toSet
+      val ref = report()
+      // the partial store re-aggregates to the direct batch sweep
+      val all = (b0 ++ b1).toDF("doc_id", "source", "text")
+      val direct = Dedup.contaminationScores(all, evalSet,
+          "doc_id", "text", n = 2)
+        .join(all.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long"),
+          sum(when(col("contamination") >= 0.2, 1L).otherwise(0L)),
+          sum(when(col("contamination") >= 0.5, 1L).otherwise(0L)),
+          sum(when(col("contamination") >= 0.8, 1L).otherwise(0L)),
+          sum(round(col("contamination"), 6).cast("decimal(20,6)"))
+            .cast("double"))
+        .collect().map(_.toSeq).toSet
+      ref shouldBe direct
+      // re-delivered batch 0 (fresh checkpoint, same batchId): the
+      // sealed segment is skipped — store unchanged
+      runStream(root + "/ckpt_retry", Seq(b0))
+      report() shouldBe ref
+      // half-landed (seal removed): cleaned and redone, same state
+      val marker = new java.io.File(
+        s"$root/partials/batch_id=0/_SUCCESS")
+      marker.exists() shouldBe true
+      marker.delete() shouldBe true
+      runStream(root + "/ckpt_retry2", Seq(b0))
+      report() shouldBe ref
+    } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
 }
