@@ -3329,6 +3329,30 @@ object SparkEntry {
           sum(col("n_c80")).as("n_c80"),
           sum(col("sum_score_dec")).cast("double").as("sum_score"))
       materializeThenClean(s, report, root)
+    }),
+
+    // ── NS governance: DUP CENSUS — the cluster-size histogram over
+    // q44's near-dup components (singletons included): how much of
+    // the corpus is unique vs 2-copies vs larger families, and how
+    // many docs dedup would remove (n_docs − n_clusters summed over
+    // sizes > 1). THE one-table summary a data lead reads before
+    // approving a dedup run; q133 says who copies whom, this says how
+    // deep the copying goes. Same LSH pair machinery + star CC as
+    // q44, one extra integer aggregation ──
+    "q140_dup_census" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDupPairs(
+        docs, "doc_id", "text", shingleN = 2, k = 64, bands = 32,
+        threshold = 0.5)
+      val cc = Dedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
+        .toDF("doc_id", "keeper")
+      docs.select(col("doc_id"))
+        .join(cc, Seq("doc_id"), "left")
+        .select(coalesce(col("keeper"), col("doc_id")).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          (col("cluster_size") * count(lit(1))).as("n_docs"))
     })
   )
 
@@ -3478,6 +3502,30 @@ object SparkEntry {
     * threshold — also the oracle for the MinHash+rescore path, whose
     * output equals the exact pairs at any threshold past the S-curve
     * knee (Dedup.minhashNearDupPairs scaladoc). */
+  /** DuckDB mirror of the q44 near-dup component labelling (recursive
+    * reachability → min-label), shared by q44 and the q140 census. */
+  private def neardupGroupsSql: String =
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id,
+       |    ${sqlShingles(2)} AS s
+       |  FROM (SELECT doc_id, $sqlTokens AS toks FROM documents)),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+       |      AS DOUBLE) >= 0.5),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p),
+       |reach AS (
+       |  SELECT src AS node, src AS r FROM edges
+       |  UNION
+       |  SELECT e.src AS node, re.r AS r
+       |  FROM edges e JOIN reach re ON e.dst = re.node),
+       |lbl AS (SELECT node, MIN(r) AS label FROM reach GROUP BY node)
+       |SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS group_keeper
+       |FROM documents d LEFT JOIN lbl l ON d.doc_id = l.node""".stripMargin
+
   /** DuckDB mirror of the q135 contamination threshold sweep —
     * shared by q135 (batch) and q139 (the drained streaming store
     * must re-aggregate to the identical report). */
@@ -4071,27 +4119,16 @@ object SparkEntry {
            |  ORDER BY cos DESC, c.vec_id LIMIT 10)""".stripMargin
       },
 
-      "q44_neardup_groups" ->
-        s"""WITH RECURSIVE sh AS (
-           |  SELECT doc_id,
-           |    ${sqlShingles(2)} AS s
-           |  FROM (SELECT doc_id, $sqlTokens AS toks FROM documents)),
-           |p AS (
-           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-           |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
-           |      AS DOUBLE) >= 0.5),
-           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
-           |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p),
-           |reach AS (
-           |  SELECT src AS node, src AS r FROM edges
-           |  UNION
-           |  SELECT e.src AS node, re.r AS r
-           |  FROM edges e JOIN reach re ON e.dst = re.node),
-           |lbl AS (SELECT node, MIN(r) AS label FROM reach GROUP BY node)
-           |SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS group_keeper
-           |FROM documents d LEFT JOIN lbl l ON d.doc_id = l.node""".stripMargin,
+      "q44_neardup_groups" -> neardupGroupsSql,
+
+      // the census is one aggregation over the SAME recursive
+      // component labelling: exact integers only
+      "q140_dup_census" ->
+        s"""SELECT cluster_size, COUNT(*) AS n_clusters,
+           |  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+           |FROM (SELECT group_keeper, COUNT(*) AS cluster_size
+           |      FROM ($neardupGroupsSql) g GROUP BY group_keeper)
+           |GROUP BY cluster_size""".stripMargin,
 
       "q47_sliding_windows" ->
         s"""WITH e AS (
