@@ -3353,6 +3353,39 @@ object SparkEntry {
         .groupBy(col("cluster_size"))
         .agg(count(lit(1)).as("n_clusters"),
           (col("cluster_size") * count(lit(1))).as("n_docs"))
+    }),
+
+    // ── NS crawl monitoring: NOVELTY CURVE — per crawl batch, the
+    // fraction of its distinct 3-gram shingles never seen in an
+    // earlier batch. A healthy crawl keeps finding new content;
+    // a falling-to-zero curve is the loop/stagnation signature that
+    // says stop paying for the crawler (batch := doc_id mod 4 here,
+    // the ingest-time proxy the fixtures support). Shuffles are all
+    // shingle-keyed (distinct pairs → first-seen agg → join back) —
+    // the token-keyed pattern that scales; the per-batch ratio is
+    // two integers, identical doubles in both engines ──
+    "q141_novelty_curve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("batch", pmod(col("doc_id"), lit(4)).cast("int"))
+      val bs = docs
+        .select(col("batch"),
+          explode(text.wordShinglesFast(col("text"), 3)).as("sh"))
+        .distinct()
+      val firstSeen = bs.groupBy(col("sh")).agg(min(col("batch")).as("fb"))
+      val counts = bs.join(firstSeen, Seq("sh"))
+        .groupBy(col("batch"))
+        .agg(count(lit(1)).as("ds"),
+          sum(when(col("fb") === col("batch"), 1L).otherwise(0L))
+            .as("ns"))
+      docs.groupBy(col("batch")).agg(count(lit(1)).as("n_docs"))
+        .join(counts, Seq("batch"), "left")
+        .select(col("batch"), col("n_docs"),
+          coalesce(col("ds"), lit(0L)).as("distinct_shingles"),
+          coalesce(col("ns"), lit(0L)).as("novel_shingles"),
+          when(coalesce(col("ds"), lit(0L)) > 0,
+            coalesce(col("ns"), lit(0L)).cast("double") /
+              col("ds").cast("double"))
+            .otherwise(lit(0.0)).as("novelty"))
     })
   )
 
@@ -4120,6 +4153,29 @@ object SparkEntry {
       },
 
       "q44_neardup_groups" -> neardupGroupsSql,
+
+      // identical first-seen attribution over the same distinct
+      // (batch, shingle) pairs; the ratio is two integers
+      "q141_novelty_curve" ->
+        s"""WITH d AS (SELECT CAST(doc_id % 4 AS INT) AS batch, doc_id,
+           |    $sqlTokens AS toks FROM documents),
+           |bs AS (SELECT DISTINCT batch, shingle FROM (
+           |  SELECT batch, unnest(${sqlShingles(3)}) AS shingle FROM d)),
+           |fs AS (SELECT shingle, MIN(batch) AS fb FROM bs
+           |  GROUP BY shingle),
+           |c AS (SELECT batch, COUNT(*) AS ds,
+           |    CAST(SUM(CASE WHEN fb = batch THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS ns
+           |  FROM bs JOIN fs USING (shingle) GROUP BY batch),
+           |nd AS (SELECT batch, COUNT(*) AS n_docs FROM d
+           |  GROUP BY batch)
+           |SELECT nd.batch, nd.n_docs,
+           |  CAST(coalesce(c.ds, 0) AS BIGINT) AS distinct_shingles,
+           |  CAST(coalesce(c.ns, 0) AS BIGINT) AS novel_shingles,
+           |  CASE WHEN coalesce(c.ds, 0) > 0
+           |    THEN CAST(c.ns AS DOUBLE) / CAST(c.ds AS DOUBLE)
+           |    ELSE 0.0 END AS novelty
+           |FROM nd LEFT JOIN c ON c.batch = nd.batch""".stripMargin,
 
       // the census is one aggregation over the SAME recursive
       // component labelling: exact integers only
