@@ -3386,7 +3386,19 @@ object SparkEntry {
             coalesce(col("ns"), lit(0L)).cast("double") /
               col("ds").cast("double"))
             .otherwise(lit(0.0)).as("novelty"))
-    })
+    }),
+
+    // ── NS embeddings: LABEL AFFINITY MATRIX — cosine between every
+    // pair of label centroid directions, the between-class complement
+    // of q134's within-class coherence: high affinity names the label
+    // pairs a classifier or contrastive objective will confuse.
+    // Exact-decimal dot/norm sums over q137's integer centroids; the
+    // only float ops are the final divide/sqrt on correctly-rounded
+    // decimal→double casts, measured identical across engines
+    // (labelAffinity scaladoc) ──
+    "q142_label_affinity" -> ((s, dir) =>
+      Similarity.labelAffinity(t(s, dir, "embeddings"),
+        "embedding", "label"))
   )
 
   /** q115's outlier threshold on the ROUNDED cosine-to-centroid
@@ -6009,6 +6021,33 @@ object SparkEntry {
       // the additivity contract itself: the incremental merge must
       // reproduce the full-recompute answer bit for bit
       "q138_incremental_moments" -> momentsOracleSql,
+
+      // same integer centroid sums, HUGEINT dot/norm products, and
+      // the identical final divide over correctly-rounded casts
+      "q142_label_affinity" ->
+        s"""WITH ex AS (
+           |  SELECT label, CAST(i.range AS INT) - 1 AS pos,
+           |    CAST(floor(CAST(embedding[CAST(i.range AS INT)]
+           |      AS DOUBLE) * 1073741824.0) AS BIGINT) AS q
+           |  FROM embeddings, range(1, ${embDim + 1}) i),
+           |cent AS (SELECT label, pos,
+           |    CAST(SUM(CAST(q AS HUGEINT)) AS HUGEINT) AS cq
+           |  FROM ex GROUP BY label, pos),
+           |n2 AS (SELECT label, SUM(cq * cq) AS n2 FROM cent
+           |  GROUP BY label),
+           |d AS (SELECT a.label AS label_a, b.label AS label_b,
+           |    SUM(a.cq * b.cq) AS dot
+           |  FROM cent a JOIN cent b
+           |    ON a.pos = b.pos AND a.label < b.label
+           |  GROUP BY a.label, b.label)
+           |SELECT label_a, label_b,
+           |  CASE WHEN na.n2 > 0 AND nb.n2 > 0
+           |    THEN round(CAST(dot AS DOUBLE) /
+           |      (sqrt(CAST(na.n2 AS DOUBLE)) *
+           |       sqrt(CAST(nb.n2 AS DOUBLE))), 6)
+           |  END AS affinity
+           |FROM d JOIN n2 na ON na.label = d.label_a
+           |  JOIN n2 nb ON nb.label = d.label_b""".stripMargin,
 
       // identical integer-only chunk boundaries (1 + ceil((L−32)/24)
       // chunks via truncating division; empty docs drop) and the

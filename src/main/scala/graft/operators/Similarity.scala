@@ -530,6 +530,44 @@ object Similarity {
           col("s_sum") * col("s_sum")).cast("decimal(38,0)"))
   }
 
+  /** LABEL AFFINITY MATRIX — cosine between every pair of label
+    * centroid directions: the between-class complement of
+    * [[labelCoherence]]'s within-class signal. High affinity names
+    * the label pairs a classifier (or a contrastive objective) will
+    * confuse; combined with coherence it separates "two tight but
+    * overlapping classes" from "one diffuse class".
+    *
+    * Built entirely on [[embeddingMoments]]' integer centroid sums:
+    * the pairwise dot and both norms are DECIMAL sums of integer
+    * products (exact at any magnitude), and the final ratio divides
+    * doubles obtained by CORRECTLY-ROUNDED decimal→double casts —
+    * measured identical in both engines — so the only float ops are
+    * the last divide/sqrt on identical inputs. Volumes after the one
+    * moments shuffle are |labels|²·dim rows — driver-trivial
+    * regardless of corpus size. Zero-centroid labels yield NULL
+    * affinity (undefined direction), deterministically. */
+  def labelAffinity(emb: DataFrame, vecCol: String,
+      labelCol: String): DataFrame = {
+    val cent = embeddingMoments(emb, vecCol, labelCol)
+      .select(col("label"), col("pos"), col("s_sum"))
+    val n2 = cent.groupBy(col("label"))
+      .agg(sum(col("s_sum") * col("s_sum")).cast("decimal(38,0)")
+        .as("n2"))
+    val a = cent.toDF("label_a", "pos", "ca")
+    val b = cent.toDF("label_b", "pos", "cb")
+    a.join(b, Seq("pos")).filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(col("ca") * col("cb")).cast("decimal(38,0)").as("dot"))
+      .join(n2.toDF("label_a", "na"), Seq("label_a"))
+      .join(n2.toDF("label_b", "nb"), Seq("label_b"))
+      .select(col("label_a"), col("label_b"),
+        when(col("na") > 0 && col("nb") > 0,
+          round(col("dot").cast("double") /
+            (sqrt(col("na").cast("double")) *
+              sqrt(col("nb").cast("double"))), 6))
+          .as("affinity"))
+  }
+
   def labelCoherence(emb: DataFrame, vecCol: String, labelCol: String,
       maxLabels: Int = 1024): DataFrame = {
     val quant = 1073741824.0 // 2^30

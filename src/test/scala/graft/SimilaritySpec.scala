@@ -218,6 +218,27 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec with Matchers {
     ex2.getMessage should include("maxLabels")
   }
 
+  test("labelAffinity: hand-computed centroid cosine; zero-centroid label is NULL") {
+    import spark.implicits._
+    // label 0 centroid direction (1,1); label 1 direction (3,4):
+    // cos = 7 / (√2·5) = 0.98994949… → 0.989949
+    // label 2 members cancel → zero centroid → NULL affinity
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.0f, 1.0f), 0),
+      (3L, Seq(3.0f, 4.0f), 1),
+      (4L, Seq(1.0f, 0.0f), 2), (5L, Seq(-1.0f, 0.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelAffinity(emb, "embedding", "label")
+      .select(col("label_a"), col("label_b"), col("affinity"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    out((0, 1)) shouldBe Some(0.989949)
+    out((0, 2)) shouldBe None
+    out((1, 2)) shouldBe None
+    out.size shouldBe 3
+  }
+
   test("embeddingMoments: hand-computed exact moments; constant dim has zero variance numerator") {
     import spark.implicits._
     // label 0, dim 0 quantized values: 2^30, 0, 2^30 →
