@@ -3398,7 +3398,33 @@ object SparkEntry {
     // (labelAffinity scaladoc) ──
     "q142_label_affinity" -> ((s, dir) =>
       Similarity.labelAffinity(t(s, dir, "embeddings"),
-        "embedding", "label"))
+        "embedding", "label")),
+
+    // ── NS training-prep: TRUNCATION-LOSS REPORT — for each candidate
+    // context cap W, the tokens each source loses if docs are
+    // truncated at W (the hard-cut alternative to q136's packing):
+    // docs-over-cap count and exact token loss per (source, W) in one
+    // scan, the number that picks the cap deliberately. W ∈
+    // {32, 64, 96} sized to the fixture's 10–99-token docs so every
+    // column is exercised; integer sums, one ratio of identical
+    // integers at the end ──
+    "q143_truncation_loss" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("n", text.tokenCount(col("text")).cast("long"))
+        .select(col("source"), col("n"),
+          explode(array(lit(32L), lit(64L), lit(96L))).as("w"))
+        .groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n") > col("w"), 1L).otherwise(0L))
+            .as("n_docs_over"),
+          sum(col("n")).as("total_tokens"),
+          sum(greatest(col("n") - col("w"), lit(0L)))
+            .as("tokens_lost"))
+        .withColumn("loss_frac",
+          when(col("total_tokens") > 0,
+            col("tokens_lost").cast("double") /
+              col("total_tokens").cast("double"))
+            .otherwise(lit(0.0))))
   )
 
   /** q115's outlier threshold on the ROUNDED cosine-to-centroid
@@ -4165,6 +4191,22 @@ object SparkEntry {
       },
 
       "q44_neardup_groups" -> neardupGroupsSql,
+
+      // identical integer truncation arithmetic per (source, W)
+      "q143_truncation_loss" ->
+        s"""WITH d AS (SELECT source, len($sqlTokens) AS n
+           |  FROM documents),
+           |x AS (SELECT source, n, unnest([32, 64, 96]) AS w FROM d)
+           |SELECT source, CAST(w AS BIGINT) AS w, COUNT(*) AS n_docs,
+           |  CAST(SUM(CASE WHEN n > w THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_docs_over,
+           |  CAST(SUM(n) AS BIGINT) AS total_tokens,
+           |  CAST(SUM(greatest(n - w, 0)) AS BIGINT) AS tokens_lost,
+           |  CASE WHEN SUM(n) > 0
+           |    THEN CAST(SUM(greatest(n - w, 0)) AS DOUBLE) /
+           |      CAST(SUM(n) AS DOUBLE)
+           |    ELSE 0.0 END AS loss_frac
+           |FROM x GROUP BY source, w""".stripMargin,
 
       // identical first-seen attribution over the same distinct
       // (batch, shingle) pairs; the ratio is two integers
