@@ -3424,7 +3424,52 @@ object SparkEntry {
           when(col("total_tokens") > 0,
             col("tokens_lost").cast("double") /
               col("total_tokens").cast("double"))
-            .otherwise(lit(0.0))))
+            .otherwise(lit(0.0)))),
+
+    // ── NS corpus stats: "FIGHTIN' WORDS" — per-source discriminative
+    // tokens by log-odds with an informative Dirichlet prior (Monroe
+    // et al. 2008), z-scored: the tokens that make a source READ
+    // different from the rest of the corpus (q114's tf·idf is
+    // doc-grain salience; this is the source-grain contrast a mixture
+    // designer reads). Two token-keyed hash aggregates + an UNHINTED
+    // vocabulary join (the q120 heavy-tail convention) + a broadcast
+    // source-totals join; n and V from one bounded planning collect
+    // (the q108 convention). Exactness by the q114 pattern: identical
+    // integer inputs → identical doubles, identical op order, ranking
+    // on the ROUNDED z with the token tiebreak so ulp-level ln()
+    // divergence cannot reorder engines ──
+    "q144_fightin_words" -> ((s, dir) => {
+      val docs = Relational.widenForCpu(t(s, dir, "documents"),
+        col("doc_id"))
+      val tok = docs.select(col("source"),
+        explode(text.tokens(col("text"))).as("t"))
+      val sw = tok.groupBy(col("source"), col("t"))
+        .agg(count(lit(1)).as("y_sw"))
+      val wt = sw.groupBy(col("t")).agg(sum(col("y_sw")).as("y_w"))
+      val st = sw.groupBy(col("source")).agg(sum(col("y_sw")).as("n_s"))
+      val g = wt.agg(sum(col("y_w")), count(lit(1))).head()
+      val nTot = g.getLong(0).toDouble
+      val aV = 0.5 * g.getLong(1).toDouble
+      val scored = sw.join(wt, "t")
+        .join(broadcast(st), "source")
+        .withColumn("rest", col("y_w") - col("y_sw"))
+        .withColumn("delta",
+          log((col("y_sw").cast("double") + 0.5) /
+            (col("n_s").cast("double") + aV -
+              col("y_sw").cast("double") - 0.5)) -
+          log((col("rest").cast("double") + 0.5) /
+            (lit(nTot) - col("n_s").cast("double") + aV -
+              col("rest").cast("double") - 0.5)))
+        .withColumn("z", round(col("delta") /
+          sqrt(lit(1.0) / (col("y_sw").cast("double") + 0.5) +
+            lit(1.0) / (col("rest").cast("double") + 0.5)), 6))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("z").desc, col("t").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("source"), col("rank"), col("t").as("token"),
+          col("z"))
+    })
   )
 
   /** q115's outlier threshold on the ROUNDED cosine-to-centroid
@@ -4191,6 +4236,36 @@ object SparkEntry {
       },
 
       "q44_neardup_groups" -> neardupGroupsSql,
+
+      // identical integer counts → identical doubles, the same op
+      // order and parenthesization, the same rounded-z ranking with
+      // the token tiebreak
+      "q144_fightin_words" ->
+        s"""WITH tok AS (SELECT source, unnest($sqlTokens) AS t
+           |  FROM documents),
+           |sw AS (SELECT source, t, COUNT(*) AS y_sw FROM tok
+           |  GROUP BY source, t),
+           |wt AS (SELECT t, SUM(y_sw) AS y_w FROM sw GROUP BY t),
+           |st AS (SELECT source, SUM(y_sw) AS n_s FROM sw
+           |  GROUP BY source),
+           |g AS (SELECT CAST(SUM(y_w) AS DOUBLE) AS n,
+           |    0.5 * CAST(COUNT(*) AS DOUBLE) AS av FROM wt),
+           |sc AS (SELECT sw.source, sw.t,
+           |    round((ln((CAST(sw.y_sw AS DOUBLE) + 0.5) /
+           |        (CAST(st.n_s AS DOUBLE) + g.av -
+           |          CAST(sw.y_sw AS DOUBLE) - 0.5)) -
+           |      ln((CAST(wt.y_w - sw.y_sw AS DOUBLE) + 0.5) /
+           |        (g.n - CAST(st.n_s AS DOUBLE) + g.av -
+           |          CAST(wt.y_w - sw.y_sw AS DOUBLE) - 0.5))) /
+           |      sqrt(1.0 / (CAST(sw.y_sw AS DOUBLE) + 0.5) +
+           |        1.0 / (CAST(wt.y_w - sw.y_sw AS DOUBLE) + 0.5)),
+           |      6) AS z
+           |  FROM sw JOIN wt USING (t) JOIN st USING (source)
+           |    CROSS JOIN g)
+           |SELECT source, CAST(rk AS INT) AS rank, t AS token, z
+           |FROM (SELECT *, row_number() OVER (PARTITION BY source
+           |    ORDER BY z DESC, t ASC) AS rk FROM sc)
+           |WHERE rk <= 3""".stripMargin,
 
       // identical integer truncation arithmetic per (source, W)
       "q143_truncation_loss" ->
