@@ -3469,6 +3469,48 @@ object SparkEntry {
         .filter(col("rank") <= 3)
         .select(col("source"), col("rank"), col("t").as("token"),
           col("z"))
+    }),
+
+    // ── T7+NS: STREAMING NOVELTY MONITOR — q141's curve kept live
+    // over the crawl stream: an at-rest first-seen shingle store
+    // grown per batch (novel shingles append as the batch's segment —
+    // store growth IS the novelty count), metrics sealed beside it,
+    // exactly-once under retry (Streams.noveltyIngest scaladoc). Four
+    // ordered batches (doc_id % 4, q141's batch key); the drained
+    // metrics must reproduce the batch q141 curve exactly — shared
+    // oracle ──
+    "q145_stream_novelty" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ns = drainSession(s)
+      import ns.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = ns.sqlContext
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q145_").toString
+      val rows = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().toSeq
+      val input = MemoryStream[(Long, String)]
+      val stream = input.toDF().toDF("doc_id", "text")
+      val ckpt = ephemeralCheckpoint("q145")
+      val q = Streams.noveltyIngest(stream, "text", root,
+        ckpt.getAbsolutePath, n = 3)
+      try
+        (0 until 4).foreach { r =>
+          input.addData(rows.filter(_._1 % 4 == r))
+          q.processAllAvailable()
+        }
+      finally {
+        try q.stop()
+        finally Scratch.deleteRecursively(ckpt)
+      }
+      val report = s.read.parquet(root + "/metrics")
+        .select(col("batch"), col("n_docs"),
+          col("ds").as("distinct_shingles"),
+          col("ns").as("novel_shingles"),
+          when(col("ds") > 0,
+            col("ns").cast("double") / col("ds").cast("double"))
+            .otherwise(lit(0.0)).as("novelty"))
+      materializeThenClean(s, report, root)
     })
   )
 
@@ -3618,6 +3660,30 @@ object SparkEntry {
     * threshold — also the oracle for the MinHash+rescore path, whose
     * output equals the exact pairs at any threshold past the S-curve
     * knee (Dedup.minhashNearDupPairs scaladoc). */
+  /** DuckDB mirror of the q141 novelty curve — shared by q141 (batch)
+    * and q145 (the drained streaming first-seen store must reproduce
+    * the identical curve). */
+  private def noveltyCurveSql: String =
+    s"""WITH d AS (SELECT CAST(doc_id % 4 AS INT) AS batch, doc_id,
+       |    $sqlTokens AS toks FROM documents),
+       |bs AS (SELECT DISTINCT batch, shingle FROM (
+       |  SELECT batch, unnest(${sqlShingles(3)}) AS shingle FROM d)),
+       |fs AS (SELECT shingle, MIN(batch) AS fb FROM bs
+       |  GROUP BY shingle),
+       |c AS (SELECT batch, COUNT(*) AS ds,
+       |    CAST(SUM(CASE WHEN fb = batch THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS ns
+       |  FROM bs JOIN fs USING (shingle) GROUP BY batch),
+       |nd AS (SELECT batch, COUNT(*) AS n_docs FROM d
+       |  GROUP BY batch)
+       |SELECT nd.batch, nd.n_docs,
+       |  CAST(coalesce(c.ds, 0) AS BIGINT) AS distinct_shingles,
+       |  CAST(coalesce(c.ns, 0) AS BIGINT) AS novel_shingles,
+       |  CASE WHEN coalesce(c.ds, 0) > 0
+       |    THEN CAST(c.ns AS DOUBLE) / CAST(c.ds AS DOUBLE)
+       |    ELSE 0.0 END AS novelty
+       |FROM nd LEFT JOIN c ON c.batch = nd.batch""".stripMargin
+
   /** DuckDB mirror of the q44 near-dup component labelling (recursive
     * reachability → min-label), shared by q44 and the q140 census. */
   private def neardupGroupsSql: String =
@@ -4285,26 +4351,11 @@ object SparkEntry {
 
       // identical first-seen attribution over the same distinct
       // (batch, shingle) pairs; the ratio is two integers
-      "q141_novelty_curve" ->
-        s"""WITH d AS (SELECT CAST(doc_id % 4 AS INT) AS batch, doc_id,
-           |    $sqlTokens AS toks FROM documents),
-           |bs AS (SELECT DISTINCT batch, shingle FROM (
-           |  SELECT batch, unnest(${sqlShingles(3)}) AS shingle FROM d)),
-           |fs AS (SELECT shingle, MIN(batch) AS fb FROM bs
-           |  GROUP BY shingle),
-           |c AS (SELECT batch, COUNT(*) AS ds,
-           |    CAST(SUM(CASE WHEN fb = batch THEN 1 ELSE 0 END)
-           |      AS BIGINT) AS ns
-           |  FROM bs JOIN fs USING (shingle) GROUP BY batch),
-           |nd AS (SELECT batch, COUNT(*) AS n_docs FROM d
-           |  GROUP BY batch)
-           |SELECT nd.batch, nd.n_docs,
-           |  CAST(coalesce(c.ds, 0) AS BIGINT) AS distinct_shingles,
-           |  CAST(coalesce(c.ns, 0) AS BIGINT) AS novel_shingles,
-           |  CASE WHEN coalesce(c.ds, 0) > 0
-           |    THEN CAST(c.ns AS DOUBLE) / CAST(c.ds AS DOUBLE)
-           |    ELSE 0.0 END AS novelty
-           |FROM nd LEFT JOIN c ON c.batch = nd.batch""".stripMargin,
+      "q141_novelty_curve" -> noveltyCurveSql,
+
+      // the drained first-seen store's metrics must reproduce the
+      // batch curve exactly — the store-growth lifecycle contract
+      "q145_stream_novelty" -> noveltyCurveSql,
 
       // the census is one aggregation over the SAME recursive
       // component labelling: exact integers only

@@ -250,6 +250,67 @@ object Streams {
       }
       .start()
 
+  /** Streaming NOVELTY MONITOR — the q141 curve kept live over the
+    * crawl stream: the at-rest store holds every shingle's FIRST-SEEN
+    * record (novel shingles of each batch append as a batchId-named
+    * segment — store growth IS the novelty count, the q109/q111
+    * store-growth idea at shingle grain), and each batch's metrics
+    * row (docs, distinct shingles, novel shingles) lands beside it.
+    * EXACTLY-ONCE under retry: the metrics seal (_SUCCESS, written
+    * last) covers the pair — a sealed batch is skipped whole, a
+    * half-landed one has both its segment and metrics cleaned and
+    * redone, and the anti-join against the store then sees exactly
+    * the pre-batch state again. Zero streaming state; batches must
+    * arrive in crawl order for "earlier" to mean what q141 means. */
+  def noveltyIngest(docs: DataFrame, textCol: String,
+      storeRoot: String, checkpointDir: String, n: Int): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val widthKey = "spark.sql.shuffle.partitions"
+        val oldWidth = s.conf.get(widthKey)
+        s.conf.set(widthKey, s.sparkContext.defaultParallelism)
+        try graft.Phases.time(s"novelty_append[b$batchId]") {
+          val hconf = s.sparkContext.hadoopConfiguration
+          val seg = new org.apache.hadoop.fs.Path(
+            s"$storeRoot/shingles/batch_id=$batchId")
+          val met = new org.apache.hadoop.fs.Path(
+            s"$storeRoot/metrics/batch_id=$batchId")
+          val fs = seg.getFileSystem(hconf)
+          val marker = new org.apache.hadoop.fs.Path(met, "_SUCCESS")
+          if (!fs.exists(marker)) {
+            if (fs.exists(met)) fs.delete(met, true) // half-landed
+            if (fs.exists(seg)) fs.delete(seg, true)
+            val b = batch.toDF()
+            val nDocs = b.count()
+            val sh = b.select(explode(graft.functions.text
+                .wordShinglesFast(col(textCol), n)).as("sh"))
+              .distinct()
+              .localCheckpoint(eager = true)
+            val shinglesRoot = new org.apache.hadoop.fs.Path(
+              s"$storeRoot/shingles")
+            val seen =
+              if (fs.exists(shinglesRoot) &&
+                fs.listStatus(shinglesRoot).nonEmpty)
+                s.read.parquet(shinglesRoot.toString).select("sh")
+              else s.createDataFrame(
+                java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+                sh.schema)
+            val novel = sh.join(seen, Seq("sh"), "left_anti")
+              .localCheckpoint(eager = true)
+            novel.write.parquet(seg.toString)
+            s.range(1).select(
+                lit(batchId).cast("int").as("batch"),
+                lit(nDocs).as("n_docs"),
+                lit(sh.count()).as("ds"),
+                lit(novel.count()).as("ns"))
+              .write.parquet(met.toString) // seal written last
+          }
+        } finally s.conf.set(widthKey, oldWidth)
+      }
+      .start()
+
   /** T7: tumbling event-time windows (streaming analog of q19). */
   def tumblingCounts(df: DataFrame, tsCol: String, delay: String,
       windowDur: String, keyCols: Column*): DataFrame =

@@ -541,4 +541,48 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
       report() shouldBe ref
     } finally Scratch.deleteRecursively(new java.io.File(root))
   }
+
+  test("novelty ingest: first-seen store reproduces the batch curve; " +
+    "re-delivered and half-landed batches both converge") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_nv_retry_").toString
+    try {
+      // batch 0: bigrams {a b, b c}; batch 1: {a b, x y} → 1 of 2
+      // novel; batch 2: {a b, b c, x y} all seen → 0 of 3 novel
+      val b0 = Seq((1L, "a b c"))
+      val b1 = Seq((2L, "a b"), (3L, "x y"))
+      val b2 = Seq((4L, "a b c"), (5L, "x y"))
+      def runStream(ckpt: String, batches: Seq[Seq[(Long, String)]]): Unit = {
+        val input = MemoryStream[(Long, String)]
+        val q = Streams.noveltyIngest(
+          input.toDF().toDF("doc_id", "text"), "text", root, ckpt, n = 2)
+        try batches.foreach { b =>
+          input.addData(b: _*); q.processAllAvailable()
+        } finally q.stop()
+      }
+      runStream(root + "/ckpt", Seq(b0, b1, b2))
+      def metrics(): Set[Seq[Any]] = spark.read
+        .parquet(root + "/metrics")
+        .select("batch", "n_docs", "ds", "ns")
+        .collect().map(_.toSeq).toSet
+      val ref = metrics()
+      ref shouldBe Set(Seq(0, 1L, 2L, 2L), Seq(1, 2L, 2L, 1L),
+        Seq(2, 2L, 3L, 0L))
+      // the store holds each shingle exactly once, at its first batch
+      spark.read.parquet(root + "/shingles").select("sh", "batch_id")
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSet shouldBe
+        Set(("a b", 0), ("b c", 0), ("x y", 1))
+      // re-delivered batch 0 under a fresh checkpoint: sealed → skip
+      runStream(root + "/ckpt_retry", Seq(b0))
+      metrics() shouldBe ref
+      // half-landed batch 0 (seal removed): cleaned and redone — and
+      // the redo's anti-join must see the pre-batch state, so batch
+      // 0's shingles count as novel again, not as dups of themselves
+      new java.io.File(s"$root/metrics/batch_id=0/_SUCCESS")
+        .delete() shouldBe true
+      runStream(root + "/ckpt_retry2", Seq(b0))
+      metrics() shouldBe ref
+    } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
 }
