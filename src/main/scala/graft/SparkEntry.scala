@@ -3511,6 +3511,60 @@ object SparkEntry {
             col("ns").cast("double") / col("ds").cast("double"))
             .otherwise(lit(0.0)).as("novelty"))
       materializeThenClean(s, report, root)
+    }),
+
+    // ── NS tokenizer TRAINING: BPE merge learning (Sennrich et al.
+    // 2016) — the canonical "build the tokenizer FROM the corpus"
+    // step, distributed the way it actually scales: ONE corpus-grain
+    // token count collapses everything to the (distinct word, freq)
+    // vocabulary table, and the merge loop then runs at VOCABULARY
+    // grain (pair counts are freq-weighted aggregates; each learned
+    // rule is one bounded TakeOrdered planning lookup, applied as a
+    // literal string rewrite). Symbol sequences ride as
+    // bracket-delimited strings ("<a><b><c>") so a merge is
+    // `replace(str, "<a><b>", "<ab>")` — both engines' replace() is
+    // left-to-right non-overlapping, which IS greedy BPE application
+    // semantics, and the bracket boundaries make substring collisions
+    // impossible (tokens containing the reserved brackets are
+    // filtered, documented). Ties break (count desc, pair asc).
+    // Integer counts + string rewrites end to end — zero float
+    // surface; the oracle replays all five merges as chained CTEs
+    // with scalar-subquery rewrites ──
+    "q146_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      val nMerges = 5
+      val words = Relational
+        .widenForCpu(t(s, dir, "documents"), col("doc_id"))
+        .select(explode(text.tokens(col("text"))).as("w"))
+        .filter(!col("w").rlike("[<>]"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .filter(col("freq") >= 2)
+        .select(regexp_replace(col("w"), "(.)", "<$1>").as("str"),
+          col("freq"))
+        .localCheckpoint(eager = true)
+      var cur = words
+      val rules = Seq.newBuilder[(Int, String, String, Long)]
+      (1 to nMerges).foreach { step =>
+        val syms = split(
+          regexp_replace(col("str"), "><", ">\u0001<"), "\u0001")
+        val pairs = when(size(syms) > 1,
+          transform(sequence(lit(1), size(syms) - 1),
+            i => concat(element_at(syms, i), element_at(syms, i + 1))))
+          .otherwise(array().cast("array<string>"))
+        val top = cur.select(col("freq"), explode(pairs).as("p"))
+          .groupBy(col("p")).agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("p").asc).limit(1).collect()
+        require(top.nonEmpty,
+          s"BPE: no pairs left before merge $step — lower nMerges")
+        val (p, cnt) = (top(0).getString(0), top(0).getLong(1))
+        val merged = p.replace("><", "")
+        rules += ((step, p, merged, cnt))
+        cur = cur
+          .select(replace(col("str"), lit(p), lit(merged)).as("str"),
+            col("freq"))
+          .localCheckpoint(eager = true)
+      }
+      rules.result().toDF("step", "pair", "merged", "cnt")
     })
   )
 
@@ -4302,6 +4356,41 @@ object SparkEntry {
       },
 
       "q44_neardup_groups" -> neardupGroupsSql,
+
+      // the five merges replayed as chained CTEs: same freq-weighted
+      // pair counts, same (count desc, pair asc) selection, and the
+      // same left-to-right non-overlapping replace() applied via
+      // scalar subqueries — integer counts and string rewrites only
+      "q146_bpe_train" -> {
+        val steps = (1 to 5).map { i =>
+          val prev = s"w${i - 1}"
+          s"""pc$i AS (SELECT p, SUM(freq) AS cnt FROM (
+             |  SELECT freq, unnest(list_transform(range(1, len(sy)),
+             |    j -> sy[CAST(j AS INT)] || sy[CAST(j AS INT) + 1]))
+             |    AS p
+             |  FROM (SELECT freq, regexp_extract_all(str, '<[^>]*>')
+             |      AS sy FROM $prev))
+             |  GROUP BY p),
+             |m$i AS (SELECT CAST($i AS INT) AS step, p,
+             |    replace(p, '><', '') AS merged, cnt
+             |  FROM pc$i ORDER BY cnt DESC, p ASC LIMIT 1),
+             |w$i AS (SELECT replace($prev.str, (SELECT p FROM m$i),
+             |    (SELECT merged FROM m$i)) AS str, freq
+             |  FROM $prev)""".stripMargin
+        }.mkString(",\n")
+        val unions = (1 to 5)
+          .map(i => s"SELECT step, p AS pair, merged, cnt FROM m$i")
+          .mkString(" UNION ALL ")
+        s"""WITH tok AS (SELECT unnest($sqlTokens) AS t
+           |  FROM documents),
+           |w0 AS (SELECT regexp_replace(t, '(.)', '<\\1>', 'g')
+           |    AS str, freq
+           |  FROM (SELECT t, COUNT(*) AS freq FROM tok
+           |        WHERE NOT regexp_matches(t, '[<>]') GROUP BY t)
+           |  WHERE freq >= 2),
+           |$steps
+           |$unions""".stripMargin
+      },
 
       // identical integer counts → identical doubles, the same op
       // order and parenthesization, the same rounded-z ranking with
