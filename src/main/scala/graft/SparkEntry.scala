@@ -3532,41 +3532,83 @@ object SparkEntry {
     // with scalar-subquery rewrites ──
     "q146_bpe_train" -> ((s, dir) => {
       import s.implicits._
-      val nMerges = 5
-      val words = Relational
+      bpeMerges(s, dir, nMerges = 5).toDF("step", "pair", "merged", "cnt")
+    }),
+
+    // ── NS tokenizer APPLICATION: the learned q146 merges applied to
+    // the whole corpus (rules broadcast as plan literals — the
+    // production direction: training is vocabulary-grain, application
+    // is a pure scan) with the per-source COMPRESSION report: symbols
+    // per token before (= characters) and after the merges — the
+    // measured "is this tokenizer worth shipping" number, and the
+    // per-source spread flags sources the tokenizer serves badly.
+    // Symbol counts are '<' counts (integer string arithmetic); the
+    // oracle replays training AND application in chained CTEs ──
+    "q147_bpe_apply" -> ((s, dir) => {
+      val rules = bpeMerges(s, dir, nMerges = 5)
+      val base = Relational
         .widenForCpu(t(s, dir, "documents"), col("doc_id"))
-        .select(explode(text.tokens(col("text"))).as("w"))
+        .select(col("source"),
+          explode(text.tokens(col("text"))).as("w"))
         .filter(!col("w").rlike("[<>]"))
-        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-        .filter(col("freq") >= 2)
-        .select(regexp_replace(col("w"), "(.)", "<$1>").as("str"),
-          col("freq"))
-        .localCheckpoint(eager = true)
-      var cur = words
-      val rules = Seq.newBuilder[(Int, String, String, Long)]
-      (1 to nMerges).foreach { step =>
-        val syms = split(
-          regexp_replace(col("str"), "><", ">\u0001<"), "\u0001")
-        val pairs = when(size(syms) > 1,
-          transform(sequence(lit(1), size(syms) - 1),
-            i => concat(element_at(syms, i), element_at(syms, i + 1))))
-          .otherwise(array().cast("array<string>"))
-        val top = cur.select(col("freq"), explode(pairs).as("p"))
-          .groupBy(col("p")).agg(sum(col("freq")).as("cnt"))
-          .orderBy(col("cnt").desc, col("p").asc).limit(1).collect()
-        require(top.nonEmpty,
-          s"BPE: no pairs left before merge $step — lower nMerges")
-        val (p, cnt) = (top(0).getString(0), top(0).getLong(1))
-        val merged = p.replace("><", "")
-        rules += ((step, p, merged, cnt))
-        cur = cur
-          .select(replace(col("str"), lit(p), lit(merged)).as("str"),
-            col("freq"))
-          .localCheckpoint(eager = true)
+      val applied = rules.foldLeft(
+        regexp_replace(col("w"), "(.)", "<$1>")) {
+        case (c, (_, p, m, _)) => replace(c, lit(p), lit(m))
       }
-      rules.result().toDF("step", "pair", "merged", "cnt")
+      base
+        .withColumn("n_syms",
+          length(applied) - length(replace(applied, lit("<"), lit(""))))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(length(col("w")).cast("long")).as("chars_before"),
+          sum(col("n_syms").cast("long")).as("syms_after"))
+        .withColumn("compression",
+          col("syms_after").cast("double") /
+            col("chars_before").cast("double"))
     })
   )
+
+  /** The q146 BPE training loop — ONE corpus-grain token count, then
+    * vocabulary-grain merge learning: freq-weighted pair counts, one
+    * bounded TakeOrdered planning lookup per rule, literal string
+    * rewrites between iterations (see the q146 registration note for
+    * the bracket-string representation contract). Shared by q146
+    * (emits the rules) and q147 (applies them corpus-wide). */
+  private def bpeMerges(s: SparkSession, dir: String,
+      nMerges: Int): Seq[(Int, String, String, Long)] = {
+    val words = Relational
+      .widenForCpu(t(s, dir, "documents"), col("doc_id"))
+      .select(explode(text.tokens(col("text"))).as("w"))
+      .filter(!col("w").rlike("[<>]"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= 2)
+      .select(regexp_replace(col("w"), "(.)", "<$1>").as("str"),
+        col("freq"))
+      .localCheckpoint(eager = true)
+    var cur = words
+    val rules = Seq.newBuilder[(Int, String, String, Long)]
+    (1 to nMerges).foreach { step =>
+      val syms = split(
+        regexp_replace(col("str"), "><", ">\u0001<"), "\u0001")
+      val pairs = when(size(syms) > 1,
+        transform(sequence(lit(1), size(syms) - 1),
+          i => concat(element_at(syms, i), element_at(syms, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val top = cur.select(col("freq"), explode(pairs).as("p"))
+        .groupBy(col("p")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("p").asc).limit(1).collect()
+      require(top.nonEmpty,
+        s"BPE: no pairs left before merge $step — lower nMerges")
+      val (p, cnt) = (top(0).getString(0), top(0).getLong(1))
+      val merged = p.replace("><", "")
+      rules += ((step, p, merged, cnt))
+      cur = cur
+        .select(replace(col("str"), lit(p), lit(merged)).as("str"),
+          col("freq"))
+        .localCheckpoint(eager = true)
+    }
+    rules.result()
+  }
 
   /** q115's outlier threshold on the ROUNDED cosine-to-centroid
     * (both engines compare round(cos, 6), so the cut decides on
@@ -4390,6 +4432,49 @@ object SparkEntry {
            |  WHERE freq >= 2),
            |$steps
            |$unions""".stripMargin
+      },
+
+      // training replayed (same five chained-CTE merges) and the
+      // application expressed as the same nested replaces; symbol
+      // counts are '<' counts in both engines
+      "q147_bpe_apply" -> {
+        val steps = (1 to 5).map { i =>
+          val prev = s"w${i - 1}"
+          s"""pc$i AS (SELECT p, SUM(freq) AS cnt FROM (
+             |  SELECT freq, unnest(list_transform(range(1, len(sy)),
+             |    j -> sy[CAST(j AS INT)] || sy[CAST(j AS INT) + 1]))
+             |    AS p
+             |  FROM (SELECT freq, regexp_extract_all(str, '<[^>]*>')
+             |      AS sy FROM $prev))
+             |  GROUP BY p),
+             |m$i AS (SELECT p, replace(p, '><', '') AS merged
+             |  FROM pc$i ORDER BY cnt DESC, p ASC LIMIT 1),
+             |w$i AS (SELECT replace($prev.str, (SELECT p FROM m$i),
+             |    (SELECT merged FROM m$i)) AS str, freq
+             |  FROM $prev)""".stripMargin
+        }.mkString(",\n")
+        val appliedExpr = (1 to 5).foldLeft(
+          "regexp_replace(t, '(.)', '<\\1>', 'g')") { (acc, i) =>
+          s"replace($acc, (SELECT p FROM m$i), (SELECT merged FROM m$i))"
+        }
+        s"""WITH tokS AS (SELECT source, unnest($sqlTokens) AS t
+           |  FROM documents),
+           |tok AS (SELECT t FROM tokS),
+           |w0 AS (SELECT regexp_replace(t, '(.)', '<\\1>', 'g')
+           |    AS str, freq
+           |  FROM (SELECT t, COUNT(*) AS freq FROM tok
+           |        WHERE NOT regexp_matches(t, '[<>]') GROUP BY t)
+           |  WHERE freq >= 2),
+           |$steps,
+           |ap AS (SELECT source, t, $appliedExpr AS a
+           |  FROM tokS WHERE NOT regexp_matches(t, '[<>]'))
+           |SELECT source, COUNT(*) AS n_tokens,
+           |  CAST(SUM(len(t)) AS BIGINT) AS chars_before,
+           |  CAST(SUM(len(a) - len(replace(a, '<', ''))) AS BIGINT)
+           |    AS syms_after,
+           |  CAST(SUM(len(a) - len(replace(a, '<', ''))) AS DOUBLE) /
+           |    CAST(SUM(len(t)) AS DOUBLE) AS compression
+           |FROM ap GROUP BY source""".stripMargin
       },
 
       // identical integer counts → identical doubles, the same op
