@@ -541,6 +541,28 @@ object ProbeScale {
         exactCount = false)
     }
 
+    // q146/q147's scale claim measured: training is VOCABULARY-grain
+    // (the pair-count stage touches Σ_w (|w|−1) rows over DISTINCT
+    // words, not corpus tokens) — constant as a fixed-vocabulary
+    // corpus grows, linear only when the vocabulary itself grows
+    if (mode == "bpe") {
+      def measureBpe(tag: String, docs: DataFrame): Unit = {
+        val tok = docs.select(explode(text.tokens(col("text"))).as("w"))
+        val nTok = tok.count()
+        val vocab = tok.groupBy("w").agg(count(lit(1)).as("freq"))
+          .filter(col("freq") >= 2)
+        val r = vocab.agg(count(lit(1)),
+          sum(length(col("w")) - 1)).head()
+        println(s"PROBE_SCALE bpe $tag corpus_tokens=$nTok " +
+          s"vocab_words=${r.getLong(0)} pair_stage_rows=${r.getLong(1)}")
+      }
+      measureBpe("sf0.01", Tables(spark, "/root/testdata/sf0.01",
+        "documents"))
+      measureBpe("1x", docs01)
+      measureBpe("10x_fixedvocab", resampleDocs(10))
+      measureBpe("10x_scaledvocab", resampleDocsScaledVocab(10))
+    }
+
     if (mode == "ingest") {
       val docsBase = Tables(spark, "/root/testdata/sf0.1", "documents")
         .select(col("doc_id"), col("text"))
