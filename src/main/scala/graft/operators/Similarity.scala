@@ -595,10 +595,13 @@ object Similarity {
       s"labelCoherence: ${byLabel.size} labels exceed maxLabels=" +
         s"$maxLabels — the centroid literal would not broadcast; " +
         "raise the cap or pre-bucket the labels")
-    val centLit = byLabel.foldLeft(lit(null).cast("array<double>")) {
-      case (els, (l, arr)) =>
-        when(col(labelCol) === lit(l), typedLit(arr)).otherwise(els)
-    }
+    // ONE map literal + element_at, not a |labels|-deep when-chain:
+    // a chain is O(labels) comparisons per row and blows past the
+    // JVM method-size limit (→ interpreted fallback) near the cap
+    val centMap: Map[String, Seq[Double]] =
+      byLabel.map { case (l, arr) => String.valueOf(l) -> arr }
+    val centLit = element_at(typedLit(centMap),
+      col(labelCol).cast("string"))
     emb
       .select(col(labelCol).as("label"),
         round(vectors.cosineFast(col(vecCol), centLit), 6).as("cos"))

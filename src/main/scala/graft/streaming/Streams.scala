@@ -261,7 +261,15 @@ object Streams {
     * half-landed one has both its segment and metrics cleaned and
     * redone, and the anti-join against the store then sees exactly
     * the pre-batch state again. Zero streaming state; batches must
-    * arrive in crawl order for "earlier" to mean what q141 means. */
+    * arrive in crawl order for "earlier" to mean what q141 means.
+    *
+    * Known cost at scale: the per-batch anti-join scans the WHOLE
+    * first-seen store (it grows like the corpus vocabulary —
+    * sublinearly in tokens, but unboundedly). The production
+    * completion is the q109 treatment: shingle-hash-bucket the
+    * store's segments (Layout.clusteredAppend) so each batch's
+    * anti-join prunes to the file buckets its own shingles hash
+    * into, and compact on dilution — same lifecycle, same verbs. */
   def noveltyIngest(docs: DataFrame, textCol: String,
       storeRoot: String, checkpointDir: String, n: Int): StreamingQuery =
     docs.writeStream
