@@ -3535,6 +3535,51 @@ object SparkEntry {
       bpeMerges(s, dir, nMerges = 5).toDF("step", "pair", "merged", "cnt")
     }),
 
+    // ── T7+NS: STREAMING EMBEDDING MOMENTS — the third form of the
+    // q137 report (batch q137, incremental q138, streaming here —
+    // the q116/q117/q118 triple replayed on the embedding side):
+    // three micro-batches of vectors land additive per-(label,dim)
+    // partials as sealed batchId segments (exactly-once, the q139/
+    // q145 convention), and the drained store re-aggregates to the
+    // batch q137 answer bit for bit — shared oracle ──
+    "q148_stream_moments" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ns = drainSession(s)
+      import ns.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = ns.sqlContext
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q148_").toString
+      val rows = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+        .as[(Long, Seq[Float], Int)].collect().toSeq
+      val input = MemoryStream[(Long, Seq[Float], Int)]
+      val stream = input.toDF().toDF("vec_id", "embedding", "label")
+      val ckpt = ephemeralCheckpoint("q148")
+      val q = Streams.momentsIngest(stream, "embedding", "label",
+        root, ckpt.getAbsolutePath)
+      try
+        (0 until 3).foreach { r =>
+          input.addData(rows.filter(_._1 % 3 == r))
+          q.processAllAvailable()
+        }
+      finally {
+        try q.stop()
+        finally Scratch.deleteRecursively(ckpt)
+      }
+      val report = s.read.parquet(root + "/partials")
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("n_vecs")).as("n_vecs"),
+          sum(col("s_sum")).cast("decimal(38,0)").as("s_sum"),
+          sum(col("q_sum")).cast("decimal(38,0)").as("q_sum"))
+        .select(col("label"), col("pos"), col("n_vecs"),
+          col("s_sum").cast("string").as("s_sum"),
+          col("q_sum").cast("string").as("q_sum"),
+          (col("n_vecs").cast("decimal(20,0)") * col("q_sum") -
+            col("s_sum") * col("s_sum")).cast("decimal(38,0)")
+            .cast("string").as("var_num"))
+      materializeThenClean(s, report, root)
+    }),
+
     // ── NS tokenizer APPLICATION: the learned q146 merges applied to
     // the whole corpus (rules broadcast as plan literals — the
     // production direction: training is vocabulary-grain, application
@@ -6363,6 +6408,9 @@ object SparkEntry {
       // the additivity contract itself: the incremental merge must
       // reproduce the full-recompute answer bit for bit
       "q138_incremental_moments" -> momentsOracleSql,
+
+      // the drained streaming partial store likewise
+      "q148_stream_moments" -> momentsOracleSql,
 
       // same integer centroid sums, HUGEINT dot/norm products, and
       // the identical final divide over correctly-rounded casts

@@ -250,6 +250,39 @@ object Streams {
       }
       .start()
 
+  /** Streaming EMBEDDING MOMENTS — q137's exact integer moments kept
+    * live over an embedding stream: each micro-batch's per-(label,
+    * dim) partials (count, Σq, Σq² — additive by construction, the
+    * q138 contract) land as one batchId-named sealed segment,
+    * exactly-once under retry (sealed skip / half-landed redo). The
+    * report is one re-aggregation of the partials and equals the
+    * batch q137 answer bit for bit. Zero streaming state. */
+  def momentsIngest(emb: DataFrame, vecCol: String, labelCol: String,
+      storeRoot: String, checkpointDir: String): StreamingQuery =
+    emb.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val widthKey = "spark.sql.shuffle.partitions"
+        val oldWidth = s.conf.get(widthKey)
+        s.conf.set(widthKey, s.sparkContext.defaultParallelism)
+        try graft.Phases.time(s"moments_append[b$batchId]") {
+          val seg = new org.apache.hadoop.fs.Path(
+            s"$storeRoot/partials/batch_id=$batchId")
+          val fs = seg.getFileSystem(s.sparkContext.hadoopConfiguration)
+          val marker = new org.apache.hadoop.fs.Path(seg, "_SUCCESS")
+          if (!fs.exists(marker)) {
+            if (fs.exists(seg)) fs.delete(seg, true) // half-landed
+            graft.operators.Similarity
+              .embeddingMoments(batch.toDF(), vecCol, labelCol)
+              .select(col("label"), col("pos"), col("n_vecs"),
+                col("s_sum"), col("q_sum"))
+              .write.parquet(seg.toString)
+          }
+        } finally s.conf.set(widthKey, oldWidth)
+      }
+      .start()
+
   /** Streaming NOVELTY MONITOR — the q141 curve kept live over the
     * crawl stream: the at-rest store holds every shingle's FIRST-SEEN
     * record (novel shingles of each batch append as a batchId-named

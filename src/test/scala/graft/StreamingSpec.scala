@@ -542,6 +542,53 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally Scratch.deleteRecursively(new java.io.File(root))
   }
 
+  test("moments ingest: streamed partials re-aggregate to the batch " +
+    "moments; re-delivered and half-landed batches both converge") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_mi_retry_").toString
+    try {
+      val all = Seq(
+        (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.0f, 1.0f), 0),
+        (3L, Seq(3.0f, 4.0f), 1), (4L, Seq(1.0f, 1.0f), 1))
+      val batches = Seq(all.take(2), all.drop(2))
+      def runStream(ckpt: String,
+          bs: Seq[Seq[(Long, Seq[Float], Int)]]): Unit = {
+        val input = MemoryStream[(Long, Seq[Float], Int)]
+        val q = Streams.momentsIngest(
+          input.toDF().toDF("vec_id", "embedding", "label"),
+          "embedding", "label", root, ckpt)
+        try bs.foreach { b =>
+          input.addData(b: _*); q.processAllAvailable()
+        } finally q.stop()
+      }
+      runStream(root + "/ckpt", batches)
+      def merged(): Set[Seq[Any]] = spark.read
+        .parquet(root + "/partials")
+        .groupBy(col("label"), col("pos"))
+        .agg(sum("n_vecs"), sum("s_sum").cast("decimal(38,0)")
+          .cast("string"),
+          sum("q_sum").cast("decimal(38,0)").cast("string"))
+        .collect().map(_.toSeq).toSet
+      val ref = merged()
+      // the streamed partials equal the one-shot batch moments
+      val direct = Similarity.embeddingMoments(
+          all.toDF("vec_id", "embedding", "label"), "embedding", "label")
+        .select(col("label"), col("pos"), col("n_vecs"),
+          col("s_sum").cast("string"), col("q_sum").cast("string"))
+        .collect().map(_.toSeq).toSet
+      ref shouldBe direct
+      // sealed batch re-delivered → skipped; half-landed → redone
+      runStream(root + "/ckpt_retry", Seq(batches.head))
+      merged() shouldBe ref
+      new java.io.File(s"$root/partials/batch_id=0/_SUCCESS")
+        .delete() shouldBe true
+      runStream(root + "/ckpt_retry2", Seq(batches.head))
+      merged() shouldBe ref
+    } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
+
   test("novelty ingest: first-seen store reproduces the batch curve; " +
     "re-delivered and half-landed batches both converge") {
     import spark.implicits._
