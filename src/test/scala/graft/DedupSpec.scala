@@ -96,6 +96,35 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
       .count() shouldBe 0L
   }
 
+  test("containmentPairsDense equals seeded brute force, all columns; overlap dominates jaccard") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val docs = (0L until 14L).map(i =>
+      (i, Seq.fill(2 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")))
+    def sh(s: String) = s.split(" ").sliding(2).filter(_.length == 2)
+      .map(_.mkString(" ")).toSet
+    val expected = (for {
+      (a, ta) <- docs; (b, tb) <- docs if a < b
+      sa = sh(ta); sb = sh(tb)
+      inter = sa.intersect(sb).size
+      minSz = math.min(sa.size, sb.size) if minSz > 0
+      ov = inter.toDouble / minSz if ov >= 0.3
+    } yield (a, b, inter.toLong, sa.size.toLong, sb.size.toLong,
+      BigDecimal(ov).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)).toSet
+    val got = Dedup.containmentPairsDense(docs.toDF("doc_id", "text"),
+        "doc_id", "text", 2, 0.3)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("sz_a"),
+        col("sz_b"), round(col("overlap"), 6), round(col("jaccard"), 6))
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
+    got.map(t => (t._1, t._2, t._3, t._4, t._5, t._6))
+      .toSet shouldBe expected
+    // overlap coefficient dominates jaccard on every surviving pair
+    got.foreach(t => t._6 should be >= t._7)
+  }
+
   test("requireInertGuard fails loudly when a shingle exceeds the guard") {
     val e = intercept[IllegalArgumentException] {
       Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 2, 0.3,
