@@ -224,6 +224,8 @@ object Streams {
         val oldWidth = s.conf.get(widthKey)
         s.conf.set(widthKey, s.sparkContext.defaultParallelism)
         try graft.Phases.time(s"contam_append[b$batchId]") {
+         graft.sources.StoreLease.withLease(s, storeRoot,
+            s"contam-b$batchId") {
           val seg = new org.apache.hadoop.fs.Path(
             s"$storeRoot/partials/batch_id=$batchId")
           val fs = seg.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -246,6 +248,7 @@ object Streams {
                   .as("sum_score_dec"))
             partial.write.parquet(seg.toString)
           }
+         }
         } finally s.conf.set(widthKey, oldWidth)
       }
       .start()
@@ -267,6 +270,8 @@ object Streams {
         val oldWidth = s.conf.get(widthKey)
         s.conf.set(widthKey, s.sparkContext.defaultParallelism)
         try graft.Phases.time(s"moments_append[b$batchId]") {
+         graft.sources.StoreLease.withLease(s, storeRoot,
+            s"moments-b$batchId") {
           val seg = new org.apache.hadoop.fs.Path(
             s"$storeRoot/partials/batch_id=$batchId")
           val fs = seg.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -279,6 +284,7 @@ object Streams {
                 col("s_sum"), col("q_sum"))
               .write.parquet(seg.toString)
           }
+         }
         } finally s.conf.set(widthKey, oldWidth)
       }
       .start()
@@ -313,6 +319,8 @@ object Streams {
         val oldWidth = s.conf.get(widthKey)
         s.conf.set(widthKey, s.sparkContext.defaultParallelism)
         try graft.Phases.time(s"novelty_append[b$batchId]") {
+         graft.sources.StoreLease.withLease(s, storeRoot,
+            s"novelty-b$batchId") {
           val hconf = s.sparkContext.hadoopConfiguration
           val seg = new org.apache.hadoop.fs.Path(
             s"$storeRoot/shingles/batch_id=$batchId")
@@ -348,6 +356,7 @@ object Streams {
                 lit(novel.count()).as("ns"))
               .write.parquet(met.toString) // seal written last
           }
+         }
         } finally s.conf.set(widthKey, oldWidth)
       }
       .start()
