@@ -1833,28 +1833,28 @@ object SparkEntry {
     // (codec init amortized per task, no partition materialization) ──
     "q92_image_stats" -> ((s, dir) => {
       import s.implicits._
-      // repartition the (8-byte) id column before the codec kernels:
-      // the narrow scan is one input split, and mapPartitions
-      // parallelism IS partition count — a cheap shuffle of ids buys
-      // every core for the encode/decode work (the plan shape a real
-      // media pipeline needs: codec cost scales with cores, not files)
-      val media = Multimodal.decodePartitions[(Long, Array[Byte])](
-        t(s, dir, "events").select(col("event_id"))
-          .repartition(s.sparkContext.defaultParallelism),
-        rows => {
-          val enc = new graft.operators.PngEncoder() // once per task
-          rows.map { r =>
-            val id = r.getLong(0)
-            def c(m: Long) = ((m * id) % 256L).toInt
-            val left = (c(1) << 16) | (c(3) << 8) | c(5)
-            val right = (c(7) << 16) | (c(11) << 8) | c(13)
-            (id, enc.encode(
-              8 + (id % 5L).toInt * 2, 6 + (id % 4L).toInt, left, right))
-          }
-        }).toDF("event_id", "payload")
       Multimodal.decodePartitions[graft.operators.ImageStats](
-        media, Multimodal.decodeImageStats)
-        .toDF("event_id", "width", "height", "mean_r", "mean_g", "mean_b")
+        twoTonePngs(s, dir), Multimodal.decodeImageStats)
+        .toDF("event_id", "width", "height", "mean_r", "mean_g",
+          "mean_b")
+    }),
+
+    // ── NS multimodal: NEAREST-NEIGHBOR RESIZE over REAL pixels —
+    // the thumbnail/normalization step before feature extraction,
+    // on the same generated two-tone PNGs as q92: decode via
+    // javax.imageio, sample the 5×3 output grid with integer index
+    // arithmetic, report the SAMPLED channel means. The oracle
+    // predicts them from the generation arithmetic: every even-width
+    // two-tone image samples 3 left columns and 2 right (⌊i·w/5⌋ <
+    // w/2 iff i ≤ 2), a 9:6 pixel mix that DIFFERS from the full
+    // image's 1:1 — a match proves the resize's sampling really ran,
+    // not a full-image pass ──
+    "q149_image_resize" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.decodePartitions[graft.operators.ImageStats](
+        twoTonePngs(s, dir), Multimodal.decodeResizedStats(5, 3))
+        .toDF("event_id", "width", "height", "mean_r", "mean_g",
+          "mean_b")
     }),
 
     // ── §4.2's last extension-ladder rung: the OPT-IN optimizer
@@ -3613,6 +3613,33 @@ object SparkEntry {
     })
   )
 
+  /** The q92/q149 media fixture: one deterministic two-tone PNG per
+    * event id, REALLY encoded (PngEncoder) inside the tasks.
+    * Repartitioning the (8-byte) id column first matters: the narrow
+    * scan is one input split, and mapPartitions parallelism IS
+    * partition count — a cheap shuffle of ids buys every core for
+    * the codec work (the plan shape a real media pipeline needs:
+    * codec cost scales with cores, not files). */
+  private def twoTonePngs(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    Multimodal.decodePartitions[(Long, Array[Byte])](
+      t(s, dir, "events").select(col("event_id"))
+        .repartition(s.sparkContext.defaultParallelism),
+      rows => {
+        val enc = new graft.operators.PngEncoder() // once per task
+        rows.map { r =>
+          val id = r.getLong(0)
+          def c(m: Long) = ((m * id) % 256L).toInt
+          val left = (c(1) << 16) | (c(3) << 8) | c(5)
+          val right = (c(7) << 16) | (c(11) << 8) | c(13)
+          (id, enc.encode(
+            8 + (id % 5L).toInt * 2, 6 + (id % 4L).toInt, left, right))
+        }
+      })(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.BINARY))
+      .toDF("event_id", "payload")
+
   /** The q146 BPE training loop — ONE corpus-grain token count, then
     * vocabulary-grain merge learning: freq-weighted pair counts, one
     * bounded TakeOrdered planning lookup per rule, literal string
@@ -5353,6 +5380,21 @@ object SparkEntry {
           |    AS mean_g,
           |  CAST(((5 * event_id) % 256) + ((13 * event_id) % 256) AS DOUBLE) / 2
           |    AS mean_b
+          |FROM events""".stripMargin,
+
+      // the 5×3 sampled grid reads 9 left + 6 right pixels of every
+      // even-width two-tone image — the exact integer numerators the
+      // engine sums, divided by the same 15
+      "q149_image_resize" ->
+        """SELECT event_id,
+          |  CAST(8 + (event_id % 5) * 2 AS INT) AS width,
+          |  CAST(6 + (event_id % 4) AS INT) AS height,
+          |  CAST(9 * (event_id % 256) + 6 * ((7 * event_id) % 256)
+          |    AS DOUBLE) / 15 AS mean_r,
+          |  CAST(9 * ((3 * event_id) % 256) + 6 * ((11 * event_id) % 256)
+          |    AS DOUBLE) / 15 AS mean_g,
+          |  CAST(9 * ((5 * event_id) % 256) + 6 * ((13 * event_id) % 256)
+          |    AS DOUBLE) / 15 AS mean_b
           |FROM events""".stripMargin,
 
       // multi-table candidates (collision in ANY table) → exact

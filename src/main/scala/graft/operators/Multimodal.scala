@@ -141,7 +141,25 @@ object Multimodal {
     * init per task is exactly what the [[decodePartitions]] seam is
     * for. The format is sniffed from magic bytes, not trusted from
     * metadata. */
-  def decodeImageStats(rows: Iterator[Row]): Iterator[ImageStats] = {
+  def decodeImageStats(rows: Iterator[Row]): Iterator[ImageStats] =
+    decodeStatsCore(rows, resize = None)
+
+  /** [[decodeImageStats]] composed with a NEAREST-NEIGHBOR RESIZE to
+    * `outW`×`outH` — the thumbnail/normalization step a multimodal
+    * training pipeline runs before feature extraction: the stats are
+    * computed over the SAMPLED grid only (source pixel
+    * (⌊i·w/outW⌋, ⌊j·h/outH⌋) for each output cell — integer index
+    * arithmetic, so an external mirror can predict exactly which
+    * source pixels are read). Source dimensions are reported, so a
+    * consumer sees what was resized from; a match against the q149
+    * oracle proves decode AND the resize index arithmetic, because
+    * the sampled color mix differs from the full-image mix. */
+  def decodeResizedStats(outW: Int, outH: Int)(
+      rows: Iterator[Row]): Iterator[ImageStats] =
+    decodeStatsCore(rows, resize = Some((outW, outH)))
+
+  private def decodeStatsCore(rows: Iterator[Row],
+      resize: Option[(Int, Int)]): Iterator[ImageStats] = {
     disableImageIoFileCache()
     val readers =
       scala.collection.mutable.Map.empty[String, javax.imageio.ImageReader]
@@ -177,17 +195,34 @@ object Multimodal {
       val w = img.getWidth
       val h = img.getHeight
       var sr = 0L; var sg = 0L; var sb = 0L
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val p = img.getRGB(x, y)
-          sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
-          x += 1
-        }
-        y += 1
+      val n = resize match {
+        case None =>
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF
+              sb += p & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          w.toLong * h
+        case Some((ow, oh)) =>
+          var j = 0
+          while (j < oh) {
+            var i = 0
+            while (i < ow) {
+              val p = img.getRGB(i * w / ow, j * h / oh)
+              sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF
+              sb += p & 0xFF
+              i += 1
+            }
+            j += 1
+          }
+          ow.toLong * oh
       }
-      val n = w.toLong * h
       ImageStats(id, w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
     }
     // dispose the cached readers when the task is done with them:

@@ -135,6 +135,25 @@ class ConnectorSpec extends AnyFunSuite with SparkSpec with Matchers {
       graft.operators.ImageStats](bad, Multimodal.decodeImageStats).collect()
   }
 
+  test("multimodal: nearest-neighbor resize samples exactly the index-arithmetic grid") {
+    import spark.implicits._
+    // 10x4 two-tone: 5x3 sampling reads x = floor(i*10/5) = 0,2,4,6,8
+    // → 3 left (red 200) + 2 right (blue 50) per row, 3 rows:
+    // mean_r = 9*200/15 = 120, mean_b = 6*50/15 = 20
+    val bytes = Multimodal.encodePng(10, 4, 200 << 16, 50)
+    val df = Seq((7L, bytes)).toDF("id", "payload")
+    val stats = Multimodal.decodePartitions[graft.operators.ImageStats](
+      df, Multimodal.decodeResizedStats(5, 3)).collect().head
+    stats shouldBe graft.operators.ImageStats(7L, 10, 4, 120.0, 0.0, 20.0)
+    // upsampling duplicates source pixels deterministically: 2x1 →
+    // 5x1 reads x = 0,0,0,1,1 → 3 left + 2 right of 5
+    val tiny = Multimodal.encodePng(2, 1, 200 << 16, 50)
+    val up = Multimodal.decodePartitions[graft.operators.ImageStats](
+      Seq((8L, tiny)).toDF("id", "payload"),
+      Multimodal.decodeResizedStats(5, 1)).collect().head
+    up shouldBe graft.operators.ImageStats(8L, 2, 1, 120.0, 0.0, 20.0)
+  }
+
   test("multimodal: REAL WAV encode/decode round-trip measures samples") {
     import spark.implicits._
     val samples = Array[Short](100, -200, 300, -400)
