@@ -1857,6 +1857,33 @@ object SparkEntry {
           "mean_b")
     }),
 
+    // ── NS multimodal: FRAME-STRIDED AUDIO RESAMPLE over REAL
+    // decoded WAV — q149's idea on the second modality: only every
+    // 4th frame contributes to the amplitude statistic, selected by
+    // integer frame arithmetic the oracle replays over the generation
+    // formula (a strided subset whose mean differs from the full
+    // signal's, so a match proves the stride really ran) ──
+    "q150_audio_resample" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.decodePartitions[(Long, Array[Byte])](
+        t(s, dir, "events").select(col("event_id"))
+          .repartition(s.sparkContext.defaultParallelism),
+        rows => {
+          val enc = new graft.operators.WavEncoder() // once per task
+          rows.map { r =>
+            val id = r.getLong(0)
+            val n = 64 + (id % 64L).toInt
+            val samples = Array.tabulate(n)(i =>
+              ((((id + i) % 256L).toInt - 128) * 256).toShort)
+            (id, enc.encode(samples, 8000))
+          }
+        }).toDF("event_id", "payload")
+      Multimodal.decodePartitions[graft.operators.AudioStats](
+        media, Multimodal.decodeResampledAudioStats(4))
+        .toDF("event_id", "n_samples", "sample_rate", "channels",
+          "mean_abs")
+    }),
+
     // ── §4.2's last extension-ladder rung: the OPT-IN optimizer
     // rewrite (plans.AnnTopKToLshPrune) that turns a literal-query
     // EXACT cosine top-k — ORDER BY cosine_sim(emb, lit) DESC LIMIT k
@@ -5687,6 +5714,19 @@ object SparkEntry {
           |    range(0, CAST(64 + event_id % 64 AS INT)),
           |    i -> abs((event_id + i) % 256 - 128) * 256)) AS DOUBLE)
           |    / (64 + event_id % 64) AS mean_abs
+          |FROM events""".stripMargin,
+
+      // only frames 0, 4, 8, … contribute; the denominator is the
+      // strided frame count ceil(n/4) — identical integers both sides
+      "q150_audio_resample" ->
+        """SELECT event_id,
+          |  CAST(64 + event_id % 64 AS BIGINT) AS n_samples,
+          |  8000 AS sample_rate,
+          |  1 AS channels,
+          |  CAST(list_sum(list_transform(
+          |    range(0, CAST(64 + event_id % 64 AS INT), 4),
+          |    i -> abs((event_id + i) % 256 - 128) * 256)) AS DOUBLE)
+          |    / ((64 + event_id % 64 + 3) // 4) AS mean_abs
           |FROM events""".stripMargin,
 
       // IDENTICAL navigation to q101's oracle by design — the

@@ -287,7 +287,23 @@ object Multimodal {
     * with no native or heap decode buffers. Unlike ImageReader, there
     * is nothing a task-completion listener would need to release —
     * the hook is deliberately absent, not forgotten. */
-  def decodeAudioStats(rows: Iterator[Row]): Iterator[AudioStats] = {
+  def decodeAudioStats(rows: Iterator[Row]): Iterator[AudioStats] =
+    audioStatsCore(rows, stride = 1)
+
+  /** [[decodeAudioStats]] composed with FRAME-STRIDED RESAMPLING —
+    * the audio analog of [[decodeResizedStats]]: only every
+    * `stride`-th frame (all its channels) contributes to the
+    * amplitude statistic, selected by integer frame arithmetic so an
+    * external mirror can predict exactly which samples are read.
+    * Source frame count is still reported. */
+  def decodeResampledAudioStats(stride: Int)(
+      rows: Iterator[Row]): Iterator[AudioStats] = {
+    require(stride >= 1, s"stride must be >= 1: $stride")
+    audioStatsCore(rows, stride)
+  }
+
+  private def audioStatsCore(rows: Iterator[Row],
+      stride: Int): Iterator[AudioStats] = {
     var readers = {
       val it = java.util.ServiceLoader
         .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
@@ -330,17 +346,24 @@ object Multimodal {
         val n = data.length / (2 * channels)
         val big = fmt.isBigEndian
         var absSum = 0L
-        var i = 0
-        while (i + 1 < data.length) {
-          // sign comes from the high byte; (hi << 8) | lo is the
-          // signed 16-bit sample for either endianness
-          val lo = data(if (big) i + 1 else i) & 0xFF
-          val hi = data(if (big) i else i + 1).toInt
-          absSum += math.abs((hi << 8) | lo)
-          i += 2
+        var f = 0
+        var nSel = 0L
+        while (f < n) {
+          var ch = 0
+          while (ch < channels) {
+            val i = (f * channels + ch) * 2
+            // sign comes from the high byte; (hi << 8) | lo is the
+            // signed 16-bit sample for either endianness
+            val lo = data(if (big) i + 1 else i) & 0xFF
+            val hi = data(if (big) i else i + 1).toInt
+            absSum += math.abs((hi << 8) | lo)
+            ch += 1
+          }
+          nSel += 1
+          f += stride
         }
         AudioStats(id, n, fmt.getSampleRate.toInt, channels,
-          if (n == 0) 0.0 else absSum.toDouble / (n.toLong * channels))
+          if (nSel == 0) 0.0 else absSum.toDouble / (nSel * channels))
       } finally ais.close()
     }
   }
