@@ -3470,8 +3470,15 @@ object SparkEntry {
         col("doc_id"))
       val tok = docs.select(col("source"),
         explode(text.tokens(col("text"))).as("t"))
+      // materialized once: sw feeds THREE consumers (the scored join,
+      // wt, st) — left lazy, the plan re-scans and re-tokenizes the
+      // corpus three times (measured: 3 parallel widen+tokenize
+      // subtrees in the physical plan). The (source, token) grain is
+      // far smaller than corpus text, so one materialization beats
+      // two extra corpus passes at any scale
       val sw = tok.groupBy(col("source"), col("t"))
         .agg(count(lit(1)).as("y_sw"))
+        .localCheckpoint(eager = true)
       val wt = sw.groupBy(col("t")).agg(sum(col("y_sw")).as("y_w"))
       val st = sw.groupBy(col("source")).agg(sum(col("y_sw")).as("n_s"))
       val g = wt.agg(sum(col("y_w")), count(lit(1))).head()
