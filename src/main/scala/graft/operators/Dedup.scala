@@ -207,7 +207,8 @@ object Dedup {
     * reduces that to exactly the true pairs. Both paths produce the
     * identical exact output (spec-asserted). */
   def jaccardPairsDense(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double,
+      maxDenseDocs: Long = DefaultMaxDenseDocs): DataFrame = {
     import org.apache.spark.sql.graft.{Bridge, SortedLongIntersectCount}
     def interUpperBound(a: Column, b: Column): Column =
       Bridge.column(SortedLongIntersectCount(
@@ -216,6 +217,8 @@ object Dedup {
     // read it; released after the result materializes (r2 leak fix)
     val sets = shingleSets(docs, idCol, textCol, n)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    denseOccupancyGuard(sets, "jaccardPairsDense", maxDenseDocs,
+      "ngramJaccardPairs (inverted index) or minhashNearDupPairs (LSH)")
     val hashed = sets.select(
       col("doc"),
       sort_array(transform(col("shingles"), s => xxhash64(s))).as("hs"),
@@ -277,13 +280,16 @@ object Dedup {
     * engine-identical), so a consumer can see precisely which pairs
     * a symmetric threshold would have missed. */
   def containmentPairsDense(docs: DataFrame, idCol: String,
-      textCol: String, n: Int, threshold: Double): DataFrame = {
+      textCol: String, n: Int, threshold: Double,
+      maxDenseDocs: Long = DefaultMaxDenseDocs): DataFrame = {
     import org.apache.spark.sql.graft.{Bridge, SortedLongIntersectCount}
     def interUpperBound(a: Column, b: Column): Column =
       Bridge.column(SortedLongIntersectCount(
         Bridge.expression(a), Bridge.expression(b)))
     val sets = shingleSets(docs, idCol, textCol, n)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    denseOccupancyGuard(sets, "containmentPairsDense", maxDenseDocs,
+      "containmentPairsIndexed (inverted index, complete for t > 0)")
     val hashed = sets.select(
       col("doc"),
       sort_array(transform(col("shingles"), s => xxhash64(s))).as("hs"),
@@ -301,7 +307,20 @@ object Dedup {
           .otherwise(lit(0.0)))
       .filter(col("oub") >= threshold)
       .select("doc_a", "doc_b")
-    val out = candidates
+    val out = rescoreContainment(candidates, sets, threshold)
+    sets.unpersist(blocking = false)
+    out
+  }
+
+  /** Exact containment re-score of candidate pairs on the full string
+    * sets (shared by [[containmentPairsDense]] and
+    * [[containmentPairsIndexed]] — both paths emit the identical
+    * exact output, spec-asserted). Emits overlap AND jaccard so a
+    * consumer sees which pairs a symmetric threshold would miss.
+    * Eagerly materialized (callers unpersist `sets` right after). */
+  private def rescoreContainment(candidates: DataFrame,
+      sets: DataFrame, threshold: Double): DataFrame =
+    candidates
       .join(sets.toDF("doc_a", "s_a"), "doc_a")
       .join(sets.toDF("doc_b", "s_b"), "doc_b")
       .withColumn("inter",
@@ -322,6 +341,120 @@ object Dedup {
       .select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "overlap",
         "jaccard")
       .localCheckpoint(eager = true)
+
+  /** Default ceiling for the dense (broadcast all-pairs) regime: past
+    * this the broadcast side itself is the bottleneck (gigabytes of
+    * hashed shingle arrays to every executor) and the quadratic scan
+    * is certainly the wrong plan — the guard fails LOUDLY naming the
+    * sub-quadratic alternative instead of letting the job OOM an hour
+    * in (the q105/q106 loud-require convention). */
+  val DefaultMaxDenseDocs: Long = 1L << 20
+
+  /** The dense-regime occupancy guard: counts the (already-persisted)
+    * shingle sets — materializing the cache the caller reads next, so
+    * the count is not an extra corpus pass — and refuses the
+    * quadratic plan past `maxDenseDocs`. */
+  private def denseOccupancyGuard(sets: DataFrame, op: String,
+      maxDenseDocs: Long, alternative: String): Unit = {
+    val nDocs = sets.count()
+    require(nDocs <= maxDenseDocs,
+      s"$op: $nDocs docs exceed maxDenseDocs=$maxDenseDocs — the " +
+        s"broadcast all-pairs scan is the wrong plan at this size; " +
+        s"use $alternative, or raise maxDenseDocs deliberately.")
+  }
+
+  /** ASYMMETRIC near-dup pairs by the overlap coefficient, the
+    * INVERTED-INDEX form of [[containmentPairsDense]] — the scale
+    * path for sparse-overlap corpora where n²/2 pairs is unpayable
+    * but shingle document frequencies are small.
+    *
+    * Completeness: containment(A,B) = |A∩B| / min(|A|,|B|) ≥ t with
+    * t > 0 implies |A∩B| ≥ 1 — every qualifying pair shares at least
+    * one shingle and therefore meets in some posting list, so index
+    * candidates are COMPLETE (the same shared-shingle argument as the
+    * symmetric index; it does NOT require t high, only t > 0 — which
+    * the `threshold > 0` require pins). The candidate pre-filter
+    * bound is the containment rewrite of the symmetric one:
+    * ub / min(sz) ≥ overlap for ub = inter_g + min(hot_a, hot_b) ≥
+    * |A∩B|, so no true pair is pruned. With an ACTIVE df guard
+    * (`maxShingleDf` set, `requireInertGuard=false`) the same
+    * approximation caveat as [[ngramJaccardPairs]] applies: a pair
+    * whose overlap is 100% guard-dropped shingles can be missed;
+    * `requireInertGuard=true` proves the guard inert and the answer
+    * exact. Survivors are re-scored exactly on the full string sets —
+    * identical output columns to the dense form (parity
+    * spec-asserted).
+    *
+    * Scale shape: one tokenize+shingle pass, one shuffle on the
+    * shingle key, Σ_s C(df_s, 2) candidate emissions — sub-quadratic
+    * exactly when dfs are small relative to n, the mirror-image
+    * trade to the dense form (see [[jaccardPairsDense]]'s measured
+    * crossover). MinHash banding is NOT a substitute here: resemblance
+    * bands under-recall one-sided containment (a doc quoted inside
+    * one 4× its size has J ≈ 0.25 — below any useful resemblance
+    * band — at containment 1.0), which is why the exact index form
+    * carries the scale regime. */
+  def containmentPairsIndexed(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double,
+      maxShingleDf: Option[Int] = None,
+      requireInertGuard: Boolean = false): DataFrame = {
+    require(threshold > 0.0,
+      s"containmentPairsIndexed: threshold must be > 0 (got " +
+        s"$threshold) — shared-shingle completeness holds only for " +
+        "t > 0; at t = 0 every pair qualifies and no index helps")
+    val sets = shingleSets(docs, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = sets.select(col("doc"), explode(col("shingles")).as("shingle"))
+    maxShingleDf.foreach { m =>
+      if (requireInertGuard) {
+        val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > m).limit(1).count()
+        require(hot == 0L,
+          s"maxShingleDf=$m guard is ACTIVE (some shingle has df > $m): " +
+            "the result would lose recall vs the exact answer. Raise " +
+            "the guard or drop the exactness claim " +
+            "(requireInertGuard=false).")
+      }
+    }
+    val posting = sh.groupBy("shingle")
+      .agg(sort_array(collect_list(col("doc"))).as("docs"))
+      .filter(size(col("docs")) >= 2)
+    val guarded = maxShingleDf match {
+      case Some(m) => posting.filter(size(col("docs")) <= m)
+      case None => posting
+    }
+    val pairExpr = flatten(transform(col("docs"), (x, i) =>
+      transform(slice(col("docs"), i + lit(2), size(col("docs"))),
+        y => struct(x.as("doc_a"), y.as("doc_b")))))
+    val sizes = sets.select(col("doc"),
+      size(col("shingles")).cast("long").as("sz"))
+    val sized =
+      if (maxShingleDf.isEmpty || requireInertGuard)
+        sizes.withColumn("hot", lit(0L))
+      else {
+        val hotPerDoc = posting.filter(size(col("docs")) > maxShingleDf.get)
+          .select(explode(col("docs")).as("doc"))
+          .groupBy("doc").agg(count(lit(1)).as("hot0"))
+        sizes.join(hotPerDoc, Seq("doc"), "left")
+          .select(col("doc"), col("sz"),
+            coalesce(col("hot0"), lit(0L)).as("hot"))
+      }
+    // Containment pre-filter on the UPPER bound of |A∩B|: overlap is
+    // increasing in the intersection, so ub / min(sz) >= overlap for
+    // every pair sharing >= 1 indexed shingle — no false pruning.
+    // min(sz) >= 1 here by construction (both docs appear in a
+    // posting list, so both have >= 1 shingle): the division is safe.
+    val candidates = guarded
+      .select(explode(pairExpr).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter_g"))
+      .join(sized.toDF("doc_a", "sz_a", "hot_a"), "doc_a")
+      .join(sized.toDF("doc_b", "sz_b", "hot_b"), "doc_b")
+      .withColumn("ub", col("inter_g") + least(col("hot_a"), col("hot_b")))
+      .filter(col("ub").cast("double") /
+        least(col("sz_a"), col("sz_b")).cast("double") >= threshold)
+      .select("doc_a", "doc_b")
+    val out = rescoreContainment(candidates, sets, threshold)
     sets.unpersist(blocking = false)
     out
   }
@@ -1103,6 +1236,61 @@ object Dedup {
     * analog of [[incrementalDedup]]'s digest anti-join. ErrorIfExists:
     * silently clobbering an index another pipeline is probing is the
     * lake-layout equivalent of a torn write. */
+  /** NEAR-DUP PAIR STORE — the at-rest artifact ONE LEVEL UP from the
+    * signature index: the exact-rescored near-dup PAIR SET itself
+    * (doc_a, doc_b, inter, sz_a, sz_b, jaccard), materialized once
+    * per corpus version. Governance reports are all views over this
+    * one table — cross-source attribution, dup census, and keeper
+    * resolution each read bounded pair rows instead of re-paying the
+    * LSH candidate scan per report (the r10 audit billed the
+    * attribution report's re-scan alone at 4+ s per run; at 100 TB
+    * the re-scan per report is the difference between "dashboards
+    * read a table" and "dashboards launch a corpus job").
+    *
+    * Build is [[minhashNearDupPairs]] — banded LSH candidates,
+    * exact-rescored, so the stored pairs are exact Jaccard rows.
+    * Publish contract: parquet's `_SUCCESS` under `store/pairs` is
+    * the marker; [[ensurePairStore]] treats its absence as "not
+    * built" and a crashed half-write is clobbered by the rebuild's
+    * overwrite mode. Concurrent builders serialize on the store's
+    * writer lease (StoreLease — the q111 at-rest convention) with a
+    * double-check after acquisition, so exactly one session pays the
+    * build and the rest read. */
+  def writePairStore(docs: DataFrame, idCol: String, textCol: String,
+      store: String, shingleN: Int, k: Int, bands: Int,
+      threshold: Double): Unit =
+    minhashNearDupPairs(docs, idCol, textCol, shingleN, k, bands,
+      threshold)
+      .write.mode("overwrite").parquet(s"$store/pairs")
+
+  /** Read the pair table of a store written by [[writePairStore]]. */
+  def readPairStore(spark: org.apache.spark.sql.SparkSession,
+      store: String): DataFrame =
+    spark.read.parquet(s"$store/pairs")
+
+  /** Build-if-absent + read: the consumer entry point (scaladoc on
+    * [[writePairStore]]). The build is phase-tagged
+    * (`pair_store_build`) so a bench wall that includes it decomposes
+    * from the artifact alone. */
+  def ensurePairStore(docs: DataFrame, idCol: String, textCol: String,
+      store: String, shingleN: Int, k: Int, bands: Int,
+      threshold: Double): DataFrame = {
+    val spark = docs.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(s"$store/pairs/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(marker)) {
+      graft.sources.StoreLease.withLease(spark, store,
+        "pair-store-build") {
+        if (!fs.exists(marker)) // double-check under the lease
+          graft.Phases.time("pair_store_build") {
+            writePairStore(docs, idCol, textCol, store, shingleN, k,
+              bands, threshold)
+          }
+      }
+    }
+    readPairStore(spark, store)
+  }
+
   def writeNearDupIndex(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, k: Int, bands: Int, dir: String): Unit =
     writeIndexTables(docs, idCol, textCol, shingleN, k, dir, bands,

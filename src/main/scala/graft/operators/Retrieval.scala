@@ -365,12 +365,16 @@ object Retrieval {
       val selSet = selected.select(col("qid"), col("doc_id"))
       val remaining = candidates
         .join(selSet, Seq("qid", "doc_id"), "left_anti")
+      // LEFT join to sims: a candidate pair absent from `sims` scores
+      // sim = 0 (maximally diverse) instead of silently vanishing
+      // from every rank >= 2 — with sparsified sims the missing pairs
+      // are exactly the diverse candidates MMR exists to surface.
       val scored = remaining
         .join(selSet.toDF("qid", "sel_doc"), Seq("qid"))
         .join(sims.toDF("qid", "doc_id", "sel_doc", "sim"),
-          Seq("qid", "doc_id", "sel_doc"))
+          Seq("qid", "doc_id", "sel_doc"), "left")
         .groupBy(col("qid"), col("doc_id"), col("rel"))
-        .agg(max(col("sim")).as("msim"))
+        .agg(max(coalesce(col("sim"), lit(0.0))).as("msim"))
         .withColumn("mmr",
           (lit(lambda) * col("rel").cast("decimal(20,6)") -
             lit(oneMinus) * col("msim").cast("decimal(20,6)"))

@@ -471,27 +471,6 @@ object Similarity {
         col("dup_of").isNotNull.as("is_dup"))
   }
 
-  /** PER-LABEL EMBEDDING COHERENCE — each label's mean cosine to its
-    * own centroid direction, the intra-class compactness signal that
-    * flags mislabeled or noise-flooded classes before a contrastive
-    * run wastes epochs on them (low sum_cos/n ⇒ the label is not one
-    * cluster; very low min_cos names the worst offenders).
-    *
-    * Scale shape: ONE posexplode feeding a hash aggregate — partial
-    * (map-side) combine collapses each task to |labels|·dim rows
-    * before the only shuffle, so shuffle volume is tasks·labels·dim
-    * regardless of corpus size; the centroid table is a BOUNDED
-    * planning collect (|labels|·dim, loudly guarded), embedded back
-    * as literals for scan-time scoring (the q115 convention).
-    *
-    * Exactness without division or rounding: the centroid is the
-    * per-label component SUM — cosine is scale-invariant, so the sum
-    * direction IS the mean direction — and components are quantized
-    * to exact integers first (floor(x·2³⁰): float mantissas make the
-    * product exact, floor is engine-identical where double→long CASTs
-    * are not — Spark truncates, DuckDB rounds). Integer sums stay
-    * < 2⁵³, so the double centroid literal is exact in both engines;
-    * only the final per-row cosine rounds (6 dp). */
   /** PER-(LABEL, DIMENSION) EMBEDDING MOMENTS — exact integer first
     * and second moments of every embedding dimension within every
     * label, plus the population-variance NUMERATOR n·Σq² − (Σq)²:
@@ -568,9 +547,44 @@ object Similarity {
           .as("affinity"))
   }
 
+  /** PER-LABEL EMBEDDING COHERENCE — each label's mean cosine to its
+    * own centroid direction, the intra-class compactness signal that
+    * flags mislabeled or noise-flooded classes before a contrastive
+    * run wastes epochs on them (low sum_cos/n ⇒ the label is not one
+    * cluster; very low min_cos names the worst offenders).
+    *
+    * Scale shape: ONE posexplode feeding a hash aggregate — partial
+    * (map-side) combine collapses each task to |labels|·dim rows
+    * before the only shuffle, so shuffle volume is tasks·labels·dim
+    * regardless of corpus size; the centroid table is a BOUNDED
+    * planning collect (|labels|·dim, loudly guarded — cardinality is
+    * checked with a bounded distinct BEFORE the collect, so an
+    * id-typed label column fails fast instead of OOMing the driver),
+    * embedded back as literals for scan-time scoring (the q115
+    * convention).
+    *
+    * Exactness without division or rounding: the centroid is the
+    * per-label component SUM — cosine is scale-invariant, so the sum
+    * direction IS the mean direction — and components are quantized
+    * to exact integers first (floor(x·2³⁰): float mantissas make the
+    * product exact, floor is engine-identical where double→long CASTs
+    * are not — Spark truncates, DuckDB rounds). Integer sums stay
+    * < 2⁵³, so the double centroid literal is exact in both engines;
+    * only the final per-row cosine rounds (6 dp). */
   def labelCoherence(emb: DataFrame, vecCol: String, labelCol: String,
       maxLabels: Int = 1024): DataFrame = {
     val quant = 1073741824.0 // 2^30
+    // cardinality gate BEFORE the |labels|·dim collect: the count is
+    // bounded by limit(maxLabels + 1), so a runaway label column
+    // (an id passed by mistake) costs one cheap aggregate, not an
+    // unbounded driver materialization
+    val nLabels = emb.select(col(labelCol)).distinct()
+      .limit(maxLabels + 1).count()
+    require(nLabels <= maxLabels,
+      s"labelCoherence: distinct labels exceed maxLabels=$maxLabels " +
+        "— the centroid literal would not broadcast; raise the cap " +
+        "or pre-bucket the labels (is the label column actually " +
+        "an id?)")
     val cent = emb
       .select(col(labelCol).as("label"),
         posexplode(col(vecCol)).as(Seq("pos", "comp")))
@@ -591,10 +605,6 @@ object Similarity {
           "vector (its members cancel) — coherence to it is undefined; " +
           "drop or split the label upstream")
     }
-    require(byLabel.size <= maxLabels,
-      s"labelCoherence: ${byLabel.size} labels exceed maxLabels=" +
-        s"$maxLabels — the centroid literal would not broadcast; " +
-        "raise the cap or pre-bucket the labels")
     // ONE map literal + element_at, not a |labels|-deep when-chain:
     // a chain is O(labels) comparisons per row and blows past the
     // JVM method-size limit (→ interpreted fallback) near the cap

@@ -125,6 +125,99 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
     got.foreach(t => t._6 should be >= t._7)
   }
 
+  test("containmentPairsIndexed equals the dense form (all columns, both fixtures)") {
+    import spark.implicits._
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("sz_a"),
+        col("sz_b"), round(col("overlap"), 6), round(col("jaccard"), 6))
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect().toSet
+    // the seeded random corpus (same generator as the dense brute-force case)
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val docs = (0L until 14L).map(i =>
+      (i, Seq.fill(2 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))).toDF("doc_id", "text")
+    val dense = key(Dedup.containmentPairsDense(docs, "doc_id", "text", 2, 0.3))
+    val index = key(Dedup.containmentPairsIndexed(docs, "doc_id", "text", 2, 0.3))
+    index shouldBe dense
+    index should not be empty
+    // and on the shared corpus fixture, including the empty doc
+    key(Dedup.containmentPairsIndexed(corpus, "doc_id", "text", 2, 0.5)) shouldBe
+      key(Dedup.containmentPairsDense(corpus, "doc_id", "text", 2, 0.5))
+    // the index form refuses t = 0 (shared-shingle completeness
+    // needs t > 0; at 0 every pair qualifies and no index helps)
+    intercept[IllegalArgumentException] {
+      Dedup.containmentPairsIndexed(corpus, "doc_id", "text", 2, 0.0)
+    }.getMessage should include("t > 0")
+  }
+
+  test("containmentPairsIndexed catches the prefix-truncation miss the symmetric path ships") {
+    import spark.implicits._
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val trunc = "alpha beta gamma delta epsilon"
+    val docs = Seq((0L, long), (1L, trunc),
+      (2L, "completely unrelated content about engines"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairsIndexed(docs, "doc_id", "text", 2, 0.9)
+      .select(col("doc_a"), col("doc_b"), round(col("overlap"), 6))
+      .as[(Long, Long, Double)].collect()
+    got.toSeq shouldBe Seq((0L, 1L, 1.0))
+    // inert-guard mode proves the guarded answer exact; an active
+    // guard claim fails loudly (the ngramJaccardPairs convention)
+    Dedup.containmentPairsIndexed(docs, "doc_id", "text", 2, 0.9,
+      maxShingleDf = Some(10), requireInertGuard = true)
+      .count() shouldBe 1L
+    intercept[IllegalArgumentException] {
+      Dedup.containmentPairsIndexed(docs, "doc_id", "text", 2, 0.9,
+        maxShingleDf = Some(1), requireInertGuard = true)
+    }.getMessage should include("ACTIVE")
+  }
+
+  test("dense occupancy guard refuses the quadratic plan past maxDenseDocs") {
+    val eJ = intercept[IllegalArgumentException] {
+      Dedup.jaccardPairsDense(corpus, "doc_id", "text", 2, 0.3,
+        maxDenseDocs = 3L)
+    }
+    eJ.getMessage should include("ngramJaccardPairs")
+    val eC = intercept[IllegalArgumentException] {
+      Dedup.containmentPairsDense(corpus, "doc_id", "text", 2, 0.3,
+        maxDenseDocs = 3L)
+    }
+    eC.getMessage should include("containmentPairsIndexed")
+  }
+
+  test("pair store: builds once, re-reads without rebuild, rebuilds after crash residue") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_pairstore_spec_").toString
+    val store = root + "/pairs_store"
+    try {
+      val direct = Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
+        shingleN = 2, k = 16, bands = 8, threshold = 0.3)
+        .collect().map(_.toSeq).toSet
+      val got = Dedup.ensurePairStore(corpus, "doc_id", "text", store,
+        shingleN = 2, k = 16, bands = 8, threshold = 0.3)
+      got.collect().map(_.toSeq).toSet shouldBe direct
+      direct should not be empty
+      // second ensure READS — the published marker's mtime must not move
+      val marker = new java.io.File(store + "/pairs/_SUCCESS")
+      marker.isFile shouldBe true
+      val t0 = marker.lastModified()
+      Dedup.ensurePairStore(corpus, "doc_id", "text", store,
+        shingleN = 2, k = 16, bands = 8, threshold = 0.3)
+        .collect().map(_.toSeq).toSet shouldBe direct
+      marker.lastModified() shouldBe t0
+      // a crashed half-write (no _SUCCESS) is rebuilt, not trusted
+      marker.delete() shouldBe true
+      Dedup.ensurePairStore(corpus, "doc_id", "text", store,
+        shingleN = 2, k = 16, bands = 8, threshold = 0.3)
+        .collect().map(_.toSeq).toSet shouldBe direct
+      marker.isFile shouldBe true
+      // and no writer lease (the sibling `<root>.lease`) is left held
+      new java.io.File(store + ".lease").exists() shouldBe false
+    } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
+
   test("requireInertGuard fails loudly when a shingle exceeds the guard") {
     val e = intercept[IllegalArgumentException] {
       Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 2, 0.3,
