@@ -1645,9 +1645,10 @@ object SparkEntry {
     "q84_dedup_keeper" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .withColumn("n_tokens", text.tokenCount(col("text")).cast("long"))
-      val pairs = Dedup.minhashNearDupPairs(
-        docs, "doc_id", "text", shingleN = 2, k = 64, bands = 32,
-        threshold = 0.5)
+      // pairs come from the shared at-rest PAIR STORE (one build per
+      // corpus version, shared with q133/q140 — nearDupPairStore);
+      // the exact-recompute oracle still verifies the full chain
+      val pairs = nearDupPairStore(s, dir)
       Dedup.resolveDuplicates(docs, pairs, "doc_id", "n_tokens")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"),
@@ -2130,7 +2131,9 @@ object SparkEntry {
           vectors.quantizeInt8(col("embedding"), col("scale"))
             .as("codes"),
           col("scale"))
-      Layout.clusteredWrite(stored, scratch, numFiles = 8, col("bucket"))
+      Phases.time("index_build") {
+        Layout.clusteredWrite(stored, scratch, numFiles = 8, col("bucket"))
+      }
       // one-row planning lookups (the q97 convention); the query-side
       // bucket goes through the SAME kernel as the stored column
       val qv = emb.filter(col("vec_id") === 0)
@@ -2151,7 +2154,7 @@ object SparkEntry {
       // index scratch is deleted the moment the shortlist is out —
       // the re-rank below touches only the primary store
       val ids =
-        try shortlist.collect()
+        try Phases.time("probe")(shortlist.collect())
         finally Scratch.deleteRecursively(new java.io.File(root))
       val sl = s.createDataFrame(
         java.util.Arrays.asList(ids: _*), shortlist.schema)
@@ -2266,7 +2269,9 @@ object SparkEntry {
           vectors.quantizeInt8(col("embedding"), col("scale"))
             .as("codes"),
           col("scale"))
-      Layout.clusteredWrite(stored, store, numFiles = 8, col("bucket"))
+      Phases.time("index_build") {
+        Layout.clusteredWrite(stored, store, numFiles = 8, col("bucket"))
+      }
       // persist the metadata WITH the store, then adopt it the way a
       // fresh session would (save → registerFrom) — the oracle gate
       // covers the persisted lifecycle, not just in-memory registration
@@ -2290,7 +2295,7 @@ object SparkEntry {
             round(vectors.cosineFast(col("embedding"), q), 6).as("cos"))
         require(graft.plans.AnnIndex.servedBy(res, store),
           "q104: registered index did not serve the top-k")
-        materializeThenClean(s, res, root)
+        Phases.time("probe")(materializeThenClean(s, res, root))
       } finally graft.plans.AnnIndex.unregister(s, "q104")
     }),
 
@@ -2719,10 +2724,12 @@ object SparkEntry {
       val ns = drainSession(s)
       import ns.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = ns.sqlContext
-      val rows = t(s, dir, "documents")
-        .select(col("doc_id"), col("text"), col("lang"), col("source"),
-          col("n_chars"))
-        .as[(Long, String, String, String, Long)].collect().toSeq
+      val rows = Phases.time("fixture_collect") {
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars"))
+          .as[(Long, String, String, String, Long)].collect().toSeq
+      }
       val input = MemoryStream[(Long, String, String, String, Long)]
       val stream = input.toDF()
         .toDF("doc_id", "text", "lang", "source", "n_chars")
@@ -2733,14 +2740,18 @@ object SparkEntry {
       val agg = dataCardScored(stream).groupBy(col("source"))
         .agg(aggCols.head, aggCols.tail: _*)
       val ckpt = ephemeralCheckpoint("q117")
-      val q = agg.writeStream.format("memory").queryName("q117_mem")
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt.getAbsolutePath)
-        .start()
+      val q = Phases.time("stream_start") {
+        agg.writeStream.format("memory").queryName("q117_mem")
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .start()
+      }
       try
         (0 until 3).foreach { r =>
-          input.addData(rows.filter(_._1 % 3 == r))
-          q.processAllAvailable()
+          Phases.time(s"microbatch[b$r]") {
+            input.addData(rows.filter(_._1 % 3 == r))
+            q.processAllAvailable()
+          }
         }
       finally {
         try q.stop()
@@ -2925,10 +2936,12 @@ object SparkEntry {
       val root = java.nio.file.Files
         .createTempDirectory("graft_q126_").toString
       val store = root + "/postings_at_rest"
-      Retrieval.writePostingsIndex(t(s, dir, "documents"),
-        "doc_id", "text", store, nBuckets = 64, numFiles = 8)
-      materializeThenClean(s,
-        Retrieval.bm25TopKIndexed(s, store, bm25Queries, k = 5), root)
+      Phases.time("index_build") {
+        Retrieval.writePostingsIndex(t(s, dir, "documents"),
+          "doc_id", "text", store, nBuckets = 64, numFiles = 8)
+      }
+      Phases.time("query")(materializeThenClean(s,
+        Retrieval.bm25TopKIndexed(s, store, bm25Queries, k = 5), root))
     }),
 
     // ── NS text retrieval, INCREMENTAL store lifecycle: q126's
@@ -2946,14 +2959,18 @@ object SparkEntry {
         .createTempDirectory("graft_q127_").toString
       val store = root + "/postings_segmented"
       val docs = t(s, dir, "documents")
-      Retrieval.appendPostingsSegment(
-        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
-        store, "base", nBuckets = 64, numFiles = 8)
-      Retrieval.appendPostingsSegment(
-        docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text",
-        store, "ingest1", nBuckets = 64, numFiles = 4)
-      materializeThenClean(s,
-        Retrieval.bm25TopKIndexed(s, store, bm25Queries, k = 5), root)
+      Phases.time("build_base") {
+        Retrieval.appendPostingsSegment(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+          store, "base", nBuckets = 64, numFiles = 8)
+      }
+      Phases.time("append_segment") {
+        Retrieval.appendPostingsSegment(
+          docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text",
+          store, "ingest1", nBuckets = 64, numFiles = 4)
+      }
+      Phases.time("query")(materializeThenClean(s,
+        Retrieval.bm25TopKIndexed(s, store, bm25Queries, k = 5), root))
     }),
 
     // ── T7+NS: the postings index kept fresh by a STREAM — q127's
@@ -3160,15 +3177,20 @@ object SparkEntry {
     // ingest sources copy from which (doc id order ≈ crawl order, so
     // doc_a<doc_b reads "src_from published first, src_to re-crawled
     // it"). The report that decides which crawl source to demote when
-    // dedup keeps eating its budget. Pair machinery is q27's exact
-    // dense scan at the q30 near-dup threshold; the rollup emits the
-    // exact-decimal SUM of rounded jaccards rather than the mean —
+    // dedup keeps eating its budget. Pairs come from the shared
+    // at-rest PAIR STORE at the q30 near-dup threshold; the rollup
+    // emits the exact-decimal SUM of rounded jaccards, not the mean —
     // sum/count division parks short-denominator quotients on 7-dp
     // rounding boundaries (the q132 hazard), while the sum is exact ──
     "q133_dup_attribution" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.jaccardPairsDense(docs, "doc_id", "text",
-          n = 2, threshold = 0.5)
+      // the r10 version re-ran the dense pair scan per report (billed
+      // at 4+ s); the report is now a cheap VIEW over the shared
+      // at-rest pair store (one build per corpus version, shared with
+      // q84/q140). The oracle stays the independent exact all-pairs
+      // recompute, so "the banded store misses no pair this report
+      // needs" is verified end-to-end on every run
+      val pairs = nearDupPairStore(s, dir)
         .select(col("doc_a"), col("doc_b"),
           round(col("jaccard"), 6).as("jc"))
       val src = docs.select(col("doc_id"), col("source"))
@@ -3368,9 +3390,9 @@ object SparkEntry {
     // q44, one extra integer aggregation ──
     "q140_dup_census" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.minhashNearDupPairs(
-        docs, "doc_id", "text", shingleN = 2, k = 64, bands = 32,
-        threshold = 0.5)
+      // shared at-rest pair store (one build per corpus version,
+      // shared with q84/q133 — nearDupPairStore)
+      val pairs = nearDupPairStore(s, dir)
       val cc = Dedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
         .toDF("doc_id", "keeper")
       docs.select(col("doc_id"))
@@ -3629,7 +3651,7 @@ object SparkEntry {
         .widenForCpu(t(s, dir, "documents"), col("doc_id"))
         .select(col("source"),
           explode(text.tokens(col("text"))).as("w"))
-        .filter(!col("w").rlike("[<>]"))
+        .filter(!col("w").rlike("[<>\\x01]"))
       val applied = rules.foldLeft(
         regexp_replace(col("w"), "(.)", "<$1>")) {
         case (c, (_, p, m, _)) => replace(c, lit(p), lit(m))
@@ -3674,23 +3696,91 @@ object SparkEntry {
         org.apache.spark.sql.Encoders.BINARY))
       .toDF("event_id", "payload")
 
+  /** The shared NEAR-DUP PAIR STORE for a fixture dir (Dedup
+    * .ensurePairStore scaladoc): keyed by the dir's canonical path
+    * AND the documents table's (length, mtime) signature — "once per
+    * corpus version" made literal — so q84 (keeper), q133
+    * (attribution) and q140 (census) share ONE pair build; the first
+    * consumer to run pays it (phase `pair_store_build` in the bench
+    * artifact), the rest read pairs at rest. Stale versions of the
+    * same corpus dir are pruned on ensure, so the scratch footprint
+    * is one store per live fixture. Params are the audited q84/q140
+    * regime (2-shingles, k=64, bands=32, t=0.5); the exact-recompute
+    * oracles of all three consumers stay unchanged — they verify
+    * end-to-end that the banded build loses no pair the reports
+    * need, every run. */
+  private def nearDupPairStore(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    def sigOf(f: java.io.File): String =
+      if (f.isDirectory)
+        java.lang.Long.toHexString(
+          Option(f.listFiles()).getOrElse(Array.empty)
+            .foldLeft(0L)((a, c) =>
+              a ^ java.lang.Long.rotateLeft(
+                c.length ^ c.lastModified, c.getName.hashCode & 63)))
+      else java.lang.Long.toHexString(f.length ^ (f.lastModified * 31))
+    val dirKey = Integer.toHexString(
+      new java.io.File(dir).getCanonicalPath.hashCode)
+    val name =
+      s"${dirKey}_${sigOf(new java.io.File(dir, "documents.parquet"))}" +
+        "_n2k64b32t05"
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_pair_store")
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(dirKey + "_") &&
+        f.getName != name)
+      .foreach(Scratch.deleteRecursively)
+    Dedup.ensurePairStore(t(s, dir, "documents"), "doc_id", "text",
+      new java.io.File(root, name).toString,
+      shingleN = 2, k = 64, bands = 32, threshold = 0.5)
+  }
+
+  /** Past this many merges the per-step Spark-job loop is the wrong
+    * execution (each step is a full job + localCheckpoint: 30k merges
+    * = 30k sequential scheduler round-trips over a vocabulary-grain
+    * table) — [[bpeMerges]] switches to the in-memory incremental
+    * trainer (operators.Bpe.train, semantics parity-specced) on the
+    * ONE collected word-frequency table. */
+  private val bpePerStepJobLimit = 64
+
+  /** Driver-side memory guard for the vocabulary collect on the
+    * [[Bpe]] path — vocabulary-grain, so corpus size never drives it,
+    * but a degenerate tokenization could. */
+  private val bpeMaxVocab = 10000000L
+
   /** The q146 BPE training loop — ONE corpus-grain token count, then
     * vocabulary-grain merge learning: freq-weighted pair counts, one
     * bounded TakeOrdered planning lookup per rule, literal string
     * rewrites between iterations (see the q146 registration note for
     * the bracket-string representation contract). Shared by q146
-    * (emits the rules) and q147 (applies them corpus-wide). */
+    * (emits the rules) and q147 (applies them corpus-wide).
+    *
+    * Production vocabulary sizes (nMerges > [[bpePerStepJobLimit]])
+    * run the merge loop DRIVER-SIDE on the collected word table
+    * (graft.operators.Bpe scaladoc for why; PLANS.md "bpe" for the
+    * measured gap) — corpus-grain counting stays distributed in both
+    * regimes. */
   private def bpeMerges(s: SparkSession, dir: String,
       nMerges: Int): Seq[(Int, String, String, Long)] = {
     val words = Relational
       .widenForCpu(t(s, dir, "documents"), col("doc_id"))
       .select(explode(text.tokens(col("text"))).as("w"))
-      .filter(!col("w").rlike("[<>]"))
+      .filter(!col("w").rlike("[<>\\x01]"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= 2)
       .select(regexp_replace(col("w"), "(.)", "<$1>").as("str"),
         col("freq"))
       .localCheckpoint(eager = true)
+    if (nMerges > bpePerStepJobLimit) {
+      val n = words.count()
+      require(n <= bpeMaxVocab,
+        s"bpeMerges: $n vocabulary rows exceed $bpeMaxVocab — the " +
+          "driver-side trainer would not fit; raise the guard " +
+          "deliberately or pre-prune the vocabulary (minFreq)")
+      val wf = words.collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      return graft.operators.Bpe.train(wf, nMerges)
+    }
     var cur = words
     val rules = Seq.newBuilder[(Int, String, String, Long)]
     (1 to nMerges).foreach { step =>
@@ -4508,7 +4598,11 @@ object SparkEntry {
       // the five merges replayed as chained CTEs: same freq-weighted
       // pair counts, same (count desc, pair asc) selection, and the
       // same left-to-right non-overlapping replace() applied via
-      // scalar subqueries — integer counts and string rewrites only
+      // scalar subqueries — integer counts and string rewrites only.
+      // cnt is CAST(... AS BIGINT): SUM(freq) is HUGEINT in DuckDB and
+      // degrades to pandas float64 ("1234.0" vs the engine's "1234" —
+      // the r10 driver-only hash mismatch; q147, which emits no cnt,
+      // was green in the same run, which localized it)
       "q146_bpe_train" -> {
         val steps = (1 to 5).map { i =>
           val prev = s"w${i - 1}"
@@ -4520,7 +4614,8 @@ object SparkEntry {
              |      AS sy FROM $prev))
              |  GROUP BY p),
              |m$i AS (SELECT CAST($i AS INT) AS step, p,
-             |    replace(p, '><', '') AS merged, cnt
+             |    replace(p, '><', '') AS merged,
+             |    CAST(cnt AS BIGINT) AS cnt
              |  FROM pc$i ORDER BY cnt DESC, p ASC LIMIT 1),
              |w$i AS (SELECT replace($prev.str, (SELECT p FROM m$i),
              |    (SELECT merged FROM m$i)) AS str, freq
@@ -4534,7 +4629,7 @@ object SparkEntry {
            |w0 AS (SELECT regexp_replace(t, '(.)', '<\\1>', 'g')
            |    AS str, freq
            |  FROM (SELECT t, COUNT(*) AS freq FROM tok
-           |        WHERE NOT regexp_matches(t, '[<>]') GROUP BY t)
+           |        WHERE NOT regexp_matches(t, '[<>\\x01]') GROUP BY t)
            |  WHERE freq >= 2),
            |$steps
            |$unions""".stripMargin
@@ -4569,11 +4664,11 @@ object SparkEntry {
            |w0 AS (SELECT regexp_replace(t, '(.)', '<\\1>', 'g')
            |    AS str, freq
            |  FROM (SELECT t, COUNT(*) AS freq FROM tok
-           |        WHERE NOT regexp_matches(t, '[<>]') GROUP BY t)
+           |        WHERE NOT regexp_matches(t, '[<>\\x01]') GROUP BY t)
            |  WHERE freq >= 2),
            |$steps,
            |ap AS (SELECT source, t, $appliedExpr AS a
-           |  FROM tokS WHERE NOT regexp_matches(t, '[<>]'))
+           |  FROM tokS WHERE NOT regexp_matches(t, '[<>\\x01]'))
            |SELECT source, COUNT(*) AS n_tokens,
            |  CAST(SUM(len(t)) AS BIGINT) AS chars_before,
            |  CAST(SUM(len(a) - len(replace(a, '<', ''))) AS BIGINT)
@@ -6463,7 +6558,11 @@ object SparkEntry {
       "q139_stream_contamination" -> contaminationSweepSql,
 
       // identical integer window arithmetic off the same per-source
-      // doc_id-ordered cumsum; floor on exact small doubles
+      // doc_id-ordered cumsum; floor on exact small doubles. EVERY
+      // output column is CAST(... AS BIGINT): cum is a window SUM and
+      // DuckDB SUM(BIGINT) yields HUGEINT, which pandas degrades to
+      // float64 — value-equal but hashing as "252.0" vs the engine's
+      // int64 "252" (the r10 driver-only hash mismatch)
       "q136_packing_report" ->
         s"""WITH c AS (
            |  SELECT source, doc_id, len($sqlTokens) AS n,
@@ -6481,8 +6580,8 @@ object SparkEntry {
            |  CAST(SUM(n) AS BIGINT) AS total_tokens,
            |  CAST(floor(CAST(MAX(cum) + 255 AS DOUBLE) / 256)
            |    AS BIGINT) AS n_windows,
-           |  CAST(floor(CAST(MAX(cum) + 255 AS DOUBLE) / 256)
-           |    AS BIGINT) * 256 - MAX(cum) AS waste_tokens,
+           |  CAST(CAST(floor(CAST(MAX(cum) + 255 AS DOUBLE) / 256)
+           |    AS BIGINT) * 256 - MAX(cum) AS BIGINT) AS waste_tokens,
            |  CAST(SUM(CASE WHEN n > 0 AND w_end > w_start
            |    THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
            |  CAST(MAX(CASE WHEN n > 0 THEN w_end - w_start + 1

@@ -401,6 +401,45 @@ class MainSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally Scratch.deleteRecursively(new java.io.File(root))
   }
 
+  test("q136 packing report: the 20 sf0.01 rows pinned exactly (golden)") {
+    // The r10 driver run flagged q136 hash_match:false while every
+    // local compare passed — root cause was the ORACLE side (DuckDB
+    // HUGEINT -> pandas float64 on the one uncasted SUM column), but
+    // this spec pins the ENGINE side too: any Spark-side drift in the
+    // cumsum/window arithmetic now fails CI with named values instead
+    // of surfacing as an unattributable cross-engine hash mismatch.
+    import org.apache.spark.sql.functions.col
+    val got = SparkEntry.queries("q136_packing_report")(
+      spark, "/root/testdata/sf0.01")
+      .orderBy(col("source"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toSeq
+    val golden = Seq(
+      ("src0", 25L, 1435L, 6L, 101L, 4L, 2L),
+      ("src1", 25L, 1540L, 7L, 252L, 6L, 2L),
+      ("src10", 25L, 1303L, 6L, 233L, 5L, 2L),
+      ("src11", 25L, 1522L, 6L, 14L, 5L, 2L),
+      ("src12", 25L, 1272L, 5L, 8L, 4L, 2L),
+      ("src13", 25L, 1553L, 7L, 239L, 6L, 2L),
+      ("src14", 25L, 1318L, 6L, 218L, 4L, 2L),
+      ("src15", 25L, 1298L, 6L, 238L, 5L, 2L),
+      ("src16", 25L, 1351L, 6L, 185L, 5L, 2L),
+      ("src17", 25L, 1373L, 6L, 163L, 5L, 2L),
+      ("src18", 25L, 1364L, 6L, 172L, 5L, 2L),
+      ("src19", 25L, 1147L, 5L, 133L, 4L, 2L),
+      ("src2", 25L, 1407L, 6L, 129L, 5L, 2L),
+      ("src3", 25L, 1384L, 6L, 152L, 5L, 2L),
+      ("src4", 25L, 1294L, 6L, 242L, 5L, 2L),
+      ("src5", 25L, 1329L, 6L, 207L, 4L, 2L),
+      ("src6", 25L, 1266L, 5L, 14L, 4L, 2L),
+      ("src7", 25L, 1507L, 6L, 29L, 5L, 2L),
+      ("src8", 25L, 1136L, 5L, 144L, 4L, 2L),
+      ("src9", 25L, 1366L, 6L, 170L, 5L, 2L))
+    got shouldBe golden
+  }
+
   test("unknown command prints usage") {
     Main.run(spark, Seq("frobnicate")).head should include("usage")
     // malformed numeric args print usage instead of throwing

@@ -10,6 +10,13 @@ import sys, json, glob, os
 import duckdb
 import pandas as pd
 
+# The comparison is DTYPE-STRICT between the normalized frames: the
+# driver's hash compare stringifies values, so an int64 252 vs a
+# float64 252.0 (e.g. DuckDB HUGEINT -> pandas float64 from an
+# uncasted SUM) is a real divergence and must FAIL here too.
+# (Root cause of the r10 q136/q146 driver-only mismatches: the old
+# fallback reported OK when every cell was VALUE-equal across dtypes.)
+
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
@@ -18,8 +25,12 @@ def norm(df):
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
-        # unify ints
-        if str(df[c].dtype) in ("int32","uint32","int16","Int64"):
+        # unify integer WIDTHS (the driver does too — q46/q61 have
+        # been driver-green with DuckDB TINYINT vs Spark int64 for
+        # ten rounds); int-vs-FLOAT stays strict, that one the driver
+        # flags (the r10 q136/q146 HUGEINT->float64 mismatch)
+        if str(df[c].dtype) in ("int8","uint8","int16","uint16",
+                                "int32","uint32","Int64"):
             df[c] = df[c].astype("int64")
         if str(df[c].dtype) == "float32":
             df[c] = df[c].astype("float64")
@@ -31,6 +42,7 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     results = {}
+    diffs = {}   # machine-readable per-query diffs -> oracle_diffs.json
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
     # a query that FAILED in Verify leaves no output dir at all — that
@@ -55,12 +67,23 @@ def main(sf_dir, out_dir):
         if len(g) != len(e):
             results[name] = f"ROWCOUNT_MISMATCH spark={len(g)} duck={len(e)}"
             continue
+        dtype_diff = [c for c in g.columns
+                      if str(g[c].dtype) != str(e[c].dtype)]
+        if dtype_diff:
+            results[name] = "DTYPE_MISMATCH " + "; ".join(
+                f"{c}: spark={g[c].dtype} duck={e[c].dtype}"
+                for c in dtype_diff[:4])
+            diffs[name] = [{"col": c, "kind": "dtype",
+                            "spark": str(g[c].dtype),
+                            "duck": str(e[c].dtype)} for c in dtype_diff]
+            continue
         if g.equals(e):
             results[name] = "OK"
         else:
             # find first differing cell for debugging
             diff_cols = [c for c in g.columns if not g[c].equals(e[c])]
             detail = []
+            cell_diffs = []
             for c in diff_cols[:3]:
                 mask = g[c] != e[c]
                 # nan != nan
@@ -69,14 +92,26 @@ def main(sf_dir, out_dir):
                 idx = mask.idxmax() if mask.any() else None
                 if idx is not None and mask.any():
                     detail.append(f"{c}[{idx}]: spark={g[c][idx]!r} duck={e[c][idx]!r} (n={int(mask.sum())})")
+                    cell_diffs.append({
+                        "col": c, "kind": "value", "row": int(idx),
+                        "spark": repr(g[c][idx]), "duck": repr(e[c][idx]),
+                        "n_diff": int(mask.sum())})
             if not detail:
                 results[name] = "OK"   # only NaN-vs-NaN artifacts
             else:
                 results[name] = "VALUE_MISMATCH " + "; ".join(detail)
+                diffs[name] = cell_diffs
     ok = sum(1 for v in results.values() if v == "OK")
     for k, v in results.items():
         print(f"{'PASS' if v=='OK' else 'INFO' if v.startswith('rows_only') else 'FAIL'} {k}: {v}")
     print(f"== {ok} OK / {len([v for v in results.values() if not v.startswith('rows_only')])} checked, {len(results)} total")
+    with open(os.path.join(out_dir, "oracle_diffs.json"), "w") as f:
+        json.dump({"duckdb_version": duckdb.__version__,
+                   "pandas_version": pd.__version__,
+                   "diffs": diffs}, f, indent=1)
+    if diffs:
+        print(f"(diffs written to {out_dir}/oracle_diffs.json, "
+              f"duckdb {duckdb.__version__})")
 
 if __name__ == "__main__":
     main(sys.argv[1], sys.argv[2])
