@@ -223,6 +223,55 @@ object ProbeScale {
       }
     }
 
+    // ── `ProbeScale bpe`: the two BPE training executions measured
+    // against each other — the per-step Spark-job loop (one full job
+    // + localCheckpoint per merge; the q146 gate form at nMerges=5)
+    // vs the driver-side incremental trainer (operators.Bpe) on the
+    // ONE collected vocabulary-grain word table. The point of the
+    // row: per-merge cost of the job loop is scheduler-bound (≈
+    // constant per step regardless of vocabulary), so production
+    // vocabularies (30k merges) are hours of sequential jobs, while
+    // the in-memory trainer's per-merge cost is micro-seconds at the
+    // same semantics (parity-specced in BpeSpec). Vocabulary for the
+    // deep run is the sf0.01 table replica-amplified with
+    // replica-unique atom bodies (replicas share NO pairs, so merge
+    // capacity scales exactly ×replicas — clean growth, no
+    // cross-replica interference). ──
+    if (mode == "bpe") {
+      val dir = "/root/testdata/sf0.01"
+      val wordTable = Tables(spark, dir, "documents")
+        .select(explode(text.tokens(col("text"))).as("w"))
+        .filter(!col("w").rlike("[<>\\x01]"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .filter(col("freq") >= 2)
+        .select(regexp_replace(col("w"), "(.)", "<$1>").as("str"),
+          col("freq"))
+      val tc0 = System.nanoTime()
+      val words = wordTable.as[(String, Long)].collect().toSeq
+      val countWall = (System.nanoTime() - tc0) / 1e9
+      val tq0 = System.nanoTime()
+      SparkEntry.queries("q146_bpe_train")(spark, dir).collect()
+      val q146Wall = (System.nanoTime() - tq0) / 1e9
+      val sparkPerMerge = (q146Wall - countWall) / 5.0
+      for (replicas <- Seq(1, 8, 32)) {
+        val amp = (0 until replicas).flatMap(r =>
+          words.map { case (s, f) => (s.replace(">", s"~$r>"), f) })
+        // capacity-bounded target: every replica multiplies capacity
+        val target = math.min(1000 * replicas / 32, 64 * replicas)
+        val nMerges = math.max(64, target)
+        val td0 = System.nanoTime()
+        val rules = graft.operators.Bpe.train(amp, nMerges)
+        val driverWall = (System.nanoTime() - td0) / 1e9
+        println(f"PROBE_SCALE bpe replicas=$replicas vocab=${amp.size} " +
+          f"merges=$nMerges driver_wall=$driverWall%.3fs " +
+          f"driver_per_merge=${driverWall / nMerges * 1000}%.3fms " +
+          f"spark_per_merge=${sparkPerMerge * 1000}%.0fms " +
+          f"spark_30k_extrapolated=${sparkPerMerge * 30000 / 60}%.0fmin " +
+          f"driver_30k_extrapolated=${driverWall / nMerges * 30000}%.1fs " +
+          f"rules=${rules.size}")
+      }
+    }
+
     // ── synthetic sweep beyond sf0.1 ──
     val docs01 = Tables(spark, "/root/testdata/sf0.1", "documents")
     val vocab = docs01
@@ -525,9 +574,23 @@ object ProbeScale {
           (surv, ex)
         } else (-1L, -1L)
         sets.unpersist(blocking = false)
-        println(s"PROBE_SCALE containment $tag n=$n " +
-          s"total_pairs=${n * (n - 1) / 2} idx_emissions=$idxEmit " +
-          s"idx_max_df=$idxMax pf_survivors=$survivors exact_pairs=$exact")
+        // both CODE paths, walled (r11: the indexed form is now in
+        // code, parity-specced — measure the decision, don't argue it)
+        val (denseWall, idxWall, idxPairs) = if (exactCount) {
+          val t0 = System.nanoTime()
+          Dedup.containmentPairsDense(docs, "doc_id", "text", 2, 0.9)
+            .count()
+          val dw = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          val ip = Dedup.containmentPairsIndexed(docs, "doc_id", "text",
+            2, 0.9).count()
+          (dw, (System.nanoTime() - t1) / 1e9, ip)
+        } else (-1.0, -1.0, -1L)
+        println(f"PROBE_SCALE containment $tag n=$n " +
+          f"total_pairs=${n * (n - 1) / 2} idx_emissions=$idxEmit " +
+          f"idx_max_df=$idxMax pf_survivors=$survivors exact_pairs=$exact " +
+          f"dense_wall=$denseWall%.2fs indexed_wall=$idxWall%.2fs " +
+          f"indexed_pairs=$idxPairs")
       }
       measureContainment("sf0.01", Tables(spark, "/root/testdata/sf0.01",
         "documents"), exactCount = true)
