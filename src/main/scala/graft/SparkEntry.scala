@@ -125,6 +125,26 @@ object SparkEntry {
 
   private val sqlTokens = sqlTokensOf("text")
 
+  /** The q25 quality score (length / stopword / punctuation thirds,
+    * rounded 6) as a DuckDB expression over in-scope `toks` and
+    * `text` columns — shared by corpusReportSql (q116/q117) and the
+    * q153 manifest oracle. */
+  private lazy val sqlQualityExpr: String = {
+    val stops = text.stopwordsEn.map(w => s"'$w'").mkString(",")
+    s"""round((
+       |      least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) +
+       |      least((CASE WHEN len(toks) = 0 THEN 0.0
+       |        ELSE CAST(len(list_filter(toks, x -> x IN ($stops)))
+       |          AS DOUBLE) / CAST(len(toks) AS DOUBLE) END) * 10.0,
+       |        1.0) +
+       |      greatest(1.0 -
+       |        (CAST(length(text) -
+       |          length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+       |          AS DOUBLE)
+       |         / greatest(CAST(length(text) AS DOUBLE), 1.0))
+       |        * 10.0, 0.0)) / 3.0, 6)""".stripMargin
+  }
+
   // ── LSH plane matrices: driver-side literal constants, shared by the
   // Spark plan AND the DuckDB oracle SQL (vectors.planeMatrix scaladoc
   // explains why this makes approximate queries exactly verifiable) ──
@@ -1883,6 +1903,117 @@ object SparkEntry {
         media, Multimodal.decodeResampledAudioStats(4))
         .toDF("event_id", "n_samples", "sample_rate", "channels",
           "mean_abs")
+    }),
+
+    // ── NS dedup: the INVERTED-INDEX containment form over q131's
+    // exact fixture — identical output, wholly different physical
+    // plan (posting-list candidates + containment upper-bound
+    // pre-filter instead of the dense broadcast scan; complete for
+    // t > 0 by the shared-shingle argument, containmentPairsIndexed
+    // scaladoc). The two registrations share ONE oracle recompute:
+    // the equivalence contract for the sparse-overlap scale path,
+    // gated end-to-end every run ──
+    "q151_containment_indexed" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val injected = base
+        .filter(col("doc_id") % 11 === 4)
+        .withColumn("toks", text.tokens(col("text")))
+        .filter(size(col("toks")) >= 16)
+        .select((col("doc_id") * 10 + 7000000L).as("doc_id"),
+          array_join(slice(col("toks"), lit(1),
+            floor(size(col("toks")) / 4).cast("int")), " ").as("text"))
+      Dedup.containmentPairsIndexed(base.unionByName(injected),
+          "doc_id", "text", n = 2, threshold = 0.9)
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          col("sz_a"), col("sz_b"),
+          round(col("overlap"), 6).as("overlap"),
+          round(col("jaccard"), 6).as("jaccard"),
+          (round(col("jaccard"), 6) < 0.5).as("jaccard_missed"))
+    }),
+
+    // ── NS tokenizer training at PRODUCTION depth: the same q146
+    // merge-learning contract at 80 rules — past bpePerStepJobLimit,
+    // so bpeMerges runs the DRIVER-SIDE incremental trainer
+    // (operators.Bpe: one distributed word count, in-memory merge
+    // loop at ~0.05 ms/merge vs ~250 ms/merge of sequential Spark
+    // jobs — PLANS.md "bpe"). The oracle replays all 80 merges as
+    // chained MATERIALIZED CTEs: identical rules from a wholly
+    // different execution, gated end-to-end ──
+    "q152_bpe_train_deep" -> ((s, dir) => {
+      import s.implicits._
+      bpeMerges(s, dir, nMerges = 80).toDF("step", "pair", "merged", "cnt")
+    }),
+
+    // ── NS the FLAGSHIP COMPOSITION: a full training-data prep
+    // pipeline as ONE manifest — exact dedup (min-id keeper on
+    // md5(text)) → near-dup keeper (the SHARED pair store + q84's
+    // resolution rule) → eval-fold decontamination (q135's graded
+    // score, < 0.5) → quality floor (q25's rounded score, ≥ 0.4) →
+    // temperature mixing over the survivors (q124's integer cuts).
+    // Per source, the count surviving EACH stage plus the mixed
+    // token mass: the one report that says where a source's budget
+    // went. Engineered as CUMULATIVE per-doc flags in one frame —
+    // one aggregate, no per-stage rescans (each stage's flag is
+    // pure per-doc given the stage inputs; only the near-dup keeper
+    // and the mix cuts depend on the surviving SET, and both are
+    // computed on exactly that set). The two localCheckpoints bound
+    // re-execution of the four-consumer DAG; a production run would
+    // persist the flag table between stages instead ──
+    "q153_training_manifest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isEval = col("doc_id") % 17 === 3
+      val scored = dataCardScored(docs.filter(!isEval))
+        .select(col("doc_id"), col("source"), col("text"),
+          col("n_tok"), col("q"))
+      val wEx = Window.partitionBy(md5(col("text")))
+        .orderBy(col("doc_id"))
+      val base = scored
+        .withColumn("f_exact", row_number().over(wEx) === 1)
+        .localCheckpoint(eager = true)
+      val exact = base.filter(col("f_exact"))
+      val ids = exact.select(col("doc_id"))
+      // pair membership depends only on the two docs, so restricting
+      // the corpus-version pair store to exact survivors IS the pair
+      // set of the survivor subset
+      val pairs = nearDupPairStore(s, dir)
+        .join(ids.toDF("doc_a"), "doc_a")
+        .join(ids.toDF("doc_b"), "doc_b")
+        .select("doc_a", "doc_b")
+      val keepers = Dedup
+        .resolveDuplicates(exact, pairs, "doc_id", "n_tok")
+        .select(col("doc_id"), lit(true).as("k_nd"))
+      val contam = Dedup.contaminationScores(
+          docs.filter(!isEval), docs.filter(isEval),
+          "doc_id", "text", n = 3)
+        .select(col("doc_id"), col("contamination"))
+      val flagged = base
+        .join(keepers, Seq("doc_id"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .withColumn("f_nd",
+          col("f_exact") && coalesce(col("k_nd"), lit(false)))
+        .withColumn("f_ct", col("f_nd") &&
+          coalesce(col("contamination"), lit(0.0)) < 0.5)
+        .withColumn("f_q", col("f_ct") && col("q") >= 0.4)
+        .localCheckpoint(eager = true)
+      val qual = flagged.filter(col("f_q"))
+      val cuts = Relational.temperatureMixCuts(qual, "source", "text",
+        budgetTokens = q124Budget)
+      val mixed = Relational
+        .temperatureMix(qual, col("source"), col("doc_id"), cuts)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_mixed"),
+          sum(col("n_tok")).as("tokens_mixed"))
+      flagged.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_raw"),
+          sum(when(col("f_exact"), 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("f_nd"), 1L).otherwise(0L)).as("n_neardup"),
+          sum(when(col("f_ct"), 1L).otherwise(0L)).as("n_decontam"),
+          sum(when(col("f_q"), 1L).otherwise(0L)).as("n_quality"))
+        .join(mixed, Seq("source"), "left")
+        .select(col("source"), col("n_raw"), col("n_exact"),
+          col("n_neardup"), col("n_decontam"), col("n_quality"),
+          coalesce(col("n_mixed"), lit(0L)).as("n_mixed"),
+          coalesce(col("tokens_mixed"), lit(0L)).as("tokens_mixed"))
     }),
 
     // ── §4.2's last extension-ladder rung: the OPT-IN optimizer
@@ -3978,6 +4109,84 @@ object SparkEntry {
 
   /** DuckDB mirror of the q44 near-dup component labelling (recursive
     * reachability → min-label), shared by q44 and the q140 census. */
+  /** The n-step BPE training replay as chained CTEs (shared by q146
+    * at 5 steps and q152 at 80): freq-weighted pair counts,
+    * (count desc, pair asc) selection, left-to-right non-overlapping
+    * replace() via scalar subqueries. Every CTE is AS MATERIALIZED —
+    * each w_i is referenced twice (pc_{i+1} and w_{i+1}), so an
+    * INLINED chain re-plans the corpus scan 2^n times (measured: the
+    * 80-step chain exhausts file handles before planning);
+    * materialization pins linear evaluation. cnt CASTs to BIGINT
+    * (DuckDB SUM → HUGEINT → pandas float64, the r10 hash-mismatch
+    * root cause). */
+  private def bpeTrainOracleSql(nMerges: Int): String = {
+    val steps = (1 to nMerges).map { i =>
+      val prev = s"w${i - 1}"
+      s"""pc$i AS MATERIALIZED (SELECT p, SUM(freq) AS cnt FROM (
+         |  SELECT freq, unnest(list_transform(range(1, len(sy)),
+         |    j -> sy[CAST(j AS INT)] || sy[CAST(j AS INT) + 1]))
+         |    AS p
+         |  FROM (SELECT freq, regexp_extract_all(str, '<[^>]*>')
+         |      AS sy FROM $prev))
+         |  GROUP BY p),
+         |m$i AS MATERIALIZED (SELECT CAST($i AS INT) AS step, p,
+         |    replace(p, '><', '') AS merged,
+         |    CAST(cnt AS BIGINT) AS cnt
+         |  FROM pc$i ORDER BY cnt DESC, p ASC LIMIT 1),
+         |w$i AS MATERIALIZED (SELECT replace($prev.str,
+         |    (SELECT p FROM m$i),
+         |    (SELECT merged FROM m$i)) AS str, freq
+         |  FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to nMerges)
+      .map(i => s"SELECT step, p AS pair, merged, cnt FROM m$i")
+      .mkString(" UNION ALL ")
+    s"""WITH tok AS (SELECT unnest($sqlTokens) AS t
+       |  FROM documents),
+       |w0 AS MATERIALIZED (SELECT regexp_replace(t, '(.)', '<\\1>', 'g')
+       |    AS str, freq
+       |  FROM (SELECT t, COUNT(*) AS freq FROM tok
+       |        WHERE NOT regexp_matches(t, '[<>\\x01]') GROUP BY t)
+       |  WHERE freq >= 2),
+       |$steps
+       |$unions""".stripMargin
+  }
+
+  /** The exact containment-pair recompute over the q131 fixture
+    * (injected prefix-truncated copies) — shared VERBATIM by q131
+    * (dense engine plan) and q151 (inverted-index engine plan): one
+    * exact answer, two physical strategies, which is the equivalence
+    * contract the two registrations exist to pin. */
+  private lazy val containmentPairsOracleSql: String =
+    s"""WITH tk AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
+       |inj AS (SELECT doc_id * 10 + 7000000 AS doc_id,
+       |    list_slice(toks, 1, CAST(floor(len(toks) / 4) AS INT))
+       |      AS toks
+       |  FROM tk WHERE doc_id % 11 = 4 AND len(toks) >= 16),
+       |all_t AS (SELECT doc_id, toks FROM tk
+       |  UNION ALL SELECT doc_id, toks FROM inj),
+       |sh AS (SELECT doc_id, ${sqlShingles(2)} AS s FROM all_t),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    len(list_intersect(a.s, b.s)) AS inter,
+       |    len(a.s) AS sz_a, len(b.s) AS sz_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+       |scored AS (SELECT *,
+       |    CASE WHEN least(sz_a, sz_b) > 0
+       |      THEN CAST(inter AS DOUBLE) /
+       |        CAST(least(sz_a, sz_b) AS DOUBLE)
+       |      ELSE 0.0 END AS ov,
+       |    CASE WHEN sz_a + sz_b - inter > 0
+       |      THEN CAST(inter AS DOUBLE) /
+       |        CAST(sz_a + sz_b - inter AS DOUBLE)
+       |      ELSE 0.0 END AS jc
+       |  FROM pairs)
+       |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+       |  CAST(sz_a AS BIGINT) AS sz_a, CAST(sz_b AS BIGINT) AS sz_b,
+       |  round(ov, 6) AS overlap, round(jc, 6) AS jaccard,
+       |  round(jc, 6) < 0.5 AS jaccard_missed
+       |FROM scored WHERE ov >= 0.9""".stripMargin
+
   private def neardupGroupsSql: String =
     s"""WITH RECURSIVE sh AS (
        |  SELECT doc_id,
@@ -4131,25 +4340,13 @@ object SparkEntry {
             .mkString(" AND ")
           s"WHEN $conds THEN '$l'"
         }
-        val stops = text.stopwordsEn.map(w => s"'$w'").mkString(",")
         s"""WITH base AS (
            |  SELECT source, lang, n_chars, text, $sqlTokens AS toks
            |  FROM documents),
            |sc AS (
            |  SELECT source, lang, n_chars,
            |    len(toks) AS n_tok,
-           |    round((
-           |      least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) +
-           |      least((CASE WHEN len(toks) = 0 THEN 0.0
-           |        ELSE CAST(len(list_filter(toks, x -> x IN ($stops)))
-           |          AS DOUBLE) / CAST(len(toks) AS DOUBLE) END) * 10.0,
-           |        1.0) +
-           |      greatest(1.0 -
-           |        (CAST(length(text) -
-           |          length(regexp_replace(text, '[.,!?;:]', '', 'g'))
-           |          AS DOUBLE)
-           |         / greatest(CAST(length(text) AS DOUBLE), 1.0))
-           |        * 10.0, 0.0)) / 3.0, 6) AS q,
+           |    $sqlQualityExpr AS q,
            |    CASE WHEN len(toks) - 2 <= 0 THEN 0.0
            |      ELSE round(1.0 - CAST(len(${sqlShingles(3)}) AS DOUBLE)
            |        / CAST(len(toks) - 2 AS DOUBLE), 6) END AS rep3,
@@ -4603,37 +4800,110 @@ object SparkEntry {
       // degrades to pandas float64 ("1234.0" vs the engine's "1234" —
       // the r10 driver-only hash mismatch; q147, which emits no cnt,
       // was green in the same run, which localized it)
-      "q146_bpe_train" -> {
-        val steps = (1 to 5).map { i =>
-          val prev = s"w${i - 1}"
-          s"""pc$i AS (SELECT p, SUM(freq) AS cnt FROM (
-             |  SELECT freq, unnest(list_transform(range(1, len(sy)),
-             |    j -> sy[CAST(j AS INT)] || sy[CAST(j AS INT) + 1]))
-             |    AS p
-             |  FROM (SELECT freq, regexp_extract_all(str, '<[^>]*>')
-             |      AS sy FROM $prev))
-             |  GROUP BY p),
-             |m$i AS (SELECT CAST($i AS INT) AS step, p,
-             |    replace(p, '><', '') AS merged,
-             |    CAST(cnt AS BIGINT) AS cnt
-             |  FROM pc$i ORDER BY cnt DESC, p ASC LIMIT 1),
-             |w$i AS (SELECT replace($prev.str, (SELECT p FROM m$i),
-             |    (SELECT merged FROM m$i)) AS str, freq
-             |  FROM $prev)""".stripMargin
-        }.mkString(",\n")
-        val unions = (1 to 5)
-          .map(i => s"SELECT step, p AS pair, merged, cnt FROM m$i")
-          .mkString(" UNION ALL ")
-        s"""WITH tok AS (SELECT unnest($sqlTokens) AS t
-           |  FROM documents),
-           |w0 AS (SELECT regexp_replace(t, '(.)', '<\\1>', 'g')
-           |    AS str, freq
-           |  FROM (SELECT t, COUNT(*) AS freq FROM tok
-           |        WHERE NOT regexp_matches(t, '[<>\\x01]') GROUP BY t)
-           |  WHERE freq >= 2),
-           |$steps
-           |$unions""".stripMargin
-      },
+      "q146_bpe_train" -> bpeTrainOracleSql(5),
+
+      // the SAME replay at 80 steps gates the driver-side trainer
+      // (operators.Bpe — the production path bpeMerges switches to
+      // past bpePerStepJobLimit): identical rules from a wholly
+      // different execution
+      "q152_bpe_train_deep" -> bpeTrainOracleSql(80),
+
+      // the whole prep pipeline replayed stage by stage from the
+      // proven mirrors: exact dedup (min-id per md5(text)), the q84
+      // exact near-dup recompute RESTRICTED to exact survivors (pair
+      // membership depends only on the two docs, so restriction
+      // commutes), the q135 contamination score, the shared q25
+      // quality expression, and the q124 HUGEINT mix-cut derivation
+      // over the quality survivors
+      "q153_training_manifest" ->
+        s"""WITH RECURSIVE train0 AS (
+           |  SELECT doc_id, source, text, $sqlTokens AS toks
+           |  FROM documents WHERE doc_id % 17 <> 3),
+           |b AS (SELECT *, len(toks) AS n_tok,
+           |    ROW_NUMBER() OVER (PARTITION BY md5(text)
+           |      ORDER BY doc_id) AS rn_ex
+           |  FROM train0),
+           |exs AS (SELECT doc_id, toks, n_tok FROM b WHERE rn_ex = 1),
+           |sh2 AS (SELECT doc_id, ${sqlShingles(2)} AS s FROM exs),
+           |p AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+           |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+           |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+           |      AS DOUBLE) >= 0.5),
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+           |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p),
+           |reach AS (
+           |  SELECT src AS node, src AS r FROM edges
+           |  UNION
+           |  SELECT e.src AS node, re.r AS r
+           |  FROM edges e JOIN reach re ON e.dst = re.node),
+           |lbl AS (SELECT node, MIN(r) AS label FROM reach
+           |  GROUP BY node),
+           |dd AS (SELECT e.doc_id, e.n_tok,
+           |    COALESCE(l.label, e.doc_id) AS comp
+           |  FROM exs e LEFT JOIN lbl l ON e.doc_id = l.node),
+           |nd AS (SELECT doc_id FROM (
+           |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY comp
+           |    ORDER BY n_tok DESC, doc_id) AS rn FROM dd)
+           |  WHERE rn = 1),
+           |evt AS (SELECT ${sqlShingles(3)} AS sh3 FROM (
+           |  SELECT $sqlTokens AS toks FROM documents
+           |  WHERE doc_id % 17 = 3)),
+           |ev AS (SELECT DISTINCT shingle FROM (
+           |  SELECT unnest(sh3) AS shingle FROM evt)),
+           |cx AS (SELECT doc_id, ${sqlShingles(3)} AS sh3 FROM train0),
+           |mm AS (SELECT c.doc_id, COUNT(*) AS nm
+           |  FROM (SELECT doc_id, unnest(sh3) AS shingle FROM cx) c
+           |  JOIN ev ON ev.shingle = c.shingle
+           |  GROUP BY c.doc_id),
+           |ct AS (SELECT cx.doc_id,
+           |    CASE WHEN len(sh3) > 0
+           |      THEN CAST(COALESCE(mm.nm, 0) AS DOUBLE) /
+           |        CAST(len(sh3) AS DOUBLE)
+           |      ELSE 0.0 END AS score
+           |  FROM cx LEFT JOIN mm ON mm.doc_id = cx.doc_id),
+           |fl AS (SELECT b.doc_id, b.source, b.n_tok,
+           |    (b.rn_ex = 1) AS f_exact,
+           |    (b.rn_ex = 1 AND b.doc_id IN (SELECT doc_id FROM nd))
+           |      AS f_nd,
+           |    (b.rn_ex = 1 AND b.doc_id IN (SELECT doc_id FROM nd)
+           |      AND ct.score < 0.5) AS f_ct,
+           |    (b.rn_ex = 1 AND b.doc_id IN (SELECT doc_id FROM nd)
+           |      AND ct.score < 0.5 AND $sqlQualityExpr >= 0.4) AS f_q
+           |  FROM b JOIN ct ON ct.doc_id = b.doc_id),
+           |per AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n
+           |  FROM fl WHERE f_q GROUP BY source),
+           |w AS (SELECT source, n,
+           |    CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS ws
+           |  FROM per),
+           |dn AS (SELECT CAST(SUM(ws) AS HUGEINT) AS denom FROM w),
+           |cuts AS (SELECT source, least(
+           |    (1000 * CAST($q124Budget AS HUGEINT) * CAST(ws AS HUGEINT))
+           |      // (denom * CAST(n AS HUGEINT)),
+           |    CAST(1000 AS HUGEINT)) AS cut
+           |  FROM w CROSS JOIN dn),
+           |mz AS (SELECT f.source, COUNT(*) AS n_mixed,
+           |    CAST(SUM(f.n_tok) AS BIGINT) AS tokens_mixed
+           |  FROM fl f JOIN cuts c ON c.source = f.source
+           |  WHERE f.f_q AND ${hashes.md5Hash60Sql(
+                "'mix-' || CAST(f.doc_id AS VARCHAR)")} % 1000 < c.cut
+           |  GROUP BY f.source),
+           |st AS (SELECT source, COUNT(*) AS n_raw,
+           |    CAST(SUM(CASE WHEN f_exact THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_exact,
+           |    CAST(SUM(CASE WHEN f_nd THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_neardup,
+           |    CAST(SUM(CASE WHEN f_ct THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_decontam,
+           |    CAST(SUM(CASE WHEN f_q THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_quality
+           |  FROM fl GROUP BY source)
+           |SELECT st.source, st.n_raw, st.n_exact, st.n_neardup,
+           |  st.n_decontam, st.n_quality,
+           |  COALESCE(mz.n_mixed, 0) AS n_mixed,
+           |  COALESCE(mz.tokens_mixed, 0) AS tokens_mixed
+           |FROM st LEFT JOIN mz ON mz.source = st.source""".stripMargin,
 
       // training replayed (same five chained-CTE merges) and the
       // application expressed as the same nested replaces; symbol
@@ -6408,35 +6678,12 @@ object SparkEntry {
       // non-empty tokens on single spaces and re-tokenizing is the
       // identity), overlap/jaccard from identical integers, rounded
       // identically; jaccard_missed decides on the rounded value
-      "q131_containment_pairs" ->
-        s"""WITH tk AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
-           |inj AS (SELECT doc_id * 10 + 7000000 AS doc_id,
-           |    list_slice(toks, 1, CAST(floor(len(toks) / 4) AS INT))
-           |      AS toks
-           |  FROM tk WHERE doc_id % 11 = 4 AND len(toks) >= 16),
-           |all_t AS (SELECT doc_id, toks FROM tk
-           |  UNION ALL SELECT doc_id, toks FROM inj),
-           |sh AS (SELECT doc_id, ${sqlShingles(2)} AS s FROM all_t),
-           |pairs AS (
-           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |    len(list_intersect(a.s, b.s)) AS inter,
-           |    len(a.s) AS sz_a, len(b.s) AS sz_b
-           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
-           |scored AS (SELECT *,
-           |    CASE WHEN least(sz_a, sz_b) > 0
-           |      THEN CAST(inter AS DOUBLE) /
-           |        CAST(least(sz_a, sz_b) AS DOUBLE)
-           |      ELSE 0.0 END AS ov,
-           |    CASE WHEN sz_a + sz_b - inter > 0
-           |      THEN CAST(inter AS DOUBLE) /
-           |        CAST(sz_a + sz_b - inter AS DOUBLE)
-           |      ELSE 0.0 END AS jc
-           |  FROM pairs)
-           |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
-           |  CAST(sz_a AS BIGINT) AS sz_a, CAST(sz_b AS BIGINT) AS sz_b,
-           |  round(ov, 6) AS overlap, round(jc, 6) AS jaccard,
-           |  round(jc, 6) < 0.5 AS jaccard_missed
-           |FROM scored WHERE ov >= 0.9""".stripMargin,
+      "q131_containment_pairs" -> containmentPairsOracleSql,
+
+      // the IDENTICAL recompute gates the indexed form: one exact
+      // answer, two engine plans (dense broadcast scan vs inverted-
+      // index candidates) — the equivalence contract, not duplication
+      "q151_containment_indexed" -> containmentPairsOracleSql,
 
       // the greedy MMR path replayed step by step: identical rounded
       // rel/sim inputs, the score in EXACT DECIMAL (7-dp — double
