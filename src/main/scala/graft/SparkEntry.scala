@@ -1975,9 +1975,11 @@ object SparkEntry {
           col("n_tok"), col("q"))
       val wEx = Window.partitionBy(md5(col("text")))
         .orderBy(col("doc_id"))
-      val base = scored
-        .withColumn("f_exact", row_number().over(wEx) === 1)
-        .localCheckpoint(eager = true)
+      val base = Phases.time("score_and_exact") {
+        scored
+          .withColumn("f_exact", row_number().over(wEx) === 1)
+          .localCheckpoint(eager = true)
+      }
       val exact = base.filter(col("f_exact"))
       val ids = exact.select(col("doc_id"))
       // pair membership depends only on the two docs, so restricting
@@ -1994,18 +1996,22 @@ object SparkEntry {
           docs.filter(!isEval), docs.filter(isEval),
           "doc_id", "text", n = 3)
         .select(col("doc_id"), col("contamination"))
-      val flagged = base
-        .join(keepers, Seq("doc_id"), "left")
-        .join(contam, Seq("doc_id"), "left")
-        .withColumn("f_nd",
-          col("f_exact") && coalesce(col("k_nd"), lit(false)))
-        .withColumn("f_ct", col("f_nd") &&
-          coalesce(col("contamination"), lit(0.0)) < 0.5)
-        .withColumn("f_q", col("f_ct") && col("q") >= 0.4)
-        .localCheckpoint(eager = true)
+      val flagged = Phases.time("neardup_contam_flags") {
+        base
+          .join(keepers, Seq("doc_id"), "left")
+          .join(contam, Seq("doc_id"), "left")
+          .withColumn("f_nd",
+            col("f_exact") && coalesce(col("k_nd"), lit(false)))
+          .withColumn("f_ct", col("f_nd") &&
+            coalesce(col("contamination"), lit(0.0)) < 0.5)
+          .withColumn("f_q", col("f_ct") && col("q") >= 0.4)
+          .localCheckpoint(eager = true)
+      }
       val qual = flagged.filter(col("f_q"))
-      val cuts = Relational.temperatureMixCuts(qual, "source", "text",
-        budgetTokens = q124Budget)
+      val cuts = Phases.time("mix_cuts") {
+        Relational.temperatureMixCuts(qual, "source", "text",
+          budgetTokens = q124Budget)
+      }
       val mixed = Relational
         .temperatureMix(qual, col("source"), col("doc_id"), cuts)
         .groupBy(col("source"))
