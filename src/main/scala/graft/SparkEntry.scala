@@ -1952,6 +1952,45 @@ object SparkEntry {
       bpeMerges(s, dir, nMerges = 80).toDF("step", "pair", "merged", "cnt")
     }),
 
+    // ── NS training-prep: the MATERIALIZED PACKED WINDOWS — q136
+    // reports what packing costs; this emits the packing itself, one
+    // row per (source, context window): which docs land in it (span
+    // ids), how many tokens fill it, how much padding the tail
+    // carries. The table a dataloader actually consumes (window →
+    // member docs), from the SAME per-source cumsum (q57/q136 integer
+    // window arithmetic — floor on exact small doubles); a doc
+    // spanning k windows contributes its per-window token overlap via
+    // least/greatest on pure BIGINTs, so every fill is exact. Empty
+    // docs add nothing to the cumsum and are excluded from the
+    // explode (a zero-length doc spans no window; sequence() would
+    // descend). Scale shape: one window function + one explode at
+    // tokens/W row growth + one hash aggregate — no joins, no
+    // collects ──
+    "q154_packed_windows" -> ((s, dir) => {
+      val W = 256L
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      t(s, dir, "documents")
+        .withColumn("n", text.tokenCount(col("text")).cast("long"))
+        .withColumn("cum", sum(col("n")).over(w))
+        .filter(col("n") > 0)
+        .withColumn("w_start",
+          floor((col("cum") - col("n")).cast("double") / W).cast("long"))
+        .withColumn("w_end",
+          floor((col("cum") - 1).cast("double") / W).cast("long"))
+        .select(col("source"), col("doc_id"), col("n"), col("cum"),
+          explode(sequence(col("w_start"), col("w_end"))).as("win"))
+        .withColumn("fill",
+          least(col("cum"), (col("win") + 1) * W) -
+            greatest(col("cum") - col("n"), col("win") * W))
+        .groupBy(col("source"), col("win"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"),
+          sum(col("fill")).as("fill_tokens"))
+        .withColumn("pad_tokens", lit(W) - col("fill_tokens"))
+    }),
+
     // ── NS the FLAGSHIP COMPOSITION: a full training-data prep
     // pipeline as ONE manifest — exact dedup (min-id keeper on
     // md5(text)) → near-dup keeper (the SHARED pair store + q84's
@@ -4827,6 +4866,35 @@ object SparkEntry {
       // past bpePerStepJobLimit): identical rules from a wholly
       // different execution
       "q152_bpe_train_deep" -> bpeTrainOracleSql(80),
+
+      // the same per-source cumsum as q136's mirror, exploded to one
+      // row per (doc, window) via range(), per-window overlap from
+      // least/greatest on BIGINTs, every SUM-derived column CAST
+      "q154_packed_windows" ->
+        s"""WITH c AS (
+           |  SELECT source, doc_id, len($sqlTokens) AS n,
+           |    SUM(len($sqlTokens)) OVER (PARTITION BY source
+           |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+           |      AND CURRENT ROW) AS cum
+           |  FROM documents),
+           |wn AS (SELECT source, doc_id, n, cum,
+           |    CAST(floor(CAST(cum - n AS DOUBLE) / 256) AS BIGINT)
+           |      AS w_start,
+           |    CAST(floor(CAST(cum - 1 AS DOUBLE) / 256) AS BIGINT)
+           |      AS w_end
+           |  FROM c WHERE n > 0),
+           |e AS (SELECT source, doc_id, n, cum,
+           |    CAST(unnest(range(w_start, w_end + 1)) AS BIGINT) AS win
+           |  FROM wn),
+           |f AS (SELECT source, doc_id, win,
+           |    least(CAST(cum AS BIGINT), (win + 1) * 256) -
+           |      greatest(CAST(cum - n AS BIGINT), win * 256) AS fill
+           |  FROM e)
+           |SELECT source, win, COUNT(*) AS n_docs,
+           |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+           |  CAST(SUM(fill) AS BIGINT) AS fill_tokens,
+           |  256 - CAST(SUM(fill) AS BIGINT) AS pad_tokens
+           |FROM f GROUP BY source, win""".stripMargin,
 
       // the whole prep pipeline replayed stage by stage from the
       // proven mirrors: exact dedup (min-id per md5(text)), the q84

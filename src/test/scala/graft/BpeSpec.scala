@@ -39,6 +39,78 @@ class BpeSpec extends AnyFunSuite with SparkSpec with Matchers {
     }.getMessage should include("no pairs left")
   }
 
+  test("train matches a naive per-step recount on random vocabularies (differential)") {
+    // The naive reference recounts every pair from scratch each step
+    // and applies the merge with java.lang.String.replace — literal,
+    // left-to-right, non-overlapping: exactly the Spark loop's
+    // replace() semantics. Any staleness bug in the incremental
+    // trainer's pair->words index diverges from this.
+    def naive(words: Seq[(String, Long)], n: Int)
+        : Seq[(Int, String, String, Long)] = {
+      var cur = words
+      val out = Seq.newBuilder[(Int, String, String, Long)]
+      var step = 1
+      while (step <= n) {
+        val pc = scala.collection.mutable.HashMap.empty[String, Long]
+        cur.foreach { case (w, f) =>
+          val syms = w.split("(?<=>)(?=<)")
+          var i = 0
+          while (i < syms.length - 1) {
+            val p = syms(i) + syms(i + 1)
+            pc.update(p, pc.getOrElse(p, 0L) + f)
+            i += 1
+          }
+        }
+        require(pc.nonEmpty, "naive: ran dry (size the case below)")
+        var bestP: String = null
+        var bestC = Long.MinValue
+        pc.foreach { case (p, c) =>
+          if (c > bestC || (c == bestC && Bpe.utf8Lt(p, bestP))) {
+            bestP = p; bestC = c
+          }
+        }
+        val merged = bestP.replace("><", "")
+        out += ((step, bestP, merged, bestC))
+        cur = cur.map { case (w, f) => (w.replace(bestP, merged), f) }
+        step += 1
+      }
+      out.result()
+    }
+    val rnd = new scala.util.Random(7321)
+    (1 to 40).foreach { trial =>
+      val alphabet = "abc"
+      val nWords = 3 + rnd.nextInt(10)
+      val words = (0 until nWords).map { _ =>
+        val len = 1 + rnd.nextInt(6)
+        val w = Seq.fill(len)(alphabet(rnd.nextInt(alphabet.length)))
+          .map(c => s"<$c>").mkString
+        (w, 1L + rnd.nextInt(5))
+      }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toSeq
+      // capacity-safe merge count: total adjacent positions is an
+      // upper bound on learnable rules only loosely; probe the naive
+      // reference for this vocabulary's true capacity first
+      val cap = {
+        var c = 0
+        try { naive(words, 50); c = 50 }
+        catch { case _: IllegalArgumentException =>
+          var lo = 0; var hi = 50
+          while (lo < hi - 1) {
+            val mid = (lo + hi) / 2
+            try { naive(words, mid); lo = mid }
+            catch { case _: IllegalArgumentException => hi = mid }
+          }
+          c = lo
+        }
+        c
+      }
+      val n = math.max(1, math.min(cap, 1 + rnd.nextInt(12)))
+      if (cap >= 1)
+        withClue(s"trial $trial words=$words n=$n: ") {
+          Bpe.train(words, n) shouldBe naive(words, n)
+        }
+    }
+  }
+
   test("driver-side trainer matches the per-step Spark loop (q146 parity, gate fixture)") {
     val dir = "/root/testdata/sf0.001"
     val s = spark
