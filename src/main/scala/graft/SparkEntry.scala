@@ -1952,6 +1952,26 @@ object SparkEntry {
       bpeMerges(s, dir, nMerges = 80).toDF("step", "pair", "merged", "cnt")
     }),
 
+    // ── NS multimodal: VIDEO FRAME SAMPLING over a REAL frame
+    // container — the third modality beside q92/q149 (image) and
+    // q102/q150 (audio): a GVID container of 4..8 really-encoded
+    // PNG frames per video; every 2nd frame is DECODED (all pixels
+    // visited), the frames between are SKIPPED via the length prefix
+    // without touching their bytes — decode cost scales with sampled
+    // frames, not container size, the property that makes
+    // frame-sampling viable on a 100 TB video corpus. Frame colors
+    // vary per frame, so the sampled means differ from the all-frame
+    // means: the oracle's generation-arithmetic prediction proves
+    // the stride AND the decode both ran ──
+    "q155_video_framesample" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.decodePartitions[graft.operators.VideoStats](
+        framePackedVideos(s, dir),
+        Multimodal.decodeSampledVideoStats(2))
+        .toDF("event_id", "n_frames", "n_sampled", "width", "height",
+          "mean_r", "mean_g", "mean_b")
+    }),
+
     // ── NS training-prep: the MATERIALIZED PACKED WINDOWS — q136
     // reports what packing costs; this emits the packing itself, one
     // row per (source, context window): which docs land in it (span
@@ -3880,6 +3900,35 @@ object SparkEntry {
         org.apache.spark.sql.Encoders.BINARY))
       .toDF("event_id", "payload")
 
+  /** The q155 media fixture: one deterministic GVID container per
+    * 5th event id — 4..8 really-encoded two-tone PNG frames whose
+    * colors vary PER FRAME (so the sampled-frame mean differs from
+    * the all-frame mean and the oracle match proves the stride ran).
+    * Same keyed-repartition rationale as [[twoTonePngs]]. */
+  private def framePackedVideos(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    Multimodal.decodePartitions[(Long, Array[Byte])](
+      t(s, dir, "events").select(col("event_id"))
+        .filter(col("event_id") % 5 === 0)
+        .repartition(s.sparkContext.defaultParallelism),
+      rows => {
+        val enc = new graft.operators.PngEncoder() // once per task
+        rows.map { r =>
+          val id = r.getLong(0)
+          val nf = 4 + (id % 5L).toInt
+          def c(m: Long, f: Int) = ((m * (id * 31 + f + 7)) % 256L).toInt
+          val frames = (0 until nf).map { f =>
+            val left = (c(1, f) << 16) | (c(3, f) << 8) | c(5, f)
+            val right = (c(7, f) << 16) | (c(11, f) << 8) | c(13, f)
+            enc.encode(8, 6, left, right)
+          }
+          (id, Multimodal.encodeVideo(frames))
+        }
+      })(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.BINARY))
+      .toDF("event_id", "payload")
+
   /** The shared NEAR-DUP PAIR STORE for a fixture dir (Dedup
     * .ensurePairStore scaladoc): keyed by the dir's canonical path
     * AND the documents table's (length, mtime) signature — "once per
@@ -4866,6 +4915,39 @@ object SparkEntry {
       // past bpePerStepJobLimit): identical rules from a wholly
       // different execution
       "q152_bpe_train_deep" -> bpeTrainOracleSql(80),
+
+      // the sampled-frame means replayed from the generation
+      // arithmetic (the q149 convention): frames 0,2,4,… of
+      // nf = 4 + id%5, colors (m·(31·id + f + 7)) % 256, two-tone
+      // halves of an 8×6 frame ⇒ channel mean = Σ(left+right) /
+      // (2·n_sampled) — the same rational the engine's pixel sums
+      // divide to, and correctly-rounded IEEE division of identical
+      // rationals is bit-identical
+      "q155_video_framesample" ->
+        """WITH fr AS (
+          |  SELECT event_id, 4 + (event_id % 5) AS nf FROM events
+          |  WHERE event_id % 5 = 0),
+          |sf AS (
+          |  SELECT event_id, nf, CAST(f.range AS BIGINT) AS f
+          |  FROM fr, range(0, 8) f
+          |  WHERE CAST(f.range AS BIGINT) < nf
+          |    AND CAST(f.range AS BIGINT) % 2 = 0),
+          |cs AS (
+          |  SELECT event_id, nf, COUNT(*) AS ns,
+          |    SUM((1 * (event_id * 31 + f + 7)) % 256 +
+          |        (7 * (event_id * 31 + f + 7)) % 256) AS sr,
+          |    SUM((3 * (event_id * 31 + f + 7)) % 256 +
+          |        (11 * (event_id * 31 + f + 7)) % 256) AS sg,
+          |    SUM((5 * (event_id * 31 + f + 7)) % 256 +
+          |        (13 * (event_id * 31 + f + 7)) % 256) AS sb
+          |  FROM sf GROUP BY event_id, nf)
+          |SELECT event_id, CAST(nf AS INT) AS n_frames,
+          |  CAST(ns AS INT) AS n_sampled,
+          |  CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+          |  CAST(sr AS DOUBLE) / CAST(2 * ns AS DOUBLE) AS mean_r,
+          |  CAST(sg AS DOUBLE) / CAST(2 * ns AS DOUBLE) AS mean_g,
+          |  CAST(sb AS DOUBLE) / CAST(2 * ns AS DOUBLE) AS mean_b
+          |FROM cs""".stripMargin,
 
       // the same per-source cumsum as q136's mirror, exploded to one
       // row per (doc, window) via range(), per-window overlap from

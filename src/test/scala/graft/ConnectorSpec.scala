@@ -154,6 +154,39 @@ class ConnectorSpec extends AnyFunSuite with SparkSpec with Matchers {
     up shouldBe graft.operators.ImageStats(8L, 2, 1, 120.0, 0.0, 20.0)
   }
 
+  test("multimodal: GVID container samples every stride-th frame and decodes it") {
+    import spark.implicits._
+    // 3 frames of a 10x4 two-tone; stride 2 decodes frames 0 and 2
+    // only — their colors differ from frame 1's, so the means prove
+    // WHICH frames were read
+    def frame(red: Int) = Multimodal.encodePng(10, 4, red << 16, 50)
+    val vid = Multimodal.encodeVideo(Seq(frame(200), frame(99), frame(100)))
+    new String(vid.take(4), "US-ASCII") shouldBe "GVID"
+    val stats = Multimodal.decodePartitions[graft.operators.VideoStats](
+      Seq((7L, vid)).toDF("id", "payload"),
+      Multimodal.decodeSampledVideoStats(2)).collect().head
+    // frames 0,2: mean_r = (200 + 100)/2 / 2 halves = 75; blue 25
+    stats shouldBe graft.operators.VideoStats(7L, 3, 2, 10, 4,
+      75.0, 0.0, 25.0)
+    // stride 1 reads all three: mean_r = (200+99+100)/(2*3) = 66.5
+    Multimodal.decodePartitions[graft.operators.VideoStats](
+      Seq((7L, vid)).toDF("id", "payload"),
+      Multimodal.decodeSampledVideoStats(1)).collect()
+      .head.mean_r shouldBe 66.5
+    // dimension drift between sampled frames fails loudly
+    val drift = Multimodal.encodeVideo(
+      Seq(frame(200), Multimodal.encodePng(4, 4, 200 << 16, 50)))
+    an[Exception] should be thrownBy Multimodal.decodePartitions[
+      graft.operators.VideoStats](
+      Seq((8L, drift)).toDF("id", "payload"),
+      Multimodal.decodeSampledVideoStats(1)).collect()
+    // and so does a bad container magic
+    an[Exception] should be thrownBy Multimodal.decodePartitions[
+      graft.operators.VideoStats](
+      Seq((9L, "nope".getBytes("UTF-8") ++ vid)).toDF("id", "payload"),
+      Multimodal.decodeSampledVideoStats(1)).collect()
+  }
+
   test("multimodal: REAL WAV encode/decode round-trip measures samples") {
     import spark.implicits._
     val samples = Array[Short](100, -200, 300, -400)
