@@ -113,6 +113,7 @@ object Main {
       diff(spark, dirA, dirB, intArg(rest, 100).get)
     case Seq("report", sfDir) => report(spark, sfDir)
     case Seq("emb-health", sfDir) => embHealth(spark, sfDir)
+    case Seq("prep", sfDir) => prep(spark, sfDir)
     case Seq("index-postings", docsParquet, storeRoot, rest @ _*)
         if intArg(rest, 64).isDefined &&
           intArg(rest.drop(1), 8).isDefined =>
@@ -156,6 +157,8 @@ object Main {
         "(token volume, quality, repetition, lang agreement)",
       "  emb-health <sfDir>                  per-label embedding health " +
         "(coherence mass, worst member, dead dimensions)",
+      "  prep <sfDir>                        training-prep manifest " +
+        "(per source: survivors of dedup/decontam/quality/mix stages)",
       "  index-postings <docsParquet> <storeRoot> [nBuckets] [numFiles]" +
         "   build the at-rest BM25 postings index (doc_id/text " +
         "columns; `compact <storeRoot>/postings bucket` re-clusters " +
@@ -527,6 +530,30 @@ object Main {
     * the q116/q117/q118 family registers, printed one line per
     * source (the inspector-tool shape: a human asks "what is in this
     * corpus right now" without writing a query). */
+  /** `prep <dir>` — the q153 training-prep manifest as a CLI table:
+    * per source, the doc count surviving each pipeline stage (exact
+    * dedup → near-dup keeper → decontamination → quality floor →
+    * temperature mix) plus the mixed token mass. The verb agrees
+    * with the registered oracle-gated query by construction (it IS
+    * that query). */
+  private def prep(spark: SparkSession, sfDir: String): Seq[String] = {
+    val rows = SparkEntry.queries("q153_training_manifest")(spark, sfDir)
+      .orderBy(col("source"))
+      .collect()
+    val header = f"${"source"}%-8s ${"raw"}%6s ${"exact"}%6s " +
+      f"${"neardup"}%7s ${"decont"}%6s ${"qual"}%6s ${"mixed"}%6s " +
+      f"${"mix_tok"}%8s"
+    header +: rows.toSeq.map { r =>
+      f"${r.getAs[String]("source")}%-8s ${r.getAs[Long]("n_raw")}%6d " +
+        f"${r.getAs[Long]("n_exact")}%6d " +
+        f"${r.getAs[Long]("n_neardup")}%7d " +
+        f"${r.getAs[Long]("n_decontam")}%6d " +
+        f"${r.getAs[Long]("n_quality")}%6d " +
+        f"${r.getAs[Long]("n_mixed")}%6d " +
+        f"${r.getAs[Long]("tokens_mixed")}%8d"
+    }
+  }
+
   private def report(spark: SparkSession, sfDir: String): Seq[String] = {
     import graft.operators.{CorpusStats, Relational}
     val docs = Tables(spark, sfDir, "documents")

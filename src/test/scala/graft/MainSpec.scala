@@ -401,6 +401,28 @@ class MainSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally Scratch.deleteRecursively(new java.io.File(root))
   }
 
+  test("prep verb prints the training-prep manifest and agrees with q153") {
+    val lines = Main.run(spark, Seq("prep", "/root/testdata/sf0.001"))
+    lines.head should include("neardup")
+    lines.size should be > 1
+    // stage counts are monotonically non-increasing per source, and
+    // the verb's totals agree with the registered oracle-gated query
+    val cells = lines.tail.map(_.trim.split("\\s+"))
+    cells.foreach { c =>
+      val Array(raw, exact, nd, ct, q, mixed) =
+        c.slice(1, 7).map(_.toLong)
+      raw should be >= exact
+      exact should be >= nd
+      nd should be >= ct
+      ct should be >= q
+      q should be >= mixed
+    }
+    val q153 = SparkEntry.queries("q153_training_manifest")(
+      spark, "/root/testdata/sf0.001")
+    q153.agg(org.apache.spark.sql.functions.sum("n_raw"))
+      .head.getLong(0) shouldBe cells.map(_(1).toLong).sum
+  }
+
   test("q136 packing report: the 20 sf0.01 rows pinned exactly (golden)") {
     // The r10 driver run flagged q136 hash_match:false while every
     // local compare passed — root cause was the ORACLE side (DuckDB
