@@ -272,6 +272,48 @@ object ProbeScale {
       }
     }
 
+    // ── `ProbeScale video`: q155's scale claim measured — the GVID
+    // sampler's decode cost must scale with SAMPLED frames, not
+    // container size, because skipped frames are passed over via the
+    // length prefix without touching their bytes. Fixed corpus of
+    // 12-frame videos, stride swept 1/2/4/12: if the claim holds,
+    // wall falls ~linearly with 1/stride down to the per-row floor. ──
+    if (mode == "video") {
+      import org.apache.spark.sql.Row
+      import graft.operators.{Multimodal, PngEncoder, VideoStats}
+      val nVideos = 20000
+      val media = Multimodal.decodePartitions[(Long, Array[Byte])](
+        spark.range(nVideos).toDF("event_id")
+          .repartition(spark.sparkContext.defaultParallelism),
+        (rows: Iterator[Row]) => {
+          val enc = new PngEncoder()
+          rows.map { r =>
+            val id = r.getLong(0)
+            val frames = (0 until 12).map { f =>
+              enc.encode(8, 6,
+                (((id + f) % 256L).toInt << 16),
+                (((id * 7 + f) % 256L).toInt))
+            }
+            (id, Multimodal.encodeVideo(frames))
+          }
+        })(org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.BINARY))
+        .toDF("event_id", "payload")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      media.count() // materialize the encode outside the timed region
+      for (stride <- Seq(1, 2, 4, 12)) {
+        val t0 = System.nanoTime()
+        val n = Multimodal.decodePartitions[VideoStats](
+          media, Multimodal.decodeSampledVideoStats(stride)).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(f"PROBE_SCALE video stride=$stride videos=$n " +
+          f"frames_decoded=${n * ((12 + stride - 1) / stride)} " +
+          f"wall=$wall%.2fs")
+      }
+      media.unpersist(blocking = false)
+    }
+
     // ── synthetic sweep beyond sf0.1 ──
     val docs01 = Tables(spark, "/root/testdata/sf0.1", "documents")
     val vocab = docs01
