@@ -246,13 +246,17 @@ object ProbeScale {
         .filter(col("freq") >= 2)
         .select(regexp_replace(col("w"), "(.)", "<$1>").as("str"),
           col("freq"))
+      // warm the scan + codegen BEFORE either timed region: the
+      // subtraction below misattributes (or goes negative) if one
+      // side pays the cold FS-cache/JIT cost and the other does not
+      wordTable.as[(String, Long)].collect()
       val tc0 = System.nanoTime()
       val words = wordTable.as[(String, Long)].collect().toSeq
       val countWall = (System.nanoTime() - tc0) / 1e9
       val tq0 = System.nanoTime()
       SparkEntry.queries("q146_bpe_train")(spark, dir).collect()
       val q146Wall = (System.nanoTime() - tq0) / 1e9
-      val sparkPerMerge = (q146Wall - countWall) / 5.0
+      val sparkPerMerge = math.max(0.0, (q146Wall - countWall) / 5.0)
       for (replicas <- Seq(1, 8, 32)) {
         val amp = (0 until replicas).flatMap(r =>
           words.map { case (s, f) => (s.replace(">", s"~$r>"), f) })

@@ -3936,12 +3936,18 @@ object SparkEntry {
     * (attribution) and q140 (census) share ONE pair build; the first
     * consumer to run pays it (phase `pair_store_build` in the bench
     * artifact), the rest read pairs at rest. Stale versions of the
-    * same corpus dir are pruned on ensure, so the scratch footprint
-    * is one store per live fixture. Params are the audited q84/q140
-    * regime (2-shingles, k=64, bands=32, t=0.5); the exact-recompute
-    * oracles of all three consumers stay unchanged — they verify
-    * end-to-end that the banded build loses no pair the reports
-    * need, every run. */
+    * same corpus dir are pruned on ensure — but only past a one-hour
+    * grace window and only when no writer lease is held, so a
+    * concurrent session still READING the superseded version is not
+    * yanked mid-scan (the same documented residual as compaction's
+    * swap gap: reader eviction needs a table format's commit
+    * protocol). The dir key is a 128-bit md5 of the canonical path —
+    * two distinct corpus dirs cannot collide into mutual
+    * delete/rebuild ping-pong the way a 32-bit hashCode could.
+    * Params are the audited q84/q140 regime (2-shingles, k=64,
+    * bands=32, t=0.5); the exact-recompute oracles of all three
+    * consumers stay unchanged — they verify end-to-end that the
+    * banded build loses no pair the reports need, every run. */
   private def nearDupPairStore(s: SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
     def sigOf(f: java.io.File): String =
@@ -3952,16 +3958,22 @@ object SparkEntry {
               a ^ java.lang.Long.rotateLeft(
                 c.length ^ c.lastModified, c.getName.hashCode & 63)))
       else java.lang.Long.toHexString(f.length ^ (f.lastModified * 31))
-    val dirKey = Integer.toHexString(
-      new java.io.File(dir).getCanonicalPath.hashCode)
+    val dirKey = java.security.MessageDigest.getInstance("md5")
+      .digest(new java.io.File(dir).getCanonicalPath
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
     val name =
       s"${dirKey}_${sigOf(new java.io.File(dir, "documents.parquet"))}" +
         "_n2k64b32t05"
     val root = new java.io.File(
       sys.props("java.io.tmpdir"), "graft_pair_store")
+    val pruneGraceMs = 60L * 60 * 1000
+    val now = System.currentTimeMillis()
     Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith(dirKey + "_") &&
-        f.getName != name)
+        f.getName != name && !f.getName.endsWith(".lease") &&
+        now - f.lastModified() > pruneGraceMs &&
+        !new java.io.File(root, f.getName + ".lease").exists())
       .foreach(Scratch.deleteRecursively)
     Dedup.ensurePairStore(t(s, dir, "documents"), "doc_id", "text",
       new java.io.File(root, name).toString,
@@ -4221,8 +4233,15 @@ object SparkEntry {
     * materialization pins linear evaluation. cnt CASTs to BIGINT
     * (DuckDB SUM → HUGEINT → pandas float64, the r10 hash-mismatch
     * root cause). */
-  private def bpeTrainOracleSql(nMerges: Int): String = {
-    val steps = (1 to nMerges).map { i =>
+  /** The per-merge CTE triplet chain (pc/m/w × nMerges) shared by
+    * EVERY BPE oracle — q146's emit-rules form, q152's 80-step deep
+    * form, and q147's apply form (whose w chain reads only p/merged
+    * from each m; the extra step/cnt columns are inert there). ONE
+    * builder so a semantics tweak (like r11's [<>\x01] filter) can
+    * never be applied to one replay and missed in another — the r10
+    * class of driver-only oracle divergence. */
+  private def bpeTrainStepCtes(nMerges: Int): String =
+    (1 to nMerges).map { i =>
       val prev = s"w${i - 1}"
       s"""pc$i AS MATERIALIZED (SELECT p, SUM(freq) AS cnt FROM (
          |  SELECT freq, unnest(list_transform(range(1, len(sy)),
@@ -4240,17 +4259,24 @@ object SparkEntry {
          |    (SELECT merged FROM m$i)) AS str, freq
          |  FROM $prev)""".stripMargin
     }.mkString(",\n")
+
+  /** The freq>=2 bracket-string word table every BPE oracle trains
+    * on, as the `w0` CTE (expects a `tok(t)` CTE in scope). */
+  private val bpeWordTableCte: String =
+    s"""w0 AS MATERIALIZED (SELECT regexp_replace(t, '(.)', '<\\1>', 'g')
+       |    AS str, freq
+       |  FROM (SELECT t, COUNT(*) AS freq FROM tok
+       |        WHERE NOT regexp_matches(t, '[<>\\x01]') GROUP BY t)
+       |  WHERE freq >= 2)""".stripMargin
+
+  private def bpeTrainOracleSql(nMerges: Int): String = {
     val unions = (1 to nMerges)
       .map(i => s"SELECT step, p AS pair, merged, cnt FROM m$i")
       .mkString(" UNION ALL ")
     s"""WITH tok AS (SELECT unnest($sqlTokens) AS t
        |  FROM documents),
-       |w0 AS MATERIALIZED (SELECT regexp_replace(t, '(.)', '<\\1>', 'g')
-       |    AS str, freq
-       |  FROM (SELECT t, COUNT(*) AS freq FROM tok
-       |        WHERE NOT regexp_matches(t, '[<>\\x01]') GROUP BY t)
-       |  WHERE freq >= 2),
-       |$steps
+       |$bpeWordTableCte,
+       |${bpeTrainStepCtes(nMerges)}
        |$unions""".stripMargin
   }
 
@@ -5079,21 +5105,6 @@ object SparkEntry {
       // application expressed as the same nested replaces; symbol
       // counts are '<' counts in both engines
       "q147_bpe_apply" -> {
-        val steps = (1 to 5).map { i =>
-          val prev = s"w${i - 1}"
-          s"""pc$i AS (SELECT p, SUM(freq) AS cnt FROM (
-             |  SELECT freq, unnest(list_transform(range(1, len(sy)),
-             |    j -> sy[CAST(j AS INT)] || sy[CAST(j AS INT) + 1]))
-             |    AS p
-             |  FROM (SELECT freq, regexp_extract_all(str, '<[^>]*>')
-             |      AS sy FROM $prev))
-             |  GROUP BY p),
-             |m$i AS (SELECT p, replace(p, '><', '') AS merged
-             |  FROM pc$i ORDER BY cnt DESC, p ASC LIMIT 1),
-             |w$i AS (SELECT replace($prev.str, (SELECT p FROM m$i),
-             |    (SELECT merged FROM m$i)) AS str, freq
-             |  FROM $prev)""".stripMargin
-        }.mkString(",\n")
         val appliedExpr = (1 to 5).foldLeft(
           "regexp_replace(t, '(.)', '<\\1>', 'g')") { (acc, i) =>
           s"replace($acc, (SELECT p FROM m$i), (SELECT merged FROM m$i))"
@@ -5101,12 +5112,8 @@ object SparkEntry {
         s"""WITH tokS AS (SELECT source, unnest($sqlTokens) AS t
            |  FROM documents),
            |tok AS (SELECT t FROM tokS),
-           |w0 AS (SELECT regexp_replace(t, '(.)', '<\\1>', 'g')
-           |    AS str, freq
-           |  FROM (SELECT t, COUNT(*) AS freq FROM tok
-           |        WHERE NOT regexp_matches(t, '[<>\\x01]') GROUP BY t)
-           |  WHERE freq >= 2),
-           |$steps,
+           |$bpeWordTableCte,
+           |${bpeTrainStepCtes(5)},
            |ap AS (SELECT source, t, $appliedExpr AS a
            |  FROM tokS WHERE NOT regexp_matches(t, '[<>\\x01]'))
            |SELECT source, COUNT(*) AS n_tokens,

@@ -94,13 +94,32 @@ object Bpe {
     // re-check against the word's CURRENT symbols, so stale ids cost
     // a scan, never correctness
     val pairWords = mutable.HashMap.empty[String, mutable.BitSet]
+    // LAZY max-heap over (count desc, pair utf8 asc): every count
+    // update pushes a fresh entry; selection pops until the head
+    // matches the live count (stale entries discard in O(log n)).
+    // A full pairCounts rescan per merge is O(|pairs|) — fine on toy
+    // vocabularies, hours at the 10M-word scale bpeMaxVocab admits;
+    // the heap keeps per-merge selection near O(log n) amortized.
+    val heap = new java.util.PriorityQueue[(String, Long)](
+      64,
+      new java.util.Comparator[(String, Long)] {
+        def compare(a: (String, Long), b: (String, Long)): Int =
+          if (a._2 != b._2) java.lang.Long.compare(b._2, a._2)
+          else if (a._1 == b._1) 0
+          else if (utf8Lt(a._1, b._1)) -1
+          else 1
+      })
     def addWord(w: Int, sign: Long): Unit = {
       val s = syms(w)
       var i = 0
       while (i < s.length - 1) {
         val p = s(i) + s(i + 1)
         val c = pairCounts.getOrElse(p, 0L) + sign * freq(w)
-        if (c == 0L) pairCounts.remove(p) else pairCounts.update(p, c)
+        if (c == 0L) pairCounts.remove(p)
+        else {
+          pairCounts.update(p, c)
+          heap.add((p, c))
+        }
         if (sign > 0)
           pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += w
         i += 1
@@ -111,13 +130,13 @@ object Bpe {
     (1 to nMerges).foreach { step =>
       require(pairCounts.nonEmpty,
         s"BPE: no pairs left before merge $step — lower nMerges")
-      var bestP: String = null
-      var bestC = Long.MinValue
-      pairCounts.foreach { case (p, c) =>
-        if (c > bestC || (c == bestC && utf8Lt(p, bestP))) {
-          bestP = p; bestC = c
-        }
-      }
+      var head = heap.poll()
+      while (head != null &&
+          !pairCounts.get(head._1).contains(head._2))
+        head = heap.poll() // stale: count changed since this push
+      require(head != null,
+        s"BPE: heap drained before merge $step (invariant breach)")
+      val (bestP, bestC) = head
       val merged = bestP.replace("><", "")
       rules += ((step, bestP, merged, bestC))
       // bestP = first + second: the split point is the one "><"

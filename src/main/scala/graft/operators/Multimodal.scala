@@ -213,10 +213,15 @@ object Multimodal {
         } else bb.position(bb.position() + len)
         f += 1
       }
-      require(sampled > 0, s"video $id: no frames sampled")
-      val nPix = sampled.toLong * w * h
-      VideoStats(id, nf, sampled, w, h,
-        sr.toDouble / nPix, sg.toDouble / nPix, sb.toDouble / nPix)
+      // an EMPTY container is well-formed data (encodeVideo(Seq())
+      // produces one), not a defect like bad magic or dimension
+      // drift — emit a zero row instead of aborting the job
+      if (sampled == 0) VideoStats(id, nf, 0, 0, 0, 0.0, 0.0, 0.0)
+      else {
+        val nPix = sampled.toLong * w * h
+        VideoStats(id, nf, sampled, w, h,
+          sr.toDouble / nPix, sg.toDouble / nPix, sb.toDouble / nPix)
+      }
     }
     new Iterator[VideoStats] {
       override def hasNext: Boolean = {

@@ -366,9 +366,14 @@ object Retrieval {
       val remaining = candidates
         .join(selSet, Seq("qid", "doc_id"), "left_anti")
       // LEFT join to sims: a candidate pair absent from `sims` scores
-      // sim = 0 (maximally diverse) instead of silently vanishing
-      // from every rank >= 2 — with sparsified sims the missing pairs
-      // are exactly the diverse candidates MMR exists to surface.
+      // sim = 0 instead of silently vanishing from every rank >= 2.
+      // The 0 floor is the THRESHOLD-SPARSIFICATION contract: sims
+      // dropped by a nonnegative cutoff are "below threshold ~ 0",
+      // and those missing pairs are exactly the diverse candidates
+      // MMR exists to surface. Callers whose sims carry MEANINGFUL
+      // negatives (anti-aligned embeddings) must pass full pairwise
+      // coverage — a 0 floor would rank an unknown pair as MORE
+      // redundant than an explicit negative one.
       val scored = remaining
         .join(selSet.toDF("qid", "sel_doc"), Seq("qid"))
         .join(sims.toDF("qid", "doc_id", "sel_doc", "sim"),

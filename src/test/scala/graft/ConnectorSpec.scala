@@ -173,6 +173,13 @@ class ConnectorSpec extends AnyFunSuite with SparkSpec with Matchers {
       Seq((7L, vid)).toDF("id", "payload"),
       Multimodal.decodeSampledVideoStats(1)).collect()
       .head.mean_r shouldBe 66.5
+    // an EMPTY container is well-formed data: zero row, not a crash
+    val empty = Multimodal.encodeVideo(Seq.empty)
+    Multimodal.decodePartitions[graft.operators.VideoStats](
+      Seq((6L, empty)).toDF("id", "payload"),
+      Multimodal.decodeSampledVideoStats(2)).collect()
+      .head shouldBe graft.operators.VideoStats(6L, 0, 0, 0, 0,
+        0.0, 0.0, 0.0)
     // dimension drift between sampled frames fails loudly
     val drift = Multimodal.encodeVideo(
       Seq(frame(200), Multimodal.encodePng(4, 4, 200 << 16, 50)))
