@@ -2089,6 +2089,94 @@ object SparkEntry {
           coalesce(col("tokens_mixed"), lit(0L)).as("tokens_mixed"))
     }),
 
+    // ── NS: hashed-ngram LINEAR CLASSIFIER filter — the model-based
+    // quality gate (fastText shape) every production pipeline runs
+    // after its rule cuts. Model = bounded (bucket, weight) table,
+    // BROADCAST-joined to the exploded feature stream (the corpus
+    // never shuffles below the doc-grain partial agg); integer
+    // weights ⇒ exact integer logits in both engines. The oracle
+    // regenerates the same md5-seeded model and re-scores from
+    // scratch (CorpusStats.linearClassifierScores) ──
+    "q156_quality_classifier" -> ((s, dir) =>
+      CorpusStats.linearClassifierScores(t(s, dir, "documents"),
+          "doc_id", "text", buckets = 4096)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("accept"), 1L).otherwise(0L)).as("n_accept"),
+          sum(col("logit")).as("sum_logit"),
+          sum(col("n_feats")).as("sum_feats"))),
+
+    // ── NS GOVERNANCE: duplication-graph CENTRALITY — the third
+    // consumer of the shared at-rest pair store (q84 keeper, q133
+    // attribution, q140 census): bounded power iteration (PageRank
+    // shape, integer-scaled milli ranks) surfaces the HUB documents
+    // boilerplate radiates from. Each round is one edge→rank join +
+    // one dst-grain agg over the pair-grain graph; the corpus is
+    // never touched. The oracle recomputes the exact dense pair set
+    // and unrolls the same three integer rounds as chained CTEs ──
+    "q157_dup_centrality" -> ((s, dir) =>
+      Dedup.dupCentrality(nearDupPairStore(s, dir), rounds = 3,
+        topK = 20)),
+
+    // ── NS streaming: the q156 classifier gate at INGEST time —
+    // three micro-batches scored against the static broadcast model,
+    // additive integer per-source partials landed as sealed batchId
+    // segments (exactly-once, the q139 convention), report = one
+    // re-aggregation of the at-rest partials. Same oracle as q156:
+    // the streaming decomposition must converge to the batch answer
+    // bit for bit ──
+    "q158_stream_classifier" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ns = drainSession(s)
+      import ns.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = ns.sqlContext
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q158_").toString
+      val rows = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .as[(Long, String, String)].collect().toSeq
+      val input = MemoryStream[(Long, String, String)]
+      val stream = input.toDF().toDF("doc_id", "source", "text")
+      val ckpt = ephemeralCheckpoint("q158")
+      val q = Streams.classifierIngest(stream, "doc_id", "text",
+        "source", buckets = 4096, root, ckpt.getAbsolutePath)
+      try
+        (0 until 3).foreach { r =>
+          input.addData(rows.filter(_._1 % 3 == r))
+          q.processAllAvailable()
+        }
+      finally {
+        try q.stop()
+        finally Scratch.deleteRecursively(ckpt)
+      }
+      val report = s.read.parquet(root + "/partials")
+        .groupBy(col("source"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("n_accept")).as("n_accept"),
+          sum(col("sum_logit")).as("sum_logit"),
+          sum(col("sum_feats")).as("sum_feats"))
+      materializeThenClean(s, report, root)
+    }),
+
+    // ── NS: DSIR's SECOND HALF — Gumbel-top-k importance RESAMPLING
+    // of the q113 log-weights (estimate weights, then sample the
+    // training subset ∝ exp(λ) — the actual DSIR recipe). Keys are
+    // scan-time integer micros (λ + 6-decimal-rounded Gumbel from a
+    // deterministic md5 clock); selection is TakeOrdered, never a
+    // global sort. The oracle recomputes the weights via the SAME
+    // shared CTE chain as q113 and replays the clock exactly ──
+    "q159_importance_resample" -> ((s, dir) => {
+      val w = CorpusStats.dsirWeights(t(s, dir, "documents"),
+        "text", col("lang") === "en", buckets = 1024)
+      CorpusStats.importanceSample(w, "doc_id", "wt_micros", n = 200)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(size(text.tokens(col("text"))).cast("long"))
+            .as("tokens_sampled"),
+          min(col("key_micros")).as("min_key_micros"),
+          sum(col("key_micros")).as("sum_key_micros"))
+    }),
+
     // ── §4.2's last extension-ladder rung: the OPT-IN optimizer
     // rewrite (plans.AnnTopKToLshPrune) that turns a literal-query
     // EXACT cosine top-k — ORDER BY cosine_sim(emb, lit) DESC LIMIT k
@@ -4416,6 +4504,116 @@ object SparkEntry {
        |  CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
        |    AS DOUBLE) >= $threshold""".stripMargin
 
+  /** DuckDB mirror of CorpusStats.dsirWeights' integer micros —
+    * definition-for-definition (md5-60 % 1024 unigram+bigram buckets,
+    * one-pass raw/target counts, λ rounded at 6 decimals carried as
+    * exact micros, empty docs re-attached at 0). Ends in
+    * `wa(doc_id, source, m)`; q113 aggregates it, q159 resamples
+    * from it — ONE weight recompute shared by both consumers. */
+  private def dsirMicrosCtes: String =
+    s"""WITH t0 AS (
+       |  SELECT doc_id, source, lang, $sqlTokens AS toks
+       |  FROM documents),
+       |f AS (SELECT doc_id, source, lang,
+       |    unnest(list_concat(
+       |      list_transform(toks,
+       |        t -> ${hashes.md5Hash60Sql("t")} % 1024),
+       |      list_transform(range(1, len(toks)), i ->
+       |        ${hashes.md5Hash60Sql("toks[i] || ' ' || toks[i+1]")}
+       |          % 1024))) AS b
+       |  FROM t0),
+       |st AS (SELECT b, COUNT(*) AS r,
+       |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t
+       |  FROM f GROUP BY b),
+       |tot AS (SELECT CAST(SUM(r) AS DOUBLE) AS rt,
+       |    CAST(SUM(t) AS DOUBLE) AS tt FROM st),
+       |lam AS (SELECT b,
+       |    CAST(round(ln((t + 0.5) / (tt + 0.5 * 1024))
+       |             - ln((r + 0.5) / (rt + 0.5 * 1024)), 6)
+       |      AS DECIMAL(20,6)) AS lam
+       |  FROM st CROSS JOIN tot),
+       |w AS (SELECT f.doc_id,
+       |    SUM(CAST(lam * 1000000 AS BIGINT)) AS m
+       |  FROM f JOIN lam ON f.b = lam.b GROUP BY 1),
+       |wa AS (SELECT d.doc_id, d.source, coalesce(w.m, 0) AS m
+       |  FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id)""".stripMargin
+
+  /** DuckDB mirror of CorpusStats.linearClassifierScores +
+    * the per-source gate report — definition-for-definition: the same
+    * md5-seeded (bucket, weight) model regenerated from scratch, the
+    * same unigram+bigram feature stream, the same md5-60 % buckets
+    * hashing, integer logits summed per doc then per source. Shared
+    * by q156 (batch) and q158 (streaming ingest) — the BM25-family
+    * convention: one oracle recompute verifies every engine form. */
+  private def classifierGateSql: String = {
+    val bH = hashes.md5Hash60Sql("CAST(b AS VARCHAR)")
+    val fH = hashes.md5Hash60Sql("ft.f")
+    s"""WITH w AS (
+       |  SELECT b AS bucket, $bH % 2001 - 1000 AS w
+       |  FROM (SELECT unnest(range(0, 4096)) AS b)),
+       |t0 AS (SELECT doc_id, source, $sqlTokens AS toks
+       |  FROM documents),
+       |ft AS (
+       |  SELECT doc_id, unnest(toks) AS f FROM t0
+       |  UNION ALL
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |    i -> toks[i] || ' ' || toks[i + 1])) AS f FROM t0),
+       |sc AS (
+       |  SELECT ft.doc_id, COUNT(*) AS n_feats,
+       |    CAST(SUM(w.w) AS BIGINT) AS logit
+       |  FROM ft JOIN w ON $fH % 4096 = w.bucket
+       |  GROUP BY ft.doc_id),
+       |j AS (
+       |  SELECT t0.doc_id, t0.source,
+       |    COALESCE(sc.n_feats, 0) AS n_feats,
+       |    COALESCE(sc.logit, 0) AS logit
+       |  FROM t0 LEFT JOIN sc ON t0.doc_id = sc.doc_id)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN logit >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_accept,
+       |  CAST(SUM(logit) AS BIGINT) AS sum_logit,
+       |  CAST(SUM(n_feats) AS BIGINT) AS sum_feats
+       |FROM j GROUP BY source""".stripMargin
+  }
+
+  /** DuckDB mirror of Dedup.dupCentrality over the exact dense pair
+    * set at the pair store's threshold — the q133 convention (the
+    * oracle recomputes all pairs independently, so the hash match
+    * also re-proves the banded store's recall) with the three
+    * integer power-iteration rounds unrolled as chained CTEs.
+    * `//` is DuckDB's floor division on BIGINT — identical to
+    * Spark's `div` on the non-negative values here. */
+  private def dupCentralitySql(rounds: Int, topK: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s"""r$i AS (SELECT e.dst AS id,
+         |    CAST(150 + (850 * SUM(r.rank_milli // d.deg)) // 1000
+         |      AS BIGINT) AS rank_milli
+         |  FROM e JOIN r${i - 1} r ON e.src = r.id
+         |    JOIN d ON e.src = d.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${sqlShingles(2)} AS s
+       |  FROM (SELECT doc_id, $sqlTokens AS toks FROM documents)),
+       |pr AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+       |      AS DOUBLE) >= 0.5),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+       |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pr),
+       |d AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+       |  FROM e GROUP BY src),
+       |r0 AS (SELECT src AS id, CAST(1000 AS BIGINT) AS rank_milli
+       |  FROM d),
+       |$roundCtes
+       |SELECT r$rounds.id AS doc_id, r$rounds.rank_milli,
+       |  d.deg AS n_neighbors
+       |FROM r$rounds JOIN d ON r$rounds.id = d.src
+       |ORDER BY rank_milli DESC, doc_id LIMIT $topK""".stripMargin
+  }
+
   /** DuckDB mirror of the md5-60 SimHash per document (q31 and the
     * q46 pair join both build on it). */
   private def simhash60Sql: String = {
@@ -5100,6 +5298,39 @@ object SparkEntry {
            |  COALESCE(mz.n_mixed, 0) AS n_mixed,
            |  COALESCE(mz.tokens_mixed, 0) AS tokens_mixed
            |FROM st LEFT JOIN mz ON mz.source = st.source""".stripMargin,
+
+      // regenerates the md5-seeded model and re-scores every document
+      // from scratch (classifierGateSql scaladoc)
+      "q156_quality_classifier" -> classifierGateSql,
+
+      // exact dense pair set + three unrolled integer rounds
+      // (dupCentralitySql scaladoc)
+      "q157_dup_centrality" -> dupCentralitySql(rounds = 3, topK = 20),
+
+      // the streaming ingest converges to the batch gate exactly —
+      // ONE shared recompute verifies both engine forms
+      "q158_stream_classifier" -> classifierGateSql,
+
+      // weights via the SAME shared CTE chain as q113; the Gumbel
+      // clock replayed from the same md5 uniform, rounded at 6 and
+      // carried as exact micros (importanceSample scaladoc)
+      "q159_importance_resample" ->
+        s"""$dsirMicrosCtes,
+           |ck AS (SELECT wa.doc_id, wa.source,
+           |    wa.m + CAST(CAST(round(-ln(-ln(
+           |      (${hashes.md5Hash60Sql(
+                    "CAST(wa.doc_id AS VARCHAR) || ':clock'")}
+           |        % 999999 + 1) / 1000000.0)), 6) AS DECIMAL(20,6))
+           |      * 1000000 AS BIGINT) AS key_m
+           |  FROM wa),
+           |top AS (SELECT doc_id, source, key_m FROM ck
+           |  ORDER BY key_m DESC, doc_id LIMIT 200)
+           |SELECT top.source, COUNT(*) AS n_sampled,
+           |  CAST(SUM(len($sqlTokens)) AS BIGINT) AS tokens_sampled,
+           |  CAST(MIN(key_m) AS BIGINT) AS min_key_micros,
+           |  CAST(SUM(key_m) AS BIGINT) AS sum_key_micros
+           |FROM top JOIN documents d ON top.doc_id = d.doc_id
+           |GROUP BY top.source""".stripMargin,
 
       // training replayed (same five chained-CTE merges) and the
       // application expressed as the same nested replaces; symbol
@@ -6581,32 +6812,7 @@ object SparkEntry {
       // exact integer micros so the per-doc sum is order-independent
       // in both engines; empty-token docs re-attach with weight 0
       "q113_dsir_weight" ->
-        s"""WITH t0 AS (
-           |  SELECT doc_id, source, lang, $sqlTokens AS toks
-           |  FROM documents),
-           |f AS (SELECT doc_id, source, lang,
-           |    unnest(list_concat(
-           |      list_transform(toks,
-           |        t -> ${hashes.md5Hash60Sql("t")} % 1024),
-           |      list_transform(range(1, len(toks)), i ->
-           |        ${hashes.md5Hash60Sql("toks[i] || ' ' || toks[i+1]")}
-           |          % 1024))) AS b
-           |  FROM t0),
-           |st AS (SELECT b, COUNT(*) AS r,
-           |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t
-           |  FROM f GROUP BY b),
-           |tot AS (SELECT CAST(SUM(r) AS DOUBLE) AS rt,
-           |    CAST(SUM(t) AS DOUBLE) AS tt FROM st),
-           |lam AS (SELECT b,
-           |    CAST(round(ln((t + 0.5) / (tt + 0.5 * 1024))
-           |             - ln((r + 0.5) / (rt + 0.5 * 1024)), 6)
-           |      AS DECIMAL(20,6)) AS lam
-           |  FROM st CROSS JOIN tot),
-           |w AS (SELECT f.doc_id,
-           |    SUM(CAST(lam * 1000000 AS BIGINT)) AS m
-           |  FROM f JOIN lam ON f.b = lam.b GROUP BY 1),
-           |wa AS (SELECT d.doc_id, d.source, coalesce(w.m, 0) AS m
-           |  FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id)
+        s"""$dsirMicrosCtes
            |SELECT source, COUNT(*) AS n_docs,
            |  CAST(SUM(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT)
            |    AS n_selected,

@@ -476,4 +476,101 @@ object CorpusStats {
         when(den === 0.0d, lit(null)).otherwise(den), 6)
         .as("zipf_slope"))
   }
+
+  /** NS: GUMBEL-TOP-K IMPORTANCE RESAMPLING — the SELECTION stage
+    * that consumes [[dsirWeights]]' log-weights (DSIR, Xie et al.
+    * 2023, runs exactly this pair: estimate importance weights, then
+    * sample the training subset ∝ exp(λ)). Sampling-without-
+    * replacement ∝ exp(λ) is the Gumbel-top-k identity: draw
+    * g_i = −ln(−ln u_i) with u_i uniform, keep the top n by
+    * λ_i + g_i. The clock u_i is a deterministic per-doc hash
+    * (md5-60 % 10⁶, the repo's seedable-uniform convention), so the
+    * sample is reproducible and the oracle replays it exactly; the
+    * Gumbel term is rounded at 6 decimals and carried as exact
+    * integer micros added to `wtMicrosCol` — the λ convention, so
+    * ulp-level ln() differences cannot move a key across engines
+    * except at a rounding boundary (the accepted q106/q112/q125
+    * exposure).
+    *
+    * Scale shape (100 TB): keys are scan-time arithmetic (no joins,
+    * no model); the top-n is TakeOrdered — per-partition heaps, one
+    * n-row driver merge, never a global sort. n must be driver-
+    * bounded (it is the training-subset size divided by nothing —
+    * callers selecting >10⁷ rows should instead threshold on
+    * key_micros from a sampled quantile, which this operator's
+    * deterministic keys make exact-repeatable); guarded loudly.
+    * Returns the sampled rows: input columns + `key_micros`,
+    * deterministic order (key desc, id asc). */
+  def importanceSample(weighted: DataFrame, idCol: String,
+      wtMicrosCol: String, n: Int,
+      clockSalt: String = ":clock"): DataFrame = {
+    require(n >= 1 && n <= 10000000,
+      s"importanceSample: n must be in [1, 10^7] (driver-merged " +
+        s"TakeOrdered): $n")
+    val u = (hashes.md5Hash60(
+      concat(col(idCol).cast("string"), lit(clockSalt)))
+      % 999999L + 1L).cast("double") / 1000000.0d
+    val gMicros = (round(-log(-log(u)), 6).cast("decimal(20,6)")
+      * 1000000).cast("long")
+    weighted
+      .withColumn("key_micros", col(wtMicrosCol) + gMicros)
+      .orderBy(col("key_micros").desc, col(idCol))
+      .limit(n)
+  }
+
+  /** NS: HASHED-NGRAM LINEAR CLASSIFIER INFERENCE — score every
+    * document with an external linear model (the fastText /
+    * logistic-regression shape used for corpus quality gates: one
+    * weight per hashed unigram+bigram bucket, accept iff the logit
+    * clears a threshold). The companion to [[dsirWeights]]: DSIR
+    * LEARNS its bucket weights from the corpus itself; this operator
+    * APPLIES a model that arrives from outside as a (bucket, weight)
+    * table — the classifier-filter stage every production pipeline
+    * (CCNet, GPT-3's WebText filter, FineWeb-Edu) runs after its
+    * rule-based cuts.
+    *
+    * Dataflow is the broadcast-model shape, deliberately distinct
+    * from dsirWeights' driver-held λ fold: the model is a bounded
+    * `buckets`-row DataFrame, BROADCAST-joined to the exploded
+    * feature stream, then partial-aggregated to doc grain. At 100 TB
+    * the corpus text never shuffles — features reduce map-side to
+    * (doc, n_feats, logit) before the one doc-grain exchange, and the
+    * model ships once per executor regardless of corpus size (a
+    * shuffle join keyed on bucket would instead move EVERY feature
+    * occurrence). Weights are integers, so per-doc logits are exact
+    * order-independent integer sums in both engines (the repo-wide
+    * no-float-surface convention); the fixture model derives each
+    * bucket's weight from the bucket id via md5-60 — deterministic,
+    * seedable, and reproducible in SQL, standing in for trained
+    * parameters without shipping a binary blob.
+    *
+    * Returns `docs` plus `n_feats` (hashed features scored), `logit`
+    * (integer score; 0 for empty docs, re-attached via left join) and
+    * `accept` (logit >= 0). */
+  def linearClassifierScores(docs: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 22),
+      s"linearClassifierScores: buckets must be in [2, 2^22]: $buckets")
+    val spark = docs.sparkSession
+    val model = spark.range(0, buckets).select(
+      col("id").as("_lc_bucket"),
+      (hashes.md5Hash60(col("id").cast("string")) % 2001L - 1000L)
+        .as("_lc_w"))
+    val toks = docs.select(col(idCol).as("_lc_id"),
+      text.tokens(col(textCol)).as("_lc_toks"))
+    val feats = toks.select(col("_lc_id"),
+      explode(concat(col("_lc_toks"), docBigrams(col("_lc_toks"))))
+        .as("_lc_f"))
+    val scored = feats
+      .select(col("_lc_id"),
+        (hashes.md5Hash60(col("_lc_f")) % buckets).as("_lc_bucket"))
+      .join(broadcast(model), "_lc_bucket")
+      .groupBy(col("_lc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("_lc_w")).as("logit"))
+    docs.join(scored, docs(idCol) === scored("_lc_id"), "left")
+      .drop("_lc_id")
+      .withColumn("n_feats", coalesce(col("n_feats"), lit(0L)))
+      .withColumn("logit", coalesce(col("logit"), lit(0L)))
+      .withColumn("accept", col("logit") >= 0L)
+  }
 }

@@ -1291,6 +1291,62 @@ object Dedup {
     readPairStore(spark, store)
   }
 
+  /** NS GOVERNANCE: DUPLICATION-GRAPH CENTRALITY — rank documents by
+    * how central they sit in the near-dup graph (PageRank shape,
+    * damping 0.85, `rounds` bounded power-iteration steps over the
+    * undirected pair edges). The census (q140) counts components and
+    * the attribution report (q133) bills source→source flow; this is
+    * the third governance consumer of the SAME at-rest pair store:
+    * WHICH documents are the duplication hubs — the canonical copies
+    * boilerplate radiates from, the first things a curator should
+    * read when a census row looks wrong.
+    *
+    * Exact integer arithmetic end-to-end (the repo convention):
+    * ranks are milli-scaled longs seeded at 1000, each step is
+    * rank' = 150 + (850 * Σ_in(rank_u div deg_u)) div 1000 — floor
+    * division on non-negative longs is identical in Spark (`div`)
+    * and DuckDB (`//`), so a wholly independent SQL recompute lands
+    * bit-equal, no float surface anywhere.
+    *
+    * Scale shape (100 TB): the graph is pair-store grain — dup
+    * participants only, typically orders of magnitude smaller than
+    * the corpus — and each round is ONE join of the edge list to the
+    * node-grain rank table plus one dst-grain aggregate; consecutive
+    * rounds reuse the `src` hash partitioning of the edge side, and
+    * the corpus itself is never touched. Ranks are localCheckpointed
+    * per round so the plan stays round-bounded (the q146 per-step
+    * convention) instead of compounding `rounds` joins into one tree.
+    * Rows out: `topK` (rank desc, doc_id asc — deterministic set). */
+  def dupCentrality(pairs: DataFrame, rounds: Int, topK: Int)
+      : DataFrame = {
+    require(rounds >= 1 && rounds <= 16,
+      s"dupCentrality: rounds must be in [1, 16]: $rounds")
+    require(topK >= 1, s"dupCentrality: topK must be >= 1: $topK")
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(
+        pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = edges.groupBy(col("src"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint()
+    var ranks = deg.select(col("src").as("id"), lit(1000L).as("rank_milli"))
+    for (_ <- 1 to rounds) {
+      ranks = edges
+        .join(ranks.select(col("id").as("src"), col("rank_milli")), "src")
+        .join(deg, "src")
+        .select(col("dst").as("id"),
+          expr("rank_milli div deg").as("_dc_c"))
+        .groupBy(col("id"))
+        .agg((lit(150L) + expr("850 * sum(_dc_c) div 1000"))
+          .as("rank_milli"))
+        .localCheckpoint()
+    }
+    ranks.join(deg.select(col("src").as("id"), col("deg")), "id")
+      .select(col("id").as("doc_id"), col("rank_milli"),
+        col("deg").as("n_neighbors"))
+      .orderBy(col("rank_milli").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   def writeNearDupIndex(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, k: Int, bands: Int, dir: String): Unit =
     writeIndexTables(docs, idCol, textCol, shingleN, k, dir, bands,

@@ -253,6 +253,54 @@ object Streams {
       }
       .start()
 
+  /** Streaming CLASSIFIER GATE — the q156 hashed-ngram linear
+    * classifier applied at ingest time: each micro-batch of crawl
+    * docs is scored against the STATIC (bucket, weight) model
+    * (CorpusStats.linearClassifierScores — broadcast model, batch
+    * semantics inside foreachBatch), reduced to ADDITIVE per-source
+    * integer partials (n_docs, n_accept, sum_logit, sum_feats — all
+    * longs, so partial sums are order- and batching-independent),
+    * and landed as one batchId-named sealed parquet segment —
+    * EXACTLY-ONCE under micro-batch retry (the q111/q128/q139
+    * convention: sealed segment skipped verbatim, half-landed
+    * cleaned and redone). Zero streaming state; the live accept-rate
+    * report is one re-aggregation of the partials and equals the
+    * batch q156 answer bit for bit (shared oracle). */
+  def classifierIngest(docs: DataFrame, idCol: String,
+      textCol: String, sourceCol: String, buckets: Int,
+      storeRoot: String, checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val widthKey = "spark.sql.shuffle.partitions"
+        val oldWidth = s.conf.get(widthKey)
+        s.conf.set(widthKey, s.sparkContext.defaultParallelism)
+        try graft.Phases.time(s"classify_append[b$batchId]") {
+         graft.sources.StoreLease.withLease(s, storeRoot,
+            s"classify-b$batchId") {
+          val seg = new org.apache.hadoop.fs.Path(
+            s"$storeRoot/partials/batch_id=$batchId")
+          val fs = seg.getFileSystem(s.sparkContext.hadoopConfiguration)
+          val marker = new org.apache.hadoop.fs.Path(seg, "_SUCCESS")
+          if (!fs.exists(marker)) {
+            if (fs.exists(seg)) fs.delete(seg, true) // half-landed retry
+            val partial = graft.operators.CorpusStats
+              .linearClassifierScores(batch.toDF(), idCol, textCol,
+                buckets)
+              .groupBy(col(sourceCol))
+              .agg(count(lit(1)).as("n_docs"),
+                sum(when(col("accept"), 1L).otherwise(0L))
+                  .as("n_accept"),
+                sum(col("logit")).as("sum_logit"),
+                sum(col("n_feats")).as("sum_feats"))
+            partial.write.parquet(seg.toString)
+          }
+         }
+        } finally s.conf.set(widthKey, oldWidth)
+      }
+      .start()
+
   /** Streaming EMBEDDING MOMENTS — q137's exact integer moments kept
     * live over an embedding stream: each micro-batch's per-(label,
     * dim) partials (count, Σq, Σq² — additive by construction, the

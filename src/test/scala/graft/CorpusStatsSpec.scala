@@ -270,4 +270,88 @@ class CorpusStatsSpec extends AnyFunSuite with SparkSpec with Matchers {
     // rounding of the summed terms
     math.abs(out3.getDouble(2)) should be <= 1e-6
   }
+
+  test("linearClassifierScores: logits match an independent md5 " +
+    "recomputation; empty docs re-attach at logit 0") {
+    import spark.implicits._
+    val B = 4096
+    // independent implementation: MessageDigest md5 + plain Scala,
+    // no Spark expressions shared with the operator under test
+    def md5h(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.substring(0, 15), 16)
+    }
+    def weightOf(bucket: Long): Long =
+      md5h(bucket.toString) % 2001L - 1000L
+    def featsOf(s: String): Seq[String] = {
+      val t = s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      t ++ t.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    val fixture = Seq(
+      (1L, "The cat sat on the mat"),
+      (2L, "unique gibberish zxqv"),
+      (3L, ""), // empty: zero features, must re-attach at logit 0
+      (4L, "one"))
+    val expected = fixture.map { case (id, text) =>
+      val fs = featsOf(text)
+      id -> ((fs.size.toLong, fs.map(f => weightOf(md5h(f) % B)).sum))
+    }.toMap
+    val out = CorpusStats.linearClassifierScores(
+        fixture.toDF("doc_id", "text"), "doc_id", "text", buckets = B)
+      .select("doc_id", "n_feats", "logit")
+      .as[(Long, Long, Long)].collect()
+      .map { case (d, n, l) => d -> ((n, l)) }.toMap
+    out shouldBe expected
+    out(3L) shouldBe ((0L, 0L)) // the re-attach case, named
+    // accept is exactly logit >= 0
+    val acc = CorpusStats.linearClassifierScores(
+        fixture.toDF("doc_id", "text"), "doc_id", "text", buckets = B)
+      .select("doc_id", "logit", "accept")
+      .as[(Long, Long, Boolean)].collect()
+    acc.foreach { case (_, l, a) => a shouldBe (l >= 0L) }
+  }
+
+  test("importanceSample: keys match an independent md5+Gumbel " +
+    "recomputation; selection is deterministic top-n") {
+    import spark.implicits._
+    def md5h(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.substring(0, 15), 16)
+    }
+    def keyOf(id: Long, wt: Long): Long = {
+      val u = (md5h(s"$id:clock") % 999999L + 1L).toDouble / 1000000.0d
+      val g = -math.log(-math.log(u))
+      wt + BigDecimal.valueOf(g)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .underlying.unscaledValue.longValueExact
+    }
+    val weighted = Seq((1L, 500000L), (2L, -2000000L), (3L, 0L),
+      (4L, 1500000L), (5L, -500000L), (6L, 0L))
+    val expected = weighted.map { case (id, wt) => (id, keyOf(id, wt)) }
+      .sortBy { case (id, k) => (-k, id) }.take(4)
+    val out = CorpusStats.importanceSample(
+        weighted.toDF("doc_id", "wt_micros"), "doc_id", "wt_micros",
+        n = 4)
+      .select("doc_id", "key_micros")
+      .as[(Long, Long)].collect().toSeq
+    out shouldBe expected
+    intercept[IllegalArgumentException] {
+      CorpusStats.importanceSample(
+        weighted.toDF("doc_id", "wt_micros"), "doc_id", "wt_micros",
+        n = 0)
+    }.getMessage should include("n must be")
+  }
+
+  test("linearClassifierScores guards its bucket range loudly") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      CorpusStats.linearClassifierScores(docs, "doc_id", "text",
+        buckets = 1)
+    }.getMessage should include("buckets")
+  }
 }

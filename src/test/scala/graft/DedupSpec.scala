@@ -827,4 +827,36 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     sqlRes shouldBe fast
   }
+
+  test("dupCentrality: integer power iteration matches the hand-walked " +
+    "star graph; hub ranks first") {
+    import spark.implicits._
+    // star: 10 is the hub, 1/2/3 its leaves. Hand-walk (floor div):
+    //   r0: all 1000
+    //   r1: hub 150+850*3000 div 1000 = 2700
+    //       leaf 150+850*(1000 div 3) div 1000 = 150+283 = 433
+    //   r2: hub 150+850*(3*433) div 1000 = 150+1104 = 1254
+    //       leaf 150+850*(2700 div 3) div 1000 = 150+765 = 915
+    //   r3: hub 150+850*(3*915) div 1000 = 150+2333 = 2483
+    //       leaf 150+850*(1254 div 3) div 1000 = 150+355 = 505
+    val pairs = Seq((10L, 1L), (10L, 2L), (10L, 3L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.dupCentrality(pairs, rounds = 3, topK = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    out shouldBe Seq(
+      (10L, 2483L, 3L), (1L, 505L, 1L), (2L, 505L, 1L), (3L, 505L, 1L))
+  }
+
+  test("dupCentrality: topK truncates deterministically (rank desc, " +
+    "doc_id asc) and rounds are guarded") {
+    import spark.implicits._
+    val pairs = Seq((10L, 1L), (10L, 2L), (10L, 3L))
+      .toDF("doc_a", "doc_b")
+    val top2 = Dedup.dupCentrality(pairs, rounds = 3, topK = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    top2 shouldBe Seq((10L, 2483L, 3L), (1L, 505L, 1L))
+    intercept[IllegalArgumentException] {
+      Dedup.dupCentrality(pairs, rounds = 0, topK = 5)
+    }.getMessage should include("rounds")
+  }
 }

@@ -542,6 +542,57 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally Scratch.deleteRecursively(new java.io.File(root))
   }
 
+  test("classifier ingest: additive partials equal the batch gate; " +
+    "re-delivered and half-landed batches both converge") {
+    import spark.implicits._
+    import graft.operators.CorpusStats
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_cl_retry_").toString
+    try {
+      val b0 = Seq((1L, "s1", "the cat sat"), (2L, "s2", "p q r"))
+      val b1 = Seq((3L, "s1", "the cat sat on the mat"), (4L, "s2", ""))
+      def runStream(ckpt: String,
+          batches: Seq[Seq[(Long, String, String)]]): Unit = {
+        val input = MemoryStream[(Long, String, String)]
+        val q = Streams.classifierIngest(
+          input.toDF().toDF("doc_id", "source", "text"),
+          "doc_id", "text", "source", buckets = 4096, root, ckpt)
+        try batches.foreach { b =>
+          input.addData(b: _*); q.processAllAvailable()
+        } finally q.stop()
+      }
+      runStream(root + "/ckpt", Seq(b0, b1))
+      def report(): Set[Seq[Any]] = spark.read
+        .parquet(root + "/partials")
+        .groupBy(col("source"))
+        .agg(sum("n_docs"), sum("n_accept"), sum("sum_logit"),
+          sum("sum_feats"))
+        .collect().map(_.toSeq).toSet
+      val ref = report()
+      // the partial store re-aggregates to the direct batch gate
+      val all = (b0 ++ b1).toDF("doc_id", "source", "text")
+      val direct = CorpusStats.linearClassifierScores(all,
+          "doc_id", "text", buckets = 4096)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long"),
+          sum(when(col("accept"), 1L).otherwise(0L)),
+          sum(col("logit")), sum(col("n_feats")))
+        .collect().map(_.toSeq).toSet
+      ref shouldBe direct
+      // re-delivered batch 0 (fresh checkpoint, same batchId): the
+      // sealed segment is skipped — store unchanged
+      runStream(root + "/ckpt_retry", Seq(b0))
+      report() shouldBe ref
+      // half-landed (seal removed): cleaned and redone, same state
+      val marker = new java.io.File(
+        s"$root/partials/batch_id=0/_SUCCESS")
+      marker.exists() shouldBe true
+      marker.delete() shouldBe true
+      runStream(root + "/ckpt_retry2", Seq(b0))
+      report() shouldBe ref
+    } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
+
   test("moments ingest: streamed partials re-aggregate to the batch " +
     "moments; re-delivered and half-landed batches both converge") {
     import spark.implicits._
