@@ -112,6 +112,7 @@ object Main {
         if intArg(rest, 100).isDefined =>
       diff(spark, dirA, dirB, intArg(rest, 100).get)
     case Seq("report", sfDir) => report(spark, sfDir)
+    case Seq("classify", sfDir) => classify(spark, sfDir)
     case Seq("emb-health", sfDir) => embHealth(spark, sfDir)
     case Seq("prep", sfDir) => prep(spark, sfDir)
     case Seq("index-postings", docsParquet, storeRoot, rest @ _*)
@@ -155,6 +156,9 @@ object Main {
       "  explain [outDir]                    plan dumps (graft.Explain)",
       "  report <sfDir>                      per-source corpus data card " +
         "(token volume, quality, repetition, lang agreement)",
+      "  classify <sfDir>                    model-based quality gate " +
+        "(per source: accept rate, mean logit under the hashed-ngram " +
+        "classifier)",
       "  emb-health <sfDir>                  per-label embedding health " +
         "(coherence mass, worst member, dead dimensions)",
       "  prep <sfDir>                        training-prep manifest " +
@@ -572,6 +576,32 @@ object Main {
         f"${r.getAs[Long]("n_repetitive")}%6d " +
         f"${r.getAs[Long]("n_lang_agree")}%7d " +
         f"${r.getAs[Long]("n_langs")}%5d"
+    }
+  }
+
+  /** `classify` verb: the q156 model-based quality gate for a human —
+    * per source, docs seen / accepted and the mean logit in
+    * model-micro units (integer sum over docs, displayed /1e6). */
+  private def classify(spark: SparkSession, sfDir: String): Seq[String] = {
+    import graft.operators.CorpusStats
+    val docs = Tables(spark, sfDir, "documents")
+    val rows = CorpusStats
+      .linearClassifierScores(docs, "doc_id", "text", buckets = 4096)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("accept"), 1L).otherwise(0L)).as("n_accept"),
+        sum(col("logit")).as("sum_logit"),
+        sum(col("n_feats")).as("sum_feats"))
+      .orderBy(col("source"))
+      .collect()
+    val header = f"${"source"}%-8s ${"docs"}%7s ${"accepted"}%9s " +
+      f"${"acc_pct"}%8s ${"mean_logit"}%11s ${"feats"}%9s"
+    header +: rows.toSeq.map { r =>
+      val n = r.getAs[Long]("n_docs"); val a = r.getAs[Long]("n_accept")
+      f"${r.getAs[String]("source")}%-8s $n%7d $a%9d " +
+        f"${100.0 * a / n}%7.1f%% " +
+        f"${r.getAs[Long]("sum_logit").toDouble / n}%11.1f " +
+        f"${r.getAs[Long]("sum_feats")}%9d"
     }
   }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{text, vectors}
-import graft.operators.{Dedup, Retrieval, Similarity}
+import graft.operators.{CorpusStats, Dedup, Retrieval, Similarity}
 
 /** ONE wall+process-cpu measurement helper for every probe main in
   * this file — the same pattern was spelled four slightly different
@@ -579,6 +579,36 @@ object ProbeScale {
       measureHardNeg("1x", embL)
       measureHardNeg("10x", perturbEmbLabeled(10))
       measureHardNeg("100x", perturbEmbLabeled(100))
+    }
+
+    // q156's scale claim measured: scoring cost must track FEATURE
+    // VOLUME (unigrams + bigrams ≈ 2·tokens, linear in corpus size)
+    // while the broadcast model stays constant — the property that
+    // makes a classifier gate a scan at 100 TB, not a join problem
+    if (mode == "classify") {
+      def measureClassify(tag: String, docs: DataFrame): Unit = {
+        val n = docs.count()
+        val t0 = System.nanoTime()
+        val r = CorpusStats
+          .linearClassifierScores(docs, "doc_id", "text", buckets = 4096)
+          .agg(sum(col("n_feats")).as("feats"),
+            sum(when(col("accept"), 1L).otherwise(0L)).as("acc"))
+          .head()
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(f"PROBE_SCALE classify/$tag n=$n " +
+          f"feats=${r.getLong(0)} accepted=${r.getLong(1)} " +
+          f"feats_per_doc=${r.getLong(0).toDouble / n}%.1f " +
+          f"wall=$wall%.2fs")
+      }
+      val docsC = Tables(spark, "/root/testdata/sf0.1", "documents")
+        .select(col("doc_id"), col("text"))
+      def replicateDocs(r: Int): DataFrame =
+        docsC.crossJoin(spark.range(r).toDF("rep"))
+          .select((col("doc_id") * r + col("rep")).as("doc_id"),
+            col("text"))
+      measureClassify("1x", docsC)
+      measureClassify("10x", replicateDocs(10))
+      measureClassify("100x", replicateDocs(100))
     }
 
     // q131's decision drivers: the dense path's pre-filter survivor

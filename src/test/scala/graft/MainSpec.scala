@@ -350,6 +350,20 @@ class MainSpec extends AnyFunSuite with SparkSpec with Matchers {
       .head.getLong(0) shouldBe nDocs
   }
 
+  test("classify verb prints the per-source gate and agrees with q156") {
+    val lines = Main.run(spark, Seq("classify", "/root/testdata/sf0.001"))
+    lines.head should include("acc_pct")
+    lines.size should be > 1
+    val nDocs = lines.tail.map(_.trim.split("\\s+")(1).toLong).sum
+    nDocs shouldBe 500L
+    // accepted totals agree with the registered q156 aggregate
+    val accepted = lines.tail.map(_.trim.split("\\s+")(2).toLong).sum
+    val q156 = SparkEntry.queries("q156_quality_classifier")(
+      spark, "/root/testdata/sf0.001")
+    q156.agg(org.apache.spark.sql.functions.sum("n_accept"))
+      .head.getLong(0) shouldBe accepted
+  }
+
   test("emb-health verb prints the per-label coherence and dead-dim report") {
     val lines = Main.run(spark, Seq("emb-health", "/root/testdata/sf0.001"))
     lines.head should include("dead_dims")
