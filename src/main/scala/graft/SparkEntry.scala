@@ -2177,6 +2177,50 @@ object SparkEntry {
           sum(col("key_micros")).as("sum_key_micros"))
     }),
 
+    // ── NS streaming: the q159 reservoir kept LIVE — Gumbel keys
+    // make top-n a semilattice (top-n of a union = top-n of partial
+    // top-ns), so each micro-batch lands only ITS top-200 as a
+    // sealed segment and the live sample is one exact re-merge. The
+    // λ model is STATIC (DSIR's production shape: estimated once on
+    // the reference corpus, shipped to the stream); oracle shared
+    // verbatim with q159 ──
+    "q160_stream_resample" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ns = drainSession(s)
+      import ns.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = ns.sqlContext
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q160_").toString
+      val model = CorpusStats.dsirModelMicros(t(s, dir, "documents"),
+        "text", col("lang") === "en", buckets = 1024)
+      val rows = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .as[(Long, String, String)].collect().toSeq
+      val input = MemoryStream[(Long, String, String)]
+      val stream = input.toDF().toDF("doc_id", "source", "text")
+      val ckpt = ephemeralCheckpoint("q160")
+      val q = Streams.resampleIngest(stream, model, "doc_id", "text",
+        "source", n = 200, root, ckpt.getAbsolutePath)
+      try
+        (0 until 3).foreach { r =>
+          input.addData(rows.filter(_._1 % 3 == r))
+          q.processAllAvailable()
+        }
+      finally {
+        try q.stop()
+        finally Scratch.deleteRecursively(ckpt)
+      }
+      val report = s.read.parquet(root + "/partials")
+        .orderBy(col("key_micros").desc, col("doc_id"))
+        .limit(200)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("n_tok")).as("tokens_sampled"),
+          min(col("key_micros")).as("min_key_micros"),
+          sum(col("key_micros")).as("sum_key_micros"))
+      materializeThenClean(s, report, root)
+    }),
+
     // ── §4.2's last extension-ladder rung: the OPT-IN optimizer
     // rewrite (plans.AnnTopKToLshPrune) that turns a literal-query
     // EXACT cosine top-k — ORDER BY cosine_sim(emb, lit) DESC LIMIT k
@@ -4538,6 +4582,30 @@ object SparkEntry {
        |wa AS (SELECT d.doc_id, d.source, coalesce(w.m, 0) AS m
        |  FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id)""".stripMargin
 
+  /** DuckDB mirror of the q159/q160 Gumbel-top-k sample report —
+    * weights via [[dsirMicrosCtes]] (the SAME chain q113 aggregates),
+    * the md5 clock replayed exactly, Gumbel term rounded at 6 and
+    * carried as integer micros (importanceSample scaladoc). ONE
+    * recompute verifies the batch sample AND the streaming
+    * reservoir re-merge. */
+  private def importanceResampleSql: String =
+    s"""$dsirMicrosCtes,
+       |ck AS (SELECT wa.doc_id, wa.source,
+       |    wa.m + CAST(CAST(round(-ln(-ln(
+       |      (${hashes.md5Hash60Sql(
+                "CAST(wa.doc_id AS VARCHAR) || ':clock'")}
+       |        % 999999 + 1) / 1000000.0)), 6) AS DECIMAL(20,6))
+       |      * 1000000 AS BIGINT) AS key_m
+       |  FROM wa),
+       |top AS (SELECT doc_id, source, key_m FROM ck
+       |  ORDER BY key_m DESC, doc_id LIMIT 200)
+       |SELECT top.source, COUNT(*) AS n_sampled,
+       |  CAST(SUM(len($sqlTokens)) AS BIGINT) AS tokens_sampled,
+       |  CAST(MIN(key_m) AS BIGINT) AS min_key_micros,
+       |  CAST(SUM(key_m) AS BIGINT) AS sum_key_micros
+       |FROM top JOIN documents d ON top.doc_id = d.doc_id
+       |GROUP BY top.source""".stripMargin
+
   /** DuckDB mirror of CorpusStats.linearClassifierScores +
     * the per-source gate report — definition-for-definition: the same
     * md5-seeded (bucket, weight) model regenerated from scratch, the
@@ -5314,23 +5382,12 @@ object SparkEntry {
       // weights via the SAME shared CTE chain as q113; the Gumbel
       // clock replayed from the same md5 uniform, rounded at 6 and
       // carried as exact micros (importanceSample scaladoc)
-      "q159_importance_resample" ->
-        s"""$dsirMicrosCtes,
-           |ck AS (SELECT wa.doc_id, wa.source,
-           |    wa.m + CAST(CAST(round(-ln(-ln(
-           |      (${hashes.md5Hash60Sql(
-                    "CAST(wa.doc_id AS VARCHAR) || ':clock'")}
-           |        % 999999 + 1) / 1000000.0)), 6) AS DECIMAL(20,6))
-           |      * 1000000 AS BIGINT) AS key_m
-           |  FROM wa),
-           |top AS (SELECT doc_id, source, key_m FROM ck
-           |  ORDER BY key_m DESC, doc_id LIMIT 200)
-           |SELECT top.source, COUNT(*) AS n_sampled,
-           |  CAST(SUM(len($sqlTokens)) AS BIGINT) AS tokens_sampled,
-           |  CAST(MIN(key_m) AS BIGINT) AS min_key_micros,
-           |  CAST(SUM(key_m) AS BIGINT) AS sum_key_micros
-           |FROM top JOIN documents d ON top.doc_id = d.doc_id
-           |GROUP BY top.source""".stripMargin,
+      "q159_importance_resample" -> importanceResampleSql,
+
+      // the streaming reservoir re-merges to the batch sample
+      // exactly (semilattice argument, resampleIngest scaladoc) —
+      // same single recompute as q159
+      "q160_stream_resample" -> importanceResampleSql,
 
       // training replayed (same five chained-CTE merges) and the
       // application expressed as the same nested replaces; symbol

@@ -274,25 +274,28 @@ object CorpusStats {
     * grows, so weights are comparable across partitions and
     * snapshots. */
   def dsirWeights(docs: DataFrame, textCol: String, isTarget: Column,
-      buckets: Int = 1024): DataFrame = {
+      buckets: Int = 1024): DataFrame =
+    dsirScoreWith(dsirModelMicros(docs, textCol, isTarget, buckets),
+      docs, textCol)
+
+  /** The TRAINING half of [[dsirWeights]]: the bucket-λ model in
+    * exact integer micros, as a driver-held array (bounded by
+    * `buckets`, loudly guarded). Factored out so a STATIC model —
+    * DSIR's production shape: estimate once on a reference corpus —
+    * can score other frames, including streaming micro-batches
+    * (Streams.resampleIngest), with [[dsirScoreWith]]. */
+  def dsirModelMicros(docs: DataFrame, textCol: String,
+      isTarget: Column, buckets: Int = 1024): Array[Long] = {
     require(buckets >= 2 && buckets <= (1 << 20),
       s"buckets must be in [2, 2^20]: $buckets")
-    // both passes (bucket-count training, scan-time scoring) run ~2
-    // md5 hashes per token BEFORE any shuffle — on a one-hot-file
-    // corpus that is the q69 serial-scan hazard (measured: 17 s wall
-    // on ONE task at sf0.1). Widen once, keyed on the text (a
-    // deterministic key: round-robin would re-sort on retry), and
-    // derive both passes from the widened frame.
+    // the training pass runs ~2 md5 hashes per token BEFORE any
+    // shuffle — on a one-hot-file corpus that is the q69 serial-scan
+    // hazard (measured: 17 s wall on ONE task at sf0.1). Widen first.
     val docsW = Relational.widenForCpu(docs, col(textCol))
-    val toks0 = text.tokens(col(textCol))
-    def feats(toks: Column): Column = concat(
-      transform(toks,
-        t => (hashes.md5Hash60(t) % buckets).cast("int")),
-      transform(docBigrams(toks),
-        g => (hashes.md5Hash60(g) % buckets).cast("int")))
     // bounded planning lookup: ≤ `buckets` rows by construction
     val stats = docsW
-      .select(explode(feats(toks0)).as("_ds_b"), isTarget.as("_ds_t"))
+      .select(explode(dsirFeats(text.tokens(col(textCol)), buckets))
+        .as("_ds_b"), isTarget.as("_ds_t"))
       .groupBy(col("_ds_b"))
       .agg(count(lit(1)).as("_ds_r"),
         sum(when(col("_ds_t"), 1L).otherwise(0L)).as("_ds_tc"))
@@ -311,7 +314,7 @@ object CorpusStats {
     val tTot = tArr.sum.toDouble
     // λ in exact integer micros; unobserved buckets keep 0 (no
     // document can reference them — they never appeared in the scan)
-    val lamMicros: Array[Long] = Array.tabulate(buckets) { b =>
+    Array.tabulate(buckets) { b =>
       if (rArr(b) == 0L) 0L
       else {
         val lam = math.log((tArr(b) + 0.5) / (tTot + 0.5 * buckets)) -
@@ -320,13 +323,31 @@ object CorpusStats {
           .underlying.unscaledValue.longValueExact
       }
     }
+  }
+
+  /** The SCORING half of [[dsirWeights]]: fold the λ-micros model
+    * (a codegen literal — ships with the plan, no join) over each
+    * document's hashed features. `buckets` is the model's length —
+    * the two halves cannot disagree on the hash range. */
+  def dsirScoreWith(lamMicros: Array[Long], docs: DataFrame,
+      textCol: String): DataFrame = {
+    val buckets = lamMicros.length
+    val docsW = Relational.widenForCpu(docs, col(textCol))
     val lamLit = typedLit(lamMicros.toSeq)
-    val f = feats(toks0)
+    val f = dsirFeats(text.tokens(col(textCol)), buckets)
     docsW
       .withColumn("n_feat", size(f))
       .withColumn("wt_micros",
         aggregate(f, lit(0L), (acc, b) => acc + element_at(lamLit, b + 1)))
   }
+
+  /** Hashed unigram+bigram bucket stream shared by both [[dsirWeights]]
+    * halves (md5-60 % buckets — the cross-engine convention). */
+  private def dsirFeats(toks: Column, buckets: Int): Column = concat(
+    transform(toks,
+      t => (hashes.md5Hash60(t) % buckets).cast("int")),
+    transform(docBigrams(toks),
+      g => (hashes.md5Hash60(g) % buckets).cast("int")))
 
   /** ONE definition of the corpus DATA CARD's per-document scoring
     * chain, shared by its three registered query forms (batch,

@@ -253,6 +253,52 @@ object Streams {
       }
       .start()
 
+  /** Streaming IMPORTANCE-RESAMPLING RESERVOIR — q159's Gumbel-top-k
+    * selection kept live over a document stream. The mathematical
+    * hook: Gumbel keys are per-document (deterministic md5 clock +
+    * a STATIC λ model, DSIR's production shape — estimated once on a
+    * reference corpus, passed in as `lamMicros`), so top-n is a
+    * SEMILATTICE — top-n(A ∪ B) = top-n(top-n(A) ∪ top-n(B)) — and
+    * the streaming reservoir is exact, not approximate: each batch
+    * lands only its own top-n as a sealed batchId segment (n rows,
+    * not the batch), and the live sample is one top-n re-merge of
+    * the partials, equal to the batch q159 answer bit for bit.
+    * EXACTLY-ONCE under micro-batch retry (the q111/q139 sealed-
+    * segment convention). Zero streaming state. */
+  def resampleIngest(docs: DataFrame, lamMicros: Array[Long],
+      idCol: String, textCol: String, sourceCol: String, n: Int,
+      storeRoot: String, checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val widthKey = "spark.sql.shuffle.partitions"
+        val oldWidth = s.conf.get(widthKey)
+        s.conf.set(widthKey, s.sparkContext.defaultParallelism)
+        try graft.Phases.time(s"resample_append[b$batchId]") {
+         graft.sources.StoreLease.withLease(s, storeRoot,
+            s"resample-b$batchId") {
+          val seg = new org.apache.hadoop.fs.Path(
+            s"$storeRoot/partials/batch_id=$batchId")
+          val fs = seg.getFileSystem(s.sparkContext.hadoopConfiguration)
+          val marker = new org.apache.hadoop.fs.Path(seg, "_SUCCESS")
+          if (!fs.exists(marker)) {
+            if (fs.exists(seg)) fs.delete(seg, true) // half-landed retry
+            val scored = graft.operators.CorpusStats
+              .dsirScoreWith(lamMicros, batch.toDF(), textCol)
+            val partial = graft.operators.CorpusStats
+              .importanceSample(scored, idCol, "wt_micros", n)
+              .select(col(idCol), col(sourceCol),
+                size(graft.functions.text.tokens(col(textCol)))
+                  .cast("long").as("n_tok"),
+                col("key_micros"))
+            partial.write.parquet(seg.toString)
+          }
+         }
+        } finally s.conf.set(widthKey, oldWidth)
+      }
+      .start()
+
   /** Streaming CLASSIFIER GATE — the q156 hashed-ngram linear
     * classifier applied at ingest time: each micro-batch of crawl
     * docs is scored against the STATIC (bucket, weight) model

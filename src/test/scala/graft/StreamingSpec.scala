@@ -542,6 +542,67 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally Scratch.deleteRecursively(new java.io.File(root))
   }
 
+  test("resample ingest: the streamed reservoir re-merges to the " +
+    "batch Gumbel-top-k sample; both retry modes converge") {
+    import spark.implicits._
+    import graft.operators.CorpusStats
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_rs_retry_").toString
+    try {
+      val all = Seq(
+        (1L, "s1", "the cat sat on the mat"),
+        (2L, "s2", "p q r unique terms here"),
+        (3L, "s1", "the cat sat"),
+        (4L, "s2", "wholly different words appear"),
+        (5L, "s1", "the the the repeated"),
+        (6L, "s2", "cat mat cat mat"))
+      // static model trained once on the full reference corpus —
+      // target = source s1 (stands in for q113's lang = 'en')
+      val ref = all.toDF("doc_id", "source", "text")
+      val model = CorpusStats.dsirModelMicros(ref, "text",
+        col("source") === "s1", buckets = 256)
+      val b0 = all.filter(_._1 % 2 == 0); val b1 = all.filter(_._1 % 2 == 1)
+      def runStream(ckpt: String,
+          batches: Seq[Seq[(Long, String, String)]]): Unit = {
+        val input = MemoryStream[(Long, String, String)]
+        val q = Streams.resampleIngest(
+          input.toDF().toDF("doc_id", "source", "text"), model,
+          "doc_id", "text", "source", n = 3, root, ckpt)
+        try batches.foreach { b =>
+          input.addData(b: _*); q.processAllAvailable()
+        } finally q.stop()
+      }
+      runStream(root + "/ckpt", Seq(b0, b1))
+      def sample(): Seq[(Long, Long)] = spark.read
+        .parquet(root + "/partials")
+        .orderBy(col("key_micros").desc, col("doc_id")).limit(3)
+        .select("doc_id", "key_micros")
+        .as[(Long, Long)].collect().toSeq
+      val ref3 = sample()
+      // semilattice: the re-merged reservoir IS the batch top-3
+      val direct = CorpusStats.importanceSample(
+          CorpusStats.dsirScoreWith(model, ref, "text"),
+          "doc_id", "wt_micros", n = 3)
+        .select("doc_id", "key_micros")
+        .as[(Long, Long)].collect().toSeq
+      ref3 shouldBe direct
+      // each sealed segment holds at most n rows, not the batch
+      spark.read.parquet(root + "/partials")
+        .groupBy(col("batch_id")).count().collect()
+        .foreach(_.getLong(1) should be <= 3L)
+      // re-delivered batch 0: sealed segment skipped, store unchanged
+      runStream(root + "/ckpt_retry", Seq(b0))
+      sample() shouldBe ref3
+      // half-landed: cleaned and redone, same state
+      val marker = new java.io.File(
+        s"$root/partials/batch_id=0/_SUCCESS")
+      marker.exists() shouldBe true
+      marker.delete() shouldBe true
+      runStream(root + "/ckpt_retry2", Seq(b0))
+      sample() shouldBe ref3
+    } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
+
   test("classifier ingest: additive partials equal the batch gate; " +
     "re-delivered and half-landed batches both converge") {
     import spark.implicits._
