@@ -2158,6 +2158,36 @@ object SparkEntry {
       materializeThenClean(s, report, root)
     }),
 
+    // ── NS: the q156 gate's INCREMENTAL form — the q118/q138 triple
+    // convention completed on the classifier side (batch q156 /
+    // streaming q158 / incremental q161): yesterday's per-source
+    // integer partials at rest, only the NEW slice scored today,
+    // report = one re-aggregation. Integer logits are additive by
+    // construction, so the merge is exact — same shared oracle ──
+    "q161_incremental_classifier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isNew = col("doc_id") % 5 === 0
+      def partials(d: org.apache.spark.sql.DataFrame) =
+        CorpusStats.linearClassifierScores(d, "doc_id", "text",
+            buckets = 4096)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("accept"), 1L).otherwise(0L)).as("n_accept"),
+            sum(col("logit")).as("sum_logit"),
+            sum(col("n_feats")).as("sum_feats"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q161_").toString
+      partials(docs.filter(!isNew)).write.parquet(root + "/gate")
+      val merged = s.read.parquet(root + "/gate")
+        .unionByName(partials(docs.filter(isNew)))
+        .groupBy(col("source"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("n_accept")).as("n_accept"),
+          sum(col("sum_logit")).as("sum_logit"),
+          sum(col("sum_feats")).as("sum_feats"))
+      materializeThenClean(s, merged, root)
+    }),
+
     // ── NS: DSIR's SECOND HALF — Gumbel-top-k importance RESAMPLING
     // of the q113 log-weights (estimate weights, then sample the
     // training subset ∝ exp(λ) — the actual DSIR recipe). Keys are
@@ -5378,6 +5408,10 @@ object SparkEntry {
       // the streaming ingest converges to the batch gate exactly —
       // ONE shared recompute verifies both engine forms
       "q158_stream_classifier" -> classifierGateSql,
+
+      // incremental partial-merge converges to the same gate —
+      // third engine form, same single recompute
+      "q161_incremental_classifier" -> classifierGateSql,
 
       // weights via the SAME shared CTE chain as q113; the Gumbel
       // clock replayed from the same md5 uniform, rounded at 6 and
