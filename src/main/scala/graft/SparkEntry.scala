@@ -2188,6 +2188,41 @@ object SparkEntry {
       materializeThenClean(s, merged, root)
     }),
 
+    // ── NS: EPOCH-SHUFFLE SHARD MANIFEST — the "reshuffle the
+    // dataset every epoch" primitive: shard = top 4 bits of an
+    // epoch-SALTED md5-60 key, so the permutation is deterministic,
+    // seedable, epoch-varying, and balanced in expectation with NO
+    // global sort (at scale the reshuffle write is one hash-partition
+    // shuffle on the key prefix). The report proves all three
+    // properties at once: per shard, both epochs' doc counts and
+    // token mass (balance), plus how many docs KEPT their shard
+    // across epochs (≈1/16 if the permutations are independent —
+    // epoch-variation made visible). Exact integer arithmetic ──
+    "q162_epoch_shards" -> ((s, dir) => {
+      def shardOf(epoch: Int) =
+        shiftright(hashes.md5Hash60(concat(col("doc_id").cast("string"),
+          lit(s":epoch$epoch"))), 56)
+      val keyed = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(text.tokens(col("text"))).cast("long").as("n_tok"),
+          shardOf(1).as("shard_e1"), shardOf(2).as("shard_e2"))
+      val e1 = keyed.groupBy(col("shard_e1").as("shard"))
+        .agg(count(lit(1)).as("n_docs_e1"),
+          sum(col("n_tok")).as("tokens_e1"),
+          sum(when(col("shard_e1") === col("shard_e2"), 1L)
+            .otherwise(0L)).as("n_kept"))
+      val e2 = keyed.groupBy(col("shard_e2").as("shard"))
+        .agg(count(lit(1)).as("n_docs_e2"),
+          sum(col("n_tok")).as("tokens_e2"))
+      e1.join(e2, Seq("shard"), "full")
+        .select(col("shard"),
+          coalesce(col("n_docs_e1"), lit(0L)).as("n_docs_e1"),
+          coalesce(col("tokens_e1"), lit(0L)).as("tokens_e1"),
+          coalesce(col("n_docs_e2"), lit(0L)).as("n_docs_e2"),
+          coalesce(col("tokens_e2"), lit(0L)).as("tokens_e2"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+    }),
+
     // ── NS: DSIR's SECOND HALF — Gumbel-top-k importance RESAMPLING
     // of the q113 log-weights (estimate weights, then sample the
     // training subset ∝ exp(λ) — the actual DSIR recipe). Keys are
@@ -5412,6 +5447,33 @@ object SparkEntry {
       // incremental partial-merge converges to the same gate —
       // third engine form, same single recompute
       "q161_incremental_classifier" -> classifierGateSql,
+
+      // epoch-salted md5-60 top-4-bit shards, both epochs + the
+      // kept-shard count, mirrored definition-for-definition
+      "q162_epoch_shards" -> {
+        def sh(e: Int) =
+          s"(${hashes.md5Hash60Sql(
+            s"CAST(doc_id AS VARCHAR) || ':epoch$e'")} >> 56)"
+        s"""WITH k AS (
+           |  SELECT doc_id, CAST(len($sqlTokens) AS BIGINT) AS n_tok,
+           |    ${sh(1)} AS shard_e1, ${sh(2)} AS shard_e2
+           |  FROM documents),
+           |e1 AS (SELECT shard_e1 AS shard, COUNT(*) AS n_docs_e1,
+           |    CAST(SUM(n_tok) AS BIGINT) AS tokens_e1,
+           |    CAST(SUM(CASE WHEN shard_e1 = shard_e2 THEN 1 ELSE 0
+           |      END) AS BIGINT) AS n_kept
+           |  FROM k GROUP BY shard_e1),
+           |e2 AS (SELECT shard_e2 AS shard, COUNT(*) AS n_docs_e2,
+           |    CAST(SUM(n_tok) AS BIGINT) AS tokens_e2
+           |  FROM k GROUP BY shard_e2)
+           |SELECT COALESCE(e1.shard, e2.shard) AS shard,
+           |  COALESCE(e1.n_docs_e1, 0) AS n_docs_e1,
+           |  COALESCE(e1.tokens_e1, 0) AS tokens_e1,
+           |  COALESCE(e2.n_docs_e2, 0) AS n_docs_e2,
+           |  COALESCE(e2.tokens_e2, 0) AS tokens_e2,
+           |  COALESCE(e1.n_kept, 0) AS n_kept
+           |FROM e1 FULL OUTER JOIN e2 ON e1.shard = e2.shard""".stripMargin
+      },
 
       // weights via the SAME shared CTE chain as q113; the Gumbel
       // clock replayed from the same md5 uniform, rounded at 6 and
