@@ -580,18 +580,16 @@ object Main {
   }
 
   /** `classify` verb: the q156 model-based quality gate for a human —
-    * per source, docs seen / accepted and the mean logit in
-    * model-micro units (integer sum over docs, displayed /1e6). */
+    * per source, docs seen / accepted and the mean logit in raw
+    * model-weight units (each hashed feature contributes an integer
+    * weight in [-1000, 1000]; the mean is the exact integer sum over
+    * the source's docs divided by its doc count). */
   private def classify(spark: SparkSession, sfDir: String): Seq[String] = {
     import graft.operators.CorpusStats
     val docs = Tables(spark, sfDir, "documents")
     val rows = CorpusStats
-      .linearClassifierScores(docs, "doc_id", "text", buckets = 4096)
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("accept"), 1L).otherwise(0L)).as("n_accept"),
-        sum(col("logit")).as("sum_logit"),
-        sum(col("n_feats")).as("sum_feats"))
+      .classifierGateReport(docs, "doc_id", "text", "source",
+        buckets = 4096)
       .orderBy(col("source"))
       .collect()
     val header = f"${"source"}%-8s ${"docs"}%7s ${"accepted"}%9s " +

@@ -2098,15 +2098,10 @@ object SparkEntry {
     // regenerates the same md5-seeded model and re-scores from
     // scratch (CorpusStats.linearClassifierScores) ──
     "q156_quality_classifier" -> ((s, dir) =>
-      CorpusStats.linearClassifierScores(t(s, dir, "documents"),
-          "doc_id", "text", buckets = 4096)
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("accept"), 1L).otherwise(0L)).as("n_accept"),
-          sum(col("logit")).as("sum_logit"),
-          sum(col("n_feats")).as("sum_feats"))),
+      CorpusStats.classifierGateReport(t(s, dir, "documents"),
+        "doc_id", "text", "source", buckets = 4096)),
 
-    // ── NS GOVERNANCE: duplication-graph CENTRALITY — the third
+    // ── NS GOVERNANCE: duplication-graph CENTRALITY — the fourth
     // consumer of the shared at-rest pair store (q84 keeper, q133
     // attribution, q140 census): bounded power iteration (PageRank
     // shape, integer-scaled milli ranks) surfaces the HUB documents
@@ -2168,13 +2163,8 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val isNew = col("doc_id") % 5 === 0
       def partials(d: org.apache.spark.sql.DataFrame) =
-        CorpusStats.linearClassifierScores(d, "doc_id", "text",
-            buckets = 4096)
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(when(col("accept"), 1L).otherwise(0L)).as("n_accept"),
-            sum(col("logit")).as("sum_logit"),
-            sum(col("n_feats")).as("sum_feats"))
+        CorpusStats.classifierGateReport(d, "doc_id", "text",
+          "source", buckets = 4096)
       val root = java.nio.file.Files
         .createTempDirectory("graft_q161_").toString
       partials(docs.filter(!isNew)).write.parquet(root + "/gate")

@@ -332,6 +332,9 @@ object CorpusStats {
   def dsirScoreWith(lamMicros: Array[Long], docs: DataFrame,
       textCol: String): DataFrame = {
     val buckets = lamMicros.length
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"dsirScoreWith: model length must be in [2, 2^20] (a bucket " +
+        s"per hash value): $buckets")
     val docsW = Relational.widenForCpu(docs, col(textCol))
     val lamLit = typedLit(lamMicros.toSeq)
     val f = dsirFeats(text.tokens(col(textCol)), buckets)
@@ -594,4 +597,24 @@ object CorpusStats {
       .withColumn("logit", coalesce(col("logit"), lit(0L)))
       .withColumn("accept", col("logit") >= 0L)
   }
+
+  /** ONE definition of the classifier gate's per-source aggregate
+    * (the [[dataCardAggCols]] convention), shared by its four forms:
+    * batch (q156), streaming sealed partials (Streams
+    * .classifierIngest / q158), incremental partial-merge (q161),
+    * and the `classify` CLI verb. All-integer and additive, so
+    * partial aggregates merge exactly. */
+  def classifierGateAggCols: Seq[Column] = Seq(
+    count(lit(1)).as("n_docs"),
+    sum(when(col("accept"), 1L).otherwise(0L)).as("n_accept"),
+    sum(col("logit")).as("sum_logit"),
+    sum(col("n_feats")).as("sum_feats"))
+
+  /** [[linearClassifierScores]] + the per-source gate report in one
+    * call — the shape every gate form reduces to. */
+  def classifierGateReport(docs: DataFrame, idCol: String,
+      textCol: String, sourceCol: String, buckets: Int): DataFrame =
+    linearClassifierScores(docs, idCol, textCol, buckets)
+      .groupBy(col(sourceCol))
+      .agg(classifierGateAggCols.head, classifierGateAggCols.tail: _*)
 }

@@ -1294,9 +1294,10 @@ object Dedup {
   /** NS GOVERNANCE: DUPLICATION-GRAPH CENTRALITY — rank documents by
     * how central they sit in the near-dup graph (PageRank shape,
     * damping 0.85, `rounds` bounded power-iteration steps over the
-    * undirected pair edges). The census (q140) counts components and
-    * the attribution report (q133) bills source→source flow; this is
-    * the third governance consumer of the SAME at-rest pair store:
+    * undirected pair edges). The keeper (q84) resolves duplicates,
+    * the attribution report (q133) bills source→source flow, the
+    * census (q140) counts components; this is the fourth consumer
+    * of the SAME at-rest pair store:
     * WHICH documents are the duplication hubs — the canonical copies
     * boilerplate radiates from, the first things a curator should
     * read when a census row looks wrong.
@@ -1322,10 +1323,15 @@ object Dedup {
     require(rounds >= 1 && rounds <= 16,
       s"dupCentrality: rounds must be in [1, 16]: $rounds")
     require(topK >= 1, s"dupCentrality: topK must be >= 1: $topK")
+    // checkpoint the edge list BEFORE iterating (the connected-
+    // components precedent): each round launches its own job, and an
+    // unmaterialized edges plan would re-derive and re-shuffle the
+    // pair-store union once per round
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(
         pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
     val deg = edges.groupBy(col("src"))
       .agg(count(lit(1)).as("deg")).localCheckpoint()
     var ranks = deg.select(col("src").as("id"), lit(1000L).as("rank_milli"))

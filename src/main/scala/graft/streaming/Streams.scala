@@ -216,6 +216,36 @@ object Streams {
       idCol: String, textCol: String, sourceCol: String,
       storeRoot: String, checkpointDir: String,
       n: Int): StreamingQuery =
+    sealedPartialsIngest(docs, storeRoot, checkpointDir, "contam") {
+      b => graft.operators.Dedup
+        .contaminationScores(b, evalSet, idCol, textCol, n)
+        .join(b.select(col(idCol), col(sourceCol)), Seq(idCol))
+        .groupBy(col(sourceCol))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("contamination") >= 0.2, 1L).otherwise(0L))
+            .as("n_c20"),
+          sum(when(col("contamination") >= 0.5, 1L).otherwise(0L))
+            .as("n_c50"),
+          sum(when(col("contamination") >= 0.8, 1L).otherwise(0L))
+            .as("n_c80"),
+          sum(round(col("contamination"), 6).cast("decimal(20,6)"))
+            .as("sum_score_dec"))
+    }
+
+  /** ONE definition of the sealed-partials micro-batch sink shared
+    * by the four partial-landing ingests (contamination q139,
+    * moments q148, classifier q158, resampling q160): full-width
+    * override with restore, per-batch writer lease, batchId-named
+    * segment under `storeRoot/partials`, EXACTLY-ONCE via the
+    * parquet `_SUCCESS` seal — a sealed segment is skipped verbatim
+    * on re-delivery, a half-landed one is cleaned and redone. Each
+    * ingest supplies only its per-batch partial computation. (The
+    * store-GROWTH sinks — near-dup, postings index, novelty — have
+    * multi-directory commit protocols of their own and deliberately
+    * do not go through this helper.) */
+  private def sealedPartialsIngest(docs: DataFrame, storeRoot: String,
+      checkpointDir: String, tag: String)(
+      partialOf: DataFrame => DataFrame): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -223,30 +253,16 @@ object Streams {
         val widthKey = "spark.sql.shuffle.partitions"
         val oldWidth = s.conf.get(widthKey)
         s.conf.set(widthKey, s.sparkContext.defaultParallelism)
-        try graft.Phases.time(s"contam_append[b$batchId]") {
+        try graft.Phases.time(s"${tag}_append[b$batchId]") {
          graft.sources.StoreLease.withLease(s, storeRoot,
-            s"contam-b$batchId") {
+            s"$tag-b$batchId") {
           val seg = new org.apache.hadoop.fs.Path(
             s"$storeRoot/partials/batch_id=$batchId")
           val fs = seg.getFileSystem(s.sparkContext.hadoopConfiguration)
           val marker = new org.apache.hadoop.fs.Path(seg, "_SUCCESS")
           if (!fs.exists(marker)) {
             if (fs.exists(seg)) fs.delete(seg, true) // half-landed retry
-            val b = batch.toDF()
-            val partial = graft.operators.Dedup
-              .contaminationScores(b, evalSet, idCol, textCol, n)
-              .join(b.select(col(idCol), col(sourceCol)), Seq(idCol))
-              .groupBy(col(sourceCol))
-              .agg(count(lit(1)).as("n_docs"),
-                sum(when(col("contamination") >= 0.2, 1L).otherwise(0L))
-                  .as("n_c20"),
-                sum(when(col("contamination") >= 0.5, 1L).otherwise(0L))
-                  .as("n_c50"),
-                sum(when(col("contamination") >= 0.8, 1L).otherwise(0L))
-                  .as("n_c80"),
-                sum(round(col("contamination"), 6).cast("decimal(20,6)"))
-                  .as("sum_score_dec"))
-            partial.write.parquet(seg.toString)
+            partialOf(batch.toDF()).write.parquet(seg.toString)
           }
          }
         } finally s.conf.set(widthKey, oldWidth)
@@ -268,36 +284,17 @@ object Streams {
   def resampleIngest(docs: DataFrame, lamMicros: Array[Long],
       idCol: String, textCol: String, sourceCol: String, n: Int,
       storeRoot: String, checkpointDir: String): StreamingQuery =
-    docs.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val s = batch.sparkSession
-        val widthKey = "spark.sql.shuffle.partitions"
-        val oldWidth = s.conf.get(widthKey)
-        s.conf.set(widthKey, s.sparkContext.defaultParallelism)
-        try graft.Phases.time(s"resample_append[b$batchId]") {
-         graft.sources.StoreLease.withLease(s, storeRoot,
-            s"resample-b$batchId") {
-          val seg = new org.apache.hadoop.fs.Path(
-            s"$storeRoot/partials/batch_id=$batchId")
-          val fs = seg.getFileSystem(s.sparkContext.hadoopConfiguration)
-          val marker = new org.apache.hadoop.fs.Path(seg, "_SUCCESS")
-          if (!fs.exists(marker)) {
-            if (fs.exists(seg)) fs.delete(seg, true) // half-landed retry
-            val scored = graft.operators.CorpusStats
-              .dsirScoreWith(lamMicros, batch.toDF(), textCol)
-            val partial = graft.operators.CorpusStats
-              .importanceSample(scored, idCol, "wt_micros", n)
-              .select(col(idCol), col(sourceCol),
-                size(graft.functions.text.tokens(col(textCol)))
-                  .cast("long").as("n_tok"),
-                col("key_micros"))
-            partial.write.parquet(seg.toString)
-          }
-         }
-        } finally s.conf.set(widthKey, oldWidth)
-      }
-      .start()
+    sealedPartialsIngest(docs, storeRoot, checkpointDir, "resample") {
+      b =>
+        val scored = graft.operators.CorpusStats
+          .dsirScoreWith(lamMicros, b, textCol)
+        graft.operators.CorpusStats
+          .importanceSample(scored, idCol, "wt_micros", n)
+          .select(col(idCol), col(sourceCol),
+            size(graft.functions.text.tokens(col(textCol)))
+              .cast("long").as("n_tok"),
+            col("key_micros"))
+    }
 
   /** Streaming CLASSIFIER GATE — the q156 hashed-ngram linear
     * classifier applied at ingest time: each micro-batch of crawl
@@ -315,37 +312,10 @@ object Streams {
   def classifierIngest(docs: DataFrame, idCol: String,
       textCol: String, sourceCol: String, buckets: Int,
       storeRoot: String, checkpointDir: String): StreamingQuery =
-    docs.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val s = batch.sparkSession
-        val widthKey = "spark.sql.shuffle.partitions"
-        val oldWidth = s.conf.get(widthKey)
-        s.conf.set(widthKey, s.sparkContext.defaultParallelism)
-        try graft.Phases.time(s"classify_append[b$batchId]") {
-         graft.sources.StoreLease.withLease(s, storeRoot,
-            s"classify-b$batchId") {
-          val seg = new org.apache.hadoop.fs.Path(
-            s"$storeRoot/partials/batch_id=$batchId")
-          val fs = seg.getFileSystem(s.sparkContext.hadoopConfiguration)
-          val marker = new org.apache.hadoop.fs.Path(seg, "_SUCCESS")
-          if (!fs.exists(marker)) {
-            if (fs.exists(seg)) fs.delete(seg, true) // half-landed retry
-            val partial = graft.operators.CorpusStats
-              .linearClassifierScores(batch.toDF(), idCol, textCol,
-                buckets)
-              .groupBy(col(sourceCol))
-              .agg(count(lit(1)).as("n_docs"),
-                sum(when(col("accept"), 1L).otherwise(0L))
-                  .as("n_accept"),
-                sum(col("logit")).as("sum_logit"),
-                sum(col("n_feats")).as("sum_feats"))
-            partial.write.parquet(seg.toString)
-          }
-         }
-        } finally s.conf.set(widthKey, oldWidth)
-      }
-      .start()
+    sealedPartialsIngest(docs, storeRoot, checkpointDir, "classify") {
+      b => graft.operators.CorpusStats
+        .classifierGateReport(b, idCol, textCol, sourceCol, buckets)
+    }
 
   /** Streaming EMBEDDING MOMENTS — q137's exact integer moments kept
     * live over an embedding stream: each micro-batch's per-(label,
@@ -356,32 +326,12 @@ object Streams {
     * batch q137 answer bit for bit. Zero streaming state. */
   def momentsIngest(emb: DataFrame, vecCol: String, labelCol: String,
       storeRoot: String, checkpointDir: String): StreamingQuery =
-    emb.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val s = batch.sparkSession
-        val widthKey = "spark.sql.shuffle.partitions"
-        val oldWidth = s.conf.get(widthKey)
-        s.conf.set(widthKey, s.sparkContext.defaultParallelism)
-        try graft.Phases.time(s"moments_append[b$batchId]") {
-         graft.sources.StoreLease.withLease(s, storeRoot,
-            s"moments-b$batchId") {
-          val seg = new org.apache.hadoop.fs.Path(
-            s"$storeRoot/partials/batch_id=$batchId")
-          val fs = seg.getFileSystem(s.sparkContext.hadoopConfiguration)
-          val marker = new org.apache.hadoop.fs.Path(seg, "_SUCCESS")
-          if (!fs.exists(marker)) {
-            if (fs.exists(seg)) fs.delete(seg, true) // half-landed
-            graft.operators.Similarity
-              .embeddingMoments(batch.toDF(), vecCol, labelCol)
-              .select(col("label"), col("pos"), col("n_vecs"),
-                col("s_sum"), col("q_sum"))
-              .write.parquet(seg.toString)
-          }
-         }
-        } finally s.conf.set(widthKey, oldWidth)
-      }
-      .start()
+    sealedPartialsIngest(emb, storeRoot, checkpointDir, "moments") {
+      b => graft.operators.Similarity
+        .embeddingMoments(b, vecCol, labelCol)
+        .select(col("label"), col("pos"), col("n_vecs"),
+          col("s_sum"), col("q_sum"))
+    }
 
   /** Streaming NOVELTY MONITOR — the q141 curve kept live over the
     * crawl stream: the at-rest store holds every shingle's FIRST-SEEN
