@@ -2178,6 +2178,30 @@ object SparkEntry {
       materializeThenClean(s, merged, root)
     }),
 
+    // ── NS: CONTAMINATION SPAN EXCISION — the finest decontamination
+    // grain (q64 drops docs at a cutoff, q135 grades them; this
+    // EXCISES the matching spans and keeps the document): every
+    // train position whose 8-gram matches the eval fold, widened to
+    // its 8-token window, overlaps unioned by an exact integer
+    // island walk. Matched positions only ever reach the doc-
+    // partitioned window (rare by construction) — the corpus token
+    // stream reduces at the semi join. Both engines run the
+    // identical walk; no float surface ──
+    "q163_contamination_excision" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isEval = col("doc_id") % 17 === 3
+      Dedup.contaminationExcision(docs.filter(!isEval),
+          docs.filter(isEval), "doc_id", "text", n = 8)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("tokens_excised") > 0L, 1L).otherwise(0L))
+            .as("n_affected"),
+          sum(col("n_tok")).as("tokens_total"),
+          sum(col("tokens_excised")).as("tokens_excised"),
+          sum(col("grams_matched")).as("grams_matched"))
+    }),
+
     // ── NS: EPOCH-SHUFFLE SHARD MANIFEST — the "reshuffle the
     // dataset every epoch" primitive: shard = top 4 bits of an
     // epoch-SALTED md5-60 key, so the permutation is deterministic,
@@ -5437,6 +5461,61 @@ object SparkEntry {
       // incremental partial-merge converges to the same gate —
       // third engine form, same single recompute
       "q161_incremental_classifier" -> classifierGateSql,
+
+      // the identical island walk over matched 8-gram positions:
+      // same 1-based windows, same running-max-end island starts,
+      // same max+8-min union lengths — integer end to end
+      "q163_contamination_excision" -> {
+        val g = hashes.md5Hash60Sql(
+          "array_to_string(toks[pos:pos+7], ' ')")
+        val gEv = hashes.md5Hash60Sql(
+          "array_to_string(toks[pos:pos+7], ' ')")
+        s"""WITH ev AS (
+           |  SELECT DISTINCT $gEv AS g
+           |  FROM (SELECT toks, unnest(range(1, greatest(
+           |      len(toks) - 6, 1))) AS pos
+           |    FROM (SELECT $sqlTokens AS toks FROM documents
+           |          WHERE doc_id % 17 = 3))),
+           |tr AS (SELECT doc_id, source, $sqlTokens AS toks
+           |  FROM documents WHERE doc_id % 17 <> 3),
+           |p AS (
+           |  SELECT doc_id, pos FROM (
+           |    SELECT doc_id, toks, unnest(range(1, greatest(
+           |        len(toks) - 6, 1))) AS pos
+           |    FROM tr)
+           |  WHERE $g IN (SELECT g FROM ev)),
+           |isl AS (SELECT doc_id, pos,
+           |    CASE WHEN MAX(pos + 8) OVER (PARTITION BY doc_id
+           |        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+           |        AND 1 PRECEDING) IS NULL
+           |      OR pos >= MAX(pos + 8) OVER (PARTITION BY doc_id
+           |        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+           |        AND 1 PRECEDING)
+           |      THEN 1 ELSE 0 END AS s
+           |  FROM p),
+           |isl2 AS (SELECT doc_id, pos,
+           |    SUM(s) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS island
+           |  FROM isl),
+           |cov AS (SELECT doc_id,
+           |    CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS c,
+           |    COUNT(*) AS m
+           |  FROM isl2 GROUP BY doc_id, island),
+           |pd AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS exc,
+           |    CAST(SUM(m) AS BIGINT) AS gm
+           |  FROM cov GROUP BY doc_id)
+           |SELECT tr.source, COUNT(*) AS n_docs,
+           |  CAST(SUM(CASE WHEN COALESCE(pd.exc, 0) > 0 THEN 1
+           |    ELSE 0 END) AS BIGINT) AS n_affected,
+           |  CAST(SUM(len(tr.toks)) AS BIGINT) AS tokens_total,
+           |  CAST(SUM(COALESCE(pd.exc, 0)) AS BIGINT)
+           |    AS tokens_excised,
+           |  CAST(SUM(COALESCE(pd.gm, 0)) AS BIGINT)
+           |    AS grams_matched
+           |FROM tr LEFT JOIN pd ON tr.doc_id = pd.doc_id
+           |GROUP BY tr.source""".stripMargin
+      },
 
       // epoch-salted md5-60 top-4-bit shards, both epochs + the
       // kept-shard count, mirrored definition-for-definition

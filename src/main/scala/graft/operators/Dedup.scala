@@ -986,6 +986,83 @@ object Dedup {
         col("n_matched"), col("contamination"))
   }
 
+  /** NS: CONTAMINATION SPAN EXCISION — the finest-grain
+    * decontamination form (the GPT-3/PaLM appendix recipe): instead
+    * of DROPPING a document that shares n-grams with the eval fold
+    * ([[contaminationScores]] + a threshold), locate every token
+    * position whose n-gram matches the eval set and EXCISE the
+    * union of the n-token windows around the matches — the document
+    * survives minus its contaminated spans. Returns one row per
+    * input document: `n_tok`, `grams_matched` (matching positions),
+    * and `tokens_excised` (the exact union length of the matched
+    * windows — overlapping windows counted once).
+    *
+    * Exact integer arithmetic end-to-end: match positions are
+    * 1-based token indices, windows are [pos, pos+n), and the union
+    * is the classic islands computation — a window over (doc, pos)
+    * marks a new island when pos clears the running max window end,
+    * and each island contributes max(pos)+n−min(pos) tokens. Both
+    * engines run the identical island walk, so the oracle match is
+    * bit-exact with no float surface.
+    *
+    * Scale shape (100 TB): eval n-grams are a bounded md5-60 set
+    * (eval suites are fixed-size); positions stream out of the scan
+    * and reduce by a LEFT SEMI join before any window runs — the
+    * per-doc window sees only MATCHED positions (rare by
+    * construction), never the corpus token stream; all windows are
+    * doc-partitioned (no global window). */
+  def contaminationExcision(docs: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 2 && n <= 64,
+      s"contaminationExcision: n must be in [2, 64]: $n")
+    import org.apache.spark.sql.expressions.Window
+    def gramAt(toks: Column, pos: Column): Column =
+      hashes.md5Hash60(array_join(slice(toks, pos, lit(n)), " "))
+    def positions(toks: Column): Column =
+      when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
+        .otherwise(array().cast("array<int>"))
+    val evalGrams = evalSet
+      .select(col(textCol))
+      .withColumn("_ce_toks", text.tokens(col(textCol)))
+      .select(explode(positions(col("_ce_toks"))).as("_ce_p"),
+        col("_ce_toks"))
+      .select(gramAt(col("_ce_toks"), col("_ce_p")).as("_ce_g"))
+      .distinct()
+    val toks = docs.select(col(idCol).as("_ce_id"),
+      text.tokens(col(textCol)).as("_ce_toks"))
+    val matched = toks
+      .select(col("_ce_id"),
+        explode(positions(col("_ce_toks"))).as("_ce_p"),
+        col("_ce_toks"))
+      .select(col("_ce_id"), col("_ce_p"),
+        gramAt(col("_ce_toks"), col("_ce_p")).as("_ce_g"))
+      .join(evalGrams, Seq("_ce_g"), "left_semi")
+    val w = Window.partitionBy(col("_ce_id")).orderBy(col("_ce_p"))
+    val prevEnd = max(col("_ce_p") + n)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = matched
+      .withColumn("_ce_s",
+        when(prevEnd.isNull || col("_ce_p") >= prevEnd, 1L)
+          .otherwise(0L))
+      .withColumn("_ce_isl", sum(col("_ce_s"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val perDoc = islands
+      .groupBy(col("_ce_id"), col("_ce_isl"))
+      .agg((max(col("_ce_p")) + n - min(col("_ce_p")))
+        .cast("long").as("_ce_cov"),
+        count(lit(1)).as("_ce_m"))
+      .groupBy(col("_ce_id"))
+      .agg(sum(col("_ce_cov")).as("tokens_excised"),
+        sum(col("_ce_m")).as("grams_matched"))
+    toks
+      .select(col("_ce_id"), size(col("_ce_toks")).cast("long")
+        .as("n_tok"))
+      .join(perDoc, Seq("_ce_id"), "left")
+      .select(col("_ce_id").as(idCol), col("n_tok"),
+        coalesce(col("grams_matched"), lit(0L)).as("grams_matched"),
+        coalesce(col("tokens_excised"), lit(0L)).as("tokens_excised"))
+  }
+
   /** Incremental-ingest exact dedup: keep only batch documents whose
     * content is absent from the already-ingested corpus — the
     * every-new-crawl step of a continuously growing training corpus

@@ -828,6 +828,31 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
     sqlRes shouldBe fast
   }
 
+  test("contaminationExcision: hand-walked islands — overlapping " +
+    "windows union once, short docs and clean docs re-attach at zero") {
+    import spark.implicits._
+    val evalSet = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    // eval 3-grams: "a b c", "b c d", "c d e"
+    // doc 1: matches at pos 2,3 (island 1: [2,5)∪[3,6) = 4 tokens)
+    //        and pos 7,8,9 (island 2: [7,10)∪[8,11)∪[9,12) = 5)
+    val docs = Seq(
+      (1L, "z a b c d z a b c d e"),
+      (2L, "q r s"),
+      (3L, "a b")).toDF("doc_id", "text")
+    val out = Dedup.contaminationExcision(docs, evalSet,
+        "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (d, nt, gm, ex) => d -> ((nt, gm, ex)) }.toMap
+    out shouldBe Map(
+      1L -> ((11L, 5L, 9L)),
+      2L -> ((3L, 0L, 0L)),
+      3L -> ((2L, 0L, 0L)))
+    intercept[IllegalArgumentException] {
+      Dedup.contaminationExcision(docs, evalSet, "doc_id", "text",
+        n = 1)
+    }.getMessage should include("n must be")
+  }
+
   test("dupCentrality: integer power iteration matches the hand-walked " +
     "star graph; hub ranks first") {
     import spark.implicits._
