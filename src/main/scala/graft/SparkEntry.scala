@@ -2202,6 +2202,19 @@ object SparkEntry {
           sum(col("grams_matched")).as("grams_matched"))
     }),
 
+    // ── NS: the excision SURGERY materialized (q136→q154 move:
+    // report, then the transformation it prices): for every affected
+    // doc, the kept tokens re-joined in order and md5-60 hashed —
+    // the oracle rebuilds the same cleaned string from scratch, so
+    // the hash match proves the surgery token for token. Everything
+    // below the match is affected-doc grain ──
+    "q164_excised_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isEval = col("doc_id") % 17 === 3
+      Dedup.contaminationExcisedDocs(docs.filter(!isEval),
+        docs.filter(isEval), "doc_id", "text", n = 8)
+    }),
+
     // ── NS: EPOCH-SHUFFLE SHARD MANIFEST — the "reshuffle the
     // dataset every epoch" primitive: shard = top 4 bits of an
     // epoch-SALTED md5-60 key, so the permutation is deterministic,
@@ -5515,6 +5528,64 @@ object SparkEntry {
            |    AS grams_matched
            |FROM tr LEFT JOIN pd ON tr.doc_id = pd.doc_id
            |GROUP BY tr.source""".stripMargin
+      },
+
+      // same match + island chain as q163, then the cleaned string
+      // rebuilt independently (range-exploded positions, covered
+      // anti-join, ordered string_agg) and hashed — NULL when the
+      // whole document was excised, in both engines
+      "q164_excised_corpus" -> {
+        val g = hashes.md5Hash60Sql(
+          "array_to_string(toks[pos:pos+7], ' ')")
+        s"""WITH ev AS (
+           |  SELECT DISTINCT $g AS g
+           |  FROM (SELECT toks, unnest(range(1, greatest(
+           |      len(toks) - 6, 1))) AS pos
+           |    FROM (SELECT $sqlTokens AS toks FROM documents
+           |          WHERE doc_id % 17 = 3))),
+           |tr AS (SELECT doc_id, $sqlTokens AS toks
+           |  FROM documents WHERE doc_id % 17 <> 3),
+           |p AS (
+           |  SELECT doc_id, pos FROM (
+           |    SELECT doc_id, toks, unnest(range(1, greatest(
+           |        len(toks) - 6, 1))) AS pos
+           |    FROM tr)
+           |  WHERE $g IN (SELECT g FROM ev)),
+           |isl AS (SELECT doc_id, pos,
+           |    CASE WHEN MAX(pos + 8) OVER (PARTITION BY doc_id
+           |        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+           |        AND 1 PRECEDING) IS NULL
+           |      OR pos >= MAX(pos + 8) OVER (PARTITION BY doc_id
+           |        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+           |        AND 1 PRECEDING)
+           |      THEN 1 ELSE 0 END AS s
+           |  FROM p),
+           |isl2 AS (SELECT doc_id, pos,
+           |    SUM(s) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS island
+           |  FROM isl),
+           |iv AS (SELECT doc_id, MIN(pos) AS a, MAX(pos) + 8 AS e
+           |  FROM isl2 GROUP BY doc_id, island),
+           |aff AS (SELECT doc_id, CAST(SUM(e - a) AS BIGINT) AS exc
+           |  FROM iv GROUP BY doc_id),
+           |cp AS (SELECT doc_id, unnest(range(a, e)) AS cpos
+           |  FROM iv),
+           |tp AS (SELECT doc_id, toks, unnest(range(1,
+           |      len(toks) + 1)) AS pos
+           |  FROM tr WHERE doc_id IN (SELECT doc_id FROM aff)),
+           |kept AS (SELECT tp.doc_id,
+           |    string_agg(tp.toks[tp.pos], ' ' ORDER BY tp.pos)
+           |      AS clean
+           |  FROM tp LEFT JOIN cp ON tp.doc_id = cp.doc_id
+           |    AND tp.pos = cp.cpos
+           |  WHERE cp.cpos IS NULL
+           |  GROUP BY tp.doc_id)
+           |SELECT tr.doc_id, CAST(len(tr.toks) AS BIGINT) AS n_tok,
+           |  aff.exc AS tokens_excised,
+           |  ${hashes.md5Hash60Sql("kept.clean")} AS clean_hash
+           |FROM tr JOIN aff ON tr.doc_id = aff.doc_id
+           |LEFT JOIN kept ON tr.doc_id = kept.doc_id""".stripMargin
       },
 
       // epoch-salted md5-60 top-4-bit shards, both epochs + the

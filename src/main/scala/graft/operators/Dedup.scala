@@ -1013,8 +1013,36 @@ object Dedup {
     * doc-partitioned (no global window). */
   def contaminationExcision(docs: DataFrame, evalSet: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
-    require(n >= 2 && n <= 64,
-      s"contaminationExcision: n must be in [2, 64]: $n")
+    val (toks, intervals) =
+      excisionIntervals(docs, evalSet, idCol, textCol, n,
+        "contaminationExcision")
+    val perDoc = intervals
+      .groupBy(col("_ce_id"))
+      .agg(sum(col("_ce_e") - col("_ce_a")).cast("long")
+        .as("tokens_excised"),
+        sum(col("_ce_m")).as("grams_matched"))
+    toks
+      .select(col("_ce_id"), size(col("_ce_toks")).cast("long")
+        .as("n_tok"))
+      .join(perDoc, Seq("_ce_id"), "left")
+      .select(col("_ce_id").as(idCol), col("n_tok"),
+        coalesce(col("grams_matched"), lit(0L)).as("grams_matched"),
+        coalesce(col("tokens_excised"), lit(0L)).as("tokens_excised"))
+  }
+
+  /** Shared match-and-union core of [[contaminationExcision]] and
+    * [[contaminationExcisedDocs]]: tokenize, hash every n-gram
+    * position, LEFT SEMI against the distinct eval grams, and union
+    * overlapping windows with the doc-partitioned island walk.
+    * Returns (`toks`: _ce_id/_ce_toks for every input doc,
+    * `intervals`: one row per excision island — _ce_id, _ce_a
+    * inclusive 1-based start, _ce_e exclusive end, _ce_m matched
+    * positions inside it). ONE definition, so the report and the
+    * surgery can never disagree on what gets excised. */
+  private def excisionIntervals(docs: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int, caller: String)
+      : (DataFrame, DataFrame) = {
+    require(n >= 2 && n <= 64, s"$caller: n must be in [2, 64]: $n")
     import org.apache.spark.sql.expressions.Window
     def gramAt(toks: Column, pos: Column): Column =
       hashes.md5Hash60(array_join(slice(toks, pos, lit(n)), " "))
@@ -1022,7 +1050,6 @@ object Dedup {
       when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
         .otherwise(array().cast("array<int>"))
     val evalGrams = evalSet
-      .select(col(textCol))
       .withColumn("_ce_toks", text.tokens(col(textCol)))
       .select(explode(positions(col("_ce_toks"))).as("_ce_p"),
         col("_ce_toks"))
@@ -1040,27 +1067,68 @@ object Dedup {
     val w = Window.partitionBy(col("_ce_id")).orderBy(col("_ce_p"))
     val prevEnd = max(col("_ce_p") + n)
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
-    val islands = matched
+    val intervals = matched
       .withColumn("_ce_s",
         when(prevEnd.isNull || col("_ce_p") >= prevEnd, 1L)
           .otherwise(0L))
       .withColumn("_ce_isl", sum(col("_ce_s"))
         .over(w.rowsBetween(Window.unboundedPreceding, 0)))
-    val perDoc = islands
       .groupBy(col("_ce_id"), col("_ce_isl"))
-      .agg((max(col("_ce_p")) + n - min(col("_ce_p")))
-        .cast("long").as("_ce_cov"),
+      .agg(min(col("_ce_p")).as("_ce_a"),
+        (max(col("_ce_p")) + n).as("_ce_e"),
         count(lit(1)).as("_ce_m"))
+    (toks, intervals)
+  }
+
+  /** The SURGERY half of [[contaminationExcision]] — materialize the
+    * cleaned documents themselves (the q136→q154 move: first the
+    * report, then the transformation it prices). For every AFFECTED
+    * document (tokens_excised > 0), rebuild the token stream minus
+    * the excised windows and return `(idCol, n_tok, tokens_excised,
+    * clean_hash)` where `clean_hash` is the md5-60 of the kept
+    * tokens re-joined in order (NULL when excision consumed the
+    * whole document). The hash — not the text — is the output
+    * contract: the oracle rebuilds the same cleaned string
+    * independently, so a bit-exact hash match proves the surgery,
+    * while the report keeps bounded row width.
+    *
+    * Scale shape: everything downstream of the match is
+    * affected-doc-grain (rare by construction); the only corpus-
+    * grain work is the same scan+semi-join as the report. Kept
+    * tokens reassemble with array_sort over (pos, token) structs —
+    * per-doc grain, no global sort. */
+  def contaminationExcisedDocs(docs: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val (toks, intervals) =
+      excisionIntervals(docs, evalSet, idCol, textCol, n,
+        "contaminationExcisedDocs")
+    val covered = intervals
+      .select(col("_ce_id"),
+        explode(sequence(col("_ce_a"), col("_ce_e") - 1))
+          .as("_ce_cp"))
+    val affected = intervals
       .groupBy(col("_ce_id"))
-      .agg(sum(col("_ce_cov")).as("tokens_excised"),
-        sum(col("_ce_m")).as("grams_matched"))
+      .agg(sum(col("_ce_e") - col("_ce_a")).cast("long")
+        .as("tokens_excised"))
+    val kept = toks
+      .join(affected.select(col("_ce_id")), Seq("_ce_id"), "left_semi")
+      .select(col("_ce_id"),
+        posexplode(col("_ce_toks")).as(Seq("_ce_p0", "_ce_t")))
+      .select(col("_ce_id"), (col("_ce_p0") + 1).as("_ce_cp"),
+        col("_ce_t"))
+      .join(covered, Seq("_ce_id", "_ce_cp"), "left_anti")
+      .groupBy(col("_ce_id"))
+      .agg(hashes.md5Hash60(array_join(
+        transform(
+          array_sort(collect_list(struct(col("_ce_cp"), col("_ce_t")))),
+          x => x.getField("_ce_t")), " ")).as("clean_hash"))
     toks
-      .select(col("_ce_id"), size(col("_ce_toks")).cast("long")
-        .as("n_tok"))
-      .join(perDoc, Seq("_ce_id"), "left")
+      .select(col("_ce_id"),
+        size(col("_ce_toks")).cast("long").as("n_tok"))
+      .join(affected, Seq("_ce_id"))
+      .join(kept, Seq("_ce_id"), "left")
       .select(col("_ce_id").as(idCol), col("n_tok"),
-        coalesce(col("grams_matched"), lit(0L)).as("grams_matched"),
-        coalesce(col("tokens_excised"), lit(0L)).as("tokens_excised"))
+        col("tokens_excised"), col("clean_hash"))
   }
 
   /** Incremental-ingest exact dedup: keep only batch documents whose

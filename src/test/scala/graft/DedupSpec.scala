@@ -853,6 +853,30 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
     }.getMessage should include("n must be")
   }
 
+  test("contaminationExcisedDocs: the cleaned string is the kept " +
+    "tokens in order; whole-doc excision hashes NULL") {
+    import spark.implicits._
+    def md5h(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.substring(0, 15), 16)
+    }
+    val evalSet = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "z a b c d z a b c d e"), // kept positions 1 and 6: "z z"
+      (2L, "a b c d e"),             // fully excised -> NULL hash
+      (3L, "q r s")).toDF("doc_id", "text") // clean -> absent
+    val out = Dedup.contaminationExcisedDocs(docs, evalSet,
+        "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    out.keySet shouldBe Set(1L, 2L)
+    out(1L) shouldBe ((11L, 9L, Some(md5h("z z"))))
+    out(2L) shouldBe ((5L, 5L, None))
+  }
+
   test("dupCentrality: integer power iteration matches the hand-walked " +
     "star graph; hub ranks first") {
     import spark.implicits._
