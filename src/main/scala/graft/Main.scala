@@ -113,6 +113,7 @@ object Main {
       diff(spark, dirA, dirB, intArg(rest, 100).get)
     case Seq("report", sfDir) => report(spark, sfDir)
     case Seq("classify", sfDir) => classify(spark, sfDir)
+    case Seq("excise", sfDir) => excise(spark, sfDir)
     case Seq("emb-health", sfDir) => embHealth(spark, sfDir)
     case Seq("prep", sfDir) => prep(spark, sfDir)
     case Seq("index-postings", docsParquet, storeRoot, rest @ _*)
@@ -159,6 +160,9 @@ object Main {
       "  classify <sfDir>                    model-based quality gate " +
         "(per source: accept rate, mean logit under the hashed-ngram " +
         "classifier)",
+      "  excise <sfDir>                      contamination span surgery " +
+        "(per source: affected docs, exact token mass excised vs " +
+        "dropping whole documents)",
       "  emb-health <sfDir>                  per-label embedding health " +
         "(coherence mass, worst member, dead dimensions)",
       "  prep <sfDir>                        training-prep manifest " +
@@ -600,6 +604,38 @@ object Main {
         f"${100.0 * a / n}%7.1f%% " +
         f"${r.getAs[Long]("sum_logit").toDouble / n}%11.1f " +
         f"${r.getAs[Long]("sum_feats")}%9d"
+    }
+  }
+
+  /** `excise` verb: the q163 span-surgery report for a human — per
+    * source, how many documents carry eval-fold 8-gram spans and the
+    * exact token mass excision would remove (vs dropping the whole
+    * documents, shown as the drop/excise ratio). */
+  private def excise(spark: SparkSession, sfDir: String): Seq[String] = {
+    import graft.operators.Dedup
+    val docs = Tables(spark, sfDir, "documents")
+    val isEval = col("doc_id") % 17 === 3
+    val rows = Dedup.contaminationExcision(docs.filter(!isEval),
+        docs.filter(isEval), "doc_id", "text", n = 8)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("tokens_excised") > 0L, 1L).otherwise(0L))
+          .as("n_affected"),
+        sum(col("n_tok")).as("tokens_total"),
+        sum(col("tokens_excised")).as("tokens_excised"),
+        sum(when(col("tokens_excised") > 0L, col("n_tok"))
+          .otherwise(0L)).as("tokens_if_dropped"))
+      .orderBy(col("source"))
+      .collect()
+    val header = f"${"source"}%-8s ${"docs"}%6s ${"affected"}%9s " +
+      f"${"tokens"}%8s ${"excised"}%8s ${"if_dropped"}%10s"
+    header +: rows.toSeq.map { r =>
+      f"${r.getAs[String]("source")}%-8s ${r.getAs[Long]("n_docs")}%6d " +
+        f"${r.getAs[Long]("n_affected")}%9d " +
+        f"${r.getAs[Long]("tokens_total")}%8d " +
+        f"${r.getAs[Long]("tokens_excised")}%8d " +
+        f"${r.getAs[Long]("tokens_if_dropped")}%10d"
     }
   }
 

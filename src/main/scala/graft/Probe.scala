@@ -611,6 +611,44 @@ object ProbeScale {
       measureClassify("100x", replicateDocs(100))
     }
 
+    // q163's scale claim measured: the island window must only ever
+    // see MATCHED positions (the semi-join reduction), so its input
+    // volume tracks the CONTAMINATION MASS, not the corpus — a 100×
+    // corpus against a fixed eval fold costs 100× scan but the
+    // window stage stays match-bounded
+    if (mode == "excise") {
+      def measureExcise(tag: String, train: DataFrame,
+          evalSet: DataFrame): Unit = {
+        val n = train.count()
+        val t0 = System.nanoTime()
+        val r = Dedup.contaminationExcision(train, evalSet,
+            "doc_id", "text", n = 8)
+          .agg(sum(col("grams_matched")).as("gm"),
+            sum(col("tokens_excised")).as("ex"),
+            sum(when(col("tokens_excised") > 0L, 1L).otherwise(0L))
+              .as("aff"))
+          .head()
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(f"PROBE_SCALE excise/$tag n=$n " +
+          f"matched_positions=${r.getLong(0)} " +
+          f"tokens_excised=${r.getLong(1)} affected=${r.getLong(2)} " +
+          f"wall=$wall%.2fs")
+      }
+      val docsE = Tables(spark, "/root/testdata/sf0.1", "documents")
+      val isEval = col("doc_id") % 17 === 3
+      val evalSet = docsE.filter(isEval).select(col("text"))
+        .localCheckpoint()
+      val train = docsE.filter(!isEval)
+        .select(col("doc_id"), col("text"))
+      def replicateTrain(r: Int): DataFrame =
+        train.crossJoin(spark.range(r).toDF("rep"))
+          .select((col("doc_id") * r + col("rep")).as("doc_id"),
+            col("text"))
+      measureExcise("1x", train, evalSet)
+      measureExcise("10x", replicateTrain(10), evalSet)
+      measureExcise("100x", replicateTrain(100), evalSet)
+    }
+
     // q131's decision drivers: the dense path's pre-filter survivor
     // volume (what survives iub/min(sz) >= t into the exact re-score)
     // and the inverted-index emission sum Σ C(df,2) (what the sparse

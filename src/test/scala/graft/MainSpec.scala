@@ -364,6 +364,20 @@ class MainSpec extends AnyFunSuite with SparkSpec with Matchers {
       .head.getLong(0) shouldBe accepted
   }
 
+  test("excise verb prints the span-surgery report and agrees with q163") {
+    val lines = Main.run(spark, Seq("excise", "/root/testdata/sf0.001"))
+    lines.head should include("if_dropped")
+    lines.size should be > 1
+    val excised = lines.tail.map(_.trim.split("\\s+")(4).toLong).sum
+    val q163 = SparkEntry.queries("q163_contamination_excision")(
+      spark, "/root/testdata/sf0.001")
+    q163.agg(org.apache.spark.sql.functions.sum("tokens_excised"))
+      .head.getLong(0) shouldBe excised
+    // excision never removes more than dropping the affected docs
+    val ifDropped = lines.tail.map(_.trim.split("\\s+")(5).toLong).sum
+    excised should be <= ifDropped
+  }
+
   test("emb-health verb prints the per-label coherence and dead-dim report") {
     val lines = Main.run(spark, Seq("emb-health", "/root/testdata/sf0.001"))
     lines.head should include("dead_dims")
