@@ -2215,6 +2215,38 @@ object SparkEntry {
         docs.filter(isEval), "doc_id", "text", n = 8)
     }),
 
+    // ── NS: LENGTH-BUCKETED BATCHING WASTE — the packing family's
+    // fourth angle (q136 packs, q143 truncates, q154 materializes;
+    // this prices DYNAMIC BATCHING): docs pad to their power-of-2
+    // length bucket (kernels compile per bucket), so waste per
+    // bucket is bucket·n_docs − Σlen, vs padding everything to the
+    // global max. One scan, bucket-grain agg, a broadcast scalar for
+    // the global max — all integer, the bucket CASE chain identical
+    // in both engines (no float log2) ──
+    "q165_bucket_batching" -> ((s, dir) => {
+      val lens = t(s, dir, "documents")
+        .select(size(text.tokens(col("text"))).cast("long").as("len"))
+        .filter(col("len") > 0L)
+      val bucket = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L,
+        4096L).foldRight(lit(8192L)) { (b, acc) =>
+        when(col("len") <= b, b).otherwise(acc)
+      }
+      val gmax = lens.agg(max(col("len")).as("gmax"))
+      lens.withColumn("bucket", bucket)
+        .crossJoin(broadcast(gmax))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("len")).as("sum_tokens"),
+          max(col("gmax")).as("_bb_gm"))
+        .select(col("bucket"), col("n_docs"),
+          expr("(n_docs + 7) div 8").as("n_batches"),
+          col("sum_tokens"),
+          (col("bucket") * col("n_docs") - col("sum_tokens"))
+            .as("waste_bucketed"),
+          (col("_bb_gm") * col("n_docs") - col("sum_tokens"))
+            .as("waste_unbucketed"))
+    }),
+
     // ── NS: EPOCH-SHUFFLE SHARD MANIFEST — the "reshuffle the
     // dataset every epoch" primitive: shard = top 4 bits of an
     // epoch-SALTED md5-60 key, so the permutation is deterministic,
@@ -5586,6 +5618,27 @@ object SparkEntry {
            |  ${hashes.md5Hash60Sql("kept.clean")} AS clean_hash
            |FROM tr JOIN aff ON tr.doc_id = aff.doc_id
            |LEFT JOIN kept ON tr.doc_id = kept.doc_id""".stripMargin
+      },
+
+      // identical power-of-2 CASE chain (no float log2), same
+      // integer waste arithmetic, global max as a scalar subquery
+      "q165_bucket_batching" -> {
+        val chain = Seq(16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+          .map(b => s"WHEN len <= $b THEN $b").mkString(" ")
+        s"""WITH l AS (
+           |  SELECT CAST(len($sqlTokens) AS BIGINT) AS len
+           |  FROM documents),
+           |lz AS (SELECT len, CASE $chain ELSE 8192 END AS bucket
+           |  FROM l WHERE len > 0),
+           |gm AS (SELECT MAX(len) AS gmax FROM l WHERE len > 0)
+           |SELECT bucket, COUNT(*) AS n_docs,
+           |  (COUNT(*) + 7) // 8 AS n_batches,
+           |  CAST(SUM(len) AS BIGINT) AS sum_tokens,
+           |  CAST(bucket * COUNT(*) - SUM(len) AS BIGINT)
+           |    AS waste_bucketed,
+           |  CAST((SELECT gmax FROM gm) * COUNT(*) - SUM(len)
+           |    AS BIGINT) AS waste_unbucketed
+           |FROM lz GROUP BY bucket""".stripMargin
       },
 
       // epoch-salted md5-60 top-4-bit shards, both epochs + the

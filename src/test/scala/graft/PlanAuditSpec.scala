@@ -49,12 +49,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec with Matchers {
     * rows of the corpus-scoring passes (q105 hot-line set, q106
     * unigram model — both size-guarded with raise_error; q112's
     * bigram model is a plan-time reference object instead, no join
-    * at all). */
+    * at all), and q165's 1-row global-max scalar broadcast. */
   private val allowBnlj = Set(
     "q27_jaccard_pairs", "q28_ann_bruteforce", "q29_neardup_embeddings",
     "q39_cli_parse", "q42_ann_ivf", "q62_neardup_auto", "q68_range_join",
     "q88_gap_fill", "q91_sql_cosine", "q100_quantized_topk",
-    "q105_line_dedup", "q106_unigram_loss")
+    "q105_line_dedup", "q106_unigram_loss", "q165_bucket_batching")
 
   private def operators(p: SparkPlan): Seq[SparkPlan] = {
     val self = p match {
