@@ -649,6 +649,40 @@ object ProbeScale {
       measureExcise("100x", replicateTrain(100), evalSet)
     }
 
+    // q157's two scale claims measured: per-round cost tracks the
+    // EDGE LIST (pair-store grain, not corpus grain), and rounds
+    // compose LINEARLY because ranks are localCheckpointed per round
+    // (an unmaterialized loop would compound plans instead)
+    if (mode == "centrality") {
+      val base = Dedup.minhashNearDupPairs(
+        Tables(spark, "/root/testdata/sf0.1", "documents"),
+        "doc_id", "text", 2, 64, 32, 0.5)
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
+      def replicatePairs(r: Int): DataFrame =
+        base.crossJoin(spark.range(r).toDF("rep"))
+          .select((col("doc_a") * r + col("rep")).as("doc_a"),
+            (col("doc_b") * r + col("rep")).as("doc_b"))
+          .localCheckpoint()
+      def measureCentrality(tag: String, pairs: DataFrame,
+          rounds: Int): Unit = {
+        val nPairs = pairs.count()
+        val t0 = System.nanoTime()
+        val top = Dedup.dupCentrality(pairs, rounds, topK = 20)
+          .collect()
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(f"PROBE_SCALE centrality/$tag pairs=$nPairs " +
+          f"rounds=$rounds top1_rank=${top.head.getLong(1)} " +
+          f"wall=$wall%.2fs")
+      }
+      measureCentrality("1x_r3", base, 3)
+      measureCentrality("10x_r3", replicatePairs(10), 3)
+      measureCentrality("100x_r3", replicatePairs(100), 3)
+      val big = replicatePairs(100)
+      measureCentrality("100x_r6", big, 6)
+      measureCentrality("100x_r12", big, 12)
+    }
+
     // q131's decision drivers: the dense path's pre-filter survivor
     // volume (what survives iub/min(sz) >= t into the exact re-score)
     // and the inverted-index emission sum Σ C(df,2) (what the sparse
