@@ -675,10 +675,10 @@ object ProbeScale {
           f"rounds=$rounds top1_rank=${top.head.getLong(1)} " +
           f"wall=$wall%.2fs")
       }
+      val big = replicatePairs(100)
       measureCentrality("1x_r3", base, 3)
       measureCentrality("10x_r3", replicatePairs(10), 3)
-      measureCentrality("100x_r3", replicatePairs(100), 3)
-      val big = replicatePairs(100)
+      measureCentrality("100x_r3", big, 3)
       measureCentrality("100x_r6", big, 6)
       measureCentrality("100x_r12", big, 12)
     }

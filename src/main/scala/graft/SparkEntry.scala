@@ -2232,17 +2232,22 @@ object SparkEntry {
         when(col("len") <= b, b).otherwise(acc)
       }
       val gmax = lens.agg(max(col("len")).as("gmax"))
+      // the TOP bucket is open-ended: docs past the last power of 2
+      // pad to the bucket's own max length (greatest(bucket, max len)
+      // — a closed 8192 constant would price impossible negative
+      // waste for longer documents)
       lens.withColumn("bucket", bucket)
         .crossJoin(broadcast(gmax))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("len")).as("sum_tokens"),
+          max(col("len")).as("_bb_ml"),
           max(col("gmax")).as("_bb_gm"))
         .select(col("bucket"), col("n_docs"),
           expr("(n_docs + 7) div 8").as("n_batches"),
           col("sum_tokens"),
-          (col("bucket") * col("n_docs") - col("sum_tokens"))
-            .as("waste_bucketed"),
+          (greatest(col("bucket"), col("_bb_ml")) * col("n_docs")
+            - col("sum_tokens")).as("waste_bucketed"),
           (col("_bb_gm") * col("n_docs") - col("sum_tokens"))
             .as("waste_unbucketed"))
     }),
@@ -4730,6 +4735,49 @@ object SparkEntry {
        |FROM top JOIN documents d ON top.doc_id = d.doc_id
        |GROUP BY top.source""".stripMargin
 
+  /** ONE DuckDB rendering of the excision match-and-union chain —
+    * the SQL twin of Dedup.excisionIntervals, shared by the q163
+    * report and the q164 surgery exactly as the Scala side shares
+    * one core (a hand-copy of the walk drifting between the two
+    * oracles is the q146/q147 divergence class). Ends in
+    * `iv(doc_id, a inclusive start, e exclusive end, m matched
+    * positions)` plus `tr(doc_id, source, toks)` for the consumers. */
+  private def excisionCtesSql(n: Int): String = {
+    val g = hashes.md5Hash60Sql(
+      s"array_to_string(toks[pos:pos+${n - 1}], ' ')")
+    s"""WITH ev AS (
+       |  SELECT DISTINCT $g AS g
+       |  FROM (SELECT toks, unnest(range(1, greatest(
+       |      len(toks) - ${n - 2}, 1))) AS pos
+       |    FROM (SELECT $sqlTokens AS toks FROM documents
+       |          WHERE doc_id % 17 = 3))),
+       |tr AS (SELECT doc_id, source, $sqlTokens AS toks
+       |  FROM documents WHERE doc_id % 17 <> 3),
+       |p AS (
+       |  SELECT doc_id, pos FROM (
+       |    SELECT doc_id, toks, unnest(range(1, greatest(
+       |        len(toks) - ${n - 2}, 1))) AS pos
+       |    FROM tr)
+       |  WHERE $g IN (SELECT g FROM ev)),
+       |isl AS (SELECT doc_id, pos,
+       |    CASE WHEN MAX(pos + $n) OVER (PARTITION BY doc_id
+       |        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+       |        AND 1 PRECEDING) IS NULL
+       |      OR pos >= MAX(pos + $n) OVER (PARTITION BY doc_id
+       |        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+       |        AND 1 PRECEDING)
+       |      THEN 1 ELSE 0 END AS s
+       |  FROM p),
+       |isl2 AS (SELECT doc_id, pos,
+       |    SUM(s) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS island
+       |  FROM isl),
+       |iv AS (SELECT doc_id, MIN(pos) AS a, MAX(pos) + $n AS e,
+       |    COUNT(*) AS m
+       |  FROM isl2 GROUP BY doc_id, island)""".stripMargin
+  }
+
   /** DuckDB mirror of CorpusStats.linearClassifierScores +
     * the per-source gate report — definition-for-definition: the same
     * md5-seeded (bucket, weight) model regenerated from scratch, the
@@ -5507,49 +5555,13 @@ object SparkEntry {
       // third engine form, same single recompute
       "q161_incremental_classifier" -> classifierGateSql,
 
-      // the identical island walk over matched 8-gram positions:
-      // same 1-based windows, same running-max-end island starts,
-      // same max+8-min union lengths — integer end to end
-      "q163_contamination_excision" -> {
-        val g = hashes.md5Hash60Sql(
-          "array_to_string(toks[pos:pos+7], ' ')")
-        val gEv = hashes.md5Hash60Sql(
-          "array_to_string(toks[pos:pos+7], ' ')")
-        s"""WITH ev AS (
-           |  SELECT DISTINCT $gEv AS g
-           |  FROM (SELECT toks, unnest(range(1, greatest(
-           |      len(toks) - 6, 1))) AS pos
-           |    FROM (SELECT $sqlTokens AS toks FROM documents
-           |          WHERE doc_id % 17 = 3))),
-           |tr AS (SELECT doc_id, source, $sqlTokens AS toks
-           |  FROM documents WHERE doc_id % 17 <> 3),
-           |p AS (
-           |  SELECT doc_id, pos FROM (
-           |    SELECT doc_id, toks, unnest(range(1, greatest(
-           |        len(toks) - 6, 1))) AS pos
-           |    FROM tr)
-           |  WHERE $g IN (SELECT g FROM ev)),
-           |isl AS (SELECT doc_id, pos,
-           |    CASE WHEN MAX(pos + 8) OVER (PARTITION BY doc_id
-           |        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
-           |        AND 1 PRECEDING) IS NULL
-           |      OR pos >= MAX(pos + 8) OVER (PARTITION BY doc_id
-           |        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
-           |        AND 1 PRECEDING)
-           |      THEN 1 ELSE 0 END AS s
-           |  FROM p),
-           |isl2 AS (SELECT doc_id, pos,
-           |    SUM(s) OVER (PARTITION BY doc_id ORDER BY pos
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           |      AS island
-           |  FROM isl),
-           |cov AS (SELECT doc_id,
-           |    CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS c,
-           |    COUNT(*) AS m
-           |  FROM isl2 GROUP BY doc_id, island),
-           |pd AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS exc,
+      // the identical island walk over matched 8-gram positions
+      // (excisionCtesSql — ONE rendering shared with q164)
+      "q163_contamination_excision" ->
+        s"""${excisionCtesSql(8)},
+           |pd AS (SELECT doc_id, CAST(SUM(e - a) AS BIGINT) AS exc,
            |    CAST(SUM(m) AS BIGINT) AS gm
-           |  FROM cov GROUP BY doc_id)
+           |  FROM iv GROUP BY doc_id)
            |SELECT tr.source, COUNT(*) AS n_docs,
            |  CAST(SUM(CASE WHEN COALESCE(pd.exc, 0) > 0 THEN 1
            |    ELSE 0 END) AS BIGINT) AS n_affected,
@@ -5559,46 +5571,15 @@ object SparkEntry {
            |  CAST(SUM(COALESCE(pd.gm, 0)) AS BIGINT)
            |    AS grams_matched
            |FROM tr LEFT JOIN pd ON tr.doc_id = pd.doc_id
-           |GROUP BY tr.source""".stripMargin
-      },
+           |GROUP BY tr.source""".stripMargin,
 
-      // same match + island chain as q163, then the cleaned string
-      // rebuilt independently (range-exploded positions, covered
-      // anti-join, ordered string_agg) and hashed — NULL when the
-      // whole document was excised, in both engines
+      // same match + island chain as q163 (excisionCtesSql — ONE
+      // rendering), then the cleaned string rebuilt independently
+      // (range-exploded positions, covered anti-join, ordered
+      // string_agg) and hashed — NULL when the whole document was
+      // excised, in both engines
       "q164_excised_corpus" -> {
-        val g = hashes.md5Hash60Sql(
-          "array_to_string(toks[pos:pos+7], ' ')")
-        s"""WITH ev AS (
-           |  SELECT DISTINCT $g AS g
-           |  FROM (SELECT toks, unnest(range(1, greatest(
-           |      len(toks) - 6, 1))) AS pos
-           |    FROM (SELECT $sqlTokens AS toks FROM documents
-           |          WHERE doc_id % 17 = 3))),
-           |tr AS (SELECT doc_id, $sqlTokens AS toks
-           |  FROM documents WHERE doc_id % 17 <> 3),
-           |p AS (
-           |  SELECT doc_id, pos FROM (
-           |    SELECT doc_id, toks, unnest(range(1, greatest(
-           |        len(toks) - 6, 1))) AS pos
-           |    FROM tr)
-           |  WHERE $g IN (SELECT g FROM ev)),
-           |isl AS (SELECT doc_id, pos,
-           |    CASE WHEN MAX(pos + 8) OVER (PARTITION BY doc_id
-           |        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
-           |        AND 1 PRECEDING) IS NULL
-           |      OR pos >= MAX(pos + 8) OVER (PARTITION BY doc_id
-           |        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
-           |        AND 1 PRECEDING)
-           |      THEN 1 ELSE 0 END AS s
-           |  FROM p),
-           |isl2 AS (SELECT doc_id, pos,
-           |    SUM(s) OVER (PARTITION BY doc_id ORDER BY pos
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           |      AS island
-           |  FROM isl),
-           |iv AS (SELECT doc_id, MIN(pos) AS a, MAX(pos) + 8 AS e
-           |  FROM isl2 GROUP BY doc_id, island),
+        s"""${excisionCtesSql(8)},
            |aff AS (SELECT doc_id, CAST(SUM(e - a) AS BIGINT) AS exc
            |  FROM iv GROUP BY doc_id),
            |cp AS (SELECT doc_id, unnest(range(a, e)) AS cpos
@@ -5634,8 +5615,8 @@ object SparkEntry {
            |SELECT bucket, COUNT(*) AS n_docs,
            |  (COUNT(*) + 7) // 8 AS n_batches,
            |  CAST(SUM(len) AS BIGINT) AS sum_tokens,
-           |  CAST(bucket * COUNT(*) - SUM(len) AS BIGINT)
-           |    AS waste_bucketed,
+           |  CAST(greatest(bucket, MAX(len)) * COUNT(*) - SUM(len)
+           |    AS BIGINT) AS waste_bucketed,
            |  CAST((SELECT gmax FROM gm) * COUNT(*) - SUM(len)
            |    AS BIGINT) AS waste_unbucketed
            |FROM lz GROUP BY bucket""".stripMargin

@@ -1077,6 +1077,10 @@ object Dedup {
       .agg(min(col("_ce_p")).as("_ce_a"),
         (max(col("_ce_p")) + n).as("_ce_e"),
         count(lit(1)).as("_ce_m"))
+      // island-grain (tiny); materialized once so the report's two
+      // consumers (and the surgery's three) don't re-run the corpus
+      // match chain per plan branch
+      .localCheckpoint()
     (toks, intervals)
   }
 
@@ -1099,7 +1103,7 @@ object Dedup {
     * per-doc grain, no global sort. */
   def contaminationExcisedDocs(docs: DataFrame, evalSet: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
-    val (toks, intervals) =
+    val (_, intervals) =
       excisionIntervals(docs, evalSet, idCol, textCol, n,
         "contaminationExcisedDocs")
     val covered = intervals
@@ -1110,8 +1114,15 @@ object Dedup {
       .groupBy(col("_ce_id"))
       .agg(sum(col("_ce_e") - col("_ce_a")).cast("long")
         .as("tokens_excised"))
-    val kept = toks
+    // tokenize ONLY the affected documents (rare by construction):
+    // the semi join runs on raw ids BEFORE the tokenize projection,
+    // so the surgery's corpus-grain work is exactly the one match
+    // scan inside excisionIntervals
+    val affToks = docs
+      .select(col(idCol).as("_ce_id"), col(textCol))
       .join(affected.select(col("_ce_id")), Seq("_ce_id"), "left_semi")
+      .select(col("_ce_id"), text.tokens(col(textCol)).as("_ce_toks"))
+    val kept = affToks
       .select(col("_ce_id"),
         posexplode(col("_ce_toks")).as(Seq("_ce_p0", "_ce_t")))
       .select(col("_ce_id"), (col("_ce_p0") + 1).as("_ce_cp"),
@@ -1122,7 +1133,7 @@ object Dedup {
         transform(
           array_sort(collect_list(struct(col("_ce_cp"), col("_ce_t")))),
           x => x.getField("_ce_t")), " ")).as("clean_hash"))
-    toks
+    affToks
       .select(col("_ce_id"),
         size(col("_ce_toks")).cast("long").as("n_tok"))
       .join(affected, Seq("_ce_id"))
