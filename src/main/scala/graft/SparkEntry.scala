@@ -2252,6 +2252,52 @@ object SparkEntry {
             .as("waste_unbucketed"))
     }),
 
+    // ── NS: EXACT-SUBSTRING SELF-DEDUP (ExactSubstr, Lee et al.
+    // 2022) — a span of >= 8 consecutive tokens occurring MORE THAN
+    // ONCE in the corpus is excised from every occurrence except the
+    // first (min (doc_id, pos)): the span-grain complement of the
+    // whole-doc keeper (q84) and the eval-set excision (q163, which
+    // this shares its island walk with). Per gram the owner is a
+    // map-side-combining min-struct aggregate — repeated boilerplate
+    // collapses before the exchange — and only duplicated grams
+    // survive to the join-back; the oracle replays the same rule as
+    // ROW_NUMBER() > 1 over (gram hash, doc, pos). Integer walk ──
+    "q166_selfdup_excision" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.selfDupExcision(docs, "doc_id", "text", n = 8)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("tokens_excised") > 0L, 1L).otherwise(0L))
+            .as("n_affected"),
+          sum(col("n_tok")).as("tokens_total"),
+          sum(col("tokens_excised")).as("tokens_excised"),
+          sum(col("grams_deduped")).as("grams_deduped"))
+    }),
+
+    // ── NS: T5 SPAN-CORRUPTION REPORT (Raffel et al. 2020) — the
+    // denoising example builder's exact size accounting: each
+    // position masked by a deterministic md5 clock (15%), runs of
+    // consecutive masked positions are the corruption spans (one
+    // sentinel each side), so input = total − masked + spans and
+    // target = masked + spans. Both engines replay the same clock
+    // and the same gaps-and-islands grouping — integer end to end ──
+    "q167_span_corruption" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      CorpusStats.spanCorruptionStats(docs, "doc_id", "text",
+          maskPct = 15)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("tokens_total"),
+          sum(col("tokens_masked")).as("tokens_masked"),
+          sum(col("n_spans")).as("n_spans"),
+          sum(col("n_tok") - col("tokens_masked") + col("n_spans"))
+            .as("input_tokens"),
+          sum(col("tokens_masked") + col("n_spans"))
+            .as("target_tokens"))
+    }),
+
     // ── NS: EPOCH-SHUFFLE SHARD MANIFEST — the "reshuffle the
     // dataset every epoch" primitive: shard = top 4 bits of an
     // epoch-SALTED md5-60 key, so the permutation is deterministic,
@@ -4759,7 +4805,17 @@ object SparkEntry {
        |        len(toks) - ${n - 2}, 1))) AS pos
        |    FROM tr)
        |  WHERE $g IN (SELECT g FROM ev)),
-       |isl AS (SELECT doc_id, pos,
+       |${islandWalkCtesSql(n)}""".stripMargin
+  }
+
+  /** The overlap-union island walk as DuckDB CTEs — the SQL twin of
+    * Dedup.islandIntervals, consumed after an in-scope `p(doc_id,
+    * pos)` CTE of matched positions; shared by the contamination
+    * excision oracles (q163/q164) and the self-dedup oracle (q166)
+    * exactly as the Scala side shares one walk. Ends in `iv(doc_id,
+    * a inclusive start, e exclusive end, m matched positions)`. */
+  private def islandWalkCtesSql(n: Int): String =
+    s"""isl AS (SELECT doc_id, pos,
        |    CASE WHEN MAX(pos + $n) OVER (PARTITION BY doc_id
        |        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
        |        AND 1 PRECEDING) IS NULL
@@ -4776,7 +4832,6 @@ object SparkEntry {
        |iv AS (SELECT doc_id, MIN(pos) AS a, MAX(pos) + $n AS e,
        |    COUNT(*) AS m
        |  FROM isl2 GROUP BY doc_id, island)""".stripMargin
-  }
 
   /** DuckDB mirror of CorpusStats.linearClassifierScores +
     * the per-source gate report — definition-for-definition: the same
@@ -5620,6 +5675,76 @@ object SparkEntry {
            |  CAST((SELECT gmax FROM gm) * COUNT(*) - SUM(len)
            |    AS BIGINT) AS waste_unbucketed
            |FROM lz GROUP BY bucket""".stripMargin
+      },
+
+      // the ExactSubstr keeper rule replayed as ROW_NUMBER() > 1
+      // over (gram hash, doc, pos) — definitionally the engine's
+      // "every occurrence except the min-(doc,pos) owner" — then the
+      // shared island walk (islandWalkCtesSql, ONE rendering with
+      // q163/q164)
+      "q166_selfdup_excision" -> {
+        val g = hashes.md5Hash60Sql(
+          "array_to_string(toks[pos:pos+7], ' ')")
+        s"""WITH tr AS (SELECT doc_id, source, $sqlTokens AS toks
+           |  FROM documents),
+           |p AS (
+           |  SELECT doc_id, pos FROM (
+           |    SELECT doc_id, pos,
+           |      ROW_NUMBER() OVER (PARTITION BY g
+           |        ORDER BY doc_id, pos) AS rn
+           |    FROM (SELECT doc_id, pos, $g AS g
+           |      FROM (SELECT doc_id, toks, unnest(range(1, greatest(
+           |          len(toks) - 6, 1))) AS pos
+           |        FROM tr)))
+           |  WHERE rn > 1),
+           |${islandWalkCtesSql(8)},
+           |pd AS (SELECT doc_id, CAST(SUM(e - a) AS BIGINT) AS exc,
+           |    CAST(SUM(m) AS BIGINT) AS gd
+           |  FROM iv GROUP BY doc_id)
+           |SELECT tr.source, COUNT(*) AS n_docs,
+           |  CAST(SUM(CASE WHEN COALESCE(pd.exc, 0) > 0 THEN 1
+           |    ELSE 0 END) AS BIGINT) AS n_affected,
+           |  CAST(SUM(len(tr.toks)) AS BIGINT) AS tokens_total,
+           |  CAST(SUM(COALESCE(pd.exc, 0)) AS BIGINT)
+           |    AS tokens_excised,
+           |  CAST(SUM(COALESCE(pd.gd, 0)) AS BIGINT)
+           |    AS grams_deduped
+           |FROM tr LEFT JOIN pd ON tr.doc_id = pd.doc_id
+           |GROUP BY tr.source""".stripMargin
+      },
+
+      // the identical md5 mask clock and the identical pos − rn
+      // gaps-and-islands span grouping; T5 length accounting is
+      // integer arithmetic over the per-doc (total, masked, spans)
+      "q167_span_corruption" -> {
+        val clock = hashes.md5Hash60Sql(
+          "CAST(doc_id AS VARCHAR) || ':' || " +
+            "CAST(pos AS VARCHAR) || ':sc'")
+        s"""WITH tr AS (SELECT doc_id, source, $sqlTokens AS toks
+           |  FROM documents),
+           |p AS (SELECT doc_id,
+           |    unnest(range(1, len(toks) + 1)) AS pos
+           |  FROM tr),
+           |m AS (SELECT doc_id, pos FROM p
+           |  WHERE $clock % 100 < 15),
+           |sp AS (SELECT doc_id,
+           |    CAST(COUNT(*) AS BIGINT) AS tm,
+           |    CAST(COUNT(DISTINCT pos - rn) AS BIGINT) AS ns
+           |  FROM (SELECT doc_id, pos, ROW_NUMBER() OVER (
+           |      PARTITION BY doc_id ORDER BY pos) AS rn
+           |    FROM m)
+           |  GROUP BY doc_id)
+           |SELECT tr.source, COUNT(*) AS n_docs,
+           |  CAST(SUM(len(tr.toks)) AS BIGINT) AS tokens_total,
+           |  CAST(SUM(COALESCE(sp.tm, 0)) AS BIGINT)
+           |    AS tokens_masked,
+           |  CAST(SUM(COALESCE(sp.ns, 0)) AS BIGINT) AS n_spans,
+           |  CAST(SUM(len(tr.toks) - COALESCE(sp.tm, 0)
+           |    + COALESCE(sp.ns, 0)) AS BIGINT) AS input_tokens,
+           |  CAST(SUM(COALESCE(sp.tm, 0) + COALESCE(sp.ns, 0))
+           |    AS BIGINT) AS target_tokens
+           |FROM tr LEFT JOIN sp ON tr.doc_id = sp.doc_id
+           |GROUP BY tr.source""".stripMargin
       },
 
       // epoch-salted md5-60 top-4-bit shards, both epochs + the

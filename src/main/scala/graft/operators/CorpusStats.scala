@@ -617,4 +617,57 @@ object CorpusStats {
     linearClassifierScores(docs, idCol, textCol, buckets)
       .groupBy(col(sourceCol))
       .agg(classifierGateAggCols.head, classifierGateAggCols.tail: _*)
+
+  /** NS: T5 SPAN-CORRUPTION accounting (Raffel et al. 2020): the
+    * denoising-pretraining example builder's exact size report. Each
+    * token position is masked by an independent deterministic md5
+    * clock (the [[importanceSample]] convention — seedable via
+    * `clockSalt`, replayable in SQL); RUNS of consecutive masked
+    * positions form the corruption spans, each replaced by one
+    * sentinel on the input side and emitted as (sentinel + span
+    * tokens) on the target side. Returns one row per document:
+    * `n_tok`, `tokens_masked`, `n_spans` — from which the T5 length
+    * accounting is pure integer arithmetic (input = n_tok −
+    * tokens_masked + n_spans, target = tokens_masked + n_spans).
+    *
+    * Spans are gaps-and-islands on CONSECUTIVE positions (pos −
+    * row_number per doc), not the n-gram window walk — a masked run
+    * is maximal runs of adjacent positions, where the excision
+    * family's walk unions [pos, pos+n) windows.
+    *
+    * Scale shape (100 TB): the position stream reduces at the mask
+    * filter (maskPct% survives) BEFORE the only doc-partitioned
+    * window; the per-doc report is one hash aggregate; empty and
+    * fully-unmasked docs re-attach at zero via the doc-grain left
+    * join. No global window, integer end to end. */
+  def spanCorruptionStats(docs: DataFrame, idCol: String,
+      textCol: String, maskPct: Int, clockSalt: String = ":sc")
+      : DataFrame = {
+    require(maskPct >= 1 && maskPct <= 99,
+      s"spanCorruptionStats: maskPct in [1, 99]: $maskPct")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("_sc_id"),
+      size(text.tokens(col(textCol))).cast("long").as("n_tok"))
+    val positions = docs
+      .select(col(idCol).as("_sc_id"),
+        text.tokens(col(textCol)).as("_sc_toks"))
+      .select(col("_sc_id"),
+        explode(when(size(col("_sc_toks")) >= 1,
+          sequence(lit(1), size(col("_sc_toks"))))
+          .otherwise(array().cast("array<int>"))).as("_sc_p"))
+    val masked = positions.filter(
+      hashes.md5Hash60(concat(col("_sc_id").cast("string"), lit(":"),
+        col("_sc_p").cast("string"), lit(clockSalt))) % 100L
+        < maskPct.toLong)
+    val w = Window.partitionBy(col("_sc_id")).orderBy(col("_sc_p"))
+    val spans = masked
+      .withColumn("_sc_grp", col("_sc_p") - row_number().over(w))
+      .groupBy(col("_sc_id"))
+      .agg(count(lit(1)).as("tokens_masked"),
+        countDistinct(col("_sc_grp")).as("n_spans"))
+    toks.join(spans, Seq("_sc_id"), "left")
+      .select(col("_sc_id").as(idCol), col("n_tok"),
+        coalesce(col("tokens_masked"), lit(0L)).as("tokens_masked"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+  }
 }

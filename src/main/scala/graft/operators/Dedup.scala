@@ -1043,31 +1043,46 @@ object Dedup {
       idCol: String, textCol: String, n: Int, caller: String)
       : (DataFrame, DataFrame) = {
     require(n >= 2 && n <= 64, s"$caller: n must be in [2, 64]: $n")
-    import org.apache.spark.sql.expressions.Window
-    def gramAt(toks: Column, pos: Column): Column =
-      hashes.md5Hash60(array_join(slice(toks, pos, lit(n)), " "))
-    def positions(toks: Column): Column =
-      when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
-        .otherwise(array().cast("array<int>"))
     val evalGrams = evalSet
       .withColumn("_ce_toks", text.tokens(col(textCol)))
-      .select(explode(positions(col("_ce_toks"))).as("_ce_p"),
+      .select(explode(gramPositions(col("_ce_toks"), n)).as("_ce_p"),
         col("_ce_toks"))
-      .select(gramAt(col("_ce_toks"), col("_ce_p")).as("_ce_g"))
+      .select(gramHashAt(col("_ce_toks"), col("_ce_p"), n).as("_ce_g"))
       .distinct()
     val toks = docs.select(col(idCol).as("_ce_id"),
       text.tokens(col(textCol)).as("_ce_toks"))
     val matched = toks
       .select(col("_ce_id"),
-        explode(positions(col("_ce_toks"))).as("_ce_p"),
+        explode(gramPositions(col("_ce_toks"), n)).as("_ce_p"),
         col("_ce_toks"))
       .select(col("_ce_id"), col("_ce_p"),
-        gramAt(col("_ce_toks"), col("_ce_p")).as("_ce_g"))
+        gramHashAt(col("_ce_toks"), col("_ce_p"), n).as("_ce_g"))
       .join(evalGrams, Seq("_ce_g"), "left_semi")
+    (toks, islandIntervals(matched, n))
+  }
+
+  /** md5-60 hash of the n-gram of `toks` starting at 1-based `pos`. */
+  private def gramHashAt(toks: Column, pos: Column, n: Int): Column =
+    hashes.md5Hash60(array_join(slice(toks, pos, lit(n)), " "))
+
+  /** 1-based n-gram start positions of `toks` (empty when too short). */
+  private def gramPositions(toks: Column, n: Int): Column =
+    when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+
+  /** ONE rendering of the overlap-union island walk shared by the
+    * contamination excision family and [[selfDupExcision]]: `matched`
+    * is (_ce_id, _ce_p) — the positions whose n-gram matched — and
+    * the result is one row per excision island (_ce_id, _ce_a
+    * inclusive 1-based start, _ce_e exclusive end, _ce_m matched
+    * positions inside it). Doc-partitioned windows over MATCHED
+    * positions only; exact integer arithmetic end to end. */
+  private def islandIntervals(matched: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("_ce_id")).orderBy(col("_ce_p"))
     val prevEnd = max(col("_ce_p") + n)
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
-    val intervals = matched
+    matched
       .withColumn("_ce_s",
         when(prevEnd.isNull || col("_ce_p") >= prevEnd, 1L)
           .otherwise(0L))
@@ -1081,7 +1096,6 @@ object Dedup {
       // consumers (and the surgery's three) don't re-run the corpus
       // match chain per plan branch
       .localCheckpoint()
-    (toks, intervals)
   }
 
   /** The SURGERY half of [[contaminationExcision]] — materialize the
@@ -1140,6 +1154,76 @@ object Dedup {
       .join(kept, Seq("_ce_id"), "left")
       .select(col("_ce_id").as(idCol), col("n_tok"),
         col("tokens_excised"), col("clean_hash"))
+  }
+
+  /** NS: EXACT-SUBSTRING SELF-DEDUP — the ExactSubstr recipe of Lee
+    * et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"): a span of >= n consecutive tokens that occurs MORE THAN
+    * ONCE in the corpus (across documents or repeated inside one) is
+    * excised from every occurrence EXCEPT THE FIRST — the span-grain
+    * complement of the whole-doc keeper (q84) and the eval-set
+    * excision ([[contaminationExcision]], which this shares its
+    * island walk with). "First" is the (doc id, position) order, so
+    * the keeper rule is deterministic and oracle-replayable.
+    *
+    * Dataflow: hash every n-gram position; per gram, the OWNER is
+    * min(struct(id, pos)) — a hash aggregate whose partial (map-side)
+    * min collapses a page's repeated boilerplate before the exchange;
+    * only grams with >1 occurrence survive the owner table; positions
+    * re-join it on the gram hash and every non-owner occurrence is a
+    * matched position. Matched positions widen to n-token windows and
+    * union by the shared doc-partitioned island walk. Returns one row
+    * per input document: `n_tok`, `grams_deduped` (non-owner
+    * positions), `tokens_excised` (exact union length).
+    *
+    * Scale shape (100 TB): Lee et al. build a monolithic suffix
+    * array; the distributed equivalent is exactly this gram-keyed
+    * shuffle pair — positions shuffle once on the 60-bit gram hash
+    * (sort-free hash aggregate, not a suffix sort), and the join-back
+    * probe streams the same exchange. The owner table is bounded by
+    * the DUPLICATED gram count (<< corpus positions in a cleaned
+    * corpus); the per-doc window sees only matched positions. No
+    * global window, no driver materialization, integer end to end. */
+  def selfDupExcision(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 2 && n <= 64, s"selfDupExcision: n in [2, 64]: $n")
+    val toks = docs.select(col(idCol).as("_ce_id"),
+      text.tokens(col(textCol)).as("_ce_toks"))
+    // positional gram stream feeds BOTH the owner aggregate and the
+    // join probe — persist so the tokenize+hash runs once (the
+    // dupSpanStats pattern)
+    val pos = Relational.widenForCpu(toks, col("_ce_id"))
+      .select(col("_ce_id"),
+        explode(gramPositions(col("_ce_toks"), n)).as("_ce_p"),
+        col("_ce_toks"))
+      .select(col("_ce_id"), col("_ce_p"),
+        gramHashAt(col("_ce_toks"), col("_ce_p"), n).as("_ce_g"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val owners = pos
+      .groupBy(col("_ce_g"))
+      .agg(min(struct(col("_ce_id"), col("_ce_p"))).as("_ce_o"),
+        count(lit(1)).as("_ce_c"))
+      .filter(col("_ce_c") > 1L)
+      .select(col("_ce_g"), col("_ce_o"))
+    val matched = pos
+      .join(owners, Seq("_ce_g"))
+      .filter(struct(col("_ce_id"), col("_ce_p")) =!= col("_ce_o"))
+      .select(col("_ce_id"), col("_ce_p"))
+    val perDoc = islandIntervals(matched, n)
+      .groupBy(col("_ce_id"))
+      .agg(sum(col("_ce_e") - col("_ce_a")).cast("long")
+        .as("tokens_excised"),
+        sum(col("_ce_m")).as("grams_deduped"))
+    val out = toks
+      .select(col("_ce_id"), size(col("_ce_toks")).cast("long")
+        .as("n_tok"))
+      .join(perDoc, Seq("_ce_id"), "left")
+      .select(col("_ce_id").as(idCol), col("n_tok"),
+        coalesce(col("grams_deduped"), lit(0L)).as("grams_deduped"),
+        coalesce(col("tokens_excised"), lit(0L)).as("tokens_excised"))
+      .localCheckpoint(eager = true)
+    pos.unpersist(blocking = false)
+    out
   }
 
   /** Incremental-ingest exact dedup: keep only batch documents whose

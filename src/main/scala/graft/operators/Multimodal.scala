@@ -541,14 +541,24 @@ final class PngEncoder {
 
   /** See [[Multimodal.encodePng]] for the image contract. */
   def encode(width: Int, height: Int,
-      rgbLeft: Int, rgbRight: Int): Array[Byte] = {
+      rgbLeft: Int, rgbRight: Int): Array[Byte] =
+    encodePixels(width, height,
+      (x, _) => if (x < width / 2) rgbLeft else rgbRight)
+
+  /** Arbitrary-pixel variant: `rgbAt(x, y)` supplies each pixel —
+    * the q168 gradient fixture writes GRAY pixels (r = g = b = v) so
+    * the decoded luma equals the generation value exactly and the
+    * oracle can predict per-sample comparisons with no rounding
+    * surface. */
+  def encodePixels(width: Int, height: Int,
+      rgbAt: (Int, Int) => Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < height) {
       var x = 0
       while (x < width) {
-        img.setRGB(x, y, if (x < width / 2) rgbLeft else rgbRight)
+        img.setRGB(x, y, rgbAt(x, y))
         x += 1
       }
       y += 1

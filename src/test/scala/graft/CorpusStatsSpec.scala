@@ -354,4 +354,54 @@ class CorpusStatsSpec extends AnyFunSuite with SparkSpec with Matchers {
         buckets = 1)
     }.getMessage should include("buckets")
   }
+
+  test("spanCorruptionStats: mask clock matches an independent md5 " +
+    "recomputation; consecutive masked runs group into spans; empty " +
+    "and unmasked docs re-attach at zero") {
+    import spark.implicits._
+    def md5h(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.substring(0, 15), 16)
+    }
+    def expectedFor(id: Long, tx: String, pct: Int)
+        : (Long, Long, Long) = {
+      val toks = tx.trim.toLowerCase.split("\\s+")
+        .filter(_.nonEmpty).toSeq
+      val masked = (1 to toks.size)
+        .filter(p => md5h(s"$id:$p:sc") % 100L < pct.toLong)
+      val spans = masked.foldLeft((0L, Int.MinValue)) {
+        case ((n, prev), p) =>
+          (if (p == prev + 1) n else n + 1L, p)
+      }._1
+      (toks.size.toLong, masked.size.toLong, spans)
+    }
+    val fixture = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then " +
+        "some more words arrive to be masked by the clock"),
+      (2L, ""), // zero tokens: must re-attach at (0, 0, 0)
+      (3L, "one"),
+      (4L, (1 to 80).map(i => s"tok$i").mkString(" ")))
+    def run(pct: Int) = CorpusStats.spanCorruptionStats(
+        fixture.toDF("doc_id", "text"), "doc_id", "text",
+        maskPct = pct)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (d, nt, tm, ns) => d -> ((nt, tm, ns)) }.toMap
+    val out15 = run(15)
+    out15 shouldBe fixture
+      .map { case (id, tx) => id -> expectedFor(id, tx, 15) }.toMap
+    out15(2L) shouldBe ((0L, 0L, 0L))
+    // a dense rate forces multi-position runs: spans < masked proves
+    // the gaps-and-islands grouping actually merged adjacent marks
+    val out60 = run(60)
+    out60 shouldBe fixture
+      .map { case (id, tx) => id -> expectedFor(id, tx, 60) }.toMap
+    val (_, tm4, ns4) = out60(4L)
+    ns4 should be < tm4
+    intercept[IllegalArgumentException] {
+      CorpusStats.spanCorruptionStats(fixture.toDF("doc_id", "text"),
+        "doc_id", "text", maskPct = 0)
+    }.getMessage should include("maskPct")
+  }
 }

@@ -877,6 +877,32 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
     out(2L) shouldBe ((5L, 5L, None))
   }
 
+  test("selfDupExcision: ExactSubstr keeper — the min-(doc,pos) " +
+    "occurrence survives, later cross-doc and within-doc repeats " +
+    "excise, islands union overlaps") {
+    import spark.implicits._
+    // "a b c" occurs at (1,1) owner, (2,3), (4,1), (4,5);
+    // "b c d" at (1,2) owner, (2,4); "c d e" at (1,3) owner, (2,5).
+    // d2 matched pos 3,4,5 -> one island [3,8) = 5 tokens;
+    // d4 matched pos 1 and 5 -> [1,4) and [5,8) = 6 tokens.
+    val docs = Seq(
+      (1L, "a b c d e x y"),
+      (2L, "q q a b c d e"),
+      (3L, "m n o"),
+      (4L, "a b c z a b c")).toDF("doc_id", "text")
+    val out = Dedup.selfDupExcision(docs, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (d, nt, gd, ex) => d -> ((nt, gd, ex)) }.toMap
+    out shouldBe Map(
+      1L -> ((7L, 0L, 0L)),
+      2L -> ((7L, 3L, 5L)),
+      3L -> ((3L, 0L, 0L)),
+      4L -> ((7L, 2L, 6L)))
+    intercept[IllegalArgumentException] {
+      Dedup.selfDupExcision(docs, "doc_id", "text", n = 1)
+    }.getMessage should include("n in [2, 64]")
+  }
+
   test("dupCentrality: integer power iteration matches the hand-walked " +
     "star graph; hub ranks first") {
     import spark.implicits._
