@@ -260,9 +260,13 @@ object ProbeScale {
       for (replicas <- Seq(1, 8, 32)) {
         val amp = (0 until replicas).flatMap(r =>
           words.map { case (s, f) => (s.replace(">", s"~$r>"), f) })
-        // capacity-bounded target: every replica multiplies capacity
-        val target = math.min(1000 * replicas / 32, 64 * replicas)
-        val nMerges = math.max(64, target)
+        // capacity-bounded target: every replica multiplies capacity.
+        // No floor above the per-replica capacity bound — a max(64, _)
+        // would push replicas=1 past what the sf0.01 vocabulary can
+        // support and abort in Bpe.train's no-pairs-left require
+        // instead of measuring
+        val nMerges = math.max(1,
+          math.min(1000 * replicas / 32, 64 * replicas))
         val td0 = System.nanoTime()
         val rules = graft.operators.Bpe.train(amp, nMerges)
         val driverWall = (System.nanoTime() - td0) / 1e9
@@ -640,8 +644,16 @@ object ProbeScale {
         .localCheckpoint()
       val train = docsE.filter(!isEval)
         .select(col("doc_id"), col("text"))
+      // replicate WITHOUT a join: a crossJoin(range) puts a Join node
+      // in the analyzed plan, which makes widenForCpu treat the frame
+      // as already shuffle-width-governed — but a broadcast-NLJ output
+      // keeps the 2-split scan width, so the probe would measure a
+      // narrow kernel the real operator never runs. posexplode keeps
+      // the frame scan-shaped, so the operator's own width policy
+      // (the thing under test) decides.
       def replicateTrain(r: Int): DataFrame =
-        train.crossJoin(spark.range(r).toDF("rep"))
+        train.select(col("doc_id"), col("text"),
+            posexplode(array_repeat(lit(1), r)).as(Seq("rep", "_one")))
           .select((col("doc_id") * r + col("rep")).as("doc_id"),
             col("text"))
       measureExcise("1x", train, evalSet)

@@ -4222,7 +4222,11 @@ object SparkEntry {
         val enc = new graft.operators.PngEncoder() // once per task
         rows.map { r =>
           val id = r.getLong(0)
-          val nf = 4 + (id % 5L).toInt
+          // id is a multiple of 5 by the fixture filter, so id % 5
+          // would pin nf at 4 and the oracle gate would never see
+          // variable/odd frame counts or the trailing-skip path —
+          // derive from id/5 instead, which spans all residues
+          val nf = 4 + (id / 5 % 5L).toInt
           def c(m: Long, f: Int) = ((m * (id * 31 + f + 7)) % 256L).toInt
           val frames = (0 until nf).map { f =>
             val left = (c(1, f) << 16) | (c(3, f) << 8) | c(5, f)
@@ -4257,14 +4261,23 @@ object SparkEntry {
     * banded build loses no pair the reports need, every run. */
   private def nearDupPairStore(s: SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
-    def sigOf(f: java.io.File): String =
-      if (f.isDirectory)
-        java.lang.Long.toHexString(
+    // md5 over the SORTED (name, length, mtime) tuples, not an XOR
+    // fold: a fold of length^mtime can collide across regenerated
+    // fixtures with identical sizes and second-grain mtimes, silently
+    // reusing a stale store for a different corpus version — the md5
+    // of the full tuple list cannot
+    def sigOf(f: java.io.File): String = {
+      val tuples =
+        if (f.isDirectory)
           Option(f.listFiles()).getOrElse(Array.empty)
-            .foldLeft(0L)((a, c) =>
-              a ^ java.lang.Long.rotateLeft(
-                c.length ^ c.lastModified, c.getName.hashCode & 63)))
-      else java.lang.Long.toHexString(f.length ^ (f.lastModified * 31))
+            .map(c => s"${c.getName} ${c.length} ${c.lastModified}")
+            .sorted
+        else Array(s"${f.getName} ${f.length} ${f.lastModified}")
+      java.security.MessageDigest.getInstance("md5")
+        .digest(tuples.mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString.take(16)
+    }
     val dirKey = java.security.MessageDigest.getInstance("md5")
       .digest(new java.io.File(dir).getCanonicalPath
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -5444,7 +5457,7 @@ object SparkEntry {
       // rationals is bit-identical
       "q155_video_framesample" ->
         """WITH fr AS (
-          |  SELECT event_id, 4 + (event_id % 5) AS nf FROM events
+          |  SELECT event_id, 4 + (event_id // 5 % 5) AS nf FROM events
           |  WHERE event_id % 5 = 0),
           |sf AS (
           |  SELECT event_id, nf, CAST(f.range AS BIGINT) AS f

@@ -1051,7 +1051,11 @@ object Dedup {
       .distinct()
     val toks = docs.select(col(idCol).as("_ce_id"),
       text.tokens(col(textCol)).as("_ce_toks"))
-    val matched = toks
+    // the match scan computes one md5 per token position over the
+    // WHOLE corpus — widen past file width before the kernel, exactly
+    // as selfDupExcision does (few input files otherwise pin the
+    // hottest scan of the family to tasks_max = file count)
+    val matched = Relational.widenForCpu(toks, col("_ce_id"))
       .select(col("_ce_id"),
         explode(gramPositions(col("_ce_toks"), n)).as("_ce_p"),
         col("_ce_toks"))
@@ -1489,6 +1493,15 @@ object Dedup {
     *
     * Build is [[minhashNearDupPairs]] — banded LSH candidates,
     * exact-rescored, so the stored pairs are exact Jaccard rows.
+    * RECALL CONTRACT (consumer-facing): stored pair VALUES are exact,
+    * but pair MEMBERSHIP is LSH-candidate-bounded — a pair the
+    * banding never surfaced (P(miss) follows the (k, bands,
+    * minBandMatches=2) S-curve, ≈1.2e-3 at J=0.5 with k=64/b=32,
+    * <1e-20 at J=0.9) is absent from the store, and every governance
+    * view over it (attribution, census, keeper, centrality) inherits
+    * that recall. Corpora that run through the oracle gate verify
+    * end-to-end that no needed pair was lost; other corpora near the
+    * S-curve knee should raise bands or threshold margin.
     * Publish contract: parquet's `_SUCCESS` under `store/pairs` is
     * the marker; [[ensurePairStore]] treats its absence as "not
     * built" and a crashed half-write is clobbered by the rebuild's

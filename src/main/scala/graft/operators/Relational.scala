@@ -319,8 +319,19 @@ object Relational {
     * documented bounded planning-lookup convention (q67/q108/q113).
     * The corpus itself never shuffles. */
   def temperatureMixCuts(docs: DataFrame, stratumCol: String,
-      textCol: String, budgetTokens: Long): Seq[(String, Long)] = {
+      textCol: String, budgetTokens: Long,
+      maxStrata: Int = 1024): Seq[(String, Long)] = {
     require(budgetTokens >= 0, s"budget must be >= 0: $budgetTokens")
+    // cardinality gate BEFORE the per-stratum collect (labelCoherence
+    // convention): source-grain strata are O(10), but a caller passing
+    // a high-cardinality column (an id by mistake) must fail loudly
+    // on a cheap bounded count, not materialize it on the driver
+    val nStrata = docs.select(col(stratumCol)).filter(
+      col(stratumCol).isNotNull).distinct().limit(maxStrata + 1).count()
+    require(nStrata <= maxStrata,
+      s"temperatureMixCuts: distinct strata exceed maxStrata=" +
+        s"$maxStrata — the per-stratum collect would not be bounded; " +
+        "raise the cap or pre-bucket (is the stratum column an id?)")
     // a NULL stratum is excluded from the allocation entirely (its
     // docs get cut 0 in temperatureMix's fold) — including it here
     // would put its tokens in the denominator while its docs can

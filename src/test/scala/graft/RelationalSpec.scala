@@ -402,6 +402,13 @@ class RelationalSpec extends AnyFunSuite with SparkSpec with Matchers {
     // a budget beyond the corpus saturates every cut at 1000
     Relational.temperatureMixCuts(docs, "source", "text", 1000000L)
       .toMap.values.toSet shouldBe Set(1000L)
+    // the stratum-cardinality guard fires BEFORE the collect when a
+    // caller passes a high-cardinality column (e.g. an id) by mistake
+    val ex = the[IllegalArgumentException] thrownBy
+      Relational.temperatureMixCuts(
+        docs.withColumn("source", col("doc_id").cast("string")),
+        "source", "text", 160L, maxStrata = 50)
+    ex.getMessage should include("maxStrata")
   }
 
   test("temperatureMix applies the cuts deterministically under " +
