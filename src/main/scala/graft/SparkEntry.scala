@@ -5450,7 +5450,7 @@ object SparkEntry {
 
       // the sampled-frame means replayed from the generation
       // arithmetic (the q149 convention): frames 0,2,4,… of
-      // nf = 4 + id%5, colors (m·(31·id + f + 7)) % 256, two-tone
+      // nf = 4 + (id/5 % 5), colors (m·(31·id + f + 7)) % 256, two-tone
       // halves of an 8×6 frame ⇒ channel mean = Σ(left+right) /
       // (2·n_sampled) — the same rational the engine's pixel sums
       // divide to, and correctly-rounded IEEE division of identical

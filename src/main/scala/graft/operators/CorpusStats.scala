@@ -178,18 +178,29 @@ object CorpusStats {
       .select(explode(toks0).as("_bg_k"))
       .groupBy(col("_bg_k")).agg(count(lit(1)).as("_bg_c"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val vocabV = uniCounts.count().toDouble
-    val uniMap = countEntries(uniCounts, "unigram")
+    val (uniMap, vocabV) = graft.Phases.time("uni_collect") {
+      val v = uniCounts.count().toDouble
+      (countEntries(uniCounts, "unigram"), v)
+    }
     uniCounts.unpersist(blocking = false)
-    val biMap = countEntries(docs
-      .select(explode(docBigrams(toks0)).as("_bg_k"))
-      .groupBy(col("_bg_k")).agg(count(lit(1)).as("_bg_c")),
-      "bigram")
-    val lm = new org.apache.spark.sql.graft.BigramLm(uniMap, biMap, vocabV)
+    val biMap = graft.Phases.time("bi_collect") {
+      countEntries(docs
+        .select(explode(docBigrams(toks0)).as("_bg_k"))
+        .groupBy(col("_bg_k")).agg(count(lit(1)).as("_bg_c")),
+        "bigram")
+    }
+    // Broadcast, not a closure capture: as a bare addReferenceObj the
+    // maps serialize with the task closure of every scoring stage
+    // (the r12 q112 regression); the broadcast stub ships in bytes
+    // and executors fetch the maps once.
+    val lmBc = graft.Phases.time("model_broadcast") {
+      docs.sparkSession.sparkContext.broadcast(
+        new org.apache.spark.sql.graft.BigramLm(uniMap, biMap, vocabV))
+    }
     val toks = text.tokens(col(textCol))
     val nll2Sum = org.apache.spark.sql.graft.Bridge.column(
       org.apache.spark.sql.graft.BigramNllSum(
-        org.apache.spark.sql.graft.Bridge.expression(toks), lm))
+        org.apache.spark.sql.graft.Bridge.expression(toks), lmBc))
     docs
       .withColumn("n_tok", size(toks))
       .withColumn("nll2",

@@ -325,7 +325,10 @@ object Relational {
     // cardinality gate BEFORE the per-stratum collect (labelCoherence
     // convention): source-grain strata are O(10), but a caller passing
     // a high-cardinality column (an id by mistake) must fail loudly
-    // on a cheap bounded count, not materialize it on the driver
+    // without materializing it on the driver. Driver-SAFE, not cheap:
+    // in the very failure case it guards against, the distinct still
+    // shuffles full corpus cardinality before the limit applies — the
+    // cost it removes is the unbounded driver collect, not the shuffle
     val nStrata = docs.select(col(stratumCol)).filter(
       col(stratumCol).isNotNull).distinct().limit(maxStrata + 1).count()
     require(nStrata <= maxStrata,

@@ -2,6 +2,7 @@
 // framework types it needs are private[sql] — see CosineSim.scala.
 package org.apache.spark.sql.graft
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -9,12 +10,12 @@ import org.apache.spark.sql.types._
 
 /** Plan-time bigram LM model: real hash maps + smoothing constants,
   * built driver-side from bounded aggregate rows and shipped to
-  * executors as a codegen reference object (the [[CmsEstimate]]
-  * convention). Why not a broadcast MapType column: Catalyst's
-  * `element_at` on a map is a LINEAR scan of the key array — at a
-  * ~10³-entry bigram map probed twice per token it dominated q112's
-  * scoring pass (measured ~25 CPU-seconds at sf0.1); a HashMap probe
-  * is O(1). */
+  * executors ONCE via `sparkContext.broadcast` (the expression holds
+  * only the broadcast stub — see [[BigramNllSum]]). Why not a
+  * broadcast MapType column: Catalyst's `element_at` on a map is a
+  * LINEAR scan of the key array — at a ~10³-entry bigram map probed
+  * twice per token it dominated q112's scoring pass (measured ~25
+  * CPU-seconds at sf0.1); a HashMap probe is O(1). */
 final class BigramLm(
     val uni: java.util.HashMap[String, Long],
     val bi: java.util.HashMap[String, Long],
@@ -43,9 +44,19 @@ final class BigramLm(
 }
 
 /** Codegen'd per-document bigram negative-log-likelihood sum against
-  * a plan-time [[BigramLm]]: one static-shaped call per row, O(1)
-  * model probes, stays inside whole-stage codegen. */
-case class BigramNllSum(child: Expression, model: BigramLm)
+  * a broadcast [[BigramLm]]: one static-shaped call per row, O(1)
+  * model probes, stays inside whole-stage codegen.
+  *
+  * The expression references the `Broadcast` STUB, not the model: an
+  * `addReferenceObj` of the model itself rides the task closure of
+  * EVERY stage the expression appears in (at sf0.1 that was seconds
+  * of per-stage driver serialization — the r12 q112 regression; at
+  * 100 TB vocabularies near the 4M cap it is hundreds of MB per
+  * stage). The stub serializes in bytes; each executor torrent-fetches
+  * the maps once and the codegen'd class caches the dereferenced
+  * model in a mutable field, so the per-row path never re-probes the
+  * broadcast manager. */
+case class BigramNllSum(child: Expression, model: Broadcast[BigramLm])
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] =
@@ -54,12 +65,15 @@ case class BigramNllSum(child: Expression, model: BigramLm)
   override def prettyName: String = "bigram_nll_sum"
 
   override def nullSafeEval(v: Any): Any =
-    model.nllSum(v.asInstanceOf[ArrayData])
+    model.value.nllSum(v.asInstanceOf[ArrayData])
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("bigramLm", model,
-      "org.apache.spark.sql.graft.BigramLm")
-    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.nllSum($v);")
+    val ref = ctx.addReferenceObj("bigramLmBc", model,
+      "org.apache.spark.broadcast.Broadcast")
+    val lm = ctx.addMutableState("org.apache.spark.sql.graft.BigramLm",
+      "bigramLm",
+      v => s"$v = (org.apache.spark.sql.graft.BigramLm) $ref.value();")
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $lm.nllSum($v);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
