@@ -2298,6 +2298,30 @@ object SparkEntry {
             .as("target_tokens"))
     }),
 
+    // ── NS: MAXIMAL-SPAN EXACT-SUBSTRING REPORT (Lee et al. 2022
+    // §4.1's length gate) — q166 excises at fixed 8-gram grain; this
+    // reports the MAXIMAL duplicated spans (maximal runs of
+    // consecutive non-owner gram positions, pos − row_number
+    // gaps-and-islands) and keeps only spans >= 50 tokens, the
+    // paper's threshold. tokens_excised is the interval UNION of the
+    // qualifying spans (runs < n apart overlap once widened). The
+    // oracle replays the same owner rule, the same run grouping, and
+    // the same union walk — integer end to end ──
+    "q168_maximal_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.selfDupMaximalSpans(docs, "doc_id", "text",
+          n = 8, minSpan = 50)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("spans") > 0L, 1L).otherwise(0L))
+            .as("n_affected"),
+          sum(col("n_tok")).as("tokens_total"),
+          sum(col("spans")).as("spans"),
+          max(col("max_span")).as("max_span"),
+          sum(col("tokens_excised")).as("tokens_excised"))
+    }),
+
     // ── NS: EPOCH-SHUFFLE SHARD MANIFEST — the "reshuffle the
     // dataset every epoch" primitive: shard = top 4 bits of an
     // epoch-SALTED md5-60 key, so the permutation is deterministic,
@@ -5723,6 +5747,66 @@ object SparkEntry {
            |  CAST(SUM(COALESCE(pd.gd, 0)) AS BIGINT)
            |    AS grams_deduped
            |FROM tr LEFT JOIN pd ON tr.doc_id = pd.doc_id
+           |GROUP BY tr.source""".stripMargin
+      },
+
+      // the same ExactSubstr owner rule as q166, then the maximal-run
+      // grouping (pos − ROW_NUMBER gaps-and-islands), the >= 50
+      // token length gate, and the variable-width interval-union walk
+      "q168_maximal_spans" -> {
+        val g = hashes.md5Hash60Sql(
+          "array_to_string(toks[pos:pos+7], ' ')")
+        s"""WITH tr AS (SELECT doc_id, source, $sqlTokens AS toks
+           |  FROM documents),
+           |p AS (
+           |  SELECT doc_id, pos FROM (
+           |    SELECT doc_id, pos,
+           |      ROW_NUMBER() OVER (PARTITION BY g
+           |        ORDER BY doc_id, pos) AS rn
+           |    FROM (SELECT doc_id, pos, $g AS g
+           |      FROM (SELECT doc_id, toks, unnest(range(1, greatest(
+           |          len(toks) - 6, 1))) AS pos
+           |        FROM tr)))
+           |  WHERE rn > 1),
+           |rr AS (SELECT doc_id, pos,
+           |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+           |      ORDER BY pos) AS rid
+           |  FROM p),
+           |runs AS (SELECT doc_id, MIN(pos) AS a, MAX(pos) + 8 AS e
+           |  FROM rr GROUP BY doc_id, rid),
+           |q AS (SELECT doc_id, a, e FROM runs WHERE e - a >= 50),
+           |u0 AS (SELECT doc_id, a, e,
+           |    CASE WHEN MAX(e) OVER (PARTITION BY doc_id
+           |        ORDER BY a, e ROWS BETWEEN UNBOUNDED PRECEDING
+           |        AND 1 PRECEDING) IS NULL
+           |      OR a >= MAX(e) OVER (PARTITION BY doc_id
+           |        ORDER BY a, e ROWS BETWEEN UNBOUNDED PRECEDING
+           |        AND 1 PRECEDING)
+           |      THEN 1 ELSE 0 END AS s
+           |  FROM q),
+           |u1 AS (SELECT doc_id, a, e,
+           |    SUM(s) OVER (PARTITION BY doc_id ORDER BY a, e
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS isl
+           |  FROM u0),
+           |uv AS (SELECT doc_id, MIN(a) AS ua, MAX(e) AS ue
+           |  FROM u1 GROUP BY doc_id, isl),
+           |pd AS (SELECT doc_id, COUNT(*) AS spans,
+           |    MAX(e - a) AS max_span
+           |  FROM q GROUP BY doc_id),
+           |pu AS (SELECT doc_id, CAST(SUM(ue - ua) AS BIGINT) AS exc
+           |  FROM uv GROUP BY doc_id)
+           |SELECT tr.source, COUNT(*) AS n_docs,
+           |  CAST(SUM(CASE WHEN COALESCE(pd.spans, 0) > 0 THEN 1
+           |    ELSE 0 END) AS BIGINT) AS n_affected,
+           |  CAST(SUM(len(tr.toks)) AS BIGINT) AS tokens_total,
+           |  CAST(SUM(COALESCE(pd.spans, 0)) AS BIGINT) AS spans,
+           |  CAST(MAX(COALESCE(pd.max_span, 0)) AS BIGINT)
+           |    AS max_span,
+           |  CAST(SUM(COALESCE(pu.exc, 0)) AS BIGINT)
+           |    AS tokens_excised
+           |FROM tr LEFT JOIN pd ON tr.doc_id = pd.doc_id
+           |  LEFT JOIN pu ON tr.doc_id = pu.doc_id
            |GROUP BY tr.source""".stripMargin
       },
 

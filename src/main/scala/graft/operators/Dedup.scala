@@ -1191,11 +1191,40 @@ object Dedup {
   def selfDupExcision(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     require(n >= 2 && n <= 64, s"selfDupExcision: n in [2, 64]: $n")
+    val (toks, matched, pos) = selfDupMatched(docs, idCol, textCol, n)
+    val perDoc = islandIntervals(matched, n)
+      .groupBy(col("_ce_id"))
+      .agg(sum(col("_ce_e") - col("_ce_a")).cast("long")
+        .as("tokens_excised"),
+        sum(col("_ce_m")).as("grams_deduped"))
+    val out = toks
+      .select(col("_ce_id"), size(col("_ce_toks")).cast("long")
+        .as("n_tok"))
+      .join(perDoc, Seq("_ce_id"), "left")
+      .select(col("_ce_id").as(idCol), col("n_tok"),
+        coalesce(col("grams_deduped"), lit(0L)).as("grams_deduped"),
+        coalesce(col("tokens_excised"), lit(0L)).as("tokens_excised"))
+      .localCheckpoint(eager = true)
+    pos.unpersist(blocking = false)
+    out
+  }
+
+  /** Shared non-owner match scan of [[selfDupExcision]] and
+    * [[selfDupMaximalSpans]]: tokenize, hash every n-gram position,
+    * find each gram's owner (min (doc, pos) struct), and return every
+    * NON-owner occurrence of a duplicated gram. ONE definition, so
+    * the fixed-grain excision report and the maximal-span report can
+    * never disagree on what counts as duplicated. Returns (`toks`:
+    * _ce_id/_ce_toks for every input doc, `matched`: non-owner
+    * (_ce_id, _ce_p) positions, `pos`: the persisted positional gram
+    * stream — callers materialize their result, then unpersist it).
+    * The positional stream feeds BOTH the owner aggregate and the
+    * join probe — persisted so the tokenize+hash runs once (the
+    * dupSpanStats pattern). */
+  private def selfDupMatched(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): (DataFrame, DataFrame, DataFrame) = {
     val toks = docs.select(col(idCol).as("_ce_id"),
       text.tokens(col(textCol)).as("_ce_toks"))
-    // positional gram stream feeds BOTH the owner aggregate and the
-    // join probe — persist so the tokenize+hash runs once (the
-    // dupSpanStats pattern)
     val pos = Relational.widenForCpu(toks, col("_ce_id"))
       .select(col("_ce_id"),
         explode(gramPositions(col("_ce_toks"), n)).as("_ce_p"),
@@ -1213,17 +1242,81 @@ object Dedup {
       .join(owners, Seq("_ce_g"))
       .filter(struct(col("_ce_id"), col("_ce_p")) =!= col("_ce_o"))
       .select(col("_ce_id"), col("_ce_p"))
-    val perDoc = islandIntervals(matched, n)
+    (toks, matched, pos)
+  }
+
+  /** NS: MAXIMAL-SPAN EXACT-SUBSTRING REPORT — the span-length half
+    * of the ExactSubstr recipe (Lee et al. 2022 §4.1: remove maximal
+    * duplicated substrings of >= 50 tokens; [[selfDupExcision]] is
+    * the fixed-gram-grain union). A maximal span is a maximal run of
+    * CONSECUTIVE non-owner duplicated-gram positions — gaps-and-
+    * islands on position − row_number, the strictly tighter grouping
+    * than the overlap-union island walk (which merges runs up to n−1
+    * apart) — covering run_len + n − 1 tokens. Only spans of
+    * `minSpan`+ tokens qualify: sub-threshold duplication (idioms,
+    * short quotes) is tolerated, exactly the Lee et al. length gate.
+    * Returns one row per input document: `n_tok`, `spans` (qualifying
+    * maximal spans), `max_span` (longest, 0 when none), and
+    * `tokens_excised` — the UNION length of the qualifying spans
+    * (adjacent runs < n apart produce overlapping intervals; the
+    * variable-width interval-union walk is span-grain, rare by
+    * construction).
+    *
+    * Scale shape (100 TB): identical to [[selfDupExcision]] — ONE
+    * gram-keyed shuffle pair (sort-free hash aggregate + join-back
+    * probe, never a suffix sort), then every window is
+    * doc-partitioned over MATCHED positions only. The run walk and
+    * the interval union add two span-grain windows, bounded by the
+    * duplicated-position count, not the corpus. */
+  def selfDupMaximalSpans(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, minSpan: Int): DataFrame = {
+    require(n >= 2 && n <= 64, s"selfDupMaximalSpans: n in [2, 64]: $n")
+    require(minSpan >= n,
+      s"selfDupMaximalSpans: minSpan >= n required: $minSpan < $n")
+    import org.apache.spark.sql.expressions.Window
+    val (toks, matched, pos) = selfDupMatched(docs, idCol, textCol, n)
+    val wp = Window.partitionBy(col("_ce_id")).orderBy(col("_ce_p"))
+    val spans = matched
+      .withColumn("_ce_run", col("_ce_p") - row_number().over(wp))
+      .groupBy(col("_ce_id"), col("_ce_run"))
+      .agg(min(col("_ce_p")).as("_ce_a"),
+        (max(col("_ce_p")) + n).as("_ce_e"))
+      .filter(col("_ce_e") - col("_ce_a") >= minSpan)
+      .select(col("_ce_id"), col("_ce_a"), col("_ce_e"))
+      // span-grain (tiny); materialized once so the count/max branch
+      // and the union-walk branch don't re-run the corpus match chain
+      .localCheckpoint()
+    val perDoc = spans
       .groupBy(col("_ce_id"))
-      .agg(sum(col("_ce_e") - col("_ce_a")).cast("long")
-        .as("tokens_excised"),
-        sum(col("_ce_m")).as("grams_deduped"))
+      .agg(count(lit(1)).as("spans"),
+        max(col("_ce_e") - col("_ce_a")).cast("long").as("max_span"))
+    // variable-width interval union: runs < n apart overlap once
+    // widened to token intervals, so summing span lengths would
+    // double-count the overlap — same prevEnd walk as
+    // islandIntervals, over span ends instead of pos + n
+    val wu = Window.partitionBy(col("_ce_id"))
+      .orderBy(col("_ce_a"), col("_ce_e"))
+    val prevEnd = max(col("_ce_e"))
+      .over(wu.rowsBetween(Window.unboundedPreceding, -1))
+    val unionLen = spans
+      .withColumn("_ce_s",
+        when(prevEnd.isNull || col("_ce_a") >= prevEnd, 1L)
+          .otherwise(0L))
+      .withColumn("_ce_isl", sum(col("_ce_s"))
+        .over(wu.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("_ce_id"), col("_ce_isl"))
+      .agg(min(col("_ce_a")).as("_ce_ua"), max(col("_ce_e")).as("_ce_ue"))
+      .groupBy(col("_ce_id"))
+      .agg(sum(col("_ce_ue") - col("_ce_ua")).cast("long")
+        .as("tokens_excised"))
     val out = toks
       .select(col("_ce_id"), size(col("_ce_toks")).cast("long")
         .as("n_tok"))
       .join(perDoc, Seq("_ce_id"), "left")
+      .join(unionLen, Seq("_ce_id"), "left")
       .select(col("_ce_id").as(idCol), col("n_tok"),
-        coalesce(col("grams_deduped"), lit(0L)).as("grams_deduped"),
+        coalesce(col("spans"), lit(0L)).as("spans"),
+        coalesce(col("max_span"), lit(0L)).as("max_span"),
         coalesce(col("tokens_excised"), lit(0L)).as("tokens_excised"))
       .localCheckpoint(eager = true)
     pos.unpersist(blocking = false)

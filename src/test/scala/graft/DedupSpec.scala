@@ -903,6 +903,39 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
     }.getMessage should include("n in [2, 64]")
   }
 
+  test("selfDupMaximalSpans: 60-token verbatim repeat is ONE maximal " +
+    "span; sub-threshold repeats pass; overlapping runs union") {
+    import spark.implicits._
+    val t60 = (1 to 60).map(i => s"t$i").mkString(" ")
+    val a12 = (1 to 12).map(i => s"a$i").mkString(" ")
+    val b11 = (1 to 11).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, t60),               // owner of the planted 60-token span
+      (2L, t60),               // verbatim repeat -> one span of 60
+      (3L, "t1 t2 t3 t4 t5 u1 u2 u3"), // 5-token repeat < minSpan
+      (4L, a12),               // owner of the a-prefix
+      (5L, "a12 " + b11),      // owner of the a12+b suffix
+      // matched runs {1..10} and {12..21} (the a11-a12-b1 gram is
+      // globally unique): two 12-token spans overlapping at pos 12,
+      // union [1,24) = 23 tokens
+      (6L, a12 + " " + b11)).toDF("doc_id", "text")
+    val out = Dedup.selfDupMaximalSpans(docs, "doc_id", "text",
+        n = 3, minSpan = 10)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map { case (d, nt, sp, mx, ex) => d -> ((nt, sp, mx, ex)) }.toMap
+    out shouldBe Map(
+      1L -> ((60L, 0L, 0L, 0L)),
+      2L -> ((60L, 1L, 60L, 60L)),
+      3L -> ((8L, 0L, 0L, 0L)),
+      4L -> ((12L, 0L, 0L, 0L)),
+      5L -> ((12L, 0L, 0L, 0L)),
+      6L -> ((23L, 2L, 12L, 23L)))
+    intercept[IllegalArgumentException] {
+      Dedup.selfDupMaximalSpans(docs, "doc_id", "text", n = 3,
+        minSpan = 2)
+    }.getMessage should include("minSpan >= n")
+  }
+
   test("dupCentrality: integer power iteration matches the hand-walked " +
     "star graph; hub ranks first") {
     import spark.implicits._
