@@ -1637,6 +1637,103 @@ object Dedup {
     readPairStore(spark, store)
   }
 
+  /** INCREMENTAL PAIR-STORE MAINTENANCE — extend an existing pair
+    * store with one ingest batch instead of rebuilding per corpus
+    * version: the batch append is the pair-grain twin of
+    * [[appendToNearDupIndex]], and together they keep BOTH at-rest
+    * artifacts current as the corpus grows. Appends to
+    * `store/pairs` exactly the pairs a from-scratch
+    * [[writePairStore]] over corpus+batch would add:
+    *  - CROSS pairs (batch doc × indexed corpus doc), candidates
+    *    from batch-bands × stored-bands collisions, and
+    *  - BATCH-INTERNAL pairs (batch doc × batch doc),
+    * both at the usual minBandMatches=2 gate and exact-rescored, and
+    * normalized to the store's doc_a < doc_b convention. Band-match
+    * counts are PER-PAIR, so candidate membership is independent of
+    * the rest of the corpus — the incremental pair set provably
+    * equals the from-scratch one (same banding, same gate, same
+    * re-score; DedupSpec asserts row equality), inheriting the same
+    * S-curve recall contract.
+    *
+    * The batch's signatures then append to the index for EVERY batch
+    * doc — dups included, unlike [[ingestBatchAgainst]]'s fresh-only
+    * append: the pair store covers the whole corpus (the keeper and
+    * census read dup rows by design), so a later batch must be able
+    * to pair against THIS batch's dups too, or the store would
+    * silently diverge from the from-scratch build one append later.
+    *
+    * `(shingleN, k, bands)` MUST match the index build (the
+    * [[incrementalNearDupAgainst]] contract). Returns the appended
+    * pair rows. Scale shape: corpus touched only through the index;
+    * both candidate joins are batch-sized; the corpus never
+    * re-tokenizes. Crash safety: plain parquet appends under the
+    * store lease (the untagged [[ingestBatchAgainst]] contract) —
+    * wrap the call per ingest batch and rebuild on a torn append. */
+  def appendPairStore(batch: DataFrame, idCol: String, textCol: String,
+      indexDir: String, store: String, shingleN: Int, k: Int,
+      bands: Int, threshold: Double): DataFrame = {
+    val spark = batch.sparkSession
+    val storeBands = spark.read.parquet(s"$indexDir/bands")
+    val storeSets = spark.read.parquet(s"$indexDir/shingles")
+    val sets = shingleSets(batch, idCol, textCol, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = bandedSignatures(signaturesFromBaseHashes(
+      sets.select(col("doc"), explode(col("shingles")).as("shingle"))
+        .select(col("doc"), xxhash64(col("shingle")).as("h0")),
+      k), bands, k)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val crossCand = banded.toDF("doc_b", "band", "band_hash")
+      .join(storeBands.toDF("doc_a", "band", "band_hash"),
+        Seq("band", "band_hash"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands"))
+      .filter(col("n_bands") >= 2)
+      .select("doc_a", "doc_b")
+    // store ids need not be smaller than batch ids — normalize each
+    // cross pair to the from-scratch doc_a < doc_b convention
+    // (inter/jaccard are symmetric; sizes swap with the ids)
+    val cross = rescoreJaccardAB(crossCand, storeSets, sets, threshold)
+      .select(
+        when(col("doc_a") < col("doc_b"), struct(
+          col("doc_a").as("a"), col("doc_b").as("b"),
+          col("sz_a").as("za"), col("sz_b").as("zb")))
+          .otherwise(struct(
+            col("doc_b").as("a"), col("doc_a").as("b"),
+            col("sz_b").as("za"), col("sz_a").as("zb"))).as("_pp"),
+        col("inter"), col("jaccard"))
+      .select(col("_pp.a").as("doc_a"), col("_pp.b").as("doc_b"),
+        col("inter"), col("_pp.za").as("sz_a"),
+        col("_pp.zb").as("sz_b"), col("jaccard"))
+    val internalCand = banded.toDF("doc_a", "band", "band_hash")
+      .join(banded.toDF("doc_b", "band", "band_hash"),
+        Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands"))
+      .filter(col("n_bands") >= 2)
+      .select("doc_a", "doc_b")
+    val fresh = cross
+      .unionByName(rescoreJaccardAB(internalCand, sets, sets, threshold))
+      .localCheckpoint(eager = true)
+    graft.sources.StoreLease.withLease(spark, store,
+        "pair-store-append") {
+      fresh.write.mode("append").parquet(s"$store/pairs")
+    }
+    // index growth: ALL batch docs' signatures, the writeIndexTables
+    // append layout (one id-sorted shingle file per batch) under the
+    // index's own lease — reusing the cached tables instead of the
+    // second tokenize+minhash pass appendToNearDupIndex would run
+    graft.sources.StoreLease.withLease(spark, indexDir,
+        "index-append") {
+      banded.write.mode("append").parquet(s"$indexDir/bands")
+      sets.repartitionByRange(1, col("doc"))
+        .sortWithinPartitions(col("doc"))
+        .write.mode("append").parquet(s"$indexDir/shingles")
+    }
+    banded.unpersist(blocking = false)
+    sets.unpersist(blocking = false)
+    fresh
+  }
+
   /** NS GOVERNANCE: DUPLICATION-GRAPH CENTRALITY — rank documents by
     * how central they sit in the near-dup graph (PageRank shape,
     * damping 0.85, `rounds` bounded power-iteration steps over the

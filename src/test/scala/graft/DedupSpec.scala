@@ -577,6 +577,61 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
     ex.getMessage should include("hot-line set exceeds")
   }
 
+  test("appendPairStore: two batch appends reproduce the from-scratch " +
+    "pair store bit for bit, dup docs' signatures included") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_pairappend_").toString
+    try {
+      // doc1/doc2 an in-corpus near-dup pair; 3/4 unrelated
+      val a = (1 to 11).map(i => s"a$i").mkString(" ")
+      val c0 = Seq(
+        (1L, a),
+        (2L, a + " z1"),                     // J(1,2) = 10/11
+        (3L, (1 to 8).map(i => s"p$i").mkString(" ")),
+        (4L, (1 to 8).map(i => s"q$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      // batch1: doc10 near-dups doc1 (J = 8/14) AND doc2 (8/15);
+      // doc11 novel
+      val b1 = Seq(
+        (10L, (1 to 9).map(i => s"a$i").mkString(" ") +
+          " x1 x2 x3 x4"),
+        (11L, (1 to 8).map(i => s"r$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      // batch2: doc20 near-dups doc10 ONLY (J(10,20) = 9/12,
+      // J(1,20) = 5/14 < 0.5) — the pair exists in a from-scratch
+      // build iff batch1's DUP doc 10 made it into the index
+      val b2 = Seq(
+        (20L, (4 to 9).map(i => s"a$i").mkString(" ") +
+          " x1 x2 x3 x4")).toDF("doc_id", "text")
+      val idx = root + "/idx"; val store = root + "/store"
+      Dedup.writeNearDupIndex(c0, "doc_id", "text",
+        shingleN = 2, k = 64, bands = 32, dir = idx)
+      Dedup.writePairStore(c0, "doc_id", "text", store,
+        shingleN = 2, k = 64, bands = 32, threshold = 0.5)
+      def pairKeys(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val d1 = Dedup.appendPairStore(b1, "doc_id", "text", idx, store,
+        shingleN = 2, k = 64, bands = 32, threshold = 0.5)
+      pairKeys(d1) shouldBe Set((1L, 10L), (2L, 10L))
+      val d2 = Dedup.appendPairStore(b2, "doc_id", "text", idx, store,
+        shingleN = 2, k = 64, bands = 32, threshold = 0.5)
+      pairKeys(d2) shouldBe Set((10L, 20L))
+      // the maintained store equals a from-scratch build over the
+      // full corpus — full rows, not just keys
+      val scratch =
+        Dedup.minhashNearDupPairs(c0.unionByName(b1).unionByName(b2),
+          "doc_id", "text", shingleN = 2, k = 64, bands = 32,
+          threshold = 0.5).collect().map(_.toSeq).toSet
+      Dedup.readPairStore(spark, store)
+        .collect().map(_.toSeq).toSet shouldBe scratch
+      scratch.size shouldBe 4
+      // no writer lease left held on either artifact
+      new java.io.File(store + ".lease").exists() shouldBe false
+      new java.io.File(idx + ".lease").exists() shouldBe false
+    } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
+
   test("incremental near-dup ingest flags batch docs against the stored index") {
     import spark.implicits._
     val root = java.nio.file.Files
