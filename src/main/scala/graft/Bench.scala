@@ -50,6 +50,14 @@ object Bench {
     // don't bill the first query for session startup
     Tables.names.foreach(n => Tables(spark, sfDir, n).count())
 
+    // pre-build the shared version-keyed at-rest stores (pair store,
+    // postings index) OUTSIDE the timed loop: their once-per-corpus-
+    // version build cost is its own metric below, so the steady-state
+    // query walls measure queries — a store that already exists for
+    // this corpus version makes this a metadata-only probe
+    val storeBuild = SparkEntry.prepareSharedStores(spark, sfDir)
+    Phases.drain() // the builds' own phase tags live in store_build_sec
+
     // optional comma-separated filter for iterating on single queries
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSet)
@@ -222,6 +230,7 @@ object Bench {
         }.mkString("{", ",", "}")},""" +
         s""""gc_total":${num(gcSec.values.sum)},""" +
         s""""cpu_total":${num(cpuTotal)},""" +
+        s""""store_build_sec":${jsonObj(storeBuild)},""" +
         s""""calib_sec":[${num(calibStart)},${num(calibEnd)}],""" +
         s""""calib_mt_sec":[${num(calibMtStart)},${num(calibMtEnd)}],""" +
         s""""calib_track":[${calibTrack.map(num).mkString(",")}],""" +
@@ -249,6 +258,7 @@ object Bench {
         s""""n_queries":${results.size},"failed":$failedJson,""" +
         s""""gc_total":${num(gcSec.values.sum)},""" +
         s""""cpu_total":${num(cpuTotal)},""" +
+        s""""store_build_sec":${jsonObj(storeBuild)},""" +
         s""""calib_sec":[${num(calibStart)},${num(calibEnd)}],""" +
         s""""calib_mt_sec":[${num(calibMtStart)},${num(calibMtEnd)}],""" +
         s""""calib_track":[${calibTrack.map(num).mkString(",")}],""" +

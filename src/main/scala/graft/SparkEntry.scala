@@ -3460,23 +3460,23 @@ object SparkEntry {
 
     // ── NS text retrieval, AT-REST form: q122's BM25 against a
     // bucket-clustered POSTINGS INDEX (the text analog of the q101
-    // quantized ANN store) — build bills in-query (the q76/q101
-    // store-billing convention), the query reads ONLY files whose
-    // bucket span intersects the query terms' hash buckets, and the
-    // result is equal to the dataflow form by construction (one
-    // shared scoring chain — RetrievalSpec pins equality + pruning).
-    // Bounded k·|queries| collect before the scratch store is
-    // deleted (the q101 convention) ──
+    // quantized ANN store) — the index is the SHARED version-keyed
+    // store (bm25PostingsStore: built once per corpus version, phase
+    // `index_build` billed to the first consumer or to Bench's
+    // pre-build step), so the steady-state headline measures the
+    // QUERY: it reads ONLY files whose bucket span intersects the
+    // query terms' hash buckets, and the result is equal to the
+    // dataflow form by construction (one shared scoring chain —
+    // RetrievalSpec pins equality + pruning). Bounded k·|queries|
+    // collect (the q101 convention); the store persists at rest ──
     "q126_bm25_indexed" -> ((s, dir) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q126_").toString
-      val store = root + "/postings_at_rest"
-      Phases.time("index_build") {
-        Retrieval.writePostingsIndex(t(s, dir, "documents"),
-          "doc_id", "text", store, nBuckets = 64, numFiles = 8)
+      val store = bm25PostingsStore(s, dir)
+      Phases.time("query") {
+        val bounded = Retrieval.bm25TopKIndexed(s, store, bm25Queries,
+          k = 5)
+        s.createDataFrame(
+          java.util.Arrays.asList(bounded.collect(): _*), bounded.schema)
       }
-      Phases.time("query")(materializeThenClean(s,
-        Retrieval.bm25TopKIndexed(s, store, bm25Queries, k = 5), root))
     }),
 
     // ── NS text retrieval, INCREMENTAL store lifecycle: q126's
@@ -4284,12 +4284,47 @@ object SparkEntry {
     * consumers stay unchanged — they verify end-to-end that the
     * banded build loses no pair the reports need, every run. */
   private def nearDupPairStore(s: SparkSession, dir: String)
-      : org.apache.spark.sql.DataFrame = {
-    // md5 over the SORTED (name, length, mtime) tuples, not an XOR
-    // fold: a fold of length^mtime can collide across regenerated
-    // fixtures with identical sizes and second-grain mtimes, silently
-    // reusing a stale store for a different corpus version — the md5
-    // of the full tuple list cannot
+      : org.apache.spark.sql.DataFrame =
+    Dedup.ensurePairStore(t(s, dir, "documents"), "doc_id", "text",
+      versionedStoreDir("graft_pair_store", dir, "n2k64b32t05"),
+      shingleN = 2, k = 64, bands = 32, threshold = 0.5)
+
+  /** The shared AT-REST POSTINGS INDEX for a fixture dir — the
+    * retrieval twin of [[nearDupPairStore]], same version keying and
+    * same billing convention: the first consumer to run pays the
+    * build (phase `index_build`), every later q126 run reads the
+    * index at rest — the honest steady-state shape (a 100 TB
+    * postings index is built once per corpus version, not per
+    * dashboard query). Bench pre-builds it before the timed loop and
+    * reports the build as its own metric (store_build_sec). */
+  private def bm25PostingsStore(s: SparkSession, dir: String): String = {
+    val store = versionedStoreDir("graft_postings_store", dir, "b64f8")
+    Retrieval.ensurePostingsIndex(t(s, dir, "documents"), "doc_id",
+      "text", store, nBuckets = 64, numFiles = 8)
+    store
+  }
+
+  /** Version-keyed scratch-store path for a fixture dir (the pair
+    * store's keying, factored for every shared at-rest artifact):
+    * keyed by the dir's canonical path AND the documents table's
+    * (name, length, mtime) signature — "once per corpus version"
+    * made literal. Stale versions of the same corpus dir are pruned
+    * on ensure — but only past a one-hour grace window and only when
+    * no writer lease is held, so a concurrent session still READING
+    * the superseded version is not yanked mid-scan (the same
+    * documented residual as compaction's swap gap). The dir key is a
+    * 128-bit md5 of the canonical path — two distinct corpus dirs
+    * cannot collide into mutual delete/rebuild ping-pong the way a
+    * 32-bit hashCode could. Distinct store FAMILIES use distinct
+    * `rootName` folders, so one family's prune can never collect
+    * another family's live store. */
+  private def versionedStoreDir(rootName: String, dir: String,
+      paramsTag: String): String = {
+    // md5 over the SORTED NUL-joined (name, length, mtime) tuples,
+    // not an XOR fold: a fold of length^mtime can collide across
+    // regenerated fixtures with identical sizes and second-grain
+    // mtimes, silently reusing a stale store for a different corpus
+    // version — the md5 of the full tuple list cannot
     def sigOf(f: java.io.File): String = {
       val tuples =
         if (f.isDirectory)
@@ -4308,9 +4343,8 @@ object SparkEntry {
       .map(b => f"$b%02x").mkString
     val name =
       s"${dirKey}_${sigOf(new java.io.File(dir, "documents.parquet"))}" +
-        "_n2k64b32t05"
-    val root = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_pair_store")
+        s"_$paramsTag"
+    val root = new java.io.File(sys.props("java.io.tmpdir"), rootName)
     val pruneGraceMs = 60L * 60 * 1000
     val now = System.currentTimeMillis()
     Option(root.listFiles()).getOrElse(Array.empty)
@@ -4319,9 +4353,27 @@ object SparkEntry {
         now - f.lastModified() > pruneGraceMs &&
         !new java.io.File(root, f.getName + ".lease").exists())
       .foreach(Scratch.deleteRecursively)
-    Dedup.ensurePairStore(t(s, dir, "documents"), "doc_id", "text",
-      new java.io.File(root, name).toString,
-      shingleN = 2, k = 64, bands = 32, threshold = 0.5)
+    new java.io.File(root, name).toString
+  }
+
+  /** Pre-build the version-keyed shared at-rest stores that the
+    * steady-state queries read, timing each build: Bench calls this
+    * BEFORE the timed loop, so the q84/q126-family headlines measure
+    * the QUERY and the once-per-corpus-version build cost is
+    * reported as its own `store_build_sec` metric instead of riding
+    * whichever consumer happens to run first. Near-no-op (a
+    * metadata-only marker probe) when the stores already exist for
+    * this corpus version. */
+  def prepareSharedStores(s: SparkSession, dir: String)
+      : Seq[(String, Double)] = {
+    def timed(name: String)(body: => Unit): (String, Double) = {
+      val t0 = System.nanoTime()
+      body
+      name -> ((System.nanoTime() - t0) / 1e9)
+    }
+    Seq(
+      timed("pair_store") { nearDupPairStore(s, dir); () },
+      timed("postings_index") { bm25PostingsStore(s, dir); () })
   }
 
   /** Past this many merges the per-step Spark-job loop is the wrong

@@ -173,6 +173,34 @@ object Retrieval {
       .write.mode(SaveMode.Overwrite).parquet(s"$root/stats")
   }
 
+  /** Build-if-absent + read-marker for [[writePostingsIndex]] (the
+    * Dedup.ensurePairStore convention): `stats/_SUCCESS` — the stats
+    * table is written LAST by the build — is the publish marker, so
+    * its presence proves the postings landed first; absence
+    * (including a crashed half-write) triggers a rebuild whose
+    * overwrite modes clobber the residue. Concurrent builders
+    * serialize on the store's writer lease with a double-check after
+    * acquisition. The build is phase-tagged (`index_build`) so any
+    * wall that includes it decomposes from the bench artifact
+    * alone. */
+  def ensurePostingsIndex(docs: DataFrame, idCol: String,
+      textCol: String, root: String, nBuckets: Int = 64,
+      numFiles: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(s"$root/stats/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(marker)) {
+      graft.sources.StoreLease.withLease(spark, root,
+        "postings-index-build") {
+        if (!fs.exists(marker)) // double-check under the lease
+          graft.Phases.time("index_build") {
+            writePostingsIndex(docs, idCol, textCol, root, nBuckets,
+              numFiles)
+          }
+      }
+    }
+  }
+
   /** INCREMENTAL form of [[writePostingsIndex]] (the
     * Layout.clusteredAppend lifecycle — a 100 TB index is grown per
     * crawl batch, never rewritten): append `docs`' postings as one new
