@@ -2322,6 +2322,51 @@ object SparkEntry {
           sum(col("tokens_excised")).as("tokens_excised"))
     }),
 
+    // ── T7+NS: STREAMING EXCISION — q164's surgery as a LIVE ingest
+    // (the q139/q128 sealed-segment lifecycle): three deterministic
+    // micro-batches of train docs excised against the static eval
+    // fold, each landing its affected docs' surgery rows as one
+    // sealed batchId segment (exactly-once under retry, spec-pinned
+    // in StreamingSpec). Excision is doc-local, so the drained
+    // store re-reads to EXACTLY the batch q164 rows — the shared
+    // oracle (one rendering) proves the kept-text hashes bit for
+    // bit across the whole streaming lifecycle ──
+    "q169_stream_excision" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ns = drainSession(s)
+      import ns.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = ns.sqlContext
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q169_").toString
+      val rows = t(s, dir, "documents")
+        .filter(col("doc_id") % 17 =!= 3)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().toSeq
+      val evalSet = t(ns, dir, "documents")
+        .filter(col("doc_id") % 17 === 3)
+        .select(col("doc_id"), col("text"))
+      val input = MemoryStream[(Long, String)]
+      val stream = input.toDF().toDF("doc_id", "text")
+      val ckpt = ephemeralCheckpoint("q169")
+      val q = Streams.excisionIngest(stream, evalSet, "doc_id",
+        "text", root, ckpt.getAbsolutePath, n = 8)
+      try
+        (0 until 3).foreach { r =>
+          Phases.time(s"drain[b$r]") {
+            input.addData(rows.filter(_._1 % 3 == r))
+            q.processAllAvailable()
+          }
+        }
+      finally {
+        try q.stop()
+        finally Scratch.deleteRecursively(ckpt)
+      }
+      val surgery = s.read.parquet(root + "/partials")
+        .select(col("doc_id"), col("n_tok"), col("tokens_excised"),
+          col("clean_hash"))
+      materializeThenClean(s, surgery, root)
+    }),
+
     // ── NS: EPOCH-SHUFFLE SHARD MANIFEST — the "reshuffle the
     // dataset every epoch" primitive: shard = top 4 bits of an
     // epoch-SALTED md5-60 key, so the permutation is deterministic,
@@ -4897,6 +4942,33 @@ object SparkEntry {
        |${islandWalkCtesSql(n)}""".stripMargin
   }
 
+  /** The q164 surgery oracle — the full kept-text recompute (cover
+    * positions from the islands, anti-join per token position,
+    * re-join in order, md5-60) — ONE rendering shared by the batch
+    * form (q164) and the streaming lifecycle (q169), exactly as the
+    * engine shares one contaminationExcisedDocs. */
+  private def excisedCorpusSql: String =
+    s"""${excisionCtesSql(8)},
+       |aff AS (SELECT doc_id, CAST(SUM(e - a) AS BIGINT) AS exc
+       |  FROM iv GROUP BY doc_id),
+       |cp AS (SELECT doc_id, unnest(range(a, e)) AS cpos
+       |  FROM iv),
+       |tp AS (SELECT doc_id, toks, unnest(range(1,
+       |      len(toks) + 1)) AS pos
+       |  FROM tr WHERE doc_id IN (SELECT doc_id FROM aff)),
+       |kept AS (SELECT tp.doc_id,
+       |    string_agg(tp.toks[tp.pos], ' ' ORDER BY tp.pos)
+       |      AS clean
+       |  FROM tp LEFT JOIN cp ON tp.doc_id = cp.doc_id
+       |    AND tp.pos = cp.cpos
+       |  WHERE cp.cpos IS NULL
+       |  GROUP BY tp.doc_id)
+       |SELECT tr.doc_id, CAST(len(tr.toks) AS BIGINT) AS n_tok,
+       |  aff.exc AS tokens_excised,
+       |  ${hashes.md5Hash60Sql("kept.clean")} AS clean_hash
+       |FROM tr JOIN aff ON tr.doc_id = aff.doc_id
+       |LEFT JOIN kept ON tr.doc_id = kept.doc_id""".stripMargin
+
   /** The overlap-union island walk as DuckDB CTEs — the SQL twin of
     * Dedup.islandIntervals, consumed after an in-scope `p(doc_id,
     * pos)` CTE of matched positions; shared by the contamination
@@ -5722,28 +5794,12 @@ object SparkEntry {
       // (range-exploded positions, covered anti-join, ordered
       // string_agg) and hashed — NULL when the whole document was
       // excised, in both engines
-      "q164_excised_corpus" -> {
-        s"""${excisionCtesSql(8)},
-           |aff AS (SELECT doc_id, CAST(SUM(e - a) AS BIGINT) AS exc
-           |  FROM iv GROUP BY doc_id),
-           |cp AS (SELECT doc_id, unnest(range(a, e)) AS cpos
-           |  FROM iv),
-           |tp AS (SELECT doc_id, toks, unnest(range(1,
-           |      len(toks) + 1)) AS pos
-           |  FROM tr WHERE doc_id IN (SELECT doc_id FROM aff)),
-           |kept AS (SELECT tp.doc_id,
-           |    string_agg(tp.toks[tp.pos], ' ' ORDER BY tp.pos)
-           |      AS clean
-           |  FROM tp LEFT JOIN cp ON tp.doc_id = cp.doc_id
-           |    AND tp.pos = cp.cpos
-           |  WHERE cp.cpos IS NULL
-           |  GROUP BY tp.doc_id)
-           |SELECT tr.doc_id, CAST(len(tr.toks) AS BIGINT) AS n_tok,
-           |  aff.exc AS tokens_excised,
-           |  ${hashes.md5Hash60Sql("kept.clean")} AS clean_hash
-           |FROM tr JOIN aff ON tr.doc_id = aff.doc_id
-           |LEFT JOIN kept ON tr.doc_id = kept.doc_id""".stripMargin
-      },
+      "q164_excised_corpus" -> excisedCorpusSql,
+
+      // the identical kept-text recompute gates the STREAMING
+      // lifecycle too: excision is doc-local, so the drained sealed-
+      // segment store must reproduce the batch surgery bit for bit
+      "q169_stream_excision" -> excisedCorpusSql,
 
       // identical power-of-2 CASE chain (no float log2), same
       // integer waste arithmetic, global max as a scalar subquery

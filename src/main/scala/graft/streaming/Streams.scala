@@ -232,9 +232,31 @@ object Streams {
             .as("sum_score_dec"))
     }
 
+  /** Streaming CONTAMINATION EXCISION — q164's surgery kept live
+    * over a crawl stream (the lifecycle form of
+    * Dedup.contaminationExcisedDocs, closing the q163/q164 family's
+    * streaming gap): each micro-batch of train docs is excised
+    * against the STATIC eval fold inside foreachBatch and lands its
+    * affected docs' surgery rows (doc_id, n_tok, tokens_excised,
+    * clean_hash) as one sealed batchId segment. Excision is
+    * DOC-LOCAL — a document's matched spans depend only on (doc,
+    * eval fold), never on other corpus docs — so the drained store's
+    * union IS the batch q164 answer bit for bit, with zero
+    * cross-batch state. EXACTLY-ONCE under micro-batch retry (the
+    * q139 sealed-segment convention: a sealed segment is skipped on
+    * re-delivery, a half-landed one cleaned and redone —
+    * StreamingSpec pins both modes). */
+  def excisionIngest(docs: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, storeRoot: String,
+      checkpointDir: String, n: Int): StreamingQuery =
+    sealedPartialsIngest(docs, storeRoot, checkpointDir, "excision") {
+      b => graft.operators.Dedup
+        .contaminationExcisedDocs(b, evalSet, idCol, textCol, n)
+    }
+
   /** ONE definition of the sealed-partials micro-batch sink shared
-    * by the four partial-landing ingests (contamination q139,
-    * moments q148, classifier q158, resampling q160): full-width
+    * by the partial-landing ingests (contamination q139, excision
+    * q169, moments q148, classifier q158, resampling q160): full-width
     * override with restore, per-batch writer lease, batchId-named
     * segment under `storeRoot/partials`, EXACTLY-ONCE via the
     * parquet `_SUCCESS` seal — a sealed segment is skipped verbatim

@@ -542,6 +542,54 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally Scratch.deleteRecursively(new java.io.File(root))
   }
 
+  test("excision ingest: drained surgery rows equal the batch form; " +
+    "re-delivered and half-landed batches both converge") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_ex_retry_").toString
+    try {
+      val evalSet = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+      // doc 1 contains the eval 3-gram run -> affected; doc 2 clean
+      val b0 = Seq((1L, "x a b c d e y"), (2L, "p q r s t"))
+      val b1 = Seq((3L, "a b c d e"))
+      def runStream(ckpt: String,
+          batches: Seq[Seq[(Long, String)]]): Unit = {
+        val input = MemoryStream[(Long, String)]
+        val q = Streams.excisionIngest(
+          input.toDF().toDF("doc_id", "text"), evalSet,
+          "doc_id", "text", root, ckpt, n = 3)
+        try batches.foreach { b =>
+          input.addData(b: _*); q.processAllAvailable()
+        } finally q.stop()
+      }
+      runStream(root + "/ckpt", Seq(b0, b1))
+      def surgery(): Set[Seq[Any]] = spark.read
+        .parquet(root + "/partials")
+        .select("doc_id", "n_tok", "tokens_excised", "clean_hash")
+        .collect().map(_.toSeq).toSet
+      val ref = surgery()
+      // the drained store IS the batch q164 answer over the union
+      val all = (b0 ++ b1).toDF("doc_id", "text")
+      val direct = Dedup.contaminationExcisedDocs(all, evalSet,
+          "doc_id", "text", n = 3)
+        .collect().map(_.toSeq).toSet
+      ref shouldBe direct
+      ref.map(_.head) shouldBe Set(1L, 3L) // affected docs only
+      // re-delivered batch 0 (fresh checkpoint, same batchId): the
+      // sealed segment is skipped — store unchanged
+      runStream(root + "/ckpt_retry", Seq(b0))
+      surgery() shouldBe ref
+      // half-landed (seal removed): cleaned and redone, same state
+      val marker = new java.io.File(
+        s"$root/partials/batch_id=0/_SUCCESS")
+      marker.exists() shouldBe true
+      marker.delete() shouldBe true
+      runStream(root + "/ckpt_retry2", Seq(b0))
+      surgery() shouldBe ref
+    } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
+
   test("resample ingest: the streamed reservoir re-merges to the " +
     "batch Gumbel-top-k sample; both retry modes converge") {
     import spark.implicits._
