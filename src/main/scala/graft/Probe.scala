@@ -656,6 +656,15 @@ object ProbeScale {
             posexplode(array_repeat(lit(1), r)).as(Seq("rep", "_one")))
           .select((col("doc_id") * r + col("rep")).as("doc_id"),
             col("text"))
+      // warm the whole excision chain (tokenize + md5 kernel codegen,
+      // semi-join, island window) BEFORE the timed points — the r12
+      // table's 1× row read 4.57 s cold vs 1.0-1.4 s steady-state, so
+      // without this the small points measure the JIT, not the
+      // operator (the bench-calibration convention; same rationale as
+      // the build probe's warm second run)
+      Dedup.contaminationExcision(train, evalSet, "doc_id", "text",
+          n = 8)
+        .agg(sum(col("tokens_excised"))).head()
       measureExcise("1x", train, evalSet)
       measureExcise("10x", replicateTrain(10), evalSet)
       measureExcise("100x", replicateTrain(100), evalSet)
