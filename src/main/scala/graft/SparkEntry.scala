@@ -2367,6 +2367,18 @@ object SparkEntry {
       materializeThenClean(s, surgery, root)
     }),
 
+    // ── NS: SELF-DEDUP SURGERY — the ExactSubstr TRANSFORM proper
+    // (Lee et al. 2022: the deduplicated corpus, not just its
+    // price): every affected doc's kept tokens re-joined in order
+    // and md5-60 hashed, with the q166 report's exact islands (one
+    // match core, one island walk, one surgery core shared with
+    // q164/q169 — report and surgery cannot disagree). The oracle
+    // rebuilds the cleaned strings from scratch, so the hash match
+    // proves the dedup token for token ──
+    "q170_selfdup_corpus" -> ((s, dir) =>
+      Dedup.selfDupExcisedDocs(t(s, dir, "documents"), "doc_id",
+        "text", n = 8)),
+
     // ── NS: EPOCH-SHUFFLE SHARD MANIFEST — the "reshuffle the
     // dataset every epoch" primitive: shard = top 4 bits of an
     // epoch-SALTED md5-60 key, so the permutation is deterministic,
@@ -4942,14 +4954,15 @@ object SparkEntry {
        |${islandWalkCtesSql(n)}""".stripMargin
   }
 
-  /** The q164 surgery oracle — the full kept-text recompute (cover
-    * positions from the islands, anti-join per token position,
-    * re-join in order, md5-60) — ONE rendering shared by the batch
-    * form (q164) and the streaming lifecycle (q169), exactly as the
-    * engine shares one contaminationExcisedDocs. */
-  private def excisedCorpusSql: String =
-    s"""${excisionCtesSql(8)},
-       |aff AS (SELECT doc_id, CAST(SUM(e - a) AS BIGINT) AS exc
+  /** The surgery-tail CTEs + final SELECT — the full kept-text
+    * recompute (cover positions from the islands, anti-join per
+    * token position, re-join in order, md5-60) — ONE rendering
+    * consumed after in-scope `tr(doc_id, ..., toks)` and
+    * `iv(doc_id, a, e, ...)` CTEs; shared by the eval-fold surgery
+    * (q164, streaming q169) and the self-dedup surgery (q170),
+    * exactly as the engine shares one excisedDocsFrom core. */
+  private def surgeryTailSql: String =
+    s"""aff AS (SELECT doc_id, CAST(SUM(e - a) AS BIGINT) AS exc
        |  FROM iv GROUP BY doc_id),
        |cp AS (SELECT doc_id, unnest(range(a, e)) AS cpos
        |  FROM iv),
@@ -4968,6 +4981,33 @@ object SparkEntry {
        |  ${hashes.md5Hash60Sql("kept.clean")} AS clean_hash
        |FROM tr JOIN aff ON tr.doc_id = aff.doc_id
        |LEFT JOIN kept ON tr.doc_id = kept.doc_id""".stripMargin
+
+  /** The q164 surgery oracle: eval-fold excision CTEs + the shared
+    * surgery tail. */
+  private def excisedCorpusSql: String =
+    excisionCtesSql(8) + ",\n" + surgeryTailSql
+
+  /** tr + non-owner matched positions `p` for the self-dedup family
+    * (q166/q168/q170) — ONE rendering of the ExactSubstr owner rule:
+    * ROW_NUMBER() > 1 over (gram hash ORDER BY doc, pos) is
+    * definitionally the engine's "every occurrence except the
+    * min-(doc, pos) owner". */
+  private def selfDupCtesSql(n: Int): String = {
+    val g = hashes.md5Hash60Sql(
+      s"array_to_string(toks[pos:pos+${n - 1}], ' ')")
+    s"""WITH tr AS (SELECT doc_id, source, $sqlTokens AS toks
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos,
+       |      ROW_NUMBER() OVER (PARTITION BY g
+       |        ORDER BY doc_id, pos) AS rn
+       |    FROM (SELECT doc_id, pos, $g AS g
+       |      FROM (SELECT doc_id, toks, unnest(range(1, greatest(
+       |          len(toks) - ${n - 2}, 1))) AS pos
+       |        FROM tr)))
+       |  WHERE rn > 1)""".stripMargin
+  }
 
   /** The overlap-union island walk as DuckDB CTEs — the SQL twin of
     * Dedup.islandIntervals, consumed after an in-scope `p(doc_id,
@@ -5801,6 +5841,14 @@ object SparkEntry {
       // segment store must reproduce the batch surgery bit for bit
       "q169_stream_excision" -> excisedCorpusSql,
 
+      // the self-dedup surgery: the shared owner rule + island walk
+      // (q166's islands exactly) + the shared surgery tail (q164's
+      // kept-text recompute exactly) — three shared renderings, zero
+      // hand-copies
+      "q170_selfdup_corpus" ->
+        (selfDupCtesSql(8) + ",\n" + islandWalkCtesSql(8) + ",\n" +
+          surgeryTailSql),
+
       // identical power-of-2 CASE chain (no float log2), same
       // integer waste arithmetic, global max as a scalar subquery
       "q165_bucket_batching" -> {
@@ -5822,26 +5870,11 @@ object SparkEntry {
            |FROM lz GROUP BY bucket""".stripMargin
       },
 
-      // the ExactSubstr keeper rule replayed as ROW_NUMBER() > 1
-      // over (gram hash, doc, pos) — definitionally the engine's
-      // "every occurrence except the min-(doc,pos) owner" — then the
-      // shared island walk (islandWalkCtesSql, ONE rendering with
-      // q163/q164)
+      // the shared ExactSubstr owner rule (selfDupCtesSql — ONE
+      // rendering with q168/q170), then the shared island walk
+      // (islandWalkCtesSql, ONE rendering with q163/q164)
       "q166_selfdup_excision" -> {
-        val g = hashes.md5Hash60Sql(
-          "array_to_string(toks[pos:pos+7], ' ')")
-        s"""WITH tr AS (SELECT doc_id, source, $sqlTokens AS toks
-           |  FROM documents),
-           |p AS (
-           |  SELECT doc_id, pos FROM (
-           |    SELECT doc_id, pos,
-           |      ROW_NUMBER() OVER (PARTITION BY g
-           |        ORDER BY doc_id, pos) AS rn
-           |    FROM (SELECT doc_id, pos, $g AS g
-           |      FROM (SELECT doc_id, toks, unnest(range(1, greatest(
-           |          len(toks) - 6, 1))) AS pos
-           |        FROM tr)))
-           |  WHERE rn > 1),
+        s"""${selfDupCtesSql(8)},
            |${islandWalkCtesSql(8)},
            |pd AS (SELECT doc_id, CAST(SUM(e - a) AS BIGINT) AS exc,
            |    CAST(SUM(m) AS BIGINT) AS gd
@@ -5858,24 +5891,12 @@ object SparkEntry {
            |GROUP BY tr.source""".stripMargin
       },
 
-      // the same ExactSubstr owner rule as q166, then the maximal-run
-      // grouping (pos − ROW_NUMBER gaps-and-islands), the >= 50
-      // token length gate, and the variable-width interval-union walk
+      // the same ExactSubstr owner rule (shared selfDupCtesSql),
+      // then the maximal-run grouping (pos − ROW_NUMBER gaps-and-
+      // islands), the >= 50 token length gate, and the
+      // variable-width interval-union walk
       "q168_maximal_spans" -> {
-        val g = hashes.md5Hash60Sql(
-          "array_to_string(toks[pos:pos+7], ' ')")
-        s"""WITH tr AS (SELECT doc_id, source, $sqlTokens AS toks
-           |  FROM documents),
-           |p AS (
-           |  SELECT doc_id, pos FROM (
-           |    SELECT doc_id, pos,
-           |      ROW_NUMBER() OVER (PARTITION BY g
-           |        ORDER BY doc_id, pos) AS rn
-           |    FROM (SELECT doc_id, pos, $g AS g
-           |      FROM (SELECT doc_id, toks, unnest(range(1, greatest(
-           |          len(toks) - 6, 1))) AS pos
-           |        FROM tr)))
-           |  WHERE rn > 1),
+        s"""${selfDupCtesSql(8)},
            |rr AS (SELECT doc_id, pos,
            |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id
            |      ORDER BY pos) AS rid

@@ -1124,6 +1124,20 @@ object Dedup {
     val (_, intervals) =
       excisionIntervals(docs, evalSet, idCol, textCol, n,
         "contaminationExcisedDocs")
+    excisedDocsFrom(docs, idCol, textCol, intervals)
+  }
+
+  /** The SURGERY core shared by [[contaminationExcisedDocs]] and
+    * [[selfDupExcisedDocs]]: given the excision islands (_ce_id,
+    * _ce_a inclusive 1-based start, _ce_e exclusive end), rebuild
+    * every AFFECTED document's token stream minus the excised
+    * windows and return `(idCol, n_tok, tokens_excised, clean_hash)`
+    * — clean_hash the md5-60 of the kept tokens re-joined in order,
+    * NULL when excision consumed the whole document. ONE definition,
+    * so the eval-fold surgery and the self-dedup surgery cannot
+    * drift. Everything below the islands is affected-doc grain. */
+  private def excisedDocsFrom(docs: DataFrame, idCol: String,
+      textCol: String, intervals: DataFrame): DataFrame = {
     val covered = intervals
       .select(col("_ce_id"),
         explode(sequence(col("_ce_a"), col("_ce_e") - 1))
@@ -1135,7 +1149,7 @@ object Dedup {
     // tokenize ONLY the affected documents (rare by construction):
     // the semi join runs on raw ids BEFORE the tokenize projection,
     // so the surgery's corpus-grain work is exactly the one match
-    // scan inside excisionIntervals
+    // scan that produced the islands
     val affToks = docs
       .select(col(idCol).as("_ce_id"), col(textCol))
       .join(affected.select(col("_ce_id")), Seq("_ce_id"), "left_semi")
@@ -1158,6 +1172,31 @@ object Dedup {
       .join(kept, Seq("_ce_id"), "left")
       .select(col("_ce_id").as(idCol), col("n_tok"),
         col("tokens_excised"), col("clean_hash"))
+  }
+
+  /** The SURGERY half of [[selfDupExcision]] — the ExactSubstr
+    * TRANSFORM proper (Lee et al. 2022: the deduplicated corpus, not
+    * just its price): for every affected document, materialize the
+    * token stream minus every non-owner duplicated window (the q166
+    * report's exact islands — one match core, one island walk, one
+    * surgery core, so the report and the surgery can never disagree)
+    * as `(idCol, n_tok, tokens_excised, clean_hash)`. The first
+    * (min (doc, pos)) occurrence of every duplicated gram survives
+    * somewhere in the corpus by construction; clean_hash is NULL
+    * when a document was excised to nothing (a verbatim re-post of
+    * earlier content). Scale shape: identical to [[selfDupExcision]]
+    * plus affected-doc-grain rebuild — the corpus-grain work is the
+    * one gram-keyed shuffle pair. */
+  def selfDupExcisedDocs(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    require(n >= 2 && n <= 64, s"selfDupExcisedDocs: n in [2, 64]: $n")
+    val (_, matched, pos) = selfDupMatched(docs, idCol, textCol, n)
+    // islandIntervals EAGERLY checkpoints the (tiny) island table, so
+    // the positional gram cache can release here and the surgery
+    // itself stays a lazy, auditable plan (the q164 shape)
+    val intervals = islandIntervals(matched, n)
+    pos.unpersist(blocking = false)
+    excisedDocsFrom(docs, idCol, textCol, intervals)
   }
 
   /** NS: EXACT-SUBSTRING SELF-DEDUP — the ExactSubstr recipe of Lee

@@ -958,6 +958,34 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
     }.getMessage should include("n in [2, 64]")
   }
 
+  test("selfDupExcisedDocs: kept tokens hash to the hand-built " +
+    "cleaned strings; a fully-duplicated doc hashes NULL") {
+    import spark.implicits._
+    def md5h(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.substring(0, 15), 16)
+    }
+    // same corpus as the selfDupExcision test plus doc 5, a verbatim
+    // copy of doc 1: d2 keeps "q q" ([3,8) excised), d4 keeps "z"
+    // ([1,4) and [5,8) excised), d5 is excised to nothing
+    val docs = Seq(
+      (1L, "a b c d e x y"),
+      (2L, "q q a b c d e"),
+      (3L, "m n o"),
+      (4L, "a b c z a b c"),
+      (5L, "a b c d e x y")).toDF("doc_id", "text")
+    val out = Dedup.selfDupExcisedDocs(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    out.keySet shouldBe Set(2L, 4L, 5L) // affected docs only
+    out(2L) shouldBe ((7L, 5L, Some(md5h("q q"))))
+    out(4L) shouldBe ((7L, 6L, Some(md5h("z"))))
+    out(5L) shouldBe ((7L, 7L, None))
+  }
+
   test("selfDupMaximalSpans: 60-token verbatim repeat is ONE maximal " +
     "span; sub-threshold repeats pass; overlapping runs union") {
     import spark.implicits._
