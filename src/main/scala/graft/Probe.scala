@@ -670,6 +670,54 @@ object ProbeScale {
       measureExcise("100x", replicateTrain(100), evalSet)
     }
 
+    // q166/q168/q170's ADVERSARIAL regime measured: replication makes
+    // every replica a verbatim dup, so matched (non-owner) positions
+    // grow toward the FULL position stream — (r−1)/r of corpus
+    // positions at r× — the worst case for the "owner table bounded
+    // by the duplicated-gram count" claim (a cleaned corpus keeps
+    // matched positions orders of magnitude below the token stream;
+    // a maximally-duplicated one cannot). The claim under test here
+    // is the WALK: matched-position volume is the island/run windows'
+    // input, both stay doc-partitioned, so wall must track corpus
+    // volume / width even when the reduction gives nothing.
+    if (mode == "selfdup") {
+      def measureSelfDup(tag: String, docs: DataFrame): Unit = {
+        val n = docs.count()
+        val t0 = System.nanoTime()
+        val r = Dedup.selfDupExcision(docs, "doc_id", "text", n = 8)
+          .agg(sum(col("n_tok")).as("toks"),
+            sum(col("grams_deduped")).as("gd"),
+            sum(col("tokens_excised")).as("ex"))
+          .head()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val m = Dedup.selfDupMaximalSpans(docs, "doc_id", "text",
+            n = 8, minSpan = 50)
+          .agg(sum(col("spans")).as("sp"),
+            sum(col("tokens_excised")).as("ex"))
+          .head()
+        val wallM = (System.nanoTime() - t1) / 1e9
+        println(f"PROBE_SCALE selfdup/$tag n=$n " +
+          f"tokens=${r.getLong(0)} matched=${r.getLong(1)} " +
+          f"excised=${r.getLong(2)} wall=$wall%.2fs | " +
+          f"spans50=${m.getLong(0)} span_excised=${m.getLong(1)} " +
+          f"wall_spans=$wallM%.2fs")
+      }
+      val docsS = Tables(spark, "/root/testdata/sf0.1", "documents")
+        .select(col("doc_id"), col("text"))
+      def replicateAll(r: Int): DataFrame =
+        docsS.select(col("doc_id"), col("text"),
+            posexplode(array_repeat(lit(1), r)).as(Seq("rep", "_one")))
+          .select((col("doc_id") * r + col("rep")).as("doc_id"),
+            col("text"))
+      // warm pass (the excise-probe convention)
+      Dedup.selfDupExcision(docsS, "doc_id", "text", n = 8)
+        .agg(sum(col("tokens_excised"))).head()
+      measureSelfDup("1x", docsS)
+      measureSelfDup("3x", replicateAll(3))
+      measureSelfDup("10x", replicateAll(10))
+    }
+
     // q157's two scale claims measured: per-round cost tracks the
     // EDGE LIST (pair-store grain, not corpus grain), and rounds
     // compose LINEARLY because ranks are localCheckpointed per round
