@@ -2367,6 +2367,32 @@ object SparkEntry {
       materializeThenClean(s, surgery, root)
     }),
 
+    // ── NS MIXING, the UP-SAMPLING half: fractional EPOCHS per
+    // source (LLM data-recipe semantics — every doc repeats
+    // floor(e) times plus once more with probability frac(e)) from
+    // the q124 √n temperature weights WITHOUT the 1000 clamp: rare
+    // sources repeat, abundant ones select, ONE deterministic
+    // salted-hash family for both regimes (a stratum under 1000
+    // milli reproduces temperatureMix's kept set exactly). The
+    // manifest materializes as (doc, epoch) rows in the scan
+    // projection — explode over a per-row integer sequence, NO
+    // shuffle; the report prices it per source. Integer end to
+    // end ──
+    "q171_epoch_upsample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val epochs = Relational.epochMixMilli(docs, "source", "text",
+        budgetTokens = q171Budget)
+      Relational.epochUpsample(docs, col("source"), col("doc_id"),
+          epochs)
+        .withColumn("n_tokens", text.tokenCount(col("text")).cast("long"))
+        .groupBy(col("source"), col("epoch_milli"))
+        .agg(count(lit(1)).as("eff_docs"),
+          sum(col("n_tokens")).as("eff_tokens"),
+          max(col("epoch")).as("max_epoch"))
+        .select(col("source"), col("epoch_milli"), col("eff_docs"),
+          col("eff_tokens"), col("max_epoch"))
+    }),
+
     // ── NS: SELF-DEDUP SURGERY — the ExactSubstr TRANSFORM proper
     // (Lee et al. 2022: the deduplicated corpus, not just its
     // price): every affected doc's kept tokens re-joined in order
@@ -4526,6 +4552,12 @@ object SparkEntry {
     * per-source targets exceed the source sizes and the min(1000)
     * saturation path runs — both regimes are gate-exercised. */
   private val q124Budget: Long = 20000L
+
+  /** q171's epoch budget: sized so the gate-SF corpora (~27k tokens)
+    * allocate > 1000 milli to every source — the genuinely-upsampled
+    * regime the operator exists for — while sf0.1 (~271k tokens)
+    * exercises the sub-1000 fractional-selection path. */
+  private val q171Budget: Long = 60000L
 
   /** The independent DuckDB BM25 recompute shared by q122 (dataflow),
     * q126 (at-rest postings index), q127 (segment append), and q128
@@ -7984,6 +8016,36 @@ object SparkEntry {
            |SELECT source, CAST(cut AS BIGINT) AS cut,
            |  COUNT(*) AS n_kept, CAST(SUM(dl) AS BIGINT) AS kept_tokens
            |FROM kept GROUP BY source, cut""".stripMargin,
+
+      // q124's allocation CTEs WITHOUT the least(1000) clamp, then
+      // the copies arithmetic replayed per doc: base = e // 1000,
+      // plus one when the salted hash lands under e % 1000 — the
+      // engine's exploded (doc, epoch) rows aggregate to SUM(nc) /
+      // SUM(nc·dl) / MAX(nc)−1 exactly
+      "q171_epoch_upsample" ->
+        s"""WITH per AS (SELECT source,
+           |    CAST(SUM(len($sqlTokens)) AS BIGINT) AS n
+           |  FROM documents GROUP BY source),
+           |w AS (SELECT source, n,
+           |    CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS ws
+           |  FROM per),
+           |d AS (SELECT CAST(SUM(ws) AS HUGEINT) AS denom FROM w),
+           |em AS (SELECT source, CAST(
+           |    (1000 * CAST($q171Budget AS HUGEINT) * CAST(ws AS HUGEINT))
+           |      // (denom * CAST(n AS HUGEINT)) AS BIGINT) AS e
+           |  FROM w CROSS JOIN d),
+           |cp AS (SELECT doc.doc_id, doc.source,
+           |    len(${sqlTokensOf("doc.text")}) AS dl, em.e,
+           |    (em.e // 1000) + CASE WHEN ${hashes.md5Hash60Sql(
+              "'epoch-' || CAST(doc.doc_id AS VARCHAR)")} % 1000
+           |        < em.e % 1000 THEN 1 ELSE 0 END AS nc
+           |  FROM documents doc JOIN em ON doc.source = em.source)
+           |SELECT source, e AS epoch_milli,
+           |  CAST(SUM(nc) AS BIGINT) AS eff_docs,
+           |  CAST(SUM(nc * dl) AS BIGINT) AS eff_tokens,
+           |  CAST(MAX(nc) - 1 AS BIGINT) AS max_epoch
+           |FROM cp WHERE nc > 0
+           |GROUP BY source, e""".stripMargin,
 
       // the same total order (freq desc, token asc), the same top-1000
       // head cap, and the same closed-form slope over decimal-summed

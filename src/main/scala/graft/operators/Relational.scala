@@ -320,7 +320,79 @@ object Relational {
     * The corpus itself never shuffles. */
   def temperatureMixCuts(docs: DataFrame, stratumCol: String,
       textCol: String, budgetTokens: Long,
-      maxStrata: Int = 1024): Seq[(String, Long)] = {
+      maxStrata: Int = 1024): Seq[(String, Long)] =
+    temperatureMilli(docs, stratumCol, textCol, budgetTokens,
+      maxStrata).map { case (s, e) => (s, e.min(1000L)) }
+
+  /** NS MIXING, the UP-SAMPLING half: per-stratum target EPOCHS in
+    * milli-units from the same √n temperature weights as
+    * [[temperatureMixCuts]] but WITHOUT the 1000 clamp — rare
+    * strata get e_milli > 1000, i.e. every doc repeats
+    * e_milli div 1000 times plus one more with probability
+    * (e_milli mod 1000)/1000, which is exactly the fractional-epoch
+    * contract of LLM data recipes ("epochs per source"); strata at
+    * e_milli < 1000 degrade to the q124 selection semantics (0 base
+    * copies + fractional selection ≡ temperatureMix). `maxEpochs`
+    * fails loudly when the budget/corpus ratio would explode the
+    * materialization (an upsample factor is a deliberate recipe
+    * choice, never an accident of a tiny stratum). */
+  def epochMixMilli(docs: DataFrame, stratumCol: String,
+      textCol: String, budgetTokens: Long, maxStrata: Int = 1024,
+      maxEpochs: Int = 100): Seq[(String, Long)] = {
+    val es = temperatureMilli(docs, stratumCol, textCol, budgetTokens,
+      maxStrata)
+    es.foreach { case (s, e) =>
+      require(e <= maxEpochs * 1000L,
+        s"epochMixMilli: stratum '$s' allocates ${e / 1000.0} epochs " +
+          s"> maxEpochs=$maxEpochs — raise the cap deliberately or " +
+          "lower the budget")
+    }
+    es
+  }
+
+  /** Materialize an epoch allocation from [[epochMixMilli]]: one
+    * output row per (doc, epoch) with a 0-based `epoch` index and
+    * the doc's `epoch_milli` — the training-mixture manifest a data
+    * loader consumes. The fractional copy is selected by the SAME
+    * salted 60-bit hash family as [[temperatureMix]], so the
+    * materialization is deterministic, engine-mirrorable, and a
+    * stratum below 1000 milli reproduces temperatureMix's kept set
+    * exactly (base 0 + fractional selection). Pure scan-time
+    * arithmetic — the only data growth is the requested repetition,
+    * and there is NO shuffle: replication happens in the scan
+    * projection (explode over a per-row integer sequence). */
+  def epochUpsample(df: DataFrame, stratumCol: Column, idCol: Column,
+      epochs: Seq[(String, Long)],
+      saltPrefix: String = "epoch-"): DataFrame = {
+    // per-stratum literals: base copies and the fractional milli part
+    // fold into two integer CASE chains — no division in the plan
+    val eMilli = epochs.foldLeft(lit(0L)) { case (els, (k, e)) =>
+      when(stratumCol === k, lit(e)).otherwise(els)
+    }
+    val base = epochs.foldLeft(lit(0L)) { case (els, (k, e)) =>
+      when(stratumCol === k, lit(e / 1000L)).otherwise(els)
+    }
+    val fracMilli = epochs.foldLeft(lit(0L)) { case (els, (k, e)) =>
+      when(stratumCol === k, lit(e % 1000L)).otherwise(els)
+    }
+    val h = graft.functions.hashes.md5Hash60(
+      concat(lit(saltPrefix), idCol.cast("string")))
+    val copies = base +
+      when(pmod(h, lit(1000L)) < fracMilli, 1L).otherwise(0L)
+    df.withColumn("epoch_milli", eMilli)
+      .withColumn("n_copies", copies)
+      .filter(col("n_copies") > 0L)
+      .withColumn("epoch",
+        explode(sequence(lit(0L), col("n_copies") - 1)))
+  }
+
+  /** Shared allocation core of [[temperatureMixCuts]] (clamped) and
+    * [[epochMixMilli]] (unclamped): per-stratum milli-allocation
+    * 1000·budget·⌊√n_s⌋ / (Σ⌊√n⌋ · n_s), exact BigInt integer
+    * arithmetic over the bounded per-stratum token totals. */
+  private def temperatureMilli(docs: DataFrame, stratumCol: String,
+      textCol: String, budgetTokens: Long,
+      maxStrata: Int): Seq[(String, Long)] = {
     require(budgetTokens >= 0, s"budget must be >= 0: $budgetTokens")
     // cardinality gate BEFORE the per-stratum collect (labelCoherence
     // convention): source-grain strata are O(10), but a caller passing
@@ -351,11 +423,13 @@ object Relational {
     }
     val denom = weights.map(_._3).sum
     weights.map { case (s, n, w) =>
-      val cut =
+      val alloc =
         if (denom == 0 || n == 0L) BigInt(0)
         else (BigInt(1000) * BigInt(budgetTokens) * w) /
           (denom * BigInt(n))
-      (s, cut.min(BigInt(1000)).toLong)
+      // saturate instead of Long-wrapping on absurd budget/corpus
+      // ratios — epochMixMilli's maxEpochs guard then fails loudly
+      (s, alloc.min(BigInt(Long.MaxValue)).toLong)
     }.toSeq
   }
 

@@ -429,4 +429,56 @@ class RelationalSpec extends AnyFunSuite with SparkSpec with Matchers {
     Relational.temperatureMix(docs, col("source"), col("doc_id"),
       Seq("a" -> 0L, "b" -> 0L)).count() shouldBe 0L
   }
+
+  test("epochMixMilli + epochUpsample: fractional epochs repeat docs " +
+    "deterministically; sub-1000 strata reproduce temperatureMix") {
+    import spark.implicits._
+    // big = 100 × 8 = 800 tokens, small = 10 × 8 = 80: a 640-token
+    // budget allocates small ≈ 2.3 epochs (upsample), big < 1 epoch
+    val docs = ((0L until 100L).map(i => (i, "big", "a b c d e f g h")) ++
+      (100L until 110L).map(i => (i, "small", "a b c d e f g h")))
+      .toDF("doc_id", "source", "text")
+    val es = Relational
+      .epochMixMilli(docs, "source", "text", budgetTokens = 640L)
+      .toMap
+    // unclamped integer replay of the q124 formula
+    val (wB, wS) = (math.sqrt(800.0).toLong, math.sqrt(80.0).toLong)
+    val denom = wB + wS
+    es("big") shouldBe 1000L * 640L * wB / (denom * 800L)
+    es("small") shouldBe 1000L * 640L * wS / (denom * 80L)
+    es("small") should be > 1000L // genuinely upsampled
+    es("big") should be < 1000L
+    val up = Relational.epochUpsample(docs, col("source"),
+      col("doc_id"), es.toSeq)
+    // every small doc appears at least base = e div 1000 times, at
+    // most base + 1; epoch indices are exactly 0..n_copies-1
+    val smallCopies = up.filter(col("source") === "small")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nc"), max(col("epoch")).as("me"),
+        min(col("epoch")).as("m0"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val base = es("small") / 1000L
+    all(smallCopies.map(_._1)) should (be >= base and be <= base + 1)
+    smallCopies.foreach { case (nc, me, m0) =>
+      me shouldBe nc - 1; m0 shouldBe 0L
+    }
+    // a sub-1000 stratum reproduces temperatureMix's kept set with
+    // the SAME salt (base 0 + fractional selection ≡ selection)
+    val viaMix = Relational.temperatureMix(docs, col("source"),
+        col("doc_id"), Seq("big" -> es("big"), "small" -> 0L),
+        saltPrefix = "epoch-")
+      .select("doc_id").as[Long].collect().toSet
+    up.filter(col("source") === "big")
+      .select("doc_id").as[Long].collect().toSet shouldBe viaMix
+    // determinism under repartitioning
+    Relational.epochUpsample(docs.orderBy(rand(5)).repartition(7),
+        col("source"), col("doc_id"), es.toSeq)
+      .select("doc_id", "epoch").as[(Long, Long)].collect().toSet shouldBe
+      up.select("doc_id", "epoch").as[(Long, Long)].collect().toSet
+    // the epoch guard fails loudly on an explosive allocation
+    val ex = the[IllegalArgumentException] thrownBy
+      Relational.epochMixMilli(docs, "source", "text",
+        budgetTokens = 100000000L, maxEpochs = 100)
+    ex.getMessage should include("maxEpochs")
+  }
 }
