@@ -615,6 +615,20 @@ object ProbeScale {
       measureClassify("100x", replicateDocs(100))
     }
 
+    // Shared by the excise/selfdup probes: replicate a (doc_id, text)
+    // frame r× WITHOUT a join. A crossJoin(range) puts a Join node in
+    // the analyzed plan, which makes widenForCpu treat the frame as
+    // already shuffle-width-governed — but a broadcast-NLJ output
+    // keeps the 2-split scan width, so the probe would measure a
+    // narrow kernel the real operator never runs. posexplode keeps
+    // the frame scan-shaped, so the operator's own width policy (the
+    // thing under test) decides.
+    def replicateJoinFree(df: DataFrame, r: Int): DataFrame =
+      df.select(col("doc_id"), col("text"),
+          posexplode(array_repeat(lit(1), r)).as(Seq("rep", "_one")))
+        .select((col("doc_id") * r + col("rep")).as("doc_id"),
+          col("text"))
+
     // q163's scale claim measured: the island window must only ever
     // see MATCHED positions (the semi-join reduction), so its input
     // volume tracks the CONTAMINATION MASS, not the corpus — a 100×
@@ -644,18 +658,6 @@ object ProbeScale {
         .localCheckpoint()
       val train = docsE.filter(!isEval)
         .select(col("doc_id"), col("text"))
-      // replicate WITHOUT a join: a crossJoin(range) puts a Join node
-      // in the analyzed plan, which makes widenForCpu treat the frame
-      // as already shuffle-width-governed — but a broadcast-NLJ output
-      // keeps the 2-split scan width, so the probe would measure a
-      // narrow kernel the real operator never runs. posexplode keeps
-      // the frame scan-shaped, so the operator's own width policy
-      // (the thing under test) decides.
-      def replicateTrain(r: Int): DataFrame =
-        train.select(col("doc_id"), col("text"),
-            posexplode(array_repeat(lit(1), r)).as(Seq("rep", "_one")))
-          .select((col("doc_id") * r + col("rep")).as("doc_id"),
-            col("text"))
       // warm the whole excision chain (tokenize + md5 kernel codegen,
       // semi-join, island window) BEFORE the timed points — the r12
       // table's 1× row read 4.57 s cold vs 1.0-1.4 s steady-state, so
@@ -666,8 +668,8 @@ object ProbeScale {
           n = 8)
         .agg(sum(col("tokens_excised"))).head()
       measureExcise("1x", train, evalSet)
-      measureExcise("10x", replicateTrain(10), evalSet)
-      measureExcise("100x", replicateTrain(100), evalSet)
+      measureExcise("10x", replicateJoinFree(train, 10), evalSet)
+      measureExcise("100x", replicateJoinFree(train, 100), evalSet)
     }
 
     // q166/q168/q170's ADVERSARIAL regime measured: replication makes
@@ -705,17 +707,19 @@ object ProbeScale {
       }
       val docsS = Tables(spark, "/root/testdata/sf0.1", "documents")
         .select(col("doc_id"), col("text"))
-      def replicateAll(r: Int): DataFrame =
-        docsS.select(col("doc_id"), col("text"),
-            posexplode(array_repeat(lit(1), r)).as(Seq("rep", "_one")))
-          .select((col("doc_id") * r + col("rep")).as("doc_id"),
-            col("text"))
-      // warm pass (the excise-probe convention)
+      // warm pass (the excise-probe convention) — BOTH measured
+      // operators: selfDupMaximalSpans has stages selfDupExcision
+      // never runs (run-grouping window, variable-width union window,
+      // span checkpoint join), so warming only the excision would
+      // leave the 1× wall_spans billing their codegen/JIT
       Dedup.selfDupExcision(docsS, "doc_id", "text", n = 8)
         .agg(sum(col("tokens_excised"))).head()
+      Dedup.selfDupMaximalSpans(docsS, "doc_id", "text", n = 8,
+          minSpan = 50)
+        .agg(sum(col("tokens_excised"))).head()
       measureSelfDup("1x", docsS)
-      measureSelfDup("3x", replicateAll(3))
-      measureSelfDup("10x", replicateAll(10))
+      measureSelfDup("3x", replicateJoinFree(docsS, 3))
+      measureSelfDup("10x", replicateJoinFree(docsS, 10))
     }
 
     // q157's two scale claims measured: per-round cost tracks the

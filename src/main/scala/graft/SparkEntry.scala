@@ -4412,9 +4412,9 @@ object SparkEntry {
       val tuples =
         if (f.isDirectory)
           Option(f.listFiles()).getOrElse(Array.empty)
-            .map(c => s"${c.getName} ${c.length} ${c.lastModified}")
+            .map(c => s"${c.getName}\u0000${c.length}\u0000${c.lastModified}")
             .sorted
-        else Array(s"${f.getName} ${f.length} ${f.lastModified}")
+        else Array(s"${f.getName}\u0000${f.length}\u0000${f.lastModified}")
       java.security.MessageDigest.getInstance("md5")
         .digest(tuples.mkString("\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -4446,17 +4446,38 @@ object SparkEntry {
     * reported as its own `store_build_sec` metric instead of riding
     * whichever consumer happens to run first. Near-no-op (a
     * metadata-only marker probe) when the stores already exist for
-    * this corpus version. */
-  def prepareSharedStores(s: SparkSession, dir: String)
-      : Seq[(String, Double)] = {
-    def timed(name: String)(body: => Unit): (String, Double) = {
+    * this corpus version.
+    *
+    * `selected` filters to the stores some selected query actually
+    * reads (None = all): a SPARK_GRAFT_BENCH_ONLY=q1 iteration run
+    * must not pay minutes of store build for queries it won't time.
+    * Each build is failure-isolated (duration −1.0 in the result):
+    * the consumers build lazily themselves, so a pre-build failure
+    * (e.g. a live lease from a crashed sibling) belongs to the
+    * consuming queries' own per-query isolation, not the whole run. */
+  def prepareSharedStores(s: SparkSession, dir: String,
+      selected: Option[Set[String]] = None): Seq[(String, Double)] = {
+    val consumers = Map(
+      "pair_store" ->
+        Set("q84_dedup_keeper", "q133_dup_attribution", "q140_dup_census",
+          "q153_training_manifest", "q157_dup_centrality"),
+      "postings_index" -> Set("q126_bm25_indexed"))
+    def wanted(store: String): Boolean =
+      selected.forall(qs => consumers(store).exists(qs.contains))
+    def timed(name: String)(body: => Unit): Option[(String, Double)] = {
+      if (!wanted(name)) return None
       val t0 = System.nanoTime()
-      body
-      name -> ((System.nanoTime() - t0) / 1e9)
+      try { body; Some(name -> ((System.nanoTime() - t0) / 1e9)) }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] store pre-build $name failed " +
+            s"(consumers will build lazily): ${e.getMessage}")
+          Some(name -> -1.0)
+      }
     }
     Seq(
       timed("pair_store") { nearDupPairStore(s, dir); () },
-      timed("postings_index") { bm25PostingsStore(s, dir); () })
+      timed("postings_index") { bm25PostingsStore(s, dir); () }).flatten
   }
 
   /** Past this many merges the per-step Spark-job loop is the wrong

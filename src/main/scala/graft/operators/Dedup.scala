@@ -1705,9 +1705,12 @@ object Dedup {
     * [[incrementalNearDupAgainst]] contract). Returns the appended
     * pair rows. Scale shape: corpus touched only through the index;
     * both candidate joins are batch-sized; the corpus never
-    * re-tokenizes. Crash safety: plain parquet appends under the
-    * store lease (the untagged [[ingestBatchAgainst]] contract) —
-    * wrap the call per ingest batch and rebuild on a torn append. */
+    * re-tokenizes. Crash safety: BOTH leases (pair store + index)
+    * are acquired before the first byte lands, so a lease conflict
+    * from a concurrent writer aborts write-free — pairs and index
+    * can only diverge on a mid-append crash (plain parquet appends,
+    * the untagged [[ingestBatchAgainst]] contract): wrap the call
+    * per ingest batch and rebuild on a torn append. */
   def appendPairStore(batch: DataFrame, idCol: String, textCol: String,
       indexDir: String, store: String, shingleN: Int, k: Int,
       bands: Int, threshold: Double): DataFrame = {
@@ -1721,6 +1724,7 @@ object Dedup {
         .select(col("doc"), xxhash64(col("shingle")).as("h0")),
       k), bands, k)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
     val crossCand = banded.toDF("doc_b", "band", "band_hash")
       .join(storeBands.toDF("doc_a", "band", "band_hash"),
         Seq("band", "band_hash"))
@@ -1753,24 +1757,31 @@ object Dedup {
     val fresh = cross
       .unionByName(rescoreJaccardAB(internalCand, sets, sets, threshold))
       .localCheckpoint(eager = true)
+    // BOTH leases acquired before the first write: a conflict with a
+    // concurrent index writer (appendToNearDupIndex, compact-ndindex)
+    // must abort the whole append, not strand pairs without the
+    // batch's signatures — that tear would silently break the
+    // from-scratch-equality contract for every later batch.
     graft.sources.StoreLease.withLease(spark, store,
         "pair-store-append") {
-      fresh.write.mode("append").parquet(s"$store/pairs")
+      graft.sources.StoreLease.withLease(spark, indexDir,
+          "index-append") {
+        fresh.write.mode("append").parquet(s"$store/pairs")
+        // index growth: ALL batch docs' signatures, the
+        // writeIndexTables append layout (one id-sorted shingle file
+        // per batch) — reusing the cached tables instead of the
+        // second tokenize+minhash pass appendToNearDupIndex would run
+        banded.write.mode("append").parquet(s"$indexDir/bands")
+        sets.repartitionByRange(1, col("doc"))
+          .sortWithinPartitions(col("doc"))
+          .write.mode("append").parquet(s"$indexDir/shingles")
+      }
     }
-    // index growth: ALL batch docs' signatures, the writeIndexTables
-    // append layout (one id-sorted shingle file per batch) under the
-    // index's own lease — reusing the cached tables instead of the
-    // second tokenize+minhash pass appendToNearDupIndex would run
-    graft.sources.StoreLease.withLease(spark, indexDir,
-        "index-append") {
-      banded.write.mode("append").parquet(s"$indexDir/bands")
-      sets.repartitionByRange(1, col("doc"))
-        .sortWithinPartitions(col("doc"))
-        .write.mode("append").parquet(s"$indexDir/shingles")
-    }
-    banded.unpersist(blocking = false)
-    sets.unpersist(blocking = false)
     fresh
+    } finally {
+      banded.unpersist(blocking = false)
+      sets.unpersist(blocking = false)
+    }
   }
 
   /** NS GOVERNANCE: DUPLICATION-GRAPH CENTRALITY — rank documents by

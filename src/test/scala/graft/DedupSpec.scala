@@ -632,6 +632,49 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally Scratch.deleteRecursively(new java.io.File(root))
   }
 
+  test("appendPairStore: a held INDEX lease aborts WRITE-FREE — no " +
+    "pairs strand without the batch's signatures") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_pairlease_").toString
+    try {
+      val c0 = Seq(
+        (1L, (1 to 11).map(i => s"a$i").mkString(" ")),
+        (2L, (1 to 8).map(i => s"p$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      val idx = root + "/idx"; val store = root + "/store"
+      Dedup.writeNearDupIndex(c0, "doc_id", "text",
+        shingleN = 2, k = 64, bands = 32, dir = idx)
+      Dedup.writePairStore(c0, "doc_id", "text", store,
+        shingleN = 2, k = 64, bands = 32, threshold = 0.5)
+      val pairsBefore = Dedup.readPairStore(spark, store).count()
+      val bandsBefore = spark.read.parquet(s"$idx/bands").count()
+      // a concurrent index writer holds the index lease: the append
+      // must fail BEFORE its first write — a pairs-appended /
+      // signatures-missing tear would silently break from-scratch
+      // equality for every later batch
+      graft.sources.StoreLease.acquire(spark, idx, "concurrent-writer")
+      val b1 = Seq((10L, (1 to 9).map(i => s"a$i").mkString(" ") +
+        " x1 x2 x3 x4")).toDF("doc_id", "text")
+      val ex = intercept[IllegalStateException] {
+        Dedup.appendPairStore(b1, "doc_id", "text", idx, store,
+          shingleN = 2, k = 64, bands = 32, threshold = 0.5)
+      }
+      ex.getMessage should include("write-leased")
+      Dedup.readPairStore(spark, store).count() shouldBe pairsBefore
+      spark.read.parquet(s"$idx/bands").count() shouldBe bandsBefore
+      // the aborted append released ITS OWN (store) lease on the way
+      // out — only the concurrent writer's index lease remains
+      new java.io.File(store + ".lease").exists() shouldBe false
+      graft.sources.StoreLease.release(spark, idx, "concurrent-writer")
+      // lease released → the same append now lands whole
+      Dedup.appendPairStore(b1, "doc_id", "text", idx, store,
+        shingleN = 2, k = 64, bands = 32, threshold = 0.5)
+        .count() should be > 0L
+      spark.read.parquet(s"$idx/bands").count() should be > bandsBefore
+    } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
+
   test("incremental near-dup ingest flags batch docs against the stored index") {
     import spark.implicits._
     val root = java.nio.file.Files
