@@ -2393,6 +2393,25 @@ object SparkEntry {
           col("eff_tokens"), col("max_epoch"))
     }),
 
+    // ── NS multimodal dedup: IMAGE PERCEPTUAL-HASH NEAR-DUP — the
+    // aHash-family pipeline (LAION-style image dedup): decode REAL
+    // pixels, nearest-neighbor-sample an 8×8 grid, threshold integer
+    // luma into a 64-bit fingerprint, then the SAME Manku pigeonhole
+    // blocking the text simhash family uses (recall 1 at radius ≤ 4
+    // with 8 blocks, Hamming post-filter for precision 1 — never
+    // all-pairs; at corpus scale keyBlocks widens the join key, the
+    // hammingNearDupPairs scaling note). The oracle rebuilds every
+    // hash from the generation arithmetic and joins all pairs, so a
+    // match proves decode + grid sampling + packing bit for bit ──
+    "q172_image_phash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val fp = Multimodal.decodePartitions[(Long, Long)](
+        patternPngs(s, dir), Multimodal.decodeGridHash(8, 8, 128))
+        .toDF("doc", "fp")
+      Dedup.hammingNearDupPairs(fp, radius = 4, width = 64,
+        blocks = Some(8), keyBlocks = 1)
+    }),
+
     // ── NS: SELF-DEDUP SURGERY — the ExactSubstr TRANSFORM proper
     // (Lee et al. 2022: the deduplicated corpus, not just its
     // price): every affected doc's kept tokens re-joined in order
@@ -4308,6 +4327,49 @@ object SparkEntry {
           val right = (c(7) << 16) | (c(11) << 8) | c(13)
           (id, enc.encode(
             8 + (id % 5L).toInt * 2, 6 + (id % 4L).toInt, left, right))
+        }
+      })(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.BINARY))
+      .toDF("event_id", "payload")
+
+  /** The q172 media fixture: one deterministic 16×16 gray PNG per
+    * 8th event id (the slice keeps the oracle's all-pairs recompute
+    * bounded). Pixels are solid 2×2 blocks on an 8×8 cell grid; cell
+    * i (row-major) is bright (200) or dark (60) by
+    * `base(id%50, i) XOR flip(id, i)` with
+    * `base(p, i) = ((p+1)*(i+3) % 97) % 2` and `k = (id/8) % 3`
+    * flipped positions at `((id/8)*13 + f*29) % 64`. The base MUST
+    * be nonlinear in (p, i) jointly: any affine-in-i formula mod a
+    * small prime collapses the 50 patterns to that prime's residue
+    * classes (measured: 7 distinct patterns from a `%7` form); the
+    * multiplicative form gives 50 distinct patterns at min pairwise
+    * Hamming 16 — so same-pattern pairs (≤ 4 flips apart) are
+    * cleanly inside radius 4 and cross-pattern pairs cleanly
+    * outside, and the oracle rebuilds every 64-bit hash from id
+    * arithmetic alone. Gray pixels make decoded luma exact. */
+  private def patternPngs(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    Multimodal.decodePartitions[(Long, Array[Byte])](
+      t(s, dir, "events").select(col("event_id"))
+        .filter(col("event_id") % 8 === 0)
+        .repartition(s.sparkContext.defaultParallelism),
+      rows => {
+        val enc = new graft.operators.PngEncoder() // once per task
+        rows.map { r =>
+          val id = r.getLong(0)
+          val p = (id % 50L).toInt
+          val m = id / 8
+          val k = (m % 3L).toInt
+          val flips =
+            (0 until k).map(f => ((m * 13 + f * 29) % 64L).toInt).toSet
+          (id, enc.encodePixels(16, 16, (x, y) => {
+            val i = (y / 2) * 8 + (x / 2)
+            val bit = ((((p + 1) * (i + 3)) % 97) % 2) ^
+              (if (flips(i)) 1 else 0)
+            val v = if (bit == 1) 200 else 60
+            (v << 16) | (v << 8) | v
+          }))
         }
       })(org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong,
@@ -6919,6 +6981,39 @@ object SparkEntry {
           |  CAST(((5 * event_id) % 256) + ((13 * event_id) % 256) AS DOUBLE) / 2
           |    AS mean_b
           |FROM events""".stripMargin,
+
+      // rebuild each image's 64-bit perceptual hash from the
+      // generation arithmetic (base bit XOR explicit k<=2 flip
+      // terms; bit 63 lands via the explicit two's-complement term
+      // because a BIGINT << 63 overflows), then join ALL pairs at
+      // Hamming <= 4 — the fixture slice (every 8th event) keeps
+      // this n^2 recompute bounded while the engine side runs the
+      // pigeonhole blocking
+      "q172_image_phash_dedup" ->
+        """WITH ids AS (
+          |  SELECT event_id AS id, (event_id % 50) AS p,
+          |         (event_id // 8) AS m, ((event_id // 8) % 3) AS k
+          |  FROM events WHERE event_id % 8 = 0),
+          |bits AS (
+          |  SELECT id, t.i AS i,
+          |    ( (((p + 1) * (t.i + 3)) % 97) % 2
+          |      + CASE WHEN k >= 1 AND (m * 13) % 64 = t.i
+          |          THEN 1 ELSE 0 END
+          |      + CASE WHEN k >= 2 AND (m * 13 + 29) % 64 = t.i
+          |          THEN 1 ELSE 0 END
+          |    ) % 2 AS b
+          |  FROM ids CROSS JOIN (SELECT range AS i FROM range(64)) t),
+          |h AS (
+          |  SELECT id,
+          |    CAST(SUM(CASE WHEN i < 63 THEN b * (1::BIGINT << i)
+          |      ELSE 0 END) AS BIGINT)
+          |    + CAST(MAX(CASE WHEN i = 63 THEN b ELSE 0 END) AS BIGINT)
+          |      * (-9223372036854775807 - 1) AS fp
+          |  FROM bits GROUP BY id)
+          |SELECT a.id AS doc_a, b.id AS doc_b,
+          |  bit_count(xor(a.fp, b.fp)) AS hamming
+          |FROM h a JOIN h b ON a.id < b.id
+          |WHERE bit_count(xor(a.fp, b.fp)) <= 4""".stripMargin,
 
       // the 5×3 sampled grid reads 9 left + 6 right pixels of every
       // even-width two-tone image — the exact integer numerators the

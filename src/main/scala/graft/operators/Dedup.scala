@@ -782,6 +782,22 @@ object Dedup {
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       radius: Int = 5, width: Int = 60, blocks: Option[Int] = None,
       keyBlocks: Int = 1): DataFrame = {
+    // widenForCpu: tokenize+simhash is the heavy scan-time kernel here
+    val fp = Relational.widenForCpu(docs, col(idCol)).select(col(idCol).as("doc"),
+      simhashFast(text.tokens(col(textCol)), width).as("fp"))
+    hammingNearDupPairs(fp, radius, width, blocks, keyBlocks)
+  }
+
+  /** The Manku pigeonhole join over an ALREADY-COMPUTED fingerprint
+    * frame `(doc, fp)` — the blocking/verify core of
+    * [[simhashNearDupPairs]], exposed for fingerprints that don't
+    * come from text simhash (e.g. the q172 image perceptual hash:
+    * any 64-bit-or-less signature where "near duplicate" means small
+    * Hamming distance gets the same recall-1 blocking). Identical
+    * parameter contract and the same key-width scaling story as the
+    * simhash form (scaladoc above). */
+  def hammingNearDupPairs(fp: DataFrame, radius: Int, width: Int,
+      blocks: Option[Int] = None, keyBlocks: Int = 1): DataFrame = {
     val nBlocks = blocks.getOrElse(radius + 1)
     require(width % nBlocks == 0, s"blocks=$nBlocks must divide width $width")
     require(keyBlocks >= 1 && keyBlocks <= nBlocks - radius,
@@ -791,9 +807,6 @@ object Dedup {
     require(keyBlocks * blockBits <= 63,
       s"packed key is ${keyBlocks * blockBits} bits; must fit a long")
     val mask = (1L << blockBits) - 1
-    // widenForCpu: tokenize+simhash is the heavy scan-time kernel here
-    val fp = Relational.widenForCpu(docs, col(idCol)).select(col(idCol).as("doc"),
-      simhashFast(text.tokens(col(textCol)), width).as("fp"))
     def blockVal(b: Int): Column =
       shiftrightunsigned(col("fp"), b * blockBits).bitwiseAND(lit(mask))
     // one packed key per keyBlocks-combination of blocks

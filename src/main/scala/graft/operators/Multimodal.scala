@@ -267,39 +267,8 @@ object Multimodal {
     decodeStatsCore(rows, resize = Some((outW, outH)))
 
   private def decodeStatsCore(rows: Iterator[Row],
-      resize: Option[(Int, Int)]): Iterator[ImageStats] = {
-    disableImageIoFileCache()
-    val readers =
-      scala.collection.mutable.Map.empty[String, javax.imageio.ImageReader]
-    def readerFor(fmt: String) = readers.getOrElseUpdate(fmt, {
-      val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
-      require(it.hasNext, s"no ImageReader installed for format $fmt")
-      it.next()
-    })
-    def fmt(b: Array[Byte], id: Long): String =
-      if (b.length >= 4 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' &&
-        b(2) == 'N' && b(3) == 'G') "png"
-      else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
-      else if (b.length >= 3 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') "gif"
-      else if (b.length >= 2 && (b(0) & 0xFF) == 0xFF &&
-        (b(1) & 0xFF) == 0xD8) "jpeg"
-      else throw new IllegalArgumentException(
-        s"payload for id $id is not a decodable image (unknown magic)")
-    val decoded = rows.map { r =>
-      val id = r.getLong(0)
-      val bytes = r.getAs[Array[Byte]](1)
-      val reader = readerFor(fmt(bytes, id))
-      val is = new javax.imageio.stream.MemoryCacheImageInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      val img =
-        try {
-          reader.setInput(is)
-          reader.read(0)
-        } finally {
-          reader.setInput(null)
-          is.close()
-        }
-      require(img != null, s"payload for id $id is not a decodable image")
+      resize: Option[(Int, Int)]): Iterator[ImageStats] =
+    decodeImages(rows) { (id, img) =>
       val w = img.getWidth
       val h = img.getHeight
       var sr = 0L; var sg = 0L; var sb = 0L
@@ -333,6 +302,81 @@ object Multimodal {
       }
       ImageStats(id, w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
     }
+
+  /** PERCEPTUAL HASH kernel: decode, nearest-neighbor sample the
+    * `gridW`×`gridH` grid (the [[decodeResizedStats]] index
+    * arithmetic), threshold each sampled cell's integer luma
+    * ((r+g+b) div 3) at `threshold`, and pack the bits row-major into
+    * one long (bit i = cell (i div gridW, i mod gridW)) — the
+    * aHash-family fingerprint image dedup pipelines run before a
+    * Hamming-distance blocking join ([[Dedup.hammingNearDupPairs]]).
+    * Integer arithmetic end-to-end, so an oracle that knows the
+    * generation formula can predict the hash bit for bit. */
+  def decodeGridHash(gridW: Int, gridH: Int, threshold: Int)(
+      rows: Iterator[Row]): Iterator[(Long, Long)] = {
+    require(gridW > 0 && gridH > 0 && gridW * gridH <= 64,
+      s"grid ${gridW}x$gridH must fit a 64-bit hash")
+    decodeImages(rows) { (id, img) =>
+      val w = img.getWidth
+      val h = img.getHeight
+      var bits = 0L
+      var j = 0
+      while (j < gridH) {
+        var i = 0
+        while (i < gridW) {
+          val p = img.getRGB(i * w / gridW, j * h / gridH)
+          val lum =
+            (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) / 3
+          if (lum >= threshold) bits |= 1L << (j * gridW + i)
+          i += 1
+        }
+        j += 1
+      }
+      (id, bits)
+    }
+  }
+
+  /** The shared per-partition image-decode scaffold: cached per-task
+    * ImageReaders keyed by sniffed format (see [[decodeImageStats]]
+    * for why the convenience ImageIO.read is 6.7× slower here),
+    * disposal on exhaustion AND task completion, iterator-to-iterator.
+    * `f` maps each (id, decoded image) to the output row. */
+  private def decodeImages[T](rows: Iterator[Row])(
+      f: (Long, java.awt.image.BufferedImage) => T): Iterator[T] = {
+    disableImageIoFileCache()
+    val readers =
+      scala.collection.mutable.Map.empty[String, javax.imageio.ImageReader]
+    def readerFor(fmt: String) = readers.getOrElseUpdate(fmt, {
+      val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+      require(it.hasNext, s"no ImageReader installed for format $fmt")
+      it.next()
+    })
+    def fmt(b: Array[Byte], id: Long): String =
+      if (b.length >= 4 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' &&
+        b(2) == 'N' && b(3) == 'G') "png"
+      else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+      else if (b.length >= 3 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') "gif"
+      else if (b.length >= 2 && (b(0) & 0xFF) == 0xFF &&
+        (b(1) & 0xFF) == 0xD8) "jpeg"
+      else throw new IllegalArgumentException(
+        s"payload for id $id is not a decodable image (unknown magic)")
+    val decoded = rows.map { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      val reader = readerFor(fmt(bytes, id))
+      val is = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val img =
+        try {
+          reader.setInput(is)
+          reader.read(0)
+        } finally {
+          reader.setInput(null)
+          is.close()
+        }
+      require(img != null, s"payload for id $id is not a decodable image")
+      f(id, img)
+    }
     // dispose the cached readers when the task is done with them:
     // ImageReader holds native/heap decode buffers that otherwise live
     // until GC notices them. Exhaustion alone is not enough — a decode
@@ -348,13 +392,13 @@ object Multimodal {
     }
     Option(org.apache.spark.TaskContext.get())
       .foreach(_.addTaskCompletionListener[Unit](_ => disposeAll()))
-    new Iterator[ImageStats] {
+    new Iterator[T] {
       override def hasNext: Boolean = {
         val h = decoded.hasNext
         if (!h) disposeAll()
         h
       }
-      override def next(): ImageStats = decoded.next()
+      override def next(): T = decoded.next()
     }
   }
 

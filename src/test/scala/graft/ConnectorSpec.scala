@@ -154,6 +154,26 @@ class ConnectorSpec extends AnyFunSuite with SparkSpec with Matchers {
     up shouldBe graft.operators.ImageStats(8L, 2, 1, 120.0, 0.0, 20.0)
   }
 
+  test("multimodal: decodeGridHash packs thresholded cell luma row-major") {
+    import spark.implicits._
+    // 16x16 of 2x2 solid cells on an 8x8 grid: bright (200) exactly
+    // at cells 0, 5, 63 → hash has exactly those bits
+    val bright = Set(0, 5, 63)
+    val enc = new graft.operators.PngEncoder()
+    val bytes = enc.encodePixels(16, 16, (x, y) => {
+      val i = (y / 2) * 8 + (x / 2)
+      val v = if (bright(i)) 200 else 60
+      (v << 16) | (v << 8) | v
+    })
+    val hash = Multimodal.decodePartitions[(Long, Long)](
+      Seq((3L, bytes)).toDF("id", "payload"),
+      Multimodal.decodeGridHash(8, 8, 128)).collect().head
+    hash shouldBe ((3L, (1L << 0) | (1L << 5) | (1L << 63)))
+    // grid wider than 64 bits fails loudly at construction
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeGridHash(9, 8, 128)(Iterator.empty)
+  }
+
   test("multimodal: GVID container samples every stride-th frame and decodes it") {
     import spark.implicits._
     // 3 frames of a 10x4 two-tone; stride 2 decodes frames 0 and 2

@@ -315,6 +315,23 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
     blocked should not be empty // docs 0 and 2 are identical (hamming 0)
   }
 
+  test("hammingNearDupPairs: exact at the radius boundary on handmade fingerprints") {
+    import spark.implicits._
+    // hand-walked distances over {0, 15, 31, 1<<63, (1<<63)|1}:
+    // the radius-4 boundary pair (1↔2) is IN, the 5-bit pairs
+    // (1↔3, 2↔4, 3↔5) are OUT, and bit 63 (the sign bit)
+    // participates like any other (1↔4 at hamming 1, 4↔5 at 1)
+    val fp = Seq(
+      (1L, 0L), (2L, 15L), (3L, 31L),
+      (4L, Long.MinValue), (5L, Long.MinValue | 1L))
+      .toDF("doc", "fp")
+    val pairs = Dedup.hammingNearDupPairs(fp, radius = 4, width = 64,
+        blocks = Some(8), keyBlocks = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    pairs shouldBe Set((1L, 2L, 4), (2L, 3L, 1), (1L, 4L, 1),
+      (1L, 5L, 2), (2L, 5L, 4), (4L, 5L, 1))
+  }
+
   test("simhash pigeonhole: wider-key Manku parameterizations give identical pairs") {
     import spark.implicits._
     val minimal = Dedup.simhashNearDupPairs(corpus, "doc_id", "text", radius = 5)
