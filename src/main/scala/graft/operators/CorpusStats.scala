@@ -78,42 +78,143 @@ object CorpusStats {
     * is deterministic (an exploded avg() would be partition-order
     * sensitive in the last ulp). */
   def unigramLogLoss(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long, maxVocab: Int = 4000000): DataFrame =
+    unigramLogLossAgainst(docs, docs, idCol, textCol, minCount, maxVocab)
+
+  /** [[unigramLogLoss]] with the TRAIN/SCORE split explicit: the
+    * model trains on `train` and scores `score` — the cross-scoring
+    * primitive behind reference-vs-proxy loss comparisons (q173
+    * domain reweighting scores one corpus under two models). The
+    * self-scored form is `unigramLogLoss(docs) =
+    * unigramLogLossAgainst(docs, docs)`; all contracts above hold
+    * with "the corpus" read as `train` for the model and `score` for
+    * the scan. */
+  def unigramLogLossAgainst(train: DataFrame, score: DataFrame,
+      idCol: String, textCol: String,
       minCount: Long, maxVocab: Int = 4000000): DataFrame = {
-    require(minCount >= 1, s"minCount must be >= 1: $minCount")
-    // deliberately NOT widenForCpu'd: the zero-corpus-shuffle contract
-    // is the operator's point, and the tokenize kernel measured
-    // LIGHTER than the exchange it would add (isolated sf0.1 A/B:
-    // 1.8 s → 2.5 s widened)
-    val counts = docs
-      .select(explode(text.tokens(col(textCol))).as("_lm_tok"))
-      .groupBy(col("_lm_tok")).agg(count(lit(1)).as("_lm_c"))
-    // one row: the smoothing constants see the FULL vocabulary; the
-    // broadcast map keeps only tokens worth storing (c >= minCount —
-    // rare tokens score ~like OOV anyway, so the map stays small)
-    val model = counts.agg(
-      sum(col("_lm_c")).cast("double").as("_lm_n"),
-      count(lit(1)).cast("double").as("_lm_v"),
-      map_from_entries(sort_array(collect_list(
-        when(col("_lm_c") >= minCount,
-          struct(col("_lm_tok"), col("_lm_c"))))))
-        .as("_lm_map"))
-    val guarded = when(size(map_keys(col("_lm_map"))) > maxVocab,
-      raise_error(concat(
-        lit(s"unigramLogLoss: vocabulary exceeds $maxVocab ("),
-        size(map_keys(col("_lm_map"))).cast("string"),
-        lit(s") — raise minCount=$minCount for this corpus"))))
-      .otherwise(col("_lm_map"))
     val toks = text.tokens(col(textCol))
-    val nll = aggregate(toks, lit(0.0d),
-      (acc, t) => acc - log(
-        (coalesce(element_at(guarded, t), lit(0L)).cast("double") + 1.0d)
-          / (col("_lm_n") + col("_lm_v"))))
-    docs.crossJoin(broadcast(model))
+    score.crossJoin(broadcast(
+        unigramModel(train, textCol, minCount, "_lm_")))
       .withColumn("n_tok", size(toks))
       .withColumn("nll",
         when(col("n_tok") === 0, lit(null).cast("double"))
-          .otherwise(nll / col("n_tok")))
+          .otherwise(
+            unigramNllSum(toks, "_lm_", minCount, maxVocab)
+              / col("n_tok")))
       .drop("_lm_n", "_lm_v", "_lm_map")
+  }
+
+  /** The 1-row Laplace unigram model over `train`'s token stream,
+    * column names prefixed so two models can ride one projection
+    * ([[domainExcessWeights]]): `{prefix}n` total tokens, `{prefix}v`
+    * full vocabulary size, `{prefix}map` count map. The smoothing
+    * constants see the FULL vocabulary; the broadcast map keeps only
+    * tokens worth storing (c >= minCount — rare tokens score ~like
+    * OOV anyway, so the map stays small). Deliberately NOT
+    * widenForCpu'd: the zero-corpus-shuffle contract is the point,
+    * and the tokenize kernel measured LIGHTER than the exchange it
+    * would add (isolated sf0.1 A/B: 1.8 s → 2.5 s widened). */
+  private def unigramModel(train: DataFrame, textCol: String,
+      minCount: Long, prefix: String): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    train
+      .select(explode(text.tokens(col(textCol))).as("_lm_tok"))
+      .groupBy(col("_lm_tok")).agg(count(lit(1)).as("_lm_c"))
+      .agg(
+        sum(col("_lm_c")).cast("double").as(s"${prefix}n"),
+        count(lit(1)).cast("double").as(s"${prefix}v"),
+        map_from_entries(sort_array(collect_list(
+          when(col("_lm_c") >= minCount,
+            struct(col("_lm_tok"), col("_lm_c"))))))
+          .as(s"${prefix}map"))
+  }
+
+  /** Total negative log-likelihood of `toks` under the
+    * [[unigramModel]] columns with `prefix` (un-normalized — callers
+    * divide by n_tok). The fold order is the token order, so the
+    * double sum is deterministic. The maxVocab guard fails loudly
+    * when minCount was set too low for the map to broadcast. */
+  private def unigramNllSum(toks: Column, prefix: String,
+      minCount: Long, maxVocab: Int): Column = {
+    val guarded = when(size(map_keys(col(s"${prefix}map"))) > maxVocab,
+      raise_error(concat(
+        lit(s"unigramLogLoss: vocabulary exceeds $maxVocab ("),
+        size(map_keys(col(s"${prefix}map"))).cast("string"),
+        lit(s") — raise minCount=$minCount for this corpus"))))
+      .otherwise(col(s"${prefix}map"))
+    aggregate(toks, lit(0.0d),
+      (acc, t) => acc - log(
+        (coalesce(element_at(guarded, t), lit(0L)).cast("double") + 1.0d)
+          / (col(s"${prefix}n") + col(s"${prefix}v"))))
+  }
+
+  /** NS MIXING: DOMAIN REWEIGHTING BY EXCESS LOSS — one
+    * multiplicative-weights step of the DoReMi recipe (Xie et al.
+    * 2023), re-expressed with static unigram models: score every
+    * document under a REFERENCE model (trained on `refFilter` rows
+    * only) and under the FULL-corpus model, aggregate per domain, and
+    * weight each domain by its clamped excess
+    * `max(0, mean(nll_ref) − mean(nll_full))` — high excess = content
+    * the full corpus models well but the reference slice cannot,
+    * i.e. the domains that add the most information over the
+    * reference. (DoReMi iterates this with trained proxies; this is
+    * the data-engine primitive for one step — the loss oracle, the
+    * per-domain aggregation, and the weight normalization.)
+    *
+    * Integer-exact surface (the repo convention): per-doc nll rounds
+    * to 6 decimals and sums as DECIMAL(20,6); the per-domain excess
+    * lands in integer MICRO units via an exact ×1e6 cast and
+    * non-negative integer division by n_docs, and `weight_milli` is
+    * `1000·excess_micro div Σ excess_micro` — floor division on
+    * non-negative longs, bit-equal in Spark and DuckDB.
+    *
+    * Scale shape (100 TB): two model builds (each ONE hash aggregate
+    * reduced to a broadcast row, the [[unigramLogLoss]] contract),
+    * then BOTH models ride one projection over a SINGLE scoring scan
+    * (scoring them separately would force a corpus-wide join on the
+    * doc id to line the two losses up), one domain-grain aggregate,
+    * and a broadcast 1-row total for the normalization — the corpus
+    * never shuffles, no global window, no driver-side loop. */
+  def domainExcessWeights(docs: DataFrame, sourceCol: String,
+      idCol: String, textCol: String, refFilter: Column,
+      minCount: Long, maxVocab: Int = 4000000): DataFrame = {
+    val toks = text.tokens(col(textCol))
+    val nTok = size(toks)
+    def meanNll(prefix: String): Column =
+      when(nTok === 0, lit(null).cast("double"))
+        .otherwise(unigramNllSum(toks, prefix, minCount, maxVocab)
+          / nTok.cast("double"))
+    val scored = docs
+      .crossJoin(broadcast(
+        unigramModel(docs.filter(refFilter), textCol, minCount, "_lmr_")))
+      .crossJoin(broadcast(
+        unigramModel(docs, textCol, minCount, "_lmf_")))
+      .select(col(sourceCol),
+        meanNll("_lmr_").as("nll_ref"),
+        meanNll("_lmf_").as("nll_full"))
+    val dom = scored
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(round(col("nll_ref"), 6).cast("decimal(20,6)")).as("_sr"),
+        sum(round(col("nll_full"), 6).cast("decimal(20,6)")).as("_sf"))
+      .withColumn("excess_micro",
+        // `div`, not `/`: Spark's / on integers is DOUBLE division,
+        // and the sums overflow a double's 53-bit mantissa long
+        // before they overflow a BIGINT — integer floor division is
+        // also exactly what DuckDB's // does on non-negatives
+        when(col("_sr") > col("_sf"),
+          expr("CAST((_sr - _sf) * 1000000 AS BIGINT) div n_docs"))
+          .otherwise(lit(0L)).cast("long"))
+    val total = dom.agg(
+      sum(col("excess_micro")).as("_te"))
+    dom.crossJoin(broadcast(total))
+      .select(col(sourceCol), col("n_docs"),
+        col("_sr").cast("double").as("sum_ref_nll"),
+        col("_sf").cast("double").as("sum_full_nll"),
+        col("excess_micro"),
+        when(col("_te") === 0, lit(0L))
+          .otherwise(expr("(excess_micro * 1000) div _te"))
+          .cast("long").as("weight_milli"))
   }
 
   /** NS: order-2 extension of [[unigramLogLoss]] — train a

@@ -71,6 +71,57 @@ class CorpusStatsSpec extends AnyFunSuite with SparkSpec with Matchers {
     out(3L) shouldBe None
   }
 
+  test("unigramLogLossAgainst: the model comes from TRAIN, the rows from SCORE") {
+    import spark.implicits._
+    // train corpus: a×3, b×1 → N=4, V=2; p = (c+1)/6
+    val train = Seq((1L, "a a b"), (2L, "a")).toDF("doc_id", "text")
+    // 'z' never appears in train → OOV numerator 1, even though the
+    // scored frame is full of it
+    val score = Seq((10L, "a z z")).toDF("doc_id", "text")
+    val out = CorpusStats.unigramLogLossAgainst(train, score,
+        "doc_id", "text", minCount = 1)
+      .select("doc_id", "n_tok", "nll").as[(Long, Int, Double)]
+      .collect().head
+    val pA = 4.0 / 6; val pOov = 1.0 / 6
+    out._1 shouldBe 10L
+    out._2 shouldBe 3
+    out._3 shouldBe
+      (-(math.log(pA) + 2 * math.log(pOov)) / 3) +- 1e-12
+  }
+
+  test("domainExcessWeights: hand-walked excess and floor-division weights") {
+    import spark.implicits._
+    // reference slice = doc_id % 2 = 0 (docs 0, 2): all-'a' text.
+    // domain X repeats the reference language (zero excess, clamped),
+    // domain Y is all-'z' (OOV under the reference model, in-vocab
+    // under the full model → positive excess)
+    val docs = Seq(
+      (0L, "X", "a a a a"), (2L, "Y", "a a a a"),
+      (1L, "X", "a a a a"), (3L, "Y", "z z z z"))
+      .toDF("doc_id", "source", "text")
+    val out = CorpusStats.domainExcessWeights(docs, "source",
+        "doc_id", "text", col("doc_id") % 2 === 0, minCount = 1)
+      .select("source", "n_docs", "excess_micro", "weight_milli")
+      .as[(String, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    // replay the arithmetic: ref model a×8 (N=8, V=1): p(a)=9/9=1
+    // (nll 0), OOV=1/9; full model a×12, z×4 (N=16, V=2): p(a)=13/18,
+    // p(z)=5/18
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP)
+    val refA = r6(0.0); val refZ = r6(-math.log(1.0 / 9))
+    val fullA = r6(-math.log(13.0 / 18)); val fullZ = r6(-math.log(5.0 / 18))
+    val exX = ((refA + refA - fullA - fullA) * 1000000).toLong.max(0L) / 2
+    val exY = ((refA + refZ - fullA - fullZ) * 1000000).toLong.max(0L) / 2
+    out("X")._3 shouldBe exX
+    out("Y")._3 shouldBe exY
+    out("X")._2 shouldBe 2L
+    // Y holds all the excess → weight_milli floor(1000·exY/total)
+    val totalEx = exX + exY
+    out("Y")._4 shouldBe (exY * 1000 / totalEx)
+    out("X")._4 shouldBe (exX * 1000 / totalEx)
+  }
+
   test("unigramLogLoss fails loudly when the vocabulary exceeds the broadcast guard") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
