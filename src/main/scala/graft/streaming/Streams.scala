@@ -318,6 +318,34 @@ object Streams {
             col("key_micros"))
     }
 
+  /** Streaming TEMPERATURE MIX — the q124 recipe applied at ingest
+    * time, completing the mixing family's lifecycle (batch q124 /
+    * up-sampling q171 / THIS). The per-stratum milli cuts are a
+    * STATIC recipe (computed once on the at-rest corpus — mixing
+    * ratios are a training-run decision, not a per-batch one) and
+    * the salted-hash selection is per-ROW deterministic
+    * (Relational.temperatureMix), so each micro-batch's kept
+    * per-(source, cut) counts/token sums are ADDITIVE integer
+    * partials: they land as one batchId-named sealed parquet segment
+    * — EXACTLY-ONCE under micro-batch retry (the q111/q128/q139
+    * convention: sealed segment skipped verbatim, half-landed
+    * cleaned and redone) — and the live report is one re-aggregation
+    * of the partials, equal to the batch q124 answer bit for bit
+    * (shared oracle). Zero streaming state. */
+  def mixIngest(docs: DataFrame, cuts: Seq[(String, Long)],
+      idCol: String, textCol: String, sourceCol: String,
+      storeRoot: String, checkpointDir: String): StreamingQuery =
+    sealedPartialsIngest(docs, storeRoot, checkpointDir, "mix") {
+      b =>
+        graft.operators.Relational
+          .temperatureMix(b, col(sourceCol), col(idCol), cuts)
+          .withColumn("n_tokens",
+            graft.functions.text.tokenCount(col(textCol)).cast("long"))
+          .groupBy(col(sourceCol), col("mix_cut"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("n_tokens")).as("kept_tokens"))
+    }
+
   /** Streaming CLASSIFIER GATE — the q156 hashed-ngram linear
     * classifier applied at ingest time: each micro-batch of crawl
     * docs is scored against the STATIC (bucket, weight) model

@@ -702,6 +702,65 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally Scratch.deleteRecursively(new java.io.File(root))
   }
 
+  test("mix ingest: drained partials equal the batch temperature mix; " +
+    "re-delivered and half-landed batches both converge") {
+    import spark.implicits._
+    import graft.operators.Relational
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_mix_retry_").toString
+    try {
+      // s1 keeps everything (cut 1000); s2 keeps hash%1000 < 500 —
+      // row-local selection, so the static recipe decides per doc
+      val cuts = Seq("s1" -> 1000L, "s2" -> 500L)
+      val b0 = (1L to 6L).map(i =>
+        (i, if (i % 2 == 0) "s1" else "s2", s"tok$i a b"))
+      val b1 = (7L to 12L).map(i =>
+        (i, if (i % 2 == 0) "s1" else "s2", s"w$i x"))
+      def runStream(ckpt: String,
+          batches: Seq[Seq[(Long, String, String)]]): Unit = {
+        val input = MemoryStream[(Long, String, String)]
+        val q = Streams.mixIngest(
+          input.toDF().toDF("doc_id", "source", "text"),
+          cuts, "doc_id", "text", "source", root, ckpt)
+        try batches.foreach { b =>
+          input.addData(b: _*); q.processAllAvailable()
+        } finally q.stop()
+      }
+      runStream(root + "/ckpt", Seq(b0, b1))
+      def report(): Set[Seq[Any]] = spark.read
+        .parquet(root + "/partials")
+        .groupBy(col("source"), col("mix_cut"))
+        .agg(sum("n_kept"), sum("kept_tokens"))
+        .collect().map(_.toSeq).toSet
+      val ref = report()
+      // the partial store re-aggregates to the direct batch mix
+      val all = (b0 ++ b1).toDF("doc_id", "source", "text")
+      val direct = Relational
+        .temperatureMix(all, col("source"), col("doc_id"), cuts)
+        .withColumn("n_tokens",
+          graft.functions.text.tokenCount(col("text")).cast("long"))
+        .groupBy(col("source"), col("mix_cut"))
+        .agg(count(lit(1)).cast("long"), sum(col("n_tokens")))
+        .collect().map(_.toSeq).toSet
+      ref shouldBe direct
+      // the sub-1000 stratum really dropped rows (the cut bites)
+      val s2Kept = ref.collectFirst {
+        case Seq("s2", _, n: Long, _) => n }.get
+      s2Kept should be < 6L
+      // re-delivered batch 0 (fresh checkpoint, same batchId): the
+      // sealed segment is skipped — store unchanged
+      runStream(root + "/ckpt_retry", Seq(b0))
+      report() shouldBe ref
+      // half-landed (seal removed): cleaned and redone, same state
+      val marker = new java.io.File(
+        s"$root/partials/batch_id=0/_SUCCESS")
+      marker.exists() shouldBe true
+      marker.delete() shouldBe true
+      runStream(root + "/ckpt_retry2", Seq(b0))
+      report() shouldBe ref
+    } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
+
   test("moments ingest: streamed partials re-aggregate to the batch " +
     "moments; re-delivered and half-landed batches both converge") {
     import spark.implicits._
