@@ -2412,6 +2412,62 @@ object SparkEntry {
         blocks = Some(8), keyBlocks = 1)
     }),
 
+    // ── T7+NS: STREAMING TEMPERATURE MIX — q124's recipe applied at
+    // ingest (the mixing family's lifecycle completed: batch q124,
+    // up-sampling q171, streaming THIS). Cuts are the STATIC recipe
+    // from the at-rest corpus; selection is row-local and
+    // deterministic, so per-(source, cut) integer partials are
+    // additive across micro-batches: sealed batchId segments,
+    // exactly-once under retry, and the drained report equals batch
+    // q124 bit for bit — the SAME oracle gates both forms ──
+    "q174_stream_mix" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ns = drainSession(s)
+      import ns.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = ns.sqlContext
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q174_").toString
+      val docs = t(s, dir, "documents")
+      val cuts = Relational.temperatureMixCuts(docs, "source", "text",
+        budgetTokens = q124Budget)
+      val rows = docs.select(col("doc_id"), col("source"), col("text"))
+        .as[(Long, String, String)].collect().toSeq
+      val input = MemoryStream[(Long, String, String)]
+      val stream = input.toDF().toDF("doc_id", "source", "text")
+      val ckpt = ephemeralCheckpoint("q174")
+      val q = Streams.mixIngest(stream, cuts, "doc_id", "text",
+        "source", root, ckpt.getAbsolutePath)
+      try
+        (0 until 3).foreach { r =>
+          input.addData(rows.filter(_._1 % 3 == r))
+          q.processAllAvailable()
+        }
+      finally {
+        try q.stop()
+        finally Scratch.deleteRecursively(ckpt)
+      }
+      val report = s.read.parquet(root + "/partials")
+        .groupBy(col("source"), col("mix_cut"))
+        .agg(sum(col("n_kept")).as("n_kept"),
+          sum(col("kept_tokens")).as("kept_tokens"))
+        .select(col("source"), col("mix_cut").as("cut"),
+          col("n_kept"), col("kept_tokens"))
+      materializeThenClean(s, report, root)
+    }),
+
+    // ── NS mixing: DOMAIN REWEIGHTING BY EXCESS LOSS — one DoReMi
+    // multiplicative-weights step with static unigram models: every
+    // doc scored under the reference-slice model (doc_id % 7 < 2)
+    // and the full-corpus model, per-source clamped excess in exact
+    // integer micro units, weights normalized by floor division —
+    // the domains the reference slice can't model get the budget.
+    // Two broadcast-row models, two shuffle-free scoring scans, one
+    // source-grain aggregate (domainExcessWeights scaladoc) ──
+    "q173_domain_reweight" -> ((s, dir) =>
+      CorpusStats.domainExcessWeights(t(s, dir, "documents"),
+        "source", "doc_id", "text", col("doc_id") % 7 < 2,
+        minCount = 3)),
+
     // ── NS: SELF-DEDUP SURGERY — the ExactSubstr TRANSFORM proper
     // (Lee et al. 2022: the deduplicated corpus, not just its
     // price): every affected doc's kept tokens re-joined in order
@@ -5259,6 +5315,31 @@ object SparkEntry {
   /** DuckDB all-pairs SimHash near-dup mirror, shared by q46 (fixed
     * pigeonhole params) and q61 (auto-sized): both must produce this
     * identical exact output. */
+  /** q124's oracle — shared verbatim by q174 (streaming form): the
+    * √n temperature allocation (HUGEINT truncating ratio, min(1000)
+    * saturation) and the salted-hash row selection. */
+  private lazy val temperatureMixSql: String =
+    s"""WITH per AS (SELECT source,
+       |    CAST(SUM(len($sqlTokens)) AS BIGINT) AS n
+       |  FROM documents GROUP BY source),
+       |w AS (SELECT source, n,
+       |    CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS ws
+       |  FROM per),
+       |d AS (SELECT CAST(SUM(ws) AS HUGEINT) AS denom FROM w),
+       |cuts AS (SELECT source, least(
+       |    (1000 * CAST($q124Budget AS HUGEINT) * CAST(ws AS HUGEINT))
+       |      // (denom * CAST(n AS HUGEINT)),
+       |    CAST(1000 AS HUGEINT)) AS cut
+       |  FROM w CROSS JOIN d),
+       |kept AS (SELECT doc.doc_id, doc.source,
+       |    len(${sqlTokensOf("doc.text")}) AS dl, c.cut
+       |  FROM documents doc JOIN cuts c ON doc.source = c.source
+       |  WHERE ${hashes.md5Hash60Sql(
+          "'mix-' || CAST(doc.doc_id AS VARCHAR)")} % 1000 < c.cut)
+       |SELECT source, CAST(cut AS BIGINT) AS cut,
+       |  COUNT(*) AS n_kept, CAST(SUM(dl) AS BIGINT) AS kept_tokens
+       |FROM kept GROUP BY source, cut""".stripMargin
+
   private def simhashPairsSql: String =
     s"""WITH sq AS ($simhash60Sql)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -7015,6 +7096,60 @@ object SparkEntry {
           |FROM h a JOIN h b ON a.id < b.id
           |WHERE bit_count(xor(a.fp, b.fp)) <= 4""".stripMargin,
 
+      // two independent unigram-model CTE chains (reference slice /
+      // full corpus, the q106 rendering twice), one scoring pass
+      // computing both losses, then the exact-integer excess and
+      // floor-division weights — `//` on non-negative BIGINTs is
+      // Spark's `div`, so weight arithmetic is bit-equal
+      "q173_domain_reweight" ->
+        s"""WITH t0 AS (SELECT doc_id, source, $sqlTokens AS toks
+           |  FROM documents),
+           |rtk AS (SELECT unnest(toks) AS tok FROM t0
+           |  WHERE doc_id % 7 < 2),
+           |rcounts AS (SELECT tok, COUNT(*) AS c FROM rtk GROUP BY tok),
+           |rtot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n,
+           |    CAST(COUNT(*) AS DOUBLE) AS v FROM rcounts),
+           |rvocab AS (SELECT map(list(tok ORDER BY tok),
+           |    list(c ORDER BY tok)) AS m FROM rcounts WHERE c >= 3),
+           |ftk AS (SELECT unnest(toks) AS tok FROM t0),
+           |fcounts AS (SELECT tok, COUNT(*) AS c FROM ftk GROUP BY tok),
+           |ftot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n,
+           |    CAST(COUNT(*) AS DOUBLE) AS v FROM fcounts),
+           |fvocab AS (SELECT map(list(tok ORDER BY tok),
+           |    list(c ORDER BY tok)) AS m FROM fcounts WHERE c >= 3),
+           |sc AS (SELECT t0.source,
+           |    CASE WHEN len(toks) = 0 THEN NULL ELSE
+           |      list_reduce(list_transform(toks, tk ->
+           |        -ln((CAST(coalesce(
+           |            list_extract(map_extract(rv.m, tk), 1), 0)
+           |          AS DOUBLE) + 1.0) / (rt.n + rt.v))),
+           |        (a, b) -> a + b) / len(toks) END AS nll_ref,
+           |    CASE WHEN len(toks) = 0 THEN NULL ELSE
+           |      list_reduce(list_transform(toks, tk ->
+           |        -ln((CAST(coalesce(
+           |            list_extract(map_extract(fv.m, tk), 1), 0)
+           |          AS DOUBLE) + 1.0) / (ft.n + ft.v))),
+           |        (a, b) -> a + b) / len(toks) END AS nll_full
+           |  FROM t0 CROSS JOIN rvocab rv CROSS JOIN rtot rt
+           |    CROSS JOIN fvocab fv CROSS JOIN ftot ft),
+           |dom AS (SELECT source, COUNT(*) AS n_docs,
+           |    SUM(CAST(round(nll_ref, 6) AS DECIMAL(20,6))) AS sr,
+           |    SUM(CAST(round(nll_full, 6) AS DECIMAL(20,6))) AS sf
+           |  FROM sc GROUP BY source),
+           |ex AS (SELECT source, n_docs, sr, sf,
+           |    CASE WHEN sr > sf
+           |      THEN CAST((sr - sf) * 1000000 AS BIGINT) // n_docs
+           |      ELSE 0 END AS excess_micro FROM dom),
+           |tot AS (SELECT SUM(excess_micro) AS te FROM ex)
+           |SELECT source, n_docs,
+           |  CAST(sr AS DOUBLE) AS sum_ref_nll,
+           |  CAST(sf AS DOUBLE) AS sum_full_nll,
+           |  CAST(excess_micro AS BIGINT) AS excess_micro,
+           |  CAST(CASE WHEN te = 0 THEN 0
+           |    ELSE (excess_micro * 1000) // te END AS BIGINT)
+           |    AS weight_milli
+           |FROM ex CROSS JOIN tot""".stripMargin,
+
       // the 5×3 sampled grid reads 9 left + 6 right pixels of every
       // even-width two-tone image — the exact integer numerators the
       // engine sums, divided by the same 15
@@ -8111,27 +8246,12 @@ object SparkEntry {
       // BIGINT weights match exactly), HUGEINT ratio with truncating
       // division, min(1000) saturation, then the same salted-hash
       // selection as q65's mirror
-      "q124_temperature_mix" ->
-        s"""WITH per AS (SELECT source,
-           |    CAST(SUM(len($sqlTokens)) AS BIGINT) AS n
-           |  FROM documents GROUP BY source),
-           |w AS (SELECT source, n,
-           |    CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS ws
-           |  FROM per),
-           |d AS (SELECT CAST(SUM(ws) AS HUGEINT) AS denom FROM w),
-           |cuts AS (SELECT source, least(
-           |    (1000 * CAST($q124Budget AS HUGEINT) * CAST(ws AS HUGEINT))
-           |      // (denom * CAST(n AS HUGEINT)),
-           |    CAST(1000 AS HUGEINT)) AS cut
-           |  FROM w CROSS JOIN d),
-           |kept AS (SELECT doc.doc_id, doc.source,
-           |    len(${sqlTokensOf("doc.text")}) AS dl, c.cut
-           |  FROM documents doc JOIN cuts c ON doc.source = c.source
-           |  WHERE ${hashes.md5Hash60Sql(
-              "'mix-' || CAST(doc.doc_id AS VARCHAR)")} % 1000 < c.cut)
-           |SELECT source, CAST(cut AS BIGINT) AS cut,
-           |  COUNT(*) AS n_kept, CAST(SUM(dl) AS BIGINT) AS kept_tokens
-           |FROM kept GROUP BY source, cut""".stripMargin,
+      "q124_temperature_mix" -> temperatureMixSql,
+
+      // the drained partials re-aggregate to exactly the batch mix
+      // report — selection is row-local and deterministic, so the
+      // SAME oracle gates the streaming lifecycle form
+      "q174_stream_mix" -> temperatureMixSql,
 
       // q124's allocation CTEs WITHOUT the least(1000) clamp, then
       // the copies arithmetic replayed per doc: base = e // 1000,

@@ -54,7 +54,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec with Matchers {
     "q27_jaccard_pairs", "q28_ann_bruteforce", "q29_neardup_embeddings",
     "q39_cli_parse", "q42_ann_ivf", "q62_neardup_auto", "q68_range_join",
     "q88_gap_fill", "q91_sql_cosine", "q100_quantized_topk",
-    "q105_line_dedup", "q106_unigram_loss", "q165_bucket_batching")
+    "q105_line_dedup", "q106_unigram_loss", "q165_bucket_batching",
+    // q173: three 1-row broadcast sides (two LM models + the weight
+    // total), the q106 bounded-build shape
+    "q173_domain_reweight")
 
   private def operators(p: SparkPlan): Seq[SparkPlan] = {
     val self = p match {
