@@ -722,6 +722,95 @@ object ProbeScale {
       measureSelfDup("10x", replicateJoinFree(docsS, 10))
     }
 
+    // q172's scale claims measured: the pigeonhole blocking join's
+    // CANDIDATE volume (what actually shuffles/compares) vs the
+    // all-pairs n²/2 it replaces, and how widening the key
+    // (keyBlocks 1 → 2: 8 tables/8-bit keys → 28 tables/16-bit keys)
+    // trades table count for exponentially fewer per-bucket
+    // collisions. Fingerprints come from the q172 generation
+    // ARITHMETIC, not the decode — the blocking is the claim under
+    // test (decode cost is the q92/q149 story), and the oracle gate
+    // already proves arithmetic ≡ decoded hashes. Growth here is the
+    // adversarial direction: more ids = linearly bigger dup groups
+    // (25 fixed patterns), so TRUE pairs grow quadratically — wall
+    // must track candidates/pairs, never n².
+    if (mode == "phash") {
+      val fpExpr = (0 until 64).map { i =>
+        s"((CAST((((id % 50) + 1) * ${i + 3}) % 97 AS BIGINT) % 2" +
+          s" + CASE WHEN (id div 8) % 3 >= 1" +
+          s"     AND ((id div 8) * 13) % 64 = $i THEN 1 ELSE 0 END" +
+          s" + CASE WHEN (id div 8) % 3 >= 2" +
+          s"     AND ((id div 8) * 13 + 29) % 64 = $i THEN 1 ELSE 0 END" +
+          s") % 2) * shiftleft(CAST(1 AS BIGINT), $i)"
+      }.mkString(" + ")
+      def fpFrame(nIds: Long): DataFrame =
+        spark.range(0, nIds).filter("id % 8 = 0")
+          .selectExpr("id AS doc", s"($fpExpr) AS fp")
+          .repartition(32, col("doc"))
+          .localCheckpoint()
+      def candidates(fp: DataFrame, blocks: Int, keyBlocks: Int): Long = {
+        val blockBits = 64 / blocks
+        val mask = (1L << blockBits) - 1
+        def blockVal(b: Int) = shiftrightunsigned(col("fp"),
+          b * blockBits).bitwiseAND(lit(mask))
+        val keys = (0 until blocks).combinations(keyBlocks).toSeq.map {
+          combo => combo.foldLeft(lit(0L))((acc, b) =>
+            shiftleft(acc, blockBits).bitwiseOR(blockVal(b)))
+        }
+        val blocked = fp.select(col("doc"),
+          posexplode(array(keys: _*)).as(Seq("tbl", "bkey")))
+        blocked.groupBy(col("tbl"), col("bkey"))
+          .agg(count(lit(1)).as("n"))
+          .agg(sum(expr("n * (n - 1) div 2"))).head().getLong(0)
+      }
+      def measurePhash(tag: String, nIds: Long): Unit = {
+        val fp = fpFrame(nIds)
+        val n = fp.count()
+        def run(kb: Int): (Long, Double) = {
+          val t0 = System.nanoTime()
+          val pairs = Dedup.hammingNearDupPairs(fp, radius = 4,
+            width = 64, blocks = Some(8), keyBlocks = kb).count()
+          (pairs, (System.nanoTime() - t0) / 1e9)
+        }
+        val (p1, w1) = run(1)
+        val (p2, w2) = run(2)
+        require(p1 == p2, s"keyBlocks must not change the answer: $p1 != $p2")
+        val c1 = candidates(fp, 8, 1)
+        val c2 = candidates(fp, 8, 2)
+        println(f"PROBE_SCALE phash/$tag images=$n pairs=$p1 " +
+          f"allpairs=${n * (n - 1) / 2} cand_kb1=$c1 cand_kb2=$c2 " +
+          f"wall_kb1=$w1%.2fs wall_kb2=$w2%.2fs")
+        org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(fp)
+      }
+      // warm the join/codegen shapes once
+      Dedup.hammingNearDupPairs(fpFrame(2000), radius = 4, width = 64,
+        blocks = Some(8), keyBlocks = 1).count()
+      measurePhash("1x", 10000)   // the sf0.01 gate population
+      measurePhash("4x", 40000)
+      measurePhash("10x", 100000) // the sf0.1 bench population
+      // The fixture is the DUP-DOMINATED regime: candidates ≈
+      // T × true pairs, so widening the key only multiplies the
+      // table count. The regime where keyBlocks EARNS the tables —
+      // web-scale sparse near-dups — is measured with random
+      // fingerprints (xxhash64 of the id: ~zero true pairs, all
+      // candidates are 2^-keyBits random collisions).
+      def sparse(nIds: Long): DataFrame =
+        spark.range(0, nIds)
+          .selectExpr("id AS doc",
+            "xxhash64(CAST(id AS STRING)) AS fp")
+          .repartition(32, col("doc"))
+          .localCheckpoint()
+      Seq(12500L, 125000L).foreach { n =>
+        val fp = sparse(n)
+        val c1 = candidates(fp, 8, 1)
+        val c2 = candidates(fp, 8, 2)
+        println(f"PROBE_SCALE phash/sparse_$n images=$n " +
+          f"allpairs=${n * (n - 1) / 2} cand_kb1=$c1 cand_kb2=$c2 " +
+          f"reduction_kb2=${c1.toDouble / c2.max(1L)}%.1fx")
+        org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(fp)
+      }
+    }
+
     // q157's two scale claims measured: per-round cost tracks the
     // EDGE LIST (pair-store grain, not corpus grain), and rounds
     // compose LINEARLY because ranks are localCheckpointed per round
