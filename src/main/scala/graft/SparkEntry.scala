@@ -2455,6 +2455,57 @@ object SparkEntry {
       materializeThenClean(s, report, root)
     }),
 
+    // ── NS multimodal dedup, the INCREMENTAL form: mark a batch of
+    // images against an AT-REST fingerprint index (q109's ingest
+    // convention on the q172 modality): the index stores the
+    // pigeonhole key table bkey-sorted; the batch joins its own keys
+    // against it — batch-sized shuffle, corpus touched only through
+    // the index, recall 1, exact Hamming verdicts with closest-
+    // stored-doc attribution. The residue filters below cannot push
+    // through the opaque encode seam (each half re-pays the fixture
+    // encode — fixture plumbing only); a production ingest filters
+    // ids BEFORE any codec work.
+    // The oracle rebuilds both halves' hashes arithmetically and
+    // takes each batch image's (hamming, id)-min stored neighbor ──
+    "q176_phash_ingest" -> ((s, dir) => {
+      import s.implicits._
+      def fpOf(residue: Int) = Multimodal.decodePartitions[(Long, Long)](
+        patternPngs(s, dir).filter(col("event_id") % 16 === residue),
+        Multimodal.decodeGridHash(8, 8, 128))
+        .toDF("doc", "fp")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q176_").toString
+      Dedup.writePhashIndex(fpOf(0), root + "/idx",
+        radius = 4, width = 64, blocks = Some(8), keyBlocks = 1)
+      val res = Dedup.incrementalPhashAgainst(s, fpOf(8), root + "/idx",
+        radius = 4, width = 64, blocks = Some(8), keyBlocks = 1)
+      materializeThenClean(s, res, root)
+    }),
+
+    // ── NS dedup: URL-LEVEL DEDUP WITH A KEEPER — the CommonCrawl
+    // re-crawl step: group documents by CANONICAL url (q110's
+    // canonicalization — utm noise and fragments collapse), keep the
+    // longest document per group (ties to the smallest id), report
+    // kept/dropped mass per source. The rank rides a
+    // canon-partitioned window — ONE hash shuffle on the canonical
+    // url, no global window, no driver materialization; the report
+    // needs every row's verdict (dropped mass too), so no rank-k
+    // pre-prune applies ──
+    "q175_url_dedup_keeper" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("canon"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      syntheticUrlDocs(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rk") === 1, col("n_chars").cast("long"))
+            .otherwise(0L)).as("chars_kept"),
+          sum(when(col("rk") > 1, col("n_chars").cast("long"))
+            .otherwise(0L)).as("chars_dropped"))
+    }),
+
     // ── NS mixing: DOMAIN REWEIGHTING BY EXCESS LOSS — one DoReMi
     // multiplicative-weights step with static unigram models: every
     // doc scored under the reference-slice model (doc_id % 7 < 2)
@@ -3140,34 +3191,7 @@ object SparkEntry {
     // blocklist is a broadcast anti-join, never a shuffle. ──
     "q110_url_canonical" -> ((s, dir) => {
       import s.implicits._
-      val hostCol = concat(
-        when(col("doc_id") % 2 === 0, upper(col("source")))
-          .otherwise(col("source")),
-        lit(".example.com"))
-      val rawUrl = concat(
-        lit("https://"), hostCol,
-        lit("/"), col("lang"), lit("/page/"),
-        (col("doc_id") % 50).cast("string"),
-        when(col("doc_id") % 3 === 0,
-          concat(lit("?utm_source=feed&utm_medium=m"),
-            (col("doc_id") % 7).cast("string")))
-          .when(col("doc_id") % 3 === 1,
-            concat(lit("?id="), (col("doc_id") % 10).cast("string"),
-              lit("&utm_campaign=c"), (col("doc_id") % 4).cast("string")))
-          .otherwise(lit("")),
-        when(col("doc_id") % 5 === 0,
-          concat(lit("#sec"), (col("doc_id") % 4).cast("string")))
-          .otherwise(lit("")))
-      // a canonicalization report is ABOUT urls: docs with a NULL url
-      // are out of scope, filtered in BOTH engine and oracle — the
-      // two-phase groupBy below would otherwise count a NULL-url
-      // group as one distinct raw url while countDistinct (and the
-      // oracle) ignore NULLs
-      val withUrl = t(s, dir, "documents")
-        .withColumn("url", rawUrl)
-        .filter(col("url").isNotNull)
-        .withColumn("canon", urls.canonicalize(col("url")))
-        .withColumn("domain", urls.host(col("url")))
+      val withUrl = syntheticUrlDocs(s, dir)
       val blocklist = Seq("src2.example.com", "src9.example.com")
         .toDF("blocked_domain")
       // two-phase distinct instead of countDistinct(url) +
@@ -4389,6 +4413,40 @@ object SparkEntry {
         org.apache.spark.sql.Encoders.BINARY))
       .toDF("event_id", "payload")
 
+  /** Shared by q110/q175: the deterministic synthetic-URL fixture —
+    * every document gets a url derived from (source, lang, doc_id)
+    * with utm-parameter and fragment noise on id-residue subsets, so
+    * canonicalization genuinely collapses groups — plus its
+    * canonical form and host. A canonicalization report is ABOUT
+    * urls: docs with a NULL url are out of scope, filtered here in
+    * lockstep with the oracle CTE ([[urlCanonCtes]]). */
+  private def syntheticUrlDocs(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val hostCol = concat(
+      when(col("doc_id") % 2 === 0, upper(col("source")))
+        .otherwise(col("source")),
+      lit(".example.com"))
+    val rawUrl = concat(
+      lit("https://"), hostCol,
+      lit("/"), col("lang"), lit("/page/"),
+      (col("doc_id") % 50).cast("string"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("?utm_source=feed&utm_medium=m"),
+          (col("doc_id") % 7).cast("string")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("?id="), (col("doc_id") % 10).cast("string"),
+            lit("&utm_campaign=c"), (col("doc_id") % 4).cast("string")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit("#sec"), (col("doc_id") % 4).cast("string")))
+        .otherwise(lit("")))
+    t(s, dir, "documents")
+      .withColumn("url", rawUrl)
+      .filter(col("url").isNotNull)
+      .withColumn("canon", urls.canonicalize(col("url")))
+      .withColumn("domain", urls.host(col("url")))
+  }
+
   /** The q172 media fixture: one deterministic 16×16 gray PNG per
     * 8th event id (the slice keeps the oracle's all-pairs recompute
     * bounded). Pixels are solid 2×2 blocks on an 8×8 cell grid; cell
@@ -5315,6 +5373,53 @@ object SparkEntry {
   /** DuckDB all-pairs SimHash near-dup mirror, shared by q46 (fixed
     * pigeonhole params) and q61 (auto-sized): both must produce this
     * identical exact output. */
+  /** The synthetic-URL fixture + canonicalization as oracle CTEs —
+    * shared by q110 (canonicalization report) and q175 (keeper
+    * dedup): mirrors [[syntheticUrlDocs]] and the urls.canonicalize /
+    * urls.host arithmetic in DuckDB string functions. Ends with
+    * `canon(doc_id, source, n_chars, url, domain, canon)`. */
+  private lazy val urlCanonCtes: String =
+    """u AS (
+      |  SELECT doc_id, source, n_chars,
+      |    'https://' ||
+      |    CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source
+      |    END || '.example.com/' || lang || '/page/' ||
+      |    CAST(doc_id % 50 AS VARCHAR) ||
+      |    CASE WHEN doc_id % 3 = 0
+      |      THEN '?utm_source=feed&utm_medium=m' ||
+      |        CAST(doc_id % 7 AS VARCHAR)
+      |    WHEN doc_id % 3 = 1
+      |      THEN '?id=' || CAST(doc_id % 10 AS VARCHAR) ||
+      |        '&utm_campaign=c' || CAST(doc_id % 4 AS VARCHAR)
+      |    ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0
+      |      THEN '#sec' || CAST(doc_id % 4 AS VARCHAR)
+      |    ELSE '' END AS url
+      |  FROM documents),
+      |parts AS (
+      |  SELECT doc_id, source, n_chars, url,
+      |    regexp_extract(split_part(url, '#', 1),
+      |      '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS head,
+      |    substr(split_part(url, '#', 1),
+      |      length(regexp_extract(split_part(url, '#', 1),
+      |        '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) + 1) AS tail
+      |  FROM u WHERE url IS NOT NULL),
+      |canon AS (
+      |  SELECT doc_id, source, n_chars, url,
+      |    lower(regexp_extract(url,
+      |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS domain,
+      |    lower(head) || split_part(tail, '?', 1) ||
+      |      CASE WHEN len(list_filter(
+      |          string_split(substr(tail,
+      |            length(split_part(tail, '?', 1)) + 2), '&'),
+      |          p -> p <> '' AND NOT starts_with(p, 'utm_'))) > 0
+      |        THEN '?' || array_to_string(list_filter(
+      |          string_split(substr(tail,
+      |            length(split_part(tail, '?', 1)) + 2), '&'),
+      |          p -> p <> '' AND NOT starts_with(p, 'utm_')), '&')
+      |      ELSE '' END AS canon
+      |  FROM parts)""".stripMargin
+
   /** q124's oracle — shared verbatim by q174 (streaming form): the
     * √n temperature allocation (HUGEINT truncating ratio, min(1000)
     * saturation) and the salted-hash row selection. */
@@ -7150,6 +7255,46 @@ object SparkEntry {
            |    AS weight_milli
            |FROM ex CROSS JOIN tot""".stripMargin,
 
+      // the q172 hash arithmetic over BOTH halves, then each batch
+      // image's (hamming, id)-min stored neighbor within radius 4 —
+      // the bounded halves make the all-pairs recompute cheap while
+      // the engine side runs the key-table join against the index
+      "q176_phash_ingest" ->
+        """WITH ids AS (
+          |  SELECT event_id AS id, (event_id % 50) AS p,
+          |         (event_id // 8) AS m, ((event_id // 8) % 3) AS k
+          |  FROM events WHERE event_id % 8 = 0),
+          |bits AS (
+          |  SELECT id, t.i AS i,
+          |    ( (((p + 1) * (t.i + 3)) % 97) % 2
+          |      + CASE WHEN k >= 1 AND (m * 13) % 64 = t.i
+          |          THEN 1 ELSE 0 END
+          |      + CASE WHEN k >= 2 AND (m * 13 + 29) % 64 = t.i
+          |          THEN 1 ELSE 0 END
+          |    ) % 2 AS b
+          |  FROM ids CROSS JOIN (SELECT range AS i FROM range(64)) t),
+          |h AS (
+          |  SELECT id,
+          |    CAST(SUM(CASE WHEN i < 63 THEN b * (1::BIGINT << i)
+          |      ELSE 0 END) AS BIGINT)
+          |    + CAST(MAX(CASE WHEN i = 63 THEN b ELSE 0 END) AS BIGINT)
+          |      * (-9223372036854775807 - 1) AS fp
+          |  FROM bits GROUP BY id),
+          |idx AS (SELECT id, fp FROM h WHERE id % 16 = 0),
+          |bat AS (SELECT id, fp FROM h WHERE id % 16 = 8),
+          |marks AS (
+          |  SELECT b.id AS doc, i.id AS doc_a,
+          |    bit_count(xor(b.fp, i.fp)) AS hamming,
+          |    row_number() OVER (PARTITION BY b.id
+          |      ORDER BY bit_count(xor(b.fp, i.fp)), i.id) AS rk
+          |  FROM bat b JOIN idx i
+          |    ON bit_count(xor(b.fp, i.fp)) <= 4)
+          |SELECT b.id AS doc, b.fp AS fp, m.doc_a AS dup_of,
+          |  m.hamming AS hamming, m.doc_a IS NOT NULL AS is_dup
+          |FROM bat b LEFT JOIN
+          |  (SELECT doc, doc_a, hamming FROM marks WHERE rk = 1) m
+          |  ON b.id = m.doc""".stripMargin,
+
       // the 5×3 sampled grid reads 9 left + 6 right pixels of every
       // even-width two-tone image — the exact integer numerators the
       // engine sums, divided by the same 15
@@ -7862,46 +8007,7 @@ object SparkEntry {
       // definition (regexp_extract head, split_part fragment/query
       // slicing, list_filter on utm_ prefix) — keep in lockstep
       "q110_url_canonical" ->
-        """WITH u AS (
-          |  SELECT doc_id, n_chars,
-          |    'https://' ||
-          |    CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source
-          |    END || '.example.com/' || lang || '/page/' ||
-          |    CAST(doc_id % 50 AS VARCHAR) ||
-          |    CASE WHEN doc_id % 3 = 0
-          |      THEN '?utm_source=feed&utm_medium=m' ||
-          |        CAST(doc_id % 7 AS VARCHAR)
-          |    WHEN doc_id % 3 = 1
-          |      THEN '?id=' || CAST(doc_id % 10 AS VARCHAR) ||
-          |        '&utm_campaign=c' || CAST(doc_id % 4 AS VARCHAR)
-          |    ELSE '' END ||
-          |    CASE WHEN doc_id % 5 = 0
-          |      THEN '#sec' || CAST(doc_id % 4 AS VARCHAR)
-          |    ELSE '' END AS url
-          |  FROM documents),
-          |parts AS (
-          |  SELECT doc_id, n_chars, url,
-          |    regexp_extract(split_part(url, '#', 1),
-          |      '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS head,
-          |    substr(split_part(url, '#', 1),
-          |      length(regexp_extract(split_part(url, '#', 1),
-          |        '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) + 1) AS tail
-          |  FROM u WHERE url IS NOT NULL),
-          |canon AS (
-          |  SELECT doc_id, n_chars, url,
-          |    lower(regexp_extract(url,
-          |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS domain,
-          |    lower(head) || split_part(tail, '?', 1) ||
-          |      CASE WHEN len(list_filter(
-          |          string_split(substr(tail,
-          |            length(split_part(tail, '?', 1)) + 2), '&'),
-          |          p -> p <> '' AND NOT starts_with(p, 'utm_'))) > 0
-          |        THEN '?' || array_to_string(list_filter(
-          |          string_split(substr(tail,
-          |            length(split_part(tail, '?', 1)) + 2), '&'),
-          |          p -> p <> '' AND NOT starts_with(p, 'utm_')), '&')
-          |      ELSE '' END AS canon
-          |  FROM parts)
+        s"""WITH $urlCanonCtes
           |SELECT domain, COUNT(*) AS n_docs,
           |  COUNT(DISTINCT url) AS n_urls_raw,
           |  COUNT(DISTINCT canon) AS n_urls_canon,
@@ -7909,6 +8015,24 @@ object SparkEntry {
           |FROM canon
           |WHERE domain NOT IN ('src2.example.com', 'src9.example.com')
           |GROUP BY domain ORDER BY domain""".stripMargin,
+
+      // same url/canon CTE chain, then the keeper window: rank 1 =
+      // longest doc (ties to smallest id) per canonical url
+      "q175_url_dedup_keeper" ->
+        s"""WITH $urlCanonCtes,
+          |ranked AS (
+          |  SELECT source, n_chars,
+          |    row_number() OVER (PARTITION BY canon
+          |      ORDER BY n_chars DESC, doc_id) AS rk
+          |  FROM canon)
+          |SELECT source, COUNT(*) AS n_docs,
+          |  CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_kept,
+          |  CAST(SUM(CASE WHEN rk = 1 THEN n_chars ELSE 0 END)
+          |    AS BIGINT) AS chars_kept,
+          |  CAST(SUM(CASE WHEN rk > 1 THEN n_chars ELSE 0 END)
+          |    AS BIGINT) AS chars_dropped
+          |FROM ranked GROUP BY source""".stripMargin,
 
       // BM25 re-derived end-to-end: same tokenizer, same pruned
       // posting construction, same (N − df + 0.5)/(df + 0.5) + 1 idf
