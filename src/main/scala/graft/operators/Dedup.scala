@@ -798,6 +798,22 @@ object Dedup {
     * simhash form (scaladoc above). */
   def hammingNearDupPairs(fp: DataFrame, radius: Int, width: Int,
       blocks: Option[Int] = None, keyBlocks: Int = 1): DataFrame = {
+    val blocked = pigeonholeKeys(fp, radius, width, blocks, keyBlocks)
+    blocked.toDF("doc_a", "fp_a", "tbl", "bkey")
+      .join(blocked.toDF("doc_b", "fp_b", "tbl", "bkey"), Seq("tbl", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", hamming64(col("fp_a"), col("fp_b")))
+      .filter(col("hamming") <= radius)
+      .select("doc_a", "doc_b", "hamming")
+      .distinct()
+  }
+
+  /** The pigeonhole key table of a `(doc, fp)` frame: one row per
+    * (doc, table, packed block-combination key) — the blocking grain
+    * [[hammingNearDupPairs]] self-joins and the phash index stores
+    * at rest. Parameter contract as documented on the simhash form. */
+  private def pigeonholeKeys(fp: DataFrame, radius: Int, width: Int,
+      blocks: Option[Int], keyBlocks: Int): DataFrame = {
     val nBlocks = blocks.getOrElse(radius + 1)
     require(width % nBlocks == 0, s"blocks=$nBlocks must divide width $width")
     require(keyBlocks >= 1 && keyBlocks <= nBlocks - radius,
@@ -814,15 +830,67 @@ object Dedup {
       combo.foldLeft(lit(0L))((acc, b) =>
         shiftleft(acc, blockBits).bitwiseOR(blockVal(b)))
     }
-    val blocked = fp.select(col("doc"), col("fp"),
+    fp.select(col("doc"), col("fp"),
       posexplode(array(keys: _*)).as(Seq("tbl", "bkey")))
-    blocked.toDF("doc_a", "fp_a", "tbl", "bkey")
-      .join(blocked.toDF("doc_b", "fp_b", "tbl", "bkey"), Seq("tbl", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
-      .withColumn("hamming", hamming64(col("fp_a"), col("fp_b")))
+  }
+
+  /** AT-REST fingerprint index for the image perceptual-hash family:
+    * `dir/keys` holds the [[pigeonholeKeys]] table (tbl, bkey, doc,
+    * fp), bkey-sorted within files so a batch's key join prunes row
+    * groups — the phash analog of writeNearDupIndex. Parameters are
+    * part of the index contract (the marker must block identically);
+    * they are recorded in `dir/params` and re-checked on read. */
+  def writePhashIndex(fp: DataFrame, dir: String, radius: Int,
+      width: Int, blocks: Option[Int] = None, keyBlocks: Int = 1): Unit = {
+    val spark = fp.sparkSession
+    graft.sources.StoreLease.withLease(spark, dir, "phash-index-build") {
+      pigeonholeKeys(fp, radius, width, blocks, keyBlocks)
+        .repartition(col("bkey"))
+        .sortWithinPartitions(col("tbl"), col("bkey"))
+        .write.mode("overwrite").parquet(s"$dir/keys")
+      import spark.implicits._
+      Seq((radius, width, blocks.getOrElse(radius + 1), keyBlocks))
+        .toDF("radius", "width", "blocks", "key_blocks")
+        .write.mode("overwrite").parquet(s"$dir/params")
+    }
+  }
+
+  /** Incremental IMAGE near-dup marking — [[incrementalNearDupAgainst]]
+    * on the perceptual-hash modality: every batch fingerprint joins
+    * its pigeonhole keys against the AT-REST index
+    * ([[writePhashIndex]]) and is flagged with its CLOSEST stored
+    * doc within `radius` bit flips (smallest Hamming, ties to the
+    * smallest stored id). Returns every batch row: (doc, fp, dup_of
+    * nullable, hamming nullable, is_dup). The corpus is touched only
+    * through the index; the join is batch-keys × stored-keys on
+    * (tbl, bkey) — batch-sized shuffle, recall 1 by the pigeonhole
+    * argument, exact Hamming post-filter. Index parameters are
+    * re-checked against the caller's (a mismatched blocking would
+    * silently lose recall). */
+  def incrementalPhashAgainst(spark: org.apache.spark.sql.SparkSession,
+      batchFp: DataFrame, indexDir: String, radius: Int, width: Int,
+      blocks: Option[Int] = None, keyBlocks: Int = 1): DataFrame = {
+    val p = spark.read.parquet(s"$indexDir/params").head()
+    require(p.getInt(0) == radius && p.getInt(1) == width &&
+      p.getInt(2) == blocks.getOrElse(radius + 1) &&
+      p.getInt(3) == keyBlocks,
+      s"phash index $indexDir was built with (radius=${p.getInt(0)}, " +
+        s"width=${p.getInt(1)}, blocks=${p.getInt(2)}, " +
+        s"keyBlocks=${p.getInt(3)}) — the marker must block identically")
+    val stored = spark.read.parquet(s"$indexDir/keys")
+      .toDF("doc_a", "fp_a", "tbl", "bkey")
+    val marks = pigeonholeKeys(batchFp, radius, width, blocks, keyBlocks)
+      .toDF("doc", "fp", "tbl", "bkey")
+      .join(stored, Seq("tbl", "bkey"))
+      .withColumn("hamming", hamming64(col("fp"), col("fp_a")))
       .filter(col("hamming") <= radius)
-      .select("doc_a", "doc_b", "hamming")
-      .distinct()
+      .groupBy(col("doc"))
+      .agg(min(struct(col("hamming"), col("doc_a"))).as("_best"))
+      .select(col("doc"), col("_best.doc_a").as("dup_of"),
+        col("_best.hamming").as("hamming"))
+    batchFp.join(marks, Seq("doc"), "left")
+      .select(col("doc"), col("fp"), col("dup_of"), col("hamming"),
+        col("dup_of").isNotNull.as("is_dup"))
   }
 
   /** Scale-aware pigeonhole parameterization: the cheapest valid

@@ -332,6 +332,45 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
       (1L, 5L, 2), (2L, 5L, 4), (4L, 5L, 1))
   }
 
+  test("incrementalPhashAgainst: closest-stored attribution, misses " +
+    "stay unflagged, mismatched blocking is rejected") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_phashidx_").toString
+    try {
+      // stored: 0 (fp 0), 1 (fp 0b11), 2 (far)
+      val idx = Seq((0L, 0L), (1L, 3L), (2L, 0x0F0F0F0F0F0F0F0FL))
+        .toDF("doc", "fp")
+      Dedup.writePhashIndex(idx, root + "/idx", radius = 4,
+        width = 64, blocks = Some(8), keyBlocks = 1)
+      // batch: 10 at hamming (1 vs doc0, 2 vs doc1) → closest = 0;
+      // 11 equidistant (2 vs doc0, 2 vs doc1... ) tie → smaller id;
+      // 12 near nothing
+      val batch = Seq(
+        (10L, 1L),                       // d(0)=1, d(1)=2 → dup_of 0
+        (11L, 5L),                       // d(0)=2, d(1)=2 → tie → 0
+        (12L, 0x3333333333333333L))      // far from everything
+        .toDF("doc", "fp")
+      val out = Dedup.incrementalPhashAgainst(spark, batch,
+          root + "/idx", radius = 4, width = 64, blocks = Some(8),
+          keyBlocks = 1)
+        .select("doc", "dup_of", "hamming", "is_dup")
+        .as[(Long, Option[Long], Option[Int], Boolean)]
+        .collect().map(r => r._1 -> r).toMap
+      out(10L) shouldBe ((10L, Some(0L), Some(1), true))
+      out(11L) shouldBe ((11L, Some(0L), Some(2), true))
+      out(12L) shouldBe ((12L, None, None, false))
+      // a marker with different blocking parameters is rejected —
+      // it would silently lose recall against this index
+      val ex = intercept[IllegalArgumentException] {
+        Dedup.incrementalPhashAgainst(spark, batch, root + "/idx",
+          radius = 2, width = 64, blocks = Some(8), keyBlocks = 1)
+      }
+      ex.getMessage should include("must block identically")
+      new java.io.File(root + "/idx.lease").exists() shouldBe false
+    } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
+
   test("simhash pigeonhole: wider-key Manku parameterizations give identical pairs") {
     import spark.implicits._
     val minimal = Dedup.simhashNearDupPairs(corpus, "doc_id", "text", radius = 5)
