@@ -870,6 +870,14 @@ object Dedup {
   def incrementalPhashAgainst(spark: org.apache.spark.sql.SparkSession,
       batchFp: DataFrame, indexDir: String, radius: Int, width: Int,
       blocks: Option[Int] = None, keyBlocks: Int = 1): DataFrame = {
+    checkPhashParams(spark, indexDir, radius, width, blocks, keyBlocks)
+    markPhashCore(spark, batchFp, indexDir, radius, width, blocks,
+      keyBlocks)._2
+  }
+
+  private def checkPhashParams(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, radius: Int, width: Int, blocks: Option[Int],
+      keyBlocks: Int): Unit = {
     val p = spark.read.parquet(s"$indexDir/params").head()
     require(p.getInt(0) == radius && p.getInt(1) == width &&
       p.getInt(2) == blocks.getOrElse(radius + 1) &&
@@ -877,9 +885,30 @@ object Dedup {
       s"phash index $indexDir was built with (radius=${p.getInt(0)}, " +
         s"width=${p.getInt(1)}, blocks=${p.getInt(2)}, " +
         s"keyBlocks=${p.getInt(3)}) — the marker must block identically")
+  }
+
+  /** The shared mark pass: returns (the batch's key table, the marked
+    * batch). The marked frame is eagerly materialized so a caller can
+    * mutate the index it was computed against without recomputing the
+    * join ([[ingestPhashBatchAgainst]]); the key table is handed back
+    * so the fused append never re-derives keys from fingerprints. */
+  private def markPhashCore(spark: org.apache.spark.sql.SparkSession,
+      batchFp: DataFrame, indexDir: String, radius: Int, width: Int,
+      blocks: Option[Int], keyBlocks: Int): (DataFrame, DataFrame) = {
+    val keys = pigeonholeKeys(batchFp, radius, width, blocks, keyBlocks)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // AS-OF-BATCH-START semantics, exactly, even on replay (the
+    // markAgainstIndex rationale): a retried batch whose append
+    // already committed finds its own keys in the store — without
+    // this anti-join it would mark its docs as dups of themselves
+    // (hamming 0) and of their batch-mates, verdicts the original
+    // run (correctly) did not produce. Bounded: one row per batch
+    // doc, broadcast.
     val stored = spark.read.parquet(s"$indexDir/keys")
       .toDF("doc_a", "fp_a", "tbl", "bkey")
-    val marks = pigeonholeKeys(batchFp, radius, width, blocks, keyBlocks)
+      .join(broadcast(batchFp.select(col("doc").as("_mk_batch_id"))),
+        col("doc_a") === col("_mk_batch_id"), "left_anti")
+    val marks = keys
       .toDF("doc", "fp", "tbl", "bkey")
       .join(stored, Seq("tbl", "bkey"))
       .withColumn("hamming", hamming64(col("fp"), col("fp_a")))
@@ -888,9 +917,53 @@ object Dedup {
       .agg(min(struct(col("hamming"), col("doc_a"))).as("_best"))
       .select(col("doc"), col("_best.doc_a").as("dup_of"),
         col("_best.hamming").as("hamming"))
-    batchFp.join(marks, Seq("doc"), "left")
+    val out = batchFp.join(marks, Seq("doc"), "left")
       .select(col("doc"), col("fp"), col("dup_of"), col("hamming"),
         col("dup_of").isNotNull.as("is_dup"))
+      .localCheckpoint(eager = true)
+    (keys, out)
+  }
+
+  /** [[incrementalPhashAgainst]] fused with the index append of the
+    * FRESH images' keys — the per-micro-batch step of continuous
+    * image ingest (Streams.phashIngest), the [[ingestBatchAgainst]]
+    * contract on the phash modality: dup images resolve to a stored
+    * doc and are NOT appended (the keeper convention — chained
+    * near-dups re-resolve to the original, never to each other), and
+    * the appended keys are sliced from the mark pass's cached table,
+    * never re-derived. `commitTag` makes the append EXACTLY-ONCE
+    * under micro-batch retry (the tagged stage → move-in → marker
+    * protocol of the minhash ingest — a committed tag skips the
+    * append, a half-landed one cleans its own `seg-<tag>-*` files
+    * and redoes). */
+  def ingestPhashBatchAgainst(spark: org.apache.spark.sql.SparkSession,
+      batchFp: DataFrame, indexDir: String, radius: Int, width: Int,
+      blocks: Option[Int] = None, keyBlocks: Int = 1,
+      commitTag: Option[String] = None): DataFrame = {
+    checkPhashParams(spark, indexDir, radius, width, blocks, keyBlocks)
+    val alreadyCommitted =
+      commitTag.exists(t => isBatchCommitted(spark, indexDir, t))
+    val (keys, out) = markPhashCore(spark, batchFp, indexDir, radius,
+      width, blocks, keyBlocks)
+    try {
+      if (!alreadyCommitted)
+        graft.sources.StoreLease.withLease(spark, indexDir,
+            commitTag.fold("phash-ingest")(t => s"phash-ingest-$t")) {
+          val dupIds = out.filter(col("is_dup")).select(col("doc"))
+          val freshKeys = keys
+            .join(broadcast(dupIds), Seq("doc"), "left_anti")
+            .repartition(col("bkey"))
+            .sortWithinPartitions(col("tbl"), col("bkey"))
+          commitTag match {
+            case None =>
+              freshKeys.write.mode("append").parquet(s"$indexDir/keys")
+            case Some(tag) =>
+              taggedSegmentAppend(spark, indexDir, tag,
+                Seq("keys" -> freshKeys))
+          }
+        }
+      out
+    } finally keys.unpersist(blocking = false)
   }
 
   /** Scale-aware pigeonhole parameterization: the cheapest valid
@@ -2311,52 +2384,60 @@ object Dedup {
           freshBands.write.mode("append").parquet(s"$indexDir/bands")
           freshSets.write.mode("append").parquet(s"$indexDir/shingles")
         case Some(tag) =>
-          // EXACTLY-ONCE store append under retry: stage → move-in
-          // with tag-named files → marker. A crash anywhere before
-          // the marker leaves either untouched tables or some
-          // `seg-<tag>-*` files with no marker; the retry deletes
-          // exactly those files and redoes the append — the staged
-          // content is a pure function of (batch, as-of store), so
-          // the redo reproduces what the crash interrupted. A crash
-          // AFTER the marker is the alreadyCommitted skip above.
-          val conf = spark.sessionState.newHadoopConf()
-          val root = new org.apache.hadoop.fs.Path(indexDir)
-          val fs = root.getFileSystem(conf)
-          Seq("bands", "shingles").foreach { t =>
-            val table = new org.apache.hadoop.fs.Path(root, t)
-            if (fs.exists(table))
-              fs.globStatus(new org.apache.hadoop.fs.Path(
-                  table, s"seg-$tag-*"))
-                .foreach(st => fs.delete(st.getPath, false))
-          }
-          val staging =
-            new org.apache.hadoop.fs.Path(root, s".staging/$tag")
-          fs.delete(staging, true) // stale from a crashed attempt
-          freshBands.write.parquet(
-            new org.apache.hadoop.fs.Path(staging, "bands").toString)
-          freshSets.write.parquet(
-            new org.apache.hadoop.fs.Path(staging, "shingles").toString)
-          Seq("bands", "shingles").foreach { t =>
-            val table = new org.apache.hadoop.fs.Path(root, t)
-            fs.listStatus(new org.apache.hadoop.fs.Path(staging, t))
-              .filter(st => st.isFile &&
-                st.getPath.getName.startsWith("part-"))
-              .foreach { st =>
-                val dst = new org.apache.hadoop.fs.Path(
-                  table, s"seg-$tag-${st.getPath.getName}")
-                require(fs.rename(st.getPath, dst),
-                  s"tagged append: could not move ${st.getPath} to $dst")
-              }
-          }
-          val marker = commitMarkerPath(indexDir, tag)
-          fs.mkdirs(marker.getParent)
-          fs.create(marker, true).close()
-          fs.delete(staging, true)
+          taggedSegmentAppend(spark, indexDir, tag,
+            Seq("bands" -> freshBands, "shingles" -> freshSets))
       }
     }
     candidates.unpersist(blocking = false)
     banded.unpersist(blocking = false)
     sets.unpersist(blocking = false)
     out
+  }
+
+  /** EXACTLY-ONCE store append under retry, shared by the minhash and
+    * phash ingest paths: stage → move-in with tag-named files →
+    * marker. A crash anywhere before the marker leaves either
+    * untouched tables or some `seg-<tag>-*` files with no marker; the
+    * retry deletes exactly those files and redoes the append — the
+    * staged content is a pure function of (batch, as-of store), so
+    * the redo reproduces what the crash interrupted. A crash AFTER
+    * the marker is the caller's isBatchCommitted skip. Caller holds
+    * the store lease. */
+  private def taggedSegmentAppend(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      tag: String, tables: Seq[(String, DataFrame)]): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(conf)
+    tables.foreach { case (t, _) =>
+      val table = new org.apache.hadoop.fs.Path(root, t)
+      if (fs.exists(table))
+        fs.globStatus(new org.apache.hadoop.fs.Path(
+            table, s"seg-$tag-*"))
+          .foreach(st => fs.delete(st.getPath, false))
+    }
+    val staging =
+      new org.apache.hadoop.fs.Path(root, s".staging/$tag")
+    fs.delete(staging, true) // stale from a crashed attempt
+    tables.foreach { case (t, df) =>
+      df.write.parquet(
+        new org.apache.hadoop.fs.Path(staging, t).toString)
+    }
+    tables.foreach { case (t, _) =>
+      val table = new org.apache.hadoop.fs.Path(root, t)
+      fs.listStatus(new org.apache.hadoop.fs.Path(staging, t))
+        .filter(st => st.isFile &&
+          st.getPath.getName.startsWith("part-"))
+        .foreach { st =>
+          val dst = new org.apache.hadoop.fs.Path(
+            table, s"seg-$tag-${st.getPath.getName}")
+          require(fs.rename(st.getPath, dst),
+            s"tagged append: could not move ${st.getPath} to $dst")
+        }
+    }
+    val marker = commitMarkerPath(indexDir, tag)
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+    fs.delete(staging, true)
   }
 }

@@ -318,6 +318,45 @@ object Streams {
             col("key_micros"))
     }
 
+  /** CONTINUOUS IMAGE PHASH INGEST — the q111 lifecycle on the image
+    * modality: each micro-batch of (doc, fp) fingerprints is marked
+    * against the at-rest phash index AS OF its start and the fresh
+    * (non-dup) keys append before the next batch
+    * (Dedup.ingestPhashBatchAgainst — mark + append fused on one
+    * cached key table), so store growth carries the cross-batch
+    * memory and streaming state is zero. Marked rows land in
+    * batchId-keyed partitions with dynamic overwrite; the tagged
+    * store append skips committed batches and cleans half-landed
+    * ones — exactly-once on both the output and the index. Width
+    * scope per the nearDupIngest convention (restored in finally). */
+  def phashIngest(fps: DataFrame, indexDir: String, outDir: String,
+      checkpointDir: String, radius: Int, width: Int,
+      blocks: Option[Int] = None, keyBlocks: Int = 1): StreamingQuery =
+    fps.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val widthKey = "spark.sql.shuffle.partitions"
+        val oldWidth = s.conf.get(widthKey)
+        s.conf.set(widthKey, s.sparkContext.defaultParallelism)
+        try {
+          val marked = graft.Phases.time(s"phash_mark_append[b$batchId]") {
+            graft.operators.Dedup.ingestPhashBatchAgainst(
+              s, batch.toDF(), indexDir, radius, width, blocks,
+              keyBlocks, commitTag = Some(s"b$batchId"))
+          }
+          graft.Phases.time(s"sink[b$batchId]") {
+            marked
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(outDir)
+          }
+        } finally s.conf.set(widthKey, oldWidth)
+      }
+      .start()
+
   /** Streaming TEMPERATURE MIX — the q124 recipe applied at ingest
     * time, completing the mixing family's lifecycle (batch q124 /
     * up-sampling q171 / THIS). The per-stratum milli cuts are a

@@ -702,6 +702,57 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally Scratch.deleteRecursively(new java.io.File(root))
   }
 
+  test("phash ingest: index growth flags cross-batch image dups; " +
+    "re-delivered and half-landed batches both converge") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_phash_retry_").toString
+    try {
+      // stored: one far-off fingerprint; batch 0 brings fresh content
+      // (fp 0, fp 3); batch 1 near-dups batch 0's fp 0 — flaggable
+      // ONLY if batch 0's fresh keys landed in the index
+      Dedup.writePhashIndex(
+        Seq((1L, 0x0F0F0F0F0F0F0F0FL)).toDF("doc", "fp"),
+        root + "/idx", radius = 4, width = 64, blocks = Some(8),
+        keyBlocks = 1)
+      val b0 = Seq((10L, 0L), (11L, 3L))
+      val b1 = Seq((20L, 1L))
+      def runStream(ckpt: String, batches: Seq[Seq[(Long, Long)]]): Unit = {
+        val input = MemoryStream[(Long, Long)]
+        val q = Streams.phashIngest(input.toDF().toDF("doc", "fp"),
+          root + "/idx", root + "/out", ckpt, radius = 4, width = 64,
+          blocks = Some(8), keyBlocks = 1)
+        try batches.foreach { b =>
+          input.addData(b: _*); q.processAllAvailable()
+        } finally q.stop()
+      }
+      runStream(root + "/ckpt", Seq(b0, b1))
+      def state(): (Long, Set[Seq[Any]]) = (
+        spark.read.parquet(root + "/idx/keys")
+          .select("doc").distinct().count(),
+        spark.read.parquet(root + "/out")
+          .select("doc", "dup_of", "hamming", "is_dup")
+          .collect().map(_.toSeq).toSet)
+      val (idxDocs, out) = state()
+      idxDocs shouldBe 3L // stored 1 + fresh 10, 11; dup 20 NOT appended
+      out should contain (Seq(20L, 10L, 1, true)) // via batch-0 growth
+      out should contain (Seq(10L, null, null, false))
+      // re-delivered batch 0 (fresh checkpoint, same batchId): the
+      // committed tag skips the index append; the batchId-keyed sink
+      // partition overwrites itself — both sides unchanged
+      runStream(root + "/ckpt_retry", Seq(b0))
+      state() shouldBe ((idxDocs, out))
+      // half-landed (commit marker removed): the retry cleans its own
+      // seg files and redoes — same converged state
+      val marker = new java.io.File(s"$root/idx/_commits/b0")
+      marker.exists() shouldBe true
+      marker.delete() shouldBe true
+      runStream(root + "/ckpt_retry2", Seq(b0))
+      state() shouldBe ((idxDocs, out))
+    } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
+
   test("mix ingest: drained partials equal the batch temperature mix; " +
     "re-delivered and half-landed batches both converge") {
     import spark.implicits._
