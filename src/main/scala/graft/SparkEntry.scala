@@ -2405,9 +2405,13 @@ object SparkEntry {
     // match proves decode + grid sampling + packing bit for bit ──
     "q172_image_phash_dedup" -> ((s, dir) => {
       import s.implicits._
+      // checkpointed: the blocking self-join references the frame on
+      // both sides, and an uncached decode subtree would re-run the
+      // full codec pass per side
       val fp = Multimodal.decodePartitions[(Long, Long)](
         patternPngs(s, dir), Multimodal.decodeGridHash(8, 8, 128))
         .toDF("doc", "fp")
+        .localCheckpoint()
       Dedup.hammingNearDupPairs(fp, radius = 4, width = 64,
         blocks = Some(8), keyBlocks = 1)
     }),
@@ -2469,16 +2473,71 @@ object SparkEntry {
     // takes each batch image's (hamming, id)-min stored neighbor ──
     "q176_phash_ingest" -> ((s, dir) => {
       import s.implicits._
+      // the residue filter goes BEFORE the encode seam and the tiny
+      // (doc, fp) frame is checkpointed: each half pays its codec
+      // pass exactly once — unfiltered/uncached, the index build,
+      // the key derivation, and the mark join each re-ran the full
+      // 12.5k-image encode (measured 8.5 s vs ~3 s at sf0.1)
       def fpOf(residue: Int) = Multimodal.decodePartitions[(Long, Long)](
-        patternPngs(s, dir).filter(col("event_id") % 16 === residue),
+        patternPngs(s, dir, col("event_id") % 16 === residue),
         Multimodal.decodeGridHash(8, 8, 128))
         .toDF("doc", "fp")
+        .localCheckpoint()
       val root = java.nio.file.Files
         .createTempDirectory("graft_q176_").toString
       Dedup.writePhashIndex(fpOf(0), root + "/idx",
         radius = 4, width = 64, blocks = Some(8), keyBlocks = 1)
       val res = Dedup.incrementalPhashAgainst(s, fpOf(8), root + "/idx",
         radius = 4, width = 64, blocks = Some(8), keyBlocks = 1)
+      materializeThenClean(s, res, root)
+    }),
+
+    // ── T7+NS: CONTINUOUS IMAGE PHASH INGEST — the q111 lifecycle
+    // completing the image-dedup family (batch q172 / incremental
+    // q176 / streaming THIS): the stored index holds the q176 half;
+    // the streamed images carry SHIFTED base patterns (content the
+    // store has never seen — min cross-distance 12 > radius), so
+    // batch 1 is all fresh and batches 2/3 can ONLY be flagged if
+    // the index grew between batches — a failed append surfaces as
+    // dup counts collapsing in the oracle compare, and cross-batch
+    // dup_of ids pin WHICH earlier image each one resolved to ──
+    "q177_stream_phash_ingest" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ns = drainSession(s)
+      import ns.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = ns.sqlContext
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q177_").toString
+      // index build on the PARENT session (corpus-scale); fp frames
+      // checkpointed — the q176 single-codec-pass rationale
+      val idxFp = Multimodal.decodePartitions[(Long, Long)](
+        patternPngs(s, dir, col("event_id") % 16 === 0),
+        Multimodal.decodeGridHash(8, 8, 128))
+        .toDF("doc", "fp").localCheckpoint()
+      Dedup.writePhashIndex(idxFp, root + "/idx",
+        radius = 4, width = 64, blocks = Some(8), keyBlocks = 1)
+      val rows = Multimodal.decodePartitions[(Long, Long)](
+        patternPngs(s, dir, col("event_id") % 16 === 8, patShift = 1),
+        Multimodal.decodeGridHash(8, 8, 128))
+        .collect().toSeq
+      val input = MemoryStream[(Long, Long)]
+      val stream = input.toDF().toDF("doc", "fp")
+      val ckpt = ephemeralCheckpoint("q177")
+      val q = Streams.phashIngest(stream, root + "/idx", root + "/out",
+        ckpt.getAbsolutePath, radius = 4, width = 64,
+        blocks = Some(8), keyBlocks = 1)
+      try
+        (0 until 3).foreach { r =>
+          input.addData(rows.filter(t => (t._1 / 16) % 3 == r))
+          q.processAllAvailable()
+        }
+      finally {
+        try q.stop()
+        finally Scratch.deleteRecursively(ckpt)
+      }
+      val res = s.read.parquet(root + "/out")
+        .select(col("doc"), col("fp"), col("dup_of"), col("hamming"),
+          col("is_dup"))
       materializeThenClean(s, res, root)
     }),
 
@@ -4462,17 +4521,28 @@ object SparkEntry {
     * cleanly inside radius 4 and cross-pattern pairs cleanly
     * outside, and the oracle rebuilds every 64-bit hash from id
     * arithmetic alone. Gray pixels make decoded luma exact. */
-  private def patternPngs(s: SparkSession, dir: String)
+  private def patternPngs(s: SparkSession, dir: String,
+      idFilter: Column = lit(true), patShift: Int = 0)
       : org.apache.spark.sql.DataFrame =
     Multimodal.decodePartitions[(Long, Array[Byte])](
       t(s, dir, "events").select(col("event_id"))
         .filter(col("event_id") % 8 === 0)
+        // applied BEFORE the encode seam: a filter on the returned
+        // frame cannot push through the opaque mapPartitions, so a
+        // caller slicing the fixture (q176's index/batch halves)
+        // must pass it here or pay the full encode pass per slice
+        .filter(idFilter)
         .repartition(s.sparkContext.defaultParallelism),
       rows => {
         val enc = new graft.operators.PngEncoder() // once per task
         rows.map { r =>
           val id = r.getLong(0)
-          val p = (id % 50L).toInt
+          // patShift rotates the base-pattern id: a slice whose ids
+          // all sit on even residues mod 50 can be given the 25 ODD
+          // patterns instead (q177's streamed images — new content
+          // the stored index has never seen, min cross-distance
+          // 16 − 4 > radius, so only index GROWTH can flag them)
+          val p = ((id % 50L).toInt + patShift) % 50
           val m = id / 8
           val k = (m % 3L).toInt
           val flips =
@@ -5373,6 +5443,37 @@ object SparkEntry {
   /** DuckDB all-pairs SimHash near-dup mirror, shared by q46 (fixed
     * pigeonhole params) and q61 (auto-sized): both must produce this
     * identical exact output. */
+  /** The q172-family perceptual-hash reconstruction as oracle CTEs —
+    * shared by q172/q176/q177: rebuilds each image's 64-bit hash from
+    * the [[patternPngs]] generation arithmetic (base bit XOR explicit
+    * k ≤ 2 flip terms; bit 63 lands via the explicit two's-complement
+    * term because a BIGINT << 63 overflows). `pExpr` is the base
+    * pattern id (q177's streamed half rotates it, the patShift
+    * mirror); ends with `${prefix}h(id, fp)`. */
+  private def phashHashCtes(prefix: String, where: String,
+      pExpr: String): String =
+    s"""${prefix}ids AS (
+       |  SELECT event_id AS id, $pExpr AS p,
+       |         (event_id // 8) AS m, ((event_id // 8) % 3) AS k
+       |  FROM events WHERE event_id % 8 = 0 AND ($where)),
+       |${prefix}bits AS (
+       |  SELECT id, t.i AS i,
+       |    ( (((p + 1) * (t.i + 3)) % 97) % 2
+       |      + CASE WHEN k >= 1 AND (m * 13) % 64 = t.i
+       |          THEN 1 ELSE 0 END
+       |      + CASE WHEN k >= 2 AND (m * 13 + 29) % 64 = t.i
+       |          THEN 1 ELSE 0 END
+       |    ) % 2 AS b
+       |  FROM ${prefix}ids CROSS JOIN
+       |    (SELECT range AS i FROM range(64)) t),
+       |${prefix}h AS (
+       |  SELECT id,
+       |    CAST(SUM(CASE WHEN i < 63 THEN b * (1::BIGINT << i)
+       |      ELSE 0 END) AS BIGINT)
+       |    + CAST(MAX(CASE WHEN i = 63 THEN b ELSE 0 END) AS BIGINT)
+       |      * (-9223372036854775807 - 1) AS fp
+       |  FROM ${prefix}bits GROUP BY id)""".stripMargin
+
   /** The synthetic-URL fixture + canonicalization as oracle CTEs —
     * shared by q110 (canonicalization report) and q175 (keeper
     * dedup): mirrors [[syntheticUrlDocs]] and the urls.canonicalize /
@@ -7176,26 +7277,7 @@ object SparkEntry {
       // this n^2 recompute bounded while the engine side runs the
       // pigeonhole blocking
       "q172_image_phash_dedup" ->
-        """WITH ids AS (
-          |  SELECT event_id AS id, (event_id % 50) AS p,
-          |         (event_id // 8) AS m, ((event_id // 8) % 3) AS k
-          |  FROM events WHERE event_id % 8 = 0),
-          |bits AS (
-          |  SELECT id, t.i AS i,
-          |    ( (((p + 1) * (t.i + 3)) % 97) % 2
-          |      + CASE WHEN k >= 1 AND (m * 13) % 64 = t.i
-          |          THEN 1 ELSE 0 END
-          |      + CASE WHEN k >= 2 AND (m * 13 + 29) % 64 = t.i
-          |          THEN 1 ELSE 0 END
-          |    ) % 2 AS b
-          |  FROM ids CROSS JOIN (SELECT range AS i FROM range(64)) t),
-          |h AS (
-          |  SELECT id,
-          |    CAST(SUM(CASE WHEN i < 63 THEN b * (1::BIGINT << i)
-          |      ELSE 0 END) AS BIGINT)
-          |    + CAST(MAX(CASE WHEN i = 63 THEN b ELSE 0 END) AS BIGINT)
-          |      * (-9223372036854775807 - 1) AS fp
-          |  FROM bits GROUP BY id)
+        s"""WITH ${phashHashCtes("", "TRUE", "(event_id % 50)")}
           |SELECT a.id AS doc_a, b.id AS doc_b,
           |  bit_count(xor(a.fp, b.fp)) AS hamming
           |FROM h a JOIN h b ON a.id < b.id
@@ -7260,26 +7342,8 @@ object SparkEntry {
       // the bounded halves make the all-pairs recompute cheap while
       // the engine side runs the key-table join against the index
       "q176_phash_ingest" ->
-        """WITH ids AS (
-          |  SELECT event_id AS id, (event_id % 50) AS p,
-          |         (event_id // 8) AS m, ((event_id // 8) % 3) AS k
-          |  FROM events WHERE event_id % 8 = 0),
-          |bits AS (
-          |  SELECT id, t.i AS i,
-          |    ( (((p + 1) * (t.i + 3)) % 97) % 2
-          |      + CASE WHEN k >= 1 AND (m * 13) % 64 = t.i
-          |          THEN 1 ELSE 0 END
-          |      + CASE WHEN k >= 2 AND (m * 13 + 29) % 64 = t.i
-          |          THEN 1 ELSE 0 END
-          |    ) % 2 AS b
-          |  FROM ids CROSS JOIN (SELECT range AS i FROM range(64)) t),
-          |h AS (
-          |  SELECT id,
-          |    CAST(SUM(CASE WHEN i < 63 THEN b * (1::BIGINT << i)
-          |      ELSE 0 END) AS BIGINT)
-          |    + CAST(MAX(CASE WHEN i = 63 THEN b ELSE 0 END) AS BIGINT)
-          |      * (-9223372036854775807 - 1) AS fp
-          |  FROM bits GROUP BY id),
+        s"""WITH ${phashHashCtes("", "event_id % 16 IN (0, 8)",
+              "(event_id % 50)")},
           |idx AS (SELECT id, fp FROM h WHERE id % 16 = 0),
           |bat AS (SELECT id, fp FROM h WHERE id % 16 = 8),
           |marks AS (
@@ -7294,6 +7358,45 @@ object SparkEntry {
           |FROM bat b LEFT JOIN
           |  (SELECT doc, doc_a, hamming FROM marks WHERE rk = 1) m
           |  ON b.id = m.doc""".stripMargin,
+
+      // the stored half (unshifted patterns) plus the streamed half
+      // (rotated patterns — content the store has never seen), then
+      // q111's chained-growth CTEs on the phash grain: each batch
+      // marks against the index AS OF its start, fresh images join
+      // the index before the next batch — batches 2/3 can only be
+      // flagged through that growth
+      "q177_stream_phash_ingest" -> {
+        def mark(bn: Int, idx: String) =
+          s"""d$bn AS (SELECT doc, doc_a, hamming FROM (
+             |  SELECT b.id AS doc, i.id AS doc_a,
+             |    bit_count(xor(b.fp, i.fp)) AS hamming,
+             |    row_number() OVER (PARTITION BY b.id
+             |      ORDER BY bit_count(xor(b.fp, i.fp)), i.id) AS rk
+             |  FROM b$bn b JOIN $idx i
+             |    ON bit_count(xor(b.fp, i.fp)) <= 4) WHERE rk = 1)"""
+            .stripMargin
+        s"""WITH ${phashHashCtes("s", "event_id % 16 = 0",
+              "(event_id % 50)")},
+           |${phashHashCtes("t", "event_id % 16 = 8",
+              "((event_id % 50) + 1) % 50")},
+           |b1 AS (SELECT id, fp FROM th WHERE (id // 16) % 3 = 0),
+           |b2 AS (SELECT id, fp FROM th WHERE (id // 16) % 3 = 1),
+           |b3 AS (SELECT id, fp FROM th WHERE (id // 16) % 3 = 2),
+           |${mark(1, "sh")},
+           |i1 AS (SELECT * FROM sh UNION ALL SELECT id, fp FROM b1
+           |  WHERE id NOT IN (SELECT doc FROM d1)),
+           |${mark(2, "i1")},
+           |i2 AS (SELECT * FROM i1 UNION ALL SELECT id, fp FROM b2
+           |  WHERE id NOT IN (SELECT doc FROM d2)),
+           |${mark(3, "i2")}
+           |SELECT s.id AS doc, s.fp AS fp, d.doc_a AS dup_of,
+           |  d.hamming AS hamming, d.doc_a IS NOT NULL AS is_dup
+           |FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2
+           |      UNION ALL SELECT * FROM b3) s
+           |LEFT JOIN (SELECT * FROM d1 UNION ALL SELECT * FROM d2
+           |      UNION ALL SELECT * FROM d3) d ON s.id = d.doc"""
+          .stripMargin
+      },
 
       // the 5×3 sampled grid reads 9 left + 6 right pixels of every
       // even-width two-tone image — the exact integer numerators the
