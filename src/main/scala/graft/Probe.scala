@@ -748,21 +748,16 @@ object ProbeScale {
           .selectExpr("id AS doc", s"($fpExpr) AS fp")
           .repartition(32, col("doc"))
           .localCheckpoint()
-      def candidates(fp: DataFrame, blocks: Int, keyBlocks: Int): Long = {
-        val blockBits = 64 / blocks
-        val mask = (1L << blockBits) - 1
-        def blockVal(b: Int) = shiftrightunsigned(col("fp"),
-          b * blockBits).bitwiseAND(lit(mask))
-        val keys = (0 until blocks).combinations(keyBlocks).toSeq.map {
-          combo => combo.foldLeft(lit(0L))((acc, b) =>
-            shiftleft(acc, blockBits).bitwiseOR(blockVal(b)))
-        }
-        val blocked = fp.select(col("doc"),
-          posexplode(array(keys: _*)).as(Seq("tbl", "bkey")))
-        blocked.groupBy(col("tbl"), col("bkey"))
+      // counts come from the ENGINE's own key packing
+      // (Dedup.pigeonholeKeys) — a hand-copied blocking here would
+      // keep printing counts for a packing the engine no longer runs
+      // if the fold/mask/combination enumeration ever changed
+      def candidates(fp: DataFrame, blocks: Int, keyBlocks: Int): Long =
+        Dedup.pigeonholeKeys(fp, radius = 4, width = 64,
+            Some(blocks), keyBlocks)
+          .groupBy(col("tbl"), col("bkey"))
           .agg(count(lit(1)).as("n"))
           .agg(sum(expr("n * (n - 1) div 2"))).head().getLong(0)
-      }
       def measurePhash(tag: String, nIds: Long): Unit = {
         val fp = fpFrame(nIds)
         val n = fp.count()
@@ -782,9 +777,12 @@ object ProbeScale {
           f"wall_kb1=$w1%.2fs wall_kb2=$w2%.2fs")
         org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(fp)
       }
-      // warm the join/codegen shapes once
-      Dedup.hammingNearDupPairs(fpFrame(2000), radius = 4, width = 64,
+      // warm the join/codegen shapes once — and free the warm-up
+      // frame's checkpoint blocks before the measured runs
+      val warmFp = fpFrame(2000)
+      Dedup.hammingNearDupPairs(warmFp, radius = 4, width = 64,
         blocks = Some(8), keyBlocks = 1).count()
+      org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(warmFp)
       measurePhash("1x", 10000)   // the sf0.01 gate population
       measurePhash("4x", 40000)
       measurePhash("10x", 100000) // the sf0.1 bench population

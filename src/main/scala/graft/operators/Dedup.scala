@@ -811,9 +811,12 @@ object Dedup {
   /** The pigeonhole key table of a `(doc, fp)` frame: one row per
     * (doc, table, packed block-combination key) — the blocking grain
     * [[hammingNearDupPairs]] self-joins and the phash index stores
-    * at rest. Parameter contract as documented on the simhash form. */
-  private def pigeonholeKeys(fp: DataFrame, radius: Int, width: Int,
-      blocks: Option[Int], keyBlocks: Int): DataFrame = {
+    * at rest. Parameter contract as documented on the simhash form.
+    * `private[graft]` so measurement tooling (ProbeScale phash)
+    * counts candidates from the ENGINE's key packing instead of a
+    * drift-prone copy. */
+  private[graft] def pigeonholeKeys(fp: DataFrame, radius: Int,
+      width: Int, blocks: Option[Int], keyBlocks: Int): DataFrame = {
     val nBlocks = blocks.getOrElse(radius + 1)
     require(width % nBlocks == 0, s"blocks=$nBlocks must divide width $width")
     require(keyBlocks >= 1 && keyBlocks <= nBlocks - radius,
@@ -871,8 +874,11 @@ object Dedup {
       batchFp: DataFrame, indexDir: String, radius: Int, width: Int,
       blocks: Option[Int] = None, keyBlocks: Int = 1): DataFrame = {
     checkPhashParams(spark, indexDir, radius, width, blocks, keyBlocks)
+    // persistKeys = false: the mark-only path reads the key table
+    // once, where a persist would be pure materialization overhead
+    // left resident until session end (the markAgainstIndex rationale)
     markPhashCore(spark, batchFp, indexDir, radius, width, blocks,
-      keyBlocks)._2
+      keyBlocks, persistKeys = false)._2
   }
 
   private def checkPhashParams(spark: org.apache.spark.sql.SparkSession,
@@ -894,9 +900,14 @@ object Dedup {
     * so the fused append never re-derives keys from fingerprints. */
   private def markPhashCore(spark: org.apache.spark.sql.SparkSession,
       batchFp: DataFrame, indexDir: String, radius: Int, width: Int,
-      blocks: Option[Int], keyBlocks: Int): (DataFrame, DataFrame) = {
-    val keys = pigeonholeKeys(batchFp, radius, width, blocks, keyBlocks)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      blocks: Option[Int], keyBlocks: Int, persistKeys: Boolean)
+      : (DataFrame, DataFrame) = {
+    val keys0 = pigeonholeKeys(batchFp, radius, width, blocks, keyBlocks)
+    // the ingest path reads keys twice (mark probe + fresh slice) —
+    // cache it there; the mark-only path reads it once
+    val keys =
+      if (persistKeys) keys0.persist(StorageLevel.MEMORY_AND_DISK)
+      else keys0
     // AS-OF-BATCH-START semantics, exactly, even on replay (the
     // markAgainstIndex rationale): a retried batch whose append
     // already committed finds its own keys in the store — without
@@ -944,7 +955,7 @@ object Dedup {
     val alreadyCommitted =
       commitTag.exists(t => isBatchCommitted(spark, indexDir, t))
     val (keys, out) = markPhashCore(spark, batchFp, indexDir, radius,
-      width, blocks, keyBlocks)
+      width, blocks, keyBlocks, persistKeys = true)
     try {
       if (!alreadyCommitted)
         graft.sources.StoreLease.withLease(spark, indexDir,
