@@ -168,27 +168,50 @@ object CorpusStats {
     * `1000·excess_micro div Σ excess_micro` — floor division on
     * non-negative longs, bit-equal in Spark and DuckDB.
     *
-    * Scale shape (100 TB): two model builds (each ONE hash aggregate
-    * reduced to a broadcast row, the [[unigramLogLoss]] contract),
-    * then BOTH models ride one projection over a SINGLE scoring scan
-    * (scoring them separately would force a corpus-wide join on the
-    * doc id to line the two losses up), one domain-grain aggregate,
-    * and a broadcast 1-row total for the normalization — the corpus
-    * never shuffles, no global window, no driver-side loop. */
+    * Scale shape (100 TB): ONE token aggregate builds BOTH models
+    * (per-token conditional counts — the reference slice is a corpus
+    * subset, so a second tokenize+shuffle would recount the same
+    * stream), then both models ride one projection over a SINGLE
+    * scoring scan (scoring them separately would force a corpus-wide
+    * join on the doc id to line the two losses up), one domain-grain
+    * aggregate, and a broadcast 1-row total for the normalization —
+    * the corpus is scanned exactly twice and never shuffles, no
+    * global window, no driver-side loop. */
   def domainExcessWeights(docs: DataFrame, sourceCol: String,
       idCol: String, textCol: String, refFilter: Column,
       minCount: Long, maxVocab: Int = 4000000): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
     val toks = text.tokens(col(textCol))
     val nTok = size(toks)
     def meanNll(prefix: String): Column =
       when(nTok === 0, lit(null).cast("double"))
         .otherwise(unigramNllSum(toks, prefix, minCount, maxVocab)
           / nTok.cast("double"))
+    // BOTH models from ONE token aggregate: the reference slice is a
+    // subset of the corpus, so per-token (c_full, c_ref) conditional
+    // counts in a single groupBy replace two separate model builds —
+    // at 100 TB that is one fewer full-corpus tokenize+shuffle (the
+    // corpus is now scanned twice total: models, then scoring). The
+    // per-model (N, V, map) columns are exactly what two
+    // unigramModel calls would produce: V counts the slice's FULL
+    // vocabulary (c >= 1), the map keeps c >= minCount.
+    def modelCols(prefix: String, c: Column) = Seq(
+      sum(c).cast("double").as(s"${prefix}n"),
+      count(when(c >= 1, lit(1))).cast("double").as(s"${prefix}v"),
+      map_from_entries(sort_array(collect_list(
+        when(c >= minCount, struct(col("_lm_tok"), c)))))
+        .as(s"${prefix}map"))
+    val perTok = docs
+      .select(explode(toks).as("_lm_tok"),
+        when(refFilter, 1L).otherwise(0L).as("_lm_ref"))
+      .groupBy(col("_lm_tok"))
+      .agg(count(lit(1)).as("_c_full"), sum(col("_lm_ref")).as("_c_ref"))
+    val allCols =
+      modelCols("_lmf_", col("_c_full")) ++
+        modelCols("_lmr_", col("_c_ref"))
+    val modelsRow = perTok.agg(allCols.head, allCols.tail: _*)
     val scored = docs
-      .crossJoin(broadcast(
-        unigramModel(docs.filter(refFilter), textCol, minCount, "_lmr_")))
-      .crossJoin(broadcast(
-        unigramModel(docs, textCol, minCount, "_lmf_")))
+      .crossJoin(broadcast(modelsRow))
       .select(col(sourceCol),
         meanNll("_lmr_").as("nll_ref"),
         meanNll("_lmf_").as("nll_full"))
