@@ -2541,6 +2541,30 @@ object SparkEntry {
       materializeThenClean(s, res, root)
     }),
 
+    // ── NS multimodal governance: IMAGE DUP KEEPER — the q44
+    // resolution step on the q172 pair set, closing the modality's
+    // governance loop (pairs → groups → keeper): large-star/
+    // small-star connected components over the Hamming near-dup
+    // pairs, every image labeled with its group's min id (itself
+    // when unique). Same O(log n)-round CC machinery, same
+    // recursive-reach oracle shape as the text form — only the edge
+    // set (decoded-pixel fingerprints) is new ──
+    "q178_image_dup_keeper" -> ((s, dir) => {
+      import s.implicits._
+      val fp = Multimodal.decodePartitions[(Long, Long)](
+        patternPngs(s, dir), Multimodal.decodeGridHash(8, 8, 128))
+        .toDF("doc", "fp")
+        .localCheckpoint() // the q172 single-codec-pass rationale
+      val pairs = Dedup.hammingNearDupPairs(fp, radius = 4,
+        width = 64, blocks = Some(8), keyBlocks = 1)
+      val cc = Dedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
+        .toDF("doc", "keeper")
+      fp.select(col("doc"))
+        .join(cc, Seq("doc"), "left")
+        .select(col("doc"),
+          coalesce(col("keeper"), col("doc")).as("group_keeper"))
+    }),
+
     // ── NS dedup: URL-LEVEL DEDUP WITH A KEEPER — the CommonCrawl
     // re-crawl step: group documents by CANONICAL url (q110's
     // canonicalization — utm noise and fragments collapse), keep the
@@ -7341,6 +7365,27 @@ object SparkEntry {
       // image's (hamming, id)-min stored neighbor within radius 4 —
       // the bounded halves make the all-pairs recompute cheap while
       // the engine side runs the key-table join against the index
+      // the q44 recursive-reach CC over the phash pair set: every
+      // image labeled with its group's min id, singletons with
+      // themselves
+      "q178_image_dup_keeper" ->
+        s"""WITH RECURSIVE ${phashHashCtes("", "TRUE",
+              "(event_id % 50)")},
+           |p AS (
+           |  SELECT a.id AS doc_a, b.id AS doc_b
+           |  FROM h a JOIN h b ON a.id < b.id
+           |  WHERE bit_count(xor(a.fp, b.fp)) <= 4),
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+           |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p),
+           |reach AS (
+           |  SELECT src AS node, src AS r FROM edges
+           |  UNION
+           |  SELECT e.src AS node, re.r AS r
+           |  FROM edges e JOIN reach re ON e.dst = re.node),
+           |lbl AS (SELECT node, MIN(r) AS label FROM reach GROUP BY node)
+           |SELECT i.id AS doc, COALESCE(l.label, i.id) AS group_keeper
+           |FROM h i LEFT JOIN lbl l ON i.id = l.node""".stripMargin,
+
       "q176_phash_ingest" ->
         s"""WITH ${phashHashCtes("", "event_id % 16 IN (0, 8)",
               "(event_id % 50)")},
