@@ -2403,18 +2403,7 @@ object SparkEntry {
     // hammingNearDupPairs scaling note). The oracle rebuilds every
     // hash from the generation arithmetic and joins all pairs, so a
     // match proves decode + grid sampling + packing bit for bit ──
-    "q172_image_phash_dedup" -> ((s, dir) => {
-      import s.implicits._
-      // checkpointed: the blocking self-join references the frame on
-      // both sides, and an uncached decode subtree would re-run the
-      // full codec pass per side
-      val fp = Multimodal.decodePartitions[(Long, Long)](
-        patternPngs(s, dir), Multimodal.decodeGridHash(8, 8, 128))
-        .toDF("doc", "fp")
-        .localCheckpoint()
-      Dedup.hammingNearDupPairs(fp, radius = 4, width = 64,
-        blocks = Some(8), keyBlocks = 1)
-    }),
+    "q172_image_phash_dedup" -> ((s, dir) => phashPairs(s, dir)._2),
 
     // ── T7+NS: STREAMING TEMPERATURE MIX — q124's recipe applied at
     // ingest (the mixing family's lifecycle completed: batch q124,
@@ -2550,13 +2539,7 @@ object SparkEntry {
     // recursive-reach oracle shape as the text form — only the edge
     // set (decoded-pixel fingerprints) is new ──
     "q178_image_dup_keeper" -> ((s, dir) => {
-      import s.implicits._
-      val fp = Multimodal.decodePartitions[(Long, Long)](
-        patternPngs(s, dir), Multimodal.decodeGridHash(8, 8, 128))
-        .toDF("doc", "fp")
-        .localCheckpoint() // the q172 single-codec-pass rationale
-      val pairs = Dedup.hammingNearDupPairs(fp, radius = 4,
-        width = 64, blocks = Some(8), keyBlocks = 1)
+      val (fp, pairs) = phashPairs(s, dir)
       val cc = Dedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
         .toDF("doc", "keeper")
       fp.select(col("doc"))
@@ -2595,8 +2578,9 @@ object SparkEntry {
     // and the full-corpus model, per-source clamped excess in exact
     // integer micro units, weights normalized by floor division —
     // the domains the reference slice can't model get the budget.
-    // Two broadcast-row models, two shuffle-free scoring scans, one
-    // source-grain aggregate (domainExcessWeights scaladoc) ──
+    // ONE token aggregate builds both models, one shuffle-free
+    // scoring scan, one source-grain aggregate (domainExcessWeights
+    // scaladoc) ──
     "q173_domain_reweight" -> ((s, dir) =>
       CorpusStats.domainExcessWeights(t(s, dir, "documents"),
         "source", "doc_id", "text", col("doc_id") % 7 < 2,
@@ -4528,6 +4512,26 @@ object SparkEntry {
       .filter(col("url").isNotNull)
       .withColumn("canon", urls.canonicalize(col("url")))
       .withColumn("domain", urls.host(col("url")))
+  }
+
+  /** Shared by q172 (pairs) and q178 (keeper resolution of exactly
+    * those pairs): the decoded fingerprint frame (checkpointed — the
+    * blocking self-join references it on both sides, and an uncached
+    * decode subtree would re-run the full codec pass per side) and
+    * the radius-4 pigeonhole pair set. ONE definition so the
+    * "pairs → groups → keeper" lifecycle cannot drift if the
+    * radius/blocks/grid parameters are ever retuned. */
+  private def phashPairs(s: SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val fp = Multimodal.decodePartitions[(Long, Long)](
+      patternPngs(s, dir), Multimodal.decodeGridHash(8, 8, 128))(
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+      .toDF("doc", "fp")
+      .localCheckpoint()
+    (fp, Dedup.hammingNearDupPairs(fp, radius = 4, width = 64,
+      blocks = Some(8), keyBlocks = 1))
   }
 
   /** The q172 media fixture: one deterministic 16×16 gray PNG per
@@ -7361,10 +7365,6 @@ object SparkEntry {
            |    AS weight_milli
            |FROM ex CROSS JOIN tot""".stripMargin,
 
-      // the q172 hash arithmetic over BOTH halves, then each batch
-      // image's (hamming, id)-min stored neighbor within radius 4 —
-      // the bounded halves make the all-pairs recompute cheap while
-      // the engine side runs the key-table join against the index
       // the q44 recursive-reach CC over the phash pair set: every
       // image labeled with its group's min id, singletons with
       // themselves
@@ -7386,6 +7386,10 @@ object SparkEntry {
            |SELECT i.id AS doc, COALESCE(l.label, i.id) AS group_keeper
            |FROM h i LEFT JOIN lbl l ON i.id = l.node""".stripMargin,
 
+      // the q172 hash arithmetic over BOTH halves, then each batch
+      // image's (hamming, id)-min stored neighbor within radius 4 —
+      // the bounded halves make the all-pairs recompute cheap while
+      // the engine side runs the key-table join against the index
       "q176_phash_ingest" ->
         s"""WITH ${phashHashCtes("", "event_id % 16 IN (0, 8)",
               "(event_id % 50)")},

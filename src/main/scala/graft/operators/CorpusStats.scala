@@ -183,8 +183,16 @@ object CorpusStats {
     require(minCount >= 1, s"minCount must be >= 1: $minCount")
     val toks = text.tokens(col(textCol))
     val nTok = size(toks)
+    // the N === 0 arm keeps the separate-build semantics for an EMPTY
+    // model slice: two unigramModel calls would aggregate zero rows
+    // into NULL columns (NULL nll → NULL sums → zero weights), but
+    // the fused aggregate below sees the full token stream, so an
+    // empty reference slice lands as N = V = 0.0 — and
+    // -ln((0+1)/(0+0)) is -Infinity, which ANSI mode refuses to cast
+    // to the decimal the domain sums use. NULL, not a crash.
     def meanNll(prefix: String): Column =
-      when(nTok === 0, lit(null).cast("double"))
+      when(nTok === 0 || col(s"${prefix}n") === 0.0,
+        lit(null).cast("double"))
         .otherwise(unigramNllSum(toks, prefix, minCount, maxVocab)
           / nTok.cast("double"))
     // BOTH models from ONE token aggregate: the reference slice is a

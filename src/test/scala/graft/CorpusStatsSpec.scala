@@ -122,6 +122,22 @@ class CorpusStatsSpec extends AnyFunSuite with SparkSpec with Matchers {
     out("X")._4 shouldBe (exX * 1000 / totalEx)
   }
 
+  test("domainExcessWeights: an empty reference slice yields zero weights, not a crash") {
+    import spark.implicits._
+    val docs = Seq((1L, "X", "a b"), (2L, "Y", "c d"))
+      .toDF("doc_id", "source", "text")
+    // refFilter matches nothing → the reference model is empty; the
+    // separate-build form returned NULL nll_ref (zero weights), and
+    // the fused aggregate must not turn that into -Infinity + an
+    // ANSI decimal-cast failure
+    val out = CorpusStats.domainExcessWeights(docs, "source",
+        "doc_id", "text", lit(false), minCount = 1)
+      .select("source", "excess_micro", "weight_milli")
+      .as[(String, Long, Long)].collect()
+    out.length shouldBe 2
+    out.map(r => (r._2, r._3)).toSet shouldBe Set((0L, 0L))
+  }
+
   test("unigramLogLoss fails loudly when the vocabulary exceeds the broadcast guard") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
