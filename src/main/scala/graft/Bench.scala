@@ -183,8 +183,15 @@ object Bench {
           case e: Throwable =>
             failed += name
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        } finally if (df != null)
-          org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(df)
+        } finally {
+          if (df != null)
+            org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(df)
+          // the result is materialized (or abandoned): any LM model
+          // broadcast the query shipped is safe to destroy now —
+          // session hygiene, same rationale as the checkpoint drain
+          graft.operators.CorpusStats.releaseLmBroadcasts()
+          ()
+        }
         val wall = (System.nanoTime() - t0) / 1e9
         gcSec(name) = (gcMillis() - gc0) / 1e3
         cpuSec(name) = if (cpu0 < 0) -1.0 else (cpuNanos() - cpu0) / 1e9

@@ -809,6 +809,70 @@ object ProbeScale {
       }
     }
 
+    // ── `ProbeScale phashmark`: the r13 weak-item fix measured — the
+    // per-micro-batch phash mark against at-rest stores of 1×/4×/10×
+    // size, pushed batch-key pruning vs the whole-store scan-join.
+    // The ingest contract says per-batch cost tracks the BATCH, not
+    // the corpus: under pruning the mark wall must stay ~flat as the
+    // store grows 10×, while the scan-join grows with it. ──
+    if (mode == "phashmark") {
+      def sparseFp(nIds: Long, offset: Long): DataFrame =
+        spark.range(0, nIds)
+          .selectExpr(s"id + $offset AS doc",
+            "xxhash64(CAST(id AS STRING)) AS fp")
+      // Pruning skips ROW GROUPS holding none of the batch's keys, so
+      // its effect depends on the RG-count-to-batch-keys ratio: at
+      // 100 TB that ratio is ~10^6 RGs to ~10^3-10^4 keys; at sandbox
+      // bytes the default 128 MB row groups collapse the whole store
+      // into a handful of RGs and NOTHING can prune, whatever the
+      // predicate. Emulate the production ratio by shrinking
+      // parquet.block.size for the store build (layout emulation,
+      // not a semantics knob — verdict parity is specced separately).
+      val hc = spark.sparkContext.hadoopConfiguration
+      val oldBlock = hc.get("parquet.block.size")
+      hc.setInt("parquet.block.size", 64 << 10)
+      try {
+        val batch = sparseFp(20, 50000000L)
+          .repartition(4, col("doc")).localCheckpoint()
+        for (r <- Seq(1, 4, 10)) {
+          val n = 100000L * r
+          // the parameterization the operator itself would pick for
+          // THIS corpus size (occupancy-held key widths — the index
+          // is rebuilt as the corpus outgrows its key space, so each
+          // regime is measured with its own honest index)
+          val (bl, kb) = Dedup.simhashParamsForSize(n, radius = 4,
+            width = 60)
+          val root = java.nio.file.Files
+            .createTempDirectory(s"graft_probe_phashmark_$r").toString
+          try {
+            ProbeTiming.timed("PROBE_SCALE", s"phashmark/store${r}x build") {
+              Dedup.writePhashIndex(sparseFp(n, 0L), root + "/idx",
+                radius = 4, width = 60, Some(bl), kb)
+            }
+            def mark(minBytes: Long): Double = {
+              def run(): Double = {
+                val t0 = System.nanoTime()
+                Dedup.incrementalPhashAgainst(spark, batch, root + "/idx",
+                  radius = 4, width = 60, Some(bl), kb,
+                  pruneMinStoreBytes = minBytes).count()
+                (System.nanoTime() - t0) / 1e9
+              }
+              run(); run() // warm second run (the excise convention)
+            }
+            val scan = mark(Long.MaxValue)
+            val pruned = mark(0L)
+            println(f"PROBE_SCALE phashmark/store${r}x stored=$n " +
+              f"tables=(${bl},${kb}) batch=20 " +
+              f"scanjoin=$scan%.2fs pruned=$pruned%.2fs")
+          } finally Scratch.deleteRecursively(new java.io.File(root))
+        }
+        org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(batch)
+      } finally {
+        if (oldBlock == null) hc.unset("parquet.block.size")
+        else hc.set("parquet.block.size", oldBlock)
+      }
+    }
+
     // q157's two scale claims measured: per-round cost tracks the
     // EDGE LIST (pair-store grain, not corpus grain), and rounds
     // compose LINEARLY because ranks are localCheckpointed per round

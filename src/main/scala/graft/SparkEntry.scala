@@ -4743,7 +4743,9 @@ object SparkEntry {
       val t0 = System.nanoTime()
       try { body; Some(name -> ((System.nanoTime() - t0) / 1e9)) }
       catch {
-        case e: Throwable =>
+        // NonFatal only (r13 advice): an OOM or other fatal JVM error
+        // must propagate, not hide behind a lazy-rebuild sentinel
+        case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] store pre-build $name failed " +
             s"(consumers will build lazily): ${e.getMessage}")
           Some(name -> -1.0)

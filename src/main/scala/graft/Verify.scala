@@ -47,8 +47,14 @@ object Verify {
           .parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      } finally if (df != null)
-        org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(df)
+      } finally {
+        if (df != null)
+          org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(df)
+        // result written (or abandoned): LM model broadcasts the
+        // query shipped are safe to destroy (the Bench convention)
+        graft.operators.CorpusStats.releaseLmBroadcasts()
+        ()
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

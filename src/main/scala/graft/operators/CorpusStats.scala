@@ -287,6 +287,33 @@ object CorpusStats {
           (a, b) => concat_ws(" ", a, b)),
         lit(1), size(toks) - 1))
 
+  /** Broadcast LM models handed out by [[bigramLogLoss]] and not yet
+    * released — the lifecycle hook of the r13 advice: the scoring
+    * frame is LAZY, so the function itself cannot know when the
+    * broadcast is safe to drop. Callers that materialize the result
+    * (a sink write, a collect, a bench run) call
+    * [[releaseLmBroadcasts]] afterwards, mirroring how the persisted
+    * count frames are unpersisted inline. */
+  private val liveLmBroadcasts =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.broadcast.Broadcast[_]]()
+
+  /** Destroy every tracked LM broadcast ([[bigramLogLoss]]) whose
+    * scoring result has been materialized; returns how many were
+    * released. Safe to call when none are live. Do NOT call while a
+    * bigramLogLoss result is still lazy — its tasks would fail to
+    * fetch the destroyed blocks. */
+  def releaseLmBroadcasts(): Int = {
+    var n = 0
+    var bc = liveLmBroadcasts.poll()
+    while (bc != null) {
+      bc.destroy()
+      n += 1
+      bc = liveLmBroadcasts.poll()
+    }
+    n
+  }
+
   def bigramLogLoss(docs: DataFrame, idCol: String, textCol: String,
       minCount: Long, maxBigrams: Int = 4000000): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1: $minCount")
@@ -324,11 +351,16 @@ object CorpusStats {
     // Broadcast, not a closure capture: as a bare addReferenceObj the
     // maps serialize with the task closure of every scoring stage
     // (the r12 q112 regression); the broadcast stub ships in bytes
-    // and executors fetch the maps once.
+    // and executors fetch the maps once. Tracked for
+    // [[releaseLmBroadcasts]] — the maps can be large near the
+    // maxBigrams cap, and a long-lived session calling this
+    // repeatedly would otherwise accumulate driver/executor broadcast
+    // blocks with no release point.
     val lmBc = graft.Phases.time("model_broadcast") {
       docs.sparkSession.sparkContext.broadcast(
         new org.apache.spark.sql.graft.BigramLm(uniMap, biMap, vocabV))
     }
+    liveLmBroadcasts.add(lmBc)
     val toks = text.tokens(col(textCol))
     val nll2Sum = org.apache.spark.sql.graft.Bridge.column(
       org.apache.spark.sql.graft.BigramNllSum(

@@ -838,18 +838,21 @@ object Dedup {
   }
 
   /** AT-REST fingerprint index for the image perceptual-hash family:
-    * `dir/keys` holds the [[pigeonholeKeys]] table (tbl, bkey, doc,
-    * fp), bkey-sorted within files so a batch's key join prunes row
-    * groups — the phash analog of writeNearDupIndex. Parameters are
-    * part of the index contract (the marker must block identically);
-    * they are recorded in `dir/params` and re-checked on read. */
+    * `dir/keys` holds the [[pigeonholeKeys]] table (doc, fp, tbl,
+    * bkey), RANGE-CLUSTERED on bkey (tight non-overlapping per-file
+    * spans + bkey-sorted row groups, the Layout.clusteredWrite
+    * shape) so the mark's pushed batch-key filter prunes files and
+    * row groups instead of deserializing the store — the phash
+    * analog of writeNearDupIndex. Parameters are part of the index
+    * contract (the marker must block identically); they are recorded
+    * in `dir/params` and re-checked on read. */
   def writePhashIndex(fp: DataFrame, dir: String, radius: Int,
       width: Int, blocks: Option[Int] = None, keyBlocks: Int = 1): Unit = {
     val spark = fp.sparkSession
     graft.sources.StoreLease.withLease(spark, dir, "phash-index-build") {
       pigeonholeKeys(fp, radius, width, blocks, keyBlocks)
-        .repartition(col("bkey"))
-        .sortWithinPartitions(col("tbl"), col("bkey"))
+        .repartitionByRange(col("bkey"))
+        .sortWithinPartitions(col("bkey"), col("tbl"))
         .write.mode("overwrite").parquet(s"$dir/keys")
       import spark.implicits._
       Seq((radius, width, blocks.getOrElse(radius + 1), keyBlocks))
@@ -869,16 +872,37 @@ object Dedup {
     * (tbl, bkey) — batch-sized shuffle, recall 1 by the pigeonhole
     * argument, exact Hamming post-filter. Index parameters are
     * re-checked against the caller's (a mismatched blocking would
-    * silently lose recall). */
+    * silently lose recall).
+    *
+    * Once the store crosses `pruneMinStoreBytes` the mark stops
+    * scanning it whole: the batch's bounded distinct bkey set (≤
+    * [[DefaultMarkPruneCap]] values, a planning lookup) is pushed as
+    * an isin into the bkey-clustered key store, so parquet row-group
+    * stats prune the scan to the batch's own key neighborhoods and
+    * per-batch mark cost tracks the BATCH, not the corpus (sentinels:
+    * 0 = always prune, Long.MaxValue = always scan — the
+    * Streams-probes-once contract of the minhash point-fetch). Beyond
+    * the cap the sequential scan-join takes over, the cheaper plan at
+    * that batch size.
+    *
+    * SINGLE-WRITER assumption (mark-only path): the key-store read
+    * here is lease-free, so a concurrent index writer can be
+    * mid-append during the scan. The streaming driver serializes
+    * batches (one writer by construction); multi-session deployments
+    * must serialize external writers against reads themselves or use
+    * [[ingestPhashBatchAgainst]], whose mark runs under the store
+    * lease. */
   def incrementalPhashAgainst(spark: org.apache.spark.sql.SparkSession,
       batchFp: DataFrame, indexDir: String, radius: Int, width: Int,
-      blocks: Option[Int] = None, keyBlocks: Int = 1): DataFrame = {
+      blocks: Option[Int] = None, keyBlocks: Int = 1,
+      pruneMinStoreBytes: Long = DefaultPointFetchMinStoreBytes,
+      pruneCap: Int = DefaultMarkPruneCap): DataFrame = {
     checkPhashParams(spark, indexDir, radius, width, blocks, keyBlocks)
     // persistKeys = false: the mark-only path reads the key table
     // once, where a persist would be pure materialization overhead
     // left resident until session end (the markAgainstIndex rationale)
     markPhashCore(spark, batchFp, indexDir, radius, width, blocks,
-      keyBlocks, persistKeys = false)._2
+      keyBlocks, persistKeys = false, pruneMinStoreBytes, pruneCap)._2
   }
 
   private def checkPhashParams(spark: org.apache.spark.sql.SparkSession,
@@ -900,14 +924,39 @@ object Dedup {
     * so the fused append never re-derives keys from fingerprints. */
   private def markPhashCore(spark: org.apache.spark.sql.SparkSession,
       batchFp: DataFrame, indexDir: String, radius: Int, width: Int,
-      blocks: Option[Int], keyBlocks: Int, persistKeys: Boolean)
-      : (DataFrame, DataFrame) = {
+      blocks: Option[Int], keyBlocks: Int, persistKeys: Boolean,
+      pruneMinStoreBytes: Long,
+      pruneCap: Int = DefaultMarkPruneCap): (DataFrame, DataFrame) = {
     val keys0 = pigeonholeKeys(batchFp, radius, width, blocks, keyBlocks)
-    // the ingest path reads keys twice (mark probe + fresh slice) —
-    // cache it there; the mark-only path reads it once
+    // STORE-SIDE PRUNING (the r13 scale veto, closed): past the size
+    // threshold the whole-store scan-join is the wrong plan — the
+    // batch's bounded distinct bkey set is collected (≤ cap values, a
+    // planning lookup) and pushed into the bkey-clustered key store,
+    // so the scan reads only the batch's key neighborhoods and
+    // per-batch mark IO stops growing with the corpus. Over-cap
+    // batches fall back to the sequential scan, the cheaper plan at
+    // that size (the point-fetch cost argument, one table earlier).
+    val prune = storeAtLeastBytes(spark, s"$indexDir/keys",
+      pruneMinStoreBytes)
+    // the ingest path reads keys twice (mark probe + fresh slice) and
+    // the pruning path twice (key collect + mark probe) — cache for
+    // either; the plain mark-only path reads it once
     val keys =
-      if (persistKeys) keys0.persist(StorageLevel.MEMORY_AND_DISK)
+      if (persistKeys || prune) keys0.persist(StorageLevel.MEMORY_AND_DISK)
       else keys0
+    val batchKeys: Array[Any] =
+      if (!prune) Array.empty[Any]
+      else keys.select(col("bkey")).distinct()
+        .limit(pruneCap + 1).collect().map(_.get(0))
+    val storedAll = spark.read.parquet(s"$indexDir/keys")
+    val storedScan =
+      if (prune && batchKeys.isEmpty)
+        // empty batch: nothing can match — an empty relation, not a
+        // full-store scan joined against nothing
+        storedAll.limit(0)
+      else if (batchKeys.nonEmpty && batchKeys.length <= pruneCap)
+        storedAll.filter(col("bkey").isin(batchKeys.toIndexedSeq: _*))
+      else storedAll
     // AS-OF-BATCH-START semantics, exactly, even on replay (the
     // markAgainstIndex rationale): a retried batch whose append
     // already committed finds its own keys in the store — without
@@ -915,7 +964,7 @@ object Dedup {
     // (hamming 0) and of their batch-mates, verdicts the original
     // run (correctly) did not produce. Bounded: one row per batch
     // doc, broadcast.
-    val stored = spark.read.parquet(s"$indexDir/keys")
+    val stored = storedScan
       .toDF("doc_a", "fp_a", "tbl", "bkey")
       .join(broadcast(batchFp.select(col("doc").as("_mk_batch_id"))),
         col("doc_a") === col("_mk_batch_id"), "left_anti")
@@ -932,6 +981,10 @@ object Dedup {
       .select(col("doc"), col("fp"), col("dup_of"), col("hamming"),
         col("dup_of").isNotNull.as("is_dup"))
       .localCheckpoint(eager = true)
+    // cached only for the pruning double-read: release now that the
+    // mark is materialized (the ingest path keeps its cache for the
+    // fresh-keys slice and unpersists in its own finally)
+    if (!persistKeys && prune) keys.unpersist(blocking = false)
     (keys, out)
   }
 
@@ -950,31 +1003,47 @@ object Dedup {
   def ingestPhashBatchAgainst(spark: org.apache.spark.sql.SparkSession,
       batchFp: DataFrame, indexDir: String, radius: Int, width: Int,
       blocks: Option[Int] = None, keyBlocks: Int = 1,
-      commitTag: Option[String] = None): DataFrame = {
+      commitTag: Option[String] = None,
+      pruneMinStoreBytes: Long = DefaultPointFetchMinStoreBytes)
+      : DataFrame = {
     checkPhashParams(spark, indexDir, radius, width, blocks, keyBlocks)
     val alreadyCommitted =
       commitTag.exists(t => isBatchCommitted(spark, indexDir, t))
-    val (keys, out) = markPhashCore(spark, batchFp, indexDir, radius,
-      width, blocks, keyBlocks, persistKeys = true)
-    try {
-      if (!alreadyCommitted)
-        graft.sources.StoreLease.withLease(spark, indexDir,
-            commitTag.fold("phash-ingest")(t => s"phash-ingest-$t")) {
-          val dupIds = out.filter(col("is_dup")).select(col("doc"))
-          val freshKeys = keys
-            .join(broadcast(dupIds), Seq("doc"), "left_anti")
-            .repartition(col("bkey"))
-            .sortWithinPartitions(col("tbl"), col("bkey"))
-          commitTag match {
-            case None =>
-              freshKeys.write.mode("append").parquet(s"$indexDir/keys")
-            case Some(tag) =>
-              taggedSegmentAppend(spark, indexDir, tag,
-                Seq("keys" -> freshKeys))
-          }
-        }
+    def markBatch() = markPhashCore(spark, batchFp, indexDir, radius,
+      width, blocks, keyBlocks, persistKeys = true, pruneMinStoreBytes)
+    if (alreadyCommitted) {
+      // replay of a sealed batch: no append will run, and the store
+      // cannot be mutated by THIS call — the as-of anti-join inside
+      // the mark already hides the batch's own committed keys
+      val (keys, out) = markBatch()
+      keys.unpersist(blocking = false)
       out
-    } finally keys.unpersist(blocking = false)
+    } else graft.sources.StoreLease.withLease(spark, indexDir,
+        commitTag.fold("phash-ingest")(t => s"phash-ingest-$t")) {
+      // the lease covers the MARK as well as the append (r13 advice):
+      // the eager mark materialization reads the key store, and a
+      // concurrent writer mid-append during that read would tear the
+      // as-of view — under the lease the view is a sealed store
+      val (keys, out) = markBatch()
+      try {
+        val dupIds = out.filter(col("is_dup")).select(col("doc"))
+        val freshKeys = keys
+          .join(broadcast(dupIds), Seq("doc"), "left_anti")
+          // one bkey-clustered file per ingest segment (the shingles
+          // append convention) — row-group stats keep pruning the
+          // segment; compaction restores file-level spans
+          .repartitionByRange(1, col("bkey"))
+          .sortWithinPartitions(col("bkey"), col("tbl"))
+        commitTag match {
+          case None =>
+            freshKeys.write.mode("append").parquet(s"$indexDir/keys")
+          case Some(tag) =>
+            taggedSegmentAppend(spark, indexDir, tag,
+              Seq("keys" -> freshKeys))
+        }
+        out
+      } finally keys.unpersist(blocking = false)
+    }
   }
 
   /** Scale-aware pigeonhole parameterization: the cheapest valid
@@ -1872,14 +1941,50 @@ object Dedup {
     * both candidate joins are batch-sized; the corpus never
     * re-tokenizes. Crash safety: BOTH leases (pair store + index)
     * are acquired before the first byte lands, so a lease conflict
-    * from a concurrent writer aborts write-free — pairs and index
-    * can only diverge on a mid-append crash (plain parquet appends,
-    * the untagged [[ingestBatchAgainst]] contract): wrap the call
-    * per ingest batch and rebuild on a torn append. */
+    * from a concurrent writer aborts write-free. With a `commitTag`
+    * the append is EXACTLY-ONCE under retry (the
+    * [[taggedSegmentAppend]] stage → move-in → marker protocol, one
+    * marker PER ROOT): a crash between the pair commit and the index
+    * commit is detected by the retry as pairs-sealed/index-unsealed,
+    * which redoes only the index half — the recomputed content is
+    * identical because the as-of store state is unchanged (half-moved
+    * uncommitted seg files are cleaned BEFORE the store reads).
+    * Without a tag the appends are plain parquet (the untagged
+    * [[ingestBatchAgainst]] contract): wrap the call per ingest batch
+    * and rebuild on a torn append. */
   def appendPairStore(batch: DataFrame, idCol: String, textCol: String,
       indexDir: String, store: String, shingleN: Int, k: Int,
-      bands: Int, threshold: Double): DataFrame = {
+      bands: Int, threshold: Double,
+      commitTag: Option[String] = None): DataFrame = {
     val spark = batch.sparkSession
+    val pairsCommitted =
+      commitTag.exists(t => isBatchCommitted(spark, store, t))
+    val indexCommitted =
+      commitTag.exists(t => isBatchCommitted(spark, indexDir, t))
+    if (pairsCommitted && indexCommitted) {
+      // fully sealed retry: both halves landed — return the sealed
+      // pair segment itself (tag-named files) instead of redoing
+      // work; a sealed EMPTY segment has a marker but no part files,
+      // so fall back to the store's empty-slice schema
+      val seg = new org.apache.hadoop.fs.Path(
+        s"$store/pairs/seg-${commitTag.get}-*")
+      val fs = seg.getFileSystem(spark.sessionState.newHadoopConf())
+      val matches = fs.globStatus(seg)
+      return if (matches == null || matches.isEmpty)
+        spark.read.parquet(s"$store/pairs").limit(0)
+      else spark.read.parquet(seg.toString)
+    }
+    // retry hygiene BEFORE the store reads: a crashed attempt's
+    // half-moved seg files would otherwise pollute the as-of view
+    // this redo computes from (e.g. batch docs pairing against their
+    // own partially-appended signatures)
+    commitTag.foreach { tag =>
+      if (!pairsCommitted)
+        cleanTaggedSegments(spark, store, tag, Seq("pairs"))
+      if (!indexCommitted)
+        cleanTaggedSegments(spark, indexDir, tag,
+          Seq("bands", "shingles"))
+    }
     val storeBands = spark.read.parquet(s"$indexDir/bands")
     val storeSets = spark.read.parquet(s"$indexDir/shingles")
     val sets = shingleSets(batch, idCol, textCol, shingleN)
@@ -1928,18 +2033,35 @@ object Dedup {
     // batch's signatures — that tear would silently break the
     // from-scratch-equality contract for every later batch.
     graft.sources.StoreLease.withLease(spark, store,
-        "pair-store-append") {
+        commitTag.fold("pair-store-append")(t => s"pair-append-$t")) {
       graft.sources.StoreLease.withLease(spark, indexDir,
-          "index-append") {
-        fresh.write.mode("append").parquet(s"$store/pairs")
+          commitTag.fold("index-append")(t => s"index-append-$t")) {
         // index growth: ALL batch docs' signatures, the
-        // writeIndexTables append layout (one id-sorted shingle file
-        // per batch) — reusing the cached tables instead of the
-        // second tokenize+minhash pass appendToNearDupIndex would run
-        banded.write.mode("append").parquet(s"$indexDir/bands")
-        sets.repartitionByRange(1, col("doc"))
+        // writeIndexTables append layout (one clustered file per
+        // table per batch) — reusing the cached tables instead of
+        // the second tokenize+minhash pass appendToNearDupIndex
+        // would run
+        val bandsOut = banded
+          .repartitionByRange(1, col("band_hash"))
+          .sortWithinPartitions(col("band_hash"))
+        val setsOut = sets.repartitionByRange(1, col("doc"))
           .sortWithinPartitions(col("doc"))
-          .write.mode("append").parquet(s"$indexDir/shingles")
+        commitTag match {
+          case None =>
+            fresh.write.mode("append").parquet(s"$store/pairs")
+            bandsOut.write.mode("append").parquet(s"$indexDir/bands")
+            setsOut.write.mode("append").parquet(s"$indexDir/shingles")
+          case Some(tag) =>
+            // pairs first, then index — the retry's per-root markers
+            // distinguish the crash point and redo only the unsealed
+            // half (scaladoc)
+            if (!pairsCommitted)
+              taggedSegmentAppend(spark, store, tag,
+                Seq("pairs" -> fresh))
+            if (!indexCommitted)
+              taggedSegmentAppend(spark, indexDir, tag,
+                Seq("bands" -> bandsOut, "shingles" -> setsOut))
+        }
       }
     }
     fresh
@@ -2112,18 +2234,24 @@ object Dedup {
       sets.select(col("doc"), explode(col("shingles")).as("shingle"))
         .select(col("doc"), xxhash64(col("shingle")).as("h0")),
       k)
+    // build = defaultParallelism range-files; append = ONE clustered
+    // file per batch (the log-structured segment shape; compaction =
+    // rebuild, same cycle as clusteredAppend)
+    val nFiles =
+      if (mode == "append") 1
+      else math.max(1, docs.sparkSession.sparkContext.defaultParallelism)
+    // the bands table is the CANDIDATE-PROBE side of the mark
+    // (markAgainstIndex): cluster it by band_hash so the pushed
+    // batch-hash filter prunes files/row-groups instead of reading
+    // every stored signature per micro-batch (the r13 scale veto)
     bandedSignatures(sigs, bands, k)
+      .repartitionByRange(nFiles, col("band_hash"))
+      .sortWithinPartitions(col("band_hash"))
       .write.mode(mode).parquet(s"$dir/bands")
     // the shingles table is the POINT-FETCH side of the re-score
     // (markAgainstIndex): cluster it by doc id so a pushed id filter
     // prunes files/row-groups instead of deserializing every stored
-    // array. Build = defaultParallelism range-files over the corpus;
-    // append = ONE id-sorted file per batch (the log-structured
-    // segment shape; compaction = rebuild, same cycle as
-    // clusteredAppend)
-    val nFiles =
-      if (mode == "append") 1
-      else math.max(1, docs.sparkSession.sparkContext.defaultParallelism)
+    // array
     sets.repartitionByRange(nFiles, col("doc"))
       .sortWithinPartitions(col("doc"))
       .write.mode(mode).parquet(s"$dir/shingles")
@@ -2274,6 +2402,36 @@ object Dedup {
     * once-per-stream probe — retune it in one place. */
   val DefaultPointFetchMinStoreBytes: Long = 256L << 20
 
+  /** Bound on the batch key set pushed into an at-rest mark scan
+    * ([[markAgainstIndex]]'s band filter, markPhashCore's bkey
+    * filter): up to this many distinct values are collected (a
+    * bounded planning lookup, the pointFetchCap convention) and
+    * pushed as an `isin`. Spark translates a large In to parquet's
+    * NATIVE set predicate (`FilterApi.in` — O(1) membership, no
+    * or-of-equalities tree), which the reader evaluates against
+    * row-group stats/dictionaries/blooms, so the scan skips row
+    * groups holding none of the batch's keys. Beyond the cap the
+    * scan-join takes over — at that batch size a sequential pass
+    * over the store reads less than the scattered per-key probes
+    * would. */
+  val DefaultMarkPruneCap: Int = 50000
+
+  /** Metadata-only store-size probe with the sentinel contract the
+    * streaming drivers rely on (0 = decide big WITHOUT the FS
+    * listing, Long.MaxValue = decide small): a recursive
+    * getContentSummary per micro-batch is an O(files) LIST on an
+    * object store, so Streams probes once per stream and passes the
+    * decision down as a sentinel. */
+  private def storeAtLeastBytes(spark: org.apache.spark.sql.SparkSession,
+      path: String, minBytes: Long): Boolean =
+    if (minBytes == 0L) true
+    else if (minBytes == Long.MaxValue) false
+    else {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.exists(p) && fs.getContentSummary(p).getLength >= minBytes
+    }
+
   private def markAgainstIndex(spark: org.apache.spark.sql.SparkSession,
       newDocs: DataFrame, idCol: String, textCol: String, indexDir: String,
       shingleN: Int, k: Int, bands: Int, threshold: Double,
@@ -2286,7 +2444,12 @@ object Dedup {
     val alreadyCommitted =
       commitTag.exists(t => isBatchCommitted(spark, indexDir, t))
     val willAppend = appendFresh && !alreadyCommitted
-    val storeBands = spark.read.parquet(s"$indexDir/bands")
+    // ONE store-size decision (metadata-only, sentinel-aware) drives
+    // BOTH store-sided plans: the band-scan pruning below and the
+    // shingles point-fetch re-score — the two tables grow together,
+    // and Streams probes once per stream for the pair of them
+    val storeIsBig = storeAtLeastBytes(spark, s"$indexDir/shingles",
+      pointFetchMinStoreBytes)
     val storeSets = spark.read.parquet(s"$indexDir/shingles")
     val sets = shingleSets(newDocs, idCol, textCol, shingleN)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -2295,12 +2458,32 @@ object Dedup {
         .select(col("doc"), xxhash64(col("shingle")).as("h0")),
       k), bands, k)
     // the append path reads banded twice (candidate probe + fresh
-    // slice) — cache it there instead of re-running the k-pass
-    // minhash kernel; the mark-only path reads it once, where a
-    // persist would be pure materialization overhead
+    // slice) and the band-pruning path twice (hash collect +
+    // candidate probe) — cache for either; the plain mark-only path
+    // reads it once, where a persist would be pure materialization
+    // overhead
     val banded =
-      if (willAppend) banded0.persist(StorageLevel.MEMORY_AND_DISK)
+      if (willAppend || storeIsBig)
+        banded0.persist(StorageLevel.MEMORY_AND_DISK)
       else banded0
+    // BAND-SCAN PRUNING (the r13 scale veto, closed): past the size
+    // threshold the stored bands table is not read whole per batch —
+    // the batch's bounded distinct band_hash set (≤ cap values, a
+    // planning lookup) is pushed into the band_hash-clustered store
+    // so row-group stats prune the scan to colliding neighborhoods;
+    // an over-cap batch amortizes a sequential scan instead
+    val batchBandKeys: Array[Any] =
+      if (!storeIsBig) Array.empty[Any]
+      else banded.select(col("band_hash")).distinct()
+        .limit(DefaultMarkPruneCap + 1).collect().map(_.get(0))
+    val storeBandsAll = spark.read.parquet(s"$indexDir/bands")
+    val storeBands =
+      if (storeIsBig && batchBandKeys.isEmpty) storeBandsAll.limit(0)
+      else if (batchBandKeys.nonEmpty &&
+          batchBandKeys.length <= DefaultMarkPruneCap)
+        storeBandsAll.filter(
+          col("band_hash").isin(batchBandKeys.toIndexedSeq: _*))
+      else storeBandsAll
     val candidates0 = banded
       .toDF("doc_b", "band", "band_hash")
       .join(storeBands.toDF("doc_a", "band", "band_hash"),
@@ -2338,21 +2521,6 @@ object Dedup {
     // (measured at sf0.1: filtering a few-MB store costs more than
     // scanning it — pruning pays when the store dwarfs the batch, the
     // actual 100 TB regime). The store-size probe is metadata-only.
-    // sentinel thresholds pre-decide the plan WITHOUT the FS probe:
-    // 0 = always point-fetch, Long.MaxValue = always scan-join —
-    // Streams.nearDupIngest probes the store once per stream and
-    // passes the decision, instead of a recursive listing per
-    // micro-batch (an O(files) LIST per batch on an object store)
-    val storeIsBig =
-      if (pointFetchMinStoreBytes == 0L) true
-      else if (pointFetchMinStoreBytes == Long.MaxValue) false
-      else {
-        val shinglesPath =
-          new org.apache.hadoop.fs.Path(s"$indexDir/shingles")
-        shinglesPath.getFileSystem(spark.sessionState.newHadoopConf())
-          .getContentSummary(shinglesPath).getLength >=
-          pointFetchMinStoreBytes
-      }
     // cache candidates only when the planning lookup will read them a
     // second time (small-store scan-join path reads them exactly once)
     val candidates =
@@ -2386,8 +2554,12 @@ object Dedup {
       // dup ids from the materialized result: a driver-side bounded
       // collect would cap batch size — the broadcast anti-join doesn't
       val dupIds = out.filter(col("is_dup")).select(col(idCol).as("doc"))
+      // one clustered file per table per ingest batch (see
+      // writeIndexTables): bands by band_hash for the mark probe,
+      // shingles by doc for the point-fetch
       val freshBands = banded.join(broadcast(dupIds), Seq("doc"), "left_anti")
-      // one id-sorted file per ingest batch (see writeIndexTables)
+        .repartitionByRange(1, col("band_hash"))
+        .sortWithinPartitions(col("band_hash"))
       val freshSets = sets.join(broadcast(dupIds), Seq("doc"), "left_anti")
         .repartitionByRange(1, col("doc")).sortWithinPartitions(col("doc"))
       commitTag match {
@@ -2414,19 +2586,33 @@ object Dedup {
     * the redo reproduces what the crash interrupted. A crash AFTER
     * the marker is the caller's isBatchCommitted skip. Caller holds
     * the store lease. */
-  private def taggedSegmentAppend(
-      spark: org.apache.spark.sql.SparkSession, indexDir: String,
-      tag: String, tables: Seq[(String, DataFrame)]): Unit = {
+  /** Delete any half-landed `seg-<tag>-*` files of an UNCOMMITTED tag
+    * under `root`'s tables — the retry-hygiene half of
+    * [[taggedSegmentAppend]], also called BEFORE a tagged path reads
+    * the store (a crashed attempt's partially-moved files must not
+    * pollute the as-of view the redo computes from). */
+  private def cleanTaggedSegments(
+      spark: org.apache.spark.sql.SparkSession, rootDir: String,
+      tag: String, tables: Seq[String]): Unit = {
     val conf = spark.sessionState.newHadoopConf()
-    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val root = new org.apache.hadoop.fs.Path(rootDir)
     val fs = root.getFileSystem(conf)
-    tables.foreach { case (t, _) =>
+    tables.foreach { t =>
       val table = new org.apache.hadoop.fs.Path(root, t)
       if (fs.exists(table))
         fs.globStatus(new org.apache.hadoop.fs.Path(
             table, s"seg-$tag-*"))
           .foreach(st => fs.delete(st.getPath, false))
     }
+  }
+
+  private def taggedSegmentAppend(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      tag: String, tables: Seq[(String, DataFrame)]): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(conf)
+    cleanTaggedSegments(spark, indexDir, tag, tables.map(_._1))
     val staging =
       new org.apache.hadoop.fs.Path(root, s".staging/$tag")
     fs.delete(staging, true) // stale from a crashed attempt

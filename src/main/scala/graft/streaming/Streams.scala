@@ -331,7 +331,14 @@ object Streams {
     * scope per the nearDupIngest convention (restored in finally). */
   def phashIngest(fps: DataFrame, indexDir: String, outDir: String,
       checkpointDir: String, radius: Int, width: Int,
-      blocks: Option[Int] = None, keyBlocks: Int = 1): StreamingQuery =
+      blocks: Option[Int] = None, keyBlocks: Int = 1): StreamingQuery = {
+    // probe the key-store size ONCE per stream, not per micro-batch
+    // (the nearDupIngest convention: the probe is an O(files)
+    // recursive LIST on an object store; a store never shrinks below
+    // the threshold mid-stream, so re-probe only while still small)
+    val bigThreshold =
+      graft.operators.Dedup.DefaultPointFetchMinStoreBytes
+    @volatile var knownBig = false
     fps.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -340,10 +347,18 @@ object Streams {
         val oldWidth = s.conf.get(widthKey)
         s.conf.set(widthKey, s.sparkContext.defaultParallelism)
         try {
+          if (!knownBig) {
+            val p = new org.apache.hadoop.fs.Path(s"$indexDir/keys")
+            val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+            knownBig = fs.exists(p) &&
+              fs.getContentSummary(p).getLength >= bigThreshold
+          }
           val marked = graft.Phases.time(s"phash_mark_append[b$batchId]") {
             graft.operators.Dedup.ingestPhashBatchAgainst(
               s, batch.toDF(), indexDir, radius, width, blocks,
-              keyBlocks, commitTag = Some(s"b$batchId"))
+              keyBlocks, commitTag = Some(s"b$batchId"),
+              pruneMinStoreBytes =
+                if (knownBig) 0L else Long.MaxValue)
           }
           graft.Phases.time(s"sink[b$batchId]") {
             marked
@@ -356,6 +371,7 @@ object Streams {
         } finally s.conf.set(widthKey, oldWidth)
       }
       .start()
+  }
 
   /** Streaming TEMPERATURE MIX — the q124 recipe applied at ingest
     * time, completing the mixing family's lifecycle (batch q124 /

@@ -371,6 +371,59 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally Scratch.deleteRecursively(new java.io.File(root))
   }
 
+  test("phash mark pruning: pushed batch-key scan ≡ whole-store scan, " +
+    "in-cap and over-cap regimes") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_phashprune_").toString
+    try {
+      // spread fingerprints over the key space (golden-ratio stride)
+      // so the over-cap batch really exceeds DefaultMarkPruneCap
+      // distinct bkeys: width 64 / blocks 4 → 16-bit keys, 4 tables
+      def fps(ids: Range, salt: Long) = ids
+        .map(i => (i.toLong, i * 0x9E3779B97F4A7C15L + salt))
+        .toDF("doc", "fp")
+      Dedup.writePhashIndex(fps(0 until 3000, 0L), root + "/idx",
+        radius = 3, width = 64, blocks = Some(4), keyBlocks = 1)
+      def mark(batch: org.apache.spark.sql.DataFrame, minBytes: Long) =
+        Dedup.incrementalPhashAgainst(spark, batch, root + "/idx",
+            radius = 3, width = 64, blocks = Some(4), keyBlocks = 1,
+            pruneMinStoreBytes = minBytes)
+          .select("doc", "dup_of", "hamming", "is_dup")
+          .as[(Long, Option[Long], Option[Int], Boolean)]
+          .collect().toSet
+      // IN-CAP: a small batch (some fps equal to stored ones, some
+      // one flip away, some novel) — pruned scan and full scan agree
+      val small = Seq(
+        (9001L, 7L * 0x9E3779B97F4A7C15L),        // = stored doc 7
+        (9002L, 5L * 0x9E3779B97F4A7C15L ^ 1L),   // 1 flip off doc 5
+        (9003L, 0x1234123412341234L))             // novel
+        .toDF("doc", "fp")
+      val pruned = mark(small, 0L)
+      pruned shouldBe mark(small, Long.MaxValue)
+      pruned.find(_._1 == 9001L).get._4 shouldBe true
+      pruned.find(_._1 == 9003L).get._4 shouldBe false
+      // OVER-CAP: force the fallback with a tiny explicit cap (the
+      // production cap needs >50k distinct bkeys to trip — same code
+      // path, spec-scale data): the collect caps out and the
+      // scan-join fallback takes over, same verdicts
+      val big = fps(5000 until 6500, 0L)
+        .select((col("doc") + 10000L).as("doc"), col("fp"))
+      def markCapped(minBytes: Long) =
+        Dedup.incrementalPhashAgainst(spark, big, root + "/idx",
+            radius = 3, width = 64, blocks = Some(4), keyBlocks = 1,
+            pruneMinStoreBytes = minBytes, pruneCap = 16)
+          .select("doc", "dup_of", "hamming", "is_dup")
+          .as[(Long, Option[Long], Option[Int], Boolean)]
+          .collect().toSet
+      markCapped(0L) shouldBe markCapped(Long.MaxValue)
+      // and the in-cap pruned path over the same big batch agrees too
+      mark(big, 0L) shouldBe mark(big, Long.MaxValue)
+      // empty batch under pruning: empty-relation short-circuit
+      mark(fps(0 until 0, 0L), 0L) shouldBe Set.empty
+    } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
+
   test("simhash pigeonhole: wider-key Manku parameterizations give identical pairs") {
     import spark.implicits._
     val minimal = Dedup.simhashNearDupPairs(corpus, "doc_id", "text", radius = 5)
@@ -683,6 +736,70 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
         .collect().map(_.toSeq).toSet shouldBe scratch
       scratch.size shouldBe 4
       // no writer lease left held on either artifact
+      new java.io.File(store + ".lease").exists() shouldBe false
+      new java.io.File(idx + ".lease").exists() shouldBe false
+    } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
+
+  test("appendPairStore tagged: sealed retry is a no-op read-back; a " +
+    "torn index half is detected and redone to the from-scratch state") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_pairtag_").toString
+    try {
+      val a = (1 to 11).map(i => s"a$i").mkString(" ")
+      val c0 = Seq(
+        (1L, a),
+        (2L, (1 to 8).map(i => s"p$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      val b1 = Seq(
+        (10L, (1 to 9).map(i => s"a$i").mkString(" ") + " x1 x2 x3 x4"),
+        (11L, (1 to 8).map(i => s"r$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      val idx = root + "/idx"; val store = root + "/store"
+      Dedup.writeNearDupIndex(c0, "doc_id", "text", 2, 64, 32, idx)
+      Dedup.writePairStore(c0, "doc_id", "text", store, 2, 64, 32, 0.5)
+      def append() = Dedup.appendPairStore(b1, "doc_id", "text", idx,
+        store, 2, 64, 32, 0.5, commitTag = Some("t1"))
+      def pairRows() = Dedup.readPairStore(spark, store)
+        .collect().map(_.toSeq).toSet
+      def countAll() = (
+        Dedup.readPairStore(spark, store).count(),
+        spark.read.parquet(s"$idx/bands").count(),
+        spark.read.parquet(s"$idx/shingles").count())
+      val d1 = append().collect().map(_.toSeq).toSet
+      val afterFirst = countAll()
+      // FULLY SEALED retry: both markers present — the call reads the
+      // sealed segment back and appends NOTHING
+      append().collect().map(_.toSeq).toSet shouldBe d1
+      countAll() shouldBe afterFirst
+      // TORN retry: simulate a crash between the pair commit and the
+      // index commit — index marker and its tag-named segment files
+      // gone, pairs still sealed. The retry must detect the tear and
+      // redo ONLY the index half.
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(s"$idx/_commits/t1"),
+        false) shouldBe true
+      Seq("bands", "shingles").foreach { t =>
+        fs.globStatus(new org.apache.hadoop.fs.Path(
+            s"$idx/$t/seg-t1-*"))
+          .foreach(st => fs.delete(st.getPath, false))
+      }
+      append().collect().map(_.toSeq).toSet shouldBe d1
+      countAll() shouldBe afterFirst
+      // the healed store equals a from-scratch build over c0 + b1
+      pairRows() shouldBe Dedup.minhashNearDupPairs(
+        c0.unionByName(b1), "doc_id", "text", 2, 64, 32, 0.5)
+        .collect().map(_.toSeq).toSet
+      // a later batch can pair against b1's docs through the healed
+      // index (the signatures really landed)
+      val b2 = Seq((20L, (1 to 8).map(i => s"r$i").mkString(" ") +
+        " y1")).toDF("doc_id", "text")
+      Dedup.appendPairStore(b2, "doc_id", "text", idx, store,
+          2, 64, 32, 0.5, commitTag = Some("t2"))
+        .select("doc_a", "doc_b").as[(Long, Long)]
+        .collect().toSet shouldBe Set((11L, 20L))
       new java.io.File(store + ".lease").exists() shouldBe false
       new java.io.File(idx + ".lease").exists() shouldBe false
     } finally Scratch.deleteRecursively(new java.io.File(root))
