@@ -9,7 +9,12 @@ import scala.jdk.CollectionConverters._
   *
   * Each query is materialized with a noop-format write so every
   * output column is computed (a bare count() would let Catalyst prune
-  * the aggregates away and time an emptier plan).
+  * the aggregates away and time an emptier plan). Each query runs
+  * TWICE: one untimed warm pass (recorded as cold_sec), then the
+  * timed steady-state run — first-use whole-stage-codegen compilation
+  * and JIT warmth measured ±4× on byte-identical code across rounds
+  * (r13 q122), so the recorded walls are post-warmth and the cold
+  * walls ride alongside for attribution.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -161,10 +166,37 @@ object Bench {
     // sees the squeeze the 32-wide query stages feel.
     val calibEvery = 16
     val calibTrack = scala.collection.mutable.ListBuffer.empty[Double]
+    // Per-query COLD pass wall (the untimed warm-up): r13 adjudicated
+    // q122 reading 1.2-5.5 s across windows on byte-identical code —
+    // first-use whole-stage-codegen compilation + JIT warmth, not the
+    // plan. One full warm pass per query before its timed run makes
+    // the recorded wall the STEADY-STATE number (what a production
+    // executor pool sees after the first task waves), and the cold
+    // wall is kept alongside so the artifact itself quantifies the
+    // JIT share (cold − warm) instead of letting it impersonate a
+    // regression.
+    val coldSec = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = selected.zipWithIndex.map {
       case ((name, fn), idx) =>
         // idx 0 is skipped: calibMtStart was read milliseconds ago
         if (idx > 0 && idx % calibEvery == 0) calibTrack += calibrateMt()
+        // untimed warm pass — failures fall through to the timed pass,
+        // which owns error accounting
+        locally {
+          val tc0 = System.nanoTime()
+          var dfw: org.apache.spark.sql.DataFrame = null
+          try {
+            dfw = fn(spark, sfDir)
+            dfw.write.format("noop").mode("overwrite").save()
+            coldSec(name) = (System.nanoTime() - tc0) / 1e9
+          } catch { case _: Throwable => () }
+          finally {
+            if (dfw != null)
+              org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(dfw)
+            graft.operators.CorpusStats.releaseLmBroadcasts()
+            ()
+          }
+        }
         val gc0 = gcMillis(); val cpu0 = cpuNanos()
         stageWidth.set(0)
         Phases.drain() // discard anything recorded outside a timed query
@@ -240,6 +272,13 @@ object Bench {
         }.mkString("{", ",", "}")},""" +
         s""""gc_total":${num(gcSec.values.sum)},""" +
         s""""cpu_total":${num(cpuTotal)},""" +
+        // cold_sec = the untimed warm pass's wall per query: the
+        // recorded "queries" walls are STEADY-STATE (post-codegen/
+        // JIT); cold − warm is the first-use compilation share, kept
+        // in the artifact so a cross-round wall delta can be checked
+        // against warmth before being read as a plan change (r13 #3)
+        s""""cold_sec":${jsonObj(coldSec)},""" +
+        s""""cold_total":${num(coldSec.values.sum)},""" +
         s""""store_build_sec":${jsonObj(storeBuild)},""" +
         s""""calib_sec":[${num(calibStart)},${num(calibEnd)}],""" +
         s""""calib_mt_sec":[${num(calibMtStart)},${num(calibMtEnd)}],""" +
@@ -268,6 +307,7 @@ object Bench {
         s""""n_queries":${results.size},"failed":$failedJson,""" +
         s""""gc_total":${num(gcSec.values.sum)},""" +
         s""""cpu_total":${num(cpuTotal)},""" +
+        s""""cold_total":${num(coldSec.values.sum)},""" +
         s""""store_build_sec":${jsonObj(storeBuild)},""" +
         s""""calib_sec":[${num(calibStart)},${num(calibEnd)}],""" +
         s""""calib_mt_sec":[${num(calibMtStart)},${num(calibMtEnd)}],""" +
