@@ -103,6 +103,11 @@ object Main {
     case Seq("compact-ndindex", indexDir, rest @ _*)
         if doubleArg(rest, 2.0).isDefined =>
       compactNdIndex(spark, indexDir, doubleArg(rest, 2.0).get)
+    case Seq("compact-phash", indexDir, rest @ _*)
+        if doubleArg(rest, 2.0).isDefined =>
+      compactPhash(spark, indexDir, doubleArg(rest, 2.0).get)
+    case Seq("img-health", sfDir, rest @ _*) =>
+      imgHealth(spark, sfDir, rest.headOption)
     case Seq("index", storeDir) => indexInfo(spark, storeDir)
     case Seq("lease", storeDir) => leaseInfo(spark, storeDir, doBreak = false)
     case Seq("lease", storeDir, "--break") =>
@@ -144,6 +149,13 @@ object Main {
         "near-dup signature index: measure the shingles table's " +
         "dilution; re-cluster shingles + consolidate bands when over " +
         "budget",
+      "  compact-phash <indexDir> [maxDilution]   same cycle for a " +
+        "phash fingerprint index: measure the key table's bkey " +
+        "dilution; rewrite as one clustered generation when over " +
+        "budget",
+      "  img-health <sfDir> [phashIndexDir]   image-modality health " +
+        "report: dup pairs, dup groups, largest group, index " +
+        "segment count + dilution",
       "  index <storeDir>                    show a store's persisted " +
         "ANN metadata (what AnnIndex.registerFrom adopts)",
       "  lease <storeDir> [--break]          show a store's writer " +
@@ -495,6 +507,70 @@ object Main {
       val after = Layout.pruningDilution(spark, s"$indexDir/shingles", "doc")
       Seq(head, s"compacted; dilution now ${num2(after)}")
     }
+  }
+
+  /** `compact-phash` verb: the compact-ndindex cycle on the image
+    * fingerprint index — streaming ingest lands one bkey-clustered
+    * segment per micro-batch and accumulated segments dilute the
+    * mark's row-group pruning; measure first, rewrite only over
+    * budget (Dedup.compactPhashIndex: write-then-swap under the store
+    * lease, verdict-invariant). */
+  private def compactPhash(spark: SparkSession, indexDir: String,
+      maxDilution: Double): Seq[String] = {
+    val before = Layout.pruningDilution(spark, s"$indexDir/keys", "bkey")
+    val nFiles = Layout.fileSpans(spark, s"$indexDir/keys", "bkey").count()
+    val head = s"keys dilution ${num2(before)} over $nFiles files " +
+      s"(budget ${num2(maxDilution)})"
+    if (before <= maxDilution)
+      Seq(head, "within budget: no compaction needed")
+    else {
+      graft.operators.Dedup.compactPhashIndex(spark, indexDir)
+      val after = Layout.pruningDilution(spark, s"$indexDir/keys", "bkey")
+      Seq(head, s"compacted; dilution now ${num2(after)}")
+    }
+  }
+
+  /** `img-health` verb: the emb-health convention on the image
+    * modality — the q172 decode→hash→pair pipeline over the real
+    * fixture, resolved to duplicate groups (the q178 machinery), as
+    * one human-readable census: images, dup pairs, groups, the
+    * largest group and its keeper. With a phash index dir, also the
+    * index's at-rest shape (segment file count + bkey pruning
+    * dilution — the number that decides a `compact-phash` run). */
+  private def imgHealth(spark: SparkSession, sfDir: String,
+      indexDir: Option[String]): Seq[String] = {
+    val (fp, pairs0) = SparkEntry.phashPairs(spark, sfDir)
+    val pairs = pairs0.localCheckpoint()
+    val nImages = fp.count()
+    val nPairs = pairs.count()
+    val cc = graft.operators.Dedup
+      .connectedComponentsStar(pairs, "doc_a", "doc_b")
+      .toDF("doc", "keeper")
+    val groups = cc.groupBy(col("keeper"))
+      .agg(count(lit(1)).as("n_members"))
+      .persist()
+    val nGrouped = groups.agg(sum(col("n_members"))).collect()(0).getLong(0)
+    val nGroups = groups.count()
+    val top = groups.orderBy(col("n_members").desc, col("keeper"))
+      .limit(1).collect()
+    groups.unpersist(blocking = false)
+    org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(pairs)
+    org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(fp)
+    val census = Seq(
+      s"images decoded: $nImages",
+      s"near-dup pairs (radius 4): $nPairs",
+      s"dup groups: $nGroups covering $nGrouped images " +
+        s"(${nImages - nGrouped} unique)") ++
+      top.toSeq.map(r =>
+        s"largest group: ${r.getLong(1)} images, keeper doc " +
+          s"${r.getLong(0)}")
+    val index = indexDir.toSeq.flatMap { d =>
+      val nFiles = Layout.fileSpans(spark, s"$d/keys", "bkey").count()
+      val dil = Layout.pruningDilution(spark, s"$d/keys", "bkey")
+      Seq(s"phash index $d: $nFiles key files, bkey dilution " +
+        s"${num2(dil)}" + (if (dil > 2.0) " — run compact-phash" else ""))
+    }
+    census ++ index
   }
 
   /** Inspector `ranges` verb (pulsar_remote_inspector.py:701-716):

@@ -4521,7 +4521,7 @@ object SparkEntry {
     * the radius-4 pigeonhole pair set. ONE definition so the
     * "pairs → groups → keeper" lifecycle cannot drift if the
     * radius/blocks/grid parameters are ever retuned. */
-  private def phashPairs(s: SparkSession, dir: String)
+  private[graft] def phashPairs(s: SparkSession, dir: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val fp = Multimodal.decodePartitions[(Long, Long)](
       patternPngs(s, dir), Multimodal.decodeGridHash(8, 8, 128))(

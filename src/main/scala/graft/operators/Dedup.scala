@@ -2219,8 +2219,60 @@ object Dedup {
       rowDeduped.unpersist(blocking = false)
     }
     swapRewrite("bands") { (df, out) =>
-      df.dropDuplicates().repartition(n).write.parquet(out)
+      // restore the band_hash clustering (the writeIndexTables build
+      // layout) so the mark's pushed batch-hash filter keeps pruning
+      // after compaction
+      df.dropDuplicates()
+        .repartitionByRange(n, col("band_hash"))
+        .sortWithinPartitions(col("band_hash"))
+        .write.parquet(out)
     }
+    }
+
+  /** The compaction cycle for the PHASH index ([[writePhashIndex]] /
+    * [[ingestPhashBatchAgainst]]): a long-running ingest stream lands
+    * one bkey-clustered segment file per micro-batch, and the
+    * accumulated segments dilute the mark's row-group pruning (every
+    * segment overlays another full key range — the
+    * Layout.pruningDilution hazard, here on `keys`/bkey). Rewrite the
+    * key table as ONE globally range-clustered generation:
+    * write-then-swap under the store lease (the compactNearDupIndex
+    * protocol — a crash leaves the old table or a stale `.compacting`
+    * sibling, never a half-store). Replay-landed duplicate rows are
+    * exact copies ((doc, fp, tbl, bkey) is deterministic per doc) and
+    * collapse under full-row dedup; a doc id carrying two DIFFERENT
+    * fingerprints is a violated id contract and fails loudly.
+    * `params` is generation-invariant and untouched; verdicts before
+    * and after are identical (MainSpec). */
+  def compactPhashIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit =
+    graft.sources.StoreLease.withLease(spark, dir, "compact-phash") {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(s"$dir/keys")
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/keys.compacting")
+      val fs = p.getFileSystem(conf)
+      require(fs.exists(p), s"compactPhashIndex: no keys table at $dir")
+      fs.delete(tmp, true) // stale sibling from a crashed run
+      val rowDeduped = spark.read.parquet(p.toString).dropDuplicates()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val conflicted = rowDeduped
+        .groupBy(col("doc"), col("tbl"))
+        .agg(count(lit(1)).as("_c")).filter(col("_c") > 1)
+        .select(col("doc")).limit(5).collect()
+      require(conflicted.isEmpty,
+        "compactPhashIndex: same id with DIFFERENT fingerprints in " +
+          s"the store (ids e.g. ${conflicted.mkString(", ")}) — an id " +
+          "was re-used for new content; the id contract requires " +
+          "store-unique ids")
+      rowDeduped
+        .repartitionByRange(
+          math.max(1, spark.sparkContext.defaultParallelism),
+          col("bkey"))
+        .sortWithinPartitions(col("bkey"), col("tbl"))
+        .write.parquet(tmp.toString)
+      rowDeduped.unpersist(blocking = false)
+      require(fs.delete(p, true), s"could not remove old table $p")
+      require(fs.rename(tmp, p), s"could not move compacted table to $p")
     }
 
   private def writeIndexTables(docs: DataFrame, idCol: String,

@@ -336,6 +336,89 @@ class MainSpec extends AnyFunSuite with SparkSpec with Matchers {
     Scratch.deleteRecursively(new java.io.File(root))
   }
 
+  test("compact-phash verb: dilution-gated rewrite, verdicts invariant") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import graft.operators.Dedup
+    val root = Files.createTempDirectory("graft_main_phc").toString
+    val idx = root + "/idx"
+    def fps(ids: Seq[Long]) = ids
+      .map(i => (i, i * 0x9E3779B97F4A7C15L)).toDF("doc", "fp")
+    Dedup.writePhashIndex(fps(0L until 40L), idx, radius = 3,
+      width = 64, blocks = Some(4), keyBlocks = 1)
+    // single build: tight spans, under budget — verb must not rewrite
+    Main.run(spark, Seq("compact-phash", idx))
+      .last should include("no compaction needed")
+    // several ingest segments, each spanning the whole key range →
+    // overlapping per-segment files → dilution over budget
+    for (i <- 0 until 4)
+      Dedup.ingestPhashBatchAgainst(spark,
+        fps(Seq(100L + i, 200L + i, 300L + i)), idx,
+        radius = 3, width = 64, blocks = Some(4), keyBlocks = 1,
+        commitTag = Some(s"seg$i"))
+    val batch = Seq(
+      (9001L, 7L * 0x9E3779B97F4A7C15L),      // = stored doc 7
+      (9002L, 102L * 0x9E3779B97F4A7C15L),    // = an APPENDED doc
+      (9003L, 0x1234123412341234L))           // novel
+      .toDF("doc", "fp")
+    def verdicts() = Dedup.incrementalPhashAgainst(spark, batch, idx,
+        radius = 3, width = 64, blocks = Some(4), keyBlocks = 1)
+      .select("doc", "dup_of")
+      .as[(Long, Option[Long])].collect().toMap
+    val before = verdicts()
+    val acted = Main.run(spark, Seq("compact-phash", idx))
+    acted.last should include("compacted")
+    // compaction is a layout move only: same verdicts afterwards
+    verdicts() shouldBe before
+    before(9001L) shouldBe Some(7L)
+    before(9002L) shouldBe Some(102L) // resolves to an APPENDED doc
+    before(9003L) shouldBe None
+    // one compacted generation: pruning dilution back to ~1
+    graft.sources.Layout.pruningDilution(spark, s"$idx/keys",
+      "bkey") should be <= 1.5
+    Scratch.deleteRecursively(new java.io.File(root))
+  }
+
+  test("img-health verb: census reconciles with the q172/q178 gate " +
+    "queries; index shape reported") {
+    import org.apache.spark.sql.functions.col
+    val sfDir = "/root/testdata/sf0.001"
+    // a small phash index so the verb also reports the at-rest shape
+    val root = Files.createTempDirectory("graft_main_imgh").toString
+    val idx = root + "/idx"
+    import spark.implicits._
+    graft.operators.Dedup.writePhashIndex(
+      (0L until 20L).map(i => (i, i * 0x9E3779B97F4A7C15L))
+        .toDF("doc", "fp"),
+      idx, radius = 4, width = 64, blocks = Some(8), keyBlocks = 1)
+    val lines = Main.run(spark, Seq("img-health", sfDir, idx))
+    lines.foreach(l => info(l))
+    // totals reconcile with the gate queries over the same fixture
+    val nPairs = SparkEntry.queries("q172_image_phash_dedup")(spark, sfDir)
+      .count()
+    val keeper = SparkEntry.queries("q178_image_dup_keeper")(spark, sfDir)
+    val nImages = keeper.count()
+    val nGrouped = keeper.filter(col("doc") =!= col("group_keeper"))
+      .count() // members resolving to another doc
+    lines.head shouldBe s"images decoded: $nImages"
+    lines(1) shouldBe s"near-dup pairs (radius 4): $nPairs"
+    // grouped = non-keeper members + their (distinct) keepers, both
+    // recomputed from the q178 result itself
+    lines(2) should include("dup groups:")
+    val grouped = "covering (\\d+) images".r
+      .findFirstMatchIn(lines(2)).get.group(1).toLong
+    val censusGroups = "dup groups: (\\d+)".r
+      .findFirstMatchIn(lines(2)).get.group(1).toLong
+    val q178Keepers = keeper.filter(col("doc") =!= col("group_keeper"))
+      .select("group_keeper").distinct().count()
+    censusGroups shouldBe q178Keepers
+    grouped shouldBe nGrouped + q178Keepers
+    lines.exists(_.startsWith("largest group:")) shouldBe true
+    lines.last should include("phash index")
+    lines.last should include("key files")
+    Scratch.deleteRecursively(new java.io.File(root))
+  }
+
   test("report verb prints the per-source data card") {
     val lines = Main.run(spark, Seq("report", "/root/testdata/sf0.001"))
     lines.head should include("source")
