@@ -2548,6 +2548,24 @@ object SparkEntry {
           coalesce(col("keeper"), col("doc")).as("group_keeper"))
     }),
 
+    // ── NS multimodal dedup: QUALITY-RULE IMAGE KEEPER — q178
+    // resolves groups to min-id; the curator's rule is quality-argmax
+    // (keep the best copy, not the first): the SAME
+    // Dedup.resolveDuplicates the text keeper (q84) runs, so the two
+    // modalities cannot drift on tie/argmax semantics. Quality here
+    // is decoded bright-cell mass — popcount of the grid hash, bit i
+    // = cell i decoded bright — a number measured from real pixels
+    // that the oracle rebuilds from the generation arithmetic alone
+    // (the q172 proof pattern); a production corpus passes
+    // resolution/bytes/sharpness in the same column ──
+    "q179_image_quality_keeper" -> ((s, dir) => {
+      val (fp, pairs) = phashPairs(s, dir)
+      val docs = fp.withColumn("bright_cells",
+        bit_count(col("fp")).cast("long"))
+      Dedup.resolveDuplicates(docs, pairs, "doc", "bright_cells")
+        .select(col("doc"), col("bright_cells"))
+    }),
+
     // ── NS dedup: URL-LEVEL DEDUP WITH A KEEPER — the CommonCrawl
     // re-crawl step: group documents by CANONICAL url (q110's
     // canonicalization — utm noise and fragments collapse), keep the
@@ -7387,6 +7405,33 @@ object SparkEntry {
            |lbl AS (SELECT node, MIN(r) AS label FROM reach GROUP BY node)
            |SELECT i.id AS doc, COALESCE(l.label, i.id) AS group_keeper
            |FROM h i LEFT JOIN lbl l ON i.id = l.node""".stripMargin,
+
+      // q178's recursive CC, resolved by the q84 keeper rule instead
+      // of min-id: quality-argmax (bright-cell popcount) with min-id
+      // ties — one kept row per component
+      "q179_image_quality_keeper" ->
+        s"""WITH RECURSIVE ${phashHashCtes("", "TRUE",
+              "(event_id % 50)")},
+           |p AS (
+           |  SELECT a.id AS doc_a, b.id AS doc_b
+           |  FROM h a JOIN h b ON a.id < b.id
+           |  WHERE bit_count(xor(a.fp, b.fp)) <= 4),
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+           |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p),
+           |reach AS (
+           |  SELECT src AS node, src AS r FROM edges
+           |  UNION
+           |  SELECT e.src AS node, re.r AS r
+           |  FROM edges e JOIN reach re ON e.dst = re.node),
+           |lbl AS (SELECT node, MIN(r) AS label FROM reach GROUP BY node),
+           |d AS (SELECT i.id AS doc,
+           |    CAST(bit_count(i.fp) AS BIGINT) AS bright_cells,
+           |    COALESCE(l.label, i.id) AS comp
+           |  FROM h i LEFT JOIN lbl l ON i.id = l.node),
+           |k AS (SELECT doc, bright_cells, ROW_NUMBER() OVER (
+           |    PARTITION BY comp ORDER BY bright_cells DESC, doc) AS rn
+           |  FROM d)
+           |SELECT doc, bright_cells FROM k WHERE rn = 1""".stripMargin,
 
       // the q172 hash arithmetic over BOTH halves, then each batch
       // image's (hamming, id)-min stored neighbor within radius 4 —

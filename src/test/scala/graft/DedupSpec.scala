@@ -600,6 +600,35 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
     kept shouldBe Set(2L, 4L, 5L)
   }
 
+  test("image quality keeper (q179 rule): bright-cell argmax per " +
+    "group, min id on ties, singletons kept — shared resolveDuplicates") {
+    import spark.implicits._
+    // group A: docs 1/2/3 pairwise within radius (popcounts 2, 4, 4)
+    //   → argmax 4 is tied between 2 and 3 → min id 2 wins
+    // group B: docs 10/11 (popcounts 14, 16) → the NON-min-id 11
+    //   wins on quality — the case q178's min-id rule gets wrong
+    // singleton: doc 20 survives untouched
+    val fp = Seq(
+      (1L, 3L),                 // 0b0011            popcount 2
+      (2L, 0xC | 0x3L),         // 0b1111            popcount 4
+      (3L, 0x30 | 0x3L),        // 0b110011          popcount 4
+      (10L, 0x00FF00000000FC00L), // popcount 14
+      (11L, 0x00FF00000000FF00L), // +2 bits: popcount 16, hamming 2
+      (20L, 0x5555000000000000L))
+      .toDF("doc", "fp")
+    val pairs = graft.operators.Dedup.hammingNearDupPairs(fp,
+      radius = 4, width = 64, blocks = Some(8), keyBlocks = 1)
+    val docs = fp.withColumn("bright_cells",
+      org.apache.spark.sql.functions.bit_count(col("fp")).cast("long"))
+    val kept = graft.operators.Dedup
+      .resolveDuplicates(docs, pairs, "doc", "bright_cells")
+      .select("doc", "bright_cells")
+      .as[(Long, Long)].collect().toSet
+    // group A {1,2,3}: tie 2 vs 3 at popcount 4 → min id 2
+    // group B {10,11}: 11 wins on popcount 16 > 14 (NOT the min id)
+    kept shouldBe Set((2L, 4L), (11L, 16L), (20L, 8L))
+  }
+
   test("dupSpanStats counts positions whose n-gram occurs in another doc") {
     import spark.implicits._
     val docs = Seq(
