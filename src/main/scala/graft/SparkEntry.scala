@@ -2566,6 +2566,45 @@ object SparkEntry {
         .select(col("doc"), col("bright_cells"))
     }),
 
+    // ── NS multimodal dedup: VIDEO perceptual near-dup — the third
+    // leg of the image family (batch q172, incremental q176,
+    // streaming q177, THIS at the video grain): every 2nd frame of
+    // each GVID container decodes to a 64-bit grid hash
+    // (decodeSampledVideoGridHash — frame seeking by length prefix,
+    // decode cost tracks sampled frames), the FRAME-grain hashes run
+    // the SAME recall-1 pigeonhole blocking as q172
+    // (hammingNearDupPairs — never all-pairs), and frame pairs
+    // aggregate to video pairs by MIN Hamming: a clip or re-encode
+    // shares SOME frames, and one matching frame pair is the dup
+    // signal. Frame ids pack as vid*8 + frame (nf = 5 < 8, lossless)
+    // so the blocking core is reused unchanged; the oracle rebuilds
+    // every frame hash from the generation arithmetic (the q172
+    // proof pattern on the q155 container) ──
+    "q180_video_phash_dedup" -> ((s, dir) => {
+      val fp = Multimodal.decodePartitions[(Long, Int, Long)](
+        patternVideos(s, dir),
+        Multimodal.decodeSampledVideoGridHash(2, 8, 8, 128))(
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaInt,
+          org.apache.spark.sql.Encoders.scalaLong))
+        .toDF("vid", "frame", "fp")
+        .select((col("vid") * 8 + col("frame")).as("doc"), col("fp"))
+        .localCheckpoint()
+      Dedup.hammingNearDupPairs(fp, radius = 4, width = 64,
+          blocks = Some(8), keyBlocks = 1)
+        // frame-grain doc_a < doc_b and distinct videos ⇒ vid_a <
+        // vid_b already; min-Hamming over the group's frame pairs.
+        // `div` = integer floor division, bit-equal to DuckDB's `//`
+        .select(expr("doc_a div 8").as("vid_a"),
+          expr("doc_b div 8").as("vid_b"),
+          col("hamming"))
+        .filter(col("vid_a") =!= col("vid_b"))
+        .groupBy(col("vid_a"), col("vid_b"))
+        .agg(min(col("hamming")).as("min_hamming"),
+          count(lit(1)).as("n_frame_pairs"))
+    }),
+
     // ── NS dedup: URL-LEVEL DEDUP WITH A KEEPER — the CommonCrawl
     // re-crawl step: group documents by CANONICAL url (q110's
     // canonicalization — utm noise and fragments collapse), keep the
@@ -4600,6 +4639,51 @@ object SparkEntry {
             val v = if (bit == 1) 200 else 60
             (v << 16) | (v << 8) | v
           }))
+        }
+      })(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.BINARY))
+      .toDF("event_id", "payload")
+
+  /** The q180 media fixture: one deterministic GVID container per
+    * 40th event id, five 16×16 cell-grid PNG frames (the q172 pixel
+    * form: 2×2 blocks on an 8×8 grid, gray 200/60). Frame f of video
+    * v is `base(c, i) XOR flip(v, i) XOR mask(f, i)` with the q172
+    * nonlinear base over content class c = (v/40) % 25, at most ONE
+    * per-video flip (k = (v/40) % 2 at position ((v/40)*13 + 29) %
+    * 64 — the re-encode artifact), and one per-frame mask bit
+    * ((f*13 + 11) % 64 for f > 0 — motion). Same-content videos are
+    * ≤ 1+1 apart on corresponding frames and ≤ 4 on any frame pair
+    * (inside radius 4); cross-content frames are ≥ 16 − 4 = 12 apart
+    * (the q172 min-distance argument) — so video-grain near-dup
+    * groups are exactly the content classes, and the oracle rebuilds
+    * every frame hash from id arithmetic alone. */
+  private def patternVideos(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    Multimodal.decodePartitions[(Long, Array[Byte])](
+      t(s, dir, "events").select(col("event_id"))
+        .filter(col("event_id") % 40 === 0)
+        .repartition(s.sparkContext.defaultParallelism),
+      rows => {
+        val enc = new graft.operators.PngEncoder() // once per task
+        rows.map { r =>
+          val id = r.getLong(0)
+          val g = id / 40
+          val c = (g % 25L).toInt
+          val flipPos =
+            if (g % 2L == 1L) ((g * 13 + 29) % 64L).toInt else -1
+          val frames = (0 until 5).map { f =>
+            val maskPos = if (f > 0) (f * 13 + 11) % 64 else -1
+            enc.encodePixels(16, 16, (x, y) => {
+              val i = (y / 2) * 8 + (x / 2)
+              val bit = ((((c + 1) * (i + 3)) % 97) % 2) ^
+                (if (i == flipPos) 1 else 0) ^
+                (if (i == maskPos) 1 else 0)
+              val v = if (bit == 1) 200 else 60
+              (v << 16) | (v << 8) | v
+            })
+          }
+          (id, Multimodal.encodeVideo(frames))
         }
       })(org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong,
@@ -7432,6 +7516,42 @@ object SparkEntry {
            |    PARTITION BY comp ORDER BY bright_cells DESC, doc) AS rn
            |  FROM d)
            |SELECT doc, bright_cells FROM k WHERE rn = 1""".stripMargin,
+
+      // every sampled frame's 64-bit hash rebuilt from the patternVideos
+      // arithmetic (content base + per-video flip + per-frame mask,
+      // sign bit packed the phashHashCtes way), then min-Hamming over
+      // each video pair's frame pairs — a.id < b.id mirrors the
+      // engine's frame-grain doc ordering restricted to distinct
+      // videos
+      "q180_video_phash_dedup" ->
+        """WITH vids AS (
+          |  SELECT event_id AS id, ((event_id // 40) % 25) AS c,
+          |         (event_id // 40) AS g
+          |  FROM events WHERE event_id % 40 = 0),
+          |vf AS (SELECT id, c, g, CAST(f.range AS BIGINT) AS f
+          |  FROM vids, range(0, 5, 2) f),
+          |vbits AS (
+          |  SELECT id, f, t.i AS i,
+          |    ( (((c + 1) * (t.i + 3)) % 97) % 2
+          |      + CASE WHEN g % 2 = 1 AND (g * 13 + 29) % 64 = t.i
+          |          THEN 1 ELSE 0 END
+          |      + CASE WHEN f > 0 AND (f * 13 + 11) % 64 = t.i
+          |          THEN 1 ELSE 0 END
+          |    ) % 2 AS b
+          |  FROM vf CROSS JOIN (SELECT range AS i FROM range(64)) t),
+          |vh AS (
+          |  SELECT id, f,
+          |    CAST(SUM(CASE WHEN i < 63 THEN b * (1::BIGINT << i)
+          |      ELSE 0 END) AS BIGINT)
+          |    + CAST(MAX(CASE WHEN i = 63 THEN b ELSE 0 END) AS BIGINT)
+          |      * (-9223372036854775807 - 1) AS fp
+          |  FROM vbits GROUP BY id, f)
+          |SELECT a.id AS vid_a, b.id AS vid_b,
+          |  CAST(MIN(bit_count(xor(a.fp, b.fp))) AS INT) AS min_hamming,
+          |  COUNT(*) AS n_frame_pairs
+          |FROM vh a JOIN vh b ON a.id < b.id
+          |WHERE bit_count(xor(a.fp, b.fp)) <= 4
+          |GROUP BY a.id, b.id""".stripMargin,
 
       // the q172 hash arithmetic over BOTH halves, then each batch
       // image's (hamming, id)-min stored neighbor within radius 4 —

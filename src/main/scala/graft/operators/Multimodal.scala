@@ -336,6 +336,84 @@ object Multimodal {
     }
   }
 
+  /** VIDEO perceptual fingerprints — the [[decodeGridHash]] kernel
+    * applied to every `stride`-th frame of a GVID container
+    * ([[encodeVideo]]): rows of (id, payload) → one
+    * (id, frame index, 64-bit grid hash) row per SAMPLED frame, the
+    * frames between skipped by the length prefix without touching
+    * their bytes (the [[decodeSampledVideoStats]] seeking contract —
+    * fingerprint cost scales with sampled frames, not container
+    * bytes). Per-frame rows, not a per-video digest, by design: the
+    * downstream near-dup join is frame-grain (two videos near-dup
+    * when SOME frame pair is within radius — a clip or re-encode
+    * shares frames, not necessarily all of them), so the aggregation
+    * to video grain belongs to the pair side where min-Hamming is
+    * taken, and this kernel stays a pure streaming map. */
+  def decodeSampledVideoGridHash(stride: Int, gridW: Int, gridH: Int,
+      threshold: Int)(rows: Iterator[Row]): Iterator[(Long, Int, Long)] = {
+    require(stride >= 1, s"stride must be >= 1: $stride")
+    require(gridW > 0 && gridH > 0 && gridW * gridH <= 64,
+      s"grid ${gridW}x$gridH must fit a 64-bit hash")
+    disableImageIoFileCache()
+    val it0 = javax.imageio.ImageIO.getImageReadersByFormatName("png")
+    require(it0.hasNext, "no PNG ImageReader installed")
+    val reader = it0.next()
+    def readPng(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try { reader.setInput(iis); reader.read(0) }
+      finally { reader.setInput(null); iis.close() }
+    }
+    def gridHash(img: java.awt.image.BufferedImage): Long = {
+      val w = img.getWidth
+      val h = img.getHeight
+      var bits = 0L
+      var j = 0
+      while (j < gridH) {
+        var i = 0
+        while (i < gridW) {
+          val p = img.getRGB(i * w / gridW, j * h / gridH)
+          val lum =
+            (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) / 3
+          if (lum >= threshold) bits |= 1L << (j * gridW + i)
+          i += 1
+        }
+        j += 1
+      }
+      bits
+    }
+    val out = rows.flatMap { r =>
+      val id = r.getLong(0)
+      val bb = java.nio.ByteBuffer.wrap(r.getAs[Array[Byte]](1))
+      val magic = new Array[Byte](4)
+      bb.get(magic)
+      require(new String(magic,
+          java.nio.charset.StandardCharsets.US_ASCII) == "GVID",
+        s"video $id: bad container magic")
+      val nf = bb.getInt
+      val fps = Seq.newBuilder[(Long, Int, Long)]
+      var f = 0
+      while (f < nf) {
+        val len = bb.getInt
+        if (f % stride == 0) {
+          val frame = new Array[Byte](len)
+          bb.get(frame)
+          fps += ((id, f, gridHash(readPng(frame))))
+        } else bb.position(bb.position() + len)
+        f += 1
+      }
+      fps.result()
+    }
+    new Iterator[(Long, Int, Long)] {
+      override def hasNext: Boolean = {
+        val more = out.hasNext
+        if (!more) reader.dispose()
+        more
+      }
+      override def next(): (Long, Int, Long) = out.next()
+    }
+  }
+
   /** The shared per-partition image-decode scaffold: cached per-task
     * ImageReaders keyed by sniffed format (see [[decodeImageStats]]
     * for why the convenience ImageIO.read is 6.7× slower here),
