@@ -2643,6 +2643,41 @@ object SparkEntry {
         "source", "doc_id", "text", col("doc_id") % 7 < 2,
         minCount = 3)),
 
+    // ── NS mixing: the DoReMi LOOP ITERATED — q173 is one
+    // multiplicative-weights step; the recipe is reweight → resample
+    // → retrain-proxy. Step 1: q173's weights over the corpus.
+    // Step 2: Gumbel-top-n resample ∝ the DOMAIN weight (the q159
+    // sampler with log-weight keys — sources the reference can
+    // already model, weight 0, drop out entirely). Step 3: the SAME
+    // reweight step over the sample — the next iterate's weights,
+    // showing how one resample moves the excess. Driver-side
+    // orchestration in the BPE convention: two bounded steps, all
+    // counting distributed; the 400-row sample is the only
+    // materialization between them. The oracle replays both steps as
+    // the SAME chained CTEs (domainExcessCtes twice around the
+    // sampling CTE) ──
+    "q181_doremi_iterate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ref = col("doc_id") % 7 < 2
+      val w1 = CorpusStats.domainExcessWeights(docs, "source",
+          "doc_id", "text", ref, minCount = 3)
+        .select(col("source"), col("weight_milli"))
+      // log-weight Gumbel keys: top-n sampling proportional to the
+      // domain weight; integer micro units end-to-end (the q159 key
+      // arithmetic), weight-0 sources excluded before the log
+      val weighted = docs.join(broadcast(w1), "source")
+        .filter(col("weight_milli") > 0)
+        .withColumn("wt_micros",
+          (round(log(col("weight_milli").cast("double")), 6)
+            .cast("decimal(20,6)") * 1000000).cast("long"))
+      val sampled = CorpusStats
+        .importanceSample(weighted, "doc_id", "wt_micros", n = 400)
+        .select(col("doc_id"), col("source"), col("text"))
+        .localCheckpoint() // bounded: 400 rows pin the sample once
+      CorpusStats.domainExcessWeights(sampled, "source", "doc_id",
+        "text", ref, minCount = 3)
+    }),
+
     // ── NS: SELF-DEDUP SURGERY — the ExactSubstr TRANSFORM proper
     // (Lee et al. 2022: the deduplicated corpus, not just its
     // price): every affected doc's kept tokens re-joined in order
@@ -5340,6 +5375,67 @@ object SparkEntry {
     * carried as integer micros (importanceSample scaladoc). ONE
     * recompute verifies the batch sample AND the streaming
     * reservoir re-merge. */
+  /** The q173 DoReMi step as prefixed CTEs over a
+    * `$docsCte(doc_id, source, toks)` relation — one rendering shared
+    * by q173 (one step over the corpus) and q181 (the step chained
+    * twice around a Gumbel resample), mirroring how both engine
+    * sides run the ONE CorpusStats.domainExcessWeights. Ends in
+    * `${p}ex(source, n_docs, sr, sf, excess_micro)` + `${p}tot(te)`;
+    * [[domainExcessSelect]] renders the final projection. */
+  private def domainExcessCtes(p: String, docsCte: String): String =
+    s"""${p}rtk AS (SELECT unnest(toks) AS tok FROM $docsCte
+       |  WHERE doc_id % 7 < 2),
+       |${p}rcounts AS (SELECT tok, COUNT(*) AS c FROM ${p}rtk
+       |  GROUP BY tok),
+       |${p}rtot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n,
+       |    CAST(COUNT(*) AS DOUBLE) AS v FROM ${p}rcounts),
+       |${p}rvocab AS (SELECT map(list(tok ORDER BY tok),
+       |    list(c ORDER BY tok)) AS m FROM ${p}rcounts WHERE c >= 3),
+       |${p}ftk AS (SELECT unnest(toks) AS tok FROM $docsCte),
+       |${p}fcounts AS (SELECT tok, COUNT(*) AS c FROM ${p}ftk
+       |  GROUP BY tok),
+       |${p}ftot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n,
+       |    CAST(COUNT(*) AS DOUBLE) AS v FROM ${p}fcounts),
+       |${p}fvocab AS (SELECT map(list(tok ORDER BY tok),
+       |    list(c ORDER BY tok)) AS m FROM ${p}fcounts WHERE c >= 3),
+       |${p}sc AS (SELECT $docsCte.source,
+       |    CASE WHEN len(toks) = 0 THEN NULL ELSE
+       |      list_reduce(list_transform(toks, tk ->
+       |        -ln((CAST(coalesce(
+       |            list_extract(map_extract(rv.m, tk), 1), 0)
+       |          AS DOUBLE) + 1.0) / (rt.n + rt.v))),
+       |        (a, b) -> a + b) / len(toks) END AS nll_ref,
+       |    CASE WHEN len(toks) = 0 THEN NULL ELSE
+       |      list_reduce(list_transform(toks, tk ->
+       |        -ln((CAST(coalesce(
+       |            list_extract(map_extract(fv.m, tk), 1), 0)
+       |          AS DOUBLE) + 1.0) / (ft.n + ft.v))),
+       |        (a, b) -> a + b) / len(toks) END AS nll_full
+       |  FROM $docsCte CROSS JOIN ${p}rvocab rv CROSS JOIN ${p}rtot rt
+       |    CROSS JOIN ${p}fvocab fv CROSS JOIN ${p}ftot ft),
+       |${p}dom AS (SELECT source, COUNT(*) AS n_docs,
+       |    SUM(CAST(round(nll_ref, 6) AS DECIMAL(20,6))) AS sr,
+       |    SUM(CAST(round(nll_full, 6) AS DECIMAL(20,6))) AS sf
+       |  FROM ${p}sc GROUP BY source),
+       |${p}ex AS (SELECT source, n_docs, sr, sf,
+       |    CASE WHEN sr > sf
+       |      THEN CAST((sr - sf) * 1000000 AS BIGINT) // n_docs
+       |      ELSE 0 END AS excess_micro FROM ${p}dom),
+       |${p}tot AS (SELECT SUM(excess_micro) AS te FROM ${p}ex)"""
+      .stripMargin
+
+  /** The final q173-shape projection over [[domainExcessCtes]]'s
+    * `${p}ex` + `${p}tot`. */
+  private def domainExcessSelect(p: String): String =
+    s"""SELECT source, n_docs,
+       |  CAST(sr AS DOUBLE) AS sum_ref_nll,
+       |  CAST(sf AS DOUBLE) AS sum_full_nll,
+       |  CAST(excess_micro AS BIGINT) AS excess_micro,
+       |  CAST(CASE WHEN te = 0 THEN 0
+       |    ELSE (excess_micro * 1000) // te END AS BIGINT)
+       |    AS weight_milli
+       |FROM ${p}ex CROSS JOIN ${p}tot""".stripMargin
+
   private def importanceResampleSql: String =
     s"""$dsirMicrosCtes,
        |ck AS (SELECT wa.doc_id, wa.source,
@@ -7419,55 +7515,44 @@ object SparkEntry {
       // full corpus, the q106 rendering twice), one scoring pass
       // computing both losses, then the exact-integer excess and
       // floor-division weights — `//` on non-negative BIGINTs is
-      // Spark's `div`, so weight arithmetic is bit-equal
+      // Spark's `div`, so weight arithmetic is bit-equal. ONE shared
+      // rendering ([[domainExcessCtes]]) with q181, which chains the
+      // same step twice around a resample.
       "q173_domain_reweight" ->
         s"""WITH t0 AS (SELECT doc_id, source, $sqlTokens AS toks
            |  FROM documents),
-           |rtk AS (SELECT unnest(toks) AS tok FROM t0
-           |  WHERE doc_id % 7 < 2),
-           |rcounts AS (SELECT tok, COUNT(*) AS c FROM rtk GROUP BY tok),
-           |rtot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n,
-           |    CAST(COUNT(*) AS DOUBLE) AS v FROM rcounts),
-           |rvocab AS (SELECT map(list(tok ORDER BY tok),
-           |    list(c ORDER BY tok)) AS m FROM rcounts WHERE c >= 3),
-           |ftk AS (SELECT unnest(toks) AS tok FROM t0),
-           |fcounts AS (SELECT tok, COUNT(*) AS c FROM ftk GROUP BY tok),
-           |ftot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n,
-           |    CAST(COUNT(*) AS DOUBLE) AS v FROM fcounts),
-           |fvocab AS (SELECT map(list(tok ORDER BY tok),
-           |    list(c ORDER BY tok)) AS m FROM fcounts WHERE c >= 3),
-           |sc AS (SELECT t0.source,
-           |    CASE WHEN len(toks) = 0 THEN NULL ELSE
-           |      list_reduce(list_transform(toks, tk ->
-           |        -ln((CAST(coalesce(
-           |            list_extract(map_extract(rv.m, tk), 1), 0)
-           |          AS DOUBLE) + 1.0) / (rt.n + rt.v))),
-           |        (a, b) -> a + b) / len(toks) END AS nll_ref,
-           |    CASE WHEN len(toks) = 0 THEN NULL ELSE
-           |      list_reduce(list_transform(toks, tk ->
-           |        -ln((CAST(coalesce(
-           |            list_extract(map_extract(fv.m, tk), 1), 0)
-           |          AS DOUBLE) + 1.0) / (ft.n + ft.v))),
-           |        (a, b) -> a + b) / len(toks) END AS nll_full
-           |  FROM t0 CROSS JOIN rvocab rv CROSS JOIN rtot rt
-           |    CROSS JOIN fvocab fv CROSS JOIN ftot ft),
-           |dom AS (SELECT source, COUNT(*) AS n_docs,
-           |    SUM(CAST(round(nll_ref, 6) AS DECIMAL(20,6))) AS sr,
-           |    SUM(CAST(round(nll_full, 6) AS DECIMAL(20,6))) AS sf
-           |  FROM sc GROUP BY source),
-           |ex AS (SELECT source, n_docs, sr, sf,
-           |    CASE WHEN sr > sf
-           |      THEN CAST((sr - sf) * 1000000 AS BIGINT) // n_docs
-           |      ELSE 0 END AS excess_micro FROM dom),
-           |tot AS (SELECT SUM(excess_micro) AS te FROM ex)
-           |SELECT source, n_docs,
-           |  CAST(sr AS DOUBLE) AS sum_ref_nll,
-           |  CAST(sf AS DOUBLE) AS sum_full_nll,
-           |  CAST(excess_micro AS BIGINT) AS excess_micro,
-           |  CAST(CASE WHEN te = 0 THEN 0
-           |    ELSE (excess_micro * 1000) // te END AS BIGINT)
-           |    AS weight_milli
-           |FROM ex CROSS JOIN tot""".stripMargin,
+           |${domainExcessCtes("", "t0")}
+           |${domainExcessSelect("")}""".stripMargin,
+
+      // the loop replayed: round-1 weights (domainExcessCtes over
+      // t0), the Gumbel-key resample (q159's key arithmetic with
+      // ln(weight_milli) log-weight micros), then the SAME step's
+      // CTEs over the sampled 400 — weights₂ is the output
+      "q181_doremi_iterate" ->
+        s"""WITH t0 AS (SELECT doc_id, source, $sqlTokens AS toks
+           |  FROM documents),
+           |${domainExcessCtes("r1", "t0")},
+           |w1 AS (SELECT source,
+           |    CAST(CASE WHEN te = 0 THEN 0
+           |      ELSE (excess_micro * 1000) // te END AS BIGINT)
+           |      AS weight_milli
+           |  FROM r1ex CROSS JOIN r1tot),
+           |ck AS (SELECT d.doc_id,
+           |    CAST(CAST(round(ln(w1.weight_milli), 6)
+           |      AS DECIMAL(20,6)) * 1000000 AS BIGINT)
+           |    + CAST(CAST(round(-ln(-ln(
+           |      (${hashes.md5Hash60Sql(
+                  "CAST(d.doc_id AS VARCHAR) || ':clock'")}
+           |        % 999999 + 1) / 1000000.0)), 6) AS DECIMAL(20,6))
+           |      * 1000000 AS BIGINT) AS key_m
+           |  FROM documents d JOIN w1 ON d.source = w1.source
+           |  WHERE w1.weight_milli > 0),
+           |top AS (SELECT doc_id FROM ck
+           |  ORDER BY key_m DESC, doc_id LIMIT 400),
+           |t1 AS (SELECT doc_id, source, toks FROM t0
+           |  WHERE doc_id IN (SELECT doc_id FROM top)),
+           |${domainExcessCtes("r2", "t1")}
+           |${domainExcessSelect("r2")}""".stripMargin,
 
       // the q44 recursive-reach CC over the phash pair set: every
       // image labeled with its group's min id, singletons with
