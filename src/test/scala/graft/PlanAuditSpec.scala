@@ -57,7 +57,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec with Matchers {
     "q105_line_dedup", "q106_unigram_loss", "q165_bucket_batching",
     // q173: three 1-row broadcast sides (two LM models + the weight
     // total), the q106 bounded-build shape
-    "q173_domain_reweight")
+    "q173_domain_reweight",
+    // q181: the q173 step twice (its 1-row model/total broadcasts),
+    // plus the bounded source-grain weight table broadcast between
+    // the two steps
+    "q181_doremi_iterate")
 
   private def operators(p: SparkPlan): Seq[SparkPlan] = {
     val self = p match {
