@@ -2643,6 +2643,53 @@ object SparkEntry {
         "source", "doc_id", "text", col("doc_id") % 7 < 2,
         minCount = 3)),
 
+    // ── NS multimodal dedup: VIDEO INGEST — q176's incremental
+    // marking at the video grain, closing the video family's
+    // lifecycle next to batch q180: the even-generation half's frame
+    // hashes land in the SAME at-rest phash index machinery
+    // (writePhashIndex on frame-packed ids), the odd-generation half
+    // marks against it frame-by-frame (incrementalPhashAgainst —
+    // batch-sized shuffle, corpus touched only through the index,
+    // pushed-key pruning once the store is big), and frame verdicts
+    // aggregate to video verdicts by (min hamming, min stored frame)
+    // — equal to the global min over all (frame, stored) pairs, which
+    // is exactly what the oracle replays. One in seven odd
+    // generations carries a NOVEL pattern (25..49) the index half
+    // never produced, so real misses gate the left join ──
+    "q182_video_phash_ingest" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q182_").toString
+      def frames(half: org.apache.spark.sql.DataFrame) =
+        Multimodal.decodePartitions[(Long, Int, Long)](
+          half, Multimodal.decodeSampledVideoGridHash(2, 8, 8, 128))(
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaInt,
+            org.apache.spark.sql.Encoders.scalaLong))
+          .toDF("vid", "frame", "fp")
+          .select((col("vid") * 8 + col("frame")).as("doc"), col("fp"))
+      val gen = col("event_id") / 40 // integral: event_id % 40 = 0
+      Phases.time("index_build") {
+        Dedup.writePhashIndex(
+          frames(patternVideos(s, dir, gen % 2 === 0, novelMod = 7)),
+          root + "/idx", radius = 4, width = 64, blocks = Some(8),
+          keyBlocks = 1)
+      }
+      val marked = Dedup.incrementalPhashAgainst(s,
+        frames(patternVideos(s, dir, gen % 2 === 1, novelMod = 7)),
+        root + "/idx", radius = 4, width = 64, blocks = Some(8),
+        keyBlocks = 1)
+      val out = marked
+        .groupBy(expr("doc div 8").as("vid"))
+        .agg(min(when(col("is_dup"),
+          struct(col("hamming"), col("dup_of")))).as("_best"))
+        .select(col("vid"),
+          expr("_best.dup_of div 8").as("dup_of_vid"),
+          col("_best.hamming").as("min_hamming"),
+          col("_best").isNotNull.as("is_dup"))
+      materializeThenClean(s, out, root)
+    }),
+
     // ── NS mixing: the DoReMi LOOP ITERATED — q173 is one
     // multiplicative-weights step; the recipe is reweight → resample
     // → retrain-proxy. Step 1: q173's weights over the corpus.
@@ -4693,18 +4740,30 @@ object SparkEntry {
     * (the q172 min-distance argument) — so video-grain near-dup
     * groups are exactly the content classes, and the oracle rebuilds
     * every frame hash from id arithmetic alone. */
-  private def patternVideos(s: SparkSession, dir: String)
+  private def patternVideos(s: SparkSession, dir: String,
+      idFilter: Column = lit(true), novelMod: Int = 0)
       : org.apache.spark.sql.DataFrame =
     Multimodal.decodePartitions[(Long, Array[Byte])](
       t(s, dir, "events").select(col("event_id"))
         .filter(col("event_id") % 40 === 0)
+        // BEFORE the encode seam (the patternPngs rationale)
+        .filter(idFilter)
         .repartition(s.sparkContext.defaultParallelism),
       rows => {
         val enc = new graft.operators.PngEncoder() // once per task
         rows.map { r =>
           val id = r.getLong(0)
           val g = id / 40
-          val c = (g % 25L).toInt
+          // novelMod > 0 promotes every ODD-generation video with
+          // g % novelMod == 0 to the 25..49 pattern range — content
+          // the even-generation (index) half has never produced, so
+          // an ingest gate (q182) sees genuine misses; novelMod = 0
+          // (q180) keeps the plain 25-class fixture
+          val c0 = (g % 25L).toInt
+          val c =
+            if (novelMod > 0 && g % 2L == 1L && g % novelMod == 0L)
+              c0 + 25
+            else c0
           val flipPos =
             if (g % 2L == 1L) ((g * 13 + 29) % 64L).toInt else -1
           val frames = (0 until 5).map { f =>
@@ -5435,6 +5494,38 @@ object SparkEntry {
        |    ELSE (excess_micro * 1000) // te END AS BIGINT)
        |    AS weight_milli
        |FROM ${p}ex CROSS JOIN ${p}tot""".stripMargin
+
+  /** The q180 frame-hash chain as prefixed CTEs — one rendering of
+    * the patternVideos generation arithmetic (content base +
+    * per-video flip + per-frame motion mask, sign bit packed the
+    * phashHashCtes way) shared by q180 (all videos, plain content)
+    * and q182 (index/batch halves with the novel-pattern rule in
+    * `cExpr`). Ends in `${p}vh(id, f, fp)` over sampled frames
+    * 0/2/4. */
+  private def videoHashCtes(p: String, where: String,
+      cExpr: String): String =
+    s"""${p}vids AS (
+       |  SELECT event_id AS id, $cExpr AS c,
+       |         (event_id // 40) AS g
+       |  FROM events WHERE event_id % 40 = 0 AND ($where)),
+       |${p}vf AS (SELECT id, c, g, CAST(f.range AS BIGINT) AS f
+       |  FROM ${p}vids, range(0, 5, 2) f),
+       |${p}vbits AS (
+       |  SELECT id, f, t.i AS i,
+       |    ( (((c + 1) * (t.i + 3)) % 97) % 2
+       |      + CASE WHEN g % 2 = 1 AND (g * 13 + 29) % 64 = t.i
+       |          THEN 1 ELSE 0 END
+       |      + CASE WHEN f > 0 AND (f * 13 + 11) % 64 = t.i
+       |          THEN 1 ELSE 0 END
+       |    ) % 2 AS b
+       |  FROM ${p}vf CROSS JOIN (SELECT range AS i FROM range(64)) t),
+       |${p}vh AS (
+       |  SELECT id, f,
+       |    CAST(SUM(CASE WHEN i < 63 THEN b * (1::BIGINT << i)
+       |      ELSE 0 END) AS BIGINT)
+       |    + CAST(MAX(CASE WHEN i = 63 THEN b ELSE 0 END) AS BIGINT)
+       |      * (-9223372036854775807 - 1) AS fp
+       |  FROM ${p}vbits GROUP BY id, f)""".stripMargin
 
   private def importanceResampleSql: String =
     s"""$dsirMicrosCtes,
@@ -7609,34 +7700,38 @@ object SparkEntry {
       // engine's frame-grain doc ordering restricted to distinct
       // videos
       "q180_video_phash_dedup" ->
-        """WITH vids AS (
-          |  SELECT event_id AS id, ((event_id // 40) % 25) AS c,
-          |         (event_id // 40) AS g
-          |  FROM events WHERE event_id % 40 = 0),
-          |vf AS (SELECT id, c, g, CAST(f.range AS BIGINT) AS f
-          |  FROM vids, range(0, 5, 2) f),
-          |vbits AS (
-          |  SELECT id, f, t.i AS i,
-          |    ( (((c + 1) * (t.i + 3)) % 97) % 2
-          |      + CASE WHEN g % 2 = 1 AND (g * 13 + 29) % 64 = t.i
-          |          THEN 1 ELSE 0 END
-          |      + CASE WHEN f > 0 AND (f * 13 + 11) % 64 = t.i
-          |          THEN 1 ELSE 0 END
-          |    ) % 2 AS b
-          |  FROM vf CROSS JOIN (SELECT range AS i FROM range(64)) t),
-          |vh AS (
-          |  SELECT id, f,
-          |    CAST(SUM(CASE WHEN i < 63 THEN b * (1::BIGINT << i)
-          |      ELSE 0 END) AS BIGINT)
-          |    + CAST(MAX(CASE WHEN i = 63 THEN b ELSE 0 END) AS BIGINT)
-          |      * (-9223372036854775807 - 1) AS fp
-          |  FROM vbits GROUP BY id, f)
+        s"""WITH ${videoHashCtes("", "TRUE", "((event_id // 40) % 25)")}
           |SELECT a.id AS vid_a, b.id AS vid_b,
           |  CAST(MIN(bit_count(xor(a.fp, b.fp))) AS INT) AS min_hamming,
           |  COUNT(*) AS n_frame_pairs
           |FROM vh a JOIN vh b ON a.id < b.id
           |WHERE bit_count(xor(a.fp, b.fp)) <= 4
           |GROUP BY a.id, b.id""".stripMargin,
+
+      // the two halves' frame hashes from the SAME shared rendering
+      // (novel-pattern rule included), then each batch video's global
+      // (hamming, stored-frame)-min — equal to the engine's
+      // per-frame-then-per-video min composition
+      "q182_video_phash_ingest" -> {
+        val cRule = "CASE WHEN (event_id // 40) % 2 = 1 AND " +
+          "(event_id // 40) % 7 = 0 THEN ((event_id // 40) % 25) + 25 " +
+          "ELSE ((event_id // 40) % 25) END"
+        s"""WITH ${videoHashCtes("i", "(event_id // 40) % 2 = 0", cRule)},
+          |${videoHashCtes("b", "(event_id // 40) % 2 = 1", cRule)},
+          |marks AS (SELECT b.id AS vid, i.id * 8 + i.f AS sdoc,
+          |    bit_count(xor(b.fp, i.fp)) AS hamming
+          |  FROM bvh b JOIN ivh i
+          |    ON bit_count(xor(b.fp, i.fp)) <= 4),
+          |best AS (SELECT vid, sdoc, hamming, ROW_NUMBER() OVER (
+          |    PARTITION BY vid ORDER BY hamming, sdoc) AS rk
+          |  FROM marks)
+          |SELECT v.id AS vid, bs.sdoc // 8 AS dup_of_vid,
+          |  CAST(bs.hamming AS INT) AS min_hamming,
+          |  bs.sdoc IS NOT NULL AS is_dup
+          |FROM (SELECT DISTINCT id FROM bvh) v
+          |LEFT JOIN (SELECT vid, sdoc, hamming FROM best WHERE rk = 1) bs
+          |  ON v.id = bs.vid""".stripMargin
+      },
 
       // the q172 hash arithmetic over BOTH halves, then each batch
       // image's (hamming, id)-min stored neighbor within radius 4 —

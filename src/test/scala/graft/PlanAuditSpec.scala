@@ -38,7 +38,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec with Matchers {
     * the recorded PLANS.md audit. */
   private val materializedInline = Set(
     "q58_snapshot_roundtrip", "q76_clustered_scan", "q82_zorder_scan",
-    "q97_ann_clustered_scan", "q98_ann_multiprobe")
+    "q97_ann_clustered_scan", "q98_ann_multiprobe",
+    // scratch phash index build + mark + bounded collect: the
+    // returned frame is a LocalRelation; the mark path's plan shape
+    // is the audited q176 machinery
+    "q182_video_phash_ingest")
 
   /** Deliberate BNLJ sites — every entry is a bounded build side,
     * documented at its registration: 1-row query vectors (q28, q42),
