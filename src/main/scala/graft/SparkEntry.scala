@@ -2405,6 +2405,48 @@ object SparkEntry {
     // match proves decode + grid sampling + packing bit for bit ──
     "q172_image_phash_dedup" -> ((s, dir) => phashPairs(s, dir)._2),
 
+    // ── NS multimodal dedup: AUDIO — the family's fourth leg (text
+    // simhash, image q172, video q180, audio THIS): real WAV payloads
+    // decode through the javax.sound seam and fingerprint as a
+    // 64-window energy contour (decodeAudioEnergyHash — window mean
+    // |amplitude| thresholded, the grid hash's idea on the time
+    // axis), then the SAME recall-1 pigeonhole blocking joins the
+    // fingerprints. The oracle rebuilds every hash bit from the
+    // generation arithmetic (the q102 proof: an oracle match means a
+    // real RIFF parse + sample decode ran, per window) ──
+    "q183_audio_phash_dedup" -> ((s, dir) => {
+      val fp = Multimodal.decodePartitions[(Long, Long)](
+        patternWavs(s, dir),
+        Multimodal.decodeAudioEnergyHash(64, 1000))(
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong))
+        .toDF("doc", "fp")
+        // the blocking self-join reads the frame on both sides; an
+        // uncached decode subtree would run the codec pass twice
+        .localCheckpoint()
+      Dedup.hammingNearDupPairs(fp, radius = 4, width = 64,
+        blocks = Some(8), keyBlocks = 1)
+    }),
+
+    // ── NS similarity: MARGIN-BASED BITEXT MINING — the
+    // embedding-space pair-alignment recipe (LASER/CCMatrix family):
+    // the corpus split into two "language" sides (even/odd vec_id —
+    // production passes two real embedding sets), every x scored
+    // against every y, and the pair score is the RATIO margin
+    // cos/(mean of both sides' k-NN cosines) — hubs that are close
+    // to everything get their ambient similarity divided back out.
+    // Exact dense form (the q28 tier) with the ANN-shortlist swap
+    // documented on the operator; threshold 1.10 splits the fixture
+    // 117 accepted / 133 rejected so BOTH verdicts gate ──
+    "q184_bitext_margin" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.marginMine(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1),
+        k = 4, threshold = 1.10)
+    }),
+
     // ── T7+NS: STREAMING TEMPERATURE MIX — q124's recipe applied at
     // ingest (the mixing family's lifecycle completed: batch q124,
     // up-sampling q171, streaming THIS). Cuts are the STATIC recipe
@@ -4727,6 +4769,49 @@ object SparkEntry {
         org.apache.spark.sql.Encoders.BINARY))
       .toDF("event_id", "payload")
 
+  /** The q183 media fixture: one deterministic 16-bit PCM WAV per
+    * 16th event id (the oracle's all-pairs recompute stays bounded).
+    * 256 mono samples at 8 kHz laid out as 64 windows × 4 samples;
+    * window w of audio id is LOUD (±9600) or QUIET (±160) by the
+    * q172 pattern family — `base(p, w) XOR flip` with p = id % 50,
+    * m = id/16, k = m % 3 flips at ((m·13 + f·29) % 64) — so the
+    * min-distance argument (same-pattern pairs ≤ 4 apart,
+    * cross-pattern ≥ 16 − 4 apart) is inherited, while the ENGINE
+    * path is the audio codec: RIFF encode here, real javax.sound
+    * decode + windowed energy in the query. Samples alternate sign
+    * inside a window (a square tone, not DC); the energy hash's |s|
+    * is sign-blind, so the decoded window means are exactly 9600 or
+    * 160 against the 1000 threshold — the oracle rebuilds every
+    * hash from id arithmetic alone. */
+  private def patternWavs(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    Multimodal.decodePartitions[(Long, Array[Byte])](
+      t(s, dir, "events").select(col("event_id"))
+        .filter(col("event_id") % 16 === 0)
+        .repartition(s.sparkContext.defaultParallelism),
+      rows => {
+        val enc = new graft.operators.WavEncoder() // once per task
+        rows.map { r =>
+          val id = r.getLong(0)
+          val p = (id % 50L).toInt
+          val m = id / 16
+          val k = (m % 3L).toInt
+          val flips =
+            (0 until k).map(f => ((m * 13 + f * 29) % 64L).toInt).toSet
+          val samples = Array.tabulate(256) { i =>
+            val w = i / 4
+            val bit = ((((p + 1) * (w + 3)) % 97) % 2) ^
+              (if (flips(w)) 1 else 0)
+            val a = if (bit == 1) 9600 else 160
+            (if (i % 2 == 0) a else -a).toShort
+          }
+          (id, enc.encode(samples, 8000))
+        }
+      })(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.BINARY))
+      .toDF("event_id", "payload")
+
   /** The q180 media fixture: one deterministic GVID container per
     * 40th event id, five 16×16 cell-grid PNG frames (the q172 pixel
     * form: 2×2 blocks on an 8×8 grid, gray 200/60). Frame f of video
@@ -5770,11 +5855,11 @@ object SparkEntry {
     * pattern id (q177's streamed half rotates it, the patShift
     * mirror); ends with `${prefix}h(id, fp)`. */
   private def phashHashCtes(prefix: String, where: String,
-      pExpr: String): String =
+      pExpr: String, div: Int = 8): String =
     s"""${prefix}ids AS (
        |  SELECT event_id AS id, $pExpr AS p,
-       |         (event_id // 8) AS m, ((event_id // 8) % 3) AS k
-       |  FROM events WHERE event_id % 8 = 0 AND ($where)),
+       |         (event_id // $div) AS m, ((event_id // $div) % 3) AS k
+       |  FROM events WHERE event_id % $div = 0 AND ($where)),
        |${prefix}bits AS (
        |  SELECT id, t.i AS i,
        |    ( (((p + 1) * (t.i + 3)) % 97) % 2
@@ -7601,6 +7686,56 @@ object SparkEntry {
           |  bit_count(xor(a.fp, b.fp)) AS hamming
           |FROM h a JOIN h b ON a.id < b.id
           |WHERE bit_count(xor(a.fp, b.fp)) <= 4""".stripMargin,
+
+      // the SAME pattern-family CTEs at the audio grain (div 16 —
+      // every 16th event is a WAV): what the oracle match proves is
+      // engine-side — that the real RIFF decode's per-window energy
+      // contour reproduces these bits exactly
+      "q183_audio_phash_dedup" ->
+        s"""WITH ${phashHashCtes("", "TRUE", "(event_id % 50)",
+             div = 16)}
+          |SELECT a.id AS doc_a, b.id AS doc_b,
+          |  bit_count(xor(a.fp, b.fp)) AS hamming
+          |FROM h a JOIN h b ON a.id < b.id
+          |WHERE bit_count(xor(a.fp, b.fp)) <= 4""".stripMargin,
+
+      // the same round-6 / DECIMAL-mean / rounded-window recipe as
+      // the engine (Similarity.marginMine scaladoc): identical IEEE
+      // ops on identical inputs, margins bit-equal
+      "q184_bitext_margin" -> {
+        val cos = s"${sqlDotVec("x.embedding", "y.embedding")} / " +
+          s"(sqrt(${sqlDotVec("x.embedding", "x.embedding")}) * " +
+          s"sqrt(${sqlDotVec("y.embedding", "y.embedding")}))"
+        s"""WITH x AS (SELECT vec_id AS src_id, embedding
+           |  FROM embeddings WHERE vec_id % 2 = 0),
+           |y AS (SELECT vec_id AS tgt_id, embedding
+           |  FROM embeddings WHERE vec_id % 2 = 1),
+           |p AS (SELECT src_id, tgt_id, round($cos, 6) AS cos
+           |  FROM x CROSS JOIN y),
+           |ax AS (SELECT src_id, SUM(CAST(cos AS DECIMAL(18,6))) AS sx,
+           |    COUNT(*) AS cx
+           |  FROM (SELECT src_id, cos, row_number() OVER (
+           |      PARTITION BY src_id ORDER BY cos DESC, tgt_id) AS rk
+           |    FROM p)
+           |  WHERE rk <= 4 GROUP BY src_id),
+           |ay AS (SELECT tgt_id, SUM(CAST(cos AS DECIMAL(18,6))) AS sy,
+           |    COUNT(*) AS cy
+           |  FROM (SELECT tgt_id, cos, row_number() OVER (
+           |      PARTITION BY tgt_id ORDER BY cos DESC, src_id) AS rk
+           |    FROM p)
+           |  WHERE rk <= 4 GROUP BY tgt_id),
+           |m AS (SELECT p.src_id, p.tgt_id, p.cos,
+           |    round(CAST(p.cos AS DOUBLE) /
+           |      ((CAST(sx AS DOUBLE) / cx + CAST(sy AS DOUBLE) / cy)
+           |       / 2.0), 6) AS margin
+           |  FROM p JOIN ax USING (src_id) JOIN ay USING (tgt_id)),
+           |best AS (SELECT src_id, tgt_id, cos, margin,
+           |    row_number() OVER (PARTITION BY src_id
+           |      ORDER BY margin DESC, tgt_id) AS rk FROM m)
+           |SELECT src_id, tgt_id, cos, margin,
+           |  margin >= 1.10 AS accepted
+           |FROM best WHERE rk = 1""".stripMargin
+      },
 
       // two independent unigram-model CTE chains (reference slice /
       // full corpus, the q106 rendering twice), one scoring pass

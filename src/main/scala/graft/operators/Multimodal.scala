@@ -533,7 +533,85 @@ object Multimodal {
   }
 
   private def audioStatsCore(rows: Iterator[Row],
-      stride: Int): Iterator[AudioStats] = {
+      stride: Int): Iterator[AudioStats] =
+    pcmDecode(rows) { (id, rate, channels, big, data) =>
+      val n = data.length / (2 * channels)
+      var absSum = 0L
+      var f = 0
+      var nSel = 0L
+      while (f < n) {
+        var ch = 0
+        while (ch < channels) {
+          val i = (f * channels + ch) * 2
+          // sign comes from the high byte; (hi << 8) | lo is the
+          // signed 16-bit sample for either endianness
+          val lo = data(if (big) i + 1 else i) & 0xFF
+          val hi = data(if (big) i else i + 1).toInt
+          absSum += math.abs((hi << 8) | lo)
+          ch += 1
+        }
+        nSel += 1
+        f += stride
+      }
+      AudioStats(id, n, rate, channels,
+        if (nSel == 0) 0.0 else absSum.toDouble / (nSel * channels))
+    }
+
+  /** AUDIO PERCEPTUAL HASH kernel — the [[decodeGridHash]] idea on
+    * the time axis: decode ([[pcmDecode]] — the real javax.sound
+    * RIFF parse), split the decoded frames into `windows` contiguous
+    * windows by the same integer index arithmetic as the grid
+    * sampler (window k covers frames [k·n/W, (k+1)·n/W)), and set
+    * bit k when the window's mean |amplitude| across all channels
+    * reaches `threshold` — an energy-contour fingerprint (the
+    * spectral-band-energy family audio dedup pipelines run, reduced
+    * to the band a PCM decode gives for free), packed row-major into
+    * one long for [[Dedup.hammingNearDupPairs]]. The comparison is
+    * exact-integer (Σ|s| ≥ threshold · frames · channels), so an
+    * oracle that knows the generation formula predicts the hash bit
+    * for bit — the q102 proof obligation (oracle match ⇒ a real
+    * decode ran) carried to the dedup fingerprint. */
+  def decodeAudioEnergyHash(windows: Int, threshold: Int)(
+      rows: Iterator[Row]): Iterator[(Long, Long)] = {
+    require(windows > 0 && windows <= 64,
+      s"windows must fit a 64-bit hash: $windows")
+    pcmDecode(rows) { (id, _, channels, big, data) =>
+      val n = data.length / (2 * channels)
+      require(n >= windows,
+        s"audio $id has $n frames < $windows hash windows")
+      var bits = 0L
+      var k = 0
+      while (k < windows) {
+        val lo = k * n / windows
+        val hi = (k + 1) * n / windows
+        var absSum = 0L
+        var f = lo
+        while (f < hi) {
+          var ch = 0
+          while (ch < channels) {
+            val i = (f * channels + ch) * 2
+            val l = data(if (big) i + 1 else i) & 0xFF
+            val h = data(if (big) i else i + 1).toInt
+            absSum += math.abs((h << 8) | l)
+            ch += 1
+          }
+          f += 1
+        }
+        if (absSum >= threshold.toLong * (hi - lo) * channels)
+          bits |= 1L << k
+        k += 1
+      }
+      (id, bits)
+    }
+  }
+
+  /** The shared PCM decode core: provider-cached container parse +
+    * 16-bit-signed-PCM contract check, handing `f` the raw decoded
+    * sample bytes. Factoring keeps the provider move-to-front and
+    * the loud non-PCM failure (documented on [[decodeAudioStats]])
+    * in ONE place for every audio kernel. */
+  private def pcmDecode[T](rows: Iterator[Row])(
+      f: (Long, Int, Int, Boolean, Array[Byte]) => T): Iterator[T] = {
     var readers = {
       val it = java.util.ServiceLoader
         .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
@@ -571,29 +649,8 @@ object Multimodal {
           javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
           fmt.getSampleSizeInBits == 16,
           s"payload for id $id is not 16-bit signed PCM: $fmt")
-        val channels = fmt.getChannels
-        val data = ais.readAllBytes()
-        val n = data.length / (2 * channels)
-        val big = fmt.isBigEndian
-        var absSum = 0L
-        var f = 0
-        var nSel = 0L
-        while (f < n) {
-          var ch = 0
-          while (ch < channels) {
-            val i = (f * channels + ch) * 2
-            // sign comes from the high byte; (hi << 8) | lo is the
-            // signed 16-bit sample for either endianness
-            val lo = data(if (big) i + 1 else i) & 0xFF
-            val hi = data(if (big) i else i + 1).toInt
-            absSum += math.abs((hi << 8) | lo)
-            ch += 1
-          }
-          nSel += 1
-          f += stride
-        }
-        AudioStats(id, n, fmt.getSampleRate.toInt, channels,
-          if (nSel == 0) 0.0 else absSum.toDouble / (nSel * channels))
+        f(id, fmt.getSampleRate.toInt, fmt.getChannels,
+          fmt.isBigEndian, ais.readAllBytes())
       } finally ais.close()
     }
   }

@@ -327,6 +327,73 @@ object Similarity {
         col("neg_label"), round(col("cos"), 6).as("cos"))
   }
 
+  /** MARGIN-BASED BITEXT MINING (Artetxe & Schwenk, "Margin-based
+    * Parallel Corpus Mining in Low-Resource Conditions" /
+    * CCMatrix-family alignment, public papers): candidate pair (x, y)
+    * scores cos(x, y) normalized by the mean cosine of each side's k
+    * nearest neighbors on the OTHER side —
+    * `margin = cos(x,y) / ((avgTopK(x→Y) + avgTopK(y→X)) / 2)`.
+    * An absolute cosine threshold fails on real embedding spaces
+    * because HUB points are close to everything; the ratio margin
+    * cancels each point's ambient similarity level, which is why the
+    * mined-bitext pipelines rank by margin, not cosine. Each x
+    * reports its best-margin y and whether it clears `threshold`.
+    *
+    * This is the EXACT dense form (the [[bruteForceTopK]] tier):
+    * both sides cross-scored with the codegen'd cosine — the
+    * smaller side broadcast, documented bounded by the caller. At
+    * corpus scale the cross-score is replaced by each side's ANN
+    * shortlist (the q101 at-rest index per side; the paper itself
+    * approximates the k-NN means from the shortlist) and the margin
+    * arithmetic below is UNCHANGED — it only ever sees (src, tgt,
+    * cos) rows plus per-point top-k means, both of which the
+    * shortlist provides.
+    *
+    * Exactness recipe (q119/q120): cosines round to 6 decimals at
+    * the pair grain, the k-NN means are DECIMAL sums of those
+    * rounded values divided as doubles, every window orders by the
+    * rounded value with an id tiebreak — so both engines run
+    * identical IEEE ops on identical inputs and the margins compare
+    * bit-equal. */
+  def marginMine(xs: DataFrame, ys: DataFrame, k: Int,
+      threshold: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val x = xs.select(col("vec_id").as("src_id"),
+      col("embedding").as("x_emb"))
+    val y = ys.select(col("vec_id").as("tgt_id"),
+      col("embedding").as("y_emb"))
+    val scored = x.crossJoin(broadcast(y))
+      .select(col("src_id"), col("tgt_id"),
+        round(vectors.cosineFast(col("x_emb"), col("y_emb")), 6)
+          .as("cos"))
+      // three windows and a join re-read the pair set; without the
+      // checkpoint the codegen'd cross-score would re-run per reader
+      .localCheckpoint()
+    def topKMean(key: String, other: String) = {
+      val w = Window.partitionBy(col(key))
+        .orderBy(col("cos").desc, col(other))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .groupBy(col(key))
+        .agg(sum(col("cos").cast(
+            org.apache.spark.sql.types.DecimalType(18, 6))).as("s"),
+          count(lit(1)).as("c"))
+    }
+    val ax = topKMean("src_id", "tgt_id").toDF("src_id", "sx", "cx")
+    val ay = topKMean("tgt_id", "src_id").toDF("tgt_id", "sy", "cy")
+    val m = scored.join(ax, "src_id").join(ay, "tgt_id")
+      .withColumn("margin", round(
+        col("cos").cast("double") /
+          ((col("sx").cast("double") / col("cx") +
+            col("sy").cast("double") / col("cy")) / lit(2.0)), 6))
+    val best = Window.partitionBy(col("src_id"))
+      .orderBy(col("margin").desc, col("tgt_id"))
+    m.withColumn("rk", row_number().over(best))
+      .filter(col("rk") === 1)
+      .select(col("src_id"), col("tgt_id"), col("cos"), col("margin"),
+        (col("margin") >= threshold).as("accepted"))
+  }
+
   /** Multi-probe LSH probe list (Lv et al., public technique): the
     * query's bucket plus every bucket within `radius` bit flips of it
     * over the `nPlanes` sign bits. Against a STORED-bucket layout

@@ -259,6 +259,41 @@ class ConnectorSpec extends AnyFunSuite with SparkSpec with Matchers {
       graft.operators.AudioStats](bad, Multimodal.decodeAudioStats).collect()
   }
 
+  test("multimodal: audio energy hash thresholds decoded window means") {
+    import spark.implicits._
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong)
+    // 8 windows over 16 mono samples (2 per window): windows 0, 3, 5
+    // loud (|s| = 2000), the rest quiet (|s| = 10); threshold 1000
+    val loud = Set(0, 3, 5)
+    val samples = Array.tabulate[Short](16) { i =>
+      val a = if (loud(i / 2)) 2000 else 10
+      (if (i % 2 == 0) a else -a).toShort
+    }
+    val bytes = new graft.operators.WavEncoder().encode(samples, 8000)
+    Multimodal.decodePartitions[(Long, Long)](
+      Seq((5L, bytes)).toDF("id", "payload"),
+      Multimodal.decodeAudioEnergyHash(8, 1000))(enc)
+      .collect().head shouldBe ((5L, loud.map(1L << _).sum))
+    // a window mean EXACTLY at the threshold sets the bit (>=), and
+    // uneven window sizes follow the integer boundary arithmetic:
+    // 3 windows over 4 frames → windows [0,1), [1,2), [2,4)
+    val edge = new graft.operators.WavEncoder()
+      .encode(Array[Short](1000, 999, 2000, 0), 8000)
+    Multimodal.decodePartitions[(Long, Long)](
+      Seq((6L, edge)).toDF("id", "payload"),
+      Multimodal.decodeAudioEnergyHash(3, 1000))(enc)
+      .collect().head shouldBe ((6L, 1L | (1L << 2)))
+    // fewer decoded frames than hash windows fails loudly — a
+    // truncated fingerprint would silently mis-bucket the corpus
+    val tiny = new graft.operators.WavEncoder()
+      .encode(Array[Short](1, 2), 8000)
+    an[Exception] should be thrownBy Multimodal.decodePartitions[
+      (Long, Long)](Seq((7L, tiny)).toDF("id", "payload"),
+      Multimodal.decodeAudioEnergyHash(3, 1000))(enc).collect()
+  }
+
   test("multimodal: stereo and big-endian PCM decode through the same kernel") {
     import spark.implicits._
     def jdkContainer(fmt: javax.sound.sampled.AudioFormat,

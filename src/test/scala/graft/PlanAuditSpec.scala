@@ -65,7 +65,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec with Matchers {
     // q181: the q173 step twice (its 1-row model/total broadcasts),
     // plus the bounded source-grain weight table broadcast between
     // the two steps
-    "q181_doremi_iterate")
+    "q181_doremi_iterate",
+    // q184: the exact dense cross-score of margin mining — the
+    // broadcast target side is the caller-bounded half (the q28
+    // brute-force tier; the documented scale path swaps in each
+    // side's ANN shortlist)
+    "q184_bitext_margin")
 
   private def operators(p: SparkPlan): Seq[SparkPlan] = {
     val self = p match {

@@ -149,6 +149,51 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("marginMine: hand-computed margins, threshold verdicts, hub demotion") {
+    import spark.implicits._
+    // exact-arithmetic case (k=1): x1=(1,0), x2=(0,1); y1=(1,0),
+    // y2=(0.8,0.6). cos: (x1,y1)=1, (x1,y2)=0.8, (x2,y1)=0,
+    // (x2,y2)=0.6. k-NN means: ax(x1)=1, ax(x2)=0.6; ay(y1)=1,
+    // ay(y2)=0.8. Best margins: x1→y1 1/((1+1)/2)=1.0 (accepted at
+    // 0.9), x2→y2 0.6/((0.6+0.8)/2)=0.857143 (rejected)
+    val xs = Seq((0L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val ys = Seq((1L, Seq(1.0, 0.0)), (3L, Seq(0.8, 0.6)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.marginMine(xs, ys, k = 1, threshold = 0.9)
+      .orderBy("src_id")
+      .as[(Long, Long, Double, Double, Boolean)].collect()
+    out.length shouldBe 2
+    out(0)._1 shouldBe 0L
+    out(0)._2 shouldBe 1L
+    out(0)._4 shouldBe 1.0 +- 2e-6
+    out(0)._5 shouldBe true
+    out(1)._1 shouldBe 2L
+    out(1)._2 shouldBe 3L
+    out(1)._3 shouldBe 0.6 +- 2e-6
+    out(1)._4 shouldBe 0.857143 +- 2e-6
+    out(1)._5 shouldBe false
+    // HUB DEMOTION — the property the ratio margin exists for: yh
+    // (a hub at 27°) has the HIGHEST raw cosine to x2 (45°), but is
+    // also close to x1 (10°), so its k-NN mean is high and the
+    // margin divides the ambient closeness back out; ys (72°) is
+    // specific to x2 and wins on margin despite the lower cosine
+    def ang(deg: Double) = Seq(math.cos(math.toRadians(deg)),
+      math.sin(math.toRadians(deg)))
+    val xs2 = Seq((0L, ang(10)), (2L, ang(45)))
+      .toDF("vec_id", "embedding")
+    val ys2 = Seq((1L, ang(27)), (3L, ang(72)))
+      .toDF("vec_id", "embedding")
+    val hub = Similarity.marginMine(xs2, ys2, k = 2, threshold = 1.0)
+      .filter(col("src_id") === 2L)
+      .as[(Long, Long, Double, Double, Boolean)].collect().head
+    // raw cosine prefers the hub: cos(45°,27°)=cos 18° > cos 27°
+    math.cos(math.toRadians(18)) should be >
+      math.cos(math.toRadians(27))
+    hub._2 shouldBe 3L // but margin picks the specific target
+    hub._5 shouldBe true
+  }
+
   test("semanticDedup marks within-cell near-dups as duplicates of their earliest neighbor") {
     import spark.implicits._
     val cents = Seq(Array(1.0, 0.0), Array(0.0, 1.0))
