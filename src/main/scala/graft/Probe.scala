@@ -873,6 +873,91 @@ object ProbeScale {
       }
     }
 
+    // ── `ProbeScale blocklist`: the q185 claim measured — the
+    // Aho-Corasick pass is ONE text scan whatever the pattern count,
+    // vs the per-pattern contains chain whose text work grows
+    // linearly in P. Patterns are fixture-vocabulary bigram phrases
+    // (some really match) padded with never-matching entries — the
+    // realistic regime: most of a blocklist never fires. Both forms
+    // compute the SAME n_hit total (asserted), so the walls compare
+    // equal work. Warm-once-measure-second (the excise convention).
+    if (mode == "blocklist") {
+      val docs = Tables(spark, "/root/testdata/sf0.1", "documents")
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      val vocab = docs
+        .select(explode(graft.functions.text.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(30)
+        .collect().map(_.getString(0))
+      def pats(p: Int): Seq[String] = (0 until p).map { i =>
+        if (i % 4 == 0)
+          s"${vocab(i % vocab.length)} ${vocab((i * 7 + 1) % vocab.length)}"
+        else f"zqx$i%04d"
+      }
+      def wall(f: => Long): (Double, Long) = {
+        f; val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      for (p <- Seq(8, 80, 800)) {
+        val ps = pats(p)
+        val (acW, acN) = wall(graft.operators.Blocklist
+          .tag(docs, "doc_id", "text", ps)
+          .agg(sum(col("n_hit"))).head.getLong(0))
+        // the form an engine writes without the automaton: one
+        // contains() per pattern per row (size(filter(...)) over the
+        // pattern array — the per-term `+`-reduce chain variant
+        // STACK-OVERFLOWS the analyzer at P=800 before it can even
+        // be measured, which is its own scale verdict)
+        val chain = size(filter(array(ps.map(lit): _*),
+          x => contains(col("text"), x))).cast("long")
+        val (chW, chN) = wall(docs.select(chain.as("n"))
+          .agg(sum(col("n"))).head.getLong(0))
+        require(acN == chN, s"parity broke: ac=$acN chain=$chN")
+        println(f"PROBE_SCALE blocklist/p$p hits=$acN " +
+          f"ac=$acW%.2fs chain=$chW%.2fs")
+      }
+      org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(docs)
+    }
+
+    // ── `ProbeScale margin`: q184-vs-q187 measured — the exact
+    // cross-score's pair volume grows n² while the recall-sized LSH
+    // collide candidate set (the ENGINE's own blocking,
+    // Similarity.collideCandidates) grows far slower, and the walls
+    // follow the pair volumes. Vectors are hash-uniform directions
+    // (independent by construction — the sin-fixture aliasing trap
+    // is documented in SimilaritySpec). ──
+    if (mode == "margin") {
+      def emb(n: Long, salt: String): DataFrame =
+        spark.range(n).select(col("id").as("vec_id"),
+          expr(s"""transform(sequence(0, 63), i ->
+            CAST((pmod(xxhash64(concat(CAST(id AS STRING), ':$salt:',
+              CAST(i AS STRING))), 2000001) - 1000000) / 1000000.0
+              AS FLOAT))""").as("embedding"))
+          .localCheckpoint()
+      for (n <- Seq(1000L, 2000L, 4000L)) {
+        val xs = emb(n, "x"); val ys = emb(n, "y")
+        val nPlanes = Similarity.planesForSize(2 * n)
+        val tables = (0 until
+          Similarity.lshTablesForRecall(nPlanes, 0.9, 0.01))
+          .map(t => vectors.planeMatrix(seed = 1870L + t,
+            nPlanes = nPlanes, dim = 64))
+        def wall(f: => Long): (Double, Long) = {
+          f; val t0 = System.nanoTime(); val r = f
+          ((System.nanoTime() - t0) / 1e9, r)
+        }
+        val (cW, cands) = wall(
+          Similarity.collideCandidates(xs, ys, tables).count())
+        val (eW, _) = wall(Similarity.marginMine(xs, ys, 4, 1.1).count())
+        val (iW, _) = wall(
+          Similarity.marginMineIndexed(xs, ys, tables, 4, 1.1).count())
+        println(f"PROBE_SCALE margin/n$n cross=${n * n} " +
+          f"cands=$cands tables=${tables.size} planes=$nPlanes " +
+          f"candscan=$cW%.2fs exact=$eW%.2fs indexed=$iW%.2fs")
+        org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(xs)
+        org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(ys)
+      }
+    }
+
     // q157's two scale claims measured: per-round cost tracks the
     // EDGE LIST (pair-store grain, not corpus grain), and rounds
     // compose LINEARLY because ranks are localCheckpointed per round

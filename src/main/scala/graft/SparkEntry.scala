@@ -149,6 +149,26 @@ object SparkEntry {
   // Spark plan AND the DuckDB oracle SQL (vectors.planeMatrix scaladoc
   // explains why this makes approximate queries exactly verifiable) ──
   private val embDim = 64
+
+  /** q187's LSH tables (seed 187): sized exactly like q119's —
+    * planes from the verify-scale corpus size, table count from the
+    * 0.9-floor / 1% miss recall contract. Plan-time literals, so the
+    * oracle inlines them (the q62/q119 convention). */
+  private val q187Tables: Seq[Seq[Array[Double]]] = {
+    val nPlanes = Similarity.planesForSize(500)
+    val nTables = Similarity.lshTablesForRecall(nPlanes, 0.9, 0.01)
+    (0 until nTables).map(t => vectors.planeMatrix(seed = 187L + t,
+      nPlanes = nPlanes, dim = embDim))
+  }
+
+  /** q185's blocklist — ONE definition rendered into both the engine
+    * call and the oracle's VALUES list. Deliberate composition:
+    * multi-word phrases, a NESTED pair ("table" inside "table part" —
+    * exercises the automaton's failure-link output merge), and a
+    * never-matching entry so the no-hit path gates. */
+  private val q185Patterns = Seq("table", "table part", "slow fast",
+    "customer query", "batch batch", "spark", "agg join",
+    "zz-never-present")
   private val q32Planes: Seq[Array[Double]] =
     vectors.planeMatrix(seed = 42L, nPlanes = 8, dim = embDim)
   private val q29Tables: Seq[Seq[Array[Double]]] =
@@ -2446,6 +2466,67 @@ object SparkEntry {
         emb.filter(col("vec_id") % 2 === 1),
         k = 4, threshold = 1.10)
     }),
+
+    // ── NS similarity: INDEXED MARGIN MINING — q184's arithmetic on
+    // the SCALE path: candidates from the multi-table hyperplane-LSH
+    // collide join (an equi-join on (table, bucket) — the cross-score
+    // is gone), k-NN means from the shortlist (the paper's own
+    // approximation), margin/threshold identical by construction
+    // (ONE shared core, Similarity.marginFromScored). Plane literals
+    // inlined in the oracle, so the approximate plan verifies
+    // exactly ──
+    "q187_bitext_margin_indexed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.marginMineIndexed(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1),
+        q187Tables, k = 4, threshold = 1.10)
+    }),
+
+    // ── NS quality: CLASSIFIER CALIBRATION — the reliability table
+    // read before trusting q156's gate threshold: fixed-width logit
+    // bins × observed positive rate under an independent reference
+    // signal (the q25 rule-based quality score at its fixture
+    // median 0.8, so the reference splits —
+    // production passes human labels through the same column). One
+    // aggregate over the q156 scoring dataflow; double-floor binning
+    // so negative logits bin downward ──
+    "q188_classifier_calibration" -> ((s, dir) =>
+      CorpusStats.classifierCalibration(t(s, dir, "documents"),
+        "doc_id", "text", buckets = 4096, binWidth = 2000,
+        positive = functions.text.qualityScore(col("text")) >= 0.8)),
+
+    // ── NS mixing: CURRICULUM TIERS — the difficulty-ordered
+    // schedule a curriculum run budgets from: q106's unigram loss as
+    // the difficulty proxy, ntile-ranked WITHIN each source (loss
+    // scales are not cross-source comparable — the q70 percentile
+    // argument), per-(source, tier) doc/token mass + loss span. One
+    // window shuffle + one aggregate; bodies never shuffle ──
+    "q189_curriculum_tiers" -> ((s, dir) =>
+      CorpusStats.curriculumTiers(t(s, dir, "documents"),
+        "doc_id", "text", "source", tiers = 4, minCount = 3)),
+
+    // ── NS text filtering: BLOCKLIST TAGGING — the taboo-word gate
+    // (the C4-family "bad words" filter) as ONE Aho-Corasick pass
+    // per document, cost independent of the pattern count (the
+    // per-pattern contains chain the oracle replays is O(P·len) —
+    // fine for the oracle's 8 literals, three orders worse at the
+    // 10^4-entry production lists the automaton exists for). Narrow
+    // map, zero shuffle; includes a never-matching pattern so the
+    // no-hit path gates too ──
+    "q185_blocklist_tags" -> ((s, dir) =>
+      operators.Blocklist.tag(t(s, dir, "documents"),
+        "doc_id", "text", q185Patterns)),
+
+    // ── NS corpus stats: PMI COLLOCATIONS — adjacent-pair pointwise
+    // mutual information, the phrase-promotion signal a tokenizer/
+    // vocabulary pass ranks by: token-keyed aggregates riding the
+    // tokenize scan (bodies never shuffle), minCount prunes before
+    // the vocabulary joins, totals broadcast, top-k as
+    // TakeOrderedAndProject ──
+    "q186_pmi_collocations" -> ((s, dir) =>
+      CorpusStats.pmiCollocations(t(s, dir, "documents"), "text",
+        minCount = 5, k = 20)),
 
     // ── T7+NS: STREAMING TEMPERATURE MIX — q124's recipe applied at
     // ingest (the mixing family's lifecycle completed: batch q124,
@@ -5580,6 +5661,68 @@ object SparkEntry {
        |    AS weight_milli
        |FROM ${p}ex CROSS JOIN ${p}tot""".stripMargin
 
+  /** The Laplace-unigram per-doc NLL chain over `$from(doc_id,
+    * source, text)`, minCount 3 — ends in `sc(doc_id, source, n_tok,
+    * nll)`; ONE rendering shared by q106 (over its planted-gibberish
+    * injection) and q189 (over plain documents), mirroring
+    * CorpusStats.unigramLogLoss. */
+  private def unigramNllCtes(from: String): String =
+    s"""t0 AS (SELECT doc_id, source, $sqlTokens AS toks
+       |  FROM $from),
+       |tk AS (SELECT unnest(toks) AS tok FROM t0),
+       |counts AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok),
+       |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n,
+       |    CAST(COUNT(*) AS DOUBLE) AS v FROM counts),
+       |vocab AS (SELECT map(list(tok ORDER BY tok),
+       |    list(c ORDER BY tok)) AS m FROM counts WHERE c >= 3),
+       |sc AS (SELECT t0.doc_id, t0.source, len(toks) AS n_tok,
+       |    CASE WHEN len(toks) = 0 THEN NULL ELSE
+       |      list_reduce(list_transform(toks, tk ->
+       |        -ln((CAST(coalesce(
+       |            list_extract(map_extract(v.m, tk), 1), 0)
+       |          AS DOUBLE) + 1.0) / (tot.n + tot.v))),
+       |        (a, b) -> a + b) / len(toks) END AS nll
+       |  FROM t0 CROSS JOIN vocab v CROSS JOIN tot)""".stripMargin
+
+  /** DuckDB cosine between the two margin-mining sides' embedding
+    * columns (aliases `$xa.embedding` / `$ya.embedding`). */
+  private def marginCosSql(xa: String, ya: String): String =
+    s"${sqlDotVec(s"$xa.embedding", s"$ya.embedding")} / " +
+      s"(sqrt(${sqlDotVec(s"$xa.embedding", s"$xa.embedding")}) * " +
+      s"sqrt(${sqlDotVec(s"$ya.embedding", s"$ya.embedding")}))"
+
+  /** The margin arithmetic (k-NN DECIMAL means → ratio margin →
+    * best-per-src, k = 4, threshold 1.10) as oracle SQL over an
+    * in-scope `p(src_id, tgt_id, cos)` CTE — ONE rendering shared by
+    * q184 (exact cross-score candidates) and q187 (LSH-collide
+    * candidates), mirroring Similarity.marginFromScored so the two
+    * forms cannot drift. */
+  private val marginChainSql: String =
+    s"""pp AS (SELECT * FROM p WHERE cos > 0),
+       |ax AS (SELECT src_id, SUM(CAST(cos AS DECIMAL(18,6))) AS sx,
+       |    COUNT(*) AS cx
+       |  FROM (SELECT src_id, cos, row_number() OVER (
+       |      PARTITION BY src_id ORDER BY cos DESC, tgt_id) AS rk
+       |    FROM pp)
+       |  WHERE rk <= 4 GROUP BY src_id),
+       |ay AS (SELECT tgt_id, SUM(CAST(cos AS DECIMAL(18,6))) AS sy,
+       |    COUNT(*) AS cy
+       |  FROM (SELECT tgt_id, cos, row_number() OVER (
+       |      PARTITION BY tgt_id ORDER BY cos DESC, src_id) AS rk
+       |    FROM pp)
+       |  WHERE rk <= 4 GROUP BY tgt_id),
+       |m AS (SELECT pp.src_id, pp.tgt_id, pp.cos,
+       |    round(CAST(pp.cos AS DOUBLE) /
+       |      ((CAST(sx AS DOUBLE) / cx + CAST(sy AS DOUBLE) / cy)
+       |       / 2.0), 6) AS margin
+       |  FROM pp JOIN ax USING (src_id) JOIN ay USING (tgt_id)),
+       |best AS (SELECT src_id, tgt_id, cos, margin,
+       |    row_number() OVER (PARTITION BY src_id
+       |      ORDER BY margin DESC, tgt_id) AS rk FROM m)
+       |SELECT src_id, tgt_id, cos, margin,
+       |  margin >= 1.10 AS accepted
+       |FROM best WHERE rk = 1""".stripMargin
+
   /** The q180 frame-hash chain as prefixed CTEs — one rendering of
     * the patternVideos generation arithmetic (content base +
     * per-video flip + per-frame motion mask, sign bit packed the
@@ -5744,10 +5887,15 @@ object SparkEntry {
     * hashing, integer logits summed per doc then per source. Shared
     * by q156 (batch) and q158 (streaming ingest) — the BM25-family
     * convention: one oracle recompute verifies every engine form. */
-  private def classifierGateSql: String = {
+  /** The classifier scoring chain (hashed-bucket model + unigram/
+    * bigram features + per-doc integer logits) ending in
+    * `j(doc_id, source, n_feats, logit)` — ONE rendering shared by
+    * the gate forms (q156/q158/q161) and the calibration bins
+    * (q188), mirroring CorpusStats.linearClassifierScores. */
+  private def classifierLogitCtes: String = {
     val bH = hashes.md5Hash60Sql("CAST(b AS VARCHAR)")
     val fH = hashes.md5Hash60Sql("ft.f")
-    s"""WITH w AS (
+    s"""w AS (
        |  SELECT b AS bucket, $bH % 2001 - 1000 AS w
        |  FROM (SELECT unnest(range(0, 4096)) AS b)),
        |t0 AS (SELECT doc_id, source, $sqlTokens AS toks
@@ -5766,14 +5914,17 @@ object SparkEntry {
        |  SELECT t0.doc_id, t0.source,
        |    COALESCE(sc.n_feats, 0) AS n_feats,
        |    COALESCE(sc.logit, 0) AS logit
-       |  FROM t0 LEFT JOIN sc ON t0.doc_id = sc.doc_id)
+       |  FROM t0 LEFT JOIN sc ON t0.doc_id = sc.doc_id)""".stripMargin
+  }
+
+  private def classifierGateSql: String =
+    s"""WITH $classifierLogitCtes
        |SELECT source, COUNT(*) AS n_docs,
        |  CAST(SUM(CASE WHEN logit >= 0 THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_accept,
        |  CAST(SUM(logit) AS BIGINT) AS sum_logit,
        |  CAST(SUM(n_feats) AS BIGINT) AS sum_feats
        |FROM j GROUP BY source""".stripMargin
-  }
 
   /** DuckDB mirror of Dedup.dupCentrality over the exact dense pair
     * set at the pair store's threshold — the q133 convention (the
@@ -7701,41 +7852,117 @@ object SparkEntry {
 
       // the same round-6 / DECIMAL-mean / rounded-window recipe as
       // the engine (Similarity.marginMine scaladoc): identical IEEE
-      // ops on identical inputs, margins bit-equal
-      "q184_bitext_margin" -> {
-        val cos = s"${sqlDotVec("x.embedding", "y.embedding")} / " +
-          s"(sqrt(${sqlDotVec("x.embedding", "x.embedding")}) * " +
-          s"sqrt(${sqlDotVec("y.embedding", "y.embedding")}))"
+      // ops on identical inputs, margins bit-equal; the chain after
+      // the candidate CTE is ONE rendering shared with q187
+      "q184_bitext_margin" ->
         s"""WITH x AS (SELECT vec_id AS src_id, embedding
            |  FROM embeddings WHERE vec_id % 2 = 0),
            |y AS (SELECT vec_id AS tgt_id, embedding
            |  FROM embeddings WHERE vec_id % 2 = 1),
-           |p AS (SELECT src_id, tgt_id, round($cos, 6) AS cos
+           |p AS (SELECT src_id, tgt_id,
+           |    round(${marginCosSql("x", "y")}, 6) AS cos
            |  FROM x CROSS JOIN y),
-           |ax AS (SELECT src_id, SUM(CAST(cos AS DECIMAL(18,6))) AS sx,
-           |    COUNT(*) AS cx
-           |  FROM (SELECT src_id, cos, row_number() OVER (
-           |      PARTITION BY src_id ORDER BY cos DESC, tgt_id) AS rk
-           |    FROM p)
-           |  WHERE rk <= 4 GROUP BY src_id),
-           |ay AS (SELECT tgt_id, SUM(CAST(cos AS DECIMAL(18,6))) AS sy,
-           |    COUNT(*) AS cy
-           |  FROM (SELECT tgt_id, cos, row_number() OVER (
-           |      PARTITION BY tgt_id ORDER BY cos DESC, src_id) AS rk
-           |    FROM p)
-           |  WHERE rk <= 4 GROUP BY tgt_id),
-           |m AS (SELECT p.src_id, p.tgt_id, p.cos,
-           |    round(CAST(p.cos AS DOUBLE) /
-           |      ((CAST(sx AS DOUBLE) / cx + CAST(sy AS DOUBLE) / cy)
-           |       / 2.0), 6) AS margin
-           |  FROM p JOIN ax USING (src_id) JOIN ay USING (tgt_id)),
-           |best AS (SELECT src_id, tgt_id, cos, margin,
-           |    row_number() OVER (PARTITION BY src_id
-           |      ORDER BY margin DESC, tgt_id) AS rk FROM m)
-           |SELECT src_id, tgt_id, cos, margin,
-           |  margin >= 1.10 AS accepted
-           |FROM best WHERE rk = 1""".stripMargin
+           |$marginChainSql""".stripMargin,
+
+      // the LSH-collide candidate set from the INLINED plane
+      // literals (the q119 shape), then the SAME margin chain —
+      // what the match proves is the engine's equi-join blocking +
+      // shortlist means compute exactly this
+      "q187_bitext_margin_indexed" -> {
+        val bucketCols = q187Tables.zipWithIndex.map { case (pl, i) =>
+          s"${sqlBucket("embedding", pl)} AS b$i"
+        }.mkString(",\n    ")
+        val collide = q187Tables.indices
+          .map(i => s"x.b$i = y.b$i").mkString("(", " OR ", ")")
+        s"""WITH xb AS (SELECT vec_id AS src_id, embedding,
+           |    $bucketCols
+           |  FROM embeddings WHERE vec_id % 2 = 0),
+           |yb AS (SELECT vec_id AS tgt_id, embedding,
+           |    $bucketCols
+           |  FROM embeddings WHERE vec_id % 2 = 1),
+           |p AS (SELECT src_id, tgt_id,
+           |    round(${marginCosSql("x", "y")}, 6) AS cos
+           |  FROM xb x JOIN yb y ON $collide),
+           |$marginChainSql""".stripMargin
       },
+
+      // the q156 scoring chain (ONE shared rendering) + the q25/q55
+      // quality reference, re-binned: what the match proves is the
+      // engine's one-aggregate calibration over the same logits
+      "q188_classifier_calibration" ->
+        s"""WITH $classifierLogitCtes,
+           |q AS (SELECT doc_id, ($sqlQualityExpr) AS quality
+           |  FROM (SELECT doc_id, text, $sqlTokens AS toks
+           |        FROM documents)),
+           |c AS (SELECT
+           |    CAST(floor(CAST(j.logit AS DOUBLE) / 2000.0) AS BIGINT)
+           |      AS bin,
+           |    j.logit,
+           |    CASE WHEN q.quality >= 0.8 THEN 1 ELSE 0 END AS pos
+           |  FROM j JOIN q USING (doc_id))
+           |SELECT bin, COUNT(*) AS n_docs,
+           |  CAST(SUM(logit) AS BIGINT) AS sum_logit,
+           |  CAST(SUM(pos) AS BIGINT) AS n_pos,
+           |  (CAST(SUM(pos) AS BIGINT) * 1000) // COUNT(*)
+           |    AS pos_rate_milli
+           |FROM c GROUP BY bin""".stripMargin,
+
+      // the q106 NLL chain (ONE shared rendering, plain documents —
+      // no gibberish injection here) + the identical ntile ranking
+      "q189_curriculum_tiers" ->
+        s"""WITH ${unigramNllCtes("documents")},
+           |r AS (SELECT source, round(nll, 6) AS nll6, n_tok, doc_id
+           |  FROM sc WHERE nll IS NOT NULL),
+           |t AS (SELECT source, nll6, n_tok,
+           |    ntile(4) OVER (PARTITION BY source
+           |      ORDER BY nll6, doc_id) AS tier FROM r)
+           |SELECT source, CAST(tier AS INT) AS tier,
+           |  COUNT(*) AS n_docs,
+           |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+           |  MIN(nll6) AS min_nll, MAX(nll6) AS max_nll
+           |FROM t GROUP BY source, tier""".stripMargin,
+
+      // the per-pattern strpos replay of the automaton's single
+      // pass: n_hit = distinct patterns present, first_pos = the
+      // earliest match start over all of them (exactly min(strpos)),
+      // absent patterns contribute nothing, no-hit docs NULL
+      "q185_blocklist_tags" -> {
+        val vals = q185Patterns.map(p => s"('$p')").mkString(", ")
+        s"""WITH pats AS (SELECT * FROM (VALUES $vals) AS t(pat)),
+           |hits AS (SELECT d.doc_id,
+           |    MIN(strpos(d.text, p.pat)) AS fp, COUNT(*) AS n
+           |  FROM documents d JOIN pats p
+           |    ON strpos(d.text, p.pat) > 0
+           |  GROUP BY d.doc_id)
+           |SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hit,
+           |  CAST(h.fp AS INT) AS first_pos,
+           |  COALESCE(h.n, 0) > 0 AS flagged
+           |FROM documents d LEFT JOIN hits h USING (doc_id)""".stripMargin
+      },
+
+      // identical count arithmetic and the identical one-ln PMI
+      // expression (fixed op order — see CorpusStats.pmiCollocations)
+      "q186_pmi_collocations" ->
+        s"""WITH toksrc AS (SELECT $sqlTokens AS t FROM documents),
+           |uni AS (SELECT unnest(t) AS w FROM toksrc),
+           |uc AS (SELECT w, COUNT(*) AS n FROM uni GROUP BY w),
+           |nu AS (SELECT CAST(SUM(n) AS BIGINT) AS nu FROM uc),
+           |big AS (SELECT unnest(list_transform(
+           |    range(1, CAST(len(t) AS BIGINT)),
+           |    i -> t[i] || ' ' || t[i+1])) AS b FROM toksrc),
+           |bc AS (SELECT b, COUNT(*) AS nab FROM big GROUP BY b),
+           |nb AS (SELECT CAST(SUM(nab) AS BIGINT) AS nb FROM bc),
+           |f AS (SELECT split_part(b, ' ', 1) AS w1,
+           |    split_part(b, ' ', 2) AS w2, nab
+           |  FROM bc WHERE nab >= 5)
+           |SELECT w1, w2, nab AS n_ab,
+           |  round(ln((CAST(nab AS DOUBLE) / CAST(nb AS DOUBLE)) /
+           |    ((CAST(a.n AS DOUBLE) / CAST(nu AS DOUBLE)) *
+           |     (CAST(b2.n AS DOUBLE) / CAST(nu AS DOUBLE)))), 6)
+           |    AS pmi
+           |FROM f JOIN uc a ON f.w1 = a.w JOIN uc b2 ON f.w2 = b2.w
+           |  CROSS JOIN nu CROSS JOIN nb
+           |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
 
       // two independent unigram-model CTE chains (reference slice /
       // full corpus, the q106 rendering twice), one scoring pass
@@ -8333,22 +8560,7 @@ object SparkEntry {
            |        CAST(doc_id * 86028121 % 100003 AS VARCHAR) || 'zj'
            |      ELSE text END AS text
            |  FROM documents),
-           |t0 AS (SELECT doc_id, source, $sqlTokens AS toks
-           |  FROM injected),
-           |tk AS (SELECT unnest(toks) AS tok FROM t0),
-           |counts AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok),
-           |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n,
-           |    CAST(COUNT(*) AS DOUBLE) AS v FROM counts),
-           |vocab AS (SELECT map(list(tok ORDER BY tok),
-           |    list(c ORDER BY tok)) AS m FROM counts WHERE c >= 3),
-           |sc AS (SELECT t0.doc_id, t0.source, len(toks) AS n_tok,
-           |    CASE WHEN len(toks) = 0 THEN NULL ELSE
-           |      list_reduce(list_transform(toks, tk ->
-           |        -ln((CAST(coalesce(
-           |            list_extract(map_extract(v.m, tk), 1), 0)
-           |          AS DOUBLE) + 1.0) / (tot.n + tot.v))),
-           |        (a, b) -> a + b) / len(toks) END AS nll
-           |  FROM t0 CROSS JOIN vocab v CROSS JOIN tot)
+           |${unigramNllCtes("injected")}
            |SELECT source, COUNT(*) AS n_docs,
            |  CAST(SUM(CASE WHEN round(nll, 6) > $q106Cut
            |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,

@@ -272,6 +272,58 @@ object CorpusStats {
     * the corpus is scanned three times, never shuffled. Bigram keys
     * are space-joined token pairs — unambiguous because tokenization
     * splits on whitespace. */
+  /** PMI COLLOCATIONS — adjacent-pair pointwise mutual information
+    * over the corpus: PMI(w1,w2) = ln(p(w1,w2) / (p(w1)·p(w2))) with
+    * the pair probability from bigram counts over total bigrams and
+    * the marginals from unigram counts over total tokens. This is
+    * the phrase-promotion signal vocabulary/tokenizer pipelines rank
+    * by (the word2vec phrase pass scores the same ratio family): a
+    * high-PMI adjacent pair co-occurs far above chance and earns a
+    * multi-word vocabulary entry.
+    *
+    * Shape: token-keyed aggregates riding the tokenize scan (the
+    * corpus explodes to token/bigram grain and aggregates with
+    * map-side combine — document bodies never shuffle), the
+    * `minCount` filter prunes the bigram table BEFORE the two
+    * vocabulary joins (unhinted, the q120 convention — AQE
+    * broadcasts small vocabularies), totals ride as 1-row broadcast
+    * crossJoins, and the top-k executes as TakeOrderedAndProject.
+    * The identical unigram-aggregate subtree feeds both marginal
+    * joins and the total — exchange reuse computes it once.
+    *
+    * Exactness: all counts are exact integers; PMI is ONE double
+    * expression over them with a fixed operation order mirrored
+    * verbatim in the oracle SQL, rounded to 6 — ties broken by
+    * (w1, w2). */
+  def pmiCollocations(docs: DataFrame, textCol: String,
+      minCount: Long, k: Int): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    require(k >= 1, s"k must be >= 1: $k")
+    val toks = docs.select(text.tokens(col(textCol)).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val nuTot = uni.agg(sum(col("n")).as("nu"))
+    val bigAll = toks.select(explode(docBigrams(col("toks"))).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("nab"))
+    val nbTot = bigAll.agg(sum(col("nab")).as("nb"))
+    bigAll.filter(col("nab") >= minCount)
+      .select(element_at(split(col("b"), " "), 1).as("w1"),
+        element_at(split(col("b"), " "), 2).as("w2"),
+        col("nab"))
+      .join(uni.toDF("w1", "na"), "w1")
+      .join(uni.toDF("w2", "nbw"), "w2")
+      .crossJoin(broadcast(nuTot))
+      .crossJoin(broadcast(nbTot))
+      .select(col("w1"), col("w2"), col("nab").as("n_ab"),
+        round(log(
+          (col("nab").cast("double") / col("nb").cast("double")) /
+            ((col("na").cast("double") / col("nu").cast("double")) *
+              (col("nbw").cast("double") / col("nu").cast("double")))),
+          6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Space-joined bigrams of a token array, in token order.
     * Zip-with-shifted, NOT index-into-toks: a lambda that indexes
     * `toks` re-evaluates the tokenize kernel PER ELEMENT (lambdas
@@ -771,6 +823,66 @@ object CorpusStats {
       .withColumn("n_feats", coalesce(col("n_feats"), lit(0L)))
       .withColumn("logit", coalesce(col("logit"), lit(0L)))
       .withColumn("accept", col("logit") >= 0L)
+  }
+
+  /** CLASSIFIER CALIBRATION — the reliability table a pipeline reads
+    * before trusting a gate threshold: logits bucketed into
+    * fixed-width bins, each bin's observed positive rate measured
+    * against an independent reference signal (`positive` — here the
+    * rule-based quality score; production passes human labels or a
+    * stronger teacher's verdicts). A calibrated gate's rate climbs
+    * with the bin, and the accept threshold is read directly off
+    * this table instead of guessed. Dataflow is
+    * [[linearClassifierScores]] plus one aggregate; bins by
+    * floor(logit / width) through double floor — exact, logits are
+    * small integers — so negative logits bin downward (Spark/DuckDB
+    * integer division would truncate toward zero and merge the two
+    * bins around 0). Rates in integer milli (floor). */
+  def classifierCalibration(docs: DataFrame, idCol: String,
+      textCol: String, buckets: Int, binWidth: Long,
+      positive: Column): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be >= 1: $binWidth")
+    linearClassifierScores(docs, idCol, textCol, buckets)
+      .select(floor(col("logit").cast("double") / binWidth)
+          .cast("long").as("bin"),
+        col("logit"), positive.as("pos"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("logit")).as("sum_logit"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("pos_rate_milli",
+        expr("(n_pos * 1000) div n_docs"))
+  }
+
+  /** CURRICULUM TIERS — the difficulty-ordered schedule a
+    * curriculum-learning run feeds from: every document scored by
+    * [[unigramLogLoss]] (the model-free difficulty proxy; production
+    * swaps in a trained scorer through the same column), ranked
+    * WITHIN its source (cross-source loss scales are not comparable
+    * — the q70 percentile argument), and cut into `tiers` equal
+    * ntile buckets: tier 1 = easiest. Per-(source, tier) report:
+    * doc/token mass and the loss span, i.e. exactly the table a
+    * scheduler needs to budget phase lengths. One window shuffle on
+    * source + one aggregate; the model broadcast and both corpus
+    * scans never shuffle bodies. Loss ranked and reported at
+    * round-6 (the cross-engine float recipe), ties by doc_id;
+    * zero-token docs (NULL loss) are excluded — they cannot be
+    * ranked by difficulty. */
+  def curriculumTiers(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, tiers: Int, minCount: Long): DataFrame = {
+    require(tiers >= 2, s"tiers must be >= 2: $tiers")
+    val scored = unigramLogLoss(docs, idCol, textCol, minCount)
+      .withColumn("nll6", round(col("nll"), 6))
+      .filter(col("nll6").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(col("nll6"), col(idCol))
+    scored.withColumn("tier", ntile(tiers).over(w))
+      .groupBy(col(sourceCol), col("tier"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tokens"),
+        min(col("nll6")).as("min_nll"),
+        max(col("nll6")).as("max_nll"))
   }
 
   /** ONE definition of the classifier gate's per-source aggregate

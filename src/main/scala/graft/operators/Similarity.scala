@@ -362,13 +362,73 @@ object Similarity {
       col("embedding").as("x_emb"))
     val y = ys.select(col("vec_id").as("tgt_id"),
       col("embedding").as("y_emb"))
-    val scored = x.crossJoin(broadcast(y))
+    marginFromScored(x.crossJoin(broadcast(y))
+      .select(col("src_id"), col("tgt_id"),
+        round(vectors.cosineFast(col("x_emb"), col("y_emb")), 6)
+          .as("cos")), k, threshold)
+  }
+
+  /** [[marginMine]]'s scale form: candidates from the multi-table
+    * hyperplane-LSH collide join (the [[hardNegatives]] blocking —
+    * an equi-join on (table, bucket), never a cross-score), the k-NN
+    * means from the SHORTLIST (the paper's own approximation: the
+    * true k-NN mean is a shortlist mean once the tables are sized
+    * for recall at the relevant floor — [[lshTablesForRecall]]), and
+    * the identical margin arithmetic. Sources with an empty
+    * shortlist produce no row — at mining thresholds they could
+    * never accept. Plane matrices are plan-time literals, so the
+    * oracle inlines them and verifies this approximate plan
+    * EXACTLY (the q62/q119 convention). */
+  def marginMineIndexed(xs: DataFrame, ys: DataFrame,
+      tables: Seq[Seq[Array[Double]]], k: Int,
+      threshold: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val scored = collideCandidates(xs, ys, tables)
+      .join(xs.select(col("vec_id").as("src_id"),
+        col("embedding").as("x_emb")), "src_id")
+      .join(ys.select(col("vec_id").as("tgt_id"),
+        col("embedding").as("y_emb")), "tgt_id")
       .select(col("src_id"), col("tgt_id"),
         round(vectors.cosineFast(col("x_emb"), col("y_emb")), 6)
           .as("cos"))
-      // three windows and a join re-read the pair set; without the
-      // checkpoint the codegen'd cross-score would re-run per reader
-      .localCheckpoint()
+    marginFromScored(scored, k, threshold)
+  }
+
+  /** The LSH collide candidate pair set of the indexed margin miner
+    * — (src_id, tgt_id) distinct over same-(table, bucket)
+    * collisions ([[hardNegatives]]' blocking on a two-sided input).
+    * `private[graft]` so measurement tooling (ProbeScale margin)
+    * counts candidates from the ENGINE's blocking instead of a
+    * drift-prone copy (the pigeonholeKeys convention). */
+  private[graft] def collideCandidates(xs: DataFrame, ys: DataFrame,
+      tables: Seq[Seq[Array[Double]]]): DataFrame = {
+    def bucketed(f: DataFrame, id: String) = f.select(
+      col("vec_id").as(id),
+      posexplode(vectors.multiTableBucketsFast(col("embedding"), tables))
+        .as(Seq("tbl", "bucket")))
+    bucketed(xs, "src_id")
+      .join(bucketed(ys, "tgt_id"), Seq("tbl", "bucket"))
+      .select("src_id", "tgt_id").distinct()
+  }
+
+  /** The margin arithmetic over a (src_id, tgt_id, cos) candidate
+    * set — shared by the exact and indexed forms so the two cannot
+    * drift (exactness recipe documented on [[marginMine]]).
+    *
+    * Candidates are POSITIVE-cosine only: the margin is a ratio of
+    * similarities and needs a positive scale. Without the filter, a
+    * target whose entire (shortlist) neighborhood is negative gets a
+    * NEGATIVE k-NN mean, and a negative cosine over a negative
+    * denominator flips into a large positive margin — an
+    * anti-similar pair outranking every real one (surfaced by the
+    * planted-pair spec on the indexed form, where one-candidate
+    * shortlists make it easy to hit). A pair at cos ≤ 0 is never a
+    * mining candidate. */
+  private def marginFromScored(scoredIn: DataFrame, k: Int,
+      threshold: Double): DataFrame = {
+    // three windows and a join re-read the pair set; without the
+    // checkpoint the codegen'd scoring subtree would re-run per reader
+    val scored = scoredIn.filter(col("cos") > 0).localCheckpoint()
     def topKMean(key: String, other: String) = {
       val w = Window.partitionBy(col(key))
         .orderBy(col("cos").desc, col(other))

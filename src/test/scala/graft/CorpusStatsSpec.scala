@@ -39,6 +39,86 @@ class CorpusStatsSpec extends AnyFunSuite with SparkSpec with Matchers {
     out shouldBe Map(1L -> ((2L, 2L)), 2L -> ((2L, 2L)))
   }
 
+  test("pmiCollocations: hand-computed PMI, minCount prunes, ties break on words") {
+    import spark.implicits._
+    // "a b a b" + "a b c": unigrams a:3 b:3 c:1 (NU=7); bigrams
+    // "a b":3 "b a":1 "b c":1 (NB=5). minCount 2 keeps only "a b":
+    // PMI = ln((3/5) / ((3/7)·(3/7)))
+    val docs = Seq("a b a b", "a b c").toDF("text")
+    val out = graft.operators.CorpusStats
+      .pmiCollocations(docs, "text", minCount = 2, k = 10).collect()
+    out.length shouldBe 1
+    out.head.getString(0) shouldBe "a"
+    out.head.getString(1) shouldBe "b"
+    out.head.getLong(2) shouldBe 3L
+    out.head.getDouble(3) shouldBe
+      math.log((3.0 / 5) / ((3.0 / 7) * (3.0 / 7))) +- 1e-6
+    // minCount 1 admits the singletons; k truncates by
+    // (pmi desc, w1, w2) deterministically — and the fixture plants
+    // an EXACT tie: "b c" has PMI ln((1/5)/((3/7)(1/7))) = ln(49/15)
+    // = ln(147/45) = "a b"'s value, so the word tie-break decides
+    val all = graft.operators.CorpusStats
+      .pmiCollocations(docs, "text", minCount = 1, k = 2).collect()
+    all.length shouldBe 2
+    all.map(r => (r.getString(0), r.getString(1))).toSeq shouldBe
+      Seq(("a", "b"), ("b", "c"))
+    all(1).getDouble(3) shouldBe math.log(49.0 / 15) +- 1e-6
+  }
+
+  test("classifierCalibration: floor-binning splits negative logits below zero; totals reconcile") {
+    import spark.implicits._
+    val docs = (0 until 30).map(i =>
+      (i.toLong, s"src${i % 3}", s"word$i token$i value$i common common"))
+      .toDF("doc_id", "source", "text")
+    val scores = graft.operators.CorpusStats
+      .linearClassifierScores(docs, "doc_id", "text", buckets = 64)
+    val nNeg = scores.filter(col("logit") < 0).count()
+    val nPos = scores.filter(col("logit") >= 0).count()
+    // binWidth huge → exactly one bin per sign: floor semantics put
+    // every negative logit in bin -1 (integer division would
+    // truncate them into bin 0 and merge the signs)
+    val cal = graft.operators.CorpusStats.classifierCalibration(
+      docs, "doc_id", "text", buckets = 64, binWidth = 1000000000L,
+      positive = col("doc_id") % 2 === 0)
+      .orderBy("bin").collect()
+    cal.map(_.getLong(0)).toSeq shouldBe
+      Seq(-1L, 0L).filter(b => if (b < 0) nNeg > 0 else nPos > 0)
+    cal.map(_.getLong(1)).sum shouldBe 30L
+    cal.foreach { r =>
+      r.getLong(3) should be <= r.getLong(1) // n_pos <= n_docs
+      val rate = r.getLong(4)
+      rate should (be >= 0L and be <= 1000L)
+      rate shouldBe (r.getLong(3) * 1000) / r.getLong(1)
+    }
+  }
+
+  test("curriculumTiers: balanced ntiles per source with monotone loss spans") {
+    import spark.implicits._
+    val docs = (0 until 40).map(i =>
+      (i.toLong, s"s${i % 2}",
+        (0 to i % 7).map(j => s"w${(i * 3 + j) % 11}").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val out = graft.operators.CorpusStats
+      .curriculumTiers(docs, "doc_id", "text", "source",
+        tiers = 4, minCount = 1).collect()
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      rows.map(_.getInt(1)).sorted shouldBe (1 to 4)
+      // ntile balance: tier sizes differ by at most one
+      val sizes = rows.map(_.getLong(2))
+      (sizes.max - sizes.min) should be <= 1L
+      // spans are monotone: a harder tier never starts below an
+      // easier tier's max
+      val byTier = rows.sortBy(_.getInt(1))
+      byTier.sliding(2).foreach {
+        case Array(a, b) =>
+          b.getDouble(5) should be >= a.getDouble(5)
+        case _ => ()
+      }
+      // every ranked doc lands in exactly one tier
+      sizes.sum shouldBe 20L
+    }
+  }
+
   test("unigramLogLoss scores docs by Laplace-smoothed mean -ln p") {
     import spark.implicits._
     // corpus: a×3, b×1, c×1 → N=5, V=3; p(tok) = (c+1)/8

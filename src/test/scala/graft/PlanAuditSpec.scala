@@ -70,7 +70,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec with Matchers {
     // broadcast target side is the caller-bounded half (the q28
     // brute-force tier; the documented scale path swaps in each
     // side's ANN shortlist)
-    "q184_bitext_margin")
+    "q184_bitext_margin",
+    // q186: two 1-row broadcast totals (token + bigram counts), the
+    // q165 global-scalar shape
+    "q186_pmi_collocations",
+    // q189: the q106 1-row unigram-model broadcast (size-guarded
+    // with raise_error), under the ntile ranking
+    "q189_curriculum_tiers")
 
   private def operators(p: SparkPlan): Seq[SparkPlan] = {
     val self = p match {

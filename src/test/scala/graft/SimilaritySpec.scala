@@ -194,6 +194,42 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec with Matchers {
     hub._5 shouldBe true
   }
 
+  test("marginMineIndexed: planted partners surface as best-margin at recall-sized tables") {
+    import spark.implicits._
+    val dim = 16
+    // seeded Gaussian directions: genuinely independent vectors
+    // (the sin(seed·c) fixture family ALIASES — seeds 1 and 1018
+    // land ~0.28 rad apart mod 2π, cos 0.99 — which is exactly the
+    // accidental near-dup a margin miner would rightly prefer)
+    def vec(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(dim)(r.nextGaussian())
+    }
+    // side X: 20 bases; side Y: each base's near-identical partner
+    // (cos >> 0.9) plus 20 unrelated vectors as shortlist ballast
+    val xs = (0 until 20).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val ys = ((0 until 20).map(i => (100L + i,
+        vec(i).zipWithIndex.map { case (x, j) => x + 1e-3 * j })) ++
+      (0 until 20).map(i => (200L + i, vec(1000 + i))))
+      .toDF("vec_id", "embedding")
+    val nPlanes = Similarity.planesForSize(40)
+    val tables = (0 until
+      Similarity.lshTablesForRecall(nPlanes, 0.9, 0.01))
+      .map(t => graft.functions.vectors.planeMatrix(seed = 77L + t,
+        nPlanes = nPlanes, dim = dim))
+    val out = Similarity.marginMineIndexed(xs, ys, tables, k = 4,
+      threshold = 1.0).collect()
+    // every planted partner found (the ≥ 0.9 recall contract the
+    // tables were sized for), best by margin, and accepted: a
+    // near-identical pair's cosine dominates any shortlist mean
+    out.length shouldBe 20
+    out.foreach { r =>
+      r.getLong(1) shouldBe 100L + r.getLong(0)
+      r.getBoolean(4) shouldBe true
+    }
+  }
+
   test("semanticDedup marks within-cell near-dups as duplicates of their earliest neighbor") {
     import spark.implicits._
     val cents = Seq(Array(1.0, 0.0), Array(0.0, 1.0))
