@@ -108,6 +108,7 @@ object Main {
       compactPhash(spark, indexDir, doubleArg(rest, 2.0).get)
     case Seq("img-health", sfDir, rest @ _*) =>
       imgHealth(spark, sfDir, rest.headOption)
+    case Seq("aud-health", sfDir) => audHealth(spark, sfDir)
     case Seq("index", storeDir) => indexInfo(spark, storeDir)
     case Seq("lease", storeDir) => leaseInfo(spark, storeDir, doBreak = false)
     case Seq("lease", storeDir, "--break") =>
@@ -156,6 +157,9 @@ object Main {
       "  img-health <sfDir> [phashIndexDir]   image-modality health " +
         "report: dup pairs, dup groups, largest group, index " +
         "segment count + dilution",
+      "  aud-health <sfDir>                  audio-modality health " +
+        "report: decoded fingerprints, dup pairs, dup groups, " +
+        "largest group",
       "  index <storeDir>                    show a store's persisted " +
         "ANN metadata (what AnnIndex.registerFrom adopts)",
       "  lease <storeDir> [--break]          show a store's writer " +
@@ -571,6 +575,41 @@ object Main {
         s"${num2(dil)}" + (if (dil > 2.0) " — run compact-phash" else ""))
     }
     census ++ index
+  }
+
+  /** `aud-health` verb: the img-health census on the AUDIO modality
+    * — the q183 decode→energy-contour→pair pipeline over the real
+    * WAV fixture, resolved to duplicate groups with the same star-CC
+    * machinery. (The audio fingerprints ride the same at-rest index
+    * format as image/video, so the index-shape report stays
+    * img-health's `[phashIndexDir]` argument — one inspector per
+    * store, not per modality.) */
+  private def audHealth(spark: SparkSession, sfDir: String): Seq[String] = {
+    val (fp, pairs0) = SparkEntry.audioPhashPairs(spark, sfDir)
+    val pairs = pairs0.localCheckpoint()
+    val nAudios = fp.count()
+    val nPairs = pairs.count()
+    val cc = graft.operators.Dedup
+      .connectedComponentsStar(pairs, "doc_a", "doc_b")
+      .toDF("doc", "keeper")
+    val groups = cc.groupBy(col("keeper"))
+      .agg(count(lit(1)).as("n_members"))
+      .persist()
+    val nGrouped = groups.agg(sum(col("n_members"))).collect()(0).getLong(0)
+    val nGroups = groups.count()
+    val top = groups.orderBy(col("n_members").desc, col("keeper"))
+      .limit(1).collect()
+    groups.unpersist(blocking = false)
+    org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(pairs)
+    org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(fp)
+    Seq(
+      s"audios decoded: $nAudios",
+      s"near-dup pairs (radius 4): $nPairs",
+      s"dup groups: $nGroups covering $nGrouped audios " +
+        s"(${nAudios - nGrouped} unique)") ++
+      top.toSeq.map(r =>
+        s"largest group: ${r.getLong(1)} audios, keeper doc " +
+          s"${r.getLong(0)}")
   }
 
   /** Inspector `ranges` verb (pulsar_remote_inspector.py:701-716):

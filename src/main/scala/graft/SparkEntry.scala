@@ -2434,20 +2434,7 @@ object SparkEntry {
     // fingerprints. The oracle rebuilds every hash bit from the
     // generation arithmetic (the q102 proof: an oracle match means a
     // real RIFF parse + sample decode ran, per window) ──
-    "q183_audio_phash_dedup" -> ((s, dir) => {
-      val fp = Multimodal.decodePartitions[(Long, Long)](
-        patternWavs(s, dir),
-        Multimodal.decodeAudioEnergyHash(64, 1000))(
-        org.apache.spark.sql.Encoders.tuple(
-          org.apache.spark.sql.Encoders.scalaLong,
-          org.apache.spark.sql.Encoders.scalaLong))
-        .toDF("doc", "fp")
-        // the blocking self-join reads the frame on both sides; an
-        // uncached decode subtree would run the codec pass twice
-        .localCheckpoint()
-      Dedup.hammingNearDupPairs(fp, radius = 4, width = 64,
-        blocks = Some(8), keyBlocks = 1)
-    }),
+    "q183_audio_phash_dedup" -> ((s, dir) => audioPhashPairs(s, dir)._2),
 
     // ── NS similarity: MARGIN-BASED BITEXT MINING — the
     // embedding-space pair-alignment recipe (LASER/CCMatrix family):
@@ -2505,6 +2492,27 @@ object SparkEntry {
     "q189_curriculum_tiers" -> ((s, dir) =>
       CorpusStats.curriculumTiers(t(s, dir, "documents"),
         "doc_id", "text", "source", tiers = 4, minCount = 3)),
+
+    // ── NS training-data: GROUP-AWARE SPLIT — fold assignment by
+    // canonical-URL GROUP hash, so URL-duplicates can never straddle
+    // train/eval (q121 measures leakage, THIS prevents the
+    // within-group class of it by construction); n_rescued counts
+    // the docs a naive doc-level split would have scattered across
+    // the boundary. Shares q110/q175's canonicalization so the
+    // group rule cannot drift from the dedup rule ──
+    "q190_group_split" -> ((s, dir) =>
+      Relational.groupAwareSplit(syntheticUrlDocs(s, dir),
+        "doc_id", "source",
+        functions.urls.canonicalize(col("url")))),
+
+    // ── NS corpus stats: PHRASE MERGE — q186's phrases APPLIED (the
+    // word2vec phrases pass): greedy left-to-right non-overlapping
+    // merge over the token stream, re-expressed relationally as
+    // run-parity selection over candidate positions (sequential
+    // semantics, zero float); per-source token savings ──
+    "q191_phrase_merge" -> ((s, dir) =>
+      CorpusStats.phraseMerge(t(s, dir, "documents"),
+        "doc_id", "text", "source", minCount = 5, k = 20)),
 
     // ── NS text filtering: BLOCKLIST TAGGING — the taboo-word gate
     // (the C4-family "bad words" filter) as ONE Aho-Corasick pass
@@ -4850,6 +4858,25 @@ object SparkEntry {
         org.apache.spark.sql.Encoders.BINARY))
       .toDF("event_id", "payload")
 
+  /** The q172 lifecycle's audio twin, shared by q183 and the
+    * `aud-health` verb: the decoded energy-contour fingerprint frame
+    * (checkpointed — the blocking self-join reads both sides, and an
+    * uncached decode subtree would run the codec pass twice) and the
+    * radius-4 pigeonhole pair set. */
+  private[graft] def audioPhashPairs(s: SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val fp = Multimodal.decodePartitions[(Long, Long)](
+      patternWavs(s, dir),
+      Multimodal.decodeAudioEnergyHash(64, 1000))(
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+      .toDF("doc", "fp")
+      .localCheckpoint()
+    (fp, Dedup.hammingNearDupPairs(fp, radius = 4, width = 64,
+      blocks = Some(8), keyBlocks = 1))
+  }
+
   /** The q183 media fixture: one deterministic 16-bit PCM WAV per
     * 16th event id (the oracle's all-pairs recompute stays bounded).
     * 256 mono samples at 8 kHz laid out as 64 windows × 4 samples;
@@ -5660,6 +5687,38 @@ object SparkEntry {
        |    ELSE (excess_micro * 1000) // te END AS BIGINT)
        |    AS weight_milli
        |FROM ${p}ex CROSS JOIN ${p}tot""".stripMargin
+
+  /** The PMI count chain over a caller-supplied `toksrc` select (must
+    * expose a token-array column `t`; q191's variant also carries
+    * doc_id/source for the downstream merge) — ends in `f(w1, w2,
+    * nab)` with `uc/nu/nb` in scope; ONE rendering shared by q186
+    * (find) and q191 (apply), mirroring
+    * CorpusStats.pmiCollocations. */
+  private def pmiCtes(toksrcSelect: String): String =
+    s"""toksrc AS ($toksrcSelect),
+       |uni AS (SELECT unnest(t) AS w FROM toksrc),
+       |uc AS (SELECT w, COUNT(*) AS n FROM uni GROUP BY w),
+       |nu AS (SELECT CAST(SUM(n) AS BIGINT) AS nu FROM uc),
+       |big AS (SELECT unnest(list_transform(
+       |    range(1, CAST(len(t) AS BIGINT)),
+       |    i -> t[i] || ' ' || t[i+1])) AS b FROM toksrc),
+       |bc AS (SELECT b, COUNT(*) AS nab FROM big GROUP BY b),
+       |nb AS (SELECT CAST(SUM(nab) AS BIGINT) AS nb FROM bc),
+       |f AS (SELECT split_part(b, ' ', 1) AS w1,
+       |    split_part(b, ' ', 2) AS w2, nab
+       |  FROM bc WHERE nab >= 5)""".stripMargin
+
+  /** The PMI scoring + top-k select over [[pmiCtes]]'s `f` —
+    * minCount 5, k 20, round-6, (w1, w2) tie-break. */
+  private val pmiTopSelect: String =
+    s"""SELECT w1, w2, nab AS n_ab,
+       |  round(ln((CAST(nab AS DOUBLE) / CAST(nb AS DOUBLE)) /
+       |    ((CAST(a.n AS DOUBLE) / CAST(nu AS DOUBLE)) *
+       |     (CAST(b2.n AS DOUBLE) / CAST(nu AS DOUBLE)))), 6)
+       |    AS pmi
+       |FROM f JOIN uc a ON f.w1 = a.w JOIN uc b2 ON f.w2 = b2.w
+       |  CROSS JOIN nu CROSS JOIN nb
+       |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
 
   /** The Laplace-unigram per-doc NLL chain over `$from(doc_id,
     * source, text)`, minCount 3 — ends in `sc(doc_id, source, n_tok,
@@ -7907,6 +7966,26 @@ object SparkEntry {
            |    AS pos_rate_milli
            |FROM c GROUP BY bin""".stripMargin,
 
+      // the shared canonicalization CTEs (q110/q175's rendering) +
+      // the identical md5-60 fold arithmetic at both grains
+      "q190_group_split" -> {
+        def fold(h: String) =
+          s"CASE $h % 10 WHEN 0 THEN 'test' WHEN 1 THEN 'val' " +
+            "ELSE 'train' END"
+        s"""WITH $urlCanonCtes,
+           |s AS (SELECT source,
+           |    ${fold(hashes.md5Hash60Sql("canon"))} AS split,
+           |    canon,
+           |    ${fold(hashes.md5Hash60Sql(
+                  "CAST(doc_id AS VARCHAR)"))} AS dsplit
+           |  FROM canon)
+           |SELECT source, split, COUNT(*) AS n_docs,
+           |  COUNT(DISTINCT canon) AS n_groups,
+           |  CAST(SUM(CASE WHEN dsplit <> split THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_rescued
+           |FROM s GROUP BY source, split""".stripMargin
+      },
+
       // the q106 NLL chain (ONE shared rendering, plain documents —
       // no gibberish injection here) + the identical ntile ranking
       "q189_curriculum_tiers" ->
@@ -7941,28 +8020,45 @@ object SparkEntry {
       },
 
       // identical count arithmetic and the identical one-ln PMI
-      // expression (fixed op order — see CorpusStats.pmiCollocations)
+      // expression (fixed op order — see CorpusStats.pmiCollocations);
+      // ONE chain rendering shared with q191 (which applies the
+      // phrases this query finds)
       "q186_pmi_collocations" ->
-        s"""WITH toksrc AS (SELECT $sqlTokens AS t FROM documents),
-           |uni AS (SELECT unnest(t) AS w FROM toksrc),
-           |uc AS (SELECT w, COUNT(*) AS n FROM uni GROUP BY w),
-           |nu AS (SELECT CAST(SUM(n) AS BIGINT) AS nu FROM uc),
-           |big AS (SELECT unnest(list_transform(
-           |    range(1, CAST(len(t) AS BIGINT)),
-           |    i -> t[i] || ' ' || t[i+1])) AS b FROM toksrc),
-           |bc AS (SELECT b, COUNT(*) AS nab FROM big GROUP BY b),
-           |nb AS (SELECT CAST(SUM(nab) AS BIGINT) AS nb FROM bc),
-           |f AS (SELECT split_part(b, ' ', 1) AS w1,
-           |    split_part(b, ' ', 2) AS w2, nab
-           |  FROM bc WHERE nab >= 5)
-           |SELECT w1, w2, nab AS n_ab,
-           |  round(ln((CAST(nab AS DOUBLE) / CAST(nb AS DOUBLE)) /
-           |    ((CAST(a.n AS DOUBLE) / CAST(nu AS DOUBLE)) *
-           |     (CAST(b2.n AS DOUBLE) / CAST(nu AS DOUBLE)))), 6)
-           |    AS pmi
-           |FROM f JOIN uc a ON f.w1 = a.w JOIN uc b2 ON f.w2 = b2.w
-           |  CROSS JOIN nu CROSS JOIN nb
-           |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+        s"""WITH ${pmiCtes("SELECT $TOKS AS t FROM documents"
+             .replace("$TOKS", sqlTokens))}
+           |$pmiTopSelect""".stripMargin,
+
+      // the q186 chain (shared rendering) feeding the greedy
+      // left-to-right merge as run-parity arithmetic: candidate
+      // positions → consecutive runs (i − row_number) → odd ranks
+      // merge — the identical all-integer merge set both engines
+      // compute
+      "q191_phrase_merge" ->
+        s"""WITH ${pmiCtes(
+             "SELECT doc_id, source, $TOKS AS t FROM documents"
+               .replace("$TOKS", sqlTokens))},
+           |ph AS (SELECT w1 || ' ' || w2 AS b
+           |  FROM ($pmiTopSelect)),
+           |pos AS (SELECT doc_id, u.i AS i, u.b AS b FROM (
+           |  SELECT doc_id, unnest(list_transform(
+           |      range(1, CAST(len(t) AS BIGINT)),
+           |      i -> {'i': i, 'b': t[i] || ' ' || t[i+1]})) AS u
+           |  FROM toksrc)),
+           |cand AS (SELECT doc_id, i FROM pos JOIN ph USING (b)),
+           |runs AS (SELECT doc_id, i,
+           |    i - row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY i) AS run
+           |  FROM cand),
+           |mg AS (SELECT doc_id, COUNT(*) AS nm FROM (
+           |    SELECT doc_id, row_number() OVER (
+           |      PARTITION BY doc_id, run ORDER BY i) AS rn
+           |    FROM runs) WHERE rn % 2 = 1 GROUP BY doc_id)
+           |SELECT t.source, COUNT(DISTINCT t.doc_id) AS n_docs,
+           |  CAST(SUM(len(t.t)) AS BIGINT) AS tokens_before,
+           |  CAST(COALESCE(SUM(mg.nm), 0) AS BIGINT)
+           |    AS tokens_merged
+           |FROM toksrc t LEFT JOIN mg ON t.doc_id = mg.doc_id
+           |GROUP BY t.source""".stripMargin,
 
       // two independent unigram-model CTE chains (reference slice /
       // full corpus, the q106 rendering twice), one scoring pass

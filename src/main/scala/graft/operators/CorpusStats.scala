@@ -324,6 +324,48 @@ object CorpusStats {
       .limit(k)
   }
 
+  /** PHRASE MERGE APPLICATION — the APPLY step of phrase promotion
+    * ([[pmiCollocations]] finds the phrases; this rewrites the token
+    * stream): greedy left-to-right non-overlapping merge of every
+    * adjacent pair in the promoted set — the word2vec phrases pass.
+    * Greedy application is SEQUENTIAL (a merge consumes its right
+    * token, blocking the candidate one position over), which
+    * re-expresses relationally: within each RUN of consecutive
+    * candidate positions, exactly the odd-indexed (1st, 3rd, …)
+    * candidates merge. Runs group by the i − row_number() trick;
+    * all-integer, so both engines compute the identical merge set.
+    * Per-source report: docs, tokens before, tokens merged (each
+    * merge saves one token).
+    *
+    * Shape: the phrase set is the bounded top-k (broadcast); the
+    * candidate positions ride the bigram explode of one tokenize
+    * scan; two window shuffles on doc id; bodies never shuffle. */
+  def phraseMerge(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, minCount: Long, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val phrases = pmiCollocations(docs, textCol, minCount, k)
+      .select(concat_ws(" ", col("w1"), col("w2")).as("b"))
+    val toks = docs.select(col(idCol).as("doc"),
+      col(sourceCol).as("source"),
+      text.tokens(col(textCol)).as("toks"))
+    val cand = toks.select(col("doc"),
+        posexplode(docBigrams(col("toks"))).as(Seq("i", "b")))
+      .join(broadcast(phrases), "b")
+    val runs = cand.withColumn("run", col("i") -
+      row_number().over(w.partitionBy(col("doc")).orderBy(col("i"))))
+    val merges = runs
+      .withColumn("rn", row_number().over(
+        w.partitionBy(col("doc"), col("run")).orderBy(col("i"))))
+      .filter(col("rn") % 2 === 1)
+      .groupBy(col("doc")).agg(count(lit(1)).as("nm"))
+    toks.select(col("doc"), col("source"), size(col("toks")).as("nt"))
+      .join(merges, Seq("doc"), "left")
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc")).as("n_docs"),
+        sum(col("nt")).as("tokens_before"),
+        coalesce(sum(col("nm")), lit(0L)).as("tokens_merged"))
+  }
+
   /** Space-joined bigrams of a token array, in token order.
     * Zip-with-shifted, NOT index-into-toks: a lambda that indexes
     * `toks` re-evaluates the tokenize kernel PER ELEMENT (lambdas

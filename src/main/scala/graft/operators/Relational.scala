@@ -361,6 +361,40 @@ object Relational {
     * arithmetic — the only data growth is the requested repetition,
     * and there is NO shuffle: replication happens in the scan
     * projection (explode over a per-row integer sequence). */
+  /** GROUP-AWARE TRAIN/VAL/TEST SPLIT — assign each GROUP (not each
+    * document) to a fold by a deterministic hash of the group key,
+    * so documents sharing a key (canonical URL, near-dup cluster id,
+    * book/source id) can never straddle train and eval: the
+    * GroupShuffleSplit recipe. q121 MEASURES the leakage a naive
+    * split leaves behind; this PREVENTS the whole within-group class
+    * of it by construction. Fold arithmetic is the q65 deterministic
+    * hash convention (md5-60 mod 10: 0 = test, 1 = val, rest train —
+    * reproducible across engines and partitionings, no RNG).
+    *
+    * Per-(source, fold) report: docs, distinct groups, and
+    * `n_rescued` — how many docs a DOC-level hash split would have
+    * placed in a DIFFERENT fold than their group, i.e. exactly the
+    * docs the group policy pulled back from the leakage boundary.
+    * One hash shuffle for the aggregate (distinct groups need the
+    * group key co-located); bodies never move — the projection is
+    * (source, fold, key) wide. */
+  def groupAwareSplit(docs: DataFrame, idCol: String,
+      sourceCol: String, groupKey: Column): DataFrame = {
+    import graft.functions.hashes
+    def fold(h: Column) = when(h === 0, "test")
+      .when(h === 1, "val").otherwise("train")
+    docs.select(col(sourceCol).as("source"),
+        fold(hashes.md5Hash60(groupKey) % 10).as("split"),
+        groupKey.as("_grp"),
+        fold(hashes.md5Hash60(col(idCol).cast("string")) % 10)
+          .as("_dsplit"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("_grp")).as("n_groups"),
+        sum(when(col("_dsplit") =!= col("split"), 1L).otherwise(0L))
+          .as("n_rescued"))
+  }
+
   def epochUpsample(df: DataFrame, stratumCol: Column, idCol: Column,
       epochs: Seq[(String, Long)],
       saltPrefix: String = "epoch-"): DataFrame = {

@@ -65,6 +65,34 @@ class CorpusStatsSpec extends AnyFunSuite with SparkSpec with Matchers {
     all(1).getDouble(3) shouldBe math.log(49.0 / 15) +- 1e-6
   }
 
+  test("phraseMerge: greedy left-to-right merges as run-parity; non-promoted pairs untouched") {
+    import spark.implicits._
+    // corpus A: 6 × "a a a a" — only "a a" clears minCount 5. A
+    // doc's candidates sit at positions 0,1,2 (ONE run): greedy
+    // merges (0,1) and (2,3) — odd ranks 1 and 3 — never the
+    // overlapping middle. corpus B: 2 × "b c b" — no pair reaches
+    // minCount, zero merges
+    val docs = ((0 until 6).map(i => (i.toLong, "s1", "a a a a")) ++
+      Seq((10L, "s2", "b c b"), (11L, "s2", "b c b")))
+      .toDF("doc_id", "source", "text")
+    val out = graft.operators.CorpusStats
+      .phraseMerge(docs, "doc_id", "text", "source",
+        minCount = 5, k = 20)
+      .orderBy("source").collect()
+    out.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq shouldBe
+      Seq(("s1", 6L, 24L, 12L), ("s2", 2L, 6L, 0L))
+    // several promoted phrases chaining through one run: in
+    // "x y x y x z" all three pairs promote, candidates 0..4 are one
+    // run, and greedy takes ranks 1, 3, 5 → (x y)(x y)(x z)
+    val chain = (0 until 5).map(i => (i.toLong, "s", "x y x y x z"))
+      .toDF("doc_id", "source", "text")
+    val c = graft.operators.CorpusStats
+      .phraseMerge(chain, "doc_id", "text", "source",
+        minCount = 5, k = 20).collect().head
+    (c.getLong(1), c.getLong(2), c.getLong(3)) shouldBe ((5L, 30L, 15L))
+  }
+
   test("classifierCalibration: floor-binning splits negative logits below zero; totals reconcile") {
     import spark.implicits._
     val docs = (0 until 30).map(i =>

@@ -419,6 +419,28 @@ class MainSpec extends AnyFunSuite with SparkSpec with Matchers {
     Scratch.deleteRecursively(new java.io.File(root))
   }
 
+  test("aud-health verb: census reconciles with the q183 gate query") {
+    import org.apache.spark.sql.functions.col
+    val sfDir = "/root/testdata/sf0.001"
+    val lines = Main.run(spark, Seq("aud-health", sfDir))
+    lines.foreach(l => info(l))
+    val pairs = SparkEntry.queries("q183_audio_phash_dedup")(spark, sfDir)
+      .localCheckpoint()
+    val nPairs = pairs.count()
+    val nAudios = SparkEntry.audioPhashPairs(spark, sfDir)._1.count()
+    lines.head shouldBe s"audios decoded: $nAudios"
+    lines(1) shouldBe s"near-dup pairs (radius 4): $nPairs"
+    lines(2) should include("dup groups:")
+    // every grouped audio is an endpoint of some pair — the census
+    // grouped count equals the distinct endpoints of the gate pairs
+    val endpoints = pairs.select(col("doc_a").as("d"))
+      .union(pairs.select(col("doc_b").as("d"))).distinct().count()
+    val grouped = "covering (\\d+) audios".r
+      .findFirstMatchIn(lines(2)).get.group(1).toLong
+    grouped shouldBe endpoints
+    lines.exists(_.startsWith("largest group:")) shouldBe true
+  }
+
   test("report verb prints the per-source data card") {
     val lines = Main.run(spark, Seq("report", "/root/testdata/sf0.001"))
     lines.head should include("source")

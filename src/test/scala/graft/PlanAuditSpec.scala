@@ -76,7 +76,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec with Matchers {
     "q186_pmi_collocations",
     // q189: the q106 1-row unigram-model broadcast (size-guarded
     // with raise_error), under the ntile ranking
-    "q189_curriculum_tiers")
+    "q189_curriculum_tiers",
+    // q191: q186's two 1-row broadcast totals inside the phrase
+    // scoring subtree (the q186 allowlist rationale, reused)
+    "q191_phrase_merge")
 
   private def operators(p: SparkPlan): Seq[SparkPlan] = {
     val self = p match {

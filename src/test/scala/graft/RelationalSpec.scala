@@ -355,6 +355,36 @@ class RelationalSpec extends AnyFunSuite with SparkSpec with Matchers {
       .as[String].collect().sorted shouldBe Array("tenant-a", "tenant-b")
   }
 
+  test("groupAwareSplit: a group never straddles folds; rescued docs counted") {
+    import spark.implicits._
+    // 60 docs in 12 groups of 5 (group = id / 5): the fold must be a
+    // function of the GROUP alone
+    val docs = (0 until 60).map(i =>
+      (i.toLong, s"s${i % 2}", s"grp${i / 5}")).toDF("doc_id", "source", "grp")
+    val out = Relational.groupAwareSplit(docs, "doc_id", "source",
+      col("grp")).collect()
+    out.map(_.getLong(2)).sum shouldBe 60L
+    // group-level integrity recomputed independently: every group's
+    // docs land in ONE fold, so Σ n_groups over (source, split) rows
+    // equals Σ per-source distinct groups (a straddling group would
+    // be counted twice)
+    val distinctPerSource = docs
+      .groupBy(col("source")).agg(countDistinct(col("grp")).as("g"))
+      .collect().map(_.getLong(1)).sum
+    out.map(_.getLong(3)).sum shouldBe distinctPerSource
+    // determinism: identical input → identical table
+    val again = Relational.groupAwareSplit(docs, "doc_id", "source",
+      col("grp")).collect()
+    again.map(_.toString).sorted shouldBe out.map(_.toString).sorted
+    // rescued ≤ docs, and with single-doc groups keyed by the doc id
+    // itself the two grains agree — nothing to rescue
+    out.foreach(r => r.getLong(4) should be <= r.getLong(2))
+    val solo = (0 until 30).map(i => (i.toLong, "s",
+      i.toString)).toDF("doc_id", "source", "grp")
+    Relational.groupAwareSplit(solo, "doc_id", "source", col("grp"))
+      .collect().map(_.getLong(4)).sum shouldBe 0L
+  }
+
   test("stratifiedSample: rate 0/1 extremes, determinism, rate validation") {
     import spark.implicits._
     val df = (0L until 400L).map(i =>
