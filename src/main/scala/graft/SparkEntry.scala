@@ -2505,6 +2505,74 @@ object SparkEntry {
         "doc_id", "source",
         functions.urls.canonicalize(col("url")))),
 
+    // ── NS similarity: MARGIN INGEST — the margin family's AT-REST
+    // leg (exact q184, LSH-collide q187, THIS against the stored
+    // layout): the odd half arrives as a batch and mines against the
+    // bucket-clustered store of the even half through its multi-probe
+    // ball — ONE pushed isin over the batch's union ball prunes the
+    // store files (the q98/q101 convention), then the FORWARD margin
+    // (best cos over the shortlist mean) scores each batch vector.
+    // Plane + radius literals inline in the oracle, so the
+    // approximate at-rest plan verifies exactly ──
+    "q192_margin_ingest" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q192_").toString
+      val store = root + "/embeddings"
+      val emb = t(s, dir, "embeddings")
+      Layout.clusteredWrite(
+        emb.filter(col("vec_id") % 2 === 0)
+          .withColumn("bucket",
+            vectors.hyperplaneBucketFast(col("embedding"), q97Planes)),
+        store, numFiles = 8, col("bucket"))
+      val out = Similarity.marginProbeStore(s, store,
+        emb.filter(col("vec_id") % 2 =!= 0),
+        q97Planes, radius = q98Radius, k = 4, threshold = 1.15)
+      materializeThenClean(s, out, root)
+    }),
+
+    // ── T7+NS: STREAMING MARGIN MINER — q192 at ingest time, the
+    // family's lifecycle closed (exact q184 / collide q187 / at-rest
+    // q192 / streaming THIS): three micro-batches mine the static
+    // clustered store, verdicts land as sealed exactly-once
+    // segments, and the drained union equals batch q192 bit for bit
+    // (the forward margin is per-vector) — ONE shared oracle ──
+    "q193_stream_margin" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ns = drainSession(s)
+      import ns.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = ns.sqlContext
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q193_").toString
+      val store = root + "/embeddings"
+      val emb = t(s, dir, "embeddings")
+      Layout.clusteredWrite(
+        emb.filter(col("vec_id") % 2 === 0)
+          .withColumn("bucket",
+            vectors.hyperplaneBucketFast(col("embedding"), q97Planes)),
+        store, numFiles = 8, col("bucket"))
+      val rows = emb.filter(col("vec_id") % 2 =!= 0)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect().toSeq
+      val input = MemoryStream[(Long, Seq[Float])]
+      val stream = input.toDF().toDF("vec_id", "embedding")
+      val ckpt = ephemeralCheckpoint("q193")
+      val q = Streams.marginIngest(stream, store, q97Planes,
+        q98Radius, k = 4, threshold = 1.15, root,
+        ckpt.getAbsolutePath)
+      try
+        (0 until 3).foreach { r =>
+          input.addData(rows.filter(_._1 % 3 == r))
+          q.processAllAvailable()
+        }
+      finally {
+        try q.stop()
+        finally Scratch.deleteRecursively(ckpt)
+      }
+      val out = s.read.parquet(root + "/partials")
+        .select("src_id", "tgt_id", "cos", "margin", "accepted")
+      materializeThenClean(s, out, root)
+    }),
+
     // ── NS corpus stats: PHRASE MERGE — q186's phrases APPLIED (the
     // word2vec phrases pass): greedy left-to-right non-overlapping
     // merge over the token stream, re-expressed relationally as
@@ -5743,6 +5811,41 @@ object SparkEntry {
        |        (a, b) -> a + b) / len(toks) END AS nll
        |  FROM t0 CROSS JOIN vocab v CROSS JOIN tot)""".stripMargin
 
+  /** The q192/q193 oracle — ONE rendering for the at-rest mine and
+    * its streaming decomposition (drained union ≡ batch, the
+    * per-vector forward margin): inlined plane literals give both
+    * halves' buckets, the Hamming ball (q98 radius) gives the
+    * candidates, then round-6 cosines, DECIMAL shortlist mean,
+    * id tie-breaks. */
+  private lazy val marginIngestSql: String = {
+    val cos = s"${sqlDotVec("x.embedding", "y.embedding")} / " +
+      s"(sqrt(${sqlDotVec("x.embedding", "x.embedding")}) * " +
+      s"sqrt(${sqlDotVec("y.embedding", "y.embedding")}))"
+    s"""WITH x AS (SELECT vec_id, embedding,
+       |    ${sqlBucket("embedding", q97Planes)} AS bucket
+       |  FROM embeddings WHERE vec_id % 2 = 0),
+       |y AS (SELECT vec_id AS src_id, embedding,
+       |    ${sqlBucket("embedding", q97Planes)} AS qb
+       |  FROM embeddings WHERE vec_id % 2 <> 0),
+       |p AS (SELECT y.src_id, x.vec_id AS tgt_id,
+       |    round($cos, 6) AS cos
+       |  FROM y JOIN x
+       |    ON bit_count(xor(x.bucket, y.qb)) <= $q98Radius),
+       |rk AS (SELECT src_id, tgt_id, cos, row_number() OVER (
+       |    PARTITION BY src_id ORDER BY cos DESC, tgt_id) AS rk
+       |  FROM p),
+       |top AS (SELECT * FROM rk WHERE rk <= 4),
+       |st AS (SELECT src_id, SUM(CAST(cos AS DECIMAL(18,6))) AS s,
+       |    COUNT(*) AS c
+       |  FROM top GROUP BY src_id)
+       |SELECT t.src_id, t.tgt_id, t.cos,
+       |  round(CAST(t.cos AS DOUBLE) /
+       |    (CAST(st.s AS DOUBLE) / st.c), 6) AS margin,
+       |  round(CAST(t.cos AS DOUBLE) /
+       |    (CAST(st.s AS DOUBLE) / st.c), 6) >= 1.15 AS accepted
+       |FROM top t JOIN st USING (src_id) WHERE t.rk = 1""".stripMargin
+  }
+
   /** DuckDB cosine between the two margin-mining sides' embedding
     * columns (aliases `$xa.embedding` / `$ya.embedding`). */
   private def marginCosSql(xa: String, ya: String): String =
@@ -7965,6 +8068,17 @@ object SparkEntry {
            |  (CAST(SUM(pos) AS BIGINT) * 1000) // COUNT(*)
            |    AS pos_rate_milli
            |FROM c GROUP BY bin""".stripMargin,
+
+      // the inlined plane literals give both halves' buckets, the
+      // Hamming ball gives the candidates (the q98 radius), then the
+      // forward-margin chain: round-6 cosines, DECIMAL shortlist
+      // mean, id tie-breaks — identical IEEE ops on identical inputs
+      "q192_margin_ingest" -> marginIngestSql,
+
+      // the streaming decomposition converges to the batch mine
+      // exactly (per-vector forward margins) — ONE shared recompute
+      // verifies both engine forms
+      "q193_stream_margin" -> marginIngestSql,
 
       // the shared canonicalization CTEs (q110/q175's rendering) +
       // the identical md5-60 fold arithmetic at both grains

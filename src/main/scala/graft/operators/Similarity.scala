@@ -394,6 +394,71 @@ object Similarity {
     marginFromScored(scored, k, threshold)
   }
 
+  /** FORWARD-MARGIN MINING AGAINST THE AT-REST STORE — the margin
+    * family's ingest leg: a bounded batch of query vectors mined
+    * against the bucket-clustered embedding store (the q97 layout).
+    * Per batch vector the candidate set is its multi-probe ball —
+    * every stored bucket within `radius` sign-bit flips
+    * ([[probeRadiusForRecall]] sizes radius for a recall floor) —
+    * and the score is the FORWARD margin `cos_best / mean(top-k
+    * cos)`: at ingest only the store side has an index, and the
+    * forward variant is the margin the mined-bitext papers use when
+    * the two-directional means are unavailable. ≥ 1 by construction
+    * (the best is in its own mean); a pair is interesting when the
+    * best STANDS OUT from its shortlist, i.e. margin clears
+    * `threshold`.
+    *
+    * Scale shape: the batch's UNION probe ball is a bounded literal
+    * set (|batch| × ball, guarded loudly) pushed as ONE isin into
+    * the bucket-clustered scan — parquet file/row-group stats prune
+    * the store instead of reading it (the q98/q101 convention; the
+    * point-fetch idea on the embedding store). The per-pair ball
+    * membership then evaluates on the PRUNED slice as a Hamming
+    * predicate under a broadcast of the bounded batch. Exactness
+    * recipe unchanged (round-6 cosines, DECIMAL shortlist mean,
+    * id tie-breaks); plane literals inline in the oracle. */
+  def marginProbeStore(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, batch: DataFrame,
+      planes: Seq[Array[Double]], radius: Int, k: Int,
+      threshold: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val b = batch.select(col("vec_id").as("src_id"),
+      col("embedding").as("q_emb"),
+      vectors.hyperplaneBucketFast(col("embedding"), planes).as("qb"))
+      .localCheckpoint() // bounded; read for the ball AND the join
+    val ball = b.select(col("qb")).distinct().collect()
+      .flatMap(r => probeBuckets(r.getLong(0), planes.size, radius))
+      .distinct.toSeq
+    require(ball.size <= (1 << 20),
+      s"probe-ball pushdown of ${ball.size} buckets exceeds the " +
+        "bounded-literal contract — shrink the batch or the radius")
+    val pruned = spark.read.parquet(storeDir)
+      .filter(col("bucket").isin(ball: _*))
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("cos").desc, col("tgt_id"))
+    val ranked = pruned.join(broadcast(b),
+        bit_count(col("bucket").bitwiseXOR(col("qb"))) <= radius)
+      .select(col("src_id"),
+        col("vec_id").as("tgt_id"),
+        round(vectors.cosineFast(col("embedding"), col("q_emb")), 6)
+          .as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .localCheckpoint() // best row + shortlist stats read it twice
+    val stats = ranked.groupBy(col("src_id"))
+      .agg(sum(col("cos").cast(
+          org.apache.spark.sql.types.DecimalType(18, 6))).as("s"),
+        count(lit(1)).as("c"))
+    ranked.filter(col("rk") === 1)
+      .select(col("src_id"), col("tgt_id"), col("cos"))
+      .join(stats, "src_id")
+      .withColumn("margin", round(
+        col("cos").cast("double") /
+          (col("s").cast("double") / col("c")), 6))
+      .select(col("src_id"), col("tgt_id"), col("cos"), col("margin"),
+        (col("margin") >= threshold).as("accepted"))
+  }
+
   /** The LSH collide candidate pair set of the indexed margin miner
     * — (src_id, tgt_id) distinct over same-(table, bucket)
     * collisions ([[hardNegatives]]' blocking on a two-sided input).

@@ -401,6 +401,26 @@ object Streams {
             sum(col("n_tokens")).as("kept_tokens"))
     }
 
+  /** Streaming MARGIN MINER — q192's forward-margin mining applied
+    * at ingest: each micro-batch of query vectors mines the STATIC
+    * bucket-clustered store through its probe ball
+    * (Similarity.marginProbeStore — batch semantics inside
+    * foreachBatch, the pushed union-ball pruning included), and the
+    * per-vector verdicts land as one batchId-named sealed segment —
+    * exactly-once under retry (sealed skip / half-landed redo). The
+    * forward margin is PER-VECTOR (the shortlist is store-side
+    * only), so the drained union equals the batch q192 answer bit
+    * for bit: ONE shared oracle gates both forms. Zero streaming
+    * state. */
+  def marginIngest(batch: DataFrame, storeDir: String,
+      planes: Seq[Array[Double]], radius: Int, k: Int,
+      threshold: Double, storeRoot: String,
+      checkpointDir: String): StreamingQuery =
+    sealedPartialsIngest(batch, storeRoot, checkpointDir, "margin") {
+      b => graft.operators.Similarity.marginProbeStore(
+        b.sparkSession, storeDir, b, planes, radius, k, threshold)
+    }
+
   /** Streaming CLASSIFIER GATE — the q156 hashed-ngram linear
     * classifier applied at ingest time: each micro-batch of crawl
     * docs is scored against the STATIC (bucket, weight) model

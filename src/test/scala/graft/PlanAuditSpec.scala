@@ -42,7 +42,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec with Matchers {
     // scratch phash index build + mark + bounded collect: the
     // returned frame is a LocalRelation; the mark path's plan shape
     // is the audited q176 machinery
-    "q182_video_phash_ingest")
+    "q182_video_phash_ingest",
+    // scratch clustered store + probe-ball mine + bounded collect:
+    // LocalRelation returned; the probe path is the audited q98/q101
+    // machinery (bounded broadcast batch over the isin-pruned slice)
+    "q192_margin_ingest")
 
   /** Deliberate BNLJ sites — every entry is a bounded build side,
     * documented at its registration: 1-row query vectors (q28, q42),

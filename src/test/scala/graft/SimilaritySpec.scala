@@ -230,6 +230,45 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("marginProbeStore: planted partners mine from the clustered store; probe ball honors the radius") {
+    import spark.implicits._
+    val dim = 16
+    def vec(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(dim)(r.nextGaussian())
+    }
+    // store: 20 bases + 20 ballast, bucket-clustered; batch: each
+    // base's near-identical partner
+    val planes = graft.functions.vectors.planeMatrix(seed = 92L,
+      nPlanes = 4, dim = dim)
+    val store = ((0 until 20).map(i => (i.toLong, vec(i))) ++
+      (0 until 20).map(i => (200L + i, vec(5000 + i))))
+      .toDF("vec_id", "embedding")
+      .withColumn("bucket", graft.functions.vectors
+        .hyperplaneBucketFast(col("embedding"), planes))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_mps_").toString
+    graft.sources.Layout.clusteredWrite(store, root + "/emb",
+      numFiles = 4, col("bucket"))
+    val batch = (0 until 20).map(i => (100L + i,
+      vec(i).zipWithIndex.map { case (x, j) => x + 1e-3 * j }))
+      .toDF("vec_id", "embedding")
+    val radius = Similarity.probeRadiusForRecall(4, 0.9, 0.01)
+    val out = Similarity.marginProbeStore(spark, root + "/emb",
+      batch, planes, radius, k = 4, threshold = 1.0).collect()
+    // every batch vector mines its base as the best (cos ≈ 1 beats
+    // any ballast), and the forward margin accepts: the best stands
+    // out from its shortlist mean unless the shortlist is ONLY the
+    // partner (then margin = 1, still ≥ threshold 1.0)
+    out.length shouldBe 20
+    out.foreach { r =>
+      r.getLong(1) shouldBe (r.getLong(0) - 100L)
+      r.getDouble(3) should be >= 1.0
+      r.getBoolean(4) shouldBe true
+    }
+    Scratch.deleteRecursively(new java.io.File(root))
+  }
+
   test("semanticDedup marks within-cell near-dups as duplicates of their earliest neighbor") {
     import spark.implicits._
     val cents = Seq(Array(1.0, 0.0), Array(0.0, 1.0))
