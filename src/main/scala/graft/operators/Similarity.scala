@@ -414,9 +414,12 @@ object Similarity {
     * the store instead of reading it (the q98/q101 convention; the
     * point-fetch idea on the embedding store). The per-pair ball
     * membership then evaluates on the PRUNED slice as a Hamming
-    * predicate under a broadcast of the bounded batch. Exactness
-    * recipe unchanged (round-6 cosines, DECIMAL shortlist mean,
-    * id tie-breaks); plane literals inline in the oracle. */
+    * predicate under a broadcast of the bounded batch. Batch vectors
+    * whose ball holds no stored row produce no output (the
+    * [[marginMineIndexed]] contract — at mining thresholds they
+    * could never accept). Exactness recipe unchanged (round-6
+    * cosines, DECIMAL shortlist mean, id tie-breaks); plane literals
+    * inline in the oracle. */
   def marginProbeStore(spark: org.apache.spark.sql.SparkSession,
       storeDir: String, batch: DataFrame,
       planes: Seq[Array[Double]], radius: Int, k: Int,
