@@ -2573,6 +2573,44 @@ object SparkEntry {
       materializeThenClean(s, out, root)
     }),
 
+    // ── NS CAPSTONE: CURATED CURRICULUM MANIFEST — the round's new
+    // operators composed end-to-end the way a training run consumes
+    // them: the blocklist gate (q185) keeps the clean docs, the
+    // difficulty model TRAINS ON THE SURVIVORS (a model trained on
+    // pre-filter text would rank by content the gate just removed),
+    // curriculum tiers within source (q189), the leakage-safe fold
+    // from the canonical-URL group (q190), and the manifest a
+    // scheduler reads: per-(split, tier) doc/token mass. Each stage
+    // is oracle-verified alone by its own query; THIS verifies the
+    // composition ──
+    "q194_curated_manifest" -> ((s, dir) => {
+      val docs = syntheticUrlDocs(s, dir)
+      // the multi-word phrases only: the full q185 list includes
+      // single common tokens that flag 92% of this fixture (fine for
+      // gating the automaton, degenerate as a curation gate); the
+      // phrase subset flags a realistic ~22%
+      val clean = operators.Blocklist.tag(docs, "doc_id", "text",
+          q185Patterns.filter(_.contains(' ')))
+        .filter(!col("flagged")).select("doc_id")
+      val scored = CorpusStats.unigramLogLoss(docs.join(clean, "doc_id"),
+          "doc_id", "text", minCount = 3)
+        .withColumn("nll6", round(col("nll"), 6))
+        .filter(col("nll6").isNotNull)
+      def fold(h: Column) = when(h === 0, "test")
+        .when(h === 1, "val").otherwise("train")
+      scored
+        .withColumn("tier", ntile(4).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("source"))
+            .orderBy(col("nll6"), col("doc_id"))))
+        .withColumn("split",
+          fold(functions.hashes.md5Hash60(col("canon")) % 10))
+        .groupBy(col("split"), col("tier"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("sum_tokens"),
+          countDistinct(col("source")).as("n_sources"))
+    }),
+
     // ── NS corpus stats: PHRASE MERGE — q186's phrases APPLIED (the
     // word2vec phrases pass): greedy left-to-right non-overlapping
     // merge over the token stream, re-expressed relationally as
@@ -8098,6 +8136,38 @@ object SparkEntry {
            |  CAST(SUM(CASE WHEN dsplit <> split THEN 1 ELSE 0 END)
            |    AS BIGINT) AS n_rescued
            |FROM s GROUP BY source, split""".stripMargin
+      },
+
+      // every stage from its own shared rendering: the q185 pattern
+      // list, the q106 NLL chain over the SURVIVORS, the q189 ntile,
+      // the q110/q175 canonicalization, the q190 fold arithmetic —
+      // the capstone oracle is the stages' oracles chained
+      "q194_curated_manifest" -> {
+        val vals = q185Patterns.filter(_.contains(' '))
+          .map(p => s"('$p')").mkString(", ")
+        s"""WITH $urlCanonCtes,
+           |pats AS (SELECT * FROM (VALUES $vals) AS pt(pat)),
+           |flagged AS (SELECT DISTINCT d.doc_id FROM documents d
+           |  JOIN pats p ON strpos(d.text, p.pat) > 0),
+           |surv AS (SELECT doc_id, source, text FROM documents
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+           |${unigramNllCtes("surv")},
+           |r AS (SELECT sc.doc_id, sc.source,
+           |    round(sc.nll, 6) AS nll6, sc.n_tok
+           |  FROM sc WHERE sc.nll IS NOT NULL),
+           |ti AS (SELECT doc_id, source, n_tok,
+           |    ntile(4) OVER (PARTITION BY source
+           |      ORDER BY nll6, doc_id) AS tier FROM r),
+           |fo AS (SELECT ti.*,
+           |    CASE ${hashes.md5Hash60Sql("c.canon")} % 10
+           |      WHEN 0 THEN 'test' WHEN 1 THEN 'val'
+           |      ELSE 'train' END AS split
+           |  FROM ti JOIN canon c ON ti.doc_id = c.doc_id)
+           |SELECT split, CAST(tier AS INT) AS tier,
+           |  COUNT(*) AS n_docs,
+           |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+           |  COUNT(DISTINCT source) AS n_sources
+           |FROM fo GROUP BY split, tier""".stripMargin
       },
 
       // the q106 NLL chain (ONE shared rendering, plain documents —

@@ -83,7 +83,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec with Matchers {
     "q189_curriculum_tiers",
     // q191: q186's two 1-row broadcast totals inside the phrase
     // scoring subtree (the q186 allowlist rationale, reused)
-    "q191_phrase_merge")
+    "q191_phrase_merge",
+    // q194: the q106 1-row unigram-model broadcast (trained on the
+    // gate's survivors), the q189 allowlist rationale
+    "q194_curated_manifest")
 
   private def operators(p: SparkPlan): Seq[SparkPlan] = {
     val self = p match {
