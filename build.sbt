@@ -38,4 +38,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // old 8g ceiling under external page-cache pressure — heap headroom
   // is cheap insurance; SPARK_DRIVER_MEM still overrides.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // The 194-query suite compiles enough whole-stage-codegen classes
+  // to fill the default 240m code cache to the sweeper's flush
+  // threshold (r14 measured 87.5/118.9m profiled nmethods at bench
+  // exit), and the sweeper then flushes warm-but-not-hot kernels —
+  // q92's per-pixel decode re-ran INTERPRETED right after a fast
+  // warm pass (0.8 s warm → 3.8–15.6 s timed at 20× the cpu,
+  // reproduced across three closes, host idle). Headroom retires the
+  // episode class; same insurance rationale as the heap line.
+  "-XX:ReservedCodeCacheSize=512m",
 )
