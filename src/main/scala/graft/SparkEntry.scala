@@ -5871,7 +5871,7 @@ object SparkEntry {
        |    ON bit_count(xor(x.bucket, y.qb)) <= $q98Radius),
        |rk AS (SELECT src_id, tgt_id, cos, row_number() OVER (
        |    PARTITION BY src_id ORDER BY cos DESC, tgt_id) AS rk
-       |  FROM p),
+       |  FROM p WHERE cos > 0),
        |top AS (SELECT * FROM rk WHERE rk <= 4),
        |st AS (SELECT src_id, SUM(CAST(cos AS DECIMAL(18,6))) AS s,
        |    COUNT(*) AS c

@@ -123,8 +123,14 @@ object Blocklist {
       .mapPartitions { rows =>
         val ac = new AhoCorasick(pats) // once per task, closure-built
         rows.map { r =>
-          val (n, pos) = ac.scan(r.getString(1))
-          (r.getLong(0), n.toLong, pos, n > 0)
+          // NULL text is CLEAN (n_hit 0, not flagged) — the oracle's
+          // strpos/LEFT JOIN semantics over NULL, not an NPE
+          val t = r.getString(1)
+          if (t == null) (r.getLong(0), 0L, 0, false)
+          else {
+            val (n, pos) = ac.scan(t)
+            (r.getLong(0), n.toLong, pos, n > 0)
+          }
         }
       }
       .toDF("doc_id", "n_hit", "first_pos", "flagged")

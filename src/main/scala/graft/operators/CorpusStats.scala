@@ -390,20 +390,33 @@ object CorpusStats {
     * count frames are unpersisted inline. */
   private val liveLmBroadcasts =
     new java.util.concurrent.ConcurrentLinkedQueue[
-      org.apache.spark.broadcast.Broadcast[_]]()
+      (Long, org.apache.spark.broadcast.Broadcast[_])]()
 
-  /** Destroy every tracked LM broadcast ([[bigramLogLoss]]) whose
-    * scoring result has been materialized; returns how many were
-    * released. Safe to call when none are live. Do NOT call while a
-    * bigramLogLoss result is still lazy — its tasks would fail to
-    * fetch the destroyed blocks. */
+  /** Destroy the tracked LM broadcasts ([[bigramLogLoss]]) that THIS
+    * THREAD created, once their scoring results are materialized;
+    * returns how many were released. Thread-scoped, not global: the
+    * registry is process-wide, and a global drain would let one
+    * caller destroy a broadcast belonging to a different still-lazy
+    * consumer in the same JVM (a concurrent streaming micro-batch, a
+    * parallel test suite), failing its tasks with unfetchable blocks.
+    * bigramLogLoss builds its broadcast eagerly at plan-construction
+    * time, so creator thread = the thread that called bigramLogLoss —
+    * construct and release on the same thread (Bench/Verify mains and
+    * foreachBatch bodies already do). Safe to call when none are
+    * live. Do NOT call while this thread's own bigramLogLoss result
+    * is still lazy — its tasks would fail to fetch the destroyed
+    * blocks. */
   def releaseLmBroadcasts(): Int = {
+    val tid = Thread.currentThread().getId
     var n = 0
-    var bc = liveLmBroadcasts.poll()
-    while (bc != null) {
-      bc.destroy()
-      n += 1
-      bc = liveLmBroadcasts.poll()
+    val it = liveLmBroadcasts.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e._1 == tid) {
+        it.remove()
+        e._2.destroy()
+        n += 1
+      }
     }
     n
   }
@@ -454,7 +467,7 @@ object CorpusStats {
       docs.sparkSession.sparkContext.broadcast(
         new org.apache.spark.sql.graft.BigramLm(uniMap, biMap, vocabV))
     }
-    liveLmBroadcasts.add(lmBc)
+    liveLmBroadcasts.add((Thread.currentThread().getId, lmBc))
     val toks = text.tokens(col(textCol))
     val nll2Sum = org.apache.spark.sql.graft.Bridge.column(
       org.apache.spark.sql.graft.BigramNllSum(

@@ -2024,18 +2024,23 @@ object Dedup {
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands"))
       .filter(col("n_bands") >= 2)
       .select("doc_a", "doc_b")
-    val fresh = cross
+    val freshPlan = cross
       .unionByName(rescoreJaccardAB(internalCand, sets, sets, threshold))
-      .localCheckpoint(eager = true)
     // BOTH leases acquired before the first write: a conflict with a
     // concurrent index writer (appendToNearDupIndex, compact-ndindex)
     // must abort the whole append, not strand pairs without the
     // batch's signatures — that tear would silently break the
     // from-scratch-equality contract for every later batch.
-    graft.sources.StoreLease.withLease(spark, store,
+    // The candidate MATERIALIZATION (the eager localCheckpoint, which
+    // scans storeBands/storeSets) also happens under the leases: a
+    // concurrent compaction's write-then-swap between the scan and
+    // our append would hand the scan a torn as-of view (the same
+    // hazard incrementalPhashAgainst closed in r14).
+    val fresh = graft.sources.StoreLease.withLease(spark, store,
         commitTag.fold("pair-store-append")(t => s"pair-append-$t")) {
       graft.sources.StoreLease.withLease(spark, indexDir,
           commitTag.fold("index-append")(t => s"index-append-$t")) {
+        val freshMat = freshPlan.localCheckpoint(eager = true)
         // index growth: ALL batch docs' signatures, the
         // writeIndexTables append layout (one clustered file per
         // table per batch) — reusing the cached tables instead of
@@ -2048,7 +2053,7 @@ object Dedup {
           .sortWithinPartitions(col("doc"))
         commitTag match {
           case None =>
-            fresh.write.mode("append").parquet(s"$store/pairs")
+            freshMat.write.mode("append").parquet(s"$store/pairs")
             bandsOut.write.mode("append").parquet(s"$indexDir/bands")
             setsOut.write.mode("append").parquet(s"$indexDir/shingles")
           case Some(tag) =>
@@ -2057,11 +2062,12 @@ object Dedup {
             // half (scaladoc)
             if (!pairsCommitted)
               taggedSegmentAppend(spark, store, tag,
-                Seq("pairs" -> fresh))
+                Seq("pairs" -> freshMat))
             if (!indexCommitted)
               taggedSegmentAppend(spark, indexDir, tag,
                 Seq("bands" -> bandsOut, "shingles" -> setsOut))
         }
+        freshMat
       }
     }
     fresh

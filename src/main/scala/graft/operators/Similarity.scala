@@ -445,6 +445,12 @@ object Similarity {
         col("vec_id").as("tgt_id"),
         round(vectors.cosineFast(col("embedding"), col("q_emb")), 6)
           .as("cos"))
+      // positive-cosine only, mirroring [[marginFromScored]]: the
+      // forward margin is a ratio of similarities and needs a
+      // positive scale — a mixed-sign shortlist could zero (or
+      // sign-flip) the DECIMAL mean and turn an anti-similar pair
+      // into an inflated "accepted" margin
+      .filter(col("cos") > 0)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .localCheckpoint() // best row + shortlist stats read it twice
