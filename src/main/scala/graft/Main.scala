@@ -109,6 +109,7 @@ object Main {
     case Seq("img-health", sfDir, rest @ _*) =>
       imgHealth(spark, sfDir, rest.headOption)
     case Seq("aud-health", sfDir) => audHealth(spark, sfDir)
+    case Seq("vid-health", sfDir) => vidHealth(spark, sfDir)
     case Seq("index", storeDir) => indexInfo(spark, storeDir)
     case Seq("lease", storeDir) => leaseInfo(spark, storeDir, doBreak = false)
     case Seq("lease", storeDir, "--break") =>
@@ -157,6 +158,8 @@ object Main {
       "  img-health <sfDir> [phashIndexDir]   image-modality health " +
         "report: dup pairs, dup groups, largest group, index " +
         "segment count + dilution",
+      "  vid-health <sfDir>                  video-modality health " +
+        "census (decode -> frame hashes -> video pairs -> groups)",
       "  aud-health <sfDir>                  audio-modality health " +
         "report: decoded fingerprints, dup pairs, dup groups, " +
         "largest group",
@@ -609,6 +612,46 @@ object Main {
         s"(${nAudios - nGrouped} unique)") ++
       top.toSeq.map(r =>
         s"largest group: ${r.getLong(1)} audios, keeper doc " +
+          s"${r.getLong(0)}")
+  }
+
+  /** `vid-health` verb: the aud-health census on the VIDEO modality
+    * — the q180 decode→sampled-frame-grid-hash→pair pipeline over
+    * the real container fixture, reduced to VIDEO-grain pairs
+    * (min frame-pair Hamming) and resolved to duplicate groups with
+    * the same star-CC machinery. (Video frame fingerprints ride the
+    * same at-rest index format as image/audio — the img-health
+    * `[phashIndexDir]` inspector covers the store shape.) */
+  private def vidHealth(spark: SparkSession, sfDir: String): Seq[String] = {
+    val (fp, pairs0) = SparkEntry.videoPhashPairs(spark, sfDir)
+    val pairs = pairs0.localCheckpoint()
+    val nFrames = fp.count()
+    val nVideos = fp.select(expr("doc div 8")).distinct().count()
+    val nPairs = pairs.count()
+    val cc = graft.operators.Dedup
+      .connectedComponentsStar(pairs, "vid_a", "vid_b")
+      .toDF("vid", "keeper")
+    val groups = cc.groupBy(col("keeper"))
+      .agg(count(lit(1)).as("n_members"))
+      .persist()
+    // coalesce: a pair-free corpus (every video its own content
+    // class — the sf0.001 fixture) sums an EMPTY frame to NULL
+    val nGrouped = groups
+      .agg(coalesce(sum(col("n_members")), lit(0L)))
+      .collect()(0).getLong(0)
+    val nGroups = groups.count()
+    val top = groups.orderBy(col("n_members").desc, col("keeper"))
+      .limit(1).collect()
+    groups.unpersist(blocking = false)
+    org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(pairs)
+    org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(fp)
+    Seq(
+      s"videos decoded: $nVideos ($nFrames sampled frames)",
+      s"video near-dup pairs (min frame Hamming <= 4): $nPairs",
+      s"dup groups: $nGroups covering $nGrouped videos " +
+        s"(${nVideos - nGrouped} unique)") ++
+      top.toSeq.map(r =>
+        s"largest group: ${r.getLong(1)} videos, keeper video " +
           s"${r.getLong(0)}")
   }
 

@@ -2611,6 +2611,90 @@ object SparkEntry {
           countDistinct(col("source")).as("n_sources"))
     }),
 
+    // ── NS multimodal dedup: AUDIO PHASH INGEST — the q176
+    // lifecycle on the audio modality (batch q183 / incremental
+    // THIS / streaming q196, completing the family image q172/q176/
+    // q177 and video q180/q182 already have): the stored index
+    // holds the even-m audio half; the batch half carries UNSHIFTED
+    // patterns on even m (every one has a stored same-pattern
+    // partner ≤ 4 flips away) and SHIFTED patterns on odd m (the
+    // 25 odd residues the store has never heard — min cross-distance
+    // 12 > radius), so both verdicts gate. Same modality-agnostic
+    // phash index + pushed-key pruning as the image legs; the
+    // oracle rebuilds every energy-contour bit from generation
+    // arithmetic (the q102/q183 proof obligation) ──
+    "q195_audio_phash_ingest" -> ((s, dir) => {
+      import s.implicits._
+      // residue filters BEFORE the encode seam, tiny (doc, fp)
+      // frames checkpointed — the q176 single-codec-pass rationale
+      def fpOf(filter: Column, shift: Int) =
+        Multimodal.decodePartitions[(Long, Long)](
+          patternWavs(s, dir, filter, shift),
+          Multimodal.decodeAudioEnergyHash(64, 1000))
+          .toDF("doc", "fp")
+          .localCheckpoint()
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q195_").toString
+      Dedup.writePhashIndex(fpOf(col("event_id") % 32 === 0, 0),
+        root + "/idx", radius = 4, width = 64, blocks = Some(8),
+        keyBlocks = 1)
+      // % 64 residues, not (id / 32) % 2: Column./ is DOUBLE division
+      // (id ≡ 16 mod 32 ⇒ id % 64 ∈ {16, 48} ⇔ (id // 32) % 2 ∈ {0, 1})
+      val batch = fpOf(col("event_id") % 64 === 16, 0)
+        .unionByName(fpOf(col("event_id") % 64 === 48, 1))
+      val res = Dedup.incrementalPhashAgainst(s, batch, root + "/idx",
+        radius = 4, width = 64, blocks = Some(8), keyBlocks = 1)
+      materializeThenClean(s, res, root)
+    }),
+
+    // ── T7+NS: CONTINUOUS AUDIO PHASH INGEST — the q177 lifecycle
+    // on the audio modality: the stored index holds the even-m half
+    // (unshifted patterns); the streamed audio is ALL
+    // pattern-rotated (content the store has never heard), so batch
+    // 1 is all fresh and batches 2/3 can ONLY be flagged through
+    // index growth — a failed sealed append surfaces as dup counts
+    // collapsing in the oracle compare, and every dup_of id pins
+    // WHICH earlier streamed clip it resolved to ──
+    "q196_stream_audio_ingest" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ns = drainSession(s)
+      import ns.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = ns.sqlContext
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q196_").toString
+      // index build on the PARENT session (corpus-scale); fp frames
+      // checkpointed — the q176 single-codec-pass rationale
+      val idxFp = Multimodal.decodePartitions[(Long, Long)](
+        patternWavs(s, dir, col("event_id") % 32 === 0),
+        Multimodal.decodeAudioEnergyHash(64, 1000))
+        .toDF("doc", "fp").localCheckpoint()
+      Dedup.writePhashIndex(idxFp, root + "/idx",
+        radius = 4, width = 64, blocks = Some(8), keyBlocks = 1)
+      val rows = Multimodal.decodePartitions[(Long, Long)](
+        patternWavs(s, dir, col("event_id") % 32 === 16, patShift = 1),
+        Multimodal.decodeAudioEnergyHash(64, 1000))
+        .collect().toSeq
+      val input = MemoryStream[(Long, Long)]
+      val stream = input.toDF().toDF("doc", "fp")
+      val ckpt = ephemeralCheckpoint("q196")
+      val q = Streams.phashIngest(stream, root + "/idx", root + "/out",
+        ckpt.getAbsolutePath, radius = 4, width = 64,
+        blocks = Some(8), keyBlocks = 1)
+      try
+        (0 until 3).foreach { r =>
+          input.addData(rows.filter(t => (t._1 / 32) % 3 == r))
+          q.processAllAvailable()
+        }
+      finally {
+        try q.stop()
+        finally Scratch.deleteRecursively(ckpt)
+      }
+      val res = s.read.parquet(root + "/out")
+        .select(col("doc"), col("fp"), col("dup_of"), col("hamming"),
+          col("is_dup"))
+      materializeThenClean(s, res, root)
+    }),
+
     // ── NS corpus stats: PHRASE MERGE — q186's phrases APPLIED (the
     // word2vec phrases pass): greedy left-to-right non-overlapping
     // merge over the token stream, re-expressed relationally as
@@ -2817,30 +2901,7 @@ object SparkEntry {
     // so the blocking core is reused unchanged; the oracle rebuilds
     // every frame hash from the generation arithmetic (the q172
     // proof pattern on the q155 container) ──
-    "q180_video_phash_dedup" -> ((s, dir) => {
-      val fp = Multimodal.decodePartitions[(Long, Int, Long)](
-        patternVideos(s, dir),
-        Multimodal.decodeSampledVideoGridHash(2, 8, 8, 128))(
-        org.apache.spark.sql.Encoders.tuple(
-          org.apache.spark.sql.Encoders.scalaLong,
-          org.apache.spark.sql.Encoders.scalaInt,
-          org.apache.spark.sql.Encoders.scalaLong))
-        .toDF("vid", "frame", "fp")
-        .select((col("vid") * 8 + col("frame")).as("doc"), col("fp"))
-        .localCheckpoint()
-      Dedup.hammingNearDupPairs(fp, radius = 4, width = 64,
-          blocks = Some(8), keyBlocks = 1)
-        // frame-grain doc_a < doc_b and distinct videos ⇒ vid_a <
-        // vid_b already; min-Hamming over the group's frame pairs.
-        // `div` = integer floor division, bit-equal to DuckDB's `//`
-        .select(expr("doc_a div 8").as("vid_a"),
-          expr("doc_b div 8").as("vid_b"),
-          col("hamming"))
-        .filter(col("vid_a") =!= col("vid_b"))
-        .groupBy(col("vid_a"), col("vid_b"))
-        .agg(min(col("hamming")).as("min_hamming"),
-          count(lit(1)).as("n_frame_pairs"))
-    }),
+    "q180_video_phash_dedup" -> ((s, dir) => videoPhashPairs(s, dir)._2),
 
     // ── NS dedup: URL-LEVEL DEDUP WITH A KEEPER — the CommonCrawl
     // re-crawl step: group documents by CANONICAL url (q110's
@@ -4983,6 +5044,37 @@ object SparkEntry {
       blocks = Some(8), keyBlocks = 1))
   }
 
+  /** The q180 dataflow, shared by the registration and the
+    * `vid-health` verb: the frame-grain fingerprint frame
+    * (checkpointed — the blocking self-join reads both sides) and
+    * the VIDEO-grain near-dup pair set (min frame-pair Hamming per
+    * video pair). Frame ids pack as vid*8+frame; frame-grain
+    * doc_a < doc_b with distinct videos already implies
+    * vid_a < vid_b. `div` = integer floor division, bit-equal to
+    * DuckDB's `//`. */
+  private[graft] def videoPhashPairs(s: SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val fp = Multimodal.decodePartitions[(Long, Int, Long)](
+      patternVideos(s, dir),
+      Multimodal.decodeSampledVideoGridHash(2, 8, 8, 128))(
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaInt,
+        org.apache.spark.sql.Encoders.scalaLong))
+      .toDF("vid", "frame", "fp")
+      .select((col("vid") * 8 + col("frame")).as("doc"), col("fp"))
+      .localCheckpoint()
+    (fp, Dedup.hammingNearDupPairs(fp, radius = 4, width = 64,
+        blocks = Some(8), keyBlocks = 1)
+      .select(expr("doc_a div 8").as("vid_a"),
+        expr("doc_b div 8").as("vid_b"),
+        col("hamming"))
+      .filter(col("vid_a") =!= col("vid_b"))
+      .groupBy(col("vid_a"), col("vid_b"))
+      .agg(min(col("hamming")).as("min_hamming"),
+        count(lit(1)).as("n_frame_pairs")))
+  }
+
   /** The q183 media fixture: one deterministic 16-bit PCM WAV per
     * 16th event id (the oracle's all-pairs recompute stays bounded).
     * 256 mono samples at 8 kHz laid out as 64 windows × 4 samples;
@@ -4997,17 +5089,26 @@ object SparkEntry {
     * is sign-blind, so the decoded window means are exactly 9600 or
     * 160 against the 1000 threshold — the oracle rebuilds every
     * hash from id arithmetic alone. */
-  private def patternWavs(s: SparkSession, dir: String)
+  private def patternWavs(s: SparkSession, dir: String,
+      idFilter: Column = lit(true), patShift: Int = 0)
       : org.apache.spark.sql.DataFrame =
     Multimodal.decodePartitions[(Long, Array[Byte])](
       t(s, dir, "events").select(col("event_id"))
         .filter(col("event_id") % 16 === 0)
+        // BEFORE the encode seam (the patternPngs rationale): a
+        // caller slicing the fixture must pass the filter here or
+        // pay the full encode pass per slice
+        .filter(idFilter)
         .repartition(s.sparkContext.defaultParallelism),
       rows => {
         val enc = new graft.operators.WavEncoder() // once per task
         rows.map { r =>
           val id = r.getLong(0)
-          val p = (id % 50L).toInt
+          // patShift rotates the base-pattern id (the patternPngs
+          // mirror): q196's streamed audio carries the 25 ODD
+          // patterns the stored index (even residues mod 50) has
+          // never heard — only index GROWTH can flag them
+          val p = ((id % 50L).toInt + patShift) % 50
           val m = id / 16
           val k = (m % 3L).toInt
           val flips =
@@ -8420,6 +8521,66 @@ object SparkEntry {
            |b1 AS (SELECT id, fp FROM th WHERE (id // 16) % 3 = 0),
            |b2 AS (SELECT id, fp FROM th WHERE (id // 16) % 3 = 1),
            |b3 AS (SELECT id, fp FROM th WHERE (id // 16) % 3 = 2),
+           |${mark(1, "sh")},
+           |i1 AS (SELECT * FROM sh UNION ALL SELECT id, fp FROM b1
+           |  WHERE id NOT IN (SELECT doc FROM d1)),
+           |${mark(2, "i1")},
+           |i2 AS (SELECT * FROM i1 UNION ALL SELECT id, fp FROM b2
+           |  WHERE id NOT IN (SELECT doc FROM d2)),
+           |${mark(3, "i2")}
+           |SELECT s.id AS doc, s.fp AS fp, d.doc_a AS dup_of,
+           |  d.hamming AS hamming, d.doc_a IS NOT NULL AS is_dup
+           |FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2
+           |      UNION ALL SELECT * FROM b3) s
+           |LEFT JOIN (SELECT * FROM d1 UNION ALL SELECT * FROM d2
+           |      UNION ALL SELECT * FROM d3) d ON s.id = d.doc"""
+          .stripMargin
+      },
+
+      // the q176 mark shape on the AUDIO hash CTEs (div = 16 — every
+      // 16th event is a WAV; halves split mod 32): the batch's even-m
+      // clips keep their stored patterns (all dup), its odd-m clips
+      // rotate to the odd residues the store never heard (all fresh)
+      "q195_audio_phash_ingest" ->
+        s"""WITH ${phashHashCtes("s", "event_id % 32 = 0",
+              "(event_id % 50)", div = 16)},
+           |${phashHashCtes("t", "event_id % 32 = 16",
+              "CASE WHEN (event_id // 32) % 2 = 0 THEN (event_id % 50)" +
+                " ELSE ((event_id % 50) + 1) % 50 END", div = 16)},
+           |marks AS (
+           |  SELECT b.id AS doc, i.id AS doc_a,
+           |    bit_count(xor(b.fp, i.fp)) AS hamming,
+           |    row_number() OVER (PARTITION BY b.id
+           |      ORDER BY bit_count(xor(b.fp, i.fp)), i.id) AS rk
+           |  FROM th b JOIN sh i
+           |    ON bit_count(xor(b.fp, i.fp)) <= 4)
+           |SELECT b.id AS doc, b.fp AS fp, m.doc_a AS dup_of,
+           |  m.hamming AS hamming, m.doc_a IS NOT NULL AS is_dup
+           |FROM th b LEFT JOIN
+           |  (SELECT doc, doc_a, hamming FROM marks WHERE rk = 1) m
+           |  ON b.id = m.doc""".stripMargin,
+
+      // q177's chained-growth CTEs on the audio grain: every streamed
+      // clip is pattern-rotated (no stored partner exists), so every
+      // dup in the answer was flagged through a sealed cross-batch
+      // append
+      "q196_stream_audio_ingest" -> {
+        def mark(bn: Int, idx: String) =
+          s"""d$bn AS (SELECT doc, doc_a, hamming FROM (
+             |  SELECT b.id AS doc, i.id AS doc_a,
+             |    bit_count(xor(b.fp, i.fp)) AS hamming,
+             |    row_number() OVER (PARTITION BY b.id
+             |      ORDER BY bit_count(xor(b.fp, i.fp)), i.id) AS rk
+             |  FROM b$bn b JOIN $idx i
+             |    ON bit_count(xor(b.fp, i.fp)) <= 4) WHERE rk = 1)"""
+            .stripMargin
+        s"""WITH ${phashHashCtes("s", "event_id % 32 = 0",
+              "(event_id % 50)", div = 16)},
+           |${phashHashCtes("t", "event_id % 32 = 16",
+              "((event_id % 50) + 1) % 50", div = 16)},
+           |b1 AS (SELECT id, fp FROM th WHERE (id // 32) % 3 = 0),
+           |b2 AS (SELECT id, fp FROM th WHERE (id // 32) % 3 = 1),
+           |b3 AS (SELECT id, fp FROM th WHERE (id // 32) % 3 = 2),
            |${mark(1, "sh")},
            |i1 AS (SELECT * FROM sh UNION ALL SELECT id, fp FROM b1
            |  WHERE id NOT IN (SELECT doc FROM d1)),

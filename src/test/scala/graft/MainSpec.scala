@@ -441,6 +441,36 @@ class MainSpec extends AnyFunSuite with SparkSpec with Matchers {
     lines.exists(_.startsWith("largest group:")) shouldBe true
   }
 
+  test("vid-health verb: census reconciles with the q180 gate query") {
+    import org.apache.spark.sql.functions.col
+    val sfDir = "/root/testdata/sf0.001"
+    val lines = Main.run(spark, Seq("vid-health", sfDir))
+    lines.foreach(l => info(l))
+    val pairs = SparkEntry.queries("q180_video_phash_dedup")(spark, sfDir)
+      .localCheckpoint()
+    val nPairs = pairs.count()
+    val nVideos = SparkEntry.videoPhashPairs(spark, sfDir)._1
+      .select(org.apache.spark.sql.functions.expr("doc div 8"))
+      .distinct().count()
+    lines.head should startWith(s"videos decoded: $nVideos")
+    lines(1) shouldBe
+      s"video near-dup pairs (min frame Hamming <= 4): $nPairs"
+    lines(2) should include("dup groups:")
+    // every grouped video is an endpoint of some video pair — the
+    // census grouped count equals the distinct endpoints of the gate
+    // pairs
+    val endpoints = pairs.select(col("vid_a").as("v"))
+      .union(pairs.select(col("vid_b").as("v"))).distinct().count()
+    val grouped = "covering (\\d+) videos".r
+      .findFirstMatchIn(lines(2)).get.group(1).toLong
+    grouped shouldBe endpoints
+    // the largest-group line exists exactly when any pair exists
+    // (sf0.001's 25 videos land in 25 distinct content classes —
+    // zero pairs is the CORRECT census there, and the verb must
+    // survive it; sf0.01 carries real groups)
+    lines.exists(_.startsWith("largest group:")) shouldBe (nPairs > 0)
+  }
+
   test("report verb prints the per-source data card") {
     val lines = Main.run(spark, Seq("report", "/root/testdata/sf0.001"))
     lines.head should include("source")
