@@ -2695,6 +2695,46 @@ object SparkEntry {
       materializeThenClean(s, res, root)
     }),
 
+    // ── NS training-data: COMPONENT-AWARE SPLIT — q190 closes the
+    // same-URL leakage subclass; this closes the near-dup remainder:
+    // fold assignment by the CONNECTED COMPONENT over near-dup pair
+    // edges (the shared at-rest pair store — q84/q133/q140/q157's
+    // fifth consumer) unioned with same-canonical-url edges, so NO
+    // near-duplicate pair can straddle train/eval by construction.
+    // Same output shape as q190; n_rescued prices the naive fold's
+    // damage. The oracle recomputes the exact dense pair set,
+    // unions the canon min-edges, walks the components recursively,
+    // and replays the identical fold arithmetic ──
+    "q197_component_split" -> ((s, dir) =>
+      Dedup.componentGroupSplit(syntheticUrlDocs(s, dir),
+        "doc_id", "source", functions.urls.canonicalize(col("url")),
+        nearDupPairStore(s, dir))),
+
+    // ── NS training-data: the q121 leakage measurement RE-RUN over
+    // q197's component folds — the loop closed: q121 measures
+    // near-dup leakage (nonzero under the naive id fold), q197
+    // prevents it by construction, THIS proves the zero is EARNED
+    // (the full banded-candidate + exact-re-score machinery finds
+    // nothing, and the oracle's independent exact leakage join over
+    // the recursive components agrees). Per-source val populations
+    // keep the answer non-degenerate ──
+    "q198_component_split_leakage" -> ((s, dir) => {
+      val docs = syntheticUrlDocs(s, dir)
+      val grp = Dedup.componentGroups(docs, "doc_id",
+        functions.urls.canonicalize(col("url")),
+        nearDupPairStore(s, dir))
+      val flagged = docs.join(grp, Seq("doc_id"))
+        .withColumn("_q198_val",
+          functions.hashes.md5Hash60(col("group").cast("string"))
+            % 10 === 1)
+      Dedup.splitLeakageTagged(flagged, "doc_id", "text", "_q198_val",
+          shingleN = 2, k = 64, bands = 32, threshold = 0.5)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_val"),
+          sum(when(col("is_leaked"), 1L).otherwise(0L)).as("n_leaked"),
+          coalesce(sum(col("leak_from")), lit(0L)).as("sum_leak_from"))
+    }),
+
     // ── NS corpus stats: PHRASE MERGE — q186's phrases APPLIED (the
     // word2vec phrases pass): greedy left-to-right non-overlapping
     // merge over the token stream, re-expressed relationally as
@@ -5330,7 +5370,8 @@ object SparkEntry {
     val consumers = Map(
       "pair_store" ->
         Set("q84_dedup_keeper", "q133_dup_attribution", "q140_dup_census",
-          "q153_training_manifest", "q157_dup_centrality"),
+          "q153_training_manifest", "q157_dup_centrality",
+          "q197_component_split", "q198_component_split_leakage"),
       "postings_index" -> Set("q126_bm25_indexed"))
     def wanted(store: String): Boolean =
       selected.forall(qs => consumers(store).exists(qs.contains))
@@ -5699,8 +5740,13 @@ object SparkEntry {
        |  round(jc, 6) < 0.5 AS jaccard_missed
        |FROM scored WHERE ov >= 0.9""".stripMargin
 
-  private def neardupGroupsSql: String =
-    s"""WITH RECURSIVE sh AS (
+  /** The exact jaccard-0.5 near-dup pair CTEs over `documents` —
+    * ends with `p(doc_a, doc_b)` (and leaves `sh(doc_id, s)` in
+    * scope); ONE rendering shared by q44 (via [[neardupGroupsSql]]),
+    * q197, and q198 so the pair rule cannot drift across the
+    * dedup/split/leakage consumers. */
+  private def neardupPairCtes: String =
+    s"""sh AS (
        |  SELECT doc_id,
        |    ${sqlShingles(2)} AS s
        |  FROM (SELECT doc_id, $sqlTokens AS toks FROM documents)),
@@ -5709,7 +5755,38 @@ object SparkEntry {
        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
        |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
-       |      AS DOUBLE) >= 0.5),
+       |      AS DOUBLE) >= 0.5)""".stripMargin
+
+  /** The component-group CTEs of the q197/q198 split family: the
+    * near-dup pair edges (`p`, from [[neardupPairCtes]]) unioned
+    * with same-canon min-edges (requires [[urlCanonCtes]]'s `canon`
+    * in scope), walked recursively to components — ends with
+    * `g(doc_id, source, grp)`, grp = the component's min member id
+    * (the doc itself when unique). Mirrors Dedup.componentGroups. */
+  private def componentGroupCtes: String =
+    s"""ce AS (
+       |  SELECT c.doc_id AS doc_a, g0.mn AS doc_b
+       |  FROM canon c JOIN (SELECT canon, MIN(doc_id) AS mn
+       |    FROM canon GROUP BY canon) g0 ON c.canon = g0.canon
+       |  WHERE c.doc_id <> g0.mn),
+       |alle AS (SELECT doc_a, doc_b FROM p
+       |  UNION SELECT doc_a, doc_b FROM ce),
+       |cedges AS (SELECT doc_a AS src, doc_b AS dst FROM alle
+       |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM alle),
+       |creach AS (
+       |  SELECT src AS node, src AS r FROM cedges
+       |  UNION
+       |  SELECT e.src AS node, re.r AS r
+       |  FROM cedges e JOIN creach re ON e.dst = re.node),
+       |clbl AS (SELECT node, MIN(r) AS label
+       |  FROM creach GROUP BY node),
+       |g AS (SELECT d.doc_id, d.source,
+       |    COALESCE(l.label, d.doc_id) AS grp
+       |  FROM documents d LEFT JOIN clbl l ON d.doc_id = l.node)"""
+      .stripMargin
+
+  private def neardupGroupsSql: String =
+    s"""WITH RECURSIVE $neardupPairCtes,
        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
        |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p),
        |reach AS (
@@ -8535,6 +8612,67 @@ object SparkEntry {
            |LEFT JOIN (SELECT * FROM d1 UNION ALL SELECT * FROM d2
            |      UNION ALL SELECT * FROM d3) d ON s.id = d.doc"""
           .stripMargin
+      },
+
+      // the exact dense pair set (q44's rendering) unioned with the
+      // canon min-edges, walked recursively to components, then the
+      // q190 fold arithmetic on the component label — every shared
+      // fragment re-verified through a second consumer
+      "q197_component_split" -> {
+        def fold(h: String) =
+          s"CASE $h % 10 WHEN 0 THEN 'test' WHEN 1 THEN 'val' " +
+            "ELSE 'train' END"
+        s"""WITH RECURSIVE $urlCanonCtes,
+           |$neardupPairCtes,
+           |$componentGroupCtes,
+           |s AS (SELECT source,
+           |    ${fold(hashes.md5Hash60Sql("CAST(grp AS VARCHAR)"))}
+           |      AS split,
+           |    grp,
+           |    ${fold(hashes.md5Hash60Sql(
+                  "CAST(doc_id AS VARCHAR)"))} AS dsplit
+           |  FROM g)
+           |SELECT source, split, COUNT(*) AS n_docs,
+           |  COUNT(DISTINCT grp) AS n_groups,
+           |  CAST(SUM(CASE WHEN dsplit <> split THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_rescued
+           |FROM s GROUP BY source, split""".stripMargin
+      },
+
+      // the independent exact leakage join over the component folds:
+      // every val doc exact-jaccard-scored against every non-val doc
+      // — the oracle agreeing on ZERO leaks proves the engine's
+      // banded pass missed nothing and the fold's guarantee is real
+      "q198_component_split_leakage" -> {
+        def fold(h: String) =
+          s"CASE $h % 10 WHEN 0 THEN 'test' WHEN 1 THEN 'val' " +
+            "ELSE 'train' END"
+        s"""WITH RECURSIVE $urlCanonCtes,
+           |$neardupPairCtes,
+           |$componentGroupCtes,
+           |f AS (SELECT g.doc_id, g.source,
+           |    ${fold(hashes.md5Hash60Sql("CAST(grp AS VARCHAR)"))}
+           |      AS split
+           |  FROM g),
+           |vl AS (SELECT f.doc_id, f.source, sh.s
+           |  FROM f JOIN sh ON f.doc_id = sh.doc_id
+           |  WHERE f.split = 'val'),
+           |tr AS (SELECT f.doc_id, sh.s
+           |  FROM f JOIN sh ON f.doc_id = sh.doc_id
+           |  WHERE f.split <> 'val'),
+           |lk AS (SELECT v.doc_id, MIN(t.doc_id) AS leak_from
+           |  FROM vl v JOIN tr t
+           |    ON CAST(len(list_intersect(v.s, t.s)) AS DOUBLE) /
+           |       CAST(len(v.s) + len(t.s)
+           |         - len(list_intersect(v.s, t.s)) AS DOUBLE) >= 0.5
+           |  GROUP BY v.doc_id)
+           |SELECT v.source, COUNT(*) AS n_val,
+           |  CAST(SUM(CASE WHEN lk.leak_from IS NOT NULL
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked,
+           |  CAST(COALESCE(SUM(lk.leak_from), 0) AS BIGINT)
+           |    AS sum_leak_from
+           |FROM vl v LEFT JOIN lk ON v.doc_id = lk.doc_id
+           |GROUP BY v.source""".stripMargin
       },
 
       // the q176 mark shape on the AUDIO hash CTEs (div = 16 — every

@@ -2403,6 +2403,101 @@ object Dedup {
     * by doc id on the candidate set only. Same S-curve contract as
     * [[minhashNearDupPairs]] (k, bands, minBandMatches=2):
     * subset-exact, complete away from the knee. */
+  /** NEAR-DUP-COMPONENT GROUPS — the group key the component-aware
+    * split (q197/q198) folds by: connected components over the UNION
+    * of the near-dup pair edges (the at-rest pair store — the
+    * q44/q84 machinery) and same-`urlKey` edges (each doc linked to
+    * its key group's min id — the CC-equivalent rendering of "same
+    * canonical url ⇒ same group"), so two documents share a group
+    * exactly when a chain of near-duplication OR url-identity
+    * connects them. Returns (idCol, group) with group = the
+    * component's min member id (itself when unique).
+    *
+    * Scale shape: the url edges are one key-grain aggregate + one
+    * equi-join (no new pair machinery); the CC is the O(log n)
+    * large-star/small-star rounds over edge-grain frames — the
+    * corpus itself never enters the component computation. */
+  def componentGroups(docs: DataFrame, idCol: String, urlKey: Column,
+      pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b"): DataFrame = {
+    val keyed = docs.select(col(idCol).as("_cg_id"),
+      urlKey.as("_cg_key"))
+    val canonEdges = keyed
+      .join(keyed.groupBy(col("_cg_key"))
+        .agg(min(col("_cg_id")).as("_cg_min")), "_cg_key")
+      .filter(col("_cg_id") =!= col("_cg_min"))
+      .select(col("_cg_id").as(aCol), col("_cg_min").as(bCol))
+    val cc = connectedComponentsStar(
+      pairs.select(col(aCol), col(bCol)).unionByName(canonEdges),
+      aCol, bCol).toDF("_cg_id", "_cg_grp")
+    docs.select(col(idCol))
+      .join(cc, col(idCol) === col("_cg_id"), "left")
+      .select(col(idCol),
+        coalesce(col("_cg_grp"), col(idCol)).as("group"))
+  }
+
+  /** COMPONENT-AWARE SPLIT — [[Relational.groupAwareSplit]] with the
+    * [[componentGroups]] key: fold assignment by deterministic hash
+    * of the near-dup-component ∪ url-group id, so NO near-duplicate
+    * pair (and no same-url pair) can straddle train/eval — the
+    * by-construction guarantee of the leakage class q121 measures
+    * (q190 prevents only the same-URL subclass; this closes the
+    * near-dup remainder). Same output shape as q190: per (source,
+    * split) doc/group mass plus `n_rescued` = docs a naive doc-level
+    * fold would have scattered across the boundary. */
+  def componentGroupSplit(docs: DataFrame, idCol: String,
+      sourceCol: String, urlKey: Column, pairs: DataFrame): DataFrame =
+    Relational.groupAwareSplit(
+      docs.join(componentGroups(docs, idCol, urlKey, pairs),
+        Seq(idCol)),
+      idCol, sourceCol, col("group").cast("string"))
+
+  /** [[splitLeakage]] with the val membership as a PRECOMPUTED
+    * boolean column instead of an id predicate — the form a
+    * group/component fold needs (its val set depends on a CC-label
+    * join no pure id expression can reproduce). Identical candidate
+    * and re-score semantics; the flag rides a doc-grain join onto
+    * the signature frames (one extra co-partitioned equi-join — the
+    * predicate form stays the zero-join variant for folds the id
+    * alone decides; DedupSpec pins the two forms equal on a
+    * predicate-expressible fold). */
+  def splitLeakageTagged(docs: DataFrame, idCol: String,
+      textCol: String, valFlagCol: String, shingleN: Int, k: Int,
+      bands: Int, threshold: Double): DataFrame = {
+    val flags = docs.select(col(idCol).as("doc"),
+      col(valFlagCol).cast("boolean").as("_slt_v"))
+    val sets = shingleSets(docs, idCol, textCol, shingleN)
+      .join(flags, "doc")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = bandedSignatures(signaturesFromBaseHashes(
+      sets.select(col("doc"), explode(col("shingles")).as("shingle"))
+        .select(col("doc"), xxhash64(col("shingle")).as("h0")),
+      k), bands, k)
+      .join(flags, "doc")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val valB = banded.filter(col("_slt_v")).drop("_slt_v")
+      .toDF("doc_b", "band", "band_hash")
+    val trainB = banded.filter(!col("_slt_v")).drop("_slt_v")
+      .toDF("doc_a", "band", "band_hash")
+    val candidates = valB.join(trainB, Seq("band", "band_hash"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands"))
+      .filter(col("n_bands") >= 2)
+      .select("doc_a", "doc_b")
+    val leaks = rescoreJaccardAB(candidates,
+        sets.filter(!col("_slt_v")).select(col("doc"), col("shingles")),
+        sets.filter(col("_slt_v")).select(col("doc"), col("shingles")),
+        threshold)
+      .groupBy(col("doc_b").as(idCol))
+      .agg(min(col("doc_a")).as("leak_from"))
+    val out = docs.filter(col(valFlagCol))
+      .join(leaks, Seq(idCol), "left")
+      .withColumn("is_leaked", col("leak_from").isNotNull)
+      .localCheckpoint(eager = true)
+    banded.unpersist(blocking = false)
+    sets.unpersist(blocking = false)
+    out
+  }
+
   def splitLeakage(docs: DataFrame, idCol: String, textCol: String,
       isVal: Column => Column, shingleN: Int, k: Int, bands: Int,
       threshold: Double): DataFrame = {

@@ -1013,6 +1013,66 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
     out(30L) shouldBe ((Some(7L), true)) // near-dup (one word appended)
   }
 
+  test("splitLeakageTagged ≡ splitLeakage on a predicate-expressible " +
+    "fold (the two forms cannot drift)") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "the quick brown fox jumps over the lazy dog tonight"),
+      (20L, "totally new material never indexed before anywhere"),
+      (7L, "completely different content about spark and catalyst"),
+      (30L, "completely different content about spark and catalyst today"))
+      .toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "leak_from", "is_leaked")
+      .as[(Long, Option[Long], Boolean)].collect().toSet
+    val pred = norm(Dedup.splitLeakage(docs, "doc_id", "text",
+      id => pmod(id, lit(10)) === 0,
+      shingleN = 2, k = 64, bands = 32, threshold = 0.5))
+    val tagged = norm(Dedup.splitLeakageTagged(
+      docs.withColumn("_v", pmod(col("doc_id"), lit(10)) === 0),
+      "doc_id", "text", "_v",
+      shingleN = 2, k = 64, bands = 32, threshold = 0.5))
+    tagged shouldBe pred
+  }
+
+  test("componentGroups: near-dup pairs and same-url groups merge; " +
+    "the component fold leaks zero where the naive fold leaks") {
+    import spark.implicits._
+    // 1 ≈ 2 (near-dup pair), 2 and 3 share a url-canon, 4 isolated:
+    // one component {1, 2, 3} labeled 1, plus singleton 4
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight", "u1"),
+      (2L, "the quick brown fox jumps over the lazy dog today", "u2"),
+      (3L, "totally different content about spark and catalyst", "u2"),
+      (4L, "completely unrelated material never seen anywhere", "u3"))
+      .toDF("doc_id", "text", "canon_url")
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+      shingleN = 2, k = 64, bands = 32, threshold = 0.5)
+    pairs.select("doc_a", "doc_b").as[(Long, Long)].collect()
+      .toSet shouldBe Set((1L, 2L))
+    val grp = Dedup.componentGroups(docs, "doc_id", col("canon_url"),
+        pairs)
+      .as[(Long, Long)].collect().toMap
+    grp shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L)
+    // leakage contrast: force 1 into "val" and 2 into "train" with a
+    // naive per-doc fold — the near-dup pair straddles and leaks;
+    // the component fold puts the whole {1,2,3} group on one side,
+    // so the SAME machinery measures zero
+    val naive = Dedup.splitLeakageTagged(
+      docs.withColumn("_v", col("doc_id") === 1L),
+      "doc_id", "text", "_v", 2, 64, 32, 0.5)
+    naive.filter(col("is_leaked")).count() shouldBe 1L
+    val byGroup = docs.join(
+      Dedup.componentGroups(docs, "doc_id", col("canon_url"), pairs),
+      Seq("doc_id"))
+    val componentFold = Dedup.splitLeakageTagged(
+      byGroup.withColumn("_v", col("group") === 1L),
+      "doc_id", "text", "_v", 2, 64, 32, 0.5)
+    componentFold.count() shouldBe 3L // the whole component is val
+    componentFold.filter(col("is_leaked")).count() shouldBe 0L
+  }
+
   test("tagged ingest (exactly-once): a retried batch leaves store and verdicts in the single-run state") {
     import spark.implicits._
     val root = java.nio.file.Files
