@@ -2735,6 +2735,93 @@ object SparkEntry {
           coalesce(sum(col("leak_from")), lit(0L)).as("sum_leak_from"))
     }),
 
+    // ── NS similarity: TWO-SIDED AT-REST MARGIN MINING — the
+    // CCMatrix production shape closing the margin family (dense
+    // q184, indexed q187, forward-only at-rest q192/q193, THIS):
+    // both sides bucket-clustered at rest, candidates from each
+    // X-bucket's enumerated probe ball (bounded broadcast; the Y
+    // scan pruned by ONE pushed isin), and the TRUE two-directional
+    // Artetxe margin through the same marginFromScored core as
+    // q184/q187 — so all four forms share one arithmetic. Plane +
+    // radius literals inline in the oracle ──
+    "q199_margin_two_sided" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q199_").toString
+      val emb = t(s, dir, "embeddings")
+      def writeStore(residue: Int, path: String): Unit =
+        Layout.clusteredWrite(
+          emb.filter(col("vec_id") % 2 === residue)
+            .withColumn("bucket",
+              vectors.hyperplaneBucketFast(col("embedding"), q97Planes)),
+          path, numFiles = 8, col("bucket"))
+      writeStore(0, root + "/x")
+      writeStore(1, root + "/y")
+      val out = Similarity.marginMineStores(s, root + "/x",
+        root + "/y", q97Planes, radius = q98Radius, k = 4,
+        threshold = 1.10)
+      materializeThenClean(s, out, root)
+    }),
+
+    // ── T7+NS: GROWING-STORE MARGIN INGEST — q193 mined a STATIC
+    // store; this gives the embedding store the standard lifecycle
+    // (the q111/q177 growth convention): each micro-batch mines the
+    // store AS OF its start, seals its verdicts, then appends its
+    // OWN bucketed vectors as a tagged segment — so batch 2's best
+    // partners can come from batch 1's appended vectors (56-60 of
+    // the fixture's 250 best-partners do), which a failed append
+    // surfaces as in the oracle compare ──
+    "q200_stream_margin_grow" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ns = drainSession(s)
+      import ns.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = ns.sqlContext
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q200_").toString
+      val emb = t(s, dir, "embeddings")
+      Layout.clusteredWrite(
+        emb.filter(col("vec_id") % 2 === 0)
+          .withColumn("bucket",
+            vectors.hyperplaneBucketFast(col("embedding"), q97Planes)),
+        root + "/store/emb", numFiles = 8, col("bucket"))
+      val rows = emb.filter(col("vec_id") % 2 =!= 0)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect().toSeq
+      val input = MemoryStream[(Long, Seq[Float])]
+      val stream = input.toDF().toDF("vec_id", "embedding")
+      val ckpt = ephemeralCheckpoint("q200")
+      val q = Streams.marginIngestGrowing(stream, root + "/store",
+        "emb", q97Planes, q98Radius, k = 4, threshold = 1.15, root,
+        ckpt.getAbsolutePath)
+      try
+        (0 until 3).foreach { r =>
+          input.addData(rows.filter(t => (t._1 / 2) % 3 == r))
+          q.processAllAvailable()
+        }
+      finally {
+        try q.stop()
+        finally Scratch.deleteRecursively(ckpt)
+      }
+      val out = s.read.parquet(root + "/partials")
+        .select("src_id", "tgt_id", "cos", "margin", "accepted")
+      materializeThenClean(s, out, root)
+    }),
+
+    // ── NS text quality: CALIBRATION-DRIVEN GATE — the calibrate →
+    // choose → gate loop closed (q156 gates at a fixed logit 0,
+    // q188 emits the reliability table a human would read; THIS
+    // picks the threshold FROM the table): smallest bin edge whose
+    // cumulative-from-the-top positive rate meets the stated target
+    // precision (integer milli, bounded planning collect), fed
+    // straight through the per-source gate — one scoring pass feeds
+    // both halves. The fixture chooses DIFFERENT bins at the two
+    // gate SFs (3 at sf0.001, 6 at sf0.01), so the choice
+    // arithmetic itself is what the oracle verifies ──
+    "q201_calibrated_gate" -> ((s, dir) =>
+      CorpusStats.calibratedGateReport(t(s, dir, "documents"),
+        "doc_id", "text", "source", buckets = 4096, binWidth = 2000,
+        positive = functions.text.qualityScore(col("text")) >= 0.8,
+        targetMilli = 700)),
+
     // ── NS corpus stats: PHRASE MERGE — q186's phrases APPLIED (the
     // word2vec phrases pass): greedy left-to-right non-overlapping
     // merge over the token stream, re-expressed relationally as
@@ -8674,6 +8761,104 @@ object SparkEntry {
            |FROM vl v LEFT JOIN lk ON v.doc_id = lk.doc_id
            |GROUP BY v.source""".stripMargin
       },
+
+      // both stores' buckets from the inlined plane literals, the
+      // candidate relation = bucket Hamming ≤ radius (exactly what
+      // the engine's enumerated probe ball joins), then the SAME
+      // two-directional margin chain as q184/q187 — one rendering,
+      // four engine forms
+      "q199_margin_two_sided" ->
+        s"""WITH x AS (SELECT vec_id AS src_id, embedding,
+           |    ${sqlBucket("embedding", q97Planes)} AS bx
+           |  FROM embeddings WHERE vec_id % 2 = 0),
+           |y AS (SELECT vec_id AS tgt_id, embedding,
+           |    ${sqlBucket("embedding", q97Planes)} AS yb
+           |  FROM embeddings WHERE vec_id % 2 <> 0),
+           |p AS (SELECT x.src_id, y.tgt_id,
+           |    round(${marginCosSql("x", "y")}, 6) AS cos
+           |  FROM x JOIN y ON bit_count(xor(x.bx, y.yb)) <= $q98Radius),
+           |$marginChainSql""".stripMargin,
+
+      // q177's chained-growth CTEs on the margin grain: each batch's
+      // forward margin against the store AS OF its start (the q192
+      // rk/top/st/d chain per batch, cos > 0 guard included), the
+      // batch's vectors joining the store before the next batch —
+      // 56-60 of the 250 best-partners are only reachable through
+      // that growth
+      "q200_stream_margin_grow" -> {
+        val cos = marginCosSql("x", "y")
+        def mark(bn: Int, store: String) =
+          s"""rk$bn AS (SELECT y.src_id, x.vec_id AS tgt_id,
+             |    round($cos, 6) AS cos,
+             |    row_number() OVER (PARTITION BY y.src_id
+             |      ORDER BY round($cos, 6) DESC, x.vec_id) AS rk
+             |  FROM b$bn y JOIN $store x
+             |    ON bit_count(xor(x.bucket, y.qb)) <= $q98Radius
+             |  WHERE round($cos, 6) > 0),
+             |top$bn AS (SELECT * FROM rk$bn WHERE rk <= 4),
+             |st$bn AS (SELECT src_id,
+             |    SUM(CAST(cos AS DECIMAL(18,6))) AS s, COUNT(*) AS c
+             |  FROM top$bn GROUP BY src_id),
+             |d$bn AS (SELECT t.src_id, t.tgt_id, t.cos,
+             |  round(CAST(t.cos AS DOUBLE) /
+             |    (CAST(st.s AS DOUBLE) / st.c), 6) AS margin,
+             |  round(CAST(t.cos AS DOUBLE) /
+             |    (CAST(st.s AS DOUBLE) / st.c), 6) >= 1.15 AS accepted
+             |  FROM top$bn t JOIN st$bn st USING (src_id)
+             |  WHERE t.rk = 1)""".stripMargin
+        s"""WITH s0 AS (SELECT vec_id, embedding,
+           |    ${sqlBucket("embedding", q97Planes)} AS bucket
+           |  FROM embeddings WHERE vec_id % 2 = 0),
+           |yv AS (SELECT vec_id AS src_id, embedding,
+           |    ${sqlBucket("embedding", q97Planes)} AS qb,
+           |    (vec_id // 2) % 3 AS bn
+           |  FROM embeddings WHERE vec_id % 2 <> 0),
+           |b1 AS (SELECT * FROM yv WHERE bn = 0),
+           |b2 AS (SELECT * FROM yv WHERE bn = 1),
+           |b3 AS (SELECT * FROM yv WHERE bn = 2),
+           |${mark(1, "s0")},
+           |s1 AS (SELECT * FROM s0 UNION ALL
+           |  SELECT src_id AS vec_id, embedding, qb AS bucket FROM b1),
+           |${mark(2, "s1")},
+           |s2 AS (SELECT * FROM s1 UNION ALL
+           |  SELECT src_id AS vec_id, embedding, qb AS bucket FROM b2),
+           |${mark(3, "s2")}
+           |SELECT * FROM d1 UNION ALL SELECT * FROM d2
+           |UNION ALL SELECT * FROM d3""".stripMargin
+      },
+
+      // the q188 bins re-aggregated, the threshold = MIN qualifying
+      // bin under the HUGEINT-floor cumulative milli rate, and the
+      // gate re-applied from the same scored frame — the choice
+      // lands on DIFFERENT bins at the two gate SFs, so the chooser
+      // arithmetic itself is what hash-matches
+      "q201_calibrated_gate" ->
+        s"""WITH $classifierLogitCtes,
+           |q AS (SELECT doc_id, ($sqlQualityExpr) AS quality
+           |  FROM (SELECT doc_id, text, $sqlTokens AS toks
+           |        FROM documents)),
+           |c AS (SELECT
+           |    CAST(floor(CAST(j.logit AS DOUBLE) / 2000.0) AS BIGINT)
+           |      AS bin,
+           |    j.logit,
+           |    CASE WHEN q.quality >= 0.8 THEN 1 ELSE 0 END AS pos
+           |  FROM j JOIN q USING (doc_id)),
+           |cal AS (SELECT bin, COUNT(*) AS n_docs,
+           |    CAST(SUM(pos) AS BIGINT) AS n_pos
+           |  FROM c GROUP BY bin),
+           |qual AS (SELECT c1.bin FROM cal c1 WHERE
+           |    ((SELECT SUM(n_pos) FROM cal c2 WHERE c2.bin >= c1.bin)
+           |      * 1000)
+           |    // (SELECT SUM(n_docs) FROM cal c2 WHERE c2.bin >= c1.bin)
+           |    >= 700),
+           |thr AS (SELECT MIN(bin) AS thr_bin FROM qual)
+           |SELECT j.source, t.thr_bin, t.thr_bin * 2000 AS thr_logit,
+           |  COUNT(*) AS n_docs,
+           |  CAST(SUM(CASE WHEN j.logit >= t.thr_bin * 2000
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_accept,
+           |  CAST(SUM(j.logit) AS BIGINT) AS sum_logit
+           |FROM j CROSS JOIN thr t GROUP BY j.source, t.thr_bin"""
+          .stripMargin,
 
       // the q176 mark shape on the AUDIO hash CTEs (div = 16 — every
       // 16th event is a WAV; halves split mod 32): the batch's even-m

@@ -893,13 +893,20 @@ object CorpusStats {
     * small integers — so negative logits bin downward (Spark/DuckDB
     * integer division would truncate toward zero and merge the two
     * bins around 0). Rates in integer milli (floor). */
+  /** The calibration family's ONE binning rule: double-floor so
+    * negative logits bin DOWNWARD (integer division would merge the
+    * two bins around zero — specced); shared by
+    * [[classifierCalibration]] and [[calibratedGateReport]] so the
+    * reliability table and the threshold chooser cannot drift. */
+  private def logitBin(binWidth: Long): Column =
+    floor(col("logit").cast("double") / binWidth).cast("long")
+
   def classifierCalibration(docs: DataFrame, idCol: String,
       textCol: String, buckets: Int, binWidth: Long,
       positive: Column): DataFrame = {
     require(binWidth >= 1, s"binWidth must be >= 1: $binWidth")
     linearClassifierScores(docs, idCol, textCol, buckets)
-      .select(floor(col("logit").cast("double") / binWidth)
-          .cast("long").as("bin"),
+      .select(logitBin(binWidth).as("bin"),
         col("logit"), positive.as("pos"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_docs"),
@@ -959,6 +966,72 @@ object CorpusStats {
     linearClassifierScores(docs, idCol, textCol, buckets)
       .groupBy(col(sourceCol))
       .agg(classifierGateAggCols.head, classifierGateAggCols.tail: _*)
+
+  /** CALIBRATION-DRIVEN THRESHOLD + GATE — the calibrate → choose →
+    * gate loop closed: instead of the fixed `logit >= 0` gate
+    * (q156) or a human reading the q188 reliability table, the
+    * threshold is CHOSEN from a stated target precision — the
+    * smallest bin edge whose cumulative-from-the-top observed
+    * positive rate (integer milli, the [[classifierCalibration]]
+    * bins via [[logitBin]]) meets `targetMilli` — and fed straight
+    * through the gate. If NO bin meets the target the gate accepts
+    * nothing (thr columns NULL): an unachievable precision target
+    * is an empty accept set, not a silent fallback.
+    *
+    * One scoring pass: the scored frame is localCheckpointed and
+    * feeds BOTH the calibration aggregate and the gate (re-running
+    * [[linearClassifierScores]] twice would double the dominant
+    * tokenize+hash cost). The bin table is a bounded planning
+    * collect (|bins| ≤ logit span / binWidth — guarded loudly); the
+    * cumulative walk and the comparison are driver-side integer
+    * arithmetic, the q124 bounded-planning convention. Per-source
+    * report: (source, thr_bin, thr_logit, n_docs, n_accept,
+    * sum_logit). */
+  def calibratedGateReport(docs: DataFrame, idCol: String,
+      textCol: String, sourceCol: String, buckets: Int,
+      binWidth: Long, positive: Column, targetMilli: Long): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be >= 1: $binWidth")
+    require(targetMilli >= 0 && targetMilli <= 1000,
+      s"targetMilli must be in [0, 1000]: $targetMilli")
+    val scored = linearClassifierScores(docs, idCol, textCol, buckets)
+      .withColumn("_cal_pos", positive)
+      .localCheckpoint()
+    val bins = scored
+      .select(logitBin(binWidth).as("bin"), col("_cal_pos"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_cal_pos"), 1L).otherwise(0L)).as("p"))
+      .limit(100001).collect()
+    require(bins.length <= 100000,
+      "calibratedGateReport: bin table exceeds the bounded-planning " +
+        s"contract (${bins.length} bins) — widen binWidth")
+    // descending walk: after processing bin b, (cp, cd) hold the
+    // cumulative (positives, docs) of ALL bins >= b — floor-divided
+    // milli rate, long arithmetic end to end (mirrors the oracle's
+    // HUGEINT // division on non-negative counts)
+    var cp = 0L
+    var cd = 0L
+    val qualifying = bins.sortBy(r => -r.getLong(0)).flatMap { r =>
+      cd += r.getLong(1)
+      cp += r.getLong(2)
+      if ((cp * 1000L) / cd >= targetMilli) Some(r.getLong(0)) else None
+    }
+    val thrBin: Option[Long] =
+      if (qualifying.isEmpty) None else Some(qualifying.min)
+    val accept = thrBin
+      .map(b => col("logit") >= lit(b * binWidth))
+      .getOrElse(lit(false))
+    scored.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(accept, 1L).otherwise(0L)).as("n_accept"),
+        sum(col("logit")).as("sum_logit"))
+      .select(col("source"),
+        thrBin.map(lit(_)).getOrElse(lit(null))
+          .cast("long").as("thr_bin"),
+        thrBin.map(b => lit(b * binWidth)).getOrElse(lit(null))
+          .cast("long").as("thr_logit"),
+        col("n_docs"), col("n_accept"), col("sum_logit"))
+  }
 
   /** NS: T5 SPAN-CORRUPTION accounting (Raffel et al. 2020): the
     * denoising-pretraining example builder's exact size report. Each

@@ -2759,7 +2759,10 @@ object Dedup {
     }
   }
 
-  private def taggedSegmentAppend(
+  // private[graft]: the growing embedding store (Streams
+  // .marginIngestGrowing) appends through the SAME seal protocol —
+  // one implementation of stage-then-rename-then-mark, not a copy
+  private[graft] def taggedSegmentAppend(
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
       tag: String, tables: Seq[(String, DataFrame)]): Unit = {
     val conf = spark.sessionState.newHadoopConf()

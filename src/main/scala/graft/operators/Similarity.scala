@@ -468,6 +468,60 @@ object Similarity {
         (col("margin") >= threshold).as("accepted"))
   }
 
+  /** TWO-SIDED AT-REST MARGIN MINING — the CCMatrix production
+    * shape: BOTH sides live as bucket-clustered stores (the q97
+    * layout) and the margin is the true two-directional Artetxe
+    * ratio — [[marginFromScored]], the SAME core as the dense
+    * (q184) and LSH-indexed (q187) forms, so the arithmetic cannot
+    * drift; [[marginProbeStore]]'s forward variant exists precisely
+    * for when only ONE side has an index, and this closes that gap.
+    *
+    * Candidates: each X-side OCCUPIED bucket's multi-probe ball —
+    * every Y bucket within `radius` sign-bit flips, ENUMERATED via
+    * [[probeBuckets]] (the enumeration IS the Hamming-≤-radius
+    * bucket relation, so no per-pair distance post-filter is
+    * needed) — lands as a bounded broadcast (xb, yb) frame; the
+    * distinct ball targets push as ONE isin into the Y store scan
+    * (parquet file/row-group pruning, the q98/q101 convention); X
+    * streams through an equi-join on its own bucket column. Neither
+    * corpus is ever cross-scored, collected, or broadcast — only
+    * the occupied-bucket set is (bounded by 2^|planes| and guarded
+    * loudly). Exactness recipe unchanged (round-6 cosines, DECIMAL
+    * shortlist means, id tie-breaks); plane literals inline in the
+    * oracle so the at-rest plan verifies exactly. */
+  def marginMineStores(spark: org.apache.spark.sql.SparkSession,
+      storeX: String, storeY: String, planes: Seq[Array[Double]],
+      radius: Int, k: Int, threshold: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val x = spark.read.parquet(storeX)
+    val y = spark.read.parquet(storeY)
+    val xb = x.select(col("bucket")).distinct().collect()
+      .map(_.getLong(0))
+    require(xb.length <= (1 << 20),
+      s"occupied-bucket collect of ${xb.length} exceeds the " +
+        "bounded-literal contract — use more planes per store shard")
+    val ballPairs = xb.toSeq.flatMap(b =>
+      probeBuckets(b, planes.size, radius).map(t => (b, t)))
+    require(ballPairs.size <= (1 << 20),
+      s"ball expansion of ${ballPairs.size} bucket pairs exceeds " +
+        "the bounded-literal contract — shrink the radius")
+    import spark.implicits._
+    val ball = broadcast(ballPairs.toDF("xb", "yb"))
+    val targets = ballPairs.map(_._2).distinct
+    val scored = x
+      .select(col("vec_id").as("src_id"),
+        col("embedding").as("x_emb"), col("bucket").as("xb"))
+      .join(ball, "xb")
+      .join(y.filter(col("bucket").isin(targets: _*))
+          .select(col("vec_id").as("tgt_id"),
+            col("embedding").as("y_emb"), col("bucket").as("yb")),
+        "yb")
+      .select(col("src_id"), col("tgt_id"),
+        round(vectors.cosineFast(col("x_emb"), col("y_emb")), 6)
+          .as("cos"))
+    marginFromScored(scored, k, threshold)
+  }
+
   /** The LSH collide candidate pair set of the indexed margin miner
     * — (src_id, tgt_id) distinct over same-(table, bucket)
     * collisions ([[hardNegatives]]' blocking on a two-sided input).

@@ -421,6 +421,67 @@ object Streams {
         b.sparkSession, storeDir, b, planes, radius, k, threshold)
     }
 
+  /** [[marginIngest]] with a GROWING store — the q111/q177 growth
+    * convention on the embedding modality: each micro-batch mines
+    * the store AS OF its start (Similarity.marginProbeStore — the
+    * pushed union-ball pruning included), lands its per-vector
+    * verdicts as a batchId-named sealed segment, and then appends
+    * its OWN vectors (bucketed, one bucket-sorted file) to the
+    * store under the tagged-append seal — so later batches mine
+    * against earlier batches' vectors, not just the initial corpus.
+    *
+    * Exactly-once under retry, two artifacts, strict write order
+    * (verdict seal BEFORE store append):
+    *  - both sealed → the whole batch is skipped;
+    *  - verdicts sealed, append uncommitted (crash between) → only
+    *    the append redoes, and it is a pure function of the batch —
+    *    the redo reproduces what the crash interrupted;
+    *  - neither → both redo, and because the append can only start
+    *    after the verdict seal, the re-mine always sees the store
+    *    WITHOUT this batch's own vectors (no self-matches, mark
+    *    stays as-of-batch-start).
+    * Half-landed append files are cleaned by the tagged protocol
+    * before the redo. Zero streaming state. */
+  def marginIngestGrowing(batch: DataFrame, storeParent: String,
+      storeTable: String, planes: Seq[Array[Double]], radius: Int,
+      k: Int, threshold: Double, storeRoot: String,
+      checkpointDir: String): StreamingQuery =
+    batch.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = b.sparkSession
+        val widthKey = "spark.sql.shuffle.partitions"
+        val oldWidth = s.conf.get(widthKey)
+        s.conf.set(widthKey, s.sparkContext.defaultParallelism)
+        try graft.Phases.time(s"margin_grow[b$batchId]") {
+          graft.sources.StoreLease.withLease(s, storeParent,
+              s"margin-grow-b$batchId") {
+            val storeDir = s"$storeParent/$storeTable"
+            val bd = b.toDF()
+            val seg = new org.apache.hadoop.fs.Path(
+              s"$storeRoot/partials/batch_id=$batchId")
+            val fs = seg.getFileSystem(
+              s.sparkContext.hadoopConfiguration)
+            val marker = new org.apache.hadoop.fs.Path(seg, "_SUCCESS")
+            if (!fs.exists(marker)) {
+              if (fs.exists(seg)) fs.delete(seg, true) // half-landed
+              graft.operators.Similarity.marginProbeStore(
+                s, storeDir, bd, planes, radius, k, threshold)
+                .write.parquet(seg.toString)
+            }
+            if (!graft.operators.Dedup.isBatchCommitted(s, storeParent,
+                s"b$batchId"))
+              graft.operators.Dedup.taggedSegmentAppend(s, storeParent,
+                s"b$batchId", Seq(storeTable -> bd
+                  .withColumn("bucket", graft.functions.vectors
+                    .hyperplaneBucketFast(col("embedding"), planes))
+                  .repartitionByRange(1, col("bucket"))
+                  .sortWithinPartitions(col("bucket"))))
+          }
+        } finally s.conf.set(widthKey, oldWidth)
+      }
+      .start()
+
   /** Streaming CLASSIFIER GATE — the q156 hashed-ngram linear
     * classifier applied at ingest time: each micro-batch of crawl
     * docs is scored against the STATIC (bucket, weight) model

@@ -120,6 +120,52 @@ class CorpusStatsSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("calibratedGateReport: threshold = smallest bin whose " +
+    "cumulative-from-top milli rate meets the target; edge targets") {
+    import spark.implicits._
+    val docs = (0 until 30).map(i =>
+      (i.toLong, s"src${i % 3}", s"word$i token$i value$i common common"))
+      .toDF("doc_id", "source", "text")
+    val positive = col("doc_id") % 2 === 0
+    def run(target: Long,
+        pos: org.apache.spark.sql.Column = positive) =
+      graft.operators.CorpusStats.calibratedGateReport(docs,
+        "doc_id", "text", "source", buckets = 64, binWidth = 500,
+        positive = pos, targetMilli = target).collect()
+    // independent hand-walk over the calibration table (shared
+    // binning): smallest bin whose descending-cumulative floor-milli
+    // rate meets the target
+    val cal = graft.operators.CorpusStats.classifierCalibration(
+        docs, "doc_id", "text", buckets = 64, binWidth = 500,
+        positive = positive)
+      .select("bin", "n_docs", "n_pos")
+      .as[(Long, Long, Long)].collect()
+    def expected(target: Long): Option[Long] = {
+      var cp = 0L; var cd = 0L
+      cal.sortBy(-_._1).flatMap { case (b, n, p) =>
+        cd += n; cp += p
+        if ((cp * 1000L) / cd >= target) Some(b) else None
+      }.minOption
+    }
+    val mid = run(500)
+    mid.map(_.getLong(1)).distinct.toSeq shouldBe
+      Seq(expected(500).get)
+    mid.foreach(r => r.getLong(2) shouldBe r.getLong(1) * 500)
+    // target 0: every bin qualifies, thr = the MINIMUM bin edge ≤
+    // every logit — the gate accepts everything
+    val all = run(0)
+    all.map(_.getLong(1)).distinct.toSeq shouldBe Seq(expected(0).get)
+    all.map(_.getLong(4)).sum shouldBe all.map(_.getLong(3)).sum
+    // unachievable target (no positives anywhere): thr columns NULL,
+    // the gate accepts nothing — not a silent fallback
+    val none = run(1, pos = lit(false))
+    none.foreach { r =>
+      r.isNullAt(1) shouldBe true
+      r.isNullAt(2) shouldBe true
+      r.getLong(4) shouldBe 0L
+    }
+  }
+
   test("curriculumTiers: balanced ntiles per source with monotone loss spans") {
     import spark.implicits._
     val docs = (0 until 40).map(i =>

@@ -269,6 +269,49 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec with Matchers {
     Scratch.deleteRecursively(new java.io.File(root))
   }
 
+  test("marginMineStores: planted partners mine store-to-store with " +
+    "the two-directional margin; engine ≡ dense marginMine on the " +
+    "in-ball candidate set") {
+    import spark.implicits._
+    val dim = 16
+    def vec(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(dim)(r.nextGaussian())
+    }
+    val planes = graft.functions.vectors.planeMatrix(seed = 92L,
+      nPlanes = 4, dim = dim)
+    def bucketed(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("bucket", graft.functions.vectors
+        .hyperplaneBucketFast(col("embedding"), planes))
+    // X: 10 bases + ballast; Y: each base's near-identical partner
+    // + ballast — the partner pair's cosine ≈ 1 dominates both
+    // directions' shortlist means
+    val xs = ((0 until 10).map(i => (i.toLong, vec(i))) ++
+      (0 until 10).map(i => (300L + i, vec(7000 + i))))
+      .toDF("vec_id", "embedding")
+    val ys = ((0 until 10).map(i => (100L + i,
+      vec(i).zipWithIndex.map { case (x, j) => x + 1e-3 * j })) ++
+      (0 until 10).map(i => (400L + i, vec(8000 + i))))
+      .toDF("vec_id", "embedding")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_mms_").toString
+    graft.sources.Layout.clusteredWrite(bucketed(xs), root + "/x",
+      numFiles = 4, col("bucket"))
+    graft.sources.Layout.clusteredWrite(bucketed(ys), root + "/y",
+      numFiles = 4, col("bucket"))
+    val radius = Similarity.probeRadiusForRecall(4, 0.9, 0.01)
+    val out = Similarity.marginMineStores(spark, root + "/x",
+      root + "/y", planes, radius, k = 4, threshold = 1.0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(4)))).toMap
+    // every base's best partner is its planted pair, accepted
+    (0 until 10).foreach { i =>
+      out(i.toLong)._1 shouldBe (100L + i)
+      out(i.toLong)._2 shouldBe true
+    }
+    Scratch.deleteRecursively(new java.io.File(root))
+  }
+
   test("semanticDedup marks within-cell near-dups as duplicates of their earliest neighbor") {
     import spark.implicits._
     val cents = Seq(Array(1.0, 0.0), Array(0.0, 1.0))

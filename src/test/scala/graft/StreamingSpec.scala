@@ -753,6 +753,70 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally Scratch.deleteRecursively(new java.io.File(root))
   }
 
+  test("growing margin ingest: batch 2 mines batch 1's appended " +
+    "vectors; re-delivered and half-landed batches both converge") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_mg_retry_").toString
+    try {
+      val dim = 8
+      def vec(seed: Int): Seq[Double] = {
+        val r = new scala.util.Random(seed)
+        Seq.fill(dim)(r.nextGaussian())
+      }
+      val planes = graft.functions.vectors.planeMatrix(seed = 92L,
+        nPlanes = 4, dim = dim)
+      val base = vec(1)
+      val baseNear = base.zipWithIndex.map { case (x, j) => x + 1e-3 * j }
+      // initial store: one unrelated vector; radius 4 over 4 planes
+      // makes the ball universal, so the retry/growth logic (not
+      // bucket geometry) is what this test exercises
+      graft.sources.Layout.clusteredWrite(
+        Seq((1L, vec(99))).toDF("vec_id", "embedding")
+          .withColumn("bucket", graft.functions.vectors
+            .hyperplaneBucketFast(col("embedding"), planes)),
+        root + "/store/emb", numFiles = 1, col("bucket"))
+      val b0 = Seq((10L, base))
+      val b1 = Seq((20L, baseNear))
+      def runStream(ckpt: String,
+          batches: Seq[Seq[(Long, Seq[Double])]]): Unit = {
+        val input = MemoryStream[(Long, Seq[Double])]
+        val q = Streams.marginIngestGrowing(
+          input.toDF().toDF("vec_id", "embedding"), root + "/store",
+          "emb", planes, radius = 4, k = 4, threshold = 1.0, root,
+          ckpt)
+        try batches.foreach { b =>
+          input.addData(b: _*); q.processAllAvailable()
+        } finally q.stop()
+      }
+      runStream(root + "/ckpt", Seq(b0, b1))
+      def state(): (Set[Long], Set[Seq[Any]]) = (
+        spark.read.parquet(root + "/store/emb")
+          .select("vec_id").as[Long].collect().toSet,
+        spark.read.parquet(root + "/partials")
+          .select("src_id", "tgt_id", "cos", "margin", "accepted")
+          .collect().map(_.toSeq).toSet)
+      val (ids, out) = state()
+      // every batch's vectors joined the store
+      ids shouldBe Set(1L, 10L, 20L)
+      // growth is load-bearing: 20's best partner is 10 (appended by
+      // batch 0, cos ≈ 1), not the unrelated stored 1
+      out.map(r => r.head -> r(1)).toMap.apply(20L) shouldBe 10L
+      // re-delivered batch 0 (fresh checkpoint, same batchId): sealed
+      // verdicts skipped, committed append skipped — nothing changes
+      runStream(root + "/ckpt_retry", Seq(b0))
+      state() shouldBe ((ids, out))
+      // half-landed append (commit marker removed): the redo cleans
+      // its own seg files and reproduces them — same converged state,
+      // and the sealed verdicts are never re-mined
+      val marker = new java.io.File(s"$root/store/_commits/b0")
+      marker.exists() shouldBe true
+      marker.delete() shouldBe true
+      runStream(root + "/ckpt_retry2", Seq(b0))
+      state() shouldBe ((ids, out))
+    } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
+
   test("mix ingest: drained partials equal the batch temperature mix; " +
     "re-delivered and half-landed batches both converge") {
     import spark.implicits._
