@@ -255,11 +255,16 @@ object Bench {
     // Outlier tests (either, gated at wall > 1 s — sub-second jitter
     // is not worth a re-run; bounded at 12 retimes so a globally slow
     // box cannot double the suite):
-    //   - wall > 3 × its own cold_sec: the untimed warm pass ran
+    //   - wall > 1.5 × its own cold_sec: the untimed warm pass ran
     //     FASTER than the steady-state pass that followed it. A real
     //     plan cost is at least as expensive cold (cold = warm +
     //     codegen/JIT), so the inversion is the transient-contention
-    //     signature.
+    //     signature. 1.5 calibrated from measured distributions: the
+    //     clean 201-query suite's max ratio is 1.19 (only 5 queries
+    //     even exceed 1.0 at wall > 1 s), while a deliberately
+    //     squeezed box (384 oscillating burners, PLANS.md retime
+    //     demo) put q44 at 2.0× — a 3× bar missed that real 5×
+    //     inflation because the squeeze stretches the cold pass too.
     //   - a wide plan starved of CPU: cpu < wall on a plan that
     //     reached ≥ 8-wide stages — our own tasks would be burning
     //     those cores, so something outside the JVM is.
@@ -271,7 +276,7 @@ object Bench {
           val cold = coldSec.getOrElse(name, 0.0)
           val cpu = cpuSec.getOrElse(name, -1.0)
           val wide = tasksMax.getOrElse(name, 0.0) >= 8
-          wall > 3.0 * math.max(cold, 0.05) ||
+          wall > 1.5 * math.max(cold, 0.05) ||
             (wide && cpu >= 0 && cpu < wall)
         }
       }.sortBy(-_._2).take(12)
