@@ -2695,6 +2695,65 @@ object SparkEntry {
       materializeThenClean(s, res, root)
     }),
 
+    // ── T7+NS: CONTINUOUS VIDEO PHASH INGEST — the modality matrix
+    // completed: every media modality now has batch, incremental,
+    // AND streaming dedup legs (image q172/q176/q177, audio
+    // q183/q195/q196, video q180/q182/THIS). The stored index holds
+    // the even generations' frame hashes (content classes 0-24);
+    // every streamed video is novelMod=1-promoted to the 25-49
+    // classes the store has never seen, so batch 1 is all fresh and
+    // later frames can only be flagged through sealed index growth
+    // (same-class streamed videos are 50 generations apart — present
+    // at sf0.01, absent at sf0.001, where the all-fresh answer is
+    // the correct census) ──
+    "q202_stream_video_ingest" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ns = drainSession(s)
+      import ns.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = ns.sqlContext
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q202_").toString
+      def frames(half: org.apache.spark.sql.DataFrame) =
+        Multimodal.decodePartitions[(Long, Int, Long)](
+          half, Multimodal.decodeSampledVideoGridHash(2, 8, 8, 128))(
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaInt,
+            org.apache.spark.sql.Encoders.scalaLong))
+          .toDF("vid", "frame", "fp")
+          .select((col("vid") * 8 + col("frame")).as("doc"), col("fp"))
+      val gen = col("event_id") / 40 // integral: event_id % 40 = 0
+      Dedup.writePhashIndex(
+        frames(patternVideos(s, dir, gen % 2 === 0)).localCheckpoint(),
+        root + "/idx", radius = 4, width = 64, blocks = Some(8),
+        keyBlocks = 1)
+      val rows = frames(
+        patternVideos(s, dir, gen % 2 === 1, novelMod = 1))
+        .as[(Long, Long)].collect().toSeq
+      val input = MemoryStream[(Long, Long)]
+      val stream = input.toDF().toDF("doc", "fp")
+      val ckpt = ephemeralCheckpoint("q202")
+      val q = Streams.phashIngest(stream, root + "/idx", root + "/out",
+        ckpt.getAbsolutePath, radius = 4, width = 64,
+        blocks = Some(8), keyBlocks = 1)
+      try
+        // batch r = odd generations with ((g-1)/2) % 3 = r; doc/8 =
+        // the video's event id, /40 = its generation
+        (0 until 3).foreach { r =>
+          input.addData(rows.filter(t =>
+            ((t._1 / 8 / 40 - 1) / 2) % 3 == r))
+          q.processAllAvailable()
+        }
+      finally {
+        try q.stop()
+        finally Scratch.deleteRecursively(ckpt)
+      }
+      val res = s.read.parquet(root + "/out")
+        .select(col("doc"), col("fp"), col("dup_of"), col("hamming"),
+          col("is_dup"))
+      materializeThenClean(s, res, root)
+    }),
+
     // ── NS training-data: COMPONENT-AWARE SPLIT — q190 closes the
     // same-URL leakage subclass; this closes the near-dup remainder:
     // fold assignment by the CONNECTED COMPONENT over near-dup pair
@@ -8698,6 +8757,47 @@ object SparkEntry {
            |      UNION ALL SELECT * FROM b3) s
            |LEFT JOIN (SELECT * FROM d1 UNION ALL SELECT * FROM d2
            |      UNION ALL SELECT * FROM d3) d ON s.id = d.doc"""
+          .stripMargin
+      },
+
+      // q177's chained-growth CTEs on the video FRAME grain: every
+      // streamed video is class-promoted (novelMod = 1 — no stored
+      // partner exists), so every dup was flagged through a sealed
+      // cross-batch append; frame hashes rebuilt from the q180
+      // generation arithmetic
+      "q202_stream_video_ingest" -> {
+        def mark(bn: Int, idx: String) =
+          s"""d$bn AS (SELECT doc, doc_a, hamming FROM (
+             |  SELECT b.doc, i.doc AS doc_a,
+             |    bit_count(xor(b.fp, i.fp)) AS hamming,
+             |    row_number() OVER (PARTITION BY b.doc
+             |      ORDER BY bit_count(xor(b.fp, i.fp)), i.doc) AS rk
+             |  FROM b$bn b JOIN $idx i
+             |    ON bit_count(xor(b.fp, i.fp)) <= 4) WHERE rk = 1)"""
+            .stripMargin
+        s"""WITH ${videoHashCtes("s", "(event_id // 40) % 2 = 0",
+              "(event_id // 40) % 25")},
+           |${videoHashCtes("t", "(event_id // 40) % 2 = 1",
+              "((event_id // 40) % 25) + 25")},
+           |sd AS (SELECT id * 8 + f AS doc, fp FROM svh),
+           |td AS (SELECT id * 8 + f AS doc, fp,
+           |    ((id // 40 - 1) // 2) % 3 AS bn FROM tvh),
+           |b1 AS (SELECT doc, fp FROM td WHERE bn = 0),
+           |b2 AS (SELECT doc, fp FROM td WHERE bn = 1),
+           |b3 AS (SELECT doc, fp FROM td WHERE bn = 2),
+           |${mark(1, "sd")},
+           |i1 AS (SELECT * FROM sd UNION ALL SELECT doc, fp FROM b1
+           |  WHERE doc NOT IN (SELECT doc FROM d1)),
+           |${mark(2, "i1")},
+           |i2 AS (SELECT * FROM i1 UNION ALL SELECT doc, fp FROM b2
+           |  WHERE doc NOT IN (SELECT doc FROM d2)),
+           |${mark(3, "i2")}
+           |SELECT s.doc, s.fp, d.doc_a AS dup_of,
+           |  d.hamming AS hamming, d.doc_a IS NOT NULL AS is_dup
+           |FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2
+           |      UNION ALL SELECT * FROM b3) s
+           |LEFT JOIN (SELECT * FROM d1 UNION ALL SELECT * FROM d2
+           |      UNION ALL SELECT * FROM d3) d ON s.doc = d.doc"""
           .stripMargin
       },
 

@@ -62,8 +62,16 @@ object Blocklist {
       }
       ends(v) = pi :: ends(v)
     }
-    // failure links + output merge, BFS order (standard construction)
+    // failure links + OUTPUT LINKS, BFS order (standard
+    // construction). Output links instead of eagerly merging each
+    // node's suffix outputs into `ends`: the eager merge is
+    // quadratic in pathological nested-pattern sets (every node of
+    // "aaaa…a" carries all shorter patterns' indices), while
+    // outLink(u) = the nearest proper-suffix node with its OWN
+    // endings keeps construction linear — the scan walks the chain
+    // and only ever visits nodes that emit
     private val fail = Array.fill(children.length)(0)
+    private val outLink = Array.fill(children.length)(0)
     locally {
       val queue = scala.collection.mutable.Queue.empty[Int]
       children(0).valuesIterator.foreach(queue.enqueue(_))
@@ -73,7 +81,8 @@ object Blocklist {
           var f = fail(v)
           while (f != 0 && !children(f).contains(ch)) f = fail(f)
           fail(u) = children(f).get(ch).filter(_ != u).getOrElse(0)
-          ends(u) = ends(u) ++ ends(fail(u))
+          outLink(u) =
+            if (ends(fail(u)).nonEmpty) fail(u) else outLink(fail(u))
           queue.enqueue(u)
         }
       }
@@ -95,13 +104,20 @@ object Blocklist {
         val ch = text.charAt(i)
         while (v != 0 && !children(v).contains(ch)) v = fail(v)
         v = children(v).getOrElse(ch, 0)
-        var es = ends(v)
-        while (es.nonEmpty) {
-          val pi = es.head
-          val start = i - patLen(pi) + 2 // 1-based
-          if (!hit(pi)) { hit(pi) = true; nHit += 1 }
-          if (firstPos == 0 || start < firstPos) firstPos = start
-          es = es.tail
+        // emit this node's OWN endings, then chase output links —
+        // each hop lands on a node that emits, so the walk is
+        // output-bounded, not suffix-depth-bounded
+        var w = v
+        while (w != 0) {
+          var es = ends(w)
+          while (es.nonEmpty) {
+            val pi = es.head
+            val start = i - patLen(pi) + 2 // 1-based
+            if (!hit(pi)) { hit(pi) = true; nHit += 1 }
+            if (firstPos == 0 || start < firstPos) firstPos = start
+            es = es.tail
+          }
+          w = outLink(w)
         }
         i += 1
       }

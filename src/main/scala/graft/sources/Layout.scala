@@ -85,9 +85,21 @@ object Layout {
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq.filter(_.isDirectory)
-      .map(_.getPath.getName).filter(_.startsWith("seg="))
-      .map(_.stripPrefix("seg="))
+    else {
+      val entries = fs.listStatus(p).toSeq
+      // both append conventions surface: `seg=<id>` subdirectories
+      // (clusteredAppend — partition-discovered) and flat
+      // `seg-<tag>-part-*` files (the tagged exactly-once appends of
+      // the growing stores, Dedup.taggedSegmentAppend)
+      entries.filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("seg="))
+        .map(_.stripPrefix("seg=")) ++
+        entries.filter(_.isFile)
+          .map(_.getPath.getName)
+          .filter(n => n.startsWith("seg-") && n.contains("-part-"))
+          .map(_.stripPrefix("seg-").split("-part-")(0))
+          .distinct
+    }
   }
 
   /** MEASURED pruning dilution of a clustered store: the mean number

@@ -47,6 +47,19 @@ class BlocklistSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("chain-nested prefix family stays correct under output links") {
+    // the pathological class the output-link construction exists
+    // for: every node of a^k's trie is a suffix-output site for all
+    // shorter patterns — the eager suffix-merge was quadratic here,
+    // the link chain is linear and must emit the identical verdicts
+    val pats = (1 to 20).map("a" * _)
+    val ac = new Blocklist.AhoCorasick(pats)
+    ac.scan("a" * 50) shouldBe naive("a" * 50, pats)
+    ac.scan("a" * 50) shouldBe ((20, 1))
+    ac.scan("b" + "a" * 7 + "b") shouldBe naive("b" + "a" * 7 + "b", pats)
+    ac.scan("b" + "a" * 7 + "b") shouldBe ((7, 2))
+  }
+
   test("construction guards fail loudly") {
     an[IllegalArgumentException] should be thrownBy
       new Blocklist.AhoCorasick(IndexedSeq.empty)

@@ -296,6 +296,54 @@ class MainSpec extends AnyFunSuite with SparkSpec with Matchers {
     Scratch.deleteRecursively(new java.io.File(root).getParentFile)
   }
 
+  test("compact verb on a tagged-append grown embedding store: " +
+    "dilution-gated rewrite, margin verdicts invariant") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import graft.sources.Layout
+    val parent = Files.createTempDirectory("graft_main_mg").toString
+    val store = parent + "/emb"
+    val dim = 16
+    def vec(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(dim)(r.nextGaussian())
+    }
+    val planes = graft.functions.vectors.planeMatrix(seed = 92L,
+      nPlanes = 4, dim = dim)
+    def bucketed(rows: Seq[(Long, Seq[Double])]) =
+      rows.toDF("vec_id", "embedding")
+        .withColumn("bucket", graft.functions.vectors
+          .hyperplaneBucketFast(col("embedding"), planes))
+        .repartitionByRange(1, col("bucket"))
+        .sortWithinPartitions(col("bucket"))
+    Layout.clusteredWrite(
+      bucketed((0 until 20).map(i => (i.toLong, vec(i)))),
+      store, numFiles = 4, col("bucket"))
+    // two tagged exactly-once appends (the q200 growth convention)
+    graft.operators.Dedup.taggedSegmentAppend(spark, parent, "b0",
+      Seq("emb" -> bucketed((0 until 10).map(i =>
+        (100L + i, vec(500 + i))))))
+    graft.operators.Dedup.taggedSegmentAppend(spark, parent, "b1",
+      Seq("emb" -> bucketed((0 until 10).map(i =>
+        (200L + i, vec(700 + i))))))
+    Layout.segments(spark, store).sorted shouldBe Seq("b0", "b1")
+    val batch = (0 until 5).map(i => (900L + i,
+      vec(i).zipWithIndex.map { case (x, j) => x + 1e-3 * j }))
+      .toDF("vec_id", "embedding")
+    def mine() = graft.operators.Similarity.marginProbeStore(spark,
+        store, batch, planes, radius = 4, k = 4, threshold = 1.0)
+      .collect().map(_.toSeq).toSet
+    val before = mine()
+    before.nonEmpty shouldBe true
+    // three overlapping generations → over the default 2.0 budget
+    val acted = Main.run(spark, Seq("compact", store, "bucket"))
+    acted.last should include("compacted")
+    Layout.segments(spark, store) shouldBe Seq("compacted")
+    // verdict invariance: the rewrite changed layout, not answers
+    mine() shouldBe before
+    Scratch.deleteRecursively(new java.io.File(parent))
+  }
+
   test("compact-ndindex verb: dilution-gated rewrite, verdicts invariant") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
