@@ -958,6 +958,60 @@ object ProbeScale {
       }
     }
 
+    // ── `ProbeScale marginstores`: q199's two-sided at-rest form
+    // measured against the dense cross-score — candidates come from
+    // the ENUMERATED bucket-ball relation (|occupied X buckets| ×
+    // ball size, never n²) with the Y scan isin-pruned, and the
+    // candidate volume is computed exactly from the two bucket
+    // histograms (Σ over in-ball bucket pairs of cnt_x·cnt_y — the
+    // same relation the engine joins). ──
+    if (mode == "marginstores") {
+      def emb(n: Long, salt: String): DataFrame =
+        spark.range(n).select(col("id").as("vec_id"),
+          expr(s"""transform(sequence(0, 63), i ->
+            CAST((pmod(xxhash64(concat(CAST(id AS STRING), ':$salt:',
+              CAST(i AS STRING))), 2000001) - 1000000) / 1000000.0
+              AS FLOAT))""").as("embedding"))
+          .localCheckpoint()
+      for (n <- Seq(1000L, 4000L, 16000L)) {
+        val xs = emb(n, "x"); val ys = emb(n, "y")
+        val nPlanes = Similarity.planesForSize(2 * n)
+        val planes = vectors.planeMatrix(seed = 1990L,
+          nPlanes = nPlanes, dim = 64)
+        val radius = Similarity.probeRadiusForRecall(nPlanes, 0.9, 0.01)
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_probe_ms_$n").toString
+        def writeStore(df: DataFrame, path: String): Unit =
+          graft.sources.Layout.clusteredWrite(
+            df.withColumn("bucket",
+              vectors.hyperplaneBucketFast(col("embedding"), planes)),
+            path, numFiles = 8, col("bucket"))
+        writeStore(xs, root + "/x"); writeStore(ys, root + "/y")
+        // exact candidate volume from the bucket histograms
+        def hist(path: String): Map[Long, Long] =
+          spark.read.parquet(path).groupBy(col("bucket")).count()
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val hx = hist(root + "/x"); val hy = hist(root + "/y")
+        val cands = hx.toSeq.map { case (bx, cx) =>
+          Similarity.probeBuckets(bx, nPlanes, radius)
+            .map(by => cx * hy.getOrElse(by, 0L)).sum
+        }.sum
+        def wall(f: => Long): (Double, Long) = {
+          f; val t0 = System.nanoTime(); val r = f
+          ((System.nanoTime() - t0) / 1e9, r)
+        }
+        val (sW, _) = wall(Similarity.marginMineStores(spark,
+          root + "/x", root + "/y", planes, radius, 4, 1.1).count())
+        val (eW, _) = wall(Similarity.marginMine(xs, ys, 4, 1.1).count())
+        println(f"PROBE_SCALE marginstores/n$n cross=${n * n} " +
+          f"ball_cands=$cands planes=$nPlanes radius=$radius " +
+          f"stores=$sW%.2fs exact=$eW%.2fs")
+        org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(xs)
+        org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(ys)
+        graft.Scratch.deleteRecursively(new java.io.File(root))
+      }
+    }
+
     // q157's two scale claims measured: per-round cost tracks the
     // EDGE LIST (pair-store grain, not corpus grain), and rounds
     // compose LINEARLY because ranks are localCheckpointed per round
