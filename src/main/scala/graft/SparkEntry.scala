@@ -2695,6 +2695,61 @@ object SparkEntry {
       materializeThenClean(s, res, root)
     }),
 
+    // ── T7+NS: STREAMING CALIBRATED GATE — the q201 loop's
+    // streaming leg, completing calibrate → choose → gate as a
+    // lifecycle (batch q201 / THIS): the threshold is CHOSEN ONCE on
+    // the at-rest corpus (a training-run decision — the
+    // temperatureMix static-recipe convention) and every micro-batch
+    // gates at it, additive per-source integer partials landing as
+    // sealed exactly-once segments; the drained union re-aggregates
+    // to the batch answer bit for bit under ONE shared oracle chain
+    // (the q201 chooser CTEs + the gate partials) ──
+    "q203_stream_calibrated_gate" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val thr = CorpusStats.chooseCalibratedThreshold(
+        t(s, dir, "documents"), "doc_id", "text", buckets = 4096,
+        binWidth = 2000,
+        positive = functions.text.qualityScore(col("text")) >= 0.8,
+        targetMilli = 700)
+      val ns = drainSession(s)
+      import ns.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = ns.sqlContext
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q203_").toString
+      val rows = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .as[(Long, String, String)].collect().toSeq
+      val input = MemoryStream[(Long, String, String)]
+      val stream = input.toDF().toDF("doc_id", "source", "text")
+      val ckpt = ephemeralCheckpoint("q203")
+      val q = Streams.calibratedClassifierIngest(stream, "doc_id",
+        "text", "source", buckets = 4096, thr, root,
+        ckpt.getAbsolutePath)
+      try
+        (0 until 3).foreach { r =>
+          input.addData(rows.filter(_._1 % 3 == r))
+          q.processAllAvailable()
+        }
+      finally {
+        try q.stop()
+        finally Scratch.deleteRecursively(ckpt)
+      }
+      val report = s.read.parquet(root + "/partials")
+        .groupBy(col("source"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("n_accept")).as("n_accept"),
+          sum(col("sum_logit")).as("sum_logit"),
+          sum(col("sum_feats")).as("sum_feats"))
+        .withColumn("thr_bin",
+          thr.map(t => lit(t / 2000L)).getOrElse(lit(null))
+            .cast("long"))
+        .withColumn("thr_logit",
+          thr.map(lit(_)).getOrElse(lit(null)).cast("long"))
+        .select("source", "thr_bin", "thr_logit", "n_docs",
+          "n_accept", "sum_logit", "sum_feats")
+      materializeThenClean(s, report, root)
+    }),
+
     // ── T7+NS: CONTINUOUS VIDEO PHASH INGEST — the modality matrix
     // completed: every media modality now has batch, incremental,
     // AND streaming dedup legs (image q172/q176/q177, audio
@@ -6441,6 +6496,44 @@ object SparkEntry {
        |  FROM t0 LEFT JOIN sc ON t0.doc_id = sc.doc_id)""".stripMargin
   }
 
+  /** The calibrated-gate chain (q201's chooser + gate) as ONE
+    * rendering shared by the batch form and the streaming drain
+    * (q203 adds sum_feats — the partials carry it). The chooser: MIN
+    * qualifying bin under the HUGEINT-floor cumulative-from-top
+    * milli rate, mirroring CorpusStats.chooseThresholdBin. */
+  private def calibratedGateOracleSql(withFeats: Boolean): String = {
+    val feats =
+      if (withFeats)
+        ",\n  CAST(SUM(j.n_feats) AS BIGINT) AS sum_feats"
+      else ""
+    s"""WITH $classifierLogitCtes,
+       |q AS (SELECT doc_id, ($sqlQualityExpr) AS quality
+       |  FROM (SELECT doc_id, text, $sqlTokens AS toks
+       |        FROM documents)),
+       |c AS (SELECT
+       |    CAST(floor(CAST(j.logit AS DOUBLE) / 2000.0) AS BIGINT)
+       |      AS bin,
+       |    j.logit,
+       |    CASE WHEN q.quality >= 0.8 THEN 1 ELSE 0 END AS pos
+       |  FROM j JOIN q USING (doc_id)),
+       |cal AS (SELECT bin, COUNT(*) AS n_docs,
+       |    CAST(SUM(pos) AS BIGINT) AS n_pos
+       |  FROM c GROUP BY bin),
+       |qual AS (SELECT c1.bin FROM cal c1 WHERE
+       |    ((SELECT SUM(n_pos) FROM cal c2 WHERE c2.bin >= c1.bin)
+       |      * 1000)
+       |    // (SELECT SUM(n_docs) FROM cal c2 WHERE c2.bin >= c1.bin)
+       |    >= 700),
+       |thr AS (SELECT MIN(bin) AS thr_bin FROM qual)
+       |SELECT j.source, t.thr_bin, t.thr_bin * 2000 AS thr_logit,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN j.logit >= t.thr_bin * 2000
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_accept,
+       |  CAST(SUM(j.logit) AS BIGINT) AS sum_logit$feats
+       |FROM j CROSS JOIN thr t GROUP BY j.source, t.thr_bin"""
+      .stripMargin
+  }
+
   private def classifierGateSql: String =
     s"""WITH $classifierLogitCtes
        |SELECT source, COUNT(*) AS n_docs,
@@ -8932,33 +9025,13 @@ object SparkEntry {
       // gate re-applied from the same scored frame — the choice
       // lands on DIFFERENT bins at the two gate SFs, so the chooser
       // arithmetic itself is what hash-matches
-      "q201_calibrated_gate" ->
-        s"""WITH $classifierLogitCtes,
-           |q AS (SELECT doc_id, ($sqlQualityExpr) AS quality
-           |  FROM (SELECT doc_id, text, $sqlTokens AS toks
-           |        FROM documents)),
-           |c AS (SELECT
-           |    CAST(floor(CAST(j.logit AS DOUBLE) / 2000.0) AS BIGINT)
-           |      AS bin,
-           |    j.logit,
-           |    CASE WHEN q.quality >= 0.8 THEN 1 ELSE 0 END AS pos
-           |  FROM j JOIN q USING (doc_id)),
-           |cal AS (SELECT bin, COUNT(*) AS n_docs,
-           |    CAST(SUM(pos) AS BIGINT) AS n_pos
-           |  FROM c GROUP BY bin),
-           |qual AS (SELECT c1.bin FROM cal c1 WHERE
-           |    ((SELECT SUM(n_pos) FROM cal c2 WHERE c2.bin >= c1.bin)
-           |      * 1000)
-           |    // (SELECT SUM(n_docs) FROM cal c2 WHERE c2.bin >= c1.bin)
-           |    >= 700),
-           |thr AS (SELECT MIN(bin) AS thr_bin FROM qual)
-           |SELECT j.source, t.thr_bin, t.thr_bin * 2000 AS thr_logit,
-           |  COUNT(*) AS n_docs,
-           |  CAST(SUM(CASE WHEN j.logit >= t.thr_bin * 2000
-           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_accept,
-           |  CAST(SUM(j.logit) AS BIGINT) AS sum_logit
-           |FROM j CROSS JOIN thr t GROUP BY j.source, t.thr_bin"""
-          .stripMargin,
+      "q201_calibrated_gate" -> calibratedGateOracleSql(false),
+
+      // ONE shared chain (the q201 rendering + sum_feats) gates both
+      // the batch form and the drained streaming partials — the
+      // exactly-once decomposition must re-aggregate to the batch
+      // answer bit for bit
+      "q203_stream_calibrated_gate" -> calibratedGateOracleSql(true),
 
       // the q176 mark shape on the AUDIO hash CTEs (div = 16 — every
       // 16th event is a WAV; halves split mod 32): the batch's even-m

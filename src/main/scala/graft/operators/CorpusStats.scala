@@ -987,23 +987,24 @@ object CorpusStats {
     * arithmetic, the q124 bounded-planning convention. Per-source
     * report: (source, thr_bin, thr_logit, n_docs, n_accept,
     * sum_logit). */
-  def calibratedGateReport(docs: DataFrame, idCol: String,
-      textCol: String, sourceCol: String, buckets: Int,
-      binWidth: Long, positive: Column, targetMilli: Long): DataFrame = {
-    require(binWidth >= 1, s"binWidth must be >= 1: $binWidth")
-    require(targetMilli >= 0 && targetMilli <= 1000,
-      s"targetMilli must be in [0, 1000]: $targetMilli")
-    val scored = linearClassifierScores(docs, idCol, textCol, buckets)
-      .withColumn("_cal_pos", positive)
-      .localCheckpoint()
-    val bins = scored
-      .select(logitBin(binWidth).as("bin"), col("_cal_pos"))
-      .groupBy(col("bin"))
+  /** The chooser half of [[calibratedGateReport]] alone — ONE walk
+    * implementation shared with the streaming form (q203 computes
+    * the threshold once on the at-rest corpus, then streams batches
+    * through it: thresholds are a training-run decision, not a
+    * per-batch one — the temperatureMix cuts convention). Input: a
+    * (bin, pos-boolean) frame; output: the smallest qualifying bin,
+    * None when no bin meets the target. Bounded planning collect,
+    * guarded loudly. */
+  private[graft] def chooseThresholdBin(binPos: DataFrame,
+      targetMilli: Long): Option[Long] = {
+    val Seq(binCol, posCol) = binPos.columns.toSeq
+    val bins = binPos
+      .groupBy(col(binCol))
       .agg(count(lit(1)).as("n"),
-        sum(when(col("_cal_pos"), 1L).otherwise(0L)).as("p"))
+        sum(when(col(posCol), 1L).otherwise(0L)).as("p"))
       .limit(100001).collect()
     require(bins.length <= 100000,
-      "calibratedGateReport: bin table exceeds the bounded-planning " +
+      "chooseThresholdBin: bin table exceeds the bounded-planning " +
         s"contract (${bins.length} bins) — widen binWidth")
     // descending walk: after processing bin b, (cp, cd) hold the
     // cumulative (positives, docs) of ALL bins >= b — floor-divided
@@ -1016,8 +1017,37 @@ object CorpusStats {
       cp += r.getLong(2)
       if ((cp * 1000L) / cd >= targetMilli) Some(r.getLong(0)) else None
     }
-    val thrBin: Option[Long] =
-      if (qualifying.isEmpty) None else Some(qualifying.min)
+    if (qualifying.isEmpty) None else Some(qualifying.min)
+  }
+
+  /** The chosen gate threshold in LOGIT units for a corpus — the
+    * standalone chooser the streaming gate (q203) feeds from:
+    * scores, bins, and walks exactly as [[calibratedGateReport]]
+    * does, returning thr = qualifying-bin-edge × binWidth (None =
+    * unachievable target → the gate accepts nothing). */
+  def chooseCalibratedThreshold(docs: DataFrame, idCol: String,
+      textCol: String, buckets: Int, binWidth: Long,
+      positive: Column, targetMilli: Long): Option[Long] = {
+    require(binWidth >= 1, s"binWidth must be >= 1: $binWidth")
+    require(targetMilli >= 0 && targetMilli <= 1000,
+      s"targetMilli must be in [0, 1000]: $targetMilli")
+    chooseThresholdBin(
+      linearClassifierScores(docs, idCol, textCol, buckets)
+        .select(logitBin(binWidth).as("bin"), positive.as("pos")),
+      targetMilli).map(_ * binWidth)
+  }
+
+  def calibratedGateReport(docs: DataFrame, idCol: String,
+      textCol: String, sourceCol: String, buckets: Int,
+      binWidth: Long, positive: Column, targetMilli: Long): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be >= 1: $binWidth")
+    require(targetMilli >= 0 && targetMilli <= 1000,
+      s"targetMilli must be in [0, 1000]: $targetMilli")
+    val scored = linearClassifierScores(docs, idCol, textCol, buckets)
+      .withColumn("_cal_pos", positive)
+      .localCheckpoint()
+    val thrBin = chooseThresholdBin(scored
+      .select(logitBin(binWidth).as("bin"), col("_cal_pos")), targetMilli)
     val accept = thrBin
       .map(b => col("logit") >= lit(b * binWidth))
       .getOrElse(lit(false))

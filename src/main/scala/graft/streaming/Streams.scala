@@ -503,6 +503,34 @@ object Streams {
         .classifierGateReport(b, idCol, textCol, sourceCol, buckets)
     }
 
+  /** [[classifierIngest]] at a CALIBRATION-CHOSEN threshold — the
+    * q201 loop's streaming leg (calibrate → choose → gate, applied
+    * at ingest): the threshold is a STATIC training-run decision
+    * (CorpusStats.chooseCalibratedThreshold on the at-rest corpus —
+    * the temperatureMix static-recipe convention), each micro-batch
+    * scores against the broadcast model and gates at `logit >=
+    * thresholdLogit` (None = unachievable target → nothing accepted,
+    * the q201 contract), and the ADDITIVE per-source integer
+    * partials land as sealed batchId segments — exactly-once, zero
+    * streaming state, drained union re-aggregates to the batch q203
+    * answer bit for bit. */
+  def calibratedClassifierIngest(docs: DataFrame, idCol: String,
+      textCol: String, sourceCol: String, buckets: Int,
+      thresholdLogit: Option[Long], storeRoot: String,
+      checkpointDir: String): StreamingQuery =
+    sealedPartialsIngest(docs, storeRoot, checkpointDir, "calgate") {
+      b =>
+        val accept = thresholdLogit
+          .map(t => col("logit") >= lit(t))
+          .getOrElse(lit(false))
+        graft.operators.CorpusStats
+          .linearClassifierScores(b, idCol, textCol, buckets)
+          .withColumn("accept", accept)
+          .groupBy(col(sourceCol))
+          .agg(graft.operators.CorpusStats.classifierGateAggCols.head,
+            graft.operators.CorpusStats.classifierGateAggCols.tail: _*)
+    }
+
   /** Streaming EMBEDDING MOMENTS — q137's exact integer moments kept
     * live over an embedding stream: each micro-batch's per-(label,
     * dim) partials (count, Σq, Σq² — additive by construction, the

@@ -753,6 +753,41 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally Scratch.deleteRecursively(new java.io.File(root))
   }
 
+  test("calibrated classifier ingest: partials gate at the chosen " +
+    "threshold; an unachievable target (None) accepts nothing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "s1", "alpha beta gamma"), (2L, "s1", "one two"),
+      (3L, "s2", "lorem ipsum dolor sit"), (4L, "s2", "tiny"))
+    def drained(thr: Option[Long]): Map[String, (Long, Long)] = {
+      val root = Files.createTempDirectory("graft_cg_ing_").toString
+      try {
+        val input = MemoryStream[(Long, String, String)]
+        val q = Streams.calibratedClassifierIngest(
+          input.toDF().toDF("doc_id", "source", "text"),
+          "doc_id", "text", "source", buckets = 64, thr, root,
+          root + "/ckpt")
+        try {
+          input.addData(docs.take(2): _*); q.processAllAvailable()
+          input.addData(docs.drop(2): _*); q.processAllAvailable()
+        } finally q.stop()
+        spark.read.parquet(root + "/partials")
+          .groupBy("source")
+          .agg(sum("n_docs").as("n"), sum("n_accept").as("a"))
+          .as[(String, Long, Long)].collect()
+          .map(r => r._1 -> ((r._2, r._3))).toMap
+      } finally Scratch.deleteRecursively(new java.io.File(root))
+    }
+    // a floor below every possible logit: everything accepted
+    val all = drained(Some(Long.MinValue))
+    all shouldBe Map("s1" -> ((2L, 2L)), "s2" -> ((2L, 2L)))
+    // the unachievable-target contract: nothing accepted, not a
+    // silent logit>=0 fallback
+    val none = drained(None)
+    none shouldBe Map("s1" -> ((2L, 0L)), "s2" -> ((2L, 0L)))
+  }
+
   test("growing margin ingest: batch 2 mines batch 1's appended " +
     "vectors; re-delivered and half-landed batches both converge") {
     import spark.implicits._
