@@ -2498,6 +2498,46 @@ object Dedup {
     out
   }
 
+  /** [[splitLeakage]] against the AT-REST signature index — the
+    * steady-state shape: an eval-split guard runs once per NEW eval
+    * set, and re-tokenizing the corpus per check is the wrong
+    * execution when the signatures already live at rest
+    * ([[writeNearDupIndex]] builds them, the continuous-ingest
+    * appends keep them current, compact-ndindex reclusters them).
+    * `valIds` is the eval membership (an id-grain frame — typically
+    * a manifest, not the corpus); BOTH candidate sides and BOTH
+    * exact-rescore sides read the index tables only. The corpus
+    * text is never touched: candidate volume is the val-bands ×
+    * train-bands collision set (∝ val fraction), the re-score joins
+    * at-rest shingle sets by doc id, and the verdicts land at
+    * val grain. Same S-curve contract as the dataflow forms
+    * ((shingleN, k, bands) fixed at index build; minBandMatches=2);
+    * DedupSpec pins indexed ≡ tagged on a shared corpus. */
+  def splitLeakageIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, valIds: DataFrame, idCol: String,
+      threshold: Double): DataFrame = {
+    val ids = valIds.select(col(idCol).cast("long").as("doc"))
+      .distinct().localCheckpoint() // read by three joins below
+    val bands = spark.read.parquet(s"$indexDir/bands")
+    val sets = spark.read.parquet(s"$indexDir/shingles")
+    val valB = bands.join(ids, Seq("doc"), "semi")
+      .toDF("doc_b", "band", "band_hash")
+    val trainB = bands.join(ids, Seq("doc"), "anti")
+      .toDF("doc_a", "band", "band_hash")
+    val candidates = valB.join(trainB, Seq("band", "band_hash"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands"))
+      .filter(col("n_bands") >= 2)
+      .select("doc_a", "doc_b")
+    val leaks = rescoreJaccardAB(candidates,
+        sets.join(ids, Seq("doc"), "anti"),
+        sets.join(ids, Seq("doc"), "semi"), threshold)
+      .groupBy(col("doc_b").as(idCol))
+      .agg(min(col("doc_a")).as("leak_from"))
+    ids.select(col("doc").as(idCol))
+      .join(leaks, Seq(idCol), "left")
+      .withColumn("is_leaked", col("leak_from").isNotNull)
+  }
+
   def splitLeakage(docs: DataFrame, idCol: String, textCol: String,
       isVal: Column => Column, shingleN: Int, k: Int, bands: Int,
       threshold: Double): DataFrame = {

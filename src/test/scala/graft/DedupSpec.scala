@@ -1036,6 +1036,36 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
     tagged shouldBe pred
   }
 
+  test("splitLeakageIndexed ≡ splitLeakage from the at-rest index " +
+    "(the corpus text never re-tokenized)") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "the quick brown fox jumps over the lazy dog tonight"),
+      (20L, "totally new material never indexed before anywhere"),
+      (7L, "completely different content about spark and catalyst"),
+      (30L, "completely different content about spark and catalyst today"))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sli_").toString
+    try {
+      Dedup.writeNearDupIndex(docs, "doc_id", "text",
+        shingleN = 2, k = 64, bands = 32, dir = root + "/idx")
+      def norm(df: org.apache.spark.sql.DataFrame) = df
+        .select("doc_id", "leak_from", "is_leaked")
+        .as[(Long, Option[Long], Boolean)].collect().toSet
+      val dataflow = norm(Dedup.splitLeakage(docs, "doc_id", "text",
+        id => pmod(id, lit(10)) === 0,
+        shingleN = 2, k = 64, bands = 32, threshold = 0.5))
+      val indexed = norm(Dedup.splitLeakageIndexed(spark,
+        root + "/idx",
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select("doc_id"),
+        "doc_id", threshold = 0.5))
+      indexed shouldBe dataflow
+    } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
+
   test("componentGroups: near-dup pairs and same-url groups merge; " +
     "the component fold leaks zero where the naive fold leaks") {
     import spark.implicits._
