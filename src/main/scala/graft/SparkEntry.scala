@@ -2735,9 +2735,10 @@ object SparkEntry {
     // (the q201 chooser CTEs + the gate partials) ──
     "q203_stream_calibrated_gate" -> ((s, dir) => {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val binWidth = 2000L
       val thr = CorpusStats.chooseCalibratedThreshold(
         t(s, dir, "documents"), "doc_id", "text", buckets = 4096,
-        binWidth = 2000,
+        binWidth = binWidth,
         positive = functions.text.qualityScore(col("text")) >= 0.8,
         targetMilli = 700)
       val ns = drainSession(s)
@@ -2770,7 +2771,7 @@ object SparkEntry {
           sum(col("sum_logit")).as("sum_logit"),
           sum(col("sum_feats")).as("sum_feats"))
         .withColumn("thr_bin",
-          thr.map(t => lit(t / 2000L)).getOrElse(lit(null))
+          thr.map(t => lit(t / binWidth)).getOrElse(lit(null))
             .cast("long"))
         .withColumn("thr_logit",
           thr.map(lit(_)).getOrElse(lit(null)).cast("long"))
@@ -2806,7 +2807,7 @@ object SparkEntry {
             org.apache.spark.sql.Encoders.scalaLong))
           .toDF("vid", "frame", "fp")
           .select((col("vid") * 8 + col("frame")).as("doc"), col("fp"))
-      val gen = col("event_id") / 40 // integral: event_id % 40 = 0
+      val gen = expr("event_id div 40") // integer floor division
       Dedup.writePhashIndex(
         frames(patternVideos(s, dir, gen % 2 === 0)).localCheckpoint(),
         root + "/idx", radius = 4, width = 64, blocks = Some(8),
@@ -3236,7 +3237,7 @@ object SparkEntry {
             org.apache.spark.sql.Encoders.scalaLong))
           .toDF("vid", "frame", "fp")
           .select((col("vid") * 8 + col("frame")).as("doc"), col("fp"))
-      val gen = col("event_id") / 40 // integral: event_id % 40 = 0
+      val gen = expr("event_id div 40") // integer floor division
       Phases.time("index_build") {
         Dedup.writePhashIndex(
           frames(patternVideos(s, dir, gen % 2 === 0, novelMod = 7)),
@@ -4006,18 +4007,26 @@ object SparkEntry {
       val ns = drainSession(s)
       import ns.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = ns.sqlContext
-      // index build + fixture collection on the PARENT session (full
-      // shuffle width — the build is corpus-scale); only the stream
-      // and its batch-scale marks run in the 8-partition drain session
+      // fixture collection on the PARENT session (full shuffle width);
+      // only the stream and its batch-scale marks run in the
+      // 8-partition drain session. The base index is the SHARED
+      // once-per-corpus-version store (ndingest_base — Bench bills it
+      // in store_build_sec), CLONED into this query's scratch root
+      // because the ingest appends to it: the wall below is the
+      // ingest rounds plus a file copy, not a corpus-scale build.
       val docs = t(s, dir, "documents")
-      val newSrc = Seq("src15", "src16", "src17")
+      val newSrc = q111NewSources
       val root = java.nio.file.Files
         .createTempDirectory("graft_q111_").toString
-      Phases.time("index_build") {
-        Dedup.writeNearDupIndex(
-          docs.filter(!col("source").isin(newSrc: _*)),
-          "doc_id", "text", shingleN = 2, k = 64, bands = 32,
-          dir = root + "/idx")
+      val base = nearDupIngestBaseIndex(s, dir)
+      Phases.time("index_clone") {
+        val conf = s.sessionState.newHadoopConf()
+        val srcP = new org.apache.hadoop.fs.Path(base)
+        val dstP = new org.apache.hadoop.fs.Path(root + "/idx")
+        val fs = srcP.getFileSystem(conf)
+        require(org.apache.hadoop.fs.FileUtil
+            .copy(fs, srcP, fs, dstP, false, conf),
+          s"q111: could not clone base index $base to $dstP")
       }
       def rows(df: DataFrame): Seq[(Long, String, String)] =
         df.as[(Long, String, String)].collect().toSeq
@@ -5519,8 +5528,35 @@ object SparkEntry {
     * every later consumer (q204's indexed leakage guard) reads it at
     * rest. */
   private def nearDupSignatureIndex(s: SparkSession,
-      dir: String): String = {
-    val store = versionedStoreDir("graft_ndindex_store", dir, "n2k64b32")
+      dir: String): String =
+    ensureNearDupIndexStore(s, dir, "graft_ndindex_store",
+      "n2k64b32", "ndindex_build", identity)
+
+  /** The sources q111 streams IN — its base index covers everything
+    * else, so cross-batch dups can only resolve through growth. */
+  private val q111NewSources = Seq("src15", "src16", "src17")
+
+  /** q111's pre-stream BASE index — the [[nearDupSignatureIndex]]
+    * convention on the ingest fixture's base corpus (everything
+    * except the streamed-in sources), so Bench bills the corpus-scale
+    * build as `store_build_sec` and the q111 wall measures the ingest
+    * rounds it actually runs (the r15 verdict's billing note). The
+    * query CLONES the store into its scratch root before streaming —
+    * the ingest APPENDS fresh signatures per batch, and a shared
+    * at-rest store must never be mutated by a consumer. Its own
+    * rootName family: versionedStoreDir's stale-version prune is
+    * per-family, and two live paramsTags of one family for the same
+    * corpus version would prune each other past the grace window. */
+  private def nearDupIngestBaseIndex(s: SparkSession,
+      dir: String): String =
+    ensureNearDupIndexStore(s, dir, "graft_ndingest_base",
+      "n2k64b32xnew", "ndingest_base_build",
+      _.filter(!col("source").isin(q111NewSources: _*)))
+
+  private def ensureNearDupIndexStore(s: SparkSession, dir: String,
+      rootName: String, paramsTag: String, phaseTag: String,
+      sel: DataFrame => DataFrame): String = {
+    val store = versionedStoreDir(rootName, dir, paramsTag)
     // marker on the LAST-written table (bands first, shingles second)
     // so a half-built index never reads as complete. No outer lease:
     // writeNearDupIndex acquires the store's writer lease itself
@@ -5534,8 +5570,8 @@ object SparkEntry {
     if (!fs.exists(marker)) {
       val root = new org.apache.hadoop.fs.Path(store)
       if (fs.exists(root)) fs.delete(root, true)
-      Phases.time("ndindex_build") {
-        Dedup.writeNearDupIndex(t(s, dir, "documents"),
+      Phases.time(phaseTag) {
+        Dedup.writeNearDupIndex(sel(t(s, dir, "documents")),
           "doc_id", "text", shingleN = 2, k = 64, bands = 32,
           dir = store)
       }
@@ -5634,7 +5670,8 @@ object SparkEntry {
           "q153_training_manifest", "q157_dup_centrality",
           "q197_component_split", "q198_component_split_leakage"),
       "postings_index" -> Set("q126_bm25_indexed"),
-      "ndindex_store" -> Set("q204_split_leakage_indexed"))
+      "ndindex_store" -> Set("q204_split_leakage_indexed"),
+      "ndingest_base" -> Set("q111_stream_neardup_ingest"))
     def wanted(store: String): Boolean =
       selected.forall(qs => consumers(store).exists(qs.contains))
     def timed(name: String)(body: => Unit): Option[(String, Double)] = {
@@ -5653,7 +5690,8 @@ object SparkEntry {
     Seq(
       timed("pair_store") { nearDupPairStore(s, dir); () },
       timed("postings_index") { bm25PostingsStore(s, dir); () },
-      timed("ndindex_store") { nearDupSignatureIndex(s, dir); () })
+      timed("ndindex_store") { nearDupSignatureIndex(s, dir); () },
+      timed("ndingest_base") { nearDupIngestBaseIndex(s, dir); () })
       .flatten
   }
 

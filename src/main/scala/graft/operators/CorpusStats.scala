@@ -880,6 +880,14 @@ object CorpusStats {
       .withColumn("accept", col("logit") >= 0L)
   }
 
+  /** The calibration family's ONE binning rule: double-floor so
+    * negative logits bin DOWNWARD (integer division would merge the
+    * two bins around zero — specced); shared by
+    * [[classifierCalibration]] and [[calibratedGateReport]] so the
+    * reliability table and the threshold chooser cannot drift. */
+  private def logitBin(binWidth: Long): Column =
+    floor(col("logit").cast("double") / binWidth).cast("long")
+
   /** CLASSIFIER CALIBRATION — the reliability table a pipeline reads
     * before trusting a gate threshold: logits bucketed into
     * fixed-width bins, each bin's observed positive rate measured
@@ -893,14 +901,6 @@ object CorpusStats {
     * small integers — so negative logits bin downward (Spark/DuckDB
     * integer division would truncate toward zero and merge the two
     * bins around 0). Rates in integer milli (floor). */
-  /** The calibration family's ONE binning rule: double-floor so
-    * negative logits bin DOWNWARD (integer division would merge the
-    * two bins around zero — specced); shared by
-    * [[classifierCalibration]] and [[calibratedGateReport]] so the
-    * reliability table and the threshold chooser cannot drift. */
-  private def logitBin(binWidth: Long): Column =
-    floor(col("logit").cast("double") / binWidth).cast("long")
-
   def classifierCalibration(docs: DataFrame, idCol: String,
       textCol: String, buckets: Int, binWidth: Long,
       positive: Column): DataFrame = {
@@ -967,26 +967,6 @@ object CorpusStats {
       .groupBy(col(sourceCol))
       .agg(classifierGateAggCols.head, classifierGateAggCols.tail: _*)
 
-  /** CALIBRATION-DRIVEN THRESHOLD + GATE — the calibrate → choose →
-    * gate loop closed: instead of the fixed `logit >= 0` gate
-    * (q156) or a human reading the q188 reliability table, the
-    * threshold is CHOSEN from a stated target precision — the
-    * smallest bin edge whose cumulative-from-the-top observed
-    * positive rate (integer milli, the [[classifierCalibration]]
-    * bins via [[logitBin]]) meets `targetMilli` — and fed straight
-    * through the gate. If NO bin meets the target the gate accepts
-    * nothing (thr columns NULL): an unachievable precision target
-    * is an empty accept set, not a silent fallback.
-    *
-    * One scoring pass: the scored frame is localCheckpointed and
-    * feeds BOTH the calibration aggregate and the gate (re-running
-    * [[linearClassifierScores]] twice would double the dominant
-    * tokenize+hash cost). The bin table is a bounded planning
-    * collect (|bins| ≤ logit span / binWidth — guarded loudly); the
-    * cumulative walk and the comparison are driver-side integer
-    * arithmetic, the q124 bounded-planning convention. Per-source
-    * report: (source, thr_bin, thr_logit, n_docs, n_accept,
-    * sum_logit). */
   /** The chooser half of [[calibratedGateReport]] alone — ONE walk
     * implementation shared with the streaming form (q203 computes
     * the threshold once on the at-rest corpus, then streams batches
@@ -1037,6 +1017,26 @@ object CorpusStats {
       targetMilli).map(_ * binWidth)
   }
 
+  /** CALIBRATION-DRIVEN THRESHOLD + GATE — the calibrate → choose →
+    * gate loop closed: instead of the fixed `logit >= 0` gate
+    * (q156) or a human reading the q188 reliability table, the
+    * threshold is CHOSEN from a stated target precision — the
+    * smallest bin edge whose cumulative-from-the-top observed
+    * positive rate (integer milli, the [[classifierCalibration]]
+    * bins via [[logitBin]]) meets `targetMilli` — and fed straight
+    * through the gate. If NO bin meets the target the gate accepts
+    * nothing (thr columns NULL): an unachievable precision target
+    * is an empty accept set, not a silent fallback.
+    *
+    * One scoring pass: the scored frame is localCheckpointed and
+    * feeds BOTH the calibration aggregate and the gate (re-running
+    * [[linearClassifierScores]] twice would double the dominant
+    * tokenize+hash cost). The bin table is a bounded planning
+    * collect (|bins| ≤ logit span / binWidth — guarded loudly); the
+    * cumulative walk and the comparison are driver-side integer
+    * arithmetic, the q124 bounded-planning convention. Per-source
+    * report: (source, thr_bin, thr_logit, n_docs, n_accept,
+    * sum_logit). */
   def calibratedGateReport(docs: DataFrame, idCol: String,
       textCol: String, sourceCol: String, buckets: Int,
       binWidth: Long, positive: Column, targetMilli: Long): DataFrame = {

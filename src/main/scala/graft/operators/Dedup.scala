@@ -2805,6 +2805,10 @@ object Dedup {
   private[graft] def taggedSegmentAppend(
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
       tag: String, tables: Seq[(String, DataFrame)]): Unit = {
+    // Layout.segments recovers the tag from `seg-<tag>-part-*` by
+    // splitting on "-part-" — a tag containing it would truncate
+    require(!tag.contains("-part-"),
+      s"""tagged append: tag must not contain "-part-": $tag""")
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(indexDir)
     val fs = root.getFileSystem(conf)

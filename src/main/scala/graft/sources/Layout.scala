@@ -91,14 +91,15 @@ object Layout {
       // (clusteredAppend — partition-discovered) and flat
       // `seg-<tag>-part-*` files (the tagged exactly-once appends of
       // the growing stores, Dedup.taggedSegmentAppend)
-      entries.filter(_.isDirectory)
+      (entries.filter(_.isDirectory)
         .map(_.getPath.getName).filter(_.startsWith("seg="))
         .map(_.stripPrefix("seg=")) ++
         entries.filter(_.isFile)
           .map(_.getPath.getName)
           .filter(n => n.startsWith("seg-") && n.contains("-part-"))
-          .map(_.stripPrefix("seg-").split("-part-")(0))
-          .distinct
+          // "-part-" cannot occur inside a tag — rejected at
+          // Dedup.taggedSegmentAppend — so the split is exact
+          .map(_.stripPrefix("seg-").split("-part-")(0))).distinct
     }
   }
 
