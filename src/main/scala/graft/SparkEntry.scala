@@ -2724,6 +2724,175 @@ object SparkEntry {
           coalesce(sum(col("leak_from")), lit(0L)).as("sum_leak_from"))
     }),
 
+    // ── T7+NS: STREAMING COMPONENT-AWARE FOLD ASSIGNMENT — q197's
+    // leakage-safe folds decided AT INGEST (Streams
+    // .componentFoldIngest scaladoc): each micro-batch grows the
+    // pair store (appendPairStore), labels its docs by the connected
+    // component AS OF the grown store ∪ same-key min-edges, and
+    // seals per-doc fold manifests. The streamed copies are
+    // key-unique (a re-scrape from an unknown site), so they can
+    // inherit their original's fold ONLY through the store's grown
+    // cross pairs — n_inherited > 0 in batches 1/2 and 0 in batch 0
+    // is the growth signal the oracle pins (the q111 chained-growth
+    // convention on the fold grain) ──
+    "q205_stream_component_fold" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ns = drainSession(s)
+      import ns.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = ns.sqlContext
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q205_").toString
+      val docs = syntheticUrlDocs(s, dir)
+      val orig = docs.select(col("doc_id"),
+        (col("doc_id") % 3).cast("int").as("b"),
+        col("canon").as("ckey"), col("source"), col("text"))
+      def copies(res: Int, off: Long, b: Int) = docs
+        .filter(col("doc_id") % 3 === res && col("doc_id") % 7 === 0)
+        .select((col("doc_id") + off).as("doc_id"),
+          lit(b).cast("int").as("b"),
+          concat(lit("copy-"), (col("doc_id") + off).cast("string"))
+            .as("ckey"),
+          col("source"), col("text"))
+      val rows = orig
+        .unionByName(copies(0, 3000000L, 1))
+        .unionByName(copies(1, 4000000L, 2))
+        .as[(Long, Int, String, String, String)].collect().toSeq
+      // seed EMPTY stores: the writeNearDupIndex / writePairStore
+      // layout must exist before batch 0 appends into it (an empty
+      // parquet table carries the schema)
+      val emptyDocs = docs.select(col("doc_id"), col("text")).limit(0)
+      Dedup.writeNearDupIndex(emptyDocs, "doc_id", "text",
+        shingleN = 2, k = 64, bands = 32, dir = root + "/store/index")
+      Dedup.writePairStore(emptyDocs, "doc_id", "text",
+        root + "/store/pairs", shingleN = 2, k = 64, bands = 32,
+        threshold = 0.5)
+      orig.select(col("doc_id"), col("ckey"), col("source")).limit(0)
+        .write.parquet(root + "/store/docs/docs")
+      val input = MemoryStream[(Long, String, String, String)]
+      val stream = input.toDF()
+        .toDF("doc_id", "ckey", "source", "text")
+      val ckpt = ephemeralCheckpoint("q205")
+      val q = Streams.componentFoldIngest(stream, "doc_id", "text",
+        "ckey", "source", root + "/store", root + "/out",
+        ckpt.getAbsolutePath, shingleN = 2, k = 64, bands = 32,
+        threshold = 0.5)
+      try
+        (0 until 3).foreach { r =>
+          input.addData(rows.filter(_._2 == r)
+            .map(t => (t._1, t._3, t._4, t._5)))
+          q.processAllAvailable()
+        }
+      finally {
+        try q.stop()
+        finally Scratch.deleteRecursively(ckpt)
+      }
+      val res = s.read.parquet(root + "/out")
+        .groupBy(col("batch_id").cast("long").as("batch_id"),
+          col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("group")).as("n_groups"),
+          sum(when(col("inherited"), 1L).otherwise(0L))
+            .as("n_inherited"),
+          sum(when(col("dsplit") =!= col("split"), 1L).otherwise(0L))
+            .as("n_rescued"))
+      materializeThenClean(s, res, root)
+    }),
+
+    // ── T7+NS: TWO GROWING-STORE MARGIN INGEST — the CCMatrix
+    // steady state (Streams.marginIngestBothGrowing scaladoc): both
+    // sides live as tagged-append bucket stores, each batch mines
+    // its new vectors of EACH side against the OTHER side's store
+    // as of batch start (both probe directions through the same
+    // enumerated-ball relation), verdicts seal before ONE atomic
+    // two-table append. 65-80 best-partners per direction at the
+    // gate SFs sit in GROWN segments, not the seeds — failed growth
+    // on either side collapses them in the oracle compare ──
+    "q206_stream_margin_both_grow" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ns = drainSession(s)
+      import ns.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = ns.sqlContext
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q206_").toString
+      val emb = t(s, dir, "embeddings")
+      val gen = expr("vec_id div 2") % 4
+      def seed(residue: Int, path: String): Unit =
+        Layout.clusteredWrite(
+          emb.filter(col("vec_id") % 2 === residue && gen === 3)
+            .withColumn("bucket",
+              vectors.hyperplaneBucketFast(col("embedding"), q97Planes)),
+          path, numFiles = 8, col("bucket"))
+      seed(0, root + "/store/x")
+      seed(1, root + "/store/y")
+      val rows = emb.filter(gen =!= 3)
+        .select(col("vec_id"), col("embedding"),
+          when(col("vec_id") % 2 === 0, "x").otherwise("y")
+            .as("side"))
+        .as[(Long, Seq[Float], String)].collect().toSeq
+      val input = MemoryStream[(Long, Seq[Float], String)]
+      val stream = input.toDF().toDF("vec_id", "embedding", "side")
+      val ckpt = ephemeralCheckpoint("q206")
+      val q = Streams.marginIngestBothGrowing(stream, root + "/store",
+        "x", "y", q97Planes, q98Radius, k = 4, threshold = 1.15,
+        root, ckpt.getAbsolutePath)
+      try
+        (0 until 3).foreach { r =>
+          input.addData(rows.filter(t => (t._1 / 2) % 4 == r))
+          q.processAllAvailable()
+        }
+      finally {
+        try q.stop()
+        finally Scratch.deleteRecursively(ckpt)
+      }
+      val out = s.read.parquet(root + "/partials")
+        .select("dir", "src_id", "tgt_id", "cos", "margin", "accepted")
+      materializeThenClean(s, out, root)
+    }),
+
+    // ── NS: INCREMENTAL CALIBRATED GATE — the q156/q158/q161 triple
+    // completed at the CALIBRATED threshold (batch q201 / streaming
+    // q203 / THIS): the threshold is chosen ONCE on the at-rest
+    // corpus (doc_id % 5 <> 0 — yesterday's crawl), its per-source
+    // integer partials land at rest, and only the NEW slice scores
+    // today; the merge is one re-aggregation, exact because every
+    // partial is additive AT the shared threshold (CorpusStats
+    // .classifierGateReportAt — ONE gate-at-threshold
+    // implementation with the streaming leg). targetMilli = 750
+    // picks a DIFFERENT bin on the old slice than the full corpus
+    // would at sf0.001 (3 vs 4), so the oracle pins the chooser's
+    // provenance, not just the merge arithmetic ──
+    "q207_incremental_calibrated" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isNew = col("doc_id") % 5 === 0
+      val binWidth = 2000L
+      val thr = CorpusStats.chooseCalibratedThreshold(
+        docs.filter(!isNew), "doc_id", "text", buckets = 4096,
+        binWidth = binWidth,
+        positive = functions.text.qualityScore(col("text")) >= 0.8,
+        targetMilli = 750)
+      def partials(d: org.apache.spark.sql.DataFrame) =
+        CorpusStats.classifierGateReportAt(d, "doc_id", "text",
+          "source", buckets = 4096, thr)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q207_").toString
+      partials(docs.filter(!isNew)).write.parquet(root + "/gate")
+      val merged = s.read.parquet(root + "/gate")
+        .unionByName(partials(docs.filter(isNew)))
+        .groupBy(col("source"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("n_accept")).as("n_accept"),
+          sum(col("sum_logit")).as("sum_logit"),
+          sum(col("sum_feats")).as("sum_feats"))
+        .withColumn("thr_bin",
+          thr.map(t => lit(t / binWidth)).getOrElse(lit(null))
+            .cast("long"))
+        .withColumn("thr_logit",
+          thr.map(lit(_)).getOrElse(lit(null)).cast("long"))
+        .select("source", "thr_bin", "thr_logit", "n_docs",
+          "n_accept", "sum_logit", "sum_feats")
+      materializeThenClean(s, merged, root)
+    }),
+
     // ── T7+NS: STREAMING CALIBRATED GATE — the q201 loop's
     // streaming leg, completing calibrate → choose → gate as a
     // lifecycle (batch q201 / THIS): the threshold is CHOSEN ONCE on
@@ -6602,7 +6771,13 @@ object SparkEntry {
     * (q203 adds sum_feats — the partials carry it). The chooser: MIN
     * qualifying bin under the HUGEINT-floor cumulative-from-top
     * milli rate, mirroring CorpusStats.chooseThresholdBin. */
-  private def calibratedGateOracleSql(withFeats: Boolean): String = {
+  /** The q201 chooser + gate chain, shared by its batch (q201),
+    * streaming (q203) and incremental (q207) legs. `chooserWhere`
+    * restricts the CALIBRATION slice (q207 chooses on yesterday's
+    * crawl only — the gate still scores everything); the gate's
+    * accept comparison always reads the chosen bin. */
+  private def calibratedGateOracleSql(withFeats: Boolean,
+      chooserWhere: String = "", targetMilli: Int = 700): String = {
     val feats =
       if (withFeats)
         ",\n  CAST(SUM(j.n_feats) AS BIGINT) AS sum_feats"
@@ -6616,7 +6791,7 @@ object SparkEntry {
        |      AS bin,
        |    j.logit,
        |    CASE WHEN q.quality >= 0.8 THEN 1 ELSE 0 END AS pos
-       |  FROM j JOIN q USING (doc_id)),
+       |  FROM j JOIN q USING (doc_id) $chooserWhere),
        |cal AS (SELECT bin, COUNT(*) AS n_docs,
        |    CAST(SUM(pos) AS BIGINT) AS n_pos
        |  FROM c GROUP BY bin),
@@ -6624,7 +6799,7 @@ object SparkEntry {
        |    ((SELECT SUM(n_pos) FROM cal c2 WHERE c2.bin >= c1.bin)
        |      * 1000)
        |    // (SELECT SUM(n_docs) FROM cal c2 WHERE c2.bin >= c1.bin)
-       |    >= 700),
+       |    >= $targetMilli),
        |thr AS (SELECT MIN(bin) AS thr_bin FROM qual)
        |SELECT j.source, t.thr_bin, t.thr_bin * 2000 AS thr_logit,
        |  COUNT(*) AS n_docs,
@@ -9050,6 +9225,155 @@ object SparkEntry {
            |GROUP BY v.source""".stripMargin
       },
 
+      // the streamed fold assignment replayed as per-prefix recursive
+      // components: edges (exact jaccard pairs ∪ per-prefix canon
+      // min-edges) become visible when their LATER endpoint arrives,
+      // each doc's label is read at ITS batch's prefix, and the fold/
+      // inherited arithmetic mirrors the sink — ONE recursive CTE
+      // parameterized by prefix instead of three copies
+      "q205_stream_component_fold" -> {
+        def fold(h: String) =
+          s"CASE $h % 10 WHEN 0 THEN 'test' WHEN 1 THEN 'val' " +
+            "ELSE 'train' END"
+        s"""WITH RECURSIVE $urlCanonCtes,
+           |all0 AS (
+           |  SELECT d.doc_id, d.doc_id % 3 AS b, c.canon AS ckey,
+           |    d.source, d.text
+           |  FROM documents d JOIN canon c ON d.doc_id = c.doc_id),
+           |cp AS (
+           |  SELECT doc_id + 3000000 AS doc_id, 1 AS b,
+           |    'copy-' || CAST(doc_id + 3000000 AS VARCHAR) AS ckey,
+           |    source, text
+           |  FROM documents WHERE doc_id % 3 = 0 AND doc_id % 7 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 4000000, 2,
+           |    'copy-' || CAST(doc_id + 4000000 AS VARCHAR),
+           |    source, text
+           |  FROM documents WHERE doc_id % 3 = 1 AND doc_id % 7 = 0),
+           |alld AS (SELECT * FROM all0 UNION ALL SELECT * FROM cp),
+           |ash AS (SELECT doc_id, b, ${sqlShingles(2)} AS s
+           |  FROM (SELECT doc_id, b, $sqlTokens AS toks FROM alld)),
+           |ap AS (
+           |  SELECT a.doc_id AS doc_a, z.doc_id AS doc_b,
+           |    greatest(a.b, z.b) AS eb
+           |  FROM ash a JOIN ash z ON a.doc_id < z.doc_id
+           |  WHERE CAST(len(list_intersect(a.s, z.s)) AS DOUBLE) /
+           |    CAST(len(a.s) + len(z.s) - len(list_intersect(a.s, z.s))
+           |      AS DOUBLE) >= 0.5),
+           |pfxs AS (SELECT 0 AS pfx UNION ALL SELECT 1
+           |  UNION ALL SELECT 2),
+           |cep AS (
+           |  SELECT m.pfx, x.doc_id AS doc_a, m.mn AS doc_b
+           |  FROM (SELECT f.pfx, y.ckey, MIN(y.doc_id) AS mn
+           |        FROM pfxs f JOIN alld y ON y.b <= f.pfx
+           |        GROUP BY f.pfx, y.ckey) m
+           |  JOIN alld x ON x.ckey = m.ckey AND x.b <= m.pfx
+           |  WHERE x.doc_id <> m.mn),
+           |pep AS (SELECT f.pfx, ap.doc_a, ap.doc_b
+           |  FROM pfxs f JOIN ap ON ap.eb <= f.pfx),
+           |alle AS (SELECT pfx, doc_a, doc_b FROM pep
+           |  UNION SELECT pfx, doc_a, doc_b FROM cep),
+           |ed AS (SELECT pfx, doc_a AS src, doc_b AS dst FROM alle
+           |  UNION ALL SELECT pfx, doc_b AS src, doc_a AS dst
+           |  FROM alle),
+           |reach AS (
+           |  SELECT pfx, src AS node, src AS r FROM ed
+           |  UNION
+           |  SELECT e.pfx, e.src AS node, re.r AS r
+           |  FROM ed e JOIN reach re
+           |    ON e.pfx = re.pfx AND e.dst = re.node),
+           |lbl AS (SELECT pfx, node, MIN(r) AS label
+           |  FROM reach GROUP BY pfx, node),
+           |fa AS (
+           |  SELECT d.doc_id, d.b, d.source,
+           |    COALESCE(l.label, d.doc_id) AS grp
+           |  FROM alld d LEFT JOIN lbl l
+           |    ON l.pfx = d.b AND l.node = d.doc_id),
+           |sp AS (
+           |  SELECT fa.doc_id, fa.b, fa.grp,
+           |    ${fold(hashes.md5Hash60Sql("CAST(grp AS VARCHAR)"))}
+           |      AS split,
+           |    ${fold(hashes.md5Hash60Sql(
+                  "CAST(fa.doc_id AS VARCHAR)"))} AS dsplit,
+           |    CASE WHEN o.doc_id IS NULL THEN 1 ELSE 0 END AS inh
+           |  FROM fa LEFT JOIN alld o
+           |    ON o.doc_id = fa.grp AND o.b = fa.b)
+           |SELECT CAST(b AS BIGINT) AS batch_id, split,
+           |  COUNT(*) AS n_docs,
+           |  COUNT(DISTINCT grp) AS n_groups,
+           |  CAST(SUM(inh) AS BIGINT) AS n_inherited,
+           |  CAST(SUM(CASE WHEN dsplit <> split THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_rescued
+           |FROM sp GROUP BY b, split""".stripMargin
+      },
+
+      // the q200 staged-growth chain on BOTH sides: per batch, two
+      // mark passes (each side's new vectors vs the OTHER side's
+      // store as of batch start), then both stores extend — a failed
+      // append on either side collapses the later batches' grown
+      // best-partners and fails the hash compare
+      "q206_stream_margin_both_grow" -> {
+        val cos = marginCosSql("x", "y")
+        def mark(tag: String, batch: String, store: String) =
+          s"""rk$tag AS (SELECT y.src_id, x.vec_id AS tgt_id,
+             |    round($cos, 6) AS cos,
+             |    row_number() OVER (PARTITION BY y.src_id
+             |      ORDER BY round($cos, 6) DESC, x.vec_id) AS rk
+             |  FROM $batch y JOIN $store x
+             |    ON bit_count(xor(x.bucket, y.qb)) <= $q98Radius
+             |  WHERE round($cos, 6) > 0),
+             |top$tag AS (SELECT * FROM rk$tag WHERE rk <= 4),
+             |st$tag AS (SELECT src_id,
+             |    SUM(CAST(cos AS DECIMAL(18,6))) AS s, COUNT(*) AS c
+             |  FROM top$tag GROUP BY src_id),
+             |d$tag AS (SELECT t.src_id, t.tgt_id, t.cos,
+             |  round(CAST(t.cos AS DOUBLE) /
+             |    (CAST(st.s AS DOUBLE) / st.c), 6) AS margin,
+             |  round(CAST(t.cos AS DOUBLE) /
+             |    (CAST(st.s AS DOUBLE) / st.c), 6) >= 1.15 AS accepted
+             |  FROM top$tag t JOIN st$tag st USING (src_id)
+             |  WHERE t.rk = 1)""".stripMargin
+        def grow(side: String, n: Int) =
+          s"""s$side$n AS (SELECT * FROM s$side${n - 1} UNION ALL
+             |  SELECT src_id AS vec_id, embedding, qb AS bucket
+             |  FROM b$side$n)""".stripMargin
+        val steps = (1 to 3).map { n =>
+          val r = n - 1
+          s"""b${"x"}$n AS (SELECT * FROM xv WHERE bn = $r),
+             |b${"y"}$n AS (SELECT * FROM yv WHERE bn = $r),
+             |${mark(s"x$n", s"bx$n", s"sy${n - 1}")},
+             |${mark(s"y$n", s"by$n", s"sx${n - 1}")},
+             |${grow("x", n)},
+             |${grow("y", n)}""".stripMargin
+        }.mkString(",\n")
+        def out(d: String, dir: String) =
+          s"SELECT '$dir' AS dir, src_id, tgt_id, cos, margin, " +
+            s"accepted FROM $d"
+        s"""WITH sx0 AS (SELECT vec_id, embedding,
+           |    ${sqlBucket("embedding", q97Planes)} AS bucket
+           |  FROM embeddings
+           |  WHERE vec_id % 2 = 0 AND (vec_id // 2) % 4 = 3),
+           |sy0 AS (SELECT vec_id, embedding,
+           |    ${sqlBucket("embedding", q97Planes)} AS bucket
+           |  FROM embeddings
+           |  WHERE vec_id % 2 <> 0 AND (vec_id // 2) % 4 = 3),
+           |xv AS (SELECT vec_id AS src_id, embedding,
+           |    ${sqlBucket("embedding", q97Planes)} AS qb,
+           |    (vec_id // 2) % 4 AS bn
+           |  FROM embeddings
+           |  WHERE vec_id % 2 = 0 AND (vec_id // 2) % 4 <> 3),
+           |yv AS (SELECT vec_id AS src_id, embedding,
+           |    ${sqlBucket("embedding", q97Planes)} AS qb,
+           |    (vec_id // 2) % 4 AS bn
+           |  FROM embeddings
+           |  WHERE vec_id % 2 <> 0 AND (vec_id // 2) % 4 <> 3),
+           |$steps
+           |${out("dx1", "x2y")} UNION ALL ${out("dx2", "x2y")}
+           |UNION ALL ${out("dx3", "x2y")}
+           |UNION ALL ${out("dy1", "y2x")} UNION ALL ${out("dy2", "y2x")}
+           |UNION ALL ${out("dy3", "y2x")}""".stripMargin
+      },
+
       // the independent exact leakage join over the component folds:
       // every val doc exact-jaccard-scored against every non-val doc
       // — the oracle agreeing on ZERO leaks proves the engine's
@@ -9163,6 +9487,14 @@ object SparkEntry {
       // exactly-once decomposition must re-aggregate to the batch
       // answer bit for bit
       "q203_stream_calibrated_gate" -> calibratedGateOracleSql(true),
+
+      // the shared q201 chain with the chooser restricted to the
+      // at-rest slice (yesterday's crawl) at target 750 — merged
+      // partials ≡ a full recompute at the chosen threshold, and at
+      // sf0.001 the old slice picks bin 3 where the full corpus
+      // would pick 4, pinning the chooser's provenance
+      "q207_incremental_calibrated" -> calibratedGateOracleSql(true,
+        chooserWhere = "WHERE doc_id % 5 <> 0", targetMilli = 750),
 
       // the q176 mark shape on the AUDIO hash CTEs (div = 16 — every
       // 16th event is a WAV; halves split mod 32): the batch's even-m

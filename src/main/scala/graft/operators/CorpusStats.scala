@@ -967,6 +967,23 @@ object CorpusStats {
       .groupBy(col(sourceCol))
       .agg(classifierGateAggCols.head, classifierGateAggCols.tail: _*)
 
+  /** [[classifierGateReport]] at an EXPLICIT threshold — the gate
+    * half shared by the streaming calibrated gate (Streams
+    * .calibratedClassifierIngest / q203) and the incremental
+    * calibrated gate (q207): the threshold is a static training-run
+    * decision ([[chooseCalibratedThreshold]]), and the partials are
+    * computed AT it, so at-rest partials and a fresh slice merge
+    * exactly. None (unachievable target) accepts NOTHING — the q201
+    * contract, not a silent `logit >= 0` fallback. */
+  def classifierGateReportAt(docs: DataFrame, idCol: String,
+      textCol: String, sourceCol: String, buckets: Int,
+      thresholdLogit: Option[Long]): DataFrame =
+    linearClassifierScores(docs, idCol, textCol, buckets)
+      .withColumn("accept", thresholdLogit
+        .map(t => col("logit") >= lit(t)).getOrElse(lit(false)))
+      .groupBy(col(sourceCol))
+      .agg(classifierGateAggCols.head, classifierGateAggCols.tail: _*)
+
   /** The chooser half of [[calibratedGateReport]] alone — ONE walk
     * implementation shared with the streaming form (q203 computes
     * the threshold once on the at-rest corpus, then streams batches

@@ -482,6 +482,192 @@ object Streams {
       }
       .start()
 
+  /** TWO GROWING-STORE MARGIN INGEST — the CCMatrix steady state
+    * completing the margin lifecycle family (static two-sided q199,
+    * ONE growing side q200, THIS): both corpora arrive continuously,
+    * both live as bucket-clustered tagged-append stores, and each
+    * micro-batch mines its NEW vectors of each side against the
+    * OTHER side's store AS OF the batch start (Similarity
+    * .marginProbeStore — the enumerated probe-ball relation with
+    * pushed bucket pruning, both directions), then appends BOTH
+    * sides' vectors as ONE tagged sealed segment pair (one commit
+    * marker seals the x and y appends atomically). Verdict seal
+    * strictly BEFORE the appends — an unsealed retry re-mines the
+    * pre-append stores (no same-batch matches, as-of semantics
+    * everywhere), a sealed-but-unappended retry redoes only the pure
+    * append. A batch-2 x vector's best partner can be a batch-1 y
+    * vector AND vice versa — accepted pairs exist that required BOTH
+    * stores to grow, which is what the oracle's chained-growth CTEs
+    * pin. Same-batch cross pairs are invisible by construction (both
+    * probes read as-of-start stores) — the documented as-of residual
+    * shared with q109/q111/q200; they surface when either side
+    * re-crawls. Zero streaming state. */
+  def marginIngestBothGrowing(batch: DataFrame, storeParent: String,
+      xTable: String, yTable: String, planes: Seq[Array[Double]],
+      radius: Int, k: Int, threshold: Double, storeRoot: String,
+      checkpointDir: String): StreamingQuery =
+    batch.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = b.sparkSession
+        val widthKey = "spark.sql.shuffle.partitions"
+        val oldWidth = s.conf.get(widthKey)
+        s.conf.set(widthKey, s.sparkContext.defaultParallelism)
+        try graft.Phases.time(s"margin_grow2[b$batchId]") {
+          graft.sources.StoreLease.withLease(s, storeParent,
+              s"margin-grow2-b$batchId") {
+            val bd = b.toDF().localCheckpoint()
+            val bx = bd.filter(col("side") === "x").drop("side")
+            val by = bd.filter(col("side") === "y").drop("side")
+            val seg = new org.apache.hadoop.fs.Path(
+              s"$storeRoot/partials/batch_id=$batchId")
+            val fs = seg.getFileSystem(
+              s.sparkContext.hadoopConfiguration)
+            val marker = new org.apache.hadoop.fs.Path(seg, "_SUCCESS")
+            if (!fs.exists(marker)) {
+              if (fs.exists(seg)) fs.delete(seg, true) // half-landed
+              graft.operators.Similarity.marginProbeStore(
+                  s, s"$storeParent/$yTable", bx, planes, radius, k,
+                  threshold)
+                .withColumn("dir", lit("x2y"))
+                .unionByName(graft.operators.Similarity
+                  .marginProbeStore(s, s"$storeParent/$xTable", by,
+                    planes, radius, k, threshold)
+                  .withColumn("dir", lit("y2x")))
+                .write.parquet(seg.toString)
+            }
+            def bucketed(f: DataFrame) = f
+              .withColumn("bucket", graft.functions.vectors
+                .hyperplaneBucketFast(col("embedding"), planes))
+              .repartitionByRange(1, col("bucket"))
+              .sortWithinPartitions(col("bucket"))
+            if (!graft.operators.Dedup.isBatchCommitted(s, storeParent,
+                s"b$batchId"))
+              graft.operators.Dedup.taggedSegmentAppend(s, storeParent,
+                s"b$batchId", Seq(xTable -> bucketed(bx),
+                  yTable -> bucketed(by)))
+          }
+        } finally s.conf.set(widthKey, oldWidth)
+      }
+      .start()
+
+  /** STREAMING COMPONENT-AWARE FOLD ASSIGNMENT — q197's
+    * leakage-safe train/val/test folds decided AT INGEST: a batch
+    * q197 run re-folds the whole corpus per version, but a streamed
+    * corpus needs each document's fold fixed when it lands (training
+    * shards are append-only), and a near-duplicate arriving AFTER
+    * its partner must inherit the partner's fold or the pair
+    * straddles the eval boundary (exactly the leakage class q121
+    * measures). Per micro-batch:
+    *
+    *  1. GROW the shared pair store + signature index
+    *     (Dedup.appendPairStore, exactly-once under `b<batchId>`) —
+    *     the batch's cross pairs against everything already seen are
+    *     what lets a late near-dup inherit instead of hashing fresh;
+    *  2. derive the batch docs' component labels AS OF this batch
+    *     (Dedup.componentGroups over seen docs ∪ batch, edges = the
+    *     grown pair store ∪ same-key min-edges — label = component
+    *     min id, so a later arrival inherits its partner's label
+    *     when the partner's id is the component min, the fixture
+    *     convention of every growth query);
+    *  3. assign folds by the q197 key rule (md5-60 of the label mod
+    *     10: 0 test, 1 val, rest train — Relational.groupAwareSplit
+    *     arithmetic) and land the per-doc fold manifest in a
+    *     batch_id partition (dynamic overwrite — the exactly-once
+    *     output half);
+    *  4. append the batch's (id, key, source) rows to the seen-docs
+    *     manifest (tagged sealed segment).
+    *
+    * An already-assigned doc is NEVER re-folded: a later merge can
+    * relabel its component, but its manifest row is sealed — the
+    * honest residual of fold-at-ingest (a pair whose endpoints were
+    * both assigned before their connecting edge arrived can still
+    * straddle; the by-construction guarantee covers every pair whose
+    * later endpoint arrives after the edge is observable, which is
+    * every pair the growing store can see). Replay-stable: the
+    * seen-docs read anti-joins the batch's own ids, so a retry that
+    * finds its own sealed manifest still computes the same
+    * as-of-batch prefix; the pair append converges by its own seal
+    * protocol; the fold sink overwrites only its own partition.
+    *
+    * Scale shape (100 TB): per-batch cost is the batch-sized mark
+    * (appendPairStore: candidates = batch bands × store bands) plus
+    * one CC over the EDGE-grain store (O(log n) star rounds; post-LSH
+    * pair volume ≪ corpus) and a key-grain aggregate — the corpus
+    * text never re-tokenizes. A production deployment would maintain
+    * an incremental union-find label store instead of re-walking the
+    * components per batch; the re-walk keeps this form exact and the
+    * oracle-checkable shape is identical. */
+  def componentFoldIngest(docs: DataFrame, idCol: String,
+      textCol: String, keyCol: String, sourceCol: String,
+      storeRoot: String, outDir: String, checkpointDir: String,
+      shingleN: Int, k: Int, bands: Int,
+      threshold: Double): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val widthKey = "spark.sql.shuffle.partitions"
+        val oldWidth = s.conf.get(widthKey)
+        s.conf.set(widthKey, s.sparkContext.defaultParallelism)
+        try graft.Phases.time(s"fold_ingest[b$batchId]") {
+          val tag = s"b$batchId"
+          val indexDir = s"$storeRoot/index"
+          val pairStore = s"$storeRoot/pairs"
+          val docsStore = s"$storeRoot/docs"
+          val b = batch.toDF()
+          graft.operators.Dedup.appendPairStore(b, idCol, textCol,
+            indexDir, pairStore, shingleN, k, bands, threshold,
+            commitTag = Some(tag))
+          val batchDocs = b.select(col(idCol), col(keyCol),
+            col(sourceCol)).localCheckpoint()
+          // seen docs AS OF this batch: committed manifest minus the
+          // batch's own ids (a crashed attempt's half-landed manifest
+          // rows are exactly batch rows — anti-joined out, so the
+          // read needs no segment hygiene) ∪ the batch itself
+          val prior = s.read.parquet(s"$docsStore/docs")
+            .join(batchDocs.select(col(idCol)), Seq(idCol),
+              "left_anti")
+          val seen = prior.unionByName(batchDocs)
+          val grp = graft.operators.Dedup.componentGroups(seen,
+            idCol, col(keyCol),
+            s.read.parquet(s"$pairStore/pairs")
+              .select(col("doc_a"), col("doc_b")))
+          def foldOf(h: Column) = when(h === 0, "test")
+            .when(h === 1, "val").otherwise("train")
+          val folds = batchDocs
+            .join(grp, Seq(idCol))
+            .withColumn("split", foldOf(graft.functions.hashes
+              .md5Hash60(col("group").cast("string")) % 10))
+            .withColumn("dsplit", foldOf(graft.functions.hashes
+              .md5Hash60(col(idCol).cast("string")) % 10))
+            // inherited = the component representative arrived in an
+            // EARLIER batch: the fold came through the grown store
+            .join(batchDocs.select(col(idCol).as("group"))
+                .withColumn("_cf_own", lit(true)),
+              Seq("group"), "left")
+            .withColumn("inherited", col("_cf_own").isNull)
+            .select(col(idCol), col(sourceCol), col("group"),
+              col("split"), col("dsplit"), col("inherited"))
+          graft.Phases.time(s"fold_sink[b$batchId]") {
+            folds
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(outDir)
+          }
+          if (!graft.operators.Dedup.isBatchCommitted(s, docsStore,
+              tag))
+            graft.sources.StoreLease.withLease(s, docsStore,
+                s"docs-append-$tag") {
+              graft.operators.Dedup.taggedSegmentAppend(s, docsStore,
+                tag, Seq("docs" -> batchDocs))
+            }
+        } finally s.conf.set(widthKey, oldWidth)
+      }
+      .start()
+
   /** Streaming CLASSIFIER GATE — the q156 hashed-ngram linear
     * classifier applied at ingest time: each micro-batch of crawl
     * docs is scored against the STATIC (bucket, weight) model
@@ -519,16 +705,8 @@ object Streams {
       thresholdLogit: Option[Long], storeRoot: String,
       checkpointDir: String): StreamingQuery =
     sealedPartialsIngest(docs, storeRoot, checkpointDir, "calgate") {
-      b =>
-        val accept = thresholdLogit
-          .map(t => col("logit") >= lit(t))
-          .getOrElse(lit(false))
-        graft.operators.CorpusStats
-          .linearClassifierScores(b, idCol, textCol, buckets)
-          .withColumn("accept", accept)
-          .groupBy(col(sourceCol))
-          .agg(graft.operators.CorpusStats.classifierGateAggCols.head,
-            graft.operators.CorpusStats.classifierGateAggCols.tail: _*)
+      b => graft.operators.CorpusStats.classifierGateReportAt(
+        b, idCol, textCol, sourceCol, buckets, thresholdLogit)
     }
 
   /** Streaming EMBEDDING MOMENTS — q137's exact integer moments kept

@@ -625,4 +625,29 @@ class CorpusStatsSpec extends AnyFunSuite with SparkSpec with Matchers {
         "doc_id", "text", maskPct = 0)
     }.getMessage should include("maskPct")
   }
+
+  test("classifierGateReportAt: Some(0) reproduces the fixed gate; a " +
+    "floor threshold accepts all; None accepts none") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", "alpha beta gamma delta"), (2L, "s1", "one two"),
+      (3L, "s2", "lorem ipsum dolor sit amet"), (4L, "s2", "tiny"))
+      .toDF("doc_id", "source", "text")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.orderBy("source").collect().map(_.toSeq).toSet
+    rows(CorpusStats.classifierGateReportAt(docs, "doc_id", "text",
+      "source", buckets = 64, Some(0L))) shouldBe
+      rows(CorpusStats.classifierGateReport(docs, "doc_id", "text",
+        "source", buckets = 64))
+    val floor = CorpusStats.classifierGateReportAt(docs, "doc_id",
+      "text", "source", buckets = 64, Some(Long.MinValue))
+      .select("source", "n_docs", "n_accept")
+      .as[(String, Long, Long)].collect()
+      .map { case (s, n, a) => s -> ((n, a)) }.toMap
+    floor shouldBe Map("s1" -> ((2L, 2L)), "s2" -> ((2L, 2L)))
+    val none = CorpusStats.classifierGateReportAt(docs, "doc_id",
+      "text", "source", buckets = 64, None)
+      .agg(sum("n_accept")).as[Long].head()
+    none shouldBe 0L
+  }
 }

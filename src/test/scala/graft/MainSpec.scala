@@ -344,6 +344,69 @@ class MainSpec extends AnyFunSuite with SparkSpec with Matchers {
     Scratch.deleteRecursively(new java.io.File(parent))
   }
 
+  test("compact verb over BOTH stores of a two-sided grown pair " +
+    "(q206 lifecycle): both probe directions' verdicts invariant") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    import graft.sources.Layout
+    val parent = Files.createTempDirectory("graft_main_mg2").toString
+    val dim = 16
+    def vec(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(dim)(r.nextGaussian())
+    }
+    val planes = graft.functions.vectors.planeMatrix(seed = 92L,
+      nPlanes = 4, dim = dim)
+    def bucketed(rows: Seq[(Long, Seq[Double])]) =
+      rows.toDF("vec_id", "embedding")
+        .withColumn("bucket", graft.functions.vectors
+          .hyperplaneBucketFast(col("embedding"), planes))
+        .repartitionByRange(1, col("bucket"))
+        .sortWithinPartitions(col("bucket"))
+    Layout.clusteredWrite(
+      bucketed((0 until 12).map(i => (2L * i, vec(i)))),
+      parent + "/x", numFiles = 4, col("bucket"))
+    Layout.clusteredWrite(
+      bucketed((0 until 12).map(i => (2L * i + 1, vec(50 + i)))),
+      parent + "/y", numFiles = 4, col("bucket"))
+    // three ATOMIC two-table appends (the q206 growth convention:
+    // one marker seals both sides)
+    for (b <- 0 until 3)
+      graft.operators.Dedup.taggedSegmentAppend(spark, parent, s"b$b",
+        Seq("x" -> bucketed((0 until 6).map(i =>
+            (1000L + 10 * b + i, vec(300 + 10 * b + i)))),
+          "y" -> bucketed((0 until 6).map(i =>
+            (2000L + 10 * b + i, vec(600 + 10 * b + i))))))
+    Layout.segments(spark, parent + "/x").sorted shouldBe
+      Seq("b0", "b1", "b2")
+    Layout.segments(spark, parent + "/y").sorted shouldBe
+      Seq("b0", "b1", "b2")
+    val bx = (0 until 4).map(i => (9000L + i,
+      vec(600 + i).zipWithIndex.map { case (x, j) => x + 1e-3 * j }))
+      .toDF("vec_id", "embedding")
+    val by = (0 until 4).map(i => (9100L + i,
+      vec(300 + i).zipWithIndex.map { case (x, j) => x + 1e-3 * j }))
+      .toDF("vec_id", "embedding")
+    def mine(): Set[Seq[Any]] =
+      (graft.operators.Similarity.marginProbeStore(spark,
+          parent + "/y", bx, planes, radius = 4, k = 4,
+          threshold = 1.0).withColumn("dir", lit("x2y"))
+        .unionByName(graft.operators.Similarity.marginProbeStore(
+          spark, parent + "/x", by, planes, radius = 4, k = 4,
+          threshold = 1.0).withColumn("dir", lit("y2x"))))
+        .collect().map(_.toSeq).toSet
+    val before = mine()
+    before.nonEmpty shouldBe true
+    Main.run(spark, Seq("compact", parent + "/x", "bucket"))
+      .last should include("compacted")
+    Main.run(spark, Seq("compact", parent + "/y", "bucket"))
+      .last should include("compacted")
+    Layout.segments(spark, parent + "/x") shouldBe Seq("compacted")
+    Layout.segments(spark, parent + "/y") shouldBe Seq("compacted")
+    mine() shouldBe before
+    Scratch.deleteRecursively(new java.io.File(parent))
+  }
+
   test("compact-ndindex verb: dilution-gated rewrite, verdicts invariant") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

@@ -1001,4 +1001,152 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
       metrics() shouldBe ref
     } finally Scratch.deleteRecursively(new java.io.File(root))
   }
+
+  test("two growing-store margin ingest: each side's later batch " +
+    "mines the other side's earlier append; re-delivered and " +
+    "half-landed batches both converge") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_mg2_retry_").toString
+    try {
+      val dim = 8
+      def vec(seed: Int): Seq[Double] = {
+        val r = new scala.util.Random(seed)
+        Seq.fill(dim)(r.nextGaussian())
+      }
+      val planes = graft.functions.vectors.planeMatrix(seed = 92L,
+        nPlanes = 4, dim = dim)
+      val baseA = vec(1)
+      val baseB = vec(2)
+      def near(b: Seq[Double]) =
+        b.zipWithIndex.map { case (x, j) => x + 1e-3 * j }
+      // seeds: one unrelated vector per store; radius 4 over 4
+      // planes makes the ball universal — the growth logic, not
+      // bucket geometry, is under test
+      def seed(id: Long, sd: Int, table: String): Unit =
+        graft.sources.Layout.clusteredWrite(
+          Seq((id, vec(sd))).toDF("vec_id", "embedding")
+            .withColumn("bucket", graft.functions.vectors
+              .hyperplaneBucketFast(col("embedding"), planes)),
+          root + s"/store/$table", numFiles = 1, col("bucket"))
+      seed(2L, 98, "x")
+      seed(1L, 99, "y")
+      // batch 0 plants baseA on the x side and baseB on the y side;
+      // batch 1's x probe (near baseB) can only find y 11 because
+      // the Y store grew, and its y probe (near baseA) can only
+      // find x 10 because the X store grew
+      val b0 = Seq((10L, baseA, "x"), (11L, baseB, "y"))
+      val b1 = Seq((20L, near(baseB), "x"), (21L, near(baseA), "y"))
+      def runStream(ckpt: String,
+          batches: Seq[Seq[(Long, Seq[Double], String)]]): Unit = {
+        val input = MemoryStream[(Long, Seq[Double], String)]
+        val q = Streams.marginIngestBothGrowing(
+          input.toDF().toDF("vec_id", "embedding", "side"),
+          root + "/store", "x", "y", planes, radius = 4, k = 4,
+          threshold = 1.0, root, ckpt)
+        try batches.foreach { b =>
+          input.addData(b: _*); q.processAllAvailable()
+        } finally q.stop()
+      }
+      runStream(root + "/ckpt", Seq(b0, b1))
+      def state(): (Set[Long], Set[Long], Set[Seq[Any]]) = (
+        spark.read.parquet(root + "/store/x")
+          .select("vec_id").as[Long].collect().toSet,
+        spark.read.parquet(root + "/store/y")
+          .select("vec_id").as[Long].collect().toSet,
+        spark.read.parquet(root + "/partials")
+          .select("dir", "src_id", "tgt_id", "cos", "margin",
+            "accepted")
+          .collect().map(_.toSeq).toSet)
+      val (xs, ys, out) = state()
+      xs shouldBe Set(2L, 10L, 20L)
+      ys shouldBe Set(1L, 11L, 21L)
+      val best = out.map(r => (r.head, r(1)) -> r(2)).toMap
+      // BOTH growth directions load-bearing: 20's partner is the
+      // batch-0 Y append, 21's the batch-0 X append — not the seeds
+      best(("x2y", 20L)) shouldBe 11L
+      best(("y2x", 21L)) shouldBe 10L
+      // re-delivered batch 0: sealed verdicts + committed two-table
+      // append both skipped
+      runStream(root + "/ckpt_retry", Seq(b0))
+      state() shouldBe ((xs, ys, out))
+      // half-landed append (the ONE marker sealing both tables
+      // removed): the redo cleans both sides' seg files and
+      // reproduces them
+      val marker = new java.io.File(s"$root/store/_commits/b0")
+      marker.exists() shouldBe true
+      marker.delete() shouldBe true
+      runStream(root + "/ckpt_retry2", Seq(b0))
+      state() shouldBe ((xs, ys, out))
+    } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
+
+  test("component fold ingest: a late near-duplicate inherits its " +
+    "partner's fold through the grown store; re-delivered and " +
+    "half-landed batches both converge") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_cfold_").toString
+    try {
+      val a = (1 to 11).map(i => s"a$i").mkString(" ")
+      // batch 0: doc 1 (key u1) + unrelated doc 3 (key u3)
+      val b0 = Seq((1L, "u1", "s", a),
+        (3L, "u3", "s", (1 to 8).map(i => s"p$i").mkString(" ")))
+      // batch 1: doc 20 = exact copy of doc 1's text, key-unique —
+      // its own doc-level fold is 'test' (md5-60("20") % 10 = 0) but
+      // it must inherit group 1's 'train' through the batch-0
+      // signatures the store grew; doc 30 novel (its own 'val')
+      val b1 = Seq((20L, "u20", "s", a),
+        (30L, "u30", "s", (1 to 8).map(i => s"q$i").mkString(" ")))
+      val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+      Dedup.writeNearDupIndex(empty, "doc_id", "text", shingleN = 2,
+        k = 64, bands = 32, dir = root + "/store/index")
+      Dedup.writePairStore(empty, "doc_id", "text",
+        root + "/store/pairs", shingleN = 2, k = 64, bands = 32,
+        threshold = 0.5)
+      Seq.empty[(Long, String, String)]
+        .toDF("doc_id", "ckey", "source")
+        .write.parquet(root + "/store/docs/docs")
+      def runStream(ckpt: String,
+          batches: Seq[Seq[(Long, String, String, String)]]): Unit = {
+        val input = MemoryStream[(Long, String, String, String)]
+        val q = Streams.componentFoldIngest(
+          input.toDF().toDF("doc_id", "ckey", "source", "text"),
+          "doc_id", "text", "ckey", "source", root + "/store",
+          root + "/out", ckpt, shingleN = 2, k = 64, bands = 32,
+          threshold = 0.5)
+        try batches.foreach { b =>
+          input.addData(b: _*); q.processAllAvailable()
+        } finally q.stop()
+      }
+      runStream(root + "/ckpt", Seq(b0, b1))
+      def state(): Set[Seq[Any]] = spark.read.parquet(root + "/out")
+        .select("doc_id", "group", "split", "dsplit", "inherited")
+        .collect().map(_.toSeq).toSet
+      val out = state()
+      val byId = out.map(r =>
+        r.head.asInstanceOf[Long] -> r.toVector).toMap
+      byId(1L)(2) shouldBe "train" // group 1's fold
+      byId(20L)(1) shouldBe 1L // label inherited from the store
+      byId(20L)(2) shouldBe "train" // the partner's fold, not its own
+      byId(20L)(3) shouldBe "test" // the doc-level fold it escaped
+      byId(20L)(4) shouldBe true
+      byId(30L)(1) shouldBe 30L // novel: own label, own fold
+      byId(30L)(4) shouldBe false
+      // re-delivered batch 0 (fresh checkpoint, same batchId):
+      // sealed pair append skipped, manifest seal skipped, fold
+      // partition overwritten with identical rows
+      runStream(root + "/ckpt_retry", Seq(b0))
+      state() shouldBe out
+      // half-landed pair append (commit marker removed): the redo
+      // cleans its own seg files and reproduces them — same state,
+      // and the as-of read anti-joins the batch's own manifest rows
+      val marker = new java.io.File(s"$root/store/pairs/_commits/b0")
+      marker.exists() shouldBe true
+      marker.delete() shouldBe true
+      runStream(root + "/ckpt_retry2", Seq(b0))
+      state() shouldBe out
+    } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
 }
