@@ -110,6 +110,10 @@ object Main {
       imgHealth(spark, sfDir, rest.headOption)
     case Seq("aud-health", sfDir) => audHealth(spark, sfDir)
     case Seq("vid-health", sfDir) => vidHealth(spark, sfDir)
+    case Seq("media-health", sfDir) => mediaHealth(spark, sfDir)
+    case Seq("refold", storeRoot, manifestDir, rest @ _*)
+        if intArg(rest, 0).isDefined =>
+      refold(spark, storeRoot, manifestDir, intArg(rest, 0).get)
     case Seq("index", storeDir) => indexInfo(spark, storeDir)
     case Seq("lease", storeDir) => leaseInfo(spark, storeDir, doBreak = false)
     case Seq("lease", storeDir, "--break") =>
@@ -163,6 +167,14 @@ object Main {
       "  aud-health <sfDir>                  audio-modality health " +
         "report: decoded fingerprints, dup pairs, dup groups, " +
         "largest group",
+      "  media-health <sfDir>                cross-modality census: " +
+        "one items/pairs/groups table over image+audio+video plus " +
+        "the roll-up totals row",
+      "  refold <foldStoreRoot> <manifestDir> [maxMovedMilli]   " +
+        "measure fold drift (at-ingest vs final component folds, " +
+        "the q209 arithmetic) and rewrite the manifests at the " +
+        "final folds when moved docs exceed the gate (default 0 = " +
+        "any drift)",
       "  index <storeDir>                    show a store's persisted " +
         "ANN metadata (what AnnIndex.registerFrom adopts)",
       "  lease <storeDir> [--break]          show a store's writer " +
@@ -537,6 +549,44 @@ object Main {
     }
   }
 
+  /** One modality's duplicate-census numbers: items, pairs, star-CC
+    * group count, members covered by a group, and the largest group
+    * as (keeper id, member count). */
+  private final case class DupCensus(nItems: Long, nPairs: Long,
+      nGroups: Long, nGrouped: Long, top: Option[(Long, Long)]) {
+    def unique: Long = nItems - nGrouped
+  }
+
+  /** ONE modality-agnostic duplicate census over a near-dup pair set
+    * — the body img/aud/vid-health carried in triplicate until
+    * media-health would have made a fourth copy: checkpoint the
+    * pairs (both the count and the CC read them), resolve star-CC
+    * duplicate groups, measure coverage and the largest group.
+    * `coalesce`: a pair-free corpus (every sf0.001 video its own
+    * content class) sums an EMPTY frame to NULL. */
+  private def dupCensus(nItems: Long,
+      pairs0: org.apache.spark.sql.DataFrame,
+      aCol: String, bCol: String): DupCensus = {
+    val pairs = pairs0.localCheckpoint()
+    val nPairs = pairs.count()
+    val cc = graft.operators.Dedup
+      .connectedComponentsStar(pairs, aCol, bCol)
+      .toDF("doc", "keeper")
+    val groups = cc.groupBy(col("keeper"))
+      .agg(count(lit(1)).as("n_members"))
+      .persist()
+    val nGrouped = groups
+      .agg(coalesce(sum(col("n_members")), lit(0L)))
+      .collect()(0).getLong(0)
+    val nGroups = groups.count()
+    val top = groups.orderBy(col("n_members").desc, col("keeper"))
+      .limit(1).collect()
+      .headOption.map(r => (r.getLong(0), r.getLong(1)))
+    groups.unpersist(blocking = false)
+    org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(pairs)
+    DupCensus(nItems, nPairs, nGroups, nGrouped, top)
+  }
+
   /** `img-health` verb: the emb-health convention on the image
     * modality — the q172 decode→hash→pair pipeline over the real
     * fixture, resolved to duplicate groups (the q178 machinery), as
@@ -547,30 +597,15 @@ object Main {
   private def imgHealth(spark: SparkSession, sfDir: String,
       indexDir: Option[String]): Seq[String] = {
     val (fp, pairs0) = SparkEntry.phashPairs(spark, sfDir)
-    val pairs = pairs0.localCheckpoint()
-    val nImages = fp.count()
-    val nPairs = pairs.count()
-    val cc = graft.operators.Dedup
-      .connectedComponentsStar(pairs, "doc_a", "doc_b")
-      .toDF("doc", "keeper")
-    val groups = cc.groupBy(col("keeper"))
-      .agg(count(lit(1)).as("n_members"))
-      .persist()
-    val nGrouped = groups.agg(sum(col("n_members"))).collect()(0).getLong(0)
-    val nGroups = groups.count()
-    val top = groups.orderBy(col("n_members").desc, col("keeper"))
-      .limit(1).collect()
-    groups.unpersist(blocking = false)
-    org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(pairs)
+    val c = dupCensus(fp.count(), pairs0, "doc_a", "doc_b")
     org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(fp)
     val census = Seq(
-      s"images decoded: $nImages",
-      s"near-dup pairs (radius 4): $nPairs",
-      s"dup groups: $nGroups covering $nGrouped images " +
-        s"(${nImages - nGrouped} unique)") ++
-      top.toSeq.map(r =>
-        s"largest group: ${r.getLong(1)} images, keeper doc " +
-          s"${r.getLong(0)}")
+      s"images decoded: ${c.nItems}",
+      s"near-dup pairs (radius 4): ${c.nPairs}",
+      s"dup groups: ${c.nGroups} covering ${c.nGrouped} images " +
+        s"(${c.unique} unique)") ++
+      c.top.toSeq.map { case (k, n) =>
+        s"largest group: $n images, keeper doc $k" }
     val index = indexDir.toSeq.flatMap { d =>
       val nFiles = Layout.fileSpans(spark, s"$d/keys", "bkey").count()
       val dil = Layout.pruningDilution(spark, s"$d/keys", "bkey")
@@ -589,30 +624,15 @@ object Main {
     * store, not per modality.) */
   private def audHealth(spark: SparkSession, sfDir: String): Seq[String] = {
     val (fp, pairs0) = SparkEntry.audioPhashPairs(spark, sfDir)
-    val pairs = pairs0.localCheckpoint()
-    val nAudios = fp.count()
-    val nPairs = pairs.count()
-    val cc = graft.operators.Dedup
-      .connectedComponentsStar(pairs, "doc_a", "doc_b")
-      .toDF("doc", "keeper")
-    val groups = cc.groupBy(col("keeper"))
-      .agg(count(lit(1)).as("n_members"))
-      .persist()
-    val nGrouped = groups.agg(sum(col("n_members"))).collect()(0).getLong(0)
-    val nGroups = groups.count()
-    val top = groups.orderBy(col("n_members").desc, col("keeper"))
-      .limit(1).collect()
-    groups.unpersist(blocking = false)
-    org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(pairs)
+    val c = dupCensus(fp.count(), pairs0, "doc_a", "doc_b")
     org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(fp)
     Seq(
-      s"audios decoded: $nAudios",
-      s"near-dup pairs (radius 4): $nPairs",
-      s"dup groups: $nGroups covering $nGrouped audios " +
-        s"(${nAudios - nGrouped} unique)") ++
-      top.toSeq.map(r =>
-        s"largest group: ${r.getLong(1)} audios, keeper doc " +
-          s"${r.getLong(0)}")
+      s"audios decoded: ${c.nItems}",
+      s"near-dup pairs (radius 4): ${c.nPairs}",
+      s"dup groups: ${c.nGroups} covering ${c.nGrouped} audios " +
+        s"(${c.unique} unique)") ++
+      c.top.toSeq.map { case (k, n) =>
+        s"largest group: $n audios, keeper doc $k" }
   }
 
   /** `vid-health` verb: the aud-health census on the VIDEO modality
@@ -624,35 +644,120 @@ object Main {
     * `[phashIndexDir]` inspector covers the store shape.) */
   private def vidHealth(spark: SparkSession, sfDir: String): Seq[String] = {
     val (fp, pairs0) = SparkEntry.videoPhashPairs(spark, sfDir)
-    val pairs = pairs0.localCheckpoint()
     val nFrames = fp.count()
     val nVideos = fp.select(expr("doc div 8")).distinct().count()
-    val nPairs = pairs.count()
-    val cc = graft.operators.Dedup
-      .connectedComponentsStar(pairs, "vid_a", "vid_b")
-      .toDF("vid", "keeper")
-    val groups = cc.groupBy(col("keeper"))
-      .agg(count(lit(1)).as("n_members"))
-      .persist()
-    // coalesce: a pair-free corpus (every video its own content
-    // class — the sf0.001 fixture) sums an EMPTY frame to NULL
-    val nGrouped = groups
-      .agg(coalesce(sum(col("n_members")), lit(0L)))
-      .collect()(0).getLong(0)
-    val nGroups = groups.count()
-    val top = groups.orderBy(col("n_members").desc, col("keeper"))
-      .limit(1).collect()
-    groups.unpersist(blocking = false)
-    org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(pairs)
+    val c = dupCensus(nVideos, pairs0, "vid_a", "vid_b")
     org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(fp)
     Seq(
-      s"videos decoded: $nVideos ($nFrames sampled frames)",
-      s"video near-dup pairs (min frame Hamming <= 4): $nPairs",
-      s"dup groups: $nGroups covering $nGrouped videos " +
-        s"(${nVideos - nGrouped} unique)") ++
-      top.toSeq.map(r =>
-        s"largest group: ${r.getLong(1)} videos, keeper video " +
-          s"${r.getLong(0)}")
+      s"videos decoded: ${c.nItems} ($nFrames sampled frames)",
+      s"video near-dup pairs (min frame Hamming <= 4): ${c.nPairs}",
+      s"dup groups: ${c.nGroups} covering ${c.nGrouped} videos " +
+        s"(${c.unique} unique)") ++
+      c.top.toSeq.map { case (k, n) =>
+        s"largest group: $n videos, keeper video $k" }
+  }
+
+  /** `refold` verb: the drift-gated fold REPAIR closing the
+    * q205/q209 lifecycle exactly as `compact` closes a store's
+    * (measure dilution → gate → rewrite): recompute the FINAL
+    * component labels from the fold store's docs + pairs tables (no
+    * re-tokenization — the pair store IS the at-rest edge set),
+    * compare every manifest row's at-ingest split against the final
+    * component fold (the q209 arithmetic), and when moved docs
+    * exceed `maxMovedMilli` (per mille of manifest rows) rewrite the
+    * manifests at the final folds — write-then-swap under the fold
+    * store's writer lease (the compactNearDupIndex convention).
+    * Idempotent: a second run reads zero drift. Column names come
+    * from the docs table's schema (the componentFoldIngest write
+    * order: id, key, source), so the verb serves any fold store. */
+  private def refold(spark: SparkSession, storeRoot: String,
+      manifestDir: String, maxMovedMilli: Int): Seq[String] = {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$storeRoot/docs/docs")
+    val Seq(idCol, keyCol, _) = docs.schema.fieldNames.take(3).toSeq
+    val pairs = spark.read.parquet(s"$storeRoot/pairs/pairs")
+      .select(col("doc_a"), col("doc_b"))
+    val grp = Dedup.componentGroups(docs, idCol, col(keyCol), pairs)
+      .localCheckpoint() // read by the drift compare and the rewrite
+    def foldOf(h: org.apache.spark.sql.Column) =
+      when(h === 0, "test").when(h === 1, "val").otherwise("train")
+    val manifests = spark.read.parquet(manifestDir)
+    val nDocs = manifests.count()
+    val drift = manifests
+      .select(col(idCol), col("split").as("_old"))
+      .join(grp, Seq(idCol))
+      .withColumn("_new", foldOf(graft.functions.hashes
+        .md5Hash60(col("group").cast("string")) % 10))
+      .localCheckpoint()
+    val moved = drift.filter(col("_old") =!= col("_new")).count()
+    val leaky = drift.groupBy(col("group"))
+      .agg(countDistinct(col("_old")).as("_n"), count(lit(1)).as("_m"))
+      .filter(col("_n") > 1)
+      .agg(coalesce(sum(col("_m")), lit(0L)))
+      .collect()(0).getLong(0)
+    val movedMilli = if (nDocs == 0) 0L else moved * 1000 / nDocs
+    val head = Seq(
+      s"fold store $storeRoot: $nDocs manifest rows",
+      s"drift: $moved moved ($movedMilli milli), $leaky docs in " +
+        "fold-straddling components")
+    // exact integer gate (moved/nDocs > max/1000 cross-multiplied) —
+    // floor-divided milli would hide sub-milli drift at gate 0
+    if (moved * 1000L <= maxMovedMilli.toLong * nDocs)
+      head :+ s"within gate (max $maxMovedMilli milli): no refold"
+    else {
+      // read fully BEFORE the swap destroys the source files
+      val refolded = manifests.drop("group", "split")
+        .join(grp, Seq(idCol))
+        .withColumn("split", foldOf(graft.functions.hashes
+          .md5Hash60(col("group").cast("string")) % 10))
+        .localCheckpoint()
+      graft.sources.StoreLease.withLease(spark, storeRoot, "refold") {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val p = new org.apache.hadoop.fs.Path(manifestDir)
+        val tmp = new org.apache.hadoop.fs.Path(s"$manifestDir.refolding")
+        val fs = p.getFileSystem(conf)
+        fs.delete(tmp, true) // stale sibling from a crashed run
+        refolded.write.partitionBy("batch_id").parquet(tmp.toString)
+        require(fs.delete(p, true),
+          s"could not remove old manifests $p")
+        require(fs.rename(tmp, p),
+          s"could not move refolded manifests to $p")
+      }
+      head :+ s"refolded $manifestDir: $nDocs rows rewritten at the " +
+        "final component folds"
+    }
+  }
+
+  /** `media-health` verb: the cross-modality composition of the
+    * three media censuses — ONE table a curator reads before a
+    * multimodal training run ships: per modality, decoded items,
+    * near-dup pairs, duplicate-group shape, and the roll-up totals
+    * row. Each row comes from the SAME census core the per-modality
+    * verbs print (reconciliation with q172/q183/q180 holds by
+    * construction, not by agreement of two implementations). */
+  private def mediaHealth(spark: SparkSession,
+      sfDir: String): Seq[String] = {
+    val (ifp, ipairs) = SparkEntry.phashPairs(spark, sfDir)
+    val img = dupCensus(ifp.count(), ipairs, "doc_a", "doc_b")
+    org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(ifp)
+    val (afp, apairs) = SparkEntry.audioPhashPairs(spark, sfDir)
+    val aud = dupCensus(afp.count(), apairs, "doc_a", "doc_b")
+    org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(afp)
+    val (vfp, vpairs) = SparkEntry.videoPhashPairs(spark, sfDir)
+    val nVideos = vfp.select(expr("doc div 8")).distinct().count()
+    val vid = dupCensus(nVideos, vpairs, "vid_a", "vid_b")
+    org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(vfp)
+    val total = Seq(img, aud, vid).reduce { (a, b) =>
+      DupCensus(a.nItems + b.nItems, a.nPairs + b.nPairs,
+        a.nGroups + b.nGroups, a.nGrouped + b.nGrouped, None)
+    }
+    def row(m: String, c: DupCensus) =
+      f"$m%-8s ${c.nItems}%7d ${c.nPairs}%9d ${c.nGroups}%7d " +
+        f"${c.nGrouped}%8d ${c.unique}%7d"
+    Seq(f"${"modality"}%-8s ${"items"}%7s ${"pairs"}%9s " +
+        f"${"groups"}%7s ${"grouped"}%8s ${"unique"}%7s",
+      row("image", img), row("audio", aud), row("video", vid),
+      row("total", total))
   }
 
   /** Inspector `ranges` verb (pulsar_remote_inspector.py:701-716):

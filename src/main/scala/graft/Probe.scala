@@ -1012,6 +1012,97 @@ object ProbeScale {
       }
     }
 
+    // ── `ProbeScale ndguard`: q204's steady-state claim measured —
+    // the indexed split-leakage guard checks a roughly CONSTANT-sized
+    // new eval set against an ever-growing corpus, so its wall must
+    // track the VAL side, not the store: under the pushed val-id /
+    // val-band-hash / target-id pruning (splitLeakageIndexed's
+    // big-store regime) the index scans prune to the eval set's
+    // colliding neighborhoods, while the dataflow splitLeakage
+    // re-tokenizes and re-signs the WHOLE corpus per check. Corpus =
+    // sf0.01 documents replica-amplified with replica-unique token
+    // bodies (replicas share no shingles — candidate volume stays
+    // val-sized as the corpus grows; the bpe-probe amplification
+    // trick); val manifest = a FIXED 50 original docs, so the leaks
+    // found are IDENTICAL at every scale (asserted — the invariant
+    // that proves all three executions answer the same question).
+    // Store build billed separately (the prepareSharedStores
+    // convention). Small parquet row groups emulate the production
+    // RG-count-to-val-keys ratio (the phashmark layout-emulation
+    // note). ──
+    if (mode == "ndguard") {
+      val base = Tables(spark, "/root/testdata/sf0.01", "documents")
+        .select(col("doc_id"), col("text"))
+      def corpus(r: Int): DataFrame =
+        base.crossJoin(spark.range(r).toDF("rep"))
+          .select((col("doc_id") * r + col("rep")).as("doc_id"),
+            when(col("rep") === 0, col("text"))
+              .otherwise(expr("""array_join(transform(
+                split(text, ' '), t -> concat(t, '_', rep)), ' ')"""))
+              .as("text"))
+          .localCheckpoint()
+      val hc = spark.sparkContext.hadoopConfiguration
+      val oldBlock = hc.get("parquet.block.size")
+      hc.setInt("parquet.block.size", 64 << 10)
+      try {
+        for (r <- Seq(1, 10, 40, 200)) {
+          val docs = corpus(r)
+          val nDocs = docs.count()
+          val valIds = docs.filter(col("doc_id") % r === 0 &&
+              col("doc_id") < lit(50L) * r)
+            .select("doc_id").localCheckpoint()
+          val root = java.nio.file.Files
+            .createTempDirectory(s"graft_probe_ndg_$r").toString
+          try {
+            ProbeTiming.timed("PROBE_SCALE", s"ndguard/corpus${r}x build") {
+              Dedup.writeNearDupIndex(docs, "doc_id", "text",
+                shingleN = 2, k = 64, bands = 32, dir = root + "/idx")
+            }
+            def wall(f: => Long): (Double, Long) = {
+              f; val t0 = System.nanoTime(); val n = f
+              ((System.nanoTime() - t0) / 1e9, n)
+            }
+            def leaked(df: DataFrame): Long =
+              df.filter(col("is_leaked")).count()
+            val (prunedW, prunedN) = wall(leaked(
+              Dedup.splitLeakageIndexed(spark, root + "/idx", valIds,
+                "doc_id", 0.5, pruneMinStoreBytes = 0L)))
+            val (scanW, scanN) = wall(leaked(
+              Dedup.splitLeakageIndexed(spark, root + "/idx", valIds,
+                "doc_id", 0.5, pruneMinStoreBytes = Long.MaxValue)))
+            val (dataW, dataN) = wall(leaked(
+              Dedup.splitLeakage(docs, "doc_id", "text",
+                id => id % r === 0 && id < lit(50L) * r,
+                shingleN = 2, k = 64, bands = 32, threshold = 0.5)))
+            require(prunedN == dataN && scanN == dataN,
+              s"parity broke: pruned=$prunedN scan=$scanN data=$dataN")
+            // the scan-volume argument independent of wall noise: the
+            // train-bands relation the pruned plan joins (rows whose
+            // band_hash collides with a val band) vs the whole bands
+            // table the scan-join reads — the former tracks the VAL
+            // side, the latter the corpus
+            val bandsAll = spark.read.parquet(root + "/idx/bands")
+            val bandsTotal = bandsAll.count()
+            val valHashes = bandsAll
+              .join(valIds.select(col("doc_id").as("doc")), Seq("doc"),
+                "semi")
+              .select("band_hash").distinct()
+            val bandsPruned = bandsAll
+              .join(valHashes, Seq("band_hash"), "semi").count()
+            println(f"PROBE_SCALE ndguard/corpus${r}x docs=$nDocs " +
+              f"val=50 leaked=$dataN bands_total=$bandsTotal " +
+              f"bands_colliding=$bandsPruned pruned=$prunedW%.2fs " +
+              f"scanjoin=$scanW%.2fs dataflow=$dataW%.2fs")
+          } finally Scratch.deleteRecursively(new java.io.File(root))
+          org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(valIds)
+          org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(docs)
+        }
+      } finally {
+        if (oldBlock == null) hc.unset("parquet.block.size")
+        else hc.set("parquet.block.size", oldBlock)
+      }
+    }
+
     // q157's two scale claims measured: per-round cost tracks the
     // EDGE LIST (pair-store grain, not corpus grain), and rounds
     // compose LINEARLY because ranks are localCheckpointed per round

@@ -5335,6 +5335,171 @@ object SparkEntry {
         .withColumn("compression",
           col("syms_after").cast("double") /
             col("chars_before").cast("double"))
+    }),
+
+    // ── NS CAPSTONE: CROSS-MODALITY TRAINING-PREP MANIFEST — the
+    // q153/q194 composition extended across the full media matrix:
+    // ONE manifest a multimodal training run budgets from. Per
+    // (modality, source, split): item count, survivors, and kept
+    // mass, where an item survives only if BOTH its own modality's
+    // keeper rule keeps it AND its owning document survives text
+    // dedup (a dropped page drops its attachments — the crawl
+    // semantics). Text keeper = the q175 canonical-URL rule (longest
+    // doc per canon, ties to min id); media keepers = the q178
+    // min-id star-CC rule over each modality's REAL decoded
+    // fingerprints (image grid hash / audio energy contour / video
+    // sampled-frame min-Hamming pairs); fold = the q190
+    // canonical-URL group hash of the OWNING doc, so a media item
+    // can never land across the split boundary from its page. Mass
+    // is per-modality units measured from the real decode — tokens /
+    // bright cells / loud windows / bright frame-cells — that the
+    // oracle re-derives from generation arithmetic alone (the
+    // q172/q179 proof pattern); a production corpus passes bytes or
+    // durations in the same column. The fixture's attachment rule is
+    // media_id % |documents| (a production corpus carries an explicit
+    // doc_id on each media row); |documents| is a catalog-grade
+    // count, not a corpus scan. Every stage is oracle-proven alone
+    // (q172/q175/q178/q180/q183/q190); THIS gates the composition ──
+    "q208_modality_manifest" -> ((s, dir) => {
+      def fold(h: Column) = when(h === 0, "test")
+        .when(h === 1, "val").otherwise("train")
+      val nDocs = t(s, dir, "documents").count()
+      val w = Window.partitionBy(col("canon"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      // referenced by the text rows AND three media joins — one
+      // window pass, checkpointed (the phashPairs rationale)
+      val docs = syntheticUrlDocs(s, dir)
+        .withColumn("split",
+          fold(hashes.md5Hash60(col("canon")) % 10))
+        .withColumn("doc_kept", row_number().over(w) === 1)
+        .select(col("doc_id"), col("source"), col("split"),
+          col("doc_kept"),
+          text.tokenCount(col("text")).cast("long").as("toks"))
+        .localCheckpoint()
+      // items: (id, is_keeper, mass) → per-(source, split) rollup
+      // through the owning doc (broadcast — docs is catalog-sized
+      // next to a media corpus)
+      def rollup(modality: String, items: DataFrame): DataFrame =
+        items
+          .withColumn("doc_id", col("id") % nDocs)
+          .join(broadcast(docs), Seq("doc_id"))
+          .groupBy(col("source"), col("split"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(when(col("is_keeper") && col("doc_kept"), 1L)
+              .otherwise(0L)).as("n_kept"),
+            sum(when(col("is_keeper") && col("doc_kept"), col("mass"))
+              .otherwise(0L)).as("kept_mass"))
+          .withColumn("modality", lit(modality))
+      def keeperJoin(withMass: DataFrame, cc: DataFrame): DataFrame =
+        withMass.join(cc, Seq("id"), "left")
+          .withColumn("is_keeper",
+            coalesce(col("keeper"), col("id")) === col("id"))
+      val (ifp, ipairs) = phashPairs(s, dir)
+      val img = keeperJoin(
+        ifp.select(col("doc").as("id"),
+          bit_count(col("fp")).cast("long").as("mass")),
+        Dedup.connectedComponentsStar(ipairs, "doc_a", "doc_b")
+          .toDF("id", "keeper"))
+      val (afp, apairs) = audioPhashPairs(s, dir)
+      val aud = keeperJoin(
+        afp.select(col("doc").as("id"),
+          bit_count(col("fp")).cast("long").as("mass")),
+        Dedup.connectedComponentsStar(apairs, "doc_a", "doc_b")
+          .toDF("id", "keeper"))
+      val (vfp, vpairs) = videoPhashPairs(s, dir)
+      val vid = keeperJoin(
+        vfp.select(expr("doc div 8").as("id"),
+            bit_count(col("fp")).cast("long").as("fmass"))
+          .groupBy(col("id")).agg(sum(col("fmass")).as("mass")),
+        Dedup.connectedComponentsStar(
+          vpairs.select(col("vid_a"), col("vid_b")), "vid_a", "vid_b")
+          .toDF("id", "keeper"))
+      val textRows = docs.groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(when(col("doc_kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("doc_kept"), col("toks")).otherwise(0L))
+            .as("kept_mass"))
+        .withColumn("modality", lit("text"))
+      textRows
+        .unionByName(rollup("image", img))
+        .unionByName(rollup("audio", aud))
+        .unionByName(rollup("video", vid))
+        .select(col("modality"), col("source"), col("split"),
+          col("n_items"), col("n_kept"), col("kept_mass"))
+    }),
+
+    // ── NS training-data: FOLD-DRIFT REPORT — the measured residual
+    // of fold-at-ingest (q205's documented honest limit: landed docs
+    // are never re-folded, so a LATER bridge doc can merge two
+    // components that were folded separately — drift the at-ingest
+    // assignment cannot prevent). THIS is the "when to re-fold"
+    // number, the role pruningDilution plays for compaction:
+    // at-ingest folds (each doc's component label AS OF its own
+    // batch — the q205 read) compared against the FINAL component
+    // fold. Per source: n_moved = docs a re-fold would move,
+    // n_leaky_docs = docs in final components whose members'
+    // at-ingest folds disagree (the eval-integrity damage a re-fold
+    // repairs — a near-dup pair straddling train/eval TODAY).
+    // Fixture: batch 0 = the corpus, batch 1 = bridge docs carrying
+    // a partner doc's exact text (a jaccard-1 edge) plus the origin
+    // doc's canon key (a same-key min-edge), so each bridge merges
+    // two batch-0 components through both edge kinds. ONE pair pass
+    // (edges tagged with the batch that makes them visible); both
+    // prefixes label through the same componentGroups core
+    // q197/q205 run ──
+    "q209_fold_drift" -> ((s, dir) => {
+      def fold(h: Column) = when(h === 0, "test")
+        .when(h === 1, "val").otherwise("train")
+      val docs = syntheticUrlDocs(s, dir)
+      val orig = docs.select(col("doc_id"), lit(0).as("b"),
+        col("canon").as("ckey"), col("source"), col("text"))
+      val partner = docs.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("ptext"))
+      val bridges = docs.filter(col("doc_id") % 21 === 0)
+        .join(partner, Seq("doc_id"))
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          lit(1).as("b"), col("canon").as("ckey"), col("source"),
+          col("ptext").as("text"))
+      // read by the pair pass and both prefix labelings
+      val alld = orig.unionByName(bridges).localCheckpoint()
+      val pairs = Dedup.minhashNearDupPairs(alld, "doc_id", "text",
+          shingleN = 2, k = 64, bands = 32, threshold = 0.5)
+        .join(alld.select(col("doc_id").as("doc_a"),
+          col("b").as("ba")), "doc_a")
+        .join(alld.select(col("doc_id").as("doc_b"),
+          col("b").as("bb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          greatest(col("ba"), col("bb")).as("eb"))
+        .localCheckpoint()
+      def comps(p: Int) = Dedup.componentGroups(
+        alld.filter(col("b") <= p), "doc_id", col("ckey"),
+        pairs.filter(col("eb") <= p).select("doc_a", "doc_b"))
+      // read twice: batch-1 docs' at-ingest label IS the final label
+      val fin = comps(1).select(col("doc_id"), col("group").as("fgrp"))
+        .localCheckpoint()
+      val atIngest = alld.filter(col("b") === 0).select("doc_id")
+        .join(comps(0), Seq("doc_id"))
+        .select(col("doc_id"), col("group").as("igrp"))
+        .unionByName(alld.filter(col("b") === 1).select("doc_id")
+          .join(fin, Seq("doc_id"))
+          .select(col("doc_id"), col("fgrp").as("igrp")))
+      val rep = alld.select(col("doc_id"), col("source"))
+        .join(atIngest, "doc_id").join(fin, "doc_id")
+        .withColumn("isplit",
+          fold(hashes.md5Hash60(col("igrp").cast("string")) % 10))
+        .withColumn("fsplit",
+          fold(hashes.md5Hash60(col("fgrp").cast("string")) % 10))
+      val leaky = rep.groupBy(col("fgrp"))
+        .agg(countDistinct(col("isplit")).as("_nsp"))
+        .filter(col("_nsp") > 1)
+        .select(col("fgrp"), lit(true).as("_lk"))
+      rep.join(leaky, Seq("fgrp"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fgrp")).as("n_final_groups"),
+          sum(when(col("isplit") =!= col("fsplit"), 1L).otherwise(0L))
+            .as("n_moved"),
+          sum(when(col("_lk"), 1L).otherwise(0L)).as("n_leaky_docs"))
     })
   )
 
@@ -6921,6 +7086,77 @@ object SparkEntry {
        |    + CAST(MAX(CASE WHEN i = 63 THEN b ELSE 0 END) AS BIGINT)
        |      * (-9223372036854775807 - 1) AS fp
        |  FROM ${prefix}bits GROUP BY id)""".stripMargin
+
+  /** The q44/q178 recursive-reach connected-component labeling over a
+    * pair CTE `pairsCte(doc_a, doc_b)` as ONE shared rendering (the
+    * sqlShingles rationale: hand-copies of the reach chain drift) —
+    * shared by q178, q179, and q208's three per-modality keepers.
+    * Ends with `${p}lbl(node, label)`: the min-id component label for
+    * every pair-participating node (singletons absent — consumers
+    * COALESCE to the node's own id). */
+  private def ccLabelCtes(p: String, pairsCte: String): String =
+    s"""${p}edges AS (SELECT doc_a AS src, doc_b AS dst FROM $pairsCte
+       |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM $pairsCte),
+       |${p}reach AS (
+       |  SELECT src AS node, src AS r FROM ${p}edges
+       |  UNION
+       |  SELECT e.src AS node, re.r AS r
+       |  FROM ${p}edges e JOIN ${p}reach re ON e.dst = re.node),
+       |${p}lbl AS (SELECT node, MIN(r) AS label FROM ${p}reach
+       |  GROUP BY node)""".stripMargin
+
+  /** The per-prefix component construction of the q205/q209 oracles
+    * as ONE shared rendering (the ccLabelCtes rationale at the
+    * growth grain): expects `alld(doc_id, b, ckey, source, text)` in
+    * scope. Emits exact-jaccard pairs with their edge-VISIBLE batch
+    * (an edge appears when its LATER endpoint arrives), per-prefix
+    * same-ckey min-edges, one prefix-parameterized recursive reach,
+    * and `fa(doc_id, b, source, grp)` — each doc's component label
+    * read AT ITS OWN batch's prefix (the fold-at-ingest read).
+    * `lbl(pfx, node, label)` stays in scope for consumers reading
+    * labels at OTHER prefixes (q209 reads the final prefix for the
+    * drift compare). */
+  private def perPrefixComponentCtes(nPrefixes: Int): String = {
+    val pfxs = (0 until nPrefixes).map(i =>
+      s"SELECT $i AS pfx").mkString(" UNION ALL ")
+    s"""ash AS (SELECT doc_id, b, ${sqlShingles(2)} AS s
+       |  FROM (SELECT doc_id, b, $sqlTokens AS toks FROM alld)),
+       |ap AS (
+       |  SELECT a.doc_id AS doc_a, z.doc_id AS doc_b,
+       |    greatest(a.b, z.b) AS eb
+       |  FROM ash a JOIN ash z ON a.doc_id < z.doc_id
+       |  WHERE CAST(len(list_intersect(a.s, z.s)) AS DOUBLE) /
+       |    CAST(len(a.s) + len(z.s) - len(list_intersect(a.s, z.s))
+       |      AS DOUBLE) >= 0.5),
+       |pfxs AS ($pfxs),
+       |cep AS (
+       |  SELECT m.pfx, x.doc_id AS doc_a, m.mn AS doc_b
+       |  FROM (SELECT f.pfx, y.ckey, MIN(y.doc_id) AS mn
+       |        FROM pfxs f JOIN alld y ON y.b <= f.pfx
+       |        GROUP BY f.pfx, y.ckey) m
+       |  JOIN alld x ON x.ckey = m.ckey AND x.b <= m.pfx
+       |  WHERE x.doc_id <> m.mn),
+       |pep AS (SELECT f.pfx, ap.doc_a, ap.doc_b
+       |  FROM pfxs f JOIN ap ON ap.eb <= f.pfx),
+       |alle AS (SELECT pfx, doc_a, doc_b FROM pep
+       |  UNION SELECT pfx, doc_a, doc_b FROM cep),
+       |ed AS (SELECT pfx, doc_a AS src, doc_b AS dst FROM alle
+       |  UNION ALL SELECT pfx, doc_b AS src, doc_a AS dst
+       |  FROM alle),
+       |reach AS (
+       |  SELECT pfx, src AS node, src AS r FROM ed
+       |  UNION
+       |  SELECT e.pfx, e.src AS node, re.r AS r
+       |  FROM ed e JOIN reach re
+       |    ON e.pfx = re.pfx AND e.dst = re.node),
+       |lbl AS (SELECT pfx, node, MIN(r) AS label
+       |  FROM reach GROUP BY pfx, node),
+       |fa AS (
+       |  SELECT d.doc_id, d.b, d.source,
+       |    COALESCE(l.label, d.doc_id) AS grp
+       |  FROM alld d LEFT JOIN lbl l
+       |    ON l.pfx = d.b AND l.node = d.doc_id)""".stripMargin
+  }
 
   /** The synthetic-URL fixture + canonicalization as oracle CTEs —
     * shared by q110 (canonicalization report) and q175 (keeper
@@ -8990,14 +9226,7 @@ object SparkEntry {
            |  SELECT a.id AS doc_a, b.id AS doc_b
            |  FROM h a JOIN h b ON a.id < b.id
            |  WHERE bit_count(xor(a.fp, b.fp)) <= 4),
-           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
-           |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p),
-           |reach AS (
-           |  SELECT src AS node, src AS r FROM edges
-           |  UNION
-           |  SELECT e.src AS node, re.r AS r
-           |  FROM edges e JOIN reach re ON e.dst = re.node),
-           |lbl AS (SELECT node, MIN(r) AS label FROM reach GROUP BY node)
+           |${ccLabelCtes("", "p")}
            |SELECT i.id AS doc, COALESCE(l.label, i.id) AS group_keeper
            |FROM h i LEFT JOIN lbl l ON i.id = l.node""".stripMargin,
 
@@ -9011,14 +9240,7 @@ object SparkEntry {
            |  SELECT a.id AS doc_a, b.id AS doc_b
            |  FROM h a JOIN h b ON a.id < b.id
            |  WHERE bit_count(xor(a.fp, b.fp)) <= 4),
-           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
-           |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p),
-           |reach AS (
-           |  SELECT src AS node, src AS r FROM edges
-           |  UNION
-           |  SELECT e.src AS node, re.r AS r
-           |  FROM edges e JOIN reach re ON e.dst = re.node),
-           |lbl AS (SELECT node, MIN(r) AS label FROM reach GROUP BY node),
+           |${ccLabelCtes("", "p")},
            |d AS (SELECT i.id AS doc,
            |    CAST(bit_count(i.fp) AS BIGINT) AS bright_cells,
            |    COALESCE(l.label, i.id) AS comp
@@ -9251,44 +9473,7 @@ object SparkEntry {
            |    source, text
            |  FROM documents WHERE doc_id % 3 = 1 AND doc_id % 7 = 0),
            |alld AS (SELECT * FROM all0 UNION ALL SELECT * FROM cp),
-           |ash AS (SELECT doc_id, b, ${sqlShingles(2)} AS s
-           |  FROM (SELECT doc_id, b, $sqlTokens AS toks FROM alld)),
-           |ap AS (
-           |  SELECT a.doc_id AS doc_a, z.doc_id AS doc_b,
-           |    greatest(a.b, z.b) AS eb
-           |  FROM ash a JOIN ash z ON a.doc_id < z.doc_id
-           |  WHERE CAST(len(list_intersect(a.s, z.s)) AS DOUBLE) /
-           |    CAST(len(a.s) + len(z.s) - len(list_intersect(a.s, z.s))
-           |      AS DOUBLE) >= 0.5),
-           |pfxs AS (SELECT 0 AS pfx UNION ALL SELECT 1
-           |  UNION ALL SELECT 2),
-           |cep AS (
-           |  SELECT m.pfx, x.doc_id AS doc_a, m.mn AS doc_b
-           |  FROM (SELECT f.pfx, y.ckey, MIN(y.doc_id) AS mn
-           |        FROM pfxs f JOIN alld y ON y.b <= f.pfx
-           |        GROUP BY f.pfx, y.ckey) m
-           |  JOIN alld x ON x.ckey = m.ckey AND x.b <= m.pfx
-           |  WHERE x.doc_id <> m.mn),
-           |pep AS (SELECT f.pfx, ap.doc_a, ap.doc_b
-           |  FROM pfxs f JOIN ap ON ap.eb <= f.pfx),
-           |alle AS (SELECT pfx, doc_a, doc_b FROM pep
-           |  UNION SELECT pfx, doc_a, doc_b FROM cep),
-           |ed AS (SELECT pfx, doc_a AS src, doc_b AS dst FROM alle
-           |  UNION ALL SELECT pfx, doc_b AS src, doc_a AS dst
-           |  FROM alle),
-           |reach AS (
-           |  SELECT pfx, src AS node, src AS r FROM ed
-           |  UNION
-           |  SELECT e.pfx, e.src AS node, re.r AS r
-           |  FROM ed e JOIN reach re
-           |    ON e.pfx = re.pfx AND e.dst = re.node),
-           |lbl AS (SELECT pfx, node, MIN(r) AS label
-           |  FROM reach GROUP BY pfx, node),
-           |fa AS (
-           |  SELECT d.doc_id, d.b, d.source,
-           |    COALESCE(l.label, d.doc_id) AS grp
-           |  FROM alld d LEFT JOIN lbl l
-           |    ON l.pfx = d.b AND l.node = d.doc_id),
+           |${perPrefixComponentCtes(3)},
            |sp AS (
            |  SELECT fa.doc_id, fa.b, fa.grp,
            |    ${fold(hashes.md5Hash60Sql("CAST(grp AS VARCHAR)"))}
@@ -10682,7 +10867,118 @@ object SparkEntry {
            |  round((CAST(n AS DOUBLE) * sxy - sx * sy) /
            |    nullif(CAST(n AS DOUBLE) * sxx - sx * sx, 0), 6)
            |    AS zipf_slope
-           |FROM sums""".stripMargin
+           |FROM sums""".stripMargin,
+
+      // every stage from its own proven rendering chained ACROSS
+      // modalities (the q194 convention): the q110/q175
+      // canonicalization + q190 fold + url-keeper window for the
+      // text side; the q172/q183 phash CTEs and the q180 video CTEs
+      // rebuild every media hash from generation arithmetic; the
+      // q178 recursive reach labels each modality's keeper; the
+      // fixture's media_id % |documents| attachment closes the
+      // composition — a match proves the engine's three real decode
+      // paths, three star-CCs, and the owner-fold join compose to
+      // exactly this manifest
+      "q208_modality_manifest" ->
+        s"""WITH RECURSIVE $urlCanonCtes,
+           |fd AS (SELECT c.doc_id, c.source,
+           |    CASE ${hashes.md5Hash60Sql("c.canon")} % 10
+           |      WHEN 0 THEN 'test' WHEN 1 THEN 'val'
+           |      ELSE 'train' END AS split,
+           |    (ROW_NUMBER() OVER (PARTITION BY c.canon
+           |      ORDER BY c.n_chars DESC, c.doc_id)) = 1 AS doc_kept,
+           |    len(${sqlTokensOf("d.text")}) AS toks
+           |  FROM canon c JOIN documents d ON c.doc_id = d.doc_id),
+           |nd AS (SELECT COUNT(*) AS n FROM documents),
+           |${phashHashCtes("i", "TRUE", "(event_id % 50)")},
+           |ip AS (SELECT a.id AS doc_a, b.id AS doc_b
+           |  FROM ih a JOIN ih b ON a.id < b.id
+           |  WHERE bit_count(xor(a.fp, b.fp)) <= 4),
+           |${ccLabelCtes("i", "ip")},
+           |iitem AS (SELECT h.id,
+           |    COALESCE(l.label, h.id) = h.id AS is_keeper,
+           |    CAST(bit_count(h.fp) AS BIGINT) AS mass
+           |  FROM ih h LEFT JOIN ilbl l ON h.id = l.node),
+           |${phashHashCtes("a", "TRUE", "(event_id % 50)", div = 16)},
+           |ap AS (SELECT a.id AS doc_a, b.id AS doc_b
+           |  FROM ah a JOIN ah b ON a.id < b.id
+           |  WHERE bit_count(xor(a.fp, b.fp)) <= 4),
+           |${ccLabelCtes("a", "ap")},
+           |aitem AS (SELECT h.id,
+           |    COALESCE(l.label, h.id) = h.id AS is_keeper,
+           |    CAST(bit_count(h.fp) AS BIGINT) AS mass
+           |  FROM ah h LEFT JOIN albl l ON h.id = l.node),
+           |${videoHashCtes("", "TRUE", "((event_id // 40) % 25)")},
+           |vp AS (SELECT a.id AS doc_a, b.id AS doc_b
+           |  FROM vh a JOIN vh b ON a.id < b.id
+           |  WHERE bit_count(xor(a.fp, b.fp)) <= 4
+           |  GROUP BY a.id, b.id),
+           |${ccLabelCtes("v", "vp")},
+           |vm AS (SELECT id, CAST(SUM(bit_count(fp)) AS BIGINT) AS mass
+           |  FROM vh GROUP BY id),
+           |vitem AS (SELECT m.id,
+           |    COALESCE(l.label, m.id) = m.id AS is_keeper, m.mass
+           |  FROM vm m LEFT JOIN vlbl l ON m.id = l.node),
+           |med AS (
+           |  SELECT 'image' AS modality, id, is_keeper, mass FROM iitem
+           |  UNION ALL SELECT 'audio', id, is_keeper, mass FROM aitem
+           |  UNION ALL SELECT 'video', id, is_keeper, mass FROM vitem),
+           |rows0 AS (
+           |  SELECT m.modality, f.source, f.split,
+           |    (m.is_keeper AND f.doc_kept) AS kept, m.mass
+           |  FROM med m JOIN fd f ON f.doc_id = m.id % (SELECT n FROM nd)
+           |  UNION ALL
+           |  SELECT 'text' AS modality, source, split, doc_kept AS kept,
+           |    toks AS mass
+           |  FROM fd)
+           |SELECT modality, source, split,
+           |  COUNT(*) AS n_items,
+           |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_kept,
+           |  CAST(SUM(CASE WHEN kept THEN mass ELSE 0 END) AS BIGINT)
+           |    AS kept_mass
+           |FROM rows0 GROUP BY modality, source, split""".stripMargin,
+
+      // the q205 per-prefix component rendering (ONE shared CTE
+      // chain) with a BRIDGE batch: batch-1 docs carry a partner
+      // doc's exact text (a jaccard-1 edge) plus their origin's
+      // canon key (a same-ckey min-edge), so each bridge merges two
+      // batch-0 components — at-ingest labels read at each doc's own
+      // prefix (fa), final labels at prefix 1 (ffa), and the
+      // drift/leak arithmetic is a plain fold-hash compare
+      "q209_fold_drift" -> {
+        def fold(h: String) =
+          s"CASE $h % 10 WHEN 0 THEN 'test' WHEN 1 THEN 'val' " +
+            "ELSE 'train' END"
+        s"""WITH RECURSIVE $urlCanonCtes,
+           |all0 AS (SELECT c.doc_id, 0 AS b, c.canon AS ckey,
+           |    c.source, d.text
+           |  FROM canon c JOIN documents d ON c.doc_id = d.doc_id),
+           |br AS (SELECT o.doc_id + 5000000 AS doc_id, 1 AS b,
+           |    o.canon AS ckey, o.source, p.text
+           |  FROM canon o JOIN documents p ON p.doc_id = o.doc_id + 1
+           |  WHERE o.doc_id % 21 = 0),
+           |alld AS (SELECT * FROM all0 UNION ALL SELECT * FROM br),
+           |${perPrefixComponentCtes(2)},
+           |ffa AS (SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS fgrp
+           |  FROM alld d LEFT JOIN lbl l
+           |    ON l.pfx = 1 AND l.node = d.doc_id),
+           |rep AS (SELECT fa.doc_id, fa.source, ffa.fgrp,
+           |    ${fold(hashes.md5Hash60Sql("CAST(fa.grp AS VARCHAR)"))}
+           |      AS isplit,
+           |    ${fold(hashes.md5Hash60Sql("CAST(ffa.fgrp AS VARCHAR)"))}
+           |      AS fsplit
+           |  FROM fa JOIN ffa ON fa.doc_id = ffa.doc_id),
+           |lk AS (SELECT fgrp FROM rep GROUP BY fgrp
+           |  HAVING COUNT(DISTINCT isplit) > 1)
+           |SELECT source, COUNT(*) AS n_docs,
+           |  COUNT(DISTINCT fgrp) AS n_final_groups,
+           |  CAST(SUM(CASE WHEN isplit <> fsplit THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_moved,
+           |  CAST(SUM(CASE WHEN fgrp IN (SELECT fgrp FROM lk)
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_docs
+           |FROM rep GROUP BY source""".stripMargin
+      }
     )
   }
 }

@@ -2512,30 +2512,91 @@ object Dedup {
     * at-rest shingle sets by doc id, and the verdicts land at
     * val grain. Same S-curve contract as the dataflow forms
     * ((shingleN, k, bands) fixed at index build; minBandMatches=2);
-    * DedupSpec pins indexed ≡ tagged on a shared corpus. */
+    * DedupSpec pins indexed ≡ tagged on a shared corpus, under both
+    * store-size regimes.
+    *
+    * Past `pruneMinStoreBytes` (metadata-only probe, the
+    * [[markAgainstIndex]] cost gate) the guard stops reading the
+    * index tables whole — the steady-state regime where the corpus
+    * dwarfs every eval set: the bounded val-id set pushes as an
+    * `isin` into BOTH index reads' val sides (point-fetch — the
+    * tables are doc-clustered), the val side's bounded distinct
+    * band_hash set pushes into the train-side bands scan (row-group
+    * pruning to colliding neighborhoods — collision equality makes
+    * the filter semantically free), and the candidates' bounded
+    * doc_a set point-fetches the train-side shingles. Guard wall
+    * then tracks the VAL side as the store grows (ProbeScale
+    * `ndguard`); over-cap sets fall back to the sequential forms,
+    * the cheaper plan at that size. */
   def splitLeakageIndexed(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, valIds: DataFrame, idCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      pruneMinStoreBytes: Long = DefaultPointFetchMinStoreBytes,
+      pruneCap: Int = DefaultMarkPruneCap): DataFrame = {
     val ids = valIds.select(col(idCol).cast("long").as("doc"))
       .distinct().localCheckpoint() // read by three joins below
+    val storeIsBig = storeAtLeastBytes(spark, s"$indexDir/shingles",
+      pruneMinStoreBytes)
     val bands = spark.read.parquet(s"$indexDir/bands")
     val sets = spark.read.parquet(s"$indexDir/shingles")
-    val valB = bands.join(ids, Seq("doc"), "semi")
-      .toDF("doc_b", "band", "band_hash")
-    val trainB = bands.join(ids, Seq("doc"), "anti")
-      .toDF("doc_a", "band", "band_hash")
-    val candidates = valB.join(trainB, Seq("band", "band_hash"))
+    val valIdKeys: Array[Any] =
+      if (!storeIsBig) Array.empty[Any]
+      else ids.limit(pruneCap + 1).collect().map(_.get(0))
+    val pushValIds = valIdKeys.nonEmpty && valIdKeys.length <= pruneCap
+    def valFetch(t: DataFrame): DataFrame =
+      (if (pushValIds)
+        t.filter(col("doc").isin(valIdKeys.toIndexedSeq: _*))
+      else t).join(ids, Seq("doc"), "semi")
+    val valB0 = valFetch(bands)
+    // read twice under pruning (band-key collect + collision join)
+    val valB =
+      if (storeIsBig) valB0.persist(StorageLevel.MEMORY_AND_DISK)
+      else valB0
+    val valBandKeys: Array[Any] =
+      if (!storeIsBig) Array.empty[Any]
+      else valB.select(col("band_hash")).distinct()
+        .limit(pruneCap + 1).collect().map(_.get(0))
+    val trainB =
+      if (storeIsBig && valBandKeys.isEmpty) bands.limit(0)
+      else if (valBandKeys.nonEmpty && valBandKeys.length <= pruneCap)
+        bands.filter(col("band_hash").isin(valBandKeys.toIndexedSeq: _*))
+          .join(ids, Seq("doc"), "anti")
+      else bands.join(ids, Seq("doc"), "anti")
+    val candidates0 = valB.toDF("doc_b", "band", "band_hash")
+      .join(trainB.toDF("doc_a", "band", "band_hash"),
+        Seq("band", "band_hash"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands"))
       .filter(col("n_bands") >= 2)
       .select("doc_a", "doc_b")
-    val leaks = rescoreJaccardAB(candidates,
-        sets.join(ids, Seq("doc"), "anti"),
-        sets.join(ids, Seq("doc"), "semi"), threshold)
+    // read twice under pruning (target-id collect + re-score join)
+    val candidates =
+      if (storeIsBig) candidates0.persist(StorageLevel.MEMORY_AND_DISK)
+      else candidates0
+    val targetIds: Array[Any] =
+      if (!storeIsBig) Array.empty[Any]
+      else candidates.select(col("doc_a")).distinct()
+        .limit(pruneCap + 1).collect().map(_.get(0))
+    val trainSets =
+      if (storeIsBig && targetIds.isEmpty) sets.limit(0)
+      else if (targetIds.nonEmpty && targetIds.length <= pruneCap)
+        sets.filter(col("doc").isin(targetIds.toIndexedSeq: _*))
+      else sets.join(ids, Seq("doc"), "anti")
+    val leaks = rescoreJaccardAB(candidates, trainSets,
+        valFetch(sets), threshold)
       .groupBy(col("doc_b").as(idCol))
       .agg(min(col("doc_a")).as("leak_from"))
-    ids.select(col("doc").as(idCol))
+    val out0 = ids.select(col("doc").as(idCol))
       .join(leaks, Seq(idCol), "left")
       .withColumn("is_leaked", col("leak_from").isNotNull)
+    if (!storeIsBig) out0 // lazy, nothing cached — the small-store plan
+    else {
+      // materialize before releasing the caches (the
+      // ngramJaccardPairs leak rationale)
+      val out = out0.localCheckpoint(eager = true)
+      candidates.unpersist(blocking = false)
+      valB.unpersist(blocking = false)
+      out
+    }
   }
 
   def splitLeakage(docs: DataFrame, idCol: String, textCol: String,

@@ -1063,6 +1063,24 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
           .select("doc_id"),
         "doc_id", threshold = 0.5))
       indexed shouldBe dataflow
+      // the big-store regime (sentinel 0 forces it): pushed val-id /
+      // val-band-hash / target-id pruning is semantically free —
+      // identical verdicts through the point-fetch plans
+      val pruned = norm(Dedup.splitLeakageIndexed(spark,
+        root + "/idx",
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select("doc_id"),
+        "doc_id", threshold = 0.5, pruneMinStoreBytes = 0L))
+      pruned shouldBe dataflow
+      // over-cap fallback: a 1-key cap exceeds on every pushed set,
+      // so all three sequential fallbacks run — same verdicts
+      val overCap = norm(Dedup.splitLeakageIndexed(spark,
+        root + "/idx",
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select("doc_id"),
+        "doc_id", threshold = 0.5, pruneMinStoreBytes = 0L,
+        pruneCap = 1))
+      overCap shouldBe dataflow
     } finally Scratch.deleteRecursively(new java.io.File(root))
   }
 

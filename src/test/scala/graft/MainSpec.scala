@@ -582,6 +582,99 @@ class MainSpec extends AnyFunSuite with SparkSpec with Matchers {
     lines.exists(_.startsWith("largest group:")) shouldBe (nPairs > 0)
   }
 
+  test("media-health verb: per-modality rows reconcile with the " +
+    "q172/q183/q180 gate queries; the totals row sums the columns") {
+    val sfDir = "/root/testdata/sf0.001"
+    val lines = Main.run(spark, Seq("media-health", sfDir))
+    lines.foreach(l => info(l))
+    lines should have size 5 // header + image/audio/video + total
+    def cells(l: String): Seq[Long] =
+      l.trim.split("\\s+").toSeq.tail.map(_.toLong)
+    val Seq(img, aud, vid, tot) =
+      Seq("image", "audio", "video", "total").map { m =>
+        cells(lines.find(_.startsWith(m)).get)
+      }
+    // items and pairs reconcile with the oracle-gated queries over
+    // the same fixture (the img/aud/vid-health test convention)
+    img(0) shouldBe SparkEntry.phashPairs(spark, sfDir)._1.count()
+    img(1) shouldBe
+      SparkEntry.queries("q172_image_phash_dedup")(spark, sfDir).count()
+    aud(0) shouldBe SparkEntry.audioPhashPairs(spark, sfDir)._1.count()
+    aud(1) shouldBe
+      SparkEntry.queries("q183_audio_phash_dedup")(spark, sfDir).count()
+    vid(0) shouldBe SparkEntry.videoPhashPairs(spark, sfDir)._1
+      .select(org.apache.spark.sql.functions.expr("doc div 8"))
+      .distinct().count()
+    vid(1) shouldBe
+      SparkEntry.queries("q180_video_phash_dedup")(spark, sfDir).count()
+    // grouped + unique partition the items in every row
+    Seq(img, aud, vid, tot).foreach { r =>
+      r(3) + r(4) shouldBe r(0)
+    }
+    // the totals row is the column sum of the three modality rows
+    tot shouldBe img.indices.map(i => img(i) + aud(i) + vid(i))
+  }
+
+  test("refold verb: drift measured against the final component " +
+    "folds, gated rewrite, idempotent second run") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_refold_").toString
+    try {
+      // batch 0 landed docs 1 (key u1) and 8 (key u8) as separate
+      // components (folds train / val); batch 1's bridge doc 20
+      // carries doc 1's exact text AND key u8 — the grown edge set
+      // merges {1, 8, 20} under label 1, so doc 8's at-ingest 'val'
+      // is drift the manifests still carry
+      val a = (1 to 11).map(i => s"a$i").mkString(" ")
+      val p = (1 to 8).map(i => s"p$i").mkString(" ")
+      val texts = Seq((1L, a), (8L, p), (20L, a)).toDF("doc_id", "text")
+      graft.operators.Dedup.writePairStore(texts, "doc_id", "text",
+        root + "/store/pairs", shingleN = 2, k = 64, bands = 32,
+        threshold = 0.5)
+      Seq((1L, "u1", "s"), (8L, "u8", "s"), (20L, "u8", "s"))
+        .toDF("doc_id", "ckey", "source")
+        .write.parquet(root + "/store/docs/docs")
+      def writeManifests(): Unit =
+        Seq((1L, "s", 1L, "train", "train", false, 0L),
+          (8L, "s", 8L, "val", "val", false, 0L),
+          (20L, "s", 1L, "train", "test", true, 1L))
+          .toDF("doc_id", "source", "group", "split", "dsplit",
+            "inherited", "batch_id")
+          .write.partitionBy("batch_id").parquet(root + "/out")
+      writeManifests()
+      def manifestSplits(): Map[Long, (Long, String)] =
+        spark.read.parquet(root + "/out")
+          .select("doc_id", "group", "split")
+          .collect().map(r => r.getLong(0) ->
+            ((r.getLong(1), r.getString(2)))).toMap
+      // a generous gate first: drift reported, nothing rewritten
+      val gated = Main.run(spark,
+        Seq("refold", root + "/store", root + "/out", "500"))
+      gated.foreach(l => info(l))
+      gated(1) should include("1 moved")
+      gated(1) should include("3 docs in fold-straddling components")
+      gated.last should include("no refold")
+      manifestSplits()(8L) shouldBe ((8L, "val"))
+      // default gate 0: any drift rewrites at the final folds
+      val lines = Main.run(spark,
+        Seq("refold", root + "/store", root + "/out"))
+      lines.foreach(l => info(l))
+      lines(1) should include("1 moved")
+      lines.last should include("rewritten")
+      val after = manifestSplits()
+      after(8L) shouldBe ((1L, "train"))
+      after(1L) shouldBe ((1L, "train"))
+      after(20L) shouldBe ((1L, "train"))
+      // idempotent: the rewritten manifests read zero drift
+      val again = Main.run(spark,
+        Seq("refold", root + "/store", root + "/out"))
+      again.foreach(l => info(l))
+      again(1) should include("0 moved")
+      again.last should include("no refold")
+    } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
+
   test("report verb prints the per-source data card") {
     val lines = Main.run(spark, Seq("report", "/root/testdata/sf0.001"))
     lines.head should include("source")
