@@ -1103,6 +1103,73 @@ object ProbeScale {
       }
     }
 
+    // ── `ProbeScale foldcc`: the fold-at-ingest label claim
+    // measured — a micro-batch needs component labels for ITS docs
+    // only, so per-batch cost must track the batch's neighborhood
+    // (componentGroupsBounded: frontier expansion + induced-subgraph
+    // CC) rather than re-running CC over everything seen
+    // (componentGroups — q205's full form, the cheaper plan only at
+    // small scale). Corpus = sf0.01 documents replica-amplified with
+    // replica-unique token bodies (the ndguard trick: replicas share
+    // no shingles) and 3-doc ckey groups; batch = 20 fresh docs
+    // copying rep-0 texts (real near-dup edges into the corpus).
+    // Docs + pairs live as parquet (the at-rest posture both
+    // regimes read); labels asserted identical per regime. ──
+    if (mode == "foldcc") {
+      val base = Tables(spark, "/root/testdata/sf0.01", "documents")
+        .select(col("doc_id"), col("text"))
+      for (r <- Seq(1, 10, 40, 200)) {
+        val corpus = base.crossJoin(spark.range(r).toDF("rep"))
+          .select((col("doc_id") * r + col("rep")).as("doc_id"),
+            when(col("rep") === 0, col("text"))
+              .otherwise(expr("""array_join(transform(
+                split(text, ' '), t -> concat(t, '_', rep)), ' ')"""))
+              .as("text"))
+        val batch = base.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 9000000L).as("doc_id"), col("text"))
+        val seen = corpus.unionByName(batch)
+          .withColumn("ckey",
+            expr("concat('k', CAST(doc_id div 3 AS STRING))"))
+          .localCheckpoint()
+        val nDocs = seen.count()
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_probe_fcc_$r").toString
+        try {
+          ProbeTiming.timed("PROBE_SCALE", s"foldcc/corpus${r}x pairs") {
+            Dedup.writePairStore(seen, "doc_id", "text",
+              root + "/pairs", shingleN = 2, k = 64, bands = 32,
+              threshold = 0.5)
+          }
+          seen.select("doc_id", "ckey")
+            .write.parquet(root + "/docs")
+          val docsAt = spark.read.parquet(root + "/docs")
+          val pairsAt = spark.read.parquet(root + "/pairs/pairs")
+            .select(col("doc_a"), col("doc_b"))
+          val nPairs = pairsAt.count()
+          val batchIds = batch.select(col("doc_id")).localCheckpoint()
+          def labelsOf(df: DataFrame): Map[Long, Long] = df
+            .join(batchIds, Seq("doc_id"), "semi")
+            .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+          def wall[T](f: => T): (Double, T) = {
+            f; val t0 = System.nanoTime(); val v = f
+            ((System.nanoTime() - t0) / 1e9, v)
+          }
+          val (fullW, fullL) = wall(labelsOf(
+            Dedup.componentGroups(docsAt, "doc_id", col("ckey"),
+              pairsAt)))
+          val (bndW, bndL) = wall(labelsOf(
+            Dedup.componentGroupsBounded(docsAt, "doc_id",
+              col("ckey"), pairsAt, batchIds)))
+          require(bndL == fullL,
+            s"label parity broke at ${r}x: $bndL vs $fullL")
+          println(f"PROBE_SCALE foldcc/corpus${r}x docs=$nDocs " +
+            f"pairs=$nPairs batch=20 full=$fullW%.2fs " +
+            f"bounded=$bndW%.2fs")
+        } finally Scratch.deleteRecursively(new java.io.File(root))
+        org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(seen)
+      }
+    }
+
     // q157's two scale claims measured: per-round cost tracks the
     // EDGE LIST (pair-store grain, not corpus grain), and rounds
     // compose LINEARLY because ranks are localCheckpointed per round

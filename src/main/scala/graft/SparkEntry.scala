@@ -5358,7 +5358,13 @@ object SparkEntry {
     // durations in the same column. The fixture's attachment rule is
     // media_id % |documents| (a production corpus carries an explicit
     // doc_id on each media row); |documents| is a catalog-grade
-    // count, not a corpus scan. Every stage is oracle-proven alone
+    // count, not a corpus scan. Fingerprints come from the SHARED
+    // at-rest store (mediaFingerprintStore — one real decode per
+    // corpus version, billed as store_build_sec; the decode-path
+    // proofs stay with q172/q183/q180, which decode in-query BY
+    // DESIGN): the oracle re-derives every hash from generation
+    // arithmetic, so its match proves the stored fingerprints are
+    // the real decode's output. Every stage is oracle-proven alone
     // (q172/q175/q178/q180/q183/q190); THIS gates the composition ──
     "q208_modality_manifest" -> ((s, dir) => {
       def fold(h: Column) = when(h === 0, "test")
@@ -5394,25 +5400,29 @@ object SparkEntry {
         withMass.join(cc, Seq("id"), "left")
           .withColumn("is_keeper",
             coalesce(col("keeper"), col("id")) === col("id"))
-      val (ifp, ipairs) = phashPairs(s, dir)
+      val fpStore = mediaFingerprintStore(s, dir)
+      def docPairs(fp: DataFrame) = Dedup.hammingNearDupPairs(fp,
+        radius = 4, width = 64, blocks = Some(8), keyBlocks = 1)
+      val ifp = s.read.parquet(fpStore + "/img")
       val img = keeperJoin(
         ifp.select(col("doc").as("id"),
           bit_count(col("fp")).cast("long").as("mass")),
-        Dedup.connectedComponentsStar(ipairs, "doc_a", "doc_b")
+        Dedup.connectedComponentsStar(docPairs(ifp), "doc_a", "doc_b")
           .toDF("id", "keeper"))
-      val (afp, apairs) = audioPhashPairs(s, dir)
+      val afp = s.read.parquet(fpStore + "/aud")
       val aud = keeperJoin(
         afp.select(col("doc").as("id"),
           bit_count(col("fp")).cast("long").as("mass")),
-        Dedup.connectedComponentsStar(apairs, "doc_a", "doc_b")
+        Dedup.connectedComponentsStar(docPairs(afp), "doc_a", "doc_b")
           .toDF("id", "keeper"))
-      val (vfp, vpairs) = videoPhashPairs(s, dir)
+      val vfp = s.read.parquet(fpStore + "/vid")
       val vid = keeperJoin(
         vfp.select(expr("doc div 8").as("id"),
             bit_count(col("fp")).cast("long").as("fmass"))
           .groupBy(col("id")).agg(sum(col("fmass")).as("mass")),
         Dedup.connectedComponentsStar(
-          vpairs.select(col("vid_a"), col("vid_b")), "vid_a", "vid_b")
+          videoPairsFromFrames(vfp).select(col("vid_a"), col("vid_b")),
+          "vid_a", "vid_b")
           .toDF("id", "keeper"))
       val textRows = docs.groupBy(col("source"), col("split"))
         .agg(count(lit(1)).as("n_items"),
@@ -5677,7 +5687,17 @@ object SparkEntry {
       .toDF("vid", "frame", "fp")
       .select((col("vid") * 8 + col("frame")).as("doc"), col("fp"))
       .localCheckpoint()
-    (fp, Dedup.hammingNearDupPairs(fp, radius = 4, width = 64,
+    (fp, videoPairsFromFrames(fp))
+  }
+
+  /** VIDEO-grain near-dup pairs from a frame-grain fingerprint frame
+    * (doc packs as vid*8+frame): the blocking + min-Hamming
+    * aggregation of [[videoPhashPairs]], factored so the
+    * store-reading composition (q208) and the decoding gate (q180)
+    * share one definition. */
+  private def videoPairsFromFrames(
+      fp: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    Dedup.hammingNearDupPairs(fp, radius = 4, width = 64,
         blocks = Some(8), keyBlocks = 1)
       .select(expr("doc_a div 8").as("vid_a"),
         expr("doc_b div 8").as("vid_b"),
@@ -5685,8 +5705,7 @@ object SparkEntry {
       .filter(col("vid_a") =!= col("vid_b"))
       .groupBy(col("vid_a"), col("vid_b"))
       .agg(min(col("hamming")).as("min_hamming"),
-        count(lit(1)).as("n_frame_pairs")))
-  }
+        count(lit(1)).as("n_frame_pairs"))
 
   /** The q183 media fixture: one deterministic 16-bit PCM WAV per
     * 16th event id (the oracle's all-pairs recompute stays bounded).
@@ -5928,6 +5947,56 @@ object SparkEntry {
     store
   }
 
+  /** The shared MEDIA FINGERPRINT store — the media analogue of
+    * [[nearDupSignatureIndex]]: in a training pipeline every media
+    * fingerprint lives at rest (ONE decode per corpus version — the
+    * q176/q195/q182 index legs are exactly this posture), so a
+    * COMPOSITION query like q208 reads fingerprints from the store
+    * instead of re-running three codec passes per manifest refresh.
+    * The decode-path proof obligation stays with the modality gates
+    * (q172/q183/q180 decode in-query BY DESIGN — their oracles prove
+    * the codec paths bit for bit); q208's oracle re-derives the same
+    * hashes from generation arithmetic, so its hash match proves the
+    * STORED fingerprints are the real decode's output (the q204
+    * argument on the media grain). Built once per corpus version;
+    * Bench bills the build as `store_build_sec` (the q111/q204
+    * convention). Marker on the LAST-written table so a half-built
+    * store never reads as complete. */
+  private def mediaFingerprintStore(s: SparkSession,
+      dir: String): String = {
+    val store = versionedStoreDir("graft_phash_store", dir,
+      "img8x8aud64vid258")
+    val marker = new org.apache.hadoop.fs.Path(s"$store/vid/_SUCCESS")
+    val fs = marker.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(marker)) {
+      val root = new org.apache.hadoop.fs.Path(store)
+      if (fs.exists(root)) fs.delete(root, true)
+      Phases.time("phash_store_build") {
+        val t2 = org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong)
+        Multimodal.decodePartitions[(Long, Long)](
+          patternPngs(s, dir), Multimodal.decodeGridHash(8, 8, 128))(t2)
+          .toDF("doc", "fp").write.parquet(s"$store/img")
+        Multimodal.decodePartitions[(Long, Long)](
+          patternWavs(s, dir),
+          Multimodal.decodeAudioEnergyHash(64, 1000))(t2)
+          .toDF("doc", "fp").write.parquet(s"$store/aud")
+        Multimodal.decodePartitions[(Long, Int, Long)](
+          patternVideos(s, dir),
+          Multimodal.decodeSampledVideoGridHash(2, 8, 8, 128))(
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaInt,
+            org.apache.spark.sql.Encoders.scalaLong))
+          .toDF("vid", "frame", "fp")
+          .select((col("vid") * 8 + col("frame")).as("doc"), col("fp"))
+          .write.parquet(s"$store/vid")
+      }
+    }
+    store
+  }
+
   /** Version-keyed scratch-store path for a fixture dir (the pair
     * store's keying, factored for every shared at-rest artifact):
     * keyed by the dir's canonical path AND the documents table's
@@ -6005,7 +6074,8 @@ object SparkEntry {
           "q197_component_split", "q198_component_split_leakage"),
       "postings_index" -> Set("q126_bm25_indexed"),
       "ndindex_store" -> Set("q204_split_leakage_indexed"),
-      "ndingest_base" -> Set("q111_stream_neardup_ingest"))
+      "ndingest_base" -> Set("q111_stream_neardup_ingest"),
+      "phash_store" -> Set("q208_modality_manifest"))
     def wanted(store: String): Boolean =
       selected.forall(qs => consumers(store).exists(qs.contains))
     def timed(name: String)(body: => Unit): Option[(String, Double)] = {
@@ -6025,7 +6095,8 @@ object SparkEntry {
       timed("pair_store") { nearDupPairStore(s, dir); () },
       timed("postings_index") { bm25PostingsStore(s, dir); () },
       timed("ndindex_store") { nearDupSignatureIndex(s, dir); () },
-      timed("ndingest_base") { nearDupIngestBaseIndex(s, dir); () })
+      timed("ndingest_base") { nearDupIngestBaseIndex(s, dir); () },
+      timed("phash_store") { mediaFingerprintStore(s, dir); () })
       .flatten
   }
 

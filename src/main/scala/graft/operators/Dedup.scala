@@ -2436,6 +2436,72 @@ object Dedup {
         coalesce(col("_cg_grp"), col(idCol)).as("group"))
   }
 
+  /** [[componentGroups]] restricted to the components CONTAINING
+    * `seedIds` — the per-batch form of fold-at-ingest at corpus
+    * scale: a micro-batch needs component labels for ITS docs only,
+    * and those are exact from the batch components' CLOSED reachable
+    * subgraph, so per-batch cost tracks the batch's neighborhood
+    * instead of re-running CC over everything seen so far (the q205
+    * full form's honest scale limit). Frontier expansion alternates
+    * pair edges and same-key co-membership until fixpoint — rounds
+    * bounded by component diameter, which post-LSH dup components
+    * keep shallow; at fixpoint every ckey group and every pair edge
+    * touching the reach is wholly inside it, so the induced
+    * subgraph's [[componentGroups]] labels equal the full corpus
+    * run's for every seeded component (DedupSpec pins equality,
+    * StreamingSpec pins the forced-bounded ingest ≡ the full one).
+    * Fails loudly if the diameter exceeds `maxRounds` — a silently
+    * unclosed reach would mint wrong min-labels. */
+  def componentGroupsBounded(docs: DataFrame, idCol: String,
+      urlKey: Column, pairs: DataFrame, seedIds: DataFrame,
+      maxRounds: Int = 30): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    // deliberately NOT checkpointed: both are corpus-scale relations
+    // (re-)read per round as lazy scans — only the frontier (batch-
+    // neighborhood-sized) materializes; a checkpoint here would copy
+    // the corpus into block storage per batch, the exact cost this
+    // operator exists to avoid
+    val keyed = docs.select(col(idCol).as("_cgb_id"),
+      urlKey.as("_cgb_key"))
+    val p = pairs.select(col("doc_a"), col("doc_b"))
+    var reach = seedIds
+      .select(col(seedIds.columns.head).cast("long").as("_cgb_id"))
+      .distinct().localCheckpoint()
+    var n = reach.count()
+    var grew = true
+    var rounds = 0
+    while (grew && rounds < maxRounds) {
+      val viaA = p.join(reach.withColumnRenamed("_cgb_id", "doc_a"),
+        Seq("doc_a")).select(col("doc_b").as("_cgb_id"))
+      val viaB = p.join(reach.withColumnRenamed("_cgb_id", "doc_b"),
+        Seq("doc_b")).select(col("doc_a").as("_cgb_id"))
+      val keys = keyed.join(reach, Seq("_cgb_id"))
+        .select(col("_cgb_key")).distinct()
+      val viaK = keyed.join(keys, Seq("_cgb_key"))
+        .select(col("_cgb_id"))
+      val next = reach.unionByName(viaA).unionByName(viaB)
+        .unionByName(viaK).distinct().localCheckpoint()
+      val m = next.count()
+      grew = m > n
+      Bridge.freeLocalCheckpoint(reach)
+      reach = next; n = m; rounds += 1
+    }
+    require(!grew, s"componentGroupsBounded: reach still growing " +
+      s"after $maxRounds rounds — component diameter exceeds the " +
+      "bound; raise maxRounds (an unclosed reach would mint wrong " +
+      "min-labels)")
+    val subDocs = docs.join(
+      reach.select(col("_cgb_id").as(idCol)), Seq(idCol), "semi")
+    // one-sided semi is complete: at fixpoint an edge touching the
+    // reach has BOTH endpoints inside it
+    val subPairs = p.join(reach.withColumnRenamed("_cgb_id", "doc_a"),
+      Seq("doc_a"), "semi")
+    val out = componentGroups(subDocs, idCol, urlKey, subPairs)
+      .localCheckpoint(eager = true)
+    Bridge.freeLocalCheckpoint(reach)
+    out
+  }
+
   /** COMPONENT-AWARE SPLIT — [[Relational.groupAwareSplit]] with the
     * [[componentGroups]] key: fold assignment by deterministic hash
     * of the near-dup-component ∪ url-group id, so NO near-duplicate
@@ -2676,7 +2742,8 @@ object Dedup {
     * getContentSummary per micro-batch is an O(files) LIST on an
     * object store, so Streams probes once per stream and passes the
     * decision down as a sentinel. */
-  private def storeAtLeastBytes(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def storeAtLeastBytes(
+      spark: org.apache.spark.sql.SparkSession,
       path: String, minBytes: Long): Boolean =
     if (minBytes == 0L) true
     else if (minBytes == Long.MaxValue) false

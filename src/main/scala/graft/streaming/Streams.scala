@@ -602,7 +602,9 @@ object Streams {
       textCol: String, keyCol: String, sourceCol: String,
       storeRoot: String, outDir: String, checkpointDir: String,
       shingleN: Int, k: Int, bands: Int,
-      threshold: Double): StreamingQuery =
+      threshold: Double,
+      boundedCcMinStoreBytes: Long =
+        graft.operators.Dedup.DefaultPointFetchMinStoreBytes): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -629,10 +631,25 @@ object Streams {
             .join(batchDocs.select(col(idCol)), Seq(idCol),
               "left_anti")
           val seen = prior.unionByName(batchDocs)
-          val grp = graft.operators.Dedup.componentGroups(seen,
-            idCol, col(keyCol),
-            s.read.parquet(s"$pairStore/pairs")
-              .select(col("doc_a"), col("doc_b")))
+          val storePairs = s.read.parquet(s"$pairStore/pairs")
+            .select(col("doc_a"), col("doc_b"))
+          // COST-GATED label derivation (the pointFetch convention):
+          // past the size gate the batch labels come from the batch
+          // components' reachable subgraph ONLY — per-batch CC cost
+          // tracks the batch's neighborhood, not everything seen so
+          // far (the corpus-scale regime); below it one full CC pass
+          // is the cheaper plan. Labels identical either way
+          // (componentGroupsBounded scaladoc); sentinels 0 /
+          // Long.MaxValue force a regime without the FS listing.
+          val grp =
+            if (graft.operators.Dedup.storeAtLeastBytes(s,
+                s"$pairStore/pairs", boundedCcMinStoreBytes))
+              graft.operators.Dedup.componentGroupsBounded(seen,
+                idCol, col(keyCol), storePairs,
+                batchDocs.select(col(idCol)))
+            else
+              graft.operators.Dedup.componentGroups(seen,
+                idCol, col(keyCol), storePairs)
           def foldOf(h: Column) = when(h === 0, "test")
             .when(h === 1, "val").otherwise("train")
           val folds = batchDocs

@@ -1084,6 +1084,32 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally Scratch.deleteRecursively(new java.io.File(root))
   }
 
+  test("componentGroupsBounded ≡ componentGroups on the seeded " +
+    "components; multi-hop chain and key co-membership both traversed") {
+    import spark.implicits._
+    // component {1,2,3,4}: pair chain 1-2-3 (two hops) plus key
+    // group u34 pulling 4 — one seed must reach all of it, because
+    // a partial reach would mint a wrong min-label
+    val docs = Seq((1L, "u1"), (2L, "u2"), (3L, "u34"), (4L, "u34"),
+      (5L, "u5"), (6L, "u6")).toDF("doc_id", "ckey")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val full = Dedup.componentGroups(docs, "doc_id", col("ckey"),
+      pairs).as[(Long, Long)].collect().toMap
+    val bounded = Dedup.componentGroupsBounded(docs, "doc_id",
+      col("ckey"), pairs, Seq(1L).toDF("doc_id"))
+      .as[(Long, Long)].collect().toMap
+    bounded.keySet shouldBe Set(1L, 2L, 3L, 4L)
+    bounded.foreach { case (d, g) => g shouldBe full(d) }
+    // a singleton seed labels itself and pulls nothing else
+    Dedup.componentGroupsBounded(docs, "doc_id", col("ckey"), pairs,
+      Seq(5L).toDF("doc_id"))
+      .as[(Long, Long)].collect().toMap shouldBe Map(5L -> 5L)
+    // an over-tight round bound fails loudly instead of mislabeling
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.componentGroupsBounded(docs, "doc_id", col("ckey"),
+        pairs, Seq(1L).toDF("doc_id"), maxRounds = 1)
+  }
+
   test("componentGroups: near-dup pairs and same-url groups merge; " +
     "the component fold leaks zero where the naive fold leaks") {
     import spark.implicits._

@@ -1149,4 +1149,52 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
       state() shouldBe out
     } finally Scratch.deleteRecursively(new java.io.File(root))
   }
+
+  test("component fold ingest: forced-bounded CC ≡ the full CC run " +
+    "(regime parity under the cost gate's sentinels)") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_cfoldb_").toString
+    try {
+      val a = (1 to 11).map(i => s"a$i").mkString(" ")
+      // batch 0: two unrelated components {1} and {8}; batch 1's
+      // bridge doc 20 (doc 1's exact text + key u8) merges them —
+      // the bounded reach must cross BOTH edge kinds to label it 1
+      val b0 = Seq((1L, "u1", "s", a),
+        (8L, "u8", "s", (1 to 8).map(i => s"p$i").mkString(" ")))
+      val b1 = Seq((20L, "u8", "s", a))
+      def run(sub: String, gate: Long): Set[Seq[Any]] = {
+        val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+        Dedup.writeNearDupIndex(empty, "doc_id", "text", shingleN = 2,
+          k = 64, bands = 32, dir = s"$root/$sub/store/index")
+        Dedup.writePairStore(empty, "doc_id", "text",
+          s"$root/$sub/store/pairs", shingleN = 2, k = 64, bands = 32,
+          threshold = 0.5)
+        Seq.empty[(Long, String, String)]
+          .toDF("doc_id", "ckey", "source")
+          .write.parquet(s"$root/$sub/store/docs/docs")
+        val input = MemoryStream[(Long, String, String, String)]
+        val q = Streams.componentFoldIngest(
+          input.toDF().toDF("doc_id", "ckey", "source", "text"),
+          "doc_id", "text", "ckey", "source", s"$root/$sub/store",
+          s"$root/$sub/out", s"$root/$sub/ckpt", shingleN = 2,
+          k = 64, bands = 32, threshold = 0.5,
+          boundedCcMinStoreBytes = gate)
+        try Seq(b0, b1).foreach { b =>
+          input.addData(b: _*); q.processAllAvailable()
+        } finally q.stop()
+        spark.read.parquet(s"$root/$sub/out")
+          .select("doc_id", "group", "split", "dsplit", "inherited")
+          .collect().map(_.toSeq).toSet
+      }
+      val full = run("full", Long.MaxValue)
+      val bounded = run("bounded", 0L)
+      bounded shouldBe full
+      // the bridge inherited its partner's component through the
+      // bounded reach too (pair hop to 1, key hop to 8)
+      bounded.map(r => r.head.asInstanceOf[Long] -> r(1))
+        .toMap.apply(20L) shouldBe 1L
+    } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
 }
