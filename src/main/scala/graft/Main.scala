@@ -665,11 +665,14 @@ object Main {
     * compare every manifest row's at-ingest split against the final
     * component fold (the q209 arithmetic), and when moved docs
     * exceed `maxMovedMilli` (per mille of manifest rows) rewrite the
-    * manifests at the final folds — write-then-swap under the fold
-    * store's writer lease (the compactNearDupIndex convention).
-    * Idempotent: a second run reads zero drift. Column names come
-    * from the docs table's schema (the componentFoldIngest write
-    * order: id, key, source), so the verb serves any fold store. */
+    * manifests at the final folds — write-then-swap under the
+    * MANIFEST dir's sibling lease, which the fold-ingest sink also
+    * takes per batch, so a live ingest and the swap exclude each
+    * other loudly. A manifest/store pair out of sync fails loudly
+    * before any rewrite (the orphan guard). Idempotent: a second
+    * run reads zero drift. Column names come from the docs table's
+    * schema (the componentFoldIngest write order: id, key, source),
+    * so the verb serves any fold store. */
   private def refold(spark: SparkSession, storeRoot: String,
       manifestDir: String, maxMovedMilli: Int): Seq[String] = {
     import graft.operators.Dedup
@@ -680,7 +683,9 @@ object Main {
     val grp = Dedup.componentGroups(docs, idCol, col(keyCol), pairs)
       .localCheckpoint() // read by the drift compare and the rewrite
     def foldOf(h: org.apache.spark.sql.Column) =
-      when(h === 0, "test").when(h === 1, "val").otherwise("train")
+      graft.operators.Relational.foldOf(h)
+    def free(df: org.apache.spark.sql.DataFrame): Unit =
+      org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(df)
     val manifests = spark.read.parquet(manifestDir)
     val nDocs = manifests.count()
     val drift = manifests
@@ -689,12 +694,23 @@ object Main {
       .withColumn("_new", foldOf(graft.functions.hashes
         .md5Hash60(col("group").cast("string")) % 10))
       .localCheckpoint()
+    // LOUD orphan guard: the inner join above (and the rewrite's
+    // below) would silently DROP any manifest row whose doc is
+    // missing from the store's docs table (a manifest/store pair out
+    // of sync, or a crash between manifest seal and docs append) —
+    // and the delete+rename swap would make the loss permanent
+    val nJoined = drift.count()
+    require(nJoined == nDocs,
+      s"refold: ${nDocs - nJoined} manifest rows have no doc in " +
+        s"$storeRoot/docs — manifest and fold store are out of " +
+        "sync; refusing to rewrite (rows would be dropped)")
     val moved = drift.filter(col("_old") =!= col("_new")).count()
     val leaky = drift.groupBy(col("group"))
       .agg(countDistinct(col("_old")).as("_n"), count(lit(1)).as("_m"))
       .filter(col("_n") > 1)
       .agg(coalesce(sum(col("_m")), lit(0L)))
       .collect()(0).getLong(0)
+    free(drift)
     val movedMilli = if (nDocs == 0) 0L else moved * 1000 / nDocs
     val head = Seq(
       s"fold store $storeRoot: $nDocs manifest rows",
@@ -702,16 +718,22 @@ object Main {
         "fold-straddling components")
     // exact integer gate (moved/nDocs > max/1000 cross-multiplied) —
     // floor-divided milli would hide sub-milli drift at gate 0
-    if (moved * 1000L <= maxMovedMilli.toLong * nDocs)
+    if (moved * 1000L <= maxMovedMilli.toLong * nDocs) {
+      free(grp)
       head :+ s"within gate (max $maxMovedMilli milli): no refold"
-    else {
+    } else {
       // read fully BEFORE the swap destroys the source files
       val refolded = manifests.drop("group", "split")
         .join(grp, Seq(idCol))
         .withColumn("split", foldOf(graft.functions.hashes
           .md5Hash60(col("group").cast("string")) % 10))
         .localCheckpoint()
-      graft.sources.StoreLease.withLease(spark, storeRoot, "refold") {
+      free(grp)
+      // the MANIFEST dir's sibling lease, not the store root's: the
+      // fold-ingest sink takes the same lease per batch, so a live
+      // ingest and this swap exclude each other loudly (leasing only
+      // storeRoot would exclude nothing that writes manifestDir)
+      graft.sources.StoreLease.withLease(spark, manifestDir, "refold") {
         val conf = spark.sparkContext.hadoopConfiguration
         val p = new org.apache.hadoop.fs.Path(manifestDir)
         val tmp = new org.apache.hadoop.fs.Path(s"$manifestDir.refolding")
@@ -723,6 +745,7 @@ object Main {
         require(fs.rename(tmp, p),
           s"could not move refolded manifests to $p")
       }
+      free(refolded)
       head :+ s"refolded $manifestDir: $nDocs rows rewritten at the " +
         "final component folds"
     }

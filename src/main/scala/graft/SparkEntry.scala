@@ -2596,8 +2596,7 @@ object SparkEntry {
           "doc_id", "text", minCount = 3)
         .withColumn("nll6", round(col("nll"), 6))
         .filter(col("nll6").isNotNull)
-      def fold(h: Column) = when(h === 0, "test")
-        .when(h === 1, "val").otherwise("train")
+      def fold(h: Column) = Relational.foldOf(h)
       scored
         .withColumn("tier", ntile(4).over(
           org.apache.spark.sql.expressions.Window
@@ -5367,8 +5366,7 @@ object SparkEntry {
     // the real decode's output. Every stage is oracle-proven alone
     // (q172/q175/q178/q180/q183/q190); THIS gates the composition ──
     "q208_modality_manifest" -> ((s, dir) => {
-      def fold(h: Column) = when(h === 0, "test")
-        .when(h === 1, "val").otherwise("train")
+      def fold(h: Column) = Relational.foldOf(h)
       val nDocs = t(s, dir, "documents").count()
       val w = Window.partitionBy(col("canon"))
         .orderBy(col("n_chars").desc, col("doc_id"))
@@ -5458,8 +5456,7 @@ object SparkEntry {
     // prefixes label through the same componentGroups core
     // q197/q205 run ──
     "q209_fold_drift" -> ((s, dir) => {
-      def fold(h: Column) = when(h === 0, "test")
-        .when(h === 1, "val").otherwise("train")
+      def fold(h: Column) = Relational.foldOf(h)
       val docs = syntheticUrlDocs(s, dir)
       val orig = docs.select(col("doc_id"), lit(0).as("b"),
         col("canon").as("ckey"), col("source"), col("text"))

@@ -378,15 +378,21 @@ object Relational {
     * One hash shuffle for the aggregate (distinct groups need the
     * group key co-located); bodies never move — the projection is
     * (source, fold, key) wide. */
+  /** ONE rendering of the 10-way test/val/train fold over a hash
+    * residue — shared by every fold consumer (groupAwareSplit, the
+    * fold-at-ingest sink, q194/q208/q209, the refold verb) so the
+    * fold arithmetic cannot drift between surfaces; the DuckDB
+    * oracles mirror it as the literal CASE. */
+  def foldOf(h: Column): Column = when(h === 0, "test")
+    .when(h === 1, "val").otherwise("train")
+
   def groupAwareSplit(docs: DataFrame, idCol: String,
       sourceCol: String, groupKey: Column): DataFrame = {
     import graft.functions.hashes
-    def fold(h: Column) = when(h === 0, "test")
-      .when(h === 1, "val").otherwise("train")
     docs.select(col(sourceCol).as("source"),
-        fold(hashes.md5Hash60(groupKey) % 10).as("split"),
+        foldOf(hashes.md5Hash60(groupKey) % 10).as("split"),
         groupKey.as("_grp"),
-        fold(hashes.md5Hash60(col(idCol).cast("string")) % 10)
+        foldOf(hashes.md5Hash60(col(idCol).cast("string")) % 10)
           .as("_dsplit"))
       .groupBy(col("source"), col("split"))
       .agg(count(lit(1)).as("n_docs"),

@@ -604,7 +604,13 @@ object Streams {
       shingleN: Int, k: Int, bands: Int,
       threshold: Double,
       boundedCcMinStoreBytes: Long =
-        graft.operators.Dedup.DefaultPointFetchMinStoreBytes): StreamingQuery =
+        graft.operators.Dedup.DefaultPointFetchMinStoreBytes): StreamingQuery = {
+    // the regime latch: the pair store only GROWS, so the size gate
+    // flips at most once per stream — once tripped, later batches
+    // skip the O(files) getContentSummary listing entirely (the
+    // storeAtLeastBytes once-per-stream convention, adapted to a
+    // store that grows under the probe)
+    var boundedLatched = false
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -641,17 +647,18 @@ object Streams {
           // is the cheaper plan. Labels identical either way
           // (componentGroupsBounded scaladoc); sentinels 0 /
           // Long.MaxValue force a regime without the FS listing.
+          if (!boundedLatched)
+            boundedLatched = graft.operators.Dedup.storeAtLeastBytes(
+              s, s"$pairStore/pairs", boundedCcMinStoreBytes)
           val grp =
-            if (graft.operators.Dedup.storeAtLeastBytes(s,
-                s"$pairStore/pairs", boundedCcMinStoreBytes))
+            if (boundedLatched)
               graft.operators.Dedup.componentGroupsBounded(seen,
                 idCol, col(keyCol), storePairs,
                 batchDocs.select(col(idCol)))
             else
               graft.operators.Dedup.componentGroups(seen,
                 idCol, col(keyCol), storePairs)
-          def foldOf(h: Column) = when(h === 0, "test")
-            .when(h === 1, "val").otherwise("train")
+          def foldOf(h: Column) = graft.operators.Relational.foldOf(h)
           val folds = batchDocs
             .join(grp, Seq(idCol))
             .withColumn("split", foldOf(graft.functions.hashes
@@ -667,12 +674,20 @@ object Streams {
             .select(col(idCol), col(sourceCol), col("group"),
               col("split"), col("dsplit"), col("inherited"))
           graft.Phases.time(s"fold_sink[b$batchId]") {
-            folds
-              .withColumn("batch_id", lit(batchId))
-              .write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("batch_id")
-              .parquet(outDir)
+            // under the MANIFEST dir's lease: the refold verb's
+            // delete+rename swap contends on the same sibling lease,
+            // so a live ingest and a refold cannot interleave (one
+            // of them fails loudly instead of the swap silently
+            // destroying a just-landed batch partition)
+            graft.sources.StoreLease.withLease(s, outDir,
+                s"fold-sink-$tag") {
+              folds
+                .withColumn("batch_id", lit(batchId))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(outDir)
+            }
           }
           if (!graft.operators.Dedup.isBatchCommitted(s, docsStore,
               tag))
@@ -684,6 +699,7 @@ object Streams {
         } finally s.conf.set(widthKey, oldWidth)
       }
       .start()
+  }
 
   /** Streaming CLASSIFIER GATE — the q156 hashed-ngram linear
     * classifier applied at ingest time: each micro-batch of crawl
