@@ -5507,6 +5507,79 @@ object SparkEntry {
           sum(when(col("isplit") =!= col("fsplit"), 1L).otherwise(0L))
             .as("n_moved"),
           sum(when(col("_lk"), 1L).otherwise(0L)).as("n_leaky_docs"))
+    }),
+
+    // ── T7+NS: LIVE FOLD-DRIFT MONITOR — the drift lifecycle
+    // closed (q209 measures at rest, `refold` repairs, THIS watches
+    // AT INGEST): componentFoldIngest's drift leg compares, per
+    // micro-batch, the PRIOR manifest rows in components the batch's
+    // edges touched against the fold their NEW component label
+    // implies, sealing doc-grain verdicts per batch — the alarm that
+    // tells a curator WHEN to refold without a batch re-measure.
+    // Fixture: batch 0 = the corpus, batches 1/2 = two waves of
+    // q209's BRIDGE docs (a partner doc's exact text + the origin's
+    // canon key), each wave merging batch-0 components — so real
+    // drift lands in BOTH monitored batches and the zero-drift rows
+    // (merges whose relabeled fold hashes unchanged) gate alongside
+    // it. Oracle = the shared per-prefix component rendering read at
+    // every (prior doc, later prefix) pair, restricted to
+    // batch-touched components exactly as the sink restricts ──
+    "q210_stream_fold_drift" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ns = drainSession(s)
+      import ns.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = ns.sqlContext
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q210_").toString
+      val docs = syntheticUrlDocs(s, dir)
+      val orig = docs.select(col("doc_id"),
+        lit(0).cast("int").as("b"),
+        col("canon").as("ckey"), col("source"), col("text"))
+      val partner = docs.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("ptext"))
+      def bridges(res: Int, off: Long, b: Int) = docs
+        .filter(col("doc_id") % 42 === res)
+        .join(partner, Seq("doc_id"))
+        .select((col("doc_id") + off).as("doc_id"),
+          lit(b).cast("int").as("b"),
+          col("canon").as("ckey"), col("source"),
+          col("ptext").as("text"))
+      val rows = orig
+        .unionByName(bridges(0, 5000000L, 1))
+        .unionByName(bridges(21, 6000000L, 2))
+        .as[(Long, Int, String, String, String)].collect().toSeq
+      val emptyDocs = docs.select(col("doc_id"), col("text")).limit(0)
+      Dedup.writeNearDupIndex(emptyDocs, "doc_id", "text",
+        shingleN = 2, k = 64, bands = 32, dir = root + "/store/index")
+      Dedup.writePairStore(emptyDocs, "doc_id", "text",
+        root + "/store/pairs", shingleN = 2, k = 64, bands = 32,
+        threshold = 0.5)
+      orig.select(col("doc_id"), col("ckey"), col("source")).limit(0)
+        .write.parquet(root + "/store/docs/docs")
+      val input = MemoryStream[(Long, String, String, String)]
+      val stream = input.toDF()
+        .toDF("doc_id", "ckey", "source", "text")
+      val ckpt = ephemeralCheckpoint("q210")
+      val q = Streams.componentFoldIngest(stream, "doc_id", "text",
+        "ckey", "source", root + "/store", root + "/out",
+        ckpt.getAbsolutePath, shingleN = 2, k = 64, bands = 32,
+        threshold = 0.5, driftDir = Some(root + "/drift"))
+      try
+        (0 until 3).foreach { r =>
+          input.addData(rows.filter(_._2 == r)
+            .map(t => (t._1, t._3, t._4, t._5)))
+          q.processAllAvailable()
+        }
+      finally {
+        try q.stop()
+        finally Scratch.deleteRecursively(ckpt)
+      }
+      val res = s.read.parquet(root + "/drift")
+        .groupBy(col("batch_id").cast("long").as("batch_id"),
+          col("old_split"), col("new_split"))
+        .agg(count(lit(1)).as("n_prior"),
+          sum(when(col("drifted"), 1L).otherwise(0L)).as("n_drifted"))
+      materializeThenClean(s, res, root)
     })
   )
 
@@ -11046,6 +11119,53 @@ object SparkEntry {
            |  CAST(SUM(CASE WHEN fgrp IN (SELECT fgrp FROM lk)
            |    THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_docs
            |FROM rep GROUP BY source""".stripMargin
+      },
+
+      // the shared per-prefix rendering with TWO bridge waves: lb
+      // reads every doc's label at every prefix at or after its
+      // arrival, tg marks the batch-touched groups per prefix
+      // (labels-at-p of docs arriving in batch p — exactly the
+      // sink's restriction), and dr compares each PRIOR doc's
+      // at-ingest fold (fa.grp, what its sealed manifest stores)
+      // against the fold its label at the later prefix implies
+      "q210_stream_fold_drift" -> {
+        def fold(h: String) =
+          s"CASE $h % 10 WHEN 0 THEN 'test' WHEN 1 THEN 'val' " +
+            "ELSE 'train' END"
+        s"""WITH RECURSIVE $urlCanonCtes,
+           |all0 AS (SELECT c.doc_id, 0 AS b, c.canon AS ckey,
+           |    c.source, d.text
+           |  FROM canon c JOIN documents d ON c.doc_id = d.doc_id),
+           |br AS (SELECT o.doc_id + 5000000 AS doc_id, 1 AS b,
+           |    o.canon AS ckey, o.source, p.text
+           |  FROM canon o JOIN documents p ON p.doc_id = o.doc_id + 1
+           |  WHERE o.doc_id % 42 = 0
+           |  UNION ALL
+           |  SELECT o.doc_id + 6000000, 2, o.canon, o.source, p.text
+           |  FROM canon o JOIN documents p ON p.doc_id = o.doc_id + 1
+           |  WHERE o.doc_id % 42 = 21),
+           |alld AS (SELECT * FROM all0 UNION ALL SELECT * FROM br),
+           |${perPrefixComponentCtes(3)},
+           |lb AS (SELECT f.pfx, d.doc_id, d.b,
+           |    COALESCE(l.label, d.doc_id) AS lbl_at
+           |  FROM alld d JOIN pfxs f ON d.b <= f.pfx
+           |  LEFT JOIN lbl l ON l.pfx = f.pfx AND l.node = d.doc_id),
+           |tg AS (SELECT DISTINCT pfx, lbl_at AS g FROM lb
+           |  WHERE b = pfx),
+           |dr AS (SELECT CAST(lb.pfx AS BIGINT) AS batch_id,
+           |    ${fold(hashes.md5Hash60Sql("CAST(fa.grp AS VARCHAR)"))}
+           |      AS old_split,
+           |    ${fold(hashes.md5Hash60Sql(
+                  "CAST(lb.lbl_at AS VARCHAR)"))} AS new_split
+           |  FROM lb
+           |  JOIN fa ON fa.doc_id = lb.doc_id
+           |  JOIN tg ON tg.pfx = lb.pfx AND tg.g = lb.lbl_at
+           |  WHERE lb.b < lb.pfx)
+           |SELECT batch_id, old_split, new_split,
+           |  COUNT(*) AS n_prior,
+           |  CAST(SUM(CASE WHEN old_split <> new_split THEN 1 ELSE 0
+           |    END) AS BIGINT) AS n_drifted
+           |FROM dr GROUP BY batch_id, old_split, new_split""".stripMargin
       }
     )
   }

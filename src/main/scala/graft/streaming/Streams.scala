@@ -597,14 +597,29 @@ object Streams {
     * text never re-tokenizes. A production deployment would maintain
     * an incremental union-find label store instead of re-walking the
     * components per batch; the re-walk keeps this form exact and the
-    * oracle-checkable shape is identical. */
+    * oracle-checkable shape is identical.
+    *
+    * `driftDir` (optional) turns on the LIVE DRIFT MONITOR — the
+    * q209 measurement at ingest, the alarm that tells a curator WHEN
+    * to run `refold` without a batch re-measure: per batch, the
+    * PRIOR manifest rows whose components this batch's edges touched
+    * (restricted to the batch docs' components — untouched
+    * components cannot have drifted this batch, in either CC regime)
+    * are compared against the fold their NEW component label implies,
+    * and the doc-grain verdicts land in a batch_id partition
+    * (dynamic overwrite — the same exactly-once convention as the
+    * fold sink; batch 0 has no priors and writes nothing). The
+    * sealed manifests themselves are never touched — drift is
+    * MEASURED live and REPAIRED by refold, exactly as dilution is
+    * measured by the health verbs and repaired by compact. */
   def componentFoldIngest(docs: DataFrame, idCol: String,
       textCol: String, keyCol: String, sourceCol: String,
       storeRoot: String, outDir: String, checkpointDir: String,
       shingleN: Int, k: Int, bands: Int,
       threshold: Double,
       boundedCcMinStoreBytes: Long =
-        graft.operators.Dedup.DefaultPointFetchMinStoreBytes): StreamingQuery = {
+        graft.operators.Dedup.DefaultPointFetchMinStoreBytes,
+      driftDir: Option[String] = None): StreamingQuery = {
     // the regime latch: the pair store only GROWS, so the size gate
     // flips at most once per stream — once tripped, later batches
     // skip the O(files) getContentSummary listing entirely (the
@@ -687,6 +702,35 @@ object Streams {
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("batch_id")
                 .parquet(outDir)
+            }
+          }
+          driftDir.foreach { dd =>
+            graft.Phases.time(s"fold_drift[b$batchId]") {
+              // only components containing a batch doc can have
+              // drifted THIS batch (no new edge touches any other) —
+              // and in the bounded regime those are exactly the
+              // components grp covers, so the restriction also makes
+              // the two CC regimes emit identical drift rows
+              val touched = grp.join(batchDocs.select(col(idCol)),
+                Seq(idCol), "left_semi").select(col("group")).distinct()
+              val grpTouched = grp.join(touched, Seq("group"),
+                "left_semi")
+              val prior = s.read.parquet(outDir)
+                .filter(col("batch_id") < batchId)
+                .select(col(idCol), col("split").as("old_split"))
+              prior.join(grpTouched, Seq(idCol))
+                .withColumn("new_split",
+                  graft.operators.Relational.foldOf(
+                    graft.functions.hashes.md5Hash60(
+                      col("group").cast("string")) % 10))
+                .select(col(idCol), col("old_split"), col("new_split"),
+                  (col("old_split") =!= col("new_split"))
+                    .as("drifted"))
+                .withColumn("batch_id", lit(batchId))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(dd)
             }
           }
           if (!graft.operators.Dedup.isBatchCommitted(s, docsStore,

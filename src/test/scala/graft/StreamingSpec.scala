@@ -1164,7 +1164,8 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
       val b0 = Seq((1L, "u1", "s", a),
         (8L, "u8", "s", (1 to 8).map(i => s"p$i").mkString(" ")))
       val b1 = Seq((20L, "u8", "s", a))
-      def run(sub: String, gate: Long): Set[Seq[Any]] = {
+      def run(sub: String, gate: Long)
+          : (Set[Seq[Any]], Set[Seq[Any]]) = {
         val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
         Dedup.writeNearDupIndex(empty, "doc_id", "text", shingleN = 2,
           k = 64, bands = 32, dir = s"$root/$sub/store/index")
@@ -1180,17 +1181,31 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
           "doc_id", "text", "ckey", "source", s"$root/$sub/store",
           s"$root/$sub/out", s"$root/$sub/ckpt", shingleN = 2,
           k = 64, bands = 32, threshold = 0.5,
-          boundedCcMinStoreBytes = gate)
+          boundedCcMinStoreBytes = gate,
+          driftDir = Some(s"$root/$sub/drift"))
         try Seq(b0, b1).foreach { b =>
           input.addData(b: _*); q.processAllAvailable()
         } finally q.stop()
-        spark.read.parquet(s"$root/$sub/out")
+        (spark.read.parquet(s"$root/$sub/out")
           .select("doc_id", "group", "split", "dsplit", "inherited")
-          .collect().map(_.toSeq).toSet
+          .collect().map(_.toSeq).toSet,
+          spark.read.parquet(s"$root/$sub/drift")
+            .select("doc_id", "old_split", "new_split", "drifted")
+            .collect().map(_.toSeq).toSet)
       }
-      val full = run("full", Long.MaxValue)
-      val bounded = run("bounded", 0L)
+      val (full, fullDrift) = run("full", Long.MaxValue)
+      val (bounded, boundedDrift) = run("bounded", 0L)
       bounded shouldBe full
+      // the drift monitor emits identical rows through both regimes
+      // (the touched-components restriction makes full ≡ bounded),
+      // and it caught the merge: doc 8's sealed 'val' fold is now
+      // straddled by its new component's 'train'
+      boundedDrift shouldBe fullDrift
+      val drifts = fullDrift.map(r =>
+        r.head.asInstanceOf[Long] ->
+          ((r(1), r(2), r(3)))).toMap
+      drifts(8L) shouldBe (("val", "train", true))
+      drifts(1L) shouldBe (("train", "train", false))
       // the bridge inherited its partner's component through the
       // bounded reach too (pair hop to 1, key hop to 8)
       bounded.map(r => r.head.asInstanceOf[Long] -> r(1))
