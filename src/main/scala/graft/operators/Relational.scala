@@ -361,6 +361,14 @@ object Relational {
     * arithmetic — the only data growth is the requested repetition,
     * and there is NO shuffle: replication happens in the scan
     * projection (explode over a per-row integer sequence). */
+  /** ONE rendering of the 10-way test/val/train fold over a hash
+    * residue — shared by every fold consumer (groupAwareSplit, the
+    * fold-at-ingest sink, q194/q208/q209, the refold verb) so the
+    * fold arithmetic cannot drift between surfaces; the DuckDB
+    * oracles mirror it as the literal CASE. */
+  def foldOf(h: Column): Column = when(h === 0, "test")
+    .when(h === 1, "val").otherwise("train")
+
   /** GROUP-AWARE TRAIN/VAL/TEST SPLIT — assign each GROUP (not each
     * document) to a fold by a deterministic hash of the group key,
     * so documents sharing a key (canonical URL, near-dup cluster id,
@@ -378,14 +386,6 @@ object Relational {
     * One hash shuffle for the aggregate (distinct groups need the
     * group key co-located); bodies never move — the projection is
     * (source, fold, key) wide. */
-  /** ONE rendering of the 10-way test/val/train fold over a hash
-    * residue — shared by every fold consumer (groupAwareSplit, the
-    * fold-at-ingest sink, q194/q208/q209, the refold verb) so the
-    * fold arithmetic cannot drift between surfaces; the DuckDB
-    * oracles mirror it as the literal CASE. */
-  def foldOf(h: Column): Column = when(h === 0, "test")
-    .when(h === 1, "val").otherwise("train")
-
   def groupAwareSplit(docs: DataFrame, idCol: String,
       sourceCol: String, groupKey: Column): DataFrame = {
     import graft.functions.hashes

@@ -688,14 +688,17 @@ object Streams {
             .withColumn("inherited", col("_cf_own").isNull)
             .select(col(idCol), col(sourceCol), col("group"),
               col("split"), col("dsplit"), col("inherited"))
-          graft.Phases.time(s"fold_sink[b$batchId]") {
-            // under the MANIFEST dir's lease: the refold verb's
-            // delete+rename swap contends on the same sibling lease,
-            // so a live ingest and a refold cannot interleave (one
-            // of them fails loudly instead of the swap silently
-            // destroying a just-landed batch partition)
-            graft.sources.StoreLease.withLease(s, outDir,
-                s"fold-sink-$tag") {
+          // ONE lease acquisition covers the manifest write AND the
+          // drift leg's prior-manifest read: the refold verb's
+          // delete+rename swap contends on the same sibling lease,
+          // so a live ingest and a refold cannot interleave (one of
+          // them fails loudly instead of the swap silently destroying
+          // a just-landed batch partition), and the drift read can
+          // never observe the swap mid-flight (a transiently absent
+          // path, or old_split from already-refolded manifests)
+          graft.sources.StoreLease.withLease(s, outDir,
+              s"fold-sink-$tag") {
+            graft.Phases.time(s"fold_sink[b$batchId]") {
               folds
                 .withColumn("batch_id", lit(batchId))
                 .write.mode("overwrite")
@@ -703,34 +706,78 @@ object Streams {
                 .partitionBy("batch_id")
                 .parquet(outDir)
             }
-          }
-          driftDir.foreach { dd =>
-            graft.Phases.time(s"fold_drift[b$batchId]") {
-              // only components containing a batch doc can have
-              // drifted THIS batch (no new edge touches any other) —
-              // and in the bounded regime those are exactly the
-              // components grp covers, so the restriction also makes
-              // the two CC regimes emit identical drift rows
-              val touched = grp.join(batchDocs.select(col(idCol)),
-                Seq(idCol), "left_semi").select(col("group")).distinct()
-              val grpTouched = grp.join(touched, Seq("group"),
-                "left_semi")
-              val prior = s.read.parquet(outDir)
-                .filter(col("batch_id") < batchId)
-                .select(col(idCol), col("split").as("old_split"))
-              prior.join(grpTouched, Seq(idCol))
-                .withColumn("new_split",
-                  graft.operators.Relational.foldOf(
-                    graft.functions.hashes.md5Hash60(
-                      col("group").cast("string")) % 10))
-                .select(col(idCol), col("old_split"), col("new_split"),
-                  (col("old_split") =!= col("new_split"))
-                    .as("drifted"))
-                .withColumn("batch_id", lit(batchId))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(dd)
+            driftDir.foreach { dd =>
+              graft.Phases.time(s"fold_drift[b$batchId]") {
+                // only components containing a batch doc can have
+                // drifted THIS batch (no new edge touches any other) —
+                // and in the bounded regime those are exactly the
+                // components grp covers, so the restriction also makes
+                // the two CC regimes emit identical drift rows
+                val touched = grp.join(batchDocs.select(col(idCol)),
+                  Seq(idCol), "left_semi").select(col("group"))
+                  .distinct()
+                val grpTouched = grp.join(touched, Seq("group"),
+                    "left_semi")
+                  .localCheckpoint() // read twice (id collect + join)
+                // POINT-FETCH (the splitLeakageIndexed convention,
+                // gated on the same latch as the CC regime): past the
+                // store-size gate the touched components' bounded
+                // member-id set pushes as an isin into the
+                // prior-manifest scan, so per-batch drift IO tracks
+                // the batch's neighborhood instead of the
+                // landed-manifest size; over-cap sets (or the
+                // small-store regime, where one full scan is the
+                // cheaper plan) fall back to the manifest scan + join.
+                val memberKeys: Array[Any] =
+                  if (!boundedLatched) Array.empty[Any]
+                  else grpTouched.select(col(idCol))
+                    .limit(graft.operators.Dedup.DefaultMarkPruneCap
+                      + 1).collect().map(_.get(0))
+                val pushMembers = memberKeys.nonEmpty &&
+                  memberKeys.length <=
+                    graft.operators.Dedup.DefaultMarkPruneCap
+                val priorManAll = s.read.parquet(outDir)
+                  .filter(col("batch_id") < batchId)
+                val priorMan = (if (pushMembers)
+                    priorManAll.filter(col(idCol)
+                      .isin(memberKeys.toIndexedSeq: _*))
+                  else priorManAll)
+                  .select(col(idCol), col("split").as("old_split"))
+                // materialized UNDER the lease — the drift frame is
+                // complete before the lease releases, whatever a
+                // later consumer does with it
+                val drift = priorMan.join(grpTouched, Seq(idCol))
+                  .withColumn("new_split",
+                    graft.operators.Relational.foldOf(
+                      graft.functions.hashes.md5Hash60(
+                        col("group").cast("string")) % 10))
+                  .select(col(idCol), col("old_split"),
+                    col("new_split"),
+                    (col("old_split") =!= col("new_split"))
+                      .as("drifted"))
+                  .withColumn("batch_id", lit(batchId))
+                  .localCheckpoint(eager = true)
+                // a zero-row dynamic-overwrite write emits only
+                // _SUCCESS (no part files), so a monitoring consumer
+                // reading driftDir before the first real drift row
+                // fails schema inference — seed ONE schema-bearing
+                // empty file under a batch_id=-1 partition instead
+                // (idempotent: overwritten in place on retry; zero
+                // rows, so no consumer ever sees it as data)
+                val fs = org.apache.hadoop.fs.FileSystem.get(
+                  new java.net.URI(dd + "/batch_id=-1"),
+                  s.sparkContext.hadoopConfiguration)
+                val seedPath =
+                  new org.apache.hadoop.fs.Path(dd + "/batch_id=-1")
+                if (!fs.exists(seedPath))
+                  drift.limit(0).drop("batch_id").repartition(1)
+                    .write.mode("overwrite").parquet(seedPath.toString)
+                if (!drift.isEmpty)
+                  drift.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(dd)
+              }
             }
           }
           if (!graft.operators.Dedup.isBatchCommitted(s, docsStore,

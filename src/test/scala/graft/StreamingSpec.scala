@@ -1150,6 +1150,44 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally Scratch.deleteRecursively(new java.io.File(root))
   }
 
+  test("component fold ingest: an all-empty drift dir stays " +
+    "readable (schema-bearing seed, no zero-row partition writes)") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_cfolde_").toString
+    try {
+      val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+      Dedup.writeNearDupIndex(empty, "doc_id", "text", shingleN = 2,
+        k = 64, bands = 32, dir = root + "/store/index")
+      Dedup.writePairStore(empty, "doc_id", "text",
+        root + "/store/pairs", shingleN = 2, k = 64, bands = 32,
+        threshold = 0.5)
+      Seq.empty[(Long, String, String)]
+        .toDF("doc_id", "ckey", "source")
+        .write.parquet(root + "/store/docs/docs")
+      val input = MemoryStream[(Long, String, String, String)]
+      val q = Streams.componentFoldIngest(
+        input.toDF().toDF("doc_id", "ckey", "source", "text"),
+        "doc_id", "text", "ckey", "source", root + "/store",
+        root + "/out", root + "/ckpt", shingleN = 2, k = 64,
+        bands = 32, threshold = 0.5,
+        driftDir = Some(root + "/drift"))
+      // ONE batch: no priors exist, so the drift frame is empty —
+      // a monitoring consumer reading driftDir right now must see
+      // an empty frame with the full schema, not a schema-inference
+      // failure on a _SUCCESS-only directory
+      try {
+        input.addData((1L, "u1", "s", "a b c d e f"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val drift = spark.read.parquet(root + "/drift")
+      drift.count() shouldBe 0L
+      drift.columns.toSet shouldBe Set("doc_id", "old_split",
+        "new_split", "drifted", "batch_id")
+    } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
+
   test("component fold ingest: forced-bounded CC ≡ the full CC run " +
     "(regime parity under the cost gate's sentinels)") {
     import spark.implicits._
