@@ -112,8 +112,10 @@ object Main {
     case Seq("vid-health", sfDir) => vidHealth(spark, sfDir)
     case Seq("media-health", sfDir) => mediaHealth(spark, sfDir)
     case Seq("refold", storeRoot, manifestDir, rest @ _*)
-        if intArg(rest, 0).isDefined =>
-      refold(spark, storeRoot, manifestDir, intArg(rest, 0).get)
+        if intArg(rest, 0).isDefined &&
+          intArg(rest.drop(1), 500).isDefined =>
+      refold(spark, storeRoot, manifestDir, intArg(rest, 0).get,
+        intArg(rest.drop(1), 500).get)
     case Seq("index", storeDir) => indexInfo(spark, storeDir)
     case Seq("lease", storeDir) => leaseInfo(spark, storeDir, doBreak = false)
     case Seq("lease", storeDir, "--break") =>
@@ -170,11 +172,15 @@ object Main {
       "  media-health <sfDir>                cross-modality census: " +
         "one items/pairs/groups table over image+audio+video plus " +
         "the roll-up totals row",
-      "  refold <foldStoreRoot> <manifestDir> [maxMovedMilli]   " +
-        "measure fold drift (at-ingest vs final component folds, " +
-        "the q209 arithmetic) and rewrite the manifests at the " +
-        "final folds when moved docs exceed the gate (default 0 = " +
-        "any drift)",
+      "  refold <foldStoreRoot> <manifestDir> [maxMovedMilli] " +
+        "[thresholdMilli]   measure fold drift (at-ingest vs final " +
+        "component folds, the q209 arithmetic), rewrite the " +
+        "manifests at the final folds when moved docs exceed the " +
+        "gate (default 0 = any drift), then VERIFY the repair: " +
+        "re-measure val/train near-dup leakage over the rewritten " +
+        "manifests against the store's signature index (jaccard " +
+        "threshold in milli, default 500 — must match the ingest " +
+        "contract)",
       "  index <storeDir>                    show a store's persisted " +
         "ANN metadata (what AnnIndex.registerFrom adopts)",
       "  lease <storeDir> [--break]          show a store's writer " +
@@ -623,7 +629,8 @@ object Main {
     * img-health's `[phashIndexDir]` argument — one inspector per
     * store, not per modality.) */
   private def audHealth(spark: SparkSession, sfDir: String): Seq[String] = {
-    val (fp, pairs0) = SparkEntry.audioPhashPairs(spark, sfDir)
+    val (fp, pairs0) = SparkEntry.audioPhashPairsStored(spark, sfDir)
+      .getOrElse(SparkEntry.audioPhashPairs(spark, sfDir))
     val c = dupCensus(fp.count(), pairs0, "doc_a", "doc_b")
     org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(fp)
     Seq(
@@ -643,7 +650,8 @@ object Main {
     * same at-rest index format as image/audio — the img-health
     * `[phashIndexDir]` inspector covers the store shape.) */
   private def vidHealth(spark: SparkSession, sfDir: String): Seq[String] = {
-    val (fp, pairs0) = SparkEntry.videoPhashPairs(spark, sfDir)
+    val (fp, pairs0) = SparkEntry.videoPhashPairsStored(spark, sfDir)
+      .getOrElse(SparkEntry.videoPhashPairs(spark, sfDir))
     val nFrames = fp.count()
     val nVideos = fp.select(expr("doc div 8")).distinct().count()
     val c = dupCensus(nVideos, pairs0, "vid_a", "vid_b")
@@ -672,9 +680,22 @@ object Main {
     * before any rewrite (the orphan guard). Idempotent: a second
     * run reads zero drift. Column names come from the docs table's
     * schema (the componentFoldIngest write order: id, key, source),
-    * so the verb serves any fold store. */
+    * so the verb serves any fold store.
+    *
+    * A rewrite is never CLAIMED without its verification leg: after
+    * the swap the verb re-measures val/train near-dup leakage over
+    * the REWRITTEN manifests against the store's at-rest signature
+    * index (Dedup.splitLeakageIndexed — no re-tokenization) and
+    * prints the restored zero. At the ingest's own (bands,
+    * `thresholdMilli`) contract the zero is guaranteed by
+    * construction: any val doc whose banded collision re-scores over
+    * the threshold against a non-val doc would be a pair-store edge,
+    * hence share a component, hence share the component's fold —
+    * a nonzero reading means the measure ran at a different contract
+    * than the ingest indexed at (reported loudly, not masked). */
   private def refold(spark: SparkSession, storeRoot: String,
-      manifestDir: String, maxMovedMilli: Int): Seq[String] = {
+      manifestDir: String, maxMovedMilli: Int,
+      thresholdMilli: Int = 500): Seq[String] = {
     import graft.operators.Dedup
     val docs = spark.read.parquet(s"$storeRoot/docs/docs")
     val Seq(idCol, keyCol, _) = docs.schema.fieldNames.take(3).toSeq
@@ -746,8 +767,25 @@ object Main {
           s"could not move refolded manifests to $p")
       }
       free(refolded)
-      head :+ s"refolded $manifestDir: $nDocs rows rewritten at the " +
-        "final component folds"
+      // the verification leg — never claim the repair without it
+      val post = spark.read.parquet(manifestDir)
+      val valIds = post.filter(col("split") === "val")
+        .select(col(idCol))
+      val nVal = valIds.count()
+      val leaked = Dedup.splitLeakageIndexed(spark,
+          s"$storeRoot/index", valIds, idCol,
+          threshold = thresholdMilli / 1000.0)
+        .filter(col("is_leaked")).count()
+      head ++ Seq(
+        s"refolded $manifestDir: $nDocs rows rewritten at the " +
+          "final component folds",
+        if (leaked == 0L)
+          s"re-measure: 0 of $nVal val docs leak at " +
+            s"$thresholdMilli milli — repair verified"
+        else
+          s"re-measure: $leaked of $nVal val docs STILL leak at " +
+            s"$thresholdMilli milli — repair NOT verified (does " +
+            "the threshold match the ingest index contract?)")
     }
   }
 
@@ -757,16 +795,27 @@ object Main {
     * near-dup pairs, duplicate-group shape, and the roll-up totals
     * row. Each row comes from the SAME census core the per-modality
     * verbs print (reconciliation with q172/q183/q180 holds by
-    * construction, not by agreement of two implementations). */
+    * construction, not by agreement of two implementations).
+    *
+    * Steady-state cost: when the shared fingerprint store is built
+    * for this corpus version (q208's prepareSharedStores), the
+    * censuses read it instead of re-decoding all three modalities —
+    * the verb's wall drops to the blocking aggregates (aud-health /
+    * vid-health consume the same way; img-health stays decode-always
+    * as the codec-path canary). MainSpec pins store-census ≡
+    * decode-census. */
   private def mediaHealth(spark: SparkSession,
       sfDir: String): Seq[String] = {
-    val (ifp, ipairs) = SparkEntry.phashPairs(spark, sfDir)
+    val (ifp, ipairs) = SparkEntry.phashPairsStored(spark, sfDir)
+      .getOrElse(SparkEntry.phashPairs(spark, sfDir))
     val img = dupCensus(ifp.count(), ipairs, "doc_a", "doc_b")
     org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(ifp)
-    val (afp, apairs) = SparkEntry.audioPhashPairs(spark, sfDir)
+    val (afp, apairs) = SparkEntry.audioPhashPairsStored(spark, sfDir)
+      .getOrElse(SparkEntry.audioPhashPairs(spark, sfDir))
     val aud = dupCensus(afp.count(), apairs, "doc_a", "doc_b")
     org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(afp)
-    val (vfp, vpairs) = SparkEntry.videoPhashPairs(spark, sfDir)
+    val (vfp, vpairs) = SparkEntry.videoPhashPairsStored(spark, sfDir)
+      .getOrElse(SparkEntry.videoPhashPairs(spark, sfDir))
     val nVideos = vfp.select(expr("doc div 8")).distinct().count()
     val vid = dupCensus(nVideos, vpairs, "vid_a", "vid_b")
     org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(vfp)

@@ -1170,6 +1170,98 @@ object ProbeScale {
       }
     }
 
+    // ── `ProbeScale foldlabel`: the persisted union-find label
+    // store's claim measured against the incumbent bounded-CC
+    // regime — per-batch labeling as a POINT LOOKUP + driver-side
+    // merge (LabelStore.update: three pushed-predicate store reads,
+    // zero CC rounds) vs componentGroupsBounded's frontier-fixpoint
+    // walk (flat but floored at its per-round scheduler cost —
+    // ProbeScale foldcc). Same corpus/batch construction as foldcc;
+    // the pair-store build and the one-time label bootstrap are
+    // billed separately (the prepareSharedStores convention); the
+    // update path is warmed on a throwaway batch (the twice-run JIT
+    // convention, adapted to a mutating operator); batch labels
+    // asserted identical across store and bounded CC. ──
+    if (mode == "foldlabel") {
+      import graft.operators.LabelStore
+      val base = Tables(spark, "/root/testdata/sf0.01", "documents")
+        .select(col("doc_id"), col("text"))
+      for (r <- Seq(1, 10, 40, 200)) {
+        val corpus = base.crossJoin(spark.range(r).toDF("rep"))
+          .select((col("doc_id") * r + col("rep")).as("doc_id"),
+            when(col("rep") === 0, col("text"))
+              .otherwise(expr("""array_join(transform(
+                split(text, ' '), t -> concat(t, '_', rep)), ' ')"""))
+              .as("text"))
+        val batch = base.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 9000000L).as("doc_id"), col("text"))
+        val seen = corpus.unionByName(batch)
+          .withColumn("ckey",
+            expr("concat('k', CAST(doc_id div 3 AS STRING))"))
+          .localCheckpoint()
+        val nDocs = seen.count()
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_probe_fl_$r").toString
+        try {
+          ProbeTiming.timed("PROBE_SCALE",
+              s"foldlabel/corpus${r}x pairs") {
+            Dedup.writePairStore(seen, "doc_id", "text",
+              root + "/pairs", shingleN = 2, k = 64, bands = 32,
+              threshold = 0.5)
+          }
+          seen.select("doc_id", "ckey")
+            .write.parquet(root + "/docs")
+          val docsAt = spark.read.parquet(root + "/docs")
+          val pairsAt = spark.read.parquet(root + "/pairs/pairs")
+            .select(col("doc_a"), col("doc_b"))
+          val nPairs = pairsAt.count()
+          val batchIds = batch.select(col("doc_id")).localCheckpoint()
+          val batchDocs = docsAt.join(batchIds, Seq("doc_id"), "semi")
+            .localCheckpoint()
+          val corpusDocs = docsAt.join(batchIds, Seq("doc_id"), "anti")
+          val aIds = batchIds.withColumnRenamed("doc_id", "doc_a")
+          val bIds = batchIds.withColumnRenamed("doc_id", "doc_b")
+          val batchPairs = pairsAt.join(aIds, Seq("doc_a"), "semi")
+            .unionByName(pairsAt.join(bIds, Seq("doc_b"), "semi"))
+            .distinct().localCheckpoint()
+          val corpusPairs = pairsAt.join(aIds, Seq("doc_a"), "anti")
+            .join(bIds, Seq("doc_b"), "anti")
+          ProbeTiming.timed("PROBE_SCALE",
+              s"foldlabel/corpus${r}x bootstrap") {
+            LabelStore.bootstrap(spark, root + "/labels", corpusDocs,
+              "doc_id", col("ckey"), corpusPairs)
+          }
+          val warmDocs = spark.range(5)
+            .select((col("id") + 8000000L).as("doc_id"),
+              concat(lit("w"), col("id")).as("ckey"))
+          LabelStore.update(spark, root + "/labels", warmDocs,
+            "doc_id", "ckey", pairsAt.limit(0), "warm")
+          val t0 = System.nanoTime()
+          LabelStore.update(spark, root + "/labels", batchDocs,
+            "doc_id", "ckey", batchPairs, "b0")
+          val storeW = (System.nanoTime() - t0) / 1e9
+          def labelsOf(df: DataFrame): Map[Long, Long] = df
+            .join(batchIds, Seq("doc_id"), "semi")
+            .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+          def wall[T](f: => T): (Double, T) = {
+            f; val s0 = System.nanoTime(); val v = f
+            ((System.nanoTime() - s0) / 1e9, v)
+          }
+          val storeL = labelsOf(
+            LabelStore.lookup(spark, root + "/labels", batchIds))
+          val (bndW, bndL) = wall(labelsOf(
+            Dedup.componentGroupsBounded(docsAt, "doc_id",
+              col("ckey"), pairsAt, batchIds)))
+          require(storeL == bndL,
+            s"label parity broke at ${r}x: $storeL vs $bndL")
+          println(f"PROBE_SCALE foldlabel/corpus${r}x docs=$nDocs " +
+            f"pairs=$nPairs batch=20 bounded=$bndW%.2fs " +
+            f"labelstore=$storeW%.2fs")
+        } finally Scratch.deleteRecursively(new java.io.File(root))
+        org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(seen)
+      }
+    }
+
     // q157's two scale claims measured: per-round cost tracks the
     // EDGE LIST (pair-store grain, not corpus grain), and rounds
     // compose LINEARLY because ranks are localCheckpointed per round

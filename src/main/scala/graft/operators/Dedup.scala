@@ -905,6 +905,65 @@ object Dedup {
       keyBlocks, persistKeys = false, pruneMinStoreBytes, pruneCap)._2
   }
 
+  /** ALL within-radius pairs touching a batch: batch × at-rest index
+    * ([[writePhashIndex]] layout) plus the batch's internal pairs —
+    * the PAIR-GRAIN twin of [[incrementalPhashAgainst]] (which
+    * reduces to the single closest stored partner). This is the edge
+    * feed of an incremental media component store (a [[LabelStore]]
+    * on the perceptual modality): component connectivity needs EVERY
+    * within-radius edge, not the argmin — a batch doc inside the
+    * radius of two mutually-distant stored docs is exactly the
+    * bridge that merges their components. Returns (doc_a, doc_b,
+    * hamming) with doc_a < doc_b, distinct (multi-table collisions
+    * deduped, the [[hammingNearDupPairs]] convention). Same as-of
+    * semantics as the mark (a replayed batch's own committed keys
+    * are anti-joined out) and the same store-side pruning (the
+    * batch's bounded distinct bkey set pushes as an isin into the
+    * bkey-clustered key store past the size gate). */
+  def phashPairsAgainst(spark: org.apache.spark.sql.SparkSession,
+      batchFp: DataFrame, indexDir: String, radius: Int, width: Int,
+      blocks: Option[Int] = None, keyBlocks: Int = 1,
+      pruneMinStoreBytes: Long = DefaultPointFetchMinStoreBytes,
+      pruneCap: Int = DefaultMarkPruneCap): DataFrame = {
+    checkPhashParams(spark, indexDir, radius, width, blocks, keyBlocks)
+    val keys0 = pigeonholeKeys(batchFp, radius, width, blocks,
+      keyBlocks)
+    val prune = storeAtLeastBytes(spark, s"$indexDir/keys",
+      pruneMinStoreBytes)
+    val keys =
+      if (prune) keys0.persist(StorageLevel.MEMORY_AND_DISK)
+      else keys0
+    val batchKeys: Array[Any] =
+      if (!prune) Array.empty[Any]
+      else keys.select(col("bkey")).distinct()
+        .limit(pruneCap + 1).collect().map(_.get(0))
+    val storedAll = spark.read.parquet(s"$indexDir/keys")
+    val storedScan =
+      if (prune && batchKeys.isEmpty) storedAll.limit(0)
+      else if (batchKeys.nonEmpty && batchKeys.length <= pruneCap)
+        storedAll.filter(col("bkey").isin(batchKeys.toIndexedSeq: _*))
+      else storedAll
+    val stored = storedScan
+      .toDF("doc_a", "fp_a", "tbl", "bkey")
+      .join(broadcast(batchFp.select(col("doc").as("_pp_batch_id"))),
+        col("doc_a") === col("_pp_batch_id"), "left_anti")
+    val cross = keys.toDF("doc_b", "fp_b", "tbl", "bkey")
+      .join(stored, Seq("tbl", "bkey"))
+      .withColumn("hamming", hamming64(col("fp_a"), col("fp_b")))
+      .filter(col("hamming") <= radius)
+      .select(
+        least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"),
+        col("hamming"))
+    val out = cross
+      .unionByName(hammingNearDupPairs(batchFp, radius, width,
+        blocks, keyBlocks))
+      .distinct()
+      .localCheckpoint(eager = true)
+    if (prune) keys.unpersist(blocking = false)
+    out
+  }
+
   private def checkPhashParams(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, radius: Int, width: Int, blocks: Option[Int],
       keyBlocks: Int): Unit = {
@@ -2912,7 +2971,7 @@ object Dedup {
     * [[taggedSegmentAppend]], also called BEFORE a tagged path reads
     * the store (a crashed attempt's partially-moved files must not
     * pollute the as-of view the redo computes from). */
-  private def cleanTaggedSegments(
+  private[graft] def cleanTaggedSegments(
       spark: org.apache.spark.sql.SparkSession, rootDir: String,
       tag: String, tables: Seq[String]): Unit = {
     val conf = spark.sessionState.newHadoopConf()

@@ -1,0 +1,357 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** PERSISTED UNION-FIND LABEL STORE — the at-rest (doc → component
+  * label) table that makes fold-at-ingest's per-batch labeling a
+  * POINT LOOKUP + BOUNDED MERGE instead of a per-batch component
+  * re-walk (the [[Dedup.componentGroups]] /
+  * [[Dedup.componentGroupsBounded]] regimes both re-derive labels
+  * from the edge store every micro-batch; even the bounded form pays
+  * a frontier-fixpoint scheduler floor per batch — ProbeScale
+  * `foldcc`). Labels are [[Dedup.componentGroups]]' exactly: the
+  * component min member id over the union of near-dup pair edges and
+  * same-key edges — the store is a PHYSICAL move, not a semantic one
+  * (LabelStoreSpec pins store ≡ componentGroups on every batch
+  * prefix; StreamingSpec pins the store-backed ingest ≡ the CC one).
+  *
+  * Layout under `root`: table `labels` (doc_id, group) and table
+  * `anchors` (ckey, doc_id), both grown by the
+  * [[Dedup.taggedSegmentAppend]] sealed-segment convention (stage →
+  * move-in → `_commits/<tag>` marker), so every batch's update is
+  * EXACTLY-ONCE under micro-batch retry. The store leans on one
+  * structural invariant, MERGE MONOTONICITY: components only ever
+  * merge, so a doc's label strictly DECREASES across its segment
+  * rows, which gives three O(1)-per-row read rules with no
+  * latest-wins bookkeeping (no seq column, no window):
+  *  - a doc's CURRENT label = min(group) over its rows;
+  *  - a RETIRED label never returns (when label g dies, every row
+  *    holding g is rewritten in the same sealed segment, and any
+  *    later component containing doc g has min < g) — so a row whose
+  *    group is a current label IS current, making group-filtered
+  *    membership reads ([[membersOf]]) exact without deduplication;
+  *  - per doc each group value appears at most once, so at most one
+  *    of its rows matches any current-label filter.
+  *
+  * Scale shape (100 TB): per batch the store is touched through
+  * three pushed-predicate reads — batch-node `isin` into `labels`
+  * (current-label lookup), batch-key `isin` into `anchors` (same-key
+  * edge endpoints), retired-label `isin` into `labels` (the rewrite
+  * scan, whose row volume is the merged components' membership —
+  * data-proportional, no rounds). Under [[Dedup.DefaultMarkPruneCap]]
+  * the merge itself runs as a DRIVER-SIDE union-find over the
+  * batch's label-grain edges (a bounded planning lookup, the
+  * splitLeakageIndexed convention) — zero extra Spark jobs; past the
+  * cap every collect swaps for its semi-join twin and the label-grain
+  * merge runs [[Dedup.connectedComponentsStar]] (label-grain ≪
+  * doc-grain: components are already collapsed), the cheaper plan at
+  * that batch size. */
+object LabelStore {
+
+  val LabelsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("group", LongType)))
+  val AnchorsSchema: StructType = StructType(Seq(
+    StructField("ckey", StringType), StructField("doc_id", LongType)))
+
+  private def readTable(spark: SparkSession, dir: String,
+      schema: StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) spark.read.schema(schema).parquet(dir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** Current labels of every doc in the store: min(group) per doc
+    * (the merge-monotonicity read rule). One aggregation over the
+    * whole store — the at-rest consumer's form (q209-class reports,
+    * refold); per-batch consumers use [[lookup]]/[[membersOf]]. */
+  def read(spark: SparkSession, root: String): DataFrame =
+    readTable(spark, s"$root/labels", LabelsSchema)
+      .groupBy(col("doc_id")).agg(min(col("group")).as("group"))
+
+  /** Point-fetch the current labels of `ids` (a (doc_id) frame):
+    * bounded id sets push as an `isin` into the labels read
+    * (row-group pruning — the store is the scan's only input); over
+    * the cap the semi-join twin takes over. Docs absent from the
+    * store are absent from the result (callers coalesce to own id:
+    * an unseen doc is its own component). */
+  def lookup(spark: SparkSession, root: String, ids: DataFrame,
+      pruneCap: Int = Dedup.DefaultMarkPruneCap): DataFrame = {
+    val idF = ids.select(col(ids.columns.head).cast("long")
+      .as("doc_id")).distinct()
+    val keys: Array[Any] =
+      idF.limit(pruneCap + 1).collect().map(_.get(0))
+    val t = readTable(spark, s"$root/labels", LabelsSchema)
+    val pre =
+      if (keys.length <= pruneCap)
+        t.filter(col("doc_id").isin(keys.toIndexedSeq: _*))
+      else t.join(idF, Seq("doc_id"), "semi")
+    pre.groupBy(col("doc_id")).agg(min(col("group")).as("group"))
+  }
+
+  /** Full membership of the components labeled by `groups` (a
+    * one-column frame of CURRENT labels): a group-filtered read —
+    * exact without latest-wins by merge monotonicity (a row holding
+    * a current label is current). The drift monitor's form: touched
+    * components' members are one pushed-predicate scan, never a
+    * frontier walk. */
+  def membersOf(spark: SparkSession, root: String, groups: DataFrame,
+      pruneCap: Int = Dedup.DefaultMarkPruneCap): DataFrame = {
+    val gF = groups.select(col(groups.columns.head).cast("long")
+      .as("group")).distinct()
+    val keys: Array[Any] =
+      gF.limit(pruneCap + 1).collect().map(_.get(0))
+    val t = readTable(spark, s"$root/labels", LabelsSchema)
+    if (keys.length <= pruneCap)
+      t.filter(col("group").isin(keys.toIndexedSeq: _*))
+    else t.join(gF, Seq("group"), "semi")
+  }
+
+  /** Seed the store from at-rest state — the once-per-store form for
+    * a stream attaching to a corpus that predates its label store
+    * (docs + pair store already populated): one full
+    * [[Dedup.componentGroups]] run writes every seen doc's label and
+    * every key's anchor as ONE sealed segment pair under `tag`
+    * (exactly-once: a committed bootstrap is skipped verbatim).
+    * Empty stores seal an empty bootstrap — the marker alone then
+    * certifies "label store current from genesis". */
+  def bootstrap(spark: SparkSession, root: String, docs: DataFrame,
+      idCol: String, urlKey: Column, pairs: DataFrame,
+      tag: String = "bootstrap"): Unit = {
+    if (Dedup.isBatchCommitted(spark, root, tag)) return
+    val labels = Dedup.componentGroups(docs, idCol, urlKey, pairs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        col("group").cast("long").as("group"))
+    val anchors = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        urlKey.cast("string").as("ckey"))
+      .filter(col("ckey").isNotNull)
+      .groupBy(col("ckey")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("ckey"), col("doc_id"))
+    graft.sources.StoreLease.withLease(spark, root,
+        s"labels-$tag") {
+      Dedup.taggedSegmentAppend(spark, root, tag,
+        Seq("labels" -> labels, "anchors" -> anchors))
+    }
+  }
+
+  /** ONE BATCH of the incremental union-find: merge this
+    * micro-batch's new edges into the store and return the sealed
+    * segment's rows — the batch docs' labels plus every rewritten
+    * row (docs whose component merged into a smaller label).
+    *
+    * `batchDocs` is the batch at (id, key) grain; `batchPairs` the
+    * batch's NEW near-dup pair rows (the [[Dedup.appendPairStore]]
+    * return — every new edge has a batch endpoint, which is what
+    * bounds the touched-label set). Same-key edges are derived from
+    * the `anchors` table: a batch doc keyed K links to K's anchor
+    * (the first doc ever seen with K) — connectivity-equivalent to
+    * componentGroups' key-min edges, and label arithmetic never
+    * depends on WHICH member anchors the key (labels are min over
+    * actual member ids).
+    *
+    * Exactly-once under retry: a committed tag returns the sealed
+    * segment's rows verbatim; an uncommitted retry cleans its own
+    * half-landed seg files BEFORE the store reads (so the as-of view
+    * is the pre-batch state) and redoes the identical update. */
+  def update(spark: SparkSession, root: String, batchDocs: DataFrame,
+      idCol: String, keyCol: String, batchPairs: DataFrame,
+      tag: String,
+      pruneCap: Int = Dedup.DefaultMarkPruneCap): DataFrame = {
+    import spark.implicits._
+    if (Dedup.isBatchCommitted(spark, root, tag)) {
+      val seg = new org.apache.hadoop.fs.Path(
+        s"$root/labels/seg-$tag-*")
+      val fs = seg.getFileSystem(spark.sessionState.newHadoopConf())
+      val matches = fs.globStatus(seg)
+      return if (matches == null || matches.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          LabelsSchema)
+      // explicit file list, not the glob string: a glob path makes
+      // the reader probe it as a streaming-sink metadata dir first
+      // (a logged FileNotFoundException WARN on every sealed retry)
+      else spark.read.schema(LabelsSchema)
+        .parquet(matches.map(_.getPath.toString).toIndexedSeq: _*)
+    }
+    Dedup.cleanTaggedSegments(spark, root, tag,
+      Seq("labels", "anchors"))
+    val b = batchDocs.select(
+        col(idCol).cast("long").as("doc_id"),
+        col(keyCol).cast("string").as("ckey"))
+      .distinct().localCheckpoint()
+    val pairs = batchPairs.select(col("doc_a").cast("long"),
+      col("doc_b").cast("long"))
+    val bRows = b.limit(pruneCap + 1).collect()
+    val pRows = pairs.limit(pruneCap + 1).collect()
+    val driverSized =
+      bRows.length <= pruneCap && pRows.length <= pruneCap
+    val (segLabels, newAnchors) =
+      if (driverSized)
+        planDriver(spark, root, bRows.map(r =>
+            (r.getLong(0), Option(r.getString(1)))),
+          pRows.map(r => (r.getLong(0), r.getLong(1))), pruneCap)
+      else planDistributed(spark, root, b, pairs)
+    val out = segLabels.localCheckpoint(eager = true)
+    graft.sources.StoreLease.withLease(spark, root,
+        s"labels-append-$tag") {
+      Dedup.taggedSegmentAppend(spark, root, tag,
+        Seq("labels" -> out, "anchors" -> newAnchors))
+    }
+    out
+  }
+
+  /** The bounded (common) regime: two collects bound the whole merge
+    * — the batch's (id, key) rows and its pair rows — after which the
+    * union-find runs on the driver over LABEL-grain edges (≤ one per
+    * batch edge) and the only distributed work left is the pushed
+    * rewrite scan. Returns (segment label rows, new anchor rows). */
+  private def planDriver(spark: SparkSession, root: String,
+      bRows: Array[(Long, Option[String])],
+      pRows: Array[(Long, Long)], pruneCap: Int)
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val batchIds = bRows.map(_._1)
+    val batchKeys = bRows.flatMap(_._2).distinct
+    // anchors of the batch's keys (≤ one row per key by the
+    // append-if-absent rule below)
+    val anchorMap: Map[String, Long] =
+      if (batchKeys.isEmpty) Map.empty
+      else readTable(spark, s"$root/anchors", AnchorsSchema)
+        .filter(col("ckey").isin(batchKeys.toIndexedSeq: _*))
+        .groupBy(col("ckey")).agg(min(col("doc_id")).as("doc_id"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // key edges: within-batch to the batch key-min, plus one edge
+    // from that min to the key's at-rest anchor (transitively the
+    // whole key group connects)
+    val byKey = bRows.collect { case (id, Some(k)) => (k, id) }
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2) }
+    val keyEdges = byKey.iterator.flatMap { case (k, ids) =>
+      val m = ids.min
+      val within = ids.iterator.filter(_ != m).map(i => (i, m))
+      anchorMap.get(k).filter(_ != m).map(a => (m, a)) match {
+        case Some(e) => within ++ Iterator((e._1, e._2))
+        case None => within
+      }
+    }.toArray
+    val edges = pRows ++ keyEdges
+    val nodes = (batchIds ++ edges.iterator
+      .flatMap(e => Iterator(e._1, e._2))).distinct
+    // current labels of every touched node (absent ⇒ own id)
+    val curLabel: Map[Long, Long] = (
+      if (nodes.isEmpty) Map.empty[Long, Long]
+      else readTable(spark, s"$root/labels", LabelsSchema)
+        .filter(col("doc_id").isin(nodes.toIndexedSeq: _*))
+        .groupBy(col("doc_id")).agg(min(col("group")).as("group"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ).withDefault(identity)
+    // union-find over label-grain edges, min label wins
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val n = parent(c); parent(c) = r; c = n
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(curLabel(a)), find(curLabel(b)))
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val changed: Map[Long, Long] = parent.keys
+      .map(l => l -> find(l)).filter { case (o, n) => o != n }.toMap
+    val batchRows = batchIds.map(id => (id, find(curLabel(id))))
+    val batchIdSet = batchIds.toSet
+    val segLabels =
+      if (changed.isEmpty)
+        batchRows.toSeq.toDF("doc_id", "group")
+      else {
+        // the rewrite scan: every at-rest row holding a retired
+        // label is that doc's CURRENT row (merge monotonicity) —
+        // one pushed filter + one broadcast remap, no rounds
+        val remap = broadcast(
+          changed.toSeq.toDF("group", "_ls_new"))
+        val rewrites = readTable(spark, s"$root/labels", LabelsSchema)
+          .filter(col("group").isin(changed.keys.toIndexedSeq: _*))
+          .join(remap, Seq("group"))
+          .select(col("doc_id"), col("_ls_new").as("group"))
+          .filter(!col("doc_id").isin(batchIdSet.toIndexedSeq: _*))
+        batchRows.toSeq.toDF("doc_id", "group")
+          .unionByName(rewrites)
+      }
+    val newAnchors = byKey.iterator
+      .filterNot { case (k, _) => anchorMap.contains(k) }
+      .map { case (k, ids) => (k, ids.min) }.toSeq
+      .toDF("ckey", "doc_id")
+    (segLabels, newAnchors)
+  }
+
+  /** The over-cap regime: every driver collect swaps for its
+    * semi-join twin and the label-grain merge runs
+    * [[Dedup.connectedComponentsStar]] — at that batch size the
+    * sequential scans read less than scattered per-key probes would
+    * (the pruneCap convention), and label-grain CC is already
+    * collapsed (≪ doc-grain rounds). */
+  private def planDistributed(spark: SparkSession, root: String,
+      b: DataFrame, pairs: DataFrame): (DataFrame, DataFrame) = {
+    val labels = readTable(spark, s"$root/labels", LabelsSchema)
+    val anchors = readTable(spark, s"$root/anchors", AnchorsSchema)
+    val bKeys = b.filter(col("ckey").isNotNull)
+    val keyMin = bKeys.groupBy(col("ckey"))
+      .agg(min(col("doc_id")).as("_ls_min"))
+    val withinE = bKeys.join(keyMin, Seq("ckey"))
+      .filter(col("doc_id") =!= col("_ls_min"))
+      .select(col("doc_id").as("doc_a"), col("_ls_min").as("doc_b"))
+    val anchorE = keyMin
+      .join(anchors.groupBy(col("ckey"))
+        .agg(min(col("doc_id")).as("_ls_anchor")), Seq("ckey"))
+      .filter(col("_ls_min") =!= col("_ls_anchor"))
+      .select(col("_ls_min").as("doc_a"),
+        col("_ls_anchor").as("doc_b"))
+    val edges = pairs.unionByName(withinE).unionByName(anchorE)
+      .localCheckpoint()
+    val nodes = edges.select(col("doc_a").as("doc_id"))
+      .unionByName(edges.select(col("doc_b").as("doc_id")))
+      .unionByName(b.select(col("doc_id")))
+      .distinct().localCheckpoint()
+    val cur = nodes
+      .join(labels.join(nodes, Seq("doc_id"), "semi")
+          .groupBy(col("doc_id")).agg(min(col("group")).as("_ls_g")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_ls_g"), col("doc_id")).as("_ls_cur"))
+      .localCheckpoint()
+    val labelEdges = edges
+      .join(cur.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("_ls_cur", "_ls_la"), Seq("doc_a"))
+      .join(cur.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("_ls_cur", "_ls_lb"), Seq("doc_b"))
+      .select(col("_ls_la"), col("_ls_lb"))
+    val cc = Dedup.connectedComponentsStar(labelEdges,
+      "_ls_la", "_ls_lb").toDF("_ls_old", "_ls_newg")
+    val changed = cc.filter(col("_ls_old") =!= col("_ls_newg"))
+      .localCheckpoint()
+    val batchRows = b.select(col("doc_id"))
+      .join(cur, Seq("doc_id"))
+      .join(changed.withColumnRenamed("_ls_old", "_ls_cur"),
+        Seq("_ls_cur"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_ls_newg"), col("_ls_cur")).as("group"))
+    val rewrites = labels
+      .join(changed.withColumnRenamed("_ls_old", "group"),
+        Seq("group"))
+      .join(b.select(col("doc_id")), Seq("doc_id"), "anti")
+      .select(col("doc_id"), col("_ls_newg").as("group"))
+    val newAnchors = keyMin
+      .join(anchors.select(col("ckey")), Seq("ckey"), "anti")
+      .select(col("ckey"), col("_ls_min").as("doc_id"))
+    (batchRows.unionByName(rewrites), newAnchors)
+  }
+}

@@ -564,12 +564,22 @@ object Streams {
     *     (Dedup.appendPairStore, exactly-once under `b<batchId>`) —
     *     the batch's cross pairs against everything already seen are
     *     what lets a late near-dup inherit instead of hashing fresh;
-    *  2. derive the batch docs' component labels AS OF this batch
-    *     (Dedup.componentGroups over seen docs ∪ batch, edges = the
-    *     grown pair store ∪ same-key min-edges — label = component
-    *     min id, so a later arrival inherits its partner's label
-    *     when the partner's id is the component min, the fixture
-    *     convention of every growth query);
+    *  2. derive the batch docs' component labels AS OF this batch —
+    *     label = component min id over the grown pair store ∪
+    *     same-key edges, so a later arrival inherits its partner's
+    *     label when the partner's id is the component min (the
+    *     fixture convention of every growth query). By default the
+    *     labels come from the PERSISTED UNION-FIND LABEL STORE
+    *     ([[graft.operators.LabelStore]] under `storeRoot/labels`,
+    *     bootstrapped once from the pre-stream at-rest state): a
+    *     point lookup of the batch edges' endpoints + a bounded
+    *     driver-side merge, no per-batch component re-walk.
+    *     `useLabelStore = false` keeps the r16 CC regimes (one
+    *     componentGroups pass below the `boundedCcMinStoreBytes`
+    *     gate, the componentGroupsBounded frontier walk past it) —
+    *     labels provably identical across all three regimes
+    *     (StreamingSpec parity pin; LabelStoreSpec pins the store
+    *     against componentGroups on every batch prefix);
     *  3. assign folds by the q197 key rule (md5-60 of the label mod
     *     10: 0 test, 1 val, rest train — Relational.groupAwareSplit
     *     arithmetic) and land the per-doc fold manifest in a
@@ -592,12 +602,12 @@ object Streams {
     *
     * Scale shape (100 TB): per-batch cost is the batch-sized mark
     * (appendPairStore: candidates = batch bands × store bands) plus
-    * one CC over the EDGE-grain store (O(log n) star rounds; post-LSH
-    * pair volume ≪ corpus) and a key-grain aggregate — the corpus
-    * text never re-tokenizes. A production deployment would maintain
-    * an incremental union-find label store instead of re-walking the
-    * components per batch; the re-walk keeps this form exact and the
-    * oracle-checkable shape is identical.
+    * the label-store update — three pushed-predicate store reads and
+    * a driver union-find over the batch's label-grain edges (the
+    * LabelStore scaladoc; ProbeScale `foldlabel` tables the per-batch
+    * wall flat and below the CC regimes' frontier floor as the corpus
+    * grows). The corpus text never re-tokenizes and no regime
+    * re-walks untouched components.
     *
     * `driftDir` (optional) turns on the LIVE DRIFT MONITOR — the
     * q209 measurement at ingest, the alarm that tells a curator WHEN
@@ -619,13 +629,18 @@ object Streams {
       threshold: Double,
       boundedCcMinStoreBytes: Long =
         graft.operators.Dedup.DefaultPointFetchMinStoreBytes,
-      driftDir: Option[String] = None): StreamingQuery = {
+      driftDir: Option[String] = None,
+      useLabelStore: Boolean = true): StreamingQuery = {
     // the regime latch: the pair store only GROWS, so the size gate
     // flips at most once per stream — once tripped, later batches
     // skip the O(files) getContentSummary listing entirely (the
     // storeAtLeastBytes once-per-stream convention, adapted to a
     // store that grows under the probe)
     var boundedLatched = false
+    // once-per-stream bootstrap latch for the label store (the
+    // sealed marker is the cross-restart truth; the latch just
+    // skips the per-batch exists() probe after the first)
+    var bootstrapped = false
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -639,43 +654,94 @@ object Streams {
           val pairStore = s"$storeRoot/pairs"
           val docsStore = s"$storeRoot/docs"
           val b = batch.toDF()
-          graft.operators.Dedup.appendPairStore(b, idCol, textCol,
-            indexDir, pairStore, shingleN, k, bands, threshold,
-            commitTag = Some(tag))
+          val freshPairs = graft.operators.Dedup.appendPairStore(b,
+            idCol, textCol, indexDir, pairStore, shingleN, k, bands,
+            threshold, commitTag = Some(tag))
           val batchDocs = b.select(col(idCol), col(keyCol),
             col(sourceCol)).localCheckpoint()
-          // seen docs AS OF this batch: committed manifest minus the
-          // batch's own ids (a crashed attempt's half-landed manifest
-          // rows are exactly batch rows — anti-joined out, so the
-          // read needs no segment hygiene) ∪ the batch itself
-          val prior = s.read.parquet(s"$docsStore/docs")
-            .join(batchDocs.select(col(idCol)), Seq(idCol),
-              "left_anti")
-          val seen = prior.unionByName(batchDocs)
-          val storePairs = s.read.parquet(s"$pairStore/pairs")
-            .select(col("doc_a"), col("doc_b"))
-          // COST-GATED label derivation (the pointFetch convention):
-          // past the size gate the batch labels come from the batch
-          // components' reachable subgraph ONLY — per-batch CC cost
-          // tracks the batch's neighborhood, not everything seen so
-          // far (the corpus-scale regime); below it one full CC pass
-          // is the cheaper plan. Labels identical either way
-          // (componentGroupsBounded scaladoc); sentinels 0 /
-          // Long.MaxValue force a regime without the FS listing.
           if (!boundedLatched)
             boundedLatched = graft.operators.Dedup.storeAtLeastBytes(
               s, s"$pairStore/pairs", boundedCcMinStoreBytes)
-          val grp =
-            if (boundedLatched)
-              graft.operators.Dedup.componentGroupsBounded(seen,
-                idCol, col(keyCol), storePairs,
-                batchDocs.select(col(idCol)))
-            else
-              graft.operators.Dedup.componentGroups(seen,
-                idCol, col(keyCol), storePairs)
+          val labelRoot = s"$storeRoot/labels"
+          // batch labels: (idCol, group) for the batch's docs, plus
+          // a membership source for the drift leg (the touched
+          // components' FULL member sets — evaluated only when the
+          // drift monitor is on, and AFTER the label update landed)
+          val (grpBatch, touchedMembers): (org.apache.spark.sql
+              .DataFrame, () => org.apache.spark.sql.DataFrame) =
+            if (useLabelStore) {
+              // THE LABEL STORE REGIME (default): labels are a point
+              // lookup + bounded union-find merge against the at-rest
+              // (doc → label) table — per-batch cost tracks the
+              // batch's label-grain edge set, with NO per-batch
+              // component re-walk (LabelStore scaladoc; LabelStoreSpec
+              // pins prefix equality with componentGroups)
+              if (!bootstrapped) {
+                // seed from the PRE-batch at-rest state: a retry
+                // that already appended this batch's pairs/docs is
+                // anti-joined back out, so the bootstrap reads the
+                // same state the first attempt saw
+                val bIds = batchDocs.select(col(idCol))
+                val priorDocs = s.read.parquet(s"$docsStore/docs")
+                  .join(bIds, Seq(idCol), "left_anti")
+                val priorPairs = s.read.parquet(s"$pairStore/pairs")
+                  .join(bIds.select(col(idCol).as("doc_a")),
+                    Seq("doc_a"), "left_anti")
+                  .join(bIds.select(col(idCol).as("doc_b")),
+                    Seq("doc_b"), "left_anti")
+                  .select(col("doc_a"), col("doc_b"))
+                graft.operators.LabelStore.bootstrap(s, labelRoot,
+                  priorDocs, idCol, col(keyCol), priorPairs)
+                bootstrapped = true
+              }
+              val seg = graft.operators.LabelStore.update(s,
+                labelRoot, batchDocs.select(col(idCol), col(keyCol)),
+                idCol, keyCol,
+                freshPairs.select(col("doc_a"), col("doc_b")), tag)
+              val bl = batchDocs
+                .select(col(idCol),
+                  col(idCol).cast("long").as("_ls_id"))
+                .join(seg.withColumnRenamed("doc_id", "_ls_id"),
+                  Seq("_ls_id"))
+                .select(col(idCol), col("group"))
+              // touched membership = one group-filtered store read
+              // (exact by merge monotonicity) — never a re-walk
+              (bl, () => graft.operators.LabelStore.membersOf(s,
+                  labelRoot, bl.select(col("group")).distinct())
+                .withColumnRenamed("doc_id", idCol))
+            } else {
+              // the r16 CC regimes, kept as the store-less fallback
+              // (and the spec's parity twin): seen docs as of this
+              // batch = committed manifest minus the batch's own ids
+              // (a crashed attempt's half-landed manifest rows are
+              // exactly batch rows — anti-joined out) ∪ the batch;
+              // past the size gate the batch labels come from the
+              // batch components' reachable subgraph only
+              val prior = s.read.parquet(s"$docsStore/docs")
+                .join(batchDocs.select(col(idCol)), Seq(idCol),
+                  "left_anti")
+              val seen = prior.unionByName(batchDocs)
+              val storePairs = s.read.parquet(s"$pairStore/pairs")
+                .select(col("doc_a"), col("doc_b"))
+              val grp =
+                if (boundedLatched)
+                  graft.operators.Dedup.componentGroupsBounded(seen,
+                    idCol, col(keyCol), storePairs,
+                    batchDocs.select(col(idCol)))
+                else
+                  graft.operators.Dedup.componentGroups(seen,
+                    idCol, col(keyCol), storePairs)
+              (batchDocs.select(col(idCol)).join(grp, Seq(idCol)),
+                () => {
+                  val touched = grp.join(batchDocs.select(col(idCol)),
+                    Seq(idCol), "left_semi").select(col("group"))
+                    .distinct()
+                  grp.join(touched, Seq("group"), "left_semi")
+                })
+            }
           def foldOf(h: Column) = graft.operators.Relational.foldOf(h)
           val folds = batchDocs
-            .join(grp, Seq(idCol))
+            .join(grpBatch, Seq(idCol))
             .withColumn("split", foldOf(graft.functions.hashes
               .md5Hash60(col("group").cast("string")) % 10))
             .withColumn("dsplit", foldOf(graft.functions.hashes
@@ -710,14 +776,10 @@ object Streams {
               graft.Phases.time(s"fold_drift[b$batchId]") {
                 // only components containing a batch doc can have
                 // drifted THIS batch (no new edge touches any other) —
-                // and in the bounded regime those are exactly the
-                // components grp covers, so the restriction also makes
-                // the two CC regimes emit identical drift rows
-                val touched = grp.join(batchDocs.select(col(idCol)),
-                  Seq(idCol), "left_semi").select(col("group"))
-                  .distinct()
-                val grpTouched = grp.join(touched, Seq("group"),
-                    "left_semi")
+                // so the membership restriction makes every labeling
+                // regime (label store, bounded CC, full CC) emit
+                // identical drift rows
+                val grpTouched = touchedMembers()
                   .localCheckpoint() // read twice (id collect + join)
                 // POINT-FETCH (the splitLeakageIndexed convention,
                 // gated on the same latch as the CC regime): past the
@@ -790,6 +852,209 @@ object Streams {
         } finally s.conf.set(widthKey, oldWidth)
       }
       .start()
+  }
+
+  /** CROSS-MODALITY TRAINING-PREP MANIFEST AT INGEST — the q208
+    * composition maintained per crawl batch instead of recomputed
+    * per corpus version (the q118 incremental convention applied to
+    * a composition whose parts are NOT plain counters): q208's three
+    * expensive corpus-grain stages each become an incrementally
+    * maintained at-rest structure, and the final manifest is ONE
+    * read over those structures with no CC and no corpus window —
+    * provably equal to the batch q208 answer (one shared oracle):
+    *
+    *  - per-modality NEAR-DUP COMPONENTS → a [[graft.operators
+    *    .LabelStore]] per modality: each batch's fingerprints mark
+    *    ALL within-radius pairs against the grown pigeonhole index
+    *    ([[graft.operators.Dedup.phashPairsAgainst]] — the pair-grain
+    *    mark), the label store union-find-merges them, and
+    *    `is_keeper` at read time is the O(1) `label == id` (keeper =
+    *    component min = the stored label, merge monotonicity);
+    *  - the TEXT KEEPER WINDOW (max n_chars, tie min doc_id, per
+    *    canon) → a CHAMPION STORE: per batch only the batch's
+    *    per-canon best rows append; the winner is argmax over
+    *    champion rows (canon-grain, ≪ corpus) because the champion
+    *    order is monotone — a later batch can only improve it;
+    *  - item masses and doc token counts → additive item/doc rows in
+    *    sealed segments.
+    *
+    * All appends per (modality, batch) ride ONE [[graft.operators
+    * .Dedup.taggedSegmentAppend]] marker (keys + items atomically);
+    * the label store seals its own tag; every piece is EXACTLY-ONCE
+    * under micro-batch retry and the whole batch converges on replay
+    * (StreamingSpec). `mediaOf` maps a batch's doc rows to the
+    * batch's media fingerprints per modality — (name, (doc, fp)
+    * frame, item-of-doc expression: identity for doc-grain
+    * image/audio, `div 8` for frame-packed video).
+    *
+    * Scale shape (100 TB): per batch every store is touched through
+    * batch-sized key joins (pushed-bkey pruned past the size gate)
+    * and the label stores' point-fetch updates; the corpus never
+    * re-decodes (fingerprints arrive with the batch) and no stage
+    * re-walks untouched components. The manifest read at the end is
+    * one pass over item-grain stores — exactly the scan q208 already
+    * pays — minus its three star-CCs and its corpus window. */
+  def modalityManifestIngest(docs: DataFrame, idCol: String,
+      canonCol: String, sourceCol: String, charsCol: String,
+      toksCol: String,
+      mediaOf: (SparkSession, DataFrame) =>
+        Seq[(String, DataFrame, Column => Column)],
+      storeRoot: String, checkpointDir: String, radius: Int,
+      width: Int, blocks: Int, keyBlocks: Int): StreamingQuery = {
+    var indexesSeeded = false
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val widthKey = "spark.sql.shuffle.partitions"
+        val oldWidth = s.conf.get(widthKey)
+        s.conf.set(widthKey, s.sparkContext.defaultParallelism)
+        try graft.Phases.time(s"manifest_ingest[b$batchId]") {
+          val tag = s"b$batchId"
+          val b = batch.toDF().localCheckpoint()
+          val media = mediaOf(s, b)
+          // once per stream: seed each modality's empty pigeonhole
+          // index so batch 0's pair mark has a store to read (the
+          // componentFoldIngest empty-store convention)
+          if (!indexesSeeded) {
+            media.foreach { case (name, _, _) =>
+              val idxDir = s"$storeRoot/$name/index"
+              val marker = new org.apache.hadoop.fs.Path(
+                s"$idxDir/params/_SUCCESS")
+              val fs = marker.getFileSystem(
+                s.sessionState.newHadoopConf())
+              if (!fs.exists(marker)) {
+                val emptyFp = s.createDataFrame(
+                  s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                  org.apache.spark.sql.types.StructType(Seq(
+                    org.apache.spark.sql.types.StructField("doc",
+                      org.apache.spark.sql.types.LongType),
+                    org.apache.spark.sql.types.StructField("fp",
+                      org.apache.spark.sql.types.LongType))))
+                graft.operators.Dedup.writePhashIndex(emptyFp, idxDir,
+                  radius, width, Some(blocks), keyBlocks)
+              }
+            }
+            indexesSeeded = true
+          }
+          // TEXT: batch doc rows + the batch's per-canon champion
+          // candidates, one marker for both tables
+          val textRoot = s"$storeRoot/text"
+          if (!graft.operators.Dedup.isBatchCommitted(s, textRoot,
+              tag)) {
+            val docRows = b.select(col(idCol), col(canonCol),
+              col(sourceCol), col(toksCol))
+            val champRows = b
+              .groupBy(col(canonCol))
+              .agg(max(struct(col(charsCol).cast("long").as("c"),
+                (-col(idCol).cast("long")).as("negid")))
+                .as("_mm_best"))
+              .select(col(canonCol),
+                (-col("_mm_best").getField("negid")).as(idCol),
+                col("_mm_best").getField("c").as("n_chars"))
+            graft.sources.StoreLease.withLease(s, textRoot,
+                s"text-append-$tag") {
+              graft.operators.Dedup.taggedSegmentAppend(s, textRoot,
+                tag, Seq("docs" -> docRows, "champs" -> champRows))
+            }
+          }
+          // MEDIA: per modality — pair-grain mark against the grown
+          // index, label-store merge, then keys + item masses in one
+          // sealed append
+          media.foreach { case (name, fp0, itemOf) =>
+            val mRoot = s"$storeRoot/$name"
+            val idxDir = s"$mRoot/index"
+            val fp = fp0.select(col("doc").cast("long").as("doc"),
+              col("fp").cast("long").as("fp")).localCheckpoint()
+            val fpPairs = graft.operators.Dedup.phashPairsAgainst(s,
+              fp, idxDir, radius, width, Some(blocks), keyBlocks)
+            // item-grain edges (video: frame pairs → video pairs;
+            // doc-grain modalities: identity)
+            val itemPairs = fpPairs
+              .select(itemOf(col("doc_a")).as("doc_a"),
+                itemOf(col("doc_b")).as("doc_b"))
+              .filter(col("doc_a") =!= col("doc_b"))
+              .distinct()
+            val items = fp
+              .select(itemOf(col("doc")).as("id"),
+                bit_count(col("fp")).cast("long").as("fmass"))
+              .groupBy(col("id"))
+              .agg(sum(col("fmass")).as("mass"))
+              .localCheckpoint()
+            graft.operators.LabelStore.update(s, s"$mRoot/labels",
+              items.select(col("id"),
+                lit(null).cast("string").as("_mm_key")),
+              "id", "_mm_key", itemPairs, tag)
+            if (!graft.operators.Dedup.isBatchCommitted(s, mRoot,
+                tag)) {
+              val keyRows = graft.operators.Dedup.pigeonholeKeys(fp,
+                  radius, width, Some(blocks), keyBlocks)
+                .repartitionByRange(1, col("bkey"))
+                .sortWithinPartitions(col("bkey"), col("tbl"))
+              graft.sources.StoreLease.withLease(s, mRoot,
+                  s"media-append-$tag") {
+                graft.operators.Dedup.taggedSegmentAppend(s, mRoot,
+                  tag, Seq("index/keys" -> keyRows, "items" -> items))
+              }
+            }
+          }
+        } finally s.conf.set(widthKey, oldWidth)
+      }
+      .start()
+  }
+
+  /** The final manifest read over the stores
+    * [[modalityManifestIngest]] maintains — q208's output shape from
+    * pure store lookups: champions give `doc_kept` (argmax over
+    * canon-grain champion rows), each modality's label store gives
+    * `is_keeper` (`label == id`), and the per-(modality, source,
+    * split) rollup is the q208 aggregation verbatim. `foldOf10` maps
+    * the canon hash residue to the split (the Relational.foldOf
+    * convention, injected so this file needs no oracle arithmetic). */
+  def modalityManifestReport(s: SparkSession, storeRoot: String,
+      idCol: String, canonCol: String, sourceCol: String,
+      toksCol: String, modalities: Seq[String],
+      foldOf10: Column => Column): DataFrame = {
+    val champs = s.read.parquet(s"$storeRoot/text/champs")
+      .groupBy(col(canonCol))
+      .agg(max(struct(col("n_chars").cast("long").as("c"),
+        (-col(idCol).cast("long")).as("negid"))).as("_mm_best"))
+      .select(col(canonCol),
+        (-col("_mm_best").getField("negid")).as("_mm_winner"))
+    val docs = s.read.parquet(s"$storeRoot/text/docs")
+      .join(champs, Seq(canonCol))
+      .withColumn("split",
+        foldOf10(graft.functions.hashes.md5Hash60(col(canonCol))))
+      .withColumn("doc_kept", col(idCol) === col("_mm_winner"))
+      .select(col(idCol), col(sourceCol), col("split"),
+        col("doc_kept"), col(toksCol).cast("long").as("toks"))
+      .localCheckpoint()
+    val nDocs = docs.count()
+    val textRows = docs.groupBy(col(sourceCol), col("split"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("doc_kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("doc_kept"), col("toks")).otherwise(0L))
+          .as("kept_mass"))
+      .withColumn("modality", lit("text"))
+    val mediaRows = modalities.map { name =>
+      s.read.parquet(s"$storeRoot/$name/items")
+        .join(graft.operators.LabelStore.read(s, s"$storeRoot/$name/labels")
+            .withColumnRenamed("doc_id", "id"),
+          Seq("id"))
+        .withColumn("is_keeper", col("group") === col("id"))
+        .withColumn(idCol, col("id") % nDocs)
+        .join(broadcast(docs), Seq(idCol))
+        .groupBy(col(sourceCol), col("split"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(when(col("is_keeper") && col("doc_kept"), 1L)
+            .otherwise(0L)).as("n_kept"),
+          sum(when(col("is_keeper") && col("doc_kept"), col("mass"))
+            .otherwise(0L)).as("kept_mass"))
+        .withColumn("modality", lit(name))
+    }
+    mediaRows.foldLeft(textRows)(_ unionByName _)
+      .select(col("modality"), col(sourceCol), col("split"),
+        col("n_items"), col("n_kept"), col("kept_mass"))
   }
 
   /** Streaming CLASSIFIER GATE — the q156 hashed-ngram linear

@@ -1,0 +1,139 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.operators.{Dedup, LabelStore}
+
+/** Pins for the persisted union-find label store: on EVERY batch
+  * prefix the store's current labels must equal a from-scratch
+  * [[Dedup.componentGroups]] over everything seen so far — the store
+  * is a physical move of the labeling, never a semantic one. */
+class LabelStoreSpec extends AnyFunSuite with SparkSpec
+    with Matchers {
+
+  // three batches exercising: within-batch key edges, cross-batch
+  // key inheritance through the anchor, a pair-edge merge that
+  // REWRITES an existing component to a smaller label (batch 1's
+  // doc 3 becomes the min of batch 0's {10,11,12} component), an
+  // untouched component (doc 5), and an isolated late arrival
+  private val batches: Seq[(Seq[(Long, String)], Seq[(Long, Long)])] =
+    Seq(
+      (Seq((10L, "k1"), (11L, "k1"), (12L, "k2"), (5L, "k3")),
+        Seq((10L, 12L))),
+      (Seq((3L, "k4"), (7L, "k2")), Seq((3L, 11L))),
+      (Seq((100L, "k9")), Seq.empty))
+
+  private def dfDocs(b: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    b.toDF("doc_id", "ckey")
+  }
+
+  private def dfPairs(p: Seq[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    p.toDF("doc_a", "doc_b")
+  }
+
+  private def labelSet(df: DataFrame): Set[(Long, Long)] =
+    df.select(col("doc_id").cast("long"), col("group").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def oracle(upTo: Int): Set[(Long, Long)] = {
+    val docs = dfDocs(batches.take(upTo + 1).flatMap(_._1))
+    val pairs = dfPairs(batches.take(upTo + 1).flatMap(_._2))
+    labelSet(Dedup.componentGroups(docs, "doc_id", col("ckey"),
+      pairs))
+  }
+
+  private def runPrefixes(root: String, pruneCap: Int): Unit = {
+    batches.zipWithIndex.foreach { case ((docs, pairs), i) =>
+      LabelStore.update(spark, root, dfDocs(docs), "doc_id", "ckey",
+        dfPairs(pairs), s"b$i", pruneCap = pruneCap)
+      withClue(s"after batch $i (pruneCap=$pruneCap): ") {
+        labelSet(LabelStore.read(spark, root)) shouldBe oracle(i)
+      }
+    }
+  }
+
+  test("stored labels equal componentGroups' on every batch prefix " +
+    "(driver union-find regime)") {
+    val root = Files.createTempDirectory("graft_ls_").toString
+    try runPrefixes(root, Dedup.DefaultMarkPruneCap)
+    finally Scratch.deleteRecursively(new java.io.File(root))
+  }
+
+  test("over-cap distributed regime labels identically (pruneCap=0 " +
+    "forces the semi-join + label-grain CC path)") {
+    val root = Files.createTempDirectory("graft_lsd_").toString
+    try runPrefixes(root, 0)
+    finally Scratch.deleteRecursively(new java.io.File(root))
+  }
+
+  test("sealed-segment retry: a committed tag returns the segment " +
+    "verbatim and leaves the store unchanged") {
+    val root = Files.createTempDirectory("graft_lsr_").toString
+    try {
+      val first = labelSet(LabelStore.update(spark, root,
+        dfDocs(batches(0)._1), "doc_id", "ckey",
+        dfPairs(batches(0)._2), "b0"))
+      val again = labelSet(LabelStore.update(spark, root,
+        dfDocs(batches(0)._1), "doc_id", "ckey",
+        dfPairs(batches(0)._2), "b0"))
+      again shouldBe first
+      labelSet(LabelStore.read(spark, root)) shouldBe oracle(0)
+      // rewrites ride the segment too: batch 1 relabels batch 0's
+      // component to min 3, and the sealed segment carries BOTH the
+      // batch rows and the rewritten rows
+      val seg1 = labelSet(LabelStore.update(spark, root,
+        dfDocs(batches(1)._1), "doc_id", "ckey",
+        dfPairs(batches(1)._2), "b1"))
+      seg1 shouldBe Set((3L, 3L), (7L, 3L), // batch rows
+        (10L, 3L), (11L, 3L), (12L, 3L))    // rewritten rows
+      labelSet(LabelStore.update(spark, root, dfDocs(batches(1)._1),
+        "doc_id", "ckey", dfPairs(batches(1)._2),
+        "b1")) shouldBe seg1
+    } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
+
+  test("lookup point-fetches current labels; membersOf returns full " +
+    "component membership from one group-filtered read") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_lsm_").toString
+    try {
+      batches.zipWithIndex.foreach { case ((docs, pairs), i) =>
+        LabelStore.update(spark, root, dfDocs(docs), "doc_id",
+          "ckey", dfPairs(pairs), s"b$i")
+      }
+      labelSet(LabelStore.lookup(spark, root,
+        Seq(11L, 5L).toDF("doc_id"))) shouldBe
+        Set((11L, 3L), (5L, 5L))
+      // an unseen doc is absent, not defaulted
+      LabelStore.lookup(spark, root, Seq(999L).toDF("doc_id"))
+        .count() shouldBe 0L
+      labelSet(LabelStore.membersOf(spark, root,
+        Seq(3L).toDF("group"))) shouldBe
+        Set((3L, 3L), (7L, 3L), (10L, 3L), (11L, 3L), (12L, 3L))
+    } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
+
+  test("bootstrap seeds a pre-existing corpus once and update " +
+    "continues from it (committed bootstrap skipped verbatim)") {
+    val root = Files.createTempDirectory("graft_lsb_").toString
+    try {
+      LabelStore.bootstrap(spark, root, dfDocs(batches(0)._1),
+        "doc_id", col("ckey"), dfPairs(batches(0)._2))
+      labelSet(LabelStore.read(spark, root)) shouldBe oracle(0)
+      // a second bootstrap (retry) is a no-op under the marker
+      LabelStore.bootstrap(spark, root, dfDocs(Seq((777L, "zz"))),
+        "doc_id", col("ckey"), dfPairs(Seq.empty))
+      labelSet(LabelStore.read(spark, root)) shouldBe oracle(0)
+      LabelStore.update(spark, root, dfDocs(batches(1)._1),
+        "doc_id", "ckey", dfPairs(batches(1)._2), "b1")
+      labelSet(LabelStore.read(spark, root)) shouldBe oracle(1)
+    } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
+}

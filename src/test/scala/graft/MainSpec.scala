@@ -585,6 +585,14 @@ class MainSpec extends AnyFunSuite with SparkSpec with Matchers {
   test("media-health verb: per-modality rows reconcile with the " +
     "q172/q183/q180 gate queries; the totals row sums the columns") {
     val sfDir = "/root/testdata/sf0.001"
+    // build the shared fingerprint store FIRST, so the verb runs its
+    // store-reading path — the assertions below compare against the
+    // DECODING gate queries, pinning store-census ≡ decode-census
+    // (the r16 verdict's "totals unchanged" criterion)
+    SparkEntry.prepareSharedStores(spark, sfDir,
+      Some(Set("q208_modality_manifest")))
+    SparkEntry.mediaFingerprintStoreIfBuilt(spark, sfDir)
+      .isDefined shouldBe true
     val lines = Main.run(spark, Seq("media-health", sfDir))
     lines.foreach(l => info(l))
     lines should have size 5 // header + image/audio/video + total
@@ -625,24 +633,43 @@ class MainSpec extends AnyFunSuite with SparkSpec with Matchers {
       // components (folds train / val); batch 1's bridge doc 20
       // carries doc 1's exact text AND key u8 — the grown edge set
       // merges {1, 8, 20} under label 1, so doc 8's at-ingest 'val'
-      // is drift the manifests still carry
+      // is drift the manifests still carry. Doc 21 is a 'val'-folded
+      // NEAR-DUP of train doc 1 (same text) — the live leakage the
+      // repair must erase: pre-refold the indexed guard reads 1
+      // leaked val doc, post-refold 0 (21 joins component 1 → train)
       val a = (1 to 11).map(i => s"a$i").mkString(" ")
       val p = (1 to 8).map(i => s"p$i").mkString(" ")
-      val texts = Seq((1L, a), (8L, p), (20L, a)).toDF("doc_id", "text")
+      val q = (1 to 9).map(i => s"q$i").mkString(" ")
+      val texts = Seq((1L, a), (8L, p), (20L, a), (21L, a), (30L, q))
+        .toDF("doc_id", "text")
       graft.operators.Dedup.writePairStore(texts, "doc_id", "text",
         root + "/store/pairs", shingleN = 2, k = 64, bands = 32,
         threshold = 0.5)
-      Seq((1L, "u1", "s"), (8L, "u8", "s"), (20L, "u8", "s"))
+      graft.operators.Dedup.writeNearDupIndex(texts, "doc_id",
+        "text", shingleN = 2, k = 64, bands = 32,
+        dir = root + "/store/index")
+      Seq((1L, "u1", "s"), (8L, "u8", "s"), (20L, "u8", "s"),
+          (21L, "u21", "s"), (30L, "u30", "s"))
         .toDF("doc_id", "ckey", "source")
         .write.parquet(root + "/store/docs/docs")
       def writeManifests(): Unit =
         Seq((1L, "s", 1L, "train", "train", false, 0L),
           (8L, "s", 8L, "val", "val", false, 0L),
-          (20L, "s", 1L, "train", "test", true, 1L))
+          (20L, "s", 1L, "train", "test", true, 1L),
+          (21L, "s", 21L, "val", "val", false, 1L),
+          (30L, "s", 30L, "val", "val", false, 1L))
           .toDF("doc_id", "source", "group", "split", "dsplit",
             "inherited", "batch_id")
           .write.partitionBy("batch_id").parquet(root + "/out")
       writeManifests()
+      def leakedNow(): Long = graft.operators.Dedup
+        .splitLeakageIndexed(spark, root + "/store/index",
+          spark.read.parquet(root + "/out")
+            .filter(col("split") === "val").select("doc_id"),
+          "doc_id", threshold = 0.5)
+        .filter(col("is_leaked")).count()
+      // the damage the repair must erase, measured the q204 way
+      leakedNow() shouldBe 1L
       def manifestSplits(): Map[Long, (Long, String)] =
         spark.read.parquet(root + "/out")
           .select("doc_id", "group", "split")
@@ -650,22 +677,32 @@ class MainSpec extends AnyFunSuite with SparkSpec with Matchers {
             ((r.getLong(1), r.getString(2)))).toMap
       // a generous gate first: drift reported, nothing rewritten
       val gated = Main.run(spark,
-        Seq("refold", root + "/store", root + "/out", "500"))
+        Seq("refold", root + "/store", root + "/out", "600"))
       gated.foreach(l => info(l))
-      gated(1) should include("1 moved")
-      gated(1) should include("3 docs in fold-straddling components")
+      gated(1) should include("2 moved")
+      gated(1) should include("4 docs in fold-straddling components")
       gated.last should include("no refold")
       manifestSplits()(8L) shouldBe ((8L, "val"))
-      // default gate 0: any drift rewrites at the final folds
+      // default gate 0: any drift rewrites at the final folds, and
+      // the verb VERIFIES its own repair — the indexed leakage
+      // re-measure over the rewritten manifests reads zero
       val lines = Main.run(spark,
         Seq("refold", root + "/store", root + "/out"))
       lines.foreach(l => info(l))
-      lines(1) should include("1 moved")
-      lines.last should include("rewritten")
+      lines(1) should include("2 moved")
+      lines should have size 4
+      lines(2) should include("rewritten")
+      // doc 30 keeps its own 'val' component fold — the re-measure
+      // runs over a NONEMPTY val set and still reads zero
+      lines.last should include("0 of 1 val docs leak")
+      lines.last should include("repair verified")
       val after = manifestSplits()
       after(8L) shouldBe ((1L, "train"))
       after(1L) shouldBe ((1L, "train"))
       after(20L) shouldBe ((1L, "train"))
+      after(21L) shouldBe ((1L, "train"))
+      after(30L) shouldBe ((30L, "val"))
+      leakedNow() shouldBe 0L
       // idempotent: the rewritten manifests read zero drift
       val again = Main.run(spark,
         Seq("refold", root + "/store", root + "/out"))

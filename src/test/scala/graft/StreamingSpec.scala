@@ -1188,8 +1188,80 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally Scratch.deleteRecursively(new java.io.File(root))
   }
 
-  test("component fold ingest: forced-bounded CC ≡ the full CC run " +
-    "(regime parity under the cost gate's sentinels)") {
+  test("modality manifest ingest: champions, label stores and item " +
+    "masses converge; re-delivered batches reproduce the manifest") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_mmi_").toString
+    try {
+      // docs: canon c1 has two docs (2 wins on n_chars), c2 one;
+      // media: img items 0,1 near-dup ACROSS batches (fp differ by
+      // 1 bit — keeper 0), item 2 unique; owner = id % 3
+      val docs = Seq(
+        (0L, "c1", "s", 10L, 5L),
+        (1L, "c2", "s", 7L, 3L),
+        (2L, "c1", "s", 20L, 9L))
+      val fps = Map(0L -> 0x0FL, 1L -> 0x0EL, 2L -> 0xF0F0F0L)
+      val mediaOf = (bs: org.apache.spark.sql.SparkSession,
+          b: org.apache.spark.sql.DataFrame) => {
+        val ids = b.select(col("doc_id")).collect()
+          .map(_.getLong(0)).toSet
+        val fp = fps.toSeq.filter(kv => ids.contains(kv._1 % 3))
+          .toDF("doc", "fp")
+        Seq(("image", fp, (c: org.apache.spark.sql.Column) => c))
+      }
+      def run(sub: String,
+          batches: Seq[Seq[(Long, String, String, Long, Long)]])
+          : Set[Seq[Any]] = {
+        val input = MemoryStream[(Long, String, String, Long, Long)]
+        val q = Streams.modalityManifestIngest(
+          input.toDF().toDF("doc_id", "canon", "source", "n_chars",
+            "toks"),
+          "doc_id", "canon", "source", "n_chars", "toks", mediaOf,
+          s"$root/$sub", s"$root/ckpt_$sub", radius = 4, width = 64,
+          blocks = 8, keyBlocks = 1)
+        try batches.foreach { b =>
+          input.addData(b: _*); q.processAllAvailable()
+        } finally q.stop()
+        Streams.modalityManifestReport(spark, s"$root/$sub",
+            "doc_id", "canon", "source", "toks", Seq("image"),
+            h => graft.operators.Relational.foldOf(h % 10))
+          .collect().map(_.toSeq).toSet
+      }
+      // batches split so the near-dup pair (0, 1) CROSSES batches —
+      // the edge exists only through the grown index
+      val streamed = run("inc",
+        Seq(Seq(docs(0)), Seq(docs(1), docs(2))))
+      // the one-batch run is the batch-computed answer
+      val oneShot = run("all", Seq(docs))
+      streamed shouldBe oneShot
+      // keeper arithmetic: img component {0, 1} keeper 0 (label
+      // store min), item 2 its own keeper; champion of c1 is doc 2
+      val img = streamed.filter(_.head == "image")
+      img.map(r => (r(1), r(2), r(3), r(4))) should not be empty
+      // re-delivered batch 0 (fresh checkpoint, same batchId):
+      // sealed text/media/label segments all skip, manifest unchanged
+      val again = {
+        val input = MemoryStream[(Long, String, String, Long, Long)]
+        val q = Streams.modalityManifestIngest(
+          input.toDF().toDF("doc_id", "canon", "source", "n_chars",
+            "toks"),
+          "doc_id", "canon", "source", "n_chars", "toks", mediaOf,
+          s"$root/inc", s"$root/ckpt_retry", radius = 4, width = 64,
+          blocks = 8, keyBlocks = 1)
+        try { input.addData(docs(0)); q.processAllAvailable() }
+        finally q.stop()
+        Streams.modalityManifestReport(spark, s"$root/inc",
+            "doc_id", "canon", "source", "toks", Seq("image"),
+            h => graft.operators.Relational.foldOf(h % 10))
+          .collect().map(_.toSeq).toSet
+      }
+      again shouldBe streamed
+    } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
+
+  test("component fold ingest: label store ≡ forced-bounded CC ≡ " +
+    "full CC (regime parity across all three labelers)") {
     import spark.implicits._
     import graft.operators.Dedup
     implicit val sqlCtx = spark.sqlContext
@@ -1202,7 +1274,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
       val b0 = Seq((1L, "u1", "s", a),
         (8L, "u8", "s", (1 to 8).map(i => s"p$i").mkString(" ")))
       val b1 = Seq((20L, "u8", "s", a))
-      def run(sub: String, gate: Long)
+      def run(sub: String, gate: Long, labelStore: Boolean)
           : (Set[Seq[Any]], Set[Seq[Any]]) = {
         val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
         Dedup.writeNearDupIndex(empty, "doc_id", "text", shingleN = 2,
@@ -1220,7 +1292,8 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
           s"$root/$sub/out", s"$root/$sub/ckpt", shingleN = 2,
           k = 64, bands = 32, threshold = 0.5,
           boundedCcMinStoreBytes = gate,
-          driftDir = Some(s"$root/$sub/drift"))
+          driftDir = Some(s"$root/$sub/drift"),
+          useLabelStore = labelStore)
         try Seq(b0, b1).foreach { b =>
           input.addData(b: _*); q.processAllAvailable()
         } finally q.stop()
@@ -1231,14 +1304,20 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
             .select("doc_id", "old_split", "new_split", "drifted")
             .collect().map(_.toSeq).toSet)
       }
-      val (full, fullDrift) = run("full", Long.MaxValue)
-      val (bounded, boundedDrift) = run("bounded", 0L)
+      val (full, fullDrift) = run("full", Long.MaxValue,
+        labelStore = false)
+      val (bounded, boundedDrift) = run("bounded", 0L,
+        labelStore = false)
+      val (stored, storedDrift) = run("stored", Long.MaxValue,
+        labelStore = true)
       bounded shouldBe full
-      // the drift monitor emits identical rows through both regimes
-      // (the touched-components restriction makes full ≡ bounded),
-      // and it caught the merge: doc 8's sealed 'val' fold is now
-      // straddled by its new component's 'train'
+      stored shouldBe full
+      // the drift monitor emits identical rows through all three
+      // regimes (the touched-components restriction makes them
+      // agree), and it caught the merge: doc 8's sealed 'val' fold
+      // is now straddled by its new component's 'train'
       boundedDrift shouldBe fullDrift
+      storedDrift shouldBe fullDrift
       val drifts = fullDrift.map(r =>
         r.head.asInstanceOf[Long] ->
           ((r(1), r(2), r(3)))).toMap
