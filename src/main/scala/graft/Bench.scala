@@ -268,7 +268,28 @@ object Bench {
     //   - a wide plan starved of CPU: cpu < wall on a plan that
     //     reached ≥ 8-wide stages — our own tasks would be burning
     //     those cores, so something outside the JVM is.
+    // r16 false-positive mode, closed: "retime reproduces the slow
+    // wall" read as the plan-change alarm, but when the CONTENTION
+    // ITSELF persists through the suite tail the retime runs inside
+    // the same squeeze and reproduces for the wrong reason (r16: four
+    // reproducing retimes, all collapsed under judge isolation, with
+    // calib_track's final reading at 0.812 vs the ~0.43 clean norm).
+    // The tie-breaker: a retime that does NOT collapse immediately
+    // re-runs the multi-thread calibration probe and is verdicted
+    // against the cleanest spin observed THIS run —
+    //   collapsed   retime < 0.7 × original (transient squeeze gone)
+    //   ambient     reproduced, but the probe reads > 1.3 × the
+    //               run's cleanest spin: the box is still squeezed,
+    //               the reading is contention, not a plan change
+    //   reproduced  reproduced on a clean box — the real alarm
+    // Residual blind spot (documented, not hidden): contention that
+    // spans the ENTIRE run inflates every spin including the
+    // reference, so a same-box run can never prove itself ambient —
+    // that case still needs an isolated re-run, but it is also the
+    // case where the TOTAL is visibly inflated, not one query.
     val retimed = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val retimeCalib = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val retimeVerdict = scala.collection.mutable.LinkedHashMap.empty[String, String]
     locally {
       val fnByName = selected.toMap
       val outliers = results.filter { case (name, wall) =>
@@ -280,14 +301,23 @@ object Bench {
             (wide && cpu >= 0 && cpu < wall)
         }
       }.sortBy(-_._2).take(12)
-      outliers.foreach { case (name, _) =>
+      val cleanestSpin = (calibMtStart +: calibTrack.toSeq).min
+      outliers.foreach { case (name, origWall) =>
         fnByName.get(name).foreach { fn =>
           var df: org.apache.spark.sql.DataFrame = null
           val t0 = System.nanoTime()
           try {
             df = fn(spark, sfDir)
             df.write.format("noop").mode("overwrite").save()
-            retimed(name) = (System.nanoTime() - t0) / 1e9
+            val w = (System.nanoTime() - t0) / 1e9
+            retimed(name) = w
+            if (w < 0.7 * origWall) retimeVerdict(name) = "collapsed"
+            else {
+              val c = calibrateMt()
+              retimeCalib(name) = c
+              retimeVerdict(name) =
+                if (c > 1.3 * cleanestSpin) "ambient" else "reproduced"
+            }
           } catch { case scala.util.control.NonFatal(_) => () }
           finally {
             if (df != null)
@@ -366,6 +396,10 @@ object Bench {
         s""""calib_track":[${calibTrack.map(num).mkString(",")}],""" +
         s""""calib_every":$calibEvery,""" +
         s""""retimed_sec":${jsonObj(retimed)},""" +
+        s""""retime_calib":${jsonObj(retimeCalib)},""" +
+        s""""retime_verdict":${retimeVerdict
+          .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+          .mkString("{", ",", "}")},""" +
         s""""code_cache":$codeCacheJson,""" +
         s""""queries":$qs,""" +
         s""""sf":"$sfDir"}"""
@@ -399,6 +433,9 @@ object Bench {
         s""""top_wall":${jsonObj(topWall)},""" +
         s""""top_wall_tasks":${jsonObjInt(topWallTasks)},""" +
         s""""retimed_sec":${jsonObj(retimed)},""" +
+        s""""retime_verdict":${retimeVerdict
+          .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+          .mkString("{", ",", "}")},""" +
         s""""code_cache":$codeCacheJson,""" +
         s""""sf":"$sfDir"}"""
     println(summary)
