@@ -1262,6 +1262,141 @@ object ProbeScale {
       }
     }
 
+    // ── `ProbeScale folddrift`: the fold-drift LIFECYCLE's growth
+    // story as the LANDED MANIFEST grows (the foldcc/foldlabel
+    // probes grow the corpus; this grows the history the drift leg
+    // and refold read). Per scale: a fold store seeded with N
+    // manifest rows across P sealed batch partitions (singleton
+    // components, label store pre-bootstrapped), then ONE 20-doc
+    // near-dup batch streamed through componentFoldIngest with the
+    // drift monitor on — fold_drift[b0] read from Phases under BOTH
+    // regimes (gate sentinel MaxValue = full manifest scan, 0 =
+    // touched-member isin pushed into the prior read) — and one
+    // gated `refold` (half the batch ids are SMALLER than their
+    // partners, so labels genuinely move and the rewrite + leakage
+    // re-measure leg runs). Drift rows asserted equal across
+    // regimes. ──
+    if (mode == "folddrift") {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.operators.LabelStore
+      import graft.streaming.Streams
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+        spark.sqlContext
+      def foldOf(h: org.apache.spark.sql.Column) =
+        graft.operators.Relational.foldOf(h)
+      def seed(root: String, n: Long, parts: Int): Unit = {
+        val docs = spark.range(n)
+          .select(col("id").as("doc_id"),
+            concat(lit("c"), col("id")).as("ckey"), lit("s").as("source"))
+          .localCheckpoint()
+        val texts = docs.select(col("doc_id"),
+          concat(lit("t"), col("doc_id"), lit("a t"), col("doc_id"),
+            lit("b w"), col("doc_id") % 50).as("text"))
+        docs.write.parquet(root + "/store/docs/docs")
+        Dedup.writePairStore(texts.limit(0), "doc_id", "text",
+          root + "/store/pairs", shingleN = 2, k = 64, bands = 32,
+          threshold = 0.5)
+        ProbeTiming.timed("PROBE_SCALE", s"folddrift index n=$n") {
+          Dedup.writeNearDupIndex(texts, "doc_id", "text",
+            shingleN = 2, k = 64, bands = 32,
+            dir = root + "/store/index")
+        }
+        ProbeTiming.timed("PROBE_SCALE", s"folddrift bootstrap n=$n") {
+          LabelStore.bootstrap(spark, root + "/store/labels", docs,
+            "doc_id", col("ckey"),
+            spark.read.parquet(root + "/store/pairs/pairs")
+              .select(col("doc_a"), col("doc_b")))
+        }
+        // landed manifests: one row per doc, NEGATIVE batch ids so
+        // the stream's batch 0 reads them all as prior
+        docs.select(col("doc_id"), col("source"),
+            col("doc_id").as("group"),
+            foldOf(graft.functions.hashes
+              .md5Hash60(col("doc_id").cast("string")) % 10)
+              .as("split"),
+            foldOf(graft.functions.hashes
+              .md5Hash60(col("doc_id").cast("string")) % 10)
+              .as("dsplit"),
+            lit(false).as("inherited"),
+            (-(col("doc_id") % parts) - 1).as("batch_id"))
+          // ONE file per landed partition (a compacted manifest —
+          // the un-repartitioned write leaves 32 files per dir and
+          // the drift read's cost becomes pure file listing)
+          .repartition(col("batch_id"))
+          .write.partitionBy("batch_id").parquet(root + "/out")
+      }
+      def oneBatch(root: String, n: Long, gate: Long): Double = {
+        // 20 copies of spread-out partners; HALF get ids smaller
+        // than any partner (negative), so their components' min
+        // labels move — real drift for the refold leg
+        val batch = (0 until 20).map { i =>
+          val partner = (i.toLong * 37L) % n
+          val id = if (i % 2 == 0) -(i.toLong + 1) else 9000000L + i
+          (id, s"b$i", "s",
+            s"t${partner}a t${partner}b w${partner % 50}")
+        }
+        val input = MemoryStream[(Long, String, String, String)]
+        graft.Phases.drain()
+        val q = Streams.componentFoldIngest(
+          input.toDF().toDF("doc_id", "ckey", "source", "text"),
+          "doc_id", "text", "ckey", "source", root + "/store",
+          root + "/out", root + "/ckpt", shingleN = 2, k = 64,
+          bands = 32, threshold = 0.5,
+          boundedCcMinStoreBytes = gate,
+          driftDir = Some(root + "/drift"))
+        try { input.addData(batch: _*); q.processAllAvailable() }
+        finally q.stop()
+        graft.Phases.drain().collectFirst {
+          case (name, sec) if name.startsWith("fold_drift") => sec
+        }.getOrElse(-1.0)
+      }
+      // strip first-use codegen/JIT before the measured scales
+      locally {
+        val warm = java.nio.file.Files
+          .createTempDirectory("graft_probe_fdw_").toString
+        try { seed(warm, 200L, 2); oneBatch(warm, 200L, 0L); () }
+        finally Scratch.deleteRecursively(new java.io.File(warm))
+      }
+      for (r <- Seq(1, 10, 100)) {
+        val n = 2000L * r
+        val parts = 10 * r
+        val roots = Seq("scan" -> Long.MaxValue, "pruned" -> 0L).map {
+          case (tag, gate) =>
+            val root = java.nio.file.Files
+              .createTempDirectory(s"graft_probe_fd_${tag}_$r").toString
+            seed(root, n, parts)
+            (tag, gate, root)
+        }
+        val walls = roots.map { case (tag, gate, root) =>
+          tag -> oneBatch(root, n, gate) }.toMap
+        val driftRows = roots.map { case (_, _, root) =>
+          spark.read.parquet(root + "/drift")
+            .select("doc_id", "old_split", "new_split", "drifted")
+            .collect().map(_.toSeq).toSet
+        }
+        require(driftRows(0) == driftRows(1),
+          s"drift regime parity broke at ${r}x")
+        val nDrift = driftRows.head.size
+        val nMoved = driftRows.head.count(_(3) == true)
+        // refold on the pruned root: the gated rewrite + the
+        // leakage re-measure leg (the full repair wall)
+        val t0 = System.nanoTime()
+        val lines = graft.Main.run(spark,
+          Seq("refold", roots(1)._3 + "/store", roots(1)._3 + "/out"))
+        val refoldW = (System.nanoTime() - t0) / 1e9
+        require(lines.exists(_.contains("rewritten")),
+          s"refold did not rewrite at ${r}x: $lines")
+        require(lines.exists(_.contains("repair verified")),
+          s"refold re-measure missing at ${r}x: $lines")
+        println(f"PROBE_SCALE folddrift/manifest${r}x rows=$n " +
+          f"parts=$parts drift_rows=$nDrift moved=$nMoved " +
+          f"drift_scan=${walls("scan")}%.2fs " +
+          f"drift_pruned=${walls("pruned")}%.2fs refold=$refoldW%.2fs")
+        roots.foreach { case (_, _, root) =>
+          Scratch.deleteRecursively(new java.io.File(root)) }
+      }
+    }
+
     // q157's two scale claims measured: per-round cost tracks the
     // EDGE LIST (pair-store grain, not corpus grain), and rounds
     // compose LINEARLY because ranks are localCheckpointed per round
