@@ -667,9 +667,13 @@ object Main {
 
   /** `refold` verb: the drift-gated fold REPAIR closing the
     * q205/q209 lifecycle exactly as `compact` closes a store's
-    * (measure dilution → gate → rewrite): recompute the FINAL
-    * component labels from the fold store's docs + pairs tables (no
-    * re-tokenization — the pair store IS the at-rest edge set),
+    * (measure dilution → gate → rewrite): read the FINAL component
+    * labels from the fold store's persisted label store when one is
+    * in sync with its docs table (r17 — the repair's dominant cost,
+    * the corpus CC re-walk, becomes one store aggregate; ProbeScale
+    * folddrift: 56 → 12.5 s at 100× manifest growth), else recompute
+    * them from the docs + pairs tables (no re-tokenization — the
+    * pair store IS the at-rest edge set),
     * compare every manifest row's at-ingest split against the final
     * component fold (the q209 arithmetic), and when moved docs
     * exceed `maxMovedMilli` (per mille of manifest rows) rewrite the
@@ -699,9 +703,35 @@ object Main {
     import graft.operators.Dedup
     val docs = spark.read.parquet(s"$storeRoot/docs/docs")
     val Seq(idCol, keyCol, _) = docs.schema.fieldNames.take(3).toSeq
-    val pairs = spark.read.parquet(s"$storeRoot/pairs/pairs")
-      .select(col("doc_a"), col("doc_b"))
-    val grp = Dedup.componentGroups(docs, idCol, col(keyCol), pairs)
+    // FINAL component labels: from the persisted union-find label
+    // store when the fold store carries one IN SYNC with its docs
+    // table (one current label per doc — the componentFoldIngest
+    // maintenance invariant, LabelStoreSpec-pinned equal to a
+    // from-scratch componentGroups on every prefix), else the CC
+    // re-walk over docs + pairs. The sync guard costs two aggregates,
+    // not a CC: an out-of-sync store (externally grown docs, a
+    // store predating the label table) falls back loudly-visibly
+    // (the report's first line names the path).
+    val labelRoot = s"$storeRoot/labels"
+    val labelTable = new org.apache.hadoop.fs.Path(s"$labelRoot/labels")
+    val lblFs = labelTable.getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val stored: Option[org.apache.spark.sql.DataFrame] =
+      if (!lblFs.exists(labelTable)) None
+      else {
+        val lbl = graft.operators.LabelStore.read(spark, labelRoot)
+          .withColumnRenamed("doc_id", idCol)
+        val nLbl = lbl.count()
+        val nStoreDocs = docs.count()
+        val covered = nLbl == nStoreDocs &&
+          docs.join(lbl, Seq(idCol), "left_anti").isEmpty
+        if (covered) Some(lbl) else None
+      }
+    val labelPath = if (stored.isDefined) "label store" else "CC re-walk"
+    val grp = stored.getOrElse(
+        Dedup.componentGroups(docs, idCol, col(keyCol),
+          spark.read.parquet(s"$storeRoot/pairs/pairs")
+            .select(col("doc_a"), col("doc_b"))))
       .localCheckpoint() // read by the drift compare and the rewrite
     def foldOf(h: org.apache.spark.sql.Column) =
       graft.operators.Relational.foldOf(h)
@@ -734,7 +764,8 @@ object Main {
     free(drift)
     val movedMilli = if (nDocs == 0) 0L else moved * 1000 / nDocs
     val head = Seq(
-      s"fold store $storeRoot: $nDocs manifest rows",
+      s"fold store $storeRoot: $nDocs manifest rows " +
+        s"(final labels via $labelPath)",
       s"drift: $moved moved ($movedMilli milli), $leaky docs in " +
         "fold-straddling components")
     // exact integer gate (moved/nDocs > max/1000 cross-multiplied) —

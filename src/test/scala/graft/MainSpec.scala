@@ -712,6 +712,59 @@ class MainSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally Scratch.deleteRecursively(new java.io.File(root))
   }
 
+  test("refold verb: a fold store carrying an in-sync label store " +
+    "repairs through it (no CC re-walk) with identical outcome") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_refoldls_").toString
+    try {
+      val a = (1 to 11).map(i => s"a$i").mkString(" ")
+      val p = (1 to 8).map(i => s"p$i").mkString(" ")
+      val texts = Seq((1L, a), (8L, p), (20L, a)).toDF("doc_id", "text")
+      graft.operators.Dedup.writePairStore(texts, "doc_id", "text",
+        root + "/store/pairs", shingleN = 2, k = 64, bands = 32,
+        threshold = 0.5)
+      graft.operators.Dedup.writeNearDupIndex(texts, "doc_id",
+        "text", shingleN = 2, k = 64, bands = 32,
+        dir = root + "/store/index")
+      val docs = Seq((1L, "u1", "s"), (8L, "u8", "s"),
+        (20L, "u8", "s")).toDF("doc_id", "ckey", "source")
+      docs.write.parquet(root + "/store/docs/docs")
+      // the in-sync label store the ingest would have maintained
+      graft.operators.LabelStore.bootstrap(spark,
+        root + "/store/labels", docs, "doc_id", col("ckey"),
+        spark.read.parquet(root + "/store/pairs/pairs")
+          .select(col("doc_a"), col("doc_b")))
+      Seq((1L, "s", 1L, "train", "train", false, 0L),
+        (8L, "s", 8L, "val", "val", false, 0L),
+        (20L, "s", 1L, "train", "test", true, 1L))
+        .toDF("doc_id", "source", "group", "split", "dsplit",
+          "inherited", "batch_id")
+        .write.partitionBy("batch_id").parquet(root + "/out")
+      val lines = Main.run(spark,
+        Seq("refold", root + "/store", root + "/out"))
+      lines.foreach(l => info(l))
+      lines.head should include("final labels via label store")
+      lines(1) should include("1 moved")
+      lines(2) should include("rewritten")
+      lines.last should include("repair verified")
+      val after = spark.read.parquet(root + "/out")
+        .select("doc_id", "group", "split")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getString(2)))).toMap
+      // identical repair to the CC-re-walk path: {1, 8, 20} under
+      // label 1, all 'train'
+      after(8L) shouldBe ((1L, "train"))
+      after(20L) shouldBe ((1L, "train"))
+      // an OUT-OF-SYNC store (a doc the labels never saw) falls back
+      // to the re-walk instead of silently dropping the doc
+      Seq((99L, "u99", "s")).toDF("doc_id", "ckey", "source")
+        .write.mode("append").parquet(root + "/store/docs/docs")
+      Main.run(spark, Seq("refold", root + "/store", root + "/out"))
+        .head should include("final labels via CC re-walk")
+    } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
+
   test("report verb prints the per-source data card") {
     val lines = Main.run(spark, Seq("report", "/root/testdata/sf0.001"))
     lines.head should include("source")
