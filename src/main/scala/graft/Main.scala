@@ -106,6 +106,9 @@ object Main {
     case Seq("compact-phash", indexDir, rest @ _*)
         if doubleArg(rest, 2.0).isDefined =>
       compactPhash(spark, indexDir, doubleArg(rest, 2.0).get)
+    case Seq("compact-labels", labelRoot, rest @ _*)
+        if doubleArg(rest, 2.0).isDefined =>
+      compactLabels(spark, labelRoot, doubleArg(rest, 2.0).get)
     case Seq("img-health", sfDir, rest @ _*) =>
       imgHealth(spark, sfDir, rest.headOption)
     case Seq("aud-health", sfDir) => audHealth(spark, sfDir)
@@ -161,6 +164,10 @@ object Main {
         "phash fingerprint index: measure the key table's bkey " +
         "dilution; rewrite as one clustered generation when over " +
         "budget",
+      "  compact-labels <labelRoot> [maxDilution]   same cycle for " +
+        "a union-find label store: measure superseded-row dilution " +
+        "(rewrite history per doc); rewrite to one current row per " +
+        "doc, doc-clustered, when over budget",
       "  img-health <sfDir> [phashIndexDir]   image-modality health " +
         "report: dup pairs, dup groups, largest group, index " +
         "segment count + dilution",
@@ -552,6 +559,65 @@ object Main {
       graft.operators.Dedup.compactPhashIndex(spark, indexDir)
       val after = Layout.pruningDilution(spark, s"$indexDir/keys", "bkey")
       Seq(head, s"compacted; dilution now ${num2(after)}")
+    }
+  }
+
+  /** `compact-labels` verb: the store-maintenance cycle on the
+    * union-find label store (operators/LabelStore.scala) — every
+    * batch appends a segment (batch rows + rewrites), so a doc's
+    * history accumulates superseded rows that every min-group read
+    * and every pushed isin scan must still visit. Dilution here is
+    * ROW HISTORY, not key-span overlap: (total rows − current docs)
+    * / current docs. Over budget, the store rewrites to exactly one
+    * CURRENT row per doc, doc-range-clustered (the point-fetch
+    * consumers probe by doc id; group-membership reads keep their
+    * exactness either way — merge monotonicity survives compaction
+    * because the surviving rows ARE the current labels). Write-then-
+    * swap under the store root's lease, which the ingest's label
+    * append also takes — a live ingest and this swap exclude each
+    * other loudly. Commit markers under `_commits/` are untouched:
+    * a batch re-delivered AFTER compaction still skips verbatim
+    * (its sealed segment files are gone, so the fast path returns
+    * an empty frame — and the fold sink's dynamic overwrite with an
+    * empty frame rewrites nothing, LabelStoreSpec-pinned). */
+  private def compactLabels(spark: SparkSession, labelRoot: String,
+      maxDilution: Double): Seq[String] = {
+    import graft.operators.LabelStore
+    val labelsDir = s"$labelRoot/labels"
+    val all = spark.read.schema(LabelStore.LabelsSchema)
+      .parquet(labelsDir)
+    val totalRows = all.count()
+    val current = LabelStore.read(spark, labelRoot)
+      .localCheckpoint() // read by the count and the rewrite
+    val nDocs = current.count()
+    val dilution =
+      if (nDocs == 0) 0.0 else (totalRows - nDocs).toDouble / nDocs
+    val head = s"label store $labelRoot: $totalRows rows for " +
+      s"$nDocs docs, dilution ${num2(dilution)} " +
+      s"(budget ${num2(maxDilution)})"
+    if (dilution <= maxDilution)
+      Seq(head, "within budget: no compaction needed")
+    else {
+      graft.sources.StoreLease.withLease(spark, labelRoot,
+          "compact-labels") {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val p = new org.apache.hadoop.fs.Path(labelsDir)
+        val tmp = new org.apache.hadoop.fs.Path(s"$labelsDir.compacting")
+        val fs = p.getFileSystem(conf)
+        fs.delete(tmp, true) // stale sibling from a crashed run
+        // bounded file count, doc-range-clustered (8M label rows ≈
+        // 128 MB per file at 16 bytes/row)
+        val files = math.max(1L, (nDocs + 7999999L) / 8000000L).toInt
+        current.repartitionByRange(files, col("doc_id"))
+          .sortWithinPartitions(col("doc_id"))
+          .write.parquet(tmp.toString)
+        require(fs.delete(p, true),
+          s"could not remove old label table $p")
+        require(fs.rename(tmp, p),
+          s"could not move compacted label table to $p")
+      }
+      org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(current)
+      Seq(head, s"compacted to $nDocs current rows (one per doc)")
     }
   }
 

@@ -765,8 +765,18 @@ object Streams {
           graft.sources.StoreLease.withLease(s, outDir,
               s"fold-sink-$tag") {
             graft.Phases.time(s"fold_sink[b$batchId]") {
+              // ONE file per sealed batch partition: the manifest's
+              // steady-state readers (the drift leg's prior scan,
+              // refold, q209-class reports) pay FILE COUNT, not
+              // rows — ProbeScale folddrift measured the
+              // un-coalesced layout (batch-width files per dir) at
+              // 4–5× the compacted walls. A micro-batch manifest is
+              // batch-sized; one file is the right grain (a giant
+              // batch's write parallelism is bounded by this —
+              // production can shard the partition by raising it)
               folds
                 .withColumn("batch_id", lit(batchId))
+                .repartition(1)
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("batch_id")
@@ -835,7 +845,8 @@ object Streams {
                   drift.limit(0).drop("batch_id").repartition(1)
                     .write.mode("overwrite").parquet(seedPath.toString)
                 if (!drift.isEmpty)
-                  drift.write.mode("overwrite")
+                  drift.repartition(1) // one file per batch (ditto)
+                    .write.mode("overwrite")
                     .option("partitionOverwriteMode", "dynamic")
                     .partitionBy("batch_id")
                     .parquet(dd)

@@ -120,6 +120,42 @@ class LabelStoreSpec extends AnyFunSuite with SparkSpec
     } finally Scratch.deleteRecursively(new java.io.File(root))
   }
 
+  test("compact-labels rewrites to one current row per doc; reads " +
+    "and a post-compaction sealed retry are unchanged") {
+    val root = Files.createTempDirectory("graft_lsc_").toString
+    try {
+      batches.zipWithIndex.foreach { case ((docs, pairs), i) =>
+        LabelStore.update(spark, root, dfDocs(docs), "doc_id",
+          "ckey", dfPairs(pairs), s"b$i")
+      }
+      // batch 1 rewrote batch 0's component: history > current docs
+      val rowsBefore = spark.read
+        .schema(LabelStore.LabelsSchema).parquet(s"$root/labels")
+        .count()
+      rowsBefore should be > labelSet(
+        LabelStore.read(spark, root)).size.toLong
+      val lines = Main.run(spark, Seq("compact-labels", root, "0.0"))
+      lines.foreach(l => info(l))
+      lines.last should include("compacted to")
+      spark.read.schema(LabelStore.LabelsSchema)
+        .parquet(s"$root/labels").count() shouldBe
+        oracle(batches.size - 1).size.toLong
+      labelSet(LabelStore.read(spark, root)) shouldBe
+        oracle(batches.size - 1)
+      // a batch re-delivered AFTER compaction still skips verbatim:
+      // its marker survives, its segment files are gone, the fast
+      // path returns an empty frame and the store stays untouched
+      labelSet(LabelStore.update(spark, root, dfDocs(batches(0)._1),
+        "doc_id", "ckey", dfPairs(batches(0)._2),
+        "b0")) shouldBe Set.empty
+      labelSet(LabelStore.read(spark, root)) shouldBe
+        oracle(batches.size - 1)
+      // and a genuinely NEW batch keeps merging correctly
+      Main.run(spark, Seq("compact-labels", root, "2.0"))
+        .last should include("no compaction needed")
+    } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
+
   test("bootstrap seeds a pre-existing corpus once and update " +
     "continues from it (committed bootstrap skipped verbatim)") {
     val root = Files.createTempDirectory("graft_lsb_").toString

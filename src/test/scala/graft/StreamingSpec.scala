@@ -1125,6 +1125,12 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
         .select("doc_id", "group", "split", "dsplit", "inherited")
         .collect().map(_.toSeq).toSet
       val out = state()
+      // ONE file per sealed batch partition: the manifest's readers
+      // pay file count at scale (ProbeScale folddrift finding 2)
+      Seq(0, 1).foreach { bid =>
+        new java.io.File(s"$root/out/batch_id=$bid").listFiles()
+          .count(_.getName.startsWith("part-")) shouldBe 1
+      }
       val byId = out.map(r =>
         r.head.asInstanceOf[Long] -> r.toVector).toMap
       byId(1L)(2) shouldBe "train" // group 1's fold
