@@ -6263,7 +6263,8 @@ object SparkEntry {
       "postings_index" -> Set("q126_bm25_indexed"),
       "ndindex_store" -> Set("q204_split_leakage_indexed"),
       "ndingest_base" -> Set("q111_stream_neardup_ingest"),
-      "phash_store" -> Set("q208_modality_manifest"))
+      "phash_store" -> Set("q208_modality_manifest",
+        "q211_stream_modality_manifest"))
     def wanted(store: String): Boolean =
       selected.forall(qs => consumers(store).exists(qs.contains))
     def timed(name: String)(body: => Unit): Option[(String, Double)] = {

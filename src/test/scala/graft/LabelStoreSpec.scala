@@ -120,6 +120,51 @@ class LabelStoreSpec extends AnyFunSuite with SparkSpec
     } finally Scratch.deleteRecursively(new java.io.File(root))
   }
 
+  test("property: random batch sequences keep store ≡ " +
+    "componentGroups on every prefix (seeded, both regimes)") {
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      // 3 batches over ~24 docs: random keys from a small pool
+      // (real same-key merges), random pair edges between ALREADY
+      // SEEN docs and batch docs (the appendPairStore contract:
+      // every new edge touches a batch doc)
+      val ids = rnd.shuffle((1L to 60L).toVector).take(24)
+      val bs = ids.grouped(8).toSeq.map(_.toSeq)
+      var seen = Vector.empty[Long]
+      val batchSpecs = bs.map { batchIds =>
+        val docs = batchIds.map(id =>
+          (id, s"k${rnd.nextInt(10)}"))
+        val candidates = seen ++ batchIds
+        val pairs = batchIds.flatMap { id =>
+          if (rnd.nextBoolean()) {
+            val other = candidates(rnd.nextInt(candidates.size))
+            if (other != id) Seq((math.min(id, other),
+              math.max(id, other))) else Seq.empty
+          } else Seq.empty
+        }.distinct
+        seen = seen ++ batchIds
+        (docs, pairs)
+      }
+      def oracleAt(upTo: Int): Set[(Long, Long)] = labelSet(
+        graft.operators.Dedup.componentGroups(
+          dfDocs(batchSpecs.take(upTo + 1).flatMap(_._1)),
+          "doc_id", col("ckey"),
+          dfPairs(batchSpecs.take(upTo + 1).flatMap(_._2))))
+      Seq(Dedup.DefaultMarkPruneCap, 0).foreach { cap =>
+        val root = Files
+          .createTempDirectory(s"graft_lsp_${seed}_$cap").toString
+        try batchSpecs.zipWithIndex.foreach { case ((d, p), i) =>
+          LabelStore.update(spark, root, dfDocs(d), "doc_id",
+            "ckey", dfPairs(p), s"b$i", pruneCap = cap)
+          withClue(s"seed=$seed cap=$cap prefix=$i: ") {
+            labelSet(LabelStore.read(spark, root)) shouldBe
+              oracleAt(i)
+          }
+        } finally Scratch.deleteRecursively(new java.io.File(root))
+      }
+    }
+  }
+
   test("compact-labels rewrites to one current row per doc; reads " +
     "and a post-compaction sealed retry are unchanged") {
     val root = Files.createTempDirectory("graft_lsc_").toString
