@@ -131,10 +131,18 @@ object LabelStore {
       .filter(col("ckey").isNotNull)
       .groupBy(col("ckey")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("ckey"), col("doc_id"))
+    val labelsMat = labels.localCheckpoint(eager = true)
+    val n = labelsMat.count()
+    // corpus-grain seed: doc-range-clustered at ~8M rows per file
+    // (the compact-labels layout, so a fresh store starts compact)
+    val files = math.max(1L, (n + 7999999L) / 8000000L).toInt
     graft.sources.StoreLease.withLease(spark, root,
         s"labels-$tag") {
       Dedup.taggedSegmentAppend(spark, root, tag,
-        Seq("labels" -> labels, "anchors" -> anchors))
+        Seq("labels" -> labelsMat
+            .repartitionByRange(files, col("doc_id"))
+            .sortWithinPartitions(col("doc_id")),
+          "anchors" -> anchors.repartition(files)))
     }
   }
 
@@ -198,8 +206,12 @@ object LabelStore {
     val out = segLabels.localCheckpoint(eager = true)
     graft.sources.StoreLease.withLease(spark, root,
         s"labels-append-$tag") {
+      // ONE file per table per batch (the manifest-layout finding:
+      // steady-state readers pay file count; compact-labels is the
+      // backstop, not the first line)
       Dedup.taggedSegmentAppend(spark, root, tag,
-        Seq("labels" -> out, "anchors" -> newAnchors))
+        Seq("labels" -> out.repartition(1),
+          "anchors" -> newAnchors.repartition(1)))
     }
     out
   }

@@ -858,7 +858,7 @@ object Streams {
             graft.sources.StoreLease.withLease(s, docsStore,
                 s"docs-append-$tag") {
               graft.operators.Dedup.taggedSegmentAppend(s, docsStore,
-                tag, Seq("docs" -> batchDocs))
+                tag, Seq("docs" -> batchDocs.repartition(1)))
             }
         } finally s.conf.set(widthKey, oldWidth)
       }
@@ -966,7 +966,8 @@ object Streams {
             graft.sources.StoreLease.withLease(s, textRoot,
                 s"text-append-$tag") {
               graft.operators.Dedup.taggedSegmentAppend(s, textRoot,
-                tag, Seq("docs" -> docRows, "champs" -> champRows))
+                tag, Seq("docs" -> docRows.repartition(1),
+                  "champs" -> champRows.repartition(1)))
             }
           }
           // MEDIA: per modality — pair-grain mark against the grown
@@ -1005,7 +1006,8 @@ object Streams {
               graft.sources.StoreLease.withLease(s, mRoot,
                   s"media-append-$tag") {
                 graft.operators.Dedup.taggedSegmentAppend(s, mRoot,
-                  tag, Seq("index/keys" -> keyRows, "items" -> items))
+                  tag, Seq("index/keys" -> keyRows,
+                    "items" -> items.repartition(1)))
               }
             }
           }
