@@ -120,6 +120,7 @@ object Main {
       refold(spark, storeRoot, manifestDir, intArg(rest, 0).get,
         intArg(rest.drop(1), 500).get)
     case Seq("index", storeDir) => indexInfo(spark, storeDir)
+    case Seq("labels", labelRoot) => labelsInfo(spark, labelRoot)
     case Seq("lease", storeDir) => leaseInfo(spark, storeDir, doBreak = false)
     case Seq("lease", storeDir, "--break") =>
       leaseInfo(spark, storeDir, doBreak = true)
@@ -190,6 +191,9 @@ object Main {
         "contract)",
       "  index <storeDir>                    show a store's persisted " +
         "ANN metadata (what AnnIndex.registerFrom adopts)",
+      "  labels <labelRoot>                  union-find label store " +
+        "health: row history vs current docs (compact-labels " +
+        "dilution), component census, anchor keys",
       "  lease <storeDir> [--break]          show a store's writer " +
         "lease; --break force-reclaims a dead writer's lease",
       "  ranges [--test-topic <topic>]       ID ranges + extraction test",
@@ -478,6 +482,44 @@ object Main {
         s"scale=${m.scaleCol}",
       s"  planes   seed=${m.planesSeed} n=${m.nPlanes} dim=${m.dim}",
       s"  serving  radius=${m.radius} shortlist=${m.shortlist}")
+  }
+
+  /** `labels` verb: the union-find label store's health card — the
+    * inspection surface `index` gives the ANN store and the compact
+    * verbs give the segmented stores: row history vs current docs
+    * (the compact-labels dilution), component census (how much of
+    * the corpus is folded together), and the anchor-key count. One
+    * pass over the current labels; no pair store touched. */
+  private def labelsInfo(spark: SparkSession,
+      labelRoot: String): Seq[String] = {
+    import graft.operators.LabelStore
+    val totalRows = spark.read.schema(LabelStore.LabelsSchema)
+      .parquet(s"$labelRoot/labels").count()
+    val current = LabelStore.read(spark, labelRoot).localCheckpoint()
+    val nDocs = current.count()
+    val byGroup = current.groupBy(col("group"))
+      .agg(count(lit(1)).as("n")).localCheckpoint()
+    val nGroups = byGroup.count()
+    val multi = byGroup.filter(col("n") > 1)
+      .agg(coalesce(sum(col("n")), lit(0L)),
+        coalesce(count(lit(1)), lit(0L))).collect()(0)
+    val (nGrouped, nMulti) = (multi.getLong(0), multi.getLong(1))
+    val top = byGroup.orderBy(col("n").desc, col("group"))
+      .limit(1).collect().headOption
+    val nAnchors = spark.read.schema(LabelStore.AnchorsSchema)
+      .parquet(s"$labelRoot/anchors").count()
+    val dilution =
+      if (nDocs == 0) 0.0 else (totalRows - nDocs).toDouble / nDocs
+    org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(current)
+    org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(byGroup)
+    Seq(
+      s"label store $labelRoot: $totalRows rows for $nDocs docs " +
+        s"(dilution ${num2(dilution)})",
+      s"  components: $nGroups ($nMulti multi-doc covering " +
+        s"$nGrouped docs)",
+      s"  anchors: $nAnchors keys") ++
+      top.map(r => s"  largest component: label ${r.getLong(0)} " +
+        s"with ${r.getLong(1)} members").toSeq
   }
 
   /** Writer-lease inspection for any at-rest store; `--break`

@@ -765,6 +765,31 @@ class MainSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally Scratch.deleteRecursively(new java.io.File(root))
   }
 
+  test("labels verb reports row history, component census and " +
+    "anchors of a union-find label store") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_lblv_").toString
+    try {
+      // batch 0: {10,11} via key k1, {5}; batch 1: 3 pairs with 11
+      // → component {3,10,11} relabeled to 3 (history rows pile up)
+      graft.operators.LabelStore.update(spark, root,
+        Seq((10L, "k1"), (11L, "k1"), (5L, "k3")).toDF("doc_id",
+          "ckey"), "doc_id", "ckey",
+        Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"), "b0")
+      graft.operators.LabelStore.update(spark, root,
+        Seq((3L, "k4")).toDF("doc_id", "ckey"), "doc_id", "ckey",
+        Seq((3L, 11L)).toDF("doc_a", "doc_b"), "b1")
+      val lines = Main.run(spark, Seq("labels", root))
+      lines.foreach(l => info(l))
+      lines.head should include("4 docs")
+      lines.head should (include("6 rows") or include("rows for"))
+      lines(1) should include("components: 2 (1 multi-doc covering 3 docs)")
+      lines(2) should include("anchors: 3 keys")
+      lines.last should include("largest component: label 3 with 3 members")
+    } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
+
   test("report verb prints the per-source data card") {
     val lines = Main.run(spark, Seq("report", "/root/testdata/sf0.001"))
     lines.head should include("source")
