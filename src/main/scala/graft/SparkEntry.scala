@@ -5636,8 +5636,17 @@ object SparkEntry {
         ckpt.getAbsolutePath, radius = 4, width = 64, blocks = 8,
         keyBlocks = 1)
       try
-        (0 until 3).foreach { r =>
-          input.addData(docRows.filter(_._1 % 3 == r))
+        // two id-residue batches: enough to prove incrementality
+        // (near-dup pairs and champion upgrades cross the boundary;
+        // StreamingSpec pins the multi-batch semantics) without a
+        // third full store cycle on the bench wall
+        (0 until 2).foreach { r =>
+          // residue of doc_id/8, not doc_id: the media fixtures live
+          // on multiples of 8/16/40, so any finer split leaves one
+          // batch media-empty and streams nothing across the
+          // boundary (measured: both halves carry ~50% of every
+          // modality at all three SFs)
+          input.addData(docRows.filter(t => (t._1 / 8) % 2 == r))
           q.processAllAvailable()
         }
       finally {
@@ -5647,6 +5656,90 @@ object SparkEntry {
       val res = Streams.modalityManifestReport(s, root, "doc_id",
         "canon", "source", "toks", Seq("image", "audio", "video"),
         h => Relational.foldOf(h % 10))
+      materializeThenClean(s, res, root)
+    }),
+
+    // ── NS training-data: STORE-BACKED FOLD-DRIFT REPORT — q209's
+    // at-rest measurement with the component RE-WALK removed (the
+    // last of the r16 verdict's three label-store consumers: q210's
+    // drift leg and `refold` already read the store): the q209
+    // fixture streams through componentFoldIngest, and the report is
+    // TWO STORE READS — the sealed manifests carry every doc's
+    // at-ingest fold (q209's per-prefix labeling, decided when the
+    // doc landed), the label store carries the final labels (≡ a
+    // from-scratch componentGroups, LabelStoreSpec) — joined and
+    // aggregated with the q209 arithmetic. No CC, no pair pass, no
+    // re-tokenization at report time. ONE SHARED ORACLE with q209:
+    // the store-backed report must be bit-indistinguishable from
+    // the re-walk one ──
+    "q212_fold_drift_stored" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      def fold(h: Column) = Relational.foldOf(h)
+      val ns = drainSession(s)
+      import ns.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = ns.sqlContext
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q212_").toString
+      val docs = syntheticUrlDocs(s, dir)
+      val orig = docs.select(col("doc_id"), lit(0).as("b"),
+        col("canon").as("ckey"), col("source"), col("text"))
+      val partner = docs.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("ptext"))
+      val bridges = docs.filter(col("doc_id") % 21 === 0)
+        .join(partner, Seq("doc_id"))
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          lit(1).as("b"), col("canon").as("ckey"), col("source"),
+          col("ptext").as("text"))
+      val rows = orig.unionByName(bridges)
+        .as[(Long, Int, String, String, String)].collect().toSeq
+      val emptyDocs = docs.select(col("doc_id"), col("text")).limit(0)
+      Dedup.writeNearDupIndex(emptyDocs, "doc_id", "text",
+        shingleN = 2, k = 64, bands = 32, dir = root + "/store/index")
+      Dedup.writePairStore(emptyDocs, "doc_id", "text",
+        root + "/store/pairs", shingleN = 2, k = 64, bands = 32,
+        threshold = 0.5)
+      orig.select(col("doc_id"), col("ckey"), col("source")).limit(0)
+        .write.parquet(root + "/store/docs/docs")
+      val input = MemoryStream[(Long, String, String, String)]
+      val stream = input.toDF()
+        .toDF("doc_id", "ckey", "source", "text")
+      val ckpt = ephemeralCheckpoint("q212")
+      val q = Streams.componentFoldIngest(stream, "doc_id", "text",
+        "ckey", "source", root + "/store", root + "/out",
+        ckpt.getAbsolutePath, shingleN = 2, k = 64, bands = 32,
+        threshold = 0.5)
+      try
+        (0 until 2).foreach { r =>
+          input.addData(rows.filter(_._2 == r)
+            .map(t => (t._1, t._3, t._4, t._5)))
+          q.processAllAvailable()
+        }
+      finally {
+        try q.stop()
+        finally Scratch.deleteRecursively(ckpt)
+      }
+      // the report: manifests (at-ingest folds) × label store
+      // (final labels) — the q209 arithmetic over two store reads
+      val man = s.read.parquet(root + "/out")
+        .select(col("doc_id"), col("source"),
+          col("split").as("isplit"))
+      val fin = graft.operators.LabelStore
+        .read(s, root + "/store/labels")
+        .select(col("doc_id"), col("group").as("fgrp"))
+      val rep = man.join(fin, Seq("doc_id"))
+        .withColumn("fsplit",
+          fold(hashes.md5Hash60(col("fgrp").cast("string")) % 10))
+      val leaky = rep.groupBy(col("fgrp"))
+        .agg(countDistinct(col("isplit")).as("_nsp"))
+        .filter(col("_nsp") > 1)
+        .select(col("fgrp"), lit(true).as("_lk"))
+      val res = rep.join(leaky, Seq("fgrp"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fgrp")).as("n_final_groups"),
+          sum(when(col("isplit") =!= col("fsplit"), 1L).otherwise(0L))
+            .as("n_moved"),
+          sum(when(col("_lk"), 1L).otherwise(0L)).as("n_leaky_docs"))
       materializeThenClean(s, res, root)
     })
   )
@@ -7603,6 +7696,43 @@ object SparkEntry {
            |  CAST(SUM(CASE WHEN kept THEN mass ELSE 0 END) AS BIGINT)
            |    AS kept_mass
            |FROM rows0 GROUP BY modality, source, split""".stripMargin
+
+  /** The q209 drift-report oracle, shared verbatim by q212 (the
+    * store-backed report reads manifests + the label store instead
+    * of re-walking components — same answer by construction). */
+  private def foldDriftSql: String = {
+        def fold(h: String) =
+          s"CASE $h % 10 WHEN 0 THEN 'test' WHEN 1 THEN 'val' " +
+            "ELSE 'train' END"
+        s"""WITH RECURSIVE $urlCanonCtes,
+           |all0 AS (SELECT c.doc_id, 0 AS b, c.canon AS ckey,
+           |    c.source, d.text
+           |  FROM canon c JOIN documents d ON c.doc_id = d.doc_id),
+           |br AS (SELECT o.doc_id + 5000000 AS doc_id, 1 AS b,
+           |    o.canon AS ckey, o.source, p.text
+           |  FROM canon o JOIN documents p ON p.doc_id = o.doc_id + 1
+           |  WHERE o.doc_id % 21 = 0),
+           |alld AS (SELECT * FROM all0 UNION ALL SELECT * FROM br),
+           |${perPrefixComponentCtes(2)},
+           |ffa AS (SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS fgrp
+           |  FROM alld d LEFT JOIN lbl l
+           |    ON l.pfx = 1 AND l.node = d.doc_id),
+           |rep AS (SELECT fa.doc_id, fa.source, ffa.fgrp,
+           |    ${fold(hashes.md5Hash60Sql("CAST(fa.grp AS VARCHAR)"))}
+           |      AS isplit,
+           |    ${fold(hashes.md5Hash60Sql("CAST(ffa.fgrp AS VARCHAR)"))}
+           |      AS fsplit
+           |  FROM fa JOIN ffa ON fa.doc_id = ffa.doc_id),
+           |lk AS (SELECT fgrp FROM rep GROUP BY fgrp
+           |  HAVING COUNT(DISTINCT isplit) > 1)
+           |SELECT source, COUNT(*) AS n_docs,
+           |  COUNT(DISTINCT fgrp) AS n_final_groups,
+           |  CAST(SUM(CASE WHEN isplit <> fsplit THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_moved,
+           |  CAST(SUM(CASE WHEN fgrp IN (SELECT fgrp FROM lk)
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_docs
+           |FROM rep GROUP BY source""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = {
     def dec(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(20,4))) AS DOUBLE)"
@@ -11217,39 +11347,12 @@ object SparkEntry {
       // batch-0 components — at-ingest labels read at each doc's own
       // prefix (fa), final labels at prefix 1 (ffa), and the
       // drift/leak arithmetic is a plain fold-hash compare
-      "q209_fold_drift" -> {
-        def fold(h: String) =
-          s"CASE $h % 10 WHEN 0 THEN 'test' WHEN 1 THEN 'val' " +
-            "ELSE 'train' END"
-        s"""WITH RECURSIVE $urlCanonCtes,
-           |all0 AS (SELECT c.doc_id, 0 AS b, c.canon AS ckey,
-           |    c.source, d.text
-           |  FROM canon c JOIN documents d ON c.doc_id = d.doc_id),
-           |br AS (SELECT o.doc_id + 5000000 AS doc_id, 1 AS b,
-           |    o.canon AS ckey, o.source, p.text
-           |  FROM canon o JOIN documents p ON p.doc_id = o.doc_id + 1
-           |  WHERE o.doc_id % 21 = 0),
-           |alld AS (SELECT * FROM all0 UNION ALL SELECT * FROM br),
-           |${perPrefixComponentCtes(2)},
-           |ffa AS (SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS fgrp
-           |  FROM alld d LEFT JOIN lbl l
-           |    ON l.pfx = 1 AND l.node = d.doc_id),
-           |rep AS (SELECT fa.doc_id, fa.source, ffa.fgrp,
-           |    ${fold(hashes.md5Hash60Sql("CAST(fa.grp AS VARCHAR)"))}
-           |      AS isplit,
-           |    ${fold(hashes.md5Hash60Sql("CAST(ffa.fgrp AS VARCHAR)"))}
-           |      AS fsplit
-           |  FROM fa JOIN ffa ON fa.doc_id = ffa.doc_id),
-           |lk AS (SELECT fgrp FROM rep GROUP BY fgrp
-           |  HAVING COUNT(DISTINCT isplit) > 1)
-           |SELECT source, COUNT(*) AS n_docs,
-           |  COUNT(DISTINCT fgrp) AS n_final_groups,
-           |  CAST(SUM(CASE WHEN isplit <> fsplit THEN 1 ELSE 0 END)
-           |    AS BIGINT) AS n_moved,
-           |  CAST(SUM(CASE WHEN fgrp IN (SELECT fgrp FROM lk)
-           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_docs
-           |FROM rep GROUP BY source""".stripMargin
-      },
+      "q209_fold_drift" -> foldDriftSql,
+
+      // ONE SHARED ORACLE with q209 (the q208/q211 convention):
+      // the store-backed at-rest drift report must be
+      // indistinguishable from the re-walk one
+      "q212_fold_drift_stored" -> foldDriftSql,
 
       // the shared per-prefix rendering with TWO bridge waves: lb
       // reads every doc's label at every prefix at or after its

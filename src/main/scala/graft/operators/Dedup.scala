@@ -924,14 +924,19 @@ object Dedup {
       batchFp: DataFrame, indexDir: String, radius: Int, width: Int,
       blocks: Option[Int] = None, keyBlocks: Int = 1,
       pruneMinStoreBytes: Long = DefaultPointFetchMinStoreBytes,
-      pruneCap: Int = DefaultMarkPruneCap): DataFrame = {
+      pruneCap: Int = DefaultMarkPruneCap,
+      materialize: Boolean = true): DataFrame = {
     checkPhashParams(spark, indexDir, radius, width, blocks, keyBlocks)
     val keys0 = pigeonholeKeys(batchFp, radius, width, blocks,
       keyBlocks)
     val prune = storeAtLeastBytes(spark, s"$indexDir/keys",
       pruneMinStoreBytes)
+    // the lazy form cannot unpersist after its (deferred) single
+    // action, so it re-derives the batch-grain keys instead of
+    // retaining a cache for the stream's lifetime
     val keys =
-      if (prune) keys0.persist(StorageLevel.MEMORY_AND_DISK)
+      if (prune && materialize)
+        keys0.persist(StorageLevel.MEMORY_AND_DISK)
       else keys0
     val batchKeys: Array[Any] =
       if (!prune) Array.empty[Any]
@@ -955,12 +960,17 @@ object Dedup {
         least(col("doc_a"), col("doc_b")).as("doc_a"),
         greatest(col("doc_a"), col("doc_b")).as("doc_b"),
         col("hamming"))
-    val out = cross
+    val plan = cross
       .unionByName(hammingNearDupPairs(batchFp, radius, width,
         blocks, keyBlocks))
       .distinct()
-      .localCheckpoint(eager = true)
-    if (prune) keys.unpersist(blocking = false)
+    // materialize=false for single-action consumers (the label-store
+    // update COLLECTS the pairs once, before any store mutation) —
+    // one job saved per call; the default stays safe for callers
+    // that read the frame after appending to the index
+    val out =
+      if (materialize) plan.localCheckpoint(eager = true) else plan
+    if (materialize && prune) keys.unpersist(blocking = false)
     out
   }
 

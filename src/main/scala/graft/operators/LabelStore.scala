@@ -40,15 +40,27 @@ import org.apache.spark.sql.types._
   * (current-label lookup), batch-key `isin` into `anchors` (same-key
   * edge endpoints), retired-label `isin` into `labels` (the rewrite
   * scan, whose row volume is the merged components' membership —
-  * data-proportional, no rounds). Under [[Dedup.DefaultMarkPruneCap]]
-  * the merge itself runs as a DRIVER-SIDE union-find over the
-  * batch's label-grain edges (a bounded planning lookup, the
-  * splitLeakageIndexed convention) — zero extra Spark jobs; past the
-  * cap every collect swaps for its semi-join twin and the label-grain
-  * merge runs [[Dedup.connectedComponentsStar]] (label-grain ≪
-  * doc-grain: components are already collapsed), the cheaper plan at
-  * that batch size. */
+  * data-proportional, no rounds). The merge itself runs as a
+  * DRIVER-SIDE union-find over the batch's edges up to
+  * [[DefaultUfEdgeCap]] (16-byte tuples — millions fit a driver;
+  * a dup-dominated batch whose cliques exceed even that first
+  * collapses its OWN connectivity to a spanning star, one
+  * batch-grain CC) — zero CC rounds on the common path; only a
+  * pathological batch degrades to the distributed twin
+  * ([[Dedup.connectedComponentsStar]] at label grain).
+  * [[Dedup.DefaultMarkPruneCap]] separately bounds the literal
+  * `isin` sets pushed into the store scans (the splitLeakageIndexed
+  * convention); above it each scan swaps to its semi-join twin
+  * while the merge stays on the driver. */
 object LabelStore {
+
+  /** Edge/row budget of the driver-side union-find: 16-byte tuples,
+    * so this is ~80 MB of driver heap at the default — far above any
+    * sane micro-batch's TOUCHED relation, yet a hard bound so a
+    * pathological batch degrades to the distributed twin instead of
+    * an OOM. Distinct from [[Dedup.DefaultMarkPruneCap]], which
+    * bounds literal isin pushes into store scans. */
+  val DefaultUfEdgeCap: Int = 5000000
 
   val LabelsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType), StructField("group", LongType)))
@@ -168,52 +180,98 @@ object LabelStore {
   def update(spark: SparkSession, root: String, batchDocs: DataFrame,
       idCol: String, keyCol: String, batchPairs: DataFrame,
       tag: String,
-      pruneCap: Int = Dedup.DefaultMarkPruneCap): DataFrame = {
-    import spark.implicits._
-    if (Dedup.isBatchCommitted(spark, root, tag)) {
-      val seg = new org.apache.hadoop.fs.Path(
-        s"$root/labels/seg-$tag-*")
-      val fs = seg.getFileSystem(spark.sessionState.newHadoopConf())
-      val matches = fs.globStatus(seg)
-      return if (matches == null || matches.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          LabelsSchema)
-      // explicit file list, not the glob string: a glob path makes
-      // the reader probe it as a streaming-sink metadata dir first
-      // (a logged FileNotFoundException WARN on every sealed retry)
-      else spark.read.schema(LabelsSchema)
-        .parquet(matches.map(_.getPath.toString).toIndexedSeq: _*)
-    }
+      pruneCap: Int = Dedup.DefaultMarkPruneCap,
+      ufCap: Int = DefaultUfEdgeCap): DataFrame = {
+    if (Dedup.isBatchCommitted(spark, root, tag))
+      return sealedSegment(spark, root, tag)
     Dedup.cleanTaggedSegments(spark, root, tag,
       Seq("labels", "anchors"))
     val b = batchDocs.select(
         col(idCol).cast("long").as("doc_id"),
         col(keyCol).cast("string").as("ckey"))
-      .distinct().localCheckpoint()
+      .distinct()
     val pairs = batchPairs.select(col("doc_a").cast("long"),
       col("doc_b").cast("long"))
-    val bRows = b.limit(pruneCap + 1).collect()
-    val pRows = pairs.limit(pruneCap + 1).collect()
+    // per-batch job economy (a streaming consumer pays this EVERY
+    // micro-batch, ProbeScale foldlabel): the two bounding collects
+    // run directly on the lazy frames (no checkpoint jobs), the
+    // driver plan's segment stays LAZY through the staged write (the
+    // rewrite scan reads the table once, inside that write, before
+    // any file moves), and the returned frame is the SEALED segment
+    // read back — literally "the sealed segment's rows", with no
+    // eager materialization job
+    // TWO separate bounds (they answer different questions):
+    //  - `ufCap` bounds what the DRIVER MERGE ingests — edges and
+    //    batch rows are 16-byte tuples, so millions fit a driver
+    //    comfortably and a Scala union-find over them is
+    //    sub-second; a dup-dominated batch (near-dup cliques carry
+    //    C(n,2) pairs) stays on the fast driver path instead of
+    //    falling into distributed label-grain CC rounds;
+    //  - `pruneCap` keeps its store-wide meaning (the
+    //    splitLeakageIndexed convention): the largest literal set
+    //    pushed as an isin into a store scan — above it the scans
+    //    swap to their semi-join twins but the merge STAYS on the
+    //    driver.
+    val bRows = b.limit(ufCap + 1).collect()
+    val pRows0 = pairs.limit(ufCap + 1).collect()
+    // beyond even ufCap: collapse the batch's OWN connectivity to a
+    // spanning star first — one BATCH-grain CC, connectivity-exact
+    // (every member linked to its batch-component min), edge count
+    // ≤ touched nodes — and retry the bounded collect
+    val (pairsEff, pRows) =
+      if (pRows0.length <= ufCap) (pairs, pRows0)
+      else {
+        val star = Dedup.connectedComponentsStar(pairs,
+            "doc_a", "doc_b")
+          .toDF("doc_a", "doc_b")
+          .filter(col("doc_a") =!= col("doc_b"))
+          .localCheckpoint() // read by the collect and (maybe) the
+                             // distributed fallback's joins
+        (star, star.limit(ufCap + 1).collect())
+      }
     val driverSized =
-      bRows.length <= pruneCap && pRows.length <= pruneCap
+      bRows.length <= ufCap && pRows.length <= ufCap
     val (segLabels, newAnchors) =
       if (driverSized)
         planDriver(spark, root, bRows.map(r =>
             (r.getLong(0), Option(r.getString(1)))),
           pRows.map(r => (r.getLong(0), r.getLong(1))), pruneCap)
-      else planDistributed(spark, root, b, pairs)
-    val out = segLabels.localCheckpoint(eager = true)
+      else {
+        val (l, a) = planDistributed(spark, root,
+          b.localCheckpoint(), pairsEff)
+        // over-cap frames are read twice (staging write + return
+        // would recompute them AFTER the append mutated the store)
+        (l.localCheckpoint(eager = true), a)
+      }
     graft.sources.StoreLease.withLease(spark, root,
         s"labels-append-$tag") {
       // ONE file per table per batch (the manifest-layout finding:
       // steady-state readers pay file count; compact-labels is the
       // backstop, not the first line)
       Dedup.taggedSegmentAppend(spark, root, tag,
-        Seq("labels" -> out.repartition(1),
+        Seq("labels" -> segLabels.repartition(1),
           "anchors" -> newAnchors.repartition(1)))
     }
-    out
+    sealedSegment(spark, root, tag)
+  }
+
+  /** The sealed `tag` segment's label rows (empty frame for an
+    * empty sealed segment). Explicit file list, not the glob string:
+    * a glob path makes the reader probe it as a streaming-sink
+    * metadata dir first (a logged FileNotFoundException WARN on
+    * every sealed retry). */
+  private def sealedSegment(spark: SparkSession, root: String,
+      tag: String): DataFrame = {
+    val seg = new org.apache.hadoop.fs.Path(
+      s"$root/labels/seg-$tag-*")
+    val fs = seg.getFileSystem(spark.sessionState.newHadoopConf())
+    val matches = fs.globStatus(seg)
+    if (matches == null || matches.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        LabelsSchema)
+    else spark.read.schema(LabelsSchema)
+      .parquet(matches.map(_.getPath.toString).toIndexedSeq: _*)
   }
 
   /** The bounded (common) regime: two collects bound the whole merge
@@ -225,15 +283,23 @@ object LabelStore {
       bRows: Array[(Long, Option[String])],
       pRows: Array[(Long, Long)], pruneCap: Int)
       : (DataFrame, DataFrame) = {
-    import spark.implicits._
     val batchIds = bRows.map(_._1)
     val batchKeys = bRows.flatMap(_._2).distinct
     // anchors of the batch's keys (≤ one row per key by the
     // append-if-absent rule below)
+    import spark.implicits._
+    // isin when the key set fits the push cap, semi-join twin above
+    // it (the splitLeakageIndexed convention) — the merge itself
+    // stays on the driver either way
+    def fetch(t: DataFrame, c: String, keys: Seq[Any]): DataFrame =
+      if (keys.size <= pruneCap) t.filter(col(c).isin(keys: _*))
+      else t.join(broadcast(keys.map(k => Tuple1(k.toString))
+          .toDF("_ls_k")),
+        col(c).cast("string") === col("_ls_k"), "left_semi")
     val anchorMap: Map[String, Long] =
       if (batchKeys.isEmpty) Map.empty
-      else readTable(spark, s"$root/anchors", AnchorsSchema)
-        .filter(col("ckey").isin(batchKeys.toIndexedSeq: _*))
+      else fetch(readTable(spark, s"$root/anchors", AnchorsSchema),
+          "ckey", batchKeys.toIndexedSeq)
         .groupBy(col("ckey")).agg(min(col("doc_id")).as("doc_id"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // key edges: within-batch to the batch key-min, plus one edge
@@ -255,8 +321,8 @@ object LabelStore {
     // current labels of every touched node (absent ⇒ own id)
     val curLabel: Map[Long, Long] = (
       if (nodes.isEmpty) Map.empty[Long, Long]
-      else readTable(spark, s"$root/labels", LabelsSchema)
-        .filter(col("doc_id").isin(nodes.toIndexedSeq: _*))
+      else fetch(readTable(spark, s"$root/labels", LabelsSchema),
+          "doc_id", nodes.toIndexedSeq)
         .groupBy(col("doc_id")).agg(min(col("group")).as("group"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     ).withDefault(identity)
@@ -290,11 +356,22 @@ object LabelStore {
         // one pushed filter + one broadcast remap, no rounds
         val remap = broadcast(
           changed.toSeq.toDF("group", "_ls_new"))
-        val rewrites = readTable(spark, s"$root/labels", LabelsSchema)
-          .filter(col("group").isin(changed.keys.toIndexedSeq: _*))
+        val retired = readTable(spark, s"$root/labels", LabelsSchema)
+        val pushed =
+          if (changed.size <= pruneCap)
+            retired.filter(
+              col("group").isin(changed.keys.toIndexedSeq: _*))
+          else retired // the remap join below filters the same rows
+        val exclBatch =
+          if (batchIdSet.size <= pruneCap)
+            (d: DataFrame) => d.filter(
+              !col("doc_id").isin(batchIdSet.toIndexedSeq: _*))
+          else (d: DataFrame) => d.join(
+            broadcast(batchIds.toIndexedSeq.toDF("doc_id")),
+            Seq("doc_id"), "left_anti")
+        val rewrites = exclBatch(pushed
           .join(remap, Seq("group"))
-          .select(col("doc_id"), col("_ls_new").as("group"))
-          .filter(!col("doc_id").isin(batchIdSet.toIndexedSeq: _*))
+          .select(col("doc_id"), col("_ls_new").as("group")))
         batchRows.toSeq.toDF("doc_id", "group")
           .unionByName(rewrites)
       }

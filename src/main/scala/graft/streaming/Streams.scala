@@ -974,12 +974,16 @@ object Streams {
           // index, label-store merge, then keys + item masses in one
           // sealed append
           media.foreach { case (name, fp0, itemOf) =>
+            graft.Phases.time(s"mm_$name[b$batchId]") {
             val mRoot = s"$storeRoot/$name"
             val idxDir = s"$mRoot/index"
             val fp = fp0.select(col("doc").cast("long").as("doc"),
               col("fp").cast("long").as("fp")).localCheckpoint()
+            // lazy: the label update collects the pairs exactly once,
+            // before the keys append mutates the index
             val fpPairs = graft.operators.Dedup.phashPairsAgainst(s,
-              fp, idxDir, radius, width, Some(blocks), keyBlocks)
+              fp, idxDir, radius, width, Some(blocks), keyBlocks,
+              materialize = false)
             // item-grain edges (video: frame pairs → video pairs;
             // doc-grain modalities: identity)
             val itemPairs = fpPairs
@@ -992,7 +996,9 @@ object Streams {
                 bit_count(col("fp")).cast("long").as("fmass"))
               .groupBy(col("id"))
               .agg(sum(col("fmass")).as("mass"))
-              .localCheckpoint()
+            // no checkpoint: a cheap aggregate over the (already
+            // checkpointed) batch fingerprints — recomputed once by
+            // the update's collect and once inside the staged write
             graft.operators.LabelStore.update(s, s"$mRoot/labels",
               items.select(col("id"),
                 lit(null).cast("string").as("_mm_key")),
@@ -1009,6 +1015,7 @@ object Streams {
                   tag, Seq("index/keys" -> keyRows,
                     "items" -> items.repartition(1)))
               }
+            }
             }
           }
         } finally s.conf.set(widthKey, oldWidth)

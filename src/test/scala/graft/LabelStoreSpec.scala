@@ -49,11 +49,11 @@ class LabelStoreSpec extends AnyFunSuite with SparkSpec
       pairs))
   }
 
-  private def runPrefixes(root: String, pruneCap: Int): Unit = {
+  private def runPrefixes(root: String, ufCap: Int): Unit = {
     batches.zipWithIndex.foreach { case ((docs, pairs), i) =>
       LabelStore.update(spark, root, dfDocs(docs), "doc_id", "ckey",
-        dfPairs(pairs), s"b$i", pruneCap = pruneCap)
-      withClue(s"after batch $i (pruneCap=$pruneCap): ") {
+        dfPairs(pairs), s"b$i", ufCap = ufCap)
+      withClue(s"after batch $i (ufCap=$ufCap): ") {
         labelSet(LabelStore.read(spark, root)) shouldBe oracle(i)
       }
     }
@@ -62,15 +62,52 @@ class LabelStoreSpec extends AnyFunSuite with SparkSpec
   test("stored labels equal componentGroups' on every batch prefix " +
     "(driver union-find regime)") {
     val root = Files.createTempDirectory("graft_ls_").toString
-    try runPrefixes(root, Dedup.DefaultMarkPruneCap)
+    try runPrefixes(root, LabelStore.DefaultUfEdgeCap)
     finally Scratch.deleteRecursively(new java.io.File(root))
   }
 
-  test("over-cap distributed regime labels identically (pruneCap=0 " +
+  test("over-cap distributed regime labels identically (ufCap=0 " +
     "forces the semi-join + label-grain CC path)") {
     val root = Files.createTempDirectory("graft_lsd_").toString
     try runPrefixes(root, 0)
     finally Scratch.deleteRecursively(new java.io.File(root))
+  }
+
+  test("driver path with isin pushes disabled (pruneCap=0: every " +
+    "store scan takes its semi-join twin) labels identically") {
+    val root = Files.createTempDirectory("graft_lsj_").toString
+    try batches.zipWithIndex.foreach { case ((docs, pairs), i) =>
+      LabelStore.update(spark, root, dfDocs(docs), "doc_id", "ckey",
+        dfPairs(pairs), s"b$i", pruneCap = 0)
+      withClue(s"after batch $i (pruneCap=0): ") {
+        labelSet(LabelStore.read(spark, root)) shouldBe oracle(i)
+      }
+    } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
+
+  test("a dup-dominated batch (clique edges past ufCap) collapses " +
+    "to a spanning star and still labels exactly") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_lss_").toString
+    try {
+      // one 40-clique (780 pairs) + an isolated doc, ufCap 100:
+      // the star collapse fires, the result still fits the driver
+      val ids = (10L to 49L)
+      val docs = (ids :+ 900L).map(i => (i, s"u$i"))
+      val clique = ids.flatMap(a => ids.filter(_ > a).map(b => (a, b)))
+      LabelStore.update(spark, root, docs.toDF("doc_id", "ckey"),
+        "doc_id", "ckey", clique.toDF("doc_a", "doc_b"), "b0",
+        ufCap = 100)
+      val expect = ids.map(i => (i, 10L)).toSet + ((900L, 900L))
+      labelSet(LabelStore.read(spark, root)) shouldBe expect
+      // batch 1 bridges the clique and the isolate through the store
+      LabelStore.update(spark, root,
+        Seq((5L, "u5")).toDF("doc_id", "ckey"), "doc_id", "ckey",
+        Seq((5L, 900L), (5L, 11L)).toDF("doc_a", "doc_b"), "b1",
+        ufCap = 100)
+      labelSet(LabelStore.read(spark, root)) shouldBe
+        (ids.map(i => (i, 5L)).toSet + ((900L, 5L)) + ((5L, 5L)))
+    } finally Scratch.deleteRecursively(new java.io.File(root))
   }
 
   test("sealed-segment retry: a committed tag returns the segment " +
@@ -150,12 +187,12 @@ class LabelStoreSpec extends AnyFunSuite with SparkSpec
           dfDocs(batchSpecs.take(upTo + 1).flatMap(_._1)),
           "doc_id", col("ckey"),
           dfPairs(batchSpecs.take(upTo + 1).flatMap(_._2))))
-      Seq(Dedup.DefaultMarkPruneCap, 0).foreach { cap =>
+      Seq(LabelStore.DefaultUfEdgeCap, 0).foreach { cap =>
         val root = Files
           .createTempDirectory(s"graft_lsp_${seed}_$cap").toString
         try batchSpecs.zipWithIndex.foreach { case ((d, p), i) =>
           LabelStore.update(spark, root, dfDocs(d), "doc_id",
-            "ckey", dfPairs(p), s"b$i", pruneCap = cap)
+            "ckey", dfPairs(p), s"b$i", ufCap = cap)
           withClue(s"seed=$seed cap=$cap prefix=$i: ") {
             labelSet(LabelStore.read(spark, root)) shouldBe
               oracleAt(i)
