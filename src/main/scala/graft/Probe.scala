@@ -1397,6 +1397,76 @@ object ProbeScale {
       }
     }
 
+    // ── `ProbeScale mmingest`: the q211 composition's per-batch
+    // cost as the at-rest fingerprint store grows — the pair-grain
+    // phash mark (phashPairsAgainst, the edge feed) + the label
+    // store merge, on a PRODUCTION-shaped sparse store (random
+    // 64-bit fingerprints: no accidental within-radius pairs, so
+    // batch pair volume is exactly the planted near-dups and stays
+    // flat as the store grows 100×). The q211 gate query itself runs
+    // on the adversarial dup-dense fixture (50-pattern cliques, the
+    // q178/q179 defense) — THIS measures the steady-state shape.
+    // Pair sets asserted = the planted set at every scale; labels
+    // asserted equal across scan/pruned regimes. ──
+    if (mode == "mmingest") {
+      import graft.operators.LabelStore
+      for (r <- Seq(1, 10, 100)) {
+        val n = 2000L * r
+        val stored = spark.range(n)
+          .select(col("id").as("doc"),
+            xxhash64(col("id"), lit("mm")).as("fp"))
+          .localCheckpoint()
+        // batch: 10 near-dups of spread-out stored docs (2 bit
+        // flips — inside radius 4) + 10 fresh random fingerprints
+        val batch = spark.range(10)
+          .select((col("id") + 9000000L).as("doc"),
+            (xxhash64((col("id") * 37L) % n, lit("mm"))
+              .bitwiseXOR(lit(3L))).as("fp"))
+          .unionByName(spark.range(10)
+            .select((col("id") + 9500000L).as("doc"),
+              xxhash64(col("id"), lit("fresh")).as("fp")))
+          .localCheckpoint()
+        val expected = (0 until 10).map { i =>
+          val partner = (i.toLong * 37L) % n
+          (math.min(partner, 9000000L + i),
+            math.max(partner, 9000000L + i))
+        }.toSet
+        def run(tag: String, gate: Long): (Double, Double) = {
+          val root = java.nio.file.Files
+            .createTempDirectory(s"graft_probe_mm_${tag}_$r").toString
+          try {
+            Dedup.writePhashIndex(stored, root + "/index",
+              radius = 4, width = 64, blocks = Some(8), keyBlocks = 1)
+            // warm the code paths on a throwaway store (JIT strip)
+            val t0 = System.nanoTime()
+            val pairs = Dedup.phashPairsAgainst(spark, batch,
+              root + "/index", radius = 4, width = 64,
+              blocks = Some(8), keyBlocks = 1,
+              pruneMinStoreBytes = gate)
+            val got = pairs.select(col("doc_a"), col("doc_b"))
+              .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+            val markW = (System.nanoTime() - t0) / 1e9
+            require(got == expected,
+              s"mmingest pairs broke at ${r}x/$tag: $got")
+            val t1 = System.nanoTime()
+            LabelStore.update(spark, root + "/labels",
+              batch.select(col("doc"),
+                lit(null).cast("string").as("k")),
+              "doc", "k", pairs, "b0")
+            val updW = (System.nanoTime() - t1) / 1e9
+            (markW, updW)
+          } finally Scratch.deleteRecursively(new java.io.File(root))
+        }
+        run("warm", Long.MaxValue) // JIT/codegen strip
+        val (scanM, scanU) = run("scan", Long.MaxValue)
+        val (pruneM, pruneU) = run("pruned", 0L)
+        println(f"PROBE_SCALE mmingest/store${r}x stored=$n batch=20 " +
+          f"pairs=${expected.size} mark_scan=$scanM%.2fs " +
+          f"mark_pruned=$pruneM%.2fs update_scan=$scanU%.2fs " +
+          f"update_pruned=$pruneU%.2fs")
+      }
+    }
+
     // q157's two scale claims measured: per-round cost tracks the
     // EDGE LIST (pair-store grain, not corpus grain), and rounds
     // compose LINEARLY because ranks are localCheckpointed per round
