@@ -785,10 +785,18 @@ object Main {
     * compare every manifest row's at-ingest split against the final
     * component fold (the q209 arithmetic), and when moved docs
     * exceed `maxMovedMilli` (per mille of manifest rows) rewrite the
-    * manifests at the final folds — write-then-swap under the
-    * MANIFEST dir's sibling lease, which the fold-ingest sink also
-    * takes per batch, so a live ingest and the swap exclude each
-    * other loudly. A manifest/store pair out of sync fails loudly
+    * manifests at the final folds — a DRIFT-TARGETED PARTIAL
+    * rewrite: only the sealed batch partitions holding moved docs
+    * are overwritten (dynamic partition overwrite, one file per
+    * partition), so repair IO tracks the drift rather than the
+    * corpus; untouched partitions already agree with the final folds
+    * on every split (a straddling component's unmoved members sit at
+    * the final fold by definition — their informational `group`
+    * column refreshes lazily, on the partition's next rewrite).
+    * The write runs under the MANIFEST dir's sibling lease, which
+    * the fold-ingest sink also takes per batch, so a live ingest and
+    * the rewrite exclude each other loudly. A manifest/store pair
+    * out of sync fails loudly
     * before any rewrite (the orphan guard). Idempotent: a second
     * run reads zero drift. Column names come from the docs table's
     * schema (the componentFoldIngest write order: id, key, source),
@@ -847,6 +855,7 @@ object Main {
       org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(df)
     val manifests = spark.read.parquet(manifestDir)
     val nDocs = manifests.count()
+    val nParts = manifests.select(col("batch_id")).distinct().count()
     val drift = manifests
       .select(col(idCol), col("split").as("_old"))
       .join(grp, Seq(idCol))
@@ -869,6 +878,14 @@ object Main {
       .filter(col("_n") > 1)
       .agg(coalesce(sum(col("_m")), lit(0L)))
       .collect()(0).getLong(0)
+    // the partitions a DRIFT-TARGETED rewrite must touch: sealed
+    // batches holding at least one moved doc (bounded: ≤ moved)
+    val touchedParts: Array[Any] =
+      if (moved == 0) Array.empty[Any]
+      else manifests
+        .join(drift.filter(col("_old") =!= col("_new"))
+          .select(col(idCol)), Seq(idCol), "left_semi")
+        .select(col("batch_id")).distinct().collect().map(_.get(0))
     free(drift)
     val movedMilli = if (nDocs == 0) 0L else moved * 1000 / nDocs
     val head = Seq(
@@ -882,28 +899,37 @@ object Main {
       free(grp)
       head :+ s"within gate (max $maxMovedMilli milli): no refold"
     } else {
-      // read fully BEFORE the swap destroys the source files
-      val refolded = manifests.drop("group", "split")
+      // DRIFT-TARGETED PARTIAL REWRITE (r17): only the sealed batch
+      // partitions holding moved docs are rewritten (dynamic
+      // partition overwrite — one file per rewritten partition, the
+      // fold sink's layout), so repair IO tracks the DRIFT, not the
+      // corpus; a partition with no moved doc already agrees with
+      // the final folds on every split (a straddling component's
+      // unmoved members sit at the final fold by definition), so the
+      // split contract is fully repaired. The informational `group`
+      // column refreshes only in rewritten partitions — reports and
+      // guards derive groups from the store, never from manifests.
+      // Read fully BEFORE the overwrite touches the source files.
+      val refolded = manifests
+        .filter(col("batch_id").isin(touchedParts.toIndexedSeq: _*))
+        .drop("group", "split")
         .join(grp, Seq(idCol))
         .withColumn("split", foldOf(graft.functions.hashes
           .md5Hash60(col("group").cast("string")) % 10))
         .localCheckpoint()
       free(grp)
+      val nRewritten = refolded.count()
       // the MANIFEST dir's sibling lease, not the store root's: the
       // fold-ingest sink takes the same lease per batch, so a live
-      // ingest and this swap exclude each other loudly (leasing only
-      // storeRoot would exclude nothing that writes manifestDir)
+      // ingest and this rewrite exclude each other loudly (leasing
+      // only storeRoot would exclude nothing that writes manifestDir)
       graft.sources.StoreLease.withLease(spark, manifestDir, "refold") {
-        val conf = spark.sparkContext.hadoopConfiguration
-        val p = new org.apache.hadoop.fs.Path(manifestDir)
-        val tmp = new org.apache.hadoop.fs.Path(s"$manifestDir.refolding")
-        val fs = p.getFileSystem(conf)
-        fs.delete(tmp, true) // stale sibling from a crashed run
-        refolded.write.partitionBy("batch_id").parquet(tmp.toString)
-        require(fs.delete(p, true),
-          s"could not remove old manifests $p")
-        require(fs.rename(tmp, p),
-          s"could not move refolded manifests to $p")
+        refolded
+          .repartition(col("batch_id"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(manifestDir)
       }
       free(refolded)
       // the verification leg — never claim the repair without it
@@ -916,8 +942,9 @@ object Main {
           threshold = thresholdMilli / 1000.0)
         .filter(col("is_leaked")).count()
       head ++ Seq(
-        s"refolded $manifestDir: $nDocs rows rewritten at the " +
-          "final component folds",
+        s"refolded $manifestDir: $nRewritten rows rewritten at the " +
+          s"final component folds (${touchedParts.length} of " +
+          s"$nParts sealed partitions touched)",
         if (leaked == 0L)
           s"re-measure: 0 of $nVal val docs leak at " +
             s"$thresholdMilli milli — repair verified"

@@ -746,7 +746,10 @@ class MainSpec extends AnyFunSuite with SparkSpec with Matchers {
       lines.foreach(l => info(l))
       lines.head should include("final labels via label store")
       lines(1) should include("1 moved")
-      lines(2) should include("rewritten")
+      // drift-targeted partial rewrite: doc 20's partition holds no
+      // moved doc — it is never rewritten (repair IO tracks drift)
+      lines(2) should include("2 rows rewritten")
+      lines(2) should include("1 of 2 sealed partitions touched")
       lines.last should include("repair verified")
       val after = spark.read.parquet(root + "/out")
         .select("doc_id", "group", "split")
