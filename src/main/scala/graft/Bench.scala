@@ -287,6 +287,38 @@ object Bench {
     // reference, so a same-box run can never prove itself ambient —
     // that case still needs an isolated re-run, but it is also the
     // case where the TOTAL is visibly inflated, not one query.
+    // ---- persisted per-host clean-spin band ----
+    // The residual blind spot above, closed as far as an artifact
+    // can: contention spanning the ENTIRE run inflates every
+    // within-run spin INCLUDING the tie-breaker's reference, so a
+    // fully-squeezed run cannot prove itself ambient from its own
+    // readings. The band is the (host, cpus)-keyed cleanest
+    // full-width spin across PAST runs (calib_history.tsv, appended
+    // per bench run and committed per round): when THIS run's
+    // cleanest spin sits far above the band, a reproducing retime
+    // verdicts `ambient_history` — the whole window was squeezed,
+    // self-labeled from the artifact alone (PLANS.md planted demo).
+    val histPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_CALIB_HISTORY",
+        "calib_history.tsv"))
+    val hostName =
+      try java.net.InetAddress.getLocalHost.getHostName
+      catch { case scala.util.control.NonFatal(_) => "unknown" }
+    val histBand: Option[Double] =
+      try {
+        if (!java.nio.file.Files.exists(histPath)) None
+        else {
+          val spins = scala.jdk.CollectionConverters
+            .ListHasAsScala(
+              java.nio.file.Files.readAllLines(histPath)).asScala
+            .map(_.split("\t"))
+            .filter(r => r.length >= 3 && r(0) == hostName &&
+              r(1) == cpus.toInt.toString)
+            .flatMap(r => scala.util.Try(r(2).toDouble).toOption)
+          if (spins.isEmpty) None else Some(spins.min)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val cleanestSpin = (calibMtStart +: calibTrack.toSeq).min
     val retimed = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val retimeCalib = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val retimeVerdict = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -301,7 +333,6 @@ object Bench {
             (wide && cpu >= 0 && cpu < wall)
         }
       }.sortBy(-_._2).take(12)
-      val cleanestSpin = (calibMtStart +: calibTrack.toSeq).min
       outliers.foreach { case (name, origWall) =>
         fnByName.get(name).foreach { fn =>
           var df: org.apache.spark.sql.DataFrame = null
@@ -316,7 +347,12 @@ object Bench {
               val c = calibrateMt()
               retimeCalib(name) = c
               retimeVerdict(name) =
-                if (c > 1.3 * cleanestSpin) "ambient" else "reproduced"
+                if (c > 1.3 * cleanestSpin) "ambient"
+                else if (histBand.exists(b => cleanestSpin > 1.3 * b))
+                  // the run's OWN reference is inflated vs the
+                  // host's recorded clean band — whole-run squeeze
+                  "ambient_history"
+                else "reproduced"
             }
           } catch { case scala.util.control.NonFatal(_) => () }
           finally {
@@ -366,6 +402,21 @@ object Bench {
       if (cpuSec.values.exists(_ < 0)) -1.0 else cpuSec.values.sum
     val calibEnd = calibrate()
     val calibMtEnd = calibrateMt()
+    // append this run's cleanest observed spin to the host band
+    // history (end spin included — a run squeezed only mid-window
+    // still records its cleanest edge); read path is band = MIN, so
+    // appends from squeezed runs can only loosen nothing
+    locally {
+      val cleanestAll = math.min(cleanestSpin, calibMtEnd)
+      val row = s"$hostName\t${cpus.toInt}\t" +
+        String.format(java.util.Locale.ROOT, "%.3f",
+          Double.box(cleanestAll)) + "\n"
+      try java.nio.file.Files.writeString(histPath, row,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] calib history append: $e") }
+    }
     // Key ORDER inside the full line is load-bearing: a fixed-size
     // tail capture keeps the END of the output, so the per-query WALL
     // map goes LAST (after the gc/cpu diagnostic maps) — r5 lost the
@@ -395,6 +446,8 @@ object Bench {
         s""""calib_mt_sec":[${num(calibMtStart)},${num(calibMtEnd)}],""" +
         s""""calib_track":[${calibTrack.map(num).mkString(",")}],""" +
         s""""calib_every":$calibEvery,""" +
+        s""""calib_cleanest":${num(cleanestSpin)},""" +
+        s""""calib_band":${num(histBand.getOrElse(-1.0))},""" +
         s""""retimed_sec":${jsonObj(retimed)},""" +
         s""""retime_calib":${jsonObj(retimeCalib)},""" +
         s""""retime_verdict":${retimeVerdict
@@ -430,6 +483,8 @@ object Bench {
         s""""calib_mt_sec":[${num(calibMtStart)},${num(calibMtEnd)}],""" +
         s""""calib_track":[${calibTrack.map(num).mkString(",")}],""" +
         s""""calib_every":$calibEvery,""" +
+        s""""calib_cleanest":${num(cleanestSpin)},""" +
+        s""""calib_band":${num(histBand.getOrElse(-1.0))},""" +
         s""""top_wall":${jsonObj(topWall)},""" +
         s""""top_wall_tasks":${jsonObjInt(topWallTasks)},""" +
         s""""retimed_sec":${jsonObj(retimed)},""" +

@@ -108,7 +108,8 @@ object Main {
       compactPhash(spark, indexDir, doubleArg(rest, 2.0).get)
     case Seq("compact-labels", labelRoot, rest @ _*)
         if doubleArg(rest, 2.0).isDefined =>
-      compactLabels(spark, labelRoot, doubleArg(rest, 2.0).get)
+      compactLabels(spark, labelRoot, doubleArg(rest, 2.0).get,
+        rest.drop(1).headOption)
     case Seq("img-health", sfDir, rest @ _*) =>
       imgHealth(spark, sfDir, rest.headOption)
     case Seq("aud-health", sfDir) => audHealth(spark, sfDir)
@@ -120,7 +121,8 @@ object Main {
       refold(spark, storeRoot, manifestDir, intArg(rest, 0).get,
         intArg(rest.drop(1), 500).get)
     case Seq("index", storeDir) => indexInfo(spark, storeDir)
-    case Seq("labels", labelRoot) => labelsInfo(spark, labelRoot)
+    case Seq("labels", labelRoot, rest @ _*) if rest.size <= 1 =>
+      labelsInfo(spark, labelRoot, rest.headOption)
     case Seq("lease", storeDir) => leaseInfo(spark, storeDir, doBreak = false)
     case Seq("lease", storeDir, "--break") =>
       leaseInfo(spark, storeDir, doBreak = true)
@@ -165,10 +167,12 @@ object Main {
         "phash fingerprint index: measure the key table's bkey " +
         "dilution; rewrite as one clustered generation when over " +
         "budget",
-      "  compact-labels <labelRoot> [maxDilution]   same cycle for " +
-        "a union-find label store: measure superseded-row dilution " +
-        "(rewrite history per doc); rewrite to one current row per " +
-        "doc, doc-clustered, when over budget",
+      "  compact-labels <labelRoot> [maxDilution [docsDir]]   same " +
+        "cycle for a union-find label store: measure superseded-row " +
+        "dilution (rewrite history per doc); rewrite to one current " +
+        "row per doc, doc-clustered, when over budget; with docsDir " +
+        "also measure ANCHOR dilution (keys retired from the docs " +
+        "table) and drop retired anchors when over budget",
       "  img-health <sfDir> [phashIndexDir]   image-modality health " +
         "report: dup pairs, dup groups, largest group, index " +
         "segment count + dilution",
@@ -191,9 +195,10 @@ object Main {
         "contract)",
       "  index <storeDir>                    show a store's persisted " +
         "ANN metadata (what AnnIndex.registerFrom adopts)",
-      "  labels <labelRoot>                  union-find label store " +
+      "  labels <labelRoot> [docsDir]        union-find label store " +
         "health: row history vs current docs (compact-labels " +
-        "dilution), component census, anchor keys",
+        "dilution), component census, anchor keys (+ anchor " +
+        "dilution vs the docs table when docsDir is given)",
       "  lease <storeDir> [--break]          show a store's writer " +
         "lease; --break force-reclaims a dead writer's lease",
       "  ranges [--test-topic <topic>]       ID ranges + extraction test",
@@ -491,7 +496,8 @@ object Main {
     * the corpus is folded together), and the anchor-key count. One
     * pass over the current labels; no pair store touched. */
   private def labelsInfo(spark: SparkSession,
-      labelRoot: String): Seq[String] = {
+      labelRoot: String, docsDir: Option[String] = None)
+      : Seq[String] = {
     import graft.operators.LabelStore
     val totalRows = spark.read.schema(LabelStore.LabelsSchema)
       .parquet(s"$labelRoot/labels").count()
@@ -512,12 +518,33 @@ object Main {
       if (nDocs == 0) 0.0 else (totalRows - nDocs).toDouble / nDocs
     org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(current)
     org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(byGroup)
+    // anchor dilution (docsDir given): retired keys per live key —
+    // the compact-anchors gate's input, on the health card
+    val anchorLine = docsDir match {
+      case None => s"  anchors: $nAnchors keys"
+      case Some(dd) =>
+        val docsT = spark.read.parquet(s"$dd/docs")
+        val keyCol = docsT.schema.fieldNames(1)
+        val nLive = spark.read
+          .schema(LabelStore.AnchorsSchema)
+          .parquet(s"$labelRoot/anchors")
+          .join(docsT.select(col(keyCol).cast("string").as("ckey"))
+            .filter(col("ckey").isNotNull).distinct(),
+            Seq("ckey"), "left_semi")
+          .count()
+        val aDil =
+          if (nLive == 0)
+            (if (nAnchors == 0) 0.0 else nAnchors.toDouble)
+          else (nAnchors - nLive).toDouble / nLive
+        s"  anchors: $nAnchors keys ($nLive live in $dd, " +
+          s"dilution ${num2(aDil)})"
+    }
     Seq(
       s"label store $labelRoot: $totalRows rows for $nDocs docs " +
         s"(dilution ${num2(dilution)})",
       s"  components: $nGroups ($nMulti multi-doc covering " +
         s"$nGrouped docs)",
-      s"  anchors: $nAnchors keys") ++
+      anchorLine) ++
       top.map(r => s"  largest component: label ${r.getLong(0)} " +
         s"with ${r.getLong(1)} members").toSeq
   }
@@ -618,12 +645,15 @@ object Main {
     * swap under the store root's lease, which the ingest's label
     * append also takes — a live ingest and this swap exclude each
     * other loudly. Commit markers under `_commits/` are untouched:
-    * a batch re-delivered AFTER compaction still skips verbatim
-    * (its sealed segment files are gone, so the fast path returns
-    * an empty frame — and the fold sink's dynamic overwrite with an
-    * empty frame rewrites nothing, LabelStoreSpec-pinned). */
+    * a batch re-delivered AFTER compaction still skips the merge
+    * verbatim — its sealed segment files are gone, so the committed
+    * fast path recomputes the batch docs' rows from the store itself
+    * (LabelStore.lookup; LabelStoreSpec-pinned), which keeps a
+    * replayed batch's fold-sink write intact even when the crash
+    * landed the label append but not the manifest partition. */
   private def compactLabels(spark: SparkSession, labelRoot: String,
-      maxDilution: Double): Seq[String] = {
+      maxDilution: Double, docsDir: Option[String] = None)
+      : Seq[String] = {
     import graft.operators.LabelStore
     val labelsDir = s"$labelRoot/labels"
     val all = spark.read.schema(LabelStore.LabelsSchema)
@@ -637,30 +667,80 @@ object Main {
     val head = s"label store $labelRoot: $totalRows rows for " +
       s"$nDocs docs, dilution ${num2(dilution)} " +
       s"(budget ${num2(maxDilution)})"
-    if (dilution <= maxDilution)
-      Seq(head, "within budget: no compaction needed")
-    else {
-      graft.sources.StoreLease.withLease(spark, labelRoot,
-          "compact-labels") {
-        val conf = spark.sparkContext.hadoopConfiguration
-        val p = new org.apache.hadoop.fs.Path(labelsDir)
-        val tmp = new org.apache.hadoop.fs.Path(s"$labelsDir.compacting")
-        val fs = p.getFileSystem(conf)
-        fs.delete(tmp, true) // stale sibling from a crashed run
-        // bounded file count, doc-range-clustered (8M label rows ≈
-        // 128 MB per file at 16 bytes/row)
-        val files = math.max(1L, (nDocs + 7999999L) / 8000000L).toInt
-        current.repartitionByRange(files, col("doc_id"))
-          .sortWithinPartitions(col("doc_id"))
-          .write.parquet(tmp.toString)
-        require(fs.delete(p, true),
-          s"could not remove old label table $p")
-        require(fs.rename(tmp, p),
-          s"could not move compacted label table to $p")
-      }
-      org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(current)
-      Seq(head, s"compacted to $nDocs current rows (one per doc)")
+    def swapIn(dir: String, rewritten: org.apache.spark.sql.DataFrame,
+        files: Int, sortCol: String): Unit = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir.compacting")
+      val fs = p.getFileSystem(conf)
+      fs.delete(tmp, true) // stale sibling from a crashed run
+      rewritten.repartitionByRange(files, col(sortCol))
+        .sortWithinPartitions(col(sortCol))
+        .write.parquet(tmp.toString)
+      require(fs.delete(p, true), s"could not remove old table $p")
+      require(fs.rename(tmp, p),
+        s"could not move compacted table to $p")
     }
+    val labelLines =
+      if (dilution <= maxDilution)
+        Seq(head, "within budget: no compaction needed")
+      else {
+        graft.sources.StoreLease.withLease(spark, labelRoot,
+            "compact-labels") {
+          // bounded file count, doc-range-clustered (8M label rows ≈
+          // 128 MB per file at 16 bytes/row)
+          swapIn(labelsDir, current,
+            math.max(1L, (nDocs + 7999999L) / 8000000L).toInt,
+            "doc_id")
+        }
+        Seq(head, s"compacted to $nDocs current rows (one per doc)")
+      }
+    org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(current)
+    // ANCHORS KEYED COMPACT (docsDir given): append-if-absent keeps
+    // one anchor row per key, but a key deleted/renamed out of the
+    // docs table never retires on its own — key-churn corpora grow
+    // the table monotonically. Anchor dilution = retired keys per
+    // live key; over the same budget, the table rewrites to live
+    // keys only. Safe for the merge semantics: a retired key can
+    // never anchor a future batch edge (no doc carries it), and a
+    // key REINTRODUCED after its docs vanished should anchor to its
+    // new first doc — exactly what the rewrite leaves behind.
+    val anchorLines = docsDir.toSeq.flatMap { dd =>
+      val docsT = spark.read.parquet(s"$dd/docs")
+      // the fold-store docs convention (refold): (id, key, source)
+      val keyCol = docsT.schema.fieldNames(1)
+      val anchorsDir = s"$labelRoot/anchors"
+      val anchors = spark.read
+        .schema(graft.operators.LabelStore.AnchorsSchema)
+        .parquet(anchorsDir)
+      val nAnchors = anchors.count()
+      val liveKeys = docsT
+        .select(col(keyCol).cast("string").as("ckey"))
+        .filter(col("ckey").isNotNull).distinct()
+      val live = anchors.join(liveKeys, Seq("ckey"), "left_semi")
+        .localCheckpoint()
+      val nLive = live.count()
+      val aDil =
+        if (nLive == 0) (if (nAnchors == 0) 0.0 else nAnchors.toDouble)
+        else (nAnchors - nLive).toDouble / nLive
+      val ahead = s"anchors: $nAnchors rows, $nLive live keys in " +
+        s"$dd, dilution ${num2(aDil)} (budget ${num2(maxDilution)})"
+      val out =
+        if (aDil <= maxDilution)
+          Seq(ahead, "anchors within budget: no compaction needed")
+        else {
+          graft.sources.StoreLease.withLease(spark, labelRoot,
+              "compact-anchors") {
+            swapIn(anchorsDir, live,
+              math.max(1L, (nLive + 7999999L) / 8000000L).toInt,
+              "ckey")
+          }
+          Seq(ahead, s"anchors compacted to $nLive live keys")
+        }
+      org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(live)
+      out
+    }
+    labelLines ++ anchorLines
   }
 
   /** One modality's duplicate-census numbers: items, pairs, star-CC
@@ -879,13 +959,28 @@ object Main {
       .agg(coalesce(sum(col("_m")), lit(0L)))
       .collect()(0).getLong(0)
     // the partitions a DRIFT-TARGETED rewrite must touch: sealed
-    // batches holding at least one moved doc (bounded: ≤ moved)
-    val touchedParts: Array[Any] =
-      if (moved == 0) Array.empty[Any]
+    // batches holding at least one moved doc (bounded: ≤ moved).
+    // Checkpointed (tiny: distinct batch ids) so the over-cap
+    // semi-join below survives free(drift).
+    val touchedF = (
+      if (moved == 0)
+        manifests.select(col("batch_id")).limit(0)
       else manifests
         .join(drift.filter(col("_old") =!= col("_new"))
           .select(col(idCol)), Seq(idCol), "left_semi")
-        .select(col("batch_id")).distinct().collect().map(_.get(0))
+        .select(col("batch_id")).distinct()
+      ).localCheckpoint()
+    // literal push capped at the store-wide isin convention
+    // (DefaultMarkPruneCap); a drift touching more sealed partitions
+    // than that filters by left-semi join instead of bloating the
+    // driver collect and the filter plan
+    val touchCap = Dedup.DefaultMarkPruneCap
+    val touchedParts: Array[Any] =
+      touchedF.limit(touchCap + 1).collect().map(_.get(0))
+    val touchPushable = touchedParts.length <= touchCap
+    val nTouched =
+      if (touchPushable) touchedParts.length.toLong
+      else touchedF.count()
     free(drift)
     val movedMilli = if (nDocs == 0) 0L else moved * 1000 / nDocs
     val head = Seq(
@@ -897,6 +992,7 @@ object Main {
     // floor-divided milli would hide sub-milli drift at gate 0
     if (moved * 1000L <= maxMovedMilli.toLong * nDocs) {
       free(grp)
+      free(touchedF)
       head :+ s"within gate (max $maxMovedMilli milli): no refold"
     } else {
       // DRIFT-TARGETED PARTIAL REWRITE (r17): only the sealed batch
@@ -910,8 +1006,12 @@ object Main {
       // column refreshes only in rewritten partitions — reports and
       // guards derive groups from the store, never from manifests.
       // Read fully BEFORE the overwrite touches the source files.
-      val refolded = manifests
-        .filter(col("batch_id").isin(touchedParts.toIndexedSeq: _*))
+      val touched0 =
+        if (touchPushable)
+          manifests.filter(
+            col("batch_id").isin(touchedParts.toIndexedSeq: _*))
+        else manifests.join(touchedF, Seq("batch_id"), "left_semi")
+      val refolded = touched0
         .drop("group", "split")
         .join(grp, Seq(idCol))
         .withColumn("split", foldOf(graft.functions.hashes
@@ -932,6 +1032,7 @@ object Main {
           .parquet(manifestDir)
       }
       free(refolded)
+      free(touchedF)
       // the verification leg — never claim the repair without it
       val post = spark.read.parquet(manifestDir)
       val valIds = post.filter(col("split") === "val")
@@ -943,7 +1044,7 @@ object Main {
         .filter(col("is_leaked")).count()
       head ++ Seq(
         s"refolded $manifestDir: $nRewritten rows rewritten at the " +
-          s"final component folds (${touchedParts.length} of " +
+          s"final component folds ($nTouched of " +
           s"$nParts sealed partitions touched)",
         if (leaked == 0L)
           s"re-measure: 0 of $nVal val docs leak at " +

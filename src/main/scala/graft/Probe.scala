@@ -1467,6 +1467,70 @@ object ProbeScale {
       }
     }
 
+    // ── `ProbeScale mmbatch`: the at-ingest manifest's PER-BATCH
+    // FIXED cost along the axes `mmingest` does not vary — batch
+    // COUNT (many small crawl batches vs few large, constant total
+    // docs) and MODALITY count. Each (modality, batch) pays lease
+    // acquisitions, a label-store update (three pushed store reads
+    // + a sealed append), the keys/items seal, and the batch's
+    // delta-leg derivation — costs independent of batch SIZE, so
+    // they dominate exactly when a pipeline runs fine-grained
+    // batches. The table prices that tradeoff (PLANS.md). ──
+    if (mode == "mmbatch") {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+        spark.sqlContext
+      import spark.implicits._
+      val D = 240
+      val docRows = (0 until D).map(i =>
+        (i.toLong, s"c$i", "s", 10L + i % 7, 5L + i % 11))
+      def run(nBatches: Int, nMod: Int): Double = {
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_probe_mb_${nBatches}_$nMod")
+          .toString
+        val mediaOf = (bs: SparkSession, b: DataFrame) => {
+          val ids = b.select(col("doc_id")).localCheckpoint()
+          (0 until nMod).map { m =>
+            (s"mod$m",
+              ids.select(col("doc_id").as("doc"),
+                xxhash64(col("doc_id"), lit(m)).as("fp"),
+                col("doc_id").as("owner")),
+              (c: org.apache.spark.sql.Column) => c)
+          }
+        }
+        val input = MemoryStream[(Long, String, String, Long, Long)]
+        val q = graft.streaming.Streams.modalityManifestIngest(
+          input.toDF().toDF("doc_id", "canon", "source", "n_chars",
+            "toks"),
+          "doc_id", "canon", "source", "n_chars", "toks", mediaOf,
+          root, s"$root/ckpt", radius = 4, width = 64, blocks = 8,
+          keyBlocks = 1,
+          foldOf10 = h => graft.operators.Relational.foldOf(h % 10))
+        val per = D / nBatches
+        val t0 = System.nanoTime()
+        try (0 until nBatches).foreach { k =>
+          input.addData(docRows.filter(r =>
+            math.min((r._1 / per).toInt, nBatches - 1) == k): _*)
+          q.processAllAvailable()
+        } finally q.stop()
+        val w = (System.nanoTime() - t0) / 1e9
+        val manifest = graft.streaming.Streams
+          .modalityManifestFromDeltas(spark, root, "source")
+        require(manifest.agg(sum(col("n_items"))).collect()(0)
+            .getLong(0) == D.toLong * (nMod + 1),
+          s"mmbatch items broke at b$nBatches m$nMod")
+        Scratch.deleteRecursively(new java.io.File(root))
+        w
+      }
+      run(2, 3) // JIT/codegen strip
+      for (nb <- Seq(1, 4, 16); nm <- Seq(1, 3, 6)) {
+        val w = run(nb, nm)
+        println(f"PROBE_SCALE mmbatch/b${nb}m$nm docs=$D " +
+          f"batches=$nb modalities=$nm wall=$w%.2fs " +
+          f"per_batch=${w / nb}%.2fs")
+      }
+    }
+
     // q157's two scale claims measured: per-round cost tracks the
     // EDGE LIST (pair-store grain, not corpus grain), and rounds
     // compose LINEARLY because ranks are localCheckpointed per round

@@ -5597,67 +5597,31 @@ object SparkEntry {
     // (the verdict-5 done criterion): the oracle cannot tell which
     // engine path produced the manifest, which is the whole claim ──
     "q211_stream_modality_manifest" -> ((s, dir) => {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val ns = drainSession(s)
-      import ns.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = ns.sqlContext
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q211_").toString
-      val nDocs = t(s, dir, "documents").count()
-      val fpStore = mediaFingerprintStore(s, dir)
-      val docRows = syntheticUrlDocs(s, dir)
-        .select(col("doc_id"), col("canon"), col("source"),
-          col("n_chars").cast("long").as("n_chars"),
-          text.tokenCount(col("text")).cast("long").as("toks"))
-        .as[(Long, String, String, Long, Long)].collect().toSeq
-      val input = MemoryStream[(Long, String, String, Long, Long)]
-      val stream = input.toDF()
-        .toDF("doc_id", "canon", "source", "n_chars", "toks")
-      val mediaOf = (bs: SparkSession,
-          b: org.apache.spark.sql.DataFrame) => {
-        val ids = b.select(col("doc_id").as("_q211_owner"))
-          .localCheckpoint()
-        def slice(tbl: String, ownerOf: Column) =
-          bs.read.parquet(s"$fpStore/$tbl")
-            .join(ids, ownerOf === col("_q211_owner"), "left_semi")
-        Seq(
-          ("image", slice("img", col("doc") % nDocs),
-            (c: Column) => c),
-          ("audio", slice("aud", col("doc") % nDocs),
-            (c: Column) => c),
-          ("video",
-            slice("vid",
-              floor(col("doc") / 8).cast("long") % nDocs),
-            (c: Column) => floor(c / 8).cast("long")))
-      }
-      val ckpt = ephemeralCheckpoint("q211")
-      val q = Streams.modalityManifestIngest(stream, "doc_id",
-        "canon", "source", "n_chars", "toks", mediaOf, root,
-        ckpt.getAbsolutePath, radius = 4, width = 64, blocks = 8,
-        keyBlocks = 1)
-      try
-        // two id-residue batches: enough to prove incrementality
-        // (near-dup pairs and champion upgrades cross the boundary;
-        // StreamingSpec pins the multi-batch semantics) without a
-        // third full store cycle on the bench wall
-        (0 until 2).foreach { r =>
-          // residue of doc_id/8, not doc_id: the media fixtures live
-          // on multiples of 8/16/40, so any finer split leaves one
-          // batch media-empty and streams nothing across the
-          // boundary (measured: both halves carry ~50% of every
-          // modality at all three SFs)
-          input.addData(docRows.filter(t => (t._1 / 8) % 2 == r))
-          q.processAllAvailable()
-        }
-      finally {
-        try q.stop()
-        finally Scratch.deleteRecursively(ckpt)
-      }
+      val root = streamedModalityStore(s, dir, "q211")
       val res = Streams.modalityManifestReport(s, root, "doc_id",
         "canon", "source", "toks", Seq("image", "audio", "video"),
         h => Relational.foldOf(h % 10))
       materializeThenClean(s, res, root)
     }),
+
+    // ── NS streaming: the q211 manifest's PER-BATCH DELTA rows —
+    // the curator read without the item-grain join: every batch of
+    // the SAME at-ingest lifecycle also seals additive
+    // (modality, source, split) delta partials (kept corrections
+    // SIGNED — a champion dethronement or keeper merge subtracts
+    // what it previously contributed), derived purely from at-rest
+    // pre/post store views (store minus/plus the batch's own seg
+    // files — retry recomputes identical rows), and the running
+    // manifest is ONE SUM over the delta table: no label-store
+    // read, no champion window, no CC. ONE SHARED ORACLE with
+    // q208/q211 — the summed deltas must be bit-indistinguishable
+    // from the batch-computed manifest ──
+    "q214_modality_manifest_deltas" -> ((s, dir) => {
+      val root = streamedModalityStore(s, dir, "q214")
+      val res = Streams.modalityManifestFromDeltas(s, root, "source")
+      materializeThenClean(s, res, root)
+    }),
+
 
     // ── NS training-data: STORE-BACKED FOLD-DRIFT REPORT — q209's
     // at-rest measurement with the component RE-WALK removed (the
@@ -5741,8 +5705,133 @@ object SparkEntry {
             .as("n_moved"),
           sum(when(col("_lk"), 1L).otherwise(0L)).as("n_leaky_docs"))
       materializeThenClean(s, res, root)
+    }),
+
+    // ── NS streaming: the FLAGSHIP q153 composition AT INGEST — the
+    // q211 move on the text capstone: three crawl micro-batches grow
+    // the signature index + pair store + union-find label store and
+    // seal each doc's STATIC attributes (exact key, token count,
+    // quality, contamination vs the stream-static eval suite) once;
+    // the manifest is then a STORE READ (exact keeper = min id per
+    // sealed key, near-dup keeper = token-argmax within the label
+    // store's component, mix cuts from the sealed counts) with no
+    // re-tokenization, no pair recompute, no CC. Batches split by
+    // id residue, so near-dup pairs and exact twins STRADDLE batches
+    // — a later batch's doc flips an earlier doc's keeper verdict
+    // only through store growth. ONE SHARED ORACLE with q153: the
+    // decomposition must be bit-indistinguishable from the batch
+    // pipeline ──
+    "q213_stream_training_manifest" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ns = drainSession(s)
+      import ns.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = ns.sqlContext
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q213_").toString
+      val docs = t(s, dir, "documents")
+      val isEval = col("doc_id") % 17 === 3
+      val rows = docs.filter(!isEval)
+        .select(col("doc_id"), col("source"), col("text"))
+        .as[(Long, String, String)].collect().toSeq
+      val emptyDocs = docs.select(col("doc_id"), col("text")).limit(0)
+      Dedup.writeNearDupIndex(emptyDocs, "doc_id", "text",
+        shingleN = 2, k = 64, bands = 32, dir = root + "/store/index")
+      Dedup.writePairStore(emptyDocs, "doc_id", "text",
+        root + "/store/pairs", shingleN = 2, k = 64, bands = 32,
+        threshold = 0.5)
+      val input = MemoryStream[(Long, String, String)]
+      val stream = input.toDF().toDF("doc_id", "source", "text")
+      val ckpt = ephemeralCheckpoint("q213")
+      val q = Streams.trainingPrepIngest(stream, "doc_id", "text",
+        "source", docs.filter(isEval).select(col("doc_id"),
+          col("text")), root + "/store", ckpt.getAbsolutePath,
+        shingleN = 2, k = 64, bands = 32, threshold = 0.5)
+      try
+        (0 until 3).foreach { r =>
+          input.addData(rows.filter(_._1 % 3 == r))
+          q.processAllAvailable()
+        }
+      finally {
+        try q.stop()
+        finally Scratch.deleteRecursively(ckpt)
+      }
+      val rep = Streams.trainingPrepReport(s, root + "/store",
+        "doc_id", "source", budgetTokens = q124Budget)
+      materializeThenClean(s, rep, root)
     })
   )
+
+  /** The q211/q214 fixture stream: the full url-doc corpus in two
+    * balanced div-8 id-residue batches through
+    * [[Streams.modalityManifestIngest]] against a fresh temp store
+    * root (returned for the caller's report read). Media
+    * fingerprints are sliced from the shared phash store by OWNING
+    * doc and travel with an explicit `owner` column — the engine
+    * stores ownership instead of deriving fixture arithmetic. */
+  private def streamedModalityStore(s: SparkSession, dir: String,
+      name: String): String = {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ns = drainSession(s)
+      import ns.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = ns.sqlContext
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_${name}_").toString
+      val nDocs = t(s, dir, "documents").count()
+      val fpStore = mediaFingerprintStore(s, dir)
+      val docRows = syntheticUrlDocs(s, dir)
+        .select(col("doc_id"), col("canon"), col("source"),
+          col("n_chars").cast("long").as("n_chars"),
+          text.tokenCount(col("text")).cast("long").as("toks"))
+        .as[(Long, String, String, Long, Long)].collect().toSeq
+      val input = MemoryStream[(Long, String, String, Long, Long)]
+      val stream = input.toDF()
+        .toDF("doc_id", "canon", "source", "n_chars", "toks")
+      val mediaOf = (bs: SparkSession,
+          b: org.apache.spark.sql.DataFrame) => {
+        val ids = b.select(col("doc_id").as("_q211_owner"))
+          .localCheckpoint()
+        // owner travels WITH the fingerprints (a media item knows
+        // its document) — the engine stores it instead of deriving
+        // ownership arithmetic that only the fixture knows
+        def slice(tbl: String, ownerOf: Column) =
+          bs.read.parquet(s"$fpStore/$tbl")
+            .join(ids, ownerOf === col("_q211_owner"), "left_semi")
+            .withColumn("owner", ownerOf)
+        Seq(
+          ("image", slice("img", col("doc") % nDocs),
+            (c: Column) => c),
+          ("audio", slice("aud", col("doc") % nDocs),
+            (c: Column) => c),
+          ("video",
+            slice("vid",
+              floor(col("doc") / 8).cast("long") % nDocs),
+            (c: Column) => floor(c / 8).cast("long")))
+      }
+      val ckpt = ephemeralCheckpoint(name)
+      val q = Streams.modalityManifestIngest(stream, "doc_id",
+        "canon", "source", "n_chars", "toks", mediaOf, root,
+        ckpt.getAbsolutePath, radius = 4, width = 64, blocks = 8,
+        keyBlocks = 1, foldOf10 = h => Relational.foldOf(h % 10))
+      try
+        // two id-residue batches: enough to prove incrementality
+        // (near-dup pairs and champion upgrades cross the boundary;
+        // StreamingSpec pins the multi-batch semantics) without a
+        // third full store cycle on the bench wall
+        (0 until 2).foreach { r =>
+          // residue of doc_id/8, not doc_id: the media fixtures live
+          // on multiples of 8/16/40, so any finer split leaves one
+          // batch media-empty and streams nothing across the
+          // boundary (measured: both halves carry ~50% of every
+          // modality at all three SFs)
+          input.addData(docRows.filter(t => (t._1 / 8) % 2 == r))
+          q.processAllAvailable()
+        }
+      finally {
+        try q.stop()
+        finally Scratch.deleteRecursively(ckpt)
+      }
+      root
+  }
 
   /** The q92/q149 media fixture: one deterministic two-tone PNG per
     * event id, REALLY encoded (PngEncoder) inside the tasks.
@@ -7328,6 +7417,103 @@ object SparkEntry {
       .stripMargin
   }
 
+  /** DuckDB mirror of the q153 flagship training-prep manifest —
+    * the whole pipeline replayed stage by stage (exact dedup,
+    * survivor-restricted exact near-dup recompute, q135
+    * contamination, q25 quality, q124 HUGEINT mix cuts). Shared
+    * verbatim by q153 (batch) and q213 (at-ingest): the streamed
+    * decomposition must converge to the batch answer bit for
+    * bit. */
+  private def trainingManifestSql: String =
+    s"""WITH RECURSIVE train0 AS (
+           |  SELECT doc_id, source, text, $sqlTokens AS toks
+           |  FROM documents WHERE doc_id % 17 <> 3),
+           |b AS (SELECT *, len(toks) AS n_tok,
+           |    ROW_NUMBER() OVER (PARTITION BY md5(text)
+           |      ORDER BY doc_id) AS rn_ex
+           |  FROM train0),
+           |exs AS (SELECT doc_id, toks, n_tok FROM b WHERE rn_ex = 1),
+           |sh2 AS (SELECT doc_id, ${sqlShingles(2)} AS s FROM exs),
+           |p AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+           |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+           |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+           |      AS DOUBLE) >= 0.5),
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+           |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p),
+           |reach AS (
+           |  SELECT src AS node, src AS r FROM edges
+           |  UNION
+           |  SELECT e.src AS node, re.r AS r
+           |  FROM edges e JOIN reach re ON e.dst = re.node),
+           |lbl AS (SELECT node, MIN(r) AS label FROM reach
+           |  GROUP BY node),
+           |dd AS (SELECT e.doc_id, e.n_tok,
+           |    COALESCE(l.label, e.doc_id) AS comp
+           |  FROM exs e LEFT JOIN lbl l ON e.doc_id = l.node),
+           |nd AS (SELECT doc_id FROM (
+           |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY comp
+           |    ORDER BY n_tok DESC, doc_id) AS rn FROM dd)
+           |  WHERE rn = 1),
+           |evt AS (SELECT ${sqlShingles(3)} AS sh3 FROM (
+           |  SELECT $sqlTokens AS toks FROM documents
+           |  WHERE doc_id % 17 = 3)),
+           |ev AS (SELECT DISTINCT shingle FROM (
+           |  SELECT unnest(sh3) AS shingle FROM evt)),
+           |cx AS (SELECT doc_id, ${sqlShingles(3)} AS sh3 FROM train0),
+           |mm AS (SELECT c.doc_id, COUNT(*) AS nm
+           |  FROM (SELECT doc_id, unnest(sh3) AS shingle FROM cx) c
+           |  JOIN ev ON ev.shingle = c.shingle
+           |  GROUP BY c.doc_id),
+           |ct AS (SELECT cx.doc_id,
+           |    CASE WHEN len(sh3) > 0
+           |      THEN CAST(COALESCE(mm.nm, 0) AS DOUBLE) /
+           |        CAST(len(sh3) AS DOUBLE)
+           |      ELSE 0.0 END AS score
+           |  FROM cx LEFT JOIN mm ON mm.doc_id = cx.doc_id),
+           |fl AS (SELECT b.doc_id, b.source, b.n_tok,
+           |    (b.rn_ex = 1) AS f_exact,
+           |    (b.rn_ex = 1 AND b.doc_id IN (SELECT doc_id FROM nd))
+           |      AS f_nd,
+           |    (b.rn_ex = 1 AND b.doc_id IN (SELECT doc_id FROM nd)
+           |      AND ct.score < 0.5) AS f_ct,
+           |    (b.rn_ex = 1 AND b.doc_id IN (SELECT doc_id FROM nd)
+           |      AND ct.score < 0.5 AND $sqlQualityExpr >= 0.4) AS f_q
+           |  FROM b JOIN ct ON ct.doc_id = b.doc_id),
+           |per AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n
+           |  FROM fl WHERE f_q GROUP BY source),
+           |w AS (SELECT source, n,
+           |    CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS ws
+           |  FROM per),
+           |dn AS (SELECT CAST(SUM(ws) AS HUGEINT) AS denom FROM w),
+           |cuts AS (SELECT source, least(
+           |    (1000 * CAST($q124Budget AS HUGEINT) * CAST(ws AS HUGEINT))
+           |      // (denom * CAST(n AS HUGEINT)),
+           |    CAST(1000 AS HUGEINT)) AS cut
+           |  FROM w CROSS JOIN dn),
+           |mz AS (SELECT f.source, COUNT(*) AS n_mixed,
+           |    CAST(SUM(f.n_tok) AS BIGINT) AS tokens_mixed
+           |  FROM fl f JOIN cuts c ON c.source = f.source
+           |  WHERE f.f_q AND ${hashes.md5Hash60Sql(
+                "'mix-' || CAST(f.doc_id AS VARCHAR)")} % 1000 < c.cut
+           |  GROUP BY f.source),
+           |st AS (SELECT source, COUNT(*) AS n_raw,
+           |    CAST(SUM(CASE WHEN f_exact THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_exact,
+           |    CAST(SUM(CASE WHEN f_nd THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_neardup,
+           |    CAST(SUM(CASE WHEN f_ct THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_decontam,
+           |    CAST(SUM(CASE WHEN f_q THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_quality
+           |  FROM fl GROUP BY source)
+           |SELECT st.source, st.n_raw, st.n_exact, st.n_neardup,
+           |  st.n_decontam, st.n_quality,
+           |  COALESCE(mz.n_mixed, 0) AS n_mixed,
+           |  COALESCE(mz.tokens_mixed, 0) AS tokens_mixed
+           |FROM st LEFT JOIN mz ON mz.source = st.source""".stripMargin
+
   private def classifierGateSql: String =
     s"""WITH $classifierLogitCtes
        |SELECT source, COUNT(*) AS n_docs,
@@ -8244,95 +8430,12 @@ object SparkEntry {
       // commutes), the q135 contamination score, the shared q25
       // quality expression, and the q124 HUGEINT mix-cut derivation
       // over the quality survivors
-      "q153_training_manifest" ->
-        s"""WITH RECURSIVE train0 AS (
-           |  SELECT doc_id, source, text, $sqlTokens AS toks
-           |  FROM documents WHERE doc_id % 17 <> 3),
-           |b AS (SELECT *, len(toks) AS n_tok,
-           |    ROW_NUMBER() OVER (PARTITION BY md5(text)
-           |      ORDER BY doc_id) AS rn_ex
-           |  FROM train0),
-           |exs AS (SELECT doc_id, toks, n_tok FROM b WHERE rn_ex = 1),
-           |sh2 AS (SELECT doc_id, ${sqlShingles(2)} AS s FROM exs),
-           |p AS (
-           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
-           |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-           |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
-           |      AS DOUBLE) >= 0.5),
-           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
-           |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p),
-           |reach AS (
-           |  SELECT src AS node, src AS r FROM edges
-           |  UNION
-           |  SELECT e.src AS node, re.r AS r
-           |  FROM edges e JOIN reach re ON e.dst = re.node),
-           |lbl AS (SELECT node, MIN(r) AS label FROM reach
-           |  GROUP BY node),
-           |dd AS (SELECT e.doc_id, e.n_tok,
-           |    COALESCE(l.label, e.doc_id) AS comp
-           |  FROM exs e LEFT JOIN lbl l ON e.doc_id = l.node),
-           |nd AS (SELECT doc_id FROM (
-           |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY comp
-           |    ORDER BY n_tok DESC, doc_id) AS rn FROM dd)
-           |  WHERE rn = 1),
-           |evt AS (SELECT ${sqlShingles(3)} AS sh3 FROM (
-           |  SELECT $sqlTokens AS toks FROM documents
-           |  WHERE doc_id % 17 = 3)),
-           |ev AS (SELECT DISTINCT shingle FROM (
-           |  SELECT unnest(sh3) AS shingle FROM evt)),
-           |cx AS (SELECT doc_id, ${sqlShingles(3)} AS sh3 FROM train0),
-           |mm AS (SELECT c.doc_id, COUNT(*) AS nm
-           |  FROM (SELECT doc_id, unnest(sh3) AS shingle FROM cx) c
-           |  JOIN ev ON ev.shingle = c.shingle
-           |  GROUP BY c.doc_id),
-           |ct AS (SELECT cx.doc_id,
-           |    CASE WHEN len(sh3) > 0
-           |      THEN CAST(COALESCE(mm.nm, 0) AS DOUBLE) /
-           |        CAST(len(sh3) AS DOUBLE)
-           |      ELSE 0.0 END AS score
-           |  FROM cx LEFT JOIN mm ON mm.doc_id = cx.doc_id),
-           |fl AS (SELECT b.doc_id, b.source, b.n_tok,
-           |    (b.rn_ex = 1) AS f_exact,
-           |    (b.rn_ex = 1 AND b.doc_id IN (SELECT doc_id FROM nd))
-           |      AS f_nd,
-           |    (b.rn_ex = 1 AND b.doc_id IN (SELECT doc_id FROM nd)
-           |      AND ct.score < 0.5) AS f_ct,
-           |    (b.rn_ex = 1 AND b.doc_id IN (SELECT doc_id FROM nd)
-           |      AND ct.score < 0.5 AND $sqlQualityExpr >= 0.4) AS f_q
-           |  FROM b JOIN ct ON ct.doc_id = b.doc_id),
-           |per AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n
-           |  FROM fl WHERE f_q GROUP BY source),
-           |w AS (SELECT source, n,
-           |    CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS ws
-           |  FROM per),
-           |dn AS (SELECT CAST(SUM(ws) AS HUGEINT) AS denom FROM w),
-           |cuts AS (SELECT source, least(
-           |    (1000 * CAST($q124Budget AS HUGEINT) * CAST(ws AS HUGEINT))
-           |      // (denom * CAST(n AS HUGEINT)),
-           |    CAST(1000 AS HUGEINT)) AS cut
-           |  FROM w CROSS JOIN dn),
-           |mz AS (SELECT f.source, COUNT(*) AS n_mixed,
-           |    CAST(SUM(f.n_tok) AS BIGINT) AS tokens_mixed
-           |  FROM fl f JOIN cuts c ON c.source = f.source
-           |  WHERE f.f_q AND ${hashes.md5Hash60Sql(
-                "'mix-' || CAST(f.doc_id AS VARCHAR)")} % 1000 < c.cut
-           |  GROUP BY f.source),
-           |st AS (SELECT source, COUNT(*) AS n_raw,
-           |    CAST(SUM(CASE WHEN f_exact THEN 1 ELSE 0 END)
-           |      AS BIGINT) AS n_exact,
-           |    CAST(SUM(CASE WHEN f_nd THEN 1 ELSE 0 END)
-           |      AS BIGINT) AS n_neardup,
-           |    CAST(SUM(CASE WHEN f_ct THEN 1 ELSE 0 END)
-           |      AS BIGINT) AS n_decontam,
-           |    CAST(SUM(CASE WHEN f_q THEN 1 ELSE 0 END)
-           |      AS BIGINT) AS n_quality
-           |  FROM fl GROUP BY source)
-           |SELECT st.source, st.n_raw, st.n_exact, st.n_neardup,
-           |  st.n_decontam, st.n_quality,
-           |  COALESCE(mz.n_mixed, 0) AS n_mixed,
-           |  COALESCE(mz.tokens_mixed, 0) AS tokens_mixed
-           |FROM st LEFT JOIN mz ON mz.source = st.source""".stripMargin,
+      "q153_training_manifest" -> trainingManifestSql,
+
+      // the at-ingest decomposition must equal the batch flagship
+      // manifest bit for bit — ONE SHARED ORACLE (the q211/q208
+      // convention applied to the text capstone)
+      "q213_stream_training_manifest" -> trainingManifestSql,
 
       // regenerates the md5-seeded model and re-scores every document
       // from scratch (classifierGateSql scaladoc)
@@ -11338,6 +11441,11 @@ object SparkEntry {
       // composition: the manifest is indistinguishable from the
       // batch-computed one)
       "q211_stream_modality_manifest" -> modalityManifestSql,
+
+      // the summed per-batch delta partials must re-aggregate to the
+      // same batch-computed manifest — the third consumer of ONE
+      // oracle (q208 batch, q211 store read, q214 delta sum)
+      "q214_modality_manifest_deltas" -> modalityManifestSql,
 
 
       // the q205 per-prefix component rendering (ONE shared CTE

@@ -1266,11 +1266,20 @@ object Dedup {
     * and consumers compare/sum it under the rounded-decimal
     * convention. Empty docs score 0.0. */
   def contaminationScores(corpus: DataFrame, evalSet: DataFrame,
-      idCol: String, textCol: String, n: Int): DataFrame = {
-    val evalSh = evalSet
+      idCol: String, textCol: String, n: Int): DataFrame =
+    contaminationScoresAgainst(corpus, evalSet
       .select(explode(text.wordShinglesFast(col(textCol), n))
         .as("shingle"))
-      .distinct()
+      .distinct(), idCol, textCol, n)
+
+  /** [[contaminationScores]] against a PRECOMPUTED distinct eval
+    * shingle frame (one `shingle` column) — the streaming-ingest
+    * form: the eval reference is static per stream, so its shingle
+    * set is derived once and reused by every micro-batch instead of
+    * re-shingled per batch. */
+  def contaminationScoresAgainst(corpus: DataFrame,
+      evalSh: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
     val cx = corpus.select(col(idCol),
         text.wordShinglesFast(col(textCol), n).as("_sh"))
       .withColumn("_csz", size(col("_sh")).cast("long"))

@@ -125,36 +125,117 @@ object LabelStore {
   /** Seed the store from at-rest state — the once-per-store form for
     * a stream attaching to a corpus that predates its label store
     * (docs + pair store already populated): one full
-    * [[Dedup.componentGroups]] run writes every seen doc's label and
-    * every key's anchor as ONE sealed segment pair under `tag`
-    * (exactly-once: a committed bootstrap is skipped verbatim).
-    * Empty stores seal an empty bootstrap — the marker alone then
-    * certifies "label store current from genesis". */
+    * [[Dedup.componentGroups]] run, landed as PER-ID-RANGE SEALED
+    * SEGMENTS (`<tag>-p<k>`, ~`segmentRows` rows each,
+    * doc-range-clustered — the compact-labels layout, so a fresh
+    * store starts compact) whose union ≡ the monolithic bootstrap
+    * (LabelStoreSpec equality pin). The final `tag` marker seals
+    * only after every range landed — it stays the single
+    * cross-restart truth a consumer checks.
+    *
+    * Crash-resume protocol (the reason retry granularity tracks a
+    * SEGMENT instead of the corpus): the CC result is first frozen
+    * into a scratch layout under the store root with a done marker;
+    * segments seal only FROM a done scratch, each under its own
+    * commit marker, so a retry reuses the frozen scratch and
+    * re-seals only the missing segments (no CC re-run); scratch
+    * deletes before the final marker (a crash in that window
+    * re-runs the CC once, finds every segment committed, and only
+    * re-seals the marker). Segment assignment is VALUE-deterministic
+    * — fixed-width doc-id ranges for labels, a stable key hash for
+    * anchors, both derived from (n, min, max) of the same data — so
+    * even a regenerated scratch reproduces every segment bit for
+    * bit and committed segments can never overlap or miss rows
+    * against a sibling from another attempt. (The cost: segment
+    * SIZES are balanced only as far as the id distribution is —
+    * dense auto-increment ids split evenly, pathological sparse ids
+    * skew sizes but never correctness.) Empty stores seal an empty
+    * bootstrap — the marker alone then certifies "label store
+    * current from genesis". */
   def bootstrap(spark: SparkSession, root: String, docs: DataFrame,
       idCol: String, urlKey: Column, pairs: DataFrame,
-      tag: String = "bootstrap"): Unit = {
+      tag: String = "bootstrap",
+      segmentRows: Long = 8000000L): Unit = {
     if (Dedup.isBatchCommitted(spark, root, tag)) return
-    val labels = Dedup.componentGroups(docs, idCol, urlKey, pairs)
-      .select(col(idCol).cast("long").as("doc_id"),
-        col("group").cast("long").as("group"))
-    val anchors = docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        urlKey.cast("string").as("ckey"))
-      .filter(col("ckey").isNotNull)
-      .groupBy(col("ckey")).agg(min(col("doc_id")).as("doc_id"))
-      .select(col("ckey"), col("doc_id"))
-    val labelsMat = labels.localCheckpoint(eager = true)
-    val n = labelsMat.count()
-    // corpus-grain seed: doc-range-clustered at ~8M rows per file
-    // (the compact-labels layout, so a fresh store starts compact)
-    val files = math.max(1L, (n + 7999999L) / 8000000L).toInt
+    require(segmentRows > 0, s"segmentRows must be > 0: $segmentRows")
+    val conf = spark.sessionState.newHadoopConf()
+    val scratch =
+      new org.apache.hadoop.fs.Path(root, s".bootstrap-scratch-$tag")
+    val fs = scratch.getFileSystem(conf)
+    val done =
+      new org.apache.hadoop.fs.Path(scratch, "_SCRATCH_DONE")
+    if (!fs.exists(done)) {
+      fs.delete(scratch, true) // stale from a crashed CC attempt
+      val labels = Dedup.componentGroups(docs, idCol, urlKey, pairs)
+        .select(col(idCol).cast("long").as("doc_id"),
+          col("group").cast("long").as("group"))
+      val anchors = docs
+        .select(col(idCol).cast("long").as("doc_id"),
+          urlKey.cast("string").as("ckey"))
+        .filter(col("ckey").isNotNull)
+        .groupBy(col("ckey")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("ckey"), col("doc_id"))
+      val labelsMat = labels.localCheckpoint(eager = true)
+      val n = labelsMat.count()
+      val files = math.max(1L,
+        (n + segmentRows - 1L) / segmentRows).toInt
+      if (n > 0) {
+        val b = labelsMat
+          .agg(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+        val (mn, mx) = (b.getLong(0), b.getLong(1))
+        val segWidth = math.max(1L, (mx - mn) / files + 1L)
+        labelsMat
+          .withColumn("_seg",
+            ((col("doc_id") - mn) / segWidth).cast("int"))
+          .repartition(files, col("_seg"))
+          .sortWithinPartitions(col("_seg"), col("doc_id"))
+          .write.partitionBy("_seg").parquet(
+            new org.apache.hadoop.fs.Path(scratch, "labels").toString)
+        anchors
+          .withColumn("_seg",
+            pmod(xxhash64(col("ckey")), lit(files.toLong))
+              .cast("int"))
+          .repartition(files, col("_seg"))
+          .sortWithinPartitions(col("_seg"), col("ckey"))
+          .write.partitionBy("_seg").parquet(
+            new org.apache.hadoop.fs.Path(scratch, "anchors")
+              .toString)
+      }
+      org.apache.spark.sql.graft.Bridge
+        .freeLocalCheckpoint(labelsMat)
+      fs.create(done, true).close()
+    }
+    def segIdsOf(table: String): Seq[Int] = {
+      val d = new org.apache.hadoop.fs.Path(scratch, table)
+      if (!fs.exists(d)) Seq.empty
+      else fs.listStatus(d).filter(_.isDirectory).map(_.getPath
+          .getName).filter(_.startsWith("_seg="))
+        .map(_.stripPrefix("_seg=").toInt).toIndexedSeq
+    }
+    def segRead(table: String, k: Int,
+        schema: StructType): DataFrame = {
+      val d = new org.apache.hadoop.fs.Path(scratch,
+        s"$table/_seg=$k")
+      if (fs.exists(d)) spark.read.schema(schema).parquet(d.toString)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema)
+    }
+    (segIdsOf("labels") ++ segIdsOf("anchors")).distinct.sorted
+      .foreach { k =>
+        val segTag = s"$tag-p$k"
+        if (!Dedup.isBatchCommitted(spark, root, segTag))
+          graft.sources.StoreLease.withLease(spark, root,
+              s"labels-$segTag") {
+            Dedup.taggedSegmentAppend(spark, root, segTag,
+              Seq("labels" -> segRead("labels", k, LabelsSchema),
+                "anchors" -> segRead("anchors", k, AnchorsSchema)))
+          }
+      }
+    fs.delete(scratch, true)
     graft.sources.StoreLease.withLease(spark, root,
         s"labels-$tag") {
-      Dedup.taggedSegmentAppend(spark, root, tag,
-        Seq("labels" -> labelsMat
-            .repartitionByRange(files, col("doc_id"))
-            .sortWithinPartitions(col("doc_id")),
-          "anchors" -> anchors.repartition(files)))
+      Dedup.taggedSegmentAppend(spark, root, tag, Seq.empty)
     }
   }
 
@@ -176,14 +257,29 @@ object LabelStore {
     * Exactly-once under retry: a committed tag returns the sealed
     * segment's rows verbatim; an uncommitted retry cleans its own
     * half-landed seg files BEFORE the store reads (so the as-of view
-    * is the pre-batch state) and redoes the identical update. */
+    * is the pre-batch state) and redoes the identical update. A
+    * committed tag whose seg files were removed by `compact-labels`
+    * (markers survive compaction) recomputes the batch docs' rows
+    * from the store itself via [[lookup]] — the store holds their
+    * current labels, and a replayed batch is the stream's NEXT
+    * batch, so no later merge can have moved them: without this, a
+    * crash between the label append and the fold-sink write followed
+    * by compaction would make the replay's fast path return an empty
+    * frame and the batch's manifest partition would silently never
+    * land. */
   def update(spark: SparkSession, root: String, batchDocs: DataFrame,
       idCol: String, keyCol: String, batchPairs: DataFrame,
       tag: String,
       pruneCap: Int = Dedup.DefaultMarkPruneCap,
       ufCap: Int = DefaultUfEdgeCap): DataFrame = {
-    if (Dedup.isBatchCommitted(spark, root, tag))
-      return sealedSegment(spark, root, tag)
+    if (Dedup.isBatchCommitted(spark, root, tag)) {
+      val seg = sealedSegment(spark, root, tag)
+      val compacted = seg.isEmpty && !batchDocs.isEmpty
+      return if (!compacted) seg
+      else lookup(spark, root,
+          batchDocs.select(col(idCol)), pruneCap)
+        .select(col("doc_id"), col("group"))
+    }
     Dedup.cleanTaggedSegments(spark, root, tag,
       Seq("labels", "anchors"))
     val b = batchDocs.select(
@@ -319,13 +415,13 @@ object LabelStore {
     val nodes = (batchIds ++ edges.iterator
       .flatMap(e => Iterator(e._1, e._2))).distinct
     // current labels of every touched node (absent ⇒ own id)
-    val curLabel: Map[Long, Long] = (
+    val curMap: Map[Long, Long] =
       if (nodes.isEmpty) Map.empty[Long, Long]
       else fetch(readTable(spark, s"$root/labels", LabelsSchema),
           "doc_id", nodes.toIndexedSeq)
         .groupBy(col("doc_id")).agg(min(col("group")).as("group"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    ).withDefault(identity)
+    val curLabel: Map[Long, Long] = curMap.withDefault(identity)
     // union-find over label-grain edges, min label wins
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
@@ -345,23 +441,35 @@ object LabelStore {
     }
     val changed: Map[Long, Long] = parent.keys
       .map(l => l -> find(l)).filter { case (o, n) => o != n }.toMap
-    val batchRows = batchIds.map(id => (id, find(curLabel(id))))
     val batchIdSet = batchIds.toSet
+    // rows the segment must carry beyond the rewrite scan: the batch
+    // docs, plus any edge endpoint absent from BOTH the store and the
+    // batch whose merged label differs from its own id — without its
+    // row a later lookup would coalesce it back to its own id (a
+    // wrong label). Shipped pair feeds only emit edges with a store-
+    // or batch-resident far endpoint, but the store's correctness
+    // must not hang on an unstated caller precondition.
+    val absentRows = nodes.iterator
+      .filterNot(batchIdSet.contains).filterNot(curMap.contains)
+      .map(id => (id, find(id)))
+      .filter { case (id, g) => g != id }.toArray
+    val batchRows =
+      batchIds.map(id => (id, find(curLabel(id)))) ++ absentRows
     val segLabels =
       if (changed.isEmpty)
         batchRows.toSeq.toDF("doc_id", "group")
       else {
         // the rewrite scan: every at-rest row holding a retired
         // label is that doc's CURRENT row (merge monotonicity) —
-        // one pushed filter + one broadcast remap, no rounds
+        // one pushed filter + one broadcast remap, no rounds; past
+        // the push cap the retired set rides the same semi-join twin
+        // as every other over-cap store probe (parquet stats keep
+        // pruning under the broadcast join's runtime filter instead
+        // of an unpushed full-table scan)
         val remap = broadcast(
           changed.toSeq.toDF("group", "_ls_new"))
         val retired = readTable(spark, s"$root/labels", LabelsSchema)
-        val pushed =
-          if (changed.size <= pruneCap)
-            retired.filter(
-              col("group").isin(changed.keys.toIndexedSeq: _*))
-          else retired // the remap join below filters the same rows
+        val pushed = fetch(retired, "group", changed.keys.toIndexedSeq)
         val exclBatch =
           if (batchIdSet.size <= pruneCap)
             (d: DataFrame) => d.filter(
@@ -415,7 +523,8 @@ object LabelStore {
           .groupBy(col("doc_id")).agg(min(col("group")).as("_ls_g")),
         Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("_ls_g"), col("doc_id")).as("_ls_cur"))
+        coalesce(col("_ls_g"), col("doc_id")).as("_ls_cur"),
+        col("_ls_g").isNotNull.as("_ls_in_store"))
       .localCheckpoint()
     val labelEdges = edges
       .join(cur.withColumnRenamed("doc_id", "doc_a")
@@ -438,9 +547,19 @@ object LabelStore {
         Seq("group"))
       .join(b.select(col("doc_id")), Seq("doc_id"), "anti")
       .select(col("doc_id"), col("_ls_newg").as("group"))
+    // endpoints absent from both the store and the batch whose
+    // merged label differs from their own id (see planDriver)
+    val absentRows = cur.filter(!col("_ls_in_store"))
+      .join(b.select(col("doc_id")), Seq("doc_id"), "anti")
+      .join(changed.withColumnRenamed("_ls_old", "_ls_cur"),
+        Seq("_ls_cur"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_ls_newg"), col("_ls_cur")).as("group"))
+      .filter(col("group") =!= col("doc_id"))
     val newAnchors = keyMin
       .join(anchors.select(col("ckey")), Seq("ckey"), "anti")
       .select(col("ckey"), col("_ls_min").as("doc_id"))
-    (batchRows.unionByName(rewrites), newAnchors)
+    (batchRows.unionByName(rewrites).unionByName(absentRows),
+      newAnchors)
   }
 }

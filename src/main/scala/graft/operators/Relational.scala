@@ -426,12 +426,32 @@ object Relational {
         explode(sequence(lit(0L), col("n_copies") - 1)))
   }
 
+  /** [[temperatureMixCuts]] over a PRECOMPUTED per-doc token-count
+    * column instead of the text — the store-backed report form
+    * (trainingPrepReport): token counts were decided once at ingest
+    * and sealed, so the cut derivation must not re-tokenize.
+    * Identical arithmetic (sum of stored counts ≡ sum of
+    * size(tokens(text)) when the stored count IS that size). */
+  def temperatureMixCutsFromCounts(docs: DataFrame,
+      stratumCol: String, countCol: String, budgetTokens: Long,
+      maxStrata: Int = 1024): Seq[(String, Long)] =
+    temperatureMilliAgg(docs, stratumCol,
+      col(countCol).cast("long"), budgetTokens, maxStrata)
+      .map { case (s, e) => (s, e.min(1000L)) }
+
   /** Shared allocation core of [[temperatureMixCuts]] (clamped) and
     * [[epochMixMilli]] (unclamped): per-stratum milli-allocation
     * 1000·budget·⌊√n_s⌋ / (Σ⌊√n⌋ · n_s), exact BigInt integer
     * arithmetic over the bounded per-stratum token totals. */
   private def temperatureMilli(docs: DataFrame, stratumCol: String,
       textCol: String, budgetTokens: Long,
+      maxStrata: Int): Seq[(String, Long)] =
+    temperatureMilliAgg(docs, stratumCol,
+      size(graft.functions.text.tokens(col(textCol))).cast("long"),
+      budgetTokens, maxStrata)
+
+  private def temperatureMilliAgg(docs: DataFrame, stratumCol: String,
+      perDocTokens: Column, budgetTokens: Long,
       maxStrata: Int): Seq[(String, Long)] = {
     require(budgetTokens >= 0, s"budget must be >= 0: $budgetTokens")
     // cardinality gate BEFORE the per-stratum collect (labelCoherence
@@ -453,8 +473,7 @@ object Relational {
     // never be selected, silently under-filling the budget
     val per = docs.filter(col(stratumCol).isNotNull)
       .groupBy(col(stratumCol))
-      .agg(coalesce(sum(size(graft.functions.text.tokens(col(textCol)))
-        .cast("long")), lit(0L)).as("n"))
+      .agg(coalesce(sum(perDocTokens), lit(0L)).as("n"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
       .sortBy(_._1)

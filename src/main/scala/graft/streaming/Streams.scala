@@ -692,6 +692,36 @@ object Streams {
                   .select(col("doc_a"), col("doc_b"))
                 graft.operators.LabelStore.bootstrap(s, labelRoot,
                   priorDocs, idCol, col(keyCol), priorPairs)
+                // SYNC GUARD (once per stream, two aggregates — the
+                // refold convention): a store bootstrapped earlier
+                // but then grown under useLabelStore=false skips the
+                // re-seed via the committed bootstrap marker and
+                // would merge batches against labels missing the
+                // CC-regime batches' docs — wrong folds written
+                // silently. Compare the PRE-batch state on both
+                // sides (the store may legitimately hold this
+                // batch's labels already: a retry whose label append
+                // committed before the crash).
+                val priorIds = priorDocs
+                  .select(col(idCol).cast("long").as("doc_id"))
+                val lbl = graft.operators.LabelStore
+                  .read(s, labelRoot)
+                  .join(batchDocs.select(col(idCol).cast("long")
+                    .as("doc_id")), Seq("doc_id"), "left_anti")
+                  .localCheckpoint()
+                val nLbl = lbl.count()
+                val nPrior = priorIds.count()
+                require(nLbl == nPrior &&
+                    priorIds.join(lbl, Seq("doc_id"), "left_anti")
+                      .isEmpty,
+                  s"label store $labelRoot is out of sync with " +
+                    s"$docsStore ($nLbl labeled vs $nPrior prior " +
+                    "docs): the store was grown without the label " +
+                    "store (useLabelStore=false) after bootstrap — " +
+                    "delete the label table to re-bootstrap, or " +
+                    "keep running with useLabelStore=false")
+                org.apache.spark.sql.graft.Bridge
+                  .freeLocalCheckpoint(lbl)
                 bootstrapped = true
               }
               val seg = graft.operators.LabelStore.update(s,
@@ -836,11 +866,12 @@ object Streams {
                 // empty file under a batch_id=-1 partition instead
                 // (idempotent: overwritten in place on retry; zero
                 // rows, so no consumer ever sees it as data)
-                val fs = org.apache.hadoop.fs.FileSystem.get(
-                  new java.net.URI(dd + "/batch_id=-1"),
-                  s.sparkContext.hadoopConfiguration)
+                // Path(parent, child) — a URI parse would throw on
+                // paths holding spaces/URI-special characters
                 val seedPath =
-                  new org.apache.hadoop.fs.Path(dd + "/batch_id=-1")
+                  new org.apache.hadoop.fs.Path(dd, "batch_id=-1")
+                val fs = seedPath.getFileSystem(
+                  s.sparkContext.hadoopConfiguration)
                 if (!fs.exists(seedPath))
                   drift.limit(0).drop("batch_id").repartition(1)
                     .write.mode("overwrite").parquet(seedPath.toString)
@@ -894,9 +925,28 @@ object Streams {
     * the label store seals its own tag; every piece is EXACTLY-ONCE
     * under micro-batch retry and the whole batch converges on replay
     * (StreamingSpec). `mediaOf` maps a batch's doc rows to the
-    * batch's media fingerprints per modality — (name, (doc, fp)
-    * frame, item-of-doc expression: identity for doc-grain
-    * image/audio, `div 8` for frame-packed video).
+    * batch's media fingerprints per modality — (name, (doc, fp,
+    * owner) frame where `owner` is the OWNING DOCUMENT's id (a media
+    * item knows its document; the owner must land in the text store
+    * in the same or an earlier batch), item-of-doc expression:
+    * identity for doc-grain image/audio, `div 8` for frame-packed
+    * video).
+    *
+    * PER-BATCH MANIFEST DELTAS: after every store seal, the batch's
+    * additive (modality, source, split) delta rows — d_items /
+    * d_kept / d_kept_mass, kept corrections SIGNED (a champion
+    * dethronement or keeper merge subtracts what it previously
+    * contributed) — seal LAST under `storeRoot/deltas`, derived
+    * purely from at-rest state: post-state = the stores, pre-state =
+    * the stores MINUS this batch's own seg files (the sealed-segment
+    * layout makes the pre-batch view reconstructible, which is what
+    * makes a crashed-after-stores retry recompute the identical
+    * delta). A curator reads the RUNNING manifest as one sum over
+    * the delta table ([[modalityManifestFromDeltas]]) with no
+    * item-grain join — and it re-aggregates to
+    * [[modalityManifestReport]]'s answer bit for bit (q214's shared
+    * oracle; `foldOf10` injects the same split arithmetic the report
+    * uses).
     *
     * Scale shape (100 TB): per batch every store is touched through
     * batch-sized key joins (pushed-bkey pruned past the size gate)
@@ -911,7 +961,8 @@ object Streams {
       mediaOf: (SparkSession, DataFrame) =>
         Seq[(String, DataFrame, Column => Column)],
       storeRoot: String, checkpointDir: String, radius: Int,
-      width: Int, blocks: Int, keyBlocks: Int): StreamingQuery = {
+      width: Int, blocks: Int, keyBlocks: Int,
+      foldOf10: Column => Column): StreamingQuery = {
     var indexesSeeded = false
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -953,8 +1004,13 @@ object Streams {
           val textRoot = s"$storeRoot/text"
           if (!graft.operators.Dedup.isBatchCommitted(s, textRoot,
               tag)) {
-            val docRows = b.select(col(idCol), col(canonCol),
-              col(sourceCol), col(toksCol))
+            // long-pinned at the seal: the delta leg re-reads these
+            // files with an explicit (long, string, string, long)
+            // schema
+            val docRows = b.select(col(idCol).cast("long").as(idCol),
+              col(canonCol).cast("string").as(canonCol),
+              col(sourceCol).cast("string").as(sourceCol),
+              col(toksCol).cast("long").as(toksCol))
             val champRows = b
               .groupBy(col(canonCol))
               .agg(max(struct(col(charsCol).cast("long").as("c"),
@@ -978,7 +1034,8 @@ object Streams {
             val mRoot = s"$storeRoot/$name"
             val idxDir = s"$mRoot/index"
             val fp = fp0.select(col("doc").cast("long").as("doc"),
-              col("fp").cast("long").as("fp")).localCheckpoint()
+              col("fp").cast("long").as("fp"),
+              col("owner").cast("long").as("owner")).localCheckpoint()
             // lazy: the label update collects the pairs exactly once,
             // before the keys append mutates the index
             val fpPairs = graft.operators.Dedup.phashPairsAgainst(s,
@@ -993,9 +1050,11 @@ object Streams {
               .distinct()
             val items = fp
               .select(itemOf(col("doc")).as("id"),
-                bit_count(col("fp")).cast("long").as("fmass"))
+                bit_count(col("fp")).cast("long").as("fmass"),
+                col("owner").cast("long").as("owner"))
               .groupBy(col("id"))
-              .agg(sum(col("fmass")).as("mass"))
+              .agg(sum(col("fmass")).as("mass"),
+                min(col("owner")).as("owner"))
             // no checkpoint: a cheap aggregate over the (already
             // checkpointed) batch fingerprints — recomputed once by
             // the update's collect and once inside the staged write
@@ -1018,10 +1077,220 @@ object Streams {
             }
             }
           }
+          // PER-BATCH MANIFEST DELTAS — sealed LAST, derived purely
+          // from at-rest state (post = the stores, pre = the stores
+          // minus this batch's seg files), so a crashed-after-stores
+          // retry recomputes the identical rows. Residual (the
+          // compact-labels class): compacting a store between a
+          // mid-batch crash and its replay destroys the batch's seg
+          // file identity — restart crashed streams before running
+          // compaction verbs.
+          val deltasRoot = s"$storeRoot/deltas"
+          if (!graft.operators.Dedup.isBatchCommitted(s, deltasRoot,
+              tag))
+            graft.Phases.time(s"mm_deltas[b$batchId]") {
+              val d = manifestDeltaRows(s, storeRoot,
+                media.map(_._1), foldOf10, tag, idCol, canonCol,
+                sourceCol, toksCol)
+              graft.sources.StoreLease.withLease(s, deltasRoot,
+                  s"deltas-append-$tag") {
+                graft.operators.Dedup.taggedSegmentAppend(s,
+                  deltasRoot, tag,
+                  Seq("deltas" -> d.repartition(1)))
+              }
+            }
         } finally s.conf.set(widthKey, oldWidth)
       }
       .start()
   }
+
+  /** Data files of table `dir` split into (this tag's sealed seg
+    * files, everything else) — the sealed-segment layout makes a
+    * batch's PRE and POST store views both readable at rest, which
+    * is what lets the delta leg derive its rows after every store
+    * already sealed. Missing dirs and file lists read as empty
+    * frames of `schema`. */
+  private def splitTable(s: SparkSession, dir: String, tag: String,
+      schema: org.apache.spark.sql.types.StructType)
+      : (DataFrame, DataFrame) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    def rd(files: Seq[String]): DataFrame =
+      if (files.isEmpty) s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else s.read.schema(schema).parquet(files: _*)
+    if (!fs.exists(p)) (rd(Seq.empty), rd(Seq.empty))
+    else {
+      val files = fs.listStatus(p).filter(_.isFile).map(_.getPath)
+        .filterNot(q => q.getName.startsWith("_") ||
+          q.getName.startsWith("."))
+      val (seg, rest) = files.partition(
+        _.getName.startsWith(s"seg-$tag-part-"))
+      (rd(seg.map(_.toString).toIndexedSeq),
+        rd(rest.map(_.toString).toIndexedSeq))
+    }
+  }
+
+  /** One batch's additive manifest delta rows — (modality, source,
+    * split, d_items, d_kept, d_kept_mass): new items/docs add
+    * d_items; kept corrections are SIGNED per flip source — a text
+    * champion dethronement subtracts the old winner's contribution
+    * at ITS (source, split) and adds the new one's; a media keeper
+    * merge subtracts a dethroned keeper item's (mass at its owner's
+    * combo). Every input is bounded by the batch's touched state:
+    * batch segments, label rows the merge rewrote, and items owned
+    * by docs whose champion status flipped. */
+  private def manifestDeltaRows(s: SparkSession, storeRoot: String,
+      modalities: Seq[String], foldOf10: Column => Column,
+      tag: String, idCol: String, canonCol: String,
+      sourceCol: String, toksCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val textDocsSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField(canonCol, StringType),
+      StructField(sourceCol, StringType),
+      StructField(toksCol, LongType)))
+    val champsSchema = StructType(Seq(
+      StructField(canonCol, StringType),
+      StructField(idCol, LongType),
+      StructField("n_chars", LongType)))
+    val itemsSchema = StructType(Seq(
+      StructField("id", LongType), StructField("mass", LongType),
+      StructField("owner", LongType)))
+    val split = foldOf10(
+      graft.functions.hashes.md5Hash60(col(canonCol)))
+    // no checkpoints on the split reads: they are at-rest parquet
+    // scans already (re-reading a sealed file is cheaper than the
+    // extra materialization job — the delta leg is per-batch FIXED
+    // cost, ProbeScale mmbatch)
+    val (segDocs, _) =
+      splitTable(s, s"$storeRoot/text/docs", tag, textDocsSchema)
+    val (segCh, oldCh) =
+      splitTable(s, s"$storeRoot/text/champs", tag, champsSchema)
+    val champsAll = oldCh.unionByName(segCh)
+    val docsAll = s.read.schema(textDocsSchema)
+      .parquet(s"$storeRoot/text/docs")
+    // champion winners of a canon set, pre/post (the report's argmax)
+    def winners(ch: DataFrame, canons: DataFrame): DataFrame =
+      ch.join(canons, Seq(canonCol), "left_semi")
+        .groupBy(col(canonCol))
+        .agg(max(struct(col("n_chars").cast("long").as("c"),
+          (-col(idCol).cast("long")).as("negid"))).as("_d_best"))
+        .select(col(canonCol),
+          (-col("_d_best").getField("negid")).as("_d_win"))
+    val batchCanons = segDocs.select(col(canonCol)).distinct()
+    val flips = winners(champsAll, batchCanons)
+      .withColumnRenamed("_d_win", "_d_new")
+      .join(winners(oldCh, batchCanons)
+        .withColumnRenamed("_d_win", "_d_old"), Seq(canonCol), "left")
+      .filter(col("_d_old").isNull || col("_d_old") =!= col("_d_new"))
+      .localCheckpoint()
+    def contrib(win: DataFrame, sign: Long): DataFrame =
+      win.join(docsAll.select(col(idCol).as("_d_win"),
+          col(sourceCol), col(toksCol)), Seq("_d_win"))
+        .select(lit("text").as("modality"),
+          col(sourceCol).as("source"), split.as("split"),
+          lit(0L).as("d_items"), lit(sign).as("d_kept"),
+          (lit(sign) * col(toksCol).cast("long")).as("d_kept_mass"))
+    val textKept = contrib(flips.select(col(canonCol),
+        col("_d_new").as("_d_win")), 1L)
+      .unionByName(contrib(flips.filter(col("_d_old").isNotNull)
+        .select(col(canonCol), col("_d_old").as("_d_win")), -1L))
+    val textItems = segDocs
+      .select(lit("text").as("modality"),
+        col(sourceCol).as("source"), split.as("split"),
+        lit(1L).as("d_items"), lit(0L).as("d_kept"),
+        lit(0L).as("d_kept_mass"))
+    // docs whose champion status flipped — their media items' kept
+    // contributions change even when no media edge touched them
+    val affOwners = flips.select(col("_d_new").as("_d_doc"))
+      .unionByName(flips.filter(col("_d_old").isNotNull)
+        .select(col("_d_old").as("_d_doc")))
+      .distinct().localCheckpoint()
+    val mediaRows = modalities.map { m =>
+      val mr = s"$storeRoot/$m"
+      val (segIt, _) = splitTable(s, s"$mr/items", tag, itemsSchema)
+      val itemsAll = s.read.schema(itemsSchema)
+        .parquet(s"$mr/items")
+      val (segLb, oldLb) = splitTable(s, s"$mr/labels/labels", tag,
+        graft.operators.LabelStore.LabelsSchema)
+      val affIds = segIt.select(col("id"))
+        .unionByName(segLb.select(col("doc_id").as("id")))
+        .unionByName(itemsAll.join(affOwners,
+          col("owner") === col("_d_doc"), "left_semi")
+          .select(col("id")))
+        .distinct().localCheckpoint()
+      val itemsAff = itemsAll.join(affIds, Seq("id"), "left_semi")
+      val pre = oldLb
+        .join(affIds.withColumnRenamed("id", "doc_id"),
+          Seq("doc_id"), "left_semi")
+        .groupBy(col("doc_id")).agg(min(col("group")).as("_d_gpre"))
+        .withColumnRenamed("doc_id", "id")
+      val post = oldLb.unionByName(segLb)
+        .join(affIds.withColumnRenamed("id", "doc_id"),
+          Seq("doc_id"), "left_semi")
+        .groupBy(col("doc_id")).agg(min(col("group")).as("_d_gpost"))
+        .withColumnRenamed("doc_id", "id")
+      val withOwner = itemsAff
+        .join(pre, Seq("id"), "left")
+        .join(post, Seq("id"))
+        .join(docsAll.select(col(idCol).as("owner"), col(sourceCol),
+          col(canonCol)), Seq("owner"))
+      val ownCanons = withOwner.select(col(canonCol)).distinct()
+      val scored = withOwner
+        .join(winners(champsAll, ownCanons)
+          .withColumnRenamed("_d_win", "_d_wpost"), Seq(canonCol))
+        .join(winners(oldCh, ownCanons)
+          .withColumnRenamed("_d_win", "_d_wpre"),
+          Seq(canonCol), "left")
+        .withColumn("_d_cpre",
+          when(col("_d_gpre").isNotNull &&
+            col("_d_gpre") === col("id") &&
+            col("_d_wpre") === col("owner"), 1L).otherwise(0L))
+        .withColumn("_d_cpost",
+          when(col("_d_gpost") === col("id") &&
+            col("_d_wpost") === col("owner"), 1L).otherwise(0L))
+      val keptRows = scored.select(lit(m).as("modality"),
+        col(sourceCol).as("source"), split.as("split"),
+        lit(0L).as("d_items"),
+        (col("_d_cpost") - col("_d_cpre")).as("d_kept"),
+        ((col("_d_cpost") - col("_d_cpre")) * col("mass"))
+          .as("d_kept_mass"))
+      val itemRows = segIt
+        .join(docsAll.select(col(idCol).as("owner"), col(sourceCol),
+          col(canonCol)), Seq("owner"))
+        .select(lit(m).as("modality"), col(sourceCol).as("source"),
+          split.as("split"), lit(1L).as("d_items"),
+          lit(0L).as("d_kept"), lit(0L).as("d_kept_mass"))
+      keptRows.unionByName(itemRows)
+    }
+    mediaRows.foldLeft(textItems.unionByName(textKept))(
+        _ unionByName _)
+      .groupBy(col("modality"), col("source"), col("split"))
+      .agg(sum(col("d_items")).as("d_items"),
+        sum(col("d_kept")).as("d_kept"),
+        sum(col("d_kept_mass")).as("d_kept_mass"))
+      .filter(col("d_items") =!= 0L || col("d_kept") =!= 0L ||
+        col("d_kept_mass") =!= 0L)
+  }
+
+  /** The RUNNING manifest as one sum over the sealed per-batch
+    * delta rows [[modalityManifestIngest]] maintains — the curator
+    * read with NO item-grain join, NO label-store read and NO
+    * champion window: re-aggregates to [[modalityManifestReport]]'s
+    * answer bit for bit (q214's shared oracle — d_items only ever
+    * adds, and every kept correction lands at a combo whose items
+    * already landed, so the row sets agree too). */
+  def modalityManifestFromDeltas(s: SparkSession, storeRoot: String,
+      sourceCol: String): DataFrame =
+    s.read.parquet(s"$storeRoot/deltas/deltas")
+      .groupBy(col("modality"), col("source"), col("split"))
+      .agg(sum(col("d_items")).as("n_items"),
+        sum(col("d_kept")).as("n_kept"),
+        sum(col("d_kept_mass")).as("kept_mass"))
+      .withColumnRenamed("source", sourceCol)
+      .select(col("modality"), col(sourceCol), col("split"),
+        col("n_items"), col("n_kept"), col("kept_mass"))
 
   /** The final manifest read over the stores
     * [[modalityManifestIngest]] maintains — q208's output shape from
@@ -1049,7 +1318,6 @@ object Streams {
       .select(col(idCol), col(sourceCol), col("split"),
         col("doc_kept"), col(toksCol).cast("long").as("toks"))
       .localCheckpoint()
-    val nDocs = docs.count()
     val textRows = docs.groupBy(col(sourceCol), col("split"))
       .agg(count(lit(1)).as("n_items"),
         sum(when(col("doc_kept"), 1L).otherwise(0L)).as("n_kept"),
@@ -1062,7 +1330,7 @@ object Streams {
             .withColumnRenamed("doc_id", "id"),
           Seq("id"))
         .withColumn("is_keeper", col("group") === col("id"))
-        .withColumn(idCol, col("id") % nDocs)
+        .withColumn(idCol, col("owner"))
         .join(broadcast(docs), Seq(idCol))
         .groupBy(col(sourceCol), col("split"))
         .agg(count(lit(1)).as("n_items"),
@@ -1075,6 +1343,166 @@ object Streams {
     mediaRows.foldLeft(textRows)(_ unionByName _)
       .select(col("modality"), col(sourceCol), col("split"),
         col("n_items"), col("n_kept"), col("kept_mass"))
+  }
+
+  /** TRAINING-PREP MANIFEST AT INGEST — the q153 flagship text
+    * composition (exact dedup → near-dup keeper → eval-fold
+    * decontamination → quality floor → temperature mix) maintained
+    * per crawl batch instead of recomputed per corpus version (the
+    * q211 move on the flagship text pipeline): every stage's
+    * PER-DOC inputs are decided once, at ingest, against the grown
+    * stores; [[trainingPrepReport]] then resolves the set-dependent
+    * stages from the stores with NO re-tokenization, NO pair
+    * recompute and NO CC — and must equal the batch q153 answer bit
+    * for bit (one shared oracle). Per micro-batch of CRAWL docs
+    * (the eval reference is STATIC — a benchmark suite, the q85
+    * stream-static convention — and never enters the stores):
+    *
+    *  1. GROW the shared signature index + pair store
+    *     ([[graft.operators.Dedup.appendPairStore]], exactly-once
+    *     under `b<batchId>`) — a later near-dup reaches its earlier
+    *     partner only through the grown index;
+    *  2. merge the fresh pair edges into the corpus [[graft
+    *     .operators.LabelStore]] (pair edges only, no key edges) —
+    *     components over EVERY streamed doc, exact losers included:
+    *     exact-dup twins carry identical shingle sets, hence
+    *     identical pair adjacency, so any path through a loser
+    *     reroutes through its surviving champion and the partition
+    *     RESTRICTED to exact survivors at read time equals the CC
+    *     over survivor-restricted pairs (q153's form) exactly;
+    *  3. seal the batch docs' STATIC per-doc attributes as one
+    *     tagged segment: exact key (md5 of the text), token count,
+    *     the q25 quality score, and the q135 contamination score
+    *     against the stream-static eval shingle set (derived once
+    *     per stream, not per batch). These never change once
+    *     written — every LATER-KNOWLEDGE flag (keeper status, mix
+    *     membership) is derived at read time, which is what lets a
+    *     later batch's near-dup flip an earlier doc's keeper verdict
+    *     through store growth alone.
+    *
+    * Scale shape (100 TB): per batch one batch-sized mark against
+    * the grown index, one bounded label-store merge, one batch-grain
+    * scoring pass (tokenize + shingle the BATCH only; the eval set
+    * is bounded and pre-shingled), three sealed appends. The corpus
+    * is never re-read, re-tokenized or re-walked. */
+  def trainingPrepIngest(docs: DataFrame, idCol: String,
+      textCol: String, sourceCol: String, evalDocs: DataFrame,
+      storeRoot: String, checkpointDir: String,
+      shingleN: Int, k: Int, bands: Int, threshold: Double,
+      contamN: Int = 3): StreamingQuery = {
+    // static per stream: the eval suite's distinct n-gram shingles
+    val evalSh = evalDocs
+      .select(explode(graft.functions.text.wordShinglesFast(
+        col(textCol), contamN)).as("shingle"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val widthKey = "spark.sql.shuffle.partitions"
+        val oldWidth = s.conf.get(widthKey)
+        s.conf.set(widthKey, s.sparkContext.defaultParallelism)
+        try graft.Phases.time(s"prep_ingest[b$batchId]") {
+          val tag = s"b$batchId"
+          val b = batch.toDF().localCheckpoint()
+          val freshPairs = graft.operators.Dedup.appendPairStore(b,
+            idCol, textCol, s"$storeRoot/index", s"$storeRoot/pairs",
+            shingleN, k, bands, threshold, commitTag = Some(tag))
+          graft.operators.LabelStore.update(s, s"$storeRoot/labels",
+            b.select(col(idCol),
+              lit(null).cast("string").as("_tp_key")),
+            idCol, "_tp_key",
+            freshPairs.select(col("doc_a"), col("doc_b")), tag)
+          val flagsRoot = s"$storeRoot/flags"
+          if (!graft.operators.Dedup.isBatchCommitted(s, flagsRoot,
+              tag)) {
+            val toks = graft.functions.text.tokens(col(textCol))
+            val scored = b
+              .withColumn("_toks", toks)
+              .withColumn("n_tok", size(col("_toks")).cast("long"))
+              .withColumn("q", graft.functions.text
+                .qualityScoreTokens(col(textCol), col("_toks")))
+              .withColumn("ex_key", md5(col(textCol)))
+            val contam = graft.operators.Dedup
+              .contaminationScoresAgainst(b, evalSh, idCol, textCol,
+                contamN)
+              .select(col(idCol), col("contamination"))
+            val rows = scored
+              .join(contam, Seq(idCol))
+              .select(col(idCol), col(sourceCol), col("ex_key"),
+                col("n_tok"), col("q"), col("contamination"))
+            graft.sources.StoreLease.withLease(s, flagsRoot,
+                s"flags-append-$tag") {
+              graft.operators.Dedup.taggedSegmentAppend(s, flagsRoot,
+                tag, Seq("flags" -> rows.repartition(1)))
+            }
+          }
+        } finally s.conf.set(widthKey, oldWidth)
+      }
+      .start()
+  }
+
+  /** The manifest read over the stores [[trainingPrepIngest]]
+    * maintains — q153's per-source report from pure store reads:
+    * exact keeper = min doc id per sealed exact key; near-dup
+    * keeper = quality-argmax (token count, ties min id) within the
+    * label store's component, restricted to exact survivors (the
+    * restriction-commutes argument in the ingest scaladoc);
+    * contamination and quality floors compare the SEALED scores;
+    * the temperature mix derives its integer cuts from the SEALED
+    * token counts ([[graft.operators.Relational
+    * .temperatureMixCutsFromCounts]] — same BigInt arithmetic, no
+    * re-tokenization) and selects by the same salted hash. Cost at
+    * read time: two store scans, three windows/aggregates — no CC,
+    * no pair pass, nothing body-grain. */
+  def trainingPrepReport(s: SparkSession, storeRoot: String,
+      idCol: String, sourceCol: String,
+      budgetTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val flags = s.read.parquet(s"$storeRoot/flags/flags")
+    val wEx = Window.partitionBy(col("ex_key")).orderBy(col(idCol))
+    val base = flags
+      .withColumn("f_exact", row_number().over(wEx) === 1)
+      .localCheckpoint(eager = true)
+    val labels = graft.operators.LabelStore
+      .read(s, s"$storeRoot/labels")
+      .withColumnRenamed("doc_id", "_tp_lid")
+    val wNd = Window.partitionBy(col("_tp_comp"))
+      .orderBy(col("n_tok").desc, col(idCol))
+    val keepers = base.filter(col("f_exact"))
+      .join(labels, base(idCol) === col("_tp_lid"), "left")
+      .withColumn("_tp_comp", coalesce(col("group"), col(idCol)))
+      .withColumn("_tp_rn", row_number().over(wNd))
+      .filter(col("_tp_rn") === 1)
+      .select(col(idCol), lit(true).as("k_nd"))
+    val flagged = base
+      .join(keepers, Seq(idCol), "left")
+      .withColumn("f_nd",
+        col("f_exact") && coalesce(col("k_nd"), lit(false)))
+      .withColumn("f_ct", col("f_nd") && col("contamination") < 0.5)
+      .withColumn("f_q", col("f_ct") && col("q") >= 0.4)
+      .localCheckpoint(eager = true)
+    val qual = flagged.filter(col("f_q"))
+    val cuts = graft.operators.Relational
+      .temperatureMixCutsFromCounts(qual, sourceCol, "n_tok",
+        budgetTokens)
+    val mixed = graft.operators.Relational
+      .temperatureMix(qual, col(sourceCol), col(idCol), cuts)
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_mixed"),
+        sum(col("n_tok")).as("tokens_mixed"))
+    flagged.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("f_exact"), 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("f_nd"), 1L).otherwise(0L)).as("n_neardup"),
+        sum(when(col("f_ct"), 1L).otherwise(0L)).as("n_decontam"),
+        sum(when(col("f_q"), 1L).otherwise(0L)).as("n_quality"))
+      .join(mixed, Seq(sourceCol), "left")
+      .select(col(sourceCol), col("n_raw"), col("n_exact"),
+        col("n_neardup"), col("n_decontam"), col("n_quality"),
+        coalesce(col("n_mixed"), lit(0L)).as("n_mixed"),
+        coalesce(col("tokens_mixed"), lit(0L)).as("tokens_mixed"))
   }
 
   /** Streaming CLASSIFIER GATE — the q156 hashed-ngram linear

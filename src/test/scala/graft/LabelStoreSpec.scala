@@ -224,18 +224,145 @@ class LabelStoreSpec extends AnyFunSuite with SparkSpec
         oracle(batches.size - 1).size.toLong
       labelSet(LabelStore.read(spark, root)) shouldBe
         oracle(batches.size - 1)
-      // a batch re-delivered AFTER compaction still skips verbatim:
-      // its marker survives, its segment files are gone, the fast
-      // path returns an empty frame and the store stays untouched
+      // a batch re-delivered AFTER compaction still skips the merge:
+      // its marker survives, its segment files are gone, and the
+      // fast path recomputes the BATCH DOCS' current labels from the
+      // store itself (never an empty frame — a replay whose crash
+      // landed the label append but not the fold-sink write must
+      // still hand the sink real rows), store untouched
       labelSet(LabelStore.update(spark, root, dfDocs(batches(0)._1),
         "doc_id", "ckey", dfPairs(batches(0)._2),
-        "b0")) shouldBe Set.empty
+        "b0")) shouldBe Set((10L, 3L), (11L, 3L), (12L, 3L), (5L, 5L))
       labelSet(LabelStore.read(spark, root)) shouldBe
         oracle(batches.size - 1)
       // and a genuinely NEW batch keeps merging correctly
       Main.run(spark, Seq("compact-labels", root, "2.0"))
         .last should include("no compaction needed")
     } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
+
+  test("compact-labels with a docs dir retires anchors whose key " +
+    "left the docs table; merge verdicts unchanged") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_lsk_").toString
+    val docsRoot = Files.createTempDirectory("graft_lskd_").toString
+    try {
+      LabelStore.update(spark, root, dfDocs(batches(0)._1), "doc_id",
+        "ckey", dfPairs(batches(0)._2), "b0")
+      // the docs table has moved on: doc 5's key renamed k3 → k9,
+      // so anchor k3 is retired (k9 never anchored — it anchors
+      // fresh on its next appearance)
+      Seq((10L, "k1", "s"), (11L, "k1", "s"), (12L, "k2", "s"),
+        (5L, "k9", "s")).toDF("doc_id", "ckey", "source")
+        .write.parquet(s"$docsRoot/docs")
+      val health = Main.run(spark, Seq("labels", root, docsRoot))
+      health.foreach(l => info(l))
+      health.find(_.contains("anchors")).get should
+        include("2 live")
+      val lines = Main.run(spark,
+        Seq("compact-labels", root, "0.0", docsRoot))
+      lines.foreach(l => info(l))
+      lines.last should include("anchors compacted to 2 live keys")
+      spark.read.schema(LabelStore.AnchorsSchema)
+        .parquet(s"$root/anchors")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .toSet shouldBe Set(("k1", 10L), ("k2", 12L))
+      // merge verdicts unchanged: a live key still anchors (doc 50
+      // joins k1's component through the kept anchor), a retired
+      // key re-anchors fresh (doc 60 starts its own k3 group)
+      LabelStore.update(spark, root,
+        Seq((50L, "k1"), (60L, "k3")).toDF("doc_id", "ckey"),
+        "doc_id", "ckey", dfPairs(Seq.empty), "b1")
+      labelSet(LabelStore.lookup(spark, root,
+        Seq(50L, 60L).toDF("doc_id"))) shouldBe
+        Set((50L, 10L), (60L, 60L))
+    } finally {
+      Scratch.deleteRecursively(new java.io.File(root))
+      Scratch.deleteRecursively(new java.io.File(docsRoot))
+    }
+  }
+
+  test("an edge endpoint absent from both the store and the batch " +
+    "gets a segment row when it merges into a smaller label " +
+    "(both regimes)") {
+    import spark.implicits._
+    // doc 5 (batch) — doc 9 (absent everywhere): component min 5;
+    // without 9's row a later lookup would coalesce it to 9
+    Seq(LabelStore.DefaultUfEdgeCap, 0).foreach { cap =>
+      val root = Files
+        .createTempDirectory(s"graft_lsa_$cap").toString
+      try {
+        LabelStore.update(spark, root,
+          Seq((5L, "ka")).toDF("doc_id", "ckey"), "doc_id", "ckey",
+          Seq((5L, 9L)).toDF("doc_a", "doc_b"), "b0", ufCap = cap)
+        withClue(s"ufCap=$cap: ") {
+          labelSet(LabelStore.lookup(spark, root,
+            Seq(9L).toDF("doc_id"))) shouldBe Set((9L, 5L))
+          labelSet(LabelStore.read(spark, root)) shouldBe
+            Set((5L, 5L), (9L, 5L))
+          // an absent endpoint that stays its own component min
+          // writes no row (own-id coalesce is already correct)
+          LabelStore.update(spark, root,
+            Seq((20L, "kb")).toDF("doc_id", "ckey"), "doc_id",
+            "ckey", Seq((20L, 15L)).toDF("doc_a", "doc_b"), "b1",
+            ufCap = cap)
+          labelSet(LabelStore.lookup(spark, root,
+            Seq(20L).toDF("doc_id"))) shouldBe Set((20L, 15L))
+          LabelStore.lookup(spark, root, Seq(15L).toDF("doc_id"))
+            .count() shouldBe 0L
+        }
+      } finally Scratch.deleteRecursively(new java.io.File(root))
+    }
+  }
+
+  test("segmented bootstrap (tiny segmentRows) ≡ monolithic; " +
+    "resumes at segment grain after a partial seal") {
+    import spark.implicits._
+    val rootA = Files.createTempDirectory("graft_lsg_a").toString
+    val rootB = Files.createTempDirectory("graft_lsg_b").toString
+    try {
+      // A: 4 docs at 2 rows per segment → 2 sealed range segments;
+      // B: the monolithic layout — stores must read identically
+      LabelStore.bootstrap(spark, rootA, dfDocs(batches(0)._1),
+        "doc_id", col("ckey"), dfPairs(batches(0)._2),
+        segmentRows = 2L)
+      LabelStore.bootstrap(spark, rootB, dfDocs(batches(0)._1),
+        "doc_id", col("ckey"), dfPairs(batches(0)._2))
+      labelSet(LabelStore.read(spark, rootA)) shouldBe oracle(0)
+      labelSet(LabelStore.read(spark, rootA)) shouldBe
+        labelSet(LabelStore.read(spark, rootB))
+      def anchorSet(r: String): Set[(String, Long)] = spark.read
+        .schema(LabelStore.AnchorsSchema).parquet(s"$r/anchors")
+        .collect().map(x => (x.getString(0), x.getLong(1))).toSet
+      anchorSet(rootA) shouldBe anchorSet(rootB)
+      new java.io.File(s"$rootA/labels").listFiles()
+        .count(_.getName.startsWith("seg-bootstrap-p")) shouldBe 2
+      // resume: lose one segment AND the final marker (a crash
+      // mid-seal) — the re-run re-seals only what is missing and
+      // the union still equals the monolithic bootstrap
+      new java.io.File(s"$rootA/_commits/bootstrap")
+        .delete() shouldBe true
+      new java.io.File(s"$rootA/_commits/bootstrap-p1")
+        .delete() shouldBe true
+      new java.io.File(s"$rootA/labels").listFiles()
+        .filter(_.getName.startsWith("seg-bootstrap-p1"))
+        .foreach(f => f.delete() shouldBe true)
+      new java.io.File(s"$rootA/anchors").listFiles()
+        .filter(_.getName.startsWith("seg-bootstrap-p1"))
+        .foreach(f => f.delete() shouldBe true)
+      LabelStore.bootstrap(spark, rootA, dfDocs(batches(0)._1),
+        "doc_id", col("ckey"), dfPairs(batches(0)._2),
+        segmentRows = 2L)
+      labelSet(LabelStore.read(spark, rootA)) shouldBe oracle(0)
+      anchorSet(rootA) shouldBe anchorSet(rootB)
+      // a fully committed bootstrap is still skipped verbatim
+      LabelStore.bootstrap(spark, rootA, dfDocs(Seq((777L, "zz"))),
+        "doc_id", col("ckey"), dfPairs(Seq.empty), segmentRows = 2L)
+      labelSet(LabelStore.read(spark, rootA)) shouldBe oracle(0)
+    } finally {
+      Scratch.deleteRecursively(new java.io.File(rootA))
+      Scratch.deleteRecursively(new java.io.File(rootB))
+    }
   }
 
   test("bootstrap seeds a pre-existing corpus once and update " +

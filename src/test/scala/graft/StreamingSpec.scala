@@ -1156,6 +1156,52 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally Scratch.deleteRecursively(new java.io.File(root))
   }
 
+  test("component fold ingest: a label store grown stale under " +
+    "useLabelStore=false fails the next store-backed stream loudly") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_cfoldg_").toString
+    try {
+      val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+      Dedup.writeNearDupIndex(empty, "doc_id", "text", shingleN = 2,
+        k = 64, bands = 32, dir = root + "/store/index")
+      Dedup.writePairStore(empty, "doc_id", "text",
+        root + "/store/pairs", shingleN = 2, k = 64, bands = 32,
+        threshold = 0.5)
+      Seq.empty[(Long, String, String)]
+        .toDF("doc_id", "ckey", "source")
+        .write.parquet(root + "/store/docs/docs")
+      def runStream(ckpt: String,
+          batch: Seq[(Long, String, String, String)]): Unit = {
+        val input = MemoryStream[(Long, String, String, String)]
+        val q = Streams.componentFoldIngest(
+          input.toDF().toDF("doc_id", "ckey", "source", "text"),
+          "doc_id", "text", "ckey", "source", root + "/store",
+          root + "/out", ckpt, shingleN = 2, k = 64, bands = 32,
+          threshold = 0.5)
+        try { input.addData(batch: _*); q.processAllAvailable() }
+        finally q.stop()
+      }
+      // stream 1 seeds + grows the label store (bootstrap committed)
+      runStream(root + "/c1", Seq((1L, "u1", "s", "a b c d e f")))
+      // the docs store then grows WITHOUT the label store (what a
+      // useLabelStore=false ingest does per batch: a sealed docs
+      // append, no label segment)
+      Dedup.taggedSegmentAppend(spark, root + "/store/docs",
+        "ccgrow", Seq("docs" ->
+          Seq((2L, "u2", "s")).toDF("doc_id", "ckey", "source")))
+      // switching back: the committed bootstrap marker skips the
+      // re-seed, so the guard must catch the missing doc-2 label
+      // loudly instead of merging against a stale store
+      val ex = intercept[org.apache.spark.sql.streaming
+          .StreamingQueryException] {
+        runStream(root + "/c3", Seq((4L, "u4", "s", "m n o p q r")))
+      }
+      ex.getMessage should include("out of sync")
+    } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
+
   test("component fold ingest: an all-empty drift dir stays " +
     "readable (schema-bearing seed, no zero-row partition writes)") {
     import spark.implicits._
@@ -1194,6 +1240,79 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally Scratch.deleteRecursively(new java.io.File(root))
   }
 
+  test("training-prep ingest: a later batch's near-dup (and exact " +
+    "twin) flip earlier keepers only through store growth; " +
+    "re-delivered batches converge") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_tprep_").toString
+    try {
+      val a10 = (1 to 10).map(i => s"a$i").mkString(" ")
+      val a12 = a10 + " b1 b2" // near-dup of a10, MORE tokens
+      val p8 = (1 to 8).map(i => s"p$i").mkString(" ")
+      // batch 0: doc 10 (src x) keeper-for-now; doc 3 (src z) exact
+      // champion-for-now; doc 30 (src c) carries eval 3-grams
+      val b0 = Seq((10L, "x", a10), (3L, "z", p8),
+        (30L, "c", "e1 e2 e3 e4 q9"))
+      // batch 1: doc 20 (src y) near-dups doc 10 with more tokens —
+      // the keeper must flip; doc 2 (src w) is doc 3's EXACT twin at
+      // a smaller id — the exact champion must flip
+      val b1 = Seq((20L, "y", a12), (2L, "w", p8))
+      val evalDocs = Seq((99L, "e1 e2 e3 e4 e5 e6"))
+        .toDF("doc_id", "text")
+      val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+      Dedup.writeNearDupIndex(empty, "doc_id", "text", shingleN = 2,
+        k = 64, bands = 32, dir = root + "/store/index")
+      Dedup.writePairStore(empty, "doc_id", "text",
+        root + "/store/pairs", shingleN = 2, k = 64, bands = 32,
+        threshold = 0.5)
+      def report(): Map[String, Seq[Long]] =
+        Streams.trainingPrepReport(spark, root + "/store", "doc_id",
+            "source", budgetTokens = 1000000L)
+          .collect().map(r => r.getString(0) ->
+            (1 to 7).map(r.getLong).toVector.toSeq).toMap
+      def startStream(ckpt: String)
+          : (MemoryStream[(Long, String, String)],
+            org.apache.spark.sql.streaming.StreamingQuery) = {
+        val input = MemoryStream[(Long, String, String)]
+        val q = Streams.trainingPrepIngest(
+          input.toDF().toDF("doc_id", "source", "text"),
+          "doc_id", "text", "source", evalDocs, root + "/store",
+          ckpt, shingleN = 2, k = 64, bands = 32, threshold = 0.5)
+        (input, q)
+      }
+      val (in1, q1) = startStream(root + "/c1")
+      val after0 = try {
+        in1.addData(b0: _*); q1.processAllAvailable()
+        val r = report()
+        in1.addData(b1: _*); q1.processAllAvailable()
+        r
+      } finally q1.stop()
+      // (n_raw, n_exact, n_neardup, n_decontam, n_quality, ...)
+      after0("x").take(3) shouldBe Seq(1L, 1L, 1L) // 10 is keeper
+      after0("z").take(2) shouldBe Seq(1L, 1L)     // 3 is champion
+      after0("c").take(4) shouldBe
+        Seq(1L, 1L, 1L, 0L) // contaminated: fails the decontam gate
+      val after1 = report()
+      // the near-dup keeper flipped to the longer later arrival —
+      // the (10,20) edge exists only through the grown index
+      after1("x").take(3) shouldBe Seq(1L, 1L, 0L)
+      after1("y").take(3) shouldBe Seq(1L, 1L, 1L)
+      // the exact champion flipped to the smaller later id
+      after1("z").take(2) shouldBe Seq(1L, 0L)
+      after1("w").take(2) shouldBe Seq(1L, 1L)
+      // re-delivered batches (fresh checkpoint, same tags): every
+      // seal skips or recomputes from the store — manifest unchanged
+      val (in2, q2) = startStream(root + "/c2")
+      try {
+        in2.addData(b0: _*); q2.processAllAvailable()
+        in2.addData(b1: _*); q2.processAllAvailable()
+      } finally q2.stop()
+      report() shouldBe after1
+    } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
+
   test("modality manifest ingest: champions, label stores and item " +
     "masses converge; re-delivered batches reproduce the manifest") {
     import spark.implicits._
@@ -1203,10 +1322,13 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
       // docs: canon c1 has two docs (2 wins on n_chars), c2 one;
       // media: img items 0,1 near-dup ACROSS batches (fp differ by
       // 1 bit — keeper 0), item 2 unique; owner = id % 3
+      // doc 2 carries its own source so batch 1's dethronement of
+      // doc 0 (champion AND its keeper item's contribution) lands as
+      // an uncancelled NEGATIVE delta at doc 0's (source, split)
       val docs = Seq(
         (0L, "c1", "s", 10L, 5L),
         (1L, "c2", "s", 7L, 3L),
-        (2L, "c1", "s", 20L, 9L))
+        (2L, "c1", "s2", 20L, 9L))
       val fps = Map(0L -> 0x0FL, 1L -> 0x0EL, 2L -> 0xF0F0F0L)
       val mediaOf = (bs: org.apache.spark.sql.SparkSession,
           b: org.apache.spark.sql.DataFrame) => {
@@ -1214,6 +1336,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
           .map(_.getLong(0)).toSet
         val fp = fps.toSeq.filter(kv => ids.contains(kv._1 % 3))
           .toDF("doc", "fp")
+          .withColumn("owner", col("doc") % 3)
         Seq(("image", fp, (c: org.apache.spark.sql.Column) => c))
       }
       def run(sub: String,
@@ -1225,7 +1348,8 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
             "toks"),
           "doc_id", "canon", "source", "n_chars", "toks", mediaOf,
           s"$root/$sub", s"$root/ckpt_$sub", radius = 4, width = 64,
-          blocks = 8, keyBlocks = 1)
+          blocks = 8, keyBlocks = 1,
+          foldOf10 = h => graft.operators.Relational.foldOf(h % 10))
         try batches.foreach { b =>
           input.addData(b: _*); q.processAllAvailable()
         } finally q.stop()
@@ -1241,6 +1365,21 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
       // the one-batch run is the batch-computed answer
       val oneShot = run("all", Seq(docs))
       streamed shouldBe oneShot
+      // the sealed per-batch DELTA partials re-aggregate to the
+      // same manifest — signed kept corrections included (batch 1
+      // dethrones batch 0's item-0 keeper contribution when the
+      // cross-batch edge lands, and flips c1's champion to doc 2)
+      def deltaSum(sub: String): Set[Seq[Any]] =
+        Streams.modalityManifestFromDeltas(spark, s"$root/$sub",
+          "source").collect().map(_.toSeq).toSet
+      deltaSum("inc") shouldBe streamed
+      deltaSum("all") shouldBe oneShot
+      // the incremental run's delta table genuinely carries a
+      // NEGATIVE correction (the dethroned contribution), not a
+      // recomputed snapshot
+      spark.read.parquet(s"$root/inc/deltas/deltas")
+        .filter(col("d_kept") < 0 || col("d_kept_mass") < 0)
+        .count() should be > 0L
       // keeper arithmetic: img component {0, 1} keeper 0 (label
       // store min), item 2 its own keeper; champion of c1 is doc 2
       val img = streamed.filter(_.head == "image")
@@ -1254,7 +1393,8 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
             "toks"),
           "doc_id", "canon", "source", "n_chars", "toks", mediaOf,
           s"$root/inc", s"$root/ckpt_retry", radius = 4, width = 64,
-          blocks = 8, keyBlocks = 1)
+          blocks = 8, keyBlocks = 1,
+          foldOf10 = h => graft.operators.Relational.foldOf(h % 10))
         try { input.addData(docs(0)); q.processAllAvailable() }
         finally q.stop()
         Streams.modalityManifestReport(spark, s"$root/inc",
@@ -1263,6 +1403,8 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
           .collect().map(_.toSeq).toSet
       }
       again shouldBe streamed
+      // the re-delivered batch's delta seal skipped verbatim too
+      deltaSum("inc") shouldBe streamed
     } finally Scratch.deleteRecursively(new java.io.File(root))
   }
 
