@@ -1064,9 +1064,15 @@ object Streams {
               "id", "_mm_key", itemPairs, tag)
             if (!graft.operators.Dedup.isBatchCommitted(s, mRoot,
                 tag)) {
+              // repartition(1), not repartitionByRange(1, …): a
+              // single-file segment needs no range boundaries, and
+              // RangePartitioner's sampling pass is one more job on
+              // the per-(modality, batch) FIXED bill (ProbeScale
+              // mmbatch); the sort inside the one partition gives
+              // the identical bkey-clustered layout
               val keyRows = graft.operators.Dedup.pigeonholeKeys(fp,
                   radius, width, Some(blocks), keyBlocks)
-                .repartitionByRange(1, col("bkey"))
+                .repartition(1)
                 .sortWithinPartitions(col("bkey"), col("tbl"))
               graft.sources.StoreLease.withLease(s, mRoot,
                   s"media-append-$tag") {
@@ -1203,6 +1209,11 @@ object Streams {
         lit(0L).as("d_kept_mass"))
     // docs whose champion status flipped — their media items' kept
     // contributions change even when no media edge touched them
+    // flips/affOwners/affIds ARE checkpointed: each feeds 2–4
+    // consumers, and measured walls (gate fixture) show the
+    // checkpoint jobs beating the repeated-subtree plan the lazy
+    // form compiles (ProbeScale mmbatch prices the residual fixed
+    // cost; the fused multi-store seal is the roadmap lever)
     val affOwners = flips.select(col("_d_new").as("_d_doc"))
       .unionByName(flips.filter(col("_d_old").isNotNull)
         .select(col("_d_old").as("_d_doc")))
