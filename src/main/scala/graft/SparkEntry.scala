@@ -5758,6 +5758,58 @@ object SparkEntry {
       val rep = Streams.trainingPrepReport(s, root + "/store",
         "doc_id", "source", budgetTokens = q124Budget)
       materializeThenClean(s, rep, root)
+    }),
+
+    // ── NS streaming: the q213 manifest's PER-BATCH DELTA partials
+    // — the q214 move on the text capstone: every crawl batch also
+    // seals additive per-source survival-count deltas (SIGNED — a
+    // dethroned exact champion or near-dup keeper subtracts what it
+    // previously contributed) plus a per-(source, mix-bucket)
+    // histogram of quality survivors, derived purely from at-rest
+    // pre/post store views. The report is ONE SUM over the partials
+    // — no flags windows, no label-store read, no per-doc pass; the
+    // GLOBAL temperature mix stays exact because the histogram's
+    // bucket grain is the selection hash itself (cuts re-derive
+    // from summed totals, buckets under the cut ARE the mixed
+    // docs). ONE SHARED ORACLE with q153/q213 — three consumers of
+    // one oracle: batch, store read, delta sum ──
+    "q215_training_manifest_deltas" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ns = drainSession(s)
+      import ns.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = ns.sqlContext
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q215_").toString
+      val docs = t(s, dir, "documents")
+      val isEval = col("doc_id") % 17 === 3
+      val rows = docs.filter(!isEval)
+        .select(col("doc_id"), col("source"), col("text"))
+        .as[(Long, String, String)].collect().toSeq
+      val emptyDocs = docs.select(col("doc_id"), col("text")).limit(0)
+      Dedup.writeNearDupIndex(emptyDocs, "doc_id", "text",
+        shingleN = 2, k = 64, bands = 32, dir = root + "/store/index")
+      Dedup.writePairStore(emptyDocs, "doc_id", "text",
+        root + "/store/pairs", shingleN = 2, k = 64, bands = 32,
+        threshold = 0.5)
+      val input = MemoryStream[(Long, String, String)]
+      val stream = input.toDF().toDF("doc_id", "source", "text")
+      val ckpt = ephemeralCheckpoint("q215")
+      val q = Streams.trainingPrepIngest(stream, "doc_id", "text",
+        "source", docs.filter(isEval).select(col("doc_id"),
+          col("text")), root + "/store", ckpt.getAbsolutePath,
+        shingleN = 2, k = 64, bands = 32, threshold = 0.5)
+      try
+        (0 until 3).foreach { r =>
+          input.addData(rows.filter(_._1 % 3 == r))
+          q.processAllAvailable()
+        }
+      finally {
+        try q.stop()
+        finally Scratch.deleteRecursively(ckpt)
+      }
+      val rep = Streams.trainingPrepReportFromDeltas(s,
+        root + "/store", "source", budgetTokens = q124Budget)
+      materializeThenClean(s, rep, root)
     })
   )
 
@@ -8436,6 +8488,10 @@ object SparkEntry {
       // manifest bit for bit — ONE SHARED ORACLE (the q211/q208
       // convention applied to the text capstone)
       "q213_stream_training_manifest" -> trainingManifestSql,
+
+      // the summed per-batch delta partials re-aggregate to the
+      // same manifest — the text capstone's third oracle consumer
+      "q215_training_manifest_deltas" -> trainingManifestSql,
 
       // regenerates the md5-seeded model and re-scores every document
       // from scratch (classifierGateSql scaladoc)

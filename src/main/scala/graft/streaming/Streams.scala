@@ -1441,17 +1441,258 @@ object Streams {
               .select(col(idCol), col("contamination"))
             val rows = scored
               .join(contam, Seq(idCol))
-              .select(col(idCol), col(sourceCol), col("ex_key"),
-                col("n_tok"), col("q"), col("contamination"))
+              .select(col(idCol).cast("long").as(idCol),
+                col(sourceCol).cast("string").as(sourceCol),
+                col("ex_key"), col("n_tok"), col("q"),
+                col("contamination"))
             graft.sources.StoreLease.withLease(s, flagsRoot,
                 s"flags-append-$tag") {
               graft.operators.Dedup.taggedSegmentAppend(s, flagsRoot,
                 tag, Seq("flags" -> rows.repartition(1)))
             }
           }
+          // PER-BATCH REPORT DELTAS — sealed LAST, the q214
+          // convention on the text capstone: additive per-source
+          // survival-count deltas plus a per-(source, mix-bucket)
+          // histogram of quality survivors, derived purely from
+          // at-rest pre/post store views (store minus/plus this
+          // batch's seg files), so a crashed-after-stores retry
+          // recomputes identical rows
+          val deltasRoot = s"$storeRoot/deltas"
+          if (!graft.operators.Dedup.isBatchCommitted(s, deltasRoot,
+              tag))
+            graft.Phases.time(s"prep_deltas[b$batchId]") {
+              val (cnt, hist) = prepDeltaRows(s, storeRoot, tag,
+                idCol, sourceCol)
+              graft.sources.StoreLease.withLease(s, deltasRoot,
+                  s"deltas-append-$tag") {
+                graft.operators.Dedup.taggedSegmentAppend(s,
+                  deltasRoot, tag,
+                  Seq("counts" -> cnt.repartition(1),
+                    "mixhist" -> hist.repartition(1)))
+              }
+            }
         } finally s.conf.set(widthKey, oldWidth)
       }
       .start()
+  }
+
+  /** One batch's additive q153-report delta rows, derived from
+    * at-rest pre/post store views (post = the stores, pre = the
+    * stores minus this batch's seg files). Returns (counts,
+    * mixhist):
+    *
+    *  - counts: per source, signed deltas of the five survival
+    *    counters (d_raw, d_exact, d_nd, d_ct, d_q) — a dethroned
+    *    exact champion or near-dup keeper SUBTRACTS what it
+    *    previously contributed;
+    *  - mixhist: per (source, mix-bucket), signed (d_n, d_toks)
+    *    over QUALITY SURVIVORS, where bucket = the q124 selection
+    *    hash mod 1000 — the temperature mix is a global decision
+    *    (cuts move with every batch), but bucket-grain partials
+    *    make it summable: the report derives the cuts from the
+    *    summed totals and counts the buckets under each source's
+    *    cut, which is exactly the per-doc hash test.
+    *
+    * The affected set is closed under "flag could change": batch
+    * docs, pre/post exact champions of batch keys, and every
+    * pre/post member of components containing a touched or
+    * key-flipped doc (components merge as units, so the pre-groups
+    * and post-groups of touched docs cover both sides). All reads
+    * are bounded by the batch's touched state. */
+  private def prepDeltaRows(s: SparkSession, storeRoot: String,
+      tag: String, idCol: String, sourceCol: String)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types._
+    val flagsSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField(sourceCol, StringType),
+      StructField("ex_key", StringType),
+      StructField("n_tok", LongType),
+      StructField("q", DoubleType),
+      StructField("contamination", DoubleType)))
+    val lbSchema = graft.operators.LabelStore.LabelsSchema
+    val (segFl0, oldFl) =
+      splitTable(s, s"$storeRoot/flags/flags", tag, flagsSchema)
+    val segFl = segFl0.localCheckpoint()
+    val flagsAll = s.read.schema(flagsSchema)
+      .parquet(s"$storeRoot/flags/flags")
+    val (segLb, oldLb) =
+      splitTable(s, s"$storeRoot/labels/labels", tag, lbSchema)
+    val allLb = oldLb.unionByName(segLb)
+    // exact-champion flips among the batch's keys
+    val batchKeys = segFl.select(col("ex_key")).distinct()
+    def keyMin(fl: DataFrame, keys: DataFrame): DataFrame =
+      fl.join(keys, Seq("ex_key"), "left_semi")
+        .groupBy(col("ex_key"))
+        .agg(min(col(idCol)).as("_tp_kmin"))
+    val keyFlips = keyMin(flagsAll, batchKeys)
+      .withColumnRenamed("_tp_kmin", "_tp_knew")
+      .join(keyMin(oldFl, batchKeys)
+        .withColumnRenamed("_tp_kmin", "_tp_kold"),
+        Seq("ex_key"), "left")
+      .filter(col("_tp_kold").isNull ||
+        col("_tp_kold") =!= col("_tp_knew"))
+      .localCheckpoint()
+    val coreDocs = segLb.select(col("doc_id"))
+      .unionByName(keyFlips.select(col("_tp_knew").as("doc_id")))
+      .unionByName(keyFlips.filter(col("_tp_kold").isNotNull)
+        .select(col("_tp_kold").as("doc_id")))
+      .distinct().localCheckpoint()
+    def curLabels(lb: DataFrame, ids: DataFrame): DataFrame =
+      lb.join(ids, Seq("doc_id"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(min(col("group")).as("group"))
+    val affGroups = curLabels(oldLb, coreDocs).select(col("group"))
+      .unionByName(curLabels(allLb, coreDocs).select(col("group")))
+      .distinct().localCheckpoint()
+    // members of the affected components, pre and post. affGroups
+    // can hold labels retired at the other side (a PRE label that
+    // died this batch matches stale POST rows), so each side takes
+    // min(group) per doc — exact for every fetched doc because an
+    // affected doc's true current label is itself in affGroups
+    // (components merge as units, and retired labels never return)
+    def membersIn(lb: DataFrame, as: String): DataFrame =
+      lb.join(affGroups, Seq("group"), "left_semi")
+        .groupBy(col("doc_id")).agg(min(col("group")).as(as))
+    val memPre = membersIn(oldLb, "_tp_gpre")
+    val memPost = membersIn(allLb, "_tp_gpost")
+    val affIds = memPre.select(col("doc_id"))
+      .unionByName(memPost.select(col("doc_id")))
+      .unionByName(coreDocs)
+      .distinct().localCheckpoint()
+    val att = flagsAll
+      .join(affIds.withColumnRenamed("doc_id", idCol),
+        Seq(idCol), "left_semi")
+      .localCheckpoint()
+    val preSeen = oldFl
+      .join(affIds.withColumnRenamed("doc_id", idCol),
+        Seq(idCol), "left_semi")
+      .select(col(idCol), lit(true).as("_tp_pre"))
+    // exact-champion status over ALL affected docs' keys
+    val affKeys = att.select(col("ex_key")).distinct()
+    val kPre = keyMin(oldFl, affKeys)
+      .withColumnRenamed("_tp_kmin", "_tp_kpre")
+    val kPost = keyMin(flagsAll, affKeys)
+      .withColumnRenamed("_tp_kmin", "_tp_kpost")
+    val base = att
+      .join(preSeen, Seq(idCol), "left")
+      .join(kPre, Seq("ex_key"), "left")
+      .join(kPost, Seq("ex_key"))
+      .join(memPre.withColumnRenamed("doc_id", idCol),
+        Seq(idCol), "left")
+      .join(memPost.withColumnRenamed("doc_id", idCol),
+        Seq(idCol), "left")
+      .withColumn("_tp_expre",
+        coalesce(col("_tp_pre"), lit(false)) &&
+          col(idCol) === col("_tp_kpre"))
+      .withColumn("_tp_expost", col(idCol) === col("_tp_kpost"))
+      .localCheckpoint()
+    // near-dup champions per affected component, pre and post —
+    // the argmax over EXACT SURVIVORS of the component (q153's
+    // resolveDuplicates rule: n_tok desc, ties min id)
+    def champs(groupCol: String, exCol: String): DataFrame =
+      base.filter(col(groupCol).isNotNull && col(exCol))
+        .groupBy(col(groupCol))
+        .agg(max(struct(col("n_tok").as("t"),
+          (-col(idCol)).as("negid"))).as("_tp_best"))
+        .select(col(groupCol),
+          (-col("_tp_best").getField("negid")).as("_tp_champ"))
+    val scored = base
+      .join(champs("_tp_gpre", "_tp_expre")
+        .withColumnRenamed("_tp_champ", "_tp_cpre"),
+        Seq("_tp_gpre"), "left")
+      .join(champs("_tp_gpost", "_tp_expost")
+        .withColumnRenamed("_tp_champ", "_tp_cpost"),
+        Seq("_tp_gpost"), "left")
+      .withColumn("_tp_ndpre",
+        col("_tp_expre") && col(idCol) === col("_tp_cpre"))
+      .withColumn("_tp_ndpost",
+        col("_tp_expost") && col(idCol) === col("_tp_cpost"))
+      .withColumn("_tp_ctpre",
+        col("_tp_ndpre") && col("contamination") < 0.5)
+      .withColumn("_tp_ctpost",
+        col("_tp_ndpost") && col("contamination") < 0.5)
+      .withColumn("_tp_qpre", col("_tp_ctpre") && col("q") >= 0.4)
+      .withColumn("_tp_qpost", col("_tp_ctpost") && col("q") >= 0.4)
+      .localCheckpoint()
+    def d(post: String, pre: String): Column =
+      sum(when(col(post), 1L).otherwise(0L) -
+        when(col(pre), 1L).otherwise(0L))
+    val rawCnt = segFl.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("d_raw"))
+    val counts = scored.groupBy(col(sourceCol))
+      .agg(d("_tp_expost", "_tp_expre").as("d_exact"),
+        d("_tp_ndpost", "_tp_ndpre").as("d_nd"),
+        d("_tp_ctpost", "_tp_ctpre").as("d_ct"),
+        d("_tp_qpost", "_tp_qpre").as("d_q"))
+      .join(rawCnt, Seq(sourceCol), "full")
+      .select(col(sourceCol).as("source"),
+        coalesce(col("d_raw"), lit(0L)).as("d_raw"),
+        coalesce(col("d_exact"), lit(0L)).as("d_exact"),
+        coalesce(col("d_nd"), lit(0L)).as("d_nd"),
+        coalesce(col("d_ct"), lit(0L)).as("d_ct"),
+        coalesce(col("d_q"), lit(0L)).as("d_q"))
+      .filter(col("d_raw") =!= 0L || col("d_exact") =!= 0L ||
+        col("d_nd") =!= 0L || col("d_ct") =!= 0L ||
+        col("d_q") =!= 0L)
+    val sign = when(col("_tp_qpost") && !col("_tp_qpre"), 1L)
+      .when(!col("_tp_qpost") && col("_tp_qpre"), -1L)
+    val hist = scored
+      .withColumn("_tp_sign", sign)
+      .filter(col("_tp_sign").isNotNull)
+      .withColumn("bucket", pmod(graft.functions.hashes.md5Hash60(
+        concat(lit("mix-"), col(idCol).cast("string"))), lit(1000L)))
+      .groupBy(col(sourceCol), col("bucket"))
+      .agg(sum(col("_tp_sign")).as("d_n"),
+        sum(col("_tp_sign") * col("n_tok")).as("d_toks"))
+      .select(col(sourceCol).as("source"), col("bucket"),
+        col("d_n"), col("d_toks"))
+      .filter(col("d_n") =!= 0L || col("d_toks") =!= 0L)
+    (counts, hist)
+  }
+
+  /** The q153 report as ONE SUM over the sealed per-batch delta
+    * partials [[trainingPrepIngest]] maintains — no flags-store
+    * windows, no label-store read, no per-doc pass: survival
+    * counters sum per source; the temperature mix re-derives its
+    * BigInt cuts from the histogram's summed token totals (the same
+    * [[graft.operators.Relational.temperatureMixCutsFromCounts]]
+    * arithmetic) and counts the buckets under each source's cut —
+    * exactly the per-doc hash test, bucket grain. Shares q153's
+    * oracle verbatim (q215). */
+  def trainingPrepReportFromDeltas(s: SparkSession,
+      storeRoot: String, sourceCol: String,
+      budgetTokens: Long): DataFrame = {
+    val counts = s.read.parquet(s"$storeRoot/deltas/counts")
+      .groupBy(col("source"))
+      .agg(sum(col("d_raw")).as("n_raw"),
+        sum(col("d_exact")).as("n_exact"),
+        sum(col("d_nd")).as("n_neardup"),
+        sum(col("d_ct")).as("n_decontam"),
+        sum(col("d_q")).as("n_quality"))
+    val hist = s.read.parquet(s"$storeRoot/deltas/mixhist")
+      .groupBy(col("source"), col("bucket"))
+      .agg(sum(col("d_n")).as("n"), sum(col("d_toks")).as("toks"))
+      .localCheckpoint()
+    val totals = hist.groupBy(col("source"))
+      .agg(sum(col("toks")).as("n"))
+    val cuts = graft.operators.Relational
+      .temperatureMixCutsFromCounts(totals, "source", "n",
+        budgetTokens)
+    val cutCol = cuts.foldLeft(lit(0L)) { case (e, (k, c)) =>
+      when(col("source") === k, lit(c)).otherwise(e)
+    }
+    val mixed = hist.filter(col("bucket") < cutCol)
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_mixed"),
+        sum(col("toks")).as("tokens_mixed"))
+    counts.join(mixed, Seq("source"), "left")
+      .select(col("source").as(sourceCol), col("n_raw"),
+        col("n_exact"), col("n_neardup"), col("n_decontam"),
+        col("n_quality"),
+        coalesce(col("n_mixed"), lit(0L)).as("n_mixed"),
+        coalesce(col("tokens_mixed"), lit(0L)).as("tokens_mixed"))
   }
 
   /** The manifest read over the stores [[trainingPrepIngest]]

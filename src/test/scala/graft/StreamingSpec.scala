@@ -1272,6 +1272,11 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
             "source", budgetTokens = 1000000L)
           .collect().map(r => r.getString(0) ->
             (1 to 7).map(r.getLong).toVector.toSeq).toMap
+      def deltaReport(): Map[String, Seq[Long]] =
+        Streams.trainingPrepReportFromDeltas(spark, root + "/store",
+            "source", budgetTokens = 1000000L)
+          .collect().map(r => r.getString(0) ->
+            (1 to 7).map(r.getLong).toVector.toSeq).toMap
       def startStream(ckpt: String)
           : (MemoryStream[(Long, String, String)],
             org.apache.spark.sql.streaming.StreamingQuery) = {
@@ -1283,12 +1288,15 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
         (input, q)
       }
       val (in1, q1) = startStream(root + "/c1")
-      val after0 = try {
+      val (after0, delta0) = try {
         in1.addData(b0: _*); q1.processAllAvailable()
-        val r = report()
+        val r = (report(), deltaReport())
         in1.addData(b1: _*); q1.processAllAvailable()
         r
       } finally q1.stop()
+      // the sealed per-batch delta partials track the store read at
+      // EVERY prefix — including mid-stream
+      delta0 shouldBe after0
       // (n_raw, n_exact, n_neardup, n_decontam, n_quality, ...)
       after0("x").take(3) shouldBe Seq(1L, 1L, 1L) // 10 is keeper
       after0("z").take(2) shouldBe Seq(1L, 1L)     // 3 is champion
@@ -1302,6 +1310,14 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
       // the exact champion flipped to the smaller later id
       after1("z").take(2) shouldBe Seq(1L, 0L)
       after1("w").take(2) shouldBe Seq(1L, 1L)
+      // delta sums ≡ the store read after the flips too, and the
+      // partials genuinely carry SIGNED corrections: batch 1
+      // dethrones both src-x's keeper and src-z's exact champion
+      deltaReport() shouldBe after1
+      val cnt = spark.read
+        .parquet(root + "/store/deltas/counts")
+      cnt.filter(col("d_nd") < 0 || col("d_exact") < 0)
+        .count() should be > 0L
       // re-delivered batches (fresh checkpoint, same tags): every
       // seal skips or recomputes from the store — manifest unchanged
       val (in2, q2) = startStream(root + "/c2")
@@ -1310,6 +1326,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
         in2.addData(b1: _*); q2.processAllAvailable()
       } finally q2.stop()
       report() shouldBe after1
+      deltaReport() shouldBe after1
     } finally Scratch.deleteRecursively(new java.io.File(root))
   }
 
