@@ -59,6 +59,16 @@ object SparkEntry {
     * go, and repeated bench/verify runs must not accumulate scratch
     * under /tmp. Only for results whose cardinality is a handful of
     * rows (here: 1-row layout aggregates, per-topic snapshots). */
+  /** [[materializeThenClean]] minus the delete — for results read
+    * off a SHARED version-keyed store that later queries in the same
+    * run still consume (the ensurePairStore convention; stale
+    * versions are pruned by versionedStoreDir itself). */
+  private def materialize(s: SparkSession,
+      bounded: DataFrame): DataFrame = {
+    val rows = bounded.collect()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), bounded.schema)
+  }
+
   private def materializeThenClean(s: SparkSession,
       bounded: DataFrame, scratchRoot: String): DataFrame = {
     // delete in finally: a failed collect (task failure/OOM) must not
@@ -5597,11 +5607,11 @@ object SparkEntry {
     // (the verdict-5 done criterion): the oracle cannot tell which
     // engine path produced the manifest, which is the whole claim ──
     "q211_stream_modality_manifest" -> ((s, dir) => {
-      val root = streamedModalityStore(s, dir, "q211")
+      val root = ensureStreamedModalityStore(s, dir)
       val res = Streams.modalityManifestReport(s, root, "doc_id",
         "canon", "source", "toks", Seq("image", "audio", "video"),
         h => Relational.foldOf(h % 10))
-      materializeThenClean(s, res, root)
+      materialize(s, res)
     }),
 
     // ── NS streaming: the q211 manifest's PER-BATCH DELTA rows —
@@ -5617,9 +5627,9 @@ object SparkEntry {
     // q208/q211 — the summed deltas must be bit-indistinguishable
     // from the batch-computed manifest ──
     "q214_modality_manifest_deltas" -> ((s, dir) => {
-      val root = streamedModalityStore(s, dir, "q214")
+      val root = ensureStreamedModalityStore(s, dir)
       val res = Streams.modalityManifestFromDeltas(s, root, "source")
-      materializeThenClean(s, res, root)
+      materialize(s, res)
     }),
 
 
@@ -5722,42 +5732,10 @@ object SparkEntry {
     // decomposition must be bit-indistinguishable from the batch
     // pipeline ──
     "q213_stream_training_manifest" -> ((s, dir) => {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val ns = drainSession(s)
-      import ns.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = ns.sqlContext
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q213_").toString
-      val docs = t(s, dir, "documents")
-      val isEval = col("doc_id") % 17 === 3
-      val rows = docs.filter(!isEval)
-        .select(col("doc_id"), col("source"), col("text"))
-        .as[(Long, String, String)].collect().toSeq
-      val emptyDocs = docs.select(col("doc_id"), col("text")).limit(0)
-      Dedup.writeNearDupIndex(emptyDocs, "doc_id", "text",
-        shingleN = 2, k = 64, bands = 32, dir = root + "/store/index")
-      Dedup.writePairStore(emptyDocs, "doc_id", "text",
-        root + "/store/pairs", shingleN = 2, k = 64, bands = 32,
-        threshold = 0.5)
-      val input = MemoryStream[(Long, String, String)]
-      val stream = input.toDF().toDF("doc_id", "source", "text")
-      val ckpt = ephemeralCheckpoint("q213")
-      val q = Streams.trainingPrepIngest(stream, "doc_id", "text",
-        "source", docs.filter(isEval).select(col("doc_id"),
-          col("text")), root + "/store", ckpt.getAbsolutePath,
-        shingleN = 2, k = 64, bands = 32, threshold = 0.5)
-      try
-        (0 until 3).foreach { r =>
-          input.addData(rows.filter(_._1 % 3 == r))
-          q.processAllAvailable()
-        }
-      finally {
-        try q.stop()
-        finally Scratch.deleteRecursively(ckpt)
-      }
+      val root = ensureTrainingPrepStore(s, dir)
       val rep = Streams.trainingPrepReport(s, root + "/store",
         "doc_id", "source", budgetTokens = q124Budget)
-      materializeThenClean(s, rep, root)
+      materialize(s, rep)
     }),
 
     // ── NS streaming: the q213 manifest's PER-BATCH DELTA partials
@@ -5774,42 +5752,10 @@ object SparkEntry {
     // docs). ONE SHARED ORACLE with q153/q213 — three consumers of
     // one oracle: batch, store read, delta sum ──
     "q215_training_manifest_deltas" -> ((s, dir) => {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val ns = drainSession(s)
-      import ns.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = ns.sqlContext
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q215_").toString
-      val docs = t(s, dir, "documents")
-      val isEval = col("doc_id") % 17 === 3
-      val rows = docs.filter(!isEval)
-        .select(col("doc_id"), col("source"), col("text"))
-        .as[(Long, String, String)].collect().toSeq
-      val emptyDocs = docs.select(col("doc_id"), col("text")).limit(0)
-      Dedup.writeNearDupIndex(emptyDocs, "doc_id", "text",
-        shingleN = 2, k = 64, bands = 32, dir = root + "/store/index")
-      Dedup.writePairStore(emptyDocs, "doc_id", "text",
-        root + "/store/pairs", shingleN = 2, k = 64, bands = 32,
-        threshold = 0.5)
-      val input = MemoryStream[(Long, String, String)]
-      val stream = input.toDF().toDF("doc_id", "source", "text")
-      val ckpt = ephemeralCheckpoint("q215")
-      val q = Streams.trainingPrepIngest(stream, "doc_id", "text",
-        "source", docs.filter(isEval).select(col("doc_id"),
-          col("text")), root + "/store", ckpt.getAbsolutePath,
-        shingleN = 2, k = 64, bands = 32, threshold = 0.5)
-      try
-        (0 until 3).foreach { r =>
-          input.addData(rows.filter(_._1 % 3 == r))
-          q.processAllAvailable()
-        }
-      finally {
-        try q.stop()
-        finally Scratch.deleteRecursively(ckpt)
-      }
+      val root = ensureTrainingPrepStore(s, dir)
       val rep = Streams.trainingPrepReportFromDeltas(s,
         root + "/store", "source", budgetTokens = q124Budget)
-      materializeThenClean(s, rep, root)
+      materialize(s, rep)
     })
   )
 
@@ -5820,14 +5766,41 @@ object SparkEntry {
     * fingerprints are sliced from the shared phash store by OWNING
     * doc and travel with an explicit `owner` column — the engine
     * stores ownership instead of deriving fixture arithmetic. */
-  private def streamedModalityStore(s: SparkSession, dir: String,
-      name: String): String = {
+  /** ONE streamed modality-store lifecycle per corpus version (the
+    * ensurePairStore convention applied to a STREAM): the first
+    * consumer (q211 — or the Bench pre-build) pays the two-batch
+    * at-ingest run under the store lease and seals a `_STREAMED`
+    * marker; every later consumer (q214's delta sum) reads the same
+    * stores at rest. A crashed half-stream (no marker) is deleted
+    * and re-run whole — the sealed-batch machinery would resume it,
+    * but whole-restart is the simpler invariant for a scratch-rooted
+    * fixture store. */
+  private def ensureStreamedModalityStore(s: SparkSession,
+      dir: String): String = {
+    val root = versionedStoreDir("graft_mmstream_store", dir,
+      "r4w64b8k1")
+    val marker = new org.apache.hadoop.fs.Path(s"$root/_STREAMED")
+    val fs = marker.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(marker)) {
+      graft.sources.StoreLease.withLease(s, root, "mmstream-build") {
+        if (!fs.exists(marker)) {
+          Scratch.deleteRecursively(new java.io.File(root))
+          graft.Phases.time("mmstream_build") {
+            streamModalityInto(s, dir, root)
+          }
+          fs.create(marker, true).close()
+        }
+      }
+    }
+    root
+  }
+
+  private def streamModalityInto(s: SparkSession, dir: String,
+      root: String): Unit = {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       val ns = drainSession(s)
       import ns.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = ns.sqlContext
-      val root = java.nio.file.Files
-        .createTempDirectory(s"graft_${name}_").toString
       val nDocs = t(s, dir, "documents").count()
       val fpStore = mediaFingerprintStore(s, dir)
       val docRows = syntheticUrlDocs(s, dir)
@@ -5859,7 +5832,7 @@ object SparkEntry {
               floor(col("doc") / 8).cast("long") % nDocs),
             (c: Column) => floor(c / 8).cast("long")))
       }
-      val ckpt = ephemeralCheckpoint(name)
+      val ckpt = ephemeralCheckpoint("mmstream")
       val q = Streams.modalityManifestIngest(stream, "doc_id",
         "canon", "source", "n_chars", "toks", mediaOf, root,
         ckpt.getAbsolutePath, radius = 4, width = 64, blocks = 8,
@@ -5882,7 +5855,68 @@ object SparkEntry {
         try q.stop()
         finally Scratch.deleteRecursively(ckpt)
       }
-      root
+      ()
+  }
+
+  /** ONE streamed training-prep lifecycle per corpus version — the
+    * [[ensureStreamedModalityStore]] convention on the text
+    * capstone: q213 (store-read report) and q215 (delta sum) share
+    * the three-batch at-ingest run; Bench pre-builds it as
+    * `prep_store` so the headline walls measure the reads. */
+  private def ensureTrainingPrepStore(s: SparkSession,
+      dir: String): String = {
+    val root = versionedStoreDir("graft_prepstream_store", dir,
+      "n2k64b32t05c3")
+    val marker = new org.apache.hadoop.fs.Path(s"$root/_STREAMED")
+    val fs = marker.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(marker)) {
+      graft.sources.StoreLease.withLease(s, root, "prepstream-build") {
+        if (!fs.exists(marker)) {
+          Scratch.deleteRecursively(new java.io.File(root))
+          graft.Phases.time("prepstream_build") {
+            streamTrainingPrepInto(s, dir, root)
+          }
+          fs.create(marker, true).close()
+        }
+      }
+    }
+    root
+  }
+
+  private def streamTrainingPrepInto(s: SparkSession, dir: String,
+      root: String): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ns = drainSession(s)
+    import ns.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ns.sqlContext
+    val docs = t(s, dir, "documents")
+    val isEval = col("doc_id") % 17 === 3
+    val rows = docs.filter(!isEval)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)].collect().toSeq
+    val emptyDocs = docs.select(col("doc_id"), col("text")).limit(0)
+    Dedup.writeNearDupIndex(emptyDocs, "doc_id", "text",
+      shingleN = 2, k = 64, bands = 32, dir = root + "/store/index")
+    Dedup.writePairStore(emptyDocs, "doc_id", "text",
+      root + "/store/pairs", shingleN = 2, k = 64, bands = 32,
+      threshold = 0.5)
+    val input = MemoryStream[(Long, String, String)]
+    val stream = input.toDF().toDF("doc_id", "source", "text")
+    val ckpt = ephemeralCheckpoint("prepstream")
+    val q = Streams.trainingPrepIngest(stream, "doc_id", "text",
+      "source", docs.filter(isEval).select(col("doc_id"),
+        col("text")), root + "/store", ckpt.getAbsolutePath,
+      shingleN = 2, k = 64, bands = 32, threshold = 0.5)
+    try
+      (0 until 3).foreach { r =>
+        input.addData(rows.filter(_._1 % 3 == r))
+        q.processAllAvailable()
+      }
+    finally {
+      try q.stop()
+      finally Scratch.deleteRecursively(ckpt)
+    }
+    ()
   }
 
   /** The q92/q149 media fixture: one deterministic two-tone PNG per
@@ -6498,7 +6532,11 @@ object SparkEntry {
       "ndindex_store" -> Set("q204_split_leakage_indexed"),
       "ndingest_base" -> Set("q111_stream_neardup_ingest"),
       "phash_store" -> Set("q208_modality_manifest",
-        "q211_stream_modality_manifest"))
+        "q211_stream_modality_manifest", "q214_modality_manifest_deltas"),
+      "mmstream_store" -> Set("q211_stream_modality_manifest",
+        "q214_modality_manifest_deltas"),
+      "prep_store" -> Set("q213_stream_training_manifest",
+        "q215_training_manifest_deltas"))
     def wanted(store: String): Boolean =
       selected.forall(qs => consumers(store).exists(qs.contains))
     def timed(name: String)(body: => Unit): Option[(String, Double)] = {
@@ -6519,7 +6557,9 @@ object SparkEntry {
       timed("postings_index") { bm25PostingsStore(s, dir); () },
       timed("ndindex_store") { nearDupSignatureIndex(s, dir); () },
       timed("ndingest_base") { nearDupIngestBaseIndex(s, dir); () },
-      timed("phash_store") { mediaFingerprintStore(s, dir); () })
+      timed("phash_store") { mediaFingerprintStore(s, dir); () },
+      timed("mmstream_store") { ensureStreamedModalityStore(s, dir); () },
+      timed("prep_store") { ensureTrainingPrepStore(s, dir); () })
       .flatten
   }
 
