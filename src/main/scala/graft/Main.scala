@@ -110,6 +110,13 @@ object Main {
         if doubleArg(rest, 2.0).isDefined =>
       compactLabels(spark, labelRoot, doubleArg(rest, 2.0).get,
         rest.drop(1).headOption)
+    case Seq("compact-deltas", deltasRoot, rest @ _*)
+        if doubleArg(rest, 2.0).isDefined =>
+      compactDeltas(spark, deltasRoot, doubleArg(rest, 2.0).get)
+    case Seq("prep-health", storeRoot, rest @ _*)
+        if rest.size <= 1 =>
+      prepHealth(spark, storeRoot,
+        rest.headOption.map(_.toLong).getOrElse(20000L))
     case Seq("img-health", sfDir, rest @ _*) =>
       imgHealth(spark, sfDir, rest.headOption)
     case Seq("aud-health", sfDir) => audHealth(spark, sfDir)
@@ -173,6 +180,13 @@ object Main {
         "row per doc, doc-clustered, when over budget; with docsDir " +
         "also measure ANCHOR dilution (keys retired from the docs " +
         "table) and drop retired anchors when over budget",
+      "  compact-deltas <deltasRoot> [maxDilution]   sum-compact the " +
+        "additive delta partials (q214 modality deltas, q215 " +
+        "counts/mixhist) to one row per key combo when row dilution " +
+        "exceeds the budget; sealed-batch markers survive",
+      "  prep-health <prepStoreRoot> [budgetTokens]   training-prep " +
+        "store health card: the manifest from the sealed delta " +
+        "partials plus keeper-churn and dilution telemetry",
       "  img-health <sfDir> [phashIndexDir]   image-modality health " +
         "report: dup pairs, dup groups, largest group, index " +
         "segment count + dilution",
@@ -651,6 +665,107 @@ object Main {
     * (LabelStore.lookup; LabelStoreSpec-pinned), which keeps a
     * replayed batch's fold-sink write intact even when the crash
     * landed the label append but not the manifest partition. */
+  /** `compact-deltas` verb: the store-maintenance cycle on the
+    * ADDITIVE delta partials (the q214 modality deltas, the q215
+    * counts/mixhist) — every batch appends one sealed row set, so a
+    * long-lived stream's curator read pays FILE COUNT and row
+    * volume that a sum-compaction collapses for free (sums are
+    * associative; the merged generation is one row per key combo).
+    * Dilution here is rows per CURRENT key combo − 1. Write-then-
+    * swap under the root's lease (the delta appends take the same
+    * sibling lease, so a live ingest excludes loudly); commit
+    * markers under `_commits/` survive, so a batch re-delivered
+    * after compaction still skips its delta seal verbatim. Residual
+    * (same class as compact-labels): the delta derivation of a
+    * batch that crashed AFTER its stores sealed but BEFORE its
+    * delta seal needs its own seg files in the OTHER stores, not
+    * here — this verb never touches those. */
+  private def compactDeltas(spark: SparkSession, deltasRoot: String,
+      maxDilution: Double): Seq[String] = {
+    // (table, key columns) — the two delta layouts
+    val layouts = Seq(
+      "deltas" -> Seq("modality", "source", "split"),
+      "counts" -> Seq("source"),
+      "mixhist" -> Seq("source", "bucket"))
+    val fs = new org.apache.hadoop.fs.Path(deltasRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val present = layouts.filter { case (t, _) =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$deltasRoot/$t")) }
+    require(present.nonEmpty,
+      s"compact-deltas: no delta tables under $deltasRoot")
+    present.flatMap { case (table, keys) =>
+      val dir = s"$deltasRoot/$table"
+      val all = spark.read.parquet(dir)
+      val rows = all.count()
+      val ks = keys.map(col)
+      val aggs = all.columns.filterNot(keys.contains)
+        .map(c => sum(col(c)).as(c))
+      val sums = all.groupBy(ks: _*).agg(aggs.head, aggs.tail: _*)
+        .localCheckpoint()
+      val combos = sums.count()
+      val dilution =
+        if (combos == 0) 0.0 else rows.toDouble / combos - 1.0
+      val head = s"$table: $rows rows over $combos key combos, " +
+        s"dilution ${num2(dilution)} (budget ${num2(maxDilution)})"
+      val out =
+        if (dilution <= maxDilution)
+          Seq(head, s"$table within budget: no compaction needed")
+        else {
+          graft.sources.StoreLease.withLease(spark, deltasRoot,
+              s"compact-deltas-$table") {
+            val p = new org.apache.hadoop.fs.Path(dir)
+            val tmp = new org.apache.hadoop.fs.Path(s"$dir.compacting")
+            fs.delete(tmp, true)
+            sums.repartition(1).write.parquet(tmp.toString)
+            require(fs.delete(p, true),
+              s"could not remove old delta table $p")
+            require(fs.rename(tmp, p),
+              s"could not move compacted delta table to $p")
+          }
+          Seq(head, s"$table compacted to $combos rows (one per combo)")
+        }
+      org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(sums)
+      out
+    }
+  }
+
+  /** `prep-health` verb: the training-prep store's health card —
+    * the q215 manifest from the sealed delta partials (the curator
+    * read: no flags windows, no label-store read) plus the flip
+    * telemetry the signed partials carry for free: how many sealed
+    * batches, how much of the delta table is CORRECTION volume
+    * (negative d_exact/d_nd — keeper churn a re-export would
+    * inherit), and the delta tables' row dilution (the
+    * compact-deltas gate's input). */
+  private def prepHealth(spark: SparkSession, storeRoot: String,
+      budgetTokens: Long): Seq[String] = {
+    val man = graft.streaming.Streams.trainingPrepReportFromDeltas(
+        spark, storeRoot, "source", budgetTokens)
+      .orderBy(col("source")).collect()
+    val cnt = spark.read.parquet(s"$storeRoot/deltas/counts")
+      .localCheckpoint()
+    val nRows = cnt.count()
+    val neg = cnt.filter(col("d_exact") < 0 || col("d_nd") < 0)
+      .count()
+    val batches = {
+      val d = new java.io.File(s"$storeRoot/deltas/_commits")
+      Option(d.listFiles()).map(_.length).getOrElse(0)
+    }
+    val combos = cnt.select(col("source")).distinct().count()
+    org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(cnt)
+    Seq(s"training-prep store $storeRoot: $batches sealed batches, " +
+      s"budget $budgetTokens tokens",
+      s"  delta counts: $nRows rows for $combos sources " +
+        s"(${num2(if (combos == 0) 0.0
+          else nRows.toDouble / combos - 1.0)} dilution), " +
+        s"$neg rows carry keeper-churn corrections",
+      "  source            raw  exact near  decon qual  mixed" +
+        "  mixed_toks") ++
+      man.map(r => f"  ${r.getString(0)}%-16s ${r.getLong(1)}%5d" +
+        f" ${r.getLong(2)}%5d ${r.getLong(3)}%5d ${r.getLong(4)}%5d" +
+        f" ${r.getLong(5)}%5d ${r.getLong(6)}%5d ${r.getLong(7)}%10d")
+  }
+
   private def compactLabels(spark: SparkSession, labelRoot: String,
       maxDilution: Double, docsDir: Option[String] = None)
       : Seq[String] = {

@@ -1327,6 +1327,26 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
       } finally q2.stop()
       report() shouldBe after1
       deltaReport() shouldBe after1
+      // store maintenance closes over the partials: prep-health
+      // prints the delta-backed manifest + churn telemetry, and a
+      // sum-compaction leaves every read invariant
+      val health = Main.run(spark,
+        Seq("prep-health", root + "/store"))
+      health.foreach(l => info(l))
+      health.exists(_.contains("keeper-churn")) shouldBe true
+      val lines = Main.run(spark,
+        Seq("compact-deltas", root + "/store/deltas", "0.0"))
+      lines.foreach(l => info(l))
+      lines.exists(_.contains("compacted to")) shouldBe true
+      deltaReport() shouldBe after1
+      // a batch re-delivered AFTER compaction still skips its delta
+      // seal verbatim (markers survive the swap)
+      val (in3, q3) = startStream(root + "/c3")
+      try {
+        in3.addData(b0: _*); q3.processAllAvailable()
+        in3.addData(b1: _*); q3.processAllAvailable()
+      } finally q3.stop()
+      deltaReport() shouldBe after1
     } finally Scratch.deleteRecursively(new java.io.File(root))
   }
 
@@ -1421,6 +1441,12 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
       }
       again shouldBe streamed
       // the re-delivered batch's delta seal skipped verbatim too
+      deltaSum("inc") shouldBe streamed
+      // sum-compaction of the modality delta table leaves the
+      // curator read invariant (the compact-deltas "deltas" layout)
+      Main.run(spark,
+          Seq("compact-deltas", s"$root/inc/deltas", "0.0"))
+        .foreach(l => info(l))
       deltaSum("inc") shouldBe streamed
     } finally Scratch.deleteRecursively(new java.io.File(root))
   }
