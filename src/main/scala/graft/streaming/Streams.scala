@@ -1407,6 +1407,9 @@ object Streams {
         col(textCol), contamN)).as("shingle"))
       .distinct()
       .localCheckpoint(eager = true)
+    // once-per-stream attach guard latch (the componentFoldIngest
+    // sync-guard convention)
+    var attachChecked = false
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -1417,6 +1420,36 @@ object Streams {
         try graft.Phases.time(s"prep_ingest[b$batchId]") {
           val tag = s"b$batchId"
           val b = batch.toDF().localCheckpoint()
+          if (!attachChecked) {
+            // ATTACH GUARD (once per stream, one limit-1 probe): a
+            // signature index holding docs the flags store has never
+            // seen means the corpus predates this prep store and was
+            // not bootstrapped — merging batches against it would
+            // label and report WITHOUT the at-rest corpus, silently.
+            // The batch's own ids are excluded so a crashed first
+            // attempt (pairs appended, flags not yet sealed) still
+            // replays cleanly.
+            val fp = new org.apache.hadoop.fs.Path(
+              s"$storeRoot/flags/flags")
+            val fs = fp.getFileSystem(s.sessionState.newHadoopConf())
+            val flagsEmpty = !fs.exists(fp) ||
+              s.read.parquet(fp.toString).limit(1).isEmpty
+            val foreign = flagsEmpty && {
+              val sh = new org.apache.hadoop.fs.Path(
+                s"$storeRoot/index/shingles")
+              fs.exists(sh) && !s.read.parquet(sh.toString)
+                .select(col("doc"))
+                .join(b.select(col(idCol).cast("long").as("doc")),
+                  Seq("doc"), "left_anti")
+                .limit(1).isEmpty
+            }
+            require(!foreign,
+              s"prep store $storeRoot: the signature index holds " +
+                "docs the flags store has never seen — the corpus " +
+                "predates this store; run trainingPrepBootstrap " +
+                "before streaming")
+            attachChecked = true
+          }
           val freshPairs = graft.operators.Dedup.appendPairStore(b,
             idCol, textCol, s"$storeRoot/index", s"$storeRoot/pairs",
             shingleN, k, bands, threshold, commitTag = Some(tag))
@@ -1652,6 +1685,141 @@ object Streams {
     (counts, hist)
   }
 
+  /** The per-doc resolved survival flags over the prep stores —
+    * [[trainingPrepReport]]'s core, shared with the attach-time
+    * bootstrap delta ([[trainingPrepBootstrap]]): exact keeper =
+    * min id per sealed exact key (one window), near-dup keeper =
+    * token-argmax within the label store's component restricted to
+    * exact survivors (one window over the store-read labels),
+    * floors compare the sealed scores. Returns the flags table plus
+    * f_exact / f_nd / f_ct / f_q, eagerly checkpointed (multiple
+    * consumers). */
+  private def prepFlagsResolved(s: SparkSession, storeRoot: String,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val flags = s.read.parquet(s"$storeRoot/flags/flags")
+    val wEx = Window.partitionBy(col("ex_key")).orderBy(col(idCol))
+    val base = flags
+      .withColumn("f_exact", row_number().over(wEx) === 1)
+      .localCheckpoint(eager = true)
+    val labels = graft.operators.LabelStore
+      .read(s, s"$storeRoot/labels")
+      .withColumnRenamed("doc_id", "_tp_lid")
+    val wNd = Window.partitionBy(col("_tp_comp"))
+      .orderBy(col("n_tok").desc, col(idCol))
+    val keepers = base.filter(col("f_exact"))
+      .join(labels, base(idCol) === col("_tp_lid"), "left")
+      .withColumn("_tp_comp", coalesce(col("group"), col(idCol)))
+      .withColumn("_tp_rn", row_number().over(wNd))
+      .filter(col("_tp_rn") === 1)
+      .select(col(idCol), lit(true).as("k_nd"))
+    base
+      .join(keepers, Seq(idCol), "left")
+      .withColumn("f_nd",
+        col("f_exact") && coalesce(col("k_nd"), lit(false)))
+      .withColumn("f_ct", col("f_nd") && col("contamination") < 0.5)
+      .withColumn("f_q", col("f_ct") && col("q") >= 0.4)
+      .localCheckpoint(eager = true)
+  }
+
+  /** ATTACH a training-prep store to a PRE-EXISTING corpus — the
+    * componentFoldIngest bootstrap convention on the text capstone:
+    * a stream arriving at a corpus that predates its prep store
+    * pays the full-corpus pass ONCE (signature index + pair store
+    * build, segmented label-store bootstrap, a sealed flags
+    * backfill scoring every doc, and ONE bootstrap delta row set so
+    * [[trainingPrepReportFromDeltas]] reconciles from genesis), and
+    * every later [[trainingPrepIngest]] batch grows from there.
+    * Exactly-once piecewise: the index/pair builds guard on their
+    * own markers, the label bootstrap on its segmented markers, the
+    * flags and delta backfills on `bootstrap` tags — a crashed
+    * attach resumes at the piece that did not land. Genesis
+    * equivalence is pinned in StreamingSpec: bootstrap(A) then
+    * stream(B) reads identically to stream(A, B) from empty. */
+  def trainingPrepBootstrap(docs: DataFrame, idCol: String,
+      textCol: String, sourceCol: String, evalDocs: DataFrame,
+      storeRoot: String, shingleN: Int, k: Int, bands: Int,
+      threshold: Double, contamN: Int = 3): Unit = {
+    val s = docs.sparkSession
+    val conf = s.sessionState.newHadoopConf()
+    // 1. the signature index (marker = the LAST-written table)
+    val idxMarker = new org.apache.hadoop.fs.Path(
+      s"$storeRoot/index/shingles/_SUCCESS")
+    if (!idxMarker.getFileSystem(conf).exists(idxMarker))
+      graft.operators.Dedup.writeNearDupIndex(docs, idCol, textCol,
+        shingleN, k, bands, s"$storeRoot/index")
+    // 2. the pair store (ensure: lease + marker)
+    graft.operators.Dedup.ensurePairStore(docs, idCol, textCol,
+      s"$storeRoot/pairs", shingleN, k, bands, threshold)
+    // 3. the label store — pair edges only (null keys: the q213
+    // convention), segmented sealed bootstrap
+    graft.operators.LabelStore.bootstrap(s, s"$storeRoot/labels",
+      docs, idCol, lit(null).cast("string"),
+      graft.operators.Dedup.readPairStore(s, s"$storeRoot/pairs")
+        .select(col("doc_a"), col("doc_b")))
+    // 4. flags backfill: the ingest leg's scoring, corpus-wide once
+    val flagsRoot = s"$storeRoot/flags"
+    if (!graft.operators.Dedup.isBatchCommitted(s, flagsRoot,
+        "bootstrap")) {
+      val evalSh = evalDocs
+        .select(explode(graft.functions.text.wordShinglesFast(
+          col(textCol), contamN)).as("shingle"))
+        .distinct()
+      val scored = docs
+        .withColumn("_toks", graft.functions.text.tokens(col(textCol)))
+        .withColumn("n_tok", size(col("_toks")).cast("long"))
+        .withColumn("q", graft.functions.text
+          .qualityScoreTokens(col(textCol), col("_toks")))
+        .withColumn("ex_key", md5(col(textCol)))
+      val contam = graft.operators.Dedup
+        .contaminationScoresAgainst(docs, evalSh, idCol, textCol,
+          contamN)
+        .select(col(idCol), col("contamination"))
+      val rows = scored.join(contam, Seq(idCol))
+        .select(col(idCol).cast("long").as(idCol),
+          col(sourceCol).cast("string").as(sourceCol),
+          col("ex_key"), col("n_tok"), col("q"),
+          col("contamination"))
+      graft.sources.StoreLease.withLease(s, flagsRoot,
+          "flags-append-bootstrap") {
+        graft.operators.Dedup.taggedSegmentAppend(s, flagsRoot,
+          "bootstrap", Seq("flags" -> rows))
+      }
+    }
+    // 5. ONE bootstrap delta row set = the attach-state report
+    // (counts + full mix histogram), so the delta sums reconcile
+    // from genesis — derived from the backfilled stores through the
+    // same flag-resolution core the report uses
+    val deltasRoot = s"$storeRoot/deltas"
+    if (!graft.operators.Dedup.isBatchCommitted(s, deltasRoot,
+        "bootstrap")) {
+      val flagged = prepFlagsResolved(s, storeRoot, idCol)
+      val counts = flagged.groupBy(col(sourceCol))
+        .agg(count(lit(1)).as("d_raw"),
+          sum(when(col("f_exact"), 1L).otherwise(0L)).as("d_exact"),
+          sum(when(col("f_nd"), 1L).otherwise(0L)).as("d_nd"),
+          sum(when(col("f_ct"), 1L).otherwise(0L)).as("d_ct"),
+          sum(when(col("f_q"), 1L).otherwise(0L)).as("d_q"))
+        .withColumnRenamed(sourceCol, "source")
+      val hist = flagged.filter(col("f_q"))
+        .withColumn("bucket",
+          pmod(graft.functions.hashes.md5Hash60(
+            concat(lit("mix-"), col(idCol).cast("string"))),
+            lit(1000L)))
+        .groupBy(col(sourceCol), col("bucket"))
+        .agg(count(lit(1)).as("d_n"),
+          sum(col("n_tok")).as("d_toks"))
+        .withColumnRenamed(sourceCol, "source")
+      graft.sources.StoreLease.withLease(s, deltasRoot,
+          "deltas-append-bootstrap") {
+        graft.operators.Dedup.taggedSegmentAppend(s, deltasRoot,
+          "bootstrap", Seq("counts" -> counts.repartition(1),
+            "mixhist" -> hist.repartition(1)))
+      }
+      org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(flagged)
+    }
+  }
+
   /** The q153 report as ONE SUM over the sealed per-batch delta
     * partials [[trainingPrepIngest]] maintains — no flags-store
     * windows, no label-store read, no per-doc pass: survival
@@ -1711,30 +1879,7 @@ object Streams {
   def trainingPrepReport(s: SparkSession, storeRoot: String,
       idCol: String, sourceCol: String,
       budgetTokens: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val flags = s.read.parquet(s"$storeRoot/flags/flags")
-    val wEx = Window.partitionBy(col("ex_key")).orderBy(col(idCol))
-    val base = flags
-      .withColumn("f_exact", row_number().over(wEx) === 1)
-      .localCheckpoint(eager = true)
-    val labels = graft.operators.LabelStore
-      .read(s, s"$storeRoot/labels")
-      .withColumnRenamed("doc_id", "_tp_lid")
-    val wNd = Window.partitionBy(col("_tp_comp"))
-      .orderBy(col("n_tok").desc, col(idCol))
-    val keepers = base.filter(col("f_exact"))
-      .join(labels, base(idCol) === col("_tp_lid"), "left")
-      .withColumn("_tp_comp", coalesce(col("group"), col(idCol)))
-      .withColumn("_tp_rn", row_number().over(wNd))
-      .filter(col("_tp_rn") === 1)
-      .select(col(idCol), lit(true).as("k_nd"))
-    val flagged = base
-      .join(keepers, Seq(idCol), "left")
-      .withColumn("f_nd",
-        col("f_exact") && coalesce(col("k_nd"), lit(false)))
-      .withColumn("f_ct", col("f_nd") && col("contamination") < 0.5)
-      .withColumn("f_q", col("f_ct") && col("q") >= 0.4)
-      .localCheckpoint(eager = true)
+    val flagged = prepFlagsResolved(s, storeRoot, idCol)
     val qual = flagged.filter(col("f_q"))
     val cuts = graft.operators.Relational
       .temperatureMixCutsFromCounts(qual, sourceCol, "n_tok",

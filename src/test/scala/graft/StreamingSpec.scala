@@ -1350,6 +1350,89 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally Scratch.deleteRecursively(new java.io.File(root))
   }
 
+  test("training-prep bootstrap: attaching to a pre-existing " +
+    "corpus reads identically to streaming it from genesis") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_tpboot_").toString
+    try {
+      val a10 = (1 to 10).map(i => s"a$i").mkString(" ")
+      val a12 = a10 + " b1 b2"
+      val p8 = (1 to 8).map(i => s"p$i").mkString(" ")
+      // corpus A pre-exists; batch B arrives later and flips both
+      // the near-dup keeper (20 over 10) and the exact champion
+      // (2 over 3) — the flips must land through the BOOTSTRAPPED
+      // stores exactly as they do through genesis growth
+      val corpusA = Seq((10L, "x", a10), (3L, "z", p8),
+        (30L, "c", "e1 e2 e3 e4 q9"))
+      val batchB = Seq((20L, "y", a12), (2L, "w", p8))
+      val evalDocs = Seq((99L, "e1 e2 e3 e4 e5 e6"))
+        .toDF("doc_id", "text")
+      def stream(sub: String,
+          batches: Seq[Seq[(Long, String, String)]]): Unit = {
+        val input = MemoryStream[(Long, String, String)]
+        val q = Streams.trainingPrepIngest(
+          input.toDF().toDF("doc_id", "source", "text"),
+          "doc_id", "text", "source", evalDocs, s"$root/$sub/store",
+          s"$root/$sub/ckpt", shingleN = 2, k = 64, bands = 32,
+          threshold = 0.5)
+        try batches.foreach { b =>
+          input.addData(b: _*); q.processAllAvailable()
+        } finally q.stop()
+      }
+      def reports(sub: String): (Set[Seq[Any]], Set[Seq[Any]]) = (
+        Streams.trainingPrepReport(spark, s"$root/$sub/store",
+            "doc_id", "source", budgetTokens = 1000000L)
+          .collect().map(_.toSeq).toSet,
+        Streams.trainingPrepReportFromDeltas(spark,
+            s"$root/$sub/store", "source", budgetTokens = 1000000L)
+          .collect().map(_.toSeq).toSet)
+      // genesis: everything streamed from an empty store
+      val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+      Dedup.writeNearDupIndex(empty, "doc_id", "text", shingleN = 2,
+        k = 64, bands = 32, dir = s"$root/gen/store/index")
+      Dedup.writePairStore(empty, "doc_id", "text",
+        s"$root/gen/store/pairs", shingleN = 2, k = 64, bands = 32,
+        threshold = 0.5)
+      stream("gen", Seq(corpusA, batchB))
+      val (repG, deltaG) = reports("gen")
+      deltaG shouldBe repG
+      // attach: corpus A bootstrapped at rest, only B streams
+      Streams.trainingPrepBootstrap(
+        corpusA.toDF("doc_id", "source", "text"), "doc_id", "text",
+        "source", evalDocs, s"$root/att/store", shingleN = 2,
+        k = 64, bands = 32, threshold = 0.5)
+      val (repA0, deltaA0) = reports("att")
+      deltaA0 shouldBe repA0 // the bootstrap delta IS the report
+      stream("att", Seq(batchB))
+      val (repA, deltaA) = reports("att")
+      repA shouldBe repG
+      deltaA shouldBe deltaG
+      // a re-run bootstrap is a no-op under its markers
+      Streams.trainingPrepBootstrap(
+        corpusA.toDF("doc_id", "source", "text"), "doc_id", "text",
+        "source", evalDocs, s"$root/att/store", shingleN = 2,
+        k = 64, bands = 32, threshold = 0.5)
+      reports("att")._2 shouldBe deltaG
+      // attaching WITHOUT the bootstrap fails loudly: an index
+      // built for the corpus but no flags/label backfill
+      Dedup.writeNearDupIndex(
+        corpusA.toDF("doc_id", "source", "text")
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text", shingleN = 2, k = 64, bands = 32,
+        dir = s"$root/raw/store/index")
+      Dedup.writePairStore(empty, "doc_id", "text",
+        s"$root/raw/store/pairs", shingleN = 2, k = 64, bands = 32,
+        threshold = 0.5)
+      val ex = intercept[org.apache.spark.sql.streaming
+          .StreamingQueryException] {
+        stream("raw", Seq(batchB))
+      }
+      ex.getMessage should include("predates this store")
+    } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
+
   test("modality manifest ingest: champions, label stores and item " +
     "masses converge; re-delivered batches reproduce the manifest") {
     import spark.implicits._
