@@ -1531,6 +1531,70 @@ object ProbeScale {
       }
     }
 
+    // ── `ProbeScale prepbatch`: the training-prep ingest's
+    // per-batch FIXED cost vs batch grain (the mmbatch table's
+    // sibling for the text capstone): constant total docs, batch
+    // count varies — each batch pays the pair-store mark, the
+    // label-store update, the flags scoring seal and the delta-leg
+    // derivation regardless of batch size. ──
+    if (mode == "prepbatch") {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+        spark.sqlContext
+      import spark.implicits._
+      val D = 240
+      // every 8th doc an exact twin of its predecessor, every 16th
+      // a near-dup — real flip work in every batch split
+      val docRows = (0 until D).map { i =>
+        val base = (1 to 10).map(j => s"w${(i / 8) * 10 + j}")
+          .mkString(" ")
+        val txt =
+          if (i % 8 == 7) base
+          else if (i % 16 == 14) base + " x1 x2"
+          else base + s" u$i"
+        (i.toLong, s"s${i % 4}", txt)
+      }
+      val evalDocs = Seq((9999L, "e1 e2 e3 e4 e5 e6"))
+        .toDF("doc_id", "text")
+      def run(nBatches: Int): Double = {
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_probe_pb_$nBatches").toString
+        val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+        Dedup.writeNearDupIndex(empty, "doc_id", "text",
+          shingleN = 2, k = 64, bands = 32, dir = s"$root/index")
+        Dedup.writePairStore(empty, "doc_id", "text", s"$root/pairs",
+          shingleN = 2, k = 64, bands = 32, threshold = 0.5)
+        val input = MemoryStream[(Long, String, String)]
+        val q = graft.streaming.Streams.trainingPrepIngest(
+          input.toDF().toDF("doc_id", "source", "text"),
+          "doc_id", "text", "source", evalDocs, root,
+          s"$root/ckpt", shingleN = 2, k = 64, bands = 32,
+          threshold = 0.5)
+        val per = D / nBatches
+        val t0 = System.nanoTime()
+        try (0 until nBatches).foreach { k =>
+          input.addData(docRows.filter(r =>
+            math.min((r._1 / per).toInt, nBatches - 1) == k): _*)
+          q.processAllAvailable()
+        } finally q.stop()
+        val w = (System.nanoTime() - t0) / 1e9
+        val rep = graft.streaming.Streams
+          .trainingPrepReportFromDeltas(spark, root, "source",
+            budgetTokens = 1000000L)
+        require(rep.agg(sum(col("n_raw"))).collect()(0)
+            .getLong(0) == D.toLong,
+          s"prepbatch raw count broke at b$nBatches")
+        Scratch.deleteRecursively(new java.io.File(root))
+        w
+      }
+      run(2) // JIT/codegen strip
+      for (nb <- Seq(1, 4, 16)) {
+        val w = run(nb)
+        println(f"PROBE_SCALE prepbatch/b$nb docs=$D batches=$nb " +
+          f"wall=$w%.2fs per_batch=${w / nb}%.2fs")
+      }
+    }
+
     // q157's two scale claims measured: per-round cost tracks the
     // EDGE LIST (pair-store grain, not corpus grain), and rounds
     // compose LINEARLY because ranks are localCheckpointed per round
