@@ -315,25 +315,122 @@ object Bench {
             .filter(r => r.length >= 3 && r(0) == hostName &&
               r(1) == cpus.toInt.toString)
             .flatMap(r => scala.util.Try(r(2).toDouble).toOption)
-          if (spins.isEmpty) None else Some(spins.min)
+          // min over a RECENT WINDOW, not the lifetime min (r18
+          // ADVICE): after a durable host slowdown (governor /
+          // thermal / VM migration) the all-time min never ages out,
+          // every future cleanest spin reads > 1.3× the stale band,
+          // and all reproducing retimes self-excuse as
+          // ambient_history forever. Rows append one per bench run,
+          // so 20 rows ≈ the last few rounds — enough to ride out a
+          // squeezed week, short enough to adopt a new steady state.
+          if (spins.isEmpty) None
+          else Some(spins.takeRight(20).min)
         }
       } catch { case scala.util.control.NonFatal(_) => None }
     val cleanestSpin = (calibMtStart +: calibTrack.toSeq).min
+    // ---- committed-round artifact history (BENCH_r*.json) ----
+    // The per-round driver artifacts are committed to the repo and
+    // carry (a) the 10 slowest queries' recorded walls (top_wall) and
+    // (b) the calibration spins — two histories this run can defend
+    // itself with:
+    //   - RETIME SELECTION (r18 verdict #2): the within-run outlier
+    //     arms miss a contended streaming ingest (cpu > wall because
+    //     it IS busy, just slowly; cold equally squeezed — neither
+    //     arm fires). A query reading far above its best COMMITTED
+    //     recorded wall is an outlier regardless of within-run
+    //     self-consistency. 1.5×, not 2×: r18's missed case read
+    //     31.96 s against a committed-min of 17.2 s (1.86×) — a 2×
+    //     bar misses it because the committed windows are themselves
+    //     driver-contended; 1.5× catches it and the cost of a false
+    //     fire is one bounded re-run that verdicts itself.
+    //   - BAND SEEDING (cross-host): calib_history.tsv is keyed by
+    //     (host, cpus) and starts empty on new hardware — the first
+    //     run on a migrated box could never verdict ambient_history.
+    //     The artifacts' spins (same cpus; spins are machine-speed,
+    //     sf-independent) seed the band until the tsv has rows.
+    // Defensive parsing: any malformed artifact is skipped whole.
+    val artifactHist: Seq[(Int, String, Map[String, Double], Seq[Double])] =
+      try {
+        val dir = new java.io.File(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY_DIR", "."))
+        val files = Option(dir.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile &&
+            f.getName.matches("BENCH_r\\d+\\.json"))
+        files.toSeq.flatMap { f =>
+          try {
+            import org.json4s._
+            val jv = jackson.JsonMethods.parse(
+              java.nio.file.Files.readString(f.toPath))
+            def num(j: JValue): Option[Double] = j match {
+              case JDouble(d) => Some(d)
+              case JInt(i) => Some(i.toDouble)
+              case JLong(l) => Some(l.toDouble)
+              case JDecimal(d) => Some(d.toDouble)
+              case _ => None
+            }
+            val rCpus = num(jv \ "cpus").map(_.toInt).getOrElse(-1)
+            val parsed = jv \ "parsed"
+            val rSf = parsed \ "sf" match {
+              case JString(x) => x; case _ => "" }
+            val tw = parsed \ "top_wall" match {
+              case JObject(fs) =>
+                fs.flatMap { case (k, v) => num(v).map(k -> _) }.toMap
+              case _ => Map.empty[String, Double]
+            }
+            val spins = (Seq(parsed \ "calib_cleanest") ++
+              Seq(parsed \ "calib_band").filter(b =>
+                num(b).exists(_ >= 0)) ++
+              (parsed \ "calib_mt_sec" match {
+                case JArray(xs) => xs; case _ => Nil
+              })).flatMap(num).filter(_ > 0)
+            Some((rCpus, rSf, tw, spins))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    // best committed wall per query, same sf + cpus only
+    val histWalls: Map[String, Double] = artifactHist
+      .filter(h => h._1 == cpus.toInt && h._2 == sfDir)
+      .flatMap(_._3.toSeq)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+    // band provenance: the tsv is first-class (same host, measured
+    // spins); the artifacts seed it only when the host key is absent
+    val histSpin: Option[Double] = {
+      val vs = artifactHist.filter(_._1 == cpus.toInt).flatMap(_._4)
+      if (vs.isEmpty) None else Some(vs.min)
+    }
+    val (bandEff, bandSource) = histBand match {
+      case Some(b) => (Some(b), "history_tsv")
+      case None => histSpin match {
+        case Some(b) => (Some(b), "artifacts")
+        case None => (None, "none")
+      }
+    }
     val retimed = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val retimeCalib = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val retimeVerdict = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val retimeWhy = scala.collection.mutable.LinkedHashMap.empty[String, String]
     locally {
       val fnByName = selected.toMap
-      val outliers = results.filter { case (name, wall) =>
-        wall > 1.0 && {
+      val outliers = results.flatMap { case (name, wall) =>
+        if (wall <= 1.0) None
+        else {
           val cold = coldSec.getOrElse(name, 0.0)
           val cpu = cpuSec.getOrElse(name, -1.0)
           val wide = tasksMax.getOrElse(name, 0.0) >= 8
-          wall > 1.5 * math.max(cold, 0.05) ||
-            (wide && cpu >= 0 && cpu < wall)
+          // third arm (r18 verdict #2): the within-run arms are
+          // blind to a contended streaming ingest — busy-but-slow
+          // keeps cpu > wall, and its cold pass is squeezed too.
+          // The committed history is outside the squeeze.
+          val why =
+            if (wall > 1.5 * math.max(cold, 0.05)) Some("cold_inversion")
+            else if (wide && cpu >= 0 && cpu < wall) Some("starved")
+            else if (histWalls.get(name).exists(h => wall > 1.5 * h))
+              Some("history")
+            else None
+          why.map(w => (name, wall, w))
         }
       }.sortBy(-_._2).take(12)
-      outliers.foreach { case (name, origWall) =>
+      outliers.foreach { case (name, origWall, why) =>
         fnByName.get(name).foreach { fn =>
           var df: org.apache.spark.sql.DataFrame = null
           val t0 = System.nanoTime()
@@ -342,13 +439,14 @@ object Bench {
             df.write.format("noop").mode("overwrite").save()
             val w = (System.nanoTime() - t0) / 1e9
             retimed(name) = w
+            retimeWhy(name) = why
             if (w < 0.7 * origWall) retimeVerdict(name) = "collapsed"
             else {
               val c = calibrateMt()
               retimeCalib(name) = c
               retimeVerdict(name) =
                 if (c > 1.3 * cleanestSpin) "ambient"
-                else if (histBand.exists(b => cleanestSpin > 1.3 * b))
+                else if (bandEff.exists(b => cleanestSpin > 1.3 * b))
                   // the run's OWN reference is inflated vs the
                   // host's recorded clean band — whole-run squeeze
                   "ambient_history"
@@ -447,8 +545,12 @@ object Bench {
         s""""calib_track":[${calibTrack.map(num).mkString(",")}],""" +
         s""""calib_every":$calibEvery,""" +
         s""""calib_cleanest":${num(cleanestSpin)},""" +
-        s""""calib_band":${num(histBand.getOrElse(-1.0))},""" +
+        s""""calib_band":${num(bandEff.getOrElse(-1.0))},""" +
+        s""""calib_band_source":"$bandSource",""" +
         s""""retimed_sec":${jsonObj(retimed)},""" +
+        s""""retime_why":${retimeWhy
+          .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+          .mkString("{", ",", "}")},""" +
         s""""retime_calib":${jsonObj(retimeCalib)},""" +
         s""""retime_verdict":${retimeVerdict
           .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
@@ -484,10 +586,14 @@ object Bench {
         s""""calib_track":[${calibTrack.map(num).mkString(",")}],""" +
         s""""calib_every":$calibEvery,""" +
         s""""calib_cleanest":${num(cleanestSpin)},""" +
-        s""""calib_band":${num(histBand.getOrElse(-1.0))},""" +
+        s""""calib_band":${num(bandEff.getOrElse(-1.0))},""" +
+        s""""calib_band_source":"$bandSource",""" +
         s""""top_wall":${jsonObj(topWall)},""" +
         s""""top_wall_tasks":${jsonObjInt(topWallTasks)},""" +
         s""""retimed_sec":${jsonObj(retimed)},""" +
+        s""""retime_why":${retimeWhy
+          .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+          .mkString("{", ",", "}")},""" +
         s""""retime_verdict":${retimeVerdict
           .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
           .mkString("{", ",", "}")},""" +

@@ -747,14 +747,25 @@ object Main {
     val nRows = cnt.count()
     val neg = cnt.filter(col("d_exact") < 0 || col("d_nd") < 0)
       .count()
-    val batches = {
-      val d = new java.io.File(s"$storeRoot/deltas/_commits")
-      Option(d.listFiles()).map(_.length).getOrElse(0)
+    // Hadoop FS, not java.io.File: the sibling verbs' convention —
+    // a non-local store root (hdfs://, s3a://) must count the same.
+    // The bootstrap attach marker is a batch-shaped commit but not a
+    // crawl batch; report it separately instead of inflating the count
+    val (batches, bootstrapped) = {
+      val d = new org.apache.hadoop.fs.Path(
+        s"$storeRoot/deltas/_commits")
+      val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(d)) (0, false)
+      else {
+        val names = fs.listStatus(d).map(_.getPath.getName)
+        (names.count(_ != "bootstrap"), names.contains("bootstrap"))
+      }
     }
     val combos = cnt.select(col("source")).distinct().count()
     org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(cnt)
-    Seq(s"training-prep store $storeRoot: $batches sealed batches, " +
-      s"budget $budgetTokens tokens",
+    Seq(s"training-prep store $storeRoot: $batches sealed batches" +
+      (if (bootstrapped) " + bootstrap" else "") +
+      s", budget $budgetTokens tokens",
       s"  delta counts: $nRows rows for $combos sources " +
         s"(${num2(if (combos == 0) 0.0
           else nRows.toDouble / combos - 1.0)} dilution), " +

@@ -709,14 +709,21 @@ object Streams {
                   .join(batchDocs.select(col(idCol).cast("long")
                     .as("doc_id")), Seq("doc_id"), "left_anti")
                   .localCheckpoint()
-                val nLbl = lbl.count()
-                val nPrior = priorIds.count()
-                require(nLbl == nPrior &&
-                    priorIds.join(lbl, Seq("doc_id"), "left_anti")
-                      .isEmpty,
+                // CONTAINMENT only, not count equality: the hazard
+                // this guard exists for is DOCS MISSING LABELS
+                // (batches merged under useLabelStore=false after
+                // bootstrap). The label store may legitimately hold
+                // MORE rows than the docs table — LabelStore.update
+                // writes segment rows for absent edge endpoints (ids
+                // in neither store nor batch) so their merged label
+                // is readable at rest, and those rows are healthy,
+                // not a sync failure.
+                val missing = priorIds
+                  .join(lbl, Seq("doc_id"), "left_anti").count()
+                require(missing == 0L,
                   s"label store $labelRoot is out of sync with " +
-                    s"$docsStore ($nLbl labeled vs $nPrior prior " +
-                    "docs): the store was grown without the label " +
+                    s"$docsStore ($missing prior docs have no " +
+                    "label): the store was grown without the label " +
                     "store (useLabelStore=false) after bootstrap — " +
                     "delete the label table to re-bootstrap, or " +
                     "keep running with useLabelStore=false")
@@ -930,7 +937,11 @@ object Streams {
     * item knows its document; the owner must land in the text store
     * in the same or an earlier batch), item-of-doc expression:
     * identity for doc-grain image/audio, `div 8` for frame-packed
-    * video).
+    * video). ONE-BATCH-PER-ITEM: all of an item's fingerprint rows
+    * must arrive in a single micro-batch — the delta leg reads the
+    * item's items row as its arrival, so a straddling second row
+    * would break the delta-sum ≡ store-read equality. Asserted
+    * loudly at the items seal (bounded pushed-isin probe).
     *
     * PER-BATCH MANIFEST DELTAS: after every store seal, the batch's
     * additive (modality, source, split) delta rows — d_items /
@@ -979,23 +990,69 @@ object Streams {
           // index so batch 0's pair mark has a store to read (the
           // componentFoldIngest empty-store convention)
           if (!indexesSeeded) {
-            media.foreach { case (name, _, _) =>
-              val idxDir = s"$storeRoot/$name/index"
+            media.foreach { case (name, fp0, _) =>
+              val mRoot = s"$storeRoot/$name"
+              val idxDir = s"$mRoot/index"
+              // ATTACH GUARD (once per stream, one limit-1 probe per
+              // modality — the trainingPrepIngest convention): an
+              // index holding fingerprint docs the items table has
+              // never seen means the MEDIA CORPUS predates this
+              // store and was not bootstrapped — marking batches
+              // against it would merge and report WITHOUT the
+              // at-rest corpus, silently. Checked BEFORE the seed so
+              // a malformed foreign index can never be overwritten.
+              // The batch's own fp docs are excluded: keys+items
+              // seal atomically per tag, so a crashed first attempt
+              // cannot trip this, but the exclusion keeps the probe
+              // retry-proof regardless.
+              locally {
+                val fs2 = new org.apache.hadoop.fs.Path(mRoot)
+                  .getFileSystem(s.sessionState.newHadoopConf())
+                val itemsP = new org.apache.hadoop.fs.Path(
+                  s"$mRoot/items")
+                val keysP = new org.apache.hadoop.fs.Path(
+                  s"$idxDir/keys")
+                val itemsEmpty = !fs2.exists(itemsP) ||
+                  s.read.schema(MmItemsSchema)
+                    .parquet(itemsP.toString).limit(1).isEmpty
+                val foreign = itemsEmpty && fs2.exists(keysP) && {
+                  !s.read.parquet(keysP.toString).select(col("doc"))
+                    .join(fp0.select(col("doc").cast("long")
+                      .as("doc")).distinct(), Seq("doc"), "left_anti")
+                    .limit(1).isEmpty
+                }
+                require(!foreign,
+                  s"modality store $mRoot: the phash index holds " +
+                    "docs the items table has never seen — the " +
+                    "media corpus predates this store; run " +
+                    "modalityManifestBootstrap before streaming")
+              }
               val marker = new org.apache.hadoop.fs.Path(
                 s"$idxDir/params/_SUCCESS")
               val fs = marker.getFileSystem(
                 s.sessionState.newHadoopConf())
-              if (!fs.exists(marker)) {
-                val emptyFp = s.createDataFrame(
-                  s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                  org.apache.spark.sql.types.StructType(Seq(
-                    org.apache.spark.sql.types.StructField("doc",
-                      org.apache.spark.sql.types.LongType),
-                    org.apache.spark.sql.types.StructField("fp",
-                      org.apache.spark.sql.types.LongType))))
-                graft.operators.Dedup.writePhashIndex(emptyFp, idxDir,
-                  radius, width, Some(blocks), keyBlocks)
-              }
+              // the seed rides the SAME store lease the appends take
+              // (media-append-*): two streams racing one storeRoot
+              // now exclude loudly at the seed too, instead of both
+              // writing params — the marker is re-checked inside the
+              // lease so the loser of the race skips cleanly. The
+              // single-writer contract is unchanged; this closes the
+              // seed's consistency-by-convention gap.
+              if (!fs.exists(marker))
+                graft.sources.StoreLease.withLease(s, mRoot,
+                    s"index-seed-$name") {
+                  if (!fs.exists(marker)) {
+                    val emptyFp = s.createDataFrame(
+                      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                      org.apache.spark.sql.types.StructType(Seq(
+                        org.apache.spark.sql.types.StructField("doc",
+                          org.apache.spark.sql.types.LongType),
+                        org.apache.spark.sql.types.StructField("fp",
+                          org.apache.spark.sql.types.LongType))))
+                    graft.operators.Dedup.writePhashIndex(emptyFp,
+                      idxDir, radius, width, Some(blocks), keyBlocks)
+                  }
+                }
             }
             indexesSeeded = true
           }
@@ -1064,6 +1121,38 @@ object Streams {
               "id", "_mm_key", itemPairs, tag)
             if (!graft.operators.Dedup.isBatchCommitted(s, mRoot,
                 tag)) {
+              // ONE-BATCH-PER-ITEM invariant, asserted (r18 ADVICE):
+              // the delta leg reads an item's items row as its
+              // arrival — a SECOND row for an already-stored item
+              // (fingerprint rows straddling micro-batches) would
+              // recount d_items and silently drop its kept mass from
+              // the delta table while the store-read report counts
+              // every row, breaking the q214 bit-for-bit claim. The
+              // mediaOf contract pins only the OWNER doc's arrival,
+              // so refuse loudly here: the batch's item ids must be
+              // absent from the at-rest items table (this tag's own
+              // files excluded — a crashed attempt's half-landed seg
+              // is not a straddle). Bounded: batch ids pushed as a
+              // parquet-native isin up to the prune cap, semi-join
+              // past it (the DefaultMarkPruneCap convention).
+              val (_, itemsRest) = splitTable(s, s"$mRoot/items",
+                tag, MmItemsSchema)
+              val bIds = items.select(col("id")).distinct()
+                .limit(graft.operators.Dedup.DefaultMarkPruneCap + 1)
+                .collect().map(_.getLong(0))
+              val straddle =
+                if (bIds.length <=
+                    graft.operators.Dedup.DefaultMarkPruneCap)
+                  itemsRest.filter(col("id")
+                    .isin(bIds.toIndexedSeq: _*))
+                else itemsRest.join(items.select(col("id")),
+                  Seq("id"), "left_semi")
+              require(straddle.limit(1).isEmpty,
+                s"modality store $mRoot: batch $tag re-presents " +
+                  "item ids the items table already holds — an " +
+                  "item's fingerprint rows must arrive in ONE " +
+                  "micro-batch (the delta leg's kept accounting " +
+                  "reads the items row as the item's arrival)")
               // repartition(1), not repartitionByRange(1, …): a
               // single-file segment needs no range boundaries, and
               // RangePartitioner's sampling pass is one more job on
@@ -1116,6 +1205,17 @@ object Streams {
     * is what lets the delta leg derive its rows after every store
     * already sealed. Missing dirs and file lists read as empty
     * frames of `schema`. */
+  /** The modality items table's read schema — shared by the delta
+    * derivation and the ingest's one-batch-per-item guard. */
+  private val MmItemsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("mass",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("owner",
+        org.apache.spark.sql.types.LongType)))
+
   private def splitTable(s: SparkSession, dir: String, tag: String,
       schema: org.apache.spark.sql.types.StructType)
       : (DataFrame, DataFrame) = {
@@ -1160,9 +1260,7 @@ object Streams {
       StructField(canonCol, StringType),
       StructField(idCol, LongType),
       StructField("n_chars", LongType)))
-    val itemsSchema = StructType(Seq(
-      StructField("id", LongType), StructField("mass", LongType),
-      StructField("owner", LongType)))
+    val itemsSchema = MmItemsSchema
     val split = foldOf10(
       graft.functions.hashes.md5Hash60(col(canonCol)))
     // no checkpoints on the split reads: they are at-rest parquet
@@ -1351,9 +1449,139 @@ object Streams {
             .otherwise(0L)).as("kept_mass"))
         .withColumn("modality", lit(name))
     }
-    mediaRows.foldLeft(textRows)(_ unionByName _)
+    val rep = mediaRows.foldLeft(textRows)(_ unionByName _)
       .select(col("modality"), col(sourceCol), col("split"),
         col("n_items"), col("n_kept"), col("kept_mass"))
+    // collect-and-free, the trainingPrepReport convention: the docs
+    // checkpoint feeds the text rollup and every media join —
+    // returning the lazy plan would pin its blocks for the session
+    // (rows are (modality × source × split)-bounded)
+    val rows = rep.collect()
+    org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(docs)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), rep.schema)
+  }
+
+  /** ATTACH a modality-manifest store to a PRE-EXISTING media corpus
+    * — the [[trainingPrepBootstrap]] convention on the q211 capstone
+    * (the symmetry the r18 round left open): a stream arriving at a
+    * corpus that predates its store pays the full-corpus pass ONCE —
+    * per modality a phash pigeonhole index build, the within-radius
+    * pair self-join ([[graft.operators.Dedup.hammingNearDupPairs]] —
+    * banded, never all-pairs), a segmented [[graft.operators
+    * .LabelStore.bootstrap]] at item grain, and the item-mass rows;
+    * for text the doc rows + per-canon champion rows; and ONE
+    * bootstrap delta row set = the attach-state manifest, so
+    * [[modalityManifestFromDeltas]] reconciles from genesis — and
+    * every later [[modalityManifestIngest]] batch grows from there.
+    *
+    * Exactly-once PIECEWISE, the prep-bootstrap protocol: the index
+    * guards on its params marker, the label bootstrap on its own
+    * segmented markers, text / items / deltas on `bootstrap` tags —
+    * a crashed attach resumes at the piece that did not land, and
+    * the delta seal runs LAST because it reads the built stores.
+    * Genesis equivalence is pinned in StreamingSpec: bootstrap(A)
+    * then stream(B) reads identically to stream(A, B) from empty on
+    * BOTH the store-read report (q211) and the delta sum (q214).
+    *
+    * `media` is the corpus's fingerprints per modality in the
+    * [[modalityManifestIngest]] `mediaOf` shape — (name, (doc, fp,
+    * owner) frame, item-of-doc expression) — evaluated over the
+    * WHOLE corpus instead of a batch. */
+  def modalityManifestBootstrap(docs: DataFrame, idCol: String,
+      canonCol: String, sourceCol: String, charsCol: String,
+      toksCol: String,
+      media: Seq[(String, DataFrame, Column => Column)],
+      storeRoot: String, radius: Int, width: Int, blocks: Int,
+      keyBlocks: Int, foldOf10: Column => Column): Unit = {
+    val s = docs.sparkSession
+    val conf = s.sessionState.newHadoopConf()
+    // 1. TEXT: doc rows + per-canon champion rows, one tagged seal
+    // (the ingest's text leg over the whole corpus)
+    val textRoot = s"$storeRoot/text"
+    if (!graft.operators.Dedup.isBatchCommitted(s, textRoot,
+        "bootstrap")) {
+      val docRows = docs.select(col(idCol).cast("long").as(idCol),
+        col(canonCol).cast("string").as(canonCol),
+        col(sourceCol).cast("string").as(sourceCol),
+        col(toksCol).cast("long").as(toksCol))
+      val champRows = docs
+        .groupBy(col(canonCol))
+        .agg(max(struct(col(charsCol).cast("long").as("c"),
+          (-col(idCol).cast("long")).as("negid"))).as("_mm_best"))
+        .select(col(canonCol),
+          (-col("_mm_best").getField("negid")).as(idCol),
+          col("_mm_best").getField("c").as("n_chars"))
+      graft.sources.StoreLease.withLease(s, textRoot,
+          "text-append-bootstrap") {
+        graft.operators.Dedup.taggedSegmentAppend(s, textRoot,
+          "bootstrap", Seq("docs" -> docRows, "champs" -> champRows))
+      }
+    }
+    // 2. per modality: index build, label bootstrap, item rows
+    media.foreach { case (name, fp0, itemOf) =>
+      val mRoot = s"$storeRoot/$name"
+      val idxDir = s"$mRoot/index"
+      val fp = fp0.select(col("doc").cast("long").as("doc"),
+        col("fp").cast("long").as("fp"),
+        col("owner").cast("long").as("owner")).localCheckpoint()
+      // 2a. the pigeonhole index over the whole corpus (marker =
+      // params, written after keys inside writePhashIndex's lease)
+      val params = new org.apache.hadoop.fs.Path(
+        s"$idxDir/params/_SUCCESS")
+      if (!params.getFileSystem(conf).exists(params))
+        graft.operators.Dedup.writePhashIndex(
+          fp.select(col("doc"), col("fp")), idxDir, radius, width,
+          Some(blocks), keyBlocks)
+      // 2b. item-grain within-radius edges — the banded self-join,
+      // then frame pairs collapse to item pairs (video); the label
+      // bootstrap seals segmented under its own markers
+      val itemPairs = graft.operators.Dedup.hammingNearDupPairs(
+          fp.select(col("doc"), col("fp")), radius, width,
+          Some(blocks), keyBlocks)
+        .select(itemOf(col("doc_a")).as("doc_a"),
+          itemOf(col("doc_b")).as("doc_b"))
+        .filter(col("doc_a") =!= col("doc_b"))
+        .distinct()
+      val items = fp
+        .select(itemOf(col("doc")).as("id"),
+          bit_count(col("fp")).cast("long").as("fmass"),
+          col("owner").cast("long").as("owner"))
+        .groupBy(col("id"))
+        .agg(sum(col("fmass")).as("mass"),
+          min(col("owner")).as("owner"))
+      graft.operators.LabelStore.bootstrap(s, s"$mRoot/labels",
+        items.select(col("id")), "id", lit(null).cast("string"),
+        itemPairs)
+      // 2c. the item-mass rows (keys already live in the index —
+      // the bootstrap's only tagged table here is items)
+      if (!graft.operators.Dedup.isBatchCommitted(s, mRoot,
+          "bootstrap"))
+        graft.sources.StoreLease.withLease(s, mRoot,
+            "media-append-bootstrap") {
+          graft.operators.Dedup.taggedSegmentAppend(s, mRoot,
+            "bootstrap", Seq("items" -> items))
+        }
+      org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(fp)
+    }
+    // 3. ONE bootstrap delta row set = the attach-state manifest,
+    // derived from the just-built stores through the same read the
+    // report uses — sealed LAST so a crashed attach recomputes it
+    // from complete stores
+    val deltasRoot = s"$storeRoot/deltas"
+    if (!graft.operators.Dedup.isBatchCommitted(s, deltasRoot,
+        "bootstrap")) {
+      val d = modalityManifestReport(s, storeRoot, idCol, canonCol,
+          sourceCol, toksCol, media.map(_._1), foldOf10)
+        .select(col("modality"), col(sourceCol).as("source"),
+          col("split"), col("n_items").as("d_items"),
+          col("n_kept").as("d_kept"),
+          col("kept_mass").as("d_kept_mass"))
+      graft.sources.StoreLease.withLease(s, deltasRoot,
+          "deltas-append-bootstrap") {
+        graft.operators.Dedup.taggedSegmentAppend(s, deltasRoot,
+          "bootstrap", Seq("deltas" -> d.repartition(1)))
+      }
+    }
   }
 
   /** TRAINING-PREP MANIFEST AT INGEST — the q153 flagship text
@@ -1713,13 +1941,19 @@ object Streams {
       .withColumn("_tp_rn", row_number().over(wNd))
       .filter(col("_tp_rn") === 1)
       .select(col(idCol), lit(true).as("k_nd"))
-    base
+    val out = base
       .join(keepers, Seq(idCol), "left")
       .withColumn("f_nd",
         col("f_exact") && coalesce(col("k_nd"), lit(false)))
       .withColumn("f_ct", col("f_nd") && col("contamination") < 0.5)
       .withColumn("f_q", col("f_ct") && col("q") >= 0.4)
       .localCheckpoint(eager = true)
+    // `out` is materialized (eager): the inner checkpoint's blocks
+    // are dead lineage from here — free them NOW instead of leaving
+    // them resident for the session (the free-after-use convention;
+    // callers own freeing `out` once their aggregation lands)
+    org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(base)
+    out
   }
 
   /** ATTACH a training-prep store to a PRE-EXISTING corpus — the
@@ -1855,12 +2089,18 @@ object Streams {
       .groupBy(col("source"))
       .agg(sum(col("n")).as("n_mixed"),
         sum(col("toks")).as("tokens_mixed"))
-    counts.join(mixed, Seq("source"), "left")
+    val rep = counts.join(mixed, Seq("source"), "left")
       .select(col("source").as(sourceCol), col("n_raw"),
         col("n_exact"), col("n_neardup"), col("n_decontam"),
         col("n_quality"),
         coalesce(col("n_mixed"), lit(0L)).as("n_mixed"),
         coalesce(col("tokens_mixed"), lit(0L)).as("tokens_mixed"))
+    // collect-and-free, the trainingPrepReport convention: the hist
+    // checkpoint feeds the cuts AND the mixed aggregate — freeing it
+    // needs the per-source rows (aggregate-sized) off the lazy plan
+    val rows = rep.collect()
+    org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(hist)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), rep.schema)
   }
 
   /** The manifest read over the stores [[trainingPrepIngest]]
@@ -1889,7 +2129,7 @@ object Streams {
       .groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_mixed"),
         sum(col("n_tok")).as("tokens_mixed"))
-    flagged.groupBy(col(sourceCol))
+    val rep = flagged.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_raw"),
         sum(when(col("f_exact"), 1L).otherwise(0L)).as("n_exact"),
         sum(when(col("f_nd"), 1L).otherwise(0L)).as("n_neardup"),
@@ -1900,6 +2140,15 @@ object Streams {
         col("n_neardup"), col("n_decontam"), col("n_quality"),
         coalesce(col("n_mixed"), lit(0L)).as("n_mixed"),
         coalesce(col("tokens_mixed"), lit(0L)).as("tokens_mixed"))
+    // per-source rows: aggregate-sized by construction. Collect and
+    // re-surface as a local frame so the resolved-flags checkpoint
+    // can be FREED here — returning the lazy plan would pin its
+    // blocks for the caller's lifetime (the free-after-use
+    // convention; Bench/Verify never free inner checkpoints they
+    // cannot see)
+    val rows = rep.collect()
+    org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(flagged)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), rep.schema)
   }
 
   /** Streaming CLASSIFIER GATE — the q156 hashed-ngram linear

@@ -1534,6 +1534,92 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally Scratch.deleteRecursively(new java.io.File(root))
   }
 
+  test("modality bootstrap: attaching to a pre-existing media " +
+    "corpus reads identically to streaming it from genesis") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_mmboot_").toString
+    try {
+      // the mmi fixture: corpus A = doc 0 (canon c1, item 0); batch
+      // B = docs 1, 2 — item 1 is item 0's near-dup ACROSS the
+      // attach boundary (the edge exists only through the
+      // bootstrapped index) and doc 2 dethrones doc 0's c1 champion
+      // (the bootstrap delta must carry the signed correction)
+      val docs = Seq(
+        (0L, "c1", "s", 10L, 5L),
+        (1L, "c2", "s", 7L, 3L),
+        (2L, "c1", "s2", 20L, 9L))
+      val fps = Map(0L -> 0x0FL, 1L -> 0x0EL, 2L -> 0xF0F0F0L)
+      def mediaFor(ids: Set[Long])
+          : Seq[(String, org.apache.spark.sql.DataFrame,
+            org.apache.spark.sql.Column => org.apache.spark.sql.Column)] = {
+        val fp = fps.toSeq.filter(kv => ids.contains(kv._1 % 3))
+          .toDF("doc", "fp")
+          .withColumn("owner", col("doc") % 3)
+        Seq(("image", fp, (c: org.apache.spark.sql.Column) => c))
+      }
+      val mediaOf = (bs: org.apache.spark.sql.SparkSession,
+          b: org.apache.spark.sql.DataFrame) =>
+        mediaFor(b.select(col("doc_id")).collect()
+          .map(_.getLong(0)).toSet)
+      def stream(sub: String,
+          batches: Seq[Seq[(Long, String, String, Long, Long)]])
+          : Unit = {
+        val input = MemoryStream[(Long, String, String, Long, Long)]
+        val q = Streams.modalityManifestIngest(
+          input.toDF().toDF("doc_id", "canon", "source", "n_chars",
+            "toks"),
+          "doc_id", "canon", "source", "n_chars", "toks", mediaOf,
+          s"$root/$sub", s"$root/ckpt_$sub", radius = 4, width = 64,
+          blocks = 8, keyBlocks = 1,
+          foldOf10 = h => graft.operators.Relational.foldOf(h % 10))
+        try batches.foreach { b =>
+          input.addData(b: _*); q.processAllAvailable()
+        } finally q.stop()
+      }
+      def reports(sub: String): (Set[Seq[Any]], Set[Seq[Any]]) = (
+        Streams.modalityManifestReport(spark, s"$root/$sub",
+            "doc_id", "canon", "source", "toks", Seq("image"),
+            h => graft.operators.Relational.foldOf(h % 10))
+          .collect().map(_.toSeq).toSet,
+        Streams.modalityManifestFromDeltas(spark, s"$root/$sub",
+          "source").collect().map(_.toSeq).toSet)
+      // genesis: both batches streamed from an empty store
+      stream("gen", Seq(Seq(docs(0)), Seq(docs(1), docs(2))))
+      val (repG, deltaG) = reports("gen")
+      deltaG shouldBe repG
+      // attach: corpus A bootstrapped at rest, only B streams
+      def boot(): Unit = Streams.modalityManifestBootstrap(
+        Seq(docs(0)).toDF("doc_id", "canon", "source", "n_chars",
+          "toks"),
+        "doc_id", "canon", "source", "n_chars", "toks",
+        mediaFor(Set(0L)), s"$root/att", radius = 4, width = 64,
+        blocks = 8, keyBlocks = 1,
+        foldOf10 = h => graft.operators.Relational.foldOf(h % 10))
+      boot()
+      val (repA0, deltaA0) = reports("att")
+      deltaA0 shouldBe repA0 // the bootstrap delta IS the report
+      stream("att", Seq(Seq(docs(1), docs(2))))
+      val (repA, deltaA) = reports("att")
+      repA shouldBe repG
+      deltaA shouldBe deltaG
+      // a re-run bootstrap is a no-op under its markers
+      boot()
+      reports("att")._2 shouldBe deltaG
+      // attaching WITHOUT the bootstrap fails loudly: a phash index
+      // built for the corpus but no items/label backfill
+      graft.operators.Dedup.writePhashIndex(
+        mediaFor(Set(0L)).head._2.select(col("doc"), col("fp")),
+        s"$root/raw/image/index", radius = 4, width = 64,
+        blocks = Some(8), keyBlocks = 1)
+      val ex = intercept[org.apache.spark.sql.streaming
+          .StreamingQueryException] {
+        stream("raw", Seq(Seq(docs(1), docs(2))))
+      }
+      ex.getMessage should include("predates this store")
+    } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
+
   test("component fold ingest: label store ≡ forced-bounded CC ≡ " +
     "full CC (regime parity across all three labelers)") {
     import spark.implicits._
