@@ -763,14 +763,51 @@ object Main {
     }
     val combos = cnt.select(col("source")).distinct().count()
     org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(cnt)
+    // NOVELTY CURVE from the SAME store read (no corpus pass): the
+    // counts partials seal one file set per batch, so
+    // input_file_name recovers the batch sequence for free —
+    // per (source, batch), d_raw is arrivals and d_nd is NET new
+    // near-dup keepers, and their ratio is the q141
+    // stop-paying-for-the-crawler signal at zero marginal cost. A
+    // source still SENDING (d_raw > 0 in its latest batch) while
+    // adding NO net keepers (d_nd ≤ 0) is flagged stagnating.
+    // Sum-compaction trades this curve for read cost: compacted
+    // rows carry no seg tag and drop out (the curve then covers
+    // only post-compaction batches).
+    val curve = spark.read.parquet(s"$storeRoot/deltas/counts")
+      .withColumn("_b", regexp_extract(input_file_name(),
+        "seg-b(\\d+)-part-", 1))
+      .filter(col("_b") =!= "")
+      .groupBy(col("source"), col("_b").cast("long").as("b"))
+      .agg(sum(col("d_raw")).as("raw"), sum(col("d_nd")).as("nd"))
+      .collect()
+      .groupBy(_.getString(0)).toSeq.sortBy(_._1)
+    val noveltyLines =
+      if (curve.isEmpty)
+        Seq("  novelty: no per-batch partials (compacted or empty)")
+      else "  novelty (net new keepers per raw doc, by batch):" +:
+        curve.map { case (src, rows) =>
+          val seq = rows.sortBy(_.getLong(1))
+          val ratios = seq.map { r =>
+            val raw = r.getLong(2); val nd = r.getLong(3)
+            if (raw <= 0) "--"
+            else num2(math.max(nd, 0L).toDouble / raw)
+          }.mkString(" ")
+          val last = seq.last
+          val stale = last.getLong(2) > 0 && last.getLong(3) <= 0
+          s"    $src: $ratios" +
+            (if (stale) "  STAGNATING (latest batch adds no keepers)"
+             else "")
+        }
     Seq(s"training-prep store $storeRoot: $batches sealed batches" +
       (if (bootstrapped) " + bootstrap" else "") +
       s", budget $budgetTokens tokens",
       s"  delta counts: $nRows rows for $combos sources " +
         s"(${num2(if (combos == 0) 0.0
           else nRows.toDouble / combos - 1.0)} dilution), " +
-        s"$neg rows carry keeper-churn corrections",
-      "  source            raw  exact near  decon qual  mixed" +
+        s"$neg rows carry keeper-churn corrections") ++
+      noveltyLines ++
+      Seq("  source            raw  exact near  decon qual  mixed" +
         "  mixed_toks") ++
       man.map(r => f"  ${r.getString(0)}%-16s ${r.getLong(1)}%5d" +
         f" ${r.getLong(2)}%5d ${r.getLong(3)}%5d ${r.getLong(4)}%5d" +

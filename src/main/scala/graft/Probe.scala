@@ -1595,6 +1595,80 @@ object ProbeScale {
       }
     }
 
+    // ── `ProbeScale prepgrow`: the prep DELTA LEG vs STORE GROWTH
+    // — prepbatch priced batch grain at constant store size; this
+    // one holds the streamed batch fixed (240 docs) and grows the
+    // at-rest store 1×/10×/100× underneath it (built through
+    // trainingPrepBootstrap — the attach path), then times the ONE
+    // next streamed batch with the delta leg's share attributed
+    // from its phase tag. The claim under test (r18 verdict): the
+    // delta derivation's keyMin(flagsAll, …) and membersIn inputs
+    // are semi-joins that READ the full flags/labels tables per
+    // batch, so its wall would grow with the corpus even though
+    // every aggregate is bounded by the batch's touched state. ──
+    if (mode == "prepgrow") {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+        spark.sqlContext
+      import spark.implicits._
+      val B = 240
+      // the prepbatch fixture shape, parameterized by id: every 8th
+      // doc an exact twin of its predecessor, every 16th a near-dup
+      def mk(i: Long): (Long, String, String) = {
+        val base = (1 to 10).map(j => s"w${(i / 8) * 10 + j}")
+          .mkString(" ")
+        val txt =
+          if (i % 8 == 7) base
+          else if (i % 16 == 14) base + " x1 x2"
+          else base + s" u$i"
+        (i, s"s${i % 4}", txt)
+      }
+      val evalDocs = Seq((999999L, "e1 e2 e3 e4 e5 e6"))
+        .toDF("doc_id", "text")
+      def run(grow: Int): (Double, Double, Double) = {
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_probe_pg_$grow").toString
+        val corpus = (0L until grow.toLong * B).map(mk)
+        graft.streaming.Streams.trainingPrepBootstrap(
+          corpus.toDF("doc_id", "source", "text"), "doc_id", "text",
+          "source", evalDocs, root, shingleN = 2, k = 64,
+          bands = 32, threshold = 0.5)
+        val batch = (grow.toLong * B until grow.toLong * B + B).map(mk)
+        val input = MemoryStream[(Long, String, String)]
+        // pushed store reads FORCED (sentinel 0): the probe prices
+        // the AT-SCALE plan — the sub-gate semi-join form is already
+        // flat by the r18 measurements
+        val q = graft.streaming.Streams.trainingPrepIngest(
+          input.toDF().toDF("doc_id", "source", "text"),
+          "doc_id", "text", "source", evalDocs, root,
+          s"$root/ckpt", shingleN = 2, k = 64, bands = 32,
+          threshold = 0.5, pushMinStoreBytes = 0L)
+        Phases.drain() // bootstrap phases are not the batch's
+        val t0 = System.nanoTime()
+        try { input.addData(batch: _*); q.processAllAvailable() }
+        finally q.stop()
+        val w = (System.nanoTime() - t0) / 1e9
+        val ph = Phases.drain()
+        def phase(p: String): Double =
+          ph.filter(_._1.startsWith(p)).map(_._2).sum
+        val rep = graft.streaming.Streams
+          .trainingPrepReportFromDeltas(spark, root, "source",
+            budgetTokens = 1000000L)
+        require(rep.agg(sum(col("n_raw"))).collect()(0)
+            .getLong(0) == (grow.toLong + 1L) * B,
+          s"prepgrow raw count broke at g$grow")
+        Scratch.deleteRecursively(new java.io.File(root))
+        (w, phase("prep_ingest"), phase("prep_deltas"))
+      }
+      run(1) // JIT/codegen strip
+      for (g <- Seq(1, 10, 100)) {
+        val (w, ing, del) = run(g)
+        println(f"PROBE_SCALE prepgrow/g$g store_docs=${g * B} " +
+          f"batch_docs=$B wall=$w%.2fs ingest=$ing%.2fs " +
+          f"delta_leg=$del%.2fs")
+      }
+    }
+
     // q157's two scale claims measured: per-round cost tracks the
     // EDGE LIST (pair-store grain, not corpus grain), and rounds
     // compose LINEARLY because ranks are localCheckpointed per round

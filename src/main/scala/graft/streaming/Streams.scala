@@ -973,8 +973,18 @@ object Streams {
         Seq[(String, DataFrame, Column => Column)],
       storeRoot: String, checkpointDir: String, radius: Int,
       width: Int, blocks: Int, keyBlocks: Int,
-      foldOf10: Column => Column): StreamingQuery = {
+      foldOf10: Column => Column,
+      pushMinStoreBytes: Long =
+        graft.operators.Dedup.DefaultPointFetchMinStoreBytes)
+      : StreamingQuery = {
     var indexesSeeded = false
+    // once-per-stream size-gate latch for the delta leg's pushed
+    // store reads (the storeAtLeastBytes sentinel convention): the
+    // corpus-grain docs table is the proxy — below the gate the
+    // semi-join scans are the cheaper plan, past it the bounded
+    // collects buy pruned scans; the gate flips at most once as the
+    // store grows, and once tripped later batches skip the listing
+    var pushLatched = false
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -1056,38 +1066,44 @@ object Streams {
             }
             indexesSeeded = true
           }
-          // TEXT: batch doc rows + the batch's per-canon champion
-          // candidates, one marker for both tables
+          // TEXT leg: batch doc rows + the batch's per-canon
+          // champion candidates, one marker for both tables
           val textRoot = s"$storeRoot/text"
-          if (!graft.operators.Dedup.isBatchCommitted(s, textRoot,
-              tag)) {
-            // long-pinned at the seal: the delta leg re-reads these
-            // files with an explicit (long, string, string, long)
-            // schema
-            val docRows = b.select(col(idCol).cast("long").as(idCol),
-              col(canonCol).cast("string").as(canonCol),
-              col(sourceCol).cast("string").as(sourceCol),
-              col(toksCol).cast("long").as(toksCol))
-            val champRows = b
-              .groupBy(col(canonCol))
-              .agg(max(struct(col(charsCol).cast("long").as("c"),
-                (-col(idCol).cast("long")).as("negid")))
-                .as("_mm_best"))
-              .select(col(canonCol),
-                (-col("_mm_best").getField("negid")).as(idCol),
-                col("_mm_best").getField("c").as("n_chars"))
-            graft.sources.StoreLease.withLease(s, textRoot,
-                s"text-append-$tag") {
-              graft.operators.Dedup.taggedSegmentAppend(s, textRoot,
-                tag, Seq("docs" -> docRows.repartition(1),
-                  "champs" -> champRows.repartition(1)))
+          val textLeg: () => Unit = () =>
+            if (!graft.operators.Dedup.isBatchCommitted(s, textRoot,
+                tag)) {
+              // long-pinned at the seal: the delta leg re-reads these
+              // files with an explicit (long, string, string, long)
+              // schema
+              val docRows = b.select(col(idCol).cast("long").as(idCol),
+                col(canonCol).cast("string").as(canonCol),
+                col(sourceCol).cast("string").as(sourceCol),
+                col(toksCol).cast("long").as(toksCol))
+              val champRows = b
+                .groupBy(col(canonCol))
+                .agg(max(struct(col(charsCol).cast("long").as("c"),
+                  (-col(idCol).cast("long")).as("negid")))
+                  .as("_mm_best"))
+                .select(col(canonCol),
+                  (-col("_mm_best").getField("negid")).as(idCol),
+                  col("_mm_best").getField("c").as("n_chars"))
+              graft.sources.StoreLease.withLease(s, textRoot,
+                  s"text-append-$tag") {
+                graft.operators.Dedup.taggedSegmentAppend(s, textRoot,
+                  tag, Seq("docs" -> docRows.repartition(1),
+                    "champs" -> champRows.repartition(1)))
+              }
             }
-          }
-          // MEDIA: per modality — pair-grain mark against the grown
-          // index, label-store merge, then keys + item masses in one
-          // sealed append
-          media.foreach { case (name, fp0, itemOf) =>
-            graft.Phases.time(s"mm_$name[b$batchId]") {
+          // MEDIA legs: per modality — pair-grain mark against the
+          // grown index, label-store merge, then keys + item masses
+          // in one sealed append. Each modality touches ONLY its own
+          // store subtree, so the legs (and the text leg) run
+          // CONCURRENTLY via inParallel — the fused-seal lever: the
+          // per-batch fixed bill was ~1.2-1.5 s × modalities of
+          // SEQUENTIAL small jobs (ProbeScale mmbatch), now
+          // overlapped toward the slowest leg.
+          val mediaLegs = media.map { case (name, fp0, itemOf) =>
+            () => graft.Phases.time(s"mm_$name[b$batchId]") {
             val mRoot = s"$storeRoot/$name"
             val idxDir = s"$mRoot/index"
             val fp = fp0.select(col("doc").cast("long").as("doc"),
@@ -1172,6 +1188,7 @@ object Streams {
             }
             }
           }
+          inParallel(textLeg +: mediaLegs)
           // PER-BATCH MANIFEST DELTAS — sealed LAST, derived purely
           // from at-rest state (post = the stores, pre = the stores
           // minus this batch's seg files), so a crashed-after-stores
@@ -1181,12 +1198,15 @@ object Streams {
           // file identity — restart crashed streams before running
           // compaction verbs.
           val deltasRoot = s"$storeRoot/deltas"
+          if (!pushLatched)
+            pushLatched = graft.operators.Dedup.storeAtLeastBytes(
+              s, s"$storeRoot/text/docs", pushMinStoreBytes)
           if (!graft.operators.Dedup.isBatchCommitted(s, deltasRoot,
               tag))
             graft.Phases.time(s"mm_deltas[b$batchId]") {
               val d = manifestDeltaRows(s, storeRoot,
                 media.map(_._1), foldOf10, tag, idCol, canonCol,
-                sourceCol, toksCol)
+                sourceCol, toksCol, pushLatched)
               graft.sources.StoreLease.withLease(s, deltasRoot,
                   s"deltas-append-$tag") {
                 graft.operators.Dedup.taggedSegmentAppend(s,
@@ -1199,12 +1219,102 @@ object Streams {
       .start()
   }
 
-  /** Data files of table `dir` split into (this tag's sealed seg
-    * files, everything else) — the sealed-segment layout makes a
-    * batch's PRE and POST store views both readable at rest, which
-    * is what lets the delta leg derive its rows after every store
-    * already sealed. Missing dirs and file lists read as empty
-    * frames of `schema`. */
+  /** FUSED BATCH FAN-OUT — run one crawl batch's INDEPENDENT store
+    * legs concurrently (the r18 fused-seal roadmap lever, measured
+    * by ProbeScale mmbatch/prepbatch): the at-ingest capstones' per-
+    * batch cost is dominated by Spark JOB COUNT, not data — ~30
+    * small sequential jobs per 3-modality batch, each paying
+    * scheduler + plan-compilation latency while 31 cores idle.
+    * Spark's scheduler is multi-thread-safe by design (one
+    * SparkContext, many job-submitting threads is the documented
+    * fair-scheduling topology), so legs that touch DISJOINT stores
+    * — the text seal vs each modality's mark+label+seal chain vs
+    * the flags scoring leg — overlap instead of queueing, and the
+    * per-batch fixed bill drops toward the slowest leg.
+    *
+    * What this deliberately does NOT fuse: the COMMIT PROTOCOL.
+    * Every store still seals under its own tag/marker with its own
+    * lease, so crash-retry convergence is exactly the piecewise
+    * story StreamingSpec pins — a batch that crashed between legs
+    * re-runs only the legs whose markers are missing. A single
+    * cross-store marker would buy nothing (markers are FS touches,
+    * not jobs) and cost the piecewise resume.
+    *
+    * Failure semantics: every leg runs to completion (no mid-write
+    * cancellation — a killed half-write would just be retry-cleaned,
+    * but letting legs finish keeps the store states simple), then
+    * the FIRST failure rethrows so the micro-batch fails and
+    * retries. Legs inherit the session's thread-locals (the pool is
+    * created inside the batch thread; Spark's localProperties are
+    * InheritableThreadLocal). */
+  private def inParallel(legs: Seq[() => Unit]): Unit =
+    if (legs.sizeIs <= 1 ||
+        sys.env.get("GRAFT_FUSE").contains("off"))
+      // GRAFT_FUSE=off: the sequential form, kept as an attribution
+      // knob — a probe window can A/B the fan-out against the
+      // serialized legs in the same session (ProbeScale
+      // prepbatch/mmbatch) and an operator can pin down a
+      // leg-interleaving suspicion without a code change
+      legs.foreach(_())
+    else {
+      val pool =
+        java.util.concurrent.Executors.newFixedThreadPool(legs.size)
+      try {
+        val futs = legs.map { l =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = l()
+          })
+        }
+        var firstFailure: Throwable = null
+        futs.foreach { f =>
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              if (firstFailure == null) firstFailure = e.getCause
+          }
+        }
+        if (firstFailure != null) throw firstFailure
+      } finally { pool.shutdownNow(); () }
+    }
+
+  /** Bounded candidate set for a pushed store read (the
+    * DefaultMarkPruneCap convention, shared by both delta legs):
+    * collect `df`'s distinct `c` values up to the cap — None past
+    * it, meaning the caller's semi-join twin takes over. The frames
+    * passed here are batch-bounded and already checkpointed, so the
+    * collect reads materialized blocks.
+    *
+    * `enabled = false` (the ingest's once-per-stream size-gate
+    * verdict, the storeAtLeastBytes convention) returns None
+    * WITHOUT collecting: below the gate the stores are small enough
+    * that the semi-join scan is the cheaper plan and the planning
+    * collects would be pure per-batch fixed cost (ProbeScale
+    * mmbatch measured ~0.3 s per (modality, batch) of collect jobs
+    * at fixture scale); past the gate the collects buy
+    * stats/dictionary-pruned scans instead of per-batch full-store
+    * passes. */
+  private def pushedKeys(df: DataFrame, c: String,
+      enabled: Boolean = true,
+      cap: Int = graft.operators.Dedup.DefaultMarkPruneCap)
+      : Option[Array[Any]] =
+    if (!enabled) None
+    else {
+      val ks = df.select(col(c)).distinct().limit(cap + 1)
+        .collect().map(_.get(0))
+      if (ks.length <= cap) Some(ks) else None
+    }
+
+  /** Restrict table `t` to rows whose `c` is in the bounded set:
+    * a parquet-native isin under the cap (stats/dictionary pruning,
+    * NO join exchange — the store is the scan's only input), the
+    * semi-join twin against `kf` past it. */
+  private def restrictTo(t: DataFrame, c: String,
+      ks: Option[Array[Any]], kf: => DataFrame): DataFrame =
+    ks match {
+      case Some(a) => t.filter(col(c).isin(a.toIndexedSeq: _*))
+      case None => t.join(kf, Seq(c), "left_semi")
+    }
+
   /** The modality items table's read schema — shared by the delta
     * derivation and the ingest's one-batch-per-item guard. */
   private val MmItemsSchema: org.apache.spark.sql.types.StructType =
@@ -1216,6 +1326,12 @@ object Streams {
       org.apache.spark.sql.types.StructField("owner",
         org.apache.spark.sql.types.LongType)))
 
+  /** Data files of table `dir` split into (this tag's sealed seg
+    * files, everything else) — the sealed-segment layout makes a
+    * batch's PRE and POST store views both readable at rest, which
+    * is what lets the delta leg derive its rows after every store
+    * already sealed. Missing dirs and file lists read as empty
+    * frames of `schema`. */
   private def splitTable(s: SparkSession, dir: String, tag: String,
       schema: org.apache.spark.sql.types.StructType)
       : (DataFrame, DataFrame) = {
@@ -1249,7 +1365,8 @@ object Streams {
   private def manifestDeltaRows(s: SparkSession, storeRoot: String,
       modalities: Seq[String], foldOf10: Column => Column,
       tag: String, idCol: String, canonCol: String,
-      sourceCol: String, toksCol: String): DataFrame = {
+      sourceCol: String, toksCol: String,
+      pushReads: Boolean): DataFrame = {
     import org.apache.spark.sql.types._
     val textDocsSchema = StructType(Seq(
       StructField(idCol, LongType),
@@ -1274,48 +1391,73 @@ object Streams {
     val champsAll = oldCh.unionByName(segCh)
     val docsAll = s.read.schema(textDocsSchema)
       .parquet(s"$storeRoot/text/docs")
-    // champion winners of a canon set, pre/post (the report's argmax)
-    def winners(ch: DataFrame, canons: DataFrame): DataFrame =
-      ch.join(canons, Seq(canonCol), "left_semi")
+    // champion winners of a canon set, pre/post (the report's
+    // argmax). PUSHED where the canon set is cheap to collect (the
+    // prepDeltaRows convention — r18 verdict #3 generalized): the
+    // batch's canons come off this tag's own seg files, so the
+    // champs scans prune to the batch's canon neighborhoods instead
+    // of semi-joining the full canon-grain table per batch. The
+    // ownCanons calls below stay semi-joins: their canon set hangs
+    // off the lazy withOwner chain, and collecting it would re-run
+    // the chain (the measured checkpoint-vs-lazy tradeoff kept that
+    // chain lazy) — a residual, noted, not hidden.
+    def winnersOf(ch: DataFrame, ks: Option[Array[Any]],
+        canons: => DataFrame): DataFrame =
+      restrictTo(ch, canonCol, ks, canons)
         .groupBy(col(canonCol))
         .agg(max(struct(col("n_chars").cast("long").as("c"),
           (-col(idCol).cast("long")).as("negid"))).as("_d_best"))
         .select(col(canonCol),
           (-col("_d_best").getField("negid")).as("_d_win"))
+    def winners(ch: DataFrame, canons: DataFrame): DataFrame =
+      winnersOf(ch, None, canons)
     val batchCanons = segDocs.select(col(canonCol)).distinct()
-    val flips = winners(champsAll, batchCanons)
+    val batchCanonSet = pushedKeys(segDocs, canonCol, pushReads)
+    val flips = winnersOf(champsAll, batchCanonSet, batchCanons)
       .withColumnRenamed("_d_win", "_d_new")
-      .join(winners(oldCh, batchCanons)
+      .join(winnersOf(oldCh, batchCanonSet, batchCanons)
         .withColumnRenamed("_d_win", "_d_old"), Seq(canonCol), "left")
       .filter(col("_d_old").isNull || col("_d_old") =!= col("_d_new"))
       .localCheckpoint()
-    def contrib(win: DataFrame, sign: Long): DataFrame =
-      win.join(docsAll.select(col(idCol).as("_d_win"),
+    // the flip docs' attribute reads off the corpus-grain docs
+    // table, pruned to the flip set (affOwners below is exactly the
+    // union of new/old winners, so one restriction serves both
+    // contrib calls and the per-modality owner probe)
+    def contrib(win: DataFrame, docsFlips: DataFrame,
+        sign: Long): DataFrame =
+      win.join(docsFlips.select(col(idCol).as("_d_win"),
           col(sourceCol), col(toksCol)), Seq("_d_win"))
         .select(lit("text").as("modality"),
           col(sourceCol).as("source"), split.as("split"),
           lit(0L).as("d_items"), lit(sign).as("d_kept"),
           (lit(sign) * col(toksCol).cast("long")).as("d_kept_mass"))
-    val textKept = contrib(flips.select(col(canonCol),
-        col("_d_new").as("_d_win")), 1L)
-      .unionByName(contrib(flips.filter(col("_d_old").isNotNull)
-        .select(col(canonCol), col("_d_old").as("_d_win")), -1L))
-    val textItems = segDocs
-      .select(lit("text").as("modality"),
-        col(sourceCol).as("source"), split.as("split"),
-        lit(1L).as("d_items"), lit(0L).as("d_kept"),
-        lit(0L).as("d_kept_mass"))
     // docs whose champion status flipped — their media items' kept
     // contributions change even when no media edge touched them
     // flips/affOwners/affIds ARE checkpointed: each feeds 2–4
     // consumers, and measured walls (gate fixture) show the
     // checkpoint jobs beating the repeated-subtree plan the lazy
     // form compiles (ProbeScale mmbatch prices the residual fixed
-    // cost; the fused multi-store seal is the roadmap lever)
+    // cost; the fused batch fan-out is its lever)
     val affOwners = flips.select(col("_d_new").as("_d_doc"))
       .unionByName(flips.filter(col("_d_old").isNotNull)
         .select(col("_d_old").as("_d_doc")))
       .distinct().localCheckpoint()
+    val affOwnerSet = pushedKeys(affOwners, "_d_doc", pushReads)
+    // the corpus-grain docs table pruned to the flip docs — serves
+    // both signed contrib legs (their win sets are subsets of
+    // affOwners by construction)
+    val docsFlips = restrictTo(docsAll, idCol, affOwnerSet,
+      affOwners.withColumnRenamed("_d_doc", idCol))
+    val textKept = contrib(flips.select(col(canonCol),
+        col("_d_new").as("_d_win")), docsFlips, 1L)
+      .unionByName(contrib(flips.filter(col("_d_old").isNotNull)
+        .select(col(canonCol), col("_d_old").as("_d_win")),
+        docsFlips, -1L))
+    val textItems = segDocs
+      .select(lit("text").as("modality"),
+        col(sourceCol).as("source"), split.as("split"),
+        lit(1L).as("d_items"), lit(0L).as("d_kept"),
+        lit(0L).as("d_kept_mass"))
     val mediaRows = modalities.map { m =>
       val mr = s"$storeRoot/$m"
       val (segIt, _) = splitTable(s, s"$mr/items", tag, itemsSchema)
@@ -1323,28 +1465,34 @@ object Streams {
         .parquet(s"$mr/items")
       val (segLb, oldLb) = splitTable(s, s"$mr/labels/labels", tag,
         graft.operators.LabelStore.LabelsSchema)
+      // every store-sided read below rides the pushed-isin
+      // convention (prepDeltaRows): the items scan prunes to the
+      // flip docs' owner neighborhoods, then items/labels prune to
+      // the affected item ids — full-table semi-joins only past the
+      // cap
       val affIds = segIt.select(col("id"))
         .unionByName(segLb.select(col("doc_id").as("id")))
-        .unionByName(itemsAll.join(affOwners,
-          col("owner") === col("_d_doc"), "left_semi")
+        .unionByName(restrictTo(itemsAll, "owner", affOwnerSet,
+          affOwners.withColumnRenamed("_d_doc", "owner"))
           .select(col("id")))
         .distinct().localCheckpoint()
-      val itemsAff = itemsAll.join(affIds, Seq("id"), "left_semi")
-      val pre = oldLb
-        .join(affIds.withColumnRenamed("id", "doc_id"),
-          Seq("doc_id"), "left_semi")
-        .groupBy(col("doc_id")).agg(min(col("group")).as("_d_gpre"))
-        .withColumnRenamed("doc_id", "id")
-      val post = oldLb.unionByName(segLb)
-        .join(affIds.withColumnRenamed("id", "doc_id"),
-          Seq("doc_id"), "left_semi")
-        .groupBy(col("doc_id")).agg(min(col("group")).as("_d_gpost"))
-        .withColumnRenamed("doc_id", "id")
+      val affIdSet = pushedKeys(affIds, "id", pushReads)
+      val itemsAff = restrictTo(itemsAll, "id", affIdSet, affIds)
+      def memIn(lb: DataFrame, as: String): DataFrame =
+        restrictTo(lb, "doc_id", affIdSet,
+            affIds.withColumnRenamed("id", "doc_id"))
+          .groupBy(col("doc_id")).agg(min(col("group")).as(as))
+          .withColumnRenamed("doc_id", "id")
+      val pre = memIn(oldLb, "_d_gpre")
+      val post = memIn(oldLb.unionByName(segLb), "_d_gpost")
+      val affItemOwnerSet = pushedKeys(itemsAff, "owner", pushReads)
       val withOwner = itemsAff
         .join(pre, Seq("id"), "left")
         .join(post, Seq("id"))
-        .join(docsAll.select(col(idCol).as("owner"), col(sourceCol),
-          col(canonCol)), Seq("owner"))
+        .join(restrictTo(docsAll, idCol, affItemOwnerSet,
+            itemsAff.select(col("owner").as(idCol)).distinct())
+          .select(col(idCol).as("owner"), col(sourceCol),
+            col(canonCol)), Seq("owner"))
       val ownCanons = withOwner.select(col(canonCol)).distinct()
       val scored = withOwner
         .join(winners(champsAll, ownCanons)
@@ -1365,9 +1513,12 @@ object Streams {
         (col("_d_cpost") - col("_d_cpre")).as("d_kept"),
         ((col("_d_cpost") - col("_d_cpre")) * col("mass"))
           .as("d_kept_mass"))
+      val segItOwnerSet = pushedKeys(segIt, "owner", pushReads)
       val itemRows = segIt
-        .join(docsAll.select(col(idCol).as("owner"), col(sourceCol),
-          col(canonCol)), Seq("owner"))
+        .join(restrictTo(docsAll, idCol, segItOwnerSet,
+            segIt.select(col("owner").as(idCol)).distinct())
+          .select(col(idCol).as("owner"), col(sourceCol),
+            col(canonCol)), Seq("owner"))
         .select(lit(m).as("modality"), col(sourceCol).as("source"),
           split.as("split"), lit(1L).as("d_items"),
           lit(0L).as("d_kept"), lit(0L).as("d_kept_mass"))
@@ -1628,7 +1779,14 @@ object Streams {
       textCol: String, sourceCol: String, evalDocs: DataFrame,
       storeRoot: String, checkpointDir: String,
       shingleN: Int, k: Int, bands: Int, threshold: Double,
-      contamN: Int = 3): StreamingQuery = {
+      contamN: Int = 3,
+      pushMinStoreBytes: Long =
+        graft.operators.Dedup.DefaultPointFetchMinStoreBytes)
+      : StreamingQuery = {
+    // once-per-stream size-gate latch for the delta leg's pushed
+    // store reads (the modalityManifestIngest convention; the flags
+    // table is the proxy)
+    var pushLatched = false
     // static per stream: the eval suite's distinct n-gram shingles
     val evalSh = evalDocs
       .select(explode(graft.functions.text.wordShinglesFast(
@@ -1678,40 +1836,56 @@ object Streams {
                 "before streaming")
             attachChecked = true
           }
-          val freshPairs = graft.operators.Dedup.appendPairStore(b,
-            idCol, textCol, s"$storeRoot/index", s"$storeRoot/pairs",
-            shingleN, k, bands, threshold, commitTag = Some(tag))
-          graft.operators.LabelStore.update(s, s"$storeRoot/labels",
-            b.select(col(idCol),
-              lit(null).cast("string").as("_tp_key")),
-            idCol, "_tp_key",
-            freshPairs.select(col("doc_a"), col("doc_b")), tag)
-          val flagsRoot = s"$storeRoot/flags"
-          if (!graft.operators.Dedup.isBatchCommitted(s, flagsRoot,
-              tag)) {
-            val toks = graft.functions.text.tokens(col(textCol))
-            val scored = b
-              .withColumn("_toks", toks)
-              .withColumn("n_tok", size(col("_toks")).cast("long"))
-              .withColumn("q", graft.functions.text
-                .qualityScoreTokens(col(textCol), col("_toks")))
-              .withColumn("ex_key", md5(col(textCol)))
-            val contam = graft.operators.Dedup
-              .contaminationScoresAgainst(b, evalSh, idCol, textCol,
-                contamN)
-              .select(col(idCol), col("contamination"))
-            val rows = scored
-              .join(contam, Seq(idCol))
-              .select(col(idCol).cast("long").as(idCol),
-                col(sourceCol).cast("string").as(sourceCol),
-                col("ex_key"), col("n_tok"), col("q"),
-                col("contamination"))
-            graft.sources.StoreLease.withLease(s, flagsRoot,
-                s"flags-append-$tag") {
-              graft.operators.Dedup.taggedSegmentAppend(s, flagsRoot,
-                tag, Seq("flags" -> rows.repartition(1)))
-            }
+          // FUSED BATCH FAN-OUT (the inParallel scaladoc): the
+          // index/pairs/labels chain and the flags scoring leg are
+          // independent until the delta derivation — the pair mark
+          // reads the signature index, the scoring leg reads only
+          // the batch and the stream-static eval shingles. Running
+          // them concurrently overlaps the scoring leg's
+          // tokenize+shingle wall with the mark's store probes
+          // (ProbeScale prepbatch priced the sequential form at
+          // ~4.4-6.6 s/batch of fixed cost).
+          val pairLeg: () => Unit = () => {
+            val freshPairs = graft.operators.Dedup.appendPairStore(b,
+              idCol, textCol, s"$storeRoot/index",
+              s"$storeRoot/pairs", shingleN, k, bands, threshold,
+              commitTag = Some(tag))
+            graft.operators.LabelStore.update(s, s"$storeRoot/labels",
+              b.select(col(idCol),
+                lit(null).cast("string").as("_tp_key")),
+              idCol, "_tp_key",
+              freshPairs.select(col("doc_a"), col("doc_b")), tag)
+            ()
           }
+          val flagsRoot = s"$storeRoot/flags"
+          val flagsLeg: () => Unit = () =>
+            if (!graft.operators.Dedup.isBatchCommitted(s, flagsRoot,
+                tag)) {
+              val toks = graft.functions.text.tokens(col(textCol))
+              val scored = b
+                .withColumn("_toks", toks)
+                .withColumn("n_tok", size(col("_toks")).cast("long"))
+                .withColumn("q", graft.functions.text
+                  .qualityScoreTokens(col(textCol), col("_toks")))
+                .withColumn("ex_key", md5(col(textCol)))
+              val contam = graft.operators.Dedup
+                .contaminationScoresAgainst(b, evalSh, idCol, textCol,
+                  contamN)
+                .select(col(idCol), col("contamination"))
+              val rows = scored
+                .join(contam, Seq(idCol))
+                .select(col(idCol).cast("long").as(idCol),
+                  col(sourceCol).cast("string").as(sourceCol),
+                  col("ex_key"), col("n_tok"), col("q"),
+                  col("contamination"))
+              graft.sources.StoreLease.withLease(s, flagsRoot,
+                  s"flags-append-$tag") {
+                graft.operators.Dedup.taggedSegmentAppend(s,
+                  flagsRoot, tag,
+                  Seq("flags" -> rows.repartition(1)))
+              }
+            }
+          inParallel(Seq(pairLeg, flagsLeg))
           // PER-BATCH REPORT DELTAS — sealed LAST, the q214
           // convention on the text capstone: additive per-source
           // survival-count deltas plus a per-(source, mix-bucket)
@@ -1720,11 +1894,14 @@ object Streams {
           // batch's seg files), so a crashed-after-stores retry
           // recomputes identical rows
           val deltasRoot = s"$storeRoot/deltas"
+          if (!pushLatched)
+            pushLatched = graft.operators.Dedup.storeAtLeastBytes(
+              s, s"$storeRoot/flags/flags", pushMinStoreBytes)
           if (!graft.operators.Dedup.isBatchCommitted(s, deltasRoot,
               tag))
             graft.Phases.time(s"prep_deltas[b$batchId]") {
               val (cnt, hist) = prepDeltaRows(s, storeRoot, tag,
-                idCol, sourceCol)
+                idCol, sourceCol, pushLatched)
               graft.sources.StoreLease.withLease(s, deltasRoot,
                   s"deltas-append-$tag") {
                 graft.operators.Dedup.taggedSegmentAppend(s,
@@ -1762,8 +1939,8 @@ object Streams {
     * and post-groups of touched docs cover both sides). All reads
     * are bounded by the batch's touched state. */
   private def prepDeltaRows(s: SparkSession, storeRoot: String,
-      tag: String, idCol: String, sourceCol: String)
-      : (DataFrame, DataFrame) = {
+      tag: String, idCol: String, sourceCol: String,
+      pushReads: Boolean): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.types._
     val flagsSchema = StructType(Seq(
       StructField(idCol, LongType),
@@ -1781,15 +1958,32 @@ object Streams {
     val (segLb, oldLb) =
       splitTable(s, s"$storeRoot/labels/labels", tag, lbSchema)
     val allLb = oldLb.unionByName(segLb)
+    // PUSHED-ISIN bounded reads (the DefaultMarkPruneCap
+    // convention, r18 verdict #3): every candidate set below
+    // (batch keys, affected groups, affected ids) is bounded by the
+    // batch's touched state and already materialized — collecting
+    // it up to the cap and pushing a parquet-native isin turns the
+    // flags/labels reads from full-table semi-joins (a broadcast +
+    // whole-store scan PER BATCH — invisible at fixture scale,
+    // a per-batch full-store pass at 100 TB) into stats/dictionary-
+    // pruned scans with no join at all. Doc-id sets prune row
+    // groups hard (flags/labels segments are id-clustered per
+    // batch); ex_key (md5) sets cannot use min/max stats but still
+    // drop the join exchange and keep dictionary/bloom pruning.
+    // Over the cap the semi-join twin takes over unchanged.
+    def restrict(t: DataFrame, c: String, ks: Option[Array[Any]],
+        kf: => DataFrame): DataFrame = restrictTo(t, c, ks, kf)
     // exact-champion flips among the batch's keys
     val batchKeys = segFl.select(col("ex_key")).distinct()
-    def keyMin(fl: DataFrame, keys: DataFrame): DataFrame =
-      fl.join(keys, Seq("ex_key"), "left_semi")
+    val batchKeySet = pushedKeys(segFl, "ex_key", pushReads)
+    def keyMin(fl: DataFrame, ks: Option[Array[Any]],
+        kf: => DataFrame): DataFrame =
+      restrict(fl, "ex_key", ks, kf)
         .groupBy(col("ex_key"))
         .agg(min(col(idCol)).as("_tp_kmin"))
-    val keyFlips = keyMin(flagsAll, batchKeys)
+    val keyFlips = keyMin(flagsAll, batchKeySet, batchKeys)
       .withColumnRenamed("_tp_kmin", "_tp_knew")
-      .join(keyMin(oldFl, batchKeys)
+      .join(keyMin(oldFl, batchKeySet, batchKeys)
         .withColumnRenamed("_tp_kmin", "_tp_kold"),
         Seq("ex_key"), "left")
       .filter(col("_tp_kold").isNull ||
@@ -1800,12 +1994,13 @@ object Streams {
       .unionByName(keyFlips.filter(col("_tp_kold").isNotNull)
         .select(col("_tp_kold").as("doc_id")))
       .distinct().localCheckpoint()
-    def curLabels(lb: DataFrame, ids: DataFrame): DataFrame =
-      lb.join(ids, Seq("doc_id"), "left_semi")
+    val coreDocSet = pushedKeys(coreDocs, "doc_id", pushReads)
+    def curLabels(lb: DataFrame): DataFrame =
+      restrict(lb, "doc_id", coreDocSet, coreDocs)
         .groupBy(col("doc_id"))
         .agg(min(col("group")).as("group"))
-    val affGroups = curLabels(oldLb, coreDocs).select(col("group"))
-      .unionByName(curLabels(allLb, coreDocs).select(col("group")))
+    val affGroups = curLabels(oldLb).select(col("group"))
+      .unionByName(curLabels(allLb).select(col("group")))
       .distinct().localCheckpoint()
     // members of the affected components, pre and post. affGroups
     // can hold labels retired at the other side (a PRE label that
@@ -1813,8 +2008,9 @@ object Streams {
     // min(group) per doc — exact for every fetched doc because an
     // affected doc's true current label is itself in affGroups
     // (components merge as units, and retired labels never return)
+    val affGroupSet = pushedKeys(affGroups, "group", pushReads)
     def membersIn(lb: DataFrame, as: String): DataFrame =
-      lb.join(affGroups, Seq("group"), "left_semi")
+      restrict(lb, "group", affGroupSet, affGroups)
         .groupBy(col("doc_id")).agg(min(col("group")).as(as))
     val memPre = membersIn(oldLb, "_tp_gpre")
     val memPost = membersIn(allLb, "_tp_gpost")
@@ -1822,19 +2018,19 @@ object Streams {
       .unionByName(memPost.select(col("doc_id")))
       .unionByName(coreDocs)
       .distinct().localCheckpoint()
-    val att = flagsAll
-      .join(affIds.withColumnRenamed("doc_id", idCol),
-        Seq(idCol), "left_semi")
+    val affIdSet = pushedKeys(affIds, "doc_id", pushReads)
+    def affIdsAs(c: String): DataFrame =
+      affIds.withColumnRenamed("doc_id", c)
+    val att = restrict(flagsAll, idCol, affIdSet, affIdsAs(idCol))
       .localCheckpoint()
-    val preSeen = oldFl
-      .join(affIds.withColumnRenamed("doc_id", idCol),
-        Seq(idCol), "left_semi")
+    val preSeen = restrict(oldFl, idCol, affIdSet, affIdsAs(idCol))
       .select(col(idCol), lit(true).as("_tp_pre"))
     // exact-champion status over ALL affected docs' keys
     val affKeys = att.select(col("ex_key")).distinct()
-    val kPre = keyMin(oldFl, affKeys)
+    val affKeySet = pushedKeys(att, "ex_key", pushReads)
+    val kPre = keyMin(oldFl, affKeySet, affKeys)
       .withColumnRenamed("_tp_kmin", "_tp_kpre")
-    val kPost = keyMin(flagsAll, affKeys)
+    val kPost = keyMin(flagsAll, affKeySet, affKeys)
       .withColumnRenamed("_tp_kmin", "_tp_kpost")
     val base = att
       .join(preSeen, Seq(idCol), "left")

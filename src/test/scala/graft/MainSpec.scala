@@ -947,6 +947,47 @@ class MainSpec extends AnyFunSuite with SparkSpec with Matchers {
     got shouldBe golden
   }
 
+  test("prep-health novelty curve flags a stagnating source from " +
+    "the sealed partials") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_ph_nov_").toString
+    try {
+      val t2 = (1 to 8).map(i => s"p$i").mkString(" ")
+      // batch 0: both sources deliver fresh docs; batch 1: "fresh"
+      // delivers a new keeper, "stale" re-delivers doc 2's exact
+      // text under a new id — raw arrivals with NO net new keeper
+      val b0 = Seq((1L, "fresh", (1 to 10).map(i => s"a$i")
+        .mkString(" ")), (2L, "stale", t2))
+      val b1 = Seq((11L, "fresh", (1 to 9).map(i => s"z$i")
+        .mkString(" ")), (12L, "stale", t2))
+      val evalDocs = Seq((99L, "e1 e2 e3")).toDF("doc_id", "text")
+      val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+      graft.operators.Dedup.writeNearDupIndex(empty, "doc_id",
+        "text", shingleN = 2, k = 64, bands = 32,
+        dir = root + "/store/index")
+      graft.operators.Dedup.writePairStore(empty, "doc_id", "text",
+        root + "/store/pairs", shingleN = 2, k = 64, bands = 32,
+        threshold = 0.5)
+      val input = MemoryStream[(Long, String, String)]
+      val q = graft.streaming.Streams.trainingPrepIngest(
+        input.toDF().toDF("doc_id", "source", "text"),
+        "doc_id", "text", "source", evalDocs, root + "/store",
+        root + "/ckpt", shingleN = 2, k = 64, bands = 32,
+        threshold = 0.5)
+      try Seq(b0, b1).foreach { b =>
+        input.addData(b: _*); q.processAllAvailable()
+      } finally q.stop()
+      val health = Main.run(spark, Seq("prep-health", root + "/store"))
+      health.foreach(l => info(l))
+      val staleLine = health.find(_.trim.startsWith("stale:")).get
+      staleLine should include("STAGNATING")
+      val freshLine = health.find(_.trim.startsWith("fresh:")).get
+      freshLine.contains("STAGNATING") shouldBe false
+    } finally Scratch.deleteRecursively(new java.io.File(root))
+  }
+
   test("unknown command prints usage") {
     Main.run(spark, Seq("frobnicate")).head should include("usage")
     // malformed numeric args print usage instead of throwing

@@ -1370,13 +1370,16 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
       val evalDocs = Seq((99L, "e1 e2 e3 e4 e5 e6"))
         .toDF("doc_id", "text")
       def stream(sub: String,
-          batches: Seq[Seq[(Long, String, String)]]): Unit = {
+          batches: Seq[Seq[(Long, String, String)]],
+          pushBytes: Long =
+            graft.operators.Dedup.DefaultPointFetchMinStoreBytes)
+          : Unit = {
         val input = MemoryStream[(Long, String, String)]
         val q = Streams.trainingPrepIngest(
           input.toDF().toDF("doc_id", "source", "text"),
           "doc_id", "text", "source", evalDocs, s"$root/$sub/store",
           s"$root/$sub/ckpt", shingleN = 2, k = 64, bands = 32,
-          threshold = 0.5)
+          threshold = 0.5, pushMinStoreBytes = pushBytes)
         try batches.foreach { b =>
           input.addData(b: _*); q.processAllAvailable()
         } finally q.stop()
@@ -1405,7 +1408,10 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
         k = 64, bands = 32, threshold = 0.5)
       val (repA0, deltaA0) = reports("att")
       deltaA0 shouldBe repA0 // the bootstrap delta IS the report
-      stream("att", Seq(batchB))
+      // the attach stream runs with the delta leg's pushed store
+      // reads FORCED (sentinel 0) — repA/deltaA ≡ genesis then also
+      // pins pushed ≡ semi-join on the prep delta layouts
+      stream("att", Seq(batchB), pushBytes = 0L)
       val (repA, deltaA) = reports("att")
       repA shouldBe repG
       deltaA shouldBe deltaG
@@ -1460,7 +1466,9 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
         Seq(("image", fp, (c: org.apache.spark.sql.Column) => c))
       }
       def run(sub: String,
-          batches: Seq[Seq[(Long, String, String, Long, Long)]])
+          batches: Seq[Seq[(Long, String, String, Long, Long)]],
+          pushBytes: Long =
+            graft.operators.Dedup.DefaultPointFetchMinStoreBytes)
           : Set[Seq[Any]] = {
         val input = MemoryStream[(Long, String, String, Long, Long)]
         val q = Streams.modalityManifestIngest(
@@ -1469,7 +1477,8 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
           "doc_id", "canon", "source", "n_chars", "toks", mediaOf,
           s"$root/$sub", s"$root/ckpt_$sub", radius = 4, width = 64,
           blocks = 8, keyBlocks = 1,
-          foldOf10 = h => graft.operators.Relational.foldOf(h % 10))
+          foldOf10 = h => graft.operators.Relational.foldOf(h % 10),
+          pushMinStoreBytes = pushBytes)
         try batches.foreach { b =>
           input.addData(b: _*); q.processAllAvailable()
         } finally q.stop()
@@ -1482,8 +1491,11 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
       // the edge exists only through the grown index
       val streamed = run("inc",
         Seq(Seq(docs(0)), Seq(docs(1), docs(2))))
-      // the one-batch run is the batch-computed answer
-      val oneShot = run("all", Seq(docs))
+      // the one-batch run is the batch-computed answer; it runs with
+      // the delta leg's pushed store reads FORCED (sentinel 0 = the
+      // past-the-gate plan), so oneShot ≡ streamed also pins pushed
+      // ≡ semi-join across both delta layouts
+      val oneShot = run("all", Seq(docs), pushBytes = 0L)
       streamed shouldBe oneShot
       // the sealed per-batch DELTA partials re-aggregate to the
       // same manifest — signed kept corrections included (batch 1
