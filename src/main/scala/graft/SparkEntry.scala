@@ -5411,27 +5411,42 @@ object SparkEntry {
       val fpStore = mediaFingerprintStore(s, dir)
       def docPairs(fp: DataFrame) = Dedup.hammingNearDupPairs(fp,
         radius = 4, width = 64, blocks = Some(8), keyBlocks = 1)
-      val ifp = s.read.parquet(fpStore + "/img")
-      val img = keeperJoin(
-        ifp.select(col("doc").as("id"),
-          bit_count(col("fp")).cast("long").as("mass")),
-        Dedup.connectedComponentsStar(docPairs(ifp), "doc_a", "doc_b")
-          .toDF("id", "keeper"))
-      val afp = s.read.parquet(fpStore + "/aud")
-      val aud = keeperJoin(
-        afp.select(col("doc").as("id"),
-          bit_count(col("fp")).cast("long").as("mass")),
-        Dedup.connectedComponentsStar(docPairs(afp), "doc_a", "doc_b")
-          .toDF("id", "keeper"))
-      val vfp = s.read.parquet(fpStore + "/vid")
-      val vid = keeperJoin(
-        vfp.select(expr("doc div 8").as("id"),
-            bit_count(col("fp")).cast("long").as("fmass"))
-          .groupBy(col("id")).agg(sum(col("fmass")).as("mass")),
-        Dedup.connectedComponentsStar(
-          videoPairsFromFrames(vfp).select(col("vid_a"), col("vid_b")),
-          "vid_a", "vid_b")
-          .toDF("id", "keeper"))
+      // the three modality keeper chains are independent and each
+      // one's CC is a DRIVER-SIDE loop of per-round jobs
+      // (connectedComponentsStar) that runs eagerly at construction
+      // — serialized they were most of this query's wall (r19
+      // measured ~25-40 sequential CC-round jobs); graft.Par
+      // overlaps them without changing any branch's plan
+      val branches = graft.Par.run(Seq(
+        () => {
+          val ifp = s.read.parquet(fpStore + "/img")
+          keeperJoin(
+            ifp.select(col("doc").as("id"),
+              bit_count(col("fp")).cast("long").as("mass")),
+            Dedup.connectedComponentsStar(docPairs(ifp),
+              "doc_a", "doc_b").toDF("id", "keeper"))
+        },
+        () => {
+          val afp = s.read.parquet(fpStore + "/aud")
+          keeperJoin(
+            afp.select(col("doc").as("id"),
+              bit_count(col("fp")).cast("long").as("mass")),
+            Dedup.connectedComponentsStar(docPairs(afp),
+              "doc_a", "doc_b").toDF("id", "keeper"))
+        },
+        () => {
+          val vfp = s.read.parquet(fpStore + "/vid")
+          keeperJoin(
+            vfp.select(expr("doc div 8").as("id"),
+                bit_count(col("fp")).cast("long").as("fmass"))
+              .groupBy(col("id")).agg(sum(col("fmass")).as("mass")),
+            Dedup.connectedComponentsStar(
+              videoPairsFromFrames(vfp)
+                .select(col("vid_a"), col("vid_b")),
+              "vid_a", "vid_b")
+              .toDF("id", "keeper"))
+        }))
+      val (img, aud, vid) = (branches(0), branches(1), branches(2))
       val textRows = docs.groupBy(col("source"), col("split"))
         .agg(count(lit(1)).as("n_items"),
           sum(when(col("doc_kept"), 1L).otherwise(0L)).as("n_kept"),
@@ -5491,11 +5506,16 @@ object SparkEntry {
       def comps(p: Int) = Dedup.componentGroups(
         alld.filter(col("b") <= p), "doc_id", col("ckey"),
         pairs.filter(col("eb") <= p).select("doc_a", "doc_b"))
+      // the two prefix labelings are independent eager CC runs
+      // (driver-side round loops) over the same checkpointed
+      // inputs — overlapped, plans unchanged (the q208 convention)
+      val prefixes = graft.Par.run(Seq(() => comps(0), () => comps(1)))
       // read twice: batch-1 docs' at-ingest label IS the final label
-      val fin = comps(1).select(col("doc_id"), col("group").as("fgrp"))
+      val fin = prefixes(1)
+        .select(col("doc_id"), col("group").as("fgrp"))
         .localCheckpoint()
       val atIngest = alld.filter(col("b") === 0).select("doc_id")
-        .join(comps(0), Seq("doc_id"))
+        .join(prefixes(0), Seq("doc_id"))
         .select(col("doc_id"), col("group").as("igrp"))
         .unionByName(alld.filter(col("b") === 1).select("doc_id")
           .join(fin, Seq("doc_id"))

@@ -858,6 +858,7 @@ object Dedup {
       Seq((radius, width, blocks.getOrElse(radius + 1), keyBlocks))
         .toDF("radius", "width", "blocks", "key_blocks")
         .write.mode("overwrite").parquet(s"$dir/params")
+      phashParamsCache.remove(dir) // rebuilt: next check re-reads
     }
   }
 
@@ -974,16 +975,30 @@ object Dedup {
     out
   }
 
+  /** Session cache of each phash index's recorded params: the check
+    * is a 1-row parquet read, but it ran as ONE SPARK JOB per mark /
+    * pair call — per (modality, batch) fixed cost on the streaming
+    * ingests (r19 probe: ~6 param-check jobs per 3-modality batch).
+    * Params are immutable for a built index; [[writePhashIndex]] is
+    * the only in-repo writer and invalidates on (re)build. External
+    * rebuilds from another process fall under the index family's
+    * documented single-writer contract. */
+  private val phashParamsCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (Int, Int, Int, Int)]()
+
   private def checkPhashParams(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, radius: Int, width: Int, blocks: Option[Int],
       keyBlocks: Int): Unit = {
-    val p = spark.read.parquet(s"$indexDir/params").head()
-    require(p.getInt(0) == radius && p.getInt(1) == width &&
-      p.getInt(2) == blocks.getOrElse(radius + 1) &&
-      p.getInt(3) == keyBlocks,
-      s"phash index $indexDir was built with (radius=${p.getInt(0)}, " +
-        s"width=${p.getInt(1)}, blocks=${p.getInt(2)}, " +
-        s"keyBlocks=${p.getInt(3)}) — the marker must block identically")
+    val rec = phashParamsCache.computeIfAbsent(indexDir, _ => {
+      val p = spark.read.parquet(s"$indexDir/params").head()
+      (p.getInt(0), p.getInt(1), p.getInt(2), p.getInt(3))
+    })
+    require(rec == (radius, width, blocks.getOrElse(radius + 1),
+        keyBlocks),
+      s"phash index $indexDir was built with (radius=${rec._1}, " +
+        s"width=${rec._2}, blocks=${rec._3}, " +
+        s"keyBlocks=${rec._4}) — the marker must block identically")
   }
 
   /** The shared mark pass: returns (the batch's key table, the marked
@@ -2118,7 +2133,10 @@ object Dedup {
         commitTag.fold("pair-store-append")(t => s"pair-append-$t")) {
       graft.sources.StoreLease.withLease(spark, indexDir,
           commitTag.fold("index-append")(t => s"index-append-$t")) {
-        val freshMat = freshPlan.localCheckpoint(eager = true)
+        val ptag = commitTag.getOrElse("")
+        val freshMat = graft.Phases.time(s"pairs_mark[$ptag]") {
+          freshPlan.localCheckpoint(eager = true)
+        }
         // index growth: ALL batch docs' signatures, the
         // writeIndexTables append layout (one clustered file per
         // table per batch) — reusing the cached tables instead of
@@ -2129,6 +2147,7 @@ object Dedup {
           .sortWithinPartitions(col("band_hash"))
         val setsOut = sets.repartitionByRange(1, col("doc"))
           .sortWithinPartitions(col("doc"))
+        graft.Phases.time(s"pairs_write[$ptag]") {
         commitTag match {
           case None =>
             freshMat.write.mode("append").parquet(s"$store/pairs")
@@ -2144,6 +2163,7 @@ object Dedup {
             if (!indexCommitted)
               taggedSegmentAppend(spark, indexDir, tag,
                 Seq("bands" -> bandsOut, "shingles" -> setsOut))
+        }
         }
         freshMat
       }
@@ -3022,10 +3042,15 @@ object Dedup {
     val staging =
       new org.apache.hadoop.fs.Path(root, s".staging/$tag")
     fs.delete(staging, true) // stale from a crashed attempt
-    tables.foreach { case (t, df) =>
-      df.write.parquet(
+    // staging writes overlap (graft.Par, r19): the tables land in
+    // DISJOINT staging subdirs, and nothing below reads them until
+    // every write returned — a multi-table seal (labels+anchors,
+    // keys+items, docs+champs) was paying one sequential write job
+    // per table of per-batch fixed cost
+    graft.Par.run(tables.map { case (t, df) =>
+      () => df.write.parquet(
         new org.apache.hadoop.fs.Path(staging, t).toString)
-    }
+    })
     tables.foreach { case (t, _) =>
       val table = new org.apache.hadoop.fs.Path(root, t)
       fs.listStatus(new org.apache.hadoop.fs.Path(staging, t))

@@ -308,8 +308,18 @@ object LabelStore {
     //    pushed as an isin into a store scan — above it the scans
     //    swap to their semi-join twins but the merge STAYS on the
     //    driver.
-    val bRows = b.limit(ufCap + 1).collect()
-    val pRows0 = pairs.limit(ufCap + 1).collect()
+    val storeTag = new org.apache.hadoop.fs.Path(root)
+      .getParent.getName
+    // the two bounding collects are independent jobs (batch rows vs
+    // the pair feed — for streaming consumers the latter executes
+    // the whole mark); overlap them (graft.Par, r19)
+    val collected = graft.Phases.time(
+        s"ls_collect:$storeTag[$tag]") {
+      graft.Par.run(Seq(
+        () => b.limit(ufCap + 1).collect(),
+        () => pairs.limit(ufCap + 1).collect()))
+    }
+    val (bRows, pRows0) = (collected(0), collected(1))
     // beyond even ufCap: collapse the batch's OWN connectivity to a
     // spanning star first — one BATCH-grain CC, connectivity-exact
     // (every member linked to its batch-component min), edge count
@@ -327,7 +337,8 @@ object LabelStore {
       }
     val driverSized =
       bRows.length <= ufCap && pRows.length <= ufCap
-    val (segLabels, newAnchors) =
+    val (segLabels, newAnchors) = graft.Phases.time(
+        s"ls_plan:$storeTag[$tag]") {
       if (driverSized)
         planDriver(spark, root, bRows.map(r =>
             (r.getLong(0), Option(r.getString(1)))),
@@ -339,14 +350,17 @@ object LabelStore {
         // would recompute them AFTER the append mutated the store)
         (l.localCheckpoint(eager = true), a)
       }
-    graft.sources.StoreLease.withLease(spark, root,
-        s"labels-append-$tag") {
-      // ONE file per table per batch (the manifest-layout finding:
-      // steady-state readers pay file count; compact-labels is the
-      // backstop, not the first line)
-      Dedup.taggedSegmentAppend(spark, root, tag,
-        Seq("labels" -> segLabels.repartition(1),
-          "anchors" -> newAnchors.repartition(1)))
+    }
+    graft.Phases.time(s"ls_append:$storeTag[$tag]") {
+      graft.sources.StoreLease.withLease(spark, root,
+          s"labels-append-$tag") {
+        // ONE file per table per batch (the manifest-layout finding:
+        // steady-state readers pay file count; compact-labels is the
+        // backstop, not the first line)
+        Dedup.taggedSegmentAppend(spark, root, tag,
+          Seq("labels" -> segLabels.repartition(1),
+            "anchors" -> newAnchors.repartition(1)))
+      }
     }
     sealedSegment(spark, root, tag)
   }

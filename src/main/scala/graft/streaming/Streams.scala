@@ -1106,9 +1106,11 @@ object Streams {
             () => graft.Phases.time(s"mm_$name[b$batchId]") {
             val mRoot = s"$storeRoot/$name"
             val idxDir = s"$mRoot/index"
-            val fp = fp0.select(col("doc").cast("long").as("doc"),
-              col("fp").cast("long").as("fp"),
-              col("owner").cast("long").as("owner")).localCheckpoint()
+            val fp = graft.Phases.time(s"mm_${name}_fp[b$batchId]") {
+              fp0.select(col("doc").cast("long").as("doc"),
+                col("fp").cast("long").as("fp"),
+                col("owner").cast("long").as("owner")).localCheckpoint()
+            }
             // lazy: the label update collects the pairs exactly once,
             // before the keys append mutates the index
             val fpPairs = graft.operators.Dedup.phashPairsAgainst(s,
@@ -1131,10 +1133,12 @@ object Streams {
             // no checkpoint: a cheap aggregate over the (already
             // checkpointed) batch fingerprints — recomputed once by
             // the update's collect and once inside the staged write
-            graft.operators.LabelStore.update(s, s"$mRoot/labels",
-              items.select(col("id"),
-                lit(null).cast("string").as("_mm_key")),
-              "id", "_mm_key", itemPairs, tag)
+            graft.Phases.time(s"mm_${name}_label[b$batchId]") {
+              graft.operators.LabelStore.update(s, s"$mRoot/labels",
+                items.select(col("id"),
+                  lit(null).cast("string").as("_mm_key")),
+                "id", "_mm_key", itemPairs, tag)
+            }
             if (!graft.operators.Dedup.isBatchCommitted(s, mRoot,
                 tag)) {
               // ONE-BATCH-PER-ITEM invariant, asserted (r18 ADVICE):
@@ -1151,39 +1155,43 @@ object Streams {
               // is not a straddle). Bounded: batch ids pushed as a
               // parquet-native isin up to the prune cap, semi-join
               // past it (the DefaultMarkPruneCap convention).
-              val (_, itemsRest) = splitTable(s, s"$mRoot/items",
-                tag, MmItemsSchema)
-              val bIds = items.select(col("id")).distinct()
-                .limit(graft.operators.Dedup.DefaultMarkPruneCap + 1)
-                .collect().map(_.getLong(0))
-              val straddle =
-                if (bIds.length <=
-                    graft.operators.Dedup.DefaultMarkPruneCap)
-                  itemsRest.filter(col("id")
-                    .isin(bIds.toIndexedSeq: _*))
-                else itemsRest.join(items.select(col("id")),
-                  Seq("id"), "left_semi")
-              require(straddle.limit(1).isEmpty,
-                s"modality store $mRoot: batch $tag re-presents " +
-                  "item ids the items table already holds — an " +
-                  "item's fingerprint rows must arrive in ONE " +
-                  "micro-batch (the delta leg's kept accounting " +
-                  "reads the items row as the item's arrival)")
+              graft.Phases.time(s"mm_${name}_straddle[b$batchId]") {
+                val (_, itemsRest) = splitTable(s, s"$mRoot/items",
+                  tag, MmItemsSchema)
+                val bIds = items.select(col("id")).distinct()
+                  .limit(graft.operators.Dedup.DefaultMarkPruneCap + 1)
+                  .collect().map(_.getLong(0))
+                val straddle =
+                  if (bIds.length <=
+                      graft.operators.Dedup.DefaultMarkPruneCap)
+                    itemsRest.filter(col("id")
+                      .isin(bIds.toIndexedSeq: _*))
+                  else itemsRest.join(items.select(col("id")),
+                    Seq("id"), "left_semi")
+                require(straddle.limit(1).isEmpty,
+                  s"modality store $mRoot: batch $tag re-presents " +
+                    "item ids the items table already holds — an " +
+                    "item's fingerprint rows must arrive in ONE " +
+                    "micro-batch (the delta leg's kept accounting " +
+                    "reads the items row as the item's arrival)")
+              }
               // repartition(1), not repartitionByRange(1, …): a
               // single-file segment needs no range boundaries, and
               // RangePartitioner's sampling pass is one more job on
               // the per-(modality, batch) FIXED bill (ProbeScale
               // mmbatch); the sort inside the one partition gives
               // the identical bkey-clustered layout
-              val keyRows = graft.operators.Dedup.pigeonholeKeys(fp,
-                  radius, width, Some(blocks), keyBlocks)
-                .repartition(1)
-                .sortWithinPartitions(col("bkey"), col("tbl"))
-              graft.sources.StoreLease.withLease(s, mRoot,
-                  s"media-append-$tag") {
-                graft.operators.Dedup.taggedSegmentAppend(s, mRoot,
-                  tag, Seq("index/keys" -> keyRows,
-                    "items" -> items.repartition(1)))
+              graft.Phases.time(s"mm_${name}_seal[b$batchId]") {
+                val keyRows = graft.operators.Dedup.pigeonholeKeys(fp,
+                    radius, width, Some(blocks), keyBlocks)
+                  .repartition(1)
+                  .sortWithinPartitions(col("bkey"), col("tbl"))
+                graft.sources.StoreLease.withLease(s, mRoot,
+                    s"media-append-$tag") {
+                  graft.operators.Dedup.taggedSegmentAppend(s, mRoot,
+                    tag, Seq("index/keys" -> keyRows,
+                      "items" -> items.repartition(1)))
+                }
               }
             }
             }
@@ -1207,11 +1215,13 @@ object Streams {
               val d = manifestDeltaRows(s, storeRoot,
                 media.map(_._1), foldOf10, tag, idCol, canonCol,
                 sourceCol, toksCol, pushLatched)
-              graft.sources.StoreLease.withLease(s, deltasRoot,
-                  s"deltas-append-$tag") {
-                graft.operators.Dedup.taggedSegmentAppend(s,
-                  deltasRoot, tag,
-                  Seq("deltas" -> d.repartition(1)))
+              graft.Phases.time(s"mmd_seal[b$batchId]") {
+                graft.sources.StoreLease.withLease(s, deltasRoot,
+                    s"deltas-append-$tag") {
+                  graft.operators.Dedup.taggedSegmentAppend(s,
+                    deltasRoot, tag,
+                    Seq("deltas" -> d.repartition(1)))
+                }
               }
             }
         } finally s.conf.set(widthKey, oldWidth)
@@ -1247,35 +1257,15 @@ object Streams {
     * retries. Legs inherit the session's thread-locals (the pool is
     * created inside the batch thread; Spark's localProperties are
     * InheritableThreadLocal). */
-  private def inParallel(legs: Seq[() => Unit]): Unit =
-    if (legs.sizeIs <= 1 ||
-        sys.env.get("GRAFT_FUSE").contains("off"))
-      // GRAFT_FUSE=off: the sequential form, kept as an attribution
-      // knob — a probe window can A/B the fan-out against the
-      // serialized legs in the same session (ProbeScale
-      // prepbatch/mmbatch) and an operator can pin down a
-      // leg-interleaving suspicion without a code change
-      legs.foreach(_())
-    else {
-      val pool =
-        java.util.concurrent.Executors.newFixedThreadPool(legs.size)
-      try {
-        val futs = legs.map { l =>
-          pool.submit(new java.util.concurrent.Callable[Unit] {
-            def call(): Unit = l()
-          })
-        }
-        var firstFailure: Throwable = null
-        futs.foreach { f =>
-          try f.get()
-          catch {
-            case e: java.util.concurrent.ExecutionException =>
-              if (firstFailure == null) firstFailure = e.getCause
-          }
-        }
-        if (firstFailure != null) throw firstFailure
-      } finally { pool.shutdownNow(); () }
-    }
+  private def inParallel(legs: Seq[() => Unit]): Unit = {
+    // GRAFT_FUSE=off (inside graft.Par): the sequential form, kept
+    // as an attribution knob — a probe window can A/B the fan-out
+    // against the serialized legs in the same session (ProbeScale
+    // prepbatch/mmbatch) and an operator can pin down a
+    // leg-interleaving suspicion without a code change
+    graft.Par.run(legs)
+    ()
+  }
 
   /** Bounded candidate set for a pushed store read (the
     * DefaultMarkPruneCap convention, shared by both delta legs):
@@ -1413,12 +1403,14 @@ object Streams {
       winnersOf(ch, None, canons)
     val batchCanons = segDocs.select(col(canonCol)).distinct()
     val batchCanonSet = pushedKeys(segDocs, canonCol, pushReads)
-    val flips = winnersOf(champsAll, batchCanonSet, batchCanons)
-      .withColumnRenamed("_d_win", "_d_new")
-      .join(winnersOf(oldCh, batchCanonSet, batchCanons)
-        .withColumnRenamed("_d_win", "_d_old"), Seq(canonCol), "left")
-      .filter(col("_d_old").isNull || col("_d_old") =!= col("_d_new"))
-      .localCheckpoint()
+    val flips = graft.Phases.time(s"mmd_flips[$tag]") {
+      winnersOf(champsAll, batchCanonSet, batchCanons)
+        .withColumnRenamed("_d_win", "_d_new")
+        .join(winnersOf(oldCh, batchCanonSet, batchCanons)
+          .withColumnRenamed("_d_win", "_d_old"), Seq(canonCol), "left")
+        .filter(col("_d_old").isNull || col("_d_old") =!= col("_d_new"))
+        .localCheckpoint()
+    }
     // the flip docs' attribute reads off the corpus-grain docs
     // table, pruned to the flip set (affOwners below is exactly the
     // union of new/old winners, so one restriction serves both
@@ -1438,10 +1430,12 @@ object Streams {
     // checkpoint jobs beating the repeated-subtree plan the lazy
     // form compiles (ProbeScale mmbatch prices the residual fixed
     // cost; the fused batch fan-out is its lever)
-    val affOwners = flips.select(col("_d_new").as("_d_doc"))
-      .unionByName(flips.filter(col("_d_old").isNotNull)
-        .select(col("_d_old").as("_d_doc")))
-      .distinct().localCheckpoint()
+    val affOwners = graft.Phases.time(s"mmd_own[$tag]") {
+      flips.select(col("_d_new").as("_d_doc"))
+        .unionByName(flips.filter(col("_d_old").isNotNull)
+          .select(col("_d_old").as("_d_doc")))
+        .distinct().localCheckpoint()
+    }
     val affOwnerSet = pushedKeys(affOwners, "_d_doc", pushReads)
     // the corpus-grain docs table pruned to the flip docs — serves
     // both signed contrib legs (their win sets are subsets of
@@ -1458,7 +1452,20 @@ object Streams {
         col(sourceCol).as("source"), split.as("split"),
         lit(1L).as("d_items"), lit(0L).as("d_kept"),
         lit(0L).as("d_kept_mass"))
-    val mediaRows = modalities.map { m =>
+    // one (modality, source, split)-grain PARTIAL aggregate per
+    // branch — sums of longs are associative, so per-branch partials
+    // re-aggregated below equal the single aggregate over the
+    // unioned rows bit for bit (each modality's rows come from
+    // exactly one branch anyway; text's two row sets stay in one
+    // branch)
+    def partialAgg(rows: DataFrame): DataFrame = rows
+      .groupBy(col("modality"), col("source"), col("split"))
+      .agg(sum(col("d_items")).as("d_items"),
+        sum(col("d_kept")).as("d_kept"),
+        sum(col("d_kept_mass")).as("d_kept_mass"))
+    val mediaFns: Seq[() => Array[org.apache.spark.sql.Row]] =
+      modalities.map { m => () => graft.Phases.time(
+        s"mmd_$m[$tag]") {
       val mr = s"$storeRoot/$m"
       val (segIt, _) = splitTable(s, s"$mr/items", tag, itemsSchema)
       val itemsAll = s.read.schema(itemsSchema)
@@ -1522,10 +1529,25 @@ object Streams {
         .select(lit(m).as("modality"), col(sourceCol).as("source"),
           split.as("split"), lit(1L).as("d_items"),
           lit(0L).as("d_kept"), lit(0L).as("d_kept_mass"))
-      keptRows.unionByName(itemRows)
-    }
-    mediaRows.foldLeft(textItems.unionByName(textKept))(
-        _ unionByName _)
+      partialAgg(keptRows.unionByName(itemRows)).collect()
+    } }
+    // FUSED BRANCH EVALUATION (r19, graft.Par): the per-modality
+    // delta chains and the text chain are independent until the
+    // final re-aggregation, but the old single lazy plan evaluated
+    // them SERIALLY inside one seal-time job (mmd_seal measured
+    // 3.4-7.6 s/batch at sf0.1 — a ~40-scan DAG compiled and run
+    // single-file). Each branch now aggregates and collects
+    // concurrently (rows are (modality × source × split)-bounded),
+    // and the returned frame is the re-aggregation over the local
+    // partials — the seal write becomes a trivial job.
+    val textFn: () => Array[org.apache.spark.sql.Row] =
+      () => graft.Phases.time(s"mmd_text[$tag]") {
+        partialAgg(textItems.unionByName(textKept)).collect()
+      }
+    val aggSchema = partialAgg(textItems).schema
+    val parts = graft.Par.run(textFn +: mediaFns).flatten
+    s.createDataFrame(
+        java.util.Arrays.asList(parts: _*), aggSchema)
       .groupBy(col("modality"), col("source"), col("split"))
       .agg(sum(col("d_items")).as("d_items"),
         sum(col("d_kept")).as("d_kept"),
@@ -1846,21 +1868,26 @@ object Streams {
           // (ProbeScale prepbatch priced the sequential form at
           // ~4.4-6.6 s/batch of fixed cost).
           val pairLeg: () => Unit = () => {
-            val freshPairs = graft.operators.Dedup.appendPairStore(b,
-              idCol, textCol, s"$storeRoot/index",
-              s"$storeRoot/pairs", shingleN, k, bands, threshold,
-              commitTag = Some(tag))
-            graft.operators.LabelStore.update(s, s"$storeRoot/labels",
-              b.select(col(idCol),
-                lit(null).cast("string").as("_tp_key")),
-              idCol, "_tp_key",
-              freshPairs.select(col("doc_a"), col("doc_b")), tag)
+            val freshPairs = graft.Phases.time(
+                s"prep_pairs[b$batchId]") {
+              graft.operators.Dedup.appendPairStore(b,
+                idCol, textCol, s"$storeRoot/index",
+                s"$storeRoot/pairs", shingleN, k, bands, threshold,
+                commitTag = Some(tag))
+            }
+            graft.Phases.time(s"prep_label[b$batchId]") {
+              graft.operators.LabelStore.update(s, s"$storeRoot/labels",
+                b.select(col(idCol),
+                  lit(null).cast("string").as("_tp_key")),
+                idCol, "_tp_key",
+                freshPairs.select(col("doc_a"), col("doc_b")), tag)
+            }
             ()
           }
           val flagsRoot = s"$storeRoot/flags"
           val flagsLeg: () => Unit = () =>
             if (!graft.operators.Dedup.isBatchCommitted(s, flagsRoot,
-                tag)) {
+                tag)) graft.Phases.time(s"prep_flags[b$batchId]") {
               val toks = graft.functions.text.tokens(col(textCol))
               val scored = b
                 .withColumn("_toks", toks)
@@ -1981,27 +2008,33 @@ object Streams {
       restrict(fl, "ex_key", ks, kf)
         .groupBy(col("ex_key"))
         .agg(min(col(idCol)).as("_tp_kmin"))
-    val keyFlips = keyMin(flagsAll, batchKeySet, batchKeys)
-      .withColumnRenamed("_tp_kmin", "_tp_knew")
-      .join(keyMin(oldFl, batchKeySet, batchKeys)
-        .withColumnRenamed("_tp_kmin", "_tp_kold"),
-        Seq("ex_key"), "left")
-      .filter(col("_tp_kold").isNull ||
-        col("_tp_kold") =!= col("_tp_knew"))
-      .localCheckpoint()
-    val coreDocs = segLb.select(col("doc_id"))
-      .unionByName(keyFlips.select(col("_tp_knew").as("doc_id")))
-      .unionByName(keyFlips.filter(col("_tp_kold").isNotNull)
-        .select(col("_tp_kold").as("doc_id")))
-      .distinct().localCheckpoint()
+    val keyFlips = graft.Phases.time(s"tpd_flips[$tag]") {
+      keyMin(flagsAll, batchKeySet, batchKeys)
+        .withColumnRenamed("_tp_kmin", "_tp_knew")
+        .join(keyMin(oldFl, batchKeySet, batchKeys)
+          .withColumnRenamed("_tp_kmin", "_tp_kold"),
+          Seq("ex_key"), "left")
+        .filter(col("_tp_kold").isNull ||
+          col("_tp_kold") =!= col("_tp_knew"))
+        .localCheckpoint()
+    }
+    val coreDocs = graft.Phases.time(s"tpd_core[$tag]") {
+      segLb.select(col("doc_id"))
+        .unionByName(keyFlips.select(col("_tp_knew").as("doc_id")))
+        .unionByName(keyFlips.filter(col("_tp_kold").isNotNull)
+          .select(col("_tp_kold").as("doc_id")))
+        .distinct().localCheckpoint()
+    }
     val coreDocSet = pushedKeys(coreDocs, "doc_id", pushReads)
     def curLabels(lb: DataFrame): DataFrame =
       restrict(lb, "doc_id", coreDocSet, coreDocs)
         .groupBy(col("doc_id"))
         .agg(min(col("group")).as("group"))
-    val affGroups = curLabels(oldLb).select(col("group"))
-      .unionByName(curLabels(allLb).select(col("group")))
-      .distinct().localCheckpoint()
+    val affGroups = graft.Phases.time(s"tpd_groups[$tag]") {
+      curLabels(oldLb).select(col("group"))
+        .unionByName(curLabels(allLb).select(col("group")))
+        .distinct().localCheckpoint()
+    }
     // members of the affected components, pre and post. affGroups
     // can hold labels retired at the other side (a PRE label that
     // died this batch matches stale POST rows), so each side takes
@@ -2014,15 +2047,19 @@ object Streams {
         .groupBy(col("doc_id")).agg(min(col("group")).as(as))
     val memPre = membersIn(oldLb, "_tp_gpre")
     val memPost = membersIn(allLb, "_tp_gpost")
-    val affIds = memPre.select(col("doc_id"))
-      .unionByName(memPost.select(col("doc_id")))
-      .unionByName(coreDocs)
-      .distinct().localCheckpoint()
+    val affIds = graft.Phases.time(s"tpd_ids[$tag]") {
+      memPre.select(col("doc_id"))
+        .unionByName(memPost.select(col("doc_id")))
+        .unionByName(coreDocs)
+        .distinct().localCheckpoint()
+    }
     val affIdSet = pushedKeys(affIds, "doc_id", pushReads)
     def affIdsAs(c: String): DataFrame =
       affIds.withColumnRenamed("doc_id", c)
-    val att = restrict(flagsAll, idCol, affIdSet, affIdsAs(idCol))
-      .localCheckpoint()
+    val att = graft.Phases.time(s"tpd_att[$tag]") {
+      restrict(flagsAll, idCol, affIdSet, affIdsAs(idCol))
+        .localCheckpoint()
+    }
     val preSeen = restrict(oldFl, idCol, affIdSet, affIdsAs(idCol))
       .select(col(idCol), lit(true).as("_tp_pre"))
     // exact-champion status over ALL affected docs' keys
@@ -2032,19 +2069,21 @@ object Streams {
       .withColumnRenamed("_tp_kmin", "_tp_kpre")
     val kPost = keyMin(flagsAll, affKeySet, affKeys)
       .withColumnRenamed("_tp_kmin", "_tp_kpost")
-    val base = att
-      .join(preSeen, Seq(idCol), "left")
-      .join(kPre, Seq("ex_key"), "left")
-      .join(kPost, Seq("ex_key"))
-      .join(memPre.withColumnRenamed("doc_id", idCol),
-        Seq(idCol), "left")
-      .join(memPost.withColumnRenamed("doc_id", idCol),
-        Seq(idCol), "left")
-      .withColumn("_tp_expre",
-        coalesce(col("_tp_pre"), lit(false)) &&
-          col(idCol) === col("_tp_kpre"))
-      .withColumn("_tp_expost", col(idCol) === col("_tp_kpost"))
-      .localCheckpoint()
+    val base = graft.Phases.time(s"tpd_base[$tag]") {
+      att
+        .join(preSeen, Seq(idCol), "left")
+        .join(kPre, Seq("ex_key"), "left")
+        .join(kPost, Seq("ex_key"))
+        .join(memPre.withColumnRenamed("doc_id", idCol),
+          Seq(idCol), "left")
+        .join(memPost.withColumnRenamed("doc_id", idCol),
+          Seq(idCol), "left")
+        .withColumn("_tp_expre",
+          coalesce(col("_tp_pre"), lit(false)) &&
+            col(idCol) === col("_tp_kpre"))
+        .withColumn("_tp_expost", col(idCol) === col("_tp_kpost"))
+        .localCheckpoint()
+    }
     // near-dup champions per affected component, pre and post —
     // the argmax over EXACT SURVIVORS of the component (q153's
     // resolveDuplicates rule: n_tok desc, ties min id)
@@ -2055,24 +2094,26 @@ object Streams {
           (-col(idCol)).as("negid"))).as("_tp_best"))
         .select(col(groupCol),
           (-col("_tp_best").getField("negid")).as("_tp_champ"))
-    val scored = base
-      .join(champs("_tp_gpre", "_tp_expre")
-        .withColumnRenamed("_tp_champ", "_tp_cpre"),
-        Seq("_tp_gpre"), "left")
-      .join(champs("_tp_gpost", "_tp_expost")
-        .withColumnRenamed("_tp_champ", "_tp_cpost"),
-        Seq("_tp_gpost"), "left")
-      .withColumn("_tp_ndpre",
-        col("_tp_expre") && col(idCol) === col("_tp_cpre"))
-      .withColumn("_tp_ndpost",
-        col("_tp_expost") && col(idCol) === col("_tp_cpost"))
-      .withColumn("_tp_ctpre",
-        col("_tp_ndpre") && col("contamination") < 0.5)
-      .withColumn("_tp_ctpost",
-        col("_tp_ndpost") && col("contamination") < 0.5)
-      .withColumn("_tp_qpre", col("_tp_ctpre") && col("q") >= 0.4)
-      .withColumn("_tp_qpost", col("_tp_ctpost") && col("q") >= 0.4)
-      .localCheckpoint()
+    val scored = graft.Phases.time(s"tpd_scored[$tag]") {
+      base
+        .join(champs("_tp_gpre", "_tp_expre")
+          .withColumnRenamed("_tp_champ", "_tp_cpre"),
+          Seq("_tp_gpre"), "left")
+        .join(champs("_tp_gpost", "_tp_expost")
+          .withColumnRenamed("_tp_champ", "_tp_cpost"),
+          Seq("_tp_gpost"), "left")
+        .withColumn("_tp_ndpre",
+          col("_tp_expre") && col(idCol) === col("_tp_cpre"))
+        .withColumn("_tp_ndpost",
+          col("_tp_expost") && col(idCol) === col("_tp_cpost"))
+        .withColumn("_tp_ctpre",
+          col("_tp_ndpre") && col("contamination") < 0.5)
+        .withColumn("_tp_ctpost",
+          col("_tp_ndpost") && col("contamination") < 0.5)
+        .withColumn("_tp_qpre", col("_tp_ctpre") && col("q") >= 0.4)
+        .withColumn("_tp_qpost", col("_tp_ctpost") && col("q") >= 0.4)
+        .localCheckpoint()
+    }
     def d(post: String, pre: String): Column =
       sum(when(col(post), 1L).otherwise(0L) -
         when(col(pre), 1L).otherwise(0L))
