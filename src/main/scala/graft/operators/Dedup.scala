@@ -2048,7 +2048,8 @@ object Dedup {
   def appendPairStore(batch: DataFrame, idCol: String, textCol: String,
       indexDir: String, store: String, shingleN: Int, k: Int,
       bands: Int, threshold: Double,
-      commitTag: Option[String] = None): DataFrame = {
+      commitTag: Option[String] = None,
+      overlapWith: Option[DataFrame => Unit] = None): DataFrame = {
     val spark = batch.sparkSession
     val pairsCommitted =
       commitTag.exists(t => isBatchCommitted(spark, store, t))
@@ -2063,9 +2064,15 @@ object Dedup {
         s"$store/pairs/seg-${commitTag.get}-*")
       val fs = seg.getFileSystem(spark.sessionState.newHadoopConf())
       val matches = fs.globStatus(seg)
-      return if (matches == null || matches.isEmpty)
-        spark.read.parquet(s"$store/pairs").limit(0)
-      else spark.read.parquet(seg.toString)
+      val sealed0 =
+        if (matches == null || matches.isEmpty)
+          spark.read.parquet(s"$store/pairs").limit(0)
+        else spark.read.parquet(seg.toString)
+      // the overlap continuation must run on the sealed-retry path
+      // too (its OWN pieces may be the uncommitted ones) — serially
+      // here, there are no writes to overlap with
+      overlapWith.foreach(f => f(sealed0))
+      return sealed0
     }
     // retry hygiene BEFORE the store reads: a crashed attempt's
     // half-moved seg files would otherwise pollute the as-of view
@@ -2147,23 +2154,44 @@ object Dedup {
           .sortWithinPartitions(col("band_hash"))
         val setsOut = sets.repartitionByRange(1, col("doc"))
           .sortWithinPartitions(col("doc"))
-        graft.Phases.time(s"pairs_write[$ptag]") {
-        commitTag match {
-          case None =>
-            freshMat.write.mode("append").parquet(s"$store/pairs")
-            bandsOut.write.mode("append").parquet(s"$indexDir/bands")
-            setsOut.write.mode("append").parquet(s"$indexDir/shingles")
-          case Some(tag) =>
-            // pairs first, then index — the retry's per-root markers
-            // distinguish the crash point and redo only the unsealed
-            // half (scaladoc)
-            if (!pairsCommitted)
-              taggedSegmentAppend(spark, store, tag,
-                Seq("pairs" -> freshMat))
-            if (!indexCommitted)
-              taggedSegmentAppend(spark, indexDir, tag,
-                Seq("bands" -> bandsOut, "shingles" -> setsOut))
-        }
+        val writeLeg: () => Unit = () =>
+          graft.Phases.time(s"pairs_write[$ptag]") {
+          commitTag match {
+            case None =>
+              freshMat.write.mode("append").parquet(s"$store/pairs")
+              bandsOut.write.mode("append").parquet(s"$indexDir/bands")
+              setsOut.write.mode("append").parquet(s"$indexDir/shingles")
+            case Some(tag) =>
+              // pairs first, then index — the retry's per-root markers
+              // distinguish the crash point and redo only the unsealed
+              // half (scaladoc); the SEAL ORDER within this leg is
+              // load-bearing (index-committed ⇒ pairs-committed keeps
+              // a retry's mark from pairing the batch against its own
+              // already-appended signatures), so the two appends stay
+              // sequential inside the one leg
+              if (!pairsCommitted)
+                taggedSegmentAppend(spark, store, tag,
+                  Seq("pairs" -> freshMat))
+              if (!indexCommitted)
+                taggedSegmentAppend(spark, indexDir, tag,
+                  Seq("bands" -> bandsOut, "shingles" -> setsOut))
+          }
+          }
+        overlapWith match {
+          case None => writeLeg()
+          case Some(f) =>
+            // FUSED CONTINUATION (graft.Par, r19): the caller's
+            // downstream chain (label-store merge, fold sink — all
+            // on OTHER store roots) reads only the already-
+            // checkpointed freshMat, never this store or the index,
+            // so it overlaps the write leg instead of queueing
+            // behind it. Crash analysis: any leg subset may land;
+            // every piece is exactly-once under its own marker, so
+            // a replay redoes only the missing pieces from the same
+            // checkpointed as-of state (StreamingSpec convergence
+            // pins).
+            graft.Par.run(Seq(writeLeg, () => f(freshMat)))
+            ()
         }
         freshMat
       }

@@ -639,8 +639,10 @@ object Streams {
     var boundedLatched = false
     // once-per-stream bootstrap latch for the label store (the
     // sealed marker is the cross-restart truth; the latch just
-    // skips the per-batch exists() probe after the first)
-    var bootstrapped = false
+    // skips the per-batch exists() probe after the first).
+    // volatile: set inside a fused leg thread (graft.Par), read by
+    // the next batch's foreachBatch thread
+    @volatile var bootstrapped = false
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -654,22 +656,34 @@ object Streams {
           val pairStore = s"$storeRoot/pairs"
           val docsStore = s"$storeRoot/docs"
           val b = batch.toDF()
-          val freshPairs = graft.operators.Dedup.appendPairStore(b,
-            idCol, textCol, indexDir, pairStore, shingleN, k, bands,
-            threshold, commitTag = Some(tag))
           val batchDocs = b.select(col(idCol), col(keyCol),
             col(sourceCol)).localCheckpoint()
           if (!boundedLatched)
             boundedLatched = graft.operators.Dedup.storeAtLeastBytes(
               s, s"$pairStore/pairs", boundedCcMinStoreBytes)
           val labelRoot = s"$storeRoot/labels"
+          // docs append: touches only docsStore — its own fused leg
+          // (graft.Par) alongside the label/fold chain; the
+          // bootstrap/CC-regime reads of docsStore anti-join the
+          // batch ids out, so a concurrently landing batch segment
+          // is invisible to them (the same argument that makes the
+          // reads retry-proof)
+          val docsLeg: () => Unit = () =>
+            if (!graft.operators.Dedup.isBatchCommitted(s, docsStore,
+                tag))
+              graft.sources.StoreLease.withLease(s, docsStore,
+                  s"docs-append-$tag") {
+                graft.operators.Dedup.taggedSegmentAppend(s,
+                  docsStore, tag,
+                  Seq("docs" -> batchDocs.repartition(1)))
+              }
           // batch labels: (idCol, group) for the batch's docs, plus
           // a membership source for the drift leg (the touched
           // components' FULL member sets — evaluated only when the
           // drift monitor is on, and AFTER the label update landed)
-          val (grpBatch, touchedMembers): (org.apache.spark.sql
-              .DataFrame, () => org.apache.spark.sql.DataFrame) =
-            if (useLabelStore) {
+          def labelGrp(freshPairs: org.apache.spark.sql.DataFrame)
+              : (org.apache.spark.sql.DataFrame,
+                () => org.apache.spark.sql.DataFrame) = {
               // THE LABEL STORE REGIME (default): labels are a point
               // lookup + bounded union-find merge against the at-rest
               // (doc → label) table — per-batch cost tracks the
@@ -746,14 +760,16 @@ object Streams {
               (bl, () => graft.operators.LabelStore.membersOf(s,
                   labelRoot, bl.select(col("group")).distinct())
                 .withColumnRenamed("doc_id", idCol))
-            } else {
-              // the r16 CC regimes, kept as the store-less fallback
-              // (and the spec's parity twin): seen docs as of this
-              // batch = committed manifest minus the batch's own ids
-              // (a crashed attempt's half-landed manifest rows are
-              // exactly batch rows — anti-joined out) ∪ the batch;
-              // past the size gate the batch labels come from the
-              // batch components' reachable subgraph only
+          }
+          // the r16 CC regimes, kept as the store-less fallback
+          // (and the spec's parity twin): seen docs as of this
+          // batch = committed manifest minus the batch's own ids
+          // (a crashed attempt's half-landed manifest rows are
+          // exactly batch rows — anti-joined out) ∪ the batch;
+          // past the size gate the batch labels come from the
+          // batch components' reachable subgraph only
+          def ccGrp(): (org.apache.spark.sql.DataFrame,
+              () => org.apache.spark.sql.DataFrame) = {
               val prior = s.read.parquet(s"$docsStore/docs")
                 .join(batchDocs.select(col(idCol)), Seq(idCol),
                   "left_anti")
@@ -775,8 +791,11 @@ object Streams {
                     .distinct()
                   grp.join(touched, Seq("group"), "left_semi")
                 })
-            }
+          }
           def foldOf(h: Column) = graft.operators.Relational.foldOf(h)
+          def foldAndSink(grpBatch: org.apache.spark.sql.DataFrame,
+              touchedMembers: () => org.apache.spark.sql.DataFrame)
+              : Unit = {
           val folds = batchDocs
             .join(grpBatch, Seq(idCol))
             .withColumn("split", foldOf(graft.functions.hashes
@@ -891,13 +910,41 @@ object Streams {
               }
             }
           }
-          if (!graft.operators.Dedup.isBatchCommitted(s, docsStore,
-              tag))
-            graft.sources.StoreLease.withLease(s, docsStore,
-                s"docs-append-$tag") {
-              graft.operators.Dedup.taggedSegmentAppend(s, docsStore,
-                tag, Seq("docs" -> batchDocs.repartition(1)))
-            }
+          }
+          if (useLabelStore) {
+            // FUSED BATCH FAN-OUT (graft.Par + the appendPairStore
+            // overlap, r19): the label/fold chain reads only the
+            // CHECKPOINTED fresh pairs and OTHER store roots (labels,
+            // manifest, drift), never the pair store or the index —
+            // so it and the docs leg overlap the pair/index write
+            // phase instead of queueing behind it. Every piece keeps
+            // its own tag/marker, so any crash replay redoes only
+            // the missing pieces from the same as-of state
+            // (StreamingSpec convergence pins).
+            graft.operators.Dedup.appendPairStore(b,
+              idCol, textCol, indexDir, pairStore, shingleN, k,
+              bands, threshold, commitTag = Some(tag),
+              overlapWith = Some { fp =>
+                val (grpBatch, touchedMembers) = labelGrp(fp)
+                graft.Par.run(Seq(
+                  () => foldAndSink(grpBatch, touchedMembers),
+                  docsLeg))
+                ()
+              })
+            ()
+          } else {
+            // the CC regimes read the PAIR STORE itself post-append
+            // — no overlap with the writes; the docs leg still
+            // overlaps the fold/sink chain
+            graft.operators.Dedup.appendPairStore(b,
+              idCol, textCol, indexDir, pairStore, shingleN, k,
+              bands, threshold, commitTag = Some(tag))
+            val (grpBatch, touchedMembers) = ccGrp()
+            graft.Par.run(Seq(
+              () => foldAndSink(grpBatch, touchedMembers),
+              docsLeg))
+            ()
+          }
         } finally s.conf.set(widthKey, oldWidth)
       }
       .start()
@@ -1868,19 +1915,26 @@ object Streams {
           // (ProbeScale prepbatch priced the sequential form at
           // ~4.4-6.6 s/batch of fixed cost).
           val pairLeg: () => Unit = () => {
-            val freshPairs = graft.Phases.time(
-                s"prep_pairs[b$batchId]") {
+            // the label merge reads only the CHECKPOINTED fresh
+            // pairs and the labels root — overlapped with the
+            // pair/index write phase (the componentFoldIngest
+            // convention, r19)
+            graft.Phases.time(s"prep_pairs[b$batchId]") {
               graft.operators.Dedup.appendPairStore(b,
                 idCol, textCol, s"$storeRoot/index",
                 s"$storeRoot/pairs", shingleN, k, bands, threshold,
-                commitTag = Some(tag))
-            }
-            graft.Phases.time(s"prep_label[b$batchId]") {
-              graft.operators.LabelStore.update(s, s"$storeRoot/labels",
-                b.select(col(idCol),
-                  lit(null).cast("string").as("_tp_key")),
-                idCol, "_tp_key",
-                freshPairs.select(col("doc_a"), col("doc_b")), tag)
+                commitTag = Some(tag),
+                overlapWith = Some { fp =>
+                  graft.Phases.time(s"prep_label[b$batchId]") {
+                    graft.operators.LabelStore.update(s,
+                      s"$storeRoot/labels",
+                      b.select(col(idCol),
+                        lit(null).cast("string").as("_tp_key")),
+                      idCol, "_tp_key",
+                      fp.select(col("doc_a"), col("doc_b")), tag)
+                  }
+                  ()
+                })
             }
             ()
           }
