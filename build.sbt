@@ -46,5 +46,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // warm pass (0.8 s warm → 3.8–15.6 s timed at 20× the cpu,
   // reproduced across three closes, host idle). Headroom retires the
   // episode class; same insurance rationale as the heap line.
-  "-XX:ReservedCodeCacheSize=512m",
+  // r20: the SAME signature re-appeared at 215 queries under the
+  // 512m ceiling (profiled pool cap 252m) — r20 baseline caught
+  // q155 9.75 s wall / 265 cpu-s (retime 0.72 s), q150 3.1 s /
+  // 64 cpu-s, q123 43.7 cpu-s on sub-second plans: tight codec /
+  // HOF kernels dropping out of C2 mid-suite and re-running
+  // profiled/interpreted until re-promoted. Doubled again — address
+  // space is reserved, committed lazily, so the only cost is VA.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -23,6 +23,17 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Bounded planning collects (`limit(cap+1).collect()` — the
+      // LabelStore/markPrune convention) plan as CollectLimit, whose
+      // executeTake ramp runs 1 → 4 → 16 → … partitions in SEQUENTIAL
+      // waves; a bound that exists only as a guard is never reached,
+      // so every bounded collect pays ~log4(partitions) serialized
+      // waves of its result stage (r20 probe: ls_collect:image 6.6 s
+      // of a 33 s store build — the single largest phase). First
+      // wave = session width turns each such collect into ONE
+      // fully-parallel job; a limit small enough to be satisfied by
+      // one partition still stops after its first (now wider) wave.
+      .config("spark.sql.limit.initialNumPartitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       // AQE coalesces shuffle reads by BYTES; several of this
       // engine's stages are row-expensive at tiny byte volume

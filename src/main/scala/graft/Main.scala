@@ -44,6 +44,11 @@ object Main {
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      // one fully-parallel wave for bounded planning collects — the
+      // Bench.scala rationale (executeTake's 1 → 4 → 16 ramp
+      // serializes every `limit(cap+1).collect()` guard)
+      .config("spark.sql.limit.initialNumPartitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")

@@ -27,13 +27,37 @@ object Par {
           })
         }
         var firstFailure: Throwable = null
+        var interrupted: InterruptedException = null
         val out = futs.map { f =>
-          try Some(f.get())
-          catch {
+          try {
+            // an interrupt of the CALLING thread must not abandon
+            // legs mid-store-write (r19 ADVICE): remember it, keep
+            // observing every remaining leg to completion, and
+            // re-assert the interrupt after the walk — the
+            // 'every leg runs to completion' contract holds on all
+            // exits
+            if (interrupted != null) Some(f.get())
+            else
+              try Some(f.get())
+              catch {
+                case ie: InterruptedException =>
+                  interrupted = ie
+                  Some(f.get()) // wait again, uninterrupted
+              }
+          } catch {
             case e: java.util.concurrent.ExecutionException =>
               if (firstFailure == null) firstFailure = e.getCause
               None
+            case ie: InterruptedException =>
+              // second interrupt while re-waiting: give up on THIS
+              // leg's result but keep walking the rest
+              if (interrupted == null) interrupted = ie
+              None
           }
+        }
+        if (interrupted != null) {
+          Thread.currentThread().interrupt()
+          throw interrupted
         }
         if (firstFailure != null) throw firstFailure
         out.map(_.get)

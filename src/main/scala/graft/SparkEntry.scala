@@ -613,13 +613,26 @@ object SparkEntry {
           max(col("q")).as("max_quality"))),
 
     // ── NS text: language identification (marker-word argmax) ──
-    "q26_lang_id" -> ((s, dir) =>
-      // widenForCpu: the 5-language marker-filter argmax is ~4 cpu-s
-      // at sf0.1 on a one-split scan
-      Relational.widenForCpu(t(s, dir, "documents"), col("doc_id"))
-        .withColumn("predicted", text.predictedLang(col("text")))
+    "q26_lang_id" -> ((s, dir) => {
+      // PRECOMPUTED score columns (the predictedFromScores contract):
+      // the inline predictedLang spelling re-evaluates each langScore
+      // ~|langs| times inside the argmax when-chain — and each score
+      // re-tokenizes — multiplying the per-row filter cost ~25×
+      // (r19 bench: 74 cpu-s for a 5-way argmax). One projection per
+      // score evaluates each filter once; the oracle SQL already has
+      // this shape (scores in a subquery). Result-identical.
+      val toksd = Relational.widenForCpu(t(s, dir, "documents"),
+          col("doc_id"))
+        .withColumn("_toks", text.tokens(col("text")))
+      val scored = text.langMarkers.foldLeft(toksd) { case (df, (l, m)) =>
+        df.withColumn(s"_s_$l", text.langScore(col("_toks"), m))
+      }
+      scored
+        .withColumn("predicted", text.predictedFromScores(
+          text.langMarkers.map { case (l, _) => l -> col(s"_s_$l") }))
         .groupBy(col("lang"), col("predicted"))
-        .agg(count(lit(1)).as("n"))),
+        .agg(count(lit(1)).as("n"))
+    }),
 
     // ── NS dedup: exact n-gram Jaccard pairs. This corpus is DENSE
     // (fixed ~931-bigram vocabulary shared by every doc), so the
@@ -5382,14 +5395,16 @@ object SparkEntry {
         .orderBy(col("n_chars").desc, col("doc_id"))
       // referenced by the text rows AND three media joins — one
       // window pass, checkpointed (the phashPairs rationale)
-      val docs = syntheticUrlDocs(s, dir)
-        .withColumn("split",
-          fold(hashes.md5Hash60(col("canon")) % 10))
-        .withColumn("doc_kept", row_number().over(w) === 1)
-        .select(col("doc_id"), col("source"), col("split"),
-          col("doc_kept"),
-          text.tokenCount(col("text")).cast("long").as("toks"))
-        .localCheckpoint()
+      val docs = graft.Phases.time("q208_docs_ckpt") {
+        syntheticUrlDocs(s, dir)
+          .withColumn("split",
+            fold(hashes.md5Hash60(col("canon")) % 10))
+          .withColumn("doc_kept", row_number().over(w) === 1)
+          .select(col("doc_id"), col("source"), col("split"),
+            col("doc_kept"),
+            text.tokenCount(col("text")).cast("long").as("toks"))
+          .localCheckpoint()
+      }
       // items: (id, is_keeper, mass) → per-(source, split) rollup
       // through the owning doc (broadcast — docs is catalog-sized
       // next to a media corpus)
@@ -5418,7 +5433,7 @@ object SparkEntry {
       // measured ~25-40 sequential CC-round jobs); graft.Par
       // overlaps them without changing any branch's plan
       val branches = graft.Par.run(Seq(
-        () => {
+        () => graft.Phases.time("q208_img_cc") {
           val ifp = s.read.parquet(fpStore + "/img")
           keeperJoin(
             ifp.select(col("doc").as("id"),
@@ -5426,7 +5441,7 @@ object SparkEntry {
             Dedup.connectedComponentsStar(docPairs(ifp),
               "doc_a", "doc_b").toDF("id", "keeper"))
         },
-        () => {
+        () => graft.Phases.time("q208_aud_cc") {
           val afp = s.read.parquet(fpStore + "/aud")
           keeperJoin(
             afp.select(col("doc").as("id"),
@@ -5434,7 +5449,7 @@ object SparkEntry {
             Dedup.connectedComponentsStar(docPairs(afp),
               "doc_a", "doc_b").toDF("id", "keeper"))
         },
-        () => {
+        () => graft.Phases.time("q208_vid_cc") {
           val vfp = s.read.parquet(fpStore + "/vid")
           keeperJoin(
             vfp.select(expr("doc div 8").as("id"),

@@ -92,60 +92,63 @@ object CorpusStats {
   def unigramLogLossAgainst(train: DataFrame, score: DataFrame,
       idCol: String, textCol: String,
       minCount: Long, maxVocab: Int = 4000000): DataFrame = {
+    val (lmBc, modelN) =
+      unigramLmBroadcast(train, textCol, minCount, maxVocab)
     val toks = text.tokens(col(textCol))
-    score.crossJoin(broadcast(
-        unigramModel(train, textCol, minCount, "_lm_")))
+    val nllSum = org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.graft.UnigramNllSum(
+        org.apache.spark.sql.graft.Bridge.expression(toks), lmBc))
+    score
       .withColumn("n_tok", size(toks))
       .withColumn("nll",
-        when(col("n_tok") === 0, lit(null).cast("double"))
-          .otherwise(
-            unigramNllSum(toks, "_lm_", minCount, maxVocab)
-              / col("n_tok")))
-      .drop("_lm_n", "_lm_v", "_lm_map")
+        when(col("n_tok") === 0 || lit(modelN == 0.0),
+          lit(null).cast("double"))
+          .otherwise(nllSum / col("n_tok")))
   }
 
-  /** The 1-row Laplace unigram model over `train`'s token stream,
-    * column names prefixed so two models can ride one projection
-    * ([[domainExcessWeights]]): `{prefix}n` total tokens, `{prefix}v`
-    * full vocabulary size, `{prefix}map` count map. The smoothing
-    * constants see the FULL vocabulary; the broadcast map keeps only
-    * tokens worth storing (c >= minCount — rare tokens score ~like
-    * OOV anyway, so the map stays small). Deliberately NOT
-    * widenForCpu'd: the zero-corpus-shuffle contract is the point,
-    * and the tokenize kernel measured LIGHTER than the exchange it
-    * would add (isolated sf0.1 A/B: 1.8 s → 2.5 s widened). */
-  private def unigramModel(train: DataFrame, textCol: String,
-      minCount: Long, prefix: String): DataFrame = {
+  /** The Laplace unigram model over `train`'s token stream as a
+    * broadcast [[org.apache.spark.sql.graft.UnigramLm]] kernel (plus
+    * its N, so callers can null-guard an empty model): one token
+    * aggregate, (N, V) read from the FULL vocabulary by a bounded
+    * 1-row lookup, stored entries only where c >= minCount (rare
+    * tokens score ~like OOV anyway) collected under the `maxVocab`
+    * loud guard — the bigramLogLoss convention, replacing the former
+    * 1-row broadcast-MapType model: Catalyst's map `element_at` is a
+    * LINEAR key scan per probe (the LmScore.scala measurement), so
+    * the old fold paid O(vocab) per token across the whole
+    * unigram-loss family; the HashMap kernel probes O(1) and scores
+    * the same strict left-to-right double sum bit for bit
+    * (CorpusStatsSpec hand-computed pins unchanged). Deliberately
+    * NOT widenForCpu'd: the zero-corpus-shuffle contract is the
+    * point, and the tokenize kernel measured LIGHTER than the
+    * exchange it would add (isolated sf0.1 A/B: 1.8 s → 2.5 s
+    * widened). Registered with [[releaseLmBroadcasts]] — callers
+    * that materialize the scoring frame release the model. */
+  private def unigramLmBroadcast(train: DataFrame, textCol: String,
+      minCount: Long, maxVocab: Int)
+      : (org.apache.spark.broadcast.Broadcast[
+          org.apache.spark.sql.graft.UnigramLm], Double) = {
     require(minCount >= 1, s"minCount must be >= 1: $minCount")
-    train
+    val counts = train
       .select(explode(text.tokens(col(textCol))).as("_lm_tok"))
       .groupBy(col("_lm_tok")).agg(count(lit(1)).as("_lm_c"))
-      .agg(
-        sum(col("_lm_c")).cast("double").as(s"${prefix}n"),
-        count(lit(1)).cast("double").as(s"${prefix}v"),
-        map_from_entries(sort_array(collect_list(
-          when(col("_lm_c") >= minCount,
-            struct(col("_lm_tok"), col("_lm_c"))))))
-          .as(s"${prefix}map"))
-  }
-
-  /** Total negative log-likelihood of `toks` under the
-    * [[unigramModel]] columns with `prefix` (un-normalized — callers
-    * divide by n_tok). The fold order is the token order, so the
-    * double sum is deterministic. The maxVocab guard fails loudly
-    * when minCount was set too low for the map to broadcast. */
-  private def unigramNllSum(toks: Column, prefix: String,
-      minCount: Long, maxVocab: Int): Column = {
-    val guarded = when(size(map_keys(col(s"${prefix}map"))) > maxVocab,
-      raise_error(concat(
-        lit(s"unigramLogLoss: vocabulary exceeds $maxVocab ("),
-        size(map_keys(col(s"${prefix}map"))).cast("string"),
-        lit(s") — raise minCount=$minCount for this corpus"))))
-      .otherwise(col(s"${prefix}map"))
-    aggregate(toks, lit(0.0d),
-      (acc, t) => acc - log(
-        (coalesce(element_at(guarded, t), lit(0L)).cast("double") + 1.0d)
-          / (col(s"${prefix}n") + col(s"${prefix}v"))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nv = counts.agg(
+      coalesce(sum(col("_lm_c")), lit(0L)), count(lit(1))).head()
+    val kept = counts.filter(col("_lm_c") >= minCount)
+      .limit(maxVocab + 1).collect()
+    counts.unpersist(blocking = false)
+    require(kept.length <= maxVocab,
+      s"unigramLogLoss: vocabulary exceeds $maxVocab " +
+        s"(${kept.length}+) — raise minCount=$minCount for this corpus")
+    val m = new java.util.HashMap[String, Long](kept.length * 2)
+    kept.foreach(r => m.put(r.getString(0), r.getLong(1)))
+    val n = nv.getLong(0).toDouble
+    val bc = train.sparkSession.sparkContext.broadcast(
+      new org.apache.spark.sql.graft.UnigramLm(m, n,
+        nv.getLong(1).toDouble))
+    liveLmBroadcasts.add((Thread.currentThread().getId, bc))
+    (bc, n)
   }
 
   /** NS MIXING: DOMAIN REWEIGHTING BY EXCESS LOSS — one
@@ -181,48 +184,73 @@ object CorpusStats {
       idCol: String, textCol: String, refFilter: Column,
       minCount: Long, maxVocab: Int = 4000000): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1: $minCount")
-    val toks = text.tokens(col(textCol))
-    val nTok = size(toks)
-    // the N === 0 arm keeps the separate-build semantics for an EMPTY
-    // model slice: two unigramModel calls would aggregate zero rows
-    // into NULL columns (NULL nll → NULL sums → zero weights), but
-    // the fused aggregate below sees the full token stream, so an
-    // empty reference slice lands as N = V = 0.0 — and
-    // -ln((0+1)/(0+0)) is -Infinity, which ANSI mode refuses to cast
-    // to the decimal the domain sums use. NULL, not a crash.
-    def meanNll(prefix: String): Column =
-      when(nTok === 0 || col(s"${prefix}n") === 0.0,
-        lit(null).cast("double"))
-        .otherwise(unigramNllSum(toks, prefix, minCount, maxVocab)
-          / nTok.cast("double"))
     // BOTH models from ONE token aggregate: the reference slice is a
     // subset of the corpus, so per-token (c_full, c_ref) conditional
     // counts in a single groupBy replace two separate model builds —
     // at 100 TB that is one fewer full-corpus tokenize+shuffle (the
     // corpus is now scanned twice total: models, then scoring). The
-    // per-model (N, V, map) columns are exactly what two
-    // unigramModel calls would produce: V counts the slice's FULL
-    // vocabulary (c >= 1), the map keeps c >= minCount.
-    def modelCols(prefix: String, c: Column) = Seq(
-      sum(c).cast("double").as(s"${prefix}n"),
-      count(when(c >= 1, lit(1))).cast("double").as(s"${prefix}v"),
-      map_from_entries(sort_array(collect_list(
-        when(c >= minCount, struct(col("_lm_tok"), c)))))
-        .as(s"${prefix}map"))
+    // counts land in two broadcast UnigramLm kernels (the
+    // unigramLmBroadcast convention — O(1) probes instead of the
+    // MapType linear scan): (N, V) per model from one bounded 1-row
+    // aggregate over the FULL vocabulary (V counts c >= 1), stored
+    // entries where c >= minCount under the maxVocab loud guard
+    // (c_ref <= c_full, so one filter bounds both maps).
+    val toks0 = text.tokens(col(textCol))
     val perTok = docs
-      .select(explode(toks).as("_lm_tok"),
+      .select(explode(toks0).as("_lm_tok"),
         when(refFilter, 1L).otherwise(0L).as("_lm_ref"))
       .groupBy(col("_lm_tok"))
       .agg(count(lit(1)).as("_c_full"), sum(col("_lm_ref")).as("_c_ref"))
-    val allCols =
-      modelCols("_lmf_", col("_c_full")) ++
-        modelCols("_lmr_", col("_c_ref"))
-    val modelsRow = perTok.agg(allCols.head, allCols.tail: _*)
-    val scored = docs
-      .crossJoin(broadcast(modelsRow))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nv = perTok.agg(
+      coalesce(sum(col("_c_full")), lit(0L)),
+      count(lit(1)),
+      coalesce(sum(col("_c_ref")), lit(0L)),
+      count(when(col("_c_ref") >= 1, lit(1)))).head()
+    val kept = perTok.filter(col("_c_full") >= minCount)
+      .limit(maxVocab + 1).collect()
+    perTok.unpersist(blocking = false)
+    require(kept.length <= maxVocab,
+      s"domainExcessWeights: vocabulary exceeds $maxVocab " +
+        s"(${kept.length}+) — raise minCount=$minCount for this corpus")
+    val mFull = new java.util.HashMap[String, Long](kept.length * 2)
+    val mRef = new java.util.HashMap[String, Long](kept.length * 2)
+    kept.foreach { r =>
+      mFull.put(r.getString(0), r.getLong(1))
+      if (r.getLong(2) >= minCount) mRef.put(r.getString(0), r.getLong(2))
+    }
+    val (nFull, nRef) = (nv.getLong(0).toDouble, nv.getLong(2).toDouble)
+    val sc = docs.sparkSession.sparkContext
+    val bcFull = sc.broadcast(new org.apache.spark.sql.graft.UnigramLm(
+      mFull, nFull, nv.getLong(1).toDouble))
+    val bcRef = sc.broadcast(new org.apache.spark.sql.graft.UnigramLm(
+      mRef, nRef, nv.getLong(3).toDouble))
+    liveLmBroadcasts.add((Thread.currentThread().getId, bcFull))
+    liveLmBroadcasts.add((Thread.currentThread().getId, bcRef))
+    // the N === 0 arm keeps the separate-build semantics for an EMPTY
+    // model slice: an empty reference slice lands as N = V = 0.0 —
+    // and -ln((0+1)/(0+0)) is -Infinity, which ANSI mode refuses to
+    // cast to the decimal the domain sums use. NULL, not a crash.
+    def meanNll(bc: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.sql.graft.UnigramLm], modelN: Double): Column = {
+      val s = org.apache.spark.sql.graft.Bridge.column(
+        org.apache.spark.sql.graft.UnigramNllSum(
+          org.apache.spark.sql.graft.Bridge.expression(col("_dw_toks")),
+          bc))
+      when(col("_dw_n") === 0 || lit(modelN == 0.0),
+        lit(null).cast("double"))
+        .otherwise(s / col("_dw_n").cast("double"))
+    }
+    // widenForCpu: the scoring pass is now a pure per-row kernel over
+    // a possibly one-split corpus scan (the former explode's exchange
+    // used to widen the model side; the scoring side never had one) —
+    // the q69 policy seam
+    val scored = Relational.widenForCpu(docs, col(idCol))
+      .withColumn("_dw_toks", toks0)
+      .withColumn("_dw_n", size(col("_dw_toks")))
       .select(col(sourceCol),
-        meanNll("_lmr_").as("nll_ref"),
-        meanNll("_lmf_").as("nll_full"))
+        meanNll(bcRef, nRef).as("nll_ref"),
+        meanNll(bcFull, nFull).as("nll_full"))
     val dom = scored
       .groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_docs"),
@@ -858,26 +886,47 @@ object CorpusStats {
     require(buckets >= 2 && buckets <= (1 << 22),
       s"linearClassifierScores: buckets must be in [2, 2^22]: $buckets")
     val spark = docs.sparkSession
-    val model = spark.range(0, buckets).select(
-      col("id").as("_lc_bucket"),
-      (hashes.md5Hash60(col("id").cast("string")) % 2001L - 1000L)
-        .as("_lc_w"))
-    val toks = docs.select(col(idCol).as("_lc_id"),
-      text.tokens(col(textCol)).as("_lc_toks"))
-    val feats = toks.select(col("_lc_id"),
-      explode(concat(col("_lc_toks"), docBigrams(col("_lc_toks"))))
-        .as("_lc_f"))
-    val scored = feats
-      .select(col("_lc_id"),
-        (hashes.md5Hash60(col("_lc_f")) % buckets).as("_lc_bucket"))
-      .join(broadcast(model), "_lc_bucket")
-      .groupBy(col("_lc_id"))
-      .agg(count(lit(1)).as("n_feats"), sum(col("_lc_w")).as("logit"))
-    docs.join(scored, docs(idCol) === scored("_lc_id"), "left")
-      .drop("_lc_id")
-      .withColumn("n_feats", coalesce(col("n_feats"), lit(0L)))
-      .withColumn("logit", coalesce(col("logit"), lit(0L)))
+    // The static model, by the ONE weight definition (md5-60 of the
+    // bucket id, shifted into [-1000, 1000]) — collected ONCE as a
+    // bounded planning lookup (`buckets` rows, capped at 2^22 by the
+    // require above; the q42 centroid convention) and shipped as an
+    // array literal. The per-doc logit is then a pure per-row fold
+    // over the feature array: the former explode → broadcast join →
+    // re-group-by-doc shape shuffled tens of millions of
+    // one-feature rows per corpus scan just to sum them straight
+    // back to doc grain (r20 baseline: q156 6.5 s wall on 12 cpu-s —
+    // exchange-bound, not compute-bound). Long sums are
+    // order-insensitive, so the fold is bit-identical to the
+    // aggregate it replaces (CorpusStatsSpec pins the logits against
+    // an independent MessageDigest recomputation); zero
+    // shuffles at ANY corpus size — scoring 100 TB is one scan.
+    val wArr: Array[Long] = {
+      import spark.implicits._
+      spark.range(0, buckets)
+        .orderBy(col("id"))
+        .select((hashes.md5Hash60(col("id").cast("string"))
+          % 2001L - 1000L).as("w"))
+        .as[Long].collect()
+    }
+    val wLit = typedlit(wArr)
+    // widenForCpu: the per-feature md5 now runs AT SCAN WIDTH (the
+    // explode's re-shuffle used to widen it as a side effect) — a
+    // one-split corpus scan must not serialize whole cpu-seconds of
+    // hashing (the q69 hazard)
+    val wide = graft.operators.Relational.widenForCpu(docs, col(idCol))
+    val toks = text.tokens(col(textCol))
+    // materialized as its own projection column: n_feats and the
+    // logit fold both reference it, and a non-cheap expression
+    // referenced twice stays un-collapsed (CollapseProject's
+    // duplication guard) — tokenize+bigram runs ONCE per row
+    wide
+      .withColumn("_lc_feats", concat(toks, docBigrams(toks)))
+      .withColumn("n_feats", size(col("_lc_feats")).cast("long"))
+      .withColumn("logit", aggregate(col("_lc_feats"), lit(0L),
+        (acc, f) => acc + element_at(wLit,
+          (hashes.md5Hash60(f) % buckets).cast("int") + 1)))
       .withColumn("accept", col("logit") >= 0L)
+      .drop("_lc_feats")
   }
 
   /** The calibration family's ONE binning rule: double-floor so

@@ -679,10 +679,27 @@ object Dedup {
       maxIter: Int = 30): DataFrame =
     starComponents(pairs, aCol, bCol, maxIter)._1
 
+  /** Edge-count gate below which [[starComponents]] runs its
+    * driver-side union-find fast path instead of the distributed
+    * star rounds — the [[graft.operators.LabelStore.DefaultUfEdgeCap]]
+    * convention applied to the shared CC core: canonical edges are
+    * 16-byte tuples, so millions fit the driver comfortably and a
+    * sorted-array union-find over them is sub-second, vs ~2 shuffle
+    * jobs + 2 driver materializations PER star round (the fixed cost
+    * that dominated the fixture-scale CC consumers: q178/q208's
+    * keeper chains measured 6-11 s of mostly round overhead). Past
+    * the cap — the 100 TB edge set — the distributed rounds run
+    * unchanged. */
+  val DefaultDriverCcEdgeCap: Int = 5000000
+
   /** [[connectedComponentsStar]] plus the round count (spec asserts
-    * the O(log n) behavior against label propagation on a chain). */
+    * the O(log n) behavior against label propagation on a chain;
+    * the driver fast path reports 0 rounds). `driverEdgeCap = 0`
+    * forces the distributed star rounds (the spec's pin of the
+    * O(log n) property, and the twin the parity test runs against). */
   private[graft] def starComponents(pairs: DataFrame, aCol: String,
-      bCol: String, maxIter: Int): (DataFrame, Int) = {
+      bCol: String, maxIter: Int,
+      driverEdgeCap: Int = DefaultDriverCcEdgeCap): (DataFrame, Int) = {
     import org.apache.spark.sql.graft.Bridge
     // canonical working edge set: (u, v) with v < u, no self-loops
     var edges = pairs
@@ -691,6 +708,89 @@ object Dedup {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
+    // ── bounded driver fast path (the LabelStore ufCap convention):
+    // a limit(cap+1) collect bounds driver memory BEFORE we commit to
+    // the fast path; at or under the cap the collect IS the whole
+    // canonical edge set and a sorted-array union-find labels every
+    // endpoint with its component minimum — identical output contract
+    // to the star rounds (min-id label per edge endpoint), pinned by
+    // DedupSpec's driver≡star parity case. Integral id types only;
+    // anything exotic falls through to the distributed rounds.
+    locally {
+      import org.apache.spark.sql.types.{IntegerType, LongType}
+      val dt = edges.schema("u").dataType
+      if (driverEdgeCap > 0 && (dt == LongType || dt == IntegerType)) {
+        val head = edges.limit(driverEdgeCap + 1).collect()
+        if (head.length <= driverEdgeCap) {
+          Bridge.freeLocalCheckpoint(edges)
+          val m = head.length
+          val us = new Array[Long](m)
+          val vs = new Array[Long](m)
+          var i = 0
+          while (i < m) {
+            val r = head(i)
+            if (dt == LongType) { us(i) = r.getLong(0); vs(i) = r.getLong(1) }
+            else { us(i) = r.getInt(0).toLong; vs(i) = r.getInt(1).toLong }
+            i += 1
+          }
+          // sorted distinct node universe: index order = id order, so
+          // rooting every union at the smaller INDEX makes each final
+          // root the component MINIMUM by construction
+          val all = new Array[Long](2 * m)
+          System.arraycopy(us, 0, all, 0, m)
+          System.arraycopy(vs, 0, all, m, m)
+          java.util.Arrays.sort(all)
+          var n = 0
+          i = 0
+          while (i < 2 * m) {
+            if (n == 0 || all(n - 1) != all(i)) { all(n) = all(i); n += 1 }
+            i += 1
+          }
+          val parent = new Array[Int](n)
+          i = 0
+          while (i < n) { parent(i) = i; i += 1 }
+          def find(x0: Int): Int = {
+            var x = x0
+            while (parent(x) != x) { // path halving
+              parent(x) = parent(parent(x)); x = parent(x)
+            }
+            x
+          }
+          def idx(v: Long): Int =
+            java.util.Arrays.binarySearch(all, 0, n, v)
+          i = 0
+          while (i < m) {
+            val ra = find(idx(us(i)))
+            val rb = find(idx(vs(i)))
+            if (ra != rb) {
+              if (ra < rb) parent(rb) = ra else parent(ra) = rb
+            }
+            i += 1
+          }
+          val sess = pairs.sparkSession
+          val rows = new Array[org.apache.spark.sql.Row](n)
+          i = 0
+          while (i < n) {
+            val lbl = all(find(i))
+            rows(i) =
+              if (dt == LongType) org.apache.spark.sql.Row(all(i), lbl)
+              else org.apache.spark.sql.Row(all(i).toInt, lbl.toInt)
+            i += 1
+          }
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("node", dt),
+            org.apache.spark.sql.types.StructField("label", dt)))
+          // parallelize (not a LocalRelation) so a multi-million-row
+          // label set is task data, not a plan-embedded literal
+          val labels = sess.createDataFrame(
+            sess.sparkContext.parallelize(rows.toSeq,
+              math.max(1, n / 500000)), schema)
+          return (labels, 0)
+        }
+        // over the cap: the collected prefix is useless — fall through
+        // to the distributed rounds on the checkpointed edge set
+      }
+    }
     // fixed-point detection on (count, order-independent hash sum) —
     // one tiny aggregate per round instead of a full except() diff.
     // DECIMAL accumulation: a long sum of 64-bit hashes overflows
@@ -985,15 +1085,29 @@ object Dedup {
     * documented single-writer contract. */
   private val phashParamsCache =
     new java.util.concurrent.ConcurrentHashMap[String,
-      (Int, Int, Int, Int)]()
+      (Long, (Int, Int, Int, Int))]()
 
   private def checkPhashParams(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, radius: Int, width: Int, blocks: Option[Int],
       keyBlocks: Int): Unit = {
-    val rec = phashParamsCache.computeIfAbsent(indexDir, _ => {
-      val p = spark.read.parquet(s"$indexDir/params").head()
-      (p.getInt(0), p.getInt(1), p.getInt(2), p.getInt(3))
-    })
+    // cache keyed by the params dir's mtime (r19 ADVICE): an index
+    // deleted (versionedStoreDir prune, Scratch cleanup) or rebuilt
+    // by an external process at the same path must fail or re-read
+    // here, not pass from a stale entry — a one-stat FS probe per
+    // call, no Spark job; a MISSING params dir throws from the stat,
+    // which is the loud failure the check exists for
+    val pPath = new org.apache.hadoop.fs.Path(s"$indexDir/params")
+    val fs = pPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val mtime = fs.getFileStatus(pPath).getModificationTime
+    val cached = phashParamsCache.get(indexDir)
+    val rec =
+      if (cached != null && cached._1 == mtime) cached._2
+      else {
+        val p = spark.read.parquet(s"$indexDir/params").head()
+        val r = (p.getInt(0), p.getInt(1), p.getInt(2), p.getInt(3))
+        phashParamsCache.put(indexDir, (mtime, r))
+        r
+      }
     require(rec == (radius, width, blocks.getOrElse(radius + 1),
         keyBlocks),
       s"phash index $indexDir was built with (radius=${rec._1}, " +
@@ -2180,6 +2294,19 @@ object Dedup {
         overlapWith match {
           case None => writeLeg()
           case Some(f) =>
+            // LEASE HOLD WINDOW, widened knowingly (r19 ADVICE): the
+            // continuation runs while BOTH leases are held, so the
+            // hold spans the whole batch chain, not just the write
+            // phase. The continuation never touches the leased roots
+            // (disjoint stores by contract), but a batch exceeding
+            // StoreLease.DefaultStaleAfterMs (30 min) would make the
+            // live lease reclaimable by a concurrent writer
+            // mid-batch — acceptable under the ingest family's
+            // documented single-writer assumption, and a multi-writer
+            // deployment should raise staleAfterMs for streaming
+            // appends rather than narrow this hold (releasing before
+            // the continuation would re-open the torn-as-of-view
+            // hazard the leases exist for).
             // FUSED CONTINUATION (graft.Par, r19): the caller's
             // downstream chain (label-store merge, fold sink — all
             // on OTHER store roots) reads only the already-

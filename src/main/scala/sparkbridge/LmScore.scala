@@ -79,3 +79,62 @@ case class BigramNllSum(child: Expression, model: Broadcast[BigramLm])
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Plan-time UNIGRAM LM model — the order-1 twin of [[BigramLm]],
+  * and the r20 replacement for the broadcast-MapType formulation of
+  * CorpusStats.unigramNllSum: Catalyst's `element_at` on a map is a
+  * LINEAR scan of the key array (the measured BigramLm rationale
+  * above), so a ~10³-entry vocabulary probed once per token was
+  * whole cpu-seconds per corpus scan across the unigram-loss family
+  * (q106/q173/q181/q189). HashMap probes are O(1); the fold below is
+  * the SAME strict left-to-right double sum as the HOF formulation
+  * (CorpusStatsSpec pins hand-computed values), so results are
+  * bit-identical and the shared oracles are unchanged. */
+final class UnigramLm(
+    val m: java.util.HashMap[String, Long],
+    val n: Double,
+    val v: Double) extends Serializable {
+
+  /** Sum of -ln p(tok) over the array, p = (c+1) / (N+V) with c = 0
+    * for tokens outside the stored map (sub-minCount and never-seen
+    * tokens score identically — the OOV contract). */
+  def nllSum(arr: ArrayData): Double = {
+    val k = arr.numElements()
+    var acc = 0.0d
+    var i = 0
+    while (i < k) {
+      val c = m.getOrDefault(arr.getUTF8String(i).toString, 0L)
+      acc -= java.lang.Math.log((c + 1.0d) / (n + v))
+      i += 1
+    }
+    acc
+  }
+}
+
+/** Codegen'd per-document unigram negative-log-likelihood sum against
+  * a broadcast [[UnigramLm]] — same broadcast-stub discipline as
+  * [[BigramNllSum]] (the model ships once per executor, never with
+  * task closures). */
+case class UnigramNllSum(child: Expression, model: Broadcast[UnigramLm])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "unigram_nll_sum"
+
+  override def nullSafeEval(v: Any): Any =
+    model.value.nllSum(v.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramLmBc", model,
+      "org.apache.spark.broadcast.Broadcast")
+    val lm = ctx.addMutableState("org.apache.spark.sql.graft.UnigramLm",
+      "unigramLm",
+      v => s"$v = (org.apache.spark.sql.graft.UnigramLm) $ref.value();")
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $lm.nllSum($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -282,7 +282,11 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
     import spark.implicits._
     // 41-node chain: diameter 40 — the worst case for label propagation
     val chain = (0L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val (labels, iters) = Dedup.starComponents(chain, "doc_a", "doc_b", 30)
+    // driverEdgeCap = 0 forces the distributed star rounds: this test
+    // pins the O(log n) property of the DISTRIBUTED algorithm (the
+    // 100 TB path); the driver fast path has its own parity test below
+    val (labels, iters) =
+      Dedup.starComponents(chain, "doc_a", "doc_b", 30, driverEdgeCap = 0)
     val got = labels.as[(Long, Long)].collect().toMap
     got.keySet shouldBe (0L to 40L).toSet
     got.values.toSet shouldBe Set(0L) // one component, min = 0
@@ -298,6 +302,37 @@ class DedupSpec extends AnyFunSuite with SparkSpec with Matchers {
     val b = Dedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
       .as[(Long, Long)].collect().toMap
     b shouldBe a
+  }
+
+  test("starComponents driver union-find fast path equals the distributed star rounds") {
+    import spark.implicits._
+    // adversarial mix: a long chain (deep trees for naive UF), two
+    // cliques sharing a bridge, duplicate + reversed edges, an
+    // isolated pair, and ids far apart so index order != arrival order
+    val edges = (
+      (0L until 25L).map(i => (1000L + i + 1, 1000L + i)) ++ // chain
+        (for { a <- 0L until 6L; b <- 0L until 6L if a < b }
+          yield (50L + a, 50L + b)) ++ // clique A
+        (for { a <- 0L until 5L; b <- 0L until 5L if a < b }
+          yield (90L + b, 90L + a)) ++ // clique B, reversed
+        Seq((55L, 92L)) ++ // bridge A-B
+        Seq((7L, 3L), (3L, 7L), (7L, 7L)) ++ // dup/reversed/self
+        Seq((500000L, 2L))
+    ).toDF("doc_a", "doc_b")
+    val fast = Dedup.starComponents(edges, "doc_a", "doc_b", 30)
+    val dist =
+      Dedup.starComponents(edges, "doc_a", "doc_b", 30, driverEdgeCap = 0)
+    fast._2 shouldBe 0 // the fast path ran (no distributed rounds)
+    dist._2 should be > 0
+    fast._1.as[(Long, Long)].collect().toMap shouldBe
+      dist._1.as[(Long, Long)].collect().toMap
+    // integer-typed ids take the fast path too, same output type
+    val intEdges = Seq((2, 1), (2, 3), (10, 11)).toDF("doc_a", "doc_b")
+    val intCc = Dedup.connectedComponentsStar(intEdges, "doc_a", "doc_b")
+    intCc.schema("label").dataType shouldBe
+      org.apache.spark.sql.types.IntegerType
+    intCc.as[(Int, Int)].collect().toMap shouldBe
+      Map(1 -> 1, 2 -> 1, 3 -> 1, 10 -> 10, 11 -> 10)
   }
 
   test("simhashNearDupPairs (pigeonhole blocking) equals the all-pairs answer") {
