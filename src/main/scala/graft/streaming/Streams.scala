@@ -1164,12 +1164,25 @@ object Streams {
               fp, idxDir, radius, width, Some(blocks), keyBlocks,
               materialize = false)
             // item-grain edges (video: frame pairs → video pairs;
-            // doc-grain modalities: identity)
-            val itemPairs = fpPairs
-              .select(itemOf(col("doc_a")).as("doc_a"),
-                itemOf(col("doc_b")).as("doc_b"))
-              .filter(col("doc_a") =!= col("doc_b"))
-              .distinct()
+            // doc-grain modalities: identity). The grain collapse
+            // needs a distinct + self-pair filter ONLY when itemOf
+            // actually maps (video's frame → vid): for identity
+            // modalities fpPairs is already doc_a < doc_b distinct,
+            // so the extra distinct was a pure second shuffle of the
+            // full candidate pair set per (modality, batch) — checked
+            // semantically, not by name, so a future non-identity
+            // mapping cannot silently skip the collapse
+            val itemIdentity = org.apache.spark.sql.graft.Bridge
+              .expression(itemOf(col("doc_a")))
+              .semanticEquals(org.apache.spark.sql.graft.Bridge
+                .expression(col("doc_a")))
+            val itemPairs =
+              if (itemIdentity) fpPairs.select(col("doc_a"), col("doc_b"))
+              else fpPairs
+                .select(itemOf(col("doc_a")).as("doc_a"),
+                  itemOf(col("doc_b")).as("doc_b"))
+                .filter(col("doc_a") =!= col("doc_b"))
+                .distinct()
             val items = fp
               .select(itemOf(col("doc")).as("id"),
                 bit_count(col("fp")).cast("long").as("fmass"),
