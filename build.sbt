@@ -54,4 +54,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // profiled/interpreted until re-promoted. Doubled again — address
   // space is reserved, committed lazily, so the only cost is VA.
   "-XX:ReservedCodeCacheSize=1g",
-)
+) ++
+  // dev hook: extra JVM flags for one-off diagnostics (e.g.
+  // GRAFT_EXTRA_JVM="-XX:+PrintCompilation" to catch a deopt storm
+  // in the act) without editing the build
+  sys.env.get("GRAFT_EXTRA_JVM").map(_.split(" ").toSeq).getOrElse(Seq())
